@@ -1,13 +1,150 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.operators.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §2 (inventory) + §6 (oracle rules). */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.2 relational / OLAP core
+    "q1_agg"           -> ((s, d) => Relational.q1Agg(s, d)),
+    "q3_join_topk"     -> ((s, d) => Relational.q3JoinTopk(s, d)),
+    "q5_multijoin"     -> ((s, d) => Relational.q5MultiJoin(s, d)),
+    "q6_filter_agg"    -> ((s, d) => Relational.q6FilterAgg(s, d)),
+    "q_window_running" -> ((s, d) => Relational.qWindowRunning(s, d)),
+    "q_rollup"         -> ((s, d) => Relational.qRollup(s, d)),
+    "q_semi_anti"      -> ((s, d) => Relational.qSemiAnti(s, d)),
+    "q_set_ops"        -> ((s, d) => Relational.qSetOps(s, d)),
+    "q_scalar_subquery" -> ((s, d) => Relational.qScalarSubquery(s, d)),
+    "q_topk_per_group" -> ((s, d) => Relational.qTopkPerGroup(s, d)),
+    "q_distinct"       -> ((s, d) => Relational.qDistinct(s, d)),
+    "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
+  )
+
+  /** DuckDB-equivalent SQL per query key (driver correctness gate).
+    * Parity rules in SURVEY.md §6: DECIMAL-exact sums cast to DOUBLE,
+    * identical aliases, deterministic total order.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_join_topk" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q5_multijoin" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1994-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q6_filter_agg" ->
+      """SELECT COALESCE(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+        |  AND l_shipdate < TIMESTAMP '1995-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(row_number() OVER w AS INT) AS rn,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+        |       OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, rn""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_semi_anti" ->
+      """SELECT * FROM (
+        |  SELECT 'with_orders' AS kind, count(*) AS n FROM customer
+        |  WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |  UNION ALL
+        |  SELECT 'without_orders' AS kind, count(*) AS n FROM customer
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |) ORDER BY kind""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT c_custkey FROM (
+        |  (
+        |    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |     INTERSECT
+        |     SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 150000.0)
+        |    UNION ALL
+        |    SELECT c_custkey FROM customer WHERE c_acctbal < 0
+        |  )
+        |  EXCEPT
+        |  (SELECT DISTINCT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'F'
+        |   INTERSECT
+        |   SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+        |) ORDER BY c_custkey""".stripMargin,
+
+    "q_scalar_subquery" ->
+      """SELECT p_partkey, p_name, p_retailprice
+        |FROM part
+        |WHERE p_retailprice > (
+        |  SELECT CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_topk_per_group" ->
+      """SELECT p_brand, rk, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    CAST(row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS INT) AS rk
+        |  FROM part
+        |) WHERE rk <= 3
+        |ORDER BY p_brand, rk""".stripMargin,
+
+    "q_distinct" ->
+      """SELECT c_mktsegment,
+        |  count(DISTINCT c_nationkey) AS n_nations,
+        |  count(*) AS n_customers
+        |FROM customer
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    // q_approx_distinct intentionally omitted: HLL estimate (rows-only check).
+  )
 }

@@ -1,0 +1,178 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational / OLAP core (SURVEY §2.2).
+  *
+  * Determinism rules (shared with the DuckDB oracles in SparkEntry):
+  *  - money sums run over DECIMAL(18,N) casts (exact, associative) and the
+  *    final aggregate is cast back to DOUBLE — bit-identical across engines;
+  *  - averages are computed as CAST(decimal_sum AS DOUBLE) / count;
+  *  - every output has a total order with a unique tie-break key.
+  */
+object Relational {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Q1-style pricing summary: scan → filter → groupBy multi-aggregate. */
+  def q1Agg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+        sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("sum_disc_price"),
+        (sum(dec2(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** Q3-style: 3-way join, agg, top-k with deterministic tie-break.
+    * The two dimension-side inputs are small after their filters → Catalyst
+    * broadcast-joins them against lineitem (verified via explain).
+    */
+  def q3JoinTopk(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit("1995-03-15").cast("timestamp")
+    val cust = Tables.customer(spark, dir).filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir).filter(col("o_orderdate") < cutoff)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** Q5-style star join: region → nation → (customer, supplier) → orders → lineitem. */
+  def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir)
+    val sup = Tables.supplier(spark, dir)
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, dir)
+    li.join(broadcast(ord.select("o_orderkey", "o_custkey")), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust.select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup.select("s_suppkey", "s_nationkey")),
+            col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat.select("n_nationkey", "n_name", "n_regionkey")),
+            col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg.select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Q6-style tight-filter scan + single aggregate (all filters pushed). */
+  def q6FilterAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1994-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1995-01-01").cast("timestamp") &&
+              col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+              col("l_quantity") < 24)
+      .agg(coalesce(sum(dec4(col("l_extendedprice") * col("l_discount"))).cast("double"), lit(0.0))
+        .as("revenue"))
+  }
+
+  /** Window functions: per-customer order sequence + running total. */
+  def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("running_spend",
+        sum(dec2(col("o_totalprice"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+          .cast("double"))
+      .select("o_custkey", "o_orderkey", "rn", "running_spend")
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Hierarchical ROLLUP aggregate (null group keys coalesced to 'ALL'). */
+  def qRollup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"),
+           count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+              coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+              col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** EXISTS / NOT EXISTS via left_semi / left_anti joins. */
+  def qSemiAnti(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey")
+    val ordKeys = Tables.orders(spark, dir).select(col("o_custkey").as("c_custkey"))
+    val withOrders = cust.join(ordKeys, Seq("c_custkey"), "left_semi")
+      .agg(count(lit(1)).as("n")).select(lit("with_orders").as("kind"), col("n"))
+    val withoutOrders = cust.join(ordKeys, Seq("c_custkey"), "left_anti")
+      .agg(count(lit(1)).as("n")).select(lit("without_orders").as("kind"), col("n"))
+    withOrders.unionAll(withoutOrders).orderBy(col("kind"))
+  }
+
+  /** UNION / INTERSECT / EXCEPT over customer key sets. */
+  def qSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val ord = Tables.orders(spark, dir)
+    val building = cust.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val bigSpenders = ord.filter(col("o_totalprice") > 150000.0)
+      .select(col("o_custkey").as("c_custkey")).distinct()
+    val negBal = cust.filter(col("c_acctbal") < 0).select("c_custkey")
+    building.intersect(bigSpenders).union(negBal).except(
+        ord.filter(col("o_orderstatus") === "F")
+          .select(col("o_custkey").as("c_custkey")).distinct()
+          .intersect(negBal))
+      .distinct()
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Filter against a scalar aggregate subquery (above-average parts). */
+  def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir)
+    val avgPrice = p.agg((sum(dec2(col("p_retailprice"))).cast("double") / count(lit(1)))
+      .as("avg_price"))
+    p.join(broadcast(avgPrice))
+      .filter(col("p_retailprice") > col("avg_price"))
+      .select("p_partkey", "p_name", "p_retailprice")
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Top-3 parts by retail price per brand (rank-per-group). */
+  def qTopkPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
+    Tables.part(spark, dir)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("p_brand", "rk", "p_partkey", "p_retailprice")
+      .orderBy(col("p_brand"), col("rk"))
+  }
+
+  /** Exact distinct counts per group. */
+  def qDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+           count(lit(1)).as("n_customers"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** HLL approximate distinct (rows-only check: approximate by nature). */
+  def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+           count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+  }
+}

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  val sf: String = "/root/testdata/sf0.001"
+}
+
+class RelationalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query runs and returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.count() > 0, s"query $name returned 0 rows")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("q1 aggregates are grouped correctly") {
+    val rows = operators.Relational.q1Agg(spark, sf).collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).distinct.length == rows.length)
+    assert(rows.forall(_.getLong(6) > 0)) // count_order
+  }
+
+  test("q3 returns at most 10 rows ordered by revenue desc") {
+    val rows = operators.Relational.q3JoinTopk(spark, sf).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getDouble(2))
+    assert(revs.sameElements(revs.sortBy(-(_: Double))))
+  }
+
+  test("semi + anti partition the customer set") {
+    val m = operators.Relational.qSemiAnti(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables.customer(spark, sf).count()
+    assert(m("with_orders") + m("without_orders") == total)
+  }
+
+  test("topk per group emits <=3 per brand with rank 1..3") {
+    val rows = operators.Relational.qTopkPerGroup(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      assert(rs.length <= 3)
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
+    }
+  }
+}

@@ -1,0 +1,91 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Reads Verify.scala output (<out>/<name>/ parquet + oracle_sql.json), runs each
+oracle SQL in DuckDB over the same sf tables, and strictly compares:
+columns sorted by name, rows in emitted order, exact value equality
+(floats bitwise, decimals exact). Strict pass here ⇒ driver pass.
+
+Usage: local_gate.py <sfDir> <verifyOutDir> [query ...]
+"""
+import sys, os, json, glob, math
+import duckdb
+import pyarrow.parquet as pq
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+def load_spark(outdir, name):
+    files = sorted(glob.glob(os.path.join(outdir, name, "*.parquet")))
+    if not files:
+        return None
+    import pyarrow as pa
+    t = pa.concat_tables([pq.read_table(f) for f in files])
+    return t
+
+def norm(v):
+    if v is None:
+        return None
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return v
+    return v
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        p = os.path.join(sfdir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+    n_pass = n_fail = 0
+    for name, sql in sorted(oracle.items()):
+        if only and name not in only:
+            continue
+        spark_t = load_spark(outdir, name)
+        if spark_t is None:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        try:
+            duck_t = con.execute(sql).fetch_arrow_table()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        s_cols = sorted(spark_t.schema.names)
+        d_cols = sorted(duck_t.schema.names)
+        if s_cols != d_cols:
+            print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        s_rows = [[norm(spark_t.column(c)[i].as_py()) for c in s_cols]
+                  for i in range(spark_t.num_rows)]
+        d_rows = [[norm(duck_t.column(c)[i].as_py()) for c in d_cols]
+                  for i in range(duck_t.num_rows)]
+        if len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rowcount spark={len(s_rows)} duck={len(d_rows)}")
+            n_fail += 1
+            continue
+        bad = None
+        for i, (a, b) in enumerate(zip(s_rows, d_rows)):
+            # compare cell-wise; decimals vs floats compared by ==
+            eq = all((x == y) or (isinstance(x, float) and isinstance(y, float) and x == y)
+                     for x, y in zip(a, b))
+            if not eq:
+                bad = (i, a, b)
+                break
+        if bad:
+            print(f"FAIL {name}: row {bad[0]}\n  spark={bad[1]}\n  duck ={bad[2]}  (cols={s_cols})")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(s_rows)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()
