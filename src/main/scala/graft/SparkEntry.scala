@@ -1,17 +1,32 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.Relational
+import graft.operators.{Metastore, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) + §6 (oracle rules). */
 object SparkEntry {
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship: the metastore-style ranked search (the reference's core
+    * capability) on sf0.001; driver smoke-checks rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q1Agg(spark, "/root/testdata/sf0.001")
+    Metastore.qRankTfidf(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // §2.1 metastore search surface
+    "ms_filter_term"       -> ((s, d) => Metastore.filterTerm(s, d)),
+    "ms_filter_multivalue" -> ((s, d) => Metastore.filterMultivalue(s, d)),
+    "ms_filter_multifield" -> ((s, d) => Metastore.filterMultifield(s, d)),
+    "ms_visibility_anon"   -> ((s, d) => Metastore.visibilityAnon(s, d)),
+    "ms_visibility_auth"   -> ((s, d) => Metastore.visibilityAuth(s, d)),
+    "ms_q_match"           -> ((s, d) => Metastore.qMatch(s, d)),
+    "ms_q_rank_tfidf"      -> ((s, d) => Metastore.qRankTfidf(s, d)),
+    "ms_paginate"          -> ((s, d) => Metastore.paginate(s, d)),
+    "ms_summary"           -> ((s, d) => Metastore.summary(s, d)),
+    "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
+    "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),
+    "ms_events_visibility" -> ((s, d) => Metastore.eventsVisibility(s, d)),
     // §2.2 relational / OLAP core
     "q1_agg"           -> ((s, d) => Relational.q1Agg(s, d)),
     "q3_join_topk"     -> ((s, d) => Relational.q3JoinTopk(s, d)),
@@ -31,7 +46,7 @@ object SparkEntry {
     * Parity rules in SURVEY.md §6: DECIMAL-exact sums cast to DOUBLE,
     * identical aliases, deterministic total order.
     */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = Metastore.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -43,16 +43,24 @@ object Tables {
         .when(col("doc_id") % 3 === 1, lit("unlisted"))
         .otherwise(lit("private")).as("findability"),
       col("n_chars").cast("long").as("bytes"),
-      col("lang"))
+      col("lang"), col("source"))
 
   /** Events mapped onto the reference's event-document shape
     * (reference: metastore/models.py:27-34, tests/test_controllers.py:101-116:
     * event_entity/event_action/ownerid/dataset/status/findability/timestamp).
     */
-  def eventIndex(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).select(
+  def eventIndex(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    // events.ts is TIMESTAMP(NANOS) parquet: Spark reads it as LongType
+    // nanos under spark.sql.legacy.parquet.nanosAsLong=true (set in
+    // Verify/Bench sessions); normalize to epoch micros (BIGINT) either way.
+    val tsUs = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts"))
+    }
+    ev.select(
       col("event_id"),
-      col("ts").as("timestamp"),
+      tsUs.as("ts_us"),
       col("event_type").as("event_entity"),
       when(col("value") >= 100.0, lit("finished")).otherwise(lit("deleted")).as("event_action"),
       concat(lit("user"), col("user_id")).as("ownerid"),
@@ -60,6 +68,7 @@ object Tables {
       when(col("event_id") % 7 === 0, lit("Not OK")).otherwise(lit("OK")).as("status"),
       when(col("event_id") % 2 === 0, lit("published")).otherwise(lit("unlisted")).as("findability"),
       col("value"))
+  }
 
   /** The `idx` CTE for DuckDB oracles — must mirror datasetIndex exactly. */
   val datasetIndexSql: String =
@@ -73,13 +82,13 @@ object Tables {
       |       WHEN doc_id % 3 = 1 THEN 'unlisted'
       |       ELSE 'private' END AS findability,
       |  CAST(n_chars AS BIGINT) AS bytes,
-      |  lang
+      |  lang, source
       |FROM documents""".stripMargin
 
   /** The `ev` CTE for DuckDB oracles — must mirror eventIndex exactly. */
   val eventIndexSql: String =
     """SELECT event_id,
-      |  ts AS timestamp,
+      |  epoch_us(ts) AS ts_us,
       |  event_type AS event_entity,
       |  CASE WHEN value >= 100.0 THEN 'finished' ELSE 'deleted' END AS event_action,
       |  'user' || user_id AS ownerid,

@@ -1,0 +1,189 @@
+package graft.operators
+
+import graft.Tables
+import graft.search.{Analyzer, SearchEngine, SearchRequest}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.1 — the reference's search surface re-expressed on Spark.
+  * Each query has a DuckDB oracle in [[oracles]] built over the same
+  * `idx` / `ev` CTEs that Tables.datasetIndex / eventIndex define.
+  */
+object Metastore {
+
+  private def idx(spark: SparkSession, dir: String): DataFrame =
+    Tables.datasetIndex(spark, dir)
+  private def ev(spark: SparkSession, dir: String): DataFrame =
+    Tables.eventIndex(spark, dir)
+
+  private val ds = SearchEngine.datasets
+  private val evEngine = new SearchEngine(Nil, idCol = "event_id", bytesCol = "value")
+
+  // --- dataset kind ------------------------------------------------------
+
+  def filterTerm(s: SparkSession, d: String): DataFrame =
+    ds.page(idx(s, d), SearchRequest(filters = Map("lang" -> Seq("en")), size = 100),
+      Seq("doc_id", "name", "lang", "source"))
+
+  def filterMultivalue(s: SparkSession, d: String): DataFrame =
+    ds.page(idx(s, d), SearchRequest(filters = Map("lang" -> Seq("en", "fr")), size = 60),
+      Seq("doc_id", "name", "lang"))
+
+  def filterMultifield(s: SparkSession, d: String): DataFrame =
+    ds.page(idx(s, d),
+      SearchRequest(filters = Map("lang" -> Seq("en"), "source" -> Seq("src3")), size = 100),
+      Seq("doc_id", "name", "lang", "source"))
+
+  def visibilityAnon(s: SparkSession, d: String): DataFrame =
+    ds.page(idx(s, d), SearchRequest(size = 50), Seq("doc_id", "name", "findability"))
+
+  def visibilityAuth(s: SparkSession, d: String): DataFrame =
+    ds.page(idx(s, d), SearchRequest(userid = Some("src5"), size = 80),
+      Seq("doc_id", "name", "findability", "ownerid"))
+
+  def qMatch(s: SparkSession, d: String): DataFrame =
+    ds.page(idx(s, d), SearchRequest(q = Some("merge join"), size = 100),
+      Seq("doc_id", "name"))
+
+  def qRankTfidf(s: SparkSession, d: String): DataFrame =
+    ds.rankedSearch(idx(s, d), SearchRequest(q = Some("the merge join table"), size = 20),
+      Seq("name"))
+
+  def paginate(s: SparkSession, d: String): DataFrame =
+    ds.page(idx(s, d), SearchRequest(filters = Map("lang" -> Seq("en")), size = 20, from = 10),
+      Seq("doc_id", "name"))
+
+  def summary(s: SparkSession, d: String): DataFrame =
+    ds.summary(idx(s, d), SearchRequest(q = Some("merge"), filters = Map("lang" -> Seq("en"))))
+
+  // --- events kind -------------------------------------------------------
+
+  def eventsFilter(s: SparkSession, d: String): DataFrame =
+    evEngine.sortedPage(ev(s, d),
+      SearchRequest(filters = Map("event_entity" -> Seq("click"), "event_action" -> Seq("finished")),
+        userid = Some("user3"), size = 50),
+      "ts_us", Seq("event_id", "ts_us", "event_entity", "event_action", "ownerid"))
+
+  def eventsSort(s: SparkSession, d: String): DataFrame =
+    evEngine.sortedPage(ev(s, d), SearchRequest(size = 25, from = 5, sortAsc = true),
+      "ts_us", Seq("event_id", "ts_us", "dataset"))
+
+  def eventsVisibility(s: SparkSession, d: String): DataFrame =
+    evEngine.visible(ev(s, d), None)
+      .groupBy(col("event_entity"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("event_entity"))
+
+  // --- oracle SQL --------------------------------------------------------
+
+  private val idxCte = s"WITH idx AS (\n${Tables.datasetIndexSql}\n)"
+  private val evCte = s"WITH ev AS (\n${Tables.eventIndexSql}\n)"
+  private def tok(e: String) = Analyzer.tokensSql(e)
+
+  val oracles: Map[String, String] = Map(
+    "ms_filter_term" ->
+      s"""$idxCte
+         |SELECT doc_id, name, lang, source FROM idx
+         |WHERE findability = 'published' AND lang = 'en'
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_filter_multivalue" ->
+      s"""$idxCte
+         |SELECT doc_id, name, lang FROM idx
+         |WHERE findability = 'published' AND (lang = 'en' OR lang = 'fr')
+         |ORDER BY doc_id LIMIT 60""".stripMargin,
+
+    "ms_filter_multifield" ->
+      s"""$idxCte
+         |SELECT doc_id, name, lang, source FROM idx
+         |WHERE findability = 'published' AND lang = 'en' AND source = 'src3'
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_visibility_anon" ->
+      s"""$idxCte
+         |SELECT doc_id, name, findability FROM idx
+         |WHERE findability = 'published'
+         |ORDER BY doc_id LIMIT 50""".stripMargin,
+
+    "ms_visibility_auth" ->
+      s"""$idxCte
+         |SELECT doc_id, name, findability, ownerid FROM idx
+         |WHERE findability = 'published' OR ownerid = 'src5'
+         |ORDER BY doc_id LIMIT 80""".stripMargin,
+
+    "ms_q_match" ->
+      s"""$idxCte
+         |SELECT doc_id, name FROM idx
+         |WHERE findability = 'published' AND (
+         |  list_has_any(${tok("title")}, ['merge','join']) OR
+         |  list_has_any(${tok("owner")}, ['merge','join']) OR
+         |  list_has_any(${tok("ownerid")}, ['merge','join']) OR
+         |  list_has_any(${tok("readme")}, ['merge','join']))
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_q_rank_tfidf" ->
+      s"""$idxCte,
+         |fld AS (
+         |  SELECT doc_id, 'title' AS field, CAST(5 AS BIGINT) AS boost, ${tok("title")} AS toks FROM idx
+         |  UNION ALL SELECT doc_id, 'owner', CAST(2 AS BIGINT), ${tok("owner")} FROM idx
+         |  UNION ALL SELECT doc_id, 'ownerid', CAST(1 AS BIGINT), ${tok("ownerid")} FROM idx
+         |  UNION ALL SELECT doc_id, 'readme', CAST(2 AS BIGINT), ${tok("readme")} FROM idx),
+         |tf AS (
+         |  SELECT doc_id, field, boost, term, CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+         |  FROM fld, (SELECT unnest(['merge','join','table']) AS term)
+         |  WHERE len(list_filter(toks, x -> x = term)) > 0),
+         |dfs AS (SELECT field, term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY field, term),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+         |sc AS (
+         |  SELECT t.doc_id, CAST(sum(t.tf * t.boost * ((nn.n * 1000) // d.df)) AS BIGINT) AS raw_score
+         |  FROM tf t JOIN dfs d ON t.field = d.field AND t.term = d.term CROSS JOIN nn
+         |  GROUP BY t.doc_id),
+         |pg AS (
+         |  SELECT i.doc_id, i.name,
+         |    s.raw_score + (CASE WHEN i.ownerid = 'core' AND i.findability = 'published'
+         |                        THEN 4500 ELSE 0 END) AS score
+         |  FROM idx i JOIN sc s ON i.doc_id = s.doc_id
+         |  WHERE i.findability = 'published'
+         |  ORDER BY score DESC, i.doc_id LIMIT 20)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+         |       doc_id, name, CAST(score AS BIGINT) AS score
+         |FROM pg ORDER BY rank""".stripMargin,
+
+    "ms_paginate" ->
+      s"""$idxCte
+         |SELECT doc_id, name FROM idx
+         |WHERE findability = 'published' AND lang = 'en'
+         |ORDER BY doc_id LIMIT 20 OFFSET 10""".stripMargin,
+
+    "ms_summary" ->
+      s"""$idxCte
+         |SELECT CAST(count(*) AS BIGINT) AS total,
+         |       COALESCE(CAST(sum(bytes) AS BIGINT), 0) AS total_bytes
+         |FROM idx
+         |WHERE findability = 'published' AND lang = 'en'
+         |  AND (list_has_any(${tok("title")}, ['merge']) OR
+         |       list_has_any(${tok("owner")}, ['merge']) OR
+         |       list_has_any(${tok("ownerid")}, ['merge']) OR
+         |       list_has_any(${tok("readme")}, ['merge']))""".stripMargin,
+
+    "ms_events_filter" ->
+      s"""$evCte
+         |SELECT event_id, ts_us, event_entity, event_action, ownerid FROM ev
+         |WHERE (findability = 'published' OR ownerid = 'user3')
+         |  AND event_entity = 'click' AND event_action = 'finished'
+         |ORDER BY ts_us DESC, event_id DESC LIMIT 50""".stripMargin,
+
+    "ms_events_sort" ->
+      s"""$evCte
+         |SELECT event_id, ts_us, dataset FROM ev
+         |WHERE findability = 'published'
+         |ORDER BY ts_us ASC, event_id ASC LIMIT 25 OFFSET 5""".stripMargin,
+
+    "ms_events_visibility" ->
+      s"""$evCte
+         |SELECT event_entity, CAST(count(*) AS BIGINT) AS n FROM ev
+         |WHERE findability = 'published'
+         |GROUP BY event_entity
+         |ORDER BY event_entity""".stripMargin,
+  )
+}

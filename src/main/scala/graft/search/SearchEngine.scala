@@ -1,0 +1,183 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A text-searchable field with its relevance boost
+  * (reference: metastore/models.py:37-42 BOOSTS — title^5, owner^2,
+  * ownerid^1, readme^2).
+  */
+case class SearchField(name: String, boost: Int)
+
+/** A search request, mirroring the reference's query-string contract
+  * (reference: metastore/models.py:54-141): free-text `q`, exact-value
+  * filters (multiple values OR'd), optional authenticated user, page
+  * size (cap 100, default 50) and offset, sort direction for
+  * timestamp-sorted kinds.
+  */
+case class SearchRequest(
+    q: Option[String] = None,
+    filters: Map[String, Seq[String]] = Map.empty,
+    userid: Option[String] = None,
+    size: Int = 50,
+    from: Int = 0,
+    sortAsc: Boolean = false)
+
+/** Spark-native re-expression of the metastore search semantics.
+  *
+  * Everything is a declarative DataFrame plan: visibility and filters are
+  * pushdown-friendly predicates on the scan; ranking is a melt →
+  * broadcast-joined corpus-stats → partial-aggregated score (SURVEY §5:
+  * one tiny stats shuffle, no corpus-wide shuffle; final top-k is a
+  * TakeOrderedAndProject).
+  *
+  * Scoring is the deterministic integer-scaled TF-IDF of SURVEY §4.2:
+  * idf_t,f = (N*1000) div df_t,f (BIGINT), score = Σ_f Σ_t tf·boost·idf,
+  * +4500 flat bonus for published docs of the boosted 'core' owner
+  * (reference: metastore/models.py:65-71 boost_core).
+  */
+class SearchEngine(
+    val fields: Seq[SearchField],
+    val idCol: String = "doc_id",
+    val findabilityCol: String = "findability",
+    val ownerCol: String = "ownerid",
+    val bytesCol: String = "bytes") {
+
+  import SearchEngine._
+
+  /** Visibility rule (reference: metastore/models.py:58-79): anonymous
+    * sees `findability = 'published'`; an authenticated user additionally
+    * sees documents they own.
+    */
+  def visible(docs: DataFrame, userid: Option[String]): DataFrame = {
+    val published = col(findabilityCol) === "published"
+    docs.filter(userid.fold(published)(u => published || col(ownerCol) === u))
+  }
+
+  /** Exact-value filters: AND across properties, OR across the values of
+    * one property (reference: metastore/models.py:97-105).
+    */
+  def filtered(docs: DataFrame, filters: Map[String, Seq[String]]): DataFrame =
+    filters.foldLeft(docs) { case (d, (field, values)) =>
+      d.filter(values.map(v => col(field) === v).reduce(_ || _))
+    }
+
+  /** Analyzed multi-field match: the doc matches if any analyzed query
+    * term occurs in any q_field (reference: metastore/models.py:88-96
+    * multi_match most_fields as a must clause).
+    */
+  def matchesQ(terms: Seq[String]): Column =
+    fields.map(f => arrays_overlap(Analyzer.tokens(col(f.name)), typedlit(terms)))
+      .reduce(_ || _)
+
+  /** Per-doc integer TF-IDF score over the q_fields (SURVEY §4.2).
+    * Returns (idCol, raw_score) for docs with score > 0.
+    * Corpus stats (df, N) are computed over the FULL index — the analog
+    * of ES `dfs_query_then_fetch` global term stats
+    * (reference: metastore/models.py:141) — then broadcast.
+    */
+  def scores(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    val melted = docs.select(
+      col(idCol),
+      explode(array(fields.map(f =>
+        struct(lit(f.name).as("field"), lit(f.boost.toLong).as("boost"),
+               Analyzer.tokens(col(f.name)).as("toks"))): _*)).as("f"))
+      .select(col(idCol), col("f.field").as("field"), col("f.boost").as("boost"),
+              col("f.toks").as("toks"))
+    val tf = melted
+      .withColumn("term", explode(typedlit(terms)))
+      .withColumn("tf", size(filter(col("toks"), t => t === col("term"))).cast("long"))
+      .filter(col("tf") > 0)
+      .select(col(idCol), col("field"), col("term"), col("boost"), col("tf"))
+    val df = tf.groupBy(col("field"), col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    tf.join(broadcast(df), Seq("field", "term"))
+      .crossJoin(broadcast(n))
+      .withColumn("idf", expr("(n * 1000) div df"))
+      .groupBy(col(idCol))
+      .agg(sum(col("tf") * col("boost") * col("idf")).cast("long").as("raw_score"))
+  }
+
+  /** Ranked search: visibility + filters + q-match + TF-IDF order + page.
+    * Output: rank, id, score + the given projection columns.
+    */
+  def rankedSearch(docs: DataFrame, req: SearchRequest, projection: Seq[String]): DataFrame = {
+    val terms = Analyzer.analyzeQuery(req.q.getOrElse(""))
+    require(terms.nonEmpty, "rankedSearch needs a non-empty analyzed query")
+    val vis = filtered(visible(docs, req.userid), req.filters)
+    val scored = vis.join(scores(docs, terms), Seq(idCol))
+      .withColumn("score",
+        col("raw_score") +
+          when(col(ownerCol) === "core" && col(findabilityCol) === "published",
+               lit(CoreBoost)).otherwise(lit(0L)))
+    val ordered = scored.orderBy(col("score").desc, col(idCol))
+      .offset(req.from).limit(cappedSize(req.size))
+    // rank the ≤100-row page only (scale-safe single-partition window)
+    ordered
+      .withColumn("rank",
+        (row_number().over(Window.orderBy(col("score").desc, col(idCol))) + req.from).cast("int"))
+      .select((Seq("rank", idCol) ++ projection ++ Seq("score")).map(col): _*)
+  }
+
+  /** Unranked search page with a deterministic sort (id order), mirroring
+    * filter-only queries (reference: tests/test_controllers.py:374-393).
+    */
+  def page(docs: DataFrame, req: SearchRequest, projection: Seq[String]): DataFrame = {
+    val vis = filtered(visible(docs, req.userid), req.filters)
+    val withQ = Analyzer.analyzeQuery(req.q.getOrElse("")) match {
+      case Nil => vis
+      case terms => vis.filter(matchesQ(terms))
+    }
+    withQ.orderBy(col(idCol)).offset(req.from).limit(cappedSize(req.size))
+      .select(projection.map(col): _*)
+  }
+
+  /** Sorted page for timestamp-ordered kinds (reference:
+    * metastore/models.py:81-85 — events sort desc by default, asc on
+    * request), ties broken by id in the sort direction.
+    */
+  def sortedPage(docs: DataFrame, req: SearchRequest, sortCol: String,
+                 projection: Seq[String]): DataFrame = {
+    val vis = filtered(visible(docs, req.userid), req.filters)
+    val ord =
+      if (req.sortAsc) Seq(col(sortCol).asc, col(idCol).asc)
+      else Seq(col(sortCol).desc, col(idCol).desc)
+    vis.orderBy(ord: _*).offset(req.from).limit(cappedSize(req.size))
+      .select(projection.map(col): _*)
+  }
+
+  /** Summary over ALL matches, not the page: total hit count + totalBytes
+    * (reference: metastore/models.py:116-117,150-163 — ES sum agg on
+    * datahub.stats.bytes).
+    */
+  def summary(docs: DataFrame, req: SearchRequest): DataFrame = {
+    val vis = filtered(visible(docs, req.userid), req.filters)
+    val withQ = Analyzer.analyzeQuery(req.q.getOrElse("")) match {
+      case Nil => vis
+      case terms => vis.filter(matchesQ(terms))
+    }
+    withQ.agg(count(lit(1)).as("total"),
+              coalesce(sum(col(bytesCol)), lit(0L)).as("total_bytes"))
+  }
+}
+
+object SearchEngine {
+  /** Flat integer bonus standing in for the reference's 4.5 boost on the
+    * 'core' owner (metastore/models.py:65-71), scaled ×1000 like idf.
+    */
+  val CoreBoost = 4500L
+
+  /** Reference page-size cap (metastore/models.py:129-132). */
+  def cappedSize(size: Int): Int = math.min(size, 100)
+
+  /** The dataset-index field spec (reference: metastore/models.py:37-42). */
+  val datasetFields: Seq[SearchField] = Seq(
+    SearchField("title", 5), SearchField("owner", 2),
+    SearchField("ownerid", 1), SearchField("readme", 2))
+
+  def datasets: SearchEngine = new SearchEngine(datasetFields)
+
+  def events: SearchEngine =
+    new SearchEngine(Nil, idCol = "event_id", bytesCol = "value")
+}

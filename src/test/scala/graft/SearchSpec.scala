@@ -1,0 +1,83 @@
+package graft
+
+import graft.search.{Analyzer, SearchEngine, SearchRequest}
+import graft.operators.Metastore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the reference behaviors from tests/test_controllers.py onto the
+  * Spark engine (visibility, filters, q-match, core boost, pagination).
+  */
+class SearchSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val idx = Tables.datasetIndex(spark, sf).cache()
+  private val ds = SearchEngine.datasets
+
+  test("analyzer drops stop words and lowercases (test:522-525)") {
+    assert(Analyzer.analyzeQuery("the Mauna Loa") == Seq("mauna", "loa"))
+    assert(Analyzer.analyzeQuery("The United-States") == Seq("united", "states"))
+  }
+
+  test("anonymous visibility = published only (test:416-425)") {
+    val rows = ds.visible(idx, None).select("findability").distinct().collect()
+    assert(rows.map(_.getString(0)).toSet == Set("published"))
+  }
+
+  test("authenticated user also sees own docs (test:427-438)") {
+    val rows = ds.visible(idx, Some("src5")).select("findability", "ownerid").collect()
+    rows.foreach { r =>
+      assert(r.getString(0) == "published" || r.getString(1) == "src5")
+    }
+    // strictly more visible than anonymous
+    assert(ds.visible(idx, Some("src5")).count() > ds.visible(idx, None).count())
+  }
+
+  test("multi-value filter ORs values (test:340-345)") {
+    val n1 = ds.filtered(idx, Map("lang" -> Seq("en"))).count()
+    val n2 = ds.filtered(idx, Map("lang" -> Seq("fr"))).count()
+    val both = ds.filtered(idx, Map("lang" -> Seq("en", "fr"))).count()
+    assert(both == n1 + n2)
+  }
+
+  test("summary totals all matches, not the page (test:374-379)") {
+    val s = ds.summary(idx, SearchRequest(filters = Map("lang" -> Seq("en")))).collect()(0)
+    val page = ds.page(idx, SearchRequest(filters = Map("lang" -> Seq("en")), size = 4),
+      Seq("doc_id")).count()
+    assert(page == 4)
+    assert(s.getLong(0) > 4) // total counts everything
+    assert(s.getLong(1) > 0) // totalBytes
+  }
+
+  test("page size capped at 100 (models.py:129-132)") {
+    assert(SearchEngine.cappedSize(105) == 100)
+    val n = ds.page(idx, SearchRequest(size = 105), Seq("doc_id")).count()
+    assert(n <= 100)
+  }
+
+  test("core-owned published docs rank first on ties (test:516-520)") {
+    val page = Metastore.qRankTfidf(spark, sf).collect()
+    val coreIds = idx.filter(col("ownerid") === "core" && col("findability") === "published")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // every core doc on the page must outrank every equal-raw-score non-core doc;
+    // weaker invariant testable here: if any core doc made the page, rank 1 is core
+    if (page.exists(r => coreIds.contains(r.getLong(1))))
+      assert(coreIds.contains(page.head.getLong(1)),
+        s"rank 1 should be a core doc, got ${page.head}")
+  }
+
+  test("ranked search matches at least one analyzed term (must clause)") {
+    val page = Metastore.qRankTfidf(spark, sf).collect()
+    assert(page.nonEmpty)
+    assert(page.forall(_.getLong(3) > 0)) // score > 0
+    // ranks are 1..n contiguous
+    assert(page.map(_.getInt(0)).toSeq == (1 to page.length))
+  }
+
+  test("events sort desc vs asc are reverses over the same window (test:592-599)") {
+    val asc = Metastore.eventsSort(spark, sf).collect().map(_.getLong(0))
+    assert(asc.length == 25)
+    val ts = Metastore.eventsSort(spark, sf).collect().map(_.getLong(1))
+    assert(ts.sameElements(ts.sorted))
+  }
+}
