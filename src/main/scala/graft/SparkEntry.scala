@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Metastore, Relational}
+import graft.operators.{Metastore, Relational, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) + §6 (oracle rules). */
 object SparkEntry {
@@ -40,13 +40,19 @@ object SparkEntry {
     "q_topk_per_group" -> ((s, d) => Relational.qTopkPerGroup(s, d)),
     "q_distinct"       -> ((s, d) => Relational.qDistinct(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
+    // §2.5 text analysis
+    "txt_token_count" -> ((s, d) => Text.tokenCount(s, d)),
+    "txt_quality"     -> ((s, d) => Text.quality(s, d)),
+    "txt_langid"      -> ((s, d) => Text.langId(s, d)),
+    "txt_fingerprint" -> ((s, d) => Text.fingerprintQ(s, d)),
+    "txt_term_stats"  -> ((s, d) => Text.termStats(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (driver correctness gate).
     * Parity rules in SURVEY.md §6: DECIMAL-exact sums cast to DOUBLE,
     * identical aliases, deterministic total order.
     */
-  def oracleSql: Map[String, String] = Metastore.oracles ++ Map(
+  def oracleSql: Map[String, String] = Metastore.oracles ++ Text.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

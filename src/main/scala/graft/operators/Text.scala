@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.Tables
+import graft.search.Analyzer
+import graft.text.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.5 — text analysis over `documents`. */
+object Text {
+
+  /** Token counting: whitespace tokens, BPE-ish regex tokens, chars. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      size(wsTokens(col("text"))).cast("long").as("n_ws"),
+      bpeCount(col("text")).as("n_bpe"),
+      length(col("text")).cast("long").as("n_chars_actual"),
+      col("n_chars").as("n_chars_declared"))
+    .orderBy(col("doc_id"))
+
+  /** Quality scoring: integer-basis-point ratios (SURVEY §6 float rules). */
+  def quality(s: SparkSession, d: String): DataFrame = {
+    val toks = rawTokens(col("text"))
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tok"),
+        size(filter(toks, t => array_contains(typedlit(Analyzer.stopwords), t)))
+          .cast("long").as("n_stop"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"),
+        aggregate(transform(toks, t => length(t).cast("long")), lit(0L), _ + _).as("tok_len"))
+      .select(
+        col("doc_id"), col("n_tok"),
+        expr("(10000 * n_stop) div n_tok").as("stop_bp"),
+        expr("(10000 * n_uniq) div n_tok").as("uniq_bp"),
+        expr("(100 * tok_len) div n_tok").as("mean_tok_len_x100"))
+      .withColumn("quality_ok",
+        col("n_tok") >= 5 && col("stop_bp") < 4000 && col("uniq_bp") > 2500)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Language ID: marker-profile overlap argmax (deterministic tie-break
+    * via unique key = overlap*8 + priority).
+    */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val profiles = langProfiles.map { case (l, p, words) =>
+      struct(lit(l).as("plang"), lit(p.toLong).as("prio"), typedlit(words).as("markers"))
+    }
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), array_distinct(rawTokens(col("text"))).as("toks"))
+      .withColumn("prof", explode(array(profiles: _*)))
+      .select(col("doc_id"), col("lang"), col("prof.plang").as("plang"),
+        (size(array_intersect(col("toks"), col("prof.markers"))).cast("long") * 8 +
+          col("prof.prio")).as("skey"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(max_by(col("plang"), col("skey")).as("pred_lang"))
+      .withColumn("correct", col("pred_lang") === col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Document fingerprints: rolling hash of raw and analyzer-normalized text. */
+  def fingerprintQ(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("doc_id"),
+      fingerprint(col("text")).as("fp_raw"),
+      fingerprint(normalized(col("text"))).as("fp_norm"))
+    .orderBy(col("doc_id"))
+
+  /** Corpus term statistics: document frequency + collection term frequency
+    * — the inverted-index build that backs §2.1 ranking. One explode + one
+    * agg; at scale this is the single shuffle of index construction.
+    */
+  def termStats(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(Analyzer.tokens(col("text"))).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("ctf"))
+      .orderBy(col("term"))
+
+  // --- oracle SQL --------------------------------------------------------
+
+  private val langProfilesSql: String = langProfiles.map { case (l, p, words) =>
+    s"('$l', CAST($p AS BIGINT), ${words.map(w => s"'$w'").mkString("[", ",", "]")})"
+  }.mkString(", ")
+
+  val oracles: Map[String, String] = Map(
+    "txt_token_count" ->
+      s"""SELECT doc_id,
+         |  CAST(len(${wsTokensSql("text")}) AS BIGINT) AS n_ws,
+         |  ${bpeCountSql("text")} AS n_bpe,
+         |  CAST(length(text) AS BIGINT) AS n_chars_actual,
+         |  n_chars AS n_chars_declared
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(${rawTokensSql("text")}) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(${rawTokensSql("text")},
+         |      x -> list_contains(${Analyzer.stopwordsSql}, x))) AS BIGINT) AS n_stop,
+         |    CAST(len(list_distinct(${rawTokensSql("text")})) AS BIGINT) AS n_uniq,
+         |    CAST(list_sum(list_transform(${rawTokensSql("text")}, x -> length(x))) AS BIGINT) AS tok_len
+         |  FROM documents)
+         |SELECT doc_id, n_tok,
+         |  (10000 * n_stop) // n_tok AS stop_bp,
+         |  (10000 * n_uniq) // n_tok AS uniq_bp,
+         |  (100 * tok_len) // n_tok AS mean_tok_len_x100,
+         |  (n_tok >= 5 AND (10000 * n_stop) // n_tok < 4000
+         |     AND (10000 * n_uniq) // n_tok > 2500) AS quality_ok
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "txt_langid" ->
+      s"""WITH prof AS (SELECT * FROM (VALUES $langProfilesSql) p(plang, prio, markers)),
+         |sc AS (
+         |  SELECT d.doc_id, d.lang, p.plang,
+         |    CAST(len(list_intersect(list_distinct(${rawTokensSql("d.text")}), p.markers)) AS BIGINT) * 8
+         |      + p.prio AS skey
+         |  FROM documents d CROSS JOIN prof p)
+         |SELECT doc_id, lang, arg_max(plang, skey) AS pred_lang,
+         |  arg_max(plang, skey) = lang AS correct
+         |FROM sc GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+
+    "txt_fingerprint" ->
+      s"""SELECT doc_id,
+         |  ${fingerprintSql("text")} AS fp_raw,
+         |  ${fingerprintSql(normalizedSql("text"))} AS fp_norm
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_term_stats" ->
+      s"""SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |  CAST(count(*) AS BIGINT) AS ctf
+         |FROM (SELECT doc_id, unnest(${Analyzer.tokensSql("text")}) AS term FROM documents)
+         |GROUP BY term ORDER BY term""".stripMargin,
+  )
+}
