@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Metastore, Relational, Text}
+import graft.operators.{Metastore, Pipeline, Relational, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (inventory) + §6 (oracle rules). */
 object SparkEntry {
@@ -46,13 +46,30 @@ object SparkEntry {
     "txt_langid"      -> ((s, d) => Text.langId(s, d)),
     "txt_fingerprint" -> ((s, d) => Text.fingerprintQ(s, d)),
     "txt_term_stats"  -> ((s, d) => Text.termStats(s, d)),
+    // §2.3 dedup
+    "dedup_exact"         -> ((s, d) => Pipeline.dedupExact(s, d)),
+    "dedup_exact_keep"    -> ((s, d) => Pipeline.dedupExactKeep(s, d)),
+    "dedup_ngram_jaccard" -> ((s, d) => Pipeline.dedupNgramJaccard(s, d)),
+    "dedup_minhash_lsh"   -> ((s, d) => Pipeline.dedupMinhashLsh(s, d)),
+    "dedup_simhash"       -> ((s, d) => Pipeline.dedupSimhash(s, d)),
+    "dedup_embedding"     -> ((s, d) => Pipeline.dedupEmbedding(s, d)),
+    // §2.4 similarity search
+    "ann_brute_topk" -> ((s, d) => Pipeline.annBruteTopk(s, d)),
+    "ann_lsh_topk"   -> ((s, d) => Pipeline.annLshTopk(s, d)),
+    "ann_pair_sim"   -> ((s, d) => Pipeline.annPairSim(s, d)),
+    // §2.6 multimodal
+    "mm_decode_meta" -> ((s, d) => Pipeline.mmDecodeMeta(s, d)),
+    // §2.7 streaming (batch-equivalent plans; streaming pinned in specs)
+    "stream_window_agg" -> ((s, d) => Pipeline.streamWindowAgg(s, d)),
+    "stream_sessionize" -> ((s, d) => Pipeline.streamSessionize(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (driver correctness gate).
     * Parity rules in SURVEY.md §6: DECIMAL-exact sums cast to DOUBLE,
     * identical aliases, deterministic total order.
     */
-  def oracleSql: Map[String, String] = Metastore.oracles ++ Text.oracles ++ Map(
+  def oracleSql: Map[String, String] =
+    Metastore.oracles ++ Text.oracles ++ Pipeline.oracles ++ Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,49 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Decoded-media metadata row (SURVEY §2.6). */
+case class MediaMeta(doc_id: Long, byte_len: Long, fp: Long,
+                     width: Long, height: Long, n_frames: Long)
+
+/** Multimodal-column plumbing (SURVEY §2.6): media as opaque `binary`
+  * payloads + typed metadata, decoded per-partition.
+  *
+  * The decode step is a STUB — image/audio codecs are absent in this
+  * environment — but it is a *deterministic* stub (a byte-fold hash
+  * standing in for pixel statistics), so the full pipeline (binary
+  * schema, per-partition batch iteration, typed output Encoder) is real
+  * and oracle-gated end-to-end. On a real cluster the body of
+  * `decodeBytes` is the only thing that changes.
+  */
+object Multimodal {
+
+  /** STUB decoder: byte-fold hash → fake (width, height, frames).
+    * Replace with a real codec call in production.
+    */
+  def decodeBytes(bytes: Array[Byte]): (Long, Long, Long, Long) = {
+    var acc = 0L
+    var i = 0
+    while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xffL)) % 1000000007L; i += 1 }
+    (acc, 1 + acc % 640, 1 + acc % 480, 1 + acc % 16)
+  }
+
+  /** Binary payload → typed metadata via mapPartitions (the Scala analog
+    * of `mapInPandas` batch decode: one iterator pass per partition, no
+    * per-row task overhead, codegen-friendly typed output).
+    */
+  def decodeMeta(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val bin: Dataset[(Long, Array[Byte])] = docs
+      .select(col("doc_id").cast("long"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    bin.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        val (fp, w, h, f) = decodeBytes(bytes)
+        MediaMeta(id, bytes.length.toLong, fp, w, h, f)
+      }
+    }.toDF().orderBy(col("doc_id"))
+  }
+}

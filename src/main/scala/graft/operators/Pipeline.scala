@@ -1,0 +1,163 @@
+package graft.operators
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.similarity.Similarity
+import graft.streaming.EventStreams
+import graft.text.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2.3/§2.4/§2.6/§2.7 — training-data pipeline operators. */
+object Pipeline {
+
+  // --- §2.3 dedup --------------------------------------------------------
+
+  def dedupExact(s: SparkSession, d: String): DataFrame =
+    Dedup.exactClusters(Tables.documents(s, d))
+
+  def dedupExactKeep(s: SparkSession, d: String): DataFrame =
+    Dedup.exactKeep(Tables.documents(s, d))
+
+  def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccardPairs(Tables.documents(s, d))
+
+  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(Tables.documents(s, d))
+
+  def dedupSimhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d))
+
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame =
+    Similarity.pairSim(Tables.embeddings(s, d), 400000L)
+
+  // --- §2.4 similarity ---------------------------------------------------
+
+  private val queryPred = col("vec_id") % 97 === 0
+
+  def annBruteTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.bruteTopK(Tables.embeddings(s, d), queryPred)
+
+  def annLshTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, d), queryPred)
+
+  def annPairSim(s: SparkSession, d: String): DataFrame =
+    Similarity.pairSim(Tables.embeddings(s, d), 300000L)
+
+  // --- §2.6 multimodal ---------------------------------------------------
+
+  def mmDecodeMeta(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeMeta(Tables.documents(s, d))
+
+  // --- §2.7 streaming (batch-equivalent oracle path) ---------------------
+
+  def streamWindowAgg(s: SparkSession, d: String): DataFrame =
+    EventStreams.windowAgg(EventStreams.normalize(Tables.events(s, d)))
+      .orderBy(col("window_start_us"), col("event_type"))
+
+  def streamSessionize(s: SparkSession, d: String): DataFrame =
+    EventStreams.sessionize(EventStreams.normalize(Tables.events(s, d)))
+
+  // --- oracles -----------------------------------------------------------
+
+  private val fpNorm = TextFunctions.fingerprintSql(TextFunctions.normalizedSql("text"))
+  private val shingleE = Dedup.shinglesSql("text")
+
+  private val bruteJaccard =
+    s"""WITH sh AS (SELECT doc_id, $shingleE AS sh FROM documents),
+       |pr AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+       |    CAST(len(list_distinct(x.sh || y.sh)) AS BIGINT) AS uni
+       |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+       |SELECT a, b, (1000000 * inter) // uni AS j_x1e6
+       |FROM pr WHERE inter > 0 AND (1000000 * inter) // uni >= 500000
+       |ORDER BY a, b""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      s"""SELECT doc_id, $fpNorm AS fp_norm,
+         |  min(doc_id) OVER (PARTITION BY $fpNorm) AS cluster_id,
+         |  count(*) OVER (PARTITION BY $fpNorm) AS cluster_size
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact_keep" ->
+      s"""SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp_norm,
+         |  CAST(count(*) AS BIGINT) AS n_dups
+         |FROM (SELECT doc_id, $fpNorm AS fp_norm FROM documents)
+         |GROUP BY fp_norm ORDER BY doc_id""".stripMargin,
+
+    "dedup_ngram_jaccard" -> bruteJaccard,
+    "dedup_minhash_lsh" -> bruteJaccard,
+
+    "dedup_simhash" ->
+      s"""WITH sig AS (
+         |  SELECT doc_id, ${Dedup.simhashSignatureSql(graft.search.Analyzer.tokensSql("text"))} AS sig
+         |  FROM documents)
+         |SELECT x.doc_id AS a, y.doc_id AS b,
+         |  CAST(bit_count(xor(x.sig, y.sig)) AS BIGINT) AS hamming
+         |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+         |WHERE bit_count(xor(x.sig, y.sig)) <= ${Dedup.SimHamK}
+         |ORDER BY a, b""".stripMargin,
+
+    "dedup_embedding" -> pairSimSql(400000L),
+    "ann_pair_sim" -> pairSimSql(300000L),
+
+    "ann_brute_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 97 = 0),
+         |sc AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    CAST(floor(${Similarity.cosineSql("q.q_emb", "e.embedding")} * 1e6) AS BIGINT) AS cos_x1e6
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |rk AS (
+         |  SELECT q_id, vec_id, cos_x1e6,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_x1e6 DESC, vec_id) AS INT) AS rk
+         |  FROM sc)
+         |SELECT q_id, rk, vec_id, cos_x1e6 FROM rk WHERE rk <= 10
+         |ORDER BY q_id, rk""".stripMargin,
+
+    "mm_decode_meta" ->
+      s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
+         |  ${TextFunctions.fingerprintSql("text")} AS fp,
+         |  1 + ${TextFunctions.fingerprintSql("text")} % 640 AS width,
+         |  1 + ${TextFunctions.fingerprintSql("text")} % 480 AS height,
+         |  1 + ${TextFunctions.fingerprintSql("text")} % 16 AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "stream_window_agg" ->
+      s"""SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_sessionize" ->
+      s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, value FROM events),
+         |lagged AS (
+         |  SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+         |  FROM ev),
+         |marked AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > ${30 * 60L * 1000000L}
+         |                 THEN 1 ELSE 0 END AS new_sess
+         |  FROM lagged),
+         |numbered AS (
+         |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
+         |  FROM marked)
+         |SELECT user_id, sess_no,
+         |  CAST(min(ts_us) AS BIGINT) AS start_us, CAST(max(ts_us) AS BIGINT) AS end_us,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM numbered GROUP BY user_id, sess_no
+         |ORDER BY user_id, sess_no""".stripMargin,
+  )
+
+  private def pairSimSql(tau: Long): String =
+    s"""WITH e AS (SELECT vec_id, label, embedding FROM embeddings)
+       |SELECT x.vec_id AS a, y.vec_id AS b, CAST(x.label AS INT) AS label,
+       |  CAST(floor(${Similarity.cosineSql("x.embedding", "y.embedding")} * 1e6) AS BIGINT) AS cos_x1e6
+       |FROM e x JOIN e y ON x.label = y.label AND x.vec_id < y.vec_id
+       |WHERE floor(${Similarity.cosineSql("x.embedding", "y.embedding")} * 1e6) >= $tau
+       |ORDER BY a, b""".stripMargin
+}

@@ -1,0 +1,118 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over `embeddings` (SURVEY §2.4).
+  *
+  * Determinism (SURVEY §4.3): every float is widened to DOUBLE before any
+  * arithmetic, and sums run left-to-right in element order — Spark's
+  * `aggregate` fold and the generated `0.0 + t1 + t2 + …` DuckDB chain
+  * produce bit-identical IEEE doubles. Thresholds/outputs compare on
+  * `floor(sim·1e6)` BIGINT.
+  */
+object Similarity {
+
+  val Dim = 64
+
+  /** dot(a, b) as an in-order double fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), _ + _)
+
+  /** ‖v‖ as an in-order double fold. */
+  def norm(v: Column): Column =
+    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+      lit(0.0), _ + _))
+
+  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
+  /** DuckDB: explicit 64-term left-associated chain (same fold order). */
+  def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)")
+      .mkString("(0.0 + ", " + ", ")")
+
+  def normSql(v: String): String =
+    "sqrt" + (1 to Dim).map(i => s"CAST($v[$i] AS DOUBLE) * CAST($v[$i] AS DOUBLE)")
+      .mkString("((0.0 + ", " + ", "))")
+
+  def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)} / (${normSql(a)} * ${normSql(b)}))"
+
+  /** Brute-force exact cosine top-k per query vector (the correctness
+    * baseline; the query set is broadcast, the corpus is scanned once).
+    */
+  def bruteTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val queries = withNorm.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    val scored = withNorm.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_x1e6",
+        floor(cosine(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")) * 1e6)
+          .cast("long"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_x1e6").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos_x1e6"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** All-pairs cosine ≥ τ within a blocking key (label) — embedding
+    * near-dup detection. Block-local self-join: pairs never cross blocks.
+    */
+  def pairSim(embeddings: DataFrame, tauX1e6: Long): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    e.as("x").join(e.as("y"),
+        col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        col("x.label").as("label"),
+        floor(cosine(col("x.embedding"), col("y.embedding"),
+          col("x.nrm"), col("y.nrm")) * 1e6).cast("long").as("cos_x1e6"))
+      .filter(col("cos_x1e6") >= tauX1e6)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** Random-hyperplane LSH ANN: deterministic pseudo-random hyperplanes
+    * (hash-derived coefficients in [-1, 1]), sign bits → bucket; per-bucket
+    * top-k then global re-rank. Approximate by construction (rows-only
+    * check; recall vs [[bruteTopK]] is pinned in AnnSpec).
+    */
+  def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+              planes: Int = 4): DataFrame = {
+    // plane p coefficient for dim d: centered char-fold hash of "p:d"
+    val coef: Seq[Seq[Double]] = (0 until planes).map { p =>
+      (0 until Dim).map { d =>
+        val h = s"$p:$d".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+        ((h % 2001) - 1000) / 1000.0
+      }
+    }
+    def bucket(v: Column): Column =
+      (0 until planes).map { p =>
+        val dotP = aggregate(
+          zip_with(v, typedlit(coef(p)), (x, c) => x.cast("double") * c),
+          lit(0.0), _ + _)
+        when(dotP > 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val withB = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"), bucket(col("embedding")).as("bkt"))
+    val queries = withB.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("nrm").as("q_nrm"), col("bkt").as("q_bkt"))
+    val scored = withB.join(broadcast(queries),
+        col("bkt") === col("q_bkt") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_x1e6",
+        floor(cosine(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")) * 1e6)
+          .cast("long"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_x1e6").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos_x1e6"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+}

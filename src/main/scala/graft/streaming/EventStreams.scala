@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, LongType, StructType}
+
+/** Per-event input to the stateful sessionizer. */
+case class Ev(user_id: Long, ts_us: Long, value: Double)
+
+/** Mutable open-session state for flatMapGroupsWithState. */
+case class Sess(var start_us: Long, var end_us: Long, var n: Long, var sum: Double)
+
+/** Structured-Streaming operators over `events` (SURVEY §2.7).
+  *
+  * Each transform is written against a plain DataFrame so the SAME code
+  * runs in batch (the oracle-gated path) and under `readStream` (pinned
+  * by StreamingSpec with a memory sink). `ts_us` is epoch micros BIGINT
+  * (events.ts is TIMESTAMP(NANOS) parquet → LongType nanos).
+  */
+object EventStreams {
+
+  /** Normalize the raw events table: ts (nanos long or timestamp) → ts_us. */
+  def normalize(ev: DataFrame): DataFrame = {
+    val tsUs = ev.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _        => unix_micros(col("ts"))
+    }
+    ev.select(col("event_id"), tsUs.as("ts_us"), col("user_id"),
+      col("event_type"), col("value"))
+  }
+
+  /** Tumbling 1-hour window count/sum per event type. In streaming this
+    * runs with a watermark on the event time; state is one counter row
+    * per (window, type).
+    */
+  def windowAgg(ev: DataFrame, watermark: Boolean = false): DataFrame = {
+    val withTs = ev.withColumn("tsx", timestamp_micros(col("ts_us")))
+    val marked = if (watermark) withTs.withWatermark("tsx", "1 hour") else withTs
+    marked
+      .groupBy(window(col("tsx"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  /** Batch gap-sessionization: a new session starts when a user is idle
+    * longer than `gapMin`. (Streaming equivalent uses
+    * flatMapGroupsWithState — see [[sessionizeStreaming]].)
+    */
+  def sessionize(ev: DataFrame, gapMin: Int = 30): DataFrame = {
+    val gapUs = gapMin * 60L * 1000000L
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("sess_no",
+        sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_no"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("ts_us")).as("end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .orderBy(col("user_id"), col("sess_no"))
+  }
+
+  /** Streaming sessionization via flatMapGroupsWithState: per-user state =
+    * (open-session start, last ts, count, sum); emits a session when the
+    * gap closes it. Used by StreamingSpec; the batch path above is the
+    * oracle-gated equivalent.
+    */
+  def sessionizeStreaming(spark: SparkSession, ev: DataFrame, gapMin: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapUs = gapMin * 60L * 1000000L
+
+    def fn(user: Long, rows: Iterator[Ev], state: GroupState[Sess])
+        : Iterator[(Long, Long, Long, Long, Double)] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us))
+      var out = List.empty[(Long, Long, Long, Long, Double)]
+      var cur = state.getOption.orNull
+      sorted.foreach { e =>
+        if (cur == null) cur = Sess(e.ts_us, e.ts_us, 0L, 0.0)
+        else if (e.ts_us - cur.end_us > gapUs) {
+          out ::= ((user, cur.start_us, cur.end_us, cur.n, cur.sum))
+          cur = Sess(e.ts_us, e.ts_us, 0L, 0.0)
+        }
+        cur.end_us = e.ts_us; cur.n += 1; cur.sum += e.value
+      }
+      state.update(cur)
+      out.reverseIterator
+    }
+
+    ev.select(col("user_id").cast("long"), col("ts_us"), col("value"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn _)
+      .toDF("user_id", "start_us", "end_us", "n_events", "sum_value")
+  }
+}

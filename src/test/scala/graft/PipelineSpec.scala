@@ -1,0 +1,65 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.similarity.Similarity
+import graft.operators.Pipeline
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class PipelineSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private lazy val docs = Tables.documents(spark, sf).cache()
+  private lazy val emb = Tables.embeddings(spark, sf).cache()
+
+  test("minhash-LSH finds exactly the verified near-dup pairs of brute ngram-jaccard") {
+    val lsh = Dedup.minhashLshPairs(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = Dedup.ngramJaccardPairs(docs).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == brute, s"LSH missed ${brute -- lsh}, extra ${lsh -- brute}")
+    assert(brute.nonEmpty, "expected planted near-dup pairs in the test data")
+  }
+
+  test("exact clusters partition all docs; representatives are minima") {
+    val cl = Dedup.exactClusters(docs).collect()
+    assert(cl.length == docs.count())
+    cl.foreach(r => assert(r.getLong(2) <= r.getLong(0))) // cluster_id <= doc_id
+  }
+
+  test("simhash pairs are symmetric-free and within hamming bound") {
+    val rows = Dedup.simhashPairs(docs).collect()
+    rows.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      assert(r.getLong(2) <= Dedup.SimHamK)
+    }
+  }
+
+  test("brute top-k: k rows per query, ranks contiguous, cosine non-increasing") {
+    val rows = Pipeline.annBruteTopk(spark, sf).collect()
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length))
+      val sims = sorted.map(_.getLong(3))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN returns a subset ranking with measured recall") {
+    val brute = Pipeline.annBruteTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Pipeline.annLshTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(lsh.nonEmpty)
+    val recall = (brute & lsh).size.toDouble / brute.size
+    info(f"LSH ANN recall@10 = $recall%.2f (bucket-restricted, approximate by design)")
+    assert(recall > 0.05)
+  }
+
+  test("multimodal decode emits one typed row per doc with stable stub values") {
+    val rows = Pipeline.mmDecodeMeta(spark, sf).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= 640) // width
+      assert(r.getLong(4) >= 1 && r.getLong(4) <= 480) // height
+    }
+  }
+}

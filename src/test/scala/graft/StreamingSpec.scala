@@ -1,0 +1,61 @@
+package graft
+
+import graft.streaming.EventStreams
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins that the streaming execution paths produce the same results as
+  * the batch-equivalent (oracle-gated) plans.
+  */
+class StreamingSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  /** File-source streams need a directory: stage the single parquet file. */
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("windowed agg over readStream equals the batch plan") {
+    val batchEv = EventStreams.normalize(Tables.events(spark, sf))
+    val expected = EventStreams.windowAgg(batchEv)
+      .collect().map(_.toSeq).toSet
+
+    val schema = Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(eventsDir)
+    val q = EventStreams.windowAgg(EventStreams.normalize(stream), watermark = true)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("win_agg_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("win_agg_test").collect().map(_.toSeq).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
+  test("stateful streaming sessionization closes the same sessions as batch") {
+    val ev = EventStreams.normalize(Tables.events(spark, sf))
+    val batch = EventStreams.sessionize(ev).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet // (user, start, end, n)
+
+    val schema = Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = EventStreams.sessionizeStreaming(spark, EventStreams.normalize(stream))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sess_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      // one batch ⇒ every session except each user's still-open last one
+      val nUsers = ev.select("user_id").distinct().count()
+      assert(got.size == batch.size - nUsers)
+      assert(got.subsetOf(batch))
+    } finally q.stop()
+  }
+}
