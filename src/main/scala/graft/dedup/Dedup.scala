@@ -17,15 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles over whitespace tokens, joined by '_', distinct. */
-  def shingles(c: Column, n: Int = 3): Column = {
-    val toks = TextFunctions.wsTokens(c)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => array_join(slice(toks, i, lit(n)), "_")))
-      .otherwise(typedlit(Seq.empty[String])))
-  }
+  /** Word n-gram shingles over whitespace tokens, joined by '_', distinct.
+    * The token array is let-bound via a 1-element array wrapper: inlined
+    * subexpressions are re-evaluated at EVERY lambda reference under
+    * interpreted HOF evaluation, so without the binding the text would be
+    * re-split once per element_at (~150 regex splits per doc).
+    */
+  def shingles(c: Column, n: Int = 3): Column =
+    element_at(
+      transform(array(TextFunctions.wsTokens(c)), tk =>
+        array_distinct(
+          when(size(tk) >= n,
+            transform(sequence(lit(1), size(tk) - (n - 1)),
+              i => concat_ws("_", (0 until n).map(k => element_at(tk, i + k)): _*)))
+          .otherwise(typedlit(Seq.empty[String])))),
+      1)
 
   def shinglesSql(e: String, n: Int = 3): String = {
     val toks = TextFunctions.wsTokensSql(e)
@@ -57,28 +63,56 @@ object Dedup {
 
   /** Candidate pairs via shared shingles, verified by exact Jaccard ≥ τ.
     * The shared-shingle join is the blocking step: only docs with ≥1
-    * common shingle ever meet (no O(n²) pair enumeration).
+    * common shingle ever meet (no O(n²) pair enumeration), and the
+    * GROUP-BY-count of the join output IS |A∩B| (shingle arrays are
+    * distinct) — no pair-distinct pass and no per-pair array math.
+    * |A∪B| = |A|+|B|−|A∩B| from a broadcast doc→size table.
     */
+  /** Exploded distinct shingles (doc_id, s), materialized once via
+    * localCheckpoint: every consumer (self-join sides, size counts,
+    * verification) reads the checkpointed blocks instead of re-running
+    * the interpreted shingle expression per consumer.
+    */
+  def explodedShingles(docs: DataFrame): DataFrame =
+    docs.repartition(col("doc_id"))
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .localCheckpoint()
+
   def ngramJaccardPairs(docs: DataFrame, tauX1e6: Long = 500000L): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val cand = ex.as("x").join(ex.as("y"),
+    val ex = explodedShingles(docs)
+    val inter = ex.as("x").join(ex.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    verifyJaccard(cand, sh, tauX1e6)
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("jac_inter"))
+    jaccardFromCounts(inter, ex, tauX1e6)
   }
 
-  private def verifyJaccard(cand: DataFrame, sh: DataFrame, tauX1e6: Long): DataFrame =
-    cand
-      .join(sh.select(col("doc_id").as("a"), col("sh").as("sh_a")), Seq("a"))
-      .join(sh.select(col("doc_id").as("b"), col("sh").as("sh_b")), Seq("b"))
-      .select(col("a"), col("b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("jac_inter"),
-        size(array_union(col("sh_a"), col("sh_b"))).cast("long").as("jac_union"))
-      .withColumn("j_x1e6", expr("(1000000 * jac_inter) div jac_union"))
+  /** (a, b, jac_inter) + doc sizes (from the exploded shingles) →
+    * (a, b, j_x1e6) ≥ τ, ordered.
+    */
+  private def jaccardFromCounts(inter: DataFrame, ex: DataFrame, tauX1e6: Long): DataFrame = {
+    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    inter
+      .join(broadcast(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a"))), Seq("a"))
+      .join(broadcast(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b"))), Seq("b"))
+      .withColumn("j_x1e6",
+        expr("(1000000 * jac_inter) div (sz_a + sz_b - jac_inter)"))
       .filter(col("j_x1e6") >= tauX1e6)
       .select(col("a"), col("b"), col("j_x1e6"))
       .orderBy(col("a"), col("b"))
+  }
+
+  /** Exact-Jaccard verification of an (a, b) candidate set: candidates are
+    * broadcast against the exploded shingles, so shared-shingle counting
+    * touches only candidate docs.
+    */
+  private def verifyJaccard(cand: DataFrame, ex: DataFrame, tauX1e6: Long): DataFrame = {
+    val inter = ex.as("x").join(broadcast(cand), col("x.doc_id") === col("a"))
+      .join(ex.as("y"), col("y.doc_id") === col("b") && col("y.s") === col("x.s"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("jac_inter"))
+    jaccardFromCounts(inter, ex, tauX1e6)
+  }
 
   // --- MinHash LSH --------------------------------------------------------
 
@@ -116,20 +150,31 @@ object Dedup {
        |  array_repeat(${Long.MaxValue}L, $MinHashPerms),
        |  (acc, v) -> zip_with(acc, v, (x, y) -> least(x, y)))""".stripMargin)
 
-  /** LSH band keys: fold each 4-run of the signature into one BIGINT.
-    * The signature expression is let-bound via a 1-element array wrapper
-    * (`transform(array(sig), s -> …)[1]`) so it is evaluated once, not
-    * once per band.
+  /** (doc_id, band, key) LSH bucket rows, computed codegen-first: explode
+    * shingles → one interpreted char-fold per (doc, shingle) → expand to
+    * 64 permuted hashes (pure codegen arithmetic) → partial-aggregated
+    * min per (doc, perm) → fold 4-runs into band keys. At scale this is
+    * one shuffle of 64 BIGINTs per doc with map-side combine — no HOF
+    * evaluation ever touches more than one shingle at a time.
     */
-  def bandKeysOf(sigExpr: Column): Column = {
+  def lshBandRows(exSh: DataFrame): DataFrame = {
     val rows = MinHashPerms / MinHashBands
-    element_at(
-      transform(array(sigExpr), sigv =>
-        array((0 until MinHashBands).map { bnd =>
-          aggregate(slice(sigv, bnd * rows + 1, rows), lit(0L),
-            (acc, v) => (acc * 31 + v) % MinHashP)
-        }: _*)),
-      1)
+    // literal (perm, a, b) table exploded per shingle hash: everything
+    // after the one char-fold per shingle is whole-stage codegen
+    val perms = typedlit((0 until MinHashPerms).map(i => (i, permA(i), permB(i))))
+    exSh
+      .select(col("doc_id"),
+        expr(s"aggregate(split(s, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % $MinHashP)")
+          .as("h"))
+      .select(col("doc_id"), col("h"), explode(perms).as("p"))
+      .select(col("doc_id"), col("p._1").as("perm"),
+        ((col("p._2") * col("h") + col("p._3")) % MinHashP).as("hv"))
+      .groupBy(col("doc_id"), col("perm"))
+      .agg(min(col("hv")).as("mh"))
+      .groupBy(col("doc_id"), (col("perm") / rows).cast("int").as("band"))
+      .agg(sort_array(collect_list(struct(col("perm"), col("mh")))).as("pm"))
+      .select(col("doc_id"), col("band"),
+        expr(s"aggregate(pm, 0L, (acc, x) -> (acc * 31 + x.mh) % $MinHashP)").as("key"))
   }
 
   /** MinHash-LSH near-dup pairs, verified by exact Jaccard ≥ τ.
@@ -138,18 +183,13 @@ object Dedup {
     * 64×8 B per doc; candidates only where a band bucket collides).
     */
   def minhashLshPairs(docs: DataFrame, tauX1e6: Long = 500000L): DataFrame = {
-    val sh = docs.select(col("doc_id"), shingles(col("text")).as("sh"))
-      .filter(size(col("sh")) > 0)
-    // repartition: parallelize signature computation (source parquet is a
-    // single file) and barrier it from the downstream self-join
-    val sig = sh.repartition(col("doc_id"))
-      .select(col("doc_id"), bandKeysOf(minhashSignature("sh")).as("bands"))
-    val ex = sig.select(col("doc_id"), posexplode(col("bands")).as(Seq("band", "key")))
-    val cand = ex.as("x").join(ex.as("y"),
+    val exSh = explodedShingles(docs)
+    val bands = lshBandRows(exSh).localCheckpoint()
+    val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    verifyJaccard(cand, sh, tauX1e6)
+    verifyJaccard(cand, exSh, tauX1e6)
   }
 
   // --- SimHash ------------------------------------------------------------
@@ -163,15 +203,21 @@ object Dedup {
     * HOF lambdas; bit-exact DuckDB rendering in [[simhashSignatureSql]].
     */
   def simhashSignature(toksCol: String): Column = expr(
-    s"""aggregate(sequence(0, 29), 0L, (acc, j) -> acc
-       |  + IF(aggregate(transform($toksCol, t -> aggregate(split(t, ''), 0L,
-       |        (a, c) -> (a * 31 + ascii(c)) % 1000000007)), 0L,
-       |      (a, h) -> a + (CAST(shiftright(h, j) % 2 AS BIGINT) * 2 - 1)) > 0,
-       |      shiftleft(1L, j), 0L)
-       |  + IF(aggregate(transform($toksCol, t -> aggregate(split(t, ''), 0L,
-       |        (a, c) -> (a * 37 + ascii(c)) % 998244353)), 0L,
-       |      (a, h) -> a + (CAST(shiftright(h, j) % 2 AS BIGINT) * 2 - 1)) > 0,
-       |      shiftleft(1L, CAST(j + 30 AS INT)), 0L))""".stripMargin)
+    // let-bind the two token-hash lists via a 1-element array wrapper so
+    // each token is hashed ONCE, not once per bit position (30x saving in
+    // interpreted HOF evaluation)
+    s"""element_at(transform(array(named_struct(
+       |    'h1', transform($toksCol, t -> aggregate(split(t, ''), 0L,
+       |      (a, c) -> (a * 31 + ascii(c)) % 1000000007)),
+       |    'h2', transform($toksCol, t -> aggregate(split(t, ''), 0L,
+       |      (a, c) -> (a * 37 + ascii(c)) % 998244353)))),
+       |  p -> aggregate(sequence(0, 29), 0L, (acc, j) -> acc
+       |    + IF(aggregate(p.h1, 0L,
+       |        (a, h) -> a + (CAST(shiftright(h, j) % 2 AS BIGINT) * 2 - 1)) > 0,
+       |        shiftleft(1L, j), 0L)
+       |    + IF(aggregate(p.h2, 0L,
+       |        (a, h) -> a + (CAST(shiftright(h, j) % 2 AS BIGINT) * 2 - 1)) > 0,
+       |        shiftleft(1L, CAST(j + 30 AS INT)), 0L))), 1)""".stripMargin)
 
   /** DuckDB rendering of [[simhashSignature]] over a token-list SQL expr. */
   def simhashSignatureSql(toksExpr: String): String =
@@ -191,24 +237,27 @@ object Dedup {
     * blocking (pigeonhole: K=3 differing bits can't hit all 4 bands).
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
+    // parallelize the scan, compute sigs once, materialize them so both
+    // self-join sides read the checkpoint instead of recomputing
     val sigs = docs
-      .select(col("doc_id"), Analyzer.tokens(col("text")).as("toks"))
       .repartition(col("doc_id"))
+      .select(col("doc_id"), Analyzer.tokens(col("text")).as("toks"))
       .select(col("doc_id"), simhashSignature("toks").as("sig"))
+      .localCheckpoint()
     val banded = sigs.select(col("doc_id"), col("sig"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> shiftright(sig, CAST(b * 15 AS INT)) % 32768)"))
         .as(Seq("band", "key")))
-    val cand = banded.as("x").join(banded.as("y"),
+    // filter on hamming BEFORE deduplicating pairs: the band join emits
+    // millions of (mostly far) pairs; bit_count is codegen-cheap, so the
+    // distinct only ever sees true near-dups
+    banded.as("x").join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("x.sig").as("sig_a"),
-              col("y.doc_id").as("b"), col("y.sig").as("sig_b"))
-      .distinct()
-    cand
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        bit_count(col("x.sig").bitwiseXOR(col("y.sig"))).cast("long").as("hamming"))
       .filter(col("hamming") <= SimHamK)
-      .select(col("a"), col("b"), col("hamming"))
+      .distinct()
       .orderBy(col("a"), col("b"))
   }
 }
