@@ -78,18 +78,23 @@ class SearchEngine(
     * (reference: metastore/models.py:141) — then broadcast.
     */
   def scores(docs: DataFrame, terms: Seq[String]): DataFrame = {
-    val melted = docs.select(
+    // inverted-index shape: melt fields, explode analyzed tokens, keep
+    // query terms (codegen'd isin), count (doc, field, term) occurrences.
+    // One analyzer pass per field; everything downstream of the explode
+    // is whole-stage codegen + partial aggregation — the same plan that
+    // builds the corpus index at scale. The (single-file) scan is spread
+    // across the cluster first.
+    val tokenRows = docs.repartition(col(idCol)).select(
       col(idCol),
       explode(array(fields.map(f =>
         struct(lit(f.name).as("field"), lit(f.boost.toLong).as("boost"),
                Analyzer.tokens(col(f.name)).as("toks"))): _*)).as("f"))
       .select(col(idCol), col("f.field").as("field"), col("f.boost").as("boost"),
-              col("f.toks").as("toks"))
-    val tf = melted
-      .withColumn("term", explode(typedlit(terms)))
-      .withColumn("tf", size(filter(col("toks"), t => t === col("term"))).cast("long"))
-      .filter(col("tf") > 0)
-      .select(col(idCol), col("field"), col("term"), col("boost"), col("tf"))
+              explode(col("f.toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+    val tf = tokenRows
+      .groupBy(col(idCol), col("field"), col("term"), col("boost"))
+      .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("field"), col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     tf.join(broadcast(df), Seq("field", "term"))

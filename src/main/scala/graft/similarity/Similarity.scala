@@ -16,15 +16,14 @@ object Similarity {
 
   val Dim = 64
 
-  /** dot(a, b) as an in-order double fold. */
+  /** dot(a, b): codegen'd native expression, in-order double accumulation
+    * (bit-identical to the interpreted fold and the oracle SQL chain).
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), _ + _)
+    graft.functions.VectorFunctions.floatVecDot(a, b)
 
-  /** ‖v‖ as an in-order double fold. */
-  def norm(v: Column): Column =
-    sqrt(aggregate(transform(v, x => x.cast("double") * x.cast("double")),
-      lit(0.0), _ + _))
+  /** ‖v‖ via the same codegen'd dot. */
+  def norm(v: Column): Column = sqrt(dot(v, v))
 
   def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
     dot(a, b) / (na * nb)
