@@ -1,0 +1,48 @@
+package graft
+
+import graft.functions.{FloatVecDot, PolyHash, PorterStem}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: makes graft's native expressions
+  * available as SQL functions in any session built with
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  *
+  * ```sql
+  * SELECT float_vec_dot(a.embedding, b.embedding)
+  * SELECT graft_stem('relational')       -- 'relat'
+  * SELECT graft_poly_hash('doc text')    -- BIGINT fingerprint
+  * ```
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.registrations.foreach { case (name, info, builder) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
+
+  val registrations: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("float_vec_dot",
+      info("float_vec_dot", "float_vec_dot(a, b) - in-order double dot product of two float arrays"),
+      (es: Seq[Expression]) => FloatVecDot(es(0), es(1))),
+    ("graft_stem",
+      info("graft_stem", "graft_stem(s) - Porter-stem a lowercase word"),
+      (es: Seq[Expression]) => PorterStem(es.head)),
+    ("graft_poly_hash",
+      info("graft_poly_hash", "graft_poly_hash(s) - rolling polynomial fingerprint (x31 mod 1e9+7)"),
+      (es: Seq[Expression]) => PolyHash(es.head, 31L, 1000000007L)))
+
+  /** Register into an already-built session (temp functions). */
+  def register(spark: SparkSession): Unit =
+    registrations.foreach { case (name, _, builder) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+}

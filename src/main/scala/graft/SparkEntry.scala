@@ -21,6 +21,7 @@ object SparkEntry {
     "ms_visibility_anon"   -> ((s, d) => Metastore.visibilityAnon(s, d)),
     "ms_visibility_auth"   -> ((s, d) => Metastore.visibilityAuth(s, d)),
     "ms_q_match"           -> ((s, d) => Metastore.qMatch(s, d)),
+    "ms_q_match_stemmed"   -> ((s, d) => Metastore.qMatchStemmed(s, d)),
     "ms_q_rank_tfidf"      -> ((s, d) => Metastore.qRankTfidf(s, d)),
     "ms_paginate"          -> ((s, d) => Metastore.paginate(s, d)),
     "ms_summary"           -> ((s, d) => Metastore.summary(s, d)),

@@ -45,6 +45,16 @@ object Metastore {
     ds.page(idx(s, d), SearchRequest(q = Some("merge join"), size = 100),
       Seq("doc_id", "name"))
 
+  /** Stemmed q-match (full english-analyzer path; rows-only — no SQL
+    * stemmer exists for a DuckDB oracle).
+    */
+  def qMatchStemmed(s: SparkSession, d: String): DataFrame = {
+    val terms = Analyzer.analyzeQueryStemmed("merging joined tables")
+    val i = idx(s, d)
+    ds.visible(i, None).filter(ds.matchesQStemmed(terms))
+      .select("doc_id", "name").orderBy("doc_id").limit(100)
+  }
+
   def qRankTfidf(s: SparkSession, d: String): DataFrame =
     ds.rankedSearch(idx(s, d), SearchRequest(q = Some("the merge join table"), size = 20),
       Seq("name"))

@@ -42,4 +42,14 @@ object Analyzer {
   def analyzeQuery(q: String): Seq[String] =
     q.toLowerCase.split("[^a-z0-9]+").toSeq
       .filter(t => t.nonEmpty && !stopwords.contains(t))
+
+  /** Full ES-`english`-analyzer shape: tokens + Porter stemming
+    * (reference: tests/test_controllers.py:16). Not oracle-gated (no SQL
+    * stemmer) — pinned by AnalyzerSpec instead.
+    */
+  def stemmedTokens(c: Column): Column =
+    transform(tokens(c), t => graft.functions.TextExpressionFunctions.porterStem(t))
+
+  def analyzeQueryStemmed(q: String): Seq[String] =
+    analyzeQuery(q).map(graft.text.PorterStemmer.stem)
 }

@@ -71,6 +71,13 @@ class SearchEngine(
     fields.map(f => arrays_overlap(Analyzer.tokens(col(f.name)), typedlit(terms)))
       .reduce(_ || _)
 
+  /** Stemmed variant: both sides of the match run through the Porter
+    * stemmer, like the ES `english` analyzer ("merging" finds "merge").
+    */
+  def matchesQStemmed(stemmedTerms: Seq[String]): Column =
+    fields.map(f => arrays_overlap(Analyzer.stemmedTokens(col(f.name)), typedlit(stemmedTerms)))
+      .reduce(_ || _)
+
   /** Per-doc integer TF-IDF score over the q_fields (SURVEY §4.2).
     * Returns (idCol, raw_score) for docs with score > 0.
     * Corpus stats (df, N) are computed over the FULL index — the analog

@@ -1,0 +1,64 @@
+package graft
+
+import graft.text.PorterStemmer
+import graft.search.Analyzer
+import graft.operators.Metastore
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnalyzerSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("Porter stemmer matches canonical vectors") {
+    val vectors = Map(
+      "caresses" -> "caress", "ponies" -> "poni", "ties" -> "ti",
+      "caress" -> "caress", "cats" -> "cat", "feed" -> "feed",
+      "agreed" -> "agre", "plastered" -> "plaster", "motoring" -> "motor",
+      "sing" -> "sing", "conflated" -> "conflat", "troubled" -> "troubl",
+      "sized" -> "size", "hopping" -> "hop", "tanned" -> "tan",
+      "falling" -> "fall", "hissing" -> "hiss", "failing" -> "fail",
+      "filing" -> "file", "happy" -> "happi", "relational" -> "relat",
+      "conditional" -> "condit", "rational" -> "ration",
+      "digitizer" -> "digit", "operator" -> "oper", "feudalism" -> "feudal",
+      "adjustment" -> "adjust", "adoption" -> "adopt", "merging" -> "merg",
+      "merge" -> "merg", "tables" -> "tabl", "table" -> "tabl",
+      "probate" -> "probat", "controllable" -> "control", "rolling" -> "roll")
+    vectors.foreach { case (in, out) =>
+      assert(PorterStemmer.stem(in) == out, s"stem($in)")
+    }
+  }
+
+  test("graft SQL functions register and evaluate") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_stem('relational') AS s, graft_poly_hash('ab c') AS h, " +
+        "float_vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "              array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .collect()(0)
+    assert(r.getString(0) == "relat")
+    assert(r.getLong(1) == 2984996L) // matches the HOF fold + DuckDB list_reduce
+    assert(r.getDouble(2) == 11.0)
+  }
+
+  test("stemmed search finds morphological variants exact match misses (test:522-553)") {
+    // "merging" stems to "merg", matching docs that contain "merge"
+    val stemmed = Metastore.qMatchStemmed(spark, sf).count()
+    val exactOnMerge = Tables.datasetIndex(spark, sf)
+      .filter(col("findability") === "published")
+      .filter(graft.search.SearchEngine.datasets.matchesQ(Seq("merge", "join", "table")))
+      .count()
+    assert(stemmed > 0)
+    // the stemmed match over variants equals the exact match over the base
+    // forms present in the corpus (vocab contains only base forms)
+    assert(stemmed == math.min(exactOnMerge, 100))
+  }
+
+  test("polyHash column function equals the HOF fingerprint") {
+    val df = Tables.documents(spark, sf).limit(50)
+    val mismatches = df.select(
+        graft.functions.TextExpressionFunctions.polyHash(col("text")).as("a"),
+        graft.text.TextFunctions.fingerprint(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(mismatches == 0)
+  }
+}
