@@ -41,6 +41,14 @@ object SparkEntry {
     "q_topk_per_group" -> ((s, d) => Relational.qTopkPerGroup(s, d)),
     "q_distinct"       -> ((s, d) => Relational.qDistinct(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
+    "q_pivot"        -> ((s, d) => Relational.qPivot(s, d)),
+    "q_cube"         -> ((s, d) => Relational.qCube(s, d)),
+    "q_outer_join"   -> ((s, d) => Relational.qOuterJoin(s, d)),
+    "q_window_funcs" -> ((s, d) => Relational.qWindowFuncs(s, d)),
+    "q_string_funcs" -> ((s, d) => Relational.qStringFuncs(s, d)),
+    "q_json_extract" -> ((s, d) => Relational.qJsonExtract(s, d)),
+    "q_time_funcs"   -> ((s, d) => Relational.qTimeFuncs(s, d)),
+    "q_asof_join"    -> ((s, d) => operators.Temporal.qAsofJoin(s, d)),
     // §2.5 text analysis
     "txt_token_count" -> ((s, d) => Text.tokenCount(s, d)),
     "txt_quality"     -> ((s, d) => Text.quality(s, d)),
@@ -70,7 +78,63 @@ object SparkEntry {
     * identical aliases, deterministic total order.
     */
   def oracleSql: Map[String, String] =
-    Metastore.oracles ++ Text.oracles ++ Pipeline.oracles ++ Map(
+    Metastore.oracles ++ Text.oracles ++ Pipeline.oracles ++
+      operators.Temporal.oracles ++ Map(
+    "q_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,
+        |  CAST(sum(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  count(o_orderkey) AS n_orders,
+        |  COALESCE(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 0.0) AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(epoch_us(o_orderdate)) OVER wd AS prev_us,
+        |  lead(epoch_us(o_orderdate)) OVER wd AS next_us,
+        |  CAST(ntile(4) OVER wd AS INT) AS quartile,
+        |  CAST(rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS price_rank
+        |FROM orders
+        |WINDOW wd AS (PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate), o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT p_partkey,
+        |  upper(p_name) AS uname,
+        |  lower(p_brand) AS lbrand,
+        |  substr(p_type, 1, 5) AS type_prefix,
+        |  regexp_replace(p_name, '[aeiou]', '', 'g') AS consonants,
+        |  CAST(length(p_name) AS BIGINT) AS name_len,
+        |  p_brand || '#' || p_type AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_time_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,
+        |  CAST(month(o_orderdate) AS BIGINT) AS m,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY y, m ORDER BY y, m""".stripMargin,
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

@@ -167,6 +167,92 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Pivot: line status columns per return flag (declared pivot values →
+    * no extra distinct-discovery job).
+    */
+  def qPivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(sum(dec2(col("l_quantity"))).cast("double"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** CUBE aggregate over two dimensions. */
+  def qCube(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
+  /** LEFT OUTER join aggregate: every customer, with or without orders. */
+  def qOuterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val ord = Tables.orders(spark, dir).select("o_custkey", "o_orderkey", "o_totalprice")
+    cust.join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        coalesce(sum(dec2(col("o_totalprice"))).cast("double"), lit(0.0)).as("spend"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Window-function variety: lag/lead/ntile/rank with unique tie-breaks. */
+  def qWindowFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val byPrice = Window.partitionBy(col("o_custkey")).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"),
+        col("o_totalprice"))
+      .withColumn("prev_us", lag(col("od_us"), 1).over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("od_us"), col("o_orderkey"))))
+      .withColumn("next_us", lead(col("od_us"), 1).over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("od_us"), col("o_orderkey"))))
+      .withColumn("quartile", ntile(4).over(
+        Window.partitionBy(col("o_custkey")).orderBy(col("od_us"), col("o_orderkey"))))
+      .withColumn("price_rank", rank().over(byPrice))
+      .select("o_custkey", "o_orderkey", "prev_us", "next_us", "quartile", "price_rank")
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** String-function coverage: case, substring, regex, length, concat. */
+  def qStringFuncs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("uname"),
+      lower(col("p_brand")).as("lbrand"),
+      substring(col("p_type"), 1, 5).as("type_prefix"),
+      regexp_replace(col("p_name"), "[aeiou]", "").as("consonants"),
+      length(col("p_name")).cast("long").as("name_len"),
+      concat_ws("#", col("p_brand"), col("p_type")).as("brand_type"))
+    .orderBy(col("p_partkey"))
+  }
+
+  /** JSON extraction from the events props column. */
+  def qJsonExtract(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n"), sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Calendar extraction + monthly aggregate. */
+  def qTimeFuncs(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(year(col("o_orderdate")).cast("long").as("y"),
+        month(col("o_orderdate")).cast("long").as("m"),
+        dec2(col("o_totalprice")).as("tp"))
+      .groupBy(col("y"), col("m"))
+      .agg(count(lit(1)).as("n"), sum(col("tp")).cast("double").as("revenue"))
+      .orderBy(col("y"), col("m"))
+  }
+
   /** HLL approximate distinct (rows-only check: approximate by nature). */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

@@ -1,0 +1,70 @@
+package graft.operators
+
+import graft.streaming.EventStreams
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal operators Spark lacks natively (SURVEY §2.2 extension).
+  *
+  * The as-of join is built by composing existing operators (preference
+  * (a) of the custom-operator ladder): tag both sides, union, and take a
+  * running `last(ignoreNulls)` over a per-key time-ordered window. One
+  * shuffle + sort per key, no range-join row explosion — at 100 TB this
+  * is a single repartition by join key with AQE-handled skew, vs the
+  * quadratic blowup of an inequality join.
+  */
+object Temporal {
+
+  /** Backward as-of join: for every left row, the latest right row of the
+    * same key with rightTs ≤ leftTs. Right rows sort before left rows at
+    * equal timestamps (≤, not <).
+    *
+    * @param left     rows to enrich; must contain `key` and `leftTs`
+    * @param right    lookup rows; must contain `key` and `rightTs`
+    * @param valueCol right column to carry (emitted as `asof_<valueCol>`)
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+                   leftTs: String, rightTs: String, valueCol: String): DataFrame = {
+    val lCols = left.columns
+    val l = left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(1))
+      .withColumn("_rv", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(
+      col(key), col(rightTs).as("_ts"), lit(0).as("_side"), col(valueCol).as("_rv"))
+    val unioned = l.select((Seq(col(key), col("_ts"), col("_side"), col("_rv")) ++
+      lCols.filterNot(_ == key).map(c => col(c))): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    unioned
+      .withColumn(s"asof_$valueCol", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_ts", "_side", "_rv")
+  }
+
+  /** Query: each click event joined to the user's latest purchase at or
+    * before it (oracle: DuckDB ASOF LEFT JOIN).
+    */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_ts"))
+    asofBackward(clicks, purchases, "user_id", "ts_us", "p_ts", "p_ts")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_p_ts").as("last_purchase_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_asof_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),
+        |clicks AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+        |purchases AS (SELECT user_id, ts_us AS p_ts FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts_us, p.p_ts AS last_purchase_us
+        |FROM clicks c ASOF LEFT JOIN purchases p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.p_ts
+        |ORDER BY c.event_id""".stripMargin)
+}
