@@ -65,6 +65,8 @@ object SparkEntry {
     // §2.4 similarity search
     "ann_brute_topk" -> ((s, d) => Pipeline.annBruteTopk(s, d)),
     "ann_lsh_topk"   -> ((s, d) => Pipeline.annLshTopk(s, d)),
+    "ann_ivf_topk"   -> ((s, d) => Pipeline.annIvfTopk(s, d)),
+    "q_sample_stratified" -> ((s, d) => Relational.qSampleStratified(s, d)),
     "ann_pair_sim"   -> ((s, d) => Pipeline.annPairSim(s, d)),
     // §2.6 multimodal
     "mm_decode_meta" -> ((s, d) => Pipeline.mmDecodeMeta(s, d)),
@@ -128,6 +130,13 @@ object SparkEntry {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_sample_stratified" ->
+      """SELECT c_custkey, c_mktsegment, rn FROM (
+        |  SELECT c_custkey, c_mktsegment,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS INT) AS rn
+        |  FROM customer
+        |) WHERE rn % 7 = 1 ORDER BY c_custkey""".stripMargin,
 
     "q_time_funcs" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS y,

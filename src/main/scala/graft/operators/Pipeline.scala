@@ -42,6 +42,9 @@ object Pipeline {
   def annLshTopk(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, d), queryPred)
 
+  def annIvfTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, d), queryPred)
+
   def annPairSim(s: SparkSession, d: String): DataFrame =
     Similarity.pairSim(Tables.embeddings(s, d), 300000L)
 

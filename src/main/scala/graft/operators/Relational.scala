@@ -253,6 +253,19 @@ object Relational {
       .orderBy(col("y"), col("m"))
   }
 
+  /** Deterministic stratified (systematic) sampling: every 7th row per
+    * stratum in key order — the reproducible training-data subsampling
+    * pattern (seeded Bernoulli can't be oracle-matched across engines).
+    */
+  def qSampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_custkey"))
+    Tables.customer(spark, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") % 7 === 1)
+      .select(col("c_custkey"), col("c_mktsegment"), col("rn"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** HLL approximate distinct (rows-only check: approximate by nature). */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

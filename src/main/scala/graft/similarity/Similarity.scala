@@ -76,6 +76,48 @@ object Similarity {
       .orderBy(col("a"), col("b"))
   }
 
+  /** IVF-style ANN: coarse quantization to per-label centroids (mean
+    * vectors, computed by position-exploded average — all codegen), probe
+    * the nProbe nearest cells, exact re-rank inside them. The scale path
+    * for billion-vector corpora: the centroid table is tiny + broadcast,
+    * and each query touches only its probed cells' partitions.
+    * Approximate by construction (rows-only; recall pinned in spec).
+    */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+              nProbe: Int = 3): DataFrame = {
+    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    // centroids: elementwise mean per label via posexplode + avg
+    val cent = embeddings
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("m"))
+      .groupBy(col("label"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label").as("c_label"),
+        expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("centroid"))
+    val queries = e.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    // probe the nProbe closest centroids per query
+    val probes = queries.crossJoin(broadcast(cent))
+      .withColumn("c_sim", dot(col("q_emb"), col("centroid")) /
+        (col("q_nrm") * norm(col("centroid"))))
+      .withColumn("c_rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_label"))))
+      .filter(col("c_rk") <= nProbe)
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_label"))
+    // exact re-rank within probed cells only
+    val scored = e.join(broadcast(probes),
+        col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
+      .withColumn("cos_x1e6",
+        floor(cosine(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")) * 1e6)
+          .cast("long"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_x1e6").desc, col("vec_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("cos_x1e6"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** Random-hyperplane LSH ANN: deterministic pseudo-random hyperplanes
     * (hash-derived coefficients in [-1, 1]), sign bits → bucket; per-bucket
     * top-k then global re-rank. Approximate by construction (rows-only

@@ -54,6 +54,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.05)
   }
 
+  test("IVF ANN probes nearest cells with measured recall") {
+    val brute = Pipeline.annBruteTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Pipeline.annIvfTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(ivf.nonEmpty)
+    val recall = (brute & ivf).size.toDouble / brute.size
+    info(f"IVF ANN recall@10 = $recall%.2f (nProbe=3 of 10 cells)")
+    assert(recall > 0.2)
+  }
+
   test("multimodal decode emits one typed row per doc with stable stub values") {
     val rows = Pipeline.mmDecodeMeta(spark, sf).collect()
     assert(rows.length == docs.count())
