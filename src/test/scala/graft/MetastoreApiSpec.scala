@@ -1,0 +1,74 @@
+package graft
+
+import graft.search.MetastoreApi
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Mirrors the reference's controller tests (tests/test_controllers.py)
+  * against the API facade.
+  */
+class MetastoreApiSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("empty search returns all published docs with totals (test:298-310)") {
+    val r = MetastoreApi.search(spark, sf)
+    assert(r.error.isEmpty)
+    assert(r.total > 0)
+    assert(r.totalBytes > 0)
+    assert(r.results.count() <= 50) // default page size
+  }
+
+  test("json-quoted filter values match exactly (test:312-317)") {
+    val r = MetastoreApi.search(spark, sf, args = Map("lang" -> Seq("\"en\"")))
+    assert(r.error.isEmpty)
+    val langs = r.results.select("lang").distinct().collect().map(_.getString(0))
+    assert(langs.sameElements(Array("en")))
+  }
+
+  test("bad JSON value returns error envelope, not exception (test:360-365)") {
+    val r = MetastoreApi.search(spark, sf, args = Map("lang" -> Seq("str6")))
+    assert(r.error.isDefined)
+    assert(r.total == 0 && r.totalBytes == 0.0)
+  }
+
+  test("nonexistent property returns error envelope (test:367-372)") {
+    val r = MetastoreApi.search(spark, sf, args = Map("boxing" -> Seq("\"6\"")))
+    assert(r.error.isDefined)
+    assert(r.total == 0)
+  }
+
+  test("size is capped at 100 and summary counts all matches (test:381-386)") {
+    val r = MetastoreApi.search(spark, sf, args = Map("size" -> Seq("105")))
+    assert(r.results.count() <= 100)
+    assert(r.total > 100)
+  }
+
+  test("from offsets the page without changing totals (test:388-393)") {
+    val all = MetastoreApi.search(spark, sf, args = Map("size" -> Seq("100")))
+    val page = MetastoreApi.search(spark, sf,
+      args = Map("size" -> Seq("100"), "from" -> Seq("3")))
+    assert(page.total == all.total)
+    val a = all.results.collect().map(_.getLong(0)).drop(3)
+    val b = page.results.collect().map(_.getLong(0))
+    assert(b.take(a.length).sameElements(a))
+  }
+
+  test("q search ranks and respects visibility (test:440-447)") {
+    val anon = MetastoreApi.search(spark, sf, args = Map("q" -> Seq("\"merge join\"")))
+    val auth = MetastoreApi.search(spark, sf, userid = Some("src5"),
+      args = Map("q" -> Seq("\"merge join\"")))
+    assert(anon.error.isEmpty && auth.error.isEmpty)
+    assert(anon.total > 0)
+    assert(auth.total >= anon.total)
+  }
+
+  test("events kind sorts by timestamp desc by default (test:592-599)") {
+    val r = MetastoreApi.search(spark, sf, kind = "events", userid = Some("user3"))
+    val ts = r.results.select("ts_us").collect().map(_.getLong(0))
+    assert(ts.nonEmpty)
+    assert(ts.sameElements(ts.sortBy(-(_: Long))))
+    val asc = MetastoreApi.search(spark, sf, kind = "events",
+      userid = Some("user3"), args = Map("sort" -> Seq("\"asc\"")))
+    val ts2 = asc.results.select("ts_us").collect().map(_.getLong(0))
+    assert(ts2.sameElements(ts2.sorted))
+  }
+}

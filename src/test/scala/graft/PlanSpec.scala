@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression guards: pushdown, pruning, and join strategies
+  * must survive refactors (SURVEY §5 — graded at 100 TB design).
+  */
+class PlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q3: dimension sides broadcast, fact filters pushed to parquet") {
+    val p = plan(operators.Relational.q3JoinTopk(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
+    assert(!p.contains("SortMergeJoin"), "no fact-fact sort-merge expected")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      "lineitem date filter must reach the scan")
+  }
+
+  test("q6: all predicates pushed, schema pruned to 4 columns") {
+    // plan toString truncates long filter lists — assert on a prefix
+    val p = plan(operators.Relational.q6FilterAgg(spark, sf))
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
+      "l_discount:double,l_shipdate:timestamp_ntz>"))
+  }
+
+  test("ranked search: top-k via TakeOrdered, term stats broadcast") {
+    val p = plan(operators.Metastore.qRankTfidf(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), "page must be a top-k, not a full sort")
+    assert(p.contains("BroadcastExchange"), "df stats must broadcast")
+  }
+
+  test("dataset index scan prunes unused document columns") {
+    val p = plan(operators.Metastore.filterTerm(spark, sf))
+    assert(!p.contains("n_chars") || p.contains("bytes"),
+      "projection should reach the scan")
+    assert(p.contains("PushedFilters"))
+  }
+}
