@@ -73,6 +73,8 @@ object SparkEntry {
     // §2.7 streaming (batch-equivalent plans; streaming pinned in specs)
     "stream_window_agg" -> ((s, d) => Pipeline.streamWindowAgg(s, d)),
     "stream_sessionize" -> ((s, d) => Pipeline.streamSessionize(s, d)),
+    "stream_dedup"      -> ((s, d) => Pipeline.streamDedup(s, d)),
+    "pipe_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (driver correctness gate).

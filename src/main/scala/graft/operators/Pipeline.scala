@@ -62,6 +62,33 @@ object Pipeline {
   def streamSessionize(s: SparkSession, d: String): DataFrame =
     EventStreams.sessionize(EventStreams.normalize(Tables.events(s, d)))
 
+  def streamDedup(s: SparkSession, d: String): DataFrame =
+    EventStreams.dedupBatch(EventStreams.normalize(Tables.events(s, d)))
+
+  /** Composed cleaning pipeline: quality-gate → exact-dedup (keep the
+    * smallest doc_id per normalized-text fingerprint) — the minimal
+    * corpus-preparation chain, one declarative plan end to end.
+    */
+  def cleanCorpus(s: SparkSession, d: String): DataFrame = {
+    import graft.search.Analyzer
+    val toks = TextFunctions.rawTokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextFunctions.fingerprint(TextFunctions.normalized(col("text"))).as("fp_norm"),
+        size(toks).cast("long").as("n_tok"),
+        size(filter(toks, t => array_contains(typedlit(Analyzer.stopwords), t)))
+          .cast("long").as("n_stop"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .filter(col("n_tok") >= 10 &&
+        expr("(10000 * n_stop) div n_tok") < 4000 &&
+        expr("(10000 * n_uniq) div n_tok") > 2500)
+      .groupBy(col("fp_norm"))
+      .agg(min(col("doc_id")).as("doc_id"), min_by(col("n_tok"), col("doc_id")).as("n_tok"),
+        count(lit(1)).as("n_dups"))
+      .select(col("doc_id"), col("fp_norm"), col("n_tok"), col("n_dups"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- oracles -----------------------------------------------------------
 
   private val fpNorm = TextFunctions.fingerprintSql(TextFunctions.normalizedSql("text"))
@@ -134,6 +161,26 @@ object Pipeline {
          |  CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_dedup" ->
+      s"""SELECT DISTINCT user_id, event_type,
+         |  epoch_us(ts) - epoch_us(ts) % ${60L * 1000000L} AS minute_us
+         |FROM events ORDER BY user_id, event_type, minute_us""".stripMargin,
+
+    "pipe_clean_corpus" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, $fpNorm AS fp_norm,
+         |    CAST(len(${TextFunctions.rawTokensSql("text")}) AS BIGINT) AS n_tok,
+         |    CAST(len(list_filter(${TextFunctions.rawTokensSql("text")},
+         |      x -> list_contains(${graft.search.Analyzer.stopwordsSql}, x))) AS BIGINT) AS n_stop,
+         |    CAST(len(list_distinct(${TextFunctions.rawTokensSql("text")})) AS BIGINT) AS n_uniq
+         |  FROM documents)
+         |SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, fp_norm,
+         |  arg_min(n_tok, doc_id) AS n_tok, CAST(count(*) AS BIGINT) AS n_dups
+         |FROM q
+         |WHERE n_tok >= 10 AND (10000 * n_stop) // n_tok < 4000
+         |  AND (10000 * n_uniq) // n_tok > 2500
+         |GROUP BY fp_norm ORDER BY doc_id""".stripMargin,
 
     "stream_sessionize" ->
       s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, value FROM events),

@@ -66,6 +66,25 @@ object EventStreams {
       .orderBy(col("user_id"), col("sess_no"))
   }
 
+  /** Event dedup key: (user, type, minute bucket). Batch = DISTINCT; the
+    * streaming path runs `dropDuplicates` on the same key under a
+    * watermark (bounded state).
+    */
+  def dedupKeys(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), col("event_type"),
+      (col("ts_us") - col("ts_us") % (60L * 1000000L)).as("minute_us"))
+
+  def dedupBatch(ev: DataFrame): DataFrame =
+    dedupKeys(ev).distinct()
+      .orderBy(col("user_id"), col("event_type"), col("minute_us"))
+
+  def dedupStreaming(ev: DataFrame): DataFrame =
+    dedupKeys(ev)
+      .withColumn("tsx", timestamp_micros(col("minute_us")))
+      .withWatermark("tsx", "1 hour")
+      .dropDuplicates(Seq("user_id", "event_type", "minute_us"))
+      .drop("tsx")
+
   /** Streaming sessionization via flatMapGroupsWithState: per-user state =
     * (open-session start, last ts, count, sum); emits a session when the
     * gap closes it. Used by StreamingSpec; the batch path above is the

@@ -37,6 +37,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dropDuplicates equals batch DISTINCT on the dedup key") {
+    val ev = EventStreams.normalize(Tables.events(spark, sf))
+    val expected = EventStreams.dedupBatch(ev).collect().map(_.toSeq).toSet
+    val schema = Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = EventStreams.dedupStreaming(EventStreams.normalize(stream))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_test").collect().map(_.toSeq).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization closes the same sessions as batch") {
     val ev = EventStreams.normalize(Tables.events(spark, sf))
     val batch = EventStreams.sessionize(ev).collect()
