@@ -67,6 +67,8 @@ object SparkEntry {
     "ann_lsh_topk"   -> ((s, d) => Pipeline.annLshTopk(s, d)),
     "ann_ivf_topk"   -> ((s, d) => Pipeline.annIvfTopk(s, d)),
     "q_sample_stratified" -> ((s, d) => Relational.qSampleStratified(s, d)),
+    "q_correlated_subquery" -> ((s, d) => Relational.qCorrelatedSubquery(s, d)),
+    "txt_bigrams" -> ((s, d) => Text.bigrams(s, d)),
     "ann_pair_sim"   -> ((s, d) => Pipeline.annPairSim(s, d)),
     // §2.6 multimodal
     "mm_decode_meta" -> ((s, d) => Pipeline.mmDecodeMeta(s, d)),
@@ -132,6 +134,14 @@ object SparkEntry {
         |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_correlated_subquery" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM (
+        |  SELECT o_orderkey, o_custkey, o_totalprice,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey) AS DOUBLE)
+        |      / count(*) OVER (PARTITION BY o_custkey) AS cust_avg
+        |  FROM orders
+        |) WHERE o_totalprice > cust_avg ORDER BY o_orderkey""".stripMargin,
 
     "q_sample_stratified" ->
       """SELECT c_custkey, c_mktsegment, rn FROM (

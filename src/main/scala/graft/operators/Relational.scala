@@ -253,6 +253,20 @@ object Relational {
       .orderBy(col("y"), col("m"))
   }
 
+  /** Correlated-subquery pattern: orders above their own customer's
+    * average price (decorrelated to a window aggregate — no re-scan per
+    * group, the scalable form of the correlated scalar subquery).
+    */
+  def qCorrelatedSubquery(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+    Tables.orders(spark, dir)
+      .withColumn("cust_avg",
+        sum(dec2(col("o_totalprice"))).over(w).cast("double") / count(lit(1)).over(w))
+      .filter(col("o_totalprice") > col("cust_avg"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** Deterministic stratified (systematic) sampling: every 7th row per
     * stratum in key order — the reproducible training-data subsampling
     * pattern (seeded Bernoulli can't be oracle-matched across engines).

@@ -77,6 +77,15 @@ object Text {
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("ctf"))
       .orderBy(col("term"))
 
+  /** Corpus bigram frequencies over analyzed tokens (adjacent pairs). */
+  def bigrams(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), graft.dedup.Dedup.shingles(col("text"), 2).as("bg"))
+      .select(explode(col("bg")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("bigram"))
+
   // --- oracle SQL --------------------------------------------------------
 
   private val langProfilesSql: String = langProfiles.map { case (l, p, words) =>
@@ -125,6 +134,11 @@ object Text {
          |  ${fingerprintSql("text")} AS fp_raw,
          |  ${fingerprintSql(normalizedSql("text"))} AS fp_norm
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_bigrams" ->
+      s"""SELECT bigram, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM (SELECT unnest(${graft.dedup.Dedup.shinglesSql("text", 2)}) AS bigram FROM documents)
+         |GROUP BY bigram ORDER BY bigram""".stripMargin,
 
     "txt_term_stats" ->
       s"""SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
