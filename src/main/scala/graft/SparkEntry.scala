@@ -69,6 +69,7 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, d) => Relational.qSampleStratified(s, d)),
     "q_correlated_subquery" -> ((s, d) => Relational.qCorrelatedSubquery(s, d)),
     "txt_bigrams" -> ((s, d) => Text.bigrams(s, d)),
+    "txt_minhash_sketch" -> ((s, d) => Text.minhashSketch(s, d)),
     "ann_pair_sim"   -> ((s, d) => Pipeline.annPairSim(s, d)),
     // §2.6 multimodal
     "mm_decode_meta" -> ((s, d) => Pipeline.mmDecodeMeta(s, d)),

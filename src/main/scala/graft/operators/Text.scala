@@ -77,6 +77,22 @@ object Text {
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("ctf"))
       .orderBy(col("term"))
 
+  /** Per-language bottom-k MinHash sketch of the shingle space — a
+    * native TypedImperativeAggregate ([[graft.functions.BottomK]]) over
+    * the codegen'd [[graft.functions.PolyHash]] shingle hashes. The
+    * sketches estimate cross-language content similarity with k longs
+    * per group.
+    */
+  def minhashSketch(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"), explode(graft.dedup.Dedup.shingles(col("text"))).as("sh"))
+      .select(col("lang"),
+        graft.functions.TextExpressionFunctions.polyHash(col("sh")).as("h"))
+      .groupBy(col("lang"))
+      .agg(graft.functions.BottomK.bottomK(col("h"), 8).as("sketch"),
+        count(lit(1)).as("n_shingles"))
+      .orderBy(col("lang"))
+
   /** Corpus bigram frequencies over analyzed tokens (adjacent pairs). */
   def bigrams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -134,6 +150,18 @@ object Text {
          |  ${fingerprintSql("text")} AS fp_raw,
          |  ${fingerprintSql(normalizedSql("text"))} AS fp_norm
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "txt_minhash_sketch" ->
+      s"""WITH h AS (
+         |  SELECT lang,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(string_split_regex(sh, ''), c -> CAST(ascii(c) AS BIGINT))),
+         |      (a, c) -> (a * 31 + c) % 1000000007) AS h
+         |  FROM (SELECT lang, unnest(${graft.dedup.Dedup.shinglesSql("text")}) AS sh FROM documents))
+         |SELECT lang,
+         |  list_slice(list_sort(list_distinct(list(h))), 1, 8) AS sketch,
+         |  CAST(count(*) AS BIGINT) AS n_shingles
+         |FROM h GROUP BY lang ORDER BY lang""".stripMargin,
 
     "txt_bigrams" ->
       s"""SELECT bigram, CAST(count(*) AS BIGINT) AS n_docs

@@ -65,6 +65,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.2)
   }
 
+  test("BottomK aggregate: merge path equals a scala reference across partitionings") {
+    import graft.functions.BottomK.bottomK
+    val vals = (1L to 1000L).map(i => (i % 7, (i * 37) % 101)) // dups across groups
+    import spark.implicits._
+    val df = vals.toDF("g", "v")
+    val expect = vals.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.sorted.take(5).toSeq).toMap
+    for (parts <- Seq(1, 13)) {
+      val got = df.repartition(parts).groupBy(col("g"))
+        .agg(bottomK(col("v"), 5).as("bk")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(got == expect, s"parts=$parts")
+    }
+  }
+
   test("multimodal decode emits one typed row per doc with stable stub values") {
     val rows = Pipeline.mmDecodeMeta(spark, sf).collect()
     assert(rows.length == docs.count())
