@@ -124,32 +124,6 @@ object Dedup {
   private def permA(i: Int): Long = 2L * i + 1 + 104729L * (i + 1) % MinHashP
   private def permB(i: Int): Long = (7919L * (i + 1) + 13) % MinHashP
 
-  private def sqlLongArray(xs: Seq[Long]): String =
-    xs.map(x => s"${x}L").mkString("array(", ", ", ")")
-
-  /** Per-doc MinHash signature: array of 64 BIGINT minima over shingle
-    * hashes, h_i(s) = (a_i·fp(s) + b_i) mod p.
-    *
-    * Evaluation-cost note: interpreted HOF expressions re-evaluate any
-    * inlined sub-expression at every lambda reference (ProjectCollapse
-    * merges chained selects, so a named column is no protection). The
-    * shape below hashes each shingle exactly ONCE (inner transform),
-    * expands each hash to its 64 permuted values (cheap arithmetic), and
-    * folds element-wise minima with zip_with — per doc: |sh| char-folds +
-    * |sh|·64 mult-mods, not 64·|sh| char-folds.
-    */
-  def minhashSignature(shCol: String): Column = expr(
-    s"""aggregate(
-       |  transform(
-       |    transform($shCol, s -> aggregate(split(s, ''), 0L,
-       |      (a, c) -> (a * 31 + ascii(c)) % $MinHashP)),
-       |    h -> transform(sequence(0, ${MinHashPerms - 1}), i ->
-       |      (element_at(${sqlLongArray((0 until MinHashPerms).map(permA))}, i + 1) * h
-       |       + element_at(${sqlLongArray((0 until MinHashPerms).map(permB))}, i + 1))
-       |      % $MinHashP)),
-       |  array_repeat(${Long.MaxValue}L, $MinHashPerms),
-       |  (acc, v) -> zip_with(acc, v, (x, y) -> least(x, y)))""".stripMargin)
-
   /** (doc_id, band, key) LSH bucket rows, computed codegen-first: explode
     * shingles → one interpreted char-fold per (doc, shingle) → expand to
     * 64 permuted hashes (pure codegen arithmetic) → partial-aggregated
