@@ -1,0 +1,25 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (SURVEY §5). AQE's skew-join handles most
+  * cases at runtime; explicit salting remains the tool when one join key
+  * dominates so heavily that even split shuffle blocks hot-spot (e.g. a
+  * null-ish sentinel key joining a dimension).
+  */
+object Skew {
+
+  /** Salted equi-join: the big (skewed) side gets a deterministic salt in
+    * [0, salts) derived from a non-key column hash; the small side is
+    * replicated `salts` times. Result rows are identical to a plain
+    * inner join on `key`, but the shuffle spreads each hot key over
+    * `salts` reducers.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int, saltSource: Column): DataFrame = {
+    val salted = big.withColumn("_salt", pmod(abs(hash(saltSource)), lit(salts)))
+    val replicated = small.withColumn("_salt", explode(typedlit((0 until salts).toList)))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}

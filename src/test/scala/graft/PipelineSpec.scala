@@ -65,6 +65,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.2)
   }
 
+  test("salted join returns exactly the rows of the plain join") {
+    import graft.operators.Skew
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
+    val ord = Tables.orders(spark, sf).select("l_orderkey".replace("l_", "o_"), "o_totalprice")
+      .withColumnRenamed("o_orderkey", "l_orderkey")
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "o_totalprice").map(col)
+    val plain = li.join(ord, Seq("l_orderkey")).select(cols: _*)
+      .collect().map(_.toSeq).toSet
+    val salted = Skew.saltedJoin(li, ord, "l_orderkey", 4, col("l_partkey"))
+      .select(cols: _*).collect().map(_.toSeq).toSet
+    assert(salted == plain)
+    assert(plain.nonEmpty)
+  }
+
   test("BottomK aggregate: merge path equals a scala reference across partitionings") {
     import graft.functions.BottomK.bottomK
     val vals = (1L to 1000L).map(i => (i % 7, (i * 37) % 101)) // dups across groups
