@@ -26,7 +26,7 @@ object MetastoreApi {
     * true/false → boolean. Bare words raise, like json.loads
     * (reference: tests/test_controllers.py:360-372).
     */
-  private[search] def jsonValue(s: String): Any = {
+  private[graft] def jsonValue(s: String): Any = {
     val t = s.trim
     if (t.length >= 2 && t.head == '"' && t.last == '"') t.substring(1, t.length - 1)
     else if (t == "true") true

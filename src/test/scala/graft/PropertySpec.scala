@@ -1,0 +1,68 @@
+package graft
+
+import graft.search.{Analyzer, MetastoreApi}
+import graft.text.PorterStemmer
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based guards (raw scalacheck generators, fixed seed) for the
+  * pure driver-side pieces that must agree with the engine-side
+  * expressions.
+  */
+class PropertySpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val asciiText: Gen[String] =
+    Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '.', ',', '-', '_', '!'),
+      1 -> Gen.oneOf('\t', '"', '\'', '(', ')')))
+      .map(_.mkString)
+
+  test("driver-side analyzeQuery equals engine-side tokens() on arbitrary ASCII") {
+    import spark.implicits._
+    val inputs = samples(asciiText, 300)
+    val engineSide = inputs.toDF("s")
+      .select(Analyzer.tokens(col("s")).as("t")).collect()
+      .map(_.getSeq[String](0).toList)
+    val driverSide = inputs.map(Analyzer.analyzeQuery(_).toList)
+    engineSide.zip(driverSide).zip(inputs).foreach { case ((e, d), s) =>
+      assert(e == d, s"analyzer divergence on input: '$s'")
+    }
+  }
+
+  test("stemmer is total and yields non-empty lowercase stems") {
+    samples(Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString), 500).foreach { w =>
+      val s = PorterStemmer.stem(w)
+      assert(s.nonEmpty, s"empty stem for '$w'")
+      assert(s == s.toLowerCase)
+      assert(s.length <= w.length)
+    }
+  }
+
+  test("stemmer reaches a fixed point within two applications") {
+    val suffixes = Seq("s", "ed", "ing", "es", "ation", "ness", "ful")
+    val gen = for {
+      root <- Gen.listOfN(6, Gen.alphaLowerChar).map(_.mkString)
+      suf <- Gen.oneOf(suffixes)
+    } yield root + suf
+    samples(gen, 500).foreach { w =>
+      val twice = PorterStemmer.stem(PorterStemmer.stem(w))
+      assert(PorterStemmer.stem(twice) == twice, s"no fixed point for '$w'")
+    }
+  }
+
+  test("jsonValue decodes like json.loads for scalars and rejects bare words") {
+    assert(MetastoreApi.jsonValue("\"str6\"") == "str6")
+    assert(MetastoreApi.jsonValue("6") == 6L)
+    assert(MetastoreApi.jsonValue("6.5") == 6.5)
+    assert(MetastoreApi.jsonValue("true") == true)
+    assert(MetastoreApi.jsonValue("false") == false)
+    intercept[IllegalArgumentException](MetastoreApi.jsonValue("str6"))
+    intercept[IllegalArgumentException](MetastoreApi.jsonValue(""))
+  }
+}
