@@ -39,6 +39,7 @@ object SparkEntry {
     "q_set_ops"        -> ((s, d) => Relational.qSetOps(s, d)),
     "q_scalar_subquery" -> ((s, d) => Relational.qScalarSubquery(s, d)),
     "q_topk_per_group" -> ((s, d) => Relational.qTopkPerGroup(s, d)),
+    "q_topk_native"    -> ((s, d) => Relational.qTopkNative(s, d)),
     "q_distinct"       -> ((s, d) => Relational.qDistinct(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
     "q_pivot"        -> ((s, d) => Relational.qPivot(s, d)),
@@ -262,6 +263,14 @@ object SparkEntry {
         |  FROM part
         |) WHERE rk <= 3
         |ORDER BY p_brand, rk""".stripMargin,
+
+    "q_topk_native" ->
+      """SELECT p_brand, p_partkey, p_retailprice FROM (
+        |  SELECT p_brand, p_partkey, p_retailprice,
+        |    row_number() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rk
+        |  FROM part
+        |) WHERE rk <= 3
+        |ORDER BY p_brand, p_retailprice DESC, p_partkey""".stripMargin,
 
     "q_distinct" ->
       """SELECT c_mktsegment,

@@ -158,6 +158,17 @@ object Relational {
       .orderBy(col("p_brand"), col("rk"))
   }
 
+  /** Top-3 per brand via the NATIVE TopKPerKey operator (custom
+    * LogicalPlan + Strategy + partial/final SparkPlan, SURVEY §4) —
+    * same results as the window-function variant, but the shuffle
+    * carries ≤ k rows per (partition, key).
+    */
+  def qTopkNative(spark: SparkSession, dir: String): DataFrame =
+    graft.plans.TopK.perKey(
+        Tables.part(spark, dir).select("p_brand", "p_partkey", "p_retailprice"),
+        Seq("p_brand"), Seq(("p_retailprice", true), ("p_partkey", false)), 3)
+      .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
+
   /** Exact distinct counts per group. */
   def qDistinct(spark: SparkSession, dir: String): DataFrame = {
     Tables.customer(spark, dir)

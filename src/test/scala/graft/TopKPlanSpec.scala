@@ -1,0 +1,42 @@
+package graft
+
+import graft.plans.TopK
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TopKPlanSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("native TopKPerKey equals the window row_number variant") {
+    val native = operators.Relational.qTopkNative(spark, sf).collect().map(_.toSeq)
+    val window = operators.Relational.qTopkPerGroup(spark, sf)
+      .select("p_brand", "p_partkey", "p_retailprice")
+      .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
+      .collect().map(_.toSeq)
+    assert(native.toSeq == window.toSeq)
+  }
+
+  test("plan shape: partial heap before the exchange, final after") {
+    val df = TopK.perKey(
+      Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice"),
+      Seq("o_custkey"), Seq(("o_totalprice", true), ("o_orderkey", false)), 2)
+    val p = df.queryExecution.executedPlan.toString
+    val iPartial = p.indexOf("TopKPerKeyPartial")
+    val iFinal = p.indexOf("TopKPerKeyFinal")
+    val iExchange = p.indexOf("Exchange hashpartitioning")
+    assert(iPartial >= 0 && iFinal >= 0 && iExchange >= 0, p)
+    // plan prints top-down: Final above Exchange above Partial
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"expected Final > Exchange > Partial order in:\n$p")
+    // correctness: every key emits at most 2 rows, the true max first
+    val rows = df.collect()
+    val byKey = rows.groupBy(_.getLong(0))
+    assert(byKey.values.forall(_.length <= 2))
+    val trueMax = Tables.orders(spark, sf).groupBy("o_custkey")
+      .agg(max("o_totalprice").as("m")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    byKey.foreach { case (k, rs) =>
+      assert(rs.map(_.getDouble(2)).max == trueMax(k))
+    }
+  }
+}
