@@ -119,9 +119,10 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH ANN: deterministic pseudo-random hyperplanes
-    * (hash-derived coefficients in [-1, 1]), sign bits → bucket; per-bucket
-    * top-k then global re-rank. Approximate by construction (rows-only
-    * check; recall vs [[bruteTopK]] is pinned in AnnSpec).
+    * (hash-derived coefficients in [-1, 1]), sign bits → bucket;
+    * multi-probe (hamming ≤ 1 bucket neighborhood) then exact re-rank.
+    * Approximate by construction (rows-only check; recall vs
+    * [[bruteTopK]] is pinned in PipelineSpec).
     */
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
               planes: Int = 4): DataFrame = {
@@ -145,8 +146,11 @@ object Similarity {
     val queries = withB.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("nrm").as("q_nrm"), col("bkt").as("q_bkt"))
+    // multi-probe: a sign flip near the hyperplane moves one bit, so
+    // probing the hamming-1 neighborhood recovers most boundary misses
     val scored = withB.join(broadcast(queries),
-        col("bkt") === col("q_bkt") && col("vec_id") =!= col("q_id"))
+        bit_count(col("bkt").bitwiseXOR(col("q_bkt"))) <= 1 &&
+          col("vec_id") =!= col("q_id"))
       .withColumn("cos_x1e6",
         floor(cosine(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")) * 1e6)
           .cast("long"))

@@ -50,8 +50,8 @@ class PipelineSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     assert(lsh.nonEmpty)
     val recall = (brute & lsh).size.toDouble / brute.size
-    info(f"LSH ANN recall@10 = $recall%.2f (bucket-restricted, approximate by design)")
-    assert(recall > 0.05)
+    info(f"LSH ANN recall@10 = $recall%.2f (multi-probe hamming<=1, approximate by design)")
+    assert(recall > 0.3)
   }
 
   test("IVF ANN probes nearest cells with measured recall") {
