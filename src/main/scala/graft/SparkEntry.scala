@@ -73,7 +73,10 @@ object SparkEntry {
     "txt_minhash_sketch" -> ((s, d) => Text.minhashSketch(s, d)),
     "ann_pair_sim"   -> ((s, d) => Pipeline.annPairSim(s, d)),
     // §2.6 multimodal
-    "mm_decode_meta" -> ((s, d) => Pipeline.mmDecodeMeta(s, d)),
+    "mm_decode_meta"  -> ((s, d) => Pipeline.mmDecodeMeta(s, d)),
+    "mm_resize"       -> ((s, d) => Pipeline.mmResize(s, d)),
+    "mm_frame_sample" -> ((s, d) => Pipeline.mmFrameSample(s, d)),
+    "mm_features"     -> ((s, d) => Pipeline.mmFeatures(s, d)),
     // §2.7 streaming (batch-equivalent plans; streaming pinned in specs)
     "stream_window_agg" -> ((s, d) => Pipeline.streamWindowAgg(s, d)),
     "stream_sessionize" -> ((s, d) => Pipeline.streamSessionize(s, d)),

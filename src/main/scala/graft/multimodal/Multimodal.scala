@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Decoded-media metadata row (SURVEY §2.6). */
@@ -28,6 +28,35 @@ object Multimodal {
     while (i < bytes.length) { acc = (acc * 31 + (bytes(i) & 0xffL)) % 1000000007L; i += 1 }
     (acc, 1 + acc % 640, 1 + acc % 480, 1 + acc % 16)
   }
+
+  /** Resize metadata to fit a square box, aspect preserved — integer
+    * arithmetic only (oracle-exact): new_d = (d · box) div max(w, h).
+    */
+  def resizePlan(meta: DataFrame, box: Int = 224): DataFrame =
+    meta.select(col("doc_id"), col("width"), col("height"),
+      expr(s"(width * $box) div greatest(width, height)").as("new_w"),
+      expr(s"(height * $box) div greatest(width, height)").as("new_h"))
+      .orderBy(col("doc_id"))
+
+  /** Frame sampling: every ceil(n/4)-th frame index (≤ 4 samples). */
+  def frameSamplePlan(meta: DataFrame): DataFrame =
+    meta.select(col("doc_id"), col("n_frames"),
+      expr("sequence(0L, n_frames - 1, (n_frames + 3) div 4)").as("frame_idx"))
+      .orderBy(col("doc_id"))
+
+  /** STUB feature extraction: a deterministic pseudo-feature vector
+    * seeded from the decoded fingerprint — stands in for an image
+    * embedding model; the shape (fixed-width double[64] per payload,
+    * derived inside the plan) is what a real extractor plugs into.
+    */
+  def featuresPlan(meta: DataFrame, dim: Int = 64): DataFrame =
+    meta.select(col("doc_id"),
+      // CAST: a bare 1000.0 literal is DECIMAL in Spark SQL, DOUBLE in
+      // DuckDB — force double division on both sides
+      expr(s"transform(sequence(0, ${dim - 1}), i -> " +
+        "CAST((fp * (i + 13)) % 2001 - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE))")
+        .as("features"))
+      .orderBy(col("doc_id"))
 
   /** Binary payload → typed metadata via mapPartitions (the Scala analog
     * of `mapInPandas` batch decode: one iterator pass per partition, no

@@ -53,6 +53,15 @@ object Pipeline {
   def mmDecodeMeta(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeMeta(Tables.documents(s, d))
 
+  def mmResize(s: SparkSession, d: String): DataFrame =
+    Multimodal.resizePlan(Multimodal.decodeMeta(Tables.documents(s, d)))
+
+  def mmFrameSample(s: SparkSession, d: String): DataFrame =
+    Multimodal.frameSamplePlan(Multimodal.decodeMeta(Tables.documents(s, d)))
+
+  def mmFeatures(s: SparkSession, d: String): DataFrame =
+    Multimodal.featuresPlan(Multimodal.decodeMeta(Tables.documents(s, d)))
+
   // --- §2.7 streaming (batch-equivalent oracle path) ---------------------
 
   def streamWindowAgg(s: SparkSession, d: String): DataFrame =
@@ -147,6 +156,30 @@ object Pipeline {
          |  FROM sc)
          |SELECT q_id, rk, vec_id, cos_x1e6 FROM rk WHERE rk <= 10
          |ORDER BY q_id, rk""".stripMargin,
+
+    "mm_resize" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  1 + ${TextFunctions.fingerprintSql("text")} % 640 AS width,
+         |  1 + ${TextFunctions.fingerprintSql("text")} % 480 AS height
+         |FROM documents)
+         |SELECT doc_id, width, height,
+         |  (width * 224) // greatest(width, height) AS new_w,
+         |  (height * 224) // greatest(width, height) AS new_h
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  1 + ${TextFunctions.fingerprintSql("text")} % 16 AS n_frames
+         |FROM documents)
+         |SELECT doc_id, n_frames,
+         |  range(CAST(0 AS BIGINT), CAST(n_frames AS BIGINT), (n_frames + 3) // 4) AS frame_idx
+         |FROM m ORDER BY doc_id""".stripMargin,
+
+    "mm_features" ->
+      s"""WITH m AS (SELECT doc_id, ${TextFunctions.fingerprintSql("text")} AS fp FROM documents)
+         |SELECT doc_id,
+         |  list_transform(range(0, 64), i -> ((fp * (i + 13)) % 2001 - 1000) / 1000.0) AS features
+         |FROM m ORDER BY doc_id""".stripMargin,
 
     "mm_decode_meta" ->
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
