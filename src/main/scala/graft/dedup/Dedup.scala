@@ -61,13 +61,6 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
-  /** Candidate pairs via shared shingles, verified by exact Jaccard ≥ τ.
-    * The shared-shingle join is the blocking step: only docs with ≥1
-    * common shingle ever meet (no O(n²) pair enumeration), and the
-    * GROUP-BY-count of the join output IS |A∩B| (shingle arrays are
-    * distinct) — no pair-distinct pass and no per-pair array math.
-    * |A∪B| = |A|+|B|−|A∩B| from a broadcast doc→size table.
-    */
   /** Exploded distinct shingles (doc_id, s), materialized once via
     * localCheckpoint: every consumer (self-join sides, size counts,
     * verification) reads the checkpointed blocks instead of re-running
@@ -78,6 +71,13 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
       .localCheckpoint()
 
+  /** Candidate pairs via shared shingles, verified by exact Jaccard ≥ τ.
+    * The shared-shingle join is the blocking step: only docs with ≥1
+    * common shingle ever meet (no O(n²) pair enumeration), and the
+    * GROUP-BY-count of the join output IS |A∩B| (shingle arrays are
+    * distinct) — no pair-distinct pass and no per-pair array math.
+    * |A∪B| = |A|+|B|−|A∩B| from a broadcast doc→size table.
+    */
   def ngramJaccardPairs(docs: DataFrame, tauX1e6: Long = 500000L): DataFrame = {
     val ex = explodedShingles(docs)
     val inter = ex.as("x").join(ex.as("y"),
