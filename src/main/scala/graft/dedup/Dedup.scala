@@ -138,8 +138,7 @@ object Dedup {
     val perms = typedlit((0 until MinHashPerms).map(i => (i, permA(i), permB(i))))
     exSh
       .select(col("doc_id"),
-        expr(s"aggregate(split(s, ''), 0L, (a, c) -> (a * 31 + ascii(c)) % $MinHashP)")
-          .as("h"))
+        graft.functions.TextExpressionFunctions.polyHash(col("s"), 31L, MinHashP).as("h"))
       .select(col("doc_id"), col("h"), explode(perms).as("p"))
       .select(col("doc_id"), col("p._1").as("perm"),
         ((col("p._2") * col("h") + col("p._3")) % MinHashP).as("hv"))

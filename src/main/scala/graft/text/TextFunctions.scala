@@ -38,13 +38,13 @@ object TextFunctions {
     s"CAST(len(regexp_extract_all(lower($e), '$bpeRegex')) AS BIGINT)"
 
   /** Rolling polynomial hash fingerprint over the string's characters:
-    * fold(chars, 0, (acc, ch) -> (acc*31 + ascii(ch)) mod FpMod).
-    * Left-fold order is identical in Spark `aggregate` and DuckDB
-    * `list_reduce`, making the hash bit-exact across engines.
+    * fold(chars, 0, (acc, ch) -> (acc*31 + codepoint) mod FpMod).
+    * Evaluated by the codegen'd native [[graft.functions.PolyHash]];
+    * bit-exact with DuckDB's `list_reduce` char fold for ASCII/BMP text
+    * (pinned in AnalyzerSpec).
     */
   def fingerprint(c: Column): Column =
-    aggregate(transform(split(c, ""), ch => ascii(ch).cast("long")),
-              lit(0L), (acc, x) => (acc * 31 + x) % FpMod)
+    graft.functions.TextExpressionFunctions.polyHash(c, 31L, FpMod)
 
   def fingerprintSql(e: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
