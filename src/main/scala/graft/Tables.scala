@@ -23,6 +23,20 @@ object Tables {
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Fan a scan out to the session's core count ONLY when the source is
+    * under-parallelized. At 100 TB an input arrives as thousands of
+    * parquet splits, `getNumPartitions >= defaultParallelism`, and this
+    * is an identity — no corpus-wide shuffle ever happens on a real
+    * cluster. Locally the driver's single-row-group test files open as
+    * ONE partition, which would serialize every downstream expression;
+    * only in that degenerate case do we pay one round-robin shuffle.
+    * (Replaces the unconditional `repartition` flagged in VERDICT r1 #3.)
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+  }
+
   /** The "dataset index" view: maps the `documents` table onto the
     * reference's dataset-document shape (reference: metastore/models.py:14-35
     * — fields datahub.{owner,ownerid,findability,stats.bytes},

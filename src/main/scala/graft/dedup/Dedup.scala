@@ -67,7 +67,7 @@ object Dedup {
     * the interpreted shingle expression per consumer.
     */
   def explodedShingles(docs: DataFrame): DataFrame =
-    docs.repartition(col("doc_id"))
+    graft.Tables.fanOut(docs)
       .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
       .localCheckpoint()
 
@@ -210,10 +210,9 @@ object Dedup {
     * blocking (pigeonhole: K=3 differing bits can't hit all 4 bands).
     */
   def simhashPairs(docs: DataFrame): DataFrame = {
-    // parallelize the scan, compute sigs once, materialize them so both
-    // self-join sides read the checkpoint instead of recomputing
-    val sigs = docs
-      .repartition(col("doc_id"))
+    // compute sigs once, materialize them so both self-join sides read
+    // the checkpoint instead of recomputing (fanOut = identity at scale)
+    val sigs = graft.Tables.fanOut(docs)
       .select(col("doc_id"), Analyzer.tokens(col("text")).as("toks"))
       .select(col("doc_id"), simhashSignature("toks").as("sig"))
       .localCheckpoint()

@@ -38,10 +38,16 @@ object Multimodal {
       expr(s"(height * $box) div greatest(width, height)").as("new_h"))
       .orderBy(col("doc_id"))
 
-  /** Frame sampling: every ceil(n/4)-th frame index (≤ 4 samples). */
+  /** Frame sampling: every ceil(n/4)-th frame index (≤ 4 samples).
+    * The sampled indices are emitted as a CSV string, not an array: the
+    * driver's comparator can't hash array cells, and a canonical scalar
+    * rendering keeps the query oracle-gateable (VERDICT r1 #1).
+    */
   def frameSamplePlan(meta: DataFrame): DataFrame =
     meta.select(col("doc_id"), col("n_frames"),
-      expr("sequence(0L, n_frames - 1, (n_frames + 3) div 4)").as("frame_idx"))
+      array_join(
+        expr("transform(sequence(0L, n_frames - 1, (n_frames + 3) div 4), x -> CAST(x AS STRING))"),
+        ",").as("frame_idx_csv"))
       .orderBy(col("doc_id"))
 
   /** STUB feature extraction: a deterministic pseudo-feature vector
@@ -52,11 +58,12 @@ object Multimodal {
   def featuresPlan(meta: DataFrame, dim: Int = 64): DataFrame =
     meta.select(col("doc_id"),
       // CAST: a bare 1000.0 literal is DECIMAL in Spark SQL, DOUBLE in
-      // DuckDB — force double division on both sides
-      expr(s"transform(sequence(0, ${dim - 1}), i -> " +
-        "CAST((fp * (i + 13)) % 2001 - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE))")
-        .as("features"))
-      .orderBy(col("doc_id"))
+      // DuckDB — force double division on both sides. One row per vector
+      // slot (posexplode) so the gate hash-compares scalar cells.
+      posexplode(expr(s"transform(sequence(0, ${dim - 1}), i -> " +
+        "CAST((fp * (i + 13)) % 2001 - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE))"))
+        .as(Seq("i", "feature")))
+      .orderBy(col("doc_id"), col("i"))
 
   /** Binary payload → typed metadata via mapPartitions (the Scala analog
     * of `mapInPandas` batch decode: one iterator pass per partition, no

@@ -172,14 +172,16 @@ object Pipeline {
          |  1 + ${TextFunctions.fingerprintSql("text")} % 16 AS n_frames
          |FROM documents)
          |SELECT doc_id, n_frames,
-         |  range(CAST(0 AS BIGINT), CAST(n_frames AS BIGINT), (n_frames + 3) // 4) AS frame_idx
+         |  array_to_string(range(CAST(0 AS BIGINT), CAST(n_frames AS BIGINT), (n_frames + 3) // 4), ',')
+         |    AS frame_idx_csv
          |FROM m ORDER BY doc_id""".stripMargin,
 
     "mm_features" ->
       s"""WITH m AS (SELECT doc_id, ${TextFunctions.fingerprintSql("text")} AS fp FROM documents)
-         |SELECT doc_id,
-         |  list_transform(range(0, 64), i -> ((fp * (i + 13)) % 2001 - 1000) / 1000.0) AS features
-         |FROM m ORDER BY doc_id""".stripMargin,
+         |SELECT doc_id, CAST(t.i AS INT) AS i,
+         |  ((fp * (t.i + 13)) % 2001 - 1000) / 1000.0 AS feature
+         |FROM m CROSS JOIN range(0, 64) t(i)
+         |ORDER BY doc_id, i""".stripMargin,
 
     "mm_decode_meta" ->
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,

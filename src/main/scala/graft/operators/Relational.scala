@@ -34,8 +34,10 @@ object Relational {
   }
 
   /** Q3-style: 3-way join, agg, top-k with deterministic tie-break.
-    * The two dimension-side inputs are small after their filters → Catalyst
-    * broadcast-joins them against lineitem (verified via explain).
+    * No explicit broadcast hints: orders and customer are fact-sized
+    * (they grow with SF — a hint would pin a driver-OOM plan at 100 TB
+    * and override AQE's size-based decision). Catalyst/AQE still
+    * broadcasts the post-filter sides whenever their stats allow.
     */
   def q3JoinTopk(spark: SparkSession, dir: String): DataFrame = {
     val cutoff = lit("1995-03-15").cast("timestamp")
@@ -45,15 +47,21 @@ object Relational {
       .select("o_orderkey", "o_custkey", "o_orderdate")
     val li = Tables.lineitem(spark, dir).filter(col("l_shipdate") > cutoff)
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"))
       .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).cast("double").as("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(10)
   }
 
-  /** Q5-style star join: region → nation → (customer, supplier) → orders → lineitem. */
+  /** Q5-style star join: region → nation → (customer, supplier) → orders → lineitem.
+    * Broadcast hints only on the fixed-cardinality dims (nation 25,
+    * region 5). orders/customer/supplier all grow with SF, so their join
+    * strategy is left to Catalyst/AQE stats — lineitem⋈orders plans as a
+    * shuffle join at scale (the 2-year filter still keeps ~30% of orders;
+    * a forced broadcast would OOM at 100 TB).
+    */
   def q5MultiJoin(spark: SparkSession, dir: String): DataFrame = {
     val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
     val nat = Tables.nation(spark, dir)
@@ -63,9 +71,9 @@ object Relational {
       .filter(col("o_orderdate") >= lit("1994-01-01").cast("timestamp") &&
               col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
     val li = Tables.lineitem(spark, dir)
-    li.join(broadcast(ord.select("o_orderkey", "o_custkey")), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust.select("c_custkey", "c_nationkey")), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(sup.select("s_suppkey", "s_nationkey")),
+    li.join(ord.select("o_orderkey", "o_custkey"), col("l_orderkey") === col("o_orderkey"))
+      .join(cust.select("c_custkey", "c_nationkey"), col("o_custkey") === col("c_custkey"))
+      .join(sup.select("s_suppkey", "s_nationkey"),
             col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nat.select("n_nationkey", "n_name", "n_regionkey")),
             col("s_nationkey") === col("n_nationkey"))

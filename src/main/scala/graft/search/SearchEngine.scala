@@ -89,9 +89,9 @@ class SearchEngine(
     // query terms (codegen'd isin), count (doc, field, term) occurrences.
     // One analyzer pass per field; everything downstream of the explode
     // is whole-stage codegen + partial aggregation — the same plan that
-    // builds the corpus index at scale. The (single-file) scan is spread
-    // across the cluster first.
-    val tokenRows = docs.repartition(col(idCol)).select(
+    // builds the corpus index at scale. No corpus shuffle: input splits
+    // parallelize the scan (Tables.fanOut is an identity at scale).
+    val tokenRows = graft.Tables.fanOut(docs).select(
       col(idCol),
       explode(array(fields.map(f =>
         struct(lit(f.name).as("field"), lit(f.boost.toLong).as("boost"),

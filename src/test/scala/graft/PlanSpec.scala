@@ -11,12 +11,21 @@ class PlanSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
-  test("q3: dimension sides broadcast, fact filters pushed to parquet") {
-    val p = plan(operators.Relational.q3JoinTopk(spark, sf))
-    assert(p.contains("BroadcastHashJoin"), "expected broadcast joins")
-    assert(!p.contains("SortMergeJoin"), "no fact-fact sort-merge expected")
+  test("q3: no broadcast hints on fact-sized inputs, filters pushed to parquet") {
+    val df = operators.Relational.q3JoinTopk(spark, sf)
+    // orders/customer grow with SF: the join strategy must stay with
+    // Catalyst/AQE stats, never a pinned hint (VERDICT r1 #2)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "fact-sized join inputs must not carry explicit broadcast hints")
+    val p = plan(df)
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
       "lineitem date filter must reach the scan")
+  }
+
+  test("q5: broadcast hints only on the fixed-cardinality dims") {
+    val df = operators.Relational.q5MultiJoin(spark, sf)
+    val hints = "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).length
+    assert(hints == 2, s"expected exactly nation+region hinted, got $hints hints")
   }
 
   test("q6: all predicates pushed, schema pruned to 4 columns") {
