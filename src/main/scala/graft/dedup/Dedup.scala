@@ -71,30 +71,52 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
       .localCheckpoint()
 
-  /** Candidate pairs via shared shingles, verified by exact Jaccard ≥ τ.
-    * The shared-shingle join is the blocking step: only docs with ≥1
-    * common shingle ever meet (no O(n²) pair enumeration), and the
-    * GROUP-BY-count of the join output IS |A∩B| (shingle arrays are
-    * distinct) — no pair-distinct pass and no per-pair array math.
-    * |A∪B| = |A|+|B|−|A∩B| from a broadcast doc→size table.
+  /** Candidate pairs via PREFIX FILTERING (the AllPairs/PPJoin scheme),
+    * verified by exact Jaccard ≥ τ — lossless, with a built-in guard
+    * against hot boilerplate shingles.
+    *
+    * Order every doc's shingles by global rarity (df asc, shingle asc)
+    * and keep only the first |A| − ⌈τ·|A|⌉ + 1 as its *prefix*; join
+    * prefixes, not full postings. Lossless: if J(A,B) ≥ τ and A's prefix
+    * held no shared shingle, A would have ≥ |A| − ⌈τ|A|⌉ + 1 unshared
+    * shingles, so |A∩B| ≤ ⌈τ|A|⌉ − 1 < τ|A| ≤ τ|A∪B| — contradiction;
+    * and since shared shingles sit at the same global positions in both
+    * docs, the globally-smallest shared shingle is in BOTH prefixes.
+    * (Pinned against brute force on adversarial corpora in PipelineSpec.)
+    *
+    * Scale: a boilerplate shingle with df in the millions lands at the
+    * END of every doc's rarity order, so it never enters a prefix unless
+    * a doc consists almost entirely of boilerplate — the d·(d−1)/2 pair
+    * blowup of the naive postings self-join cannot happen. The df join
+    * and the per-doc ranking are narrow (doc_id, shingle, df) shuffles.
     */
   def ngramJaccardPairs(docs: DataFrame, tauX1e6: Long = 500000L): DataFrame = {
     val ex = explodedShingles(docs)
-    val inter = ex.as("x").join(ex.as("y"),
+    val dfs = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    val bySz = Window.partitionBy(col("doc_id"))
+    val prefix = ex.join(dfs, Seq("s"))
+      .withColumn("rn", row_number().over(byRarity))
+      .withColumn("sz", count(lit(1)).over(bySz))
+      // ⌈τ·sz⌉ with τ = tauX1e6/1e6 in pure BIGINT arithmetic
+      .filter(col("rn") <= col("sz") - expr(s"($tauX1e6 * sz + 999999) div 1000000") + 1)
+      .select(col("doc_id"), col("s"))
+    val cand = prefix.as("x").join(prefix.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("jac_inter"))
-    jaccardFromCounts(inter, ex, tauX1e6)
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    verifyJaccard(cand, ex, tauX1e6)
   }
 
   /** (a, b, jac_inter) + doc sizes (from the exploded shingles) →
     * (a, b, j_x1e6) ≥ τ, ordered.
     */
   private def jaccardFromCounts(inter: DataFrame, ex: DataFrame, tauX1e6: Long): DataFrame = {
+    // no broadcast hint: the size table is corpus-cardinality (8+8 B/doc)
+    // — AQE broadcasts it when small, shuffle-joins it at 100 TB
     val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     inter
-      .join(broadcast(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a"))), Seq("a"))
-      .join(broadcast(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b"))), Seq("b"))
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), Seq("a"))
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), Seq("b"))
       .withColumn("j_x1e6",
         expr("(1000000 * jac_inter) div (sz_a + sz_b - jac_inter)"))
       .filter(col("j_x1e6") >= tauX1e6)
@@ -107,7 +129,8 @@ object Dedup {
     * touches only candidate docs.
     */
   private def verifyJaccard(cand: DataFrame, ex: DataFrame, tauX1e6: Long): DataFrame = {
-    val inter = ex.as("x").join(broadcast(cand), col("x.doc_id") === col("a"))
+    // candidate set size is data-dependent: leave the strategy to AQE
+    val inter = ex.as("x").join(cand, col("x.doc_id") === col("a"))
       .join(ex.as("y"), col("y.doc_id") === col("b") && col("y.s") === col("x.s"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("jac_inter"))

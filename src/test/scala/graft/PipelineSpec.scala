@@ -19,6 +19,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(brute.nonEmpty, "expected planted near-dup pairs in the test data")
   }
 
+  test("prefix-filtered ngram-jaccard equals brute force on a hot-shingle corpus") {
+    // adversarial shape: every doc shares the same boilerplate run (a
+    // df=n shingle), plus per-doc content; naive postings self-join emits
+    // O(n²) pairs from the boilerplate alone — prefix filtering must
+    // still return exactly the brute-force answer
+    import spark.implicits._
+    val boiler = "terms of service apply to all users"
+    val corpus = (0L until 40L).map { i =>
+      val near = if (i % 2 == 1) s"item${i - 1}" else s"item$i" // 20 near-dup pairs
+      (i, s"$boiler document $near alpha beta gamma delta epsilon zeta")
+    } :+ (99L, s"$boiler $boiler $boiler") // a doc that is pure boilerplate
+    val df = corpus.toDF("doc_id", "text")
+    val got = Dedup.ngramJaccardPairs(df).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // brute force in Scala over the same shingle definition
+    def sh(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString("_")).toSet
+    val mats = corpus.map { case (id, t) => id -> sh(t) }
+    val want = (for {
+      (a, sa) <- mats; (b, sb) <- mats if a < b
+      inter = (sa & sb).size if inter > 0
+      j = 1000000L * inter / (sa.size + sb.size - inter) if j >= 500000L
+    } yield (a, b, j)).toSet
+    assert(want.nonEmpty, "adversarial corpus must contain true near-dups")
+    assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
+  }
+
   test("exact clusters partition all docs; representatives are minima") {
     val cl = Dedup.exactClusters(docs).collect()
     assert(cl.length == docs.count())
