@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{FloatVecDot, PolyHash, PorterStem}
+import graft.functions.{FloatVecDot, PolyHash, PorterStem, SimHash}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -39,7 +39,10 @@ object GraftExtensions {
       (es: Seq[Expression]) => PorterStem(es.head)),
     ("graft_poly_hash",
       info("graft_poly_hash", "graft_poly_hash(s) - rolling polynomial fingerprint (x31 mod 1e9+7)"),
-      (es: Seq[Expression]) => PolyHash(es.head, 31L, 1000000007L)))
+      (es: Seq[Expression]) => PolyHash(es.head, 31L, 1000000007L)),
+    ("graft_simhash",
+      info("graft_simhash", "graft_simhash(tokens) - 60-bit SimHash of a token array"),
+      (es: Seq[Expression]) => SimHash(es.head)))
 
   /** Register into an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

@@ -195,10 +195,19 @@ object Dedup {
 
   /** 60-bit SimHash over analyzed tokens: two 30-bit char-fold hashes per
     * token (multipliers 31 / 37, moduli 1e9+7 / 998244353); bit j of the
-    * signature = sign of Σ_tokens (2·bit_j(h) − 1). SQL expr for nested
-    * HOF lambdas; bit-exact DuckDB rendering in [[simhashSignatureSql]].
+    * signature = sign of Σ_tokens (2·bit_j(h) − 1). Computed by the
+    * codegen'd native [[graft.functions.SimHash]] expression; bit-exact
+    * DuckDB rendering in [[simhashSignatureSql]], and the interpreted
+    * SQL-expr rendering is kept as [[simhashSignatureInterpreted]] for
+    * the three-way parity spec.
     */
-  def simhashSignature(toksCol: String): Column = expr(
+  def simhashSignature(toksCol: String): Column =
+    graft.functions.TextExpressionFunctions.simHash(col(toksCol))
+
+  /** Interpreted HOF rendering of the same signature (spec-only: the
+    * codegen'd expression must match it bit for bit).
+    */
+  def simhashSignatureInterpreted(toksCol: String): Column = expr(
     // let-bind the two token-hash lists via a 1-element array wrapper so
     // each token is hashed ONCE, not once per bit position (30x saving in
     // interpreted HOF evaluation)

@@ -68,6 +68,92 @@ case class PolyHash(child: Expression, mult: Long, modulus: Long)
   override protected def withNewChildInternal(c: Expression): PolyHash = copy(child = c)
 }
 
+/** 60-bit SimHash over a token array, fully codegen'd (replaces the
+  * interpreted nested-HOF rendering — VERDICT r1 #5). Per token, two
+  * rolling char-fold hashes (×31 mod 1e9+7, ×37 mod 998244353) supply 30
+  * bits each; signature bit j is the sign of Σ_tokens (2·bit_j(h) − 1).
+  * Bit-identical to [[graft.dedup.Dedup.simhashSignatureSql]]'s DuckDB
+  * rendering for ASCII input.
+  */
+case class SimHash(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires array<string> input")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val cnt = new Array[Int](60)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i).toString
+        var h1 = 0L; var h2 = 0L
+        var k = 0
+        while (k < s.length) {
+          val c = s.charAt(k).toLong
+          h1 = (h1 * 31L + c) % 1000000007L
+          h2 = (h2 * 37L + c) % 998244353L
+          k += 1
+        }
+        var j = 0
+        while (j < 30) {
+          cnt(j) += (((h1 >> j) & 1L).toInt * 2) - 1
+          cnt(j + 30) += (((h2 >> j) & 1L).toInt * 2) - 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var j = 0
+    while (j < 60) { if (cnt(j) > 0) sig |= 1L << j; j += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, arr => {
+      val cnt = ctx.freshName("cnt")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      val h1 = ctx.freshName("h1")
+      val h2 = ctx.freshName("h2")
+      val c = ctx.freshName("c")
+      val sig = ctx.freshName("sig")
+      s"""
+         |int[] $cnt = new int[60];
+         |for (int $i = 0; $i < $arr.numElements(); $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    String $s = $arr.getUTF8String($i).toString();
+         |    long $h1 = 0L; long $h2 = 0L;
+         |    for (int $k = 0; $k < $s.length(); $k++) {
+         |      long $c = (long) $s.charAt($k);
+         |      $h1 = ($h1 * 31L + $c) % 1000000007L;
+         |      $h2 = ($h2 * 37L + $c) % 998244353L;
+         |    }
+         |    for (int $j = 0; $j < 30; $j++) {
+         |      $cnt[$j] += (int) (($h1 >> $j) & 1L) * 2 - 1;
+         |      $cnt[$j + 30] += (int) (($h2 >> $j) & 1L) * 2 - 1;
+         |    }
+         |  }
+         |}
+         |long $sig = 0L;
+         |for (int $j = 0; $j < 60; $j++) {
+         |  if ($cnt[$j] > 0) $sig |= 1L << $j;
+         |}
+         |${ev.value} = $sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
+}
+
 object TextExpressionFunctions {
   /** Column API for [[PorterStem]]. */
   def porterStem(c: Column): Column =
@@ -76,4 +162,8 @@ object TextExpressionFunctions {
   /** Column API for [[PolyHash]] with the graft fingerprint constants. */
   def polyHash(c: Column, mult: Long = 31L, modulus: Long = 1000000007L): Column =
     GraftBridge.column(PolyHash(GraftBridge.expression(c), mult, modulus))
+
+  /** Column API for [[SimHash]] over a token-array column. */
+  def simHash(c: Column): Column =
+    GraftBridge.column(SimHash(GraftBridge.expression(c)))
 }

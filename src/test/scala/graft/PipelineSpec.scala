@@ -53,6 +53,15 @@ class PipelineSpec extends AnyFunSuite {
     cl.foreach(r => assert(r.getLong(2) <= r.getLong(0))) // cluster_id <= doc_id
   }
 
+  test("native SimHash equals the interpreted HOF rendering bit for bit") {
+    val both = docs
+      .select(graft.search.Analyzer.tokens(col("text")).as("toks"))
+      .select(Dedup.simhashSignature("toks").as("native"),
+        Dedup.simhashSignatureInterpreted("toks").as("interp"))
+    assert(both.filter(col("native") =!= col("interp")).count() == 0,
+      "codegen'd SimHash diverged from the interpreted spec")
+  }
+
   test("simhash pairs are symmetric-free and within hamming bound") {
     val rows = Dedup.simhashPairs(docs).collect()
     rows.foreach { r =>
