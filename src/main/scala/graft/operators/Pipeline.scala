@@ -143,6 +143,26 @@ object Pipeline {
     "dedup_embedding" -> pairSimSql(400000L),
     "ann_pair_sim" -> pairSimSql(300000L),
 
+    "ann_lsh_topk" ->
+      s"""WITH b AS (
+         |  SELECT vec_id, embedding,
+         |    ${Similarity.normSql("embedding")} AS nrm,
+         |    ${Similarity.lshBucketSql("embedding")} AS bkt
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bkt AS q_bkt
+         |      FROM b WHERE vec_id % 97 = 0),
+         |sc AS (
+         |  SELECT q.q_id, b.vec_id,
+         |    CAST(floor(${Similarity.cosineSql("q.q_emb", "b.embedding")} * 1e6) AS BIGINT) AS cos_x1e6
+         |  FROM b CROSS JOIN q
+         |  WHERE bit_count(xor(b.bkt, q.q_bkt)) <= 1 AND b.vec_id <> q.q_id),
+         |rk AS (
+         |  SELECT q_id, vec_id, cos_x1e6,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_x1e6 DESC, vec_id) AS INT) AS rk
+         |  FROM sc)
+         |SELECT q_id, rk, vec_id, cos_x1e6 FROM rk WHERE rk <= 10
+         |ORDER BY q_id, rk""".stripMargin,
+
     "ann_brute_topk" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 97 = 0),

@@ -124,15 +124,33 @@ object Similarity {
     * Approximate by construction (rows-only check; recall vs
     * [[bruteTopK]] is pinned in PipelineSpec).
     */
+  /** Plane p coefficient for dim d: centered char-fold hash of "p:d" —
+    * fully deterministic, so the bucket function has an exact DuckDB
+    * rendering ([[lshBucketSql]]) and the LSH ANN query is
+    * oracle-gateable despite being approximate vs brute force.
+    */
+  def lshCoef(planes: Int): Seq[Seq[Double]] = (0 until planes).map { p =>
+    (0 until Dim).map { d =>
+      val h = s"$p:$d".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+      ((h % 2001) - 1000) / 1000.0
+    }
+  }
+
+  /** DuckDB rendering of the sign-bit bucket: per plane an explicit
+    * 64-term left-to-right dot chain (same IEEE fold order as the Spark
+    * `zip_with`/`aggregate` evaluation), then Σ 2^p over positive planes.
+    */
+  def lshBucketSql(v: String, planes: Int = 4): String =
+    (0 until planes).map { p =>
+      val dotP = lshCoef(planes)(p).zipWithIndex
+        .map { case (c, d) => s"CAST($v[${d + 1}] AS DOUBLE) * ($c)" }
+        .mkString("(0.0 + ", " + ", ")")
+      s"(CASE WHEN $dotP > 0 THEN CAST(${1L << p} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+    }.mkString("(", " + ", ")")
+
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
               planes: Int = 4): DataFrame = {
-    // plane p coefficient for dim d: centered char-fold hash of "p:d"
-    val coef: Seq[Seq[Double]] = (0 until planes).map { p =>
-      (0 until Dim).map { d =>
-        val h = s"$p:$d".foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
-        ((h % 2001) - 1000) / 1000.0
-      }
-    }
+    val coef = lshCoef(planes)
     def bucket(v: Column): Column =
       (0 until planes).map { p =>
         val dotP = aggregate(
