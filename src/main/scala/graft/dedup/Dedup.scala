@@ -143,34 +143,26 @@ object Dedup {
   val MinHashBands = 16 // 4 rows per band
   val MinHashP = 1000000007L
 
-  /** Deterministic permutation constants a_i (odd), b_i. */
-  private def permA(i: Int): Long = 2L * i + 1 + 104729L * (i + 1) % MinHashP
-  private def permB(i: Int): Long = (7919L * (i + 1) + 13) % MinHashP
-
-  /** (doc_id, band, key) LSH bucket rows, computed codegen-first: explode
-    * shingles → one interpreted char-fold per (doc, shingle) → expand to
-    * 64 permuted hashes (pure codegen arithmetic) → partial-aggregated
-    * min per (doc, perm) → fold 4-runs into band keys. At scale this is
-    * one shuffle of 64 BIGINTs per doc with map-side combine — no HOF
-    * evaluation ever touches more than one shingle at a time.
+  /** (doc_id, band, key) LSH bucket rows: one codegen'd char-fold per
+    * (doc, shingle), then the native [[graft.functions.MinHashAgg]]
+    * aggregate folds all 64 permutation minima in a SINGLE pass — one
+    * narrow shuffle of 64 BIGINTs per doc with map-side combine (the
+    * previous shape exploded 64 rows per shingle through two shuffle
+    * stages). Band key = ×31 fold of each 4-run of the signature.
     */
   def lshBandRows(exSh: DataFrame): DataFrame = {
     val rows = MinHashPerms / MinHashBands
-    // literal (perm, a, b) table exploded per shingle hash: everything
-    // after the one char-fold per shingle is whole-stage codegen
-    val perms = typedlit((0 until MinHashPerms).map(i => (i, permA(i), permB(i))))
     exSh
       .select(col("doc_id"),
         graft.functions.TextExpressionFunctions.polyHash(col("s"), 31L, MinHashP).as("h"))
-      .select(col("doc_id"), col("h"), explode(perms).as("p"))
-      .select(col("doc_id"), col("p._1").as("perm"),
-        ((col("p._2") * col("h") + col("p._3")) % MinHashP).as("hv"))
-      .groupBy(col("doc_id"), col("perm"))
-      .agg(min(col("hv")).as("mh"))
-      .groupBy(col("doc_id"), (col("perm") / rows).cast("int").as("band"))
-      .agg(sort_array(collect_list(struct(col("perm"), col("mh")))).as("pm"))
-      .select(col("doc_id"), col("band"),
-        expr(s"aggregate(pm, 0L, (acc, x) -> (acc * 31 + x.mh) % $MinHashP)").as("key"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhashSig(col("h")).as("mh"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${MinHashBands - 1}), b ->
+             |  aggregate(sequence(0, ${rows - 1}), 0L,
+             |    (acc, r) -> (acc * 31 + element_at(mh, b * $rows + r + 1)) % $MinHashP))"""
+            .stripMargin)).as(Seq("band", "key")))
   }
 
   /** MinHash-LSH near-dup pairs, verified by exact Jaccard ≥ τ.
@@ -178,13 +170,25 @@ object Dedup {
     * brute-force oracle; the LSH layer is the 100 TB path (signatures are
     * 64×8 B per doc; candidates only where a band bucket collides).
     */
+  /** Salt count for the band-bucket self-join: a degenerate bucket (all
+    * docs sharing boilerplate) spreads over this many reducers.
+    */
+  val LshSalts = 4
+
   def minhashLshPairs(docs: DataFrame, tauX1e6: Long = 500000L): DataFrame = {
     val exSh = explodedShingles(docs)
     val bands = lshBandRows(exSh).localCheckpoint()
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
+    // salted bucket join (Skew.saltedJoin): web corpora have hot band
+    // buckets (near-identical boilerplate docs), which would otherwise
+    // funnel one (band, key) onto a single reducer. Salting by the left
+    // doc id spreads each bucket over LshSalts reducers; rows are
+    // identical to the plain join.
+    val left = bands.select(col("doc_id").as("a"), col("band"), col("key"))
+    val right = bands.select(col("doc_id").as("b"), col("band"), col("key"))
+    val cand = graft.operators.Skew
+      .saltedJoin(left, right, Seq("band", "key"), LshSalts, col("a"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
     verifyJaccard(cand, exSh, tauX1e6)
   }
 

@@ -17,9 +17,17 @@ object Skew {
     * `salts` reducers.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 salts: Int, saltSource: Column): DataFrame =
+    saltedJoin(big, small, Seq(key), salts, saltSource)
+
+  /** Composite-key variant (e.g. an LSH (band, key) bucket join): rows
+    * equal the plain inner join on `keys`, but each hot bucket spreads
+    * over `salts` reducers.
+    */
+  def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int, saltSource: Column): DataFrame = {
     val salted = big.withColumn("_salt", pmod(abs(hash(saltSource)), lit(salts)))
     val replicated = small.withColumn("_salt", explode(typedlit((0 until salts).toList)))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    salted.join(replicated, keys :+ "_salt").drop("_salt")
   }
 }

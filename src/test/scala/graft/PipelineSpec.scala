@@ -47,6 +47,38 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
   }
 
+  test("MinHashAgg signature equals a scala reference across partitionings") {
+    import graft.functions.MinHashAgg
+    import spark.implicits._
+    val hs = (1L to 500L).map(h => (h % 7, h * h % 999983L))
+    val want = hs.groupBy(_._1).map { case (g, rows) =>
+      g -> (0 until MinHashAgg.Perms).map { i =>
+        rows.map { case (_, h) =>
+          (MinHashAgg.permA(i) * h + MinHashAgg.permB(i)) % MinHashAgg.Modulus
+        }.min
+      }.toSeq
+    }
+    for (parts <- Seq(1, 3, 8)) {
+      val got = hs.toDF("g", "h").repartition(parts).groupBy(col("g"))
+        .agg(MinHashAgg.minhashSig(col("h")).as("mh")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(got == want, s"partitioning $parts diverged from the scala reference")
+    }
+  }
+
+  test("hot band bucket: salted LSH join is complete on an all-duplicates corpus") {
+    // every doc identical → ONE maximally hot (band, key) bucket per band;
+    // the salted join must still emit every pair exactly once
+    import spark.implicits._
+    val dup = (0L until 30L)
+      .map(i => (i, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashLshPairs(dup).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = (for { a <- 0L until 30L; b <- (a + 1) until 30L } yield (a, b)).toSet
+    assert(pairs == all, s"missing ${all -- pairs}, extra ${pairs -- all}")
+  }
+
   test("exact clusters partition all docs; representatives are minima") {
     val cl = Dedup.exactClusters(docs).collect()
     assert(cl.length == docs.count())
