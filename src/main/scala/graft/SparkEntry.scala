@@ -18,6 +18,7 @@ object SparkEntry {
     "ms_filter_term"       -> ((s, d) => Metastore.filterTerm(s, d)),
     "ms_filter_multivalue" -> ((s, d) => Metastore.filterMultivalue(s, d)),
     "ms_filter_multifield" -> ((s, d) => Metastore.filterMultifield(s, d)),
+    "ms_filter_inner"      -> ((s, d) => Metastore.filterInner(s, d)),
     "ms_visibility_anon"   -> ((s, d) => Metastore.visibilityAnon(s, d)),
     "ms_visibility_auth"   -> ((s, d) => Metastore.visibilityAuth(s, d)),
     "ms_q_match"           -> ((s, d) => Metastore.qMatch(s, d)),

@@ -57,6 +57,12 @@ object Tables {
         .when(col("doc_id") % 3 === 1, lit("unlisted"))
         .otherwise(lit("private")).as("findability"),
       col("n_chars").cast("long").as("bytes"),
+      // nested datahub.stats struct (reference: models.py:14-35 stats
+      // subdocument; dotted-path filtering pinned by
+      // tests/test_controllers.py:347-352)
+      struct(
+        expr("CAST(n_chars div 10 AS BIGINT)").as("rowcount"),
+        col("n_chars").cast("long").as("bytes")).as("stats"),
       col("lang"), col("source"))
 
   /** Events mapped onto the reference's event-document shape
@@ -96,6 +102,8 @@ object Tables {
       |       WHEN doc_id % 3 = 1 THEN 'unlisted'
       |       ELSE 'private' END AS findability,
       |  CAST(n_chars AS BIGINT) AS bytes,
+      |  {'rowcount': CAST(n_chars // 10 AS BIGINT),
+      |   'bytes': CAST(n_chars AS BIGINT)} AS stats,
       |  lang, source
       |FROM documents""".stripMargin
 

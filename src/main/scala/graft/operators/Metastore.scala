@@ -34,6 +34,16 @@ object Metastore {
       SearchRequest(filters = Map("lang" -> Seq("en"), "source" -> Seq("src3")), size = 100),
       Seq("doc_id", "name", "lang", "source"))
 
+  /** Dotted-path filter on a nested struct property (reference:
+    * tests/test_controllers.py:347-352 filters `datahub.stats.rowcount`)
+    * — `col("stats.rowcount")` resolves the struct field, so the same
+    * AND/OR filter machinery covers nested properties.
+    */
+  def filterInner(s: SparkSession, d: String): DataFrame =
+    ds.page(idx(s, d),
+      SearchRequest(filters = Map("stats.rowcount" -> Seq("13")), size = 100),
+      Seq("doc_id", "name", "stats.rowcount"))
+
   def visibilityAnon(s: SparkSession, d: String): DataFrame =
     ds.page(idx(s, d), SearchRequest(size = 50), Seq("doc_id", "name", "findability"))
 
@@ -45,8 +55,12 @@ object Metastore {
     ds.page(idx(s, d), SearchRequest(q = Some("merge join"), size = 100),
       Seq("doc_id", "name"))
 
-  /** Stemmed q-match (full english-analyzer path; rows-only — no SQL
-    * stemmer exists for a DuckDB oracle).
+  /** Stemmed q-match (full english-analyzer path: both sides Porter-
+    * stemmed, so "merging" finds "merge"). Oracle-gated via term
+    * expansion: stem(doc_token) ∈ stems(query) ⟺ doc_token ∈ E where
+    * E = the index-vocabulary words whose stem matches a query stem —
+    * rendered as a DuckDB literal list in [[oracles]] and pinned against
+    * the real stemmer over the live corpus vocabulary in AnalyzerSpec.
     */
   def qMatchStemmed(s: SparkSession, d: String): DataFrame = {
     val terms = Analyzer.analyzeQueryStemmed("merging joined tables")
@@ -109,6 +123,12 @@ object Metastore {
          |WHERE findability = 'published' AND lang = 'en' AND source = 'src3'
          |ORDER BY doc_id LIMIT 100""".stripMargin,
 
+    "ms_filter_inner" ->
+      s"""$idxCte
+         |SELECT doc_id, name, stats.rowcount AS rowcount FROM idx
+         |WHERE findability = 'published' AND stats.rowcount = 13
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
+
     "ms_visibility_anon" ->
       s"""$idxCte
          |SELECT doc_id, name, findability FROM idx
@@ -129,6 +149,21 @@ object Metastore {
          |  list_has_any(${tok("owner")}, ['merge','join']) OR
          |  list_has_any(${tok("ownerid")}, ['merge','join']) OR
          |  list_has_any(${tok("readme")}, ['merge','join']))
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    // stems("merging joined tables") = {merg, join, tabl}; the index
+    // vocabulary words stemming into that set are exactly
+    // {merge, join, table} (pinned by AnalyzerSpec against the live
+    // corpus vocabulary + PorterStemmer) — so the stemmed match is the
+    // expanded-literal match below, with no stemmer needed in SQL.
+    "ms_q_match_stemmed" ->
+      s"""$idxCte
+         |SELECT doc_id, name FROM idx
+         |WHERE findability = 'published' AND (
+         |  list_has_any(${tok("title")}, ['merge','join','table']) OR
+         |  list_has_any(${tok("owner")}, ['merge','join','table']) OR
+         |  list_has_any(${tok("ownerid")}, ['merge','join','table']) OR
+         |  list_has_any(${tok("readme")}, ['merge','join','table']))
          |ORDER BY doc_id LIMIT 100""".stripMargin,
 
     "ms_q_rank_tfidf" ->

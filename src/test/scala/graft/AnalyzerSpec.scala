@@ -53,6 +53,23 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(stemmed == math.min(exactOnMerge, 100))
   }
 
+  test("stemmed-match oracle expansion covers the live corpus vocabulary") {
+    // the ms_q_match_stemmed DuckDB oracle hardcodes the expansion
+    // {merge, join, table}; recompute it here from the REAL index
+    // vocabulary + the REAL stemmer so a vocab or stemmer change breaks
+    // this spec before it breaks the driver gate
+    import graft.search.Analyzer
+    val queryStems = Analyzer.analyzeQueryStemmed("merging joined tables").toSet
+    val vocab = Tables.datasetIndex(spark, sf)
+      .select(explode(array(Seq("title", "owner", "ownerid", "readme")
+        .map(f => Analyzer.tokens(col(f))): _*)).as("ts"))
+      .select(explode(col("ts")).as("t"))
+      .distinct().collect().map(_.getString(0))
+    val expansion = vocab.filter(w => queryStems.contains(graft.text.PorterStemmer.stem(w))).toSet
+    assert(expansion == Set("merge", "join", "table"),
+      s"oracle literal list is stale; live expansion = $expansion")
+  }
+
   test("polyHash column function equals the HOF fingerprint") {
     val df = Tables.documents(spark, sf).limit(50)
     val mismatches = df.select(
