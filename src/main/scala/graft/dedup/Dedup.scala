@@ -17,13 +17,20 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingles over whitespace tokens, joined by '_', distinct.
+  /** Word n-gram shingles over whitespace tokens, joined by '_', distinct
+    * (first-occurrence order) — computed by the native codegen'd
+    * [[graft.functions.WordShingles]] expression (one pass per row).
+    */
+  def shingles(c: Column, n: Int = 3): Column =
+    graft.functions.TextExpressionFunctions.wordShingles(c, n)
+
+  /** Interpreted HOF rendering of [[shingles]] (spec-only parity pin).
     * The token array is let-bound via a 1-element array wrapper: inlined
     * subexpressions are re-evaluated at EVERY lambda reference under
     * interpreted HOF evaluation, so without the binding the text would be
     * re-split once per element_at (~150 regex splits per doc).
     */
-  def shingles(c: Column, n: Int = 3): Column =
+  def shinglesHof(c: Column, n: Int = 3): Column =
     element_at(
       transform(array(TextFunctions.wsTokens(c)), tk =>
         array_distinct(
@@ -100,41 +107,65 @@ object Dedup {
       .withColumn("sz", count(lit(1)).over(bySz))
       // ⌈τ·sz⌉ with τ = tauX1e6/1e6 in pure BIGINT arithmetic
       .filter(col("rn") <= col("sz") - expr(s"($tauX1e6 * sz + 999999) div 1000000") + 1)
-      .select(col("doc_id"), col("s"))
+      .select(col("doc_id"), col("s"), col("rn"), col("sz"))
+    // positional filter (PPJoin): with w* = the canonically-largest shared
+    // prefix hit at positions (pa, pb), every shared shingle < w* is in
+    // both prefixes (positions are consistent with the global order), so
+    // |A∩B| ≤ hits + min(sz_a − pa, sz_b − pb); prune pairs whose bound
+    // can't reach the required overlap ⌈τ/(1+τ)·(sz_a+sz_b)⌉
     val cand = prefix.as("x").join(prefix.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b")).distinct()
-    verifyJaccard(cand, ex, tauX1e6)
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("hits"),
+        max(col("x.rn")).as("pa"), max(col("y.rn")).as("pb"),
+        max(col("x.sz")).as("sz_a"), max(col("y.sz")).as("sz_b"))
+      .filter(col("hits") + least(col("sz_a") - col("pa"), col("sz_b") - col("pb")) >=
+        expr(s"($tauX1e6 * (sz_a + sz_b) + ${1000000L + tauX1e6} - 1) div ${1000000L + tauX1e6}"))
+      .select(col("a"), col("b"))
+    verifyJaccard(cand, docs, tauX1e6)
   }
 
-  /** (a, b, jac_inter) + doc sizes (from the exploded shingles) →
-    * (a, b, j_x1e6) ≥ τ, ordered.
+  /** Exact-Jaccard verification of an (a, b) candidate set, computed
+    * pair-at-a-time: the corpus is semi-join-restricted to candidate
+    * docs, each candidate doc's distinct shingle ARRAY is computed in one
+    * native pass ([[shingles]]), and |A∩B| is a per-pair codegen'd
+    * `array_intersect` — no blow-up proportional to Σ|A| over pairs (the
+    * previous exploded-postings join shape), and docs that are in no
+    * candidate pair are never shuffled. A τ-length filter
+    * (J ≥ τ ⟹ τ·|larger| ≤ |smaller|) prunes pairs before any array
+    * work. Join strategies are AQE's (candidate volume is data-dependent).
     */
-  private def jaccardFromCounts(inter: DataFrame, ex: DataFrame, tauX1e6: Long): DataFrame = {
-    // no broadcast hint: the size table is corpus-cardinality (8+8 B/doc)
-    // — AQE broadcasts it when small, shuffle-joins it at 100 TB
-    val sizes = ex.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    inter
-      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sz_a")), Seq("a"))
-      .join(sizes.select(col("doc_id").as("b"), col("sz").as("sz_b")), Seq("b"))
+  private def verifyJaccard(candIn: DataFrame, docs: DataFrame, tauX1e6: Long): DataFrame = {
+    // candidates feed three consumers (two doc-id projections + the pair
+    // join); materialize once — AQE gives no exchange reuse across them
+    val cand = candIn.localCheckpoint()
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    // sets is read by BOTH pair-join sides → materialize once (it is
+    // candidate-doc-scale, not corpus-scale)
+    val sets = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), sort_array(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
+      .localCheckpoint()
+    val scored = cand
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("b"))
+      .filter(col("sz_a") * 1000000L >= col("sz_b") * tauX1e6 &&
+              col("sz_b") * 1000000L >= col("sz_a") * tauX1e6)
+      .select(col("a"), col("b"), col("sz_a"), col("sz_b"),
+        graft.functions.TextExpressionFunctions.sortedIntersectCount(col("sh_a"), col("sh_b"))
+          .as("jac_inter"))
+      // materialize (a, b, sizes, |A∩B|) — narrow, candidate-scale —
+      // BEFORE the Jaccard filter: otherwise Catalyst pushes the
+      // threshold into the join condition and re-evaluates the intersect
+      // 2-3× per row (SURVEY §4.5 re-evaluation pitfall)
+      .localCheckpoint()
+    scored
       .withColumn("j_x1e6",
         expr("(1000000 * jac_inter) div (sz_a + sz_b - jac_inter)"))
       .filter(col("j_x1e6") >= tauX1e6)
       .select(col("a"), col("b"), col("j_x1e6"))
       .orderBy(col("a"), col("b"))
-  }
-
-  /** Exact-Jaccard verification of an (a, b) candidate set: candidates are
-    * broadcast against the exploded shingles, so shared-shingle counting
-    * touches only candidate docs.
-    */
-  private def verifyJaccard(cand: DataFrame, ex: DataFrame, tauX1e6: Long): DataFrame = {
-    // candidate set size is data-dependent: leave the strategy to AQE
-    val inter = ex.as("x").join(cand, col("x.doc_id") === col("a"))
-      .join(ex.as("y"), col("y.doc_id") === col("b") && col("y.s") === col("x.s"))
-      .groupBy(col("a"), col("b"))
-      .agg(count(lit(1)).as("jac_inter"))
-    jaccardFromCounts(inter, ex, tauX1e6)
   }
 
   // --- MinHash LSH --------------------------------------------------------
@@ -176,7 +207,12 @@ object Dedup {
   val LshSalts = 4
 
   def minhashLshPairs(docs: DataFrame, tauX1e6: Long = 500000L): DataFrame = {
-    val exSh = explodedShingles(docs)
+    // no shingle checkpoint: band rows are the only consumer of the
+    // exploded shingles now (verification re-derives candidate docs'
+    // shingle arrays natively), so the pipeline has ONE materialization
+    // job instead of the round-1 two
+    val exSh = graft.Tables.fanOut(docs)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
     val bands = lshBandRows(exSh).localCheckpoint()
     // salted bucket join (Skew.saltedJoin): web corpora have hot band
     // buckets (near-identical boilerplate docs), which would otherwise
@@ -189,7 +225,7 @@ object Dedup {
       .saltedJoin(left, right, Seq("band", "key"), LshSalts, col("a"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
-    verifyJaccard(cand, exSh, tauX1e6)
+    verifyJaccard(cand, docs, tauX1e6)
   }
 
   // --- SimHash ------------------------------------------------------------

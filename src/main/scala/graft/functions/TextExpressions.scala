@@ -68,6 +68,111 @@ case class PolyHash(child: Expression, mult: Long, modulus: Long)
   override protected def withNewChildInternal(c: Expression): PolyHash = copy(child = c)
 }
 
+/** Distinct word n-gram shingles of a space-separated string, in one
+  * pass: split on ' ' (empties skipped), join each n-run with '_',
+  * de-dupe keeping first-occurrence order — the native form of the
+  * interpreted HOF shingle expression (kept as
+  * [[graft.dedup.Dedup.shinglesHof]] and pinned equal in PipelineSpec),
+  * which was the dominant cost of every shingle-based dedup query.
+  */
+case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "shingle size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(s"$prettyName requires a string input")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles"
+
+  def compute(v: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val toks = new java.util.ArrayList[String]()
+    val s = v.toString
+    var start = 0
+    var i = 0
+    while (i <= s.length) {
+      if (i == s.length || s.charAt(i) == ' ') {
+        if (i > start) toks.add(s.substring(start, i))
+        start = i + 1
+      }
+      i += 1
+    }
+    val out = new java.util.LinkedHashSet[String]()
+    var j = 0
+    while (j + n <= toks.size()) {
+      val sb = new java.lang.StringBuilder(toks.get(j))
+      var k = 1
+      while (k < n) { sb.append('_').append(toks.get(j + k)); k += 1 }
+      out.add(sb.toString)
+      j += 1
+    }
+    val arr = new Array[Any](out.size())
+    val it = out.iterator()
+    var m = 0
+    while (it.hasNext) { arr(m) = UTF8String.fromString(it.next()); m += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingler", this, classOf[WordShingles].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordShingles = copy(child = c)
+}
+
+/** |A ∩ B| of two SORTED string arrays by a single merge pass — exact
+  * set-intersection cardinality in O(|A|+|B|) string compares, with no
+  * per-row hash-set allocation (the cost that makes built-in
+  * `array_intersect` the bottleneck of pairwise Jaccard verification).
+  * Inputs MUST be sorted ascending and distinct (graft wraps them in
+  * `sort_array` over already-distinct shingle arrays).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(StringType, _),
+            org.apache.spark.sql.types.ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires two array<string> inputs")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_sorted_intersect_count"
+
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    var i = 0
+    var j = 0
+    var n = 0L
+    val na = a.numElements()
+    val nb = b.numElements()
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { n += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+            b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("intersecter", this, classOf[SortedIntersectCount].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectCount =
+    copy(left = l, right = r)
+}
+
 /** 60-bit SimHash over a token array, fully codegen'd (replaces the
   * interpreted nested-HOF rendering — VERDICT r1 #5). Per token, two
   * rolling char-fold hashes (×31 mod 1e9+7, ×37 mod 998244353) supply 30
@@ -166,4 +271,13 @@ object TextExpressionFunctions {
   /** Column API for [[SimHash]] over a token-array column. */
   def simHash(c: Column): Column =
     GraftBridge.column(SimHash(GraftBridge.expression(c)))
+
+  /** Column API for [[WordShingles]]. */
+  def wordShingles(c: Column, n: Int): Column =
+    GraftBridge.column(WordShingles(GraftBridge.expression(c), n))
+
+  /** Column API for [[SortedIntersectCount]]. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    GraftBridge.column(
+      SortedIntersectCount(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -1,0 +1,59 @@
+package graft.search
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+import javax.crypto.Mac
+import javax.crypto.spec.SecretKeySpec
+
+/** The reference's controller-level auth step (metastore/blueprint.py:22-28):
+  * an HS256 JWT from the request is decoded to a `userid`, and ANY invalid
+  * token — malformed, bad signature, wrong algorithm, missing claim — is
+  * treated exactly like an anonymous request (the reference swallows
+  * `jwt.InvalidTokenError` and proceeds with `userid = None`).
+  *
+  * Pure function `token → Option[userid]`: the output plugs straight into
+  * [[SearchRequest.userid]] / [[MetastoreApi]].
+  */
+object AuthToken {
+
+  private val b64 = Base64.getUrlDecoder
+  private val b64e = Base64.getUrlEncoder.withoutPadding()
+
+  private def hmac(key: Array[Byte], data: String): Array[Byte] = {
+    val mac = Mac.getInstance("HmacSHA256")
+    mac.init(new SecretKeySpec(key, "HmacSHA256"))
+    mac.doFinal(data.getBytes(UTF_8))
+  }
+
+  private def parseJson(s: String): Option[java.util.Map[String, Object]] =
+    try {
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      Some(m.readValue(s, classOf[java.util.HashMap[String, Object]]))
+    } catch { case _: Exception => None }
+
+  /** Verify + decode: returns the `userid` claim of a valid HS256 token,
+    * None for anything else (invalid-token ≡ anonymous rule).
+    */
+  def userid(token: String, key: Array[Byte]): Option[String] =
+    try {
+      for {
+        t <- Option(token)
+        parts = t.split('.') if parts.length == 3
+        header <- parseJson(new String(b64.decode(parts(0)), UTF_8))
+        if header.get("alg") == "HS256"
+        sig = b64.decode(parts(2))
+        if java.security.MessageDigest.isEqual(sig, hmac(key, s"${parts(0)}.${parts(1)}"))
+        payload <- parseJson(new String(b64.decode(parts(1)), UTF_8))
+        uid <- Option(payload.get("userid")).collect { case s: String => s }
+      } yield uid
+    } catch { case _: IllegalArgumentException => None } // bad base64 ≡ anonymous
+
+  /** Mint a token (test/tooling side of the contract). */
+  def sign(userid: String, key: Array[Byte]): String = {
+    val header = b64e.encodeToString("""{"alg":"HS256","typ":"JWT"}""".getBytes(UTF_8))
+    val payload = b64e.encodeToString(s"""{"userid":"$userid"}""".getBytes(UTF_8))
+    val sig = b64e.encodeToString(hmac(key, s"$header.$payload"))
+    s"$header.$payload.$sig"
+  }
+}

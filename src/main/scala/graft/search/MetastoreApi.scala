@@ -36,6 +36,15 @@ object MetastoreApi {
     else throw new IllegalArgumentException(s"Expecting value: $t is not valid JSON")
   }
 
+  /** Token-authenticated entry point (reference: metastore/blueprint.py:
+    * 22-28): decodes an HS256 JWT to the acting userid via [[AuthToken]];
+    * a missing or invalid token degrades to an anonymous search.
+    */
+  def searchWithToken(spark: SparkSession, dir: String, kind: String,
+                      token: Option[String], key: Array[Byte],
+                      args: Map[String, Seq[String]]): ApiResult =
+    search(spark, dir, kind, token.flatMap(AuthToken.userid(_, key)), args)
+
   def search(spark: SparkSession, dir: String, kind: String = "dataset",
              userid: Option[String] = None,
              args: Map[String, Seq[String]] = Map.empty): ApiResult = {

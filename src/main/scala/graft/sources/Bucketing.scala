@@ -20,7 +20,7 @@ object Bucketing {
   /** Join two tables bucketed on the same key — shuffle-free when bucket
     * counts match (Catalyst recognizes the HashClusteredDistribution).
     */
-  def cocatedJoin(spark: SparkSession, left: String, right: String,
-                  key: String): DataFrame =
+  def colocatedJoin(spark: SparkSession, left: String, right: String,
+                    key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 }

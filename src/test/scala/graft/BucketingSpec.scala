@@ -20,7 +20,7 @@ class BucketingSpec extends AnyFunSuite {
     try {
       // force a non-broadcast join so the bucketing is what saves the shuffle
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = Bucketing.cocatedJoin(spark, "b_orders", "b_cust", "o_custkey")
+      val joined = Bucketing.colocatedJoin(spark, "b_orders", "b_cust", "o_custkey")
         .filter(col("c_mktsegment") === "BUILDING")
       val plan = joined.queryExecution.executedPlan.toString
       assert(plan.contains("SortMergeJoin"))

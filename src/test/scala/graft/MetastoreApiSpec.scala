@@ -61,6 +61,26 @@ class MetastoreApiSpec extends AnyFunSuite {
     assert(auth.total >= anon.total)
   }
 
+  test("auth token: valid HS256 grants owner visibility, invalid is anonymous (blueprint.py:22-28)") {
+    import graft.search.AuthToken
+    val key = "test-private-key".getBytes("UTF-8")
+    val anon = MetastoreApi.search(spark, sf)
+    val token = AuthToken.sign("src5", key)
+    assert(AuthToken.userid(token, key).contains("src5"))
+    val auth = MetastoreApi.searchWithToken(spark, sf, "dataset", Some(token), key, Map.empty)
+    val direct = MetastoreApi.search(spark, sf, userid = Some("src5"))
+    assert(auth.total == direct.total && auth.total > anon.total)
+    // every invalid shape degrades to anonymous, never errors
+    val bad = Seq(
+      token.dropRight(2) + "xx",                        // broken signature
+      AuthToken.sign("src5", "wrong-key".getBytes),     // wrong key
+      "not-a-jwt", "", "a.b", "a.b.c.d", "##.##.##")    // malformed
+    bad.foreach { t =>
+      val r = MetastoreApi.searchWithToken(spark, sf, "dataset", Some(t), key, Map.empty)
+      assert(r.error.isEmpty && r.total == anon.total, s"token '$t' must act anonymous")
+    }
+  }
+
   test("events kind sorts by timestamp desc by default (test:592-599)") {
     val r = MetastoreApi.search(spark, sf, kind = "events", userid = Some("user3"))
     val ts = r.results.select("ts_us").collect().map(_.getLong(0))

@@ -85,6 +85,24 @@ class PipelineSpec extends AnyFunSuite {
     cl.foreach(r => assert(r.getLong(2) <= r.getLong(0))) // cluster_id <= doc_id
   }
 
+  test("native WordShingles equals the interpreted HOF rendering") {
+    for (n <- Seq(2, 3)) {
+      val diff = docs.select(
+          Dedup.shingles(col("text"), n).as("a"),
+          Dedup.shinglesHof(col("text"), n).as("b"))
+        .filter(col("a") =!= col("b")).count()
+      assert(diff == 0, s"n=$n shingles diverged from the HOF spec")
+    }
+    // edge cases: fewer tokens than n, repeated runs, multiple spaces
+    import spark.implicits._
+    val edge = Seq("", "a", "a b", "a b c", "a  b   c", "x y x y x y", "a_b c d")
+      .toDF("text")
+    val diff = edge.select(
+        Dedup.shingles(col("text")).as("a"), Dedup.shinglesHof(col("text")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
   test("native SimHash equals the interpreted HOF rendering bit for bit") {
     val both = docs
       .select(graft.search.Analyzer.tokens(col("text")).as("toks"))
