@@ -51,6 +51,8 @@ object SparkEntry {
     "q_json_extract" -> ((s, d) => Relational.qJsonExtract(s, d)),
     "q_time_funcs"   -> ((s, d) => Relational.qTimeFuncs(s, d)),
     "q_asof_join"    -> ((s, d) => operators.Temporal.qAsofJoin(s, d)),
+    "q_range_join"   -> ((s, d) => operators.Temporal.qRangeJoin(s, d)),
+    "q_percentiles"  -> ((s, d) => Relational.qPercentiles(s, d)),
     // §2.5 text analysis
     "txt_token_count" -> ((s, d) => Text.tokenCount(s, d)),
     "txt_quality"     -> ((s, d) => Text.quality(s, d)),
@@ -64,6 +66,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => Pipeline.dedupMinhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => Pipeline.dedupSimhash(s, d)),
     "dedup_embedding"     -> ((s, d) => Pipeline.dedupEmbedding(s, d)),
+    "dedup_cluster"       -> ((s, d) => Pipeline.dedupCluster(s, d)),
     // §2.4 similarity search
     "ann_brute_topk" -> ((s, d) => Pipeline.annBruteTopk(s, d)),
     "ann_lsh_topk"   -> ((s, d) => Pipeline.annLshTopk(s, d)),
@@ -284,5 +287,20 @@ object SparkEntry {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
     // q_approx_distinct intentionally omitted: HLL estimate (rows-only check).
+
+    "q_percentiles" ->
+      """SELECT o_orderstatus, pct, cents_q FROM (
+        |  SELECT o_orderstatus, CAST(25 AS BIGINT) AS pct,
+        |    quantile_cont(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0.25) AS cents_q
+        |  FROM orders GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT o_orderstatus, CAST(50 AS BIGINT),
+        |    quantile_cont(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0.5)
+        |  FROM orders GROUP BY o_orderstatus
+        |  UNION ALL
+        |  SELECT o_orderstatus, CAST(75 AS BIGINT),
+        |    quantile_cont(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 0.75)
+        |  FROM orders GROUP BY o_orderstatus
+        |) ORDER BY o_orderstatus, pct""".stripMargin,
   )
 }

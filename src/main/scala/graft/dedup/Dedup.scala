@@ -228,6 +228,57 @@ object Dedup {
     verifyJaccard(cand, docs, tauX1e6)
   }
 
+  // --- near-dup clustering (connected components) -------------------------
+
+  /** Connected components over an undirected edge list by Pregel-style
+    * min-label propagation: every node starts labeled with itself; each
+    * round a node takes the minimum label among itself and its
+    * neighbors; converged when the global label sum stops decreasing
+    * (the sum is strictly monotone while anything changes). Rounds
+    * needed = graph diameter — near-dup clusters are shallow, so this
+    * is a handful of narrow (id, label) shuffles; `localCheckpoint` per
+    * round truncates the growing lineage. The driver-side loop is
+    * control flow only (one 1-row aggregate per round) — no data ever
+    * collects to the driver.
+    */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+                          maxRounds: Int = 50): DataFrame = {
+    val sym = edges.select(col("a").as("x"), col("b").as("y"))
+      .union(edges.select(col("b").as("x"), col("a").as("y")))
+      .localCheckpoint()
+    var labels = nodes.select(col("id").as("x"), col("id").as("label"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("label"))).collect()(0).getLong(0)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val nbrMin = sym.join(labels.select(col("x").as("y"), col("label")), Seq("y"))
+        .groupBy(col("x")).agg(min(col("label")).as("nbr_label"))
+      val next = labels.join(nbrMin, Seq("x"), "left_outer")
+        .select(col("x"),
+          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+        .localCheckpoint()
+      val s = next.agg(sum(col("label"))).collect()(0).getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = next
+      rounds += 1
+    }
+    labels.select(col("x").as("id"), col("label").as("cluster_id"))
+  }
+
+  /** Near-dup clusters: MinHash-LSH pairs (exact-Jaccard verified)
+    * → connected components → (doc_id, cluster_id, cluster_size).
+    */
+  def nearDupClusters(docs: DataFrame, tauX1e6: Long = 500000L): DataFrame = {
+    val edges = minhashLshPairs(docs, tauX1e6).select(col("a"), col("b"))
+    val cc = connectedComponents(docs.select(col("doc_id").as("id")), edges)
+    cc.select(col("id").as("doc_id"), col("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("doc_id"))
+  }
+
   // --- SimHash ------------------------------------------------------------
 
   val SimBits = 60

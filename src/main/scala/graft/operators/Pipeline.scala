@@ -32,6 +32,9 @@ object Pipeline {
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Similarity.pairSim(Tables.embeddings(s, d), 400000L)
 
+  def dedupCluster(s: SparkSession, d: String): DataFrame =
+    Dedup.nearDupClusters(Tables.documents(s, d))
+
   // --- §2.4 similarity ---------------------------------------------------
 
   private val queryPred = col("vec_id") % 97 === 0
@@ -129,6 +132,31 @@ object Pipeline {
 
     "dedup_ngram_jaccard" -> bruteJaccard,
     "dedup_minhash_lsh" -> bruteJaccard,
+
+    // transitive closure of the verified near-dup pairs via a recursive
+    // CTE; cluster id = min reachable doc (same fixpoint the Spark
+    // min-label propagation converges to)
+    "dedup_cluster" ->
+      s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingleE AS sh FROM documents),
+         |pr AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.sh, y.sh)) > 0
+         |    AND (1000000 * CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT))
+         |        // CAST(len(list_distinct(x.sh || y.sh)) AS BIGINT) >= 500000),
+         |sym AS (SELECT a AS x, b AS y FROM pr UNION ALL SELECT b, a FROM pr),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM sym
+         |  UNION
+         |  SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x),
+         |lab AS (
+         |  SELECT d.doc_id,
+         |    LEAST(d.doc_id, COALESCE(MIN(r.y), d.doc_id)) AS cluster_id
+         |  FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH sig AS (

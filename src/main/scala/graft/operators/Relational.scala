@@ -299,6 +299,32 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Exact grouped percentiles (quartiles of order value per status).
+    * Computed over integer cents with quarter-point fractions, so the
+    * linear interpolation `a + f·(b−a)` is exact rational arithmetic in
+    * doubles — bit-identical between Spark's `percentile` and DuckDB's
+    * `quantile_cont` regardless of each engine's formula variant.
+    * Scale note: exact percentile buffers per-group value counts; it is
+    * the right tool for bounded-cardinality groups like these — for
+    * percentiles over raw 100 TB value streams use
+    * `approx_percentile` (same plan shape, mergeable sketch).
+    */
+  def qPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      // floor(x+0.5), not CAST: DuckDB's double→int cast rounds while
+      // Spark's truncates — floor is floor in both engines
+      .select(col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("percentile(cents, 0.25)").as("p25"),
+        expr("percentile(cents, 0.5)").as("p50"),
+        expr("percentile(cents, 0.75)").as("p75"))
+      .selectExpr("o_orderstatus",
+        "stack(3, 25L, p25, 50L, p50, 75L, p75) AS (pct, cents_q)")
+      .orderBy(col("o_orderstatus"), col("pct"))
+  }
+
   /** HLL approximate distinct (rows-only check: approximate by nature). */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

@@ -58,7 +58,60 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** Interval (range) join by time-bucket blocking — preference (a) of
+    * the custom-operator ladder. An inequality-only join would plan as a
+    * broadcast-nested-loop (quadratic at scale); instead each interval
+    * explodes into the fixed-width bins it covers (⌈span/W⌉+1 rows) and
+    * points equi-join on their own bin, then the exact BETWEEN refines.
+    * A point matches an interval through exactly ONE bin (its own), so
+    * no post-join dedup is needed. At 100 TB: shuffle volume =
+    * |points| + Σ bins-per-interval, all narrow rows with map-side
+    * combinable aggregation downstream.
+    */
+  def rangeJoinByBucket(points: DataFrame, intervals: DataFrame,
+                        ptCol: String, loCol: String, hiCol: String,
+                        binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    // integer `div`, not `/` (which widens to DOUBLE on longs)
+    val bins = intervals.withColumn("_bin",
+      explode(sequence(expr(s"CAST($loCol AS BIGINT) div $binWidth"),
+                       expr(s"CAST($hiCol AS BIGINT) div $binWidth"))))
+    val pts = points.withColumn("_bin", expr(s"CAST($ptCol AS BIGINT) div $binWidth"))
+    pts.join(bins, Seq("_bin"))
+      .filter(col(ptCol) >= col(loCol) && col(ptCol) <= col(hiCol))
+      .drop("_bin")
+  }
+
+  /** Query: "incident windows" (every 50th event, ±10 min) joined to
+    * ALL events inside each window — a pure interval join with no equi
+    * key — then count/sum per window.
+    */
+  def qRangeJoin(s: SparkSession, d: String): DataFrame = {
+    val W = 600000000L // 10 min in micros = bin width
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(col("event_id"), col("ts_us"), col("value"))
+    val incidents = ev.filter(col("event_id") % 50 === 0)
+      .select(col("event_id").as("incident_id"),
+        (col("ts_us") - W).as("lo"), (col("ts_us") + W).as("hi"))
+    rangeJoinByBucket(ev, incidents, "ts_us", "lo", "hi", W)
+      .groupBy(col("incident_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+      .orderBy(col("incident_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_range_join" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, value FROM events),
+        |inc AS (
+        |  SELECT event_id AS incident_id, ts_us - 600000000 AS lo, ts_us + 600000000 AS hi
+        |  FROM ev WHERE event_id % 50 = 0)
+        |SELECT i.incident_id, count(*) AS n_events,
+        |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM inc i JOIN ev e ON e.ts_us >= i.lo AND e.ts_us <= i.hi
+        |GROUP BY i.incident_id ORDER BY i.incident_id""".stripMargin,
+
     "q_asof_join" ->
       """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),
         |clicks AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),

@@ -79,6 +79,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(pairs == all, s"missing ${all -- pairs}, extra ${pairs -- all}")
   }
 
+  test("connected components: chains, rings, and singletons label to the component minimum") {
+    import spark.implicits._
+    // chain 0-1-2-3-4 (diameter 4 forces multiple rounds), ring 10-11-12,
+    // pair 20-21, singletons 30 and 31
+    val nodes = (Seq(0L, 1L, 2L, 3L, 4L, 10L, 11L, 12L, 20L, 21L, 30L, 31L)).toDF("id")
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(nodes, edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L,
+      30L -> 30L, 31L -> 31L)
+    assert(got == want)
+  }
+
   test("exact clusters partition all docs; representatives are minima") {
     val cl = Dedup.exactClusters(docs).collect()
     assert(cl.length == docs.count())

@@ -34,4 +34,21 @@ class TemporalSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
     assert(got == expect)
   }
+
+  test("bucketed range join equals the naive inequality join, boundaries inclusive") {
+    import spark.implicits._
+    // points at bin edges, an interval spanning many bins, overlaps
+    val pts = Seq(0L, 5L, 10L, 15L, 99L, 100L, 101L, 250L).toDF("p")
+    val ivs = Seq((1L, 0L, 10L), (2L, 10L, 100L), (3L, 90L, 260L), (4L, 300L, 310L))
+      .toDF("iv_id", "lo", "hi")
+    val got = Temporal.rangeJoinByBucket(pts, ivs, "p", "lo", "hi", 7L)
+      .select("iv_id", "p").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = pts.crossJoin(ivs)
+      .filter(col("p") >= col("lo") && col("p") <= col("hi"))
+      .select("iv_id", "p").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == want.toSet)
+    assert(want.toSet.contains((1L, 0L)) && want.toSet.contains((1L, 10L)),
+      "boundaries must be inclusive")
+    assert(got.length == got.toSet.size, "no duplicate matches from multi-bin intervals")
+  }
 }
