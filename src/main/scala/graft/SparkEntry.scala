@@ -53,6 +53,9 @@ object SparkEntry {
     "q_asof_join"    -> ((s, d) => operators.Temporal.qAsofJoin(s, d)),
     "q_range_join"   -> ((s, d) => operators.Temporal.qRangeJoin(s, d)),
     "q_percentiles"  -> ((s, d) => Relational.qPercentiles(s, d)),
+    "q_weighted_sample" -> ((s, d) => Relational.qWeightedSample(s, d)),
+    "q_grouping_sets"   -> ((s, d) => Relational.qGroupingSets(s, d)),
+    "stream_sliding_agg" -> ((s, d) => Pipeline.streamSlidingAgg(s, d)),
     // §2.5 text analysis
     "txt_token_count" -> ((s, d) => Text.tokenCount(s, d)),
     "txt_quality"     -> ((s, d) => Text.quality(s, d)),
@@ -287,6 +290,24 @@ object SparkEntry {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
     // q_approx_distinct intentionally omitted: HLL estimate (rows-only check).
+
+    "q_weighted_sample" ->
+      """SELECT p_brand, p_partkey, wt, cum FROM (
+        |  SELECT p_brand, p_partkey, CAST(p_size AS BIGINT) AS wt,
+        |    CAST(sum(p_size) OVER (PARTITION BY p_brand ORDER BY p_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |  FROM part)
+        |WHERE cum // 97 > (cum - wt) // 97
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY returnflag, linestatus""".stripMargin,
 
     "q_percentiles" ->
       """SELECT o_orderstatus, pct, cents_q FROM (

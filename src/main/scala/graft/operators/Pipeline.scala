@@ -71,6 +71,10 @@ object Pipeline {
     EventStreams.windowAgg(EventStreams.normalize(Tables.events(s, d)))
       .orderBy(col("window_start_us"), col("event_type"))
 
+  def streamSlidingAgg(s: SparkSession, d: String): DataFrame =
+    EventStreams.slidingAgg(EventStreams.normalize(Tables.events(s, d)))
+      .orderBy(col("window_start_us"), col("event_type"))
+
   def streamSessionize(s: SparkSession, d: String): DataFrame =
     EventStreams.sessionize(EventStreams.normalize(Tables.events(s, d)))
 
@@ -244,6 +248,15 @@ object Pipeline {
          |  CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // each event is in the 2 hourly-aligned sliding windows whose start
+    // is trunc_hour(ts) − k·1h, k ∈ {0,1} (window '2 hours' slide '1 hour')
+    "stream_sliding_agg" ->
+      s"""SELECT epoch_us(date_trunc('hour', ts)) - k * 3600000000 AS window_start_us,
+         |  event_type, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events CROSS JOIN range(0, 2) t(k)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "stream_dedup" ->
       s"""SELECT DISTINCT user_id, event_type,

@@ -325,6 +325,38 @@ object Relational {
       .orderBy(col("o_orderstatus"), col("pct"))
   }
 
+  /** Deterministic WEIGHTED systematic sampling per stratum: walk rows
+    * in key order accumulating integer weight; take a row whenever the
+    * cumulative weight crosses a multiple of `step`. Inclusion
+    * probability ∝ weight, fully reproducible, pure BIGINT arithmetic
+    * (the float-free analog of weighted reservoir sampling — seeded
+    * randomness can't be oracle-matched across engines).
+    */
+  def qWeightedSample(spark: SparkSession, dir: String, step: Long = 97L): DataFrame = {
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_partkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.part(spark, dir)
+      .select(col("p_brand"), col("p_partkey"), col("p_size").cast("long").as("wt"))
+      .withColumn("cum", sum(col("wt")).over(w))
+      .filter(expr(s"cum div $step") > expr(s"(cum - wt) div $step"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** GROUPING SETS that are neither a rollup nor a cube: two independent
+    * one-dimensional groupings in a single pass over the fact table.
+    */
+  def qGroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), sum(dec2(col("l_quantity"))).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("returnflag"), col("linestatus"))
+  }
+
   /** HLL approximate distinct (rows-only check: approximate by nature). */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

@@ -45,6 +45,22 @@ object EventStreams {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Sliding 2-hour window (1-hour slide) count/sum per event type —
+    * each event lands in exactly windowLen/slide = 2 windows. In
+    * streaming this runs with a watermark like [[windowAgg]]; state is
+    * one counter row per open (window, type).
+    */
+  def slidingAgg(ev: DataFrame, watermark: Boolean = false): DataFrame = {
+    val withTs = ev.withColumn("tsx", timestamp_micros(col("ts_us")))
+    val marked = if (watermark) withTs.withWatermark("tsx", "2 hours") else withTs
+    marked
+      .groupBy(window(col("tsx"), "2 hours", "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
   /** Batch gap-sessionization: a new session starts when a user is idle
     * longer than `gapMin`. (Streaming equivalent uses
     * flatMapGroupsWithState — see [[sessionizeStreaming]].)

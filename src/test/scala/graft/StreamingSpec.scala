@@ -37,6 +37,21 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sliding-window agg over readStream equals the batch plan") {
+    val batchEv = EventStreams.normalize(Tables.events(spark, sf))
+    val expected = EventStreams.slidingAgg(batchEv).collect().map(_.toSeq).toSet
+    val schema = Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = EventStreams.slidingAgg(EventStreams.normalize(stream), watermark = true)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("slide_agg_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("slide_agg_test").collect().map(_.toSeq).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates equals batch DISTINCT on the dedup key") {
     val ev = EventStreams.normalize(Tables.events(spark, sf))
     val expected = EventStreams.dedupBatch(ev).collect().map(_.toSeq).toSet
