@@ -89,6 +89,8 @@ object SparkEntry {
     "stream_sessionize" -> ((s, d) => Pipeline.streamSessionize(s, d)),
     "stream_dedup"      -> ((s, d) => Pipeline.streamDedup(s, d)),
     "pipe_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
+    "pipe_dedup_corpus" -> ((s, d) => Pipeline.dedupCorpus(s, d)),
+    "q_multi_distinct"  -> ((s, d) => Pipeline.multiDistinct(s, d)),
   )
 
   /** DuckDB-equivalent SQL per query key (driver correctness gate).

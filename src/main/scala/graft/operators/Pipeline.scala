@@ -105,6 +105,41 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** The full corpus-preparation pipeline: quality gate → NEAR-dup
+    * clustering (MinHash-LSH pairs + connected components over the
+    * survivors) → keep the minimum doc per cluster. The near-dup
+    * analog of [[cleanCorpus]] (which only removes exact dups) — i.e.
+    * the chain a 100 TB training-data prep actually runs.
+    */
+  def dedupCorpus(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.rawTokens(col("text"))
+    val quality = Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        size(toks).cast("long").as("n_tok"),
+        size(filter(toks, t => array_contains(typedlit(graft.search.Analyzer.stopwords), t)))
+          .cast("long").as("n_stop"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .filter(col("n_tok") >= 10 &&
+        expr("(10000 * n_stop) div n_tok") < 4000 &&
+        expr("(10000 * n_uniq) div n_tok") > 2500)
+      .select(col("doc_id"), col("text"))
+    Dedup.nearDupClusters(quality)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("cluster_size"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Several exact distincts in one aggregation pass (planner expands to
+    * a single multi-way Expand + partial aggs — no per-distinct scan).
+    */
+  def multiDistinct(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   // --- oracles -----------------------------------------------------------
 
   private val fpNorm = TextFunctions.fingerprintSql(TextFunctions.normalizedSql("text"))
@@ -136,6 +171,47 @@ object Pipeline {
 
     "dedup_ngram_jaccard" -> bruteJaccard,
     "dedup_minhash_lsh" -> bruteJaccard,
+
+    "pipe_dedup_corpus" ->
+      s"""WITH RECURSIVE q AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |      CAST(len(${TextFunctions.rawTokensSql("text")}) AS BIGINT) AS n_tok,
+         |      CAST(len(list_filter(${TextFunctions.rawTokensSql("text")},
+         |        x -> list_contains(${graft.search.Analyzer.stopwordsSql}, x))) AS BIGINT) AS n_stop,
+         |      CAST(len(list_distinct(${TextFunctions.rawTokensSql("text")})) AS BIGINT) AS n_uniq
+         |    FROM documents)
+         |  WHERE n_tok >= 10 AND (10000 * n_stop) // n_tok < 4000
+         |    AND (10000 * n_uniq) // n_tok > 2500),
+         |sh AS (SELECT doc_id, $shingleE AS sh FROM q),
+         |pr AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.sh, y.sh)) > 0
+         |    AND (1000000 * CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT))
+         |        // CAST(len(list_distinct(x.sh || y.sh)) AS BIGINT) >= 500000),
+         |sym AS (SELECT a AS x, b AS y FROM pr UNION ALL SELECT b, a FROM pr),
+         |reach(x, y) AS (
+         |  SELECT x, y FROM sym
+         |  UNION
+         |  SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x),
+         |lab AS (
+         |  SELECT d.doc_id,
+         |    LEAST(d.doc_id, COALESCE(MIN(r.y), d.doc_id)) AS cluster_id
+         |  FROM q d LEFT JOIN reach r ON r.x = d.doc_id
+         |  GROUP BY d.doc_id)
+         |SELECT doc_id, cluster_size FROM (
+         |  SELECT doc_id, cluster_id,
+         |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |  FROM lab)
+         |WHERE doc_id = cluster_id ORDER BY doc_id""".stripMargin,
+
+    "q_multi_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     // transitive closure of the verified near-dup pairs via a recursive
     // CTE; cluster id = min reachable doc (same fixpoint the Spark
