@@ -65,4 +65,40 @@ class PropertySpec extends AnyFunSuite {
     intercept[IllegalArgumentException](MetastoreApi.jsonValue("str6"))
     intercept[IllegalArgumentException](MetastoreApi.jsonValue(""))
   }
+
+  test("WordShingles equals a scala reference on arbitrary space-separated text") {
+    import spark.implicits._
+    val spacedText: Gen[String] = Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf("aa", "b", "ccc", "dd", "e"), 3 -> Gen.const(" "), 1 -> Gen.const("  ")))
+      .map(_.mkString(" "))
+    def ref(s: String, n: Int): List[String] = {
+      val toks = s.split(" ").filter(_.nonEmpty)
+      if (toks.length < n) Nil
+      else toks.sliding(n).map(_.mkString("_")).toList.distinct
+    }
+    val inputs = samples(spacedText, 300)
+    for (n <- Seq(2, 3)) {
+      val got = inputs.toDF("s")
+        .select(graft.functions.TextExpressionFunctions.wordShingles(col("s"), n).as("sh"))
+        .collect().map(_.getSeq[String](0).toList)
+      got.zip(inputs).foreach { case (g, s) =>
+        assert(g == ref(s, n), s"shingle divergence (n=$n) on input: '$s'")
+      }
+    }
+  }
+
+  test("SortedIntersectCount equals set intersection on arbitrary sorted arrays") {
+    import spark.implicits._
+    val arr: Gen[List[String]] =
+      Gen.listOf(Gen.oneOf("a", "ab", "b", "ba", "c", "cc", "d", "", "e", "f"))
+        .map(_.distinct.sorted)
+    val pairs = samples(Gen.zip(arr, arr), 400)
+    val got = pairs.toDF("x", "y")
+      .select(graft.functions.TextExpressionFunctions
+        .sortedIntersectCount(col("x"), col("y")).as("n"))
+      .collect().map(_.getLong(0))
+    got.zip(pairs).foreach { case (g, (x, y)) =>
+      assert(g == (x.toSet & y.toSet).size.toLong, s"intersect divergence on ($x, $y)")
+    }
+  }
 }
