@@ -76,38 +76,79 @@ object Similarity {
       .orderBy(col("a"), col("b"))
   }
 
-  /** IVF-style ANN: coarse quantization to per-label centroids (mean
-    * vectors, computed by position-exploded average — all codegen), probe
-    * the nProbe nearest cells, exact re-rank inside them. The scale path
-    * for billion-vector corpora: the centroid table is tiny + broadcast,
-    * and each query touches only its probed cells' partitions.
-    * Approximate by construction (rows-only; recall pinned in spec).
+  /** Deterministic Lloyd's k-means over the embedding corpus: init =
+    * per-hash-partition means (vec_id mod cells), then `iters` rounds of
+    * assign-to-nearest-centroid + recompute means. The model (cells×dim
+    * floats) is collected to the driver each round and re-broadcast as a
+    * LITERAL into the next assignment projection — assignment is a pure
+    * codegen'd map pass with NO join, the standard broadcast-model shape
+    * (the per-round collect is the k-row model, never data). Empty
+    * cells keep their previous centroid.
+    */
+  def kmeansCentroids(embeddings: DataFrame, cells: Int = 10,
+                      iters: Int = 4): Seq[Seq[Float]] = {
+    def meanByCid(df: DataFrame): Map[Int, Seq[Float]] =
+      df.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
+        .groupBy(col("cid"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("cid"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
+
+    var cents: Seq[Seq[Float]] = {
+      val init = meanByCid(embeddings.select(
+        pmod(col("vec_id"), lit(cells)).cast("int").as("cid"), col("embedding")))
+      (0 until cells).map(j => init(j))
+    }
+    for (_ <- 1 to iters) {
+      val assigned = embeddings.select(
+        nearestCell(col("embedding"), cents).as("cid"), col("embedding"))
+      val m = meanByCid(assigned)
+      cents = (0 until cells).map(j => m.getOrElse(j, cents(j)))
+    }
+    cents
+  }
+
+  /** Index of the max-cosine centroid for a vector (centroids as
+    * literals; ties → smaller index; all codegen'd arithmetic).
+    */
+  def nearestCell(v: Column, cents: Seq[Seq[Float]]): Column = {
+    val entries = cents.zipWithIndex.map { case (c, j) =>
+      val invNorm = 1.0 / math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      struct((dot(v, typedlit(c)) * invNorm).as("sim"), lit(-j).as("nj"))
+    }
+    (array_max(array(entries: _*)).getField("nj") * -1).cast("int")
+  }
+
+  /** IVF ANN with k-means coarse quantization: train [[kmeansCentroids]],
+    * assign every vector its cell in a map pass, probe the nProbe
+    * nearest cells per query, exact re-rank inside them. The scale path
+    * for billion-vector corpora: the centroid model is tiny and
+    * broadcast-as-literal, the corpus is never shuffled, and each query
+    * touches only its probed cells. Approximate by construction
+    * (rows-only; recall pinned in spec).
     */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
-              nProbe: Int = 3): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"),
-      norm(col("embedding")).as("nrm"))
-    // centroids: elementwise mean per label via posexplode + avg
-    val cent = embeddings
-      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("v")).as("m"))
-      .groupBy(col("label"))
-      .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-      .select(col("label").as("c_label"),
-        expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("centroid"))
+              nProbe: Int = 3, cells: Int = 10, iters: Int = 4): DataFrame = {
+    val cents = kmeansCentroids(embeddings, cells, iters)
+    val e = embeddings.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"), nearestCell(col("embedding"), cents).as("cell"))
     val queries = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
-    // probe the nProbe closest centroids per query
-    val probes = queries.crossJoin(broadcast(cent))
-      .withColumn("c_sim", dot(col("q_emb"), col("centroid")) /
-        (col("q_nrm") * norm(col("centroid"))))
+    // nProbe closest cells per query (queries are few; the cell-sim
+    // explode is cells rows per query)
+    val cellSims = cents.zipWithIndex.map { case (c, j) =>
+      val invNorm = 1.0 / math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      struct(lit(j).as("cell"), (dot(col("q_emb"), typedlit(c)) * invNorm).as("c_sim"))
+    }
+    val probes = queries
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), explode(array(cellSims: _*)).as("cs"))
       .withColumn("c_rk", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("c_sim").desc, col("c_label"))))
+        Window.partitionBy(col("q_id")).orderBy(col("cs.c_sim").desc, col("cs.cell"))))
       .filter(col("c_rk") <= nProbe)
-      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("c_label"))
-    // exact re-rank within probed cells only
+      .select(col("q_id"), col("q_emb"), col("q_nrm"), col("cs.cell").as("p_cell"))
     val scored = e.join(broadcast(probes),
-        col("label") === col("c_label") && col("vec_id") =!= col("q_id"))
+        col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
       .withColumn("cos_x1e6",
         floor(cosine(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")) * 1e6)
           .cast("long"))
