@@ -54,6 +54,8 @@ object SparkEntry {
     "q_range_join"   -> ((s, d) => operators.Temporal.qRangeJoin(s, d)),
     "q_percentiles"  -> ((s, d) => Relational.qPercentiles(s, d)),
     "q_weighted_sample" -> ((s, d) => Relational.qWeightedSample(s, d)),
+    "q_window_range"    -> ((s, d) => Relational.qWindowRange(s, d)),
+    "txt_keywords"      -> ((s, d) => Text.keywords(s, d)),
     "q_grouping_sets"   -> ((s, d) => Relational.qGroupingSets(s, d)),
     "stream_sliding_agg" -> ((s, d) => Pipeline.streamSlidingAgg(s, d)),
     // §2.5 text analysis
@@ -301,6 +303,18 @@ object SparkEntry {
         |  FROM part)
         |WHERE cum // 97 > (cum - wt) // 97
         |ORDER BY p_partkey""".stripMargin,
+
+    "q_window_range" ->
+      """SELECT o_custkey, o_orderkey, o_day, n_last30, spend_last30 FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS o_day,
+        |    CAST(count(*) OVER w AS BIGINT) AS n_last30,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS spend_last30
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT)
+        |               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+        |) ORDER BY o_custkey, o_orderkey""".stripMargin,
 
     "q_grouping_sets" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

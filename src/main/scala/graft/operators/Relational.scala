@@ -357,6 +357,25 @@ object Relational {
       .orderBy(col("returnflag"), col("linestatus"))
   }
 
+  /** Value-RANGE window frame: per customer, count and spend of orders
+    * within the trailing 30 days of each order (frame bounds in the
+    * ORDER BY value's units, not row counts).
+    */
+  def qWindowRange(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_day"))
+      .rangeBetween(-30, 0)
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS BIGINT)")
+          .as("o_day"),
+        dec2(col("o_totalprice")).as("tp"))
+      .withColumn("n_last30", count(lit(1)).over(w))
+      .withColumn("spend_last30", sum(col("tp")).over(w).cast("double"))
+      .select(col("o_custkey"), col("o_orderkey"), col("o_day"),
+        col("n_last30"), col("spend_last30"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
   /** HLL approximate distinct (rows-only check: approximate by nature). */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

@@ -97,6 +97,27 @@ object Text {
         posexplode(col("sketch")).as(Seq("slot", "mh")))
       .orderBy(col("lang"), col("slot"))
 
+  /** Per-doc keyword extraction: top-3 analyzed terms by the integer
+    * tf·idf of SURVEY §4.2 (idf = (N·1000) div df), ties broken by term.
+    * The df table is vocab-sized → broadcast by AQE; one explode + two
+    * aggregations, the same inverted-index shape as [[termStats]].
+    */
+  def keywords(s: SparkSession, d: String, k: Int = 3): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val toks = docs.select(col("doc_id"), explode(Analyzer.tokens(col("text"))).as("term"))
+    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    tf.join(df, Seq("term")).crossJoin(n)
+      .withColumn("score", expr("tf * ((n * 1000) div df)"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("doc_id"), col("rk"), col("term"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
   /** Corpus bigram frequencies over analyzed tokens (adjacent pairs). */
   def bigrams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -174,6 +195,22 @@ object Text {
       s"""SELECT bigram, CAST(count(*) AS BIGINT) AS n_docs
          |FROM (SELECT unnest(${graft.dedup.Dedup.shinglesSql("text", 2)}) AS bigram FROM documents)
          |GROUP BY bigram ORDER BY bigram""".stripMargin,
+
+    "txt_keywords" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(${Analyzer.tokensSql("text")}) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |sc AS (
+         |  SELECT tf.doc_id, tf.term, tf.tf * ((nn.n * 1000) // df.df) AS score
+         |  FROM tf JOIN df ON tf.term = df.term CROSS JOIN nn),
+         |rk AS (
+         |  SELECT doc_id, term, score,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS INT) AS rk
+         |  FROM sc)
+         |SELECT doc_id, rk, term, score FROM rk WHERE rk <= 3
+         |ORDER BY doc_id, rk""".stripMargin,
 
     "txt_term_stats" ->
       s"""SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
