@@ -86,6 +86,7 @@ object SparkEntry {
     "mm_resize"       -> ((s, d) => Pipeline.mmResize(s, d)),
     "mm_frame_sample" -> ((s, d) => Pipeline.mmFrameSample(s, d)),
     "mm_features"     -> ((s, d) => Pipeline.mmFeatures(s, d)),
+    "mm_audio_window" -> ((s, d) => Pipeline.mmAudioWindow(s, d)),
     // §2.7 streaming (batch-equivalent plans; streaming pinned in specs)
     "stream_window_agg" -> ((s, d) => Pipeline.streamWindowAgg(s, d)),
     "stream_sessionize" -> ((s, d) => Pipeline.streamSessionize(s, d)),

@@ -50,6 +50,25 @@ object Multimodal {
         ",").as("frame_idx_csv"))
       .orderBy(col("doc_id"))
 
+  /** Audio framing plumbing: treat the payload as PCM samples and
+    * compute the frame grid for a window/hop pair (the 25 ms / 10 ms @
+    * 16 kHz default → 400/160 samples) — frame count, last frame start,
+    * and the tail samples a final partial frame would drop. Pure integer
+    * arithmetic on the decoded metadata; a real feature frontend (fbank,
+    * MFCC) plugs into exactly this grid.
+    */
+  def audioWindowPlan(meta: DataFrame, window: Int = 400, hop: Int = 160): DataFrame =
+    meta.select(col("doc_id"), col("byte_len").as("n_samples"),
+      expr(s"CASE WHEN byte_len >= $window THEN 1 + (byte_len - $window) div $hop" +
+        " ELSE CAST(0 AS BIGINT) END").as("n_frames_audio"))
+      .withColumn("last_start",
+        expr(s"CASE WHEN n_frames_audio > 0 THEN (n_frames_audio - 1) * $hop" +
+          " ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("tail_samples",
+        expr(s"CASE WHEN n_frames_audio > 0 THEN n_samples - (last_start + $window)" +
+          " ELSE n_samples END"))
+      .orderBy(col("doc_id"))
+
   /** STUB feature extraction: a deterministic pseudo-feature vector
     * seeded from the decoded fingerprint — stands in for an image
     * embedding model; the shape (fixed-width double[64] per payload,

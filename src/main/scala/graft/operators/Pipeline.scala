@@ -65,6 +65,9 @@ object Pipeline {
   def mmFeatures(s: SparkSession, d: String): DataFrame =
     Multimodal.featuresPlan(Multimodal.decodeMeta(Tables.documents(s, d)))
 
+  def mmAudioWindow(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioWindowPlan(Multimodal.decodeMeta(Tables.documents(s, d)))
+
   // --- §2.7 streaming (batch-equivalent oracle path) ---------------------
 
   def streamWindowAgg(s: SparkSession, d: String): DataFrame =
@@ -310,6 +313,20 @@ object Pipeline {
          |  ((fp * (t.i + 13)) % 2001 - 1000) / 1000.0 AS feature
          |FROM m CROSS JOIN range(0, 64) t(i)
          |ORDER BY doc_id, i""".stripMargin,
+
+    "mm_audio_window" ->
+      s"""WITH m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_samples FROM documents),
+         |f AS (SELECT doc_id, n_samples,
+         |  CASE WHEN n_samples >= 400 THEN 1 + (n_samples - 400) // 160
+         |       ELSE CAST(0 AS BIGINT) END AS n_frames_audio
+         |FROM m)
+         |SELECT doc_id, n_samples, n_frames_audio,
+         |  CASE WHEN n_frames_audio > 0 THEN (n_frames_audio - 1) * 160
+         |       ELSE CAST(0 AS BIGINT) END AS last_start,
+         |  CASE WHEN n_frames_audio > 0
+         |       THEN n_samples - ((n_frames_audio - 1) * 160 + 400)
+         |       ELSE n_samples END AS tail_samples
+         |FROM f ORDER BY doc_id""".stripMargin,
 
     "mm_decode_meta" ->
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
