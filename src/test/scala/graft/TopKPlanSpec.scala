@@ -16,6 +16,34 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(native.toSeq == window.toSeq)
   }
 
+  test("TopKRewrite: window row_number <= k with rank dropped plans as TopKPerKey") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
+    val windowForm = Tables.part(spark, sf)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select("p_brand", "p_partkey", "p_retailprice") // rank dropped → eligible
+    val p = windowForm.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerKeyPartial") && p.contains("TopKPerKeyFinal"),
+      s"rewrite did not fire:\n$p")
+    assert(!p.contains("Window"), s"window operator should be gone:\n$p")
+    // results equal the unrewritten semantics (computed via the kept-rank form)
+    val got = windowForm.orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
+      .collect().map(_.toSeq).toSeq
+    val want = operators.Relational.qTopkPerGroup(spark, sf)
+      .select("p_brand", "p_partkey", "p_retailprice")
+      .orderBy(col("p_brand"), col("p_retailprice").desc, col("p_partkey"))
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
+  test("TopKRewrite does NOT fire when the rank column survives") {
+    val p = operators.Relational.qTopkPerGroup(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("TopKPerKeyPartial"), s"must keep the Window form:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
   test("plan shape: partial heap before the exchange, final after") {
     val df = TopK.perKey(
       Tables.orders(spark, sf).select("o_custkey", "o_orderkey", "o_totalprice"),
