@@ -52,6 +52,7 @@ object SparkEntry {
     "q_time_funcs"   -> ((s, d) => Relational.qTimeFuncs(s, d)),
     "q_asof_join"    -> ((s, d) => operators.Temporal.qAsofJoin(s, d)),
     "q_range_join"   -> ((s, d) => operators.Temporal.qRangeJoin(s, d)),
+    "q_funnel"       -> ((s, d) => operators.Temporal.qFunnel(s, d)),
     "q_percentiles"  -> ((s, d) => Relational.qPercentiles(s, d)),
     "q_weighted_sample" -> ((s, d) => Relational.qWeightedSample(s, d)),
     "q_window_range"    -> ((s, d) => Relational.qWindowRange(s, d)),

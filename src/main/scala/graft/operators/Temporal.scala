@@ -101,7 +101,45 @@ object Temporal {
       .orderBy(col("incident_id"))
   }
 
+  /** Funnel step: per user, the first 'click' and the first 'purchase'
+    * within 24 h after it (NULL when no purchase converts). One shuffle:
+    * conditional aggregates over a per-user window, no self-join.
+    */
+  def qFunnel(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ev = EventStreams.normalize(Tables.events(s, d))
+    val w = Window.partitionBy(col("user_id"))
+    ev.withColumn("first_click_us",
+        min(when(col("event_type") === "click", col("ts_us"))).over(w))
+      .filter(col("first_click_us").isNotNull)
+      .groupBy(col("user_id"), col("first_click_us"))
+      .agg(min(when(col("event_type") === "purchase" &&
+          col("ts_us") >= col("first_click_us") &&
+          col("ts_us") <= col("first_click_us") + dayUs, col("ts_us")))
+        .as("first_purchase_us"))
+      .withColumn("converted", col("first_purchase_us").isNotNull)
+      .orderBy(col("user_id"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH ev AS (SELECT epoch_us(ts) AS ts_us, user_id, event_type FROM events),
+        |fc AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'click' THEN ts_us END) AS first_click_us
+        |  FROM ev GROUP BY user_id),
+        |j AS (
+        |  SELECT f.user_id, f.first_click_us,
+        |    min(CASE WHEN e.event_type = 'purchase'
+        |             AND e.ts_us >= f.first_click_us
+        |             AND e.ts_us <= f.first_click_us + 86400000000
+        |             THEN e.ts_us END) AS first_purchase_us
+        |  FROM fc f JOIN ev e ON e.user_id = f.user_id
+        |  WHERE f.first_click_us IS NOT NULL
+        |  GROUP BY f.user_id, f.first_click_us)
+        |SELECT user_id, first_click_us, first_purchase_us,
+        |  first_purchase_us IS NOT NULL AS converted
+        |FROM j ORDER BY user_id""".stripMargin,
+
     "q_range_join" ->
       """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, value FROM events),
         |inc AS (
