@@ -88,11 +88,13 @@ object Similarity {
   def kmeansCentroids(embeddings: DataFrame, cells: Int = 10,
                       iters: Int = 4): Seq[Seq[Float]] = {
     def meanByCid(df: DataFrame): Map[Int, Seq[Float]] =
-      df.select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy(col("cid"), col("pos")).agg(avg(col("v")).as("m"))
-        .groupBy(col("cid"))
-        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("cid"), expr("transform(pm, x -> CAST(x.m AS FLOAT))").as("c"))
+      // native elementwise-sum aggregate: ONE narrow shuffle of dim
+      // doubles + a count per cell, map-side combined (vs the previous
+      // posexplode-to-64-rows two-stage shape)
+      df.groupBy(col("cid"))
+        .agg(graft.functions.VectorSumAgg.vectorSum(col("embedding"), Dim).as("s"),
+          count(lit(1)).as("n"))
+        .select(col("cid"), expr("transform(s, x -> CAST(x / n AS FLOAT))").as("c"))
         .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).toMap
 
     var cents: Seq[Seq[Float]] = {

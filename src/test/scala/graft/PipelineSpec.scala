@@ -66,6 +66,24 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("VectorSumAgg equals a scala elementwise sum across partitionings") {
+    import graft.functions.VectorSumAgg
+    import spark.implicits._
+    val dim = 4
+    val rows = (1 to 200).map(i => (i % 5, Array.tabulate(dim)(d => (i * (d + 1)).toFloat)))
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> (0 until dim).map(d => rs.map(_._2(d).toDouble).sum)
+    }
+    for (parts <- Seq(1, 3, 8)) {
+      val got = rows.toDF("g", "v").repartition(parts).groupBy(col("g"))
+        .agg(VectorSumAgg.vectorSum(col("v"), dim).as("s")).collect()
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+      want.foreach { case (g, w) =>
+        got(g).zip(w).foreach { case (a, b) => assert(math.abs(a - b) < 1e-9) }
+      }
+    }
+  }
+
   test("hot band bucket: salted LSH join is complete on an all-duplicates corpus") {
     // every doc identical → ONE maximally hot (band, key) bucket per band;
     // the salted join must still emit every pair exactly once
