@@ -37,12 +37,16 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The k of a `rn ≤ k`-shaped predicate, if that is the whole filter. */
+  /** The k of a `rn ≤ k`-shaped predicate, if that is the whole filter.
+    * `rn = 1` (the first-row-per-group idiom) is `rn ≤ 1`.
+    */
   private def kOf(cond: Expression, rn: ExprId): Option[Int] = cond match {
     case LessThanOrEqual(a: AttributeReference, Literal(v: Int, IntegerType)) if a.exprId == rn => Some(v)
     case LessThan(a: AttributeReference, Literal(v: Int, IntegerType)) if a.exprId == rn => Some(v - 1)
     case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: AttributeReference) if a.exprId == rn => Some(v)
     case GreaterThan(Literal(v: Int, IntegerType), a: AttributeReference) if a.exprId == rn => Some(v - 1)
+    case EqualTo(a: AttributeReference, Literal(1, IntegerType)) if a.exprId == rn => Some(1)
+    case EqualTo(Literal(1, IntegerType), a: AttributeReference) if a.exprId == rn => Some(1)
     case _ => None
   }
 

@@ -37,6 +37,43 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("TopKRewrite: rn = 1 (first-row-per-group) rewrites and stays correct") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
+    val firstRow = Tables.part(spark, sf)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select("p_brand", "p_partkey")
+    assert(firstRow.queryExecution.executedPlan.toString.contains("TopKPerKeyPartial"))
+    val got = firstRow.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = Tables.part(spark, sf)
+      .groupBy("p_brand")
+      .agg(max_by(col("p_partkey"),
+        struct(col("p_retailprice"), -col("p_partkey"))).as("p_partkey"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("TopKRewrite: compound predicates stay correct whether or not the rule fires") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
+    // Catalyst may split the conjunction (pushing the non-rank half below
+    // the window) or keep it whole — either way results must match the
+    // window semantics
+    val df = Tables.part(spark, sf)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2 && col("p_partkey") % 2 === 0)
+      .select("p_brand", "p_partkey")
+    val got = df.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val want = Tables.part(spark, sf)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 2)
+      .filter(col("p_partkey") % 2 === 0)
+      .select("p_brand", "p_partkey")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("TopKRewrite does NOT fire when the rank column survives") {
     val p = operators.Relational.qTopkPerGroup(spark, sf)
       .queryExecution.executedPlan.toString
