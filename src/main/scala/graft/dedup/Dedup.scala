@@ -264,6 +264,13 @@ object Dedup {
       labels = next
       rounds += 1
     }
+    // a silent cutoff would return wrong (unconverged) labels — fail
+    // loudly instead; diameter > maxRounds means the caller should raise
+    // the bound, not trust the output
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds " +
+          "(component diameter exceeds the bound); raise maxRounds")
     labels.select(col("x").as("id"), col("label").as("cluster_id"))
   }
 

@@ -112,6 +112,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("connected components refuses to return unconverged labels") {
+    import spark.implicits._
+    // a 12-node path has diameter 11 > maxRounds=3 → must throw, never
+    // silently emit partial labels
+    val nodes = (0L until 12L).toDF("id")
+    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(nodes, edges, maxRounds = 3).collect()
+    }
+  }
+
   test("exact clusters partition all docs; representatives are minima") {
     val cl = Dedup.exactClusters(docs).collect()
     assert(cl.length == docs.count())
