@@ -126,6 +126,10 @@ object Pipeline {
         expr("(10000 * n_stop) div n_tok") < 4000 &&
         expr("(10000 * n_uniq) div n_tok") > 2500)
       .select(col("doc_id"), col("text"))
+      // the survivor set feeds the shingle pipeline, both verify sides,
+      // and the component node list — materialize the token-ratio gate
+      // once instead of re-running it per consumer
+      .localCheckpoint()
     Dedup.nearDupClusters(quality)
       .filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"), col("cluster_size"))
