@@ -99,9 +99,14 @@ class SearchEngine(
       .select(col(idCol), col("f.field").as("field"), col("f.boost").as("boost"),
               explode(col("f.toks")).as("term"))
       .filter(col("term").isin(terms: _*))
+    // tf feeds BOTH the df aggregate and the scoring join; it is tiny
+    // (matching docs × query terms only), so materialize it once — the
+    // corpus-wide tokenize+explode must not run twice (AQE gives no
+    // cross-consumer exchange reuse)
     val tf = tokenRows
       .groupBy(col(idCol), col("field"), col("term"), col("boost"))
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("field"), col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     tf.join(broadcast(df), Seq("field", "term"))
