@@ -67,6 +67,22 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup to a parquet FILE sink round-trips equal to batch") {
+    val ev = EventStreams.normalize(Tables.events(spark, sf))
+    val expected = EventStreams.dedupBatch(ev).collect().map(_.toSeq).toSet
+    val schema = Tables.events(spark, sf).schema
+    val outDir = java.nio.file.Files.createTempDirectory("graft-stream-sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = EventStreams.dedupStreaming(EventStreams.normalize(stream))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", outDir).start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.read.parquet(outDir).collect().map(_.toSeq).toSet
+    assert(got == expected, "file-sink output diverged from batch DISTINCT")
+  }
+
   test("stateful streaming sessionization closes the same sessions as batch") {
     val ev = EventStreams.normalize(Tables.events(spark, sf))
     val batch = EventStreams.sessionize(ev).collect()
