@@ -248,7 +248,12 @@ object Dedup {
       .localCheckpoint()
     var labels = nodes.select(col("id").as("x"), col("id").as("label"))
       .localCheckpoint()
-    var prevSum = labels.agg(sum(col("label"))).collect()(0).getLong(0)
+    // coalesce: sum() is NULL over zero rows — an empty node set (e.g. a
+    // quality gate that filtered every document) must yield an empty
+    // result, not an NPE out of getLong
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
@@ -258,7 +263,7 @@ object Dedup {
         .select(col("x"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
         .localCheckpoint()
-      val s = next.agg(sum(col("label"))).collect()(0).getLong(0)
+      val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
       labels = next

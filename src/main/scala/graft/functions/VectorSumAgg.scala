@@ -48,9 +48,13 @@ case class VectorSumAgg(child: Expression, dim: Int,
     val v = child.eval(input)
     if (v != null) {
       val arr = v.asInstanceOf[ArrayData]
-      val n = math.min(dim, arr.numElements())
+      // fixed-width contract: silently truncating a longer vector or
+      // zero-padding a shorter one would yield quietly wrong centroids
+      if (arr.numElements() != dim)
+        throw new IllegalArgumentException(
+          s"$prettyName(dim=$dim) got a vector of length ${arr.numElements()}")
       var i = 0
-      while (i < n) {
+      while (i < dim) {
         b(i) += (if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i))
         i += 1
       }

@@ -42,9 +42,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
     */
   private def kOf(cond: Expression, rn: ExprId): Option[Int] = cond match {
     case LessThanOrEqual(a: AttributeReference, Literal(v: Int, IntegerType)) if a.exprId == rn => Some(v)
-    case LessThan(a: AttributeReference, Literal(v: Int, IntegerType)) if a.exprId == rn => Some(v - 1)
+    // v > Int.MinValue guards the decrement: `rn < Int.MinValue` must stay
+    // an always-false filter, not overflow into top-Int.MaxValue-per-key.
+    case LessThan(a: AttributeReference, Literal(v: Int, IntegerType)) if a.exprId == rn && v > Int.MinValue => Some(v - 1)
     case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: AttributeReference) if a.exprId == rn => Some(v)
-    case GreaterThan(Literal(v: Int, IntegerType), a: AttributeReference) if a.exprId == rn => Some(v - 1)
+    case GreaterThan(Literal(v: Int, IntegerType), a: AttributeReference) if a.exprId == rn && v > Int.MinValue => Some(v - 1)
     case EqualTo(a: AttributeReference, Literal(1, IntegerType)) if a.exprId == rn => Some(1)
     case EqualTo(Literal(1, IntegerType), a: AttributeReference) if a.exprId == rn => Some(1)
     case _ => None

@@ -32,10 +32,33 @@ object AuthToken {
       Some(m.readValue(s, classOf[java.util.HashMap[String, Object]]))
     } catch { case _: Exception => None }
 
+  /** Registered time claims, per pyjwt's default validation (the reference
+    * decodes with `jwt.decode`, blueprint.py:26, which verifies `exp` and
+    * `nbf` when present, zero leeway): a numeric `exp` in the past or a
+    * numeric `nbf` in the future makes the token invalid; a non-numeric
+    * value in either claim is malformed. Both degrade to anonymous.
+    */
+  private def timeClaimsValid(payload: java.util.Map[String, Object], nowSec: Long): Boolean = {
+    def numeric(v: Object): Option[Long] = v match {
+      case n: java.lang.Number => Some(n.longValue())
+      case _ => None // claim present but non-numeric ⇒ malformed token
+    }
+    // pyjwt boundaries: expired iff exp < now; not-yet-valid iff nbf > now
+    val exp = Option(payload.get("exp")).map(v => numeric(v).exists(_ >= nowSec))
+    val nbf = Option(payload.get("nbf")).map(v => numeric(v).exists(_ <= nowSec))
+    exp.getOrElse(true) && nbf.getOrElse(true)
+  }
+
   /** Verify + decode: returns the `userid` claim of a valid HS256 token,
     * None for anything else (invalid-token ≡ anonymous rule).
     */
   def userid(token: String, key: Array[Byte]): Option[String] =
+    userid(token, key, System.currentTimeMillis() / 1000)
+
+  /** As [[userid]] with an explicit clock (seconds since epoch) so exp/nbf
+    * handling is deterministic in tests.
+    */
+  def userid(token: String, key: Array[Byte], nowSec: Long): Option[String] =
     try {
       for {
         t <- Option(token)
@@ -45,14 +68,18 @@ object AuthToken {
         sig = b64.decode(parts(2))
         if java.security.MessageDigest.isEqual(sig, hmac(key, s"${parts(0)}.${parts(1)}"))
         payload <- parseJson(new String(b64.decode(parts(1)), UTF_8))
+        if timeClaimsValid(payload, nowSec)
         uid <- Option(payload.get("userid")).collect { case s: String => s }
       } yield uid
     } catch { case _: IllegalArgumentException => None } // bad base64 ≡ anonymous
 
-  /** Mint a token (test/tooling side of the contract). */
-  def sign(userid: String, key: Array[Byte]): String = {
+  /** Mint a token (test/tooling side of the contract). `claims` adds
+    * numeric registered claims (e.g. "exp", "nbf") to the payload.
+    */
+  def sign(userid: String, key: Array[Byte], claims: Map[String, Long] = Map.empty): String = {
+    val extra = claims.toSeq.sortBy(_._1).map { case (k, v) => s""","$k":$v""" }.mkString
     val header = b64e.encodeToString("""{"alg":"HS256","typ":"JWT"}""".getBytes(UTF_8))
-    val payload = b64e.encodeToString(s"""{"userid":"$userid"}""".getBytes(UTF_8))
+    val payload = b64e.encodeToString(s"""{"userid":"$userid"$extra}""".getBytes(UTF_8))
     val sig = b64e.encodeToString(hmac(key, s"$header.$payload"))
     s"$header.$payload.$sig"
   }

@@ -100,7 +100,16 @@ object Similarity {
     var cents: Seq[Seq[Float]] = {
       val init = meanByCid(embeddings.select(
         pmod(col("vec_id"), lit(cells)).cast("int").as("cid"), col("embedding")))
-      (0 until cells).map(j => init(j))
+      if (init.isEmpty)
+        throw new IllegalArgumentException(
+          "kmeansCentroids: embeddings is empty — cannot train a model")
+      // a vec_id residue class can be unpopulated (corpus < cells, or
+      // sparse ids): seed it from the smallest populated cell instead of
+      // crashing. The duplicate centroid is harmless — nearestCell
+      // tie-breaks to the smaller index, so the clone cell starts empty
+      // and keeps falling back until real assignments move it.
+      val fallback = init(init.keys.min)
+      (0 until cells).map(j => init.getOrElse(j, fallback))
     }
     for (_ <- 1 to iters) {
       val assigned = embeddings.select(

@@ -81,6 +81,23 @@ class MetastoreApiSpec extends AnyFunSuite {
     }
   }
 
+  test("auth token: exp/nbf registered claims validate like pyjwt defaults") {
+    import graft.search.AuthToken
+    val key = "test-private-key".getBytes("UTF-8")
+    val now = 1700000000L
+    def uid(claims: Map[String, Long]): Option[String] =
+      AuthToken.userid(AuthToken.sign("src5", key, claims), key, now)
+    assert(uid(Map("exp" -> (now + 60))).contains("src5"))
+    assert(uid(Map("exp" -> now)).contains("src5"))        // exp < now expires, == is valid
+    assert(uid(Map("exp" -> (now - 1))).isEmpty)           // expired ≡ anonymous
+    assert(uid(Map("nbf" -> now)).contains("src5"))        // nbf > now defers, == is valid
+    assert(uid(Map("nbf" -> (now + 1))).isEmpty)           // not yet valid ≡ anonymous
+    assert(uid(Map("nbf" -> (now - 60), "exp" -> (now + 60))).contains("src5"))
+    // a well-signed but expired token must act anonymous end to end
+    val expired = AuthToken.sign("src5", key, Map("exp" -> 1L))
+    assert(AuthToken.userid(expired, key).isEmpty)
+  }
+
   test("events kind sorts by timestamp desc by default (test:592-599)") {
     val r = MetastoreApi.search(spark, sf, kind = "events", userid = Some("user3"))
     val ts = r.results.select("ts_us").collect().map(_.getLong(0))

@@ -112,6 +112,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("connected components on an empty node set returns empty (not NPE)") {
+    import spark.implicits._
+    val nodes = Seq.empty[Long].toDF("id")
+    val edges = Seq.empty[(Long, Long)].toDF("a", "b")
+    assert(Dedup.connectedComponents(nodes, edges).count() == 0)
+  }
+
+  test("VectorSumAgg fails loudly on a dimension mismatch") {
+    import graft.functions.VectorSumAgg
+    import spark.implicits._
+    val rows = Seq((1, Array(1f, 2f, 3f)), (1, Array(1f, 2f))).toDF("g", "v")
+    val e = intercept[Exception] {
+      rows.groupBy(col("g")).agg(VectorSumAgg.vectorSum(col("v"), 3).as("s")).collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString("\n")
+    assert(msgs.contains("got a vector of length 2"), s"unexpected failure:\n$msgs")
+  }
+
   test("connected components refuses to return unconverged labels") {
     import spark.implicits._
     // a 12-node path has diameter 11 > maxRounds=3 → must throw, never
@@ -183,6 +202,21 @@ class PipelineSpec extends AnyFunSuite {
     val recall = (brute & lsh).size.toDouble / brute.size
     info(f"LSH ANN recall@10 = $recall%.2f (multi-probe hamming<=1, approximate by design)")
     assert(recall > 0.3)
+  }
+
+  test("kmeans training survives unpopulated vec_id residue classes") {
+    import spark.implicits._
+    // 3 vectors, 8 cells → residues 1,3,5,6,7 start empty; training must
+    // seed them from a populated cell instead of crashing
+    val tiny = Seq(0L, 2L, 4L)
+      .map(i => (i, Array.tabulate(64)(d => (i + d + 1).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.kmeansCentroids(tiny, cells = 8, iters = 2)
+    assert(cents.length == 8)
+    assert(cents.forall(_.length == 64))
+    intercept[IllegalArgumentException] {
+      Similarity.kmeansCentroids(tiny.filter(col("vec_id") < 0), cells = 4, iters = 1)
+    }
   }
 
   test("IVF ANN probes nearest cells with measured recall") {

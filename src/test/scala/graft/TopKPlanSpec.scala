@@ -74,6 +74,17 @@ class TopKPlanSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("TopKRewrite: rn < Int.MinValue stays an always-false filter (no overflow)") {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("p_brand")).orderBy(col("p_retailprice").desc, col("p_partkey"))
+    val df = Tables.part(spark, sf)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") < Int.MinValue)
+      .select("p_brand", "p_partkey") // rank dropped → rule inspects the predicate
+    // v - 1 must not wrap to Int.MaxValue and return every row
+    assert(df.count() == 0)
+  }
+
   test("TopKRewrite does NOT fire when the rank column survives") {
     val p = operators.Relational.qTopkPerGroup(spark, sf)
       .queryExecution.executedPlan.toString
