@@ -15,16 +15,24 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JIT/codegen warm-up at the smallest SF so timings measure
     // steady-state throughput, not first-call Janino compilation
+    // drop dead localCheckpoint blocks after each query: finished queries'
+    // intermediates otherwise accumulate in storage memory for the whole
+    // 74-query run and turn into GC pressure on the later (heavier) ones
+    def dropDeadBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        dropDeadBlocks()
       }
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      dropDeadBlocks()
+      name -> dt
     }
     // millisecond precision keeps the one-line JSON short enough to
     // survive log-tail truncation by downstream consumers

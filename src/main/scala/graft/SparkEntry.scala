@@ -37,6 +37,8 @@ object SparkEntry {
     "q_window_running" -> ((s, d) => Relational.qWindowRunning(s, d)),
     "q_rollup"         -> ((s, d) => Relational.qRollup(s, d)),
     "q_semi_anti"      -> ((s, d) => Relational.qSemiAnti(s, d)),
+    "q_in_subquery"    -> ((s, d) => Relational.qInSubquery(s, d)),
+    "q_histogram"      -> ((s, d) => Relational.qHistogram(s, d)),
     "q_set_ops"        -> ((s, d) => Relational.qSetOps(s, d)),
     "q_scalar_subquery" -> ((s, d) => Relational.qScalarSubquery(s, d)),
     "q_topk_per_group" -> ((s, d) => Relational.qTopkPerGroup(s, d)),
@@ -80,6 +82,7 @@ object SparkEntry {
     "q_sample_stratified" -> ((s, d) => Relational.qSampleStratified(s, d)),
     "q_correlated_subquery" -> ((s, d) => Relational.qCorrelatedSubquery(s, d)),
     "txt_bigrams" -> ((s, d) => Text.bigrams(s, d)),
+    "txt_cooccurrence" -> ((s, d) => Text.cooccurrence(s, d)),
     "txt_minhash_sketch" -> ((s, d) => Text.minhashSketch(s, d)),
     "ann_pair_sim"   -> ((s, d) => Pipeline.annPairSim(s, d)),
     // §2.6 multimodal
@@ -88,10 +91,12 @@ object SparkEntry {
     "mm_frame_sample" -> ((s, d) => Pipeline.mmFrameSample(s, d)),
     "mm_features"     -> ((s, d) => Pipeline.mmFeatures(s, d)),
     "mm_audio_window" -> ((s, d) => Pipeline.mmAudioWindow(s, d)),
+    "mm_scene_detect" -> ((s, d) => Pipeline.mmSceneDetect(s, d)),
     // §2.7 streaming (batch-equivalent plans; streaming pinned in specs)
     "stream_window_agg" -> ((s, d) => Pipeline.streamWindowAgg(s, d)),
     "stream_sessionize" -> ((s, d) => Pipeline.streamSessionize(s, d)),
     "stream_dedup"      -> ((s, d) => Pipeline.streamDedup(s, d)),
+    "stream_join"       -> ((s, d) => Pipeline.streamJoin(s, d)),
     "pipe_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "pipe_dedup_corpus" -> ((s, d) => Pipeline.dedupCorpus(s, d)),
     "q_multi_distinct"  -> ((s, d) => Pipeline.multiDistinct(s, d)),
@@ -249,6 +254,18 @@ object SparkEntry {
         |  SELECT 'without_orders' AS kind, count(*) AS n FROM customer
         |  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
         |) ORDER BY kind""".stripMargin,
+
+    "q_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_histogram" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT cents // 2500000 AS bin, count(*) AS n,
+        |  min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
 
     "q_set_ops" ->
       """SELECT c_custkey FROM (

@@ -101,10 +101,12 @@ object Dedup {
     val ex = explodedShingles(docs)
     val dfs = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
-    val bySz = Window.partitionBy(col("doc_id"))
+    // sz shares byRarity's sort (full frame) so both window functions run
+    // in ONE Window pass over one sort, not two
     val prefix = ex.join(dfs, Seq("s"))
       .withColumn("rn", row_number().over(byRarity))
-      .withColumn("sz", count(lit(1)).over(bySz))
+      .withColumn("sz", count(lit(1)).over(
+        byRarity.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       // ⌈τ·sz⌉ with τ = tauX1e6/1e6 in pure BIGINT arithmetic
       .filter(col("rn") <= col("sz") - expr(s"($tauX1e6 * sz + 999999) div 1000000") + 1)
       .select(col("doc_id"), col("s"), col("rn"), col("sz"))
@@ -246,7 +248,14 @@ object Dedup {
     val sym = edges.select(col("a").as("x"), col("b").as("y"))
       .union(edges.select(col("b").as("x"), col("a").as("y")))
       .localCheckpoint()
-    var labels = nodes.select(col("id").as("x"), col("id").as("label"))
+    // propagate over the ACTIVE set only — nodes incident to an edge.
+    // Isolated nodes (the overwhelming majority of a deduped corpus) are
+    // their own component by definition and never need a round; keeping
+    // them out shrinks every per-round shuffle/checkpoint from |V| to
+    // |V_active| ≈ 2|E|.
+    var labels = nodes.select(col("id").as("x"))
+      .join(sym.select(col("x")).distinct(), Seq("x"), "left_semi")
+      .select(col("x"), col("x").as("label"))
       .localCheckpoint()
     // coalesce: sum() is NULL over zero rows — an empty node set (e.g. a
     // quality gate that filtered every document) must yield an empty
@@ -276,7 +285,10 @@ object Dedup {
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxRounds rounds " +
           "(component diameter exceeds the bound); raise maxRounds")
-    labels.select(col("x").as("id"), col("label").as("cluster_id"))
+    // re-attach the isolated nodes as their own singleton components
+    nodes.select(col("id"))
+      .join(labels.select(col("x").as("id"), col("label")), Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
   /** Near-dup clusters: MinHash-LSH pairs (exact-Jaccard verified)

@@ -84,6 +84,31 @@ object Multimodal {
         .as(Seq("i", "feature")))
       .orderBy(col("doc_id"), col("i"))
 
+  /** Video scene segmentation plumbing: per-frame luma deltas → cut
+    * detection (a boundary where |luma_i − luma_{i−1}| > tau; frame 0
+    * always opens a scene). The luma is the deterministic stub (a real
+    * decoder emits per-frame statistics into exactly this shape); the
+    * sequence analysis — explode frames, lag over the frame order,
+    * threshold, aggregate per payload — is the real Spark plan a scene
+    * detector runs at scale.
+    */
+  def sceneDetectPlan(meta: DataFrame, tau: Int = 96): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("idx"))
+    meta.select(col("doc_id"), col("n_frames"),
+        explode(expr("transform(sequence(0L, n_frames - 1), i -> " +
+          "struct(i AS idx, (fp * (i + 7)) % 256 AS luma))")).as("f"))
+      .select(col("doc_id"), col("n_frames"), col("f.idx").as("idx"), col("f.luma").as("luma"))
+      .withColumn("prev", lag(col("luma"), 1).over(w))
+      .withColumn("cut",
+        when(col("prev").isNull || abs(col("luma") - col("prev")) > tau, 1L).otherwise(0L))
+      .groupBy(col("doc_id"), col("n_frames"))
+      .agg(sum(col("cut")).as("n_scenes"),
+        max(when(col("cut") === 1L, col("idx"))).as("last_cut"),
+        sum(when(col("cut") === 1L, col("idx")).otherwise(0L)).as("cut_checksum"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Binary payload → typed metadata via mapPartitions (the Scala analog
     * of `mapInPandas` batch decode: one iterator pass per partition, no
     * per-row task overhead, codegen-friendly typed output).

@@ -46,7 +46,8 @@ object Pipeline {
     Similarity.lshTopK(Tables.embeddings(s, d), queryPred)
 
   def annIvfTopk(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(s, d), queryPred)
+    Similarity.ivfTopK(Tables.embeddings(s, d), queryPred,
+      model = Some(graft.similarity.IvfModel.cells))
 
   def annPairSim(s: SparkSession, d: String): DataFrame =
     Similarity.pairSim(Tables.embeddings(s, d), 300000L)
@@ -68,6 +69,9 @@ object Pipeline {
   def mmAudioWindow(s: SparkSession, d: String): DataFrame =
     Multimodal.audioWindowPlan(Multimodal.decodeMeta(Tables.documents(s, d)))
 
+  def mmSceneDetect(s: SparkSession, d: String): DataFrame =
+    Multimodal.sceneDetectPlan(Multimodal.decodeMeta(Tables.documents(s, d)))
+
   // --- §2.7 streaming (batch-equivalent oracle path) ---------------------
 
   def streamWindowAgg(s: SparkSession, d: String): DataFrame =
@@ -83,6 +87,16 @@ object Pipeline {
 
   def streamDedup(s: SparkSession, d: String): DataFrame =
     EventStreams.dedupBatch(EventStreams.normalize(Tables.events(s, d)))
+
+  /** Stream-static enrichment join (events stream × per-user segment
+    * dim) + tumbling hourly agg per segment; the batch plan is the
+    * oracle-gated path, streaming parity pinned in StreamingSpec.
+    */
+  def streamJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+    EventStreams.enrichedWindowAgg(ev, EventStreams.userSegments(ev))
+      .orderBy(col("window_start_us"), col("segment"))
+  }
 
   /** Composed cleaning pipeline: quality-gate → exact-dedup (keep the
     * smallest doc_id per normalized-text fingerprint) — the minimal
@@ -258,6 +272,9 @@ object Pipeline {
     "dedup_embedding" -> pairSimSql(400000L),
     "ann_pair_sim" -> pairSimSql(300000L),
 
+    "ann_ivf_topk" ->
+      Similarity.ivfOracleSql(graft.similarity.IvfModel.cells, "vec_id % 97 = 0"),
+
     "ann_lsh_topk" ->
       s"""WITH b AS (
          |  SELECT vec_id, embedding,
@@ -332,6 +349,20 @@ object Pipeline {
          |       ELSE n_samples END AS tail_samples
          |FROM f ORDER BY doc_id""".stripMargin,
 
+    "mm_scene_detect" ->
+      s"""WITH m AS (SELECT doc_id, ${TextFunctions.fingerprintSql("text")} AS fp,
+         |  1 + ${TextFunctions.fingerprintSql("text")} % 16 AS n_frames FROM documents),
+         |fr AS (SELECT doc_id, n_frames, t.i AS idx, (fp * (t.i + 7)) % 256 AS luma
+         |       FROM m CROSS JOIN range(0, 16) t(i) WHERE t.i < n_frames),
+         |lg AS (SELECT *, lag(luma) OVER (PARTITION BY doc_id ORDER BY idx) AS prev FROM fr),
+         |ct AS (SELECT doc_id, n_frames, idx,
+         |         CASE WHEN prev IS NULL OR abs(luma - prev) > 96 THEN 1 ELSE 0 END AS cut
+         |       FROM lg)
+         |SELECT doc_id, n_frames, CAST(sum(cut) AS BIGINT) AS n_scenes,
+         |  CAST(max(CASE WHEN cut = 1 THEN idx END) AS BIGINT) AS last_cut,
+         |  CAST(sum(CASE WHEN cut = 1 THEN idx ELSE 0 END) AS BIGINT) AS cut_checksum
+         |FROM ct GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin,
+
     "mm_decode_meta" ->
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,
          |  ${TextFunctions.fingerprintSql("text")} AS fp,
@@ -353,6 +384,18 @@ object Pipeline {
          |  event_type, CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM events CROSS JOIN range(0, 2) t(k)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_join" ->
+      s"""WITH dim AS (
+         |  SELECT user_id,
+         |    CASE WHEN CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) >= 3300.0
+         |         THEN 'high' ELSE 'low' END AS segment
+         |  FROM events GROUP BY user_id)
+         |SELECT epoch_us(date_trunc('hour', e.ts)) AS window_start_us, d.segment,
+         |  CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM events e JOIN dim d ON e.user_id = d.user_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "stream_dedup" ->

@@ -129,6 +129,34 @@ object Relational {
     withOrders.unionAll(withoutOrders).orderBy(col("kind"))
   }
 
+  /** NOT IN (subquery) with three-valued NULL semantics: planned by
+    * Catalyst as a null-aware anti join (a broadcast NAAJ when the
+    * subquery side fits — `.explain` shows it). Distinct from
+    * [[qSemiAnti]]'s left_anti, which is NOT-EXISTS semantics: if the
+    * subquery ever produced a NULL, NOT IN must return no rows at all.
+    */
+  def qInSubquery(spark: SparkSession, dir: String): DataFrame = {
+    Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
+    Tables.orders(spark, dir).createOrReplaceTempView("graft_orders")
+    spark.sql(
+      """SELECT c_custkey, c_name FROM graft_customer
+        |WHERE c_custkey NOT IN (
+        |  SELECT o_custkey FROM graft_orders WHERE o_totalprice > 400000.0)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** Fixed-width histogram over order totals: exact integer-cents
+    * binning ($25k buckets) — one partial-agg-friendly groupBy, the
+    * at-scale shape for any numeric profile/quantization pass.
+    */
+  def qHistogram(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(expr("cents div 2500000").as("bin"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+      .orderBy(col("bin"))
+
   /** UNION / INTERSECT / EXCEPT over customer key sets. */
   def qSetOps(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)

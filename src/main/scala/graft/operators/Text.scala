@@ -105,7 +105,12 @@ object Text {
   def keywords(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(s, d)
     val toks = docs.select(col("doc_id"), explode(Analyzer.tokens(col("text"))).as("term"))
+    // tf feeds both the df aggregation and the score join — materialize
+    // once (AQE reuses no exchange across consumers; at raw 100 TB you'd
+    // join against the persisted inverted index from txt_term_stats
+    // instead of checkpointing a corpus-scale frame)
     val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
@@ -116,6 +121,25 @@ object Text {
       .filter(col("rk") <= k)
       .select(col("doc_id"), col("rk"), col("term"), col("score"))
       .orderBy(col("doc_id"), col("rk"))
+  }
+
+  /** Within-document term co-occurrence: document frequency of every
+    * unordered distinct-token pair (t1 < t2) — the statistic behind PMI
+    * / collocation scoring. The pair blowup is per-document (≤ L²/2 for
+    * L distinct tokens, bounded by document length), never corpus-wide;
+    * the exploded token list is materialized once for both self-join
+    * sides (§4.5 re-evaluation pitfall).
+    */
+  def cooccurrence(s: SparkSession, d: String): DataFrame = {
+    val ex = Tables.documents(s, d)
+      .select(col("doc_id"), explode(array_distinct(Analyzer.tokens(col("text")))).as("t"))
+      .localCheckpoint()
+    ex.select(col("doc_id"), col("t").as("t1"))
+      .join(ex.select(col("doc_id"), col("t").as("t2")), Seq("doc_id"))
+      .filter(col("t1") < col("t2"))
+      .groupBy(col("t1"), col("t2"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("t1"), col("t2"))
   }
 
   /** Corpus bigram frequencies over analyzed tokens (adjacent pairs). */
@@ -211,6 +235,14 @@ object Text {
          |  FROM sc)
          |SELECT doc_id, rk, term, score FROM rk WHERE rk <= 3
          |ORDER BY doc_id, rk""".stripMargin,
+
+    "txt_cooccurrence" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(list_distinct(${Analyzer.tokensSql("text")})) AS t
+         |  FROM documents)
+         |SELECT x.t AS t1, y.t AS t2, CAST(count(*) AS BIGINT) AS n_docs
+         |FROM tk x JOIN tk y ON x.doc_id = y.doc_id AND x.t < y.t
+         |GROUP BY 1, 2 ORDER BY t1, t2""".stripMargin,
 
     "txt_term_stats" ->
       s"""SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,

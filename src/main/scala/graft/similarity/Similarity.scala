@@ -140,8 +140,12 @@ object Similarity {
     * (rows-only; recall pinned in spec).
     */
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
-              nProbe: Int = 3, cells: Int = 10, iters: Int = 4): DataFrame = {
-    val cents = kmeansCentroids(embeddings, cells, iters)
+              nProbe: Int = 3, cells: Int = 10, iters: Int = 4,
+              model: Option[Seq[Seq[Float]]] = None): DataFrame = {
+    // train/serve split: a pinned codebook ([[IvfModel]]) makes the whole
+    // query deterministic literal arithmetic (training runs offline via
+    // graft.tools.TrainIvf); with no model supplied, train in place
+    val cents = model.getOrElse(kmeansCentroids(embeddings, cells, iters))
     val e = embeddings.select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"), nearestCell(col("embedding"), cents).as("cell"))
     val queries = e.filter(queryPred)
@@ -168,6 +172,59 @@ object Similarity {
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("vec_id"), col("cos_x1e6"))
       .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** DuckDB rendering of the FULL pinned-codebook IVF plan — assignment
+    * (argmax centroid cosine, ties to the smaller index), nProbe probe
+    * cells per query, exact cosine re-rank — with every centroid
+    * coefficient and inverse norm emitted as the exact decimal of the
+    * double Spark computes with, and every sum an explicit left-to-right
+    * chain (the [[dotSql]] discipline). This is what lets an
+    * approximate-by-construction index be oracle-gated hash-exact: the
+    * approximation is deterministic, so the oracle replays it.
+    */
+  def ivfOracleSql(cents: Seq[Seq[Float]], queryPredSql: String,
+                   k: Int = 10, nProbe: Int = 3): String = {
+    val n = cents.length
+    def centSim(v: String, j: Int): String = {
+      val c = cents(j)
+      val invNorm = 1.0 / math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val dotC = c.zipWithIndex
+        .map { case (x, d) => s"CAST($v[${d + 1}] AS DOUBLE) * (${x.toDouble})" }
+        .mkString("(0.0 + ", " + ", ")")
+      s"($dotC * ($invNorm))"
+    }
+    val simCols = (0 until n).map(j => s"    ${centSim("embedding", j)} AS s$j").mkString(",\n")
+    val sNames = (0 until n).map(j => s"s$j").mkString(", ")
+    val cellCase = (0 until n).map(j => s"WHEN s$j = g THEN $j").mkString("CASE ", " ", " END")
+    val simCase = (0 until n).map(j => s"WHEN $j THEN s$j").mkString("CASE t.j ", " ", " END")
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+       |$simCols
+       |  FROM embeddings),
+       |a AS (SELECT *, greatest($sNames) AS g FROM s),
+       |c AS (SELECT vec_id, embedding, nrm, $cellCase AS cell, $sNames FROM a),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, $sNames
+       |      FROM c WHERE $queryPredSql),
+       |pc AS (
+       |  SELECT q_id, t.j, $simCase AS sim
+       |  FROM q CROSS JOIN range(0, $n) t(j)),
+       |pr AS (
+       |  SELECT q_id, j AS p_cell,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, j) AS c_rk
+       |  FROM pc),
+       |probes AS (SELECT q_id, p_cell FROM pr WHERE c_rk <= $nProbe),
+       |sc AS (
+       |  SELECT q.q_id, c.vec_id,
+       |    CAST(floor((${dotSql("q.q_emb", "c.embedding")} / (q.q_nrm * c.nrm)) * 1e6) AS BIGINT) AS cos_x1e6
+       |  FROM c JOIN probes p ON c.cell = p.p_cell JOIN q ON q.q_id = p.q_id
+       |  WHERE c.vec_id <> q.q_id),
+       |rk AS (
+       |  SELECT q_id, vec_id, cos_x1e6,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_x1e6 DESC, vec_id) AS INT) AS rk
+       |  FROM sc)
+       |SELECT q_id, rk, vec_id, cos_x1e6 FROM rk WHERE rk <= $k
+       |ORDER BY q_id, rk""".stripMargin
   }
 
   /** Random-hyperplane LSH ANN: deterministic pseudo-random hyperplanes

@@ -82,6 +82,36 @@ object EventStreams {
       .orderBy(col("user_id"), col("sess_no"))
   }
 
+  /** Static per-user enrichment dimension: lifetime spend segment
+    * ('high' / 'low' around `tau`). In the streaming pipeline this is the
+    * batch-computed side of a stream-static join — a snapshot dimension
+    * the stream enriches against.
+    */
+  def userSegments(ev: DataFrame, tau: Double = 3300.0): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(sum(col("value").cast(DecimalType(18, 2))).cast("double").as("life_value"))
+      .select(col("user_id"),
+        when(col("life_value") >= tau, "high").otherwise("low").as("segment"))
+
+  /** Stream-static enrichment: join each event to the static user
+    * dimension (broadcast — the dim is users-sized, never shuffled with
+    * the stream), then tumbling hourly count/sum per segment. The same
+    * plan runs batch (oracle-gated) and under readStream (stream-static
+    * joins need no watermark on the static side; StreamingSpec pins
+    * parity).
+    */
+  def enrichedWindowAgg(ev: DataFrame, dim: DataFrame,
+                        watermark: Boolean = false): DataFrame = {
+    val withTs = ev.withColumn("tsx", timestamp_micros(col("ts_us")))
+    val marked = if (watermark) withTs.withWatermark("tsx", "1 hour") else withTs
+    marked.join(broadcast(dim), Seq("user_id"))
+      .groupBy(window(col("tsx"), "1 hour").as("w"), col("segment"))
+      .agg(count(lit(1)).as("n"),
+           sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("segment"), col("n"), col("sum_value"))
+  }
+
   /** Event dedup key: (user, type, minute bucket). Batch = DISTINCT; the
     * streaming path runs `dropDuplicates` on the same key under a
     * watermark (bounded state).

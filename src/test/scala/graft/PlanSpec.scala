@@ -42,6 +42,14 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), "df stats must broadcast")
   }
 
+  test("q_in_subquery plans as a null-aware anti join, not a nested loop over the corpus") {
+    val p = plan(operators.Relational.qInSubquery(spark, sf))
+    // BroadcastHashJoin's simpleString prints the isNullAwareAntiJoin
+    // flag as the bare trailing `true`
+    assert(p.contains("LeftAnti, BuildRight, true"),
+      s"NOT IN should plan as a broadcast null-aware anti join:\n$p")
+  }
+
   test("dataset index scan prunes unused document columns") {
     val p = plan(operators.Metastore.filterTerm(spark, sf))
     assert(!p.contains("n_chars") || p.contains("bytes"),

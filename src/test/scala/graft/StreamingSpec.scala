@@ -52,6 +52,24 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join over readStream equals the batch plan") {
+    val batchEv = EventStreams.normalize(Tables.events(spark, sf))
+    val dim = EventStreams.userSegments(batchEv).localCheckpoint() // static snapshot
+    val expected = EventStreams.enrichedWindowAgg(batchEv, dim)
+      .collect().map(_.toSeq).toSet
+    val schema = Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = EventStreams
+      .enrichedWindowAgg(EventStreams.normalize(stream), dim, watermark = true)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enrich_join_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_join_test").collect().map(_.toSeq).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates equals batch DISTINCT on the dedup key") {
     val ev = EventStreams.normalize(Tables.events(spark, sf))
     val expected = EventStreams.dedupBatch(ev).collect().map(_.toSeq).toSet
