@@ -111,7 +111,10 @@ object Multimodal {
 
   /** Binary payload → typed metadata via mapPartitions (the Scala analog
     * of `mapInPandas` batch decode: one iterator pass per partition, no
-    * per-row task overhead, codegen-friendly typed output).
+    * per-row task overhead, codegen-friendly typed output). Unordered:
+    * decode is a narrow map pass — consumers that need a total order
+    * sort their own (usually much narrower) output, rather than every
+    * downstream plan paying a corpus-wide sort here.
     */
   def decodeMeta(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
@@ -124,6 +127,6 @@ object Multimodal {
         val (fp, w, h, f) = decodeBytes(bytes)
         MediaMeta(id, bytes.length.toLong, fp, w, h, f)
       }
-    }.toDF().orderBy(col("doc_id"))
+    }.toDF()
   }
 }

@@ -55,7 +55,7 @@ object Pipeline {
   // --- §2.6 multimodal ---------------------------------------------------
 
   def mmDecodeMeta(s: SparkSession, d: String): DataFrame =
-    Multimodal.decodeMeta(Tables.documents(s, d))
+    Multimodal.decodeMeta(Tables.documents(s, d)).orderBy(col("doc_id"))
 
   def mmResize(s: SparkSession, d: String): DataFrame =
     Multimodal.resizePlan(Multimodal.decodeMeta(Tables.documents(s, d)))

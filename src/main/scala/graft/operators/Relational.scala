@@ -134,6 +134,12 @@ object Relational {
     * subquery side fits — `.explain` shows it). Distinct from
     * [[qSemiAnti]]'s left_anti, which is NOT-EXISTS semantics: if the
     * subquery ever produced a NULL, NOT IN must return no rows at all.
+    *
+    * Scale note: Spark can only execute a null-aware anti join by
+    * broadcasting the subquery side; when that side is fact-sized, the
+    * correct 100 TB form is NOT EXISTS (shuffle-able left_anti) plus an
+    * explicit null guard — NOT IN is the right tool only for
+    * bounded/dimension subqueries like this one.
     */
   def qInSubquery(spark: SparkSession, dir: String): DataFrame = {
     Tables.customer(spark, dir).createOrReplaceTempView("graft_customer")
