@@ -110,6 +110,9 @@ object Dedup {
       // ⌈τ·sz⌉ with τ = tauX1e6/1e6 in pure BIGINT arithmetic
       .filter(col("rn") <= col("sz") - expr(s"($tauX1e6 * sz + 999999) div 1000000") + 1)
       .select(col("doc_id"), col("s"), col("rn"), col("sz"))
+      // both self-join sides consume the prefix — materialize it once or
+      // the df-join + rarity sort run twice (no exchange reuse under AQE)
+      .localCheckpoint()
     // positional filter (PPJoin): with w* = the canonically-largest shared
     // prefix hit at positions (pa, pb), every shared shingle < w* is in
     // both prefixes (positions are consistent with the global order), so

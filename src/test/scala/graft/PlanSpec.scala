@@ -50,6 +50,12 @@ class PlanSpec extends AnyFunSuite {
       s"NOT IN should plan as a broadcast null-aware anti join:\n$p")
   }
 
+  test("stream_join broadcasts the user dim, never shuffles the event stream for it") {
+    val p = plan(operators.Pipeline.streamJoin(spark, sf))
+    assert(p.contains("BroadcastHashJoin"),
+      s"enrichment dim must broadcast:\n$p")
+  }
+
   test("dataset index scan prunes unused document columns") {
     val p = plan(operators.Metastore.filterTerm(spark, sf))
     assert(!p.contains("n_chars") || p.contains("bytes"),
