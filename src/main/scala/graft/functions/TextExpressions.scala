@@ -4,17 +4,19 @@ import graft.text.PorterStemmer
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Porter-stem a string column (the ES-`english`-analyzer stemming step;
-  * algorithm in [[graft.text.PorterStemmer]]). String-churny, so eval
-  * with CodegenFallback — it sits outside hot joins by construction.
+  * algorithm in [[graft.text.PorterStemmer]]). Codegen emits a static
+  * call into the stemmer — the string churn itself can't be inlined
+  * profitably, but staying codegen'd (vs CodegenFallback) keeps the
+  * surrounding projection in ONE whole-stage span instead of splitting
+  * it at every stem.
   */
 case class PorterStem(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -24,6 +26,11 @@ case class PorterStem(child: Expression)
 
   override def nullSafeEval(v: Any): Any =
     UTF8String.fromString(PorterStemmer.stem(v.asInstanceOf[UTF8String].toString))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      "org.apache.spark.unsafe.types.UTF8String.fromString(" +
+        s"graft.text.PorterStemmer.stem($c.toString()))")
 
   override protected def withNewChildInternal(c: Expression): PorterStem = copy(child = c)
 }

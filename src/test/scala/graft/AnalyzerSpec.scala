@@ -40,6 +40,17 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 11.0)
   }
 
+  test("PorterStem codegen path (non-foldable column) equals the scala stemmer") {
+    import spark.implicits._
+    // a real column projection compiles through doGenCode (a literal
+    // argument would constant-fold through eval instead)
+    val words = Seq("merging", "relational", "controllable", "rolling", "caresses", "ties")
+    val got = words.toDF("w")
+      .select(graft.functions.TextExpressionFunctions.porterStem(col("w")).as("s"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == words.map(PorterStemmer.stem))
+  }
+
   test("stemmed search finds morphological variants exact match misses (test:522-553)") {
     // "merging" stems to "merg", matching docs that contain "merge"
     val stemmed = Metastore.qMatchStemmed(spark, sf).count()
