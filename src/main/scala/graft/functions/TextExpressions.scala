@@ -266,6 +266,57 @@ case class SimHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): SimHash = copy(child = c)
 }
 
+/** All unordered distinct token pairs of an array<string>, canonically
+  * sorted ("t1 t2" with t1 < t2, pairs in lexicographic order) — ONE
+  * pass per row, so corpus co-occurrence is explode→groupBy with no
+  * token-table self-join (and no corpus-scale materialization feeding
+  * one). The pair count is quadratic in the per-DOCUMENT distinct-token
+  * count — bounded by document length, never by corpus size. Tokens
+  * must not contain spaces (graft's analyzer splits on non-alphanumerics,
+  * so they cannot).
+  */
+case class WordPairs(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<string> input")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_word_pairs"
+
+  def compute(v: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val set = new java.util.TreeSet[String]()
+    var i = 0
+    val n = v.numElements()
+    while (i < n) { set.add(v.getUTF8String(i).toString); i += 1 }
+    val toks = set.toArray(new Array[String](set.size()))
+    val out = new Array[Any](toks.length * (toks.length - 1) / 2)
+    var m = 0
+    var a = 0
+    while (a < toks.length) {
+      var b = a + 1
+      while (b < toks.length) {
+        out(m) = UTF8String.fromString(toks(a) + " " + toks(b)); m += 1; b += 1
+      }
+      a += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pairer", this, classOf[WordPairs].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): WordPairs = copy(child = c)
+}
+
 object TextExpressionFunctions {
   /** Column API for [[PorterStem]]. */
   def porterStem(c: Column): Column =
@@ -282,6 +333,10 @@ object TextExpressionFunctions {
   /** Column API for [[WordShingles]]. */
   def wordShingles(c: Column, n: Int): Column =
     GraftBridge.column(WordShingles(GraftBridge.expression(c), n))
+
+  /** Column API for [[WordPairs]]. */
+  def wordPairs(c: Column): Column =
+    GraftBridge.column(WordPairs(GraftBridge.expression(c)))
 
   /** Column API for [[SortedIntersectCount]]. */
   def sortedIntersectCount(a: Column, b: Column): Column =

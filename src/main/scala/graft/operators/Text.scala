@@ -125,22 +125,23 @@ object Text {
 
   /** Within-document term co-occurrence: document frequency of every
     * unordered distinct-token pair (t1 < t2) — the statistic behind PMI
-    * / collocation scoring. The pair blowup is per-document (≤ L²/2 for
-    * L distinct tokens, bounded by document length), never corpus-wide;
-    * the exploded token list is materialized once for both self-join
-    * sides (§4.5 re-evaluation pitfall).
+    * / collocation scoring. The native [[graft.functions.WordPairs]]
+    * expression emits each document's canonical pair list in one
+    * codegen'd pass, so the corpus plan is explode → groupBy (one
+    * shuffle of pair counts) with NO token-table self-join and no
+    * corpus-scale materialization. Pair blowup is ≤ L²/2 for L distinct
+    * tokens — bounded per document, never corpus-wide.
     */
-  def cooccurrence(s: SparkSession, d: String): DataFrame = {
-    val ex = Tables.documents(s, d)
-      .select(col("doc_id"), explode(array_distinct(Analyzer.tokens(col("text")))).as("t"))
-      .localCheckpoint()
-    ex.select(col("doc_id"), col("t").as("t1"))
-      .join(ex.select(col("doc_id"), col("t").as("t2")), Seq("doc_id"))
-      .filter(col("t1") < col("t2"))
-      .groupBy(col("t1"), col("t2"))
+  def cooccurrence(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(
+        graft.functions.TextExpressionFunctions.wordPairs(Analyzer.tokens(col("text"))))
+        .as("p"))
+      .groupBy(col("p"))
       .agg(count(lit(1)).as("n_docs"))
+      .select(substring_index(col("p"), " ", 1).as("t1"),
+        substring_index(col("p"), " ", -1).as("t2"), col("n_docs"))
       .orderBy(col("t1"), col("t2"))
-  }
 
   /** Corpus bigram frequencies over analyzed tokens (adjacent pairs). */
   def bigrams(s: SparkSession, d: String): DataFrame =

@@ -87,6 +87,23 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("WordPairs equals a scala reference on arbitrary token arrays") {
+    import spark.implicits._
+    val tokArr: Gen[List[String]] =
+      Gen.listOf(Gen.oneOf("aa", "b", "ccc", "dd", "e", "f0", "g", "h1"))
+    def ref(toks: List[String]): List[String] = {
+      val d = toks.distinct.sorted
+      (for { i <- d.indices; j <- (i + 1) until d.length } yield s"${d(i)} ${d(j)}").toList
+    }
+    val inputs = samples(tokArr, 300)
+    val got = inputs.toDF("t")
+      .select(graft.functions.TextExpressionFunctions.wordPairs(col("t")).as("p"))
+      .collect().map(_.getSeq[String](0).toList)
+    got.zip(inputs).foreach { case (g, t) =>
+      assert(g == ref(t), s"pair divergence on input: $t")
+    }
+  }
+
   test("SortedIntersectCount equals set intersection on arbitrary sorted arrays") {
     import spark.implicits._
     val arr: Gen[List[String]] =
