@@ -271,9 +271,17 @@ object Dedup {
     while (!converged && rounds < maxRounds) {
       val nbrMin = sym.join(labels.select(col("x").as("y"), col("label")), Seq("y"))
         .groupBy(col("x")).agg(min(col("label")).as("nbr_label"))
-      val next = labels.join(nbrMin, Seq("x"), "left_outer")
+      val prop = labels.join(nbrMin, Seq("x"), "left_outer")
         .select(col("x"),
           least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // path halving: label ← label[label]. Labels are themselves active
+      // node ids, so one extra (tiny) self-join per round doubles how far
+      // a minimum travels — convergence in O(log diameter) rounds instead
+      // of O(diameter).
+      val next = prop.join(
+          prop.select(col("x").as("label"), col("label").as("ll")), Seq("label"), "left_outer")
+        .select(col("x"),
+          least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
         .localCheckpoint()
       val s = labelSum(next)
       converged = s == prevSum

@@ -133,10 +133,11 @@ class PipelineSpec extends AnyFunSuite {
 
   test("connected components refuses to return unconverged labels") {
     import spark.implicits._
-    // a 12-node path has diameter 11 > maxRounds=3 → must throw, never
+    // a 64-node path cannot converge in 3 rounds even with path halving
+    // (per-round reach is a small constant factor) → must throw, never
     // silently emit partial labels
-    val nodes = (0L until 12L).toDF("id")
-    val edges = (0L until 11L).map(i => (i, i + 1)).toDF("a", "b")
+    val nodes = (0L until 64L).toDF("id")
+    val edges = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
     intercept[IllegalStateException] {
       Dedup.connectedComponents(nodes, edges, maxRounds = 3).collect()
     }
