@@ -39,6 +39,7 @@ object SparkEntry {
     "q_semi_anti"      -> ((s, d) => Relational.qSemiAnti(s, d)),
     "q_in_subquery"    -> ((s, d) => Relational.qInSubquery(s, d)),
     "q_histogram"      -> ((s, d) => Relational.qHistogram(s, d)),
+    "q_stats"          -> ((s, d) => Relational.qStats(s, d)),
     "q_set_ops"        -> ((s, d) => Relational.qSetOps(s, d)),
     "q_scalar_subquery" -> ((s, d) => Relational.qScalarSubquery(s, d)),
     "q_topk_per_group" -> ((s, d) => Relational.qTopkPerGroup(s, d)),
@@ -266,6 +267,21 @@ object SparkEntry {
         |SELECT cents // 2500000 AS bin, count(*) AS n,
         |  min(cents) AS lo_cents, max(cents) AS hi_cents
         |FROM c GROUP BY 1 ORDER BY bin""".stripMargin,
+
+    "q_stats" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(19,0)) AS cents
+        |  FROM orders),
+        |a AS (
+        |  SELECT o_orderstatus, count(*) AS n,
+        |    sum(cents) AS sum_c, sum(cents * cents) AS sumsq_c
+        |  FROM c GROUP BY o_orderstatus)
+        |SELECT o_orderstatus, n,
+        |  CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE) AS mean_cents,
+        |  (CAST(n AS DOUBLE) * CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0)) AS var_cents
+        |FROM a ORDER BY o_orderstatus""".stripMargin,
 
     "q_set_ops" ->
       """SELECT c_custkey FROM (

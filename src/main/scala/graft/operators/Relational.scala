@@ -163,6 +163,33 @@ object Relational {
         max(col("cents")).as("hi_cents"))
       .orderBy(col("bin"))
 
+  /** Exact statistical moments per group: mean and sample variance of
+    * order totals computed over integer cents with DECIMAL(38,0) sums —
+    * sum and sum-of-squares are exact (no float accumulation-order
+    * drift, the classic distributed-variance hazard), overflow-safe to
+    * ~1e38, and trivially partial-agg friendly. The derived variance is
+    * one exact rational expression evaluated identically in DuckDB.
+    */
+  def qStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      // DECIMAL(19,0): cents² is then DECIMAL(38,0) EXACTLY in both
+      // engines (wider inputs make DuckDB silently fall back to DOUBLE
+      // multiplication — a last-ulp hash mismatch)
+      .select(col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS DECIMAL(19,0))").as("cents"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("cents")).as("sum_c"),
+        sum(col("cents") * col("cents")).as("sumsq_c"))
+      // the moments leave decimal through ONE cast each, then all
+      // arithmetic runs in doubles — identical IEEE ops on identical
+      // inputs in both engines
+      .select(col("o_orderstatus"), col("n"),
+        expr("CAST(sum_c AS DOUBLE) / CAST(n AS DOUBLE)").as("mean_cents"),
+        expr("(CAST(n AS DOUBLE) * CAST(sumsq_c AS DOUBLE) - CAST(sum_c AS DOUBLE) * CAST(sum_c AS DOUBLE))" +
+          " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))").as("var_cents"))
+      .orderBy(col("o_orderstatus"))
+
   /** UNION / INTERSECT / EXCEPT over customer key sets. */
   def qSetOps(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
