@@ -11,6 +11,16 @@ class PlanSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Shuffle exchanges whose input rows carry the raw corpus `text`
+    * column — the SURVEY §5 "never shuffle the corpus" pin, checked
+    * programmatically on the executed plan.
+    */
+  private def exchangesCarryingText(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.child.output.exists(_.name == "text") => e
+    }.size
+
   test("q3: no broadcast hints on fact-sized inputs, filters pushed to parquet") {
     val df = operators.Relational.q3JoinTopk(spark, sf)
     // orders/customer grow with SF: the join strategy must stay with
@@ -54,6 +64,19 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(operators.Pipeline.streamJoin(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
       s"enrichment dim must broadcast:\n$p")
+  }
+
+  test("corpus text never crosses a shuffle beyond the local fan-out") {
+    // Tables.fanOut may repartition a single-file LOCAL scan (identity on
+    // real multi-split input) — that is the only exchange allowed to
+    // carry the text column; everything downstream must shuffle only
+    // derived narrow columns (tokens, hashes, signatures, pairs)
+    assert(exchangesCarryingText(operators.Text.cooccurrence(spark, sf)) == 0,
+      "co-occurrence must shuffle pair counts, not text")
+    assert(exchangesCarryingText(operators.Metastore.qRankTfidf(spark, sf)) <= 1,
+      "ranked search must not shuffle the corpus beyond the scan spreader")
+    assert(exchangesCarryingText(operators.Pipeline.dedupMinhashLsh(spark, sf)) <= 1,
+      "LSH dedup must shuffle signatures, not text")
   }
 
   test("dataset index scan prunes unused document columns") {
