@@ -17,7 +17,7 @@ object Bench {
     // steady-state throughput, not first-call Janino compilation
     // drop dead localCheckpoint blocks after each query: finished queries'
     // intermediates otherwise accumulate in storage memory for the whole
-    // 74-query run and turn into GC pressure on the later (heavier) ones
+    // full query sweep and turn into GC pressure on the later (heavier) ones
     def dropDeadBlocks(): Unit =
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     val warmDir = "/root/testdata/sf0.001"

@@ -24,7 +24,7 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // finished queries' localCheckpoint blocks are dead — free them so
-      // storage memory doesn't accumulate across the 74-query run
+      // storage memory doesn't accumulate across the full query sweep
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -291,7 +291,12 @@ case class WordPairs(child: Expression) extends UnaryExpression {
     val set = new java.util.TreeSet[String]()
     var i = 0
     val n = v.numElements()
-    while (i < n) { set.add(v.getUTF8String(i).toString); i += 1 }
+    // input arrays may declare containsNull: skip null elements (the
+    // output type promises containsNull=false, ADVICE r3)
+    while (i < n) {
+      if (!v.isNullAt(i)) set.add(v.getUTF8String(i).toString)
+      i += 1
+    }
     val toks = set.toArray(new Array[String](set.size()))
     val out = new Array[Any](toks.length * (toks.length - 1) / 2)
     var m = 0

@@ -32,18 +32,25 @@ object AuthToken {
       Some(m.readValue(s, classOf[java.util.HashMap[String, Object]]))
     } catch { case _: Exception => None }
 
-  /** Registered time claims, per pyjwt's default validation (the reference
-    * decodes with `jwt.decode`, blueprint.py:26, which verifies `exp` and
-    * `nbf` when present, zero leeway): a numeric `exp` in the past or a
-    * numeric `nbf` in the future makes the token invalid; a non-numeric
-    * value in either claim is malformed. Both degrade to anonymous.
+  /** Registered time claims, pinned to pyjwt 1.x semantics — the version
+    * family the reference's bare `jwt.decode(token, PRIVATE_KEY)` call
+    * (blueprint.py:26) runs on (pyjwt 2.x made `algorithms=` mandatory,
+    * so that call raises there). pyjwt 1.x verifies `exp`/`nbf` when
+    * present with zero leeway and coerces each claim via `int(...)`, so a
+    * numeric-string claim like "123" is accepted; a non-coercible value
+    * is malformed. Both failure modes degrade to anonymous. Boundary per
+    * 1.x: expired iff exp < now (exp == now still valid; 2.x tightened
+    * this to exp <= now — we keep the 1.x rule).
     */
   private def timeClaimsValid(payload: java.util.Map[String, Object], nowSec: Long): Boolean = {
     def numeric(v: Object): Option[Long] = v match {
       case n: java.lang.Number => Some(n.longValue())
-      case _ => None // claim present but non-numeric ⇒ malformed token
+      case s: String => // pyjwt's int() coercion accepts integer strings
+        try Some(java.lang.Long.parseLong(s.trim))
+        catch { case _: NumberFormatException => None }
+      case _ => None // claim present but non-coercible ⇒ malformed token
     }
-    // pyjwt boundaries: expired iff exp < now; not-yet-valid iff nbf > now
+    // pyjwt 1.x boundaries: expired iff exp < now; not-yet-valid iff nbf > now
     val exp = Option(payload.get("exp")).map(v => numeric(v).exists(_ >= nowSec))
     val nbf = Option(payload.get("nbf")).map(v => numeric(v).exists(_ <= nowSec))
     exp.getOrElse(true) && nbf.getOrElse(true)

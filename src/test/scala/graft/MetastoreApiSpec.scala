@@ -98,6 +98,31 @@ class MetastoreApiSpec extends AnyFunSuite {
     assert(AuthToken.userid(expired, key).isEmpty)
   }
 
+  test("auth token: numeric-string exp/nbf claims coerce like pyjwt 1.x int() (ADVICE r3)") {
+    import graft.search.AuthToken
+    val key = "test-private-key".getBytes("UTF-8")
+    val now = 1700000000L
+    // hand-roll tokens whose time claims are JSON strings (sign() only
+    // emits numeric claims)
+    def mk(payload: String): String = {
+      import javax.crypto.Mac
+      import javax.crypto.spec.SecretKeySpec
+      val e = java.util.Base64.getUrlEncoder.withoutPadding()
+      val h = e.encodeToString("""{"alg":"HS256","typ":"JWT"}""".getBytes("UTF-8"))
+      val p = e.encodeToString(payload.getBytes("UTF-8"))
+      val mac = Mac.getInstance("HmacSHA256")
+      mac.init(new SecretKeySpec(key, "HmacSHA256"))
+      val sig = e.encodeToString(mac.doFinal(s"$h.$p".getBytes("UTF-8")))
+      s"$h.$p.$sig"
+    }
+    def uid(payload: String): Option[String] = AuthToken.userid(mk(payload), key, now)
+    assert(uid(s"""{"userid":"src5","exp":"${now + 60}"}""").contains("src5"))
+    assert(uid(s"""{"userid":"src5","exp":"${now - 1}"}""").isEmpty)   // string claim still expires
+    assert(uid(s"""{"userid":"src5","nbf":"${now - 60}"}""").contains("src5"))
+    assert(uid(s"""{"userid":"src5","nbf":"${now + 60}"}""").isEmpty)
+    assert(uid(s"""{"userid":"src5","exp":"oops"}""").isEmpty)         // non-coercible ⇒ malformed
+  }
+
   test("events kind sorts by timestamp desc by default (test:592-599)") {
     val r = MetastoreApi.search(spark, sf, kind = "events", userid = Some("user3"))
     val ts = r.results.select("ts_us").collect().map(_.getLong(0))

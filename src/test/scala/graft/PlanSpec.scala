@@ -11,15 +11,35 @@ class PlanSpec extends AnyFunSuite {
   private def plan(df: org.apache.spark.sql.DataFrame): String =
     df.queryExecution.executedPlan.toString
 
+  /** Flatten a physical plan ACROSS the boundaries `TreeNode.collect`
+    * stops at: AdaptiveSparkPlanExec is a leaf (so with AQE on — the
+    * default — a plain collect on executedPlan sees nothing, ADVICE r3),
+    * query stages and reused exchanges wrap their subplans, and subquery
+    * expressions hold whole plans of their own.
+    */
+  private def flatten(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val nested: Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec        => Seq(q.plan)
+      case r: ReusedExchangeExec    => Seq(r.child)
+      case _                        => p.children
+    }
+    p +: (nested ++ p.subqueries).flatMap(flatten)
+  }
+
   /** Shuffle exchanges whose input rows carry the raw corpus `text`
     * column — the SURVEY §5 "never shuffle the corpus" pin, checked
-    * programmatically on the executed plan.
+    * programmatically on the executed plan (AQE-unwrapped).
     */
   private def exchangesCarryingText(df: org.apache.spark.sql.DataFrame): Int =
-    df.queryExecution.executedPlan.collect {
-      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-          if e.child.output.exists(_.name == "text") => e
-    }.size
+    flatten(df.queryExecution.executedPlan).count {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike =>
+        e.child.output.exists(_.name == "text")
+      case _ => false
+    }
 
   test("q3: no broadcast hints on fact-sized inputs, filters pushed to parquet") {
     val df = operators.Relational.q3JoinTopk(spark, sf)
@@ -64,6 +84,18 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(operators.Pipeline.streamJoin(spark, sf))
     assert(p.contains("BroadcastHashJoin"),
       s"enrichment dim must broadcast:\n$p")
+  }
+
+  test("text-shuffle detector self-check: it DOES count a shuffle that carries text") {
+    // guards the guard (ADVICE r3): a plan that repartitions the full
+    // document rows must register ≥1 text-carrying exchange even under
+    // AQE; if this fails the three assertions below are vacuous
+    import org.apache.spark.sql.functions.col
+    val shuffled = Tables.documents(spark, sf)
+      .repartition(4, col("doc_id"))
+      .groupBy(col("text")).count()
+    assert(exchangesCarryingText(shuffled) >= 1,
+      "detector found no text-carrying exchange on a plan that plainly has one")
   }
 
   test("corpus text never crosses a shuffle beyond the local fan-out") {

@@ -104,6 +104,13 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("WordPairs skips null array elements instead of NPEing (ADVICE r3)") {
+    val got = spark.sql("SELECT array('b', CAST(NULL AS STRING), 'a', 'b') AS t")
+      .select(graft.functions.TextExpressionFunctions.wordPairs(col("t")).as("p"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got.head == List("a b"))
+  }
+
   test("SortedIntersectCount equals set intersection on arbitrary sorted arrays") {
     import spark.implicits._
     val arr: Gen[List[String]] =
