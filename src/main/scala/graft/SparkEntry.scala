@@ -100,6 +100,9 @@ object SparkEntry {
     "stream_join"       -> ((s, d) => Pipeline.streamJoin(s, d)),
     "pipe_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "pipe_dedup_corpus" -> ((s, d) => Pipeline.dedupCorpus(s, d)),
+    "pipe_pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
+    "pipe_contamination"  -> ((s, d) => Pipeline.contamination(s, d)),
+    "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),
     "q_multi_distinct"  -> ((s, d) => Pipeline.multiDistinct(s, d)),
   )
 

@@ -150,6 +150,60 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing — the concat-and-chunk step an LLM training-data
+    * pipeline runs last: concatenate each shard's token stream in
+    * doc_id order and cut it into fixed `budget`-token sequences. Emits
+    * each document's placement: the pack it starts in, the pack it ends
+    * in, and its offset inside the first pack. Packing is per-SHARD
+    * (shard = doc_id % `shards`) by design: a global concatenation
+    * order would force a single-partition window at 100 TB, while
+    * per-shard cumulative sums are independent windows that scale with
+    * the shard count (training jobs shuffle shards anyway, so no global
+    * order is ever needed).
+    */
+  def packSequences(s: SparkSession, d: String,
+                    budget: Long = 256L, shards: Int = 8): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), (col("doc_id") % shards).as("shard"),
+        size(TextFunctions.rawTokens(col("text"))).cast("long").as("n_tok"))
+      .withColumn("cum_end", sum(col("n_tok")).over(w))
+      .select(col("doc_id"), col("shard"), col("n_tok"),
+        ((col("cum_end") - col("n_tok")) % budget).as("pack_offset"),
+        expr(s"(cum_end - n_tok) div $budget").as("pack_first"),
+        expr(s"(cum_end - 1) div $budget").as("pack_last"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Benchmark decontamination — flag training documents that share
+    * word-3-gram shingles with a held-out evaluation set (doc_id % 97
+    * = 0 plays the benchmark). The benchmark shingle set is
+    * fixed-size (eval suites don't grow with the corpus), so it is
+    * DISTINCT'd and broadcast; the corpus side is explode → broadcast
+    * hash join → per-doc count — the only shuffle carries (doc_id,
+    * n_sh) pairs for the aggregation, never text. Emits per
+    * contaminated doc the absolute overlap and the basis-point overlap
+    * ratio a filter would threshold on.
+    */
+  def contamination(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(Dedup.shingles(col("text"))).as("sh")).distinct()
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
+        explode(col("shs")).as("sh"))
+    // shingles are per-doc distinct (WordShingles) and bench is distinct,
+    // so the join emits each (doc, shingle) hit at most once
+    train.join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id"), col("n_sh"))
+      .agg(count(lit(1)).as("n_hit"))
+      .withColumn("hit_bp", expr("(10000 * n_hit) div n_sh"))
+      .select(col("doc_id"), col("n_sh"), col("n_hit"), col("hit_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Several exact distincts in one aggregation pass (planner expands to
     * a single multi-way Expand + partial aggs — no per-distinct scan).
     */
@@ -226,6 +280,31 @@ object Pipeline {
          |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |  FROM lab)
          |WHERE doc_id = cluster_id ORDER BY doc_id""".stripMargin,
+
+    "pipe_pack_sequences" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, doc_id % 8 AS shard,
+         |    CAST(len(${TextFunctions.rawTokensSql("text")}) AS BIGINT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, shard, n_tok,
+         |    CAST(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) AS cum_end
+         |  FROM t)
+         |SELECT doc_id, shard, n_tok,
+         |  (cum_end - n_tok) % 256 AS pack_offset,
+         |  (cum_end - n_tok) // 256 AS pack_first,
+         |  (cum_end - 1) // 256 AS pack_last
+         |FROM c ORDER BY doc_id""".stripMargin,
+
+    "pipe_contamination" ->
+      s"""WITH sh AS (SELECT doc_id, unnest($shingleE) AS sh FROM documents),
+         |b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+         |t AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM t GROUP BY doc_id)
+         |SELECT t.doc_id, n.n_sh, CAST(count(*) AS BIGINT) AS n_hit,
+         |  (10000 * CAST(count(*) AS BIGINT)) // n.n_sh AS hit_bp
+         |FROM t JOIN b ON t.sh = b.sh JOIN n ON t.doc_id = n.doc_id
+         |GROUP BY t.doc_id, n.n_sh ORDER BY t.doc_id""".stripMargin,
 
     "q_multi_distinct" ->
       """SELECT l_returnflag,

@@ -143,6 +143,26 @@ object Text {
         substring_index(col("p"), " ", -1).as("t2"), col("n_docs"))
       .orderBy(col("t1"), col("t2"))
 
+  /** Per-doc lexical diversity: exact Simpson concentration index over
+    * raw tokens, integer-scaled (Σ tf² · 10⁶ div n²) — a repetition /
+    * boilerplate quality signal computed WITHOUT floats or logs, so
+    * both engines agree bit-for-bit (entropy needs ln(); Simpson is
+    * rational). explode → two partial-agg-friendly groupBys; the
+    * shuffle carries (doc_id, token) then (doc_id) rows only.
+    */
+  def diversity(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(rawTokens(col("text"))).as("t"))
+      .groupBy(col("doc_id"), col("t"))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("tf")).as("n_tok"),
+        count(lit(1)).as("n_uniq"),
+        sum(col("tf") * col("tf")).as("sum_tf2"))
+      .select(col("doc_id"), col("n_tok"), col("n_uniq"),
+        expr("(1000000 * sum_tf2) div (n_tok * n_tok)").as("simpson_x1e6"))
+      .orderBy(col("doc_id"))
+
   /** Corpus bigram frequencies over analyzed tokens (adjacent pairs). */
   def bigrams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -215,6 +235,17 @@ object Text {
          |SELECT r.lang, n.n_shingles, r.rk - 1 AS slot, r.h AS mh
          |FROM r JOIN n ON r.lang = n.lang
          |WHERE r.rk <= 8 ORDER BY r.lang, slot""".stripMargin,
+
+    "txt_diversity" ->
+      s"""WITH tf AS (
+         |  SELECT doc_id, t, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(${rawTokensSql("text")}) AS t FROM documents)
+         |  GROUP BY doc_id, t)
+         |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tok,
+         |  CAST(count(*) AS BIGINT) AS n_uniq,
+         |  (1000000 * CAST(sum(tf * tf) AS BIGINT))
+         |    // (CAST(sum(tf) AS BIGINT) * CAST(sum(tf) AS BIGINT)) AS simpson_x1e6
+         |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "txt_bigrams" ->
       s"""SELECT bigram, CAST(count(*) AS BIGINT) AS n_docs

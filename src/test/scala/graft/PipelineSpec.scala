@@ -260,6 +260,53 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence packing: per-shard streams are contiguous and budget-aligned") {
+    val budget = 256L
+    val rows = Pipeline.packSequences(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, nTok, off, first, last) =>
+      assert(off >= 0 && off < budget)
+      assert(first <= last, "a doc ends at or after the pack it starts in")
+      // a doc spanning p packs must carry more than (p-1) budgets of tokens
+      assert(nTok > (last - first - 1).max(0) * budget)
+    }
+    // within a shard the token stream is gapless: next doc's global start
+    // (pack_first*budget + offset) is the previous doc's start + n_tok
+    rows.groupBy(_._2).values.foreach { shard =>
+      val inOrder = shard.sortBy(_._1)
+      inOrder.sliding(2).foreach {
+        case Array((_, _, nTok, off, first, _), (_, _, _, off2, first2, _)) =>
+          assert(first2 * budget + off2 == first * budget + off + nTok, "gap in packed stream")
+        case _ => ()
+      }
+    }
+  }
+
+  test("contamination flags exactly the docs sharing a shingle with the benchmark set") {
+    import graft.dedup.Dedup
+    val sh = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val bench = sh.filter(_._1 % 97 == 0).values.flatten.toSet
+    val expect = sh.filter { case (id, s) => id % 97 != 0 && (s & bench).nonEmpty }
+      .map { case (id, s) => id -> (s & bench).size.toLong }
+    val got = Pipeline.contamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == expect)
+    assert(got.nonEmpty)
+  }
+
+  test("diversity: Simpson index respects the 1/n_uniq Cauchy-Schwarz lower bound") {
+    val rows = operators.Text.diversity(spark, sf).collect()
+    assert(rows.length == docs.count())
+    rows.foreach { r =>
+      val (nTok, nUniq, simpson) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nUniq >= 1 && nUniq <= nTok)
+      assert(simpson <= 1000000L)
+      assert(simpson >= 1000000L / nUniq - 1, s"below Cauchy-Schwarz bound: $r")
+    }
+  }
+
   test("multimodal decode emits one typed row per doc with stable stub values") {
     val rows = Pipeline.mmDecodeMeta(spark, sf).collect()
     assert(rows.length == docs.count())
