@@ -84,6 +84,7 @@ object SparkEntry {
     "q_correlated_subquery" -> ((s, d) => Relational.qCorrelatedSubquery(s, d)),
     "txt_bigrams" -> ((s, d) => Text.bigrams(s, d)),
     "txt_cooccurrence" -> ((s, d) => Text.cooccurrence(s, d)),
+    "txt_collocations" -> ((s, d) => Text.collocations(s, d)),
     "txt_minhash_sketch" -> ((s, d) => Text.minhashSketch(s, d)),
     "ann_pair_sim"   -> ((s, d) => Pipeline.annPairSim(s, d)),
     // §2.6 multimodal

@@ -163,6 +163,41 @@ object Text {
         expr("(1000000 * sum_tf2) div (n_tok * n_tok)").as("simpson_x1e6"))
       .orderBy(col("doc_id"))
 
+  /** Collocation mining: top-k unordered term pairs by integer LIFT —
+    * lift(t1,t2) = P(t1,t2) / (P(t1)·P(t2)) = n_pair·N / (df1·df2),
+    * scaled ×10⁶ in BIGINT (the monotone core of PMI = log lift,
+    * computed WITHOUT floats/logs so both engines agree bit-for-bit).
+    * Pair dfs come from the one-pass [[graft.functions.WordPairs]]
+    * explode→groupBy; term dfs are vocab-sized → AQE broadcasts them
+    * onto the pair table; the page is a TakeOrderedAndProject top-k.
+    * Min support filters noise pairs before ranking. (At web-corpus N
+    * the ×10⁶·n_pair·N product needs DECIMAL(38) headroom — the div
+    * ordering here keeps every intermediate within BIGINT for N up to
+    * ~9·10⁹ since n_pair·10⁶ ≤ N·10⁶.)
+    */
+  def collocations(s: SparkSession, d: String, k: Int = 20, minSupport: Long = 5L): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val pairs = docs
+      .select(explode(
+        graft.functions.TextExpressionFunctions.wordPairs(Analyzer.tokens(col("text"))))
+        .as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("n_pair"))
+      .select(substring_index(col("p"), " ", 1).as("t1"),
+        substring_index(col("p"), " ", -1).as("t2"), col("n_pair"))
+    val dfs = docs
+      .select(col("doc_id"), explode(array_distinct(Analyzer.tokens(col("text")))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n"))
+    pairs.filter(col("n_pair") >= minSupport)
+      .join(dfs.select(col("t").as("t1"), col("df").as("df1")), Seq("t1"))
+      .join(dfs.select(col("t").as("t2"), col("df").as("df2")), Seq("t2"))
+      .crossJoin(n)
+      .withColumn("lift_x1e6", expr("(1000000 * n_pair * n) div (df1 * df2)"))
+      .select(col("t1"), col("t2"), col("n_pair"), col("lift_x1e6"))
+      .orderBy(col("lift_x1e6").desc, col("t1"), col("t2"))
+      .limit(k)
+  }
+
   /** Corpus bigram frequencies over analyzed tokens (adjacent pairs). */
   def bigrams(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -235,6 +270,24 @@ object Text {
          |SELECT r.lang, n.n_shingles, r.rk - 1 AS slot, r.h AS mh
          |FROM r JOIN n ON r.lang = n.lang
          |WHERE r.rk <= 8 ORDER BY r.lang, slot""".stripMargin,
+
+    "txt_collocations" ->
+      s"""WITH tk AS (
+         |  SELECT doc_id, unnest(list_distinct(${Analyzer.tokensSql("text")})) AS t
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT x.t AS t1, y.t AS t2, CAST(count(*) AS BIGINT) AS n_pair
+         |  FROM tk x JOIN tk y ON x.doc_id = y.doc_id AND x.t < y.t
+         |  GROUP BY 1, 2),
+         |dfs AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tk GROUP BY t),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+         |SELECT p.t1, p.t2, p.n_pair,
+         |  (1000000 * p.n_pair * nn.n) // (d1.df * d2.df) AS lift_x1e6
+         |FROM pairs p
+         |JOIN dfs d1 ON p.t1 = d1.t JOIN dfs d2 ON p.t2 = d2.t
+         |CROSS JOIN nn
+         |WHERE p.n_pair >= 5
+         |ORDER BY lift_x1e6 DESC, p.t1, p.t2 LIMIT 20""".stripMargin,
 
     "txt_diversity" ->
       s"""WITH tf AS (
