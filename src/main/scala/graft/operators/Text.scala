@@ -177,16 +177,25 @@ object Text {
     */
   def collocations(s: SparkSession, d: String, k: Int = 20, minSupport: Long = 5L): DataFrame = {
     val docs = Tables.documents(s, d)
-    val pairs = docs
-      .select(explode(
-        graft.functions.TextExpressionFunctions.wordPairs(Analyzer.tokens(col("text"))))
-        .as("p"))
-      .groupBy(col("p")).agg(count(lit(1)).as("n_pair"))
-      .select(substring_index(col("p"), " ", 1).as("t1"),
-        substring_index(col("p"), " ", -1).as("t2"), col("n_pair"))
-    val dfs = docs
-      .select(col("doc_id"), explode(array_distinct(Analyzer.tokens(col("text")))).as("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val toks = Analyzer.tokens(col("text"))
+    // ONE corpus pass builds pair dfs AND term dfs: pairs carry a space
+    // ("t1 t2"), single terms cannot (the analyzer splits on
+    // non-alphanumerics), so one explode + one groupBy counts both.
+    // Materialize the (pair|term, count) table once — it is
+    // pair-vocab-sized (≪ corpus) and feeds three consumers (pair rows
+    // + both df joins), which would otherwise re-run the corpus
+    // aggregation each (no exchange reuse under AQE).
+    val counts = docs
+      .select(explode(concat(
+        graft.functions.TextExpressionFunctions.wordPairs(toks),
+        array_distinct(toks))).as("e"))
+      .groupBy(col("e")).agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val pairs = counts.filter(col("e").contains(" "))
+      .select(substring_index(col("e"), " ", 1).as("t1"),
+        substring_index(col("e"), " ", -1).as("t2"), col("n").as("n_pair"))
+    val dfs = counts.filter(!col("e").contains(" "))
+      .select(col("e").as("t"), col("n").as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     pairs.filter(col("n_pair") >= minSupport)
       .join(dfs.select(col("t").as("t1"), col("df").as("df1")), Seq("t1"))
