@@ -98,6 +98,13 @@ object Pipeline {
       .orderBy(col("window_start_us"), col("segment"))
   }
 
+  /** Per-purchase click attribution — the batch face of the
+    * stream-stream interval join (EventStreams.attributionPairsStreaming;
+    * pair-level streaming ≡ batch parity pinned in StreamingSpec).
+    */
+  def streamAttribution(s: SparkSession, d: String): DataFrame =
+    EventStreams.attribution(EventStreams.normalize(Tables.events(s, d)))
+
   /** Composed cleaning pipeline: quality-gate → exact-dedup (keep the
     * smallest doc_id per normalized-text fingerprint) — the minimal
     * corpus-preparation chain, one declarative plan end to end.
@@ -280,6 +287,18 @@ object Pipeline {
          |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |  FROM lab)
          |WHERE doc_id = cluster_id ORDER BY doc_id""".stripMargin,
+
+    "stream_attribution" ->
+      s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),
+         |c AS (SELECT user_id, ts_us AS c_ts_us, event_id AS c_id FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS purchase_id, user_id, ts_us AS p_ts_us FROM ev WHERE event_type = 'purchase')
+         |SELECT p.purchase_id, p.user_id, p.p_ts_us,
+         |  CAST(count(c.c_id) AS BIGINT) AS n_clicks_1h,
+         |  max(c.c_ts_us) AS last_click_us
+         |FROM p LEFT JOIN c ON c.user_id = p.user_id
+         |  AND c.c_ts_us >= p.p_ts_us - 3600000000 AND c.c_ts_us <= p.p_ts_us
+         |GROUP BY p.purchase_id, p.user_id, p.p_ts_us
+         |ORDER BY p.purchase_id""".stripMargin,
 
     "pipe_pack_sequences" ->
       s"""WITH t AS (

@@ -131,6 +131,51 @@ object EventStreams {
       .dropDuplicates(Seq("user_id", "event_type", "minute_us"))
       .drop("tsx")
 
+  /** Per-purchase click attribution (batch, oracle-gated): every
+    * purchase joined to the same user's clicks in the hour before it.
+    * The join is an EQUI-join on user_id with the time range as a
+    * residual predicate — per-user event counts are bounded, so the
+    * shuffle partitions by user and never explodes; left_outer keeps
+    * zero-click purchases. The streaming twin is
+    * [[attributionPairsStreaming]] (stream-stream interval join).
+    */
+  def attribution(ev: DataFrame): DataFrame = {
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts_us"),
+        col("event_id").as("c_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_us").as("p_ts_us"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts_us") >= col("p_ts_us") - lit(3600000000L) &&
+        col("c_ts_us") <= col("p_ts_us"), "left_outer")
+      .groupBy(col("purchase_id"), col("user_id"), col("p_ts_us"))
+      .agg(count(col("c_id")).as("n_clicks_1h"), max(col("c_ts_us")).as("last_click_us"))
+      .orderBy(col("purchase_id"))
+  }
+
+  /** Stream-stream interval join: purchases ⋈ clicks of the same user
+    * within the hour before. Both sides carry event-time watermarks and
+    * the join condition bounds one event time by the other, so Spark
+    * derives a state-eviction bound for BOTH join buffers (the
+    * stream-stream join contract). Works identically on batch inputs
+    * (watermark is a no-op there) — StreamingSpec pins that parity at
+    * the pair level; the gated aggregate view is [[attribution]].
+    */
+  def attributionPairsStreaming(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), timestamp_micros(col("ts_us")).as("c_tsx"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_tsx", "2 hours")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("p_tsx"))
+      .withWatermark("p_tsx", "2 hours")
+    p.join(c, col("user_id") === col("c_user") &&
+      col("c_tsx") >= col("p_tsx") - expr("INTERVAL 1 HOUR") &&
+      col("c_tsx") <= col("p_tsx"))
+      .select(col("purchase_id"), col("c_id"))
+  }
+
   /** Streaming sessionization via flatMapGroupsWithState: per-user state =
     * (open-session start, last ts, count, sum); emits a session when the
     * gap closes it. Used by StreamingSpec; the batch path above is the

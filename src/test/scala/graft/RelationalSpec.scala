@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 object SparkTestSession {
@@ -50,6 +51,20 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.length <= 10)
     val revs = rows.map(_.getDouble(2))
     assert(revs.sameElements(revs.sortBy(-(_: Double))))
+  }
+
+  test("approx_count_distinct stays within 3x the documented 5% rsd of exact") {
+    // the one non-oracle-gated query: pin the HLL estimate's error here
+    val approx = operators.Relational.qApproxDistinct(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val err = math.abs(approx(k).toDouble - ex) / ex
+      assert(err <= 0.15, s"group $k: estimate ${approx(k)} vs exact $ex (err $err)")
+    }
   }
 
   test("semi + anti partition the customer set") {

@@ -70,6 +70,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join (click→purchase) equals the batch pair join") {
+    val ev = EventStreams.normalize(Tables.events(spark, sf))
+    // the same plan runs on batch inputs (watermark is a no-op there)
+    val expected = EventStreams.attributionPairsStreaming(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .collect().map(_.toSeq).toSet
+    val schema = Tables.events(spark, sf).schema
+    def side(t: String) = EventStreams.normalize(
+      spark.readStream.schema(schema).parquet(eventsDir))
+      .filter(col("event_type") === t)
+    val q = EventStreams.attributionPairsStreaming(side("click"), side("purchase"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ss_join_test").collect().map(_.toSeq).toSet
+      assert(got == expected)
+      assert(got.nonEmpty)
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates equals batch DISTINCT on the dedup key") {
     val ev = EventStreams.normalize(Tables.events(spark, sf))
     val expected = EventStreams.dedupBatch(ev).collect().map(_.toSeq).toSet
