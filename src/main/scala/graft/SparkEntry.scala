@@ -76,6 +76,8 @@ object SparkEntry {
     "dedup_simhash"       -> ((s, d) => Pipeline.dedupSimhash(s, d)),
     "dedup_embedding"     -> ((s, d) => Pipeline.dedupEmbedding(s, d)),
     "dedup_cluster"       -> ((s, d) => Pipeline.dedupCluster(s, d)),
+    "pipe_dedup_incremental" -> ((s, d) => Pipeline.dedupIncremental(s, d)),
+    "ann_centroid"        -> ((s, d) => Pipeline.annCentroid(s, d)),
     // §2.4 similarity search
     "ann_brute_topk" -> ((s, d) => Pipeline.annBruteTopk(s, d)),
     "ann_lsh_topk"   -> ((s, d) => Pipeline.annLshTopk(s, d)),

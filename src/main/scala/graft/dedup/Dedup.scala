@@ -233,6 +233,35 @@ object Dedup {
     verifyJaccard(cand, docs, tauX1e6)
   }
 
+  /** INCREMENTAL near-dup detection — the daily-ingest shape: find new-
+    * batch docs (`newPred`) that are near-dups of the EXISTING corpus,
+    * without ever self-joining either side. Same MinHash-LSH machinery
+    * as [[minhashLshPairs]], but the band join is one-sided (new bands ⋈
+    * corpus bands), so candidate volume scales with the new batch, not
+    * the corpus; at 100 TB the corpus band table is the precomputed
+    * persisted index a real pipeline maintains between ingests. Output:
+    * one row per duplicate-of-corpus new doc with its match count and
+    * best Jaccard.
+    */
+  def incrementalDups(docs: DataFrame, newPred: Column,
+                      tauX1e6: Long = 500000L): DataFrame = {
+    val exSh = graft.Tables.fanOut(docs)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val bands = lshBandRows(exSh).localCheckpoint()
+    val left = bands.filter(newPred)
+      .select(col("doc_id").as("a"), col("band"), col("key"))
+    val right = bands.filter(!newPred)
+      .select(col("doc_id").as("b"), col("band"), col("key"))
+    val cand = graft.operators.Skew
+      .saltedJoin(left, right, Seq("band", "key"), LshSalts, col("a"))
+      .select(col("a"), col("b")).distinct()
+    verifyJaccard(cand, docs, tauX1e6)
+      .groupBy(col("a"))
+      .agg(count(lit(1)).as("n_dup_of"), max(col("j_x1e6")).as("max_j_x1e6"))
+      .select(col("a").as("doc_id"), col("n_dup_of"), col("max_j_x1e6"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- near-dup clustering (connected components) -------------------------
 
   /** Connected components over an undirected edge list by Pregel-style

@@ -35,6 +35,13 @@ object Pipeline {
   def dedupCluster(s: SparkSession, d: String): DataFrame =
     Dedup.nearDupClusters(Tables.documents(s, d))
 
+  /** Incremental ingest dedup: doc_id % 10 = 0 plays the new batch. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame =
+    Dedup.incrementalDups(Tables.documents(s, d), col("doc_id") % 10 === 0)
+
+  def annCentroid(s: SparkSession, d: String): DataFrame =
+    Similarity.centroids(Tables.embeddings(s, d))
+
   // --- §2.4 similarity ---------------------------------------------------
 
   private val queryPred = col("vec_id") % 97 === 0
@@ -287,6 +294,29 @@ object Pipeline {
          |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |  FROM lab)
          |WHERE doc_id = cluster_id ORDER BY doc_id""".stripMargin,
+
+    "pipe_dedup_incremental" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleE AS sh FROM documents),
+         |nw AS (SELECT * FROM sh WHERE doc_id % 10 = 0),
+         |cp AS (SELECT * FROM sh WHERE doc_id % 10 <> 0),
+         |pr AS (
+         |  SELECT n.doc_id AS a,
+         |    (1000000 * CAST(len(list_intersect(n.sh, c.sh)) AS BIGINT))
+         |      // CAST(len(list_distinct(n.sh || c.sh)) AS BIGINT) AS j
+         |  FROM nw n CROSS JOIN cp c
+         |  WHERE len(list_intersect(n.sh, c.sh)) > 0)
+         |SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS n_dup_of,
+         |  max(j) AS max_j_x1e6
+         |FROM pr WHERE j >= 500000 GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "ann_centroid" ->
+      s"""WITH x AS (
+         |  SELECT CAST(label AS INT) AS label, CAST(t.i AS INT) AS dim,
+         |    CAST(floor(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v
+         |  FROM embeddings CROSS JOIN range(0, 64) t(i))
+         |SELECT label, dim, CAST(sum(v) AS BIGINT) AS sum_x1e6,
+         |  CAST(count(*) AS BIGINT) AS n
+         |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
 
     "stream_attribution" ->
       s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),

@@ -85,6 +85,29 @@ object Similarity {
     * (the per-round collect is the k-row model, never data). Empty
     * cells keep their previous centroid.
     */
+  /** Per-label EXACT centroid sums: every component is floored to an
+    * integer at ×10⁶ scale first, so the elementwise sums are integer-
+    * valued doubles (≪ 2⁵³) — exactly representable, associative, and
+    * therefore independent of partitioning/merge order, which is what
+    * makes a float centroid hash-exact against DuckDB. The native
+    * [[graft.functions.VectorSumAgg]] folds all `dim` components in ONE
+    * pass: the shuffle carries dim doubles + a count per label (map-side
+    * combined), not dim rows per vector (the posexplode shape). The
+    * posexplode here is AFTER aggregation — label-count×dim rows, for
+    * the gate only.
+    */
+  def centroids(embeddings: DataFrame, dim: Int = 64): DataFrame =
+    embeddings
+      .select(col("label").cast("int").as("label"),
+        expr("transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS DOUBLE))")
+          .as("sc"))
+      .groupBy(col("label"))
+      .agg(graft.functions.VectorSumAgg.vectorSum(col("sc"), dim).as("sums"),
+        count(lit(1)).as("n"))
+      .select(col("label"), col("n"), posexplode(col("sums")).as(Seq("dim", "s")))
+      .select(col("label"), col("dim"), col("s").cast("long").as("sum_x1e6"), col("n"))
+      .orderBy(col("label"), col("dim"))
+
   def kmeansCentroids(embeddings: DataFrame, cells: Int = 10,
                       iters: Int = 4): Seq[Seq[Float]] = {
     def meanByCid(df: DataFrame): Map[Int, Seq[Float]] =
