@@ -52,6 +52,29 @@ class PlanSpec extends AnyFunSuite {
       "lineitem date filter must reach the scan")
   }
 
+  test("q3 accepts runtime bloom-filter injection at cluster scan sizes") {
+    // at 100 TB the fact-fact edges are shuffle joins over >10 GiB scans,
+    // where Spark's InjectRuntimeFilter (on by default) semi-join-reduces
+    // the big side with a bloom filter built from the filtered side.
+    // Locally the thresholds keep it inert, so simulate cluster
+    // conditions and pin that our hint-free plan ACCEPTS the injection —
+    // a pinned broadcast hint would have blocked it.
+    val c = spark.conf
+    c.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+    c.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+    c.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = operators.Relational.q3JoinTopk(spark, sf)
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter_agg"),
+        s"expected runtime bloom filters on q3's fact-fact edges:\n$p")
+    } finally {
+      c.unset("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      c.unset("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold")
+      c.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("q5: broadcast hints only on the fixed-cardinality dims") {
     val df = operators.Relational.q5MultiJoin(spark, sf)
     val hints = "ResolvedHint".r.findAllIn(df.queryExecution.analyzed.toString).length
