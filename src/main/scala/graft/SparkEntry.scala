@@ -45,6 +45,8 @@ object SparkEntry {
     "q_topk_per_group" -> ((s, d) => Relational.qTopkPerGroup(s, d)),
     "q_topk_native"    -> ((s, d) => Relational.qTopkNative(s, d)),
     "q_distinct"       -> ((s, d) => Relational.qDistinct(s, d)),
+    "q_string_agg"     -> ((s, d) => Relational.qStringAgg(s, d)),
+    "q_mode"           -> ((s, d) => Relational.qMode(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
     "q_pivot"        -> ((s, d) => Relational.qPivot(s, d)),
     "q_cube"         -> ((s, d) => Relational.qCube(s, d)),
@@ -336,6 +338,20 @@ object SparkEntry {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
     // q_approx_distinct intentionally omitted: HLL estimate (rows-only check).
+
+    "q_string_agg" ->
+      """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  string_agg(c_name, '|' ORDER BY c_name) AS names
+        |FROM customer WHERE c_acctbal < 0.0
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_mode" ->
+      """SELECT l_returnflag, mode_qty, n FROM (
+        |  SELECT l_returnflag, l_quantity AS mode_qty, n,
+        |    row_number() OVER (PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC) AS rk
+        |  FROM (SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n
+        |        FROM lineitem GROUP BY 1, 2))
+        |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
 
     "q_weighted_sample" ->
       """SELECT p_brand, p_partkey, wt, cum FROM (

@@ -437,6 +437,37 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderkey"))
   }
 
+  /** LISTAGG/string_agg: per-segment delimited name list. collect_list
+    * order is partition-dependent, so the list is array_sort'ed before
+    * joining — deterministic across any parallelism. Per-group payload
+    * is bounded by the selective filter (an unbounded listagg is an
+    * anti-pattern at 100 TB regardless of engine).
+    */
+  def qStringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .filter(col("c_acctbal") < 0.0)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        array_join(array_sort(collect_list(col("c_name"))), "|").as("names"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Exact per-group MODE with a deterministic tie-break (highest count,
+    * then smallest value) — count-per-value partial agg, then a
+    * first-row-per-group window (auto-rewritten to the native TopKPerKey
+    * plan by TopKRewrite).
+    */
+  def qMode(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("n").desc, col("l_quantity").asc)
+    cnt.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1).drop("rk")
+      .select(col("l_returnflag"), col("l_quantity").as("mode_qty"), col("n"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** HLL approximate distinct (rows-only check: approximate by nature). */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
