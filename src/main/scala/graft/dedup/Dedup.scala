@@ -142,8 +142,11 @@ object Dedup {
     */
   private def verifyJaccard(candIn: DataFrame, docs: DataFrame, tauX1e6: Long): DataFrame = {
     // candidates feed three consumers (two doc-id projections + the pair
-    // join); materialize once — AQE gives no exchange reuse across them
-    val cand = candIn.localCheckpoint()
+    // join); materialize once — AQE gives no exchange reuse across them.
+    // Lazy: the first consumer is the eager `sets` checkpoint job below,
+    // which fully computes candDocs and thereby persists cand before the
+    // final job re-reads it — same reuse, one fewer job
+    val cand = candIn.localCheckpoint(eager = false)
     val candDocs = cand.select(col("a").as("doc_id"))
       .union(cand.select(col("b").as("doc_id"))).distinct()
     // sets is read by BOTH pair-join sides → materialize once (it is
@@ -160,11 +163,12 @@ object Dedup {
       .select(col("a"), col("b"), col("sz_a"), col("sz_b"),
         graft.functions.TextExpressionFunctions.sortedIntersectCount(col("sh_a"), col("sh_b"))
           .as("jac_inter"))
-      // materialize (a, b, sizes, |A∩B|) — narrow, candidate-scale —
-      // BEFORE the Jaccard filter: otherwise Catalyst pushes the
+      // LogicalRDD barrier on (a, b, sizes, |A∩B|) — narrow, candidate-
+      // scale — BEFORE the Jaccard filter: otherwise Catalyst pushes the
       // threshold into the join condition and re-evaluates the intersect
-      // 2-3× per row (SURVEY §4.5 re-evaluation pitfall)
-      .localCheckpoint()
+      // 2-3× per row (SURVEY §4.5 re-evaluation pitfall). Lazy: single
+      // downstream consumer, the barrier is the point, not the reuse
+      .localCheckpoint(eager = false)
     scored
       .withColumn("j_x1e6",
         expr("(1000000 * jac_inter) div (sz_a + sz_b - jac_inter)"))
@@ -277,9 +281,13 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxRounds: Int = 50): DataFrame = {
+    // lazy checkpoints throughout the loop: each one is materialized by
+    // the SAME action that computes the round's convergence sum, so a
+    // round costs one Spark action, not a separate eager-checkpoint job
+    // plus a collect (measured ~2x fewer jobs on the bench corpus)
     val sym = edges.select(col("a").as("x"), col("b").as("y"))
       .union(edges.select(col("b").as("x"), col("a").as("y")))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // propagate over the ACTIVE set only — nodes incident to an edge.
     // Isolated nodes (the overwhelming majority of a deduped corpus) are
     // their own component by definition and never need a round; keeping
@@ -288,7 +296,7 @@ object Dedup {
     var labels = nodes.select(col("id").as("x"))
       .join(sym.select(col("x")).distinct(), Seq("x"), "left_semi")
       .select(col("x"), col("x").as("label"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // coalesce: sum() is NULL over zero rows — an empty node set (e.g. a
     // quality gate that filtered every document) must yield an empty
     // result, not an NPE out of getLong
@@ -298,11 +306,13 @@ object Dedup {
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val nbrMin = sym.join(labels.select(col("x").as("y"), col("label")), Seq("y"))
-        .groupBy(col("x")).agg(min(col("label")).as("nbr_label"))
-      val prop = labels.join(nbrMin, Seq("x"), "left_outer")
-        .select(col("x"),
-          least(col("label"), coalesce(col("nbr_label"), col("label"))).as("label"))
+      // min over {own label} ∪ {neighbor labels} as ONE union + partial
+      // aggregate — replaces the neighbor-min join + left-outer
+      // reconcile join (one shuffle fewer per round)
+      val prop = labels.union(
+          sym.join(labels.select(col("x").as("y"), col("label")), Seq("y"))
+            .select(col("x"), col("label")))
+        .groupBy(col("x")).agg(min(col("label")).as("label"))
       // path halving: label ← label[label]. Labels are themselves active
       // node ids, so one extra (tiny) self-join per round doubles how far
       // a minimum travels — convergence in O(log diameter) rounds instead
@@ -311,7 +321,7 @@ object Dedup {
           prop.select(col("x").as("label"), col("label").as("ll")), Seq("label"), "left_outer")
         .select(col("x"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s

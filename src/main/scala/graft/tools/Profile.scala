@@ -1,0 +1,52 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicLong
+
+/** Dev-only bench profiler: runs named SparkEntry queries N times at a
+  * given SF dir and prints wall time + Spark job/stage/task counts per
+  * run — fixed-cost (scheduling, checkpoint-job) overhead shows up as a
+  * high job count on a tiny input. Not part of the driver protocol.
+  *
+  * Usage: Profile <sfDir> <repeats> <query> [query ...]
+  */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val reps = args(1).toInt
+    val names = args.drop(2).toSeq
+    val spark = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val jobs = new AtomicLong; val stages = new AtomicLong; val tasks = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+      }
+    })
+    def drop(): Unit =
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    for (name <- names) {
+      val fn = graft.SparkEntry.queries(name)
+      for (r <- 1 to reps) {
+        jobs.set(0); stages.set(0); tasks.set(0)
+        val t0 = System.nanoTime()
+        val n = fn(spark, sfDir).count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        drop()
+        // listener events are async; give the bus a beat before reading
+        Thread.sleep(200)
+        println(f"$name%-24s run$r%d  ${dt}%6.2f s  rows=$n%-7d jobs=${jobs.get}%-4d stages=${stages.get}%-4d tasks=${tasks.get}%d")
+      }
+    }
+    spark.stop()
+  }
+}
