@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftBridge}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
@@ -61,11 +61,69 @@ case class FloatVecDot(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Dot of a float[] vector against a FIXED double[] coefficient row
+  * (model weights: LSH hyperplanes, projection rows). The coefficients
+  * ride along as a referenced double[] — no array<double> literal column,
+  * no per-row literal materialization, and the accumulation is the same
+  * left-to-right `(double) v[i] * c[i]` chain the DuckDB oracle renders.
+  * The float input is NOT cast to float-coefficient space: coefficients
+  * like 0.123 have no exact float representation, so a float-float dot
+  * would diverge from the oracle's double literals.
+  */
+case class FloatVecDotConst(child: Expression, coef: Seq[Double])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires an array<float> input, got ${other.catalogString}")
+  }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "float_vec_dot_const"
+
+  @transient private lazy val cs: Array[Double] = coef.toArray
+
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), cs.length)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * cs(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val cRef = ctx.addReferenceObj("coef", cs, "double[]")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($v.numElements(), $cRef.length);
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += ((double) $v.getFloat($i)) * $cRef[$i];
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): FloatVecDotConst =
+    copy(child = c)
+}
+
 object VectorFunctions {
   /** Column API for [[FloatVecDot]]. */
   def floatVecDot(a: Column, b: Column): Column =
     GraftBridge.column(
       FloatVecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API for [[FloatVecDotConst]]. */
+  def floatVecDotConst(v: Column, coef: Seq[Double]): Column =
+    GraftBridge.column(FloatVecDotConst(GraftBridge.expression(v), coef))
 
   /** ‖v‖ via the codegen'd dot (same in-order accumulation). */
   def floatVecNorm(v: Column): Column =

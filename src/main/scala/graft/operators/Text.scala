@@ -71,7 +71,7 @@ object Text {
     * agg; at scale this is the single shuffle of index construction.
     */
   def termStats(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), explode(Analyzer.tokens(col("text"))).as("term"))
       .groupBy(col("term"))
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("ctf"))
@@ -104,7 +104,8 @@ object Text {
     */
   def keywords(s: SparkSession, d: String, k: Int = 3): DataFrame = {
     val docs = Tables.documents(s, d)
-    val toks = docs.select(col("doc_id"), explode(Analyzer.tokens(col("text"))).as("term"))
+    val toks = Tables.fanOut(docs)
+      .select(col("doc_id"), explode(Analyzer.tokens(col("text"))).as("term"))
     // tf feeds both the df aggregation and the score join — materialize
     // once (AQE reuses no exchange across consumers; at raw 100 TB you'd
     // join against the persisted inverted index from txt_term_stats
@@ -133,7 +134,7 @@ object Text {
     * tokens — bounded per document, never corpus-wide.
     */
   def cooccurrence(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.fanOut(Tables.documents(s, d))
       .select(explode(
         graft.functions.TextExpressionFunctions.wordPairs(Analyzer.tokens(col("text"))))
         .as("p"))
@@ -185,7 +186,7 @@ object Text {
     // pair-vocab-sized (≪ corpus) and feeds three consumers (pair rows
     // + both df joins), which would otherwise re-run the corpus
     // aggregation each (no exchange reuse under AQE).
-    val counts = docs
+    val counts = Tables.fanOut(docs)
       .select(explode(concat(
         graft.functions.TextExpressionFunctions.wordPairs(toks),
         array_distinct(toks))).as("e"))

@@ -44,7 +44,7 @@ object Similarity {
     * baseline; the query set is broadcast, the corpus is scanned once).
     */
   def bruteTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
-    val withNorm = embeddings.select(col("vec_id"), col("embedding"),
+    val withNorm = graft.Tables.fanOut(embeddings).select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"))
     val queries = withNorm.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
@@ -64,7 +64,7 @@ object Similarity {
     * near-dup detection. Block-local self-join: pairs never cross blocks.
     */
   def pairSim(embeddings: DataFrame, tauX1e6: Long): DataFrame = {
-    val e = embeddings.select(col("vec_id"), col("label"), col("embedding"),
+    val e = graft.Tables.fanOut(embeddings).select(col("vec_id"), col("label"), col("embedding"),
       norm(col("embedding")).as("nrm"))
     e.as("x").join(e.as("y"),
         col("x.label") === col("y.label") && col("x.vec_id") < col("y.vec_id"))
@@ -169,7 +169,7 @@ object Similarity {
     // query deterministic literal arithmetic (training runs offline via
     // graft.tools.TrainIvf); with no model supplied, train in place
     val cents = model.getOrElse(kmeansCentroids(embeddings, cells, iters))
-    val e = embeddings.select(col("vec_id"), col("embedding"),
+    val e = graft.Tables.fanOut(embeddings).select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"), nearestCell(col("embedding"), cents).as("cell"))
     val queries = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
@@ -283,15 +283,16 @@ object Similarity {
   def lshTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
               planes: Int = 4): DataFrame = {
     val coef = lshCoef(planes)
+    // sign bits via the codegen'd const-coefficient dot — the interpreted
+    // aggregate/zip_with HOF rendering of the same fold ran ~4×64 lambda
+    // calls per corpus row (SURVEY §4.5); the IEEE sum order is identical
     def bucket(v: Column): Column =
       (0 until planes).map { p =>
-        val dotP = aggregate(
-          zip_with(v, typedlit(coef(p)), (x, c) => x.cast("double") * c),
-          lit(0.0), _ + _)
+        val dotP = graft.functions.VectorFunctions.floatVecDotConst(v, coef(p))
         when(dotP > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
 
-    val withB = embeddings.select(col("vec_id"), col("embedding"),
+    val withB = graft.Tables.fanOut(embeddings).select(col("vec_id"), col("embedding"),
       norm(col("embedding")).as("nrm"), bucket(col("embedding")).as("bkt"))
     val queries = withB.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),

@@ -126,8 +126,8 @@ class PlanSpec extends AnyFunSuite {
     // real multi-split input) — that is the only exchange allowed to
     // carry the text column; everything downstream must shuffle only
     // derived narrow columns (tokens, hashes, signatures, pairs)
-    assert(exchangesCarryingText(operators.Text.cooccurrence(spark, sf)) == 0,
-      "co-occurrence must shuffle pair counts, not text")
+    assert(exchangesCarryingText(operators.Text.cooccurrence(spark, sf)) <= 1,
+      "co-occurrence may fan the scan out but must shuffle pair counts, not text")
     assert(exchangesCarryingText(operators.Metastore.qRankTfidf(spark, sf)) <= 1,
       "ranked search must not shuffle the corpus beyond the scan spreader")
     assert(exchangesCarryingText(operators.Pipeline.dedupMinhashLsh(spark, sf)) <= 1,
