@@ -108,7 +108,11 @@ object SparkEntry {
     "pipe_dedup_corpus" -> ((s, d) => Pipeline.dedupCorpus(s, d)),
     "pipe_pack_sequences" -> ((s, d) => Pipeline.packSequences(s, d)),
     "pipe_contamination"  -> ((s, d) => Pipeline.contamination(s, d)),
+    "pipe_quota_sample"   -> ((s, d) => Pipeline.quotaSample(s, d)),
+    "pipe_merge_stats"    -> ((s, d) => Pipeline.mergeStats(s, d)),
+    "mm_patchify"         -> ((s, d) => Pipeline.mmPatchify(s, d)),
     "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),
+    "txt_bigram_coverage" -> ((s, d) => Text.bigramCoverage(s, d)),
     "q_multi_distinct"  -> ((s, d) => Pipeline.multiDistinct(s, d)),
   )
 

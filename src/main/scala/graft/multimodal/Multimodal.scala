@@ -109,6 +109,21 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** ViT-style patchify plumbing: the ceil-grid patch counts for a
+    * `patch`×`patch` tiling, the +1 CLS token, and the sequence-budget
+    * truncation a fixed-context vision encoder applies — the numbers a
+    * multimodal training pipeline needs to budget image tokens. Pure
+    * integer metadata math (pixel work lives in the decode stub's slot).
+    */
+  def patchifyPlan(meta: DataFrame, patch: Int = 16, maxSeq: Long = 257L): DataFrame =
+    meta.select(col("doc_id"), col("width"), col("height"),
+      expr(s"(width + ${patch - 1}) div $patch").as("pw"),
+      expr(s"(height + ${patch - 1}) div $patch").as("ph"))
+      .withColumn("n_patches", col("pw") * col("ph"))
+      .withColumn("seq_len", least(col("n_patches") + lit(1L), lit(maxSeq)))
+      .withColumn("n_dropped", greatest(col("n_patches") + lit(1L) - maxSeq, lit(0L)))
+      .orderBy(col("doc_id"))
+
   /** Binary payload → typed metadata via mapPartitions (the Scala analog
     * of `mapInPandas` batch decode: one iterator pass per partition, no
     * per-row task overhead, codegen-friendly typed output). Unordered:

@@ -218,6 +218,52 @@ object Pipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Source-quota curation — cap every source at `quota` documents
+    * (training-mix control: no domain may dominate the corpus). The
+    * survivors are chosen by a DETERMINISTIC pseudo-random order — a
+    * Knuth multiplicative hash of doc_id — so the cap takes an unbiased
+    * fixed sample rather than "first N by id" recency bias, and both
+    * engines replay the identical choice. Per-source top-k is the
+    * row_number window shape the TopKRewrite rule lowers to the native
+    * TopKPerKey operator; the shuffle carries (source, hash, id) rows
+    * only — no text moves at 100 TB.
+    */
+  def quotaSample(s: SparkSession, d: String, quota: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("source"), col("doc_id"),
+        ((col("doc_id") * 2654435761L) % 4294967296L).as("hkey"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= quota)
+      .select(col("source"), col("rk"), col("doc_id"), col("hkey"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  /** Incremental aggregate maintenance — the ingest-time shape: each
+    * arriving batch (batch = doc_id % `batches` here) reduces to
+    * per-source PARTIAL aggregates (count/sum/min/max, all mergeable),
+    * and corpus totals are maintained by MERGING partials — never by
+    * rescanning the corpus. The merged result provably equals the
+    * direct aggregate, and the oracle computes the direct form, so the
+    * gate checks that algebraic identity. At 100 TB the partials are
+    * the persisted per-ingest tables; a merge shuffles
+    * batches×|sources| tiny rows.
+    */
+  def mergeStats(s: SparkSession, d: String, batches: Int = 5): DataFrame =
+    Tables.documents(s, d)
+      .groupBy((col("doc_id") % batches).as("batch"), col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"),
+        min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .groupBy(col("source"))
+      .agg(sum(col("n")).as("n_docs"), sum(col("chars")).as("sum_chars"),
+        min(col("mn")).as("min_doc"), max(col("mx")).as("max_doc"),
+        count(lit(1)).as("n_batches"))
+      .orderBy(col("source"))
+
+  def mmPatchify(s: SparkSession, d: String): DataFrame =
+    Multimodal.patchifyPlan(Multimodal.decodeMeta(Tables.documents(s, d)))
+
   /** Several exact distincts in one aggregation pass (planner expands to
     * a single multi-way Expand + partial aggs — no per-distinct scan).
     */
@@ -436,6 +482,36 @@ object Pipeline {
          |  FROM sc)
          |SELECT q_id, rk, vec_id, cos_x1e6 FROM rk WHERE rk <= 10
          |ORDER BY q_id, rk""".stripMargin,
+
+    "pipe_quota_sample" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    (doc_id * 2654435761) % 4294967296 AS hkey FROM documents),
+        |rk AS (
+        |  SELECT source, doc_id, hkey,
+        |    CAST(row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS INT) AS rk
+        |  FROM t)
+        |SELECT source, rk, doc_id, hkey FROM rk WHERE rk <= 20
+        |ORDER BY source, rk""".stripMargin,
+
+    "pipe_merge_stats" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  CAST(count(DISTINCT doc_id % 5) AS BIGINT) AS n_batches
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    "mm_patchify" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  1 + ${TextFunctions.fingerprintSql("text")} % 640 AS width,
+         |  1 + ${TextFunctions.fingerprintSql("text")} % 480 AS height
+         |FROM documents),
+         |p AS (SELECT doc_id, width, height,
+         |  (width + 15) // 16 AS pw, (height + 15) // 16 AS ph FROM m)
+         |SELECT doc_id, width, height, pw, ph, pw * ph AS n_patches,
+         |  least(pw * ph + 1, CAST(257 AS BIGINT)) AS seq_len,
+         |  greatest(pw * ph + 1 - 257, CAST(0 AS BIGINT)) AS n_dropped
+         |FROM p ORDER BY doc_id""".stripMargin,
 
     "mm_resize" ->
       s"""WITH m AS (SELECT doc_id,

@@ -144,6 +144,38 @@ object Text {
         substring_index(col("p"), " ", -1).as("t2"), col("n_docs"))
       .orderBy(col("t1"), col("t2"))
 
+  /** Per-doc bigram "fluency" coverage — the LM-free naturalness
+    * signal: the share (basis points) of a document's distinct
+    * adjacent-token bigrams that occur in ≥ `minPerMille`‰ of corpus
+    * documents. Gibberish, shuffled text, and OCR noise form bigrams
+    * the corpus has never seen and score low. The common-bigram list
+    * is vocabulary²-bounded and df-thresholded against the corpus size
+    * (scale-invariant), so it BROADCASTS; the per-doc side is one
+    * explode + broadcast join + count — shuffles carry (doc_id, count)
+    * rows only, never text.
+    */
+  def bigramCoverage(s: SparkSession, d: String, minPerMille: Int = 20): DataFrame = {
+    val docs = Tables.documents(s, d)
+    // per-doc DISTINCT bigrams (WordShingles distincts within a doc);
+    // feeds the df aggregation AND the coverage join — materialize once
+    val bg = Tables.fanOut(docs)
+      .select(col("doc_id"), explode(graft.dedup.Dedup.shingles(col("text"), 2)).as("bg"))
+      .localCheckpoint()
+    val n = docs.agg(count(lit(1)).as("n"))
+    val common = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+      .crossJoin(n)
+      .filter(col("df") * 1000 >= col("n") * minPerMille)
+      .select(col("bg"))
+    val perDoc = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("n_bg"))
+    val hits = bg.join(broadcast(common), Seq("bg"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_common"))
+    perDoc.join(hits, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), col("n_bg"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"))
+      .withColumn("cov_bp", expr("(10000 * n_common) div n_bg"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Per-doc lexical diversity: exact Simpson concentration index over
     * raw tokens, integer-scaled (Σ tf² · 10⁶ div n²) — a repetition /
     * boilerplate quality signal computed WITHOUT floats or logs, so
@@ -314,6 +346,22 @@ object Text {
       s"""SELECT bigram, CAST(count(*) AS BIGINT) AS n_docs
          |FROM (SELECT unnest(${graft.dedup.Dedup.shinglesSql("text", 2)}) AS bigram FROM documents)
          |GROUP BY bigram ORDER BY bigram""".stripMargin,
+
+    "txt_bigram_coverage" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, unnest(${graft.dedup.Dedup.shinglesSql("text", 2)}) AS bg
+         |  FROM documents),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |dfs AS (SELECT bg, CAST(count(*) AS BIGINT) AS df FROM bg GROUP BY bg),
+         |common AS (SELECT bg FROM dfs CROSS JOIN nn WHERE df * 1000 >= n * 20),
+         |per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bg FROM bg GROUP BY doc_id),
+         |hit AS (SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_common
+         |        FROM bg b JOIN common c ON b.bg = c.bg GROUP BY b.doc_id)
+         |SELECT p.doc_id, p.n_bg,
+         |  COALESCE(h.n_common, CAST(0 AS BIGINT)) AS n_common,
+         |  (10000 * COALESCE(h.n_common, CAST(0 AS BIGINT))) // p.n_bg AS cov_bp
+         |FROM per p LEFT JOIN hit h ON p.doc_id = h.doc_id
+         |ORDER BY p.doc_id""".stripMargin,
 
     "txt_keywords" ->
       s"""WITH toks AS (
