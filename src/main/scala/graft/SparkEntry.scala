@@ -47,6 +47,9 @@ object SparkEntry {
     "q_distinct"       -> ((s, d) => Relational.qDistinct(s, d)),
     "q_string_agg"     -> ((s, d) => Relational.qStringAgg(s, d)),
     "q_mode"           -> ((s, d) => Relational.qMode(s, d)),
+    "q_grouping_id"    -> ((s, d) => Relational.qGroupingId(s, d)),
+    "q_percentile_cont" -> ((s, d) => Relational.qPercentileCont(s, d)),
+    "q_unpivot"        -> ((s, d) => Relational.qUnpivot(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
     "q_pivot"        -> ((s, d) => Relational.qPivot(s, d)),
     "q_cube"         -> ((s, d) => Relational.qCube(s, d)),
@@ -356,6 +359,29 @@ object SparkEntry {
         |  FROM (SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n
         |        FROM lineitem GROUP BY 1, 2))
         |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_grouping_id" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+        |  COALESCE(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY gid, returnflag, linestatus""".stripMargin,
+
+    "q_percentile_cont" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(CAST(l_quantity * 100 AS BIGINT), 0.5) AS median_cents,
+        |  CAST(count(*) AS BIGINT) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_unpivot" ->
+      """SELECT l_returnflag, k, v FROM (
+        |  SELECT l_returnflag,
+        |    CAST(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+        |    CAST(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt
+        |  FROM lineitem GROUP BY 1)
+        |UNPIVOT (v FOR k IN (f_cnt, o_cnt))
+        |ORDER BY l_returnflag, k""".stripMargin,
 
     "q_weighted_sample" ->
       """SELECT p_brand, p_partkey, wt, cum FROM (

@@ -468,6 +468,47 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** CUBE + GROUPING_ID: the bitmask that tells subtotal rows apart
+    * from genuine NULL group keys — what makes cube output machine-
+    * consumable. Keys are COALESCE'd for a NULL-ordering-proof total
+    * order (Spark sorts NULLs first, DuckDB last).
+    */
+  def qGroupingId(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("n"))
+      .orderBy(col("gid"), col("returnflag"), col("linestatus"))
+
+  /** Exact INTERPOLATED median (percentile_cont) per group over integer
+    * cents: the (n−1)·p rank-interpolation midpoint of two BIGINTs is a
+    * dyadic rational — exactly representable as DOUBLE in both engines,
+    * so the interpolating percentile is gateable bit-for-bit (the
+    * discrete cousin lives in q_percentiles).
+    */
+  def qPercentileCont(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        (col("l_quantity") * 100).cast("long").as("cents"))
+      .groupBy(col("l_returnflag"))
+      .agg(percentile(col("cents"), lit(0.5)).as("median_cents"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** UNPIVOT (melt): wide per-status counts back to long (key, value)
+    * rows — the inverse of q_pivot, via the native Unpivot plan node
+    * (an Expand, no join, no shuffle beyond the source agg).
+    */
+  def qUnpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(col("l_linestatus") === "F", 1L).otherwise(0L)).as("f_cnt"),
+        sum(when(col("l_linestatus") === "O", 1L).otherwise(0L)).as("o_cnt"))
+      .unpivot(Array(col("l_returnflag")), Array(col("f_cnt"), col("o_cnt")), "k", "v")
+      .orderBy(col("l_returnflag"), col("k"))
+
   /** HLL approximate distinct (rows-only check: approximate by nature). */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
