@@ -105,6 +105,13 @@ object Pipeline {
       .orderBy(col("window_start_us"), col("segment"))
   }
 
+  /** CDC-style per-user latest-state view — batch face of
+    * EventStreams.latestState / latestStateStreaming (parity pinned in
+    * StreamingSpec).
+    */
+  def streamLatestState(s: SparkSession, d: String): DataFrame =
+    EventStreams.latestState(EventStreams.normalize(Tables.events(s, d)))
+
   /** Per-purchase click attribution — the batch face of the
     * stream-stream interval join (EventStreams.attributionPairsStreaming;
     * pair-level streaming ≡ batch parity pinned in StreamingSpec).
@@ -363,6 +370,21 @@ object Pipeline {
          |SELECT label, dim, CAST(sum(v) AS BIGINT) AS sum_x1e6,
          |  CAST(count(*) AS BIGINT) AS n
          |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    "stream_latest_state" ->
+      s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value
+         |           FROM events),
+         |rk AS (SELECT *, row_number() OVER (
+         |         PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rk
+         |       FROM ev),
+         |agg AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         |          CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |        FROM ev GROUP BY user_id)
+         |SELECT r.user_id, r.ts_us AS last_ts_us, r.event_id AS last_event_id,
+         |  r.event_type AS last_type, r.value AS last_value,
+         |  a.n_events, a.sum_value
+         |FROM rk r JOIN agg a ON r.user_id = a.user_id WHERE r.rk = 1
+         |ORDER BY r.user_id""".stripMargin,
 
     "stream_attribution" ->
       s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),

@@ -11,6 +11,17 @@ case class Ev(user_id: Long, ts_us: Long, value: Double)
 /** Mutable open-session state for flatMapGroupsWithState. */
 case class Sess(var start_us: Long, var end_us: Long, var n: Long, var sum: Double)
 
+/** Per-event input to the latest-state maintainer. */
+case class LEv(user_id: Long, ts_us: Long, event_id: Long,
+               event_type: String, value: Double)
+
+/** Mutable per-user latest-state: the (ts, id)-max event plus lifetime
+  * counters. `sum_cents` is kept integral so the cross-batch fold is
+  * order-independent and matches the batch DECIMAL(18,2) sum exactly.
+  */
+case class Latest(var ts_us: Long, var event_id: Long, var event_type: String,
+                  var value: Double, var n: Long, var sum_cents: Long)
+
 /** Structured-Streaming operators over `events` (SURVEY §2.7).
   *
   * Each transform is written against a plain DataFrame so the SAME code
@@ -208,5 +219,66 @@ object EventStreams {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn _)
       .toDF("user_id", "start_us", "end_us", "n_events", "sum_value")
+  }
+
+  /** CDC-style latest-state materialization (batch face): one row per
+    * user carrying the most recent event — (ts_us, event_id) struct max,
+    * so a same-microsecond tie goes to the larger id — plus lifetime
+    * count and exact DECIMAL-cents value sum. One partial-agg shuffle of
+    * a struct per user; no window sort. The upsert/compaction view a
+    * key-value serving layer maintains; streaming face in
+    * [[latestStateStreaming]], parity pinned in StreamingSpec.
+    */
+  def latestState(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"), col("value")))
+          .as("last"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      .select(col("user_id"), col("last.ts_us").as("last_ts_us"),
+        col("last.event_id").as("last_event_id"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"))
+
+  /** Streaming latest-state via mapGroupsWithState (Update mode): per
+    * user one state row merged across micro-batches, one updated row
+    * emitted per batch the user appears in. Counters are monotone, so a
+    * consumer (or the parity spec) resolves the current row per key as
+    * argmax n_events. The value sum folds in integer cents — order-
+    * independent, equal to the batch DECIMAL(18,2) sum bit-for-bit.
+    */
+  def latestStateStreaming(spark: SparkSession, ev: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def fn(user: Long, rows: Iterator[LEv], state: GroupState[Latest])
+        : (Long, Long, Long, String, Double, Long, Double) = {
+      var cur = state.getOption.orNull
+      rows.foreach { e =>
+        val cents = Math.round(e.value * 100.0)
+        if (cur == null)
+          cur = Latest(e.ts_us, e.event_id, e.event_type, e.value, 1L, cents)
+        else {
+          if (e.ts_us > cur.ts_us || (e.ts_us == cur.ts_us && e.event_id > cur.event_id)) {
+            cur.ts_us = e.ts_us; cur.event_id = e.event_id
+            cur.event_type = e.event_type; cur.value = e.value
+          }
+          cur.n += 1; cur.sum_cents += cents
+        }
+      }
+      state.update(cur)
+      (user, cur.ts_us, cur.event_id, cur.event_type, cur.value,
+        cur.n, cur.sum_cents.toDouble / 100.0)
+    }
+
+    ev.select(col("user_id").cast("long"), col("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[LEv]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn _)
+      .toDF("user_id", "last_ts_us", "last_event_id", "last_type",
+        "last_value", "n_events", "sum_value")
   }
 }

@@ -144,4 +144,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.subsetOf(batch))
     } finally q.stop()
   }
+
+  test("latest-state over TWO micro-batches merges to the batch view") {
+    val ev = EventStreams.normalize(Tables.events(spark, sf))
+    val expected = EventStreams.latestState(ev).collect().map(_.toSeq).toSet
+
+    // split events into two files so the state genuinely merges across
+    // micro-batches (maxFilesPerTrigger=1 ⇒ two triggers)
+    val dir = java.nio.file.Files.createTempDirectory("graft-latest-state").toString
+    Tables.events(spark, sf).filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$dir/a")
+    Tables.events(spark, sf).filter(col("event_id") % 2 =!= 0)
+      .coalesce(1).write.parquet(s"$dir/b")
+    val staged = java.nio.file.Files.createTempDirectory("graft-latest-stage")
+    for ((sub, n) <- Seq("a" -> "0.parquet", "b" -> "1.parquet")) {
+      val src = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(src, staged.resolve(n))
+    }
+
+    val schema = Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = EventStreams.latestStateStreaming(spark, EventStreams.normalize(stream))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("latest_state_test").start()
+    try {
+      q.processAllAvailable()
+      // counters are monotone: the current row per user is argmax n_events
+      val got = spark.table("latest_state_test")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+        .filter(col("rk") === 1).drop("rk")
+        .collect().map(_.toSeq).toSet
+      assert(got == expected, "streamed latest-state diverged from the batch view")
+    } finally q.stop()
+  }
 }
