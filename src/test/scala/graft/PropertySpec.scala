@@ -111,6 +111,28 @@ class PropertySpec extends AnyFunSuite {
     assert(got.head == List("a b"))
   }
 
+  test("FloatVecDotConst equals the interpreted HOF fold bit-for-bit") {
+    import spark.implicits._
+    // arbitrary float vectors (including subnormals-ish small and large
+    // magnitudes) against a fixed irrational-ish coefficient row: the
+    // codegen'd loop and the aggregate/zip_with interpreted fold must
+    // produce the IDENTICAL double (same left-to-right order)
+    val coef = (0 until 16).map(i => ((i * 37 + 11) % 2001 - 1000) / 1000.0)
+    val vec: Gen[List[Float]] = Gen.listOfN(16,
+      Gen.chooseNum(-1e6f, 1e6f, 0.0f, 1.0f, -1.0f, 1e-30f))
+    val vs = samples(vec, 300)
+    val df = vs.toDF("v").select(
+      graft.functions.VectorFunctions.floatVecDotConst(col("v"), coef).as("native"),
+      aggregate(
+        zip_with(col("v"), typedlit(coef), (x, c) => x.cast("double") * c),
+        lit(0.0), _ + _).as("hof"))
+    df.collect().foreach { r =>
+      val (n, h) = (r.getDouble(0), r.getDouble(1))
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h),
+        s"dot divergence: native=$n hof=$h")
+    }
+  }
+
   test("SortedIntersectCount equals set intersection on arbitrary sorted arrays") {
     import spark.implicits._
     val arr: Gen[List[String]] =
