@@ -51,6 +51,7 @@ object SparkEntry {
     "q_percentile_cont" -> ((s, d) => Relational.qPercentileCont(s, d)),
     "q_unpivot"        -> ((s, d) => Relational.qUnpivot(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
+    "q_approx_distinct_kmv" -> ((s, d) => Relational.qApproxDistinctKmv(s, d)),
     "q_pivot"        -> ((s, d) => Relational.qPivot(s, d)),
     "q_cube"         -> ((s, d) => Relational.qCube(s, d)),
     "q_outer_join"   -> ((s, d) => Relational.qOuterJoin(s, d)),
@@ -346,6 +347,24 @@ object SparkEntry {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
     // q_approx_distinct intentionally omitted: HLL estimate (rows-only check).
+
+    "q_approx_distinct_kmv" ->
+      """WITH h AS (
+        |  SELECT DISTINCT l_returnflag,
+        |    (l_partkey * 2654435761) % 4294967296 AS h FROM lineitem),
+        |rk AS (SELECT l_returnflag, h,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rk
+        |       FROM h),
+        |agg AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_h FROM h GROUP BY 1),
+        |kth AS (SELECT l_returnflag, h AS h_k FROM rk WHERE rk = 64),
+        |nr AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows
+        |       FROM lineitem GROUP BY 1)
+        |SELECT nr.l_returnflag, nr.n_rows,
+        |  CASE WHEN a.n_h < 64 THEN a.n_h
+        |       ELSE (63 * 4294967296) // greatest(k.h_k, 1) END AS est_distinct
+        |FROM nr JOIN agg a ON nr.l_returnflag = a.l_returnflag
+        |LEFT JOIN kth k ON nr.l_returnflag = k.l_returnflag
+        |ORDER BY nr.l_returnflag""".stripMargin,
 
     "q_string_agg" ->
       """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,

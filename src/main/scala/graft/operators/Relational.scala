@@ -509,6 +509,32 @@ object Relational {
       .unpivot(Array(col("l_returnflag")), Array(col("f_cnt"), col("o_cnt")), "k", "v")
       .orderBy(col("l_returnflag"), col("k"))
 
+  /** DETERMINISTIC approximate distinct via a KMV (k-minimum-values)
+    * bottom-k sketch: hash every key with a fixed Knuth multiplicative
+    * hash into [0, 2³²), keep the k smallest DISTINCT hashes per group
+    * (the native [[graft.functions.BottomK]] TypedImperativeAggregate —
+    * ≤ k longs per group over the wire), and estimate
+    * |D| ≈ (k−1)·2³² div h_k. Fewer than k distinct hashes ⇒ the sketch
+    * IS the exact distinct set. Unlike engine-native HLL
+    * (q_approx_distinct, whose register layout is engine-specific and
+    * thus ungateable), this estimator is pure replayable integer
+    * arithmetic — the DuckDB oracle reproduces it hash-exactly, so an
+    * approximate operator still gets a correctness gate; the error
+    * bound (rsd ≈ 1/√(k−2)) is pinned in RelationalSpec.
+    */
+  def qApproxDistinctKmv(spark: SparkSession, dir: String, k: Int = 64): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        ((col("l_partkey") * 2654435761L) % 4294967296L).as("h"))
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.BottomK.bottomK(col("h"), k).as("sk"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"),
+        when(size(col("sk")) < k, size(col("sk")).cast("long"))
+          .otherwise(expr(s"(${k - 1} * 4294967296) div greatest(element_at(sk, $k), 1)"))
+          .as("est_distinct"))
+      .orderBy(col("l_returnflag"))
+
   /** HLL approximate distinct (rows-only check: approximate by nature). */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

@@ -67,6 +67,21 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV approximate distinct stays within 3x its rsd of exact") {
+    // oracle-gated for determinism; the ESTIMATE quality is pinned here:
+    // bottom-64 KMV has rsd ≈ 1/sqrt(62) ≈ 12.7%
+    val est = operators.Relational.qApproxDistinctKmv(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = Tables.lineitem(spark, sf).groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (k, ex) =>
+      val err = math.abs(est(k).toDouble - ex) / ex
+      assert(err <= 0.38, s"group $k: KMV estimate ${est(k)} vs exact $ex (err $err)")
+    }
+  }
+
   test("semi + anti partition the customer set") {
     val m = operators.Relational.qSemiAnti(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
