@@ -1,6 +1,8 @@
 package graft
 
-import graft.functions.{FloatVecDot, PolyHash, PorterStem, SimHash}
+import graft.functions.{FloatVecDot, PolyHash, PorterStem, SimHash,
+  SortedIntersectCount, WordPairs, WordShingles}
+import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -43,7 +45,33 @@ object GraftExtensions {
       (es: Seq[Expression]) => PolyHash(es.head, 31L, 1000000007L)),
     ("graft_simhash",
       info("graft_simhash", "graft_simhash(tokens) - 60-bit SimHash of a token array"),
-      (es: Seq[Expression]) => SimHash(es.head)))
+      (es: Seq[Expression]) => SimHash(es.head)),
+    ("word_shingles",
+      info("word_shingles", "word_shingles(tokens, n) - distinct '_'-joined word n-grams"),
+      (es: Seq[Expression]) => WordShingles(es(0), litInt(es, 1, "word_shingles"))),
+    ("word_pairs",
+      info("word_pairs", "word_pairs(tokens) - canonical distinct unordered token pairs"),
+      (es: Seq[Expression]) => WordPairs(es.head)),
+    ("sorted_intersect_count",
+      info("sorted_intersect_count",
+        "sorted_intersect_count(a, b) - |A∩B| of two sorted distinct string arrays"),
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
+    ("bottom_k",
+      info("bottom_k", "bottom_k(h, k) - aggregate: k smallest distinct BIGINTs per group"),
+      (es: Seq[Expression]) => graft.functions.BottomK(es(0), litInt(es, 1, "bottom_k"))),
+    ("minhash_sig",
+      info("minhash_sig", "minhash_sig(h) - aggregate: 64-permutation MinHash signature"),
+      (es: Seq[Expression]) => graft.functions.MinHashAgg(es.head)),
+    ("vector_sum",
+      info("vector_sum", "vector_sum(v, dim) - aggregate: elementwise double[dim] sum"),
+      (es: Seq[Expression]) => graft.functions.VectorSumAgg(es(0), litInt(es, 1, "vector_sum"))))
+
+  /** Extract a literal INT argument (e.g. the `n`/`k` of a sketch). */
+  private def litInt(es: Seq[Expression], i: Int, fn: String): Int = es(i) match {
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${i + 1} must be an INT literal, got $other")
+  }
 
   /** Register into an already-built session (temp functions). */
   def register(spark: SparkSession): Unit =

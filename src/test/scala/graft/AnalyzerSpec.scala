@@ -40,6 +40,29 @@ class AnalyzerSpec extends AnyFunSuite {
     assert(r.getDouble(2) == 11.0)
   }
 
+  test("graft SQL sketch/text functions (scalar + aggregate) evaluate") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      "SELECT word_shingles('a b c a', 2) AS sh, " +
+        "word_pairs(array('b','a','b')) AS wp, " +
+        "sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS ic")
+      .collect()(0)
+    assert(r.getSeq[String](0) == Seq("a_b", "b_c", "c_a"))
+    assert(r.getSeq[String](1) == Seq("a b"))
+    assert(r.getLong(2) == 2L)
+    val agg = spark.sql(
+      "SELECT bottom_k(h, 3) AS bk, size(minhash_sig(h)) AS ms " +
+        "FROM (SELECT CAST(id * 7 % 11 AS BIGINT) AS h FROM range(50))")
+      .collect()(0)
+    assert(agg.getSeq[Long](0) == Seq(0L, 1L, 2L))
+    assert(agg.getInt(1) == 64)
+    val vs = spark.sql(
+      "SELECT vector_sum(v, 2) AS s FROM (SELECT array(CAST(1.0 AS DOUBLE), " +
+        "CAST(2.0 AS DOUBLE)) AS v FROM range(3))")
+      .collect()(0)
+    assert(vs.getSeq[Double](0) == Seq(3.0, 6.0))
+  }
+
   test("PorterStem codegen path (non-foldable column) equals the scala stemmer") {
     import spark.implicits._
     // a real column projection compiles through doGenCode (a literal
