@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for session construction — every entry point (Bench,
+  * Verify, the dev tools) shares the same extension wiring and local
+  * tuning, so a config fix lands everywhere at once.
+  *
+  * Local defaults: shuffle.partitions = cpu threads (not the 200
+  * default — at local scale factors 200 partitions is pure scheduling
+  * overhead; on a cluster this is the knob sized to the scale factor),
+  * nanosAsLong for the TIMESTAMP(NANOS) events parquet, UTC, no UI.
+  * AQE stays at Spark defaults (on): it coalesces the tiny local
+  * shuffles and re-plans skew at cluster scale.
+  */
+object GraftSession {
+
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+
+  def local(threads: String = cpus, logLevel: String = "WARN"): SparkSession = {
+    val spark = SparkSession.builder()
+      .withExtensions(new GraftExtensions)
+      .master(s"local[$threads]")
+      .config("spark.sql.shuffle.partitions", threads)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel(logLevel)
+    spark
+  }
+
+  /** Free dead localCheckpoint blocks between independent queries so
+    * storage memory doesn't accumulate across a full sweep.
+    */
+  def dropDeadBlocks(spark: SparkSession): Unit =
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+}

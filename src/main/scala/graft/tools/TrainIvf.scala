@@ -1,7 +1,5 @@
 package graft.tools
 
-import graft.GraftExtensions
-import org.apache.spark.sql.SparkSession
 
 /** Offline IVF codebook training — the train side of the train/serve
   * split: Lloyd's k-means over the embeddings table, emitted as Scala
@@ -15,13 +13,7 @@ object TrainIvf {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .withExtensions(new GraftExtensions)
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    val spark = graft.GraftSession.local(cpus, logLevel = "ERROR")
     val cents = graft.similarity.Similarity.kmeansCentroids(
       graft.Tables.embeddings(spark, sfDir), cells = 10, iters = 4)
     println(s"// trained on $sfDir (cells=10, iters=4)")
