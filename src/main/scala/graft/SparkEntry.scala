@@ -50,6 +50,7 @@ object SparkEntry {
     "q_grouping_id"    -> ((s, d) => Relational.qGroupingId(s, d)),
     "q_percentile_cont" -> ((s, d) => Relational.qPercentileCont(s, d)),
     "q_unpivot"        -> ((s, d) => Relational.qUnpivot(s, d)),
+    "q_outlier_mad"    -> ((s, d) => Relational.qOutlierMad(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
     "q_approx_distinct_kmv" -> ((s, d) => Relational.qApproxDistinctKmv(s, d)),
     "q_pivot"        -> ((s, d) => Relational.qPivot(s, d)),
@@ -379,6 +380,21 @@ object SparkEntry {
         |  FROM (SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n
         |        FROM lineitem GROUP BY 1, 2))
         |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_outlier_mad" ->
+      """WITH c AS (SELECT o_orderstatus,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |m AS (SELECT o_orderstatus,
+        |  CAST(2 * quantile_cont(cents, 0.5) AS BIGINT) AS med2 FROM c GROUP BY 1),
+        |d AS (SELECT c.o_orderstatus, m.med2, abs(2 * c.cents - m.med2) AS dev2
+        |      FROM c JOIN m USING (o_orderstatus)),
+        |md AS (SELECT o_orderstatus,
+        |  CAST(2 * quantile_cont(dev2, 0.5) AS BIGINT) AS mad4 FROM d GROUP BY 1)
+        |SELECT d.o_orderstatus, min(d.med2) AS med2, min(md.mad4) AS mad4,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN 2 * d.dev2 > 3 * md.mad4 THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        |FROM d JOIN md USING (o_orderstatus)
+        |GROUP BY d.o_orderstatus ORDER BY d.o_orderstatus""".stripMargin,
 
     "q_grouping_id" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,

@@ -386,6 +386,37 @@ object Relational {
       .orderBy(col("o_orderstatus"), col("pct"))
   }
 
+  /** Robust per-group outlier detection via median/MAD — the
+    * data-quality screen that, unlike mean/stddev, a few extreme values
+    * cannot drag. Everything stays BIGINT: med2 = 2·median(cents) and
+    * mad4 = 2·median(2·|c − med|) are integral (an interpolated median
+    * of integers is a half-integer), and the outlier rule
+    * |c − med| > 3·MAD compares as 2·dev2 > 3·mad4. Two partial-agg
+    * percentile passes + two broadcast joins of 3-row group tables —
+    * no per-group full-sort window; for raw 100 TB value streams swap
+    * `percentile` for `approx_percentile` (same shape, mergeable
+    * sketch).
+    */
+  def qOutlierMad(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.orders(spark, dir)
+      .select(col("o_orderstatus"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val med = c.groupBy(col("o_orderstatus"))
+      .agg(expr("CAST(2 * percentile(cents, 0.5) AS BIGINT)").as("med2"))
+    val dev = c.join(broadcast(med), Seq("o_orderstatus"))
+      .select(col("o_orderstatus"), col("med2"),
+        abs(lit(2L) * col("cents") - col("med2")).as("dev2"))
+    val mad = dev.groupBy(col("o_orderstatus"))
+      .agg(expr("CAST(2 * percentile(dev2, 0.5) AS BIGINT)").as("mad4"))
+    dev.join(broadcast(mad), Seq("o_orderstatus"))
+      .groupBy(col("o_orderstatus"))
+      .agg(min(col("med2")).as("med2"), min(col("mad4")).as("mad4"),
+        count(lit(1)).as("n"),
+        sum(when(lit(2L) * col("dev2") > lit(3L) * col("mad4"), 1L).otherwise(0L))
+          .as("n_out"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** Deterministic WEIGHTED systematic sampling per stratum: walk rows
     * in key order accumulating integer weight; take a row whenever the
     * cumulative weight crosses a multiple of `step`. Inclusion
