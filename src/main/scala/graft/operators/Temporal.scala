@@ -43,6 +43,46 @@ object Temporal {
       .drop("_ts", "_side", "_rv")
   }
 
+  /** Forward as-of join: for every left row, the EARLIEST right row of
+    * the same key with rightTs ≥ leftTs (the time-to-next-event lookup).
+    * Mirror of [[asofBackward]]: left rows sort before right rows at
+    * equal timestamps and take `first(ignoreNulls)` over the
+    * current-row-to-unbounded-following frame — same one-shuffle,
+    * no-row-explosion scale shape.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, key: String,
+                  leftTs: String, rightTs: String, valueCol: String): DataFrame = {
+    val lCols = left.columns
+    val l = left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(0))
+      .withColumn("_rv", lit(null).cast(right.schema(valueCol).dataType))
+    val r = right.select(
+      col(key), col(rightTs).as("_ts"), lit(1).as("_side"), col(valueCol).as("_rv"))
+    val unioned = l.select((Seq(col(key), col("_ts"), col("_side"), col("_rv")) ++
+      lCols.filterNot(_ == key).map(c => col(c))): _*)
+      .unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    unioned
+      .withColumn(s"asof_$valueCol", first(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .drop("_ts", "_side", "_rv")
+  }
+
+  /** Query: each click joined to the user's NEXT purchase at or after it
+    * (time-to-conversion; oracle: min-over-inequality-join).
+    */
+  def qAsofForward(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_ts"))
+    asofForward(clicks, purchases, "user_id", "ts_us", "p_ts", "p_ts")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("asof_p_ts").as("next_purchase_us"))
+      .orderBy(col("event_id"))
+  }
+
   /** Query: each click event joined to the user's latest purchase at or
     * before it (oracle: DuckDB ASOF LEFT JOIN).
     */
@@ -149,6 +189,15 @@ object Temporal {
         |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM inc i JOIN ev e ON e.ts_us >= i.lo AND e.ts_us <= i.hi
         |GROUP BY i.incident_id ORDER BY i.incident_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),
+        |c AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_us AS p_ts FROM ev WHERE event_type = 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts_us, min(p.p_ts) AS next_purchase_us
+        |FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.p_ts >= c.ts_us
+        |GROUP BY c.event_id, c.user_id, c.ts_us
+        |ORDER BY c.event_id""".stripMargin,
 
     "q_asof_join" ->
       """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),
