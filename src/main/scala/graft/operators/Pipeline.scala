@@ -105,6 +105,13 @@ object Pipeline {
       .orderBy(col("window_start_us"), col("segment"))
   }
 
+  /** Native session_window sessionization (batch face; the streaming
+    * run is pinned in StreamingSpec).
+    */
+  def streamSessionWindow(s: SparkSession, d: String): DataFrame =
+    EventStreams.sessionWindowAgg(EventStreams.normalize(Tables.events(s, d)))
+      .orderBy(col("user_id"), col("start_us"))
+
   /** CDC-style per-user latest-state view — batch face of
     * EventStreams.latestState / latestStateStreaming (parity pinned in
     * StreamingSpec).
@@ -370,6 +377,29 @@ object Pipeline {
          |SELECT label, dim, CAST(sum(v) AS BIGINT) AS sum_x1e6,
          |  CAST(count(*) AS BIGINT) AS n
          |FROM x GROUP BY label, dim ORDER BY label, dim""".stripMargin,
+
+    // session_window semantics: a gap of EXACTLY 30 min starts a new
+    // session (windows [t, t+gap) merge on overlap only); end = last+gap
+    "stream_session_window" ->
+      s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, value FROM events),
+         |lagged AS (
+         |  SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+         |  FROM ev),
+         |marked AS (
+         |  SELECT *, CASE WHEN prev_ts IS NULL OR ts_us - prev_ts >= ${30 * 60L * 1000000L}
+         |                 THEN 1 ELSE 0 END AS new_sess
+         |  FROM lagged),
+         |numbered AS (
+         |  SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_no
+         |  FROM marked)
+         |SELECT user_id,
+         |  CAST(min(ts_us) AS BIGINT) AS start_us,
+         |  CAST(max(ts_us) + ${30 * 60L * 1000000L} AS BIGINT) AS end_us,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM numbered GROUP BY user_id, sess_no
+         |ORDER BY user_id, start_us""".stripMargin,
 
     "stream_latest_state" ->
       s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value

@@ -72,6 +72,28 @@ object EventStreams {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Native session_window sessionization — the built-in operator the
+    * hand-rolled [[sessionize]]/[[sessionizeStreaming]] pair re-implements
+    * (kept for custom state logic; this is what you reach for first).
+    * Boundary nuance the oracle must replay: session_window windows are
+    * [t, t+gap) and merge on OVERLAP, so a gap of exactly `gapMin`
+    * STARTS a new session (the manual sessionize breaks only on
+    * strictly-greater). `end` = last event + gap. Runs identically under
+    * readStream + watermark (append emits sessions the watermark has
+    * sealed).
+    */
+  def sessionWindowAgg(ev: DataFrame, gapMin: Int = 30,
+                       watermark: Boolean = false): DataFrame = {
+    val base = ev.select(col("user_id"),
+      timestamp_micros(col("ts_us")).as("tsx"), col("value"))
+    val wm = if (watermark) base.withWatermark("tsx", "0 seconds") else base
+    wm.groupBy(col("user_id"), session_window(col("tsx"), s"$gapMin minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+      .select(col("user_id"), unix_micros(col("sw.start")).as("start_us"),
+        unix_micros(col("sw.end")).as("end_us"), col("n_events"), col("sum_value"))
+  }
+
   /** Batch gap-sessionization: a new session starts when a user is idle
     * longer than `gapMin`. (Streaming equivalent uses
     * flatMapGroupsWithState — see [[sessionizeStreaming]].)

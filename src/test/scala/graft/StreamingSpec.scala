@@ -145,6 +145,27 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("native session_window streaming emits a nonempty subset of the batch sessions") {
+    val ev = EventStreams.normalize(Tables.events(spark, sf))
+    val batch = EventStreams.sessionWindowAgg(ev).collect().map(_.toSeq).toSet
+
+    val schema = Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = EventStreams.sessionWindowAgg(EventStreams.normalize(stream), watermark = true)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("session_window_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("session_window_test").collect().map(_.toSeq).toSet
+      // append emits only watermark-sealed sessions: every emitted row
+      // must be a batch session, and most sessions are sealed (only those
+      // within the gap of each user's stream tail stay open)
+      assert(got.nonEmpty, "watermark sealed no sessions at all")
+      assert(got.subsetOf(batch), "streamed session diverged from batch session_window")
+      assert(got.size >= batch.size / 2, s"only ${got.size}/${batch.size} sessions sealed")
+    } finally q.stop()
+  }
+
   test("latest-state over TWO micro-batches merges to the batch view") {
     val ev = EventStreams.normalize(Tables.events(spark, sf))
     val expected = EventStreams.latestState(ev).collect().map(_.toSeq).toSet
