@@ -51,6 +51,7 @@ object SparkEntry {
     "q_percentile_cont" -> ((s, d) => Relational.qPercentileCont(s, d)),
     "q_unpivot"        -> ((s, d) => Relational.qUnpivot(s, d)),
     "q_outlier_mad"    -> ((s, d) => Relational.qOutlierMad(s, d)),
+    "q_full_outer"     -> ((s, d) => Relational.qFullOuter(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
     "q_approx_distinct_kmv" -> ((s, d) => Relational.qApproxDistinctKmv(s, d)),
     "q_pivot"        -> ((s, d) => Relational.qPivot(s, d)),
@@ -382,6 +383,17 @@ object SparkEntry {
         |  FROM (SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n
         |        FROM lineitem GROUP BY 1, 2))
         |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_full_outer" ->
+      """WITH od AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |              CAST(count(*) AS BIGINT) AS n_orders FROM orders GROUP BY 1),
+        |sd AS (SELECT CAST(l_shipdate AS DATE) AS d,
+        |         CAST(count(*) AS BIGINT) AS n_ships FROM lineitem GROUP BY 1)
+        |SELECT strftime(COALESCE(od.d, sd.d), '%Y-%m-%d') AS day,
+        |  COALESCE(n_orders, CAST(0 AS BIGINT)) AS n_orders,
+        |  COALESCE(n_ships, CAST(0 AS BIGINT)) AS n_ships
+        |FROM od FULL OUTER JOIN sd ON od.d = sd.d
+        |ORDER BY day""".stripMargin,
 
     "q_outlier_mad" ->
       """WITH c AS (SELECT o_orderstatus,

@@ -386,6 +386,27 @@ object Relational {
       .orderBy(col("o_orderstatus"), col("pct"))
   }
 
+  /** FULL OUTER join with null-side coalescing — per-day order counts
+    * against per-day ship counts: the calendar reconciliation where
+    * either side can be absent (orders before any ship date, ships
+    * after the last order date). Both inputs pre-aggregate to one row
+    * per day BEFORE the join, so the full-outer shuffle carries
+    * day-cardinality rows, not facts.
+    */
+  def qFullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val od = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n_orders"))
+    val sd = Tables.lineitem(spark, dir)
+      .groupBy(to_date(col("l_shipdate")).as("d"))
+      .agg(count(lit(1)).as("n_ships"))
+    od.join(sd, Seq("d"), "full_outer")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        coalesce(col("n_ships"), lit(0L)).as("n_ships"))
+      .orderBy(col("day"))
+  }
+
   /** Robust per-group outlier detection via median/MAD — the
     * data-quality screen that, unlike mean/stddev, a few extreme values
     * cannot drag. Everything stays BIGINT: med2 = 2·median(cents) and
