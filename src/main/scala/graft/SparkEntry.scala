@@ -52,6 +52,7 @@ object SparkEntry {
     "q_unpivot"        -> ((s, d) => Relational.qUnpivot(s, d)),
     "q_outlier_mad"    -> ((s, d) => Relational.qOutlierMad(s, d)),
     "q_full_outer"     -> ((s, d) => Relational.qFullOuter(s, d)),
+    "q_set_ops_all"    -> ((s, d) => Relational.qSetOpsAll(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
     "q_approx_distinct_kmv" -> ((s, d) => Relational.qApproxDistinctKmv(s, d)),
     "q_pivot"        -> ((s, d) => Relational.qPivot(s, d)),
@@ -383,6 +384,17 @@ object SparkEntry {
         |  FROM (SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n
         |        FROM lineitem GROUP BY 1, 2))
         |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_set_ops_all" ->
+      """WITH f AS (SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'),
+        |o AS (SELECT l_partkey FROM lineitem WHERE l_linestatus = 'O'),
+        |ex AS (SELECT 'except_all' AS op, l_partkey, CAST(count(*) AS BIGINT) AS n
+        |       FROM (SELECT * FROM f EXCEPT ALL SELECT * FROM o) GROUP BY 2),
+        |ia AS (SELECT 'intersect_all' AS op, l_partkey, CAST(count(*) AS BIGINT) AS n
+        |       FROM (SELECT * FROM f INTERSECT ALL SELECT * FROM o) GROUP BY 2)
+        |SELECT op, l_partkey, n
+        |FROM (SELECT * FROM ex UNION ALL SELECT * FROM ia)
+        |ORDER BY op, l_partkey""".stripMargin,
 
     "q_full_outer" ->
       """WITH od AS (SELECT CAST(o_orderdate AS DATE) AS d,

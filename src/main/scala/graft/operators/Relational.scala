@@ -206,6 +206,25 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Multiset set operations — EXCEPT ALL / INTERSECT ALL preserve
+    * multiplicity (the bag semantics `q_set_ops`'s distinct forms
+    * erase): per part key, how many F-status shipments exceed O-status
+    * ones, and how many pair off. Multiplicities are re-aggregated per
+    * key for a deterministic gateable output.
+    */
+  def qSetOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val f = li.filter(col("l_linestatus") === "F").select(col("l_partkey"))
+    val o = li.filter(col("l_linestatus") === "O").select(col("l_partkey"))
+    val ex = f.exceptAll(o).groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("except_all"))
+    val ia = f.intersectAll(o).groupBy(col("l_partkey"))
+      .agg(count(lit(1)).as("n")).withColumn("op", lit("intersect_all"))
+    ex.union(ia)
+      .select(col("op"), col("l_partkey"), col("n"))
+      .orderBy(col("op"), col("l_partkey"))
+  }
+
   /** Filter against a scalar aggregate subquery (above-average parts). */
   def qScalarSubquery(spark: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(spark, dir)
