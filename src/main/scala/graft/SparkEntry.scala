@@ -53,6 +53,7 @@ object SparkEntry {
     "q_outlier_mad"    -> ((s, d) => Relational.qOutlierMad(s, d)),
     "q_full_outer"     -> ((s, d) => Relational.qFullOuter(s, d)),
     "q_set_ops_all"    -> ((s, d) => Relational.qSetOpsAll(s, d)),
+    "q_profile"        -> ((s, d) => Relational.qProfile(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
     "q_approx_distinct_kmv" -> ((s, d) => Relational.qApproxDistinctKmv(s, d)),
     "q_pivot"        -> ((s, d) => Relational.qPivot(s, d)),
@@ -384,6 +385,35 @@ object SparkEntry {
         |  FROM (SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n
         |        FROM lineitem GROUP BY 1, 2))
         |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_profile" ->
+      """WITH b AS (SELECT *, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |           FROM customer),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM b)
+        |SELECT p.column_name, n.n, p.n_null, p.n_distinct, p.min_s, p.max_s
+        |FROM (
+        |  SELECT 'c_custkey' AS column_name,
+        |    CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        |    CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+        |    CAST(min(c_custkey) AS VARCHAR) AS min_s, CAST(max(c_custkey) AS VARCHAR) AS max_s
+        |  FROM b
+        |  UNION ALL
+        |  SELECT 'c_name',
+        |    CAST(sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT c_name) AS BIGINT),
+        |    min(c_name), max(c_name) FROM b
+        |  UNION ALL
+        |  SELECT 'c_mktsegment',
+        |    CAST(sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT c_mktsegment) AS BIGINT),
+        |    min(c_mktsegment), max(c_mktsegment) FROM b
+        |  UNION ALL
+        |  SELECT 'c_acctbal_cents',
+        |    CAST(sum(CASE WHEN cents IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    CAST(count(DISTINCT cents) AS BIGINT),
+        |    CAST(min(cents) AS VARCHAR), CAST(max(cents) AS VARCHAR) FROM b
+        |) p CROSS JOIN n
+        |ORDER BY p.column_name""".stripMargin,
 
     "q_set_ops_all" ->
       """WITH f AS (SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'),

@@ -206,6 +206,38 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Dataset profiling — the ANALYZE-style per-column statistics a
+    * metadata catalog serves (null count, distinct count, min/max):
+    * ONE scan computes every column's metrics as parallel partial aggs,
+    * then a stack() unpivots to one row per column. At 100 TB this is
+    * the single-pass profile job you run at ingest, not a per-column
+    * rescan. Values render as strings for the uniform schema; the
+    * DECIMAL column profiles over exact cents.
+    */
+  def qProfile(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq(
+      "c_custkey" -> col("c_custkey"),
+      "c_name" -> col("c_name"),
+      "c_mktsegment" -> col("c_mktsegment"),
+      "c_acctbal_cents" -> expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"))
+    val aggs = count(lit(1)).as("n") +: cols.flatMap { case (name, c) => Seq(
+      sum(when(c.isNull, 1L).otherwise(0L)).as(s"${name}__nulls"),
+      countDistinct(c).as(s"${name}__distinct"),
+      min(c).cast("string").as(s"${name}__min"),
+      max(c).cast("string").as(s"${name}__max"))
+    }
+    val stackArgs = cols.map { case (name, _) =>
+      s"'$name', ${name}__nulls, ${name}__distinct, ${name}__min, ${name}__max"
+    }.mkString(", ")
+    Tables.customer(spark, dir)
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr("n",
+        s"stack(${cols.size}, $stackArgs) AS (column_name, n_null, n_distinct, min_s, max_s)")
+      .select(col("column_name"), col("n"), col("n_null"), col("n_distinct"),
+        col("min_s"), col("max_s"))
+      .orderBy(col("column_name"))
+  }
+
   /** Multiset set operations — EXCEPT ALL / INTERSECT ALL preserve
     * multiplicity (the bag semantics `q_set_ops`'s distinct forms
     * erase): per part key, how many F-status shipments exceed O-status
