@@ -54,6 +54,7 @@ object SparkEntry {
     "q_full_outer"     -> ((s, d) => Relational.qFullOuter(s, d)),
     "q_set_ops_all"    -> ((s, d) => Relational.qSetOpsAll(s, d)),
     "q_profile"        -> ((s, d) => Relational.qProfile(s, d)),
+    "q_gap_fill"       -> ((s, d) => Relational.qGapFill(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
     "q_approx_distinct_kmv" -> ((s, d) => Relational.qApproxDistinctKmv(s, d)),
     "q_pivot"        -> ((s, d) => Relational.qPivot(s, d)),
@@ -385,6 +386,19 @@ object SparkEntry {
         |  FROM (SELECT l_returnflag, l_quantity, CAST(count(*) AS BIGINT) AS n
         |        FROM lineitem GROUP BY 1, 2))
         |WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+        |                 CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+        |cal AS (SELECT CAST(unnest(generate_series(
+        |          CAST((SELECT min(d) FROM daily) AS TIMESTAMP),
+        |          CAST((SELECT max(d) FROM daily) AS TIMESTAMP),
+        |          INTERVAL 1 DAY)) AS DATE) AS d)
+        |SELECT strftime(cal.d, '%Y-%m-%d') AS day,
+        |  COALESCE(daily.n, CAST(0 AS BIGINT)) AS n_orders,
+        |  CAST(CASE WHEN daily.n IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+        |FROM cal LEFT JOIN daily ON cal.d = daily.d
+        |ORDER BY day""".stripMargin,
 
     "q_profile" ->
       """WITH b AS (SELECT *, CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents

@@ -206,6 +206,26 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Calendar gap-fill (resample): daily order counts with every
+    * missing calendar day materialized as an explicit zero row — the
+    * densification a time-series consumer needs before rolling math.
+    * The calendar is generated from a 1-row min/max aggregate via
+    * sequence+explode (span-cardinality, broadcast onto the daily
+    * aggregate) — the fact table is scanned once and never re-joined.
+    */
+  def qGapFill(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.orders(spark, dir)
+      .groupBy(to_date(col("o_orderdate")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val cal = daily.agg(min(col("d")).as("lo"), max(col("d")).as("hi"))
+      .select(explode(expr("sequence(lo, hi, interval 1 day)")).as("d"))
+    cal.join(daily, Seq("d"), "left_outer")
+      .select(date_format(col("d"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n"), lit(0L)).as("n_orders"),
+        when(col("n").isNull, 1L).otherwise(0L).as("filled"))
+      .orderBy(col("day"))
+  }
+
   /** Dataset profiling — the ANALYZE-style per-column statistics a
     * metadata catalog serves (null count, distinct count, min/max):
     * ONE scan computes every column's metrics as parallel partial aggs,
