@@ -67,10 +67,15 @@ object GraftExtensions {
       (es: Seq[Expression]) => graft.functions.VectorSumAgg(es(0), litInt(es, 1, "vector_sum"))))
 
   /** Extract a literal INT argument (e.g. the `n`/`k` of a sketch). */
-  private def litInt(es: Seq[Expression], i: Int, fn: String): Int = es(i) match {
-    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
-    case other => throw new IllegalArgumentException(
-      s"$fn: argument ${i + 1} must be an INT literal, got $other")
+  private def litInt(es: Seq[Expression], i: Int, fn: String): Int = {
+    if (es.length <= i)
+      throw new IllegalArgumentException(
+        s"$fn requires at least ${i + 1} arguments, got ${es.length}")
+    es(i) match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${i + 1} must be an INT literal, got $other")
+    }
   }
 
   /** Register into an already-built session (temp functions). */

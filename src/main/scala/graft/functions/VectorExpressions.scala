@@ -81,14 +81,21 @@ case class FloatVecDotConst(child: Expression, coef: Seq[Double])
   override def dataType: DataType = DoubleType
   override def prettyName: String = "float_vec_dot_const"
 
+  // the HOF fold this replaces (zip_with + aggregate) yields NULL on
+  // ANY length mismatch (zip_with pads the shorter side with null, and
+  // null times anything nulls the sum) and when any element is null —
+  // preserve exactly that, don't silently read zeroed slots or truncate
+  override def nullable: Boolean = true
+
   @transient private lazy val cs: Array[Double] = coef.toArray
 
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), cs.length)
+    if (x.numElements() != cs.length) return null
     var acc = 0.0
     var i = 0
-    while (i < n) {
+    while (i < cs.length) {
+      if (x.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * cs(i)
       i += 1
     }
@@ -98,16 +105,19 @@ case class FloatVecDotConst(child: Expression, coef: Seq[Double])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v => {
       val cRef = ctx.addReferenceObj("coef", cs, "double[]")
-      val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($v.numElements(), $cRef.length);
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ((double) $v.getFloat($i)) * $cRef[$i];
+         |if ($v.numElements() != $cRef.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $cRef.length; $i++) {
+         |    if ($v.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ((double) $v.getFloat($i)) * $cRef[$i];
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

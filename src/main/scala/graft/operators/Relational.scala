@@ -495,9 +495,14 @@ object Relational {
         expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
     val med = c.groupBy(col("o_orderstatus"))
       .agg(expr("CAST(2 * percentile(cents, 0.5) AS BIGINT)").as("med2"))
+    // dev feeds BOTH the MAD aggregation and the final aggregate; the
+    // lazy barrier materializes it in the mad-broadcast job so the
+    // orders scan + med join run once, not per consumer (AQE reuses no
+    // exchange across consumers). Narrow rows: (status, med2, dev2).
     val dev = c.join(broadcast(med), Seq("o_orderstatus"))
       .select(col("o_orderstatus"), col("med2"),
         abs(lit(2L) * col("cents") - col("med2")).as("dev2"))
+      .localCheckpoint(eager = false)
     val mad = dev.groupBy(col("o_orderstatus"))
       .agg(expr("CAST(2 * percentile(dev2, 0.5) AS BIGINT)").as("mad4"))
     dev.join(broadcast(mad), Seq("o_orderstatus"))

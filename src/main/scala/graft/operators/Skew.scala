@@ -20,13 +20,19 @@ object Skew {
                  salts: Int, saltSource: Column): DataFrame =
     saltedJoin(big, small, Seq(key), salts, saltSource)
 
+  /** The salt derivation — exposed so specs exercise the PRODUCTION
+    * formula, not a re-implementation of it.
+    */
+  def saltCol(saltSource: Column, salts: Int): Column =
+    pmod(abs(hash(saltSource)), lit(salts))
+
   /** Composite-key variant (e.g. an LSH (band, key) bucket join): rows
     * equal the plain inner join on `keys`, but each hot bucket spreads
     * over `salts` reducers.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int, saltSource: Column): DataFrame = {
-    val salted = big.withColumn("_salt", pmod(abs(hash(saltSource)), lit(salts)))
+    val salted = big.withColumn("_salt", saltCol(saltSource, salts))
     val replicated = small.withColumn("_salt", explode(typedlit((0 until salts).toList)))
     salted.join(replicated, keys :+ "_salt").drop("_salt")
   }

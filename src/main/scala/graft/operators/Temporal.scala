@@ -26,20 +26,38 @@ object Temporal {
     * @param valueCol right column to carry (emitted as `asof_<valueCol>`)
     */
   def asofBackward(left: DataFrame, right: DataFrame, key: String,
-                   leftTs: String, rightTs: String, valueCol: String): DataFrame = {
+                   leftTs: String, rightTs: String, valueCol: String): DataFrame =
+    asofJoin(left, right, key, leftTs, rightTs, valueCol, backward = true)
+
+  /** Shared tag→union→window scaffold for both as-of directions.
+    * Direction decides three things in lockstep: which side sorts first
+    * at equal timestamps (right-before-left for backward's ≤,
+    * left-before-right for forward's ≥), the window frame (trailing vs
+    * leading), and the pick (last vs first non-null right value).
+    */
+  private def asofJoin(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String, valueCol: String,
+                       backward: Boolean): DataFrame = {
+    val (lSide, rSide) = if (backward) (1, 0) else (0, 1)
     val lCols = left.columns
-    val l = left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(1))
+    val l = left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(lSide))
       .withColumn("_rv", lit(null).cast(right.schema(valueCol).dataType))
     val r = right.select(
-      col(key), col(rightTs).as("_ts"), lit(0).as("_side"), col(valueCol).as("_rv"))
+      col(key), col(rightTs).as("_ts"), lit(rSide).as("_side"), col(valueCol).as("_rv"))
     val unioned = l.select((Seq(col(key), col("_ts"), col("_side"), col("_rv")) ++
       lCols.filterNot(_ == key).map(c => col(c))): _*)
       .unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"))
-      .rowsBetween(Window.unboundedPreceding, 0)
+    val ordered = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"))
+    val (w, pick) =
+      if (backward)
+        (ordered.rowsBetween(Window.unboundedPreceding, 0),
+          last(col("_rv"), ignoreNulls = true))
+      else
+        (ordered.rowsBetween(0, Window.unboundedFollowing),
+          first(col("_rv"), ignoreNulls = true))
     unioned
-      .withColumn(s"asof_$valueCol", last(col("_rv"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 1)
+      .withColumn(s"asof_$valueCol", pick.over(w))
+      .filter(col("_side") === lSide)
       .drop("_ts", "_side", "_rv")
   }
 
@@ -51,22 +69,8 @@ object Temporal {
     * no-row-explosion scale shape.
     */
   def asofForward(left: DataFrame, right: DataFrame, key: String,
-                  leftTs: String, rightTs: String, valueCol: String): DataFrame = {
-    val lCols = left.columns
-    val l = left.withColumn("_ts", col(leftTs)).withColumn("_side", lit(0))
-      .withColumn("_rv", lit(null).cast(right.schema(valueCol).dataType))
-    val r = right.select(
-      col(key), col(rightTs).as("_ts"), lit(1).as("_side"), col(valueCol).as("_rv"))
-    val unioned = l.select((Seq(col(key), col("_ts"), col("_side"), col("_rv")) ++
-      lCols.filterNot(_ == key).map(c => col(c))): _*)
-      .unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(col(key)).orderBy(col("_ts"), col("_side"))
-      .rowsBetween(0, Window.unboundedFollowing)
-    unioned
-      .withColumn(s"asof_$valueCol", first(col("_rv"), ignoreNulls = true).over(w))
-      .filter(col("_side") === 0)
-      .drop("_ts", "_side", "_rv")
-  }
+                  leftTs: String, rightTs: String, valueCol: String): DataFrame =
+    asofJoin(left, right, key, leftTs, rightTs, valueCol, backward = false)
 
   /** Query: each click joined to the user's NEXT purchase at or after it
     * (time-to-conversion; oracle: min-over-inequality-join).

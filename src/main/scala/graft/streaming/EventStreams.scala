@@ -279,7 +279,10 @@ object EventStreams {
         : (Long, Long, Long, String, Double, Long, Double) = {
       var cur = state.getOption.orNull
       rows.foreach { e =>
-        val cents = Math.round(e.value * 100.0)
+        // HALF_UP (away from zero), matching the batch DECIMAL(18,2)
+        // cast — Math.round alone rounds -0.125 toward +Inf and would
+        // break the bit-for-bit parity on negative half-cents
+        val cents = Math.signum(e.value).toLong * Math.round(Math.abs(e.value) * 100.0)
         if (cur == null)
           cur = Latest(e.ts_us, e.event_id, e.event_type, e.value, 1L, cents)
         else {

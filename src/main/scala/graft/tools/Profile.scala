@@ -32,8 +32,16 @@ object Profile {
         val n = fn(spark, sfDir).count()
         val dt = (System.nanoTime() - t0) / 1e9
         drop()
-        // listener events are async; give the bus a beat before reading
-        Thread.sleep(200)
+        // the listener bus is async: wait until the counters stop moving
+        // (two consecutive identical reads 200 ms apart) so a slow drain
+        // neither undercounts this run nor bleeds into the next
+        var prev = -1L
+        var cur = jobs.get + stages.get + tasks.get
+        while (cur != prev) {
+          Thread.sleep(200)
+          prev = cur
+          cur = jobs.get + stages.get + tasks.get
+        }
         println(f"$name%-24s run$r%d  ${dt}%6.2f s  rows=$n%-7d jobs=${jobs.get}%-4d stages=${stages.get}%-4d tasks=${tasks.get}%d")
       }
     }

@@ -32,8 +32,9 @@ class SkewSpec extends AnyFunSuite {
 
   test("the hot key spreads across every salt bucket, roughly evenly") {
     val salts = 8
+    // uses Skew.saltCol — the production derivation, not an inlined copy
     val spread = big.filter(col("k") === 0L)
-      .withColumn("_salt", pmod(abs(hash(col("payload"))), lit(salts)))
+      .withColumn("_salt", Skew.saltCol(col("payload"), salts))
       .groupBy(col("_salt")).count()
       .collect().map(r => r.getLong(1))
     assert(spread.length == salts, s"hot key landed in ${spread.length}/$salts buckets")
