@@ -292,10 +292,12 @@ object Dedup {
     // Isolated nodes (the overwhelming majority of a deduped corpus) are
     // their own component by definition and never need a round; keeping
     // them out shrinks every per-round shuffle/checkpoint from |V| to
-    // |V_active| ≈ 2|E|.
-    var labels = nodes.select(col("id").as("x"))
-      .join(sym.select(col("x")).distinct(), Seq("x"), "left_semi")
-      .select(col("x"), col("x").as("label"))
+    // |V_active| ≈ 2|E|. The init IS the first propagation round:
+    // label₀ = min(self, neighbors) from one aggregate over the edge
+    // list (the active set is exactly sym's x column), so the loop
+    // starts one round ahead of an identity-label init for free.
+    var labels = sym.groupBy(col("x"))
+      .agg(least(col("x"), min(col("y"))).as("label"))
       .localCheckpoint(eager = false)
     // coalesce: sum() is NULL over zero rows — an empty node set (e.g. a
     // quality gate that filtered every document) must yield an empty
