@@ -66,6 +66,7 @@ object SparkEntry {
     "q_time_funcs"   -> ((s, d) => Relational.qTimeFuncs(s, d)),
     "q_asof_join"    -> ((s, d) => operators.Temporal.qAsofJoin(s, d)),
     "q_asof_forward" -> ((s, d) => operators.Temporal.qAsofForward(s, d)),
+    "q_concurrency"  -> ((s, d) => operators.Temporal.qConcurrency(s, d)),
     "q_range_join"   -> ((s, d) => operators.Temporal.qRangeJoin(s, d)),
     "q_funnel"       -> ((s, d) => operators.Temporal.qFunnel(s, d)),
     "q_percentiles"  -> ((s, d) => Relational.qPercentiles(s, d)),

@@ -102,6 +102,29 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** Peak concurrency per event type — the sweep-line counting of
+    * overlapping intervals (each event holds a 1-hour lease): +1 at
+    * start, −1 at end, per-type time-ordered cumulative sum, max. Ends
+    * sort before starts at the same instant (half-open [s, e)
+    * semantics). One narrow (type, t, ±1) shuffle and one per-type
+    * ordered window — the standard scale shape for concurrency/load
+    * profiling.
+    */
+  def qConcurrency(s: SparkSession, d: String, leaseUs: Long = 3600000000L): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(col("event_type"), col("ts_us"))
+    val points = ev.select(col("event_type"), col("ts_us").as("t"), lit(1L).as("delta"))
+      .union(ev.select(col("event_type"), (col("ts_us") + leaseUs).as("t"),
+        lit(-1L).as("delta")))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("t"), col("delta"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    points.withColumn("load", sum(col("delta")).over(w))
+      .groupBy(col("event_type"))
+      .agg(max(col("load")).as("peak_concurrency"),
+        (count(lit(1)) / 2).cast("long").as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** Interval (range) join by time-bucket blocking — preference (a) of
     * the custom-operator ladder. An inequality-only join would plan as a
     * broadcast-nested-loop (quadratic at scale); instead each interval
@@ -193,6 +216,21 @@ object Temporal {
         |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM inc i JOIN ev e ON e.ts_us >= i.lo AND e.ts_us <= i.hi
         |GROUP BY i.incident_id ORDER BY i.incident_id""".stripMargin,
+
+    "q_concurrency" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+        |pts AS (
+        |  SELECT event_type, ts_us AS t, CAST(1 AS BIGINT) AS delta FROM ev
+        |  UNION ALL
+        |  SELECT event_type, ts_us + 3600000000, CAST(-1 AS BIGINT) FROM ev),
+        |run AS (
+        |  SELECT event_type,
+        |    CAST(sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS load
+        |  FROM pts)
+        |SELECT event_type, max(load) AS peak_concurrency,
+        |  CAST(count(*) / 2 AS BIGINT) AS n_events
+        |FROM run GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_asof_forward" ->
       """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),
