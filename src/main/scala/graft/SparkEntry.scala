@@ -123,6 +123,8 @@ object SparkEntry {
     "pipe_contamination"  -> ((s, d) => Pipeline.contamination(s, d)),
     "pipe_quota_sample"   -> ((s, d) => Pipeline.quotaSample(s, d)),
     "pipe_merge_stats"    -> ((s, d) => Pipeline.mergeStats(s, d)),
+    "pipe_mix_weights"    -> ((s, d) => Pipeline.mixWeights(s, d)),
+    "q_retention"         -> ((s, d) => operators.Temporal.qRetention(s, d)),
     "mm_patchify"         -> ((s, d) => Pipeline.mmPatchify(s, d)),
     "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),
     "txt_bigram_coverage" -> ((s, d) => Text.bigramCoverage(s, d)),

@@ -278,6 +278,28 @@ object Pipeline {
   def mmPatchify(s: SparkSession, d: String): DataFrame =
     Multimodal.patchifyPlan(Multimodal.decodeMeta(Tables.documents(s, d)))
 
+  /** Training-mix reweighting — the sampling weights that move the
+    * corpus from its ACTUAL source distribution to a TARGET one
+    * (uniform here): weight_s = target_share / actual_share, scaled
+    * ×10⁶ in BIGINT integer division for an exact gate. One tiny
+    * per-source aggregate + a count; the weights table then broadcasts
+    * onto the corpus for weighted sampling (pipe_quota_sample /
+    * q_weighted_sample are the consumers of exactly this table).
+    */
+  def mixWeights(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bySource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val totals = bySource.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("n_sources"))
+    bySource.crossJoin(totals)
+      // target_share/actual_share = (total/sources) / (n_docs/total)
+      // — rearranged to a single integer division
+      .withColumn("weight_x1e6",
+        expr("(1000000 * n_total) div (n_sources * n_docs)"))
+      .select(col("source"), col("n_docs"), col("weight_x1e6"))
+      .orderBy(col("source"))
+  }
+
   /** Several exact distincts in one aggregation pass (planner expands to
     * a single multi-way Expand + partial aggs — no per-distinct scan).
     */
@@ -545,6 +567,15 @@ object Pipeline {
         |  FROM t)
         |SELECT source, rk, doc_id, hkey FROM rk WHERE rk <= 20
         |ORDER BY source, rk""".stripMargin,
+
+    "pipe_mix_weights" ->
+      """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |           FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |        CAST(count(*) AS BIGINT) AS n_sources FROM s)
+        |SELECT s.source, s.n_docs,
+        |  (1000000 * t.n_total) // (t.n_sources * s.n_docs) AS weight_x1e6
+        |FROM s CROSS JOIN t ORDER BY s.source""".stripMargin,
 
     "pipe_merge_stats" ->
       """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,

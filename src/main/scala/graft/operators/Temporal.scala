@@ -125,6 +125,27 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** Cohort retention — users grouped by first-seen day, with day-1 and
+    * day-7 return rates: the product-analytics staple. Two aggregates
+    * (per-user-day activity, then per-user first day) and one join of
+    * the small cohort table back onto user-days; retention flags are
+    * exact integer day arithmetic.
+    */
+  def qRetention(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("c_day"))
+    ev.join(cohort, Seq("user_id"))
+      .groupBy(col("c_day"))
+      .agg(countDistinct(col("user_id")).as("n_users"),
+        countDistinct(when(col("day") === col("c_day") + 1, col("user_id")))
+          .as("n_day1"),
+        countDistinct(when(col("day") === col("c_day") + 7, col("user_id")))
+          .as("n_day7"))
+      .orderBy(col("c_day"))
+  }
+
   /** Interval (range) join by time-bucket blocking — preference (a) of
     * the custom-operator ladder. An inequality-only join would plan as a
     * broadcast-nested-loop (quadratic at scale); instead each interval
@@ -216,6 +237,16 @@ object Temporal {
         |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM inc i JOIN ev e ON e.ts_us >= i.lo AND e.ts_us <= i.hi
         |GROUP BY i.incident_id ORDER BY i.incident_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS c_day FROM ud GROUP BY user_id)
+        |SELECT c.c_day,
+        |  CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_users,
+        |  CAST(count(DISTINCT CASE WHEN ud.day = c.c_day + 1 THEN ud.user_id END) AS BIGINT) AS n_day1,
+        |  CAST(count(DISTINCT CASE WHEN ud.day = c.c_day + 7 THEN ud.user_id END) AS BIGINT) AS n_day7
+        |FROM ud JOIN c ON ud.user_id = c.user_id
+        |GROUP BY c.c_day ORDER BY c.c_day""".stripMargin,
 
     "q_concurrency" ->
       """WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
