@@ -134,6 +134,12 @@ class PlanSpec extends AnyFunSuite {
       "LSH dedup must shuffle signatures, not text")
   }
 
+  test("q_profile computes every column's stats in ONE customer scan") {
+    val p = plan(operators.Relational.qProfile(spark, sf))
+    val scans = "Scan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"profile should scan customer once, found $scans scans:\n$p")
+  }
+
   test("dataset index scan prunes unused document columns") {
     val p = plan(operators.Metastore.filterTerm(spark, sf))
     assert(!p.contains("n_chars") || p.contains("bytes"),

@@ -7,6 +7,42 @@ import org.scalatest.funsuite.AnyFunSuite
 class TemporalSpec extends AnyFunSuite {
   import SparkTestSession._
 
+  test("forward as-of: every click keeps the earliest purchase at or after it") {
+    val rows = Temporal.qAsofForward(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      assert(r.getLong(3) >= r.getLong(2), s"purchase before click: $r")
+    }
+  }
+
+  test("sweep-line concurrency invariants: 1 <= peak <= n_events") {
+    val rows = Temporal.qConcurrency(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (peak, n) = (r.getLong(1), r.getLong(2))
+      assert(peak >= 1L && peak <= n, s"peak $peak outside [1, $n]: $r")
+    }
+  }
+
+  test("retention invariants: day-1/day-7 returners are subsets of the cohort") {
+    val rows = Temporal.qRetention(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1) && r.getLong(3) <= r.getLong(1),
+        s"returners exceed cohort: $r")
+    }
+  }
+
+  test("gap-fill output is a dense contiguous calendar") {
+    val days = operators.Relational.qGapFill(spark, sf).collect()
+      .map(r => java.time.LocalDate.parse(r.getString(0)))
+    assert(days.nonEmpty)
+    days.sliding(2).foreach {
+      case Array(a, b) => assert(b == a.plusDays(1), s"calendar gap between $a and $b")
+      case _ => ()
+    }
+  }
+
   test("as-of join: every click keeps the latest purchase at or before it") {
     val rows = Temporal.qAsofJoin(spark, sf).collect()
     assert(rows.nonEmpty)
