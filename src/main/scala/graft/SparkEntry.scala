@@ -69,6 +69,8 @@ object SparkEntry {
     "q_concurrency"  -> ((s, d) => operators.Temporal.qConcurrency(s, d)),
     "q_range_join"   -> ((s, d) => operators.Temporal.qRangeJoin(s, d)),
     "q_funnel"       -> ((s, d) => operators.Temporal.qFunnel(s, d)),
+    "q_markov"       -> ((s, d) => operators.Temporal.qMarkov(s, d)),
+    "q_scd2"         -> ((s, d) => operators.Temporal.qScd2(s, d)),
     "q_percentiles"  -> ((s, d) => Relational.qPercentiles(s, d)),
     "q_weighted_sample" -> ((s, d) => Relational.qWeightedSample(s, d)),
     "q_window_range"    -> ((s, d) => Relational.qWindowRange(s, d)),
@@ -102,6 +104,7 @@ object SparkEntry {
     "txt_collocations" -> ((s, d) => Text.collocations(s, d)),
     "txt_minhash_sketch" -> ((s, d) => Text.minhashSketch(s, d)),
     "ann_pair_sim"   -> ((s, d) => Pipeline.annPairSim(s, d)),
+    "ann_range_search" -> ((s, d) => Pipeline.annRangeSearch(s, d)),
     // §2.6 multimodal
     "mm_decode_meta"  -> ((s, d) => Pipeline.mmDecodeMeta(s, d)),
     "mm_resize"       -> ((s, d) => Pipeline.mmResize(s, d)),

@@ -59,6 +59,9 @@ object Pipeline {
   def annPairSim(s: SparkSession, d: String): DataFrame =
     Similarity.pairSim(Tables.embeddings(s, d), 300000L)
 
+  def annRangeSearch(s: SparkSession, d: String): DataFrame =
+    Similarity.rangeSearch(Tables.embeddings(s, d), queryPred, 250000L)
+
   // --- §2.6 multimodal ---------------------------------------------------
 
   def mmDecodeMeta(s: SparkSession, d: String): DataFrame =
@@ -556,6 +559,16 @@ object Pipeline {
          |  FROM sc)
          |SELECT q_id, rk, vec_id, cos_x1e6 FROM rk WHERE rk <= 10
          |ORDER BY q_id, rk""".stripMargin,
+
+    "ann_range_search" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 97 = 0)
+         |SELECT q.q_id, e.vec_id,
+         |  CAST(floor(${Similarity.cosineSql("q.q_emb", "e.embedding")} * 1e6) AS BIGINT) AS cos_x1e6
+         |FROM e CROSS JOIN q
+         |WHERE e.vec_id <> q.q_id
+         |  AND CAST(floor(${Similarity.cosineSql("q.q_emb", "e.embedding")} * 1e6) AS BIGINT) >= 250000
+         |ORDER BY q_id, vec_id""".stripMargin,
 
     "pipe_quota_sample" ->
       """WITH t AS (

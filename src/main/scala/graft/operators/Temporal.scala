@@ -209,7 +209,85 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** First-order Markov transition matrix over per-user event sequences
+    * (sequence mining / behavioral modeling): pair every event with the
+    * user's next event via `lead` over one per-user time-ordered window,
+    * then count (from, to) transitions. Row-normalized probabilities are
+    * exact ×10⁶ integers (BIGINT div) so the gate is hash-exact. Scale
+    * shape: ONE shuffle on user_id for the window, then a partial-agg
+    * groupBy on the (from, to) pair — the transition matrix itself is
+    * |types|² rows, trivially small however large the corpus.
+    */
+  def qMarkov(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val counts = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotal = Window.partitionBy(col("from_type"))
+    counts
+      .withColumn("row_n", sum(col("n")).over(rowTotal))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("n * 1000000 div row_n").as("p_x1e6"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  /** SCD Type-2 interval building from an event log: per user, collapse
+    * consecutive same-type events into state segments — each type CHANGE
+    * opens a row [valid_from, valid_to) closed by the next change
+    * (`lead`), open-ended on the current state. The warehouse-standard
+    * history-table materialization. Scale shape: one shuffle on user_id;
+    * both window passes (change detection, then segment close) share the
+    * same partitioning and sort order, so Catalyst plans a single
+    * exchange + sort.
+    */
+  def qScd2(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val segStart = ev
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+      .select(col("user_id"), col("event_type").as("state"),
+        col("ts_us").as("valid_from_us"))
+    val wSeg = Window.partitionBy(col("user_id")).orderBy(col("valid_from_us"))
+    segStart
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wSeg))
+      .withColumn("is_current", col("valid_to_us").isNull)
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_markov" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |nx AS (
+        |  SELECT event_type AS from_type,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+        |  FROM ev),
+        |c AS (
+        |  SELECT from_type, to_type, count(*) AS n
+        |  FROM nx WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
+        |SELECT from_type, to_type, n,
+        |  n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS p_x1e6
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "q_scd2" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |ch AS (
+        |  SELECT user_id, event_type AS state, ts_us AS valid_from_us,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev
+        |  FROM ev),
+        |seg AS (
+        |  SELECT user_id, state, valid_from_us FROM ch
+        |  WHERE prev IS NULL OR prev <> state)
+        |SELECT user_id, state, valid_from_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) AS valid_to_us,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id ORDER BY valid_from_us) IS NULL AS is_current
+        |FROM seg ORDER BY user_id, valid_from_us""".stripMargin,
+
     "q_funnel" ->
       """WITH ev AS (SELECT epoch_us(ts) AS ts_us, user_id, event_type FROM events),
         |fc AS (

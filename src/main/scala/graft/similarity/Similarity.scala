@@ -60,6 +60,28 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Radius (range) search: ALL corpus vectors within cosine ≥ τ of each
+    * query vector — the fixed-threshold dual of top-k, what dedup and
+    * retrieval-filtering pipelines actually issue. Same scale shape as
+    * [[bruteTopK]]: the query set is broadcast, the corpus streams
+    * through one codegen'd map pass, no window needed at all (the
+    * threshold replaces the rank), so output size is the only cost that
+    * grows with matches.
+    */
+  def rangeSearch(embeddings: DataFrame, queryPred: Column, tauX1e6: Long): DataFrame = {
+    val withNorm = graft.Tables.fanOut(embeddings).select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"))
+    val queries = withNorm.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
+    withNorm.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("cos_x1e6",
+        floor(cosine(col("q_emb"), col("embedding"), col("q_nrm"), col("nrm")) * 1e6)
+          .cast("long"))
+      .filter(col("cos_x1e6") >= tauX1e6)
+      .select(col("q_id"), col("vec_id"), col("cos_x1e6"))
+      .orderBy(col("q_id"), col("vec_id"))
+  }
+
   /** All-pairs cosine ≥ τ within a blocking key (label) — embedding
     * near-dup detection. Block-local self-join: pairs never cross blocks.
     */

@@ -194,6 +194,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("range search agrees with brute top-k above the radius") {
+    val range = Pipeline.annRangeSearch(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // every returned neighbor clears the radius
+    assert(range.nonEmpty)
+    assert(range.values.forall(_ >= 250000L))
+    // brute top-k rows above the radius must ALL appear in the range
+    // result with the identical similarity (completeness cross-check)
+    Pipeline.annBruteTopk(spark, sf).collect()
+      .filter(_.getLong(3) >= 250000L)
+      .foreach { r =>
+        val key = (r.getLong(0), r.getLong(2))
+        assert(range.get(key).contains(r.getLong(3)),
+          s"brute hit $key=${r.getLong(3)} missing from range search")
+      }
+  }
+
   test("LSH ANN returns a subset ranking with measured recall") {
     val brute = Pipeline.annBruteTopk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet

@@ -33,6 +33,43 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("markov transitions: probabilities per from-state sum to ~1e6 and counts match raw pairs") {
+    val rows = Temporal.qMarkov(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // per-from rows: sum(p_x1e6) in (1e6 - n_states, 1e6] (each div floors by < 1)
+    rows.groupBy(_.getString(0)).foreach { case (from, rs) =>
+      val pSum = rs.map(_.getLong(3)).sum
+      assert(pSum <= 1000000L && pSum > 1000000L - rs.length,
+        s"from=$from probabilities sum to $pSum over ${rs.length} states")
+    }
+    // total transition count = total events - number of users with >=1 event
+    val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+    val nEvents = ev.count()
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nEvents - nUsers)
+  }
+
+  test("scd2 segments: half-open, non-overlapping, exactly one open segment per user") {
+    val rows = Temporal.qScd2(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (user, rs) =>
+      val sorted = rs.sortBy(_.getLong(2))
+      // chained: each segment's valid_to equals the next segment's valid_from
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(3) && a.getLong(3) == b.getLong(2),
+            s"user $user segments not chained: $a -> $b")
+          // consecutive segments must differ in state (else not a change)
+          assert(a.getString(1) != b.getString(1),
+            s"user $user adjacent segments share state: $a -> $b")
+        case _ => ()
+      }
+      // exactly the last segment is open/current
+      assert(sorted.init.forall(!_.getBoolean(4)) && sorted.last.getBoolean(4),
+        s"user $user open-segment invariant broken")
+    }
+  }
+
   test("gap-fill output is a dense contiguous calendar") {
     val days = operators.Relational.qGapFill(spark, sf).collect()
       .map(r => java.time.LocalDate.parse(r.getString(0)))
