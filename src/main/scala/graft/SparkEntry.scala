@@ -97,6 +97,9 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) => Pipeline.annBruteTopk(s, d)),
     "ann_lsh_topk"   -> ((s, d) => Pipeline.annLshTopk(s, d)),
     "ann_ivf_topk"   -> ((s, d) => Pipeline.annIvfTopk(s, d)),
+    "q_skyline"    -> ((s, d) => Relational.qSkyline(s, d)),
+    "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
+    "txt_pii_scrub" -> ((s, d) => Text.piiScrub(s, d)),
     "q_sample_stratified" -> ((s, d) => Relational.qSampleStratified(s, d)),
     "q_correlated_subquery" -> ((s, d) => Relational.qCorrelatedSubquery(s, d)),
     "txt_bigrams" -> ((s, d) => Text.bigrams(s, d)),
@@ -141,6 +144,27 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Metastore.oracles ++ Text.oracles ++ Pipeline.oracles ++
       operators.Temporal.oracles ++ Map(
+    "q_skyline" ->
+      """WITH p AS (
+        |  SELECT p_partkey, p_name,
+        |    CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_c, p_size
+        |  FROM part)
+        |SELECT a.p_partkey, a.p_name, a.price_c, a.p_size
+        |FROM p a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM p b
+        |  WHERE b.price_c <= a.price_c AND b.p_size <= a.p_size
+        |    AND (b.price_c < a.price_c OR b.p_size < a.p_size))
+        |ORDER BY a.p_partkey""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """SELECT c_custkey, s_suppkey,
+        |  CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  CAST(levenshtein(c_name, s_name) AS INT) AS lev
+        |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+        |WHERE levenshtein(c_name, s_name) <= 6
+        |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
     "q_pivot" ->
       """SELECT l_returnflag,
         |  CAST(sum(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS F,

@@ -663,6 +663,62 @@ object Relational {
           .as("est_distinct"))
       .orderBy(col("l_returnflag"))
 
+  /** Pareto frontier (skyline) of parts on (retail price ↓, size ↓) —
+    * "no other part is at most as expensive AND at most as big, strictly
+    * better on one". Distributed two-phase shape: dominance is
+    * transitive, so a LOCAL skyline per hash block (parallel windows)
+    * is a superset of the global one; the global pass then runs on the
+    * tiny survivor set. Each pass is pure window arithmetic over integer
+    * cents: a row is dominated iff min(size) among strictly-cheaper rows
+    * ≤ its size (RANGE frame to −1), or min(size) among equal-priced
+    * rows < its size. No self-join, no broadcast-nested-loop — the
+    * O(n²) NOT EXISTS lives only in the DuckDB oracle.
+    */
+  def qSkyline(spark: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(spark, dir).select(
+      col("p_partkey"), col("p_name"),
+      expr("CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)").as("price_c"),
+      col("p_size"))
+
+    def skylinePass(df: DataFrame, parts: Seq[Column]): DataFrame = {
+      val strictlyCheaper = Window.partitionBy(parts: _*)
+        .orderBy(col("price_c")).rangeBetween(Window.unboundedPreceding, -1)
+      val samePrice = Window.partitionBy(parts: _*)
+        .orderBy(col("price_c")).rangeBetween(0, 0)
+      df.withColumn("_min_lt", min(col("p_size")).over(strictlyCheaper))
+        .withColumn("_min_eq", min(col("p_size")).over(samePrice))
+        .filter((col("_min_lt").isNull || col("_min_lt") > col("p_size")) &&
+          col("_min_eq") === col("p_size"))
+        .drop("_min_lt", "_min_eq")
+    }
+
+    val local = skylinePass(p.withColumn("_blk", pmod(col("p_partkey"), lit(32))),
+      Seq(col("_blk"))).drop("_blk")
+    skylinePass(local, Seq.empty)
+      .orderBy(col("p_partkey"))
+  }
+
+  /** Fuzzy entity-resolution join: customers matched to suppliers of the
+    * SAME nation whose names are within levenshtein distance 6 — the
+    * block-then-refine shape every record-linkage pipeline uses. The
+    * equi-join on the blocking key (nation) is what Spark shuffles on;
+    * the quadratic edit-distance work happens only inside blocks, with
+    * the thresholded `levenshtein(l, r, 6)` variant so the DP matrix
+    * aborts early on clearly-far names (banded O(len·k), not O(len²)).
+    */
+  def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    val sup = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
+    c.join(sup, col("c_nationkey") === col("s_nationkey"))
+      .withColumn("lev", levenshtein(col("c_name"), col("s_name"), 6))
+      .filter(col("lev") >= 0) // thresholded variant returns -1 past the cap
+      .select(col("c_custkey"), col("s_suppkey"),
+        col("c_nationkey").cast("long").as("nationkey"), col("lev"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
   /** HLL approximate distinct (rows-only check: approximate by nature). */
   def qApproxDistinct(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

@@ -196,6 +196,39 @@ object Text {
         expr("(1000000 * sum_tf2) div (n_tok * n_tok)").as("simpson_x1e6"))
       .orderBy(col("doc_id"))
 
+  /** PII scrubbing — the redaction pass a training corpus goes through
+    * before packing: regex-detect emails and phone numbers, replace with
+    * typed placeholder tags, and count redactions per document. The test
+    * corpus has no organic PII, so a deterministic in-plan injection
+    * (doc_id-keyed email/phone suffixes, reproduced verbatim by the
+    * oracle) provides known positives; the scrub itself is two chained
+    * codegen'd `regexp_replace`s — a pure map pass, no shuffle at all,
+    * which is the whole point at 100 TB. Patterns stay inside the
+    * RE2 ∩ java.util.regex common subset so both engines match the same
+    * spans.
+    */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val emailPat = "[a-z0-9]+@[a-z][a-z0-9.]*[a-z]"
+    val phonePat = "\\+1-555-[0-9]{4}"
+    val injected = Tables.documents(s, d).select(
+      col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com")))
+        .when(col("doc_id") % 7 === 3,
+          concat(lit(" call +1-555-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(lit(""))).as("raw"))
+    injected.select(
+      col("doc_id"),
+      (regexp_count(col("raw"), lit(emailPat)) +
+        regexp_count(col("raw"), lit(phonePat))).cast("long").as("n_pii"),
+      regexp_replace(regexp_replace(col("raw"), emailPat, "<EMAIL>"),
+        phonePat, "<PHONE>").as("clean"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Collocation mining: top-k unordered term pairs by integer LIFT —
     * lift(t1,t2) = P(t1,t2) / (P(t1)·P(t2)) = n_pair·N / (df1·df2),
     * scaled ×10⁶ in BIGINT (the monotone core of PMI = log lift,
@@ -330,6 +363,23 @@ object Text {
          |CROSS JOIN nn
          |WHERE p.n_pair >= 5
          |ORDER BY lift_x1e6 DESC, p.t1, p.t2 LIMIT 20""".stripMargin,
+
+    "txt_pii_scrub" ->
+      """WITH raw AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+        |         WHEN doc_id % 7 = 3
+        |           THEN ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |         ELSE '' END AS raw
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(raw, '[a-z0-9]+@[a-z][a-z0-9.]*[a-z]')) +
+        |       len(regexp_extract_all(raw, '\+1-555-[0-9]{4}')) AS BIGINT) AS n_pii,
+        |  regexp_replace(
+        |    regexp_replace(raw, '[a-z0-9]+@[a-z][a-z0-9.]*[a-z]', '<EMAIL>', 'g'),
+        |    '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS clean
+        |FROM raw ORDER BY doc_id""".stripMargin,
 
     "txt_diversity" ->
       s"""WITH tf AS (

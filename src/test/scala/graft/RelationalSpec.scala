@@ -96,4 +96,59 @@ class RelationalSpec extends AnyFunSuite {
       assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length))
     }
   }
+
+  test("skyline equals the brute-force Pareto frontier") {
+    val all = Tables.part(spark, sf)
+      .select(org.apache.spark.sql.functions.col("p_partkey"),
+        org.apache.spark.sql.functions.expr(
+          "CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT)"),
+        org.apache.spark.sql.functions.col("p_size"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    def dominated(a: (Long, Long, Int)) = all.exists { b =>
+      b._2 <= a._2 && b._3 <= a._3 && (b._2 < a._2 || b._3 < a._3)
+    }
+    val expected = all.filterNot(dominated).map(_._1).sorted.toSeq
+    val got = operators.Relational.qSkyline(spark, sf).collect()
+      .map(_.getLong(0)).toSeq
+    assert(got == expected)
+  }
+
+  test("fuzzy join equals a brute-force levenshtein reference within nation blocks") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val cust = Tables.customer(spark, sf).select("c_custkey", "c_name", "c_nationkey")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Number](2).longValue()))
+    val sup = Tables.supplier(spark, sf).select("s_suppkey", "s_name", "s_nationkey")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getAs[Number](2).longValue()))
+    val expected = (for {
+      c <- cust; s <- sup
+      if c._3 == s._3 && lev(c._2, s._2) <= 6
+    } yield ((c._1, s._1), lev(c._2, s._2))).toMap
+    val got = operators.Relational.qFuzzyJoin(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(3))).toMap
+    assert(got == expected)
+  }
+
+  test("pii scrub redacts exactly the injected positives and nothing survives") {
+    val rows = operators.Text.piiScrub(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (id, n, clean) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val expect = if (id % 7 == 0 || id % 7 == 3) 1L else 0L
+      assert(n == expect, s"doc $id: n_pii $n != $expect")
+      assert(!clean.contains("@") && !clean.contains("+1-555-"),
+        s"doc $id: PII survived the scrub: $clean")
+      if (id % 7 == 0) assert(clean.endsWith("<EMAIL>"))
+      if (id % 7 == 3) assert(clean.endsWith("<PHONE>"))
+    }
+  }
 }
