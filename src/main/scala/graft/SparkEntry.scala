@@ -97,6 +97,8 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) => Pipeline.annBruteTopk(s, d)),
     "ann_lsh_topk"   -> ((s, d) => Pipeline.annLshTopk(s, d)),
     "ann_ivf_topk"   -> ((s, d) => Pipeline.annIvfTopk(s, d)),
+    "q_pagerank"       -> ((s, d) => operators.Graph.pagerank(s, d)),
+    "q_triangle_count" -> ((s, d) => operators.Graph.triangleCounts(s, d)),
     "q_skyline"    -> ((s, d) => Relational.qSkyline(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
     "txt_pii_scrub" -> ((s, d) => Text.piiScrub(s, d)),
@@ -143,7 +145,7 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] =
     Metastore.oracles ++ Text.oracles ++ Pipeline.oracles ++
-      operators.Temporal.oracles ++ Map(
+      operators.Temporal.oracles ++ operators.Graph.oracles ++ Map(
     "q_skyline" ->
       """WITH p AS (
         |  SELECT p_partkey, p_name,

@@ -1,0 +1,167 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the star schema (SURVEY §2.2 extension).
+  *
+  * Both operators follow the standard distributed-graph discipline: the
+  * EXPENSIVE part is flattening relational data into an edge list (big
+  * joins that shuffle on their keys and partial-aggregate down), while
+  * the iterative/combinatorial part runs on the aggregated graph with
+  * bounded blowup — PageRank iterates over a nation-level matrix that is
+  * tiny however large the fact tables are, and triangle counting bounds
+  * its wedge join by degree-ordering the edges (the classic
+  * Schank–Wagner / Suri–Vassilvitskii trick: every wedge is generated at
+  * its lowest-degree vertex, so hub nodes never fan out).
+  *
+  * All ranks/counts are exact BIGINT arithmetic (integer `div`, no
+  * floats), which is what lets an iterative fixpoint gate hash-exact
+  * against a DuckDB rendering of the same recurrence.
+  */
+object Graph {
+
+  /** ×10¹² fixed-point scale for PageRank mass. */
+  private val Scale = 1000000000000L
+
+  /** Weighted PageRank over the nation-level trade graph: an edge
+    * src→dst with weight w means customers of nation `src` bought w
+    * lineitems from suppliers of nation `dst`. Damping 0.85, `iters`
+    * synchronous rounds, all in ×10¹² integer arithmetic:
+    *
+    *   pr₀(v)   = SCALE div N
+    *   pr₊(v)   = (15·SCALE div 100) div N
+    *              + 85·Σ_{u→v} (pr(u)·w(u,v) div W(u)) div 100
+    *
+    * The 4-table edge extraction is the only fact-scale work; it
+    * partial-aggregates to ≤N² rows and is checkpointed once, so each
+    * iteration is a broadcast join on the N-row rank vector — no
+    * fact-table re-scan, no driver-side math.
+    */
+  def pagerank(s: SparkSession, d: String, iters: Int = 5): DataFrame = {
+    val nations = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("nk"))
+    val nn = nations.agg(count(lit(1)).as("nn"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("src"))
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("dst"))
+    // edge list: shuffles on the join keys, partial-aggregates to ≤ N²
+    // rows; checkpointed so the iterations below never re-run it
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+    val wout = edges.groupBy(col("src")).agg(sum(col("w")).as("wt"))
+    val ew = edges.join(wout, "src").localCheckpoint()
+
+    var pr = nations.crossJoin(broadcast(nn))
+      .select(col("nk"), expr(s"$Scale div nn").as("pr"))
+    for (_ <- 1 to iters) {
+      val inflow = ew.join(broadcast(pr), col("src") === col("nk"))
+        .select(col("dst"), expr("(pr * w) div wt").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      pr = nations.crossJoin(broadcast(nn))
+        .join(inflow, col("nk") === col("dst"), "left")
+        .select(col("nk"),
+          expr(s"(($Scale * 15) div 100) div nn + (85 * coalesce(inflow, 0)) div 100")
+            .as("pr"))
+    }
+    pr.select(col("nk").as("nationkey"), col("pr").as("pr_x1e12"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** Per-part triangle counts in the co-purchase graph (parts appearing
+    * in the same order are connected). The self-join that builds edges
+    * is bounded per order (≤ lines² pairs within one order, never
+    * corpus-wide); the wedge join is bounded by DEGREE ORIENTATION —
+    * every edge points from its lower-(degree, id) endpoint to the
+    * higher one, so wedges are enumerated only at each triangle's
+    * lowest-degree apex: Σ min-deg² instead of Σ deg², the difference
+    * between feasible and quadratic on a power-law co-occurrence graph.
+    * The closing-edge probe joins back on the canonical (min, max) edge
+    * list. Output: every part in ≥1 triangle with its exact count.
+    */
+  def triangleCounts(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // canonical undirected edges a < b, deduped across orders
+    val e = li.as("x").join(li.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+      .distinct()
+      .localCheckpoint() // feeds degree calc + orientation + closure probe
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient: src = lower (deg, id) endpoint
+    val oriented = e
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(
+        when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+          struct(col("a").as("src"), col("b").as("dst")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
+      .select(col("o.src").as("src"), col("o.dst").as("dst"))
+    // wedges at the apex; dst1 < dst2 gives each candidate pair once
+    val wedges = oriented.as("e1").join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+      .select(col("e1.src").as("apex"), col("e1.dst").as("d1"), col("e2.dst").as("d2"))
+    // closure: the undirected (min, max) edge between the two far ends
+    val tris = wedges.join(e,
+      least(col("d1"), col("d2")) === col("a") &&
+        greatest(col("d1"), col("d2")) === col("b"))
+    tris.select(explode(array(col("apex"), col("d1"), col("d2"))).as("part"))
+      .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("part"))
+  }
+
+  /** One iteration block of the PageRank recurrence in DuckDB SQL. */
+  private def prStep(i: Int): String = {
+    val p = s"i${i - 1}"
+    s"""f$i AS (
+       |  SELECT e.dst, sum((p.pr * e.w) // wo.wt) AS inflow
+       |  FROM e JOIN $p p ON p.nk = e.src JOIN wo ON wo.src = e.src
+       |  GROUP BY e.dst),
+       |i$i AS (
+       |  SELECT n.nk, (($Scale * 15) // 100) // nn.nn + (85 * COALESCE(f$i.inflow, 0)) // 100 AS pr
+       |  FROM n CROSS JOIN nn LEFT JOIN f$i ON f$i.dst = n.nk)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_pagerank" -> {
+      val steps = (1 to 5).map(prStep).mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+         |    CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY src, dst),
+         |wo AS (SELECT src, sum(w) AS wt FROM e GROUP BY src),
+         |n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation),
+         |nn AS (SELECT count(*) AS nn FROM n),
+         |i0 AS (SELECT nk, $Scale // nn.nn AS pr FROM n CROSS JOIN nn),
+         |$steps
+         |SELECT nk AS nationkey, pr AS pr_x1e12 FROM i5 ORDER BY nationkey""".stripMargin
+    },
+
+    "q_triangle_count" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x
+        |  JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b)
+        |SELECT part, count(*) AS n_tri
+        |FROM (SELECT x AS part FROM t UNION ALL
+        |      SELECT y FROM t UNION ALL
+        |      SELECT z FROM t)
+        |GROUP BY part ORDER BY part""".stripMargin)
+}

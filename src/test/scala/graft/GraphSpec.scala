@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Graph
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("pagerank: mass stays within flooring slack of the full scale, floor is the teleport share") {
+    val rows = Graph.pagerank(spark, sf).collect()
+    assert(rows.length == 25)
+    val n = rows.length
+    val base = ((1000000000000L * 15) / 100) / n
+    rows.foreach(r => assert(r.getLong(1) >= base, s"rank below teleport floor: $r"))
+    val mass = rows.map(_.getLong(1)).sum
+    // each of the n ranks floors at most twice per round (div by wt, div by 100),
+    // dangling mass is zero on this graph (every nation has out-edges)
+    assert(mass <= 1000000000000L)
+    assert(mass > 1000000000000L - 1000L * n, s"mass $mass lost too much to flooring")
+  }
+
+  test("pagerank is non-uniform and iteration-sensitive") {
+    val r5 = Graph.pagerank(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val r1 = Graph.pagerank(spark, sf, iters = 1).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r5.values.toSet.size > 1, "five rounds left a uniform vector")
+    assert(r5 != r1, "iterations 1 and 5 agree — fixpoint loop is not iterating")
+  }
+
+  test("triangle counts equal a brute-force reference on sf0.001") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { lines =>
+      val ps: Seq[Long] = lines.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val triCount = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      (a, bs) <- adj; b <- bs
+      cs <- adj.get(b); c <- cs
+      if edges.contains((a, c))
+    } {
+      triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+    }
+    val got = Graph.triangleCounts(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == triCount.toMap, "per-part triangle counts diverge from reference")
+  }
+}
