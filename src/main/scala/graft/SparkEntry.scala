@@ -132,6 +132,10 @@ object SparkEntry {
     "pipe_quota_sample"   -> ((s, d) => Pipeline.quotaSample(s, d)),
     "pipe_merge_stats"    -> ((s, d) => Pipeline.mergeStats(s, d)),
     "pipe_mix_weights"    -> ((s, d) => Pipeline.mixWeights(s, d)),
+    "pipe_split"          -> ((s, d) => Pipeline.splitAssign(s, d)),
+    "pipe_dq_report"      -> ((s, d) => Pipeline.dqReport(s, d)),
+    "stream_topk"         -> ((s, d) => Pipeline.streamTopk(s, d)),
+    "q_window_dist"       -> ((s, d) => Relational.qWindowDist(s, d)),
     "q_retention"         -> ((s, d) => operators.Temporal.qRetention(s, d)),
     "mm_patchify"         -> ((s, d) => Pipeline.mmPatchify(s, d)),
     "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),
@@ -146,6 +150,16 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Metastore.oracles ++ Text.oracles ++ Pipeline.oracles ++
       operators.Temporal.oracles ++ operators.Graph.oracles ++ Map(
+    "q_window_dist" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cum_dist,
+        |  CAST(dense_rank() OVER w AS INT) AS drank
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal)
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_skyline" ->
       """WITH p AS (
         |  SELECT p_partkey, p_name,

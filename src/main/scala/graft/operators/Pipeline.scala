@@ -98,6 +98,88 @@ object Pipeline {
   def streamDedup(s: SparkSession, d: String): DataFrame =
     EventStreams.dedupBatch(EventStreams.normalize(Tables.events(s, d)))
 
+  /** Top-3 event types per hourly window by count — the "trending now"
+    * query, composed as windowed aggregation → the NATIVE TopKPerKey
+    * operator (bounded heap per window key before the exchange, so the
+    * shuffle after the window agg carries ≤ k rows per partition-window
+    * instead of the full per-window type distribution).
+    */
+  def streamTopk(s: SparkSession, d: String): DataFrame =
+    graft.plans.TopK.perKey(
+        EventStreams.windowAgg(EventStreams.normalize(Tables.events(s, d))),
+        Seq("window_start_us"), Seq(("n", true), ("event_type", false)), 3)
+      .orderBy(col("window_start_us"), col("n").desc, col("event_type"))
+
+  /** Deterministic train/val/test split — the reproducible 80/10/10
+    * partition every training pipeline needs: a Knuth multiplicative
+    * hash of doc_id against fixed 2³²-scaled thresholds, so membership
+    * is a pure stateless map (any worker can re-derive any doc's split;
+    * re-runs and late-arriving shards agree for free). Emitted as the
+    * per-source × split audit table with exact ×10⁶ shares — the skew
+    * report that catches a source whose ids correlate with the hash.
+    */
+  def splitAssign(s: SparkSession, d: String): DataFrame = {
+    val train = 3435973836L // floor(0.8 * 2^32)
+    val valCap = 3865470566L // floor(0.9 * 2^32)
+    val tagged = Tables.documents(s, d).select(col("source"),
+      expr("(doc_id * 2654435761) % 4294967296").as("h"))
+      .withColumn("split",
+        when(col("h") < train, lit("train"))
+          .when(col("h") < valCap, lit("val"))
+          .otherwise(lit("test")))
+    tagged.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("share_x1e6",
+        expr("n_docs * 1000000 div sum(n_docs) OVER (PARTITION BY source)"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  /** Data-quality assertion report — the ingest-time contract check a
+    * catalog runs before admitting a batch: referential integrity
+    * (orphan foreign keys via null-producing left joins + conditional
+    * counts, never a second scan), domain checks, duplicate-key and
+    * null-rate checks, one (check, n_bad, n_total) row each. Every
+    * check is a partial-aggregable single pass over its table; the
+    * union of six tiny aggregate rows costs nothing at any scale.
+    */
+  def dqReport(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+    val ord = Tables.orders(s, d)
+    val docs = Tables.documents(s, d)
+    val ev = Tables.events(s, d)
+
+    def row(name: String, agg: DataFrame): DataFrame =
+      agg.select(lit(name).as("check"), col("n_bad"), col("n_total"))
+
+    val liOrphan = row("lineitem_orphan_order",
+      li.select("l_orderkey")
+        .join(ord.select(col("o_orderkey")), col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(when(col("o_orderkey").isNull, 1)).as("n_bad"),
+          count(lit(1)).as("n_total")))
+    val ordOrphan = row("order_orphan_customer",
+      ord.select("o_custkey")
+        .join(Tables.customer(s, d).select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(when(col("c_custkey").isNull, 1)).as("n_bad"),
+          count(lit(1)).as("n_total")))
+    val emptyText = row("doc_empty_text",
+      docs.agg(count(when(col("text").isNull || length(col("text")) === 0, 1)).as("n_bad"),
+        count(lit(1)).as("n_total")))
+    val dupIds = row("doc_dup_id",
+      docs.agg((count(lit(1)) - countDistinct(col("doc_id"))).as("n_bad"),
+        count(lit(1)).as("n_total")))
+    val badQty = row("lineitem_nonpositive_qty",
+      li.agg(count(when(col("l_quantity") <= 0, 1)).as("n_bad"),
+        count(lit(1)).as("n_total")))
+    val nullUser = row("event_null_user",
+      ev.agg(count(when(col("user_id").isNull, 1)).as("n_bad"),
+        count(lit(1)).as("n_total")))
+
+    liOrphan.unionByName(ordOrphan).unionByName(emptyText)
+      .unionByName(dupIds).unionByName(badQty).unionByName(nullUser)
+      .orderBy(col("check"))
+  }
+
   /** Stream-static enrichment join (events stream × per-user segment
     * dim) + tumbling hourly agg per segment; the batch plan is the
     * oracle-gated path, streaming parity pinned in StreamingSpec.
@@ -569,6 +651,65 @@ object Pipeline {
          |WHERE e.vec_id <> q.q_id
          |  AND CAST(floor(${Similarity.cosineSql("q.q_emb", "e.embedding")} * 1e6) AS BIGINT) >= 250000
          |ORDER BY q_id, vec_id""".stripMargin,
+
+    "stream_topk" ->
+      """WITH wa AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY window_start_us
+        |    ORDER BY n DESC, event_type) AS rk
+        |  FROM wa)
+        |SELECT window_start_us, event_type, n, sum_value
+        |FROM rk WHERE rk <= 3
+        |ORDER BY window_start_us, n DESC, event_type""".stripMargin,
+
+    "pipe_split" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents),
+        |c AS (SELECT source, split, count(*) AS n_docs FROM t GROUP BY source, split)
+        |SELECT source, split, n_docs,
+        |  n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY source) AS share_x1e6
+        |FROM c ORDER BY source, split""".stripMargin,
+
+    "pipe_dq_report" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem_orphan_order' AS "check",
+        |    CAST(count(CASE WHEN o.o_orderkey IS NULL THEN 1 END) AS BIGINT) AS n_bad,
+        |    CAST(count(*) AS BIGINT) AS n_total
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  UNION ALL
+        |  SELECT 'order_orphan_customer',
+        |    CAST(count(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT),
+        |    CAST(count(*) AS BIGINT)
+        |  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        |  UNION ALL
+        |  SELECT 'doc_empty_text',
+        |    CAST(count(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END) AS BIGINT),
+        |    CAST(count(*) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'doc_dup_id',
+        |    CAST(count(*) - count(DISTINCT doc_id) AS BIGINT),
+        |    CAST(count(*) AS BIGINT)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lineitem_nonpositive_qty',
+        |    CAST(count(CASE WHEN l_quantity <= 0 THEN 1 END) AS BIGINT),
+        |    CAST(count(*) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'event_null_user',
+        |    CAST(count(CASE WHEN user_id IS NULL THEN 1 END) AS BIGINT),
+        |    CAST(count(*) AS BIGINT)
+        |  FROM events)
+        |ORDER BY "check"""".stripMargin,
 
     "pipe_quota_sample" ->
       """WITH t AS (

@@ -663,6 +663,24 @@ object Relational {
           .as("est_distinct"))
       .orderBy(col("l_returnflag"))
 
+  /** Distribution window functions — percent_rank / cume_dist /
+    * dense_rank of each customer's balance within its market segment.
+    * Both engines define percent_rank = (rank−1)/(N−1) and cume_dist =
+    * peers≤current / N; each is a SINGLE correctly-rounded IEEE
+    * division of two integers, so the doubles gate hash-exact without
+    * any integer-scaling trick. One shuffle on the segment key.
+    */
+  def qWindowDist(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"))
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)").as("acctbal_cents"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"),
+        dense_rank().over(w).cast("int").as("drank"))
+      .orderBy(col("c_custkey"))
+  }
+
   /** Pareto frontier (skyline) of parts on (retail price ↓, size ↓) —
     * "no other part is at most as expensive AND at most as big, strictly
     * better on one". Distributed two-phase shape: dominance is

@@ -194,6 +194,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("split assignment partitions every document with ~80/10/10 shares") {
+    val rows = Pipeline.splitAssign(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    assert(total == Tables.documents(spark, sf).count())
+    // per-source shares sum to ~1e6 (each of <=3 splits floors < 1)
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val sSum = rs.map(_.getLong(3)).sum
+      assert(sSum <= 1000000L && sSum > 1000000L - rs.length, s"source $src shares: $sSum")
+    }
+    // global train share lands near 80% (hash uniformity, wide tolerance)
+    val train = rows.filter(_.getString(1) == "train").map(_.getLong(2)).sum
+    val share = train.toDouble / total
+    assert(share > 0.7 && share < 0.9, s"train share $share out of band")
+  }
+
+  test("dq report: clean test tables yield zero violations over true totals") {
+    val m = Pipeline.dqReport(spark, sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m.keySet == Set("lineitem_orphan_order", "order_orphan_customer",
+      "doc_empty_text", "doc_dup_id", "lineitem_nonpositive_qty", "event_null_user"))
+    m.values.foreach { case (bad, _) => assert(bad == 0L) }
+    assert(m("lineitem_orphan_order")._2 == Tables.lineitem(spark, sf).count())
+    assert(m("doc_empty_text")._2 == Tables.documents(spark, sf).count())
+    assert(m("event_null_user")._2 == Tables.events(spark, sf).count())
+  }
+
+  test("stream topk emits per-window top-3 matching a window-function reference") {
+    val got = Pipeline.streamTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    got.groupBy(_._1).foreach { case (w, rs) => assert(rs.length <= 3, s"window $w emits >3") }
+    val full = Pipeline.streamWindowAgg(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = full.groupBy(_._1).values.flatMap { rs =>
+      rs.sortBy(t => (-t._3, t._2)).take(3)
+    }.toSet
+    assert(got.toSet == expected)
+  }
+
   test("range search agrees with brute top-k above the radius") {
     val range = Pipeline.annRangeSearch(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap

@@ -97,6 +97,20 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("window distribution: pct_rank/cume_dist bounded, dense ranks count distinct balances") {
+    val rows = operators.Relational.qWindowDist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+      assert(r.getDouble(4) > 0.0 && r.getDouble(4) <= 1.0)
+    }
+    rows.groupBy(_.getString(1)).foreach { case (seg, rs) =>
+      val distinctBals = rs.map(_.getLong(2)).distinct.length
+      assert(rs.map(_.getInt(5)).max == distinctBals,
+        s"segment $seg: max dense_rank != distinct balances")
+    }
+  }
+
   test("skyline equals the brute-force Pareto frontier") {
     val all = Tables.part(spark, sf)
       .select(org.apache.spark.sql.functions.col("p_partkey"),
