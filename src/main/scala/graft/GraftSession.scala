@@ -22,6 +22,15 @@ object GraftSession {
       .withExtensions(new GraftExtensions)
       .master(s"local[$threads]")
       .config("spark.sql.shuffle.partitions", threads)
+      // AQE coalesces shuffle partitions by BYTES (parallelism-first
+      // floor = minPartitionSize, 1 MB default), which serializes the
+      // compute-dense/byte-small shuffles of the graph + array queries
+      // at local SFs (e.g. 1.2 M-edge adjacency intersections landing
+      // on 8 of 32 cores). A 64 KB floor keeps those near the core
+      // count while truly tiny shuffles still coalesce to one task.
+      // On a real cluster data volume matches compute and the default
+      // floor is right again.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -86,14 +86,18 @@ object Graph {
     * list. Output: every part in ≥1 triangle with its exact count.
     */
   def triangleCounts(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    // fanOut: the local single-split parquet opens as 1-2 partitions,
+    // which would serialize the per-order pair blowup AND (via AQE
+    // size-based coalescing of the small-bytes/high-CPU shuffles
+    // downstream) the array intersections; identity on a real cluster
+    val li = Tables.fanOut(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
     // canonical undirected edges a < b, deduped across orders
-    val e = li.as("x").join(li.as("y"),
+    val e = Tables.fanOut(li.as("x").join(li.as("y"),
         col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
       .select(col("x.pk").as("a"), col("y.pk").as("b"))
       .distinct()
-      .localCheckpoint() // feeds degree calc + orientation + closure probe
+      .localCheckpoint()) // feeds degree calc + orientation + closure probe
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
     // orient: src = lower (deg, id) endpoint
@@ -105,16 +109,30 @@ object Graph {
           struct(col("a").as("src"), col("b").as("dst")))
           .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
       .select(col("o.src").as("src"), col("o.dst").as("dst"))
-    // wedges at the apex; dst1 < dst2 gives each candidate pair once
-    val wedges = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
-      .select(col("e1.src").as("apex"), col("e1.dst").as("d1"), col("e2.dst").as("d2"))
-    // closure: the undirected (min, max) edge between the two far ends
-    val tris = wedges.join(e,
-      least(col("d1"), col("d2")) === col("a") &&
-        greatest(col("d1"), col("d2")) === col("b"))
-    tris.select(explode(array(col("apex"), col("d1"), col("d2"))).as("part"))
-      .groupBy(col("part")).agg(count(lit(1)).as("n_tri"))
+    // edge-iterator with adjacency arrays: each oriented edge u→v closes
+    // one triangle per common out-neighbor w ∈ adj⁺(u) ∩ adj⁺(v) — every
+    // triangle is found exactly once, at its lowest-(deg,id) edge. The
+    // intersection runs IN-MAP on two joined arrays, so the only big
+    // shuffles are E-sized adjacency joins — the wedge set (Σ out-deg²
+    // rows, the thing that actually explodes on skewed graphs) is never
+    // materialized or shuffled at all.
+    val adj = oriented.groupBy(col("src"))
+      .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+    val witnesses = oriented
+      .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
+      .select(col("src"), col("dst"),
+        array_intersect(col("nu"), col("nv")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    // triangle {u,v,w}: u and v are each credited |ws| in one narrow agg
+    // row per edge; only the w credits explode (one row per triangle)
+    val uvCredits = witnesses.select(
+        explode(array(col("src"), col("dst"))).as("part"),
+        size(col("ws")).cast("long").as("c"))
+    val wCredits = witnesses
+      .select(explode(col("ws")).as("part"), lit(1L).as("c"))
+    uvCredits.unionByName(wCredits)
+      .groupBy(col("part")).agg(sum(col("c")).as("n_tri"))
       .orderBy(col("part"))
   }
 

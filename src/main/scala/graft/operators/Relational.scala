@@ -725,8 +725,10 @@ object Relational {
     * aborts early on clearly-far names (banded O(len·k), not O(len²)).
     */
   def qFuzzyJoin(spark: SparkSession, dir: String): DataFrame = {
-    val c = Tables.customer(spark, dir)
-      .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+    // fanOut: the probe side drives the edit-distance compute; a local
+    // single-split scan would run the whole DP workload on one core
+    val c = Tables.fanOut(Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_nationkey")))
     val sup = Tables.supplier(spark, dir)
       .select(col("s_suppkey"), col("s_name"), col("s_nationkey"))
     c.join(sup, col("c_nationkey") === col("s_nationkey"))
