@@ -135,6 +135,8 @@ object SparkEntry {
     "pipe_split"          -> ((s, d) => Pipeline.splitAssign(s, d)),
     "pipe_dq_report"      -> ((s, d) => Pipeline.dqReport(s, d)),
     "stream_topk"         -> ((s, d) => Pipeline.streamTopk(s, d)),
+    "stream_spike"        -> ((s, d) => Pipeline.streamSpike(s, d)),
+    "txt_bpe_pairs"       -> ((s, d) => Text.bpePairs(s, d)),
     "q_window_dist"       -> ((s, d) => Relational.qWindowDist(s, d)),
     "q_retention"         -> ((s, d) => operators.Temporal.qRetention(s, d)),
     "mm_patchify"         -> ((s, d) => Pipeline.mmPatchify(s, d)),

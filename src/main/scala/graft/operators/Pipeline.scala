@@ -110,6 +110,24 @@ object Pipeline {
         Seq("window_start_us"), Seq(("n", true), ("event_type", false)), 3)
       .orderBy(col("window_start_us"), col("n").desc, col("event_type"))
 
+  /** Windowed spike detection — per event type, flag any hourly window
+    * whose count reaches 2× the max of the previous six OBSERVED
+    * windows (trailing ROWS frame; exact BIGINT comparison, no floats).
+    * Composes the streaming window aggregate with one per-type ordered
+    * window — the alerting query a monitoring pipeline runs on the agg
+    * the stream job maintains.
+    */
+  def streamSpike(s: SparkSession, d: String): DataFrame = {
+    val wa = EventStreams.windowAgg(EventStreams.normalize(Tables.events(s, d)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("event_type")).orderBy(col("window_start_us"))
+      .rowsBetween(-6, -1)
+    wa.withColumn("prev_max", max(col("n")).over(w))
+      .select(col("window_start_us"), col("event_type"), col("n"), col("prev_max"),
+        (col("prev_max").isNotNull && col("n") >= col("prev_max") * 2).as("spike"))
+      .orderBy(col("window_start_us"), col("event_type"))
+  }
+
   /** Deterministic train/val/test split — the reproducible 80/10/10
     * partition every training pipeline needs: a Knuth multiplicative
     * hash of doc_id against fixed 2³²-scaled thresholds, so membership
@@ -651,6 +669,19 @@ object Pipeline {
          |WHERE e.vec_id <> q.q_id
          |  AND CAST(floor(${Similarity.cosineSql("q.q_emb", "e.embedding")} * 1e6) AS BIGINT) >= 250000
          |ORDER BY q_id, vec_id""".stripMargin,
+
+    "stream_spike" ->
+      """WITH wa AS (
+        |  SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start_us, event_type, n,
+        |  max(n) OVER (PARTITION BY event_type ORDER BY window_start_us
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING) AS prev_max,
+        |  COALESCE(n >= 2 * max(n) OVER (PARTITION BY event_type
+        |    ORDER BY window_start_us
+        |    ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING), FALSE) AS spike
+        |FROM wa ORDER BY window_start_us, event_type""".stripMargin,
 
     "stream_topk" ->
       """WITH wa AS (

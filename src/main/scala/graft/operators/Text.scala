@@ -196,6 +196,28 @@ object Text {
         expr("(1000000 * sum_tf2) div (n_tok * n_tok)").as("simpson_x1e6"))
       .orderBy(col("doc_id"))
 
+  /** BPE tokenizer-training inner loop: adjacent symbol-pair counts
+    * weighted by word frequency — the statistic each merge round of
+    * byte-pair encoding maximizes. Two-level aggregation keeps every
+    * intermediate vocabulary-sized, never corpus-sized: corpus →
+    * (word, freq) via one explode+groupBy (partial-agg combined), then
+    * pairs explode off the VOCAB table (≤ word-length rows per distinct
+    * word) and re-aggregate. At 100 TB the corpus pass is the only
+    * fact-scale stage; the pair table a real trainer iterates on is
+    * megabytes.
+    */
+  def bpePairs(s: SparkSession, d: String): DataFrame = {
+    val wf = Tables.fanOut(Tables.documents(s, d))
+      .select(explode(rawTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("f"))
+    wf.filter(length(col("w")) >= 2)
+      .select(explode(
+        expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")).as("pair"),
+        col("f"))
+      .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+      .orderBy(col("pair"))
+  }
+
   /** PII scrubbing — the redaction pass a training corpus goes through
     * before packing: regex-detect emails and phone numbers, replace with
     * typed placeholder tags, and count redactions per document. The test
@@ -363,6 +385,19 @@ object Text {
          |CROSS JOIN nn
          |WHERE p.n_pair >= 5
          |ORDER BY lift_x1e6 DESC, p.t1, p.t2 LIMIT 20""".stripMargin,
+
+    "txt_bpe_pairs" ->
+      s"""WITH wf AS (
+         |  SELECT t AS w, CAST(count(*) AS BIGINT) AS f
+         |  FROM (SELECT unnest(${graft.text.TextFunctions.rawTokensSql("text")}) AS t
+         |        FROM documents)
+         |  GROUP BY t),
+         |p AS (
+         |  SELECT substr(w, CAST(i AS INT), 2) AS pair, f
+         |  FROM (SELECT w, f, unnest(range(1, length(w))) AS i
+         |        FROM wf WHERE length(w) >= 2))
+         |SELECT pair, CAST(sum(f) AS BIGINT) AS n
+         |FROM p GROUP BY pair ORDER BY pair""".stripMargin,
 
     "txt_pii_scrub" ->
       """WITH raw AS (

@@ -220,6 +220,36 @@ class PipelineSpec extends AnyFunSuite {
     assert(m("event_null_user")._2 == Tables.events(spark, sf).count())
   }
 
+  test("spike detection: flags exactly the windows at >=2x their trailing max") {
+    val rows = Pipeline.streamSpike(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getLong(0))
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val prev = ordered.slice(math.max(0, i - 6), i).map(_.getLong(2))
+        if (prev.isEmpty) {
+          assert(r.isNullAt(3) && !r.getBoolean(4))
+        } else {
+          assert(r.getLong(3) == prev.max)
+          assert(r.getBoolean(4) == (r.getLong(2) >= 2 * prev.max))
+        }
+      }
+    }
+  }
+
+  test("bpe pairs: weighted pair mass equals the corpus adjacent-pair total") {
+    val pairs = graft.operators.Text.bpePairs(spark, sf).collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach(r => assert(r.getString(0).length == 2))
+    // sum over pairs of n = sum over corpus tokens of (len - 1)
+    val totalFromPairs = pairs.map(_.getLong(1)).sum
+    val totalFromTokens = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextFunctions.rawTokens(col("text"))).as("w"))
+      .filter(length(col("w")) >= 2)
+      .agg(sum(length(col("w")) - 1)).collect()(0).getLong(0)
+    assert(totalFromPairs == totalFromTokens)
+  }
+
   test("stream topk emits per-window top-3 matching a window-function reference") {
     val got = Pipeline.streamTopk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

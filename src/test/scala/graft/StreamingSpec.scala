@@ -202,4 +202,24 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == expected, "streamed latest-state diverged from the batch view")
     } finally q.stop()
   }
+
+  test("per-window top-3 over the STREAMED window agg equals the batch plan") {
+    // rank-on-aggregate is not streamable in append mode; the standard
+    // pattern is the stateful agg running as the stream job and top-k
+    // applied over the materialized sink — pin exactly that composition
+    val expected = graft.operators.Pipeline.streamTopk(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val schema = Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = EventStreams.windowAgg(EventStreams.normalize(stream), watermark = true)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("topk_win_test").start()
+    try {
+      q.processAllAvailable()
+      val got = graft.plans.TopK.perKey(spark.table("topk_win_test"),
+          Seq("window_start_us"), Seq(("n", true), ("event_type", false)), 3)
+        .collect().map(_.toSeq).toSet
+      assert(got == expected, "top-3 over streamed agg diverged from batch")
+    } finally q.stop()
+  }
 }
