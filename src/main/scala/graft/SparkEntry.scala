@@ -97,6 +97,8 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) => Pipeline.annBruteTopk(s, d)),
     "ann_lsh_topk"   -> ((s, d) => Pipeline.annLshTopk(s, d)),
     "ann_ivf_topk"   -> ((s, d) => Pipeline.annIvfTopk(s, d)),
+    "q7_volume"        -> ((s, d) => Relational.q7Volume(s, d)),
+    "q8_share"         -> ((s, d) => Relational.q8Share(s, d)),
     "q_pagerank"       -> ((s, d) => operators.Graph.pagerank(s, d)),
     "q_triangle_count" -> ((s, d) => operators.Graph.triangleCounts(s, d)),
     "q_skyline"    -> ((s, d) => Relational.qSkyline(s, d)),
@@ -152,6 +154,44 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Metastore.oracles ++ Text.oracles ++ Pipeline.oracles ++
       operators.Temporal.oracles ++ operators.Graph.oracles ++ Map(
+    "q7_volume" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey, CAST(year(l_shipdate) AS INT) AS ship_year,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |      (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS vol
+        |  FROM lineitem)
+        |SELECT CAST(c.c_nationkey AS BIGINT) AS c_nation,
+        |  CAST(s.s_nationkey AS BIGINT) AS s_nation, ship_year,
+        |  CAST(CAST(sum(CAST(vol AS HUGEINT)) AS HUGEINT) // 10000 AS BIGINT) AS volume_cents,
+        |  CAST(count(*) AS BIGINT) AS n_lines
+        |FROM li
+        |JOIN orders o ON li.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON li.l_suppkey = s.s_suppkey
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+
+    "q8_share" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_suppkey, CAST(year(l_shipdate) AS INT) AS ship_year,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) *
+        |      (10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS vol
+        |  FROM lineitem),
+        |j AS (
+        |  SELECT ship_year,
+        |    CASE WHEN s.s_nationkey = 3 THEN vol END AS nat_vol, vol
+        |  FROM li
+        |  JOIN orders o ON li.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN supplier s ON li.l_suppkey = s.s_suppkey
+        |  WHERE n.n_regionkey = 0)
+        |SELECT ship_year,
+        |  CAST(COALESCE(sum(CAST(nat_vol AS HUGEINT)), 0) // 10000 AS BIGINT) AS nation_cents,
+        |  CAST(sum(CAST(vol AS HUGEINT)) // 10000 AS BIGINT) AS total_cents,
+        |  CAST((COALESCE(sum(CAST(nat_vol AS HUGEINT)), 0) * 1000000)
+        |    // sum(CAST(vol AS HUGEINT)) AS BIGINT) AS share_x1e6
+        |FROM j GROUP BY ship_year ORDER BY ship_year""".stripMargin,
+
     "q_window_dist" ->
       """SELECT c_custkey, c_mktsegment,
         |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_cents,

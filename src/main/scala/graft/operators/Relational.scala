@@ -663,6 +663,71 @@ object Relational {
           .as("est_distinct"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact discounted line volume in cents: price and discount are
+    * floored to cents / basis points FIRST, so price_c·(10000−disc_bp)
+    * is a pure BIGINT product; sums run in DECIMAL(38,0) (overflow-safe
+    * at any scale, order-independent), and the ÷10000 back to cents is
+    * one exact integer division of the TOTAL — no per-row float ever.
+    */
+  private val volumeExpr =
+    "CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) * " +
+      "(10000 - CAST(floor(l_discount * 10000 + 0.5) AS BIGINT)) AS DECIMAL(38,0))"
+
+  /** TPC-H Q7-shaped trade-flow matrix: discounted lineitem volume
+    * between every (customer-nation, supplier-nation) pair per ship
+    * year. The star join shuffles facts once per key; the aggregate is
+    * partial-agg combined onto a |nations|²×|years| grid. Exact integer
+    * volume via [[volumeExpr]].
+    */
+  def q7Volume(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"),
+      year(col("l_shipdate")).as("ship_year"), expr(volumeExpr).as("vol"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("c_nation"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("s_nation"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nation"), col("s_nation"), col("ship_year"))
+      .agg(sum(col("vol")).as("v38"), count(lit(1)).as("n_lines"))
+      .select(col("c_nation"), col("s_nation"), col("ship_year"),
+        expr("CAST(v38 div 10000 AS BIGINT)").as("volume_cents"), col("n_lines"))
+      .orderBy(col("c_nation"), col("s_nation"), col("ship_year"))
+  }
+
+  /** TPC-H Q8-shaped market share: of all trade volume bought by
+    * region-0 customers per ship year, the ×10⁶ share supplied by
+    * nation 3 — a conditional aggregate over one star join (no second
+    * pass for the denominator) with the share an exact BIGINT division
+    * of two DECIMAL(38,0) sums.
+    */
+  def q8Share(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"),
+      year(col("l_shipdate")).as("ship_year"), expr(volumeExpr).as("vol"))
+    val ord = Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_nationkey"))
+    val cnation = Tables.nation(spark, dir)
+      .select(col("n_nationkey"), col("n_regionkey"))
+    val supp = Tables.supplier(spark, dir)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("s_nation"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(cnation), col("c_nationkey") === col("n_nationkey"))
+      .filter(col("n_regionkey") === 0)
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("ship_year"))
+      .agg(sum(when(col("s_nation") === 3, col("vol"))).as("nat38"),
+        sum(col("vol")).as("all38"))
+      .select(col("ship_year"),
+        expr("CAST(coalesce(nat38, 0) div 10000 AS BIGINT)").as("nation_cents"),
+        expr("CAST(all38 div 10000 AS BIGINT)").as("total_cents"),
+        expr("CAST((coalesce(nat38, 0) * 1000000) div all38 AS BIGINT)").as("share_x1e6"))
+      .orderBy(col("ship_year"))
+  }
+
   /** Distribution window functions — percent_rank / cume_dist /
     * dense_rank of each customer's balance within its market segment.
     * Both engines define percent_rank = (rank−1)/(N−1) and cume_dist =

@@ -97,6 +97,22 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("trade-flow matrix accounts for every lineitem exactly once") {
+    val rows = operators.Relational.q7Volume(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(4)).sum == Tables.lineitem(spark, sf).count())
+  }
+
+  test("market share is the exact scaled ratio of its own reported sums") {
+    val rows = operators.Relational.q8Share(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nat, tot, share) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nat >= 0 && nat <= tot)
+      assert(share >= 0 && share <= 1000000L)
+    }
+  }
+
   test("window distribution: pct_rank/cume_dist bounded, dense ranks count distinct balances") {
     val rows = operators.Relational.qWindowDist(spark, sf).collect()
     assert(rows.nonEmpty)
