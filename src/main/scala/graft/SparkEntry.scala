@@ -100,6 +100,7 @@ object SparkEntry {
     "q7_volume"        -> ((s, d) => Relational.q7Volume(s, d)),
     "q8_share"         -> ((s, d) => Relational.q8Share(s, d)),
     "q_pagerank"       -> ((s, d) => operators.Graph.pagerank(s, d)),
+    "q_bfs"            -> ((s, d) => operators.Graph.bfs(s, d)),
     "q_triangle_count" -> ((s, d) => operators.Graph.triangleCounts(s, d)),
     "q_skyline"    -> ((s, d) => Relational.qSkyline(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
@@ -135,6 +136,7 @@ object SparkEntry {
     "pipe_merge_stats"    -> ((s, d) => Pipeline.mergeStats(s, d)),
     "pipe_mix_weights"    -> ((s, d) => Pipeline.mixWeights(s, d)),
     "pipe_split"          -> ((s, d) => Pipeline.splitAssign(s, d)),
+    "pipe_chunk"          -> ((s, d) => Pipeline.chunk(s, d)),
     "pipe_dq_report"      -> ((s, d) => Pipeline.dqReport(s, d)),
     "stream_topk"         -> ((s, d) => Pipeline.streamTopk(s, d)),
     "stream_spike"        -> ((s, d) => Pipeline.streamSpike(s, d)),

@@ -74,6 +74,41 @@ object Graph {
       .orderBy(col("nationkey"))
   }
 
+  /** BFS hop distance from nation 0 over the (directed) trade graph —
+    * the reachability/centrality primitive. Same architecture as
+    * [[pagerank]]: fact-scale edge extraction once, then `iters`
+    * synchronous relaxation rounds on the checkpointed ≤N² edge list
+    * with the N-row frontier broadcast: dist′(v) = min(dist(v),
+    * min_{u→v}(dist(u)+1)). Unreached nations are emitted with a NULL
+    * distance (the audit row a connectivity check wants).
+    */
+  def bfs(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+    val nations = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("nk"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("src"))
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("dst"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("src"), col("dst")).distinct().localCheckpoint()
+
+    var dist = nations.select(col("nk"),
+      when(col("nk") === 0, lit(0L)).as("dist"))
+    for (_ <- 1 to iters) {
+      val relaxed = edges.join(broadcast(dist), col("src") === col("nk"))
+        .filter(col("dist").isNotNull)
+        .groupBy(col("dst")).agg(min(col("dist") + 1).as("via"))
+      dist = dist.join(relaxed, col("nk") === col("dst"), "left")
+        .select(col("nk"), least(col("dist"), col("via")).as("dist"))
+    }
+    dist.select(col("nk").as("nationkey"), col("dist").as("hops"))
+      .orderBy(col("nationkey"))
+  }
+
   /** Per-part triangle counts in the co-purchase graph (parts appearing
     * in the same order are connected). The self-join that builds edges
     * is bounded per order (≤ lines² pairs within one order, never
@@ -136,6 +171,20 @@ object Graph {
       .orderBy(col("part"))
   }
 
+  /** One BFS relaxation block in DuckDB SQL (least() skips NULLs in
+    * both engines, so "unreached" propagates identically).
+    */
+  private def bfsStep(i: Int): String = {
+    val p = s"d${i - 1}"
+    s"""r$i AS (
+       |  SELECT e.dst, min(p.dist + 1) AS via
+       |  FROM e JOIN $p p ON p.nk = e.src
+       |  WHERE p.dist IS NOT NULL GROUP BY e.dst),
+       |d$i AS (
+       |  SELECT p.nk, least(p.dist, r$i.via) AS dist
+       |  FROM $p p LEFT JOIN r$i ON r$i.dst = p.nk)""".stripMargin
+  }
+
   /** One iteration block of the PageRank recurrence in DuckDB SQL. */
   private def prStep(i: Int): String = {
     val p = s"i${i - 1}"
@@ -165,6 +214,21 @@ object Graph {
          |i0 AS (SELECT nk, $Scale // nn.nn AS pr FROM n CROSS JOIN nn),
          |$steps
          |SELECT nk AS nationkey, pr AS pr_x1e12 FROM i5 ORDER BY nationkey""".stripMargin
+    },
+
+    "q_bfs" -> {
+      val steps = (1 to 6).map(bfsStep).mkString(",\n")
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+        |    CAST(s.s_nationkey AS BIGINT) AS dst
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation),
+        |d0 AS (SELECT nk, CASE WHEN nk = 0 THEN CAST(0 AS BIGINT) END AS dist FROM n),
+        |""".stripMargin + steps + """
+        |SELECT nk AS nationkey, dist AS hops FROM d6 ORDER BY nationkey""".stripMargin
     },
 
     "q_triangle_count" ->

@@ -110,6 +110,26 @@ object Pipeline {
         Seq("window_start_us"), Seq(("n", true), ("event_type", false)), 3)
       .orderBy(col("window_start_us"), col("n").desc, col("event_type"))
 
+  /** Overlapping token-window chunking — the RAG/pretraining step that
+    * slices each document into fixed windows with stride overlap
+    * (window 8, stride 6 at the test corpus' ~16-token docs): a pure
+    * map-side explode of ⌈max(n−window, 0)/stride⌉+1 rows per doc, no
+    * shuffle, boundaries in exact token indices. A doc shorter than one
+    * window yields exactly its single truncated chunk.
+    */
+  def chunk(s: SparkSession, d: String, window: Int = 8, stride: Int = 6): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(TextFunctions.rawTokens(col("text"))).as("n_tok"))
+      .select(col("doc_id"), col("n_tok"),
+        posexplode(expr(
+          s"transform(sequence(0, greatest((n_tok - $window + ${stride - 1}) div $stride, 0)), " +
+            s"i -> i * $stride)")).as(Seq("chunk_idx", "tok_start")))
+      .select(col("doc_id"), col("chunk_idx"),
+        col("tok_start").cast("int").as("tok_start"),
+        least(lit(window), col("n_tok") - col("tok_start")).cast("int").as("tok_len"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
   /** Windowed spike detection — per event type, flag any hourly window
     * whose count reaches 2× the max of the previous six OBSERVED
     * windows (trailing ROWS frame; exact BIGINT comparison, no floats).
@@ -669,6 +689,21 @@ object Pipeline {
          |WHERE e.vec_id <> q.q_id
          |  AND CAST(floor(${Similarity.cosineSql("q.q_emb", "e.embedding")} * 1e6) AS BIGINT) >= 250000
          |ORDER BY q_id, vec_id""".stripMargin,
+
+    "pipe_chunk" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(${TextFunctions.rawTokensSql("text")}) AS INT) AS n_tok
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, n_tok, CAST(i AS INT) AS chunk_idx,
+         |    CAST(i * 6 AS INT) AS tok_start
+         |  FROM (SELECT doc_id, n_tok,
+         |          unnest(range(0, greatest((n_tok - 8 + 5) // 6, 0) + 1)) AS i
+         |        FROM t))
+         |SELECT doc_id, chunk_idx, tok_start,
+         |  least(8, n_tok - tok_start) AS tok_len
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "stream_spike" ->
       """WITH wa AS (

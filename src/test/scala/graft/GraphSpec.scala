@@ -26,6 +26,36 @@ class GraphSpec extends AnyFunSuite {
     assert(r5 != r1, "iterations 1 and 5 agree — fixpoint loop is not iterating")
   }
 
+  test("bfs hop distances equal a driver-side Dijkstra on the extracted edges") {
+    val got = Graph.bfs(spark, sf).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // rebuild the edge list exactly as the operator does
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sf).selectExpr("c_custkey", "CAST(c_nationkey AS LONG) src")
+    val supp = Tables.supplier(spark, sf).selectExpr("s_suppkey", "CAST(s_nationkey AS LONG) dst")
+    val edges = li.join(ord, org.apache.spark.sql.functions.col("l_orderkey") ===
+        org.apache.spark.sql.functions.col("o_orderkey"))
+      .join(cust, org.apache.spark.sql.functions.col("o_custkey") ===
+        org.apache.spark.sql.functions.col("c_custkey"))
+      .join(supp, org.apache.spark.sql.functions.col("l_suppkey") ===
+        org.apache.spark.sql.functions.col("s_suppkey"))
+      .select("src", "dst").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val dist = scala.collection.mutable.Map(0L -> 0L)
+    var frontier = Set(0L)
+    var h = 0L
+    while (frontier.nonEmpty && h < 6) {
+      h += 1
+      frontier = frontier.flatMap(u => adj.getOrElse(u, Array.empty[Long]))
+        .filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = h)
+    }
+    val expected = got.keySet.map(nk => nk -> dist.getOrElse(nk, -1L)).toMap
+    assert(got == expected)
+  }
+
   test("triangle counts equal a brute-force reference on sf0.001") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1)))

@@ -3,6 +3,7 @@ package graft
 import graft.dedup.Dedup
 import graft.similarity.Similarity
 import graft.operators.Pipeline
+import graft.text.TextFunctions
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -218,6 +219,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(m("lineitem_orphan_order")._2 == Tables.lineitem(spark, sf).count())
     assert(m("doc_empty_text")._2 == Tables.documents(spark, sf).count())
     assert(m("event_null_user")._2 == Tables.events(spark, sf).count())
+  }
+
+  test("chunking covers every token with correct stride overlap") {
+    val rows = Pipeline.chunk(spark, sf).collect()
+    val nTok = Tables.documents(spark, sf)
+      .select(col("doc_id"), size(TextFunctions.rawTokens(col("text"))).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.groupBy(_.getLong(0)).foreach { case (doc, rs) =>
+      val n = nTok(doc)
+      val sorted = rs.sortBy(_.getInt(1))
+      // contiguous chunk indices starting at 0, stride-6 starts
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r.getInt(1) == i && r.getInt(2) == i * 6)
+        assert(r.getInt(3) == math.min(8, n - r.getInt(2)))
+        assert(r.getInt(3) >= 1, s"doc $doc empty chunk: $r")
+      }
+      // last chunk reaches the final token; one more chunk would be redundant
+      val last = sorted.last
+      assert(last.getInt(2) + last.getInt(3) == n)
+    }
+    assert(rows.map(_.getLong(0)).toSet == nTok.keySet)
   }
 
   test("spike detection: flags exactly the windows at >=2x their trailing max") {
