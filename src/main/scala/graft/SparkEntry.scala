@@ -24,6 +24,7 @@ object SparkEntry {
     "ms_q_match"           -> ((s, d) => Metastore.qMatch(s, d)),
     "ms_q_match_stemmed"   -> ((s, d) => Metastore.qMatchStemmed(s, d)),
     "ms_q_rank_tfidf"      -> ((s, d) => Metastore.qRankTfidf(s, d)),
+    "ms_hybrid_rrf"        -> ((s, d) => Metastore.hybridRrf(s, d)),
     "ms_paginate"          -> ((s, d) => Metastore.paginate(s, d)),
     "ms_summary"           -> ((s, d) => Metastore.summary(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),

@@ -73,6 +73,34 @@ object Metastore {
     ds.rankedSearch(idx(s, d), SearchRequest(q = Some("the merge join table"), size = 20),
       Seq("name"))
 
+  /** Hybrid lexical+vector retrieval via reciprocal-rank fusion — the
+    * modern search stack's default fusion: RRF(d) = Σ 1e6 div (60 +
+    * rank_i(d)) over the rankings that retrieved d (missing ⇒ 0), all
+    * BIGINT. Lexical side = the reference-faithful TF-IDF ranking;
+    * vector side = brute cosine top-20 for query vector 0 (vec_id ≡
+    * doc_id in the test corpus). Both ranked lists are top-k-bounded
+    * BEFORE the full-outer fuse, so the join touches ≤ 2k rows however
+    * big the corpus — the fuse is driver-of-scale-free by construction.
+    */
+  def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    val text = ds.rankedSearch(idx(s, d),
+        SearchRequest(q = Some("the merge join table"), size = 20), Seq("name"))
+      .select(col("doc_id"), col("rank").as("t_rank"))
+    val vec = graft.similarity.Similarity
+      .bruteTopK(Tables.embeddings(s, d), col("vec_id") === 0, k = 20)
+      .select(col("vec_id").as("v_id"), col("rk").as("v_rank"))
+    text.join(vec, col("doc_id") === col("v_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("v_id")).as("doc_id"),
+        expr("coalesce(CAST(1000000 AS BIGINT) div (60 + t_rank), 0) + " +
+          "coalesce(CAST(1000000 AS BIGINT) div (60 + v_rank), 0)").as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+      .select(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("rrf").desc, col("doc_id"))).as("rank"),
+        col("doc_id"), col("rrf"))
+      .orderBy(col("rank"))
+  }
+
   def paginate(s: SparkSession, d: String): DataFrame =
     ds.page(idx(s, d), SearchRequest(filters = Map("lang" -> Seq("en")), size = 20, from = 10),
       Seq("doc_id", "name"))
@@ -101,6 +129,33 @@ object Metastore {
   // --- oracle SQL --------------------------------------------------------
 
   private val idxCte = s"WITH idx AS (\n${Tables.datasetIndexSql}\n)"
+
+  /** The TF-IDF ranking CTE chain (fld→tf→dfs→nn→sc→pg), shared by the
+    * plain ranking oracle and the hybrid-RRF oracle.
+    */
+  private lazy val tfidfCtes: String =
+    s"""fld AS (
+       |  SELECT doc_id, 'title' AS field, CAST(5 AS BIGINT) AS boost, ${tok("title")} AS toks FROM idx
+       |  UNION ALL SELECT doc_id, 'owner', CAST(2 AS BIGINT), ${tok("owner")} FROM idx
+       |  UNION ALL SELECT doc_id, 'ownerid', CAST(1 AS BIGINT), ${tok("ownerid")} FROM idx
+       |  UNION ALL SELECT doc_id, 'readme', CAST(2 AS BIGINT), ${tok("readme")} FROM idx),
+       |tf AS (
+       |  SELECT doc_id, field, boost, term, CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
+       |  FROM fld, (SELECT unnest(['merge','join','table']) AS term)
+       |  WHERE len(list_filter(toks, x -> x = term)) > 0),
+       |dfs AS (SELECT field, term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY field, term),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
+       |sc AS (
+       |  SELECT t.doc_id, CAST(sum(t.tf * t.boost * ((nn.n * 1000) // d.df)) AS BIGINT) AS raw_score
+       |  FROM tf t JOIN dfs d ON t.field = d.field AND t.term = d.term CROSS JOIN nn
+       |  GROUP BY t.doc_id),
+       |pg AS (
+       |  SELECT i.doc_id, i.name,
+       |    s.raw_score + (CASE WHEN i.ownerid = 'core' AND i.findability = 'published'
+       |                        THEN 4500 ELSE 0 END) AS score
+       |  FROM idx i JOIN sc s ON i.doc_id = s.doc_id
+       |  WHERE i.findability = 'published'
+       |  ORDER BY score DESC, i.doc_id LIMIT 20)""".stripMargin
   private val evCte = s"WITH ev AS (\n${Tables.eventIndexSql}\n)"
   private def tok(e: String) = Analyzer.tokensSql(e)
 
@@ -168,31 +223,38 @@ object Metastore {
 
     "ms_q_rank_tfidf" ->
       s"""$idxCte,
-         |fld AS (
-         |  SELECT doc_id, 'title' AS field, CAST(5 AS BIGINT) AS boost, ${tok("title")} AS toks FROM idx
-         |  UNION ALL SELECT doc_id, 'owner', CAST(2 AS BIGINT), ${tok("owner")} FROM idx
-         |  UNION ALL SELECT doc_id, 'ownerid', CAST(1 AS BIGINT), ${tok("ownerid")} FROM idx
-         |  UNION ALL SELECT doc_id, 'readme', CAST(2 AS BIGINT), ${tok("readme")} FROM idx),
-         |tf AS (
-         |  SELECT doc_id, field, boost, term, CAST(len(list_filter(toks, x -> x = term)) AS BIGINT) AS tf
-         |  FROM fld, (SELECT unnest(['merge','join','table']) AS term)
-         |  WHERE len(list_filter(toks, x -> x = term)) > 0),
-         |dfs AS (SELECT field, term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY field, term),
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM idx),
-         |sc AS (
-         |  SELECT t.doc_id, CAST(sum(t.tf * t.boost * ((nn.n * 1000) // d.df)) AS BIGINT) AS raw_score
-         |  FROM tf t JOIN dfs d ON t.field = d.field AND t.term = d.term CROSS JOIN nn
-         |  GROUP BY t.doc_id),
-         |pg AS (
-         |  SELECT i.doc_id, i.name,
-         |    s.raw_score + (CASE WHEN i.ownerid = 'core' AND i.findability = 'published'
-         |                        THEN 4500 ELSE 0 END) AS score
-         |  FROM idx i JOIN sc s ON i.doc_id = s.doc_id
-         |  WHERE i.findability = 'published'
-         |  ORDER BY score DESC, i.doc_id LIMIT 20)
+         |$tfidfCtes
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
          |       doc_id, name, CAST(score AS BIGINT) AS score
          |FROM pg ORDER BY rank""".stripMargin,
+
+    "ms_hybrid_rrf" ->
+      s"""$idxCte,
+         |$tfidfCtes,
+         |tr AS (
+         |  SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS t_rank
+         |  FROM pg),
+         |vq AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |vsc AS (
+         |  SELECT e.vec_id,
+         |    CAST(floor(${graft.similarity.Similarity.cosineSql("vq.q_emb", "e.embedding")} * 1e6) AS BIGINT) AS cs
+         |  FROM embeddings e CROSS JOIN vq WHERE e.vec_id <> 0),
+         |vr AS (
+         |  SELECT vec_id, rk FROM (
+         |    SELECT vec_id,
+         |      CAST(row_number() OVER (ORDER BY cs DESC, vec_id) AS INT) AS rk
+         |    FROM vsc)
+         |  WHERE rk <= 20),
+         |fused AS (
+         |  SELECT COALESCE(t.doc_id, v.vec_id) AS doc_id,
+         |    COALESCE(CAST(1000000 AS BIGINT) // (60 + t.t_rank), 0) +
+         |    COALESCE(CAST(1000000 AS BIGINT) // (60 + v.rk), 0) AS rrf
+         |  FROM tr t FULL OUTER JOIN vr v ON t.doc_id = v.vec_id),
+         |top AS (SELECT doc_id, rrf FROM fused ORDER BY rrf DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INT) AS rank,
+         |       doc_id, rrf
+         |FROM top ORDER BY rank""".stripMargin,
 
     "ms_paginate" ->
       s"""$idxCte

@@ -74,6 +74,26 @@ class SearchSpec extends AnyFunSuite {
     assert(page.map(_.getInt(0)).toSeq == (1 to page.length))
   }
 
+  test("hybrid RRF scores are exactly the fused reciprocal ranks of both lists") {
+    val text = Metastore.qRankTfidf(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getInt(0)).toMap
+    val vrank = graft.similarity.Similarity
+      .bruteTopK(Tables.embeddings(spark, sf), col("vec_id") === 0, k = 20)
+      .collect().map(r => r.getLong(2) -> r.getInt(1)).toMap
+    val fused = Metastore.hybridRrf(spark, sf).collect()
+    assert(fused.length == 10)
+    fused.foreach { r =>
+      val (id, rrf) = (r.getLong(1), r.getLong(2))
+      val expect = text.get(id).map(t => 1000000L / (60 + t)).getOrElse(0L) +
+        vrank.get(id).map(v => 1000000L / (60 + v)).getOrElse(0L)
+      assert(rrf == expect, s"doc $id rrf $rrf != $expect")
+    }
+    // ranks are 1..10 and rrf non-increasing
+    assert(fused.map(_.getInt(0)).toSeq == (1 to 10))
+    val scores = fused.map(_.getLong(2))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("events sort desc vs asc are reverses over the same window (test:592-599)") {
     val asc = Metastore.eventsSort(spark, sf).collect().map(_.getLong(0))
     assert(asc.length == 25)
