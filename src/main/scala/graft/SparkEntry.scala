@@ -70,6 +70,8 @@ object SparkEntry {
     "q_concurrency"  -> ((s, d) => operators.Temporal.qConcurrency(s, d)),
     "q_range_join"   -> ((s, d) => operators.Temporal.qRangeJoin(s, d)),
     "q_funnel"       -> ((s, d) => operators.Temporal.qFunnel(s, d)),
+    "q_funnel3"      -> ((s, d) => operators.Temporal.qFunnel3(s, d)),
+    "q_interval_coverage" -> ((s, d) => operators.Temporal.qIntervalCoverage(s, d)),
     "q_markov"       -> ((s, d) => operators.Temporal.qMarkov(s, d)),
     "q_scd2"         -> ((s, d) => operators.Temporal.qScd2(s, d)),
     "q_percentiles"  -> ((s, d) => Relational.qPercentiles(s, d)),

@@ -209,6 +209,56 @@ object Temporal {
       .orderBy(col("user_id"))
   }
 
+  /** Strict 3-step ordered funnel (view → click → purchase): each
+    * step's timestamp is the user's earliest qualifying event AT OR
+    * AFTER the previous step. The chained conditional minima are three
+    * Window nodes over ONE user_id exchange (each references the
+    * previous node's column — Catalyst stacks them on the same sort),
+    * then one aggregate row per user. No self-joins, no state machine.
+    */
+  def qFunnel3(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+    ev
+      .withColumn("v_ts", min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("c_ts", min(when(col("event_type") === "click" &&
+        col("ts_us") >= col("v_ts"), col("ts_us"))).over(w))
+      .withColumn("p_ts", min(when(col("event_type") === "purchase" &&
+        col("ts_us") >= col("c_ts"), col("ts_us"))).over(w))
+      .filter(col("v_ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("v_ts")).as("v_ts"), min(col("c_ts")).as("c_ts"),
+        min(col("p_ts")).as("p_ts"))
+      .withColumn("steps",
+        (lit(1) + when(col("c_ts").isNotNull, 1).otherwise(0) +
+          when(col("p_ts").isNotNull, 1).otherwise(0)).cast("int"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Total covered time per event type under 1-hour leases — the union
+    * of overlapping intervals (uptime/coverage gauges). Sweep-line like
+    * [[qConcurrency]]: ±1 deltas, per-type ordered running count, and a
+    * covered-segment length lead(t)−t wherever the running count > 0 —
+    * merging overlaps without ever materializing merged intervals. One
+    * narrow shuffle, exact micros.
+    */
+  def qIntervalCoverage(s: SparkSession, d: String, leaseUs: Long = 3600000000L): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(col("event_type"), col("ts_us"))
+    val points = ev.select(col("event_type"), col("ts_us").as("t"), lit(1L).as("delta"))
+      .union(ev.select(col("event_type"), (col("ts_us") + leaseUs).as("t"),
+        lit(-1L).as("delta")))
+    val byT = Window.partitionBy(col("event_type")).orderBy(col("t"), col("delta"))
+    points
+      .withColumn("active", sum(col("delta")).over(byT.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("next_t", lead(col("t"), 1).over(byT))
+      .filter(col("active") > 0 && col("next_t").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(sum(col("next_t") - col("t")).as("covered_us"))
+      .orderBy(col("event_type"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences
     * (sequence mining / behavioral modeling): pair every event with the
     * user's next event via `lead` over one per-user time-ordered window,
@@ -261,6 +311,46 @@ object Temporal {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_funnel3" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |w1 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_us END) AS v_ts
+        |  FROM ev GROUP BY user_id),
+        |w2 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS c_ts
+        |  FROM ev e JOIN w1 ON w1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us >= w1.v_ts
+        |  GROUP BY e.user_id),
+        |w3 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS p_ts
+        |  FROM ev e JOIN w2 ON w2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us >= w2.c_ts
+        |  GROUP BY e.user_id)
+        |SELECT w1.user_id, w1.v_ts, w2.c_ts, w3.p_ts,
+        |  CAST(1 + (CASE WHEN w2.c_ts IS NULL THEN 0 ELSE 1 END)
+        |         + (CASE WHEN w3.p_ts IS NULL THEN 0 ELSE 1 END) AS INT) AS steps
+        |FROM w1
+        |LEFT JOIN w2 ON w2.user_id = w1.user_id
+        |LEFT JOIN w3 ON w3.user_id = w1.user_id
+        |WHERE w1.v_ts IS NOT NULL
+        |ORDER BY w1.user_id""".stripMargin,
+
+    "q_interval_coverage" ->
+      """WITH ev AS (SELECT event_type, epoch_us(ts) AS ts_us FROM events),
+        |pts AS (
+        |  SELECT event_type, ts_us AS t, CAST(1 AS BIGINT) AS delta FROM ev
+        |  UNION ALL
+        |  SELECT event_type, ts_us + 3600000000, CAST(-1 AS BIGINT) FROM ev),
+        |run AS (
+        |  SELECT event_type, t,
+        |    CAST(sum(delta) OVER (PARTITION BY event_type ORDER BY t, delta
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS active,
+        |    lead(t) OVER (PARTITION BY event_type ORDER BY t, delta) AS next_t
+        |  FROM pts)
+        |SELECT event_type, CAST(sum(next_t - t) AS BIGINT) AS covered_us
+        |FROM run WHERE active > 0 AND next_t IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_markov" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
         |nx AS (

@@ -33,6 +33,38 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("3-step funnel timestamps are ordered and steps count the non-null chain") {
+    val rows = Temporal.qFunnel3(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val v = r.getLong(1)
+      val c = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      val p = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      // chain order and no purchase without click
+      c.foreach(ct => assert(ct >= v))
+      p.foreach { pt => assert(c.isDefined && pt >= c.get) }
+      assert(r.getInt(4) == 1 + c.size + p.size)
+    }
+  }
+
+  test("interval coverage is bounded by span and at least one lease length") {
+    val rows = Temporal.qIntervalCoverage(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .groupBy(col("event_type"))
+      .agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"),
+        count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    rows.foreach { r =>
+      val (lo, hi, n) = ev(r.getString(0))
+      val covered = r.getLong(1)
+      // union of n one-hour leases: >= one lease, <= span+lease, <= n leases
+      assert(covered >= 3600000000L)
+      assert(covered <= (hi - lo) + 3600000000L)
+      assert(covered <= n * 3600000000L)
+    }
+  }
+
   test("markov transitions: probabilities per from-state sum to ~1e6 and counts match raw pairs") {
     val rows = Temporal.qMarkov(spark, sf).collect()
     assert(rows.nonEmpty)
