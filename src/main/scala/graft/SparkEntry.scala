@@ -41,6 +41,8 @@ object SparkEntry {
     "q_in_subquery"    -> ((s, d) => Relational.qInSubquery(s, d)),
     "q_histogram"      -> ((s, d) => Relational.qHistogram(s, d)),
     "q_stats"          -> ((s, d) => Relational.qStats(s, d)),
+    "q_regression"     -> ((s, d) => Relational.qRegression(s, d)),
+    "q_rfm"            -> ((s, d) => Relational.qRfm(s, d)),
     "q_set_ops"        -> ((s, d) => Relational.qSetOps(s, d)),
     "q_scalar_subquery" -> ((s, d) => Relational.qScalarSubquery(s, d)),
     "q_topk_per_group" -> ((s, d) => Relational.qTopkPerGroup(s, d)),
@@ -159,6 +161,45 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Metastore.oracles ++ Text.oracles ++ Pipeline.oracles ++
       operators.Temporal.oracles ++ operators.Graph.oracles ++ Map(
+    "q_regression" ->
+      """WITH t AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_quantity * 100 + 0.5) AS HUGEINT) AS x,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS HUGEINT) AS y
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, CAST(count(*) AS HUGEINT) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM t GROUP BY l_returnflag),
+        |d AS (
+        |  SELECT l_returnflag, n, n * sxy - sx * sy AS num,
+        |    n * sxx - sx * sx AS dxx, n * syy - sy * sy AS dyy
+        |  FROM m)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CAST((1000000 * num) // dxx AS BIGINT) AS slope_x1e6,
+        |  CAST((((1000000 * num) // dxx) * num) // dyy AS BIGINT) AS r2_x1e6
+        |FROM d ORDER BY l_returnflag""".stripMargin,
+
+    "q_rfm" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(date_diff('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS day,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |mx AS (SELECT max(day) AS now_day FROM o),
+        |r AS (
+        |  SELECT o_custkey, min(mx.now_day - day) AS recency_days,
+        |    CAST(count(*) AS BIGINT) AS frequency,
+        |    CAST(sum(cents) AS BIGINT) AS monetary_cents
+        |  FROM o CROSS JOIN mx GROUP BY o_custkey)
+        |SELECT o_custkey, recency_days, frequency, monetary_cents,
+        |  CASE WHEN recency_days <= 90 AND frequency >= 10 THEN 'champion'
+        |       WHEN recency_days <= 90 THEN 'recent'
+        |       WHEN frequency >= 10 THEN 'loyal_lapsed'
+        |       ELSE 'hibernating' END AS segment
+        |FROM r ORDER BY o_custkey""".stripMargin,
+
     "q7_volume" ->
       """WITH li AS (
         |  SELECT l_orderkey, l_suppkey, CAST(year(l_shipdate) AS INT) AS ship_year,

@@ -663,6 +663,61 @@ object Relational {
           .as("est_distinct"))
       .orderBy(col("l_returnflag"))
 
+  /** Per-group OLS regression of line price on quantity — slope and R²
+    * as EXACT scaled integers: with x = quantity cents and y = price
+    * cents, every moment (Σx, Σy, Σxy, Σx², Σy²) is a DECIMAL(38,0)
+    * sum of integer products, so slope = 1e6·(nΣxy−ΣxΣy) div
+    * (nΣx²−(Σx)²) and R² = 1e6·(nΣxy−ΣxΣy)² div ((nΣx²−(Σx)²)·
+    * (nΣy²−(Σy)²)) are replayable integer arithmetic — the
+    * distributed-regression shape (one partial-agg pass, no second
+    * centering pass, no float accumulation drift).
+    */
+  def qRegression(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(floor(l_quantity * 100 + 0.5) AS DECIMAL(19,0))").as("x"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS DECIMAL(19,0))").as("y"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      // staged divisions: num² and dxx·dyy overflow 38 digits, but
+      // slope=(1e6·num) div dxx first, then (slope·num) div dyy keeps
+      // every intermediate ≤ ~1e31; both engines truncate integer
+      // division toward zero, so the negative-slope group agrees too
+      .withColumn("num", expr("n * sxy - sx * sy"))
+      .withColumn("dxx", expr("n * sxx - sx * sx"))
+      .withColumn("dyy", expr("n * syy - sy * sy"))
+      .withColumn("slope_x1e6", expr("CAST((1000000 * num) div dxx AS BIGINT)"))
+      .select(col("l_returnflag"), col("n"), col("slope_x1e6"),
+        expr("CAST((slope_x1e6 * num) div dyy AS BIGINT)").as("r2_x1e6"))
+      .orderBy(col("l_returnflag"))
+
+  /** RFM customer segmentation — recency (days since last order),
+    * frequency (order count), monetary (lifetime cents) per customer,
+    * with the classic threshold segment label. One groupBy over orders
+    * + a broadcast 1-row scalar for "now" (the corpus max date) — the
+    * CRM-style scoring pass, all exact integers.
+    */
+  def qRfm(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(col("o_custkey"),
+      expr("CAST(datediff(o_orderdate, DATE'1970-01-01') AS BIGINT)").as("day"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val maxDay = o.agg(max(col("day")).as("now_day"))
+    o.crossJoin(broadcast(maxDay))
+      .groupBy(col("o_custkey"))
+      .agg(min(col("now_day") - col("day")).as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("cents")).as("monetary_cents"))
+      .withColumn("segment",
+        when(col("recency_days") <= 90 && col("frequency") >= 10, lit("champion"))
+          .when(col("recency_days") <= 90, lit("recent"))
+          .when(col("frequency") >= 10, lit("loyal_lapsed"))
+          .otherwise(lit("hibernating")))
+      .orderBy(col("o_custkey"))
+  }
+
   /** Exact discounted line volume in cents: price and discount are
     * floored to cents / basis points FIRST, so price_c·(10000−disc_bp)
     * is a pure BIGINT product; sums run in DECIMAL(38,0) (overflow-safe

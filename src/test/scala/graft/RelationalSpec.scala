@@ -97,6 +97,47 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("regression matches a double-precision reference within scaled tolerance") {
+    val rows = operators.Relational.qRegression(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val data = Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag",
+        "CAST(floor(l_quantity * 100 + 0.5) AS DOUBLE) x",
+        "CAST(floor(l_extendedprice * 100 + 0.5) AS DOUBLE) y")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val pts = data.filter(_._1 == flag)
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._2).sum, pts.map(_._3).sum)
+      val sxy = pts.map(p => p._2 * p._3).sum
+      val sxx = pts.map(p => p._2 * p._2).sum
+      val syy = pts.map(p => p._3 * p._3).sum
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val r2 = math.pow(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(r.getLong(2) / 1e6 - slope) < math.abs(slope) * 0.01 + 1e-4,
+        s"$flag slope ${r.getLong(2) / 1e6} vs $slope")
+      assert(math.abs(r.getLong(3) / 1e6 - r2) < 0.01, s"$flag r2 ${r.getLong(3) / 1e6} vs $r2")
+    }
+  }
+
+  test("rfm: recency non-negative, monetary positive, segment thresholds respected") {
+    val rows = operators.Relational.qRfm(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (rec, freq, seg) = (r.getLong(1), r.getLong(2), r.getString(4))
+      assert(rec >= 0 && freq >= 1 && r.getLong(3) > 0)
+      val expect =
+        if (rec <= 90 && freq >= 10) "champion"
+        else if (rec <= 90) "recent"
+        else if (freq >= 10) "loyal_lapsed"
+        else "hibernating"
+      assert(seg == expect, s"row $r")
+    }
+    // at least one customer has recency 0 (the corpus max-date customer)
+    assert(rows.exists(_.getLong(1) == 0L))
+  }
+
   test("trade-flow matrix accounts for every lineitem exactly once") {
     val rows = operators.Relational.q7Volume(spark, sf).collect()
     assert(rows.nonEmpty)
