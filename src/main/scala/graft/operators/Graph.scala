@@ -37,7 +37,9 @@ object Graph {
     * The 4-table edge extraction is the only fact-scale work; it
     * partial-aggregates to ≤N² rows and is checkpointed once, so each
     * iteration is a broadcast join on the N-row rank vector — no
-    * fact-table re-scan, no driver-side math.
+    * fact-table re-scan, no driver-side math. A node with no out-edges
+    * drops its mass (no dangling redistribution) — the oracle renders
+    * the identical recurrence, so both engines leak identically.
     */
   def pagerank(s: SparkSession, d: String, iters: Int = 5): DataFrame = {
     val nations = Tables.nation(s, d)
