@@ -143,6 +143,8 @@ object SparkEntry {
     "pipe_split"          -> ((s, d) => Pipeline.splitAssign(s, d)),
     "pipe_chunk"          -> ((s, d) => Pipeline.chunk(s, d)),
     "pipe_dq_report"      -> ((s, d) => Pipeline.dqReport(s, d)),
+    "pipe_freshness"      -> ((s, d) => Pipeline.freshness(s, d)),
+    "q_changepoint"       -> ((s, d) => operators.Temporal.qChangepoint(s, d)),
     "stream_topk"         -> ((s, d) => Pipeline.streamTopk(s, d)),
     "stream_spike"        -> ((s, d) => Pipeline.streamSpike(s, d)),
     "txt_bpe_pairs"       -> ((s, d) => Text.bpePairs(s, d)),

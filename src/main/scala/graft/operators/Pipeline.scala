@@ -172,6 +172,26 @@ object Pipeline {
       .orderBy(col("source"), col("split"))
   }
 
+  /** Feed-freshness report — the catalog's staleness monitor: per event
+    * type, the last active day, staleness vs the corpus max day, days
+    * active, and volume. One partial-agg pass + a broadcast 1-row
+    * scalar for "now"; the report is |types| rows at any scale.
+    */
+  def freshness(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+    val mx = ev.agg(max(col("day")).as("now_day"))
+    ev.groupBy(col("event_type"))
+      .agg(max(col("day")).as("last_day"),
+        countDistinct(col("day")).as("days_active"),
+        count(lit(1)).as("n_events"))
+      .crossJoin(broadcast(mx))
+      .select(col("event_type"), col("last_day"),
+        (col("now_day") - col("last_day")).as("staleness_days"),
+        col("days_active"), col("n_events"))
+      .orderBy(col("event_type"))
+  }
+
   /** Data-quality assertion report — the ingest-time contract check a
     * catalog runs before admitting a batch: referential integrity
     * (orphan foreign keys via null-producing left joins + conditional
@@ -743,6 +763,19 @@ object Pipeline {
         |SELECT source, split, n_docs,
         |  n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY source) AS share_x1e6
         |FROM c ORDER BY source, split""".stripMargin,
+
+    "pipe_freshness" ->
+      """WITH ev AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day FROM events),
+        |mx AS (SELECT max(day) AS now_day FROM ev),
+        |g AS (
+        |  SELECT event_type, max(day) AS last_day,
+        |    CAST(count(DISTINCT day) AS BIGINT) AS days_active,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM ev GROUP BY event_type)
+        |SELECT event_type, last_day, mx.now_day - last_day AS staleness_days,
+        |  days_active, n_events
+        |FROM g CROSS JOIN mx ORDER BY event_type""".stripMargin,
 
     "pipe_dq_report" ->
       """SELECT * FROM (

@@ -259,6 +259,31 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** CUSUM changepoint scan over the daily event-count series — the
+    * level-shift detector run scale-free in exact integers: with daily
+    * counts x_k and total S over n days, the centered cumulative sum
+    * n·Σ_{i≤k}x_i − k·S is BIGINT-exact (no mean division), and the
+    * changepoint is the day of its maximum |value|. One narrow
+    * (day, count) aggregate, one ordered window over n rows, one
+    * max-join — the series is days-long no matter how many events.
+    */
+  def qChangepoint(s: SparkSession, d: String): DataFrame = {
+    val daily = EventStreams.normalize(Tables.events(s, d))
+      .select(expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("x"))
+    val tot = daily.agg(sum(col("x")).as("s_tot"), count(lit(1)).as("n_days"))
+    val kW = Window.orderBy(col("day"))
+    val cusum = daily.crossJoin(broadcast(tot))
+      .withColumn("k", row_number().over(kW).cast("long"))
+      .withColumn("cusum", expr("n_days * sum(x) OVER (ORDER BY day " +
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - k * s_tot"))
+    val peak = cusum.agg(max(abs(col("cusum"))).as("peak"))
+    cusum.crossJoin(broadcast(peak))
+      .select(col("day"), col("x"), col("cusum"),
+        (abs(col("cusum")) === col("peak")).as("is_changepoint"))
+      .orderBy(col("day"))
+  }
+
   /** First-order Markov transition matrix over per-user event sequences
     * (sequence mining / behavioral modeling): pair every event with the
     * user's next event via `lead` over one per-user time-ordered window,
@@ -350,6 +375,23 @@ object Temporal {
         |SELECT event_type, CAST(sum(next_t - t) AS BIGINT) AS covered_us
         |FROM run WHERE active > 0 AND next_t IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY day),
+        |tot AS (SELECT CAST(sum(x) AS BIGINT) AS s_tot,
+        |               CAST(count(*) AS BIGINT) AS n_days FROM daily),
+        |c AS (
+        |  SELECT day, x,
+        |    tot.n_days * sum(x) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - (row_number() OVER (ORDER BY day)) * tot.s_tot AS cusum
+        |  FROM daily CROSS JOIN tot),
+        |p AS (SELECT max(abs(cusum)) AS peak FROM c)
+        |SELECT day, x, CAST(cusum AS BIGINT) AS cusum,
+        |  abs(cusum) = p.peak AS is_changepoint
+        |FROM c CROSS JOIN p ORDER BY day""".stripMargin,
 
     "q_markov" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),

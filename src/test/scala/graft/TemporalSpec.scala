@@ -33,6 +33,19 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("changepoint cusum telescopes to zero and flags the peak day(s)") {
+    val rows = Temporal.qChangepoint(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // n·Σx − n·S telescopes: the last cusum is exactly zero
+    val sorted = rows.sortBy(_.getLong(0))
+    assert(sorted.last.getLong(2) == 0L)
+    val peak = rows.map(r => math.abs(r.getLong(2))).max
+    rows.foreach { r =>
+      assert(r.getBoolean(3) == (math.abs(r.getLong(2)) == peak))
+    }
+    assert(rows.exists(_.getBoolean(3)))
+  }
+
   test("3-step funnel timestamps are ordered and steps count the non-null chain") {
     val rows = Temporal.qFunnel3(spark, sf).collect()
     assert(rows.nonEmpty)
