@@ -125,6 +125,7 @@ object SparkEntry {
     "mm_features"     -> ((s, d) => Pipeline.mmFeatures(s, d)),
     "mm_audio_window" -> ((s, d) => Pipeline.mmAudioWindow(s, d)),
     "mm_scene_detect" -> ((s, d) => Pipeline.mmSceneDetect(s, d)),
+    "mm_modality"     -> ((s, d) => Pipeline.mmModality(s, d)),
     // §2.7 streaming (batch-equivalent plans; streaming pinned in specs)
     "stream_window_agg" -> ((s, d) => Pipeline.streamWindowAgg(s, d)),
     "stream_sessionize" -> ((s, d) => Pipeline.streamSessionize(s, d)),

@@ -82,6 +82,27 @@ object Pipeline {
   def mmSceneDetect(s: SparkSession, d: String): DataFrame =
     Multimodal.sceneDetectPlan(Multimodal.decodeMeta(Tables.documents(s, d)))
 
+  /** Modality-coverage report — which documents have which modalities
+    * attached (text ⋈ embedding here; image/audio in a real corpus):
+    * one co-partitioned FULL OUTER join on the id, classified and
+    * aggregated per source to the audit grid a multimodal ingest
+    * pipeline alerts on. The missing-modality id ranges (min/max) come
+    * free from the same partial agg.
+    */
+  def mmModality(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val vecs = Tables.embeddings(s, d).select(col("vec_id"))
+    docs.join(vecs, col("doc_id") === col("vec_id"), "full_outer")
+      .select(coalesce(col("doc_id"), col("vec_id")).as("id"),
+        coalesce(col("source"), lit("<none>")).as("source"),
+        when(col("doc_id").isNotNull && col("vec_id").isNotNull, lit("both"))
+          .when(col("doc_id").isNotNull, lit("text_only"))
+          .otherwise(lit("vector_only")).as("modality"))
+      .groupBy(col("source"), col("modality"))
+      .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+      .orderBy(col("source"), col("modality"))
+  }
+
   // --- §2.7 streaming (batch-equivalent oracle path) ---------------------
 
   def streamWindowAgg(s: SparkSession, d: String): DataFrame =
@@ -763,6 +784,18 @@ object Pipeline {
         |SELECT source, split, n_docs,
         |  n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY source) AS share_x1e6
         |FROM c ORDER BY source, split""".stripMargin,
+
+    "mm_modality" ->
+      """WITH j AS (
+        |  SELECT COALESCE(d.doc_id, e.vec_id) AS id,
+        |    COALESCE(d.source, '<none>') AS source,
+        |    CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL THEN 'both'
+        |         WHEN d.doc_id IS NOT NULL THEN 'text_only'
+        |         ELSE 'vector_only' END AS modality
+        |  FROM documents d FULL OUTER JOIN embeddings e ON d.doc_id = e.vec_id)
+        |SELECT source, modality, CAST(count(*) AS BIGINT) AS n,
+        |  min(id) AS min_id, max(id) AS max_id
+        |FROM j GROUP BY source, modality ORDER BY source, modality""".stripMargin,
 
     "pipe_freshness" ->
       """WITH ev AS (

@@ -221,6 +221,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(m("event_null_user")._2 == Tables.events(spark, sf).count())
   }
 
+  test("modality report partitions the id universe") {
+    val rows = Pipeline.mmModality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getLong(2)).sum
+    val nDocs = Tables.documents(spark, sf).count()
+    val nVecs = Tables.embeddings(spark, sf).count()
+    val nBoth = rows.filter(_.getString(1) == "both").map(_.getLong(2)).sum
+    // |docs ∪ vecs| = |docs| + |vecs| − |both|
+    assert(total == nDocs + nVecs - nBoth)
+    rows.foreach(r => assert(r.getLong(3) <= r.getLong(4)))
+  }
+
   test("chunking covers every token with correct stride overlap") {
     val rows = Pipeline.chunk(spark, sf).collect()
     val nTok = Tables.documents(spark, sf)
