@@ -151,6 +151,8 @@ object SparkEntry {
     "txt_bpe_pairs"       -> ((s, d) => Text.bpePairs(s, d)),
     "q_window_dist"       -> ((s, d) => Relational.qWindowDist(s, d)),
     "q_retention"         -> ((s, d) => operators.Temporal.qRetention(s, d)),
+    "q_cohort_matrix"     -> ((s, d) => operators.Temporal.qCohortMatrix(s, d)),
+    "q_ab_lift"           -> ((s, d) => operators.Temporal.qAbLift(s, d)),
     "mm_patchify"         -> ((s, d) => Pipeline.mmPatchify(s, d)),
     "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),
     "txt_bigram_coverage" -> ((s, d) => Text.bigramCoverage(s, d)),

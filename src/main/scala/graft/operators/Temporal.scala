@@ -259,6 +259,51 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** Full cohort-retention matrix — the (first-seen day × day-offset)
+    * grid behind every retention curve: per-user-day activity distinct,
+    * cohort min join, then one partial-agg groupBy onto a grid of at
+    * most days² rows with exact per-mille retention (cohort size joins
+    * back on the tiny cohort-day table). Generalizes [[qRetention]]'s
+    * day-1/day-7 columns to every offset.
+    */
+  def qCohortMatrix(s: SparkSession, d: String): DataFrame = {
+    val ud = EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val cohort = ud.groupBy(col("user_id")).agg(min(col("day")).as("c_day"))
+    val sizes = cohort.groupBy(col("c_day")).agg(countDistinct(col("user_id")).as("cohort_n"))
+    ud.join(cohort, Seq("user_id"))
+      .groupBy(col("c_day"), (col("day") - col("c_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), Seq("c_day"))
+      .select(col("c_day"), col("day_offset"), col("n_active"), col("cohort_n"),
+        expr("n_active * 1000 div cohort_n").as("retention_pm"))
+      .orderBy(col("c_day"), col("day_offset"))
+  }
+
+  /** Deterministic A/B readout — arms assigned by a stateless hash
+    * parity of user_id (re-derivable anywhere, like [[graft.operators
+    * .Pipeline.splitAssign]]), conversion = any purchase event, rates
+    * and per-user purchase value in exact scaled integers. One
+    * per-user aggregate then a 2-row arm aggregate.
+    */
+  def qAbLift(s: SparkSession, d: String): DataFrame = {
+    val perUser = EventStreams.normalize(Tables.events(s, d))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("converted"),
+        sum(when(col("event_type") === "purchase",
+          expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).otherwise(0L)).as("purchase_cents"))
+    perUser
+      .groupBy(expr("((user_id * 2654435761) % 4294967296) div 2147483648").as("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("converted")).cast("long").as("n_converted"),
+        sum(col("purchase_cents")).as("value_cents"))
+      .select(col("arm"), col("n_users"), col("n_converted"), col("value_cents"),
+        expr("n_converted * 10000 div n_users").as("conv_x1e4"),
+        expr("value_cents div n_users").as("value_per_user_cents"))
+      .orderBy(col("arm"))
+  }
+
   /** CUSUM changepoint scan over the daily event-count series — the
     * level-shift detector run scale-free in exact integers: with daily
     * counts x_k and total S over n days, the centered cumulative sum
@@ -375,6 +420,36 @@ object Temporal {
         |SELECT event_type, CAST(sum(next_t - t) AS BIGINT) AS covered_us
         |FROM run WHERE active > 0 AND next_t IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_cohort_matrix" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS c_day FROM ud GROUP BY user_id),
+        |s AS (SELECT c_day, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_n
+        |      FROM c GROUP BY c_day),
+        |g AS (
+        |  SELECT c.c_day, ud.day - c.c_day AS day_offset,
+        |    CAST(count(DISTINCT ud.user_id) AS BIGINT) AS n_active
+        |  FROM ud JOIN c ON ud.user_id = c.user_id
+        |  GROUP BY c.c_day, ud.day - c.c_day)
+        |SELECT g.c_day, g.day_offset, g.n_active, s.cohort_n,
+        |  g.n_active * 1000 // s.cohort_n AS retention_pm
+        |FROM g JOIN s ON s.c_day = g.c_day
+        |ORDER BY g.c_day, g.day_offset""".stripMargin,
+
+    "q_ab_lift" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+        |    sum(CASE WHEN event_type = 'purchase'
+        |             THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS purchase_cents
+        |  FROM events GROUP BY user_id)
+        |SELECT ((user_id * 2654435761) % 4294967296) // 2147483648 AS arm,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(converted) AS BIGINT) AS n_converted,
+        |  CAST(sum(purchase_cents) AS BIGINT) AS value_cents,
+        |  CAST(sum(converted) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS conv_x1e4,
+        |  CAST(sum(purchase_cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS value_per_user_cents
+        |FROM pu GROUP BY arm ORDER BY arm""".stripMargin,
 
     "q_changepoint" ->
       """WITH daily AS (

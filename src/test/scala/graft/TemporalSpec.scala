@@ -33,6 +33,33 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("cohort matrix: offset-0 retention is 1000 per mille and matches qRetention at day 1/7") {
+    val m = Temporal.qCohortMatrix(spark, sf).collect()
+    assert(m.nonEmpty)
+    m.filter(_.getLong(1) == 0L).foreach { r =>
+      assert(r.getLong(2) == r.getLong(3) && r.getLong(4) == 1000L, s"offset-0 row: $r")
+    }
+    val byKey = m.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Temporal.qRetention(spark, sf).collect().foreach { r =>
+      val c = r.getLong(0)
+      assert(byKey.getOrElse((c, 1L), 0L) == r.getLong(2), s"day-1 mismatch cohort $c")
+      assert(byKey.getOrElse((c, 7L), 0L) == r.getLong(3), s"day-7 mismatch cohort $c")
+    }
+  }
+
+  test("ab arms partition users and rates are the exact scaled ratios") {
+    val rows = Temporal.qAbLift(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq == Seq(0L, 1L))
+    val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+    assert(rows.map(_.getLong(1)).sum == ev.select("user_id").distinct().count())
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(2) * 10000 / r.getLong(1))
+      assert(r.getLong(5) == r.getLong(3) / r.getLong(1))
+      // arms should be roughly balanced (hash uniformity, wide band)
+      assert(r.getLong(1) > 0)
+    }
+  }
+
   test("changepoint cusum telescopes to zero and flags the peak day(s)") {
     val rows = Temporal.qChangepoint(spark, sf).collect()
     assert(rows.nonEmpty)
