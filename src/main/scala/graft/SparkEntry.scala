@@ -145,6 +145,8 @@ object SparkEntry {
     "pipe_chunk"          -> ((s, d) => Pipeline.chunk(s, d)),
     "pipe_dq_report"      -> ((s, d) => Pipeline.dqReport(s, d)),
     "pipe_freshness"      -> ((s, d) => Pipeline.freshness(s, d)),
+    "pipe_dataset_card"   -> ((s, d) => Pipeline.datasetCard(s, d)),
+    "q_paths"             -> ((s, d) => operators.Temporal.qPaths(s, d)),
     "q_changepoint"       -> ((s, d) => operators.Temporal.qChangepoint(s, d)),
     "stream_topk"         -> ((s, d) => Pipeline.streamTopk(s, d)),
     "stream_spike"        -> ((s, d) => Pipeline.streamSpike(s, d)),

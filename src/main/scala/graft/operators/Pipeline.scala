@@ -193,6 +193,28 @@ object Pipeline {
       .orderBy(col("source"), col("split"))
   }
 
+  /** Dataset card — the one-row corpus summary a catalog stores next to
+    * the data: sizes, source/language breadth, token mass, exact-dup
+    * rate, language share. ONE scan, one partial-agg row (every measure
+    * is algebraic or a distinct-count) — the cheapest honest metadata a
+    * 100 TB corpus can produce. (At web scale the distinct-text count
+    * would ride a fingerprint, as the dedup family does; the card keeps
+    * the plain form so the oracle stays equi-expressible.)
+    */
+  def datasetCard(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(size(TextFunctions.rawTokens(col("text")))).cast("long").as("n_tokens"),
+        countDistinct(col("text")).as("n_uniq_texts"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"), col("n_tokens"),
+        col("n_uniq_texts"),
+        expr("(n_docs - n_uniq_texts) * 10000 div n_docs").as("dup_bp"),
+        expr("n_en * 1000 div n_docs").as("en_pm"),
+        expr("n_tokens div n_docs").as("avg_doc_tokens"))
+
   /** Feed-freshness report — the catalog's staleness monitor: per event
     * type, the last active day, staleness vs the corpus max day, days
     * active, and volume. One partial-agg pass + a broadcast 1-row
@@ -796,6 +818,21 @@ object Pipeline {
         |SELECT source, modality, CAST(count(*) AS BIGINT) AS n,
         |  min(id) AS min_id, max(id) AS max_id
         |FROM j GROUP BY source, modality ORDER BY source, modality""".stripMargin,
+
+    "pipe_dataset_card" ->
+      s"""WITH a AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+         |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+         |    CAST(sum(len(${TextFunctions.rawTokensSql("text")})) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT text) AS BIGINT) AS n_uniq_texts,
+         |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en
+         |  FROM documents)
+         |SELECT n_docs, n_sources, n_langs, n_tokens, n_uniq_texts,
+         |  (n_docs - n_uniq_texts) * 10000 // n_docs AS dup_bp,
+         |  n_en * 1000 // n_docs AS en_pm,
+         |  n_tokens // n_docs AS avg_doc_tokens
+         |FROM a""".stripMargin,
 
     "pipe_freshness" ->
       """WITH ev AS (

@@ -259,6 +259,27 @@ object Temporal {
       .orderBy(col("event_type"))
   }
 
+  /** Top user journeys — the path-analysis staple: each user's first
+    * three events (time-ordered, id tie-broken) joined into a `a>b>c`
+    * path string, counted corpus-wide, top 20. One user_id window
+    * (rank ≤ 3 filters early, so the per-user collect is bounded at 3
+    * rows), one path groupBy, one TakeOrderedAndProject page.
+    */
+  def qPaths(s: SparkSession, d: String, steps: Int = 3, k: Int = 20): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    ev.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= steps)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(">",
+        expr("transform(array_sort(collect_list(struct(rn, event_type))), x -> x.event_type)"))
+        .as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_users"))
+      .orderBy(col("n_users").desc, col("path"))
+      .limit(k)
+  }
+
   /** Full cohort-retention matrix — the (first-seen day × day-offset)
     * grid behind every retention curve: per-user-day activity distinct,
     * cohort min join, then one partial-agg groupBy onto a grid of at
@@ -420,6 +441,19 @@ object Temporal {
         |SELECT event_type, CAST(sum(next_t - t) AS BIGINT) AS covered_us
         |FROM run WHERE active > 0 AND next_t IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_paths" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |rk AS (
+        |  SELECT user_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rn
+        |  FROM ev),
+        |p AS (
+        |  SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        |  FROM rk WHERE rn <= 3 GROUP BY user_id)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n_users
+        |FROM p GROUP BY path
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin,
 
     "q_cohort_matrix" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -33,6 +33,22 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("paths: every path has <=3 steps from the event alphabet; counts cover no more than all users") {
+    val rows = Temporal.qPaths(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val types = Set("click", "view", "purchase", "signup", "error")
+    rows.foreach { r =>
+      val steps = r.getString(0).split(">")
+      assert(steps.length <= 3 && steps.forall(types.contains), s"bad path: ${r.getString(0)}")
+    }
+    val nUsers = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getLong(1)).sum <= nUsers)
+    // counts non-increasing in emitted order
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("cohort matrix: offset-0 retention is 1000 per mille and matches qRetention at day 1/7") {
     val m = Temporal.qCohortMatrix(spark, sf).collect()
     assert(m.nonEmpty)
