@@ -62,6 +62,9 @@ object Pipeline {
   def annRangeSearch(s: SparkSession, d: String): DataFrame =
     Similarity.rangeSearch(Tables.embeddings(s, d), queryPred, 250000L)
 
+  def annPqTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.pqTopK(Tables.embeddings(s, d), queryPred)
+
   // --- §2.6 multimodal ---------------------------------------------------
 
   def mmDecodeMeta(s: SparkSession, d: String): DataFrame =
@@ -742,6 +745,8 @@ object Pipeline {
          |  FROM sc)
          |SELECT q_id, rk, vec_id, cos_x1e6 FROM rk WHERE rk <= 10
          |ORDER BY q_id, rk""".stripMargin,
+
+    "ann_pq_topk" -> Similarity.pqOracleSql("vec_id % 97 = 0"),
 
     "ann_range_search" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

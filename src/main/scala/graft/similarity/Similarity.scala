@@ -82,6 +82,107 @@ object Similarity {
       .orderBy(col("q_id"), col("vec_id"))
   }
 
+  /** Squared-L2 chain between a vector's subspace-m slice and a literal
+    * centroid — in-order double accumulation shared verbatim by the
+    * Spark plan (`base`=0) and the DuckDB oracle (`base`=1).
+    */
+  private def pqDist2Sql(v: String, m: Int, cent: Seq[Float], base: Int): String =
+    cent.zipWithIndex.map { case (c, j) =>
+      val idx = m * PqModel.SubDim + j + base
+      val t = s"(CAST($v[$idx] AS DOUBLE) - (${c.toDouble}))"
+      s"$t * $t"
+    }.mkString("(0.0 + ", " + ", ")")
+
+  /** Product-quantization ADC scan — the memory-compressed exhaustive
+    * ANN: every corpus vector is ENCODED once into M 4-bit codes
+    * (argmin over the pinned [[PqModel]] codebooks, lowest index on
+    * ties), queries precompute their M×K subspace-distance table, and
+    * the scan scores each (query, vector) pair by summing M table
+    * lookups — at 100 TB the corpus side the scan reads is M bytes per
+    * vector instead of 4·dim, which is the entire point of PQ. Every
+    * step is literal arithmetic over the pinned floats, so the whole
+    * plan (encode, lookup, re-rank) gates HASH-EXACT against
+    * [[pqOracleSql]]; recall vs brute is measured in spec.
+    */
+  def pqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+             model: Seq[Seq[Seq[Float]]] = PqModel.books): DataFrame = {
+    val mM = model.length
+    val kK = model.head.length
+    var e = graft.Tables.fanOut(embeddings).select(col("vec_id"), col("embedding"))
+    for (m <- 0 until mM; kk <- 0 until kK)
+      e = e.withColumn(s"d_${m}_$kk", expr(pqDist2Sql("embedding", m, model(m)(kk), 0)))
+    for (m <- 0 until mM) {
+      e = e.withColumn(s"g_$m", least((0 until kK).map(kk => col(s"d_${m}_$kk")): _*))
+      e = e.withColumn(s"c_$m", expr((0 until kK)
+        .map(kk => s"WHEN d_${m}_$kk = g_$m THEN $kk").mkString("CASE ", " ", " END")))
+    }
+    val codes = e.select(col("vec_id") +: (0 until mM).map(m => col(s"c_$m")): _*)
+    var q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    for (m <- 0 until mM; kk <- 0 until kK)
+      q = q.withColumn(s"dq_${m}_$kk", expr(pqDist2Sql("q_emb", m, model(m)(kk), 0)))
+    val qq = q.drop("q_emb")
+    val adc = (0 until mM).map { m =>
+      expr((0 until kK).map(kk => s"WHEN $kk THEN dq_${m}_$kk")
+        .mkString(s"CASE c_$m ", " ", " END"))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist_x1e6"), col("vec_id"))
+    codes.join(broadcast(qq), col("vec_id") =!= col("q_id"))
+      .withColumn("adist_x1e6", floor(adc * 1e6).cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adist_x1e6"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** DuckDB rendering of the full PQ plan (encode → ADC → re-rank). */
+  def pqOracleSql(queryPredSql: String, k: Int = 10,
+                  model: Seq[Seq[Seq[Float]]] = PqModel.books): String = {
+    val mM = model.length
+    val kK = model.head.length
+    val dCols = (for (m <- 0 until mM; kk <- 0 until kK)
+      yield s"    ${pqDist2Sql("embedding", m, model(m)(kk), 1)} AS d_${m}_$kk").mkString(",\n")
+    val gCols = (0 until mM).map(m =>
+      s"    least(${(0 until kK).map(kk => s"d_${m}_$kk").mkString(", ")}) AS g_$m").mkString(",\n")
+    val cCols = (0 until mM).map(m =>
+      "    " + (0 until kK).map(kk => s"WHEN d_${m}_$kk = g_$m THEN $kk")
+        .mkString("CASE ", " ", s" END AS c_$m")).mkString(",\n")
+    val dqCols = (for (m <- 0 until mM; kk <- 0 until kK)
+      yield s"    ${pqDist2Sql("q_emb", m, model(m)(kk), 1)} AS dq_${m}_$kk").mkString(",\n")
+    val adc = (0 until mM).map(m =>
+      (0 until kK).map(kk => s"WHEN $kk THEN dq_${m}_$kk")
+        .mkString(s"(CASE c.c_$m ", " ", " END)")).mkString(" + ")
+    s"""WITH dcorp AS (
+       |  SELECT vec_id,
+       |$dCols
+       |  FROM embeddings),
+       |gc AS (
+       |  SELECT *,
+       |$gCols
+       |  FROM dcorp),
+       |codes AS (
+       |  SELECT vec_id,
+       |$cCols
+       |  FROM gc),
+       |q0 AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |       WHERE $queryPredSql),
+       |dq AS (
+       |  SELECT q_id,
+       |$dqCols
+       |  FROM q0),
+       |sc AS (
+       |  SELECT q.q_id, c.vec_id,
+       |    CAST(floor(($adc) * 1e6) AS BIGINT) AS adist_x1e6
+       |  FROM codes c CROSS JOIN dq q WHERE c.vec_id <> q.q_id),
+       |rk AS (
+       |  SELECT q_id, vec_id, adist_x1e6,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adist_x1e6, vec_id) AS INT) AS rk
+       |  FROM sc)
+       |SELECT q_id, rk, vec_id, adist_x1e6 FROM rk WHERE rk <= $k
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   /** All-pairs cosine ≥ τ within a blocking key (label) — embedding
     * near-dup detection. Block-local self-join: pairs never cross blocks.
     */

@@ -313,6 +313,26 @@ class PipelineSpec extends AnyFunSuite {
       }
   }
 
+  test("PQ ADC scan: codes in range, distances non-decreasing, measured recall vs brute") {
+    val rows = Pipeline.annPqTopk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length))
+      val ds = sorted.map(_.getLong(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+      assert(ds.forall(_ >= 0L))
+    }
+    // L2-ADC neighbors vs cosine brute: different metrics, so recall is
+    // informative, not pinned high — but it must beat random (10/500)
+    val brute = Pipeline.annBruteTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    info(f"PQ ADC recall@10 vs cosine brute = $recall%.2f (8x16 codebooks, approximate by design)")
+    assert(recall > 0.05)
+  }
+
   test("LSH ANN returns a subset ranking with measured recall") {
     val brute = Pipeline.annBruteTopk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
