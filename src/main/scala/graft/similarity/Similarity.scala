@@ -82,16 +82,33 @@ object Similarity {
       .orderBy(col("q_id"), col("vec_id"))
   }
 
-  /** Squared-L2 chain between a vector's subspace-m slice and a literal
-    * centroid — in-order double accumulation shared verbatim by the
-    * Spark plan (`base`=0) and the DuckDB oracle (`base`=1).
+  /** PQ squared-L2 is computed in the DECOMPOSED form
+    * d(v,c) = (v·v − 2·v·c) + c·c so the corpus side rides the
+    * codegen'd [[graft.functions.FloatVecDotConst]] loop (zero-padded
+    * coefficients outside subspace m — x·0.0 adds ±0.0, which is
+    * bitwise absorbed by the accumulator, so the 64-term loop equals
+    * the oracle's 8-term chain exactly). The first-cut (x−c)² chains
+    * made Catalyst generate 128 64-flop expressions whose JIT/codegen
+    * compile DOMINATED the query (~80 s cold).
     */
-  private def pqDist2Sql(v: String, m: Int, cent: Seq[Float], base: Int): String =
+  private def pqVvSql(v: String, m: Int, base: Int): String =
+    (0 until PqModel.SubDim).map { j =>
+      val idx = m * PqModel.SubDim + j + base
+      s"CAST($v[$idx] AS DOUBLE) * CAST($v[$idx] AS DOUBLE)"
+    }.mkString("(0.0 + ", " + ", ")")
+
+  private def pqDotSql(v: String, m: Int, cent: Seq[Float], base: Int): String =
     cent.zipWithIndex.map { case (c, j) =>
       val idx = m * PqModel.SubDim + j + base
-      val t = s"(CAST($v[$idx] AS DOUBLE) - (${c.toDouble}))"
-      s"$t * $t"
+      s"CAST($v[$idx] AS DOUBLE) * (${c.toDouble})"
     }.mkString("(0.0 + ", " + ", ")")
+
+  private def pqCc(cent: Seq[Float]): Double =
+    cent.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+
+  /** d_mk from named vv/dot columns (or CTE refs) + the c·c literal. */
+  private def pqDSql(vvRef: String, dotRef: String, cent: Seq[Float]): String =
+    s"(($vvRef - 2.0 * $dotRef) + (${pqCc(cent)}))"
 
   /** Product-quantization ADC scan — the memory-compressed exhaustive
     * ANN: every corpus vector is ENCODED once into M 4-bit codes
@@ -108,20 +125,49 @@ object Similarity {
              model: Seq[Seq[Seq[Float]]] = PqModel.books): DataFrame = {
     val mM = model.length
     val kK = model.head.length
-    var e = graft.Tables.fanOut(embeddings).select(col("vec_id"), col("embedding"))
-    for (m <- 0 until mM; kk <- 0 until kK)
-      e = e.withColumn(s"d_${m}_$kk", expr(pqDist2Sql("embedding", m, model(m)(kk), 0)))
-    for (m <- 0 until mM) {
-      e = e.withColumn(s"g_$m", least((0 until kK).map(kk => col(s"d_${m}_$kk")): _*))
-      e = e.withColumn(s"c_$m", expr((0 until kK)
-        .map(kk => s"WHEN d_${m}_$kk = g_$m THEN $kk").mkString("CASE ", " ", " END")))
+    val dim = mM * PqModel.SubDim
+    def padded(m: Int, cent: Seq[Float]): Seq[Double] = {
+      val a = Array.fill(dim)(0.0)
+      cent.zipWithIndex.foreach { case (c, j) => a(m * PqModel.SubDim + j) = c.toDouble }
+      a.toSeq
     }
-    val codes = e.select(col("vec_id") +: (0 until mM).map(m => col(s"c_$m")): _*)
-    var q = embeddings.filter(queryPred)
+    // vv/dot are MATERIALIZED before the argmin/ADC CASEs consume them:
+    // CollapseProject would otherwise inline every dot loop into every
+    // CASE branch (17× duplication). The corpus barrier is also the
+    // honest pipeline shape — codes are computed at ingest and stored.
+    val pre = graft.Tables.fanOut(embeddings).select(
+      col("vec_id") +:
+        ((0 until mM).map(m => expr(pqVvSql("embedding", m, 0)).as(s"vv_$m")) ++
+          (for (m <- 0 until mM; kk <- 0 until kK) yield
+            graft.functions.VectorFunctions
+              .floatVecDotConst(col("embedding"), padded(m, model(m)(kk)))
+              .as(s"dot_${m}_$kk"))): _*)
+      .localCheckpoint()
+    def dRef(side: String, m: Int, kk: Int): String =
+      pqDSql(s"vv_$m", s"${side}_${m}_$kk", model(m)(kk))
+    // name the d columns behind one more cheap barrier so the argmin
+    // CASEs compare plain column refs (keeps generated code tiny)
+    val withDCols = pre.select(col("vec_id") +:
+      (for (m <- 0 until mM; kk <- 0 until kK) yield
+        expr(dRef("dot", m, kk)).as(s"d_${m}_$kk")): _*)
+      .localCheckpoint()
+    val codes = withDCols.select(col("vec_id") +: (0 until mM).map { m =>
+      val ds = (0 until kK).map(kk => s"d_${m}_$kk")
+      val g = ds.mkString("least(", ", ", ")")
+      expr(ds.zipWithIndex.map { case (d, kk) => s"WHEN $d = $g THEN $kk" }
+        .mkString("CASE ", " ", " END")).as(s"c_$m")
+    }: _*)
+    val qq = embeddings.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    for (m <- 0 until mM; kk <- 0 until kK)
-      q = q.withColumn(s"dq_${m}_$kk", expr(pqDist2Sql("q_emb", m, model(m)(kk), 0)))
-    val qq = q.drop("q_emb")
+      .select(col("q_id") +:
+        ((0 until mM).map(m => expr(pqVvSql("q_emb", m, 0)).as(s"vv_$m")) ++
+          (for (m <- 0 until mM; kk <- 0 until kK) yield
+            graft.functions.VectorFunctions
+              .floatVecDotConst(col("q_emb"), padded(m, model(m)(kk)))
+              .as(s"qdot_${m}_$kk"))): _*)
+      .localCheckpoint()
+      .select(col("q_id") +: (for (m <- 0 until mM; kk <- 0 until kK) yield
+        expr(dRef("qdot", m, kk)).as(s"dq_${m}_$kk")): _*)
     val adc = (0 until mM).map { m =>
       expr((0 until kK).map(kk => s"WHEN $kk THEN dq_${m}_$kk")
         .mkString(s"CASE c_$m ", " ", " END"))
@@ -135,41 +181,55 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
-  /** DuckDB rendering of the full PQ plan (encode → ADC → re-rank). */
+  /** DuckDB rendering of the full PQ plan (encode → ADC → re-rank) —
+    * the SAME vv/dot decomposition the Spark side computes, with only
+    * the 8 non-zero dot terms written out (the Spark loop's zero-coef
+    * terms add ±0.0, which the accumulator absorbs bitwise).
+    */
   def pqOracleSql(queryPredSql: String, k: Int = 10,
                   model: Seq[Seq[Seq[Float]]] = PqModel.books): String = {
     val mM = model.length
     val kK = model.head.length
-    val dCols = (for (m <- 0 until mM; kk <- 0 until kK)
-      yield s"    ${pqDist2Sql("embedding", m, model(m)(kk), 1)} AS d_${m}_$kk").mkString(",\n")
-    val gCols = (0 until mM).map(m =>
-      s"    least(${(0 until kK).map(kk => s"d_${m}_$kk").mkString(", ")}) AS g_$m").mkString(",\n")
-    val cCols = (0 until mM).map(m =>
-      "    " + (0 until kK).map(kk => s"WHEN d_${m}_$kk = g_$m THEN $kk")
-        .mkString("CASE ", " ", s" END AS c_$m")).mkString(",\n")
+    val preCols = ((0 until mM).map(m =>
+      s"    ${pqVvSql("embedding", m, 1)} AS vv_$m") ++
+      (for (m <- 0 until mM; kk <- 0 until kK)
+        yield s"    ${pqDotSql("embedding", m, model(m)(kk), 1)} AS dot_${m}_$kk"))
+      .mkString(",\n")
+    val cCols = (0 until mM).map { m =>
+      val ds = (0 until kK).map(kk => pqDSql(s"vv_$m", s"dot_${m}_$kk", model(m)(kk)))
+      val g = ds.mkString("least(", ", ", ")")
+      "    " + ds.zipWithIndex.map { case (d, kk) => s"WHEN $d = $g THEN $kk" }
+        .mkString("CASE ", " ", s" END AS c_$m")
+    }.mkString(",\n")
+    val qpreCols = ((0 until mM).map(m =>
+      s"    ${pqVvSql("q_emb", m, 1)} AS vv_$m") ++
+      (for (m <- 0 until mM; kk <- 0 until kK)
+        yield s"    ${pqDotSql("q_emb", m, model(m)(kk), 1)} AS qdot_${m}_$kk"))
+      .mkString(",\n")
     val dqCols = (for (m <- 0 until mM; kk <- 0 until kK)
-      yield s"    ${pqDist2Sql("q_emb", m, model(m)(kk), 1)} AS dq_${m}_$kk").mkString(",\n")
+      yield s"    ${pqDSql(s"vv_$m", s"qdot_${m}_$kk", model(m)(kk))} AS dq_${m}_$kk")
+      .mkString(",\n")
     val adc = (0 until mM).map(m =>
       (0 until kK).map(kk => s"WHEN $kk THEN dq_${m}_$kk")
         .mkString(s"(CASE c.c_$m ", " ", " END)")).mkString(" + ")
-    s"""WITH dcorp AS (
+    s"""WITH pre AS (
        |  SELECT vec_id,
-       |$dCols
+       |$preCols
        |  FROM embeddings),
-       |gc AS (
-       |  SELECT *,
-       |$gCols
-       |  FROM dcorp),
        |codes AS (
        |  SELECT vec_id,
        |$cCols
-       |  FROM gc),
+       |  FROM pre),
        |q0 AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
        |       WHERE $queryPredSql),
+       |qpre AS (
+       |  SELECT q_id,
+       |$qpreCols
+       |  FROM q0),
        |dq AS (
        |  SELECT q_id,
        |$dqCols
-       |  FROM q0),
+       |  FROM qpre),
        |sc AS (
        |  SELECT q.q_id, c.vec_id,
        |    CAST(floor(($adc) * 1e6) AS BIGINT) AS adist_x1e6
