@@ -147,6 +147,8 @@ object SparkEntry {
     "pipe_dq_report"      -> ((s, d) => Pipeline.dqReport(s, d)),
     "pipe_freshness"      -> ((s, d) => Pipeline.freshness(s, d)),
     "pipe_dataset_card"   -> ((s, d) => Pipeline.datasetCard(s, d)),
+    "pipe_epoch_shuffle"  -> ((s, d) => Pipeline.epochShuffle(s, d)),
+    "txt_rarity"          -> ((s, d) => Text.rarity(s, d)),
     "q_paths"             -> ((s, d) => operators.Temporal.qPaths(s, d)),
     "q_changepoint"       -> ((s, d) => operators.Temporal.qChangepoint(s, d)),
     "stream_topk"         -> ((s, d) => Pipeline.streamTopk(s, d)),

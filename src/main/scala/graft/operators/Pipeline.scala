@@ -196,6 +196,27 @@ object Pipeline {
       .orderBy(col("source"), col("split"))
   }
 
+  /** Reproducible per-epoch shuffle order — training loaders need a
+    * DIFFERENT but DETERMINISTIC permutation per epoch: order key =
+    * hash(doc_id, epoch), so any worker can re-derive any epoch's
+    * order with no stored state. Emitted as the first k positions of
+    * each epoch (the order-audit a resumable trainer checks against).
+    * The per-epoch rank is the usual bounded top-k window shape.
+    */
+  def epochShuffle(s: SparkSession, d: String, epochs: Int = 2, k: Int = 20): DataFrame = {
+    val e = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("epoch", explode(expr(s"sequence(1, $epochs)")))
+      // the epoch must perturb the id BEFORE the multiply — a post-hash
+      // additive offset shifts every key equally and preserves the order
+      .withColumn("h", expr("((doc_id + epoch * 7919) * 2654435761) % 4294967296"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("epoch")).orderBy(col("h"), col("doc_id"))
+    e.withColumn("pos", row_number().over(w))
+      .filter(col("pos") <= k)
+      .select(col("epoch").cast("int").as("epoch"), col("pos"), col("doc_id"), col("h"))
+      .orderBy(col("epoch"), col("pos"))
+  }
+
   /** Dataset card — the one-row corpus summary a catalog stores next to
     * the data: sizes, source/language breadth, token mass, exact-dup
     * rate, language share. ONE scan, one partial-agg row (every measure
@@ -823,6 +844,18 @@ object Pipeline {
         |SELECT source, modality, CAST(count(*) AS BIGINT) AS n,
         |  min(id) AS min_id, max(id) AS max_id
         |FROM j GROUP BY source, modality ORDER BY source, modality""".stripMargin,
+
+    "pipe_epoch_shuffle" ->
+      """WITH e AS (
+        |  SELECT doc_id, CAST(i AS INT) AS epoch,
+        |    ((doc_id + CAST(i AS INT) * 7919) * 2654435761) % 4294967296 AS h
+        |  FROM documents, unnest(range(1, 3)) AS u(i)),
+        |rk AS (
+        |  SELECT epoch, doc_id, h,
+        |    CAST(row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) AS INT) AS pos
+        |  FROM e)
+        |SELECT epoch, pos, doc_id, h FROM rk WHERE pos <= 20
+        |ORDER BY epoch, pos""".stripMargin,
 
     "pipe_dataset_card" ->
       s"""WITH a AS (

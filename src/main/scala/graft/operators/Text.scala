@@ -304,6 +304,28 @@ object Text {
       .agg(count(lit(1)).as("n_docs"))
       .orderBy(col("bigram"))
 
+  /** Integer perplexity proxy — per-doc average bigram RARITY against
+    * the corpus bigram table: rarity(b) = N·1000 div df(b) (monotone in
+    * −log p without ln()), averaged over the doc's distinct bigrams.
+    * High = novel content, low = boilerplate — the LM-free fluency/
+    * novelty quality signal. One corpus explode builds both sides; the
+    * df table is bigram-vocab-sized and broadcast onto the postings.
+    */
+  def rarity(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.fanOut(Tables.documents(s, d))
+    val bg = docs.select(col("doc_id"),
+      explode(graft.dedup.Dedup.shingles(col("text"), 2)).as("bg"))
+    val df = bg.groupBy(col("bg")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    bg.join(df, "bg").crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(expr("n_docs * 1000 div df")).as("rarity_sum"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("rarity_sum div n_bigrams").as("rarity_avg"))
+      .orderBy(col("doc_id"))
+  }
+
   // --- oracle SQL --------------------------------------------------------
 
   private val langProfilesSql: String = langProfiles.map { case (l, p, words) =>
@@ -426,6 +448,17 @@ object Text {
          |  (1000000 * CAST(sum(tf * tf) AS BIGINT))
          |    // (CAST(sum(tf) AS BIGINT) * CAST(sum(tf) AS BIGINT)) AS simpson_x1e6
          |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "txt_rarity" ->
+      s"""WITH bg AS (
+         |  SELECT doc_id, unnest(${graft.dedup.Dedup.shinglesSql("text", 2)}) AS bg
+         |  FROM documents),
+         |df AS (SELECT bg, CAST(count(*) AS BIGINT) AS df FROM bg GROUP BY bg),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
+         |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  sum(n.n_docs * 1000 // df.df) // CAST(count(*) AS BIGINT) AS rarity_avg
+         |FROM bg b JOIN df ON df.bg = b.bg CROSS JOIN n
+         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
     "txt_bigrams" ->
       s"""SELECT bigram, CAST(count(*) AS BIGINT) AS n_docs

@@ -221,6 +221,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(m("event_null_user")._2 == Tables.events(spark, sf).count())
   }
 
+  test("epoch shuffle: per-epoch permutation prefixes differ but are individually deterministic") {
+    val a = Pipeline.epochShuffle(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val b = Pipeline.epochShuffle(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(a == b, "re-run changed the shuffle order")
+    val e1 = (1 to 20).map(p => a((1, p)))
+    val e2 = (1 to 20).map(p => a((2, p)))
+    assert(e1 != e2, "epochs 1 and 2 produced the same prefix")
+    assert(e1.distinct.size == 20 && e2.distinct.size == 20)
+  }
+
+  test("rarity: docs made of one repeated common bigram score the corpus minimum") {
+    val rows = graft.operators.Text.rarity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // rarity_avg is bounded: df <= N so each term >= 1000 div df >= 1000/N;
+    // and df >= 1 so each term <= N*1000
+    val n = Tables.documents(spark, sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1000L / n && r.getLong(2) <= n * 1000L, s"row $r")
+      assert(r.getLong(1) >= 1)
+    }
+  }
+
   test("modality report partitions the id universe") {
     val rows = Pipeline.mmModality(spark, sf).collect()
     assert(rows.nonEmpty)
