@@ -203,6 +203,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("spike detection over the STREAMED window agg equals the batch plan") {
+    val expected = graft.operators.Pipeline.streamSpike(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val schema = Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = EventStreams.windowAgg(EventStreams.normalize(stream), watermark = true)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("spike_win_test").start()
+    try {
+      q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("window_start_us"))
+        .rowsBetween(-6, -1)
+      val got = spark.table("spike_win_test")
+        .withColumn("prev_max", max(col("n")).over(w))
+        .select(col("window_start_us"), col("event_type"), col("n"), col("prev_max"),
+          (col("prev_max").isNotNull && col("n") >= col("prev_max") * 2).as("spike"))
+        .collect().map(_.toSeq).toSet
+      assert(got == expected, "spike flags over streamed agg diverged from batch")
+    } finally q.stop()
+  }
+
   test("per-window top-3 over the STREAMED window agg equals the batch plan") {
     // rank-on-aggregate is not streamable in append mode; the standard
     // pattern is the stateful agg running as the stream job and top-k
