@@ -40,6 +40,8 @@ object SparkEntry {
     "q_semi_anti"      -> ((s, d) => Relational.qSemiAnti(s, d)),
     "q_in_subquery"    -> ((s, d) => Relational.qInSubquery(s, d)),
     "q_histogram"      -> ((s, d) => Relational.qHistogram(s, d)),
+    "q_histogram_log"  -> ((s, d) => Relational.qHistogramLog(s, d)),
+    "q_kmv_overlap"    -> ((s, d) => Relational.qKmvOverlap(s, d)),
     "q_stats"          -> ((s, d) => Relational.qStats(s, d)),
     "q_regression"     -> ((s, d) => Relational.qRegression(s, d)),
     "q_rfm"            -> ((s, d) => Relational.qRfm(s, d)),
@@ -171,6 +173,39 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Metastore.oracles ++ Text.oracles ++ Pipeline.oracles ++
       operators.Temporal.oracles ++ operators.Graph.oracles ++ Map(
+    "q_histogram_log" ->
+      """WITH c AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)
+        |SELECT CAST(length(bin(cents)) AS INT) AS log2_bucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(cents) AS lo_cents, max(cents) AS hi_cents
+        |FROM c GROUP BY log2_bucket ORDER BY log2_bucket""".stripMargin,
+
+    "q_kmv_overlap" ->
+      """WITH li AS (
+        |  SELECT CAST(year(l_shipdate) AS INT) AS y,
+        |    (l_partkey * 2654435761) % 4294967296 AS h
+        |  FROM lineitem),
+        |a AS (SELECT DISTINCT h FROM li WHERE y = 1995),
+        |b AS (SELECT DISTINCT h FROM li WHERE y = 1996),
+        |u AS (SELECT h FROM a UNION SELECT h FROM b),
+        |su AS (SELECT h FROM u ORDER BY h LIMIT 64),
+        |th AS (SELECT max(h) AS theta, CAST(count(*) AS BIGINT) AS k FROM su),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS inter_in_window
+        |  FROM su WHERE su.h IN (SELECT h FROM a) AND su.h IN (SELECT h FROM b)),
+        |ex AS (SELECT
+        |  (SELECT CAST(count(*) AS BIGINT) FROM a) AS n_a,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM b) AS n_b,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM a JOIN b USING (h)) AS exact_inter)
+        |SELECT th.k, th.theta,
+        |  ((th.k - 1) * 4294967296) // th.theta AS est_union,
+        |  m.inter_in_window,
+        |  m.inter_in_window * 1000000 // th.k AS jaccard_x1e6,
+        |  m.inter_in_window * (((th.k - 1) * 4294967296) // th.theta) // th.k AS est_inter,
+        |  ex.n_a, ex.n_b, ex.exact_inter
+        |FROM th, m, ex""".stripMargin,
+
     "q_regression" ->
       """WITH t AS (
         |  SELECT l_returnflag,

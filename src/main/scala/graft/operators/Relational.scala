@@ -663,6 +663,61 @@ object Relational {
           .as("est_distinct"))
       .orderBy(col("l_returnflag"))
 
+  /** Log-spaced (powers-of-2) histogram of order totals — the
+    * heavy-tail histogram fixed-width bins can't draw. The bucket is
+    * the integer bit length of the cents value (= ⌊log₂⌋+1) computed
+    * as `length(bin(x))`, identical in both engines — no floating
+    * log₂ anywhere. Same partial-agg single-groupBy shape as
+    * [[qHistogram]].
+    */
+  def qHistogramLog(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(expr("CAST(length(bin(cents)) AS INT)").as("log2_bucket"))
+      .agg(count(lit(1)).as("n"), min(col("cents")).as("lo_cents"),
+        max(col("cents")).as("hi_cents"))
+      .orderBy(col("log2_bucket"))
+
+  /** KMV sketch SET ALGEBRA — estimating the overlap of two sets from
+    * their bottom-k sketches alone (the catalog's "how much do these
+    * two corpora overlap" answered without a full join): parts shipped
+    * in 1995 vs 1996. θ = k-th smallest of the UNION sketch; every
+    * union-window hash that belongs to A is necessarily inside A's own
+    * bottom-k (θ ≤ θ_A since union ⊇ A), so membership tests run on
+    * the sketches, never the full sets. Estimates are replayable
+    * integer arithmetic ⇒ hash-exact vs the oracle; the exact
+    * distinct/intersection counts ride along for error inspection.
+    * At 100 TB each side ships k=64 longs — the sketch IS the shuffle.
+    */
+  def qKmvOverlap(spark: SparkSession, dir: String, k: Int = 64): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select(
+      expr("CAST(year(l_shipdate) AS INT)").as("y"),
+      expr("(l_partkey * 2654435761) % 4294967296").as("h"))
+    val a = li.filter(col("y") === 1995).select("h").distinct()
+    val b = li.filter(col("y") === 1996).select("h").distinct()
+    val sa = a.agg(graft.functions.BottomK.bottomK(col("h"), k).as("sa"))
+    val sb = b.agg(graft.functions.BottomK.bottomK(col("h"), k).as("sb"))
+    val su = a.union(b).distinct()
+      .agg(graft.functions.BottomK.bottomK(col("h"), k).as("su"))
+    val exact = a.agg(count(lit(1)).as("n_a"))
+      .crossJoin(b.agg(count(lit(1)).as("n_b")))
+      .crossJoin(a.join(b, "h").agg(count(lit(1)).as("exact_inter")))
+    su.crossJoin(sa).crossJoin(sb).crossJoin(exact)
+      .select(
+        expr(s"CAST(size(su) AS BIGINT)").as("k"),
+        expr(s"element_at(su, size(su))").as("theta"),
+        expr("size(array_intersect(array_intersect(su, sa), sb))").cast("long")
+          .as("inter_in_window"),
+        col("n_a"), col("n_b"), col("exact_inter"))
+      .select(col("k"), col("theta"),
+        expr(s"((k - 1) * 4294967296) div theta").as("est_union"),
+        col("inter_in_window"),
+        expr("inter_in_window * 1000000 div k").as("jaccard_x1e6"),
+        expr(s"inter_in_window * (((k - 1) * 4294967296) div theta) div k")
+          .as("est_inter"),
+        col("n_a"), col("n_b"), col("exact_inter"))
+  }
+
   /** Per-group OLS regression of line price on quantity — slope and R²
     * as EXACT scaled integers: with x = quantity cents and y = price
     * cents, every moment (Σx, Σy, Σxy, Σx², Σy²) is a DECIMAL(38,0)

@@ -97,6 +97,31 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("log histogram: buckets cover all orders, bounds consistent with bit length") {
+    val rows = operators.Relational.qHistogramLog(spark, sf).collect()
+    assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+    rows.foreach { r =>
+      val (bkt, lo, hi) = (r.getInt(0), r.getLong(2), r.getLong(3))
+      assert(java.lang.Long.toBinaryString(lo).length == bkt)
+      assert(java.lang.Long.toBinaryString(hi).length == bkt)
+      assert(lo <= hi)
+    }
+  }
+
+  test("kmv overlap: estimates land within 3x the k=64 sketch rsd of the exact values") {
+    val r = operators.Relational.qKmvOverlap(spark, sf).collect().head
+    val (k, estUnion, estInter) = (r.getLong(0), r.getLong(2), r.getLong(5))
+    val (nA, nB, exactInter) = (r.getLong(6), r.getLong(7), r.getLong(8))
+    assert(k == 64)
+    val exactUnion = nA + nB - exactInter
+    val rsd = 1.0 / math.sqrt(k - 1) // ~12.6%
+    assert(math.abs(estUnion - exactUnion) <= 3 * rsd * exactUnion,
+      s"union est $estUnion vs exact $exactUnion")
+    // intersection carries both union and window error: allow a wider band
+    assert(math.abs(estInter - exactInter) <= 6 * rsd * math.max(exactInter, 1),
+      s"inter est $estInter vs exact $exactInter")
+  }
+
   test("regression matches a double-precision reference within scaled tolerance") {
     val rows = operators.Relational.qRegression(spark, sf).collect()
     assert(rows.nonEmpty)
