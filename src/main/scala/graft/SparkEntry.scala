@@ -41,6 +41,8 @@ object SparkEntry {
     "q_in_subquery"    -> ((s, d) => Relational.qInSubquery(s, d)),
     "q_histogram"      -> ((s, d) => Relational.qHistogram(s, d)),
     "q_histogram_log"  -> ((s, d) => Relational.qHistogramLog(s, d)),
+    "q_gini"           -> ((s, d) => Relational.qGini(s, d)),
+    "q_benford"        -> ((s, d) => Relational.qBenford(s, d)),
     "q_kmv_overlap"    -> ((s, d) => Relational.qKmvOverlap(s, d)),
     "q_stats"          -> ((s, d) => Relational.qStats(s, d)),
     "q_regression"     -> ((s, d) => Relational.qRegression(s, d)),
@@ -173,6 +175,35 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Metastore.oracles ++ Text.oracles ++ Pipeline.oracles ++
       operators.Temporal.oracles ++ operators.Graph.oracles ++ Map(
+    "q_gini" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (
+        |  SELECT s.o_custkey, s.cents, c.c_mktsegment
+        |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+        |r AS (
+        |  SELECT c_mktsegment, cents,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents, o_custkey) AS BIGINT) AS i
+        |  FROM j)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  CAST((1000000 * (sum(CAST((2 * i - 1) * cents AS HUGEINT))
+        |          - CAST(count(*) AS HUGEINT) * sum(CAST(cents AS HUGEINT))))
+        |    // (CAST(count(*) AS HUGEINT) * sum(CAST(cents AS HUGEINT))) AS BIGINT) AS gini_x1e6
+        |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_benford" -> {
+      s"""WITH d AS (
+         |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM orders),
+         |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit)
+         |SELECT digit, n, n * 10000 // sum(n) OVER () AS share_x1e4,
+         |  ${Relational.benfordCaseSql} AS benford_x1e4
+         |FROM g ORDER BY digit""".stripMargin
+    },
+
     "q_histogram_log" ->
       """WITH c AS (
         |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders)

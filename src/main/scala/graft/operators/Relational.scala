@@ -663,6 +663,61 @@ object Relational {
           .as("est_distinct"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact Gini coefficient of customer spend per market segment — the
+    * inequality gauge, in pure BIGINT: with spend sorted ascending
+    * inside each segment (rank i, n rows, total S), Gini·10⁶ =
+    * 10⁶·Σ((2i−n−1)·xᵢ) div (n·S). The sort is a per-SEGMENT window
+    * (parallel across segments, dimension-scale rows — never a global
+    * single-reducer sort), and the rank-weighted sum is one partial
+    * agg.
+    */
+  def qGini(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("cents"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cents"), col("o_custkey"))
+    spend.withColumn("i", row_number().over(w).cast("long"))
+      .groupBy(col("c_mktsegment"))
+      // DECIMAL(38,0) sums: 10⁶·(wsum − nS) tops ~1e21 at sf0.1 —
+      // silent BIGINT wraparound territory
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(cents AS DECIMAL(19,0))")).as("s"),
+        sum(expr("CAST((2 * i - 1) * cents AS DECIMAL(19,0))")).as("wsum"))
+      .select(col("c_mktsegment"), col("n"),
+        // Gini = (2Σi·xᵢ − (n+1)S)/(nS); with wsum = Σ(2i−1)xᵢ = 2Σi·x − S
+        // this is (wsum − nS)/(nS)
+        expr("CAST((1000000 * (wsum - n * s)) div (n * s) AS BIGINT)").as("gini_x1e6"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  /** Benford expectation CASE (×10⁴ integer literals) — single source
+    * for the Spark plan and the DuckDB oracle.
+    */
+  val benfordCaseSql: String =
+    (1 to 9).map(d => s"WHEN $d THEN CAST(${math.round(math.log10(1.0 + 1.0 / d) * 10000)} AS BIGINT)")
+      .mkString("CASE digit ", " ", " END")
+
+  /** Benford leading-digit audit of order totals — the fraud screen:
+    * leading digit extracted by pure integer string math (identical
+    * CAST-to-VARCHAR in both engines), counts + exact ×10⁴ shares vs
+    * the Benford expectation log₁₀(1+1/d) ×10⁴ pinned as integer
+    * literals. One partial-agg groupBy on a 9-row grid.
+    */
+  def qBenford(spark: SparkSession, dir: String): DataFrame = {
+    Tables.orders(spark, dir)
+      .select(expr(
+        "CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS STRING), 1, 1) AS INT)")
+        .as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+      .withColumn("share_x1e4", expr("n * 10000 div sum(n) OVER ()"))
+      .withColumn("benford_x1e4", expr(benfordCaseSql))
+      .orderBy(col("digit"))
+  }
+
   /** Log-spaced (powers-of-2) histogram of order totals — the
     * heavy-tail histogram fixed-width bins can't draw. The bucket is
     * the integer bit length of the cents value (= ⌊log₂⌋+1) computed

@@ -97,6 +97,35 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("gini matches a scala reference and stays in [0, 1e6)") {
+    val rows = operators.Relational.qGini(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val spend = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) cents")
+      .groupBy("o_custkey").agg(sum(col("cents")).as("cents"))
+      .join(Tables.customer(spark, sf).selectExpr("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .collect().map(r => (r.getString(3), r.getLong(0), r.getLong(1)))
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      val xs = spend.filter(_._1 == seg).sortBy(t => (t._3, t._2)).map(_._3)
+      val n = xs.length.toLong
+      val s = xs.sum
+      val wsum = xs.zipWithIndex.map { case (x, i0) => (2L * (i0 + 1) - 1) * BigInt(x) }.sum
+      val expect = (BigInt(1000000) * (wsum - BigInt(n) * BigInt(s)) / (BigInt(n) * BigInt(s))).toLong
+      assert(r.getLong(2) == expect, s"segment $seg gini ${r.getLong(2)} != $expect")
+      assert(r.getLong(2) >= 0 && r.getLong(2) < 1000000)
+    }
+  }
+
+  test("benford digits: shares sum to ~1e4 over digits 1-9") {
+    val rows = operators.Relational.qBenford(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSet.subsetOf((1 to 9).toSet))
+    val shareSum = rows.map(_.getLong(2)).sum
+    assert(shareSum <= 10000L && shareSum > 10000L - rows.length)
+    assert(rows.map(_.getLong(3)).sum == 10000L) // rounded Benford expectations
+  }
+
   test("log histogram: buckets cover all orders, bounds consistent with bit length") {
     val rows = operators.Relational.qHistogramLog(spark, sf).collect()
     assert(rows.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
