@@ -748,8 +748,11 @@ object Relational {
     val li = Tables.lineitem(spark, dir).select(
       expr("CAST(year(l_shipdate) AS INT)").as("y"),
       expr("(l_partkey * 2654435761) % 4294967296").as("h"))
-    val a = li.filter(col("y") === 1995).select("h").distinct()
-    val b = li.filter(col("y") === 1996).select("h").distinct()
+    // each side feeds FOUR consumers (own sketch, union sketch, exact
+    // count, exact intersection) — materialize the distinct hash sets
+    // once instead of re-scanning lineitem per consumer
+    val a = li.filter(col("y") === 1995).select("h").distinct().localCheckpoint()
+    val b = li.filter(col("y") === 1996).select("h").distinct().localCheckpoint()
     val sa = a.agg(graft.functions.BottomK.bottomK(col("h"), k).as("sa"))
     val sb = b.agg(graft.functions.BottomK.bottomK(col("h"), k).as("sb"))
     val su = a.union(b).distinct()
