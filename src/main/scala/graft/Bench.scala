@@ -30,7 +30,10 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // headline fields LAST: the driver records a log tail, so when the
+    // line is truncated from the front the total/count still survive
+    // (JSON key order is semantically irrelevant to any parser)
+    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${ms(total)},"unit":"sec"}""")
     spark.stop()
   }
 }

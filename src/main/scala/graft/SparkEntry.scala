@@ -56,6 +56,10 @@ object SparkEntry {
     "q_mode"           -> ((s, d) => Relational.qMode(s, d)),
     "q_grouping_id"    -> ((s, d) => Relational.qGroupingId(s, d)),
     "q_percentile_cont" -> ((s, d) => Relational.qPercentileCont(s, d)),
+    "q_percentile_disc" -> ((s, d) => Relational.qPercentileDisc(s, d)),
+    "q_lateral_explode" -> ((s, d) => Text.lateralExplode(s, d)),
+    "q_mode_rolling"    -> ((s, d) => operators.Temporal.qModeRolling(s, d)),
+    "ms_score_explain"  -> ((s, d) => Metastore.scoreExplain(s, d)),
     "q_unpivot"        -> ((s, d) => Relational.qUnpivot(s, d)),
     "q_outlier_mad"    -> ((s, d) => Relational.qOutlierMad(s, d)),
     "q_full_outer"     -> ((s, d) => Relational.qFullOuter(s, d)),
@@ -189,7 +193,7 @@ object SparkEntry {
         |      ORDER BY cents, o_custkey) AS BIGINT) AS i
         |  FROM j)
         |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
-        |  CAST((1000000 * (sum(CAST((2 * i - 1) * cents AS HUGEINT))
+        |  CAST((1000000 * (sum(CAST(cents AS HUGEINT) * (2 * i - 1))
         |          - CAST(count(*) AS HUGEINT) * sum(CAST(cents AS HUGEINT))))
         |    // (CAST(count(*) AS HUGEINT) * sum(CAST(cents AS HUGEINT))) AS BIGINT) AS gini_x1e6
         |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
@@ -199,7 +203,7 @@ object SparkEntry {
          |  SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
          |  FROM orders),
          |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY digit)
-         |SELECT digit, n, n * 10000 // sum(n) OVER () AS share_x1e4,
+         |SELECT digit, n, CAST(n * 10000 // sum(n) OVER () AS BIGINT) AS share_x1e4,
          |  ${Relational.benfordCaseSql} AS benford_x1e4
          |FROM g ORDER BY digit""".stripMargin
     },
@@ -689,6 +693,25 @@ object SparkEntry {
         |  quantile_cont(CAST(l_quantity * 100 AS BIGINT), 0.5) AS median_cents,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // percentile_disc semantics pinned as explicit integer rank math:
+    // the discrete p-percentile is the value at sorted rank ceil(p*n)
+    // = (n*k + 99) // 100 for p = k/100 — engine-independent, no float
+    "q_percentile_disc" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS rk,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM c)
+        |SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(max(CASE WHEN rk = (n * 25 + 99) // 100 THEN cents END) AS BIGINT) AS p25_cents,
+        |  CAST(max(CASE WHEN rk = (n * 50 + 99) // 100 THEN cents END) AS BIGINT) AS p50_cents,
+        |  CAST(max(CASE WHEN rk = (n * 75 + 99) // 100 THEN cents END) AS BIGINT) AS p75_cents
+        |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_unpivot" ->
       """SELECT l_returnflag, k, v FROM (

@@ -63,8 +63,11 @@ object Graph {
     var pr = nations.crossJoin(broadcast(nn))
       .select(col("nk"), expr(s"$Scale div nn").as("pr"))
     for (_ <- 1 to iters) {
+      // pr ≤ 10¹² and w is a fact-table count, so pr·w can pass int64 at
+      // large SF; stage the product through DECIMAL(38,0) (exact, like the
+      // oracle's HUGEINT) — `div` returns BIGINT either way
       val inflow = ew.join(broadcast(pr), col("src") === col("nk"))
-        .select(col("dst"), expr("(pr * w) div wt").as("c"))
+        .select(col("dst"), expr("(cast(pr as decimal(38,0)) * w) div wt").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
       pr = nations.crossJoin(broadcast(nn))
         .join(inflow, col("nk") === col("dst"), "left")
@@ -191,11 +194,11 @@ object Graph {
   private def prStep(i: Int): String = {
     val p = s"i${i - 1}"
     s"""f$i AS (
-       |  SELECT e.dst, sum((p.pr * e.w) // wo.wt) AS inflow
+       |  SELECT e.dst, CAST(sum((CAST(p.pr AS HUGEINT) * e.w) // wo.wt) AS BIGINT) AS inflow
        |  FROM e JOIN $p p ON p.nk = e.src JOIN wo ON wo.src = e.src
        |  GROUP BY e.dst),
        |i$i AS (
-       |  SELECT n.nk, (($Scale * 15) // 100) // nn.nn + (85 * COALESCE(f$i.inflow, 0)) // 100 AS pr
+       |  SELECT n.nk, CAST((($Scale * 15) // 100) // nn.nn + (85 * COALESCE(f$i.inflow, 0)) // 100 AS BIGINT) AS pr
        |  FROM n CROSS JOIN nn LEFT JOIN f$i ON f$i.dst = n.nk)""".stripMargin
   }
 

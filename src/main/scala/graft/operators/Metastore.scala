@@ -73,6 +73,27 @@ object Metastore {
     ds.rankedSearch(idx(s, d), SearchRequest(q = Some("the merge join table"), size = 20),
       Seq("name"))
 
+  /** Per-hit score explanation — the ES `explain: true` analog
+    * (reference: metastore/models.py:114): for every doc on the ranked
+    * page, one row per (field, term) with tf, df, the ×1000 integer
+    * idf, the field boost, and the contribution tf·boost·idf. The
+    * components come from the same [[SearchEngine.scoreComponents]]
+    * plan the ranking sums, joined to the ≤20-row page (broadcast), so
+    * the explanation is the score by construction.
+    */
+  def scoreExplain(s: SparkSession, d: String): DataFrame = {
+    val terms = Analyzer.analyzeQuery("the merge join table")
+    val i = idx(s, d)
+    val page = ds.rankedSearch(i,
+        SearchRequest(q = Some("the merge join table"), size = 20), Seq("name"))
+      .select(col("doc_id"), col("rank"))
+    ds.scoreComponents(i, terms)
+      .join(broadcast(page), Seq("doc_id"))
+      .select(col("rank"), col("doc_id"), col("field"), col("term"),
+        col("tf"), col("df"), col("idf"), col("boost"), col("component"))
+      .orderBy(col("rank"), col("field"), col("term"))
+  }
+
   /** Hybrid lexical+vector retrieval via reciprocal-rank fusion — the
     * modern search stack's default fusion: RRF(d) = Σ 1e6 div (60 +
     * rank_i(d)) over the rankings that retrieved d (missing ⇒ 0), all
@@ -227,6 +248,22 @@ object Metastore {
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
          |       doc_id, name, CAST(score AS BIGINT) AS score
          |FROM pg ORDER BY rank""".stripMargin,
+
+    "ms_score_explain" ->
+      s"""$idxCte,
+         |$tfidfCtes,
+         |rk AS (
+         |  SELECT doc_id,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank
+         |  FROM pg)
+         |SELECT r.rank, t.doc_id, t.field, t.term, t.tf, d.df,
+         |  (nn.n * 1000) // d.df AS idf, t.boost,
+         |  t.tf * t.boost * ((nn.n * 1000) // d.df) AS component
+         |FROM tf t
+         |JOIN dfs d ON t.field = d.field AND t.term = d.term
+         |CROSS JOIN nn
+         |JOIN rk r ON r.doc_id = t.doc_id
+         |ORDER BY r.rank, t.field, t.term""".stripMargin,
 
     "ms_hybrid_rrf" ->
       s"""$idxCte,

@@ -151,7 +151,7 @@ object Pipeline {
             s"i -> i * $stride)")).as(Seq("chunk_idx", "tok_start")))
       .select(col("doc_id"), col("chunk_idx"),
         col("tok_start").cast("int").as("tok_start"),
-        least(lit(window), col("n_tok") - col("tok_start")).cast("int").as("tok_len"))
+        least(lit(window), col("n_tok") - col("tok_start")).cast("long").as("tok_len"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   /** Windowed spike detection — per event type, flag any hourly window
@@ -791,7 +791,7 @@ object Pipeline {
          |          unnest(range(0, greatest((n_tok - 8 + 5) // 6, 0) + 1)) AS i
          |        FROM t))
          |SELECT doc_id, chunk_idx, tok_start,
-         |  least(8, n_tok - tok_start) AS tok_len
+         |  CAST(least(8, n_tok - tok_start) AS BIGINT) AS tok_len
          |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "stream_spike" ->
@@ -830,7 +830,7 @@ object Pipeline {
         |  FROM documents),
         |c AS (SELECT source, split, count(*) AS n_docs FROM t GROUP BY source, split)
         |SELECT source, split, n_docs,
-        |  n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY source) AS share_x1e6
+        |  CAST(n_docs * 1000000 // sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS share_x1e6
         |FROM c ORDER BY source, split""".stripMargin,
 
     "mm_modality" ->

@@ -625,6 +625,29 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** PERCENTILE_DISC quartiles of order value per priority — the
+    * discrete (actual-element, no interpolation) percentile via the
+    * ANSI `WITHIN GROUP` aggregate: smallest value whose cume_dist ≥ p.
+    * p ∈ {.25, .5, .75} are binary-exact doubles, so both engines pick
+    * the identical rank ⌈p·n⌉; the oracle pins that rank arithmetic
+    * explicitly in integers. One partial-agg-unfriendly sort per group,
+    * but groups are the 5 priorities — each percentile is a per-group
+    * sorted scan, parallel across groups.
+    */
+  def qPercentileDisc(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS BIGINT)")
+          .as("p25_cents"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)")
+          .as("p50_cents"),
+        expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS BIGINT)")
+          .as("p75_cents"))
+      .orderBy(col("o_orderpriority"))
+
   /** UNPIVOT (melt): wide per-status counts back to long (key, value)
     * rows — the inverse of q_pivot, via the native Unpivot plan node
     * (an Expand, no join, no shuffle beyond the source agg).
@@ -682,11 +705,12 @@ object Relational {
       .orderBy(col("cents"), col("o_custkey"))
     spend.withColumn("i", row_number().over(w).cast("long"))
       .groupBy(col("c_mktsegment"))
-      // DECIMAL(38,0) sums: 10⁶·(wsum − nS) tops ~1e21 at sf0.1 —
-      // silent BIGINT wraparound territory
+      // DECIMAL(38,0) staging, cast BEFORE the rank multiply: 10⁶·(wsum −
+      // nS) tops ~1e21 at sf0.1 and (2i−1)·cents alone nears int64 at
+      // large SF — both silent-wraparound territory in BIGINT
       .agg(count(lit(1)).as("n"),
-        sum(expr("CAST(cents AS DECIMAL(19,0))")).as("s"),
-        sum(expr("CAST((2 * i - 1) * cents AS DECIMAL(19,0))")).as("wsum"))
+        sum(expr("CAST(cents AS DECIMAL(38,0))")).as("s"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * (2 * i - 1)")).as("wsum"))
       .select(col("c_mktsegment"), col("n"),
         // Gini = (2Σi·xᵢ − (n+1)S)/(nS); with wsum = Σ(2i−1)xᵢ = 2Σi·x − S
         // this is (wsum − nS)/(nS)

@@ -376,6 +376,37 @@ object Temporal {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Rolling (cumulative) mode of each user's event types — per event,
+    * the most frequent type seen so far, ties broken lexicographically
+    * smallest. Pure window functions, no token self-join: the running
+    * count c of the current row's type is encoded with the type into
+    * one order-reversing string key (`lpad(10⁸−c) || type`), and
+    * `min(key)` over the user's prefix recovers the prefix mode — a
+    * type's count within the prefix equals c at its last occurrence
+    * there, so the prefix-min of keys is exactly (max count, min type).
+    * Scale: two windows partitioned by user — per-user state only, one
+    * shuffle on user_id, no join.
+    */
+  def qModeRolling(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+    val wc = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wp = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("c", count(lit(1)).over(wc))
+      .withColumn("kk",
+        concat(lpad((lit(100000000L) - col("c")).cast("string"), 9, "0"),
+          col("event_type")))
+      .withColumn("mkey", min(col("kk")).over(wp))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        expr("substring(mkey, 10)").as("mode_type"),
+        (lit(100000000L) - expr("CAST(substring(mkey, 1, 9) AS BIGINT)")).as("mode_n"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   /** SCD Type-2 interval building from an event log: per user, collapse
     * consecutive same-type events into state segments — each type CHANGE
     * opens a row [valid_from, valid_to) closed by the next change
@@ -512,8 +543,25 @@ object Temporal {
         |  SELECT from_type, to_type, count(*) AS n
         |  FROM nx WHERE to_type IS NOT NULL GROUP BY from_type, to_type)
         |SELECT from_type, to_type, n,
-        |  n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS p_x1e6
+        |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_x1e6
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "q_mode_rolling" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |k AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    lpad(CAST(100000000 - count(*) OVER (PARTITION BY user_id, event_type
+        |        ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS VARCHAR), 9, '0') || event_type AS kk
+        |  FROM ev),
+        |m AS (
+        |  SELECT user_id, ts_us, event_id,
+        |    min(kk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mkey
+        |  FROM k)
+        |SELECT user_id, ts_us, event_id, substring(mkey, 10) AS mode_type,
+        |  100000000 - CAST(substring(mkey, 1, 9) AS BIGINT) AS mode_n
+        |FROM m ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q_scd2" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),

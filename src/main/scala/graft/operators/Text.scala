@@ -326,6 +326,21 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** OUTER-lateral explode semantics — `posexplode_outer` over each
+    * doc's long (>9-char) raw tokens: a doc with none still emits one
+    * row with NULL pos/token, the outer-unnest shape an audit or
+    * coverage join needs (inner explode would silently drop the doc).
+    * Map-side only — no shuffle; the oracle renders the identical
+    * semantics as a DuckDB LEFT JOIN LATERAL over unnest(range(len)).
+    */
+  def lateralExplode(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        filter(rawTokens(col("text")), t => length(t) > 9).as("ltoks"))
+      .select(col("doc_id"), posexplode_outer(col("ltoks")))
+      .toDF("doc_id", "pos", "tok")
+      .orderBy(col("doc_id"), col("pos"))
+
   // --- oracle SQL --------------------------------------------------------
 
   private val langProfilesSql: String = langProfiles.map { case (l, p, words) =>
@@ -333,6 +348,16 @@ object Text {
   }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "q_lateral_explode" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    list_filter(${rawTokensSql("text")}, x -> len(x) > 9) AS ltoks
+         |  FROM documents)
+         |SELECT t.doc_id, CAST(r.i AS INT) AS pos,
+         |  t.ltoks[CAST(r.i AS INT) + 1] AS tok
+         |FROM t LEFT JOIN LATERAL (SELECT unnest(range(len(t.ltoks))) AS i) r ON TRUE
+         |ORDER BY doc_id, pos""".stripMargin,
+
     "txt_token_count" ->
       s"""SELECT doc_id,
          |  CAST(len(${wsTokensSql("text")}) AS BIGINT) AS n_ws,
@@ -456,7 +481,7 @@ object Text {
          |df AS (SELECT bg, CAST(count(*) AS BIGINT) AS df FROM bg GROUP BY bg),
          |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents)
          |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-         |  sum(n.n_docs * 1000 // df.df) // CAST(count(*) AS BIGINT) AS rarity_avg
+         |  CAST(sum(n.n_docs * 1000 // df.df) // CAST(count(*) AS BIGINT) AS BIGINT) AS rarity_avg
          |FROM bg b JOIN df ON df.bg = b.bg CROSS JOIN n
          |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 

@@ -84,7 +84,18 @@ class SearchEngine(
     * of ES `dfs_query_then_fetch` global term stats
     * (reference: metastore/models.py:141) — then broadcast.
     */
-  def scores(docs: DataFrame, terms: Seq[String]): DataFrame = {
+  def scores(docs: DataFrame, terms: Seq[String]): DataFrame =
+    scoreComponents(docs, terms)
+      .groupBy(col(idCol))
+      .agg(sum(col("component")).cast("long").as("raw_score"))
+
+  /** Per-(doc, field, term) TF-IDF components — the ES `explain: true`
+    * analog (reference: metastore/models.py:114): tf, df, the ×1000
+    * integer idf, the field boost, and component = tf·boost·idf.
+    * [[scores]] is exactly `sum(component) GROUP BY id`, so the explain
+    * projection can never drift from the ranking it explains.
+    */
+  def scoreComponents(docs: DataFrame, terms: Seq[String]): DataFrame = {
     // inverted-index shape: melt fields, explode analyzed tokens, keep
     // query terms (codegen'd isin), count (doc, field, term) occurrences.
     // One analyzer pass per field; everything downstream of the explode
@@ -112,8 +123,7 @@ class SearchEngine(
     tf.join(broadcast(df), Seq("field", "term"))
       .crossJoin(broadcast(n))
       .withColumn("idf", expr("(n * 1000) div df"))
-      .groupBy(col(idCol))
-      .agg(sum(col("tf") * col("boost") * col("idf")).cast("long").as("raw_score"))
+      .withColumn("component", (col("tf") * col("boost") * col("idf")).cast("long"))
   }
 
   /** Ranked search: visibility + filters + q-match + TF-IDF order + page.

@@ -268,12 +268,12 @@ class PipelineSpec extends AnyFunSuite {
       // contiguous chunk indices starting at 0, stride-6 starts
       sorted.zipWithIndex.foreach { case (r, i) =>
         assert(r.getInt(1) == i && r.getInt(2) == i * 6)
-        assert(r.getInt(3) == math.min(8, n - r.getInt(2)))
-        assert(r.getInt(3) >= 1, s"doc $doc empty chunk: $r")
+        assert(r.getLong(3) == math.min(8, n - r.getInt(2)))
+        assert(r.getLong(3) >= 1, s"doc $doc empty chunk: $r")
       }
       // last chunk reaches the final token; one more chunk would be redundant
       val last = sorted.last
-      assert(last.getInt(2) + last.getInt(3) == n)
+      assert(last.getInt(2) + last.getLong(3) == n)
     }
     assert(rows.map(_.getLong(0)).toSet == nTok.keySet)
   }

@@ -276,4 +276,44 @@ class RelationalSpec extends AnyFunSuite {
       if (id % 7 == 3) assert(clean.endsWith("<PHONE>"))
     }
   }
+
+  test("percentile_disc returns the exact sorted element at rank ceil(p*n)") {
+    val rows = operators.Relational.qPercentileDisc(spark, sf).collect()
+    val byPrio = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect().groupBy(_.getString(0)).view
+      .mapValues(_.map(_.getLong(1)).sorted).toMap
+    assert(rows.nonEmpty && rows.length == byPrio.size)
+    rows.foreach { r =>
+      val xs = byPrio(r.getString(0))
+      assert(r.getLong(1) == xs.length)
+      def disc(k: Int): Long = xs((xs.length * k + 99) / 100 - 1)
+      assert(r.getLong(2) == disc(25), s"${r.getString(0)} p25")
+      assert(r.getLong(3) == disc(50), s"${r.getString(0)} p50")
+      assert(r.getLong(4) == disc(75), s"${r.getString(0)} p75")
+    }
+  }
+
+  test("lateral explode keeps tokenless docs as a single NULL row") {
+    val rows = operators.Text.lateralExplode(spark, sf).collect()
+    val nLong = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        size(filter(graft.text.TextFunctions.rawTokens(col("text")),
+          t => length(t) > 9)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val byDoc = rows.groupBy(_.getLong(0))
+    assert(byDoc.keySet == nLong.keySet, "every doc appears — outer semantics")
+    byDoc.foreach { case (doc, rs) =>
+      if (nLong(doc) == 0) {
+        assert(rs.length == 1 && rs.head.isNullAt(1) && rs.head.isNullAt(2),
+          s"doc $doc: tokenless doc must emit one NULL row")
+      } else {
+        assert(rs.length == nLong(doc))
+        assert(rs.map(_.getInt(1)).sorted.sameElements(0 until nLong(doc)))
+        rs.foreach(r => assert(r.getString(2).length > 9))
+      }
+    }
+    assert(nLong.valuesIterator.contains(0), "corpus must exercise the outer branch")
+  }
 }

@@ -100,4 +100,28 @@ class SearchSpec extends AnyFunSuite {
     val ts = Metastore.eventsSort(spark, sf).collect().map(_.getLong(1))
     assert(ts.sameElements(ts.sorted))
   }
+
+  test("score explain components sum to the ranked score minus the core boost") {
+    val page = Metastore.qRankTfidf(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    val idx = Tables.datasetIndex(spark, sf)
+    val boosts = idx
+      .select(col("doc_id"),
+        when(col("ownerid") === "core" && col("findability") === "published",
+          lit(4500L)).otherwise(lit(0L)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val comps = Metastore.scoreExplain(spark, sf).collect()
+    assert(comps.nonEmpty)
+    // component = tf * boost * idf row-wise
+    comps.foreach(r =>
+      assert(r.getLong(8) == r.getLong(4) * r.getLong(7) * r.getLong(6)))
+    // and per doc the components reconstruct the ranked page's score
+    comps.groupBy(_.getLong(1)).foreach { case (doc, rs) =>
+      assert(page.contains(doc), s"explain row for off-page doc $doc")
+      assert(rs.map(_.getLong(8)).sum + boosts(doc) == page(doc),
+        s"doc $doc components don't sum to its score")
+    }
+    assert(comps.map(_.getLong(1)).distinct.length == page.size,
+      "every page doc is explained")
+  }
 }

@@ -212,4 +212,24 @@ class TemporalSpec extends AnyFunSuite {
       "boundaries must be inclusive")
     assert(got.length == got.toSet.size, "no duplicate matches from multi-bin intervals")
   }
+
+  test("rolling mode matches a brute-force prefix recount with lexicographic ties") {
+    val evs = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(t => (t._1, t._2, t._3))
+    val got = Temporal.qModeRolling(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    assert(got.length == evs.length)
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.inits.toSeq.reverse.drop(1).map { prefix =>
+        val counts = prefix.groupBy(_._4).view.mapValues(_.length.toLong)
+        val (mode, n) = counts.toSeq.minBy { case (t, c) => (-c, t) }
+        val last = prefix.last
+        (last._1, last._2, last._3, mode, n)
+      }
+    }.sortBy(t => (t._1, t._2, t._3))
+    assert(got.toSeq == expect)
+  }
 }

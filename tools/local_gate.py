@@ -3,7 +3,9 @@
 
 Reads Verify.scala output (<out>/<name>/ parquet + oracle_sql.json), runs each
 oracle SQL in DuckDB over the same sf tables, and strictly compares:
-columns sorted by name, rows in emitted order, exact value equality
+columns sorted by name, per-column ARROW DTYPES (the driver hashes
+type-sensitively — a DuckDB HUGEINT vs Spark BIGINT drift fails there even
+when values match), rows in emitted order, exact value equality
 (floats bitwise, decimals exact). Strict pass here ⇒ driver pass.
 
 Usage: local_gate.py <sfDir> <verifyOutDir> [query ...]
@@ -60,6 +62,18 @@ def main():
         d_cols = sorted(duck_t.schema.names)
         if s_cols != d_cols:
             print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
+            n_fail += 1
+            continue
+        # Arrow dtype drift fails the driver's hash gate even when every
+        # value compares equal (e.g. DuckDB widens sum(BIGINT) to HUGEINT
+        # -> decimal128(38,0) while Spark emits int64). Compare types
+        # per column, name-sorted, before touching values.
+        bad_types = [(c, str(spark_t.schema.field(c).type), str(duck_t.schema.field(c).type))
+                     for c in s_cols
+                     if spark_t.schema.field(c).type != duck_t.schema.field(c).type]
+        if bad_types:
+            detail = ", ".join(f"{c}: spark={s} duck={d}" for c, s, d in bad_types)
+            print(f"FAIL {name}: dtype drift {detail}")
             n_fail += 1
             continue
         s_rows = [[norm(spark_t.column(c)[i].as_py()) for c in s_cols]
