@@ -180,6 +180,58 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Merge-intersection of two SORTED long arrays, codegen'd — the
+  * triangle-closure inner loop. Built-in `array_intersect` builds a
+  * hash set per call over boxed elements; on pre-sorted primitive
+  * arrays a two-pointer scan does the same work allocation-free, and
+  * the result ships as an UnsafeArrayData primitive block.
+  */
+case class SortedIntersectLongs(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.ArrayType(LongType, _),
+            org.apache.spark.sql.types.ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires two array<bigint> inputs")
+    }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_sorted_intersect_longs"
+
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData,
+              b: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    val out = new Array[Long](math.min(na, nb))
+    var i = 0
+    var j = 0
+    var n = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { out(n) = x; n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(if (n == out.length) out else java.util.Arrays.copyOf(out, n))
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+            b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("intersecter", this, classOf[SortedIntersectLongs].getName)
+    nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.compute($a, $b);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedIntersectLongs =
+    copy(left = l, right = r)
+}
+
 /** 60-bit SimHash over a token array, fully codegen'd (replaces the
   * interpreted nested-HOF rendering — VERDICT r1 #5). Per token, two
   * rolling char-fold hashes (×31 mod 1e9+7, ×37 mod 998244353) supply 30
@@ -347,4 +399,9 @@ object TextExpressionFunctions {
   def sortedIntersectCount(a: Column, b: Column): Column =
     GraftBridge.column(
       SortedIntersectCount(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API for [[SortedIntersectLongs]]. */
+  def sortedIntersectLongs(a: Column, b: Column): Column =
+    GraftBridge.column(
+      SortedIntersectLongs(GraftBridge.expression(a), GraftBridge.expression(b)))
 }

@@ -149,6 +149,10 @@ object Graph {
           struct(col("a").as("src"), col("b").as("dst")))
           .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
       .select(col("o.src").as("src"), col("o.dst").as("dst"))
+      // two consumers (adjacency build + closure probe): materialize once
+      // or the degree joins above run twice (AQE gives no cross-consumer
+      // exchange reuse)
+      .localCheckpoint()
     // edge-iterator with adjacency arrays: each oriented edge u→v closes
     // one triangle per common out-neighbor w ∈ adj⁺(u) ∩ adj⁺(v) — every
     // triangle is found exactly once, at its lowest-(deg,id) edge. The
@@ -158,11 +162,22 @@ object Graph {
     // materialized or shuffled at all.
     val adj = oriented.groupBy(col("src"))
       .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
-    val witnesses = oriented
+      .localCheckpoint() // probed from BOTH endpoints of every edge below
+    // the closure probe is CPU-dense but byte-light, so AQE's size-based
+    // coalescing would serialize it onto a few cores; explicit
+    // repartition pins the join parallelism (a no-op exchange shape on a
+    // real cluster, where these stages are byte-heavy too)
+    val par = s.sparkContext.defaultParallelism
+    val witnesses = oriented.repartition(par, col("src"))
       .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
+      .repartition(par, col("dst"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
       .select(col("src"), col("dst"),
-        array_intersect(col("nu"), col("nv")).as("ws"))
+        // sorted-merge scan (codegen'd, allocation-free) instead of the
+        // built-in array_intersect's per-call boxed hash set — the
+        // adjacency arrays arrive sorted from sort_array above
+        graft.functions.TextExpressionFunctions
+          .sortedIntersectLongs(col("nu"), col("nv")).as("ws"))
       .filter(size(col("ws")) > 0)
     // triangle {u,v,w}: u and v are each credited |ws| in one narrow agg
     // row per edge; only the w credits explode (one row per triangle)
