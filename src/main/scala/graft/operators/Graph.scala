@@ -115,80 +115,105 @@ object Graph {
   }
 
   /** Per-part triangle counts in the co-purchase graph (parts appearing
-    * in the same order are connected). The self-join that builds edges
-    * is bounded per order (≤ lines² pairs within one order, never
-    * corpus-wide); the wedge join is bounded by DEGREE ORIENTATION —
-    * every edge points from its lower-(degree, id) endpoint to the
-    * higher one, so wedges are enumerated only at each triangle's
-    * lowest-degree apex: Σ min-deg² instead of Σ deg², the difference
-    * between feasible and quadratic on a power-law co-occurrence graph.
-    * The closing-edge probe joins back on the canonical (min, max) edge
-    * list. Output: every part in ≥1 triangle with its exact count.
+    * in the same order are connected). Edge generation is bounded per
+    * order (≤ lines² pairs within one order, never corpus-wide) and runs
+    * IN-MAP off a per-order sorted part set — one groupBy shuffle of the
+    * fact scan instead of a two-sided self-join. The wedge join is
+    * bounded by DEGREE ORIENTATION — every edge points from its
+    * lower-(degree, id) endpoint to the higher one, so wedges are
+    * enumerated only at each triangle's lowest-degree apex: Σ min-deg²
+    * instead of Σ deg², the difference between feasible and quadratic on
+    * a power-law co-occurrence graph. The closure probe intersects
+    * adjacency arrays in-map and emits per-vertex credits in the SAME
+    * codegen'd pass ([[graft.functions.TriangleCredits]]), so the probe
+    * join has one consumer and the wedge set is never materialized.
+    * Output: every part in ≥1 triangle with its exact count.
+    *
+    * Stage builders are factored ([[triEdges]]/[[triOriented]]/
+    * [[triAdjacency]]/[[triCreditRows]]) so `tools.TriProbe` times the
+    * exact pipeline this query ships.
     */
   def triangleCounts(s: SparkSession, d: String): DataFrame = {
-    // fanOut: the local single-split parquet opens as 1-2 partitions,
-    // which would serialize the per-order pair blowup AND (via AQE
-    // size-based coalescing of the small-bytes/high-CPU shuffles
-    // downstream) the array intersections; identity on a real cluster
+    val e = triEdges(s, d)
+    val oriented = triOriented(e)
+    val adj = triAdjacency(oriented)
+    triCreditRows(s, oriented, adj)
+      .groupBy(col("part")).agg(sum(col("c")).as("n_tri"))
+      .orderBy(col("part"))
+  }
+
+  /** Canonical undirected co-purchase edges a < b, deduped across
+    * orders, checkpointed (feeds degree calc + orientation + closure
+    * probe). fanOut: the local single-split parquet opens as 1-2
+    * partitions, which would serialize the per-order pair blowup AND
+    * (via AQE size-based coalescing of the small-bytes/high-CPU shuffles
+    * downstream) the array intersections; identity on a real cluster.
+    */
+  private[graft] def triEdges(s: SparkSession, d: String): DataFrame = {
     val li = Tables.fanOut(Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
-    // canonical undirected edges a < b, deduped across orders
-    val e = Tables.fanOut(li.as("x").join(li.as("y"),
-        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-      .select(col("x.pk").as("a"), col("y.pk").as("b"))
+    // per-order sorted part set → all a<b pairs generated in-map
+    // (SortedLongPairs): one shuffle of the fact rows with map-side
+    // partial collect_set, vs. the self-join's exchange + SMJ
+    val perOrder = li.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+    Tables.fanOut(perOrder
+      .select(explode(graft.functions.GraphExpressionFunctions
+        .sortedLongPairs(col("ps"))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-      .localCheckpoint()) // feeds degree calc + orientation + closure probe
+      .localCheckpoint())
+  }
+
+  /** Degree-orient the edge list: src = lower (deg, id) endpoint.
+    * Checkpointed — two consumers (adjacency build + closure probe), and
+    * AQE gives no cross-consumer exchange reuse.
+    */
+  private[graft] def triOriented(e: DataFrame): DataFrame = {
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    // orient: src = lower (deg, id) endpoint
-    val oriented = e
-      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+    e.join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
       .select(
         when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
           struct(col("a").as("src"), col("b").as("dst")))
           .otherwise(struct(col("b").as("src"), col("a").as("dst"))).as("o"))
       .select(col("o.src").as("src"), col("o.dst").as("dst"))
-      // two consumers (adjacency build + closure probe): materialize once
-      // or the degree joins above run twice (AQE gives no cross-consumer
-      // exchange reuse)
       .localCheckpoint()
-    // edge-iterator with adjacency arrays: each oriented edge u→v closes
-    // one triangle per common out-neighbor w ∈ adj⁺(u) ∩ adj⁺(v) — every
-    // triangle is found exactly once, at its lowest-(deg,id) edge. The
-    // intersection runs IN-MAP on two joined arrays, so the only big
-    // shuffles are E-sized adjacency joins — the wedge set (Σ out-deg²
-    // rows, the thing that actually explodes on skewed graphs) is never
-    // materialized or shuffled at all.
-    val adj = oriented.groupBy(col("src"))
+  }
+
+  /** Sorted out-adjacency arrays of the oriented graph; checkpointed —
+    * probed from BOTH endpoints of every edge in the closure join.
+    */
+  private[graft] def triAdjacency(oriented: DataFrame): DataFrame =
+    oriented.groupBy(col("src"))
       .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
-      .localCheckpoint() // probed from BOTH endpoints of every edge below
-    // the closure probe is CPU-dense but byte-light, so AQE's size-based
-    // coalescing would serialize it onto a few cores; explicit
-    // repartition pins the join parallelism (a no-op exchange shape on a
-    // real cluster, where these stages are byte-heavy too)
+      .localCheckpoint()
+
+  /** The closure probe: each oriented edge u→v closes one triangle per
+    * common out-neighbor w ∈ adj⁺(u) ∩ adj⁺(v) — every triangle is found
+    * exactly once, at its lowest-(deg,id) edge. The sorted-merge
+    * intersection AND the credit emission ([(u,k),(v,k)] ++ [(w,1)…])
+    * run in ONE codegen'd in-map pass (TriangleCredits), so the only big
+    * shuffles are E-sized adjacency joins — the wedge set (Σ out-deg²
+    * rows, the thing that actually explodes on skewed graphs) is never
+    * materialized or shuffled, and the probe join has exactly one
+    * consumer (no checkpoint, no double execution). The explicit
+    * repartition pins the join parallelism: the probe is CPU-dense but
+    * byte-light, so AQE's size-based coalescing would serialize it onto
+    * a few cores (a no-op exchange shape on a real cluster, where these
+    * stages are byte-heavy too).
+    */
+  private[graft] def triCreditRows(s: SparkSession, oriented: DataFrame,
+                                   adj: DataFrame): DataFrame = {
     val par = s.sparkContext.defaultParallelism
-    val witnesses = oriented.repartition(par, col("src"))
+    oriented.repartition(par, col("src"))
       .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
       .repartition(par, col("dst"))
       .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
-      .select(col("src"), col("dst"),
-        // sorted-merge scan (codegen'd, allocation-free) instead of the
-        // built-in array_intersect's per-call boxed hash set — the
-        // adjacency arrays arrive sorted from sort_array above
-        graft.functions.TextExpressionFunctions
-          .sortedIntersectLongs(col("nu"), col("nv")).as("ws"))
-      .filter(size(col("ws")) > 0)
-    // triangle {u,v,w}: u and v are each credited |ws| in one narrow agg
-    // row per edge; only the w credits explode (one row per triangle)
-    val uvCredits = witnesses.select(
-        explode(array(col("src"), col("dst"))).as("part"),
-        size(col("ws")).cast("long").as("c"))
-    val wCredits = witnesses
-      .select(explode(col("ws")).as("part"), lit(1L).as("c"))
-    uvCredits.unionByName(wCredits)
-      .groupBy(col("part")).agg(sum(col("c")).as("n_tri"))
-      .orderBy(col("part"))
+      .select(explode(graft.functions.GraphExpressionFunctions
+        .triangleCredits(col("src"), col("dst"), col("nu"), col("nv"))).as("cr"))
+      .select(col("cr.part").as("part"), col("cr.c").as("c"))
   }
 
   /** One BFS relaxation block in DuckDB SQL (least() skips NULLs in

@@ -76,4 +76,37 @@ class GraphSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == triCount.toMap, "per-part triangle counts diverge from reference")
   }
+
+  test("SortedLongPairs emits all a<b pairs of a sorted distinct array") {
+    import org.apache.spark.sql.functions._
+    val got = spark.range(1)
+      .select(explode(graft.functions.GraphExpressionFunctions
+        .sortedLongPairs(expr("array(2L, 5L, 9L)"))).as("p"))
+      .selectExpr("p.a", "p.b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((2L, 5L), (2L, 9L), (5L, 9L)))
+    val empty = spark.range(1)
+      .select(graft.functions.GraphExpressionFunctions
+        .sortedLongPairs(expr("array(7L)")).as("ps"))
+      .selectExpr("size(ps) n").collect().head.getInt(0)
+    assert(empty == 0, "singleton input must yield no pairs")
+  }
+
+  test("TriangleCredits folds intersect + credit emission into one pass") {
+    import org.apache.spark.sql.functions._
+    val got = spark.range(1)
+      .select(explode(graft.functions.GraphExpressionFunctions
+        .triangleCredits(lit(1L), lit(2L),
+          expr("array(3L, 5L, 8L)"), expr("array(4L, 5L, 8L, 9L)"))).as("cr"))
+      .selectExpr("cr.part", "cr.c").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // witnesses {5, 8}: endpoints credited k=2, each witness credited 1
+    assert(got.toSet == Set((1L, 2L), (2L, 2L), (5L, 1L), (8L, 1L)))
+    val none = spark.range(1)
+      .select(graft.functions.GraphExpressionFunctions
+        .triangleCredits(lit(1L), lit(2L),
+          expr("array(3L)"), expr("array(4L)")).as("cr"))
+      .selectExpr("size(cr) n").collect().head.getInt(0)
+    assert(none == 0, "empty intersection must yield an empty credit array")
+  }
 }
