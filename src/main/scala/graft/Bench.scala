@@ -1,14 +1,34 @@
 package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import java.util.concurrent.atomic.AtomicLong
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // ≥3 in-JVM passes per query: the box has ±40% same-day noise and the
+    // first sf-scale pass can still be 2× its warm time (JIT), so only
+    // the per-query MEDIAN is comparable round-over-round
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+    // full per-query detail goes to a sidecar FILE — the stdout line is
+    // tail-truncated by downstream log capture, which in round 4/5 lost
+    // half the per-query numbers; a file can't be truncated from the front
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+      "/root/repo/BENCH_DETAIL.json")
     val spark = GraftSession.local()
-    // JIT/codegen warm-up at the smallest SF so timings measure
-    // steady-state throughput, not first-call Janino compilation
+    val jobs = new AtomicLong; val stages = new AtomicLong; val tasks = new AtomicLong
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
+      }
+    })
     // drop dead localCheckpoint blocks after each query: finished queries'
     // intermediates otherwise accumulate in storage memory for the whole
     // full query sweep and turn into GC pressure on the later (heavier) ones
     def dropDeadBlocks(): Unit = GraftSession.dropDeadBlocks(spark)
+    // JIT/codegen warm-up at the smallest SF so timings measure
+    // steady-state throughput, not first-call Janino compilation
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries.foreach { case (_, fn) =>
@@ -16,24 +36,54 @@ object Bench {
         dropDeadBlocks()
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      dropDeadBlocks()
-      name -> dt
-    }
-    // millisecond precision keeps the one-line JSON short enough to
-    // survive log-tail truncation by downstream consumers
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms(v) }
+    // the listener bus is async: wait until the counters stop moving so
+    // one query's straggler events don't bleed into the next query's counts
+    def settle(): Unit = {
+      var prev = -1L
+      var cur = jobs.get + stages.get + tasks.get
+      while (cur != prev) {
+        Thread.sleep(100)
+        prev = cur
+        cur = jobs.get + stages.get + tasks.get
+      }
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      jobs.set(0); stages.set(0); tasks.set(0)
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        dropDeadBlocks()
+        dt
+      }
+      settle()
+      val median = times.sorted.apply(times.size / 2)
+      name -> ((times, median, jobs.get / reps, stages.get / reps, tasks.get / reps))
+    }
+    val total = results.values.map(_._2).sum
+    val detail = results.map { case (name, (times, median, j, st, tk)) =>
+      s"""  "$name": {"times": [${times.map(ms).mkString(", ")}], "median": ${ms(median)}, "jobs": $j, "stages": $st, "tasks": $tk}"""
+    }.mkString(",\n")
+    val detailJson =
+      s"""{
+         |"sf": "$sfDir", "reps": $reps, "n_queries": ${results.size},
+         |"total_median": ${ms(total)}, "unit": "sec",
+         |"queries": {
+         |$detail
+         |}
+         |}""".stripMargin
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
+    val qs = results.map { case (k, (_, median, _, _, _)) => s"\"" + k + "\":" + ms(median) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
     // headline fields LAST: the driver records a log tail, so when the
     // line is truncated from the front the total/count still survive
     // (JSON key order is semantically irrelevant to any parser)
-    println(s"""{"queries":$qs,"sf":"$sfDir","n_queries":${results.size},"metric":"total","value":${ms(total)},"unit":"sec"}""")
+    println(s"""{"queries":$qs,"sf":"$sfDir","reps":$reps,"detail":"$detailPath","n_queries":${results.size},"metric":"total","value":${ms(total)},"unit":"sec"}""")
     spark.stop()
   }
 }
