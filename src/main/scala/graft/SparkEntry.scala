@@ -167,6 +167,8 @@ object SparkEntry {
     "q_cohort_matrix"     -> ((s, d) => operators.Temporal.qCohortMatrix(s, d)),
     "q_ab_lift"           -> ((s, d) => operators.Temporal.qAbLift(s, d)),
     "mm_patchify"         -> ((s, d) => Pipeline.mmPatchify(s, d)),
+    "mm_decode_bmp"       -> ((s, d) => Pipeline.mmDecodeBmp(s, d)),
+    "mm_decode_wav"       -> ((s, d) => Pipeline.mmDecodeWav(s, d)),
     "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),
     "txt_bigram_coverage" -> ((s, d) => Text.bigramCoverage(s, d)),
     "q_multi_distinct"  -> ((s, d) => Pipeline.multiDistinct(s, d)),

@@ -10,17 +10,19 @@ case class MediaMeta(doc_id: Long, byte_len: Long, fp: Long,
 /** Multimodal-column plumbing (SURVEY §2.6): media as opaque `binary`
   * payloads + typed metadata, decoded per-partition.
   *
-  * The decode step is a STUB — image/audio codecs are absent in this
-  * environment — but it is a *deterministic* stub (a byte-fold hash
-  * standing in for pixel statistics), so the full pipeline (binary
-  * schema, per-partition batch iteration, typed output Encoder) is real
-  * and oracle-gated end-to-end. On a real cluster the body of
-  * `decodeBytes` is the only thing that changes.
+  * The decode slot holds REAL codecs for two formats ([[MediaCodec]]:
+  * 24-bit BMP and PCM16 WAV, implemented from the public specs —
+  * VERDICT r5 item 4), sniffed by magic bytes, with the deterministic
+  * byte-fold hash as the fallback for payloads in no recognized format
+  * (such as the synthetic corpus's text bytes — which keeps the
+  * original mm_* oracles exact). `mm_decode_bmp` / `mm_decode_wav` gate
+  * the real decoders end-to-end on genuine encoded payloads.
   */
 object Multimodal {
 
-  /** STUB decoder: byte-fold hash → fake (width, height, frames).
-    * Replace with a real codec call in production.
+  /** Fallback decoder for unrecognized payloads: byte-fold hash →
+    * deterministic pseudo (width, height, frames). Real formats are
+    * sniffed in [[decodeMeta]] before this runs.
     */
   def decodeBytes(bytes: Array[Byte]): (Long, Long, Long, Long) = {
     var acc = 0L
@@ -139,9 +141,70 @@ object Multimodal {
       .as[(Long, Array[Byte])]
     bin.mapPartitions { it =>
       it.map { case (id, bytes) =>
-        val (fp, w, h, f) = decodeBytes(bytes)
-        MediaMeta(id, bytes.length.toLong, fp, w, h, f)
+        if (MediaCodec.isBmp(bytes)) {
+          val m = MediaCodec.decodeBmp(bytes)
+          val fp = ((m.sumR * 31 + m.sumG) * 31 + m.sumB) % 1000000007L
+          MediaMeta(id, bytes.length.toLong, fp, m.width.toLong, m.height.toLong, 1L)
+        } else if (MediaCodec.isWav(bytes)) {
+          val m = MediaCodec.decodeWav(bytes)
+          val fp = (m.sumAbs * 31 + m.maxAbs) % 1000000007L
+          MediaMeta(id, bytes.length.toLong, fp, 0L, 0L, m.nSamples)
+        } else {
+          val (fp, w, h, f) = decodeBytes(bytes)
+          MediaMeta(id, bytes.length.toLong, fp, w, h, f)
+        }
       }
     }.toDF()
+  }
+
+  /** Real-decoder gate, image path: synthesize a genuine 24-bit BMP per
+    * doc (dimensions and pixels pure functions of doc_id — the encode
+    * stands in for media bytes arriving from storage), then run the REAL
+    * [[MediaCodec.decodeBmp]] and emit geometry + exact per-channel
+    * sums. The DuckDB oracle recomputes the sums closed-form from
+    * doc_id, so a decoder bug anywhere — header offsets, bottom-up row
+    * order, the 4-byte row padding (width varies mod 4 by construction)
+    * — breaks the hash. encode+decode run in one mapPartitions pass
+    * (narrow, no shuffle; the real-cluster shape for payload columns).
+    */
+  def decodeBmpPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (4 + id % 21).toInt
+        val h = (3 + id % 14).toInt
+        val payload = MediaCodec.encodeBmp(w, h, (x, y) => {
+          val r = ((id + 3L * x + 5L * y) % 256).toInt
+          val g = ((2L * id + 7L * x + y) % 256).toInt
+          val b = ((5L * id + x + 11L * y) % 256).toInt
+          (r << 16) | (g << 8) | b
+        })
+        val m = MediaCodec.decodeBmp(payload)
+        (id, m.width.toLong, m.height.toLong, m.sumR, m.sumG, m.sumB)
+      }
+    }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Real-decoder gate, audio path: synthesize a genuine PCM16 mono WAV
+    * per doc (rate/length/samples pure functions of doc_id), decode with
+    * the REAL chunk-walking [[MediaCodec.decodeWav]], emit format fields
+    * + exact amplitude stats; the oracle recomputes them closed-form.
+    */
+  def decodeWavPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (50 + id % 300).toInt
+        val sr = (8000 + (id % 3) * 4000).toInt
+        val payload = MediaCodec.encodeWavPcm16(n, sr,
+          i => (((id * 31 + i * 17L) % 4001L) - 2000L).toInt)
+        val m = MediaCodec.decodeWav(payload)
+        (id, m.sampleRate.toLong, m.nSamples, m.sumAbs, m.maxAbs)
+      }
+    }.toDF("doc_id", "sample_rate", "n_samples", "sum_abs", "max_abs")
+      .orderBy(col("doc_id"))
   }
 }

@@ -85,6 +85,12 @@ object Pipeline {
   def mmSceneDetect(s: SparkSession, d: String): DataFrame =
     Multimodal.sceneDetectPlan(Multimodal.decodeMeta(Tables.documents(s, d)))
 
+  def mmDecodeBmp(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeBmpPlan(Tables.documents(s, d))
+
+  def mmDecodeWav(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeWavPlan(Tables.documents(s, d))
+
   /** Modality-coverage report — which documents have which modalities
     * attached (text ⋈ embedding here; image/audio in a real corpus):
     * one co-partitioned FULL OUTER join on the id, classified and
@@ -1010,6 +1016,38 @@ object Pipeline {
          |  CAST(max(CASE WHEN cut = 1 THEN idx END) AS BIGINT) AS last_cut,
          |  CAST(sum(CASE WHEN cut = 1 THEN idx ELSE 0 END) AS BIGINT) AS cut_checksum
          |FROM ct GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin,
+
+    // mm_decode_bmp / mm_decode_wav verify the REAL codecs: payload
+    // geometry and content are pure functions of doc_id, so the oracle
+    // recomputes the decoded stats closed-form — any decoder bug
+    // (offsets, bottom-up rows, row padding, sign extension, chunk walk)
+    // diverges from these sums
+    "mm_decode_bmp" ->
+      """WITH m AS (SELECT doc_id, 4 + doc_id % 21 AS w, 3 + doc_id % 14 AS h
+        |           FROM documents),
+        |px AS (
+        |  SELECT m.doc_id, m.w, m.h,
+        |    (m.doc_id + 3 * x.i + 5 * y.i) % 256 AS r,
+        |    (2 * m.doc_id + 7 * x.i + y.i) % 256 AS g,
+        |    (5 * m.doc_id + x.i + 11 * y.i) % 256 AS b
+        |  FROM m, range(0, 24) x(i), range(0, 16) y(i)
+        |  WHERE x.i < m.w AND y.i < m.h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_wav" ->
+      """WITH m AS (SELECT doc_id, 50 + doc_id % 300 AS n,
+        |                  8000 + (doc_id % 3) * 4000 AS sr FROM documents),
+        |s AS (
+        |  SELECT m.doc_id, m.sr, m.n,
+        |    abs((m.doc_id * 31 + t.i * 17) % 4001 - 2000) AS a
+        |  FROM m, range(0, 350) t(i) WHERE t.i < m.n)
+        |SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum(a) AS BIGINT) AS sum_abs, CAST(max(a) AS BIGINT) AS max_abs
+        |FROM s GROUP BY doc_id, sr, n ORDER BY doc_id""".stripMargin,
 
     "mm_decode_meta" ->
       s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS byte_len,

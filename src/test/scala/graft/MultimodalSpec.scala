@@ -1,0 +1,60 @@
+package graft
+
+import graft.multimodal.{MediaCodec, Multimodal}
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  test("BMP round-trip: decode inverts encode across every row-padding class") {
+    // widths 4..7 cover row padding 0/1/2/3 bytes — the classic decoder bug
+    for (w <- 4 to 7; h <- Seq(1, 3)) {
+      val enc = MediaCodec.encodeBmp(w, h, (x, y) => (x << 16) | (y << 8) | ((x + y) & 0xff))
+      val m = MediaCodec.decodeBmp(enc)
+      assert(m.width == w && m.height == h)
+      val expR = (0 until h).flatMap(y => (0 until w).map(x => x.toLong)).sum
+      val expG = (0 until h).flatMap(y => (0 until w).map(_ => y.toLong)).sum
+      val expB = (0 until h).flatMap(y => (0 until w).map(x => ((x + y) & 0xff).toLong)).sum
+      assert((m.sumR, m.sumG, m.sumB) == ((expR, expG, expB)),
+        s"channel sums diverge at ${w}x$h (padding ${(4 - (w * 3) % 4) % 4} bytes)")
+    }
+  }
+
+  test("WAV round-trip: chunk walk finds fmt/data, sign-extends negative samples") {
+    val enc = MediaCodec.encodeWavPcm16(5, 16000, i => Seq(-32768, -1, 0, 1, 32767)(i))
+    val m = MediaCodec.decodeWav(enc)
+    assert(m.sampleRate == 16000 && m.nSamples == 5L)
+    assert(m.sumAbs == 32768L + 1 + 0 + 1 + 32767 && m.maxAbs == 32768L)
+    // an extra chunk between fmt and data must not break the walk
+    val extra = enc.take(36) ++
+      "LIST".getBytes ++ Array[Byte](4, 0, 0, 0, 9, 9, 9, 9) ++ enc.drop(36)
+    // fix the RIFF size field for the inserted 12 bytes
+    val riffLen = (extra.length - 8)
+    extra(4) = riffLen.toByte; extra(5) = (riffLen >> 8).toByte
+    extra(6) = (riffLen >> 16).toByte; extra(7) = (riffLen >> 24).toByte
+    val m2 = MediaCodec.decodeWav(extra)
+    assert(m2 == m, "chunk walk must skip unknown chunks")
+  }
+
+  test("decodeMeta sniffs real formats and falls back to the byte-fold stub") {
+    import spark.implicits._
+    val bmp = MediaCodec.encodeBmp(4, 2, (_, _) => 0x010203)
+    val wav = MediaCodec.encodeWavPcm16(3, 8000, _ => 7)
+    val txt = "not a media payload".getBytes("UTF-8")
+    val df = Seq((1L, bmp), (2L, wav), (3L, txt))
+      .toDF("doc_id", "payload")
+      .selectExpr("doc_id", "CAST(payload AS STRING) AS text")
+    // decodeMeta casts text→binary; real payloads aren't UTF-8 safe, so
+    // feed binary directly through the same sniffing map
+    val rows = Multimodal.decodeMeta(
+        Seq((1L, bmp), (2L, wav), (3L, txt)).toDF("doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(rows(1L).getLong(3) == 4L && rows(1L).getLong(4) == 2L,
+      "BMP payload must decode real geometry")
+    assert(rows(2L).getLong(5) == 3L, "WAV payload must expose real sample count")
+    val (fp, w, h, f) = Multimodal.decodeBytes(txt)
+    assert(rows(3L).getLong(2) == fp && rows(3L).getLong(3) == w,
+      "non-media payload must use the deterministic fallback")
+    assert(df.count() == 3) // silence unused warning path; schema sanity
+  }
+}
