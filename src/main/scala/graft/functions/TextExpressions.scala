@@ -191,10 +191,18 @@ case class SortedIntersectLongs(left: Expression, right: Expression)
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (org.apache.spark.sql.types.ArrayType(LongType, _),
-            org.apache.spark.sql.types.ArrayType(LongType, _)) =>
+      case (org.apache.spark.sql.types.ArrayType(LongType, false),
+            org.apache.spark.sql.types.ArrayType(LongType, false)) =>
         TypeCheckResult.TypeCheckSuccess
-      case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires two array<bigint> inputs")
+      // containsNull=true is REJECTED, not tolerated: compute() reads
+      // primitive slots with getLong, which on a null slot would yield a
+      // garbage 0 silently. sort_array(collect_set(...)) — the intended
+      // producer — always yields containsNull=false, so this costs
+      // nothing there and turns a silent-wrong-answer caller into an
+      // analysis error (ADVICE r5).
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint> inputs with containsNull=false " +
+          "(e.g. from sort_array(collect_set(...)))")
     }
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
@@ -400,7 +408,13 @@ object TextExpressionFunctions {
     GraftBridge.column(
       SortedIntersectCount(GraftBridge.expression(a), GraftBridge.expression(b)))
 
-  /** Column API for [[SortedIntersectLongs]]. */
+  /** Column API for [[SortedIntersectLongs]]. PRECONDITION: both inputs
+    * must be sorted ascending and duplicate-free, with
+    * containsNull=false element type (violations of the null shape are
+    * rejected at analysis; sortedness/distinctness are the caller's
+    * contract — feed `sort_array(collect_set(...))`). On unsorted input
+    * the merge scan silently undercounts.
+    */
   def sortedIntersectLongs(a: Column, b: Column): Column =
     GraftBridge.column(
       SortedIntersectLongs(GraftBridge.expression(a), GraftBridge.expression(b)))

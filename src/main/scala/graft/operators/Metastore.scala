@@ -84,10 +84,15 @@ object Metastore {
   def scoreExplain(s: SparkSession, d: String): DataFrame = {
     val terms = Analyzer.analyzeQuery("the merge join table")
     val i = idx(s, d)
-    val page = ds.rankedSearch(i,
+    // ONE component computation feeds both the page ranking (scoresFrom
+    // = sum(component) group by id) and the explanation join — the
+    // corpus-wide tokenize+score stage and its checkpoint run once
+    // (ADVICE r5), and the explanation still cannot drift from the score
+    val comps = ds.scoreComponents(i, terms)
+    val page = ds.rankedSearchScored(i, ds.scoresFrom(comps),
         SearchRequest(q = Some("the merge join table"), size = 20), Seq("name"))
       .select(col("doc_id"), col("rank"))
-    ds.scoreComponents(i, terms)
+    comps
       .join(broadcast(page), Seq("doc_id"))
       .select(col("rank"), col("doc_id"), col("field"), col("term"),
         col("tf"), col("df"), col("idf"), col("boost"), col("component"))

@@ -380,7 +380,9 @@ object Temporal {
     * the most frequent type seen so far, ties broken lexicographically
     * smallest. Pure window functions, no token self-join: the running
     * count c of the current row's type is encoded with the type into
-    * one order-reversing string key (`lpad(10⁸−c) || type`), and
+    * one order-reversing string key (`lpad(10¹²−c) || type`, 13 digits
+    * — a per-(user, type) prefix count past 10¹² would need >10¹² events
+    * for ONE user, far beyond any per-key state this engine plans for), and
     * `min(key)` over the user's prefix recovers the prefix mode — a
     * type's count within the prefix equals c at its last occurrence
     * there, so the prefix-min of keys is exactly (max count, min type).
@@ -398,12 +400,12 @@ object Temporal {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     ev.withColumn("c", count(lit(1)).over(wc))
       .withColumn("kk",
-        concat(lpad((lit(100000000L) - col("c")).cast("string"), 9, "0"),
+        concat(lpad((lit(1000000000000L) - col("c")).cast("string"), 13, "0"),
           col("event_type")))
       .withColumn("mkey", min(col("kk")).over(wp))
       .select(col("user_id"), col("ts_us"), col("event_id"),
-        expr("substring(mkey, 10)").as("mode_type"),
-        (lit(100000000L) - expr("CAST(substring(mkey, 1, 9) AS BIGINT)")).as("mode_n"))
+        expr("substring(mkey, 14)").as("mode_type"),
+        (lit(1000000000000L) - expr("CAST(substring(mkey, 1, 13) AS BIGINT)")).as("mode_n"))
       .orderBy(col("user_id"), col("ts_us"), col("event_id"))
   }
 
@@ -550,17 +552,17 @@ object Temporal {
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
         |k AS (
         |  SELECT user_id, ts_us, event_id,
-        |    lpad(CAST(100000000 - count(*) OVER (PARTITION BY user_id, event_type
+        |    lpad(CAST(1000000000000 - count(*) OVER (PARTITION BY user_id, event_type
         |        ORDER BY ts_us, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |      AS VARCHAR), 9, '0') || event_type AS kk
+        |      AS VARCHAR), 13, '0') || event_type AS kk
         |  FROM ev),
         |m AS (
         |  SELECT user_id, ts_us, event_id,
         |    min(kk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mkey
         |  FROM k)
-        |SELECT user_id, ts_us, event_id, substring(mkey, 10) AS mode_type,
-        |  100000000 - CAST(substring(mkey, 1, 9) AS BIGINT) AS mode_n
+        |SELECT user_id, ts_us, event_id, substring(mkey, 14) AS mode_type,
+        |  1000000000000 - CAST(substring(mkey, 1, 13) AS BIGINT) AS mode_n
         |FROM m ORDER BY user_id, ts_us, event_id""".stripMargin,
 
     "q_scd2" ->

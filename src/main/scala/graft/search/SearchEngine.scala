@@ -85,7 +85,15 @@ class SearchEngine(
     * (reference: metastore/models.py:141) — then broadcast.
     */
   def scores(docs: DataFrame, terms: Seq[String]): DataFrame =
-    scoreComponents(docs, terms)
+    scoresFrom(scoreComponents(docs, terms))
+
+  /** [[scores]] from ALREADY-COMPUTED components — lets a caller that
+    * also needs the per-term breakdown (scoreExplain) reuse one
+    * checkpointed component set instead of running the corpus-wide
+    * tokenize+score pipeline twice (ADVICE r5).
+    */
+  def scoresFrom(components: DataFrame): DataFrame =
+    components
       .groupBy(col(idCol))
       .agg(sum(col("component")).cast("long").as("raw_score"))
 
@@ -132,8 +140,16 @@ class SearchEngine(
   def rankedSearch(docs: DataFrame, req: SearchRequest, projection: Seq[String]): DataFrame = {
     val terms = Analyzer.analyzeQuery(req.q.getOrElse(""))
     require(terms.nonEmpty, "rankedSearch needs a non-empty analyzed query")
+    rankedSearchScored(docs, scores(docs, terms), req, projection)
+  }
+
+  /** [[rankedSearch]] with the per-doc scores supplied by the caller
+    * (paired with [[scoresFrom]] for component reuse).
+    */
+  def rankedSearchScored(docs: DataFrame, docScores: DataFrame,
+                         req: SearchRequest, projection: Seq[String]): DataFrame = {
     val vis = filtered(visible(docs, req.userid), req.filters)
-    val scored = vis.join(scores(docs, terms), Seq(idCol))
+    val scored = vis.join(docScores, Seq(idCol))
       .withColumn("score",
         col("raw_score") +
           when(col(ownerCol) === "core" && col(findabilityCol) === "published",
