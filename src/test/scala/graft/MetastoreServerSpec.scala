@@ -1,0 +1,68 @@
+package graft
+
+import java.net.{HttpURLConnection, URI}
+
+import graft.search.{AuthToken, MetastoreServer}
+import org.scalatest.funsuite.AnyFunSuite
+
+class MetastoreServerSpec extends AnyFunSuite {
+  import SparkTestSession._
+
+  private val key = "test-private-key".getBytes("UTF-8")
+  private lazy val server = MetastoreServer.start(spark, sf, key, port = 0)
+  private def get(pathAndQuery: String,
+                  headers: Map[String, String] = Map.empty): (Int, String) = {
+    val url = new URI(
+      s"http://127.0.0.1:${server.getAddress.getPort}$pathAndQuery").toURL
+    val conn = url.openConnection().asInstanceOf[HttpURLConnection]
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+    val code = conn.getResponseCode
+    val body = scala.io.Source.fromInputStream(
+      if (code < 400) conn.getInputStream else conn.getErrorStream).mkString
+    conn.disconnect()
+    (code, body)
+  }
+  private def totalOf(body: String): Long = {
+    val m = """"total":(\d+)""".r.findFirstMatchIn(body)
+    assert(m.isDefined, s"no summary.total in: $body")
+    m.get.group(1).toLong
+  }
+
+  test("GET /search returns the results+summary envelope (blueprint.py:35-38)") {
+    val (code, body) = get("/search?size=5")
+    assert(code == 200)
+    assert(body.startsWith("""{"results":["""))
+    assert(body.contains(""""summary":{"total":"""))
+    assert(!body.contains("\"error\""))
+    assert(totalOf(body) > 0)
+  }
+
+  test("GET /search/events routes the kind path param") {
+    val (code, body) = get("""/search/events?event_entity=%22click%22&size=3""")
+    assert(code == 200 && totalOf(body) > 0)
+    assert(body.contains("\"event_entity\":\"click\""))
+  }
+
+  test("auth-token header and jwt param grant visibility; invalid token is anonymous") {
+    val anon = totalOf(get("/search")._2)
+    val token = AuthToken.sign("src5", key)
+    val viaHeader = totalOf(get("/search", Map("auth-token" -> token))._2)
+    val viaParam = totalOf(get(s"/search?jwt=$token")._2)
+    val badToken = totalOf(get("/search?jwt=not-a-jwt")._2)
+    assert(viaHeader > anon, "header token must widen visibility")
+    assert(viaParam == viaHeader, "jwt param must behave like the header")
+    assert(badToken == anon, "invalid token must degrade to anonymous")
+  }
+
+  test("malformed filter JSON yields the error envelope, not a 500") {
+    val (code, body) = get("/search?lang=notjson")
+    assert(code == 200 && body.contains("\"error\""))
+    assert(totalOf(body) == 0)
+  }
+
+  test("callback param wraps the envelope as JSONP (jsonpify behavior)") {
+    val (code, body) = get("/search?size=1&callback=cb")
+    assert(code == 200)
+    assert(body.startsWith("cb({") && body.endsWith("});"))
+  }
+}
