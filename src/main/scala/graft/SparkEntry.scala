@@ -127,6 +127,7 @@ object SparkEntry {
     "ann_pair_sim"   -> ((s, d) => Pipeline.annPairSim(s, d)),
     "ann_range_search" -> ((s, d) => Pipeline.annRangeSearch(s, d)),
     "ann_pq_topk"      -> ((s, d) => Pipeline.annPqTopk(s, d)),
+    "ann_ivf_pq_topk"  -> ((s, d) => Pipeline.annIvfPqTopk(s, d)),
     // §2.6 multimodal
     "mm_decode_meta"  -> ((s, d) => Pipeline.mmDecodeMeta(s, d)),
     "mm_resize"       -> ((s, d) => Pipeline.mmResize(s, d)),

@@ -119,7 +119,15 @@ object Dedup {
     // |A∩B| ≤ hits + min(sz_a − pa, sz_b − pb); prune pairs whose bound
     // can't reach the required overlap ⌈τ/(1+τ)·(sz_a+sz_b)⌉
     val cand = prefix.as("x").join(prefix.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id") &&
+          // AllPairs length filter AT GENERATION: J ≥ τ forces
+          // τ·max(|A|,|B|) ≤ min(|A|,|B|), so size-incompatible pairs are
+          // dropped inside the join probe before they ever reach the
+          // (a,b) aggregation — on a dense shingle space this is the only
+          // filter whose selectivity survives (rarity prefixes saturate
+          // when every posting list is long)
+          col("x.sz") * lit(1000000L) >= col("y.sz") * lit(tauX1e6) &&
+          col("y.sz") * lit(1000000L) >= col("x.sz") * lit(tauX1e6))
       .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .agg(count(lit(1)).as("hits"),
         max(col("x.rn")).as("pa"), max(col("y.rn")).as("pb"),

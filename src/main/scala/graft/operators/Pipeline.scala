@@ -65,6 +65,9 @@ object Pipeline {
   def annPqTopk(s: SparkSession, d: String): DataFrame =
     Similarity.pqTopK(Tables.embeddings(s, d), queryPred)
 
+  def annIvfPqTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.ivfPqTopK(Tables.embeddings(s, d), queryPred)
+
   // --- §2.6 multimodal ---------------------------------------------------
 
   def mmDecodeMeta(s: SparkSession, d: String): DataFrame =
@@ -774,6 +777,8 @@ object Pipeline {
          |ORDER BY q_id, rk""".stripMargin,
 
     "ann_pq_topk" -> Similarity.pqOracleSql("vec_id % 97 = 0"),
+
+    "ann_ivf_pq_topk" -> Similarity.ivfPqOracleSql("vec_id % 97 = 0"),
 
     "ann_range_search" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),

@@ -243,6 +243,178 @@ object Similarity {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  /** IVF-PQ composite — the canonical billion-vector serving layout
+    * (coarse quantizer prunes the corpus to nProbe cells per query, PQ
+    * codes compress the scan INSIDE those cells to M 4-bit lookups per
+    * vector): cell assignment against the pinned [[IvfModel]], PQ
+    * encoding against the pinned [[PqModel]], probe, then ADC-score only
+    * the probed cells' codes. At 100 TB both reductions multiply — the
+    * scan reads M bytes per vector for ~nProbe/cells of the corpus,
+    * the two models are literal broadcasts, and the corpus is never
+    * shuffled. Both quantizers are deterministic literal arithmetic, so
+    * the composite gates HASH-EXACT against [[ivfPqOracleSql]] despite
+    * being doubly approximate; recall vs brute is pinned in spec.
+    */
+  def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+                nProbe: Int = 3, cents: Seq[Seq[Float]] = IvfModel.cells,
+                model: Seq[Seq[Seq[Float]]] = PqModel.books): DataFrame = {
+    val mM = model.length
+    val kK = model.head.length
+    val dim = mM * PqModel.SubDim
+    def padded(m: Int, cent: Seq[Float]): Seq[Double] = {
+      val a = Array.fill(dim)(0.0)
+      cent.zipWithIndex.foreach { case (c, j) => a(m * PqModel.SubDim + j) = c.toDouble }
+      a.toSeq
+    }
+    // ingest pass: cell id + the vv/dot PQ terms in ONE corpus scan
+    // (checkpoint discipline as pqTopK — see the CollapseProject note)
+    val pre = graft.Tables.fanOut(embeddings).select(
+      Seq(col("vec_id"), nearestCell(col("embedding"), cents).as("cell")) ++
+        (0 until mM).map(m => expr(pqVvSql("embedding", m, 0)).as(s"vv_$m")) ++
+        (for (m <- 0 until mM; kk <- 0 until kK) yield
+          graft.functions.VectorFunctions
+            .floatVecDotConst(col("embedding"), padded(m, model(m)(kk)))
+            .as(s"dot_${m}_$kk")): _*)
+      .localCheckpoint()
+    def dRef(side: String, m: Int, kk: Int): String =
+      pqDSql(s"vv_$m", s"${side}_${m}_$kk", model(m)(kk))
+    val withDCols = pre.select(Seq(col("vec_id"), col("cell")) ++
+      (for (m <- 0 until mM; kk <- 0 until kK) yield
+        expr(dRef("dot", m, kk)).as(s"d_${m}_$kk")): _*)
+      .localCheckpoint()
+    val codes = withDCols.select(Seq(col("vec_id"), col("cell")) ++ (0 until mM).map { m =>
+      val ds = (0 until kK).map(kk => s"d_${m}_$kk")
+      val g = ds.mkString("least(", ", ", ")")
+      expr(ds.zipWithIndex.map { case (d, kk) => s"WHEN $d = $g THEN $kk" }
+        .mkString("CASE ", " ", " END")).as(s"c_$m")
+    }: _*)
+    // query side: nProbe cells (IVF probe) × the PQ distance table
+    val q0 = embeddings.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cellSims = cents.zipWithIndex.map { case (c, j) =>
+      val invNorm = 1.0 / math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      struct(lit(j).as("cell"), (dot(col("q_emb"), typedlit(c)) * invNorm).as("c_sim"))
+    }
+    val probes = q0
+      .select(col("q_id"), col("q_emb"), explode(array(cellSims: _*)).as("cs"))
+      .withColumn("c_rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("cs.c_sim").desc, col("cs.cell"))))
+      .filter(col("c_rk") <= nProbe)
+      .select(col("q_id"), col("cs.cell").as("p_cell"))
+    val dq = q0
+      .select(col("q_id") +:
+        ((0 until mM).map(m => expr(pqVvSql("q_emb", m, 0)).as(s"vv_$m")) ++
+          (for (m <- 0 until mM; kk <- 0 until kK) yield
+            graft.functions.VectorFunctions
+              .floatVecDotConst(col("q_emb"), padded(m, model(m)(kk)))
+              .as(s"qdot_${m}_$kk"))): _*)
+      .localCheckpoint()
+      .select(col("q_id") +: (for (m <- 0 until mM; kk <- 0 until kK) yield
+        expr(dRef("qdot", m, kk)).as(s"dq_${m}_$kk")): _*)
+    val adc = (0 until mM).map { m =>
+      expr((0 until kK).map(kk => s"WHEN $kk THEN dq_${m}_$kk")
+        .mkString(s"CASE c_$m ", " ", " END"))
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist_x1e6"), col("vec_id"))
+    codes.join(broadcast(probes.join(dq, Seq("q_id"))),
+        col("cell") === col("p_cell") && col("vec_id") =!= col("q_id"))
+      .withColumn("adist_x1e6", floor(adc * 1e6).cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adist_x1e6"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** DuckDB rendering of the composite IVF-PQ plan: the [[ivfOracleSql]]
+    * cell-assignment/probe CTEs feeding the [[pqOracleSql]]
+    * encode/ADC CTEs, joined on the probed cell.
+    */
+  def ivfPqOracleSql(queryPredSql: String, k: Int = 10, nProbe: Int = 3,
+                     cents: Seq[Seq[Float]] = IvfModel.cells,
+                     model: Seq[Seq[Seq[Float]]] = PqModel.books): String = {
+    val n = cents.length
+    val mM = model.length
+    val kK = model.head.length
+    def centSim(v: String, j: Int): String = {
+      val c = cents(j)
+      val invNorm = 1.0 / math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val dotC = c.zipWithIndex
+        .map { case (x, d) => s"CAST($v[${d + 1}] AS DOUBLE) * (${x.toDouble})" }
+        .mkString("(0.0 + ", " + ", ")")
+      s"($dotC * ($invNorm))"
+    }
+    val simCols = (0 until n).map(j => s"    ${centSim("embedding", j)} AS s$j").mkString(",\n")
+    val sNames = (0 until n).map(j => s"s$j").mkString(", ")
+    val cellCase = (0 until n).map(j => s"WHEN s$j = g THEN $j").mkString("CASE ", " ", " END")
+    val simCase = (0 until n).map(j => s"WHEN $j THEN s$j").mkString("CASE t.j ", " ", " END")
+    val preCols = ((0 until mM).map(m =>
+      s"    ${pqVvSql("embedding", m, 1)} AS vv_$m") ++
+      (for (m <- 0 until mM; kk <- 0 until kK)
+        yield s"    ${pqDotSql("embedding", m, model(m)(kk), 1)} AS dot_${m}_$kk"))
+      .mkString(",\n")
+    val cCols = (0 until mM).map { m =>
+      val ds = (0 until kK).map(kk => pqDSql(s"vv_$m", s"dot_${m}_$kk", model(m)(kk)))
+      val g = ds.mkString("least(", ", ", ")")
+      "    " + ds.zipWithIndex.map { case (d, kk) => s"WHEN $d = $g THEN $kk" }
+        .mkString("CASE ", " ", s" END AS c_$m")
+    }.mkString(",\n")
+    val qpreCols = ((0 until mM).map(m =>
+      s"    ${pqVvSql("q_emb", m, 1)} AS vv_$m") ++
+      (for (m <- 0 until mM; kk <- 0 until kK)
+        yield s"    ${pqDotSql("q_emb", m, model(m)(kk), 1)} AS qdot_${m}_$kk"))
+      .mkString(",\n")
+    val dqCols = (for (m <- 0 until mM; kk <- 0 until kK)
+      yield s"    ${pqDSql(s"vv_$m", s"qdot_${m}_$kk", model(m)(kk))} AS dq_${m}_$kk")
+      .mkString(",\n")
+    val adc = (0 until mM).map(m =>
+      (0 until kK).map(kk => s"WHEN $kk THEN dq_${m}_$kk")
+        .mkString(s"(CASE c.c_$m ", " ", " END)")).mkString(" + ")
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding,
+       |$simCols
+       |  FROM embeddings),
+       |a AS (SELECT *, greatest($sNames) AS g FROM s),
+       |cl AS (SELECT vec_id, embedding, $cellCase AS cell, $sNames FROM a),
+       |pre AS (
+       |  SELECT vec_id, cell,
+       |$preCols
+       |  FROM cl),
+       |codes AS (
+       |  SELECT vec_id, cell,
+       |$cCols
+       |  FROM pre),
+       |q0 AS (SELECT vec_id AS q_id, embedding AS q_emb, $sNames
+       |       FROM cl WHERE $queryPredSql),
+       |pc AS (
+       |  SELECT q_id, t.j, $simCase AS sim
+       |  FROM q0 CROSS JOIN range(0, $n) t(j)),
+       |pr AS (
+       |  SELECT q_id, j AS p_cell,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, j) AS c_rk
+       |  FROM pc),
+       |probes AS (SELECT q_id, p_cell FROM pr WHERE c_rk <= $nProbe),
+       |qpre AS (
+       |  SELECT q_id,
+       |$qpreCols
+       |  FROM q0),
+       |dq AS (
+       |  SELECT q_id,
+       |$dqCols
+       |  FROM qpre),
+       |sc AS (
+       |  SELECT q.q_id, c.vec_id,
+       |    CAST(floor(($adc) * 1e6) AS BIGINT) AS adist_x1e6
+       |  FROM codes c JOIN probes p ON c.cell = p.p_cell JOIN dq q ON q.q_id = p.q_id
+       |  WHERE c.vec_id <> q.q_id),
+       |rk AS (
+       |  SELECT q_id, vec_id, adist_x1e6,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adist_x1e6, vec_id) AS INT) AS rk
+       |  FROM sc)
+       |SELECT q_id, rk, vec_id, adist_x1e6 FROM rk WHERE rk <= $k
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
   /** All-pairs cosine ≥ τ within a blocking key (label) — embedding
     * near-dup detection. Block-local self-join: pairs never cross blocks.
     */

@@ -394,6 +394,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.2)
   }
 
+  test("IVF-PQ composite: probed subset of the PQ scan, measured recall") {
+    val pq = Pipeline.annPqTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val ivfpq = Pipeline.annIvfPqTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(ivfpq.nonEmpty)
+    // same codebooks ⇒ identical ADC distance for any (q, v) both scans
+    // score; the composite only prunes candidates, never rescores them
+    val pqDist = pq.map { case (q, v, d) => (q, v) -> d }.toMap
+    ivfpq.foreach { case (q, v, d) =>
+      pqDist.get((q, v)).foreach(pd =>
+        assert(pd == d, s"ADC distance diverged for ($q,$v)"))
+    }
+    val brute = Pipeline.annBruteTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & ivfpq.map(t => (t._1, t._2)).toSet).size.toDouble / brute.size
+    info(f"IVF-PQ recall@10 vs cosine brute = $recall%.2f (nProbe=3, 8x16 codebooks)")
+    assert(recall > 0.05)
+  }
+
   test("salted join returns exactly the rows of the plain join") {
     import graft.operators.Skew
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
