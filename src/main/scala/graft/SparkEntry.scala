@@ -128,6 +128,7 @@ object SparkEntry {
     "ann_range_search" -> ((s, d) => Pipeline.annRangeSearch(s, d)),
     "ann_pq_topk"      -> ((s, d) => Pipeline.annPqTopk(s, d)),
     "ann_ivf_pq_topk"  -> ((s, d) => Pipeline.annIvfPqTopk(s, d)),
+    "pipe_contamination_bloom" -> ((s, d) => Pipeline.contaminationBloom(s, d)),
     // §2.6 multimodal
     "mm_decode_meta"  -> ((s, d) => Pipeline.mmDecodeMeta(s, d)),
     "mm_resize"       -> ((s, d) => Pipeline.mmResize(s, d)),

@@ -6,7 +6,7 @@ import graft.multimodal.Multimodal
 import graft.similarity.Similarity
 import graft.streaming.EventStreams
 import graft.text.TextFunctions
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.3/§2.4/§2.6/§2.7 — training-data pipeline operators. */
@@ -433,6 +433,55 @@ object Pipeline {
     * contaminated doc the absolute overlap and the basis-point overlap
     * ratio a filter would threshold on.
     */
+  /** Bloom-filter decontamination — the scale path when the benchmark
+    * set is too big to broadcast EXACTLY (pipe_contamination's shape):
+    * bench shingles fold into an M=65536-bit Bloom bitmap (K=3
+    * deterministic polynomial hashes; 32-bit words so every mask stays
+    * a positive BIGINT in both engines), the ≤2048-row bitmap
+    * broadcasts, and each training shingle probes its 3 bits via
+    * broadcast joins — no corpus shuffle, and the bitmap stays M bits
+    * however large the benchmark grows. The filter is deterministic, so
+    * its false positives are REPLAYED by the DuckDB oracle and the
+    * query gates hash-exact — an approximate operator with an exact
+    * spec. Emits every training doc (zero-hit rows included: the audit
+    * wants the clean ones too).
+    */
+  def contaminationBloom(s: SparkSession, d: String): DataFrame = {
+    val M = 65536L
+    val hashes = Seq((31L, 1000000007L), (37L, 998244353L), (41L, 1000000009L))
+    def pos(c: Column, i: Int): Column = pmod(
+      graft.functions.TextExpressionFunctions.polyHash(c, hashes(i)._1, hashes(i)._2),
+      lit(M))
+    val docs = Tables.documents(s, d)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+      .select(explode(Dedup.shingles(col("text"))).as("sh")).distinct()
+    val bloom = bench
+      .select(explode(array((0 until 3).map(i => pos(col("sh"), i)): _*)).as("pos"))
+      .distinct()
+      .select(expr("pos div 32").as("word"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("bit"))
+      .groupBy(col("word")).agg(expr("bit_or(bit)").as("mask"))
+    val train = docs.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), Dedup.shingles(col("text")).as("shs"))
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
+        explode(col("shs")).as("sh"))
+    val probed = (0 until 3).foldLeft(
+        train.select(Seq(col("doc_id"), col("n_sh")) ++
+          (0 until 3).map(i => pos(col("sh"), i).as(s"p$i")): _*)) { (df, i) =>
+      df.join(broadcast(bloom.select(col("word").as(s"w$i"), col("mask").as(s"m$i"))),
+          expr(s"p$i div 32") === col(s"w$i"), "left")
+        .withColumn(s"hit$i",
+          coalesce(expr(s"shiftright(m$i, CAST(p$i % 32 AS INT)) & 1"), lit(0L)))
+    }
+    probed
+      .withColumn("hit", when(
+        col("hit0") === 1L && col("hit1") === 1L && col("hit2") === 1L, 1L).otherwise(0L))
+      .groupBy(col("doc_id"), col("n_sh")).agg(sum(col("hit")).as("n_bloom_hit"))
+      .withColumn("hit_bp", expr("(10000 * n_bloom_hit) div n_sh"))
+      .select(col("doc_id"), col("n_sh"), col("n_bloom_hit"), col("hit_bp"))
+      .orderBy(col("doc_id"))
+  }
+
   def contamination(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val bench = docs.filter(col("doc_id") % 97 === 0)
@@ -683,6 +732,45 @@ object Pipeline {
          |  (cum_end - n_tok) // 256 AS pack_first,
          |  (cum_end - 1) // 256 AS pack_last
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "pipe_contamination_bloom" -> {
+      def ph(e: String, mult: Long, p: Long): String =
+        s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+          s"list_transform(string_split_regex($e, ''), c -> CAST(ascii(c) AS BIGINT))), " +
+          s"(a, b) -> (a * $mult + b) % $p)"
+      val hs = Seq((31L, 1000000007L), (37L, 998244353L), (41L, 1000000009L))
+      val posSel = hs.map { case (m, p) => s"SELECT ${ph("sh", m, p)} % 65536 AS p FROM b" }
+        .mkString("\n         UNION ALL ")
+      val pCols = hs.zipWithIndex
+        .map { case ((m, p), i) => s"    ${ph("sh", m, p)} % 65536 AS p$i" }.mkString(",\n")
+      val joins = (0 until 3)
+        .map(i => s"LEFT JOIN bloom b$i ON b$i.word = pr.p$i // 32").mkString(" ")
+      val hitCond = (0 until 3)
+        .map(i => s"COALESCE((b$i.mask >> CAST(pr.p$i % 32 AS INT)) & 1, 0) = 1")
+        .mkString(" AND ")
+      s"""WITH sh AS (SELECT doc_id, unnest($shingleE) AS sh FROM documents),
+         |b AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+         |pos AS (SELECT DISTINCT p FROM (
+         |  $posSel)),
+         |bloom AS (
+         |  SELECT p // 32 AS word,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(p % 32 AS INT)) AS mask
+         |  FROM pos GROUP BY 1),
+         |t AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0),
+         |n AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM t GROUP BY doc_id),
+         |pr AS (
+         |  SELECT doc_id,
+         |$pCols
+         |  FROM t),
+         |h AS (
+         |  SELECT pr.doc_id,
+         |    CASE WHEN $hitCond THEN 1 ELSE 0 END AS hit
+         |  FROM pr $joins)
+         |SELECT h.doc_id, n.n_sh, CAST(sum(h.hit) AS BIGINT) AS n_bloom_hit,
+         |  (10000 * CAST(sum(h.hit) AS BIGINT)) // n.n_sh AS hit_bp
+         |FROM h JOIN n ON h.doc_id = n.doc_id
+         |GROUP BY h.doc_id, n.n_sh ORDER BY h.doc_id""".stripMargin
+    },
 
     "pipe_contamination" ->
       s"""WITH sh AS (SELECT doc_id, unnest($shingleE) AS sh FROM documents),

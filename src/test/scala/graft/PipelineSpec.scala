@@ -414,6 +414,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.05)
   }
 
+  test("Bloom decontamination: no false negatives vs exact, bounded FP rate") {
+    val exact = Pipeline.contamination(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bloom = Pipeline.contaminationBloom(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bloom.nonEmpty)
+    // a Bloom filter can only over-report: every exact hit count is a
+    // lower bound on the bloom hit count for that doc
+    exact.foreach { case (id, nHit) =>
+      val b = bloom.find(_._1 == id)
+      assert(b.exists(_._3 >= nHit), s"doc $id lost exact hits ($nHit) in the bloom path")
+    }
+    val totalSh = bloom.map(_._2).sum
+    val fp = bloom.map(_._3).sum - exact.values.sum
+    assert(fp >= 0)
+    val fpRate = fp.toDouble / totalSh
+    info(f"bloom FP rate = $fpRate%.4f over $totalSh shingle probes (M=65536, K=3)")
+    assert(fpRate < 0.02, f"false-positive rate $fpRate%.4f out of bound")
+  }
+
   test("salted join returns exactly the rows of the plain join") {
     import graft.operators.Skew
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey", "l_quantity")
