@@ -559,7 +559,7 @@ object Pipeline {
     val bySource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val totals = bySource.agg(sum(col("n_docs")).as("n_total"),
       count(lit(1)).as("n_sources"))
-    bySource.crossJoin(totals)
+    bySource.crossJoin(broadcast(totals))
       // target_share/actual_share = (total/sources) / (n_docs/total)
       // — rearranged to a single integer division
       .withColumn("weight_x1e6",
