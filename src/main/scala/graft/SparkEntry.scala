@@ -42,6 +42,9 @@ object SparkEntry {
     "q_histogram"      -> ((s, d) => Relational.qHistogram(s, d)),
     "q_histogram_log"  -> ((s, d) => Relational.qHistogramLog(s, d)),
     "q_gini"           -> ((s, d) => Relational.qGini(s, d)),
+    "q_decay"          -> ((s, d) => Relational.qDecay(s, d)),
+    "q_quantile_hist"  -> ((s, d) => Relational.qQuantileHist(s, d)),
+    "q_freq_cms"       -> ((s, d) => Relational.qFreqCms(s, d)),
     "q_benford"        -> ((s, d) => Relational.qBenford(s, d)),
     "q_kmv_overlap"    -> ((s, d) => Relational.qKmvOverlap(s, d)),
     "q_stats"          -> ((s, d) => Relational.qStats(s, d)),
@@ -168,6 +171,7 @@ object SparkEntry {
     "q_retention"         -> ((s, d) => operators.Temporal.qRetention(s, d)),
     "q_cohort_matrix"     -> ((s, d) => operators.Temporal.qCohortMatrix(s, d)),
     "q_ab_lift"           -> ((s, d) => operators.Temporal.qAbLift(s, d)),
+    "q_streaks"           -> ((s, d) => operators.Temporal.qStreaks(s, d)),
     "mm_patchify"         -> ((s, d) => Pipeline.mmPatchify(s, d)),
     "mm_decode_bmp"       -> ((s, d) => Pipeline.mmDecodeBmp(s, d)),
     "mm_decode_wav"       -> ((s, d) => Pipeline.mmDecodeWav(s, d)),
@@ -201,6 +205,68 @@ object SparkEntry {
         |          - CAST(count(*) AS HUGEINT) * sum(CAST(cents AS HUGEINT))))
         |    // (CAST(count(*) AS HUGEINT) * sum(CAST(cents AS HUGEINT))) AS BIGINT) AS gini_x1e6
         |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_quantile_hist" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),
+        |cells AS (SELECT cents // 1000000 AS bin, CAST(count(*) AS BIGINT) AS n
+        |          FROM c GROUP BY bin),
+        |cum AS (SELECT bin, CAST(sum(n) OVER (ORDER BY bin) AS BIGINT) AS cum FROM cells),
+        |tot AS (SELECT max(cum) AS n_total FROM cum),
+        |ps AS (SELECT unnest([25, 50, 75, 90, 99]) AS p),
+        |r AS (SELECT p, n_total, CAST((p * n_total + 99) // 100 AS BIGINT) AS rank
+        |      FROM ps CROSS JOIN tot)
+        |SELECT r.p, r.n_total, r.rank,
+        |  min(cum.bin) * 1000000 AS est_lo_cents,
+        |  (min(cum.bin) + 1) * 1000000 - 1 AS est_hi_cents
+        |FROM r JOIN cum ON cum.cum >= r.rank
+        |GROUP BY r.p, r.n_total, r.rank
+        |ORDER BY r.p""".stripMargin,
+
+    "q_freq_cms" ->
+      """WITH h AS (
+        |  SELECT k, cell, CAST(count(*) AS BIGINT) AS n FROM (
+        |    SELECT unnest([0, 1, 2]) AS k,
+        |      unnest([
+        |        ((o_custkey * 2654435761 + 1) % 2147483647) % 4096,
+        |        ((o_custkey * 2246822519 + 7) % 2147483647) % 4096,
+        |        ((o_custkey * 3266489917 + 13) % 2147483647) % 4096]) AS cell
+        |    FROM orders) GROUP BY k, cell),
+        |p AS (SELECT CAST(range AS BIGINT) AS probe_key FROM range(1, 21)),
+        |e AS (
+        |  SELECT probe_key, least(
+        |    coalesce((SELECT n FROM h WHERE k = 0
+        |      AND cell = ((probe_key * 2654435761 + 1) % 2147483647) % 4096), 0),
+        |    coalesce((SELECT n FROM h WHERE k = 1
+        |      AND cell = ((probe_key * 2246822519 + 7) % 2147483647) % 4096), 0),
+        |    coalesce((SELECT n FROM h WHERE k = 2
+        |      AND cell = ((probe_key * 3266489917 + 13) % 2147483647) % 4096), 0)) AS est
+        |  FROM p),
+        |x AS (SELECT o_custkey AS probe_key, CAST(count(*) AS BIGINT) AS exact
+        |      FROM orders WHERE o_custkey <= 20 GROUP BY o_custkey)
+        |SELECT e.probe_key, e.est, coalesce(x.exact, 0) AS exact,
+        |  e.est - coalesce(x.exact, 0) AS overcount
+        |FROM e LEFT JOIN x USING (probe_key) ORDER BY probe_key""".stripMargin,
+
+    "q_decay" ->
+      s"""WITH o AS (
+         |  SELECT o_custkey, CAST(year(o_orderdate) AS INT) AS y,
+         |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+         |  FROM orders),
+         |m AS (SELECT max(y) AS max_y FROM o),
+         |j AS (
+         |  SELECT o.cents, o.y, m.max_y, c.c_mktsegment
+         |  FROM o CROSS JOIN m
+         |  JOIN customer c ON o.o_custkey = c.c_custkey),
+         |g AS (
+         |  SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+         |    sum(cents) AS sc,
+         |    sum(cents * (${Relational.decayCaseSql})) AS dc
+         |  FROM j GROUP BY c_mktsegment)
+         |SELECT c_mktsegment, n_orders,
+         |  CAST(sc AS DECIMAL(38,0)) AS spend_cents,
+         |  CAST(dc AS DECIMAL(38,0)) AS decayed_x64,
+         |  CAST((dc * 15625) // sc AS BIGINT) AS recency_x1e6
+         |FROM g ORDER BY c_mktsegment""".stripMargin,
 
     "q_benford" -> {
       s"""WITH d AS (

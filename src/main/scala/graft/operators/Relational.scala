@@ -718,6 +718,135 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** Mergeable-histogram quantile estimation — the single-pass,
+    * partial-agg answer to "give me p50/p90/p99 of a 100 TB column
+    * without sorting it": orders' totals bucket into fixed $10k-wide
+    * bins (one groupBy to ≤ domain/width cells, map-side combined),
+    * a cumulative window runs over the CELLS (dozens of rows at any
+    * corpus size — never the data), and each requested percentile
+    * resolves to the first bin whose cumulative count reaches rank
+    * ⌈p·n/100⌉. The estimate is the bin's [lo, hi] cents range — the
+    * histogram's resolution is the honest error bar, and every step is
+    * integer arithmetic ⇒ hash-exact despite being approximate. The
+    * exact path for comparison is [[qPercentiles]]' full-sort plan.
+    */
+  def qQuantileHist(spark: SparkSession, dir: String): DataFrame = {
+    val binW = 1000000L // $10k in cents
+    val cells = Tables.orders(spark, dir)
+      .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(expr(s"cents div $binW").as("bin"))
+      .agg(count(lit(1)).as("n"))
+    // cumulative over histogram cells: a global window, but over ≤
+    // domain/binW rows by construction (not a data-sized sort)
+    val cum = cells.withColumn("cum",
+      sum(col("n")).over(Window.orderBy(col("bin"))))
+      .localCheckpoint(false)
+    val tot = cum.agg(max(col("cum")).as("n_total"))
+    val ps = spark.range(1).selectExpr("explode(array(25, 50, 75, 90, 99)) AS p")
+    ps.crossJoin(broadcast(tot))
+      .withColumn("rank", expr("(p * n_total + 99) div 100"))
+      .join(broadcast(cum), col("cum") >= col("rank"))
+      .groupBy(col("p"), col("rank"), col("n_total"))
+      .agg(min(col("bin")).as("est_bin"))
+      .select(col("p"), col("n_total"), col("rank"),
+        expr(s"est_bin * $binW").as("est_lo_cents"),
+        expr(s"(est_bin + 1) * $binW - 1").as("est_hi_cents"))
+      .orderBy(col("p"))
+  }
+
+  /** Count-Min sketch frequency estimation — the fixed-memory
+    * frequency oracle for an unbounded key domain: every order folds
+    * into K=3 hashed rows of a W=4096-cell counter table (one
+    * explode→groupBy, 3·W mergeable cells total — the sketch IS the
+    * aggregate, shipping ~100 KB no matter how many keys exist), and a
+    * point query for key x reads min over k of cell[k][h_k(x)] —
+    * always ≥ the true count, overshooting by ≤ εN with ε ≈ e/W. A
+    * pinned 20-key probe set (custkeys 1–20, present at every SF and
+    * including zero-order customers, whose estimate is pure collision
+    * noise) is estimated from the sketch and joined to the exact
+    * counts, so the gate pins both the estimates and the ≥-exact
+    * invariant. Deterministic pinned-constant hashing ⇒ hash-exact.
+    */
+  def qFreqCms(spark: SparkSession, dir: String): DataFrame = {
+    val W = 4096L
+    // pinned odd multipliers/offsets; key and A_k < 2^32 so the product
+    // stays far inside BIGINT before the mods
+    val A = Seq(2654435761L, 2246822519L, 3266489917L)
+    val B = Seq(1L, 7L, 13L)
+    def hSql(keyCol: String, k: Int): String =
+      s"(($keyCol * ${A(k)} + ${B(k)}) % 2147483647) % $W"
+    val cells = Tables.orders(spark, dir)
+      .select(col("o_custkey"))
+      .select(posexplode(array(
+        (0 to 2).map(k => expr(hSql("o_custkey", k))): _*)).as(Seq("k", "cell")))
+      .groupBy(col("k"), col("cell")).agg(count(lit(1)).as("n"))
+      // three probe joins consume the sketch — materialize it once
+      .localCheckpoint(false)
+    val probes = spark.range(1, 21).selectExpr("id AS probe_key")
+    val est = (0 to 2).foldLeft(
+      probes.select(col("probe_key") +:
+        (0 to 2).map(k => expr(hSql("probe_key", k)).as(s"c$k")): _*)) {
+        (df, k) =>
+          df.join(cells.filter(col("k") === k)
+              .select(col("cell").as(s"cell$k"), col("n").as(s"n$k")),
+            col(s"c$k") === col(s"cell$k"), "left")
+      }
+      .select(col("probe_key"),
+        least((0 to 2).map(k => coalesce(col(s"n$k"), lit(0L))): _*).as("est"))
+    val exact = Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 20)
+      .groupBy(col("o_custkey").as("probe_key"))
+      .agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("probe_key"), "left")
+      .select(col("probe_key"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"),
+        (col("est") - coalesce(col("exact"), lit(0L))).as("overcount"))
+      .orderBy(col("probe_key"))
+  }
+
+  /** Decay weight CASE (×2⁶-scaled halving per year of age) — single
+    * source for the Spark plan and the DuckDB oracle. Ages past the
+    * 6-year horizon get weight 0: an explicit decay cutoff, not an
+    * overflow dodge — a 1-year half-life leaves <1.6% mass there.
+    */
+  val decayCaseSql: String =
+    (0 to 6).map(a => s"WHEN $a THEN ${64 >> a}")
+      .mkString("CASE max_y - y ", " ", " ELSE 0 END")
+
+  /** Exact exponential time-decay aggregate — the recency-weighted
+    * feature every ranking/feature pipeline needs, computed with NO
+    * floating pow(): a 1-year half-life means weight 2^(−age_years),
+    * held exact by scaling everything by 2⁶ (the horizon), so each
+    * order contributes cents·2^(6−age) in integer arithmetic. Per
+    * market segment: order count, raw spend, decayed spend (×2⁶), and
+    * the decayed/raw recency ratio ×10⁶. Sums stage through
+    * DECIMAL(38,0) (a 100 TB corpus overflows BIGINT at weight 64);
+    * one partial-agg groupBy after the customer join, "now" (max year)
+    * is a broadcast 1-row scalar.
+    */
+  def qDecay(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir).select(
+      col("o_custkey"),
+      expr("CAST(year(o_orderdate) AS INT)").as("y"),
+      expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val maxy = o.agg(max(col("y")).as("max_y"))
+    o.crossJoin(broadcast(maxy))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("CAST(cents AS DECIMAL(38,0))")).as("spend_cents"),
+        sum(expr(s"CAST(cents * ($decayCaseSql) AS DECIMAL(38,0))"))
+          .as("decayed_x64"))
+      .select(col("c_mktsegment"), col("n_orders"), col("spend_cents"),
+        col("decayed_x64"),
+        // decayed/64/spend ×1e6 = decayed·15625/spend, exact integer div
+        expr("CAST((decayed_x64 * 15625) div spend_cents AS BIGINT)")
+          .as("recency_x1e6"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Benford expectation CASE (×10⁴ integer literals) — single source
     * for the Spark plan and the DuckDB oracle.
     */

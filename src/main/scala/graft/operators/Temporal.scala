@@ -325,6 +325,33 @@ object Temporal {
       .orderBy(col("arm"))
   }
 
+  /** Gaps-and-islands — longest consecutive-day activity streak per
+    * user (the engagement metric behind "7-day streak" features, and
+    * the canonical SQL islands idiom the surface was missing). Island
+    * key = day − row_number over the user's distinct active days:
+    * constant exactly while days are consecutive. Per user this emits
+    * total active days, island count, and the longest streak — scalar
+    * aggregates only, so no tie-break is ever needed. Scale: the
+    * distinct is a (user, day) partial-agg shuffle of narrow rows; the
+    * window + island aggregate both run on the user_id partitioning
+    * over per-user ACTIVE-DAY counts (≤ calendar days, never event
+    * rows) — the event log itself is touched once, map-side.
+    */
+  def qStreaks(s: SparkSession, d: String): DataFrame = {
+    val ud = EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    ud.withColumn("grp", col("day") - row_number().over(w))
+      .groupBy(col("user_id"), col("grp"))
+      .agg(count(lit(1)).as("len"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("len")).cast("long").as("n_active_days"),
+        count(lit(1)).as("n_islands"),
+        max(col("len")).as("longest_streak"))
+      .orderBy(col("user_id"))
+  }
+
   /** CUSUM changepoint scan over the daily event-count series — the
     * level-shift detector run scale-free in exact integers: with daily
     * counts x_k and total S over n days, the centered cumulative sum
@@ -435,6 +462,19 @@ object Temporal {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_streaks" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |isl AS (
+        |  SELECT user_id,
+        |    day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+        |  FROM ud),
+        |g AS (SELECT user_id, grp, CAST(count(*) AS BIGINT) AS len
+        |      FROM isl GROUP BY user_id, grp)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(count(*) AS BIGINT) AS n_islands,
+        |  max(len) AS longest_streak
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin,
+
     "q_funnel3" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
         |w1 AS (

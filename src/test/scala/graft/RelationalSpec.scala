@@ -118,6 +118,76 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("decay matches a scala reference; ratio bounded by the weight range") {
+    val rows = operators.Relational.qDecay(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val base = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(year(o_orderdate) AS INT) y",
+        "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) cents")
+      .join(Tables.customer(spark, sf).selectExpr("c_custkey", "c_mktsegment"),
+        col("o_custkey") === col("c_custkey"))
+      .collect().map(r => (r.getString(4), r.getInt(1), r.getLong(2)))
+    val maxY = base.map(_._2).max
+    rows.foreach { r =>
+      val seg = r.getString(0)
+      val os = base.filter(_._1 == seg)
+      val spend = os.map(t => BigInt(t._3)).sum
+      val decayed = os.map { t =>
+        val age = maxY - t._2
+        BigInt(t._3) * (if (age <= 6) BigInt(64 >> age) else BigInt(0))
+      }.sum
+      assert(r.getLong(1) == os.length.toLong, s"n_orders: $r")
+      assert(BigInt(r.getDecimal(2).toBigInteger) == spend, s"spend: $r")
+      assert(BigInt(r.getDecimal(3).toBigInteger) == decayed, s"decayed: $r")
+      assert(r.getLong(4) == (decayed * 15625 / spend).toLong, s"recency: $r")
+      // weight range [0, 64] bounds the ×1e6 ratio by [0, 1e6]
+      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+    }
+  }
+
+  test("quantile histogram brackets the exact discrete quantile in every bin") {
+    val rows = operators.Relational.qQuantileHist(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == Seq(25, 50, 75, 90, 99))
+    val cents = Tables.orders(spark, sf)
+      .selectExpr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) cents")
+      .collect().map(_.getLong(0)).sorted
+    rows.foreach { r =>
+      val (p, n, rank) = (r.getInt(0), r.getLong(1), r.getLong(2))
+      assert(n == cents.length.toLong)
+      assert(rank == (p * n + 99) / 100)
+      val exactQ = cents(rank.toInt - 1) // rank-th smallest, 1-based
+      assert(r.getLong(3) <= exactQ && exactQ <= r.getLong(4),
+        s"p$p: exact $exactQ outside [${r.getLong(3)}, ${r.getLong(4)}]")
+    }
+    // estimates monotone in p
+    val los = rows.map(_.getLong(3))
+    assert(los.zip(los.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("count-min estimates match a scala CMS replay and never undercount") {
+    val rows = operators.Relational.qFreqCms(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 20L))
+    val keys = Tables.orders(spark, sf).select(col("o_custkey"))
+      .collect().map(_.getLong(0))
+    val A = Seq(2654435761L, 2246822519L, 3266489917L)
+    val B = Seq(1L, 7L, 13L)
+    def h(key: Long, k: Int): Long = ((key * A(k) + B(k)) % 2147483647L) % 4096L
+    val cms = Array.fill(3)(collection.mutable.Map.empty[Long, Long])
+    keys.foreach(key => (0 to 2).foreach { k =>
+      cms(k)(h(key, k)) = cms(k).getOrElse(h(key, k), 0L) + 1
+    })
+    val exactCounts = keys.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      val key = r.getLong(0)
+      val est = (0 to 2).map(k => cms(k).getOrElse(h(key, k), 0L)).min
+      val exact = exactCounts.getOrElse(key, 0L)
+      assert(r.getLong(1) == est, s"est mismatch: $r vs $est")
+      assert(r.getLong(2) == exact, s"exact mismatch: $r vs $exact")
+      assert(r.getLong(1) >= exact, s"CMS undercounted: $r")
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2))
+    }
+  }
+
   test("benford digits: shares sum to ~1e4 over digits 1-9") {
     val rows = operators.Relational.qBenford(spark, sf).collect()
     assert(rows.map(_.getInt(0)).toSet.subsetOf((1 to 9).toSet))

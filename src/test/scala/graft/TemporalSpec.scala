@@ -76,6 +76,28 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("streaks match a brute-force recompute over each user's day set") {
+    val rows = Temporal.qStreaks(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val dayRows = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = dayRows.groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    assert(rows.length == byUser.size)
+    rows.foreach { r =>
+      val days = byUser(r.getLong(0))
+      val runs = days.foldLeft(Vector.empty[Long] -> Option.empty[Long]) {
+        case ((acc, Some(prev)), d) if d == prev + 1 =>
+          (acc.init :+ (acc.last + 1), Some(d))
+        case ((acc, _), d) => (acc :+ 1L, Some(d))
+      }._1
+      assert(r.getLong(1) == days.length, s"n_active_days: $r")
+      assert(r.getLong(2) == runs.length, s"n_islands: $r")
+      assert(r.getLong(3) == runs.max, s"longest_streak: $r")
+    }
+  }
+
   test("changepoint cusum telescopes to zero and flags the peak day(s)") {
     val rows = Temporal.qChangepoint(spark, sf).collect()
     assert(rows.nonEmpty)
