@@ -99,6 +99,194 @@ object MediaCodec {
     BmpMeta(w, h, sr, sg, sb)
   }
 
+  // ---- PNG (ISO/IEC 15948): 8-bit truecolor, all five scanline filters ----
+
+  private val PngSig: Array[Byte] =
+    Array(137, 80, 78, 71, 13, 10, 26, 10).map(_.toByte)
+
+  def isPng(b: Array[Byte]): Boolean =
+    b.length >= 8 && (0 until 8).forall(i => b(i) == PngSig(i))
+
+  private def be32(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) | ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+  private def putBe32(b: Array[Byte], o: Int, v: Int): Unit = {
+    b(o) = (v >>> 24).toByte; b(o + 1) = (v >>> 16).toByte
+    b(o + 2) = (v >>> 8).toByte; b(o + 3) = v.toByte
+  }
+
+  /** Paeth predictor exactly per the PNG spec (a=left, b=up, c=up-left). */
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](12 + data.length)
+    putBe32(out, 0, data.length)
+    var i = 0
+    while (i < 4) { out(4 + i) = typ.charAt(i).toByte; i += 1 }
+    System.arraycopy(data, 0, out, 8, data.length)
+    val crc = new java.util.zip.CRC32
+    crc.update(out, 4, 4 + data.length)
+    putBe32(out, 8 + data.length, crc.getValue.toInt)
+    out
+  }
+
+  /** Encode an 8-bit truecolor (color type 2) PNG. pixel(x, y) returns
+    * packed 0xRRGGBB; filterFor(y) picks the scanline filter (0–4), so a
+    * caller cycling it exercises every unfilter branch of the decoder.
+    * The zlib stream is split across two IDAT chunks when it is big
+    * enough — real encoders emit multi-IDAT files, and the decoder must
+    * concatenate before inflating.
+    */
+  def encodePng(w: Int, h: Int, pixel: (Int, Int) => Int,
+                filterFor: Int => Int = _ % 5): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad png geometry ${w}x$h")
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
+    val prior = new Array[Int](stride) // previous row, unfiltered
+    val cur = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = pixel(x, y)
+        cur(x * 3) = (p >> 16) & 0xff
+        cur(x * 3 + 1) = (p >> 8) & 0xff
+        cur(x * 3 + 2) = p & 0xff
+        x += 1
+      }
+      val ft = filterFor(y) % 5
+      val base = y * (1 + stride)
+      raw(base) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= 3) cur(i - 3) else 0
+        val b = if (y > 0) prior(i) else 0
+        val c = if (y > 0 && i >= 3) prior(i - 3) else 0
+        val f = ft match {
+          case 0 => cur(i)
+          case 1 => cur(i) - a
+          case 2 => cur(i) - b
+          case 3 => cur(i) - ((a + b) / 2)
+          case 4 => cur(i) - paeth(a, b, c)
+        }
+        raw(base + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    var zlen = 0
+    while (!deflater.finished()) {
+      val n = deflater.deflate(zbuf, zlen, zbuf.length - zlen)
+      require(n > 0 || deflater.finished(), "deflate stalled")
+      zlen += n
+    }
+    deflater.end()
+    val z = java.util.Arrays.copyOf(zbuf, zlen)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
+    ihdr(8) = 8; ihdr(9) = 2 // bit depth 8, truecolor
+    val idats =
+      if (z.length > 64) Seq(java.util.Arrays.copyOfRange(z, 0, z.length / 2),
+        java.util.Arrays.copyOfRange(z, z.length / 2, z.length))
+      else Seq(z)
+    (Seq(PngSig, pngChunk("IHDR", ihdr)) ++
+      idats.map(pngChunk("IDAT", _)) :+ pngChunk("IEND", Array.empty[Byte]))
+      .reduce(_ ++ _)
+  }
+
+  /** Decoded PNG: geometry + exact channel sums over the unfiltered
+    * pixel array.
+    */
+  final case class PngMeta(width: Int, height: Int,
+                           sumR: Long, sumG: Long, sumB: Long)
+
+  /** Chunk-walking PNG decoder for 8-bit truecolor non-interlaced
+    * images: verifies every chunk's CRC32, concatenates the IDAT
+    * stream, inflates it, and reverses all five scanline filters
+    * (the Paeth predictor included) per the public spec.
+    */
+  def decodePng(b: Array[Byte]): PngMeta = {
+    require(isPng(b), "not a PNG payload")
+    var o = 8
+    var w = -1; var h = -1
+    val idat = new java.io.ByteArrayOutputStream
+    var done = false
+    while (!done) {
+      require(o + 8 <= b.length, "truncated PNG chunk header")
+      val len = be32(b, o)
+      require(len >= 0 && o + 12 + len <= b.length, "truncated PNG chunk")
+      val typ = new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32
+      crc.update(b, o + 4, 4 + len)
+      require(crc.getValue.toInt == be32(b, o + 8 + len), s"PNG CRC mismatch in $typ")
+      typ match {
+        case "IHDR" =>
+          w = be32(b, o + 8); h = be32(b, o + 12)
+          require(w > 0 && h > 0, s"bad png geometry ${w}x$h")
+          require(b(o + 16) == 8 && b(o + 17) == 2 && b(o + 18) == 0 &&
+            b(o + 19) == 0 && b(o + 20) == 0,
+            "only 8-bit truecolor non-interlaced PNG supported")
+        case "IDAT" => idat.write(b, o + 8, len)
+        case "IEND" => done = true
+        case _ => () // ancillary chunks skipped (CRC still verified)
+      }
+      o += 12 + len
+    }
+    require(w > 0, "PNG missing IHDR")
+    val stride = w * 3
+    val raw = new Array[Byte](h * (1 + stride))
+    val inflater = new java.util.zip.Inflater
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, raw.length - got)
+      require(n > 0 || inflater.finished(), "truncated PNG pixel stream")
+      got += n
+    }
+    inflater.end()
+    require(got == raw.length, s"PNG pixel stream $got != ${raw.length}")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    val prior = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + stride)
+      val ft = raw(base) & 0xff
+      require(ft <= 4, s"bad PNG filter type $ft")
+      var i = 0
+      while (i < stride) {
+        val f = raw(base + 1 + i) & 0xff
+        val a = if (i >= 3) cur(i - 3) else 0
+        val b2 = if (y > 0) prior(i) else 0
+        val c = if (y > 0 && i >= 3) prior(i - 3) else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b2
+          case 3 => f + ((a + b2) / 2)
+          case 4 => f + paeth(a, b2, c)
+        }
+        cur(i) = v & 0xff
+        i += 1
+      }
+      i = 0
+      while (i < stride) {
+        sr += cur(i); sg += cur(i + 1); sb += cur(i + 2)
+        i += 3
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    PngMeta(w, h, sr, sg, sb)
+  }
+
   /** Encode PCM16 mono WAV; sample(i) in [-32768, 32767]. */
   def encodeWavPcm16(n: Int, sampleRate: Int, sample: Int => Int): Array[Byte] = {
     require(n >= 0 && sampleRate > 0, s"bad wav geometry n=$n sr=$sampleRate")

@@ -145,6 +145,10 @@ object Multimodal {
           val m = MediaCodec.decodeBmp(bytes)
           val fp = ((m.sumR * 31 + m.sumG) * 31 + m.sumB) % 1000000007L
           MediaMeta(id, bytes.length.toLong, fp, m.width.toLong, m.height.toLong, 1L)
+        } else if (MediaCodec.isPng(bytes)) {
+          val m = MediaCodec.decodePng(bytes)
+          val fp = ((m.sumR * 31 + m.sumG) * 31 + m.sumB) % 1000000007L
+          MediaMeta(id, bytes.length.toLong, fp, m.width.toLong, m.height.toLong, 1L)
         } else if (MediaCodec.isWav(bytes)) {
           val m = MediaCodec.decodeWav(bytes)
           val fp = (m.sumAbs * 31 + m.maxAbs) % 1000000007L
@@ -181,6 +185,37 @@ object Multimodal {
           (r << 16) | (g << 8) | b
         })
         val m = MediaCodec.decodeBmp(payload)
+        (id, m.width.toLong, m.height.toLong, m.sumR, m.sumG, m.sumB)
+      }
+    }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Real-decoder gate, compressed-image path: synthesize a genuine
+    * 8-bit truecolor PNG per doc (geometry/pixels pure functions of
+    * doc_id; the per-row filter type cycles through all five spec
+    * filters, and widths start at 1 so the left-pixel-absent edge of
+    * Sub/Average/Paeth is always in play), then run the REAL
+    * [[MediaCodec.decodePng]] — CRC32 verification, multi-IDAT
+    * concatenation, zlib inflate, unfilter — and emit geometry + exact
+    * per-channel sums. The oracle recomputes the sums closed-form from
+    * doc_id, so a bug anywhere in the inflate/unfilter path breaks the
+    * hash. Narrow one-pass mapPartitions, no shuffle.
+    */
+  def decodePngPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (1 + id % 13).toInt
+        val h = (1 + id % 9).toInt
+        val payload = MediaCodec.encodePng(w, h, (x, y) => {
+          val r = ((id + 2L * x + 3L * y) % 256).toInt
+          val g = ((3L * id + 5L * x + y) % 256).toInt
+          val b = ((7L * id + x + 4L * y) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }, y => ((id + y) % 5).toInt)
+        val m = MediaCodec.decodePng(payload)
         (id, m.width.toLong, m.height.toLong, m.sumR, m.sumG, m.sumB)
       }
     }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")

@@ -94,6 +94,9 @@ object Pipeline {
   def mmDecodeWav(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeWavPlan(Tables.documents(s, d))
 
+  def mmDecodePng(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodePngPlan(Tables.documents(s, d))
+
   /** Modality-coverage report — which documents have which modalities
     * attached (text ⋈ embedding here; image/audio in a real corpus):
     * one co-partitioned FULL OUTER join on the id, classified and
@@ -1124,6 +1127,21 @@ object Pipeline {
         |    (2 * m.doc_id + 7 * x.i + y.i) % 256 AS g,
         |    (5 * m.doc_id + x.i + 11 * y.i) % 256 AS b
         |  FROM m, range(0, 24) x(i), range(0, 16) y(i)
+        |  WHERE x.i < m.w AND y.i < m.h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_png" ->
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 13 AS w, 1 + doc_id % 9 AS h
+        |           FROM documents),
+        |px AS (
+        |  SELECT m.doc_id, m.w, m.h,
+        |    (m.doc_id + 2 * x.i + 3 * y.i) % 256 AS r,
+        |    (3 * m.doc_id + 5 * x.i + y.i) % 256 AS g,
+        |    (7 * m.doc_id + x.i + 4 * y.i) % 256 AS b
+        |  FROM m, range(0, 13) x(i), range(0, 9) y(i)
         |  WHERE x.i < m.w AND y.i < m.h)
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,

@@ -36,6 +36,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m2 == m, "chunk walk must skip unknown chunks")
   }
 
+  test("PNG round-trip: every filter type, 1-pixel edge widths, multi-IDAT, CRC") {
+    // each h uses filter (y % 5): h=6 cycles through all five filter types;
+    // w=1 exercises the no-left-neighbor edge of Sub/Average/Paeth
+    for (w <- Seq(1, 2, 5, 13); h <- Seq(1, 6, 9)) {
+      val enc = MediaCodec.encodePng(w, h,
+        (x, y) => ((x * 37 & 0xff) << 16) | ((y * 91 & 0xff) << 8) | ((x * y + 3) & 0xff),
+        y => y % 5)
+      val m = MediaCodec.decodePng(enc)
+      assert(m.width == w && m.height == h)
+      val px = for (y <- 0 until h; x <- 0 until w) yield (x, y)
+      assert(m.sumR == px.map { case (x, _) => (x * 37 & 0xff).toLong }.sum, s"R ${w}x$h")
+      assert(m.sumG == px.map { case (_, y) => (y * 91 & 0xff).toLong }.sum, s"G ${w}x$h")
+      assert(m.sumB == px.map { case (x, y) => ((x * y + 3) & 0xff).toLong }.sum, s"B ${w}x$h")
+    }
+    // a corrupted byte inside IDAT must fail the CRC check, not decode junk
+    val enc = MediaCodec.encodePng(5, 5, (x, y) => x + y, _ % 5)
+    val tampered = enc.clone()
+    tampered(40) = (tampered(40) ^ 0x55).toByte
+    assertThrows[IllegalArgumentException](MediaCodec.decodePng(tampered))
+    // truncation mid-chunk must throw, never read out of bounds
+    assertThrows[IllegalArgumentException](MediaCodec.decodePng(enc.take(enc.length - 6)))
+  }
+
   test("decodeMeta sniffs real formats and falls back to the byte-fold stub") {
     import spark.implicits._
     val bmp = MediaCodec.encodeBmp(4, 2, (_, _) => 0x010203)
