@@ -99,6 +99,7 @@ object SparkEntry {
     "txt_langid"      -> ((s, d) => Text.langId(s, d)),
     "txt_fingerprint" -> ((s, d) => Text.fingerprintQ(s, d)),
     "txt_term_stats"  -> ((s, d) => Text.termStats(s, d)),
+    "txt_zipf"        -> ((s, d) => Text.zipf(s, d)),
     // §2.3 dedup
     "dedup_exact"         -> ((s, d) => Pipeline.dedupExact(s, d)),
     "dedup_exact_keep"    -> ((s, d) => Pipeline.dedupExactKeep(s, d)),
@@ -142,6 +143,7 @@ object SparkEntry {
     "mm_modality"     -> ((s, d) => Pipeline.mmModality(s, d)),
     // §2.7 streaming (batch-equivalent plans; streaming pinned in specs)
     "stream_window_agg" -> ((s, d) => Pipeline.streamWindowAgg(s, d)),
+    "stream_quantile"   -> ((s, d) => Pipeline.streamQuantile(s, d)),
     "stream_sessionize" -> ((s, d) => Pipeline.streamSessionize(s, d)),
     "stream_dedup"      -> ((s, d) => Pipeline.streamDedup(s, d)),
     "stream_join"       -> ((s, d) => Pipeline.streamJoin(s, d)),

@@ -124,6 +124,9 @@ object Pipeline {
     EventStreams.windowAgg(EventStreams.normalize(Tables.events(s, d)))
       .orderBy(col("window_start_us"), col("event_type"))
 
+  def streamQuantile(s: SparkSession, d: String): DataFrame =
+    EventStreams.streamQuantile(EventStreams.normalize(Tables.events(s, d)))
+
   def streamSlidingAgg(s: SparkSession, d: String): DataFrame =
     EventStreams.slidingAgg(EventStreams.normalize(Tables.events(s, d)))
       .orderBy(col("window_start_us"), col("event_type"))
@@ -1173,6 +1176,27 @@ object Pipeline {
          |  CAST(count(*) AS BIGINT) AS n,
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // 6h windows are epoch-aligned (Spark's window() default), so the
+    // start is plain integer floor arithmetic on epoch micros
+    "stream_quantile" ->
+      """WITH c AS (
+        |  SELECT (epoch_us(ts) // 21600000000) * 21600000000 AS window_start_us,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) // 1000 AS bin,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (
+        |  SELECT window_start_us, bin,
+        |    CAST(sum(n) OVER (PARTITION BY window_start_us ORDER BY bin) AS BIGINT) AS cum,
+        |    CAST(sum(n) OVER (PARTITION BY window_start_us) AS BIGINT) AS n_total
+        |  FROM c),
+        |r AS (SELECT *, CAST((50 * n_total + 99) // 100 AS BIGINT) AS rank FROM t)
+        |SELECT window_start_us, n_total, rank,
+        |  min(bin) * 1000 AS est_lo_cents,
+        |  (min(bin) + 1) * 1000 - 1 AS est_hi_cents
+        |FROM r WHERE cum >= rank
+        |GROUP BY window_start_us, n_total, rank
+        |ORDER BY window_start_us""".stripMargin,
 
     // each event is in the 2 hourly-aligned sliding windows whose start
     // is trunc_hour(ts) − k·1h, k ∈ {0,1} (window '2 hours' slide '1 hour')

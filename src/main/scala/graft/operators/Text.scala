@@ -77,6 +77,32 @@ object Text {
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("ctf"))
       .orderBy(col("term"))
 
+  /** Zipf rank-frequency audit of the corpus vocabulary — the
+    * distribution health check run before tokenizer training (a corpus
+    * whose rank·frequency product collapses is boilerplate-dominated;
+    * one that explodes has a vocabulary gap). Terms rank by corpus
+    * term frequency with a deterministic (ctf desc, term asc) order;
+    * each row carries the Zipf invariant rank·ctf and the exact ×10⁶
+    * corpus share. The scan aggregates to vocabulary size immediately
+    * (term-level partial aggs), the ranking window runs over the
+    * VOCABULARY (≪ corpus, broadcastable), never the token stream.
+    */
+  def zipf(s: SparkSession, d: String): DataFrame = {
+    val tf = Tables.fanOut(Tables.documents(s, d))
+      .select(explode(Analyzer.tokens(col("text"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("ctf"))
+      .localCheckpoint(false)
+    val tot = tf.agg(sum(col("ctf")).as("n_tokens"))
+    tf.crossJoin(broadcast(tot))
+      .withColumn("rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ctf").desc, col("term"))).cast("long"))
+      .select(col("rank"), col("term"), col("ctf"),
+        expr("rank * ctf").as("rank_x_ctf"),
+        expr("ctf * 1000000 div n_tokens").as("share_x1e6"))
+      .orderBy(col("rank"))
+  }
+
   /** Per-language bottom-k MinHash sketch of the shingle space — a
     * native TypedImperativeAggregate ([[graft.functions.BottomK]]) over
     * the codegen'd [[graft.functions.PolyHash]] shingle hashes. The
@@ -529,6 +555,19 @@ object Text {
          |SELECT x.t AS t1, y.t AS t2, CAST(count(*) AS BIGINT) AS n_docs
          |FROM tk x JOIN tk y ON x.doc_id = y.doc_id AND x.t < y.t
          |GROUP BY 1, 2 ORDER BY t1, t2""".stripMargin,
+
+    "txt_zipf" ->
+      s"""WITH tf AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS ctf
+         |  FROM (SELECT unnest(${Analyzer.tokensSql("text")}) AS term FROM documents)
+         |  GROUP BY term),
+         |t AS (SELECT CAST(sum(ctf) AS BIGINT) AS n_tokens FROM tf),
+         |r AS (SELECT term, ctf,
+         |        CAST(row_number() OVER (ORDER BY ctf DESC, term) AS BIGINT) AS rank
+         |      FROM tf)
+         |SELECT rank, term, ctf, rank * ctf AS rank_x_ctf,
+         |  CAST(ctf * 1000000 // n_tokens AS BIGINT) AS share_x1e6
+         |FROM r CROSS JOIN t ORDER BY rank""".stripMargin,
 
     "txt_term_stats" ->
       s"""SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,

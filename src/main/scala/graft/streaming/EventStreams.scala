@@ -72,6 +72,49 @@ object EventStreams {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Per-6-hour-window histogram cells of the event value — the
+    * MERGEABLE state behind a streaming quantile monitor (the
+    * latency-dashboard primitive): counts per (window, $10 value bin).
+    * In streaming this is an ordinary watermarked windowed count —
+    * cells merge across micro-batches exactly like any windowed agg,
+    * which is the whole point of histogram sketches: quantile state
+    * that commutes with arbitrary batch splits.
+    */
+  def quantileCells(ev: DataFrame, watermark: Boolean = false): DataFrame = {
+    val withTs = ev.withColumn("tsx", timestamp_micros(col("ts_us")))
+    val marked = if (watermark) withTs.withWatermark("tsx", "6 hours") else withTs
+    marked
+      .groupBy(window(col("tsx"), "6 hours").as("w"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT) div 1000").as("bin"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("w.start")).as("window_start_us"),
+        col("bin"), col("n"))
+  }
+
+  /** Per-window p50 readout over [[quantileCells]]: cumulative count
+    * across each window's bins (a window function over CELLS — dozens
+    * of rows per time window at any scale), first bin reaching rank
+    * ⌈n/2⌉, reported as the bin's [lo, hi] cents range. The windowed
+    * sibling of [[graft.operators.Relational.qQuantileHist]].
+    */
+  def streamQuantile(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = quantileCells(ev)
+    val ordered = Window.partitionBy(col("window_start_us")).orderBy(col("bin"))
+    val whole = Window.partitionBy(col("window_start_us"))
+    cells
+      .withColumn("cum", sum(col("n")).over(ordered))
+      .withColumn("n_total", sum(col("n")).over(whole))
+      .withColumn("rank", expr("(50 * n_total + 99) div 100"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(col("window_start_us"), col("n_total"), col("rank"))
+      .agg(min(col("bin")).as("est_bin"))
+      .select(col("window_start_us"), col("n_total"), col("rank"),
+        expr("est_bin * 1000").as("est_lo_cents"),
+        expr("(est_bin + 1) * 1000 - 1").as("est_hi_cents"))
+      .orderBy(col("window_start_us"))
+  }
+
   /** Native session_window sessionization — the built-in operator the
     * hand-rolled [[sessionize]]/[[sessionizeStreaming]] pair re-implements
     * (kept for custom state logic; this is what you reach for first).

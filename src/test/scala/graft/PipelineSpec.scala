@@ -510,6 +510,21 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("zipf ranking is a dense 1..V permutation with non-increasing ctf") {
+    val rows = operators.Text.zipf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length))
+    val ctfs = rows.map(_.getLong(2))
+    assert(ctfs.zip(ctfs.tail).forall { case (a, b) => a >= b }, "ctf not sorted")
+    rows.foreach(r => assert(r.getLong(3) == r.getLong(0) * r.getLong(2)))
+    // shares are floor-exact per term and sum to at most 1e6
+    val nTokens = ctfs.sum
+    rows.foreach(r => assert(r.getLong(4) == r.getLong(2) * 1000000L / nTokens))
+    assert(rows.map(_.getLong(4)).sum <= 1000000L)
+    // corpus vocabulary matches term_stats' vocabulary exactly
+    assert(rows.length == operators.Text.termStats(spark, sf).count().toInt)
+  }
+
   test("multimodal decode emits one typed row per doc with stable stub values") {
     val rows = Pipeline.mmDecodeMeta(spark, sf).collect()
     assert(rows.length == docs.count())

@@ -52,6 +52,23 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("histogram-quantile cells over readStream equal the batch cells") {
+    val batchEv = EventStreams.normalize(Tables.events(spark, sf))
+    val expected = EventStreams.quantileCells(batchEv)
+      .collect().map(_.toSeq).toSet
+
+    val schema = Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    val q = EventStreams.quantileCells(EventStreams.normalize(stream), watermark = true)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("quantile_cells_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("quantile_cells_test").collect().map(_.toSeq).toSet
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join over readStream equals the batch plan") {
     val batchEv = EventStreams.normalize(Tables.events(spark, sf))
     val dim = EventStreams.userSegments(batchEv).localCheckpoint() // static snapshot
