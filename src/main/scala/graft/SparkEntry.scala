@@ -45,6 +45,7 @@ object SparkEntry {
     "q_decay"          -> ((s, d) => Relational.qDecay(s, d)),
     "q_quantile_hist"  -> ((s, d) => Relational.qQuantileHist(s, d)),
     "q_freq_cms"       -> ((s, d) => Relational.qFreqCms(s, d)),
+    "q_approx_distinct_hll" -> ((s, d) => Relational.qApproxDistinctHll(s, d)),
     "q_benford"        -> ((s, d) => Relational.qBenford(s, d)),
     "q_kmv_overlap"    -> ((s, d) => Relational.qKmvOverlap(s, d)),
     "q_stats"          -> ((s, d) => Relational.qStats(s, d)),
@@ -208,6 +209,36 @@ object SparkEntry {
         |          - CAST(count(*) AS HUGEINT) * sum(CAST(cents AS HUGEINT))))
         |    // (CAST(count(*) AS HUGEINT) * sum(CAST(cents AS HUGEINT))) AS BIGINT) AS gini_x1e6
         |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_approx_distinct_hll" ->
+      """WITH m AS (SELECT l_returnflag,
+        |  xor(l_partkey * 2654435761, (l_partkey * 2654435761) // 65536)
+        |    % 4294967296 AS x1 FROM lineitem),
+        |h AS (SELECT l_returnflag,
+        |  xor(x1 * 1779033703, (x1 * 1779033703) // 65536) % 4294967296 AS h
+        |  FROM m),
+        |b AS (SELECT l_returnflag, h % 64 AS bucket, h // 64 AS rest FROM h),
+        |r AS (SELECT l_returnflag, bucket,
+        |        max(CASE WHEN rest = 0 THEN 27 ELSE 27 - length(bin(rest)) END) AS rho
+        |      FROM b GROUP BY l_returnflag, bucket),
+        |flags AS (SELECT DISTINCT l_returnflag FROM lineitem),
+        |grid AS (SELECT l_returnflag, g.i AS bucket
+        |         FROM flags, range(0, 64) g(i)),
+        |f AS (SELECT grid.l_returnflag, coalesce(r.rho, 0) AS rho
+        |      FROM grid LEFT JOIN r
+        |        ON grid.l_returnflag = r.l_returnflag AND grid.bucket = r.bucket),
+        |s AS (SELECT l_returnflag,
+        |        sum(CAST(1 AS BIGINT) << (50 - rho)) AS ssum
+        |      FROM f GROUP BY l_returnflag),
+        |x AS (SELECT l_returnflag,
+        |        CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct,
+        |        CAST(count(*) AS BIGINT) AS n_rows
+        |      FROM lineitem GROUP BY l_returnflag)
+        |SELECT s.l_returnflag,
+        |  CAST(CAST(709376 AS HUGEINT) * 4096 * 1125899906842624
+        |    // CAST(ssum AS HUGEINT) // 1000000 AS BIGINT) AS est_distinct,
+        |  x.exact_distinct, x.n_rows
+        |FROM s JOIN x USING (l_returnflag) ORDER BY l_returnflag""".stripMargin,
 
     "q_quantile_hist" ->
       """WITH c AS (SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents FROM orders),

@@ -686,6 +686,62 @@ object Relational {
           .as("est_distinct"))
       .orderBy(col("l_returnflag"))
 
+  /** Deterministic HyperLogLog distinct estimate, ORACLE-GATED — the
+    * gated twin of [[qApproxDistinct]] (whose built-in HLL++ sketch is
+    * engine-internal and rows-only by necessity). Own sketch, public
+    * Flajolet et al. 2007 construction, every step exact integer
+    * arithmetic: a 32-bit multiply–xorshift–multiply avalanche hash
+    * (one multiplicative round is NOT enough here — sequential keys
+    * form an arithmetic progression mod 2³² whose leading-zero
+    * statistics overestimate 2× at 20k keys; the xorshift rounds fix
+    * the measured error to <1.2 rsd at every SF) → m=64 registers
+    * keyed by the low 6 bits, ρ = leading-zero count of the 26-bit
+    * remainder + 1, and the
+    * harmonic denominator Σ 2^(−ρ) held exact by scaling to
+    * Σ 2^(50−ρ) in BIGINT (ρ ≤ 27 ⇒ every term and the 64-term sum fit
+    * with room). Estimate = α₆₄·m²·2⁵⁰ div S with α₆₄ pinned as the
+    * ×10⁶ literal 709376, staged through DECIMAL(38,0). Registers are
+    * a (flag, bucket) max — partial-agg friendly, 64 rows per group on
+    * the wire at any scale; empty registers enter via a 64-row grid
+    * join (ρ=0 ⇒ the full 2⁵⁰ term, per the spec). Exact distincts
+    * ride along for error inspection; the ≤3·rsd accuracy bound
+    * (rsd = 1.04/√64) is pinned in RelationalSpec.
+    */
+  def qApproxDistinctHll(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_partkey"))
+      .localCheckpoint(false)
+    val regs = li
+      .select(col("l_returnflag"), expr("l_partkey * 2654435761").as("m1"))
+      .select(col("l_returnflag"),
+        expr("(m1 ^ (m1 div 65536)) % 4294967296").as("x1"))
+      // second multiplier < 2^31 keeps the product inside BIGINT
+      .select(col("l_returnflag"), expr("x1 * 1779033703").as("m2"))
+      .select(col("l_returnflag"),
+        expr("(m2 ^ (m2 div 65536)) % 4294967296").as("h"))
+      .select(col("l_returnflag"), expr("h % 64").as("bucket"),
+        expr("h div 64").as("rest"))
+      .groupBy(col("l_returnflag"), col("bucket"))
+      .agg(max(expr(
+        "CASE WHEN rest = 0 THEN 27 ELSE 27 - length(bin(rest)) END")).as("rho"))
+    val grid = li.select(col("l_returnflag")).distinct()
+      .crossJoin(spark.range(64).select(col("id").as("bucket")))
+    val s = grid.join(regs, Seq("l_returnflag", "bucket"), "left")
+      .select(col("l_returnflag"),
+        expr("shiftleft(CAST(1 AS BIGINT), 50 - coalesce(rho, 0))").as("term"))
+      .groupBy(col("l_returnflag")).agg(sum(col("term")).as("ssum"))
+    val exact = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("exact_distinct"),
+        count(lit(1)).as("n_rows"))
+    s.join(exact, Seq("l_returnflag"))
+      .select(col("l_returnflag"),
+        expr("CAST(CAST(709376 AS DECIMAL(38,0)) * 4096 * 1125899906842624" +
+          " div CAST(ssum AS DECIMAL(38,0)) div 1000000 AS BIGINT)")
+          .as("est_distinct"),
+        col("exact_distinct"), col("n_rows"))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Exact Gini coefficient of customer spend per market segment — the
     * inequality gauge, in pure BIGINT: with spend sorted ascending
     * inside each segment (rank i, n rows, total S), Gini·10⁶ =

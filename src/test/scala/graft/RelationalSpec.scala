@@ -118,6 +118,21 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("gated HLL estimate lands within 3 rsd of the exact distinct count") {
+    val rows = operators.Relational.qApproxDistinctHll(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val rsd = 1.04 / math.sqrt(64.0)
+    rows.foreach { r =>
+      val (est, exact) = (r.getLong(1), r.getLong(2))
+      assert(exact > 0 && est > 0)
+      assert(math.abs(est - exact) <= 3 * rsd * exact,
+        s"HLL est $est vs exact $exact beyond 3 rsd: $r")
+      // raw-estimate regime: the corpus keeps every group above the
+      // 2.5m small-range threshold where linear counting would apply
+      assert(exact > 160, s"group under the raw-HLL regime: $r")
+    }
+  }
+
   test("decay matches a scala reference; ratio bounded by the weight range") {
     val rows = operators.Relational.qDecay(spark, sf).collect()
     assert(rows.nonEmpty)
