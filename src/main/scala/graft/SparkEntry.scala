@@ -101,6 +101,7 @@ object SparkEntry {
     "txt_fingerprint" -> ((s, d) => Text.fingerprintQ(s, d)),
     "txt_term_stats"  -> ((s, d) => Text.termStats(s, d)),
     "txt_zipf"        -> ((s, d) => Text.zipf(s, d)),
+    "pipe_index_merge" -> ((s, d) => Text.indexMerge(s, d)),
     // §2.3 dedup
     "dedup_exact"         -> ((s, d) => Pipeline.dedupExact(s, d)),
     "dedup_exact_keep"    -> ((s, d) => Pipeline.dedupExactKeep(s, d)),

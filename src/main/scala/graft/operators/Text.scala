@@ -77,6 +77,30 @@ object Text {
       .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("ctf"))
       .orderBy(col("term"))
 
+  /** Incremental inverted-index maintenance — the index that backs the
+    * §2.1 search ranking, maintained the way a live catalog must:
+    * each ingest batch contributes per-term (df, ctf) PARTIALS, and
+    * the corpus index is their sum — valid because batches partition
+    * the doc space, so each doc's df contribution lands in exactly one
+    * batch (the same partial-merge ≡ direct identity pipe_merge_stats
+    * pins for numeric stats, here for the text index). The gate runs
+    * the batched merge on Spark against the DIRECT single-pass build
+    * in DuckDB, so a batching bug — double-counted docs, dropped
+    * batches — breaks the hash. At 100 TB: per-batch partials are
+    * vocabulary-sized, merges never rescan prior batches.
+    */
+  def indexMerge(s: SparkSession, d: String, batches: Int = 5): DataFrame =
+    Tables.fanOut(Tables.documents(s, d))
+      .select((col("doc_id") % batches).as("batch"), col("doc_id"),
+        explode(Analyzer.tokens(col("text"))).as("term"))
+      .groupBy(col("batch"), col("term"))
+      .agg(countDistinct(col("doc_id")).as("df"), count(lit(1)).as("ctf"))
+      .groupBy(col("term"))
+      .agg(sum(col("df")).cast("long").as("df"),
+        sum(col("ctf")).cast("long").as("ctf"),
+        count(lit(1)).as("n_batches"))
+      .orderBy(col("term"))
+
   /** Zipf rank-frequency audit of the corpus vocabulary — the
     * distribution health check run before tokenizer training (a corpus
     * whose rank·frequency product collapses is boilerplate-dominated;
@@ -555,6 +579,18 @@ object Text {
          |SELECT x.t AS t1, y.t AS t2, CAST(count(*) AS BIGINT) AS n_docs
          |FROM tk x JOIN tk y ON x.doc_id = y.doc_id AND x.t < y.t
          |GROUP BY 1, 2 ORDER BY t1, t2""".stripMargin,
+
+    // the DIRECT single-pass build: the Spark side merges per-batch
+    // partials, so a hash match IS the merge ≡ direct identity
+    "pipe_index_merge" ->
+      s"""WITH t AS (SELECT doc_id, unnest(${Analyzer.tokensSql("text")}) AS term
+         |           FROM documents),
+         |d AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+         |        CAST(count(*) AS BIGINT) AS ctf FROM t GROUP BY term),
+         |nb AS (SELECT term, CAST(count(DISTINCT doc_id % 5) AS BIGINT) AS n_batches
+         |       FROM t GROUP BY term)
+         |SELECT d.term, d.df, d.ctf, nb.n_batches
+         |FROM d JOIN nb USING (term) ORDER BY term""".stripMargin,
 
     "txt_zipf" ->
       s"""WITH tf AS (

@@ -510,6 +510,17 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental index merge equals the direct term-stats build") {
+    val merged = operators.Text.indexMerge(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val direct = operators.Text.termStats(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(merged.keySet == direct.keySet)
+    merged.foreach { case (term, dfctf) =>
+      assert(dfctf == direct(term), s"merge drift on '$term'")
+    }
+  }
+
   test("zipf ranking is a dense 1..V permutation with non-increasing ctf") {
     val rows = operators.Text.zipf(spark, sf).collect()
     assert(rows.nonEmpty)
