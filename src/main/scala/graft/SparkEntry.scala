@@ -27,6 +27,8 @@ object SparkEntry {
     "ms_hybrid_rrf"        -> ((s, d) => Metastore.hybridRrf(s, d)),
     "ms_paginate"          -> ((s, d) => Metastore.paginate(s, d)),
     "ms_summary"           -> ((s, d) => Metastore.summary(s, d)),
+    "ms_facets"            -> ((s, d) => Metastore.facetsQ(s, d)),
+    "ms_highlight"         -> ((s, d) => Metastore.highlightQ(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
     "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),
     "ms_events_visibility" -> ((s, d) => Metastore.eventsVisibility(s, d)),
@@ -109,6 +111,7 @@ object SparkEntry {
     "dedup_minhash_lsh"   -> ((s, d) => Pipeline.dedupMinhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => Pipeline.dedupSimhash(s, d)),
     "dedup_embedding"     -> ((s, d) => Pipeline.dedupEmbedding(s, d)),
+    "dedup_embedding_ivf" -> ((s, d) => Pipeline.dedupEmbeddingIvf(s, d)),
     "dedup_cluster"       -> ((s, d) => Pipeline.dedupCluster(s, d)),
     "pipe_dedup_incremental" -> ((s, d) => Pipeline.dedupIncremental(s, d)),
     "ann_centroid"        -> ((s, d) => Pipeline.annCentroid(s, d)),

@@ -134,6 +134,37 @@ object Metastore {
   def summary(s: SparkSession, d: String): DataFrame =
     ds.summary(idx(s, d), SearchRequest(q = Some("merge"), filters = Map("lang" -> Seq("en"))))
 
+  /** Faceted value counts over all matches of an analyzed q (the
+    * search-UI sidebar; ES terms-aggregation analog — beyond the
+    * reference, whose summary stops at total/totalBytes).
+    */
+  def facetsQ(s: SparkSession, d: String): DataFrame =
+    ds.facets(idx(s, d), SearchRequest(q = Some("merge")),
+      Seq("lang", "source", "findability"))
+
+  /** Snippet highlighting over the readme field (ES highlight analog,
+    * beyond the reference): the matched term is the first query term
+    * whose ANALYZED token appears in the readme (same token semantics
+    * as the q-match itself), the position is its first substring
+    * occurrence in the lowercased raw text, and the snippet is the
+    * ±fixed character window — all deterministic string math, one
+    * narrow map pass over the match set, page capped at the
+    * reference's 100.
+    */
+  def highlightQ(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("merge", "join")
+    ds.visible(idx(s, d), None)
+      .filter(arrays_overlap(Analyzer.tokens(col("readme")), typedlit(terms)))
+      .withColumn("hl_term",
+        when(array_contains(Analyzer.tokens(col("readme")), "merge"), lit("merge"))
+          .otherwise(lit("join")))
+      .withColumn("pos", expr("instr(lower(readme), hl_term)"))
+      .withColumn("snippet", expr("substring(readme, greatest(pos - 20, 1), 60)"))
+      .select(col("doc_id"), col("name"), col("hl_term"), col("pos"), col("snippet"))
+      .orderBy(col("doc_id"))
+      .limit(100)
+  }
+
   // --- events kind -------------------------------------------------------
 
   def eventsFilter(s: SparkSession, d: String): DataFrame =
@@ -314,6 +345,36 @@ object Metastore {
          |       list_has_any(${tok("owner")}, ['merge']) OR
          |       list_has_any(${tok("ownerid")}, ['merge']) OR
          |       list_has_any(${tok("readme")}, ['merge']))""".stripMargin,
+
+    "ms_facets" ->
+      s"""$idxCte,
+         |m AS (SELECT * FROM idx
+         |      WHERE findability = 'published'
+         |        AND (list_has_any(${tok("title")}, ['merge']) OR
+         |             list_has_any(${tok("owner")}, ['merge']) OR
+         |             list_has_any(${tok("ownerid")}, ['merge']) OR
+         |             list_has_any(${tok("readme")}, ['merge']))),
+         |u AS (SELECT 'lang' AS facet, lang AS value FROM m
+         |      UNION ALL SELECT 'source', source FROM m
+         |      UNION ALL SELECT 'findability', findability FROM m)
+         |SELECT facet, value, CAST(count(*) AS BIGINT) AS n
+         |FROM u GROUP BY facet, value ORDER BY facet, value""".stripMargin,
+
+    "ms_highlight" ->
+      s"""$idxCte,
+         |m AS (SELECT doc_id, name, readme FROM idx
+         |      WHERE findability = 'published'
+         |        AND list_has_any(${tok("readme")}, ['merge', 'join'])),
+         |h AS (SELECT doc_id, name, readme,
+         |        CASE WHEN list_contains(${tok("readme")}, 'merge')
+         |             THEN 'merge' ELSE 'join' END AS hl_term
+         |      FROM m),
+         |p AS (SELECT doc_id, name, hl_term,
+         |        CAST(strpos(lower(readme), hl_term) AS INTEGER) AS pos, readme
+         |      FROM h)
+         |SELECT doc_id, name, hl_term, pos,
+         |  substring(readme, greatest(pos - 20, 1), 60) AS snippet
+         |FROM p ORDER BY doc_id LIMIT 100""".stripMargin,
 
     "ms_events_filter" ->
       s"""$evCte

@@ -35,6 +35,11 @@ object Pipeline {
   def dedupCluster(s: SparkSession, d: String): DataFrame =
     Dedup.nearDupClusters(Tables.documents(s, d))
 
+  /** SemDeDup-style near-dup: IVF-cell blocking with the pinned codebook. */
+  def dedupEmbeddingIvf(s: SparkSession, d: String): DataFrame =
+    Similarity.embeddingDedupIvf(Tables.embeddings(s, d), 400000L,
+      graft.similarity.IvfModel.cells)
+
   /** Incremental ingest dedup: doc_id % 10 = 0 plays the new batch. */
   def dedupIncremental(s: SparkSession, d: String): DataFrame =
     Dedup.incrementalDups(Tables.documents(s, d), col("doc_id") % 10 === 0)
@@ -831,6 +836,8 @@ object Pipeline {
          |ORDER BY a, b""".stripMargin,
 
     "dedup_embedding" -> pairSimSql(400000L),
+    "dedup_embedding_ivf" ->
+      Similarity.embeddingDedupIvfOracleSql(graft.similarity.IvfModel.cells, 400000L),
     "ann_pair_sim" -> pairSimSql(300000L),
 
     "ann_ivf_topk" ->

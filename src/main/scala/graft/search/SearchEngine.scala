@@ -194,14 +194,37 @@ class SearchEngine(
     * (reference: metastore/models.py:116-117,150-163 — ES sum agg on
     * datahub.stats.bytes).
     */
-  def summary(docs: DataFrame, req: SearchRequest): DataFrame = {
+  /** The full match set of a request — visibility ∧ filters ∧ analyzed
+    * q-match; the set [[summary]] aggregates and [[facets]] buckets.
+    */
+  def matchSet(docs: DataFrame, req: SearchRequest): DataFrame = {
     val vis = filtered(visible(docs, req.userid), req.filters)
-    val withQ = Analyzer.analyzeQuery(req.q.getOrElse("")) match {
+    Analyzer.analyzeQuery(req.q.getOrElse("")) match {
       case Nil => vis
       case terms => vis.filter(matchesQ(terms))
     }
-    withQ.agg(count(lit(1)).as("total"),
-              coalesce(sum(col(bytesCol)), lit(0L)).as("total_bytes"))
+  }
+
+  def summary(docs: DataFrame, req: SearchRequest): DataFrame =
+    matchSet(docs, req).agg(count(lit(1)).as("total"),
+      coalesce(sum(col(bytesCol)), lit(0L)).as("total_bytes"))
+
+  /** Faceted value counts over ALL matches (the search-UI sidebar; the
+    * ES terms-aggregation analog, beyond the reference's total/bytes
+    * summary): the facet columns melt to (facet, value) rows in one
+    * stack() pass — no per-facet rescan — and a single partial-agg
+    * groupBy reduces to the facet grid, which is values-sized at any
+    * corpus scale.
+    */
+  def facets(docs: DataFrame, req: SearchRequest,
+             facetFields: Seq[String]): DataFrame = {
+    val stackExpr = s"stack(${facetFields.length}, " +
+      facetFields.map(f => s"'$f', CAST(`$f` AS STRING)").mkString(", ") +
+      ") AS (facet, value)"
+    matchSet(docs, req).select(expr(stackExpr))
+      .groupBy(col("facet"), col("value"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("facet"), col("value"))
   }
 }
 

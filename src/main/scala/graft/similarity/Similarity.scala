@@ -552,6 +552,65 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** SemDeDup-style embedding near-dup at scale (Abbas et al. 2023's
+    * published recipe: cluster, then verify pairwise INSIDE clusters):
+    * every vector gets its pinned-codebook IVF cell in one codegen'd
+    * map pass (no shuffle of the corpus beyond the cell equi-join),
+    * candidate pairs exist only within a cell, exact ×10⁶ cosine ≥ τ
+    * verifies. Candidates shrink from n²/2 to Σ|cell|²/2 — the blocked
+    * shape that makes embedding dedup feasible at corpus scale, vs the
+    * label-blocked brute [[pairSim]] that needs an attribute to block
+    * on. Deterministic assignment ⇒ oracle-gated hash-exact; within-
+    * cell completeness vs the brute pair set is pinned in spec.
+    */
+  def embeddingDedupIvf(embeddings: DataFrame, tauX1e6: Long,
+                        model: Seq[Seq[Float]]): DataFrame = {
+    val e = graft.Tables.fanOut(embeddings)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+        nearestCell(col("embedding"), model).as("cell"))
+      .localCheckpoint(false) // self-joined: materialize the assignment once
+    e.as("x").join(e.as("y"),
+        col("x.cell") === col("y.cell") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+        col("x.cell").as("cell"),
+        floor(cosine(col("x.embedding"), col("y.embedding"),
+          col("x.nrm"), col("y.nrm")) * 1e6).cast("long").as("cos_x1e6"))
+      .filter(col("cos_x1e6") >= tauX1e6)
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** DuckDB rendering of [[embeddingDedupIvf]]: the same assignment
+    * CTEs as [[ivfOracleSql]] (argmax centroid cosine, ties to the
+    * smaller index), a within-cell pair join, and the exact cosine
+    * chain.
+    */
+  def embeddingDedupIvfOracleSql(cents: Seq[Seq[Float]], tauX1e6: Long): String = {
+    val n = cents.length
+    def centSim(v: String, j: Int): String = {
+      val c = cents(j)
+      val invNorm = 1.0 / math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val dotC = c.zipWithIndex
+        .map { case (x, d) => s"CAST($v[${d + 1}] AS DOUBLE) * (${x.toDouble})" }
+        .mkString("(0.0 + ", " + ", ")")
+      s"($dotC * ($invNorm))"
+    }
+    val simCols = (0 until n).map(j => s"    ${centSim("embedding", j)} AS s$j").mkString(",\n")
+    val sNames = (0 until n).map(j => s"s$j").mkString(", ")
+    val cellCase = (0 until n).map(j => s"WHEN s$j = g THEN $j").mkString("CASE ", " ", " END")
+    s"""WITH s AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm,
+       |$simCols
+       |  FROM embeddings),
+       |a AS (SELECT *, greatest($sNames) AS g FROM s),
+       |c AS (SELECT vec_id, embedding, nrm, $cellCase AS cell FROM a),
+       |p AS (
+       |  SELECT x.vec_id AS a, y.vec_id AS b, x.cell AS cell,
+       |    CAST(floor((${dotSql("x.embedding", "y.embedding")} / (x.nrm * y.nrm)) * 1e6) AS BIGINT) AS cos_x1e6
+       |  FROM c x JOIN c y ON x.cell = y.cell AND x.vec_id < y.vec_id)
+       |SELECT a, b, cell, cos_x1e6 FROM p
+       |WHERE cos_x1e6 >= $tauX1e6 ORDER BY a, b""".stripMargin
+  }
+
   /** DuckDB rendering of the FULL pinned-codebook IVF plan — assignment
     * (argmax centroid cosine, ties to the smaller index), nProbe probe
     * cells per query, exact cosine re-rank — with every centroid

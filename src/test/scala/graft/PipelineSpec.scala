@@ -510,6 +510,47 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ivf-blocked embedding dedup: complete within cells, sound vs brute") {
+    val out = Pipeline.dedupEmbeddingIvf(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val e = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding"),
+        graft.similarity.Similarity.nearestCell(col("embedding"),
+          graft.similarity.IvfModel.cells).as("cell"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    val tau = 400000L
+    val brute = collection.mutable.Map.empty[(Long, Long), Long]
+    var sameCell = 0
+    for (i <- e.indices; j <- i + 1 until e.length) {
+      val (ia, va, ca) = e(i); val (ib, vb, cb) = e(j)
+      // in-order double folds — the same IEEE result as the engine's dot
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+      while (k < va.length) {
+        dot += va(k).toDouble * vb(k).toDouble
+        na += va(k).toDouble * va(k).toDouble
+        nb += vb(k).toDouble * vb(k).toDouble
+        k += 1
+      }
+      val cos = math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6).toLong
+      if (cos >= tau) {
+        val key = if (ia < ib) (ia, ib) else (ib, ia)
+        brute(key) = cos
+        if (ca == cb) {
+          sameCell += 1
+          assert(out.contains(key) && out(key) == cos,
+            s"within-cell pair $key missing or drifted")
+        }
+      }
+    }
+    // soundness: every emitted pair is a genuine >= tau brute pair
+    out.foreach { case (key, cos) =>
+      assert(brute.get(key).contains(cos), s"emitted pair $key not in brute set")
+    }
+    assert(out.size == sameCell, "output must be exactly the within-cell brute pairs")
+    info(s"recall vs brute: ${out.size}/${brute.size} pairs share a cell")
+  }
+
   test("incremental index merge equals the direct term-stats build") {
     val merged = operators.Text.indexMerge(spark, sf).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

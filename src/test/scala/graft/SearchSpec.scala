@@ -49,6 +49,30 @@ class SearchSpec extends AnyFunSuite {
     assert(s.getLong(1) > 0) // totalBytes
   }
 
+  test("facets partition the match set: per-facet counts sum to the total") {
+    val req = SearchRequest(q = Some("merge"))
+    val total = ds.summary(idx, req).collect()(0).getLong(0)
+    assert(total > 0)
+    val rows = ds.facets(idx, req, Seq("lang", "source", "findability")).collect()
+    val byFacet = rows.groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(2)).sum)
+    assert(byFacet.keySet == Set("lang", "source", "findability"))
+    byFacet.foreach { case (f, n) => assert(n == total, s"facet $f sums $n != $total") }
+    // anonymous visibility means the findability facet is pure 'published'
+    val find = rows.filter(_.getString(0) == "findability")
+    assert(find.map(_.getString(1)).toSeq == Seq("published"))
+  }
+
+  test("highlight snippets contain the matched term at the reported offset") {
+    val rows = Metastore.highlightQ(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { r =>
+      val (term, pos, snippet) = (r.getString(2), r.getInt(3), r.getString(4))
+      assert(Set("merge", "join").contains(term))
+      assert(pos >= 1, s"match position must be 1-based positive: $r")
+      assert(snippet.toLowerCase.contains(term), s"snippet misses '$term': $r")
+    }
+  }
+
   test("page size capped at 100 (models.py:129-132)") {
     assert(SearchEngine.cappedSize(105) == 100)
     val n = ds.page(idx, SearchRequest(size = 105), Seq("doc_id")).count()
