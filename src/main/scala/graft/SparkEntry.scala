@@ -48,6 +48,7 @@ object SparkEntry {
     "q_quantile_hist"  -> ((s, d) => Relational.qQuantileHist(s, d)),
     "q_freq_cms"       -> ((s, d) => Relational.qFreqCms(s, d)),
     "q_approx_distinct_hll" -> ((s, d) => Relational.qApproxDistinctHll(s, d)),
+    "q_chisq"          -> ((s, d) => Relational.qChisq(s, d)),
     "q_benford"        -> ((s, d) => Relational.qBenford(s, d)),
     "q_kmv_overlap"    -> ((s, d) => Relational.qKmvOverlap(s, d)),
     "q_stats"          -> ((s, d) => Relational.qStats(s, d)),
@@ -213,6 +214,25 @@ object SparkEntry {
         |          - CAST(count(*) AS HUGEINT) * sum(CAST(cents AS HUGEINT))))
         |    // (CAST(count(*) AS HUGEINT) * sum(CAST(cents AS HUGEINT))) AS BIGINT) AS gini_x1e6
         |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_chisq" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(value >= 100.0 AS INTEGER) AS hi FROM events),
+        |cells AS (SELECT event_type, hi, CAST(count(*) AS BIGINT) AS o
+        |          FROM e GROUP BY event_type, hi),
+        |rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+        |       FROM cells GROUP BY event_type),
+        |cm AS (SELECT hi, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY hi),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n_total FROM cells),
+        |j AS (SELECT cells.event_type, cells.hi, cells.o, rm.r, cm.c, t.n_total,
+        |        CAST(cells.o AS HUGEINT) * t.n_total
+        |          - CAST(rm.r AS HUGEINT) * cm.c AS dev
+        |      FROM cells JOIN rm USING (event_type) JOIN cm USING (hi) CROSS JOIN t)
+        |SELECT event_type, hi, o, r, c, n_total,
+        |  CAST(CAST(r AS HUGEINT) * c * 1000000 // n_total AS BIGINT) AS exp_x1e6,
+        |  CAST(dev * dev * 1000000
+        |    // (CAST(n_total AS HUGEINT) * r * c) AS BIGINT) AS chi_x1e6
+        |FROM j ORDER BY event_type, hi""".stripMargin,
 
     "q_approx_distinct_hll" ->
       """WITH m AS (SELECT l_returnflag,

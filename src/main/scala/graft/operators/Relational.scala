@@ -686,6 +686,40 @@ object Relational {
           .as("est_distinct"))
       .orderBy(col("l_returnflag"))
 
+  /** Chi-square independence audit of a contingency table — the
+    * drift/association screen (is event type independent of the value
+    * band?) in exact scaled integers: per cell, expected×10⁶ =
+    * r·c·10⁶ div N and the χ² contribution ×10⁶ =
+    * (o·N − r·c)²·10⁶ div (N·r·c) — the (o−rc/N)²/(rc/N) identity
+    * multiplied through by N² so no fraction ever materializes;
+    * deviations stage through DECIMAL(38,0) (o·N alone breaks BIGINT
+    * at corpus scale, and r·c·10⁶ does too). One partial-agg pass
+    * builds the cells; marginals are broadcast joins against the
+    * types×2 grid, which is fixed-size at any corpus.
+    */
+  def qChisq(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, dir))
+      .select(col("event_type"), (col("value") >= 100.0).cast("int").as("hi"))
+    val cells = ev.groupBy(col("event_type"), col("hi"))
+      .agg(count(lit(1)).as("o"))
+      .localCheckpoint(false) // three marginal consumers
+    val rowm = cells.groupBy(col("event_type")).agg(sum(col("o")).as("r"))
+    val colm = cells.groupBy(col("hi")).agg(sum(col("o")).as("c"))
+    val tot = cells.agg(sum(col("o")).as("n_total"))
+    cells.join(broadcast(rowm), Seq("event_type"))
+      .join(broadcast(colm), Seq("hi"))
+      .crossJoin(broadcast(tot))
+      .withColumn("dev",
+        expr("CAST(o AS DECIMAL(38,0)) * n_total - CAST(r AS DECIMAL(38,0)) * c"))
+      .select(col("event_type"), col("hi"), col("o"), col("r"), col("c"),
+        col("n_total"),
+        expr("CAST(CAST(r AS DECIMAL(38,0)) * c * 1000000 div n_total AS BIGINT)")
+          .as("exp_x1e6"),
+        expr("CAST(dev * dev * 1000000 div (CAST(n_total AS DECIMAL(38,0)) * r * c) AS BIGINT)")
+          .as("chi_x1e6"))
+      .orderBy(col("event_type"), col("hi"))
+  }
+
   /** Deterministic HyperLogLog distinct estimate, ORACLE-GATED — the
     * gated twin of [[qApproxDistinct]] (whose built-in HLL++ sketch is
     * engine-internal and rows-only by necessity). Own sketch, public

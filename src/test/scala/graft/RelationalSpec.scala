@@ -118,6 +118,23 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("chi-square cells: marginals consistent, contributions match BigInt math") {
+    val rows = operators.Relational.qChisq(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val n = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      val (o, rm, cm, nt) = (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      assert(nt == n, s"n_total drift: $r")
+      // marginals reconstruct from the cells themselves
+      assert(rm == rows.filter(_.getString(0) == r.getString(0)).map(_.getLong(2)).sum)
+      assert(cm == rows.filter(_.getInt(1) == r.getInt(1)).map(_.getLong(2)).sum)
+      val dev = BigInt(o) * nt - BigInt(rm) * cm
+      assert(r.getLong(6) == (BigInt(rm) * cm * 1000000 / nt).toLong, s"exp: $r")
+      assert(r.getLong(7) == (dev * dev * 1000000 / (BigInt(nt) * rm * cm)).toLong,
+        s"chi: $r")
+    }
+  }
+
   test("gated HLL estimate lands within 3 rsd of the exact distinct count") {
     val rows = operators.Relational.qApproxDistinctHll(spark, sf).collect()
     assert(rows.nonEmpty)
