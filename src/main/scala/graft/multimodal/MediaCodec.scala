@@ -287,6 +287,205 @@ object MediaCodec {
     PngMeta(w, h, sr, sg, sb)
   }
 
+  // ---- GIF (GIF89a spec): 16-color palette, variable-width LZW ----
+
+  def isGif(b: Array[Byte]): Boolean =
+    b.length >= 13 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F' &&
+      b(3) == '8' && (b(4) == '9' || b(4) == '7') && b(5) == 'a'
+
+  /** Variable-width LZW encode of a 4-bit index stream (GIF89a
+    * appendix): clear code 16, EOI 17, code width grows from 5 when
+    * the next free slot crosses the current width's capacity, codes
+    * packed LSB-first.
+    */
+  private def lzwEncode(indices: Array[Int]): Array[Byte] = {
+    val clear = 16; val eoi = 17
+    val out = new java.io.ByteArrayOutputStream
+    var acc = 0L; var nbits = 0
+    var codeSize = 5
+    def put(code: Int): Unit = {
+      acc |= code.toLong << nbits; nbits += codeSize
+      while (nbits >= 8) { out.write((acc & 0xff).toInt); acc >>= 8; nbits -= 8 }
+    }
+    val dict = collection.mutable.HashMap.empty[(Int, Int), Int]
+    var nextCode = 18
+    put(clear)
+    var w = indices(0)
+    var i = 1
+    while (i < indices.length) {
+      val k = indices(i)
+      dict.get((w, k)) match {
+        case Some(c) => w = c
+        case None =>
+          put(w)
+          dict((w, k)) = nextCode
+          nextCode += 1
+          // width grows when the just-created slot fills the current range
+          if (nextCode == (1 << codeSize) + 1 && codeSize < 12) codeSize += 1
+          w = k
+      }
+      i += 1
+    }
+    put(w); put(eoi)
+    if (nbits > 0) out.write((acc & 0xff).toInt)
+    out.toByteArray
+  }
+
+  /** Encode a single-frame 16-color GIF89a; palette(i) returns packed
+    * 0xRRGGBB for index i (0–15), pixel(x, y) the palette index.
+    */
+  def encodeGif(w: Int, h: Int, palette: Int => Int,
+                pixel: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad gif geometry ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream
+    out.write("GIF89a".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    def w16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    w16(w); w16(h)
+    out.write(0x80 | 3) // global color table, 2^(3+1)=16 entries
+    out.write(0); out.write(0)
+    var i = 0
+    while (i < 16) {
+      val p = palette(i)
+      out.write((p >> 16) & 0xff); out.write((p >> 8) & 0xff); out.write(p & 0xff)
+      i += 1
+    }
+    out.write(0x2C) // image descriptor
+    w16(0); w16(0); w16(w); w16(h); out.write(0)
+    out.write(4) // LZW minimum code size
+    val indices = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixel(x, y)
+        require(v >= 0 && v < 16, s"palette index $v out of range")
+        indices(y * w + x) = v
+        x += 1
+      }
+      y += 1
+    }
+    val z = lzwEncode(indices)
+    var o = 0
+    while (o < z.length) { // ≤255-byte sub-blocks
+      val n = math.min(255, z.length - o)
+      out.write(n); out.write(z, o, n); o += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Decoded GIF: geometry + exact palette-resolved channel sums. */
+  final case class GifMeta(width: Int, height: Int,
+                           sumR: Long, sumG: Long, sumB: Long)
+
+  /** Single-frame GIF decoder: header + logical screen descriptor,
+    * global color table, extension-block skipping, sub-block
+    * concatenation, and a REAL variable-width LZW decompressor (clear
+    * / EOI codes, width growth in lockstep with dictionary fill, the
+    * KwKwK self-referencing case) per the public GIF89a spec.
+    */
+  def decodeGif(b: Array[Byte]): GifMeta = {
+    require(isGif(b), "not a GIF payload")
+    val w = u16(b, 6); val h = u16(b, 8)
+    val flags = b(10) & 0xff
+    require((flags & 0x80) != 0, "GIF without a global color table unsupported")
+    val palSize = 2 << (flags & 7)
+    var o = 13
+    require(b.length >= o + palSize * 3, "truncated GIF color table")
+    val pal = new Array[Int](palSize)
+    var i = 0
+    while (i < palSize) {
+      pal(i) = ((b(o) & 0xff) << 16) | ((b(o + 1) & 0xff) << 8) | (b(o + 2) & 0xff)
+      o += 3; i += 1
+    }
+    // walk blocks to the first image descriptor, skipping extensions
+    while (o < b.length && (b(o) & 0xff) == 0x21) {
+      o += 2 // introducer + label
+      while ({ require(o < b.length, "truncated GIF extension"); (b(o) & 0xff) != 0 })
+        o += 1 + (b(o) & 0xff)
+      o += 1
+    }
+    require(o < b.length && (b(o) & 0xff) == 0x2C, "GIF image descriptor missing")
+    val iw = u16(b, o + 5); val ih = u16(b, o + 7)
+    require((b(o + 9) & 0xc0) == 0, "local color table / interlace unsupported")
+    require(iw == w && ih == h, "sub-rectangle frames unsupported")
+    o += 10
+    val minCode = b(o) & 0xff; o += 1
+    require(minCode >= 2 && minCode <= 8, s"bad LZW min code size $minCode")
+    val z = new java.io.ByteArrayOutputStream
+    while ({ require(o < b.length, "truncated GIF data"); (b(o) & 0xff) != 0 }) {
+      val n = b(o) & 0xff
+      require(o + 1 + n <= b.length, "truncated GIF sub-block")
+      z.write(b, o + 1, n); o += 1 + n
+    }
+    val data = z.toByteArray
+    // LZW decode
+    val clear = 1 << minCode; val eoi = clear + 1
+    val prefix = new Array[Int](4096); val suffix = new Array[Int](4096)
+    val firstSym = new Array[Int](4096)
+    var nextCode = eoi + 1; var codeSize = minCode + 1
+    val outIdx = new Array[Int](w * h)
+    var nOut = 0
+    var acc = 0L; var nbits = 0; var pos = 0
+    var prev = -1
+    def emit(code: Int): Unit = {
+      // write the string for `code` (walk suffix chain, reversed)
+      val stack = new Array[Int](4096); var sp = 0
+      var c = code
+      while (c >= clear + 2) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      require(c < clear, s"bad LZW chain head $c")
+      require(nOut + sp + 1 <= outIdx.length, "LZW output overruns image")
+      outIdx(nOut) = c; nOut += 1
+      while (sp > 0) { sp -= 1; outIdx(nOut) = stack(sp); nOut += 1 }
+    }
+    def firstOf(code: Int): Int = if (code < clear) code else firstSym(code)
+    var done = false
+    while (!done) {
+      while (nbits < codeSize && pos < data.length) {
+        acc |= (data(pos) & 0xffL) << nbits; nbits += 8; pos += 1
+      }
+      require(nbits >= codeSize, "truncated LZW stream")
+      val code = (acc & ((1L << codeSize) - 1)).toInt
+      acc >>= codeSize; nbits -= codeSize
+      if (code == clear) {
+        nextCode = eoi + 1; codeSize = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        done = true
+      } else if (prev < 0) {
+        require(code < clear, s"first LZW code $code not a literal")
+        emit(code); prev = code
+      } else {
+        require(code <= nextCode, s"LZW code $code ahead of dictionary")
+        if (code == nextCode) {
+          // KwKwK: the entry being defined — prev + first(prev)
+          prefix(nextCode) = prev; suffix(nextCode) = firstOf(prev)
+          firstSym(nextCode) = firstOf(prev)
+          nextCode += 1; emit(code)
+        } else {
+          emit(code)
+          prefix(nextCode) = prev; suffix(nextCode) = firstOf(code)
+          firstSym(nextCode) = firstOf(prev)
+          nextCode += 1
+        }
+        // the decoder's dictionary lags the encoder's by one entry, so
+        // it must widen one entry EARLIER than the encoder's +1 rule to
+        // stay in lockstep (the classic GIF-LZW sync detail)
+        if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+        prev = code
+      }
+    }
+    require(nOut == w * h, s"LZW decoded $nOut of ${w * h} pixels")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    i = 0
+    while (i < nOut) {
+      val p = pal(outIdx(i))
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      i += 1
+    }
+    GifMeta(w, h, sr, sg, sb)
+  }
+
   /** Encode PCM16 mono WAV; sample(i) in [-32768, 32767]. */
   def encodeWavPcm16(n: Int, sampleRate: Int, sample: Int => Int): Array[Byte] = {
     require(n >= 0 && sampleRate > 0, s"bad wav geometry n=$n sr=$sampleRate")

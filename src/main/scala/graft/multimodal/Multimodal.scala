@@ -149,6 +149,10 @@ object Multimodal {
           val m = MediaCodec.decodePng(bytes)
           val fp = ((m.sumR * 31 + m.sumG) * 31 + m.sumB) % 1000000007L
           MediaMeta(id, bytes.length.toLong, fp, m.width.toLong, m.height.toLong, 1L)
+        } else if (MediaCodec.isGif(bytes)) {
+          val m = MediaCodec.decodeGif(bytes)
+          val fp = ((m.sumR * 31 + m.sumG) * 31 + m.sumB) % 1000000007L
+          MediaMeta(id, bytes.length.toLong, fp, m.width.toLong, m.height.toLong, 1L)
         } else if (MediaCodec.isWav(bytes)) {
           val m = MediaCodec.decodeWav(bytes)
           val fp = (m.sumAbs * 31 + m.maxAbs) % 1000000007L
@@ -216,6 +220,37 @@ object Multimodal {
           (r << 16) | (g << 8) | b
         }, y => ((id + y) % 5).toInt)
         val m = MediaCodec.decodePng(payload)
+        (id, m.width.toLong, m.height.toLong, m.sumR, m.sumG, m.sumB)
+      }
+    }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Real-decoder gate, palette-image path: synthesize a genuine
+    * 16-color GIF89a per doc (palette AND pixel indices pure functions
+    * of doc_id), decode with the REAL [[MediaCodec.decodeGif]] —
+    * sub-block concatenation, variable-width LZW with clear/EOI and
+    * the KwKwK case — and emit geometry + exact palette-resolved
+    * channel sums; the oracle resolves the same palette closed-form.
+    * With PNG (zlib) this makes two genuinely compressed formats whose
+    * decompressors are exercised end-to-end by the gate.
+    */
+  def decodeGifPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (2 + id % 14).toInt
+        val h = (2 + id % 11).toInt
+        val payload = MediaCodec.encodeGif(w, h,
+          i => {
+            val r = ((id + 17L * i) % 256).toInt
+            val g = ((2L * id + 31L * i) % 256).toInt
+            val b = ((3L * id + 47L * i) % 256).toInt
+            (r << 16) | (g << 8) | b
+          },
+          (x, y) => ((id + 3L * x + 7L * y) % 16).toInt)
+        val m = MediaCodec.decodeGif(payload)
         (id, m.width.toLong, m.height.toLong, m.sumR, m.sumG, m.sumB)
       }
     }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")

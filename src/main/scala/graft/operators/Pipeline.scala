@@ -102,6 +102,9 @@ object Pipeline {
   def mmDecodePng(s: SparkSession, d: String): DataFrame =
     Multimodal.decodePngPlan(Tables.documents(s, d))
 
+  def mmDecodeGif(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeGifPlan(Tables.documents(s, d))
+
   /** Modality-coverage report — which documents have which modalities
     * attached (text ⋈ embedding here; image/audio in a real corpus):
     * one co-partitioned FULL OUTER join on the id, classified and
@@ -1157,6 +1160,25 @@ object Pipeline {
         |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
         |  CAST(sum(b) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_gif" ->
+      """WITH m AS (SELECT doc_id, 2 + doc_id % 14 AS w, 2 + doc_id % 11 AS h
+        |           FROM documents),
+        |px AS (
+        |  SELECT m.doc_id, m.w, m.h,
+        |    (m.doc_id + 3 * x.i + 7 * y.i) % 16 AS idx
+        |  FROM m, range(0, 16) x(i), range(0, 13) y(i)
+        |  WHERE x.i < m.w AND y.i < m.h),
+        |ch AS (
+        |  SELECT doc_id, w, h,
+        |    (doc_id + 17 * idx) % 256 AS r,
+        |    (2 * doc_id + 31 * idx) % 256 AS g,
+        |    (3 * doc_id + 47 * idx) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM ch GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     "mm_decode_wav" ->
       """WITH m AS (SELECT doc_id, 50 + doc_id % 300 AS n,

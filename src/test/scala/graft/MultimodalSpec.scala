@@ -59,6 +59,31 @@ class MultimodalSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](MediaCodec.decodePng(enc.take(enc.length - 6)))
   }
 
+  test("GIF round-trip: LZW dictionary growth, KwKwK case, extension skip") {
+    for (w <- Seq(2, 7, 15); h <- Seq(2, 9, 12)) {
+      val pal = (i: Int) => (i << 16) | ((15 - i) << 8) | ((i * 7) & 0xff)
+      val px = (x: Int, y: Int) => (x + 2 * y) % 16
+      val enc = MediaCodec.encodeGif(w, h, pal, px)
+      val m = MediaCodec.decodeGif(enc)
+      assert(m.width == w && m.height == h)
+      val cells = for (y <- 0 until h; x <- 0 until w) yield px(x, y)
+      assert(m.sumR == cells.map(i => ((pal(i) >> 16) & 0xff).toLong).sum, s"R ${w}x$h")
+      assert(m.sumG == cells.map(i => ((pal(i) >> 8) & 0xff).toLong).sum, s"G ${w}x$h")
+      assert(m.sumB == cells.map(i => (pal(i) & 0xff).toLong).sum, s"B ${w}x$h")
+    }
+    // the KwKwK self-reference arises from an all-same-index run
+    val runs = MediaCodec.encodeGif(9, 9, i => i, (_, _) => 5)
+    val mr = MediaCodec.decodeGif(runs)
+    assert(mr.sumR == 0L && mr.sumG == 0L && mr.sumB == 81L * 5)
+    // an extension block before the image descriptor must be skipped
+    val enc = MediaCodec.encodeGif(3, 3, i => i, (x, y) => (x + y) % 16)
+    val withExt = enc.take(13 + 48) ++
+      Array[Byte](0x21, 0xFE.toByte, 3, 9, 9, 9, 0) ++ enc.drop(13 + 48)
+    assert(MediaCodec.decodeGif(withExt) == MediaCodec.decodeGif(enc))
+    // truncation inside the LZW stream must throw, never mis-decode
+    assertThrows[IllegalArgumentException](MediaCodec.decodeGif(enc.take(enc.length - 4)))
+  }
+
   test("decodeMeta sniffs real formats and falls back to the byte-fold stub") {
     import spark.implicits._
     val bmp = MediaCodec.encodeBmp(4, 2, (_, _) => 0x010203)
