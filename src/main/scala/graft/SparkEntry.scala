@@ -180,6 +180,9 @@ object SparkEntry {
     "q_cohort_matrix"     -> ((s, d) => operators.Temporal.qCohortMatrix(s, d)),
     "q_ab_lift"           -> ((s, d) => operators.Temporal.qAbLift(s, d)),
     "q_streaks"           -> ((s, d) => operators.Temporal.qStreaks(s, d)),
+    "q_sessionize"        -> ((s, d) => operators.Temporal.qSessionize(s, d)),
+    "q_ttest"             -> ((s, d) => operators.Temporal.qTtest(s, d)),
+    "q_ks_test"           -> ((s, d) => operators.Temporal.qKsTest(s, d)),
     "mm_patchify"         -> ((s, d) => Pipeline.mmPatchify(s, d)),
     "mm_decode_bmp"       -> ((s, d) => Pipeline.mmDecodeBmp(s, d)),
     "mm_decode_wav"       -> ((s, d) => Pipeline.mmDecodeWav(s, d)),

@@ -461,7 +461,211 @@ object Temporal {
       .orderBy(col("user_id"), col("valid_from_us"))
   }
 
+  /** Per-user purchase spend in exact cents plus the deterministic hash
+    * arm (same split as [[qAbLift]]): the shared base for the two-sample
+    * statistical tests below. Users with no purchases keep cents = 0 —
+    * the tests compare whole-population spend, not purchaser-only spend.
+    */
+  private def perUserArmCents(s: SparkSession, d: String): DataFrame =
+    EventStreams.normalize(Tables.events(s, d))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).otherwise(0L)).as("cents"))
+      .select(col("user_id"), col("cents"),
+        expr("((user_id * 2654435761) % 4294967296) div 2147483648").as("arm"))
+
+  /** Batch 30-minute-gap sessionization — the canonical event-analytics
+    * operator (and the batch twin of stream_sessionize): a session break
+    * opens wherever a user's gap to the previous event exceeds 30 min,
+    * session ids are the running sum of break flags, and the per-user
+    * summary aggregates session counts/sizes/durations. All arithmetic
+    * is integer microseconds, so the DuckDB oracle is hash-exact. Scale
+    * shape: ONE shuffle on user_id; the lag, the running sum, and the
+    * session rollup all reuse that partitioning (Catalyst plans a single
+    * exchange), and the output is one row per user.
+    */
+  def qSessionize(s: SparkSession, d: String): DataFrame = {
+    val gapUs = 1800L * 1000000L
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, 0)
+    val sess = ev
+      .withColumn("new_sess",
+        when(lag(col("ts_us"), 1).over(w).isNull ||
+          col("ts_us") - lag(col("ts_us"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sess_id", sum(col("new_sess")).over(run))
+    sess.groupBy(col("user_id"), col("sess_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_ev")).cast("long").as("n_events"),
+        max(col("n_ev")).as("max_session_events"),
+        expr("max(dur_us) div 1000000").as("longest_session_s"))
+      .withColumn("events_per_session_x100",
+        expr("(n_events * 100) div n_sessions"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Welch's two-sample t-test between the A/B hash arms on per-user
+    * spend — the significance test behind [[qAbLift]]'s lift numbers,
+    * run integer-exact so the oracle can gate it hash-exact: moments
+    * (n, Σcents, Σcents²) stay in BIGINT/DECIMAL(38,0), the pooled
+    * standard error is staged ×10⁶ through exact integer division
+    * (DECIMAL(38,0) headroom for Σcents²·10⁶), and the only float op is
+    * one IEEE-754 `sqrt` on an integer < 2⁵³ — correctly rounded and
+    * bit-identical in both engines. |t| and sign are emitted separately
+    * because Spark's `div` truncates while DuckDB's `//` floors, and
+    * they disagree on negative numerators. Scale: one narrow per-user
+    * aggregate then a single 8-column reduce — no shuffle after the
+    * user_id partial.
+    */
+  def qTtest(s: SparkSession, d: String): DataFrame =
+    perUserArmCents(s, d)
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("n_b"),
+        sum(when(col("arm") === 0, col("cents")).otherwise(0L)).cast("long").as("sum_cents_a"),
+        sum(when(col("arm") === 1, col("cents")).otherwise(0L)).cast("long").as("sum_cents_b"),
+        sum(when(col("arm") === 0, expr("CAST(cents AS DECIMAL(38,0)) * cents"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("ssq_a"),
+        sum(when(col("arm") === 1, expr("CAST(cents AS DECIMAL(38,0)) * cents"))
+          .otherwise(expr("CAST(0 AS DECIMAL(38,0))"))).as("ssq_b"))
+      .withColumn("mean_diff_x1e4",
+        expr("(sum_cents_a * 10000) div n_a - (sum_cents_b * 10000) div n_b"))
+      .withColumn("se2_x1e6", expr(
+        """CAST((CAST(n_a AS DECIMAL(38,0)) * ssq_a - CAST(sum_cents_a AS DECIMAL(38,0)) * sum_cents_a)
+          |  * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * (n_a - 1) * n_a) AS BIGINT)
+          |+ CAST((CAST(n_b AS DECIMAL(38,0)) * ssq_b - CAST(sum_cents_b AS DECIMAL(38,0)) * sum_cents_b)
+          |  * 1000000 div (CAST(n_b AS DECIMAL(38,0)) * (n_b - 1) * n_b) AS BIGINT)""".stripMargin))
+      .withColumn("se_x1e3",
+        expr("CAST(floor(sqrt(CAST(se2_x1e6 AS DOUBLE))) AS BIGINT)"))
+      .withColumn("t_abs_x1e3", expr("(abs(mean_diff_x1e4) * 100) div se_x1e3"))
+      .withColumn("t_sign", expr(
+        "CAST(CASE WHEN mean_diff_x1e4 < 0 THEN -1 WHEN mean_diff_x1e4 > 0 THEN 1 ELSE 0 END AS INT)"))
+      .select(col("n_a"), col("n_b"), col("sum_cents_a"), col("sum_cents_b"),
+        col("ssq_a"), col("ssq_b"), col("mean_diff_x1e4"), col("se2_x1e6"),
+        col("se_x1e3"), col("t_abs_x1e3"), col("t_sign"))
+
+  /** Two-sample Kolmogorov–Smirnov D between the A/B hash arms on
+    * per-user spend — the distribution-shape complement to [[qTtest]]'s
+    * mean test, fully integer-exact: at every distinct spend value the
+    * scaled ECDF gap |cumA·n_b − cumB·n_a| is a BIGINT, D is its max,
+    * and d_x1e6 rescales by n_a·n_b at the end. Scale shape: the event
+    * log collapses to per-user rows, then to one row per DISTINCT spend
+    * value (the value domain, orders of magnitude smaller than users);
+    * only that domain passes through the single-partition ordered
+    * cumulative window — at 100 TB you'd range-partition the running
+    * sum, and the final reduce is one row.
+    */
+  def qKsTest(s: SparkSession, d: String): DataFrame = {
+    val pu = perUserArmCents(s, d)
+    val counts = pu.groupBy(col("cents")).agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("ca"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("cb"))
+    val run = Window.orderBy(col("cents")).rowsBetween(Window.unboundedPreceding, 0)
+    val tot = pu.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("n_b"))
+    counts
+      .withColumn("cum_a", sum(col("ca")).over(run))
+      .withColumn("cum_b", sum(col("cb")).over(run))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a"))).as("d_num"))
+      .withColumn("d_x1e6", expr("(d_num * 1000000) div (n_a * n_b)"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_sessionize" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+        |l AS (SELECT user_id, ts_us, event_id,
+        |        lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_ts
+        |      FROM ev),
+        |m AS (SELECT user_id, ts_us, event_id,
+        |        CASE WHEN prev_ts IS NULL OR ts_us - prev_ts > 1800000000
+        |             THEN 1 ELSE 0 END AS new_sess
+        |      FROM l),
+        |sx AS (SELECT user_id, ts_us,
+        |        sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |      FROM m),
+        |ps AS (SELECT user_id, sess_id, CAST(count(*) AS BIGINT) AS n_ev,
+        |        max(ts_us) - min(ts_us) AS dur_us
+        |      FROM sx GROUP BY user_id, sess_id)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+        |  CAST(sum(n_ev) AS BIGINT) AS n_events,
+        |  max(n_ev) AS max_session_events,
+        |  CAST(max(dur_us) // 1000000 AS BIGINT) AS longest_session_s,
+        |  CAST(sum(n_ev) * 100 // count(*) AS BIGINT) AS events_per_session_x100
+        |FROM ps GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_ttest" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+        |  FROM events GROUP BY user_id),
+        |pa AS (SELECT cents,
+        |         ((user_id * 2654435761) % 4294967296) // 2147483648 AS arm FROM pu),
+        |m AS (SELECT
+        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |  CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS sum_cents_a,
+        |  CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS sum_cents_b,
+        |  CAST(sum(CASE WHEN arm = 0 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END)
+        |    AS DECIMAL(38,0)) AS ssq_a,
+        |  CAST(sum(CASE WHEN arm = 1 THEN CAST(cents AS HUGEINT) * cents ELSE 0 END)
+        |    AS DECIMAL(38,0)) AS ssq_b
+        |  FROM pa),
+        |d AS (SELECT *,
+        |  (sum_cents_a * 10000) // n_a - (sum_cents_b * 10000) // n_b AS mean_diff_x1e4,
+        |  CAST((CAST(n_a AS HUGEINT) * CAST(ssq_a AS HUGEINT)
+        |      - CAST(sum_cents_a AS HUGEINT) * sum_cents_a) * 1000000
+        |    // (CAST(n_a AS HUGEINT) * (n_a - 1) * n_a) AS BIGINT)
+        |  + CAST((CAST(n_b AS HUGEINT) * CAST(ssq_b AS HUGEINT)
+        |      - CAST(sum_cents_b AS HUGEINT) * sum_cents_b) * 1000000
+        |    // (CAST(n_b AS HUGEINT) * (n_b - 1) * n_b) AS BIGINT) AS se2_x1e6
+        |  FROM m),
+        |e AS (SELECT *,
+        |  CAST(floor(sqrt(CAST(se2_x1e6 AS DOUBLE))) AS BIGINT) AS se_x1e3
+        |  FROM d)
+        |SELECT n_a, n_b, sum_cents_a, sum_cents_b, ssq_a, ssq_b,
+        |  mean_diff_x1e4, se2_x1e6, se_x1e3,
+        |  (abs(mean_diff_x1e4) * 100) // se_x1e3 AS t_abs_x1e3,
+        |  CAST(CASE WHEN mean_diff_x1e4 < 0 THEN -1
+        |            WHEN mean_diff_x1e4 > 0 THEN 1 ELSE 0 END AS INT) AS t_sign
+        |FROM e""".stripMargin,
+
+    "q_ks_test" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+        |  FROM events GROUP BY user_id),
+        |pa AS (SELECT cents,
+        |         ((user_id * 2654435761) % 4294967296) // 2147483648 AS arm FROM pu),
+        |c AS (SELECT cents,
+        |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |      FROM pa GROUP BY cents),
+        |cum AS (SELECT cents,
+        |        CAST(sum(ca) OVER (ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_a,
+        |        CAST(sum(cb) OVER (ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_b
+        |      FROM c),
+        |t AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |      FROM pa),
+        |d AS (SELECT max(t.n_a) AS n_a, max(t.n_b) AS n_b,
+        |        max(abs(cum_a * t.n_b - cum_b * t.n_a)) AS d_num
+        |      FROM cum CROSS JOIN t)
+        |SELECT n_a, n_b, d_num,
+        |  (d_num * 1000000) // (n_a * n_b) AS d_x1e6
+        |FROM d""".stripMargin,
+
     "q_streaks" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
         |isl AS (

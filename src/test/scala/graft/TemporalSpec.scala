@@ -254,4 +254,73 @@ class TemporalSpec extends AnyFunSuite {
     }.sortBy(t => (t._1, t._2, t._3))
     assert(got.toSeq == expect)
   }
+
+  test("sessionize matches a brute-force 30-minute-gap split per user") {
+    val evs = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .select(col("user_id"), col("ts_us"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = Temporal.qSessionize(spark, sf).collect()
+    val byUser = evs.groupBy(_._1).view.mapValues(_.sortBy(t => (t._2, t._3))).toMap
+    assert(got.length == byUser.size)
+    val gap = 1800L * 1000000L
+    got.foreach { r =>
+      val ts = byUser(r.getLong(0)).map(_._2)
+      val sessions = ts.tail.foldLeft(Vector(Vector(ts.head))) { (acc, t) =>
+        if (t - acc.last.last > gap) acc :+ Vector(t) else acc.init :+ (acc.last :+ t)
+      }
+      assert(r.getLong(1) == sessions.length, s"n_sessions: $r")
+      assert(r.getLong(2) == ts.length, s"n_events: $r")
+      assert(r.getLong(3) == sessions.map(_.length).max, s"max_session_events: $r")
+      assert(r.getLong(4) == sessions.map(s => s.last - s.head).max / 1000000L,
+        s"longest_session_s: $r")
+      assert(r.getLong(5) == ts.length.toLong * 100 / sessions.length, s"eps_x100: $r")
+    }
+  }
+
+  test("welch t-test components match a BigInt brute-force recompute") {
+    val pu = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).otherwise(0L)).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val arms = pu.groupBy { case (u, _) => ((u * 2654435761L) % 4294967296L) / 2147483648L }
+    val r = Temporal.qTtest(spark, sf).collect().head
+    def stats(a: Long) = {
+      val cs = arms(a).map(_._2.toLong)
+      (BigInt(cs.length), cs.map(BigInt(_)).sum, cs.map(c => BigInt(c) * c).sum)
+    }
+    val (na, sa, ssa) = stats(0); val (nb, sb, ssb) = stats(1)
+    assert(BigInt(r.getLong(0)) == na && BigInt(r.getLong(1)) == nb)
+    assert(BigInt(r.getLong(2)) == sa && BigInt(r.getLong(3)) == sb)
+    assert(r.getDecimal(4).toBigInteger == ssa.bigInteger)
+    assert(r.getDecimal(5).toBigInteger == ssb.bigInteger)
+    val diff = sa * 10000 / na - sb * 10000 / nb
+    assert(BigInt(r.getLong(6)) == diff)
+    val se2 = (na * ssa - sa * sa) * 1000000 / (na * (na - 1) * na) +
+      (nb * ssb - sb * sb) * 1000000 / (nb * (nb - 1) * nb)
+    assert(BigInt(r.getLong(7)) == se2)
+    val se = BigInt(math.floor(math.sqrt(se2.toDouble)).toLong)
+    assert(BigInt(r.getLong(8)) == se)
+    assert(BigInt(r.getLong(9)) == diff.abs * 100 / se)
+    assert(r.getInt(10) == diff.signum)
+  }
+
+  test("ks d statistic matches a brute-force ecdf max-gap") {
+    val pu = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).otherwise(0L)).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val withArm = pu.map { case (u, c) => (((u * 2654435761L) % 4294967296L) / 2147483648L, c) }
+    val a = withArm.filter(_._1 == 0L).map(_._2).sorted
+    val b = withArm.filter(_._1 == 1L).map(_._2).sorted
+    val r = Temporal.qKsTest(spark, sf).collect().head
+    assert(r.getLong(0) == a.length.toLong && r.getLong(1) == b.length.toLong)
+    val dNum = (a ++ b).distinct.map { v =>
+      math.abs(a.count(_ <= v).toLong * b.length - b.count(_ <= v).toLong * a.length)
+    }.max
+    assert(r.getLong(2) == dNum)
+    assert(r.getLong(3) == dNum * 1000000L / (a.length.toLong * b.length))
+    assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
+  }
 }
