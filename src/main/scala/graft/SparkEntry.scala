@@ -111,6 +111,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Pipeline.dedupNgramJaccard(s, d)),
     "dedup_minhash_lsh"   -> ((s, d) => Pipeline.dedupMinhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => Pipeline.dedupSimhash(s, d)),
+    "dedup_levenshtein"   -> ((s, d) => Pipeline.dedupLevenshtein(s, d)),
     "dedup_embedding"     -> ((s, d) => Pipeline.dedupEmbedding(s, d)),
     "dedup_embedding_ivf" -> ((s, d) => Pipeline.dedupEmbeddingIvf(s, d)),
     "dedup_cluster"       -> ((s, d) => Pipeline.dedupCluster(s, d)),
@@ -136,6 +137,7 @@ object SparkEntry {
     "txt_minhash_sketch" -> ((s, d) => Text.minhashSketch(s, d)),
     "ann_pair_sim"   -> ((s, d) => Pipeline.annPairSim(s, d)),
     "ann_range_search" -> ((s, d) => Pipeline.annRangeSearch(s, d)),
+    "ann_sq_topk"      -> ((s, d) => Pipeline.annSqTopk(s, d)),
     "ann_pq_topk"      -> ((s, d) => Pipeline.annPqTopk(s, d)),
     "ann_ivf_pq_topk"  -> ((s, d) => Pipeline.annIvfPqTopk(s, d)),
     "pipe_contamination_bloom" -> ((s, d) => Pipeline.contaminationBloom(s, d)),

@@ -368,6 +368,38 @@ object Dedup {
   val SimBits = 60
   val SimHamK = 3 // pairs with hamming ≤ 3; 4 bands × 15 bits ⇒ exact recall
 
+  /** Blocked edit-distance near-dup pairs: documents are blocked on
+    * (first normalized token, 16-char length bucket), and within a block
+    * every id-ordered pair whose lengths differ by ≤ maxLev (a pure
+    * pushdown — levenshtein ≥ |len difference|, so the filter is exact)
+    * is scored with the THRESHOLDED `levenshtein(a, b, maxLev)`, which
+    * abandons the DP once the banded diagonal exceeds maxLev (O(len·k)
+    * not O(len²)). A pair survives at ≤ maxLev edits AND ≤ tauX100 % of
+    * the longer length. Like every blocked near-dup method here (simhash
+    * bands, LSH), recall is bounded by the blocking: boundary-straddling
+    * length buckets or differing lead tokens are not compared — the
+    * documented trade-off that makes the candidate set block-bounded
+    * instead of corpus-quadratic at 100 TB.
+    */
+  def levenshteinPairs(docs: DataFrame, maxLev: Int = 20, tauX100: Long = 20L): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), TextFunctions.normalized(col("text")).as("nt"))
+      .filter(length(col("nt")) > 0)
+      .withColumn("len", length(col("nt")).cast("long"))
+      .withColumn("tok0", expr("split_part(nt, ' ', 1)"))
+      .withColumn("lb", expr("length(nt) div 16"))
+    base.as("a").join(base.as("b"),
+        col("a.tok0") === col("b.tok0") && col("a.lb") === col("b.lb") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= maxLev)
+      .select(col("a.doc_id").as("doc_id_a"), col("b.doc_id").as("doc_id_b"),
+        levenshtein(col("a.nt"), col("b.nt"), maxLev).cast("long").as("lev"),
+        greatest(col("a.len"), col("b.len")).as("max_len"))
+      .filter(col("lev") >= 0 && col("lev") * 100 <= lit(tauX100) * col("max_len"))
+      .withColumn("lev_ratio_x100", expr("(lev * 100) div max_len"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
   /** 60-bit SimHash over analyzed tokens: two 30-bit char-fold hashes per
     * token (multipliers 31 / 37, moduli 1e9+7 / 998244353); bit j of the
     * signature = sign of Σ_tokens (2·bit_j(h) − 1). Computed by the

@@ -29,6 +29,9 @@ object Pipeline {
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d))
 
+  def dedupLevenshtein(s: SparkSession, d: String): DataFrame =
+    Dedup.levenshteinPairs(Tables.documents(s, d))
+
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Similarity.pairSim(Tables.embeddings(s, d), 400000L)
 
@@ -66,6 +69,9 @@ object Pipeline {
 
   def annRangeSearch(s: SparkSession, d: String): DataFrame =
     Similarity.rangeSearch(Tables.embeddings(s, d), queryPred, 250000L)
+
+  def annSqTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.sqTopK(Tables.embeddings(s, d), queryPred)
 
   def annPqTopk(s: SparkSession, d: String): DataFrame =
     Similarity.pqTopK(Tables.embeddings(s, d), queryPred)
@@ -622,6 +628,23 @@ object Pipeline {
          |FROM (SELECT doc_id, $fpNorm AS fp_norm FROM documents)
          |GROUP BY fp_norm ORDER BY doc_id""".stripMargin,
 
+    "dedup_levenshtein" -> {
+      val norm = TextFunctions.normalizedSql("text")
+      s"""WITH n AS (SELECT doc_id, $norm AS nt FROM documents),
+         |b AS (SELECT doc_id, nt, CAST(length(nt) AS BIGINT) AS len,
+         |        split_part(nt, ' ', 1) AS tok0, length(nt) // 16 AS lb
+         |      FROM n WHERE length(nt) > 0),
+         |p AS (SELECT a.doc_id AS doc_id_a, b2.doc_id AS doc_id_b,
+         |        CAST(levenshtein(a.nt, b2.nt) AS BIGINT) AS lev,
+         |        greatest(a.len, b2.len) AS max_len
+         |      FROM b a JOIN b b2 ON a.tok0 = b2.tok0 AND a.lb = b2.lb
+         |        AND a.doc_id < b2.doc_id AND abs(a.len - b2.len) <= 20)
+         |SELECT doc_id_a, doc_id_b, lev, max_len,
+         |  (lev * 100) // max_len AS lev_ratio_x100
+         |FROM p WHERE lev <= 20 AND lev * 100 <= 20 * max_len
+         |ORDER BY doc_id_a, doc_id_b""".stripMargin
+    },
+
     "dedup_ngram_jaccard" -> bruteJaccard,
     "dedup_minhash_lsh" -> bruteJaccard,
 
@@ -879,6 +902,8 @@ object Pipeline {
          |  FROM sc)
          |SELECT q_id, rk, vec_id, cos_x1e6 FROM rk WHERE rk <= 10
          |ORDER BY q_id, rk""".stripMargin,
+
+    "ann_sq_topk" -> Similarity.sqOracleSql("vec_id % 97 = 0"),
 
     "ann_pq_topk" -> Similarity.pqOracleSql("vec_id % 97 = 0"),
 

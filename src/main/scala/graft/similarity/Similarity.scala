@@ -60,6 +60,59 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Scalar-quantized (int8) ANN scan — the simplest compressed-vector
+    * path: every component is quantized ONCE to a signed byte with a
+    * pinned symmetric scale (code = clamp(round(x·S), ±127)), and the
+    * scan scores candidates by the INTEGER dot product of code arrays —
+    * exact BIGINT arithmetic end to end, so unlike PQ's float ADC the
+    * whole query gates hash-exact with no rounding-shape care at all.
+    * At 100 TB the scan reads dim bytes/vector (4× down from float32,
+    * and SIMD-friendly), the standard first rung of the compression
+    * ladder before PQ's 32×. Quantized ranking ≠ exact cosine ranking;
+    * recall vs brute is pinned in spec, same contract as LSH/IVF/PQ.
+    */
+  def sqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+             scale: Double = 200.0): DataFrame = {
+    val codeExpr = expr(
+      s"""transform(embedding, e -> greatest(CAST(-127 AS BIGINT),
+         |  least(CAST(127 AS BIGINT),
+         |    CAST(floor(CAST(e AS DOUBLE) * $scale + 0.5) AS BIGINT))))""".stripMargin)
+    val codes = graft.Tables.fanOut(embeddings)
+      .select(col("vec_id"), codeExpr.as("code"))
+    val queries = codes.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("code").as("q_code"))
+    val scored = codes.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .withColumn("qdot", expr(
+        "aggregate(zip_with(code, q_code, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("qdot").desc, col("vec_id"))
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("qdot"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** DuckDB rendering of the SQ scan: identical pinned-scale quantize,
+    * 1-based list indexing for the integer dot.
+    */
+  def sqOracleSql(queryPredSql: String, k: Int = 10, scale: Double = 200.0,
+                  dim: Int = 64): String =
+    s"""WITH c AS (SELECT vec_id,
+       |    list_transform(embedding, e -> greatest(CAST(-127 AS BIGINT),
+       |      least(CAST(127 AS BIGINT),
+       |        CAST(floor(CAST(e AS DOUBLE) * $scale + 0.5) AS BIGINT)))) AS code
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, code AS q_code FROM c WHERE $queryPredSql),
+       |s AS (SELECT q.q_id, c.vec_id,
+       |    CAST(list_sum(list_transform(range(1, ${dim + 1}),
+       |      i -> c.code[i] * q.q_code[i])) AS BIGINT) AS qdot
+       |  FROM c CROSS JOIN q WHERE c.vec_id <> q.q_id),
+       |r AS (SELECT q_id, vec_id, qdot,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY qdot DESC, vec_id) AS INT) AS rk
+       |  FROM s)
+       |SELECT q_id, rk, vec_id, qdot FROM r WHERE rk <= $k
+       |ORDER BY q_id, rk""".stripMargin
+
   /** Radius (range) search: ALL corpus vectors within cosine ≥ τ of each
     * query vector — the fixed-threshold dual of top-k, what dedup and
     * retrieval-filtering pipelines actually issue. Same scale shape as

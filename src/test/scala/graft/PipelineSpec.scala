@@ -357,6 +357,58 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.05)
   }
 
+  test("SQ int8 scan: ranks valid, dots bounded, measured recall vs brute") {
+    val rows = Pipeline.annSqTopk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length))
+      val ds = sorted.map(_.getLong(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, "dot must be non-increasing")
+      assert(ds.forall(d => math.abs(d) <= 64L * 127 * 127), "dot outside int8 bound")
+    }
+    val brute = Pipeline.annBruteTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & sq).size.toDouble / brute.size
+    info(f"SQ int8 recall@10 vs cosine brute = $recall%.2f (scale=200, approximate by design)")
+    assert(recall > 0.5)
+  }
+
+  test("levenshtein near-dup pairs match a brute-force blocked recompute") {
+    import graft.text.TextFunctions
+    val docs = Tables.documents(spark, sf)
+      .select(col("doc_id"), TextFunctions.normalized(col("text")).as("nt"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).filter(_._2.nonEmpty)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = d(0); d(0) = i
+        for (j <- 1 to b.length) {
+          val cur = d(j)
+          d(j) = math.min(math.min(d(j) + 1, d(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      d(b.length)
+    }
+    val blocked = docs.map { case (id, nt) =>
+      (id, nt, nt.split(' ').headOption.getOrElse(""), nt.length / 16, nt.length.toLong)
+    }
+    val expect = (for {
+      a <- blocked; b <- blocked
+      if a._1 < b._1 && a._3 == b._3 && a._4 == b._4 && math.abs(a._5 - b._5) <= 20
+      d = lev(a._2, b._2)
+      ml = math.max(a._5, b._5)
+      if d <= 20 && d * 100 <= 20 * ml
+    } yield (a._1, b._1, d.toLong, ml, d * 100 / ml)).toSet
+    val got = Pipeline.dedupLevenshtein(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(got == expect)
+    assert(got.nonEmpty, "corpus should contain blocked near-dup pairs")
+  }
+
   test("LSH ANN returns a subset ranking with measured recall") {
     val brute = Pipeline.annBruteTopk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
