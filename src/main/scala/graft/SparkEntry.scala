@@ -75,6 +75,7 @@ object SparkEntry {
     "q_gap_fill"       -> ((s, d) => Relational.qGapFill(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
     "q_approx_distinct_kmv" -> ((s, d) => Relational.qApproxDistinctKmv(s, d)),
+    "q_bitmap_distinct" -> ((s, d) => Relational.qBitmapDistinct(s, d)),
     "q_pivot"        -> ((s, d) => Relational.qPivot(s, d)),
     "q_cube"         -> ((s, d) => Relational.qCube(s, d)),
     "q_outer_join"   -> ((s, d) => Relational.qOuterJoin(s, d)),
@@ -702,6 +703,12 @@ object SparkEntry {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
     // q_approx_distinct intentionally omitted: HLL estimate (rows-only check).
+
+    "q_bitmap_distinct" ->
+      """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY ym ORDER BY ym""".stripMargin,
 
     "q_approx_distinct_kmv" ->
       """WITH h AS (

@@ -686,6 +686,26 @@ object Relational {
           .as("est_distinct"))
       .orderBy(col("l_returnflag"))
 
+  /** Exact distinct customers per order month via the native
+    * [[graft.functions.BitmapDistinctAgg]] — the mergeable-EXACT
+    * alternative to HLL/KMV when keys are dense integers: each group's
+    * partial is a bitmap (one bit per id), the shuffle merges by word
+    * OR, and the count is a popcount — so unlike COUNT(DISTINCT), which
+    * Spark plans as a two-stage expand + re-shuffle of every distinct
+    * (group, key) pair, the bitmap ships ⌈domain/8⌉ bytes per group per
+    * partition with full map-side combine. The oracle IS
+    * count(DISTINCT), gating the whole update/merge/popcount path
+    * hash-exact.
+    */
+  def qBitmapDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(expr("CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT)").as("ym"),
+        col("o_custkey"))
+      .groupBy(col("ym"))
+      .agg(graft.functions.BitmapDistinctAgg.bitmapDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("ym"))
+
   /** Chi-square independence audit of a contingency table — the
     * drift/association screen (is event type independent of the value
     * band?) in exact scaled integers: per cell, expected×10⁶ =

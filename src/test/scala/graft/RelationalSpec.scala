@@ -418,4 +418,25 @@ class RelationalSpec extends AnyFunSuite {
     }
     assert(nLong.valuesIterator.contains(0), "corpus must exercise the outer branch")
   }
+
+  test("bitmap distinct equals count distinct across forced partial merges") {
+    import graft.functions.BitmapDistinctAgg.bitmapDistinct
+    // repartition(7) forces multiple partials per group, exercising
+    // serialize/deserialize + the word-OR merge, not just update+eval
+    val li = Tables.lineitem(spark, sf).repartition(7)
+    val got = li.groupBy(col("l_returnflag"))
+      .agg(bitmapDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = li.groupBy(col("l_returnflag"))
+      .agg(countDistinct(col("l_partkey")).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+    val ex = intercept[Throwable] {
+      spark.range(5).select(bitmapDistinct(lit(-1L))).collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else t.getMessage +: chain(t.getCause)
+    assert(chain(ex).exists(m => m != null && m.contains("domain")),
+      s"negative input must fail loudly, got: ${chain(ex)}")
+  }
 }
