@@ -191,6 +191,7 @@ object SparkEntry {
     "mm_decode_wav"       -> ((s, d) => Pipeline.mmDecodeWav(s, d)),
     "mm_decode_png"       -> ((s, d) => Pipeline.mmDecodePng(s, d)),
     "mm_decode_gif"       -> ((s, d) => Pipeline.mmDecodeGif(s, d)),
+    "mm_decode_jpeg"      -> ((s, d) => Pipeline.mmDecodeJpeg(s, d)),
     "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),
     "txt_bigram_coverage" -> ((s, d) => Text.bigramCoverage(s, d)),
     "q_multi_distinct"  -> ((s, d) => Pipeline.multiDistinct(s, d)),

@@ -542,4 +542,293 @@ object MediaCodec {
     }
     WavMeta(sr, n.toLong, sum, max)
   }
+
+  // ---------------------------------------------------------------- JPEG
+
+  /** JPEG spec (ITU-T T.81) fixtures: zigzag scan order, the Annex K
+    * luminance quantization table, and the Annex K luminance DC/AC
+    * Huffman tables (BITS + HUFFVAL exactly as published).
+    */
+  private val jpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  private val jpegLumaQuant: Array[Int] = Array(
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+  private val jpegDcBits: Array[Int] =
+    Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val jpegDcVals: Array[Int] = (0 to 11).toArray
+
+  private val jpegAcBits: Array[Int] =
+    Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7d)
+  private val jpegAcVals: Array[Int] = Array(
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xa1, 0x08,
+    0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3a, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4a, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5a, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8a, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6,
+    0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1, 0xe2,
+    0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2, 0xf3, 0xf4,
+    0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa)
+
+  /** Canonical Huffman codes from a (BITS, HUFFVAL) pair, per T.81
+    * Annex C: symbols get consecutive codes within each length,
+    * doubling at each length step. Returns symbol → (code, length).
+    */
+  private def jpegCanonical(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    var code = 0
+    var k = 0
+    val out = Map.newBuilder[Int, (Int, Int)]
+    for (len <- 1 to 16) {
+      var i = 0
+      while (i < bits(len - 1)) {
+        out += vals(k) -> (code, len)
+        code += 1; k += 1; i += 1
+      }
+      code <<= 1
+    }
+    out.result()
+  }
+
+  def isJpeg(b: Array[Byte]): Boolean =
+    b.length >= 4 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8
+
+  /** Encode a baseline JFIF greyscale JPEG whose 8×8 blocks are each a
+    * single flat value `blockVal(bx, by)` ∈ [0, 255]. Flat blocks have
+    * an EXACT forward DCT — DC = 8·(v−128), every AC = 0 — so the
+    * encoder needs no float transform and the decoded image is an
+    * integer closed form of the inputs (what lets the DuckDB oracle
+    * gate the REAL decoder hash-exactly through a lossy format). The
+    * bitstream is fully real: Annex K quant + Huffman tables, DC-diff
+    * categories with one's-complement negatives, EOB-coded AC runs,
+    * 1-padded flush, 0xFF byte stuffing.
+    */
+  def encodeJpegFlat(wBlocks: Int, hBlocks: Int, blockVal: (Int, Int) => Int): Array[Byte] = {
+    require(wBlocks > 0 && hBlocks > 0 && wBlocks * 8 < 65536 && hBlocks * 8 < 65536,
+      s"bad jpeg geometry ${wBlocks}x$hBlocks blocks")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def be16(v: Int): Unit = { out.write((v >> 8) & 0xff); out.write(v & 0xff) }
+    marker(0xd8) // SOI
+    marker(0xe0); be16(16) // APP0/JFIF: id, v1.1, no density units, no thumb
+    out.write('J'); out.write('F'); out.write('I'); out.write('F'); out.write(0)
+    out.write(1); out.write(1); out.write(0); be16(1); be16(1); out.write(0); out.write(0)
+    marker(0xdb); be16(67); out.write(0) // DQT, Pq=0/Tq=0, zigzag order
+    var i = 0
+    while (i < 64) { out.write(jpegLumaQuant(jpegZigzag(i))); i += 1 }
+    marker(0xc0); be16(11) // SOF0: 8-bit, 1 component, no subsampling
+    out.write(8); be16(hBlocks * 8); be16(wBlocks * 8); out.write(1)
+    out.write(1); out.write(0x11); out.write(0)
+    def dht(cls: Int, bits: Array[Int], vals: Array[Int]): Unit = {
+      marker(0xc4); be16(2 + 1 + 16 + vals.length); out.write(cls << 4)
+      bits.foreach(out.write); vals.foreach(out.write)
+    }
+    dht(0, jpegDcBits, jpegDcVals)
+    dht(1, jpegAcBits, jpegAcVals)
+    marker(0xda); be16(8) // SOS
+    out.write(1); out.write(1); out.write(0x00); out.write(0); out.write(63); out.write(0)
+    // entropy-coded segment: bit writer with 0xFF→0xFF00 stuffing
+    var acc = 0; var nbits = 0
+    def putBits(code: Int, len: Int): Unit = {
+      acc = (acc << len) | (code & ((1 << len) - 1)); nbits += len
+      while (nbits >= 8) {
+        val b = (acc >>> (nbits - 8)) & 0xff
+        out.write(b); if (b == 0xff) out.write(0x00)
+        nbits -= 8
+      }
+    }
+    val dcCodes = jpegCanonical(jpegDcBits, jpegDcVals)
+    val acCodes = jpegCanonical(jpegAcBits, jpegAcVals)
+    val q0 = jpegLumaQuant(0)
+    var pred = 0
+    var by = 0
+    while (by < hBlocks) {
+      var bx = 0
+      while (bx < wBlocks) {
+        val v = blockVal(bx, by)
+        require(v >= 0 && v <= 255, s"block value $v out of range")
+        val dcv = 8 * (v - 128)
+        // round-half-up quantization in pure integers
+        val dcq = Math.floorDiv(2 * dcv + q0, 2 * q0).toInt
+        val diff = dcq - pred
+        pred = dcq
+        val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        val (c, l) = dcCodes(s)
+        putBits(c, l)
+        if (s > 0) putBits(if (diff >= 0) diff else diff + (1 << s) - 1, s)
+        val (ec, el) = acCodes(0x00) // EOB: all 63 ACs zero
+        putBits(ec, el)
+        bx += 1
+      }
+      by += 1
+    }
+    if (nbits > 0) putBits((1 << (8 - nbits)) - 1, 8 - nbits) // 1-pad flush
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Decoded baseline JPEG: geometry + exact sum of decoded luminance
+    * samples over the full raster.
+    */
+  final case class JpegMeta(width: Int, height: Int, sumLum: Long)
+
+  /** Baseline sequential JPEG decoder (ITU-T T.81): marker walk, DQT
+    * de-zigzag, DHT canonical code reconstruction, SOF0 geometry, then
+    * the real entropy decode — stuffed-byte bit reader, Huffman DC
+    * category + extend, AC run/size loop with EOB and ZRL, dequant,
+    * and a full 2-D separable float IDCT per block, rounded and
+    * clamped per the spec. Supports the single-component no-subsampling
+    * stream class the encoder emits (dims multiples of 8; general
+    * JPEGs would add chroma planes + MCU cropping on top of the same
+    * machinery). The decoded samples land on integers (targets are
+    * exact; float error ≤ 1e-13 per sample never moves a rounded
+    * value), which is what makes a lossy format gateable.
+    */
+  def decodeJpeg(b: Array[Byte]): JpegMeta = {
+    require(isJpeg(b), "not a JPEG payload")
+    val quant = new Array[Int](64)
+    var dcMap: Map[Int, (Int, Int)] = null
+    var acMap: Map[Int, (Int, Int)] = null
+    var w = -1; var h = -1
+    var o = 2
+    var sosAt = -1
+    while (sosAt < 0) {
+      require(o + 4 <= b.length, "truncated JPEG marker stream")
+      require((b(o) & 0xff) == 0xff, s"bad marker sync at $o")
+      val m = b(o + 1) & 0xff
+      val len = ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+      require(o + 2 + len <= b.length, s"truncated segment ${m.toHexString}")
+      m match {
+        case 0xdb =>
+          require((b(o + 4) & 0xff) == 0, "only 8-bit DQT table 0 supported")
+          var i = 0
+          while (i < 64) { quant(jpegZigzag(i)) = b(o + 5 + i) & 0xff; i += 1 }
+        case 0xc0 =>
+          require((b(o + 4) & 0xff) == 8, "only 8-bit precision supported")
+          h = ((b(o + 5) & 0xff) << 8) | (b(o + 6) & 0xff)
+          w = ((b(o + 7) & 0xff) << 8) | (b(o + 8) & 0xff)
+          require((b(o + 9) & 0xff) == 1 && (b(o + 11) & 0xff) == 0x11,
+            "only single-component 1x1 sampling supported")
+        case 0xc4 =>
+          var p = o + 4
+          while (p < o + 2 + len) {
+            val tc = (b(p) & 0xff) >> 4
+            val bits = Array.tabulate(16)(i => b(p + 1 + i) & 0xff)
+            val n = bits.sum
+            val vals = Array.tabulate(n)(i => b(p + 17 + i) & 0xff)
+            if (tc == 0) dcMap = jpegCanonical(bits, vals)
+            else acMap = jpegCanonical(bits, vals)
+            p += 17 + n
+          }
+        case 0xda => sosAt = o + 2 + len
+        case 0xc2 => throw new IllegalArgumentException("progressive JPEG not supported")
+        case _ => () // APPn/COM: skip
+      }
+      o += 2 + len
+    }
+    require(w > 0 && h > 0 && w % 8 == 0 && h % 8 == 0, s"unsupported geometry ${w}x$h")
+    require(dcMap != null && acMap != null, "missing DHT")
+    // (code,len) → symbol lookup for the bit-serial decode
+    val dcDec = dcMap.map { case (s, cl) => cl -> s }
+    val acDec = acMap.map { case (s, cl) => cl -> s }
+    // bit reader over the entropy segment with 0xFF00 unstuffing
+    var p = sosAt; var acc = 0; var nb = 0
+    def nextBit(): Int = {
+      if (nb == 0) {
+        require(p < b.length, "entropy stream overrun")
+        var byte = b(p) & 0xff; p += 1
+        if (byte == 0xff) {
+          val nx = if (p < b.length) b(p) & 0xff else 0xd9
+          require(nx == 0x00 || nx == 0xd9, s"unexpected marker ${nx.toHexString} in scan")
+          if (nx == 0x00) p += 1 else byte = 0 // at EOI only padding remains
+        }
+        acc = byte; nb = 8
+      }
+      nb -= 1
+      (acc >>> nb) & 1
+    }
+    def huffDecode(table: Map[(Int, Int), Int]): Int = {
+      var code = 0; var len = 0
+      while (len < 16) {
+        code = (code << 1) | nextBit(); len += 1
+        table.get((code, len)) match {
+          case Some(s) => return s
+          case None => ()
+        }
+      }
+      throw new IllegalArgumentException("invalid Huffman code in scan")
+    }
+    def receiveExtend(s: Int): Int = {
+      if (s == 0) return 0
+      var v = 0
+      var i = 0
+      while (i < s) { v = (v << 1) | nextBit(); i += 1 }
+      if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    }
+    val cosT = Array.tabulate(8, 8)((x, u) => math.cos((2 * x + 1) * u * math.Pi / 16))
+    val cU = Array.tabulate(8)(u => if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+    val coef = new Array[Int](64)
+    var sum = 0L
+    var mcu = 0
+    val nMcu = (w / 8) * (h / 8)
+    var pred = 0
+    while (mcu < nMcu) {
+      java.util.Arrays.fill(coef, 0)
+      val s = huffDecode(dcDec)
+      pred += receiveExtend(s)
+      coef(0) = pred * quant(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = huffDecode(acDec)
+        if (rs == 0x00) eob = true
+        else if (rs == 0xf0) k += 16
+        else {
+          k += rs >> 4
+          require(k < 64, "AC index overrun")
+          coef(jpegZigzag(k)) = receiveExtend(rs & 0x0f) * quant(jpegZigzag(k))
+          k += 1
+        }
+      }
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc2 = 0.0
+          var v = 0
+          while (v < 8) {
+            var u = 0
+            while (u < 8) {
+              val c = coef(v * 8 + u)
+              if (c != 0) acc2 += cU(u) * cU(v) * c * cosT(x)(u) * cosT(y)(v)
+              u += 1
+            }
+            v += 1
+          }
+          val px = Math.round(acc2 / 4.0 + 128.0).toInt
+          sum += math.max(0, math.min(255, px))
+          x += 1
+        }
+        y += 1
+      }
+      mcu += 1
+    }
+    JpegMeta(w, h, sum)
+  }
 }

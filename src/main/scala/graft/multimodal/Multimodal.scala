@@ -257,6 +257,33 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Real-decoder gate, lossy-transform path: synthesize a genuine
+    * baseline JFIF greyscale JPEG per doc whose 8×8 blocks are flat
+    * values derived from doc_id — flat blocks have an EXACT DCT
+    * (DC-only), so even through a lossy format the decoded raster is
+    * an integer closed form the oracle recomputes. The decode runs the
+    * REAL [[MediaCodec.decodeJpeg]]: marker walk, DHT canonical-code
+    * rebuild, stuffed-byte entropy decode (DC categories + extend, AC
+    * EOB), dequant, full float IDCT, round + clamp — with PNG (zlib)
+    * and GIF (LZW) this adds the transform-coded format family to the
+    * gate. Narrow one-pass mapPartitions, no shuffle.
+    */
+  def decodeJpegPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val wb = (1 + id % 4).toInt
+        val hb = (1 + id % 3).toInt
+        val payload = MediaCodec.encodeJpegFlat(wb, hb,
+          (bx, by) => ((7L * id + 13L * bx + 29L * by) % 256).toInt)
+        val m = MediaCodec.decodeJpeg(payload)
+        (id, m.width.toLong, m.height.toLong, m.sumLum)
+      }
+    }.toDF("doc_id", "width", "height", "sum_lum")
+      .orderBy(col("doc_id"))
+  }
+
   /** Real-decoder gate, audio path: synthesize a genuine PCM16 mono WAV
     * per doc (rate/length/samples pure functions of doc_id), decode with
     * the REAL chunk-walking [[MediaCodec.decodeWav]], emit format fields

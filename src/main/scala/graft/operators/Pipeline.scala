@@ -111,6 +111,9 @@ object Pipeline {
   def mmDecodeGif(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeGifPlan(Tables.documents(s, d))
 
+  def mmDecodeJpeg(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeJpegPlan(Tables.documents(s, d))
+
   /** Modality-coverage report — which documents have which modalities
     * attached (text ⋈ embedding here; image/audio in a real corpus):
     * one co-partitioned FULL OUTER join on the id, classified and
@@ -1185,6 +1188,26 @@ object Pipeline {
         |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
         |  CAST(sum(b) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // decoded flat-block JPEG closed form: dcq = floor((8(v-128))/16 + 1/2).
+    // The +4096 shift keeps the // numerator non-negative (DuckDB integer
+    // // truncates, floorDiv floors; they agree only above zero), then
+    // reconstruction = 2·dcq + 128 clamped, ×64 samples per block
+    "mm_decode_jpeg" ->
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 4 AS wb, 1 + doc_id % 3 AS hb
+        |           FROM documents),
+        |blk AS (
+        |  SELECT m.doc_id, m.wb, m.hb,
+        |    (7 * m.doc_id + 13 * bx.i + 29 * by.i) % 256 AS v
+        |  FROM m, range(0, 4) bx(i), range(0, 3) by(i)
+        |  WHERE bx.i < m.wb AND by.i < m.hb),
+        |px AS (
+        |  SELECT doc_id, wb, hb,
+        |    least(255, greatest(0, 2 * (((16 * (v - 128) + 16 + 4096) // 32) - 128) + 128)) AS pix
+        |  FROM blk)
+        |SELECT doc_id, CAST(wb * 8 AS BIGINT) AS width, CAST(hb * 8 AS BIGINT) AS height,
+        |  CAST(sum(64 * pix) AS BIGINT) AS sum_lum
+        |FROM px GROUP BY doc_id, wb, hb ORDER BY doc_id""".stripMargin,
 
     "mm_decode_gif" ->
       """WITH m AS (SELECT doc_id, 2 + doc_id % 14 AS w, 2 + doc_id % 11 AS h

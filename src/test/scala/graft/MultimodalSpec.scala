@@ -84,6 +84,34 @@ class MultimodalSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](MediaCodec.decodeGif(enc.take(enc.length - 4)))
   }
 
+  test("JPEG round-trip: Huffman DC categories both signs, EOB path, clamps") {
+    def expectedPix(v: Int): Long = {
+      val dcq = Math.floorDiv(2 * 8 * (v - 128) + 16, 32)
+      math.max(0, math.min(255, 2 * dcq + 128)).toLong
+    }
+    for (wb <- Seq(1, 3, 5); hb <- Seq(1, 2, 4)) {
+      // alternate extremes so successive DC diffs swing positive and
+      // negative through every category size, and both clamps fire
+      val bv = (bx: Int, by: Int) => Seq(0, 255, 17, 200, 128)((bx + hb * by) % 5)
+      val enc = MediaCodec.encodeJpegFlat(wb, hb, bv)
+      val m = MediaCodec.decodeJpeg(enc)
+      assert(m.width == wb * 8 && m.height == hb * 8)
+      val want = (for (by <- 0 until hb; bx <- 0 until wb)
+        yield 64L * expectedPix(bv(bx, by))).sum
+      assert(m.sumLum == want, s"sum ${wb}x$hb")
+    }
+    // clamp edges: v=255 reconstructs past 255 (2·64+128), v=0 to exactly 0
+    assert(MediaCodec.decodeJpeg(MediaCodec.encodeJpegFlat(1, 1, (_, _) => 255)).sumLum == 64L * 255)
+    assert(MediaCodec.decodeJpeg(MediaCodec.encodeJpegFlat(1, 1, (_, _) => 0)).sumLum == 0L)
+    // truncating the entropy stream must throw, never mis-decode
+    val enc = MediaCodec.encodeJpegFlat(4, 4, (bx, by) => (37 * bx + 91 * by) % 256)
+    assertThrows[IllegalArgumentException](
+      MediaCodec.decodeJpeg(enc.take(enc.length - 6)))
+    // non-JPEG payloads are rejected at the magic
+    assertThrows[IllegalArgumentException](
+      MediaCodec.decodeJpeg(Array[Byte](1, 2, 3, 4)))
+  }
+
   test("decodeMeta sniffs real formats and falls back to the byte-fold stub") {
     import spark.implicits._
     val bmp = MediaCodec.encodeBmp(4, 2, (_, _) => 0x010203)
