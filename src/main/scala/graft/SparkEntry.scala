@@ -29,6 +29,8 @@ object SparkEntry {
     "ms_summary"           -> ((s, d) => Metastore.summary(s, d)),
     "ms_facets"            -> ((s, d) => Metastore.facetsQ(s, d)),
     "ms_highlight"         -> ((s, d) => Metastore.highlightQ(s, d)),
+    "ms_suggest"           -> ((s, d) => Metastore.suggestQ(s, d)),
+    "ms_more_like_this"    -> ((s, d) => Metastore.moreLikeThisQ(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
     "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),
     "ms_events_visibility" -> ((s, d) => Metastore.eventsVisibility(s, d)),
@@ -184,6 +186,7 @@ object SparkEntry {
     "q_ab_lift"           -> ((s, d) => operators.Temporal.qAbLift(s, d)),
     "q_streaks"           -> ((s, d) => operators.Temporal.qStreaks(s, d)),
     "q_sessionize"        -> ((s, d) => operators.Temporal.qSessionize(s, d)),
+    "q_dau_mau"           -> ((s, d) => operators.Temporal.qDauMau(s, d)),
     "q_ttest"             -> ((s, d) => operators.Temporal.qTtest(s, d)),
     "q_ks_test"           -> ((s, d) => operators.Temporal.qKsTest(s, d)),
     "mm_patchify"         -> ((s, d) => Pipeline.mmPatchify(s, d)),

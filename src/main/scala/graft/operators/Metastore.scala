@@ -165,6 +165,50 @@ object Metastore {
       .limit(100)
   }
 
+  /** Prefix autocomplete (ES completion-suggester analog, beyond the
+    * reference): distinct analyzed readme terms of VISIBLE docs that
+    * match the typed prefix, ranked by document frequency then term —
+    * deterministic, so the gate hash-compares the suggestion list.
+    * Scale shape: explode to (doc, term) distinct pairs, one
+    * vocabulary-sized groupBy; prefix filter pushes to the term column
+    * (on a real serving path this is the term dictionary, not the
+    * corpus).
+    */
+  def suggestQ(s: SparkSession, d: String): DataFrame =
+    ds.visible(idx(s, d), None)
+      .select(explode(array_distinct(Analyzer.tokens(col("readme")))).as("term"))
+      .filter(col("term").startsWith("s"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(10)
+
+  /** More-like-this (ES MLT analog, beyond the reference): rank visible
+    * docs by rarity-weighted overlap with a seed doc's distinct readme
+    * terms — weight = (N·1000) div df, the same integer idf surrogate
+    * the TF-IDF ranking uses, so scores stay exact. The seed term set
+    * and the vocabulary df table are both broadcast (vocabulary-sized);
+    * the corpus side is one explode + one groupBy. (ES's max_doc_freq
+    * term pruning is omitted: on this synthetic 31-term vocabulary it
+    * would empty the query; at scale it bounds the seed set instead.)
+    */
+  def moreLikeThisQ(s: SparkSession, d: String): DataFrame = {
+    val vis = ds.visible(idx(s, d), None)
+      .select(col("doc_id"), array_distinct(Analyzer.tokens(col("readme"))).as("toks"))
+    val exploded = vis.select(col("doc_id"), explode(col("toks")).as("term"))
+    val dfs = exploded.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nTot = vis.agg(count(lit(1)).as("n"))
+    val seed = exploded.filter(col("doc_id") === 0).select(col("term"))
+    exploded.filter(col("doc_id") =!= 0)
+      .join(broadcast(seed), Seq("term"))
+      .join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(nTot))
+      .groupBy(col("doc_id"))
+      .agg(sum(expr("(n * 1000) div df")).cast("long").as("mlt_score"),
+        count(lit(1)).as("n_shared"))
+      .orderBy(col("mlt_score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   // --- events kind -------------------------------------------------------
 
   def eventsFilter(s: SparkSession, d: String): DataFrame =
@@ -359,6 +403,29 @@ object Metastore {
          |      UNION ALL SELECT 'findability', findability FROM m)
          |SELECT facet, value, CAST(count(*) AS BIGINT) AS n
          |FROM u GROUP BY facet, value ORDER BY facet, value""".stripMargin,
+
+    "ms_suggest" ->
+      s"""$idxCte,
+         |t AS (SELECT doc_id, unnest(list_distinct(${tok("readme")})) AS term
+         |      FROM idx WHERE findability = 'published')
+         |SELECT term, CAST(count(*) AS BIGINT) AS df
+         |FROM t WHERE term LIKE 's%'
+         |GROUP BY term ORDER BY df DESC, term LIMIT 10""".stripMargin,
+
+    "ms_more_like_this" ->
+      s"""$idxCte,
+         |v AS (SELECT doc_id, list_distinct(${tok("readme")}) AS toks
+         |      FROM idx WHERE findability = 'published'),
+         |e AS (SELECT doc_id, unnest(toks) AS term FROM v),
+         |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM e GROUP BY term),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         |seed AS (SELECT DISTINCT term FROM e WHERE doc_id = 0),
+         |sc AS (SELECT e.doc_id, CAST(sum((nn.n * 1000) // d.df) AS BIGINT) AS mlt_score,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |       FROM e JOIN seed USING (term) JOIN dfs d USING (term) CROSS JOIN nn
+         |       WHERE e.doc_id <> 0 GROUP BY e.doc_id)
+         |SELECT doc_id, mlt_score, n_shared FROM sc
+         |ORDER BY mlt_score DESC, doc_id LIMIT 20""".stripMargin,
 
     "ms_highlight" ->
       s"""$idxCte,

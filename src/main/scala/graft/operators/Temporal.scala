@@ -577,7 +577,71 @@ object Temporal {
       .withColumn("d_x1e6", expr("(d_num * 1000000) div (n_a * n_b)"))
   }
 
+  /** DAU / rolling-30-day MAU / stickiness — the canonical "distinct
+    * over a sliding window" metric, solved without any per-window
+    * distinct recount: each user's active days merge into coverage
+    * islands (gap > 29 breaks), every island contributes +1 at its
+    * start day and −1 after its end+29 horizon, and MAU(day) is the
+    * running sum of those boundary deltas — the sweep-line that turns
+    * an O(days·users) rolling distinct into one user-partitioned
+    * window pass plus a day-domain cumulative sum. DAU is the
+    * (user, day)-distinct count per day; stickiness = DAU·10⁴ div MAU.
+    * Scale: the event log collapses to distinct (user, day) narrow
+    * rows map-side; everything after runs on per-user active days and
+    * the day domain (the only single-partition window is over DAYS).
+    */
+  def qDauMau(s: SparkSession, d: String): DataFrame = {
+    val ud = EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val wU = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    val islands = ud
+      .withColumn("brk",
+        when(lag(col("day"), 1).over(wU).isNull ||
+          col("day") - lag(col("day"), 1).over(wU) > 29, 1L).otherwise(0L))
+      .withColumn("isl", sum(col("brk")).over(wU.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("isl"))
+      .agg(min(col("day")).as("start"), (max(col("day")) + lit(29L)).as("end29"))
+    val deltas = islands.select(col("start").as("day"), lit(1L).as("delta"))
+      .unionByName(islands.select((col("end29") + 1).as("day"), lit(-1L).as("delta")))
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val merged = deltas
+      .unionByName(dau.select(col("day"), lit(0L).as("delta")))
+      .groupBy(col("day")).agg(sum(col("delta")).as("delta"))
+    val wD = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    merged
+      .withColumn("mau30", sum(col("delta")).over(wD).cast("long"))
+      .join(dau, Seq("day"))
+      .select(col("day"), col("dau"), col("mau30"))
+      .withColumn("stickiness_x1e4", expr("(dau * 10000) div mau30"))
+      .orderBy(col("day"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_dau_mau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        |l AS (SELECT user_id, day,
+        |        lag(day) OVER (PARTITION BY user_id ORDER BY day) AS prev FROM ud),
+        |m AS (SELECT user_id, day,
+        |        CASE WHEN prev IS NULL OR day - prev > 29 THEN 1 ELSE 0 END AS brk FROM l),
+        |si AS (SELECT user_id, day,
+        |        sum(brk) OVER (PARTITION BY user_id ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl FROM m),
+        |isl AS (SELECT user_id, isl, min(day) AS start, max(day) + 29 AS end29
+        |        FROM si GROUP BY user_id, isl),
+        |deltas AS (SELECT start AS day, 1 AS delta FROM isl
+        |           UNION ALL SELECT end29 + 1, -1 FROM isl),
+        |dau AS (SELECT day, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY day),
+        |alld AS (SELECT day, CAST(sum(delta) AS BIGINT) AS delta FROM
+        |         (SELECT day, delta FROM deltas
+        |          UNION ALL SELECT day, 0 FROM dau) GROUP BY day),
+        |c AS (SELECT day, CAST(sum(delta) OVER (ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS mau30
+        |      FROM alld)
+        |SELECT d.day, d.dau, c.mau30,
+        |  (d.dau * 10000) // c.mau30 AS stickiness_x1e4
+        |FROM dau d JOIN c USING (day) ORDER BY d.day""".stripMargin,
+
     "q_sessionize" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
         |l AS (SELECT user_id, ts_us, event_id,

@@ -277,6 +277,24 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("dau/mau sweep-line equals the naive rolling-30-day distinct count") {
+    val ud = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = Temporal.qDauMau(spark, sf).collect()
+    val byDay = ud.groupBy(_._2)
+    val gotDays = got.map(_.getLong(0)).toSet
+    assert(gotDays == byDay.keySet, "output grid must be exactly the active days")
+    got.foreach { r =>
+      val day = r.getLong(0)
+      val dau = byDay(day).map(_._1).distinct.length.toLong
+      val mau = ud.filter(t => t._2 <= day && t._2 >= day - 29).map(_._1).distinct.length.toLong
+      assert(r.getLong(1) == dau, s"dau day $day")
+      assert(r.getLong(2) == mau, s"mau day $day")
+      assert(r.getLong(3) == dau * 10000 / mau, s"stickiness day $day")
+    }
+  }
+
   test("welch t-test components match a BigInt brute-force recompute") {
     val pu = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
       .groupBy(col("user_id"))
