@@ -187,6 +187,8 @@ object SparkEntry {
     "q_streaks"           -> ((s, d) => operators.Temporal.qStreaks(s, d)),
     "q_sessionize"        -> ((s, d) => operators.Temporal.qSessionize(s, d)),
     "q_dau_mau"           -> ((s, d) => operators.Temporal.qDauMau(s, d)),
+    "q_asof_nearest"      -> ((s, d) => operators.Temporal.qAsofNearest(s, d)),
+    "q_funnel_window"     -> ((s, d) => operators.Temporal.qFunnelWindow(s, d)),
     "q_ttest"             -> ((s, d) => operators.Temporal.qTtest(s, d)),
     "q_ks_test"           -> ((s, d) => operators.Temporal.qKsTest(s, d)),
     "mm_patchify"         -> ((s, d) => Pipeline.mmPatchify(s, d)),

@@ -102,6 +102,63 @@ object Temporal {
       .orderBy(col("event_id"))
   }
 
+  /** Nearest-in-time join: each click paired with the user's purchase
+    * of minimum |Δt|, composed from the two as-of directions on the
+    * shared scaffold (last-at-or-before vs first-at-or-after, tie →
+    * the earlier/backward side) — the "closest reading" join sensor
+    * and attribution pipelines issue, at the cost of exactly two
+    * as-of passes over the same user_id partitioning (Catalyst plans
+    * one exchange per side, no range explosion anywhere).
+    */
+  def qAsofNearest(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_ts"))
+    val back = asofBackward(clicks, purchases, "user_id", "ts_us", "p_ts", "p_ts")
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("asof_p_ts").as("b_ts"))
+    val fwd = asofForward(clicks, purchases, "user_id", "ts_us", "p_ts", "p_ts")
+      .select(col("event_id"), col("asof_p_ts").as("f_ts"))
+    back.join(fwd, Seq("event_id"))
+      .withColumn("nearest_purchase_us", expr(
+        """CASE WHEN b_ts IS NULL THEN f_ts WHEN f_ts IS NULL THEN b_ts
+          |WHEN ts_us - b_ts <= f_ts - ts_us THEN b_ts ELSE f_ts END""".stripMargin))
+      .withColumn("dist_us", expr("abs(nearest_purchase_us - ts_us)"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("nearest_purchase_us"), col("dist_us"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Time-bounded conversion funnel — view → click within 1 hour →
+    * purchase within 24 hours of the click (the attribution-window
+    * semantics real funnels carry, vs [[qFunnel3]]'s unbounded
+    * ordering): same single-shuffle shape, the conversion windows are
+    * just upper bounds on the conditional-min window columns.
+    */
+  def qFunnelWindow(s: SparkSession, d: String,
+                    clickUs: Long = 3600000000L, purchUs: Long = 86400000000L): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+    ev
+      .withColumn("v_ts", min(when(col("event_type") === "view", col("ts_us"))).over(w))
+      .withColumn("c_ts", min(when(col("event_type") === "click" &&
+        col("ts_us") >= col("v_ts") &&
+        col("ts_us") <= col("v_ts") + clickUs, col("ts_us"))).over(w))
+      .withColumn("p_ts", min(when(col("event_type") === "purchase" &&
+        col("ts_us") >= col("c_ts") &&
+        col("ts_us") <= col("c_ts") + purchUs, col("ts_us"))).over(w))
+      .filter(col("v_ts").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(col("v_ts")).as("v_ts"), min(col("c_ts")).as("c_ts"),
+        min(col("p_ts")).as("p_ts"))
+      .withColumn("steps",
+        (lit(1) + when(col("c_ts").isNotNull, 1).otherwise(0) +
+          when(col("p_ts").isNotNull, 1).otherwise(0)).cast("int"))
+      .orderBy(col("user_id"))
+  }
+
   /** Peak concurrency per event type — the sweep-line counting of
     * overlapping intervals (each event holds a 1-hour lease): +1 at
     * start, −1 at end, per-type time-ordered cumulative sum, max. Ends
@@ -757,6 +814,52 @@ object Temporal {
         |  SELECT e.user_id, min(e.ts_us) AS p_ts
         |  FROM ev e JOIN w2 ON w2.user_id = e.user_id
         |  WHERE e.event_type = 'purchase' AND e.ts_us >= w2.c_ts
+        |  GROUP BY e.user_id)
+        |SELECT w1.user_id, w1.v_ts, w2.c_ts, w3.p_ts,
+        |  CAST(1 + (CASE WHEN w2.c_ts IS NULL THEN 0 ELSE 1 END)
+        |         + (CASE WHEN w3.p_ts IS NULL THEN 0 ELSE 1 END) AS INT) AS steps
+        |FROM w1
+        |LEFT JOIN w2 ON w2.user_id = w1.user_id
+        |LEFT JOIN w3 ON w3.user_id = w1.user_id
+        |WHERE w1.v_ts IS NOT NULL
+        |ORDER BY w1.user_id""".stripMargin,
+
+    "q_asof_nearest" ->
+      """WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),
+        |c AS (SELECT event_id, user_id, ts_us FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_us AS p_ts FROM ev WHERE event_type = 'purchase'),
+        |b AS (SELECT c.event_id, max(p.p_ts) AS b_ts
+        |      FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.p_ts <= c.ts_us
+        |      GROUP BY c.event_id),
+        |f AS (SELECT c.event_id, min(p.p_ts) AS f_ts
+        |      FROM c LEFT JOIN p ON p.user_id = c.user_id AND p.p_ts >= c.ts_us
+        |      GROUP BY c.event_id),
+        |n AS (SELECT c.event_id, c.user_id, c.ts_us,
+        |        CASE WHEN b.b_ts IS NULL THEN f.f_ts
+        |             WHEN f.f_ts IS NULL THEN b.b_ts
+        |             WHEN c.ts_us - b.b_ts <= f.f_ts - c.ts_us THEN b.b_ts
+        |             ELSE f.f_ts END AS np
+        |      FROM c JOIN b USING (event_id) JOIN f USING (event_id))
+        |SELECT event_id, user_id, ts_us, np AS nearest_purchase_us,
+        |  abs(np - ts_us) AS dist_us
+        |FROM n ORDER BY event_id""".stripMargin,
+
+    "q_funnel_window" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |w1 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_us END) AS v_ts
+        |  FROM ev GROUP BY user_id),
+        |w2 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS c_ts
+        |  FROM ev e JOIN w1 ON w1.user_id = e.user_id
+        |  WHERE e.event_type = 'click' AND e.ts_us >= w1.v_ts
+        |    AND e.ts_us <= w1.v_ts + 3600000000
+        |  GROUP BY e.user_id),
+        |w3 AS (
+        |  SELECT e.user_id, min(e.ts_us) AS p_ts
+        |  FROM ev e JOIN w2 ON w2.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts_us >= w2.c_ts
+        |    AND e.ts_us <= w2.c_ts + 86400000000
         |  GROUP BY e.user_id)
         |SELECT w1.user_id, w1.v_ts, w2.c_ts, w3.p_ts,
         |  CAST(1 + (CASE WHEN w2.c_ts IS NULL THEN 0 ELSE 1 END)

@@ -341,4 +341,44 @@ class TemporalSpec extends AnyFunSuite {
     assert(r.getLong(3) == dNum * 1000000L / (a.length.toLong * b.length))
     assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
   }
+
+  test("nearest as-of equals a brute-force min-|dt| scan with ties to the earlier purchase") {
+    val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type")).collect()
+    val purchases = ev.filter(_.getString(3) == "purchase").toSeq
+      .groupBy(_.getLong(1)).view.mapValues(_.map(_.getLong(2))).toMap
+    val got = Temporal.qAsofNearest(spark, sf).collect()
+    assert(got.length == ev.count(_.getString(3) == "click"))
+    got.foreach { r =>
+      val ts = r.getLong(2)
+      purchases.get(r.getLong(1)) match {
+        case None => assert(r.isNullAt(3) && r.isNullAt(4), s"expected no purchase: $r")
+        case Some(ps) =>
+          val want = ps.minBy(p => (math.abs(p - ts), p))
+          assert(r.getLong(3) == want, s"nearest mismatch: $r")
+          assert(r.getLong(4) == math.abs(want - ts), s"dist mismatch: $r")
+      }
+    }
+  }
+
+  test("windowed funnel: steps match a brute-force per-user replay of the attribution windows") {
+    val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .select(col("user_id"), col("ts_us"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byUser = ev.groupBy(_._1)
+    val got = Temporal.qFunnelWindow(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSet == byUser.filter(_._2.exists(_._3 == "view")).keySet)
+    got.foreach { r =>
+      val rows = byUser(r.getLong(0))
+      val v = rows.filter(_._3 == "view").map(_._2).min
+      val c = rows.filter(t => t._3 == "click" && t._2 >= v && t._2 <= v + 3600000000L)
+        .map(_._2).minOption
+      val p = c.flatMap(ct => rows.filter(t => t._3 == "purchase" && t._2 >= ct &&
+        t._2 <= ct + 86400000000L).map(_._2).minOption)
+      assert(r.getLong(1) == v, s"v_ts: $r")
+      assert((if (r.isNullAt(2)) None else Some(r.getLong(2))) == c, s"c_ts: $r")
+      assert((if (r.isNullAt(3)) None else Some(r.getLong(3))) == p, s"p_ts: $r")
+      assert(r.getInt(4) == 1 + c.size + p.size, s"steps: $r")
+    }
+  }
 }
