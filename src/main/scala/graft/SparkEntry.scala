@@ -31,6 +31,8 @@ object SparkEntry {
     "ms_highlight"         -> ((s, d) => Metastore.highlightQ(s, d)),
     "ms_suggest"           -> ((s, d) => Metastore.suggestQ(s, d)),
     "ms_more_like_this"    -> ((s, d) => Metastore.moreLikeThisQ(s, d)),
+    "ms_phrase"            -> ((s, d) => Metastore.phraseQ(s, d)),
+    "ms_fuzzy"             -> ((s, d) => Metastore.fuzzyQ(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
     "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),
     "ms_events_visibility" -> ((s, d) => Metastore.eventsVisibility(s, d)),

@@ -209,6 +209,44 @@ object Metastore {
       .limit(20)
   }
 
+  /** Phrase match (ES match_phrase analog, beyond the reference's plain
+    * match): "merge" immediately followed by "join" in the analyzed
+    * readme token stream — adjacency in the stopword-stripped position
+    * space, the semantics both engines share by construction. n_occ
+    * counts adjacent occurrences. The scan is a codegen'd higher-order
+    * filter over the token array: no explode, no positional join, one
+    * narrow map pass over the visible set.
+    */
+  def phraseQ(s: SparkSession, d: String): DataFrame =
+    ds.visible(idx(s, d), None)
+      .withColumn("toks", Analyzer.tokens(col("readme")))
+      .withColumn("n_occ", expr(
+        """CAST(CASE WHEN size(toks) >= 2 THEN
+          |  size(filter(sequence(1, size(toks) - 1),
+          |    i -> toks[i - 1] = 'merge' AND toks[i] = 'join'))
+          |ELSE 0 END AS BIGINT)""".stripMargin))
+      .filter(col("n_occ") > 0)
+      .select(col("doc_id"), col("name"), col("n_occ"))
+      .orderBy(col("doc_id")).limit(100)
+
+  /** Fuzzy term match (ES fuzziness=1 analog, beyond the reference):
+    * the query term "merg" expands per doc to every analyzed readme
+    * token within levenshtein distance 1 — the expansion runs inside a
+    * codegen'd array filter (both engines compute the same classic DP
+    * edit distance on [a-z0-9] tokens), so the match set and its
+    * comma-joined term list gate hash-exact.
+    */
+  def fuzzyQ(s: SparkSession, d: String): DataFrame =
+    ds.visible(idx(s, d), None)
+      .withColumn("toks", Analyzer.tokens(col("readme")))
+      .withColumn("matched", expr(
+        "array_sort(array_distinct(filter(toks, t -> levenshtein(t, 'merg') <= 1)))"))
+      .filter(size(col("matched")) > 0)
+      .select(col("doc_id"), col("name"),
+        array_join(col("matched"), ",").as("matched_terms"),
+        size(col("matched")).cast("long").as("n_terms"))
+      .orderBy(col("doc_id")).limit(100)
+
   // --- events kind -------------------------------------------------------
 
   def eventsFilter(s: SparkSession, d: String): DataFrame =
@@ -442,6 +480,29 @@ object Metastore {
          |SELECT doc_id, name, hl_term, pos,
          |  substring(readme, greatest(pos - 20, 1), 60) AS snippet
          |FROM p ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_phrase" ->
+      s"""$idxCte,
+         |t AS (SELECT doc_id, name, ${tok("readme")} AS toks FROM idx
+         |      WHERE findability = 'published'),
+         |c AS (SELECT doc_id, name,
+         |        CAST(len(list_filter(range(1, len(toks)),
+         |          i -> toks[i] = 'merge' AND toks[i + 1] = 'join')) AS BIGINT) AS n_occ
+         |      FROM t)
+         |SELECT doc_id, name, n_occ FROM c
+         |WHERE n_occ > 0 ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_fuzzy" ->
+      s"""$idxCte,
+         |t AS (SELECT doc_id, name, ${tok("readme")} AS toks FROM idx
+         |      WHERE findability = 'published'),
+         |m AS (SELECT doc_id, name,
+         |        list_sort(list_distinct(
+         |          list_filter(toks, x -> levenshtein(x, 'merg') <= 1))) AS matched
+         |      FROM t)
+         |SELECT doc_id, name, array_to_string(matched, ',') AS matched_terms,
+         |  CAST(len(matched) AS BIGINT) AS n_terms
+         |FROM m WHERE len(matched) > 0 ORDER BY doc_id LIMIT 100""".stripMargin,
 
     "ms_events_filter" ->
       s"""$evCte

@@ -148,4 +148,34 @@ class SearchSpec extends AnyFunSuite {
     assert(comps.map(_.getLong(1)).distinct.length == page.size,
       "every page doc is explained")
   }
+
+  test("phrase match equals a driver-side adjacency replay of the analyzed tokens") {
+    val docs = ds.visible(idx, None).select(col("doc_id"), col("readme")).collect()
+      .map(r => r.getLong(0) -> Analyzer.analyzeQuery(r.getString(1)))
+    val want = docs.map { case (id, toks) =>
+      id -> toks.sliding(2).count(p => p.length == 2 && p.head == "merge" && p(1) == "join").toLong
+    }.filter(_._2 > 0).sortBy(_._1).take(100).toSeq
+    val got = Metastore.phraseQ(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toSeq
+    assert(got == want)
+  }
+
+  test("fuzzy match: every matched term is within edit distance 1 of the query") {
+    val rows = Metastore.fuzzyQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0 }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    rows.foreach { r =>
+      val terms = r.getString(2).split(",")
+      assert(terms.nonEmpty && terms.length == r.getLong(3), s"n_terms: $r")
+      assert(terms.sorted.sameElements(terms), s"terms not sorted: $r")
+      terms.foreach(t => assert(lev(t, "merg") <= 1, s"term $t too far: $r"))
+    }
+  }
 }
