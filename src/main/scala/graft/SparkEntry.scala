@@ -131,6 +131,8 @@ object SparkEntry {
     "q_pagerank"       -> ((s, d) => operators.Graph.pagerank(s, d)),
     "q_bfs"            -> ((s, d) => operators.Graph.bfs(s, d)),
     "q_triangle_count" -> ((s, d) => operators.Graph.triangleCounts(s, d)),
+    "q_common_neighbors" -> ((s, d) => operators.Graph.commonNeighbors(s, d)),
+    "q_components"     -> ((s, d) => operators.Graph.components(s, d)),
     "q_skyline"    -> ((s, d) => Relational.qSkyline(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
     "txt_pii_scrub" -> ((s, d) => Text.piiScrub(s, d)),

@@ -216,16 +216,102 @@ object Graph {
       .select(col("cr.part").as("part"), col("cr.c").as("c"))
   }
 
+  /** Link-prediction scores for the co-purchase graph: per canonical
+    * edge (a<b), the common-neighbor count and the ×10⁶ integer Jaccard
+    * |N(a)∩N(b)| / |N(a)∪N(b)| — the classic link-prediction /
+    * node-similarity primitives. Reuses the triangle discipline end to
+    * end: common neighbors of an edge ARE the triangles through it, so
+    * the degree-ORIENTED probe enumerates each (edge, witness) exactly
+    * once with Σ min-deg² work, the intersection runs in-map
+    * (`array_intersect` on the sorted out-adjacency arrays — the wedge
+    * set is never materialized or shuffled), and each witnessed triangle
+    * credits its three canonical edges. Only the T-sized triangle set
+    * shuffles. Top-100 by (jaccard, a, b) keeps the output bounded.
+    */
+  def commonNeighbors(s: SparkSession, d: String): DataFrame = {
+    val e = triEdges(s, d)
+    val oriented = triOriented(e)
+    val adj = triAdjacency(oriented)
+    val par = s.sparkContext.defaultParallelism
+    // (u,v,w) triangles, each found once at its lowest-(deg,id) edge
+    val tri = oriented.repartition(par, col("src"))
+      .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
+      .repartition(par, col("dst"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
+      .select(col("src").as("u"), col("dst").as("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    // each triangle credits its three canonical (a<b) edges
+    val credits = tri.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
+        struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
+        struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"))))
+        .as("e"))
+      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+      .agg(count(lit(1)).as("cn"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    credits
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
+      .select(col("a"), col("b"), col("cn"), col("da"), col("db"),
+        expr("(cn * 1000000) div (da + db - cn)").as("jac_x1e6"))
+      .orderBy(col("jac_x1e6").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
+  /** Connected components of the repeat-co-purchase graph (pairs bought
+    * together in ≥2 distinct orders) by K synchronous rounds of min-label
+    * propagation — label(v) starts at v and each round takes the min over
+    * the in-neighborhood: after K rounds every vertex holds the smallest
+    * id within K hops, so components with diameter ≤ K are exact and both
+    * engines compute the IDENTICAL K-round labels either way (the same
+    * unrolled-recurrence trick q_pagerank/q_bfs gate on). Edge extraction
+    * is the only fact-scale work (checkpointed once); each round is an
+    * E-sized join against the broadcast V-row label vector. Output: one
+    * row per label with member count and id range.
+    */
+  def components(s: SparkSession, d: String, iters: Int = 8): DataFrame = {
+    val li = Tables.fanOut(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+    val perOrder = li.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+    val repeat = perOrder
+      .select(explode(graft.functions.GraphExpressionFunctions
+        .sortedLongPairs(col("ps"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    // symmetric edge list + vertex set, checkpointed once
+    val edges = repeat.select(col("a").as("src"), col("b").as("dst"))
+      .union(repeat.select(col("b"), col("a")))
+      .localCheckpoint()
+    var lbl = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("l"))
+    for (_ <- 1 to iters) {
+      val m = edges.join(broadcast(lbl), col("src") === col("v"))
+        .groupBy(col("dst")).agg(min(col("l")).as("ml"))
+      lbl = lbl.join(m, col("v") === col("dst"), "left")
+        .select(col("v"), least(col("l"), col("ml")).as("l"))
+    }
+    lbl.groupBy(col("l").as("component"))
+      .agg(count(lit(1)).as("n_parts"), min(col("v")).as("min_part"),
+        max(col("v")).as("max_part"))
+      .orderBy(col("component"))
+  }
+
   /** One BFS relaxation block in DuckDB SQL (least() skips NULLs in
-    * both engines, so "unreached" propagates identically).
+    * both engines, so "unreached" propagates identically). Each d{i} is
+    * referenced twice by round i+1 — MATERIALIZED stops the CTE chain
+    * from inlining exponentially (2^iters re-evaluations of the
+    * fact-scale edge CTE otherwise).
     */
   private def bfsStep(i: Int): String = {
     val p = s"d${i - 1}"
-    s"""r$i AS (
+    s"""r$i AS MATERIALIZED (
        |  SELECT e.dst, min(p.dist + 1) AS via
        |  FROM e JOIN $p p ON p.nk = e.src
        |  WHERE p.dist IS NOT NULL GROUP BY e.dst),
-       |d$i AS (
+       |d$i AS MATERIALIZED (
        |  SELECT p.nk, least(p.dist, r$i.via) AS dist
        |  FROM $p p LEFT JOIN r$i ON r$i.dst = p.nk)""".stripMargin
   }
@@ -245,7 +331,7 @@ object Graph {
   val oracles: Map[String, String] = Map(
     "q_pagerank" -> {
       val steps = (1 to 5).map(prStep).mkString(",\n")
-      s"""WITH e AS (
+      s"""WITH e AS MATERIALIZED (
          |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
          |    CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w
          |  FROM lineitem l
@@ -253,7 +339,7 @@ object Graph {
          |  JOIN customer c ON o.o_custkey = c.c_custkey
          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
          |  GROUP BY src, dst),
-         |wo AS (SELECT src, sum(w) AS wt FROM e GROUP BY src),
+         |wo AS MATERIALIZED (SELECT src, sum(w) AS wt FROM e GROUP BY src),
          |n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation),
          |nn AS (SELECT count(*) AS nn FROM n),
          |i0 AS (SELECT nk, $Scale // nn.nn AS pr FROM n CROSS JOIN nn),
@@ -263,7 +349,7 @@ object Graph {
 
     "q_bfs" -> {
       val steps = (1 to 6).map(bfsStep).mkString(",\n")
-      """WITH e AS (
+      """WITH e AS MATERIALIZED (
         |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
         |    CAST(s.s_nationkey AS BIGINT) AS dst
         |  FROM lineitem l
@@ -274,6 +360,63 @@ object Graph {
         |d0 AS (SELECT nk, CASE WHEN nk = 0 THEN CAST(0 AS BIGINT) END AS dist FROM n),
         |""".stripMargin + steps + """
         |SELECT nk AS nationkey, dist AS hops FROM d6 ORDER BY nationkey""".stripMargin
+    },
+
+    "q_common_neighbors" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x
+        |  JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |cr AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS cn FROM (
+        |    SELECT x AS a, y AS b FROM t UNION ALL
+        |    SELECT x, z FROM t UNION ALL
+        |    SELECT y, z FROM t)
+        |  GROUP BY a, b),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY v)
+        |SELECT cr.a, cr.b, cr.cn, da.deg AS da, db.deg AS db,
+        |  (cr.cn * 1000000) // (da.deg + db.deg - cr.cn) AS jac_x1e6
+        |FROM cr JOIN deg da ON da.v = cr.a JOIN deg db ON db.v = cr.b
+        |ORDER BY jac_x1e6 DESC, cr.a, cr.b LIMIT 100""".stripMargin,
+
+    // every l{i} is referenced twice (by s{i+1} and l{i+1}) — without
+    // MATERIALIZED, CTE inlining re-evaluates the whole chain 2^8 times
+    // (observed: DuckDB spilled >70 GB at sf0.1); materializing each
+    // round keeps the oracle linear like the Spark side
+    "q_components" -> {
+      val steps = (1 to 8).map { i =>
+        val p = s"l${i - 1}"
+        s"""s$i AS MATERIALIZED (
+           |  SELECT e.dst AS v, min(p.l) AS ml
+           |  FROM e JOIN $p p ON p.v = e.src GROUP BY e.dst),
+           |l$i AS MATERIALIZED (
+           |  SELECT p.v, least(p.l, COALESCE(s$i.ml, p.l)) AS l
+           |  FROM $p p LEFT JOIN s$i ON s$i.v = p.v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT x.l_partkey AS a, y.l_partkey AS b, x.l_orderkey AS ok
+         |  FROM lineitem x
+         |  JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         |rep AS (
+         |  SELECT a, b FROM (
+         |    SELECT a, b, count(DISTINCT ok) AS w FROM pairs GROUP BY a, b)
+         |  WHERE w >= 2),
+         |e AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM rep
+         |  UNION ALL SELECT b, a FROM rep),
+         |l0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS l FROM e),
+         |$steps
+         |SELECT l AS component, CAST(count(*) AS BIGINT) AS n_parts,
+         |  min(v) AS min_part, max(v) AS max_part
+         |FROM l8 GROUP BY l ORDER BY component""".stripMargin
     },
 
     "q_triangle_count" ->

@@ -77,6 +77,49 @@ class GraphSpec extends AnyFunSuite {
     assert(got == triCount.toMap, "per-part triangle counts diverge from reference")
   }
 
+  test("common-neighbor scores equal a brute-force adjacency recompute") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = (edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val scored = edges.toSeq.map { case (a, b) =>
+      val cn = (adj(a) & adj(b)).size.toLong
+      (a, b, cn, adj(a).size.toLong, adj(b).size.toLong,
+        if (cn > 0) cn * 1000000L / (adj(a).size + adj(b).size - cn) else 0L)
+    }.filter(_._3 > 0)
+    val want = scored.sortBy(t => (-t._6, t._1, t._2)).take(100)
+    val got = Graph.commonNeighbors(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    assert(got == want, "edge scores diverge from the brute-force recompute")
+  }
+
+  test("components: 8-round labels equal a driver-side replay of the recurrence") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rep = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val sym = rep.flatMap(e => Seq(e, (e._2, e._1)))
+    val nbrs = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var lbl = nbrs.keys.map(v => v -> v).toMap
+    for (_ <- 1 to 8)
+      lbl = lbl.map { case (v, l) =>
+        v -> math.min(l, nbrs(v).map(lbl).foldLeft(Long.MaxValue)(math.min))
+      }
+    val want = lbl.groupBy(_._2).map { case (c, m) =>
+      (c, m.size.toLong, m.keys.min, m.keys.max)
+    }.toSeq.sortBy(_._1)
+    val got = Graph.components(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, "component rollup diverges from the replayed recurrence")
+  }
+
   test("SortedLongPairs emits all a<b pairs of a sorted distinct array") {
     import org.apache.spark.sql.functions._
     val got = spark.range(1)
