@@ -178,6 +178,8 @@ object SparkEntry {
     "pipe_freshness"      -> ((s, d) => Pipeline.freshness(s, d)),
     "pipe_dataset_card"   -> ((s, d) => Pipeline.datasetCard(s, d)),
     "pipe_epoch_shuffle"  -> ((s, d) => Pipeline.epochShuffle(s, d)),
+    "pipe_interleave"     -> ((s, d) => Pipeline.interleave(s, d)),
+    "pipe_dedup_eval"     -> ((s, d) => Pipeline.dedupEval(s, d)),
     "txt_rarity"          -> ((s, d) => Text.rarity(s, d)),
     "q_paths"             -> ((s, d) => operators.Temporal.qPaths(s, d)),
     "q_changepoint"       -> ((s, d) => operators.Temporal.qChangepoint(s, d)),

@@ -591,6 +591,68 @@ object Pipeline {
       .orderBy(col("source"))
   }
 
+  /** Deterministic weighted interleave — the training-order writer:
+    * each doc gets a virtual time vt = rk·10⁶ div weight(source)
+    * (weighted fair queueing: rarer sources get smaller vt steps, so
+    * their docs surface proportionally more often), with the per-source
+    * order rk coming from the same multiplicative-hash shuffle
+    * pipe_epoch_shuffle uses. The merge order is the global (vt,
+    * source, doc_id) sort — realized as a distributed top-k
+    * (TakeOrderedAndProject), never a single-partition global sort;
+    * the k-row position window runs over the collected page only.
+    * rk·10⁶ is staged through DECIMAL(38,0) (HUGEINT in the oracle)
+    * so a 10¹²-row source cannot overflow the product at 100 TB.
+    */
+  def interleave(s: SparkSession, d: String, k: Int = 200): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bySource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val totals = bySource.agg(sum(col("n_docs")).as("n_total"),
+      count(lit(1)).as("n_sources"))
+    val w = bySource.crossJoin(broadcast(totals))
+      .select(col("source"),
+        expr("(1000000 * n_total) div (n_sources * n_docs)").as("weight_x1e6"))
+    val perSource = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("hkey"), col("doc_id"))
+    val vt = docs
+      .select(col("source"), col("doc_id"),
+        ((col("doc_id") * 2654435761L) % 4294967296L).as("hkey"))
+      .withColumn("rk", row_number().over(perSource).cast("long"))
+      .join(broadcast(w), Seq("source"))
+      .withColumn("vt",
+        expr("CAST((CAST(rk AS DECIMAL(38,0)) * 1000000) div weight_x1e6 AS BIGINT)"))
+    vt.orderBy(col("vt"), col("source"), col("doc_id")).limit(k)
+      .withColumn("pos", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("vt"), col("source"), col("doc_id"))))
+      .select(col("pos"), col("source"), col("doc_id"), col("rk"), col("vt"))
+      .orderBy(col("pos"))
+  }
+
+  /** Dedup-method evaluation — the pipeline-QA operator: precision and
+    * recall of the SimHash hamming≤3 detector against the exact
+    * n-gram-Jaccard ≥0.5 ground truth, both already first-class gated
+    * operators here. One full-outer join of the two (candidate-scale,
+    * corpus-independent) pair sets, one audit row out — the number a
+    * curation pipeline checks before trusting a cheap detector at
+    * 100 TB. Ratios are ×10⁶ integers; NULLIF guards the empty case.
+    */
+  def dedupEval(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val truth = Dedup.ngramJaccardPairs(docs)
+      .select(col("a"), col("b"), lit(1).as("t"))
+    val pred = Dedup.simhashPairs(docs)
+      .select(col("a"), col("b"), lit(1).as("p"))
+    truth.join(pred, Seq("a", "b"), "full_outer")
+      .agg(
+        count(col("t")).as("n_truth"),
+        count(col("p")).as("n_pred"),
+        count(when(col("t").isNotNull && col("p").isNotNull, 1)).as("tp"),
+        count(when(col("t").isNull && col("p").isNotNull, 1)).as("fp"),
+        count(when(col("t").isNotNull && col("p").isNull, 1)).as("fn"))
+      .select(col("n_truth"), col("n_pred"), col("tp"), col("fp"), col("fn"),
+        expr("(tp * 1000000) div NULLIF(n_pred, 0)").as("precision_x1e6"),
+        expr("(tp * 1000000) div NULLIF(n_truth, 0)").as("recall_x1e6"))
+  }
+
   /** Several exact distincts in one aggregation pass (planner expands to
     * a single multi-way Expand + partial aggs — no per-distinct scan).
     */
@@ -650,6 +712,58 @@ object Pipeline {
 
     "dedup_ngram_jaccard" -> bruteJaccard,
     "dedup_minhash_lsh" -> bruteJaccard,
+
+    "pipe_interleave" ->
+      s"""WITH bs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+         |           FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+         |               CAST(count(*) AS BIGINT) AS n_sources FROM bs),
+         |w AS (SELECT source, (1000000 * n_total) // (n_sources * n_docs) AS weight_x1e6
+         |      FROM bs CROSS JOIN tot),
+         |r AS (SELECT source, doc_id, (doc_id * 2654435761) % 4294967296 AS hkey,
+         |        CAST(row_number() OVER (
+         |          PARTITION BY source
+         |          ORDER BY (doc_id * 2654435761) % 4294967296, doc_id) AS BIGINT) AS rk
+         |      FROM documents),
+         |v AS (SELECT r.source, r.doc_id, r.rk,
+         |        CAST((CAST(r.rk AS HUGEINT) * 1000000) // w.weight_x1e6 AS BIGINT) AS vt
+         |      FROM r JOIN w USING (source)),
+         |top AS (SELECT * FROM v ORDER BY vt, source, doc_id LIMIT 200)
+         |SELECT CAST(row_number() OVER (ORDER BY vt, source, doc_id) AS INT) AS pos,
+         |       source, doc_id, rk, vt
+         |FROM top ORDER BY pos""".stripMargin,
+
+    "pipe_dedup_eval" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleE AS sh FROM documents),
+         |pr AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+         |    CAST(len(list_distinct(x.sh || y.sh)) AS BIGINT) AS uni
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id),
+         |tr AS (SELECT a, b FROM pr
+         |       WHERE inter > 0 AND (1000000 * inter) // uni >= 500000),
+         |sig AS (
+         |  SELECT doc_id, ${Dedup.simhashSignatureSql(graft.search.Analyzer.tokensSql("text"))} AS sig
+         |  FROM documents),
+         |pd AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b
+         |  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+         |  WHERE bit_count(xor(x.sig, y.sig)) <= 3),
+         |j AS (
+         |  SELECT COALESCE(t.a, p.a) AS a, COALESCE(t.b, p.b) AS b,
+         |    t.a IS NOT NULL AS is_t, p.a IS NOT NULL AS is_p
+         |  FROM tr t FULL OUTER JOIN pd p ON t.a = p.a AND t.b = p.b)
+         |SELECT
+         |  CAST(count(*) FILTER (is_t) AS BIGINT) AS n_truth,
+         |  CAST(count(*) FILTER (is_p) AS BIGINT) AS n_pred,
+         |  CAST(count(*) FILTER (is_t AND is_p) AS BIGINT) AS tp,
+         |  CAST(count(*) FILTER (NOT is_t AND is_p) AS BIGINT) AS fp,
+         |  CAST(count(*) FILTER (is_t AND NOT is_p) AS BIGINT) AS fn,
+         |  (CAST(count(*) FILTER (is_t AND is_p) AS BIGINT) * 1000000)
+         |    // NULLIF(CAST(count(*) FILTER (is_p) AS BIGINT), 0) AS precision_x1e6,
+         |  (CAST(count(*) FILTER (is_t AND is_p) AS BIGINT) * 1000000)
+         |    // NULLIF(CAST(count(*) FILTER (is_t) AS BIGINT), 0) AS recall_x1e6
+         |FROM j""".stripMargin,
 
     "pipe_dedup_corpus" ->
       s"""WITH RECURSIVE q AS (

@@ -637,4 +637,37 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getLong(4) >= 1 && r.getLong(4) <= 480) // height
     }
   }
+
+  test("interleave: virtual times are the WFQ recurrence and the page is the global min") {
+    val rows = Pipeline.interleave(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 200)
+    // pos is dense 1..k in (vt, source, doc_id) order
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val key = rows.map(r => (r.getLong(4), r.getString(1), r.getLong(2)))
+    assert(key.zip(key.tail).forall { case (x, y) =>
+      implicitly[Ordering[(Long, String, Long)]].lt(x, y) }, "page out of order")
+    // recompute vt from the weights table
+    val w = Pipeline.mixWeights(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(3) * 1000000L / w(r.getString(1)), s"vt: $r")
+    }
+    // every source with weight w appears roughly ∝ w on the page (sanity, not exact)
+    assert(rows.map(_.getString(1)).distinct.length > 1, "page collapsed to one source")
+  }
+
+  test("dedup eval: counts reconcile and match the two underlying pair sets") {
+    val r = Pipeline.dedupEval(spark, sf).collect().head
+    val (nT, nP, tp, fp, fn) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(nT == tp + fn && nP == tp + fp, s"counts don't reconcile: $r")
+    val truth = Pipeline.dedupNgramJaccard(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val pred = Pipeline.dedupSimhash(spark, sf).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(nT == truth.size && nP == pred.size)
+    assert(tp == (truth & pred).size)
+    if (nP > 0) assert(r.getLong(5) == tp * 1000000L / nP)
+    if (nT > 0) assert(r.getLong(6) == tp * 1000000L / nT)
+  }
 }
