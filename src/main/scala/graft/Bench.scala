@@ -13,8 +13,14 @@ object Bench {
     // full per-query detail goes to a sidecar FILE — the stdout line is
     // tail-truncated by downstream log capture, which in round 4/5 lost
     // half the per-query numbers; a file can't be truncated from the front
+    // optional subset: `Bench q1 q2 …` times only the named queries
+    // (ad-hoc perf probes). The driver's no-arg call is unchanged; a
+    // subset run redirects the detail sidecar so it can never clobber
+    // the full-suite BENCH_DETAIL.json with partial data.
+    val subset = args.toSet
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
-      "/root/repo/BENCH_DETAIL.json")
+      if (subset.isEmpty) "/root/repo/BENCH_DETAIL.json"
+      else "/tmp/bench_subset.json")
     val spark = GraftSession.local()
     val jobs = new AtomicLong; val stages = new AtomicLong; val tasks = new AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -29,9 +35,12 @@ object Bench {
     def dropDeadBlocks(): Unit = GraftSession.dropDeadBlocks(spark)
     // JIT/codegen warm-up at the smallest SF so timings measure
     // steady-state throughput, not first-call Janino compilation
+    val selected =
+      if (subset.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(subset).toMap
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
         dropDeadBlocks()
       }
@@ -49,7 +58,7 @@ object Bench {
         cur = jobs.get + stages.get + tasks.get
       }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = selected.map { case (name, fn) =>
       jobs.set(0); stages.set(0); tasks.set(0)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()

@@ -285,13 +285,19 @@ object Graph {
     val edges = repeat.select(col("a").as("src"), col("b").as("dst"))
       .union(repeat.select(col("b"), col("a")))
       .localCheckpoint()
+    // each round materializes (localCheckpoint) — the broadcast of round
+    // i would otherwise re-execute rounds 1..i-1's joins, turning 8
+    // rounds into 36 chained shuffle stages of pure latency (measured
+    // 9.5 s → the checkpointed loop is linear in rounds)
     var lbl = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("l"))
+      .localCheckpoint()
     for (_ <- 1 to iters) {
       val m = edges.join(broadcast(lbl), col("src") === col("v"))
         .groupBy(col("dst")).agg(min(col("l")).as("ml"))
       lbl = lbl.join(m, col("v") === col("dst"), "left")
         .select(col("v"), least(col("l"), col("ml")).as("l"))
+        .localCheckpoint()
     }
     lbl.groupBy(col("l").as("component"))
       .agg(count(lit(1)).as("n_parts"), min(col("v")).as("min_part"),

@@ -219,6 +219,11 @@ object Metastore {
     */
   def phraseQ(s: SparkSession, d: String): DataFrame =
     ds.visible(idx(s, d), None)
+      // substring presence is a NECESSARY condition for token presence,
+      // so this scan-level prefilter is a conservative superset — the
+      // tokenizer + adjacency scan run only on candidate docs
+      .filter(lower(col("readme")).contains("merge") &&
+        lower(col("readme")).contains("join"))
       .withColumn("toks", Analyzer.tokens(col("readme")))
       .withColumn("n_occ", expr(
         """CAST(CASE WHEN size(toks) >= 2 THEN
