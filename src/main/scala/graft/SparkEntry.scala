@@ -164,6 +164,7 @@ object SparkEntry {
     "stream_join"       -> ((s, d) => Pipeline.streamJoin(s, d)),
     "stream_attribution" -> ((s, d) => Pipeline.streamAttribution(s, d)),
     "stream_latest_state" -> ((s, d) => Pipeline.streamLatestState(s, d)),
+    "stream_funnel"       -> ((s, d) => Pipeline.streamFunnel(s, d)),
     "stream_session_window" -> ((s, d) => Pipeline.streamSessionWindow(s, d)),
     "pipe_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
     "pipe_dedup_corpus" -> ((s, d) => Pipeline.dedupCorpus(s, d)),

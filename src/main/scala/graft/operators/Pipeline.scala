@@ -361,6 +361,14 @@ object Pipeline {
   def streamLatestState(s: SparkSession, d: String): DataFrame =
     EventStreams.latestState(EventStreams.normalize(Tables.events(s, d)))
 
+  /** Time-bounded funnel — the batch face of
+    * [[EventStreams.funnelStreaming]] (same recurrence as
+    * q_funnel_window; cross-batch state-machine parity pinned in
+    * StreamingSpec).
+    */
+  def streamFunnel(s: SparkSession, d: String): DataFrame =
+    Temporal.qFunnelWindow(s, d)
+
   /** Per-purchase click attribution — the batch face of the
     * stream-stream interval join (EventStreams.attributionPairsStreaming;
     * pair-level streaming ≡ batch parity pinned in StreamingSpec).
@@ -1449,6 +1457,10 @@ object Pipeline {
          |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM numbered GROUP BY user_id, sess_no
          |ORDER BY user_id, sess_no""".stripMargin,
+
+    // batch face of the streaming funnel state machine — identical
+    // recurrence (and oracle) to q_funnel_window
+    "stream_funnel" -> Temporal.oracles("q_funnel_window"),
   )
 
   private def pairSimSql(tau: Long): String =

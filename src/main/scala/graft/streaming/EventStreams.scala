@@ -22,6 +22,22 @@ case class LEv(user_id: Long, ts_us: Long, event_id: Long,
 case class Latest(var ts_us: Long, var event_id: Long, var event_type: String,
                   var value: Double, var n: Long, var sum_cents: Long)
 
+/** Per-event input to the funnel state machine. */
+case class FEv(user_id: Long, ts_us: Long, event_type: String)
+
+/** Per-user funnel state: every candidate step event seen so far, plus a
+  * monotone batch counter so parity consumers resolve the current row as
+  * argmax n_seen. Keeping the raw step timestamps makes the recurrence
+  * exactly order-independent under ANY cross-batch arrival order (a
+  * late-arriving earlier view legally shifts both attribution windows; a
+  * min-only state would have already discarded the clicks the new window
+  * admits). A production variant bounds these vectors by watermark
+  * eviction — here they are per-user event counts, the same order of
+  * state the sessionizer holds.
+  */
+case class FunnelSt(var views: Seq[Long], var clicks: Seq[Long],
+                    var purchases: Seq[Long], var n_seen: Long)
+
 /** Structured-Streaming operators over `events` (SURVEY §2.7).
   *
   * Each transform is written against a plain DataFrame so the SAME code
@@ -348,5 +364,55 @@ object EventStreams {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn _)
       .toDF("user_id", "last_ts_us", "last_event_id", "last_type",
         "last_value", "n_events", "sum_value")
+  }
+
+  /** Streaming time-bounded funnel (the streaming face of
+    * [[graft.operators.Temporal.qFunnelWindow]]) via
+    * flatMapGroupsWithState: per user the state holds the candidate
+    * step events ([[FunnelSt]]), and each batch re-derives the funnel
+    * from that state — v = min view, c = min click in [v, v+1h],
+    * p = min purchase in [c, c+24h] — so the emitted row is exactly the
+    * batch recurrence over everything seen so far, whatever the
+    * cross-batch arrival order. Emits only once a view exists (the
+    * batch face's `v_ts IS NOT NULL`); parity resolves per user by
+    * argmax n_seen (StreamingSpec).
+    */
+  def funnelStreaming(spark: SparkSession, ev: DataFrame,
+                      clickUs: Long = 3600000000L,
+                      purchUs: Long = 86400000000L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def fn(user: Long, rows: Iterator[FEv], state: GroupState[FunnelSt])
+        : Iterator[(Long, Long, java.lang.Long, java.lang.Long, Int, Long)] = {
+      val st = state.getOption.getOrElse(FunnelSt(Nil, Nil, Nil, 0L))
+      rows.foreach { e =>
+        e.event_type match {
+          case "view"     => st.views = st.views :+ e.ts_us
+          case "click"    => st.clicks = st.clicks :+ e.ts_us
+          case "purchase" => st.purchases = st.purchases :+ e.ts_us
+          case _          => ()
+        }
+      }
+      st.n_seen += 1
+      state.update(st)
+      if (st.views.isEmpty) Iterator.empty
+      else {
+        val v = st.views.min
+        val c = st.clicks.filter(t => t >= v && t <= v + clickUs)
+          .minOption
+        val p = c.flatMap(ct => st.purchases.filter(t => t >= ct && t <= ct + purchUs)
+          .minOption)
+        val steps = 1 + c.size + p.size
+        Iterator.single((user, v, c.map(Long.box).orNull, p.map(Long.box).orNull,
+          steps, st.n_seen))
+      }
+    }
+
+    ev.select(col("user_id").cast("long"), col("ts_us"), col("event_type"))
+      .as[FEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn _)
+      .toDF("user_id", "v_ts", "c_ts", "p_ts", "steps", "n_seen")
   }
 }

@@ -261,4 +261,50 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == expected, "top-3 over streamed agg diverged from batch")
     } finally q.stop()
   }
+
+  test("funnel state machine over TWO micro-batches equals the batch recurrence") {
+    val expected = graft.operators.Temporal.qFunnelWindow(spark, sf).collect()
+      .map(r => (r.getLong(0),
+        (r.getLong(1),
+          if (r.isNullAt(2)) null else r.getLong(2),
+          if (r.isNullAt(3)) null else r.getLong(3),
+          r.getInt(4)))).toMap
+
+    // two files ⇒ two triggers; the odd/even split sends each user's
+    // steps across batches in both directions (views can arrive after
+    // the clicks they admit), exercising the order-independence claim
+    val dir = java.nio.file.Files.createTempDirectory("graft-funnel").toString
+    Tables.events(spark, sf).filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$dir/a")
+    Tables.events(spark, sf).filter(col("event_id") % 2 =!= 0)
+      .coalesce(1).write.parquet(s"$dir/b")
+    val staged = java.nio.file.Files.createTempDirectory("graft-funnel-stage")
+    for ((sub, n) <- Seq("a" -> "0.parquet", "b" -> "1.parquet")) {
+      val src = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(src, staged.resolve(n))
+    }
+
+    val schema = Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = EventStreams.funnelStreaming(spark, EventStreams.normalize(stream))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("funnel_test").start()
+    try {
+      q.processAllAvailable()
+      // n_seen is monotone: the current row per user is argmax n_seen
+      val got = spark.table("funnel_test")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("n_seen").desc)))
+        .filter(col("rk") === 1)
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1),
+            if (r.isNullAt(2)) null else r.getLong(2),
+            if (r.isNullAt(3)) null else r.getLong(3),
+            r.getInt(4)))).toMap
+      assert(got == expected, "streamed funnel diverged from the batch recurrence")
+    } finally q.stop()
+  }
 }
