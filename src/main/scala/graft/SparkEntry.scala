@@ -33,6 +33,7 @@ object SparkEntry {
     "ms_more_like_this"    -> ((s, d) => Metastore.moreLikeThisQ(s, d)),
     "ms_phrase"            -> ((s, d) => Metastore.phraseQ(s, d)),
     "ms_fuzzy"             -> ((s, d) => Metastore.fuzzyQ(s, d)),
+    "ms_filter_negation"   -> ((s, d) => Metastore.filterNegation(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
     "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),
     "ms_events_visibility" -> ((s, d) => Metastore.eventsVisibility(s, d)),
@@ -68,6 +69,8 @@ object SparkEntry {
     "q_grouping_id"    -> ((s, d) => Relational.qGroupingId(s, d)),
     "q_percentile_cont" -> ((s, d) => Relational.qPercentileCont(s, d)),
     "q_percentile_disc" -> ((s, d) => Relational.qPercentileDisc(s, d)),
+    "q_weighted_median" -> ((s, d) => Relational.qWeightedMedian(s, d)),
+    "q_hhi"             -> ((s, d) => Relational.qHhi(s, d)),
     "q_lateral_explode" -> ((s, d) => Text.lateralExplode(s, d)),
     "q_mode_rolling"    -> ((s, d) => operators.Temporal.qModeRolling(s, d)),
     "ms_score_explain"  -> ((s, d) => Metastore.scoreExplain(s, d)),
@@ -198,6 +201,7 @@ object SparkEntry {
     "q_funnel_window"     -> ((s, d) => operators.Temporal.qFunnelWindow(s, d)),
     "q_ttest"             -> ((s, d) => operators.Temporal.qTtest(s, d)),
     "q_ks_test"           -> ((s, d) => operators.Temporal.qKsTest(s, d)),
+    "q_mannwhitney"       -> ((s, d) => operators.Temporal.qMannWhitney(s, d)),
     "mm_patchify"         -> ((s, d) => Pipeline.mmPatchify(s, d)),
     "mm_decode_bmp"       -> ((s, d) => Pipeline.mmDecodeBmp(s, d)),
     "mm_decode_wav"       -> ((s, d) => Pipeline.mmDecodeWav(s, d)),
@@ -866,6 +870,42 @@ object SparkEntry {
         |  CAST(max(CASE WHEN rk = (n * 50 + 99) // 100 THEN cents END) AS BIGINT) AS p50_cents,
         |  CAST(max(CASE WHEN rk = (n * 75 + 99) // 100 THEN cents END) AS BIGINT) AS p75_cents
         |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH li AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |    CAST(l_quantity AS BIGINT) AS w
+        |  FROM lineitem),
+        |bp AS (SELECT l_returnflag, price_cents, CAST(sum(w) AS BIGINT) AS pw
+        |       FROM li GROUP BY l_returnflag, price_cents),
+        |tot AS (SELECT l_returnflag, CAST(sum(w) AS BIGINT) AS total_weight
+        |        FROM li GROUP BY l_returnflag),
+        |cum AS (SELECT l_returnflag, price_cents,
+        |          CAST(sum(pw) OVER (PARTITION BY l_returnflag ORDER BY price_cents
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cw
+        |        FROM bp)
+        |SELECT c.l_returnflag, t.total_weight,
+        |  CAST(min(c.price_cents) AS BIGINT) AS wmedian_cents
+        |FROM cum c JOIN tot t ON t.l_returnflag = c.l_returnflag
+        |WHERE c.cw * 2 >= t.total_weight
+        |GROUP BY c.l_returnflag, t.total_weight
+        |ORDER BY c.l_returnflag""".stripMargin,
+
+    "q_hhi" ->
+      """WITH rev AS (
+        |  SELECT CAST(s.s_nationkey AS BIGINT) AS nationkey, s.s_suppkey,
+        |    CAST(sum(CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY nationkey, s.s_suppkey),
+        |tot AS (SELECT nationkey, CAST(sum(rev) AS BIGINT) AS trev,
+        |          CAST(count(*) AS BIGINT) AS n_supp
+        |        FROM rev GROUP BY nationkey),
+        |bp AS (SELECT r.nationkey, t.n_supp,
+        |         CAST((CAST(r.rev AS HUGEINT) * 10000) // t.trev AS BIGINT) AS bp
+        |       FROM rev r JOIN tot t ON t.nationkey = r.nationkey)
+        |SELECT nationkey, n_supp, CAST(sum(bp * bp) AS BIGINT) AS hhi_x1e8
+        |FROM bp GROUP BY nationkey, n_supp ORDER BY nationkey""".stripMargin,
 
     "q_unpivot" ->
       """SELECT l_returnflag, k, v FROM (

@@ -209,6 +209,18 @@ object Metastore {
       .limit(20)
   }
 
+  /** Negated filter (ES bool must_not analog — the reference's filter
+    * grammar is OR-within / AND-across positive terms; must_not closes
+    * the boolean algebra): visible docs with lang=en AND NOT
+    * source=src3. NULL-safe: a missing source must still satisfy the
+    * negation, hence the not(<=>) form rather than =!=.
+    */
+  def filterNegation(s: SparkSession, d: String): DataFrame =
+    ds.visible(idx(s, d), None)
+      .filter(col("lang") === "en" && !(col("source") <=> "src3"))
+      .select(col("doc_id"), col("name"), col("lang"), col("source"))
+      .orderBy(col("doc_id")).limit(100)
+
   /** Phrase match (ES match_phrase analog, beyond the reference's plain
     * match): "merge" immediately followed by "join" in the analyzed
     * readme token stream — adjacency in the stopword-stripped position
@@ -485,6 +497,13 @@ object Metastore {
          |SELECT doc_id, name, hl_term, pos,
          |  substring(readme, greatest(pos - 20, 1), 60) AS snippet
          |FROM p ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_filter_negation" ->
+      s"""$idxCte
+         |SELECT doc_id, name, lang, source FROM idx
+         |WHERE findability = 'published' AND lang = 'en'
+         |  AND NOT (source IS NOT DISTINCT FROM 'src3')
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
 
     "ms_phrase" ->
       s"""$idxCte,

@@ -596,6 +596,54 @@ object Relational {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Exact weighted median unit price per return flag (weight =
+    * quantity): collapse to per-price aggregated weights map-side, one
+    * ordered cumulative pass over the COLLAPSED price domain, lower
+    * weighted median = smallest price whose cumulative weight w
+    * satisfies 2·w ≥ W. All BIGINT cents/units — no interpolation, no
+    * floats; the per-group window runs over distinct prices, never the
+    * fact rows.
+    */
+  def qWeightedMedian(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("price_cents"),
+        expr("CAST(l_quantity AS BIGINT)").as("w"))
+    val byPrice = li.groupBy(col("l_returnflag"), col("price_cents"))
+      .agg(sum(col("w")).as("pw"))
+    val run = Window.partitionBy(col("l_returnflag")).orderBy(col("price_cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = li.groupBy(col("l_returnflag")).agg(sum(col("w")).as("total_weight"))
+    byPrice.withColumn("cw", sum(col("pw")).over(run))
+      .join(broadcast(tot), "l_returnflag")
+      .filter(col("cw") * 2 >= col("total_weight"))
+      .groupBy(col("l_returnflag"), col("total_weight"))
+      .agg(min(col("price_cents")).as("wmedian_cents"))
+      .select(col("l_returnflag"), col("total_weight"), col("wmedian_cents"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  /** Supplier revenue concentration per nation — the Herfindahl–
+    * Hirschman index in exact integers: per-supplier share in basis
+    * points (rev·10⁴ div nation_rev, the product staged DECIMAL(38,0)
+    * so fact-scale cents can't overflow), HHI = Σ share_bp² ≤ 10⁸.
+    * One fact-scan groupBy, one nation-level rollup.
+    */
+  def qHhi(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey").cast("long").as("nationkey"), col("s_suppkey"))
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")).as("rev"))
+    val tot = rev.groupBy(col("nationkey"))
+      .agg(sum(col("rev")).as("trev"), count(lit(1)).as("n_supp"))
+    rev.join(broadcast(tot), "nationkey")
+      .withColumn("bp", expr("CAST((CAST(rev AS DECIMAL(38,0)) * 10000) div trev AS BIGINT)"))
+      .groupBy(col("nationkey"), col("n_supp"))
+      .agg(sum(expr("bp * bp")).cast("long").as("hhi_x1e8"))
+      .select(col("nationkey"), col("n_supp"), col("hhi_x1e8"))
+      .orderBy(col("nationkey"))
+  }
+
   /** CUBE + GROUPING_ID: the bitmask that tells subtotal rows apart
     * from genuine NULL group keys — what makes cube output machine-
     * consumable. Keys are COALESCE'd for a NULL-ordering-proof total

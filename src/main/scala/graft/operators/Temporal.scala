@@ -634,6 +634,37 @@ object Temporal {
       .withColumn("d_x1e6", expr("(d_num * 1000000) div (n_a * n_b)"))
   }
 
+  /** Mann–Whitney U between the same A/B hash arms as [[qTtest]] /
+    * [[qKsTest]] — the non-parametric member of the significance-test
+    * family, exact to the last tie: per DISTINCT spend value the ranks
+    * occupied are [start, start+cnt-1], so the tie-averaged rank ×2 is
+    * the integer 2·start+cnt−1 and R₁×2 = Σ cnt_a·(2·start+cnt−1);
+    * U₁×2 = R₁×2 − n_a(n_a+1), U₂×2 = 2·n_a·n_b − U₁×2. Everything
+    * stays BIGINT (the ×2 staging absorbs the .5 tie averages). The
+    * only ordered window runs over the collapsed value domain, exactly
+    * like the KS scan.
+    */
+  def qMannWhitney(s: SparkSession, d: String): DataFrame = {
+    val pu = perUserArmCents(s, d)
+    val counts = pu.groupBy(col("cents")).agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("ca"))
+    val run = Window.orderBy(col("cents")).rowsBetween(Window.unboundedPreceding, 0)
+    val tot = pu.agg(
+      sum(when(col("arm") === 0, 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(col("arm") === 1, 1L).otherwise(0L)).cast("long").as("n_b"))
+    counts
+      .withColumn("cum", sum(col("cnt")).over(run))
+      .withColumn("start", col("cum") - col("cnt") + 1)
+      .agg(sum(expr("ca * (2 * start + cnt - 1)")).cast("long").as("r1_x2"))
+      .crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), col("r1_x2"),
+        expr("r1_x2 - n_a * (n_a + 1)").as("u1_x2"),
+        expr("2 * n_a * n_b - (r1_x2 - n_a * (n_a + 1))").as("u2_x2"),
+        expr("n_a * n_b").as("u_mean_x2"),
+        expr("CAST(sign(r1_x2 - n_a * (n_a + 1) - n_a * n_b) AS INT)").as("direction"))
+  }
+
   /** DAU / rolling-30-day MAU / stickiness — the canonical "distinct
     * over a sliding window" metric, solved without any per-window
     * distinct recount: each user's active days merge into coverage
@@ -786,6 +817,33 @@ object Temporal {
         |SELECT n_a, n_b, d_num,
         |  (d_num * 1000000) // (n_a * n_b) AS d_x1e6
         |FROM d""".stripMargin,
+
+    "q_mannwhitney" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+        |  FROM events GROUP BY user_id),
+        |pa AS (SELECT cents,
+        |         ((user_id * 2654435761) % 4294967296) // 2147483648 AS arm FROM pu),
+        |c AS (SELECT cents, CAST(count(*) AS BIGINT) AS cnt,
+        |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca
+        |      FROM pa GROUP BY cents),
+        |cum AS (SELECT cents, cnt, ca,
+        |        CAST(sum(cnt) OVER (ORDER BY cents
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+        |      FROM c),
+        |r AS (SELECT CAST(sum(ca * (2 * (cum - cnt + 1) + cnt - 1)) AS BIGINT) AS r1_x2
+        |      FROM cum),
+        |t AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |      FROM pa)
+        |SELECT n_a, n_b, r1_x2,
+        |  r1_x2 - n_a * (n_a + 1) AS u1_x2,
+        |  2 * n_a * n_b - (r1_x2 - n_a * (n_a + 1)) AS u2_x2,
+        |  n_a * n_b AS u_mean_x2,
+        |  CAST(sign(r1_x2 - n_a * (n_a + 1) - n_a * n_b) AS INT) AS direction
+        |FROM r CROSS JOIN t""".stripMargin,
 
     "q_streaks" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -439,4 +439,33 @@ class RelationalSpec extends AnyFunSuite {
     assert(chain(ex).exists(m => m != null && m.contains("domain")),
       s"negative input must fail loudly, got: ${chain(ex)}")
   }
+
+  test("weighted median equals a driver-side weighted scan") {
+    val li = Tables.lineitem(spark, sf)
+      .selectExpr("l_returnflag", "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)",
+        "CAST(l_quantity AS BIGINT)")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val want = li.groupBy(_._1).map { case (flag, rows) =>
+      val total = rows.map(_._3).sum
+      val sorted = rows.map(t => (t._2, t._3)).groupBy(_._1).view
+        .mapValues(_.map(_._2).sum).toSeq.sortBy(_._1)
+      var cum = 0L
+      val med = sorted.find { case (_, w) => cum += w; cum * 2 >= total }.get._1
+      flag -> (total, med)
+    }
+    val got = operators.Relational.qWeightedMedian(spark, sf).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
+  test("hhi: shares bound the index between perfect competition and monopoly") {
+    val rows = operators.Relational.qHhi(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, hhi) = (r.getLong(1), r.getLong(2))
+      // floor-exact shares keep HHI ≤ 10^8 and ≥ (almost) 10^8/n
+      assert(hhi <= 100000000L, s"HHI above monopoly bound: $r")
+      assert(hhi >= 100000000L / n - 10000L, s"HHI below uniform bound: $r")
+    }
+  }
 }

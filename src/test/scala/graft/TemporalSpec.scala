@@ -342,6 +342,34 @@ class TemporalSpec extends AnyFunSuite {
     assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
   }
 
+  test("mann-whitney u matches a brute-force tie-averaged rank computation") {
+    val pu = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).otherwise(0L)).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val withArm = pu.map { case (u, c) => (((u * 2654435761L) % 4294967296L) / 2147483648L, c) }
+    val all = withArm.map(_._2).sorted
+    // tie-averaged rank ×2 for a value v: ranks occupied are
+    // [idxFirst+1, idxFirst+cnt], so 2·avg = 2·idxFirst + cnt + 1
+    val rankX2 = all.groupBy(identity).map { case (v, occ) =>
+      v -> (2L * all.indexOf(v) + occ.length + 1)
+    }
+    val a = withArm.filter(_._1 == 0L).map(_._2)
+    val b = withArm.filter(_._1 == 1L).map(_._2)
+    val r1x2 = a.map(rankX2).sum
+    val r = Temporal.qMannWhitney(spark, sf).collect().head
+    assert(r.getLong(0) == a.length.toLong && r.getLong(1) == b.length.toLong)
+    assert(r.getLong(2) == r1x2, "rank sum")
+    val u1x2 = r1x2 - a.length.toLong * (a.length + 1)
+    assert(r.getLong(3) == u1x2)
+    assert(r.getLong(4) == 2L * a.length * b.length - u1x2)
+    assert(r.getLong(5) == a.length.toLong * b.length)
+    assert(r.getInt(6) == java.lang.Long.signum(u1x2 - a.length.toLong * b.length))
+    // U1 + U2 = 2·n_a·n_b is the classic identity
+    assert(r.getLong(3) + r.getLong(4) == 2L * a.length * b.length)
+  }
+
   test("nearest as-of equals a brute-force min-|dt| scan with ties to the earlier purchase") {
     val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
       .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type")).collect()
