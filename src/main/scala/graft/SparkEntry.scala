@@ -148,6 +148,7 @@ object SparkEntry {
     "ann_pair_sim"   -> ((s, d) => Pipeline.annPairSim(s, d)),
     "ann_range_search" -> ((s, d) => Pipeline.annRangeSearch(s, d)),
     "ann_sq_topk"      -> ((s, d) => Pipeline.annSqTopk(s, d)),
+    "ann_recall_eval"  -> ((s, d) => Pipeline.annRecallEval(s, d)),
     "ann_pq_topk"      -> ((s, d) => Pipeline.annPqTopk(s, d)),
     "ann_ivf_pq_topk"  -> ((s, d) => Pipeline.annIvfPqTopk(s, d)),
     "pipe_contamination_bloom" -> ((s, d) => Pipeline.contaminationBloom(s, d)),

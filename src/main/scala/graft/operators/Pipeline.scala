@@ -50,6 +50,35 @@ object Pipeline {
   def annCentroid(s: SparkSession, d: String): DataFrame =
     Similarity.centroids(Tables.embeddings(s, d))
 
+  /** ANN-method QA — recall@10 of every approximate index against the
+    * brute-force ground truth (the similarity-search twin of
+    * [[dedupEval]]): one row per method with exact hit counts and the
+    * ×10⁶ recall. The truth pair set is checkpointed once (k·|Q| rows);
+    * each method side is the SAME plan its gated query ships, joined
+    * pair-on-pair — so the audit measures the production indexes, not
+    * re-implementations.
+    */
+  def annRecallEval(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    def pairs(df: DataFrame) = df.select(col("q_id"), col("vec_id"))
+    val truth = pairs(Similarity.bruteTopK(emb, queryPred)).localCheckpoint()
+    val stats = truth.agg(count(lit(1)).cast("long").as("n_truth"),
+      countDistinct(col("q_id")).cast("long").as("n_queries"))
+    val methods = Seq(
+      "ivf" -> pairs(Similarity.ivfTopK(emb, queryPred,
+        model = Some(graft.similarity.IvfModel.cells))),
+      "lsh" -> pairs(Similarity.lshTopK(emb, queryPred)),
+      "pq"  -> pairs(Similarity.pqTopK(emb, queryPred)),
+      "sq"  -> pairs(Similarity.sqTopK(emb, queryPred)))
+    methods.map { case (nm, p) =>
+      val hits = truth.join(p, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).cast("long").as("hits"))
+      stats.crossJoin(hits)
+        .select(lit(nm).as("method"), col("n_queries"), col("n_truth"), col("hits"),
+          expr("(hits * 1000000) div n_truth").as("recall_x1e6"))
+    }.reduce(_ union _).orderBy(col("method"))
+  }
+
   // --- §2.4 similarity ---------------------------------------------------
 
   private val queryPred = col("vec_id") % 97 === 0
@@ -677,6 +706,40 @@ object Pipeline {
   private val fpNorm = TextFunctions.fingerprintSql(TextFunctions.normalizedSql("text"))
   private val shingleE = Dedup.shinglesSql("text")
 
+  private val annBruteSql =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 97 = 0),
+       |sc AS (
+       |  SELECT q.q_id, e.vec_id,
+       |    CAST(floor(${Similarity.cosineSql("q.q_emb", "e.embedding")} * 1e6) AS BIGINT) AS cos_x1e6
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+       |rk AS (
+       |  SELECT q_id, vec_id, cos_x1e6,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_x1e6 DESC, vec_id) AS INT) AS rk
+       |  FROM sc)
+       |SELECT q_id, rk, vec_id, cos_x1e6 FROM rk WHERE rk <= 10
+       |ORDER BY q_id, rk""".stripMargin
+
+  private val annLshSql =
+    s"""WITH b AS (
+       |  SELECT vec_id, embedding,
+       |    ${Similarity.normSql("embedding")} AS nrm,
+       |    ${Similarity.lshBucketSql("embedding")} AS bkt
+       |  FROM embeddings),
+       |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bkt AS q_bkt
+       |      FROM b WHERE vec_id % 97 = 0),
+       |sc AS (
+       |  SELECT q.q_id, b.vec_id,
+       |    CAST(floor(${Similarity.cosineSql("q.q_emb", "b.embedding")} * 1e6) AS BIGINT) AS cos_x1e6
+       |  FROM b CROSS JOIN q
+       |  WHERE bit_count(xor(b.bkt, q.q_bkt)) <= 1 AND b.vec_id <> q.q_id),
+       |rk AS (
+       |  SELECT q_id, vec_id, cos_x1e6,
+       |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_x1e6 DESC, vec_id) AS INT) AS rk
+       |  FROM sc)
+       |SELECT q_id, rk, vec_id, cos_x1e6 FROM rk WHERE rk <= 10
+       |ORDER BY q_id, rk""".stripMargin
+
   private val bruteJaccard =
     s"""WITH sh AS (SELECT doc_id, $shingleE AS sh FROM documents),
        |pr AS (
@@ -994,39 +1057,36 @@ object Pipeline {
     "ann_ivf_topk" ->
       Similarity.ivfOracleSql(graft.similarity.IvfModel.cells, "vec_id % 97 = 0"),
 
-    "ann_lsh_topk" ->
-      s"""WITH b AS (
-         |  SELECT vec_id, embedding,
-         |    ${Similarity.normSql("embedding")} AS nrm,
-         |    ${Similarity.lshBucketSql("embedding")} AS bkt
-         |  FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, nrm AS q_nrm, bkt AS q_bkt
-         |      FROM b WHERE vec_id % 97 = 0),
-         |sc AS (
-         |  SELECT q.q_id, b.vec_id,
-         |    CAST(floor(${Similarity.cosineSql("q.q_emb", "b.embedding")} * 1e6) AS BIGINT) AS cos_x1e6
-         |  FROM b CROSS JOIN q
-         |  WHERE bit_count(xor(b.bkt, q.q_bkt)) <= 1 AND b.vec_id <> q.q_id),
-         |rk AS (
-         |  SELECT q_id, vec_id, cos_x1e6,
-         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_x1e6 DESC, vec_id) AS INT) AS rk
-         |  FROM sc)
-         |SELECT q_id, rk, vec_id, cos_x1e6 FROM rk WHERE rk <= 10
-         |ORDER BY q_id, rk""".stripMargin,
+    "ann_lsh_topk" -> annLshSql,
 
-    "ann_brute_topk" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 97 = 0),
-         |sc AS (
-         |  SELECT q.q_id, e.vec_id,
-         |    CAST(floor(${Similarity.cosineSql("q.q_emb", "e.embedding")} * 1e6) AS BIGINT) AS cos_x1e6
-         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
-         |rk AS (
-         |  SELECT q_id, vec_id, cos_x1e6,
-         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_x1e6 DESC, vec_id) AS INT) AS rk
-         |  FROM sc)
-         |SELECT q_id, rk, vec_id, cos_x1e6 FROM rk WHERE rk <= 10
-         |ORDER BY q_id, rk""".stripMargin,
+    // recall@10 audit: each method's pair set against the brute-force
+    // ground truth, every side the VERBATIM oracle text of the gated
+    // query it audits (embedded as CTE-bearing subqueries)
+    "ann_recall_eval" ->
+      s"""WITH tr AS (SELECT q_id, vec_id FROM (\n$annBruteSql\n) z),
+         |mp AS (
+         |  SELECT 'ivf' AS method, q_id, vec_id FROM (
+         |${Similarity.ivfOracleSql(graft.similarity.IvfModel.cells, "vec_id % 97 = 0")}
+         |  ) z
+         |  UNION ALL SELECT 'lsh', q_id, vec_id FROM (\n$annLshSql\n) z
+         |  UNION ALL SELECT 'pq', q_id, vec_id FROM (
+         |${Similarity.pqOracleSql("vec_id % 97 = 0")}
+         |  ) z
+         |  UNION ALL SELECT 'sq', q_id, vec_id FROM (
+         |${Similarity.sqOracleSql("vec_id % 97 = 0")}
+         |  ) z),
+         |tstat AS (SELECT CAST(count(*) AS BIGINT) AS n_truth,
+         |            CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries FROM tr),
+         |h AS (SELECT method, CAST(count(*) AS BIGINT) AS hits
+         |      FROM mp JOIN tr USING (q_id, vec_id) GROUP BY method),
+         |meth AS (SELECT DISTINCT method FROM mp)
+         |SELECT m.method, t.n_queries, t.n_truth,
+         |  CAST(COALESCE(h.hits, 0) AS BIGINT) AS hits,
+         |  (CAST(COALESCE(h.hits, 0) AS BIGINT) * 1000000) // t.n_truth AS recall_x1e6
+         |FROM meth m CROSS JOIN tstat t LEFT JOIN h ON h.method = m.method
+         |ORDER BY m.method""".stripMargin,
+
+    "ann_brute_topk" -> annBruteSql,
 
     "ann_sq_topk" -> Similarity.sqOracleSql("vec_id % 97 = 0"),
 

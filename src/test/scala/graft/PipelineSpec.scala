@@ -656,6 +656,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_.getString(1)).distinct.length > 1, "page collapsed to one source")
   }
 
+  test("ann recall audit reconciles with the underlying gated top-k sets") {
+    val rows = Pipeline.annRecallEval(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("ivf", "lsh", "pq", "sq"))
+    val truth = Pipeline.annBruteTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val byName = Map(
+      "ivf" -> Pipeline.annIvfTopk(spark, sf), "lsh" -> Pipeline.annLshTopk(spark, sf),
+      "pq" -> Pipeline.annPqTopk(spark, sf), "sq" -> Pipeline.annSqTopk(spark, sf))
+    rows.foreach { r =>
+      val pred = byName(r.getString(0)).collect()
+        .map(x => (x.getLong(0), x.getLong(2))).toSet
+      assert(r.getLong(2) == truth.size.toLong, s"n_truth: $r")
+      assert(r.getLong(3) == (truth & pred).size.toLong, s"hits: $r")
+      assert(r.getLong(4) == (truth & pred).size.toLong * 1000000L / truth.size, s"recall: $r")
+    }
+  }
+
   test("dedup eval: counts reconcile and match the two underlying pair sets") {
     val r = Pipeline.dedupEval(spark, sf).collect().head
     val (nT, nP, tp, fp, fn) =
