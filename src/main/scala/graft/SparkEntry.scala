@@ -198,6 +198,7 @@ object SparkEntry {
     "q_streaks"           -> ((s, d) => operators.Temporal.qStreaks(s, d)),
     "q_sessionize"        -> ((s, d) => operators.Temporal.qSessionize(s, d)),
     "q_dau_mau"           -> ((s, d) => operators.Temporal.qDauMau(s, d)),
+    "q_xcorr"             -> ((s, d) => operators.Temporal.qXcorr(s, d)),
     "q_asof_nearest"      -> ((s, d) => operators.Temporal.qAsofNearest(s, d)),
     "q_funnel_window"     -> ((s, d) => operators.Temporal.qFunnelWindow(s, d)),
     "q_ttest"             -> ((s, d) => operators.Temporal.qTtest(s, d)),
@@ -209,6 +210,7 @@ object SparkEntry {
     "mm_decode_png"       -> ((s, d) => Pipeline.mmDecodePng(s, d)),
     "mm_decode_gif"       -> ((s, d) => Pipeline.mmDecodeGif(s, d)),
     "mm_decode_jpeg"      -> ((s, d) => Pipeline.mmDecodeJpeg(s, d)),
+    "mm_phash"            -> ((s, d) => Pipeline.mmPhash(s, d)),
     "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),
     "txt_bigram_coverage" -> ((s, d) => Text.bigramCoverage(s, d)),
     "q_multi_distinct"  -> ((s, d) => Pipeline.multiDistinct(s, d)),

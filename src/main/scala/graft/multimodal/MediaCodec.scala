@@ -99,6 +99,37 @@ object MediaCodec {
     BmpMeta(w, h, sr, sg, sb)
   }
 
+  /** Decode a 24-bit BMP and fold every pixel through `f(x, y, r, g, b)`
+    * in raster (top-left → bottom-right) order — the pixel-level face of
+    * [[decodeBmp]] for consumers that need more than channel sums (the
+    * perceptual hash). Shares the same header / 4-byte row padding /
+    * bottom-up row-order discipline; returns (width, height).
+    */
+  def foreachBmpPixel(b: Array[Byte])(f: (Int, Int, Int, Int, Int) => Unit): (Int, Int) = {
+    require(isBmp(b), "not a BMP payload")
+    val off = i32(b, 10)
+    val w = i32(b, 18)
+    val h = i32(b, 22)
+    val bpp = u16(b, 28)
+    val comp = i32(b, 30)
+    require(w > 0 && h > 0 && bpp == 24 && comp == 0,
+      s"unsupported BMP variant ${w}x$h bpp=$bpp comp=$comp")
+    val rowBytes = (w * 3 + 3) & ~3
+    require(b.length >= off + rowBytes.toLong * h, "truncated BMP pixel data")
+    var y = 0
+    while (y < h) {
+      val base = off + (h - 1 - y) * rowBytes
+      var x = 0
+      while (x < w) {
+        f(x, y, b(base + x * 3 + 2) & 0xff, b(base + x * 3 + 1) & 0xff,
+          b(base + x * 3) & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    (w, h)
+  }
+
   // ---- PNG (ISO/IEC 15948): 8-bit truecolor, all five scanline filters ----
 
   private val PngSig: Array[Byte] =

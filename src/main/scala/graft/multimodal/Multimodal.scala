@@ -195,6 +195,52 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual average-hash over the REAL BMP decode path (public
+    * aHash scheme, integer-exact form): gray = (r+g+b) div 3 per pixel
+    * from [[MediaCodec.foreachBmpPixel]], a 3×3 block grid (block i
+    * covers x ∈ [i·w div 3, (i+1)·w div 3) — non-empty because w ≥ 4,
+    * h ≥ 3), bit k = by·3+bx set iff blockSum·nPix > totalSum·blockPix
+    * — the mean comparison CROSS-MULTIPLIED so there is no division
+    * and no float anywhere, which is what lets a perceptual hash gate
+    * hash-exact. Same narrow one-pass encode+decode mapPartitions
+    * shape as the other decoder gates.
+    */
+  def phashPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (4 + id % 21).toInt
+        val h = (3 + id % 14).toInt
+        val payload = MediaCodec.encodeBmp(w, h, (x, y) => {
+          val r = ((id + 3L * x + 5L * y) % 256).toInt
+          val g = ((2L * id + 7L * x + y) % 256).toInt
+          val b = ((5L * id + x + 11L * y) % 256).toInt
+          (r << 16) | (g << 8) | b
+        })
+        val bsum = Array.fill(9)(0L)
+        val bcnt = Array.fill(9)(0L)
+        def blk(v: Int, n: Int): Int =
+          if (v < n / 3) 0 else if (v < 2 * n / 3) 1 else 2
+        val (dw, dh) = MediaCodec.foreachBmpPixel(payload) { (x, y, r, g, b) =>
+          val k = blk(y, h) * 3 + blk(x, w)
+          bsum(k) += (r + g + b) / 3
+          bcnt(k) += 1
+        }
+        val tsum = bsum.sum
+        val tcnt = bcnt.sum
+        var hash = 0L; var ones = 0L
+        var k = 0
+        while (k < 9) {
+          if (bsum(k) * tcnt > tsum * bcnt(k)) { hash |= 1L << k; ones += 1 }
+          k += 1
+        }
+        (id, dw.toLong, dh.toLong, hash, ones)
+      }
+    }.toDF("doc_id", "width", "height", "phash", "n_ones")
+      .orderBy(col("doc_id"))
+  }
+
   /** Real-decoder gate, compressed-image path: synthesize a genuine
     * 8-bit truecolor PNG per doc (geometry/pixels pure functions of
     * doc_id; the per-row filter type cycles through all five spec

@@ -131,6 +131,9 @@ object Pipeline {
   def mmDecodeBmp(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeBmpPlan(Tables.documents(s, d))
 
+  def mmPhash(s: SparkSession, d: String): DataFrame =
+    Multimodal.phashPlan(Tables.documents(s, d))
+
   def mmDecodeWav(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeWavPlan(Tables.documents(s, d))
 
@@ -1355,6 +1358,37 @@ object Pipeline {
         |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
         |  CAST(sum(b) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "mm_phash" ->
+      """WITH m AS (SELECT doc_id, 4 + doc_id % 21 AS w, 3 + doc_id % 14 AS h
+        |           FROM documents),
+        |px AS (
+        |  SELECT m.doc_id, m.w, m.h, x.i AS x, y.i AS y,
+        |    ((m.doc_id + 3 * x.i + 5 * y.i) % 256
+        |     + (2 * m.doc_id + 7 * x.i + y.i) % 256
+        |     + (5 * m.doc_id + x.i + 11 * y.i) % 256) // 3 AS gray
+        |  FROM m, range(0, 24) x(i), range(0, 16) y(i)
+        |  WHERE x.i < m.w AND y.i < m.h),
+        |bl AS (
+        |  SELECT doc_id, w, h,
+        |    (CASE WHEN y < h // 3 THEN 0 WHEN y < (2 * h) // 3 THEN 1 ELSE 2 END) * 3
+        |      + CASE WHEN x < w // 3 THEN 0 WHEN x < (2 * w) // 3 THEN 1 ELSE 2 END AS k,
+        |    gray
+        |  FROM px),
+        |bs AS (SELECT doc_id, w, h, k, CAST(sum(gray) AS BIGINT) AS bsum,
+        |         CAST(count(*) AS BIGINT) AS bcnt
+        |       FROM bl GROUP BY doc_id, w, h, k),
+        |ts AS (SELECT doc_id, CAST(sum(bsum) AS BIGINT) AS tsum,
+        |         CAST(sum(bcnt) AS BIGINT) AS tcnt
+        |       FROM bs GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(max(b.w) AS BIGINT) AS width,
+        |  CAST(max(b.h) AS BIGINT) AS height,
+        |  CAST(sum(CASE WHEN b.bsum * t.tcnt > t.tsum * b.bcnt
+        |               THEN 1::BIGINT << k ELSE 0 END) AS BIGINT) AS phash,
+        |  CAST(sum(CASE WHEN b.bsum * t.tcnt > t.tsum * b.bcnt
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_ones
+        |FROM bs b JOIN ts t USING (doc_id)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
 
     "mm_decode_png" ->
       """WITH m AS (SELECT doc_id, 1 + doc_id % 13 AS w, 1 + doc_id % 9 AS h

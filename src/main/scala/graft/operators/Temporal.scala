@@ -665,6 +665,37 @@ object Temporal {
         expr("CAST(sign(r1_x2 - n_a * (n_a + 1) - n_a * n_b) AS INT)").as("direction"))
   }
 
+  /** Lead–lag cross-correlation of the daily click and purchase series
+    * (lags −3..+3): does click volume predict purchase volume days
+    * later? Everything downstream of one event-scan groupBy runs on
+    * the DAY domain — the zero-filled grid (gap-fill pattern), the
+    * 7-lag explode, the per-lag rollup — and stays exact BIGINT: the
+    * emitted cov_num = n·Σxy − Σx·Σy is the covariance NUMERATOR
+    * (the sign/argmax carrier), so no sqrt or division ever runs.
+    */
+  def qXcorr(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(expr("ts_us div 86400000000").as("day"), col("event_type"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span.select(explode(expr("sequence(d0, d1)")).as("day"))
+    def daily(t: String) = ev.filter(col("event_type") === t)
+      .groupBy(col("day")).agg(count(lit(1)).as("n"))
+    val a = grid.join(daily("click"), Seq("day"), "left")
+      .select(col("day"), coalesce(col("n"), lit(0L)).as("x"))
+    val b = grid.join(daily("purchase"), Seq("day"), "left")
+      .select(col("day").as("bday"), coalesce(col("n"), lit(0L)).as("y"))
+    a.withColumn("lag", explode(typedlit((-3 to 3).toList)))
+      .join(b, col("bday") === col("day") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n_days"),
+        sum(col("x")).cast("long").as("sum_x"),
+        sum(col("y")).cast("long").as("sum_y"),
+        sum(col("x") * col("y")).cast("long").as("sum_xy"))
+      .withColumn("cov_num",
+        expr("CAST(n_days * sum_xy - sum_x * sum_y AS BIGINT)"))
+      .orderBy(col("lag"))
+  }
+
   /** DAU / rolling-30-day MAU / stickiness — the canonical "distinct
     * over a sliding window" metric, solved without any per-window
     * distinct recount: each user's active days merge into coverage
@@ -844,6 +875,26 @@ object Temporal {
         |  n_a * n_b AS u_mean_x2,
         |  CAST(sign(r1_x2 - n_a * (n_a + 1) - n_a * n_b) AS INT) AS direction
         |FROM r CROSS JOIN t""".stripMargin,
+
+    "q_xcorr" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, event_type FROM events),
+        |sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |grid AS (SELECT unnest(range(d0, d1 + 1)) AS day FROM sp),
+        |ac AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM ev
+        |       WHERE event_type = 'click' GROUP BY day),
+        |pc AS (SELECT day, CAST(count(*) AS BIGINT) AS n FROM ev
+        |       WHERE event_type = 'purchase' GROUP BY day),
+        |a AS (SELECT g.day, COALESCE(ac.n, 0) AS x FROM grid g
+        |      LEFT JOIN ac ON ac.day = g.day),
+        |b AS (SELECT g.day AS bday, COALESCE(pc.n, 0) AS y FROM grid g
+        |      LEFT JOIN pc ON pc.day = g.day),
+        |l AS (SELECT a.day, a.x, lg.i AS lag FROM a, range(-3, 4) lg(i)),
+        |j AS (SELECT l.lag, l.x, b.y FROM l JOIN b ON b.bday = l.day + l.lag)
+        |SELECT CAST(lag AS INT) AS lag, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+        |  CAST(sum(x * y) AS BIGINT) AS sum_xy,
+        |  CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT) AS cov_num
+        |FROM j GROUP BY lag ORDER BY lag""".stripMargin,
 
     "q_streaks" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

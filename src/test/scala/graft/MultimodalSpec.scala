@@ -133,4 +133,31 @@ class MultimodalSpec extends AnyFunSuite {
       "non-media payload must use the deterministic fallback")
     assert(df.count() == 3) // silence unused warning path; schema sanity
   }
+
+  test("phash: 9-bit range, popcount consistency, and a hand-decoded witness") {
+    val rows = graft.operators.Pipeline.mmPhash(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (hash, ones) = (r.getLong(3), r.getLong(4))
+      assert(hash >= 0L && hash < 512L, s"hash outside 9 bits: $r")
+      assert(java.lang.Long.bitCount(hash).toLong == ones, s"popcount: $r")
+      assert(r.getLong(1) == 4 + r.getLong(0) % 21 && r.getLong(2) == 3 + r.getLong(0) % 14)
+    }
+    assert(rows.map(_.getLong(3)).distinct.length > 1, "all hashes equal — degenerate")
+    // independent witness for one doc: recompute from the closed-form pixels
+    val id = rows.head.getLong(0)
+    val w: Int = (4 + id % 21).toInt
+    val h: Int = (3 + id % 14).toInt
+    def blk(v: Int, n: Int) = if (v < n / 3) 0 else if (v < 2 * n / 3) 1 else 2
+    val bs = Array.fill(9)(0L); val bc = Array.fill(9)(0L)
+    for (x <- 0 until w; y <- 0 until h) {
+      val g = ((id + 3L * x + 5L * y) % 256 + (2L * id + 7L * x + y) % 256 +
+        (5L * id + x + 11L * y) % 256) / 3
+      val k = blk(y, h) * 3 + blk(x, w)
+      bs(k) += g; bc(k) += 1
+    }
+    val (ts, tc) = (bs.sum, bc.sum)
+    val want = (0 until 9).map(k => if (bs(k) * tc > ts * bc(k)) 1L << k else 0L).sum
+    assert(rows.head.getLong(3) == want, "witness hash mismatch")
+  }
 }

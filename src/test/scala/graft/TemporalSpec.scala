@@ -342,6 +342,30 @@ class TemporalSpec extends AnyFunSuite {
     assert(r.getLong(3) >= 0L && r.getLong(3) <= 1000000L)
   }
 
+  test("xcorr lags match a brute-force daily-series replay") {
+    val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .selectExpr("ts_us div 86400000000 AS day", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val d0 = ev.map(_._1).min; val d1 = ev.map(_._1).max
+    def series(t: String) = (d0 to d1).map(d => ev.count(e => e._1 == d && e._2 == t).toLong)
+    val (xs, ys) = (series("click"), series("purchase"))
+    val got = Temporal.qXcorr(spark, sf).collect()
+    assert(got.map(_.getInt(0)).toSeq == (-3 to 3))
+    got.foreach { r =>
+      val lag = r.getInt(0)
+      val pairs = xs.indices.flatMap { i =>
+        val j = i + lag
+        if (j >= 0 && j < ys.length) Some((xs(i), ys(j))) else None
+      }
+      assert(r.getLong(1) == pairs.length.toLong, s"n_days: $r")
+      assert(r.getLong(2) == pairs.map(_._1).sum, s"sum_x: $r")
+      assert(r.getLong(3) == pairs.map(_._2).sum, s"sum_y: $r")
+      assert(r.getLong(4) == pairs.map(p => p._1 * p._2).sum, s"sum_xy: $r")
+      assert(r.getLong(5) == pairs.length * pairs.map(p => p._1 * p._2).sum -
+        pairs.map(_._1).sum * pairs.map(_._2).sum, s"cov_num: $r")
+    }
+  }
+
   test("mann-whitney u matches a brute-force tie-averaged rank computation") {
     val pu = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
       .groupBy(col("user_id"))
