@@ -33,6 +33,14 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Driver testdata writes tz-naive timestamp[us]; read it as
+      // TIMESTAMP_LTZ (session tz is pinned UTC, so epoch math matches
+      // the DuckDB oracle's epoch_us) instead of TIMESTAMP_NTZ, which
+      // unix_micros/window() reject.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // Write timestamps as annotated µs (not INT96) so the gate's
+      // arrow-dtype sweep sees the same physical type DuckDB emits.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel(logLevel)

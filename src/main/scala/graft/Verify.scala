@@ -13,8 +13,18 @@ object Verify {
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        // DuckDB emits tz-naive timestamps; our LTZ columns carry the
+        // same UTC wall values (session tz is pinned UTC), so cast them
+        // to NTZ at the dump boundary for an exact arrow-dtype match.
+        val out = df.schema.fields.collect {
+          case f if f.dataType == org.apache.spark.sql.types.TimestampType => f.name
+        }.foldLeft(df) { (d, c) =>
+          d.withColumn(c, d(c).cast(org.apache.spark.sql.types.TimestampNTZType))
+        }
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

@@ -86,7 +86,7 @@ class PlanSpec extends AnyFunSuite {
     val p = plan(operators.Relational.q6FilterAgg(spark, sf))
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"))
     assert(p.contains("ReadSchema: struct<l_quantity:double,l_extendedprice:double," +
-      "l_discount:double,l_shipdate:timestamp_ntz>"))
+      "l_discount:double,l_shipdate:timestamp>"))
   }
 
   test("ranked search: top-k via TakeOrdered, term stats broadcast") {
