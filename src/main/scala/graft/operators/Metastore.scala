@@ -230,12 +230,16 @@ object Metastore {
     * narrow map pass over the visible set.
     */
   def phraseQ(s: SparkSession, d: String): DataFrame =
-    ds.visible(idx(s, d), None)
+    // fanOut AFTER the cheap substring prefilter: only candidate docs
+    // pay the local fan-out shuffle, and the heavy tokenize+adjacency
+    // scan then runs at core-count parallelism instead of on the 1-2
+    // raw parquet splits (identity on a real cluster's many splits).
+    Tables.fanOut(ds.visible(idx(s, d), None)
       // substring presence is a NECESSARY condition for token presence,
       // so this scan-level prefilter is a conservative superset — the
       // tokenizer + adjacency scan run only on candidate docs
       .filter(lower(col("readme")).contains("merge") &&
-        lower(col("readme")).contains("join"))
+        lower(col("readme")).contains("join")))
       .withColumn("toks", Analyzer.tokens(col("readme")))
       .withColumn("n_occ", expr(
         """CAST(CASE WHEN size(toks) >= 2 THEN
@@ -254,7 +258,9 @@ object Metastore {
     * comma-joined term list gate hash-exact.
     */
   def fuzzyQ(s: SparkSession, d: String): DataFrame =
-    ds.visible(idx(s, d), None)
+    // fanOut before the corpus-wide tokenize + per-token edit-distance
+    // scan (identity at cluster split counts, see Tables.fanOut)
+    Tables.fanOut(ds.visible(idx(s, d), None))
       .withColumn("toks", Analyzer.tokens(col("readme")))
       .withColumn("matched", expr(
         "array_sort(array_distinct(filter(toks, t -> levenshtein(t, 'merg') <= 1)))"))
