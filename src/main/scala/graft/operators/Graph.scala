@@ -293,10 +293,14 @@ object Graph {
       .select(col("v"), col("v").as("l"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
+      // fused round: neighbor messages UNION'd with the current labels
+      // as self-messages, one groupBy-min — algebraically identical to
+      // aggregate-then-left-join-least (min is associative), one fewer
+      // join + shuffle per round
       val m = edges.join(broadcast(lbl), col("src") === col("v"))
-        .groupBy(col("dst")).agg(min(col("l")).as("ml"))
-      lbl = lbl.join(m, col("v") === col("dst"), "left")
-        .select(col("v"), least(col("l"), col("ml")).as("l"))
+        .select(col("dst").as("v"), col("l"))
+      lbl = m.union(lbl)
+        .groupBy(col("v")).agg(min(col("l")).as("l"))
         .localCheckpoint()
     }
     lbl.groupBy(col("l").as("component"))
