@@ -119,6 +119,7 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, d) => Pipeline.dedupNgramJaccard(s, d)),
     "dedup_minhash_lsh"   -> ((s, d) => Pipeline.dedupMinhashLsh(s, d)),
     "dedup_simhash"       -> ((s, d) => Pipeline.dedupSimhash(s, d)),
+    "dedup_span"          -> ((s, d) => Pipeline.dedupSpan(s, d)),
     "dedup_levenshtein"   -> ((s, d) => Pipeline.dedupLevenshtein(s, d)),
     "dedup_embedding"     -> ((s, d) => Pipeline.dedupEmbedding(s, d)),
     "dedup_embedding_ivf" -> ((s, d) => Pipeline.dedupEmbeddingIvf(s, d)),
@@ -212,6 +213,7 @@ object SparkEntry {
     "mm_decode_jpeg"      -> ((s, d) => Pipeline.mmDecodeJpeg(s, d)),
     "mm_phash"            -> ((s, d) => Pipeline.mmPhash(s, d)),
     "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),
+    "txt_repetition"      -> ((s, d) => Text.repetition(s, d)),
     "txt_bigram_coverage" -> ((s, d) => Text.bigramCoverage(s, d)),
     "q_multi_distinct"  -> ((s, d) => Pipeline.multiDistinct(s, d)),
   )

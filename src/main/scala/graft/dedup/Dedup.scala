@@ -46,6 +46,47 @@ object Dedup {
       s"i -> array_to_string(list_slice($toks, i, i + ${n - 1}), '_')))"
   }
 
+  /** Repeated-span audit — the exact-substring dedup signal from the
+    * public "deduplicating training data" literature: a K-token span
+    * that recurs across documents marks boilerplate / cloned passages
+    * that exact whole-doc dedup misses. Per doc: total K-token spans,
+    * distinct spans, distinct spans also present in ≥1 OTHER doc, and
+    * the ×1e6 contaminated fraction. Span identity is the ×31 mod 1e9+7
+    * poly-hash of the '_'-joined token window (the oracle replays the
+    * identical fold, so even a collision would gate identically); only
+    * 8-byte hashes ever cross a shuffle — corpus text stays in-map. The
+    * span→doc-count groupBy and the candidate join are both bounded by
+    * corpus token volume, the same budget the n-gram index queries
+    * already pay, so the shape holds at 100 TB.
+    */
+  def spanDups(docs: DataFrame, k: Int = 8): DataFrame = {
+    val tk = TextFunctions.rawTokens(col("text"))
+    // distinct span hashes per doc (WordShingles dedups per doc) —
+    // checkpointed once: consumed by the explode AND the final join
+    val spans = graft.Tables.fanOut(docs)
+      .select(col("doc_id"), tk.as("tk"))
+      .select(col("doc_id"),
+        greatest(size(col("tk")).cast("long") - (k - 1), lit(0L)).as("n_spans"),
+        transform(
+          graft.functions.TextExpressionFunctions
+            .wordShingles(array_join(col("tk"), " "), k),
+          sh => TextFunctions.fingerprint(sh)).as("hs"))
+      .withColumn("n_spans_d", size(col("hs")).cast("long"))
+      .localCheckpoint()
+    val ex = spans.select(col("doc_id"), explode(col("hs")).as("h"))
+    val shared = ex.groupBy(col("h"))
+      .agg(count(lit(1)).as("nd"))
+      .filter(col("nd") >= 2)
+    val dup = ex.join(shared.select(col("h")), "h")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dup"))
+    spans.join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"), col("n_spans_d"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"))
+      .withColumn("dup_x1e6",
+        expr("(n_dup * 1000000) div greatest(n_spans_d, 1)"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Exact dedup: cluster docs by fingerprint of analyzer-normalized text;
     * every doc annotated with its cluster representative + size.
     */

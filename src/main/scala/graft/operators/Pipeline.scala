@@ -29,6 +29,9 @@ object Pipeline {
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d))
 
+  def dedupSpan(s: SparkSession, d: String): DataFrame =
+    Dedup.spanDups(Tables.documents(s, d))
+
   def dedupLevenshtein(s: SparkSession, d: String): DataFrame =
     Dedup.levenshteinPairs(Tables.documents(s, d))
 
@@ -1051,6 +1054,31 @@ object Pipeline {
          |FROM sig x JOIN sig y ON x.doc_id < y.doc_id
          |WHERE bit_count(xor(x.sig, y.sig)) <= ${Dedup.SimHamK}
          |ORDER BY a, b""".stripMargin,
+
+    "dedup_span" -> {
+      val fp = graft.text.TextFunctions
+        .fingerprintSql("array_to_string(list_slice(tk, i, i + 7), '_')")
+      s"""WITH t AS (
+         |  SELECT doc_id, ${graft.text.TextFunctions.rawTokensSql("text")} AS tk
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id,
+         |    greatest(CAST(len(tk) AS BIGINT) - 7, CAST(0 AS BIGINT)) AS n_spans,
+         |    CASE WHEN len(tk) >= 8 THEN
+         |      list_distinct(list_transform(range(1, len(tk) - 6), i -> $fp))
+         |    ELSE CAST([] AS BIGINT[]) END AS hs
+         |  FROM t),
+         |ex AS (SELECT doc_id, unnest(hs) AS h FROM s),
+         |c AS (SELECT h FROM (SELECT h, count(*) AS nd FROM ex GROUP BY h)
+         |      WHERE nd >= 2),
+         |d AS (SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_dup
+         |      FROM ex JOIN c USING (h) GROUP BY ex.doc_id)
+         |SELECT s.doc_id, s.n_spans, CAST(len(s.hs) AS BIGINT) AS n_spans_d,
+         |  COALESCE(d.n_dup, CAST(0 AS BIGINT)) AS n_dup,
+         |  (COALESCE(d.n_dup, CAST(0 AS BIGINT)) * 1000000)
+         |    // greatest(CAST(len(s.hs) AS BIGINT), 1) AS dup_x1e6
+         |FROM s LEFT JOIN d USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
 
     "dedup_embedding" -> pairSimSql(400000L),
     "dedup_embedding_ivf" ->

@@ -246,6 +246,59 @@ object Text {
         expr("(1000000 * sum_tf2) div (n_tok * n_tok)").as("simpson_x1e6"))
       .orderBy(col("doc_id"))
 
+  /** Intra-document repetition metrics — the classic LLM-corpus quality
+    * filters (duplicate-word fraction, top 2-gram / 3-gram occupancy;
+    * the MassiveText/Gopher "repetitious text" family, public knowledge):
+    * a document dominated by one repeated phrase is low-value training
+    * data even when every individual token looks fine. All three
+    * statistics are computed IN-MAP per document: n-grams are hashed
+    * (graft_poly_hash — the same ×31 mod 1e9+7 fold the DuckDB oracle
+    * replays), sorted, and the top n-gram count is the longest run in
+    * the sorted hash array via a single aggregate() fold — no shuffle
+    * carries grams, no per-gram groupBy; the only exchange is the local
+    * scan fan-out, so the operator is embarrassingly parallel at any
+    * corpus size. Integer-scaled (×1e6) fractions gate exactly.
+    */
+  def repetition(s: SparkSession, d: String): DataFrame = {
+    // longest run in a sorted BIGINT array = max multiplicity; hash
+    // values are non-negative so -1 is a safe initial sentinel
+    def maxRun(arr: String) =
+      s"""aggregate($arr,
+         |  named_struct('prev', CAST(-1 AS BIGINT), 'run', CAST(0 AS BIGINT),
+         |               'best', CAST(0 AS BIGINT)),
+         |  (acc, x) -> named_struct(
+         |    'prev', x,
+         |    'run',  IF(x = acc.prev, acc.run + CAST(1 AS BIGINT), CAST(1 AS BIGINT)),
+         |    'best', GREATEST(acc.best,
+         |      IF(x = acc.prev, acc.run + CAST(1 AS BIGINT), CAST(1 AS BIGINT)))),
+         |  acc -> acc.best)""".stripMargin
+    def gramHashes(n: Int): String = {
+      val gram = (0 until n).map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
+        .mkString("concat_ws(' ', ", ", ", ")")
+      s"""CASE WHEN size(tk) >= $n THEN
+         |  array_sort(transform(sequence(0, size(tk) - $n),
+         |    i -> graft_poly_hash($gram)))
+         |ELSE CAST(array() AS ARRAY<BIGINT>) END""".stripMargin
+    }
+    Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), rawTokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tok"),
+        size(array_distinct(col("tk"))).cast("long").as("n_uniq"),
+        expr(maxRun(gramHashes(2))).as("top2"),
+        expr(maxRun(gramHashes(3))).as("top3"))
+      .select(col("doc_id"), col("n_tok"),
+        expr("((n_tok - n_uniq) * 1000000) div greatest(n_tok, 1)").as("dup_word_x1e6"),
+        col("top2"),
+        expr("(top2 * 1000000) div greatest(n_tok - 1, 1)").as("top2_x1e6"),
+        col("top3"),
+        expr("(top3 * 1000000) div greatest(n_tok - 2, 1)").as("top3_x1e6"))
+      .withColumn("repetitive",
+        col("dup_word_x1e6") > 600000 || col("top2_x1e6") > 200000 ||
+          col("top3_x1e6") > 180000)
+      .orderBy(col("doc_id"))
+  }
+
   /** BPE tokenizer-training inner loop: adjacent symbol-pair counts
     * weighted by word frequency — the statistic each merge round of
     * byte-pair encoding maximizes. Two-level aggregation keeps every
@@ -397,7 +450,54 @@ object Text {
     s"('$l', CAST($p AS BIGINT), ${words.map(w => s"'$w'").mkString("[", ",", "]")})"
   }.mkString(", ")
 
+  /** 1-based DuckDB n-gram hash list matching repetition()'s 0-based
+    * Spark transform (same ' ' joiner, same poly-hash fold). The top
+    * count is taken by unnest + GROUP BY max rather than a list_reduce
+    * run-length fold: DuckDB 1.0 mutates a struct accumulator field by
+    * field during struct_pack assignment, so a fold whose later fields
+    * read earlier accumulator fields computes the wrong thing.
+    */
+  private def gramHashesSql(n: Int): String = {
+    val gram = (0 until n).map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
+      .mkString(" || ' ' || ")
+    s"""CASE WHEN len(tk) >= $n THEN
+       |  list_transform(range(1, len(tk) - ${n - 2}), i -> ${fingerprintSql(gram)})
+       |ELSE CAST([] AS BIGINT[]) END""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "txt_repetition" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${rawTokensSql("text")} AS tk FROM documents),
+         |base AS (
+         |  SELECT doc_id,
+         |    CAST(len(tk) AS BIGINT) AS n_tok,
+         |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq
+         |  FROM t),
+         |m2 AS (
+         |  SELECT doc_id, max(c) AS top2 FROM (
+         |    SELECT doc_id, h, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(${gramHashesSql(2)}) AS h FROM t)
+         |    GROUP BY doc_id, h) GROUP BY doc_id),
+         |m3 AS (
+         |  SELECT doc_id, max(c) AS top3 FROM (
+         |    SELECT doc_id, h, count(*) AS c
+         |    FROM (SELECT doc_id, unnest(${gramHashesSql(3)}) AS h FROM t)
+         |    GROUP BY doc_id, h) GROUP BY doc_id),
+         |g AS (
+         |  SELECT b.doc_id, b.n_tok, b.n_uniq,
+         |    COALESCE(m2.top2, CAST(0 AS BIGINT)) AS top2,
+         |    COALESCE(m3.top3, CAST(0 AS BIGINT)) AS top3
+         |  FROM base b LEFT JOIN m2 USING (doc_id) LEFT JOIN m3 USING (doc_id))
+         |SELECT doc_id, n_tok,
+         |  ((n_tok - n_uniq) * 1000000) // greatest(n_tok, 1) AS dup_word_x1e6,
+         |  top2, (top2 * 1000000) // greatest(n_tok - 1, 1) AS top2_x1e6,
+         |  top3, (top3 * 1000000) // greatest(n_tok - 2, 1) AS top3_x1e6,
+         |  (((n_tok - n_uniq) * 1000000) // greatest(n_tok, 1) > 600000
+         |    OR (top2 * 1000000) // greatest(n_tok - 1, 1) > 200000
+         |    OR (top3 * 1000000) // greatest(n_tok - 2, 1) > 180000) AS repetitive
+         |FROM g ORDER BY doc_id""".stripMargin,
+
     "q_lateral_explode" ->
       s"""WITH t AS (
          |  SELECT doc_id,

@@ -562,6 +562,44 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("repetition metrics match a brute-force per-doc recount") {
+    def toks(t: String): Array[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+    val texts = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> toks(r.getString(1))).toMap
+    val rows = operators.Text.repetition(spark, sf).collect()
+    assert(rows.length == texts.size)
+    rows.foreach { r =>
+      val tk = texts(r.getLong(0))
+      val n = tk.length.toLong
+      def topN(g: Int): Long =
+        if (tk.length < g) 0L
+        else tk.sliding(g).map(_.toList).toSeq.groupBy(identity).values.map(_.size).max.toLong
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == (n - tk.distinct.length) * 1000000L / math.max(n, 1L))
+      assert(r.getLong(3) == topN(2), s"top2 mismatch for doc ${r.getLong(0)}")
+      assert(r.getLong(5) == topN(3), s"top3 mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
+  test("span dedup: duplicated-span counts match a brute-force span index") {
+    def spans(t: String): Set[String] =
+      t.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .sliding(8).filter(_.length == 8).map(_.mkString("_")).toSet
+    val sp = docs.select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> spans(r.getString(1))).toMap
+    val docCount = sp.toSeq.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val rows = Pipeline.dedupSpan(spark, sf).collect()
+    assert(rows.length == sp.size)
+    rows.foreach { r =>
+      val ss = sp(r.getLong(0))
+      assert(r.getLong(2) == ss.size.toLong)
+      val expectDup = ss.count(s => docCount(s) >= 2).toLong
+      assert(r.getLong(3) == expectDup, s"n_dup mismatch for doc ${r.getLong(0)}")
+    }
+  }
+
   test("ivf-blocked embedding dedup: complete within cells, sound vs brute") {
     val out = Pipeline.dedupEmbeddingIvf(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
