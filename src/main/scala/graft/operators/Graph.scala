@@ -292,16 +292,19 @@ object Graph {
     var lbl = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("l"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       // fused round: neighbor messages UNION'd with the current labels
       // as self-messages, one groupBy-min — algebraically identical to
       // aggregate-then-left-join-least (min is associative), one fewer
-      // join + shuffle per round
+      // join + shuffle per round. Checkpoint every SECOND round: the
+      // odd round's broadcast re-runs one in-memory E-join (cheap),
+      // halving the per-round materialization barriers that dominate
+      // this latency-bound loop locally.
       val m = edges.join(broadcast(lbl), col("src") === col("v"))
         .select(col("dst").as("v"), col("l"))
       lbl = m.union(lbl)
         .groupBy(col("v")).agg(min(col("l")).as("l"))
-        .localCheckpoint()
+      if (i % 2 == 0 || i == iters) lbl = lbl.localCheckpoint()
     }
     lbl.groupBy(col("l").as("component"))
       .agg(count(lit(1)).as("n_parts"), min(col("v")).as("min_part"),
