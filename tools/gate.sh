@@ -5,8 +5,10 @@ set -e
 cd /root/repo
 SF=${1:-/root/testdata/sf0.01}
 shift || true
-OUT=/tmp/verify_out
-rm -rf "$OUT"
+# unique per invocation: concurrent gate runs must not clobber each
+# other's dump dir mid-compare
+OUT=$(mktemp -d /tmp/verify_out.XXXXXX)
+trap 'rm -rf "$OUT"' EXIT
 sbt -batch -error compile
 CP="target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
 ADD_OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED --add-opens=java.base/java.lang.invoke=ALL-UNNAMED --add-opens=java.base/java.lang.reflect=ALL-UNNAMED --add-opens=java.base/java.io=ALL-UNNAMED --add-opens=java.base/java.net=ALL-UNNAMED --add-opens=java.base/java.nio=ALL-UNNAMED --add-opens=java.base/java.util=ALL-UNNAMED --add-opens=java.base/java.util.concurrent=ALL-UNNAMED --add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED --add-opens=java.base/sun.nio.ch=ALL-UNNAMED --add-opens=java.base/sun.nio.cs=ALL-UNNAMED --add-opens=java.base/sun.security.action=ALL-UNNAMED --add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
