@@ -33,6 +33,7 @@ object SparkEntry {
     "ms_more_like_this"    -> ((s, d) => Metastore.moreLikeThisQ(s, d)),
     "ms_phrase"            -> ((s, d) => Metastore.phraseQ(s, d)),
     "ms_fuzzy"             -> ((s, d) => Metastore.fuzzyQ(s, d)),
+    "ms_wildcard"          -> ((s, d) => Metastore.wildcardQ(s, d)),
     "ms_filter_negation"   -> ((s, d) => Metastore.filterNegation(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
     "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),
@@ -137,6 +138,7 @@ object SparkEntry {
     "q_triangle_count" -> ((s, d) => operators.Graph.triangleCounts(s, d)),
     "q_common_neighbors" -> ((s, d) => operators.Graph.commonNeighbors(s, d)),
     "q_components"     -> ((s, d) => operators.Graph.components(s, d)),
+    "q_basket_rules"   -> ((s, d) => operators.Graph.basketRules(s, d)),
     "q_skyline"    -> ((s, d) => Relational.qSkyline(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
     "txt_pii_scrub" -> ((s, d) => Text.piiScrub(s, d)),
@@ -200,6 +202,8 @@ object SparkEntry {
     "q_sessionize"        -> ((s, d) => operators.Temporal.qSessionize(s, d)),
     "q_dau_mau"           -> ((s, d) => operators.Temporal.qDauMau(s, d)),
     "q_xcorr"             -> ((s, d) => operators.Temporal.qXcorr(s, d)),
+    "q_locf"              -> ((s, d) => operators.Temporal.qLocf(s, d)),
+    "q_runs_test"         -> ((s, d) => operators.Temporal.qRunsTest(s, d)),
     "q_asof_nearest"      -> ((s, d) => operators.Temporal.qAsofNearest(s, d)),
     "q_funnel_window"     -> ((s, d) => operators.Temporal.qFunnelWindow(s, d)),
     "q_ttest"             -> ((s, d) => operators.Temporal.qTtest(s, d)),

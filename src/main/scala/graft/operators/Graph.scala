@@ -312,6 +312,45 @@ object Graph {
       .orderBy(col("component"))
   }
 
+  /** Market-basket association rules over parts co-purchased in the
+    * same order — the classic retail-analytics operator (Agrawal–Srikant
+    * support/confidence/lift, frequent-pair tier): for every part pair
+    * seen together in ≥2 distinct orders, support·10⁶, both directed
+    * confidences, and lift·10⁶, all exact integers (lift's n_ab·N·10⁶
+    * staged through DECIMAL(38,0) for 100 TB headroom). Scale shape:
+    * identical to [[components]]'s edge extraction — per-order distinct
+    * part sets, pairs generated by the codegen'd [[graft.functions.SortedLongPairs]]
+    * (blowup bounded per order, never per part); the item-frequency side
+    * is part-dimension-sized and broadcast. Top 100 by lift.
+    */
+  def basketRules(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.fanOut(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+    val op = li.distinct()
+    val nOrders = op.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
+    val item = op.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val pairs = op.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .select(explode(graft.functions.GraphExpressionFunctions
+        .sortedLongPairs(col("ps"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      .join(broadcast(item.select(col("pk").as("a"), col("n_item").as("n_a"))), Seq("a"))
+      .join(broadcast(item.select(col("pk").as("b"), col("n_item").as("n_b"))), Seq("b"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("(n_ab * 1000000) div n_orders").as("support_x1e6"),
+        expr("(n_ab * 1000000) div n_a").as("conf_ab_x1e6"),
+        expr("(n_ab * 1000000) div n_b").as("conf_ba_x1e6"),
+        expr("""CAST(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000
+               |  div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""".stripMargin)
+          .as("lift_x1e6"))
+      .orderBy(col("lift_x1e6").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
   /** One BFS relaxation block in DuckDB SQL (least() skips NULLs in
     * both engines, so "unreached" propagates identically). Each d{i} is
     * referenced twice by round i+1 — MATERIALIZED stops the CTE chain
@@ -342,6 +381,27 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_basket_rules" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM op),
+        |item AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item FROM op GROUP BY pk),
+        |pairs AS (
+        |  SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY a, b),
+        |f AS (SELECT * FROM pairs WHERE n_ab >= 2)
+        |SELECT f.a, f.b, f.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        |  (f.n_ab * 1000000) // n.n_orders AS support_x1e6,
+        |  (f.n_ab * 1000000) // ia.n_item AS conf_ab_x1e6,
+        |  (f.n_ab * 1000000) // ib.n_item AS conf_ba_x1e6,
+        |  CAST(CAST(f.n_ab AS HUGEINT) * n.n_orders * 1000000
+        |    // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT) AS lift_x1e6
+        |FROM f
+        |JOIN item ia ON ia.pk = f.a
+        |JOIN item ib ON ib.pk = f.b
+        |CROSS JOIN n
+        |ORDER BY lift_x1e6 DESC, f.a, f.b LIMIT 100""".stripMargin,
+
     "q_pagerank" -> {
       val steps = (1 to 5).map(prStep).mkString(",\n")
       s"""WITH e AS MATERIALIZED (

@@ -182,6 +182,23 @@ object Metastore {
       .orderBy(col("df").desc, col("term"))
       .limit(10)
 
+  /** Wildcard term query (ES `wildcard` analog, beyond the reference's
+    * plain match): visible docs containing any analyzed readme term
+    * matching the pattern `m*e` (SQL `m%e`), with the matching term set
+    * emitted sorted so the gate hash-compares it. The pattern runs as a
+    * codegen'd higher-order `filter` over the token array — no explode;
+    * on a real serving path the pattern would expand against the term
+    * dictionary first, exactly like [[suggestQ]]'s prefix walk.
+    */
+  def wildcardQ(s: SparkSession, d: String): DataFrame =
+    ds.visible(idx(s, d), None)
+      .withColumn("mt", sort_array(array_distinct(
+        filter(Analyzer.tokens(col("readme")), t => t.like("m%e")))))
+      .filter(size(col("mt")) > 0)
+      .select(col("doc_id"), col("name"), size(col("mt")).as("n_terms"),
+        concat_ws(",", col("mt")).as("matched_terms"))
+      .orderBy(col("doc_id")).limit(100)
+
   /** More-like-this (ES MLT analog, beyond the reference): rank visible
     * docs by rarity-weighted overlap with a seed doc's distinct readme
     * terms — weight = (N·1000) div df, the same integer idf surrogate
@@ -472,6 +489,16 @@ object Metastore {
          |SELECT term, CAST(count(*) AS BIGINT) AS df
          |FROM t WHERE term LIKE 's%'
          |GROUP BY term ORDER BY df DESC, term LIMIT 10""".stripMargin,
+
+    "ms_wildcard" ->
+      s"""$idxCte,
+         |m AS (SELECT doc_id, name,
+         |        list_sort(list_distinct(list_filter(${tok("readme")},
+         |          x -> x LIKE 'm%e'))) AS mt
+         |      FROM idx WHERE findability = 'published')
+         |SELECT doc_id, name, CAST(len(mt) AS INT) AS n_terms,
+         |  array_to_string(mt, ',') AS matched_terms
+         |FROM m WHERE len(mt) > 0 ORDER BY doc_id LIMIT 100""".stripMargin,
 
     "ms_more_like_this" ->
       s"""$idxCte,

@@ -736,7 +736,147 @@ object Temporal {
       .orderBy(col("day"))
   }
 
+  /** Gap-fill with last-observation-carried-forward — the time-series
+    * repair primitive [[Relational.qGapFill]]'s zero-fill can't express:
+    * per user-bucket (user_id mod 16), the daily purchase-cents series
+    * on the full day grid, with missing days carried forward from the
+    * bucket's previous observed day (`last(_, ignoreNulls)` over the
+    * trailing frame — Spark's IGNORE NULLS window, matched by DuckDB's
+    * `last_value(x IGNORE NULLS)`). Days before a bucket's first
+    * observation stay NULL in both engines. Scale shape: the event log
+    * collapses to (bucket, day) partial aggregates map-side; the grid is
+    * |buckets|×|days| (tiny); the only window is per-bucket over days —
+    * partitioned, no global sort.
+    */
+  def qLocf(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts_us div 86400000000").as("day"),
+        expr("user_id % 16").as("bucket"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val daily = ev.groupBy(col("bucket"), col("day"))
+      .agg(sum(col("cents")).cast("long").as("cents_raw"))
+    val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+    val grid = span.select(explode(expr("sequence(d0, d1)")).as("day"))
+      .crossJoin(spark_range16(s))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(daily, Seq("bucket", "day"), "left")
+      .withColumn("cents_locf", last(col("cents_raw"), ignoreNulls = true).over(w))
+      .withColumn("filled", expr(
+        "CAST(CASE WHEN cents_raw IS NULL AND cents_locf IS NOT NULL THEN 1 ELSE 0 END AS INT)"))
+      .select(col("bucket"), col("day"), col("cents_raw"), col("cents_locf"), col("filled"))
+      .orderBy(col("bucket"), col("day"))
+  }
+
+  private def spark_range16(s: SparkSession): DataFrame =
+    s.range(16).select(col("id").as("bucket"))
+
+  /** Wald–Wolfowitz runs test for randomness of the daily purchase-
+    * revenue series around its median — the fourth member of the exact
+    * significance-test family ([[qTtest]]/[[qKsTest]]/[[qMannWhitney]]):
+    * days are signed +/− against the LOWER median (row_number pick, no
+    * interpolation — deterministic in both engines), ties dropped, runs
+    * counted as 1 + sign changes. μ and σ² of the run count under H₀
+    * stay exact integers staged ×10⁶/×10¹² through DECIMAL(38,0), and
+    * the only float op is the same correctly-rounded `sqrt`-of-integer
+    * the t-test uses; |z| and sign emit separately (div vs `//` disagree
+    * on negatives). Scale: everything after one event-scan groupBy runs
+    * on the DAY domain.
+    */
+  def qRunsTest(s: SparkSession, d: String): DataFrame = {
+    val daily = EventStreams.normalize(Tables.events(s, d))
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts_us div 86400000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).cast("long").as("x"))
+    val nTot = daily.agg(count(lit(1)).as("n_days"))
+    val med = daily
+      .withColumn("rn", row_number().over(Window.orderBy(col("x"))))
+      .crossJoin(broadcast(nTot))
+      .filter(col("rn") === expr("(n_days + 1) div 2"))
+      .select(col("x").as("med"))
+    val wD = Window.orderBy(col("day"))
+    daily.crossJoin(broadcast(med))
+      .filter(col("x") =!= col("med"))
+      .select(col("day"), when(col("x") > col("med"), 1).otherwise(-1).as("sgn"))
+      .withColumn("chg",
+        when(lag(col("sgn"), 1).over(wD).isNull ||
+          col("sgn") =!= lag(col("sgn"), 1).over(wD), 1L).otherwise(0L))
+      .agg(
+        sum(when(col("sgn") === 1, 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("sgn") === -1, 1L).otherwise(0L)).cast("long").as("n2"),
+        sum(col("chg")).cast("long").as("n_runs"))
+      .withColumn("mu_x1e6", expr("(2 * n1 * n2 * 1000000) div (n1 + n2) + 1000000"))
+      .withColumn("var_x1e12", expr(
+        """CAST(CAST(2 * n1 * n2 AS DECIMAL(38,0)) * (2 * n1 * n2 - n1 - n2) * 1000000000000
+          |  div (CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2) * (n1 + n2 - 1)) AS BIGINT)""".stripMargin))
+      .withColumn("sd_x1e6", expr("CAST(floor(sqrt(CAST(var_x1e12 AS DOUBLE))) AS BIGINT)"))
+      .withColumn("z_abs_x1e3", expr("(abs(n_runs * 1000000 - mu_x1e6) * 1000) div sd_x1e6"))
+      .withColumn("z_sign", expr(
+        "CAST(CASE WHEN n_runs * 1000000 < mu_x1e6 THEN -1 WHEN n_runs * 1000000 > mu_x1e6 THEN 1 ELSE 0 END AS INT)"))
+      .select(col("n1"), col("n2"), col("n_runs"), col("mu_x1e6"),
+        col("var_x1e12"), col("sd_x1e6"), col("z_abs_x1e3"), col("z_sign"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_locf" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, user_id % 16 AS bucket,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |daily AS (SELECT bucket, day, CAST(sum(cents) AS BIGINT) AS cents_raw
+        |          FROM ev GROUP BY bucket, day),
+        |sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
+        |grid AS (SELECT b.i AS bucket, g.day
+        |         FROM range(0, 16) b(i),
+        |              (SELECT unnest(range(d0, d1 + 1)) AS day FROM sp) g),
+        |j AS (SELECT g.bucket, g.day, daily.cents_raw
+        |      FROM grid g LEFT JOIN daily
+        |        ON daily.bucket = g.bucket AND daily.day = g.day),
+        |f AS (SELECT bucket, day, cents_raw,
+        |        last_value(cents_raw IGNORE NULLS) OVER (
+        |          PARTITION BY bucket ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cents_locf
+        |      FROM j)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, day, cents_raw, cents_locf,
+        |  CAST(CASE WHEN cents_raw IS NULL AND cents_locf IS NOT NULL
+        |       THEN 1 ELSE 0 END AS INT) AS filled
+        |FROM f ORDER BY bucket, day""".stripMargin,
+
+    "q_runs_test" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS x FROM ev GROUP BY day),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
+        |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM daily),
+        |med AS (SELECT x AS med FROM r, t WHERE rn = (n_days + 1) // 2),
+        |sg AS (SELECT day, CASE WHEN x > med THEN 1 ELSE -1 END AS sgn
+        |       FROM daily, med WHERE x <> med),
+        |c AS (SELECT sgn,
+        |        CASE WHEN lag(sgn) OVER (ORDER BY day) IS NULL
+        |               OR sgn <> lag(sgn) OVER (ORDER BY day)
+        |             THEN 1 ELSE 0 END AS chg
+        |      FROM sg),
+        |a AS (SELECT
+        |        CAST(sum(CASE WHEN sgn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |        CAST(sum(CASE WHEN sgn = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |        CAST(sum(chg) AS BIGINT) AS n_runs
+        |      FROM c),
+        |b AS (SELECT n1, n2, n_runs,
+        |        (2 * n1 * n2 * 1000000) // (n1 + n2) + 1000000 AS mu_x1e6,
+        |        CAST(CAST(2 * n1 * n2 AS HUGEINT) * (2 * n1 * n2 - n1 - n2) * 1000000000000
+        |          // (CAST(n1 + n2 AS HUGEINT) * (n1 + n2) * (n1 + n2 - 1)) AS BIGINT) AS var_x1e12
+        |      FROM a),
+        |e AS (SELECT *, CAST(floor(sqrt(CAST(var_x1e12 AS DOUBLE))) AS BIGINT) AS sd_x1e6 FROM b)
+        |SELECT n1, n2, n_runs, mu_x1e6, var_x1e12, sd_x1e6,
+        |  (abs(n_runs * 1000000 - mu_x1e6) * 1000) // sd_x1e6 AS z_abs_x1e3,
+        |  CAST(CASE WHEN n_runs * 1000000 < mu_x1e6 THEN -1
+        |            WHEN n_runs * 1000000 > mu_x1e6 THEN 1 ELSE 0 END AS INT) AS z_sign
+        |FROM e""".stripMargin,
+
     "q_dau_mau" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
         |l AS (SELECT user_id, day,

@@ -152,4 +152,33 @@ class GraphSpec extends AnyFunSuite {
       .selectExpr("size(cr) n").collect().head.getInt(0)
     assert(none == 0, "empty intersection must yield an empty credit array")
   }
+
+  test("basket rules equal a driver-side support/confidence/lift recompute") {
+    import org.apache.spark.sql.functions._
+    val op = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nOrders = op.map(_._1).distinct.length.toLong
+    val item = op.groupBy(_._2).map { case (pk, xs) => pk -> xs.length.toLong }
+    val pairCount = op.groupBy(_._1).iterator.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).map { case (p, occ) => p -> occ.length.toLong }
+    val rows = operators.Graph.basketRules(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach { r =>
+      val (a, b, nAb, nA, nB) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(pairCount((a, b)) == nAb && item(a) == nA && item(b) == nB, s"counts: $r")
+      assert(nAb >= 2 && nAb <= math.min(nA, nB), s"bounds: $r")
+      assert(r.getLong(5) == nAb * 1000000L / nOrders, s"support: $r")
+      assert(r.getLong(6) == nAb * 1000000L / nA, s"conf a->b: $r")
+      assert(r.getLong(7) == nAb * 1000000L / nB, s"conf b->a: $r")
+      assert(r.getLong(8) == (BigInt(nAb) * nOrders * 1000000 / (BigInt(nA) * nB)).toLong,
+        s"lift: $r")
+    }
+    // emitted in lift order
+    val lifts = rows.map(_.getLong(8))
+    assert(lifts.zip(lifts.tail).forall { case (x, y) => x >= y })
+  }
 }

@@ -160,6 +160,21 @@ class SearchSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("wildcard match equals a driver-side pattern scan of the analyzed tokens") {
+    val pat = "^m.*e$".r
+    val want = ds.visible(idx, None).select(col("doc_id"), col("readme")).collect()
+      .map { r =>
+        val mt = Analyzer.analyzeQuery(r.getString(1)).distinct
+          .filter(t => pat.findFirstIn(t).isDefined).sorted
+        r.getLong(0) -> mt
+      }
+      .filter(_._2.nonEmpty).sortBy(_._1).take(100).toSeq
+    val got = Metastore.wildcardQ(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getString(3).split(",").toSeq).toSeq
+    assert(got.map(_._1) == want.map(_._1))
+    got.zip(want).foreach { case ((_, g), (_, w)) => assert(g == w, s"$g != $w") }
+  }
+
   test("fuzzy match: every matched term is within edit distance 1 of the query") {
     val rows = Metastore.fuzzyQ(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -433,4 +433,44 @@ class TemporalSpec extends AnyFunSuite {
       assert(r.getInt(4) == 1 + c.size + p.size, s"steps: $r")
     }
   }
+
+  test("runs test equals a driver-side replay of the sign/run recurrence") {
+    val daily = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts_us div 86400000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val xs = daily.map(_._2)
+    val med = xs.sorted.apply(((xs.length + 1) / 2) - 1)
+    val signs = daily.filter(_._2 != med).map(d => if (d._2 > med) 1 else -1)
+    val n1 = signs.count(_ == 1).toLong
+    val n2 = signs.count(_ == -1).toLong
+    val runs = if (signs.isEmpty) 0L
+      else 1L + signs.zip(signs.tail).count { case (a, b) => a != b }
+    val r = Temporal.qRunsTest(spark, sf).collect().head
+    assert(r.getLong(0) == n1 && r.getLong(1) == n2 && r.getLong(2) == runs, s"replay mismatch: $r")
+    assert(r.getLong(3) == (2 * n1 * n2 * 1000000L) / (n1 + n2) + 1000000L, s"mu: $r")
+    // z decomposition is internally consistent
+    val (muX, sd, zAbs) = (r.getLong(3), r.getLong(5), r.getLong(6))
+    assert(zAbs == math.abs(runs * 1000000L - muX) * 1000L / sd, s"z: $r")
+  }
+
+  test("locf: filled days carry the bucket's previous observed value forward") {
+    val rows = Temporal.qLocf(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, bs) =>
+      var carried: Option[Long] = None
+      bs.sortBy(_.getLong(1)).foreach { r =>
+        val raw = if (r.isNullAt(2)) None else Some(r.getLong(2))
+        if (raw.isDefined) carried = raw
+        val locf = if (r.isNullAt(3)) None else Some(r.getLong(3))
+        assert(locf == carried, s"locf drift: $r")
+        assert(r.getInt(4) == (if (raw.isEmpty && carried.isDefined) 1 else 0),
+          s"filled flag: $r")
+      }
+    }
+    // the series must actually exercise the fill path
+    assert(rows.exists(_.getInt(4) == 1), "no filled day — grid not sparse")
+  }
 }
