@@ -281,9 +281,15 @@ object Graph {
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2)
-    // symmetric edge list + vertex set, checkpointed once
+    // symmetric edge list + vertex set, checkpointed once. The
+    // repartition matters for the LOOP, not the data: the raw union
+    // carries 2× the aggregation's partition count, and every one of
+    // the 8 rounds would relaunch that many near-empty join tasks; an
+    // AQE-coalesced exchange right-sizes the checkpointed edges by
+    // BYTES (1-2 partitions locally, full width on a real cluster).
     val edges = repeat.select(col("a").as("src"), col("b").as("dst"))
       .union(repeat.select(col("b"), col("a")))
+      .repartition(col("src"))
       .localCheckpoint()
     // each round materializes (localCheckpoint) — the broadcast of round
     // i would otherwise re-execute rounds 1..i-1's joins, turning 8
