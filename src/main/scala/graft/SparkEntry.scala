@@ -34,6 +34,7 @@ object SparkEntry {
     "ms_phrase"            -> ((s, d) => Metastore.phraseQ(s, d)),
     "ms_fuzzy"             -> ((s, d) => Metastore.fuzzyQ(s, d)),
     "ms_wildcard"          -> ((s, d) => Metastore.wildcardQ(s, d)),
+    "ms_bm25"              -> ((s, d) => Metastore.bm25Q(s, d)),
     "ms_filter_negation"   -> ((s, d) => Metastore.filterNegation(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
     "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),
@@ -203,6 +204,7 @@ object SparkEntry {
     "q_dau_mau"           -> ((s, d) => operators.Temporal.qDauMau(s, d)),
     "q_xcorr"             -> ((s, d) => operators.Temporal.qXcorr(s, d)),
     "q_locf"              -> ((s, d) => operators.Temporal.qLocf(s, d)),
+    "q_rolling_median"    -> ((s, d) => operators.Temporal.qRollingMedian(s, d)),
     "q_runs_test"         -> ((s, d) => operators.Temporal.qRunsTest(s, d)),
     "q_asof_nearest"      -> ((s, d) => operators.Temporal.qAsofNearest(s, d)),
     "q_funnel_window"     -> ((s, d) => operators.Temporal.qFunnelWindow(s, d)),

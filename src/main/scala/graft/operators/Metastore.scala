@@ -182,6 +182,42 @@ object Metastore {
       .orderBy(col("df").desc, col("term"))
       .limit(10)
 
+  /** BM25 ranking (the Robertson–Spärck Jones Okapi formula, public
+    * literature) over the analyzed readme field — the modern-search
+    * complement to [[qRankTfidf]]'s reference-faithful TF-IDF: term
+    * frequency saturates (k1 = 6/5) and document length normalizes
+    * against the corpus mean (b = 3/4). Both constants are rationals,
+    * so the whole score stays EXACT integer arithmetic: multiplying
+    * numerator and denominator by 10·avgdl gives
+    * score·10³ = idf·10³ · tf · 22 · avgdl div (10·avgdl·tf + 3·avgdl + 9·dl),
+    * staged through DECIMAL(38,0); idf is the engine's integer
+    * surrogate (N·10³ div df), shared with the TF-IDF path. Scale
+    * shape: one corpus explode filtered to the query terms, a
+    * term-vocabulary df aggregate (broadcast), one per-doc sum —
+    * identical to the ranked-search plan.
+    */
+  def bm25Q(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("merge", "join", "table")
+    val vis = ds.visible(idx(s, d), None)
+      .select(col("doc_id"), Analyzer.tokens(col("readme")).as("toks"))
+      .withColumn("dl", size(col("toks")).cast("long"))
+    val tf = vis.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = vis.agg(count(lit(1)).as("n"), sum(col("dl")).cast("long").as("sum_dl"))
+      .select(col("n"), expr("sum_dl div n").as("avgdl"))
+    tf.join(broadcast(dfs), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("score_x1000", expr(
+        """CAST(CAST((n * 1000) div df AS DECIMAL(38,0)) * tf * 22 * avgdl
+          |  div (10 * avgdl * tf + 3 * avgdl + 9 * dl) AS BIGINT)""".stripMargin))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("score_x1000")).cast("long").as("bm25_x1000"))
+      .orderBy(col("bm25_x1000").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** Wildcard term query (ES `wildcard` analog, beyond the reference's
     * plain match): visible docs containing any analyzed readme term
     * matching the pattern `m*e` (SQL `m%e`), with the matching term set
@@ -489,6 +525,26 @@ object Metastore {
          |SELECT term, CAST(count(*) AS BIGINT) AS df
          |FROM t WHERE term LIKE 's%'
          |GROUP BY term ORDER BY df DESC, term LIMIT 10""".stripMargin,
+
+    "ms_bm25" ->
+      s"""$idxCte,
+         |v AS (SELECT doc_id, ${tok("readme")} AS toks FROM idx
+         |      WHERE findability = 'published'),
+         |vd AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM v),
+         |e AS (SELECT doc_id, dl, unnest(toks) AS term FROM vd),
+         |tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf FROM e
+         |       WHERE term IN ('merge', 'join', 'table')
+         |       GROUP BY doc_id, dl, term),
+         |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |         CAST(sum(dl) AS BIGINT) // count(*) AS avgdl FROM vd),
+         |sc AS (SELECT t.doc_id,
+         |         CAST(sum(CAST((st.n * 1000) // d.df AS HUGEINT) * t.tf * 22 * st.avgdl
+         |           // (10 * st.avgdl * t.tf + 3 * st.avgdl + 9 * t.dl)) AS BIGINT) AS bm25_x1000
+         |       FROM tf t JOIN dfs d USING (term) CROSS JOIN st
+         |       GROUP BY t.doc_id)
+         |SELECT doc_id, bm25_x1000 FROM sc
+         |ORDER BY bm25_x1000 DESC, doc_id LIMIT 20""".stripMargin,
 
     "ms_wildcard" ->
       s"""$idxCte,

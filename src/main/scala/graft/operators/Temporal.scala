@@ -819,7 +819,48 @@ object Temporal {
         col("var_x1e12"), col("sd_x1e6"), col("z_abs_x1e3"), col("z_sign"))
   }
 
+  /** Trailing 7-day rolling LOWER median of daily purchase revenue —
+    * the robust-baseline twin of [[qModeRolling]] (median resists the
+    * spiky outliers a rolling mean chases): per day, the ⌈w/2⌉-th
+    * smallest of the trailing window's daily cents (no interpolation —
+    * exact BIGINT, deterministic in both engines) plus the signed
+    * deviation of the day from its own baseline. Windowed
+    * `collect_list` + `sort_array` + 1-based `element_at` on the Spark
+    * side ≡ windowed `list` + `list_sort` + 1-based `[i]` in DuckDB.
+    * Scale: the window runs over the DAY domain (fact scan collapses
+    * map-side), and the per-row sort cost is the constant w·log w.
+    */
+  def qRollingMedian(s: SparkSession, d: String): DataFrame = {
+    val daily = EventStreams.normalize(Tables.events(s, d))
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts_us div 86400000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).cast("long").as("cents"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    daily
+      .withColumn("wl", sort_array(collect_list(col("cents")).over(w)))
+      .select(col("day"), col("cents"),
+        expr("element_at(wl, CAST((size(wl) + 1) div 2 AS INT))").as("med7"),
+        size(col("wl")).as("w_n"))
+      .withColumn("dev", expr("cents - med7"))
+      .orderBy(col("day"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_rolling_median" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS cents FROM ev GROUP BY day),
+        |r AS (SELECT day, cents,
+        |        list_sort(list(cents) OVER (ORDER BY day
+        |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS wl
+        |      FROM daily)
+        |SELECT day, cents, wl[(len(wl) + 1) // 2] AS med7,
+        |  CAST(len(wl) AS INT) AS w_n, cents - wl[(len(wl) + 1) // 2] AS dev
+        |FROM r ORDER BY day""".stripMargin,
+
     "q_locf" ->
       """WITH ev AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day, user_id % 16 AS bucket,

@@ -160,6 +160,27 @@ class SearchSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("bm25 scores equal a driver-side replay of the integer Okapi formula") {
+    val docs = ds.visible(idx, None).select(col("doc_id"), col("readme")).collect()
+      .map(r => r.getLong(0) -> Analyzer.analyzeQuery(r.getString(1)))
+    val n = docs.length.toLong
+    val avgdl = docs.map(_._2.length.toLong).sum / n
+    val terms = Seq("merge", "join", "table")
+    val dfs = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val want = docs.map { case (id, toks) =>
+      val dl = toks.length.toLong
+      id -> terms.map { t =>
+        val tf = toks.count(_ == t).toLong
+        if (tf == 0) 0L
+        else (BigInt(n * 1000 / dfs(t)) * tf * 22 * avgdl /
+          (10 * avgdl * tf + 3 * avgdl + 9 * dl)).toLong
+      }.sum
+    }.filter(_._2 > 0).sortBy { case (id, sc) => (-sc, id) }.take(20).toSeq
+    val got = Metastore.bm25Q(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toSeq
+    assert(got == want)
+  }
+
   test("wildcard match equals a driver-side pattern scan of the analyzed tokens") {
     val pat = "^m.*e$".r
     val want = ds.visible(idx, None).select(col("doc_id"), col("readme")).collect()

@@ -456,6 +456,20 @@ class TemporalSpec extends AnyFunSuite {
     assert(zAbs == math.abs(runs * 1000000L - muX) * 1000L / sd, s"z: $r")
   }
 
+  test("rolling median equals a driver-side sorted-window replay") {
+    val rows = Temporal.qRollingMedian(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val series = rows.map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    series.indices.foreach { i =>
+      val win = series.slice(math.max(0, i - 6), i + 1).map(_._2).sorted
+      val med = win((win.length + 1) / 2 - 1)
+      val r = rows(i)
+      assert(r.getLong(2) == med, s"median at ${r.getLong(0)}: $r")
+      assert(r.getInt(3) == win.length, s"window size: $r")
+      assert(r.getLong(4) == r.getLong(1) - med, s"dev: $r")
+    }
+  }
+
   test("locf: filled days carry the bucket's previous observed value forward") {
     val rows = Temporal.qLocf(spark, sf).collect()
     assert(rows.nonEmpty)
