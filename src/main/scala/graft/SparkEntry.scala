@@ -35,6 +35,7 @@ object SparkEntry {
     "ms_fuzzy"             -> ((s, d) => Metastore.fuzzyQ(s, d)),
     "ms_wildcard"          -> ((s, d) => Metastore.wildcardQ(s, d)),
     "ms_bm25"              -> ((s, d) => Metastore.bm25Q(s, d)),
+    "ms_bool_minmatch"     -> ((s, d) => Metastore.boolMinMatchQ(s, d)),
     "ms_filter_negation"   -> ((s, d) => Metastore.filterNegation(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
     "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),
@@ -143,6 +144,7 @@ object SparkEntry {
     "q_skyline"    -> ((s, d) => Relational.qSkyline(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
     "txt_pii_scrub" -> ((s, d) => Text.piiScrub(s, d)),
+    "txt_readability" -> ((s, d) => Text.readability(s, d)),
     "q_sample_stratified" -> ((s, d) => Relational.qSampleStratified(s, d)),
     "q_correlated_subquery" -> ((s, d) => Relational.qCorrelatedSubquery(s, d)),
     "txt_bigrams" -> ((s, d) => Text.bigrams(s, d)),

@@ -182,6 +182,23 @@ object Metastore {
       .orderBy(col("df").desc, col("term"))
       .limit(10)
 
+  /** Compound boolean query with minimum_should_match (the ES `bool`
+    * clause combination the reference's flat filter grammar can't
+    * express): visible docs whose analyzed readme contains at least 2
+    * of the 3 should-terms AND does not contain the must_not term.
+    * The should-count is emitted so the gate pins the threshold logic,
+    * not just the match set. One codegen'd array pass per doc — no
+    * explode, no per-term scans.
+    */
+  def boolMinMatchQ(s: SparkSession, d: String): DataFrame =
+    ds.visible(idx(s, d), None)
+      .withColumn("toks", array_distinct(Analyzer.tokens(col("readme"))))
+      .withColumn("n_should",
+        size(array_intersect(col("toks"), typedlit(Seq("merge", "join", "table")))))
+      .filter(col("n_should") >= 2 && !array_contains(col("toks"), "sort"))
+      .select(col("doc_id"), col("name"), col("n_should"))
+      .orderBy(col("doc_id")).limit(100)
+
   /** BM25 ranking (the Robertson–Spärck Jones Okapi formula, public
     * literature) over the analyzed readme field — the modern-search
     * complement to [[qRankTfidf]]'s reference-faithful TF-IDF: term
@@ -525,6 +542,17 @@ object Metastore {
          |SELECT term, CAST(count(*) AS BIGINT) AS df
          |FROM t WHERE term LIKE 's%'
          |GROUP BY term ORDER BY df DESC, term LIMIT 10""".stripMargin,
+
+    "ms_bool_minmatch" ->
+      s"""$idxCte,
+         |m AS (SELECT doc_id, name, list_distinct(${tok("readme")}) AS toks
+         |      FROM idx WHERE findability = 'published')
+         |SELECT doc_id, name,
+         |  CAST(len(list_intersect(toks, ['merge', 'join', 'table'])) AS INT) AS n_should
+         |FROM m
+         |WHERE len(list_intersect(toks, ['merge', 'join', 'table'])) >= 2
+         |  AND NOT list_contains(toks, 'sort')
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
 
     "ms_bm25" ->
       s"""$idxCte,

@@ -39,6 +39,30 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Readability scoring — Flesch–Kincaid grade and Flesch reading ease
+    * (public formulas) with the standard heuristic counters: sentences
+    * = `[.!?]+` runs, words = the shared raw tokenizer, syllables =
+    * lower-cased vowel groups (`[aeiouy]+`). Both formulas are linear
+    * in w/s and syl/w, so ×100/×1000 integer staging keeps them exact
+    * (each division has positive operands; the subtraction happens
+    * after). One narrow map pass over the corpus, no shuffle before
+    * the per-doc projection.
+    */
+  def readability(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+        col("doc_id"),
+        size(rawTokens(col("text"))).cast("long").as("n_words"),
+        greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"), lit(1L))
+          .as("n_sent"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long")
+          .as("n_syll"))
+      .filter(col("n_words") >= 1)
+      .withColumn("fk_grade_x100", expr(
+        "(3900 * n_words) div n_sent + (1180 * n_syll) div n_words - 1559"))
+      .withColumn("ease_x1000", expr(
+        "206835 - (1015000 * n_words) div n_sent - (84600 * n_syll) div n_words"))
+      .orderBy(col("doc_id"))
+
   /** Language ID: marker-profile overlap argmax (deterministic tie-break
     * via unique key = overlap*8 + priority).
     */
@@ -532,6 +556,18 @@ object Text {
          |  (n_tok >= 5 AND (10000 * n_stop) // n_tok < 4000
          |     AND (10000 * n_uniq) // n_tok > 2500) AS quality_ok
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "txt_readability" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CAST(len(${rawTokensSql("text")}) AS BIGINT) AS n_words,
+         |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sent,
+         |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sent, n_syll,
+         |  (3900 * n_words) // n_sent + (1180 * n_syll) // n_words - 1559 AS fk_grade_x100,
+         |  206835 - (1015000 * n_words) // n_sent - (84600 * n_syll) // n_words AS ease_x1000
+         |FROM t WHERE n_words >= 1 ORDER BY doc_id""".stripMargin,
 
     "txt_langid" ->
       s"""WITH prof AS (SELECT * FROM (VALUES $langProfilesSql) p(plang, prio, markers)),

@@ -725,4 +725,21 @@ class PipelineSpec extends AnyFunSuite {
     if (nP > 0) assert(r.getLong(5) == tp * 1000000L / nP)
     if (nT > 0) assert(r.getLong(6) == tp * 1000000L / nT)
   }
+
+  test("readability equals a driver-side replay of the FK/ease integer formulas") {
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rows = graft.operators.Text.readability(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val text = texts(r.getLong(0))
+      val w = r.getLong(1)
+      val sent = math.max("[.!?]+".r.findAllIn(text).length.toLong, 1L)
+      val syll = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong
+      assert(r.getLong(2) == sent, s"sentences: $r")
+      assert(r.getLong(3) == syll, s"syllables: $r")
+      assert(r.getLong(4) == 3900 * w / sent + 1180 * syll / w - 1559, s"fk: $r")
+      assert(r.getLong(5) == 206835 - 1015000 * w / sent - 84600 * syll / w, s"ease: $r")
+    }
+  }
 }

@@ -160,6 +160,22 @@ class SearchSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("bool minimum_should_match: >=2 should-terms present, must_not term absent") {
+    val should = Set("merge", "join", "table")
+    val byId = ds.visible(idx, None).select(col("doc_id"), col("readme")).collect()
+      .map(r => r.getLong(0) -> Analyzer.analyzeQuery(r.getString(1)).toSet).toMap
+    val rows = Metastore.boolMinMatchQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val toks = byId(r.getLong(0))
+      assert((toks & should).size == r.getInt(2) && r.getInt(2) >= 2, s"should: $r")
+      assert(!toks.contains("sort"), s"must_not violated: $r")
+    }
+    val expected = byId.filter { case (_, t) =>
+      (t & should).size >= 2 && !t.contains("sort") }.keySet
+    assert(rows.map(_.getLong(0)).toSet == expected.toSeq.sorted.take(100).toSet)
+  }
+
   test("bm25 scores equal a driver-side replay of the integer Okapi formula") {
     val docs = ds.visible(idx, None).select(col("doc_id"), col("readme")).collect()
       .map(r => r.getLong(0) -> Analyzer.analyzeQuery(r.getString(1)))
