@@ -330,13 +330,20 @@ object Graph {
     * is part-dimension-sized and broadcast. Top 100 by lift.
     */
   def basketRules(s: SparkSession, d: String): DataFrame = {
-    val li = Tables.fanOut(Tables.lineitem(s, d)
+    // ONE fact scan: the per-order distinct part sets are the shared
+    // base — pair counts explode them, item frequencies re-explode
+    // them, and the order total is their row count, so nothing below
+    // touches lineitem again (lazy checkpoint, no barrier; the first
+    // branch to run materializes the compact one-row-per-order set)
+    val perOrder = Tables.fanOut(Tables.lineitem(s, d)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
-    val op = li.distinct()
-    val nOrders = op.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
-    val item = op.groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
-    val pairs = op.groupBy(col("ok"))
+      .groupBy(col("ok"))
       .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .localCheckpoint(eager = false)
+    val nOrders = perOrder.agg(count(lit(1)).as("n_orders"))
+    val item = perOrder.select(explode(col("ps")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val pairs = perOrder
       .select(explode(graft.functions.GraphExpressionFunctions
         .sortedLongPairs(col("ps"))).as("p"))
       .groupBy(col("p.a").as("a"), col("p.b").as("b"))

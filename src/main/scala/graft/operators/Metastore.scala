@@ -215,9 +215,13 @@ object Metastore {
     */
   def bm25Q(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("merge", "join", "table")
+    // tokenize the corpus ONCE: the tf explode and the N/avgdl stats
+    // both read the checkpointed (doc_id, toks, dl) rather than each
+    // re-running the corpus-wide analyzer pass
     val vis = ds.visible(idx(s, d), None)
       .select(col("doc_id"), Analyzer.tokens(col("readme")).as("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
+      .localCheckpoint(eager = false)
     val tf = vis.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
