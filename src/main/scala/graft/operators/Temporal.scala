@@ -749,16 +749,13 @@ object Temporal {
     * partitioned, no global sort.
     */
   def qLocf(s: SparkSession, d: String): DataFrame = {
-    val ev = EventStreams.normalize(Tables.events(s, d))
-      .filter(col("event_type") === "purchase")
-      .select(expr("ts_us div 86400000000").as("day"),
-        expr("user_id % 16").as("bucket"),
-        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val ev = purchaseCents(s, d)
+      .select(col("day"), expr("user_id % 16").as("bucket"), col("cents"))
     val daily = ev.groupBy(col("bucket"), col("day"))
       .agg(sum(col("cents")).cast("long").as("cents_raw"))
     val span = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
     val grid = span.select(explode(expr("sequence(d0, d1)")).as("day"))
-      .crossJoin(spark_range16(s))
+      .crossJoin(s.range(16).select(col("id").as("bucket")))
     val w = Window.partitionBy(col("bucket")).orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, 0)
     grid.join(daily, Seq("bucket", "day"), "left")
@@ -769,8 +766,20 @@ object Temporal {
       .orderBy(col("bucket"), col("day"))
   }
 
-  private def spark_range16(s: SparkSession): DataFrame =
-    s.range(16).select(col("id").as("bucket"))
+  /** Per-event purchase rows in exact cents with their day — the shared
+    * base of the day-domain series family ([[qLocf]] / [[qRunsTest]] /
+    * [[qRollingMedian]]); its SQL twin is [[purchaseCentsSql]].
+    */
+  private def purchaseCents(s: SparkSession, d: String): DataFrame =
+    EventStreams.normalize(Tables.events(s, d))
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+
+  /** Total daily purchase cents ([[purchaseCents]] rolled to days). */
+  private def dailyCents(s: SparkSession, d: String): DataFrame =
+    purchaseCents(s, d).groupBy(col("day"))
+      .agg(sum(col("cents")).cast("long").as("cents"))
 
   /** Wald–Wolfowitz runs test for randomness of the daily purchase-
     * revenue series around its median — the fourth member of the exact
@@ -785,11 +794,7 @@ object Temporal {
     * on the DAY domain.
     */
   def qRunsTest(s: SparkSession, d: String): DataFrame = {
-    val daily = EventStreams.normalize(Tables.events(s, d))
-      .filter(col("event_type") === "purchase")
-      .select(expr("ts_us div 86400000000").as("day"),
-        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
-      .groupBy(col("day")).agg(sum(col("cents")).cast("long").as("x"))
+    val daily = dailyCents(s, d).withColumnRenamed("cents", "x")
     val nTot = daily.agg(count(lit(1)).as("n_days"))
     val med = daily
       .withColumn("rn", row_number().over(Window.orderBy(col("x"))))
@@ -831,11 +836,7 @@ object Temporal {
     * map-side), and the per-row sort cost is the constant w·log w.
     */
   def qRollingMedian(s: SparkSession, d: String): DataFrame = {
-    val daily = EventStreams.normalize(Tables.events(s, d))
-      .filter(col("event_type") === "purchase")
-      .select(expr("ts_us div 86400000000").as("day"),
-        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
-      .groupBy(col("day")).agg(sum(col("cents")).cast("long").as("cents"))
+    val daily = dailyCents(s, d)
     val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
     daily
       .withColumn("wl", sort_array(collect_list(col("cents")).over(w)))
@@ -846,28 +847,34 @@ object Temporal {
       .orderBy(col("day"))
   }
 
+  /** SQL twin of [[purchaseCents]], shared by the three day-domain
+    * series oracles so the cents rounding / purchase filter can never
+    * drift between them.
+    */
+  private val purchaseCentsSql: String =
+    "SELECT epoch_us(ts) // 86400000000 AS day, user_id, " +
+      "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents " +
+      "FROM events WHERE event_type = 'purchase'"
+
   val oracles: Map[String, String] = Map(
-    "q_rolling_median" ->
-      """WITH ev AS (
-        |  SELECT epoch_us(ts) // 86400000000 AS day,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS cents FROM ev GROUP BY day),
+    "q_rolling_median" -> (
+      s"""WITH ev AS ($purchaseCentsSql),
+        |daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS cents FROM ev GROUP BY day),""".stripMargin +
+      """
         |r AS (SELECT day, cents,
         |        list_sort(list(cents) OVER (ORDER BY day
         |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS wl
         |      FROM daily)
         |SELECT day, cents, wl[(len(wl) + 1) // 2] AS med7,
         |  CAST(len(wl) AS INT) AS w_n, cents - wl[(len(wl) + 1) // 2] AS dev
-        |FROM r ORDER BY day""".stripMargin,
+        |FROM r ORDER BY day""".stripMargin),
 
-    "q_locf" ->
-      """WITH ev AS (
-        |  SELECT epoch_us(ts) // 86400000000 AS day, user_id % 16 AS bucket,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |daily AS (SELECT bucket, day, CAST(sum(cents) AS BIGINT) AS cents_raw
-        |          FROM ev GROUP BY bucket, day),
+    "q_locf" -> (
+      s"""WITH ev AS ($purchaseCentsSql),
+        |daily AS (SELECT user_id % 16 AS bucket, day,
+        |            CAST(sum(cents) AS BIGINT) AS cents_raw
+        |          FROM ev GROUP BY bucket, day),""".stripMargin +
+      """
         |sp AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev),
         |grid AS (SELECT b.i AS bucket, g.day
         |         FROM range(0, 16) b(i),
@@ -883,14 +890,12 @@ object Temporal {
         |SELECT CAST(bucket AS BIGINT) AS bucket, day, cents_raw, cents_locf,
         |  CAST(CASE WHEN cents_raw IS NULL AND cents_locf IS NOT NULL
         |       THEN 1 ELSE 0 END AS INT) AS filled
-        |FROM f ORDER BY bucket, day""".stripMargin,
+        |FROM f ORDER BY bucket, day""".stripMargin),
 
-    "q_runs_test" ->
-      """WITH ev AS (
-        |  SELECT epoch_us(ts) // 86400000000 AS day,
-        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
-        |  FROM events WHERE event_type = 'purchase'),
-        |daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS x FROM ev GROUP BY day),
+    "q_runs_test" -> (
+      s"""WITH ev AS ($purchaseCentsSql),
+        |daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS x FROM ev GROUP BY day),""".stripMargin +
+      """
         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily),
         |r AS (SELECT x, row_number() OVER (ORDER BY x) AS rn FROM daily),
         |med AS (SELECT x AS med FROM r, t WHERE rn = (n_days + 1) // 2),
@@ -916,7 +921,7 @@ object Temporal {
         |  (abs(n_runs * 1000000 - mu_x1e6) * 1000) // sd_x1e6 AS z_abs_x1e3,
         |  CAST(CASE WHEN n_runs * 1000000 < mu_x1e6 THEN -1
         |            WHEN n_runs * 1000000 > mu_x1e6 THEN 1 ELSE 0 END AS INT) AS z_sign
-        |FROM e""".stripMargin,
+        |FROM e""".stripMargin),
 
     "q_dau_mau" ->
       """WITH ud AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -57,10 +57,13 @@ object Text {
         size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)")).cast("long")
           .as("n_syll"))
       .filter(col("n_words") >= 1)
+      // grade = 0.39·(w/s) + 11.8·(syl/w) − 15.59 → ×100 multiplies each
+      // COEFFICIENT by 100 (39, 1180, 1559) — the w/s ratio itself is
+      // not re-scaled; likewise ease ×1000 → (1015, 84600, 206835)
       .withColumn("fk_grade_x100", expr(
-        "(3900 * n_words) div n_sent + (1180 * n_syll) div n_words - 1559"))
+        "(39 * n_words) div n_sent + (1180 * n_syll) div n_words - 1559"))
       .withColumn("ease_x1000", expr(
-        "206835 - (1015000 * n_words) div n_sent - (84600 * n_syll) div n_words"))
+        "206835 - (1015 * n_words) div n_sent - (84600 * n_syll) div n_words"))
       .orderBy(col("doc_id"))
 
   /** Language ID: marker-profile overlap argmax (deterministic tie-break
@@ -565,8 +568,8 @@ object Text {
          |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syll
          |  FROM documents)
          |SELECT doc_id, n_words, n_sent, n_syll,
-         |  (3900 * n_words) // n_sent + (1180 * n_syll) // n_words - 1559 AS fk_grade_x100,
-         |  206835 - (1015000 * n_words) // n_sent - (84600 * n_syll) // n_words AS ease_x1000
+         |  (39 * n_words) // n_sent + (1180 * n_syll) // n_words - 1559 AS fk_grade_x100,
+         |  206835 - (1015 * n_words) // n_sent - (84600 * n_syll) // n_words AS ease_x1000
          |FROM t WHERE n_words >= 1 ORDER BY doc_id""".stripMargin,
 
     "txt_langid" ->

@@ -17,12 +17,19 @@ object Compaction {
 
   /** Total on-disk bytes of the files backing `df` (parquet-compressed
     * size — the unit the file-count plan should be denominated in).
+    * One batched `listStatus` per distinct parent directory, NOT one
+    * getFileStatus RPC per file: on the fragmented tables this sink
+    * exists for (millions of small files), per-file metadata
+    * round-trips on the driver would cost more than the rewrite.
     */
   def inputBytes(spark: SparkSession, df: DataFrame): Long = {
     val conf = spark.sparkContext.hadoopConfiguration
-    df.inputFiles.map { f =>
-      val p = new Path(f)
-      p.getFileSystem(conf).getFileStatus(p).getLen
+    val files = df.inputFiles
+    val wanted = files.map(f => new Path(f).toUri.getPath).toSet
+    files.map(f => new Path(f).getParent).distinct.map { dir =>
+      dir.getFileSystem(conf).listStatus(dir)
+        .filter(s => s.isFile && wanted.contains(s.getPath.toUri.getPath))
+        .map(_.getLen).sum
     }.sum
   }
 

@@ -55,7 +55,10 @@ class CompactionSpec extends AnyFunSuite {
       .groupBy(input_file_name())
       .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
       .collect().map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
-    assert(envs.length == n)
+    // range partitioning samples its boundaries, so a planned partition
+    // can come up empty (and writes no file) — assert the plan as an
+    // upper bound, not an exact count
+    assert(envs.length >= 2 && envs.length <= n, s"${envs.length} files vs plan $n")
     // ranges must not overlap — that's what makes min/max stats prune
     envs.sliding(2).foreach {
       case Array((_, hi), (lo2, _)) => assert(hi < lo2, s"overlap: $hi >= $lo2")

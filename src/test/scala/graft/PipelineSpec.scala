@@ -738,8 +738,8 @@ class PipelineSpec extends AnyFunSuite {
       val syll = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong
       assert(r.getLong(2) == sent, s"sentences: $r")
       assert(r.getLong(3) == syll, s"syllables: $r")
-      assert(r.getLong(4) == 3900 * w / sent + 1180 * syll / w - 1559, s"fk: $r")
-      assert(r.getLong(5) == 206835 - 1015000 * w / sent - 84600 * syll / w, s"ease: $r")
+      assert(r.getLong(4) == 39 * w / sent + 1180 * syll / w - 1559, s"fk: $r")
+      assert(r.getLong(5) == 206835 - 1015 * w / sent - 84600 * syll / w, s"ease: $r")
     }
   }
 }

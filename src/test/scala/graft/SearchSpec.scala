@@ -183,15 +183,20 @@ class SearchSpec extends AnyFunSuite {
     val avgdl = docs.map(_._2.length.toLong).sum / n
     val terms = Seq("merge", "join", "table")
     val dfs = terms.map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
-    val want = docs.map { case (id, toks) =>
+    // keep docs with ANY matching term, even if every term's integer
+    // score truncates to 0 — bm25Q emits those too (tf > 0 is the
+    // membership condition, not score > 0)
+    val want = docs.flatMap { case (id, toks) =>
       val dl = toks.length.toLong
-      id -> terms.map { t =>
+      val matched = terms.exists(toks.contains)
+      val score = terms.map { t =>
         val tf = toks.count(_ == t).toLong
         if (tf == 0) 0L
         else (BigInt(n * 1000 / dfs(t)) * tf * 22 * avgdl /
           (10 * avgdl * tf + 3 * avgdl + 9 * dl)).toLong
       }.sum
-    }.filter(_._2 > 0).sortBy { case (id, sc) => (-sc, id) }.take(20).toSeq
+      if (matched) Some(id -> score) else None
+    }.sortBy { case (id, sc) => (-sc, id) }.take(20).toSeq
     val got = Metastore.bm25Q(spark, sf).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toSeq
     assert(got == want)
