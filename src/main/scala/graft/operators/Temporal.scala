@@ -847,6 +847,59 @@ object Temporal {
       .orderBy(col("day"))
   }
 
+  /** Discrete-time survival table for signup→first-purchase (the
+    * Kaplan–Meier/Nelson–Aalen risk-set construction, public
+    * statistics): per user, event time t = whole hours from first
+    * signup to first subsequent purchase, censored at the corpus'
+    * global max timestamp when no purchase follows. For every distinct
+    * EVENT hour: the risk set n_risk = users whose exit (event or
+    * censoring) is ≥ t, the event count d, the discrete hazard
+    * d·10⁶ div n_risk, and the Nelson–Aalen cumulative hazard as the
+    * running sum of the floored per-step terms (defined that way so
+    * both engines agree exactly — no rational products, no floats).
+    * Scale shape: the event log collapses to one row per user, exits
+    * collapse to the distinct-hour domain, and the only ordered window
+    * runs over HOURS; risk sets come from one cumulative sum, not a
+    * per-time recount.
+    */
+  def qSurvival(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id"), col("ts_us"), col("event_type"))
+    val horizon = ev.agg(max(col("ts_us")).as("h_ts"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("s_ts"))
+    val fp = ev.filter(col("event_type") === "purchase")
+      .join(su, Seq("user_id"))
+      .filter(col("ts_us") >= col("s_ts"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_ts"))
+    val users = su.join(fp, Seq("user_id"), "left")
+      .crossJoin(broadcast(horizon))
+      .select(col("user_id"),
+        when(col("p_ts").isNotNull,
+          expr("(p_ts - s_ts) div 3600000000")).as("t_event"),
+        expr("(h_ts - s_ts) div 3600000000").as("t_censor"))
+      .select(col("user_id"),
+        coalesce(col("t_event"), col("t_censor")).as("t_exit"),
+        when(col("t_event").isNotNull, 1L).otherwise(0L).as("is_event"))
+    val byExit = users.groupBy(col("t_exit"))
+      .agg(count(lit(1)).as("n_exit"), sum(col("is_event")).cast("long").as("d"))
+    val total = users.agg(count(lit(1)).as("n_total"))
+    val wT = Window.orderBy(col("t_exit"))
+    val run = byExit.crossJoin(broadcast(total))
+      // exits strictly BEFORE t leave the risk set: trailing sum minus self
+      .withColumn("left_before",
+        coalesce(sum(col("n_exit")).over(wT.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_risk", col("n_total") - col("left_before"))
+      .filter(col("d") > 0)
+      .withColumn("hazard_x1e6", expr("(d * 1000000) div n_risk"))
+    run
+      .withColumn("cum_hazard_x1e6",
+        sum(col("hazard_x1e6")).over(wT.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+      .select(col("t_exit").as("t_hours"), col("n_risk").cast("long").as("n_risk"),
+        col("d"), col("hazard_x1e6"), col("cum_hazard_x1e6"))
+      .orderBy(col("t_hours"))
+  }
+
   /** SQL twin of [[purchaseCents]], shared by the three day-domain
     * series oracles so the cents rounding / purchase filter can never
     * drift between them.
@@ -857,6 +910,37 @@ object Temporal {
       "FROM events WHERE event_type = 'purchase'"
 
   val oracles: Map[String, String] = Map(
+    "q_survival" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+        |h AS (SELECT max(ts_us) AS h_ts FROM ev),
+        |su AS (SELECT user_id, min(ts_us) AS s_ts FROM ev
+        |       WHERE event_type = 'signup' GROUP BY user_id),
+        |fp AS (SELECT e.user_id, min(e.ts_us) AS p_ts
+        |       FROM ev e JOIN su ON e.user_id = su.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts_us >= su.s_ts
+        |       GROUP BY e.user_id),
+        |users AS (SELECT su.user_id,
+        |    CASE WHEN fp.p_ts IS NOT NULL
+        |         THEN (fp.p_ts - su.s_ts) // 3600000000 END AS t_event,
+        |    (h.h_ts - su.s_ts) // 3600000000 AS t_censor
+        |  FROM su LEFT JOIN fp ON fp.user_id = su.user_id CROSS JOIN h),
+        |ux AS (SELECT user_id, COALESCE(t_event, t_censor) AS t_exit,
+        |    CASE WHEN t_event IS NOT NULL THEN 1 ELSE 0 END AS is_event FROM users),
+        |bx AS (SELECT t_exit, CAST(count(*) AS BIGINT) AS n_exit,
+        |         CAST(sum(is_event) AS BIGINT) AS d FROM ux GROUP BY t_exit),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM ux),
+        |rk AS (SELECT t_exit, d,
+        |    CAST(tot.n_total - COALESCE(sum(n_exit) OVER (ORDER BY t_exit
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |  FROM bx CROSS JOIN tot),
+        |evt AS (SELECT t_exit, n_risk, d,
+        |          CAST((d * 1000000) // n_risk AS BIGINT) AS hazard_x1e6
+        |        FROM rk WHERE d > 0)
+        |SELECT t_exit AS t_hours, CAST(n_risk AS BIGINT) AS n_risk, d, hazard_x1e6,
+        |  CAST(sum(hazard_x1e6) OVER (ORDER BY t_exit
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hazard_x1e6
+        |FROM evt ORDER BY t_hours""".stripMargin,
+
     "q_rolling_median" -> (
       s"""WITH ev AS ($purchaseCentsSql),
         |daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS cents FROM ev GROUP BY day),""".stripMargin +

@@ -456,6 +456,41 @@ class TemporalSpec extends AnyFunSuite {
     assert(zAbs == math.abs(runs * 1000000L - muX) * 1000L / sd, s"z: $r")
   }
 
+  test("survival table equals a driver-side risk-set replay") {
+    val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .select("user_id", "ts_us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val horizon = ev.map(_._2).max
+    val signup = ev.filter(_._3 == "signup").groupBy(_._1)
+      .map { case (u, xs) => u -> xs.map(_._2).min }
+    val exits = signup.toSeq.map { case (u, sTs) =>
+      val p = ev.filter(e => e._1 == u && e._3 == "purchase" && e._2 >= sTs)
+        .map(_._2).minOption
+      p match {
+        case Some(pTs) => ((pTs - sTs) / 3600000000L, true)
+        case None      => ((horizon - sTs) / 3600000000L, false)
+      }
+    }
+    val n = exits.length.toLong
+    val rows = Temporal.qSurvival(spark, sf).collect()
+    assert(rows.nonEmpty)
+    var cum = 0L
+    rows.foreach { r =>
+      val t = r.getLong(0)
+      val nRisk = exits.count(_._1 >= t).toLong
+      val d = exits.count(e => e._1 == t && e._2).toLong
+      assert(r.getLong(1) == nRisk && r.getLong(2) == d, s"risk set at $t: $r")
+      assert(d > 0, s"non-event hour emitted: $r")
+      val hz = d * 1000000L / nRisk
+      cum += hz
+      assert(r.getLong(3) == hz && r.getLong(4) == cum, s"hazard at $t: $r")
+    }
+    // every event hour is present
+    val eventHours = exits.filter(_._2).map(_._1).distinct.sorted
+    assert(rows.map(_.getLong(0)).toSeq == eventHours)
+    assert(rows.head.getLong(1) <= n)
+  }
+
   test("rolling median equals a driver-side sorted-window replay") {
     val rows = Temporal.qRollingMedian(spark, sf).collect()
     assert(rows.nonEmpty)
