@@ -863,17 +863,25 @@ object Temporal {
     * per-time recount.
     */
   def qSurvival(s: SparkSession, d: String): DataFrame = {
-    val ev = EventStreams.normalize(Tables.events(s, d))
-      .select(col("user_id"), col("ts_us"), col("event_type"))
-    val horizon = ev.agg(max(col("ts_us")).as("h_ts"))
-    val su = ev.filter(col("event_type") === "signup")
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("s_ts"))
-    val fp = ev.filter(col("event_type") === "purchase")
-      .join(su, Seq("user_id"))
-      .filter(col("ts_us") >= col("s_ts"))
-      .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_ts"))
-    val users = su.join(fp, Seq("user_id"), "left")
+    // ONE events scan: per-user conditional aggregates carry the first
+    // signup, the sorted purchase timestamps, and the user's max ts in
+    // a single groupBy; the global horizon is the max of per-user
+    // maxes (every event has a user), and first-purchase-after-signup
+    // is an array scan over the user's own purchases — no second
+    // fact scan, no purchase-side join
+    val perUser = EventStreams.normalize(Tables.events(s, d))
+      .groupBy(col("user_id"))
+      .agg(
+        min(when(col("event_type") === "signup", col("ts_us"))).as("s_ts"),
+        sort_array(collect_list(
+          when(col("event_type") === "purchase", col("ts_us")))).as("plist"),
+        max(col("ts_us")).as("u_max"))
+      .localCheckpoint(eager = false)
+    val horizon = perUser.agg(max(col("u_max")).as("h_ts"))
+    val users = perUser.filter(col("s_ts").isNotNull)
       .crossJoin(broadcast(horizon))
+      .select(col("user_id"), col("s_ts"), col("h_ts"),
+        expr("array_min(filter(plist, x -> x >= s_ts))").as("p_ts"))
       .select(col("user_id"),
         when(col("p_ts").isNotNull,
           expr("(p_ts - s_ts) div 3600000000")).as("t_event"),
