@@ -908,6 +908,41 @@ object Temporal {
       .orderBy(col("t_hours"))
   }
 
+  /** Multi-touch attribution by channel (the marketing-analytics
+    * counterpart of [[qFunnelWindow]], batch twin of
+    * stream_attribution's pairing): every purchase credits the clicks
+    * of the same user in the trailing 24 h — linearly (each click gets
+    * 10⁶ div n integer credit), plus first-touch and last-touch counts
+    * picked by row_number over (ts, event_id) so ties resolve
+    * identically in both engines. Channel = props.k mod 8 (the
+    * synthetic channel axis of the test corpus). Scale shape: the
+    * click↔purchase pairing is the per-user interval join the funnel
+    * family uses (candidates bounded by per-user activity × window);
+    * the windows partition by purchase id; output is 8 rows.
+    */
+  def qAttribution(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalizeProps(Tables.events(s, d))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("c_ts"), col("event_id").as("c_eid"),
+        expr("CAST(get_json_object(props, '$.k') AS BIGINT) % 8").as("channel"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us").as("p_ts"), col("event_id").as("p_eid"))
+    val pairs = clicks.join(purchases, Seq("user_id"))
+      .filter(col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - lit(86400000000L))
+    val wP = Window.partitionBy(col("p_eid"))
+    val attributed = pairs
+      .withColumn("n_c", count(lit(1)).over(wP))
+      .withColumn("rn_f", row_number().over(wP.orderBy(col("c_ts"), col("c_eid"))))
+      .withColumn("rn_l", row_number().over(wP.orderBy(col("c_ts").desc, col("c_eid").desc)))
+    attributed.groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("rn_f") === 1, 1L).otherwise(0L)).cast("long").as("n_first"),
+        sum(when(col("rn_l") === 1, 1L).otherwise(0L)).cast("long").as("n_last"),
+        sum(expr("1000000 div n_c")).cast("long").as("credit_x1e6"))
+      .orderBy(col("channel"))
+  }
+
   /** SQL twin of [[purchaseCents]], shared by the three day-domain
     * series oracles so the cents rounding / purchase filter can never
     * drift between them.
@@ -918,6 +953,28 @@ object Temporal {
       "FROM events WHERE event_type = 'purchase'"
 
   val oracles: Map[String, String] = Map(
+    "q_attribution" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, props
+        |           FROM events),
+        |c AS (SELECT user_id, ts_us AS c_ts, event_id AS c_eid,
+        |        CAST(json_extract_string(props, '$.k') AS BIGINT) % 8 AS channel
+        |      FROM ev WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts_us AS p_ts, event_id AS p_eid
+        |      FROM ev WHERE event_type = 'purchase'),
+        |pr AS (SELECT c.channel, c.c_ts, c.c_eid, p.p_eid
+        |       FROM c JOIN p ON c.user_id = p.user_id
+        |         AND c.c_ts <= p.p_ts AND c.c_ts >= p.p_ts - 86400000000),
+        |w AS (SELECT channel,
+        |        CAST(count(*) OVER (PARTITION BY p_eid) AS BIGINT) AS n_c,
+        |        row_number() OVER (PARTITION BY p_eid ORDER BY c_ts, c_eid) AS rn_f,
+        |        row_number() OVER (PARTITION BY p_eid ORDER BY c_ts DESC, c_eid DESC) AS rn_l
+        |      FROM pr)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(CASE WHEN rn_f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |  CAST(sum(CASE WHEN rn_l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+        |  CAST(sum(1000000 // n_c) AS BIGINT) AS credit_x1e6
+        |FROM w GROUP BY channel ORDER BY channel""".stripMargin,
+
     "q_survival" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
         |h AS (SELECT max(ts_us) AS h_ts FROM ev),

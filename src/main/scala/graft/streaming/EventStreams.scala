@@ -57,6 +57,18 @@ object EventStreams {
       col("event_type"), col("value"))
   }
 
+  /** [[normalize]] additionally carrying the raw props JSON column
+    * (for consumers that extract typed fields from it).
+    */
+  def normalizeProps(ev: DataFrame): DataFrame = {
+    val tsUs = ev.schema("ts").dataType match {
+      case LongType => expr("ts div 1000")
+      case _        => unix_micros(col("ts"))
+    }
+    ev.select(col("event_id"), tsUs.as("ts_us"), col("user_id"),
+      col("event_type"), col("value"), col("props"))
+  }
+
   /** Tumbling 1-hour window count/sum per event type. In streaming this
     * runs with a watermark on the event time; state is one counter row
     * per (window, type).

@@ -456,6 +456,43 @@ class TemporalSpec extends AnyFunSuite {
     assert(zAbs == math.abs(runs * 1000000L - muX) * 1000L / sd, s"z: $r")
   }
 
+  test("attribution equals a driver-side multi-touch replay") {
+    val ev = graft.streaming.EventStreams.normalizeProps(Tables.events(spark, sf))
+      .selectExpr("user_id", "ts_us", "event_id", "event_type",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) % 8 AS channel")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4)))
+    val clicks = ev.filter(_._4 == "click").groupBy(_._1)
+    val purchases = ev.filter(_._4 == "purchase")
+    case class Acc(var touches: Long = 0, var first: Long = 0, var last: Long = 0, var credit: Long = 0)
+    val acc = scala.collection.mutable.Map.empty[Long, Acc]
+    var attributedPurchases = 0L
+    purchases.foreach { p =>
+      val cs = clicks.getOrElse(p._1, Array.empty)
+        .filter(c => c._2 <= p._2 && c._2 >= p._2 - 86400000000L)
+        .sortBy(c => (c._2, c._3))
+      if (cs.nonEmpty) {
+        attributedPurchases += 1
+        cs.foreach { c =>
+          val a = acc.getOrElseUpdate(c._5, Acc())
+          a.touches += 1; a.credit += 1000000L / cs.length
+        }
+        acc(cs.head._5).first += 1
+        acc(cs.last._5).last += 1
+      }
+    }
+    val rows = Temporal.qAttribution(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val a = acc(r.getLong(0))
+      assert(r.getLong(1) == a.touches && r.getLong(2) == a.first &&
+        r.getLong(3) == a.last && r.getLong(4) == a.credit, s"channel replay: $r")
+    }
+    assert(rows.map(_.getLong(0)).toSet == acc.keySet)
+    // first/last totals both count each attributed purchase exactly once
+    assert(rows.map(_.getLong(2)).sum == attributedPurchases)
+    assert(rows.map(_.getLong(3)).sum == attributedPurchases)
+  }
+
   test("survival table equals a driver-side risk-set replay") {
     val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
       .select("user_id", "ts_us", "event_type").collect()
