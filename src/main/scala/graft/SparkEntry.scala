@@ -145,6 +145,7 @@ object SparkEntry {
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
     "txt_pii_scrub" -> ((s, d) => Text.piiScrub(s, d)),
     "txt_readability" -> ((s, d) => Text.readability(s, d)),
+    "txt_kappa" -> ((s, d) => Text.kappa(s, d)),
     "q_sample_stratified" -> ((s, d) => Relational.qSampleStratified(s, d)),
     "q_correlated_subquery" -> ((s, d) => Relational.qCorrelatedSubquery(s, d)),
     "txt_bigrams" -> ((s, d) => Text.bigrams(s, d)),

@@ -85,6 +85,47 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Cohen's kappa for the language-ID classifier against the labeled
+    * lang column (the public chance-corrected agreement statistic —
+    * the classifier-evaluation primitive a labeling pipeline audits
+    * with): from the (lang, pred) confusion counts, observed agreement
+    * a, expected-agreement numerator pe_num = Σ_label row·col, and
+    *   κ·10⁶ = (a·N − pe_num)·10⁶ div (N² − pe_num)
+    * — every term an exact integer (DECIMAL(38,0) headroom for the
+    * ·10⁶ product), so the oracle gates it hash-exact. Scale shape:
+    * the per-doc argmax is [[langId]]'s one corpus pass; everything
+    * after runs on the |labels|² confusion matrix.
+    */
+  def kappa(s: SparkSession, d: String): DataFrame = {
+    val conf = langId(s, d)
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("c"))
+    val rows = conf.groupBy(col("lang")).agg(sum(col("c")).as("r"))
+    val cols = conf.groupBy(col("pred_lang")).agg(sum(col("c")).as("cl"))
+    // pe_num = Σ row·col stays DECIMAL(38,0) (N² overflows BIGINT at
+    // fact scale); κ's numerator CAN be negative (a classifier at or
+    // below chance — this corpus' marker-profile langid is one), and
+    // Spark's div truncates where DuckDB's // floors, so |κ| and sign
+    // emit separately, the ttest/runs-test convention
+    val peNum = rows.join(cols, col("lang") === col("pred_lang"))
+      .agg(coalesce(sum(expr("CAST(r AS DECIMAL(38,0)) * cl")),
+        expr("CAST(0 AS DECIMAL(38,0))")).as("pe_num"))
+    conf.agg(
+        sum(col("c")).cast("long").as("n"),
+        sum(when(col("lang") === col("pred_lang"), col("c")).otherwise(0L))
+          .cast("long").as("agree"))
+      .crossJoin(broadcast(peNum))
+      .withColumn("po_x1e6", expr("(agree * 1000000) div n"))
+      .withColumn("pe_x1e6", expr(
+        "CAST(pe_num * 1000000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
+      .withColumn("kappa_abs_x1e6", expr(
+        """CAST(abs(CAST(agree AS DECIMAL(38,0)) * n - pe_num) * 1000000
+          |  div (CAST(n AS DECIMAL(38,0)) * n - pe_num) AS BIGINT)""".stripMargin))
+      .withColumn("kappa_sign", expr(
+        "CAST(sign(CAST(agree AS DECIMAL(38,0)) * n - pe_num) AS INT)"))
+      .select(col("n"), col("agree"), col("pe_num"),
+        col("po_x1e6"), col("pe_x1e6"), col("kappa_abs_x1e6"), col("kappa_sign"))
+  }
+
   /** Document fingerprints: rolling hash of raw and analyzer-normalized text. */
   def fingerprintQ(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d).select(
@@ -571,6 +612,34 @@ object Text {
          |  (39 * n_words) // n_sent + (1180 * n_syll) // n_words - 1559 AS fk_grade_x100,
          |  206835 - (1015 * n_words) // n_sent - (84600 * n_syll) // n_words AS ease_x1000
          |FROM t WHERE n_words >= 1 ORDER BY doc_id""".stripMargin,
+
+    "txt_kappa" ->
+      s"""WITH prof AS (SELECT * FROM (VALUES $langProfilesSql) p(plang, prio, markers)),
+         |sc AS (
+         |  SELECT d.doc_id, d.lang, p.plang,
+         |    CAST(len(list_intersect(list_distinct(${rawTokensSql("d.text")}), p.markers)) AS BIGINT) * 8
+         |      + p.prio AS skey
+         |  FROM documents d CROSS JOIN prof p),
+         |pred AS (SELECT doc_id, lang, arg_max(plang, skey) AS pred
+         |         FROM sc GROUP BY doc_id, lang),
+         |conf AS (SELECT lang, pred, CAST(count(*) AS BIGINT) AS c
+         |         FROM pred GROUP BY lang, pred),
+         |r AS (SELECT lang, CAST(sum(c) AS BIGINT) AS r FROM conf GROUP BY lang),
+         |cl AS (SELECT pred, CAST(sum(c) AS BIGINT) AS cl FROM conf GROUP BY pred),
+         |pe AS (SELECT CAST(COALESCE(sum(CAST(r.r AS HUGEINT) * cl.cl), 0) AS DECIMAL(38,0)) AS pe_num
+         |       FROM r JOIN cl ON cl.pred = r.lang),
+         |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |        CAST(sum(CASE WHEN lang = pred THEN c ELSE 0 END) AS BIGINT) AS agree
+         |      FROM conf)
+         |SELECT n, agree, pe_num,
+         |  (agree * 1000000) // n AS po_x1e6,
+         |  CAST(CAST(pe_num AS HUGEINT) * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_x1e6,
+         |  CAST(abs(CAST(agree AS HUGEINT) * n - CAST(pe_num AS HUGEINT)) * 1000000
+         |    // (CAST(n AS HUGEINT) * n - CAST(pe_num AS HUGEINT)) AS BIGINT) AS kappa_abs_x1e6,
+         |  CAST(CASE WHEN CAST(agree AS HUGEINT) * n > CAST(pe_num AS HUGEINT) THEN 1
+         |            WHEN CAST(agree AS HUGEINT) * n < CAST(pe_num AS HUGEINT) THEN -1
+         |            ELSE 0 END AS INT) AS kappa_sign
+         |FROM t CROSS JOIN pe""".stripMargin,
 
     "txt_langid" ->
       s"""WITH prof AS (SELECT * FROM (VALUES $langProfilesSql) p(plang, prio, markers)),

@@ -726,6 +726,25 @@ class PipelineSpec extends AnyFunSuite {
     if (nT > 0) assert(r.getLong(6) == tp * 1000000L / nT)
   }
 
+  test("kappa equals a driver-side confusion-matrix replay and is above chance") {
+    val preds = graft.operators.Text.langId(spark, sf)
+      .select("lang", "pred_lang").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val n = preds.length.toLong
+    val agree = preds.count { case (a, p) => a == p }.toLong
+    val rowT = preds.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val colT = preds.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val peNum = rowT.keySet.intersect(colT.keySet)
+      .map(k => BigInt(rowT(k)) * colT(k)).sum
+    val r = graft.operators.Text.kappa(spark, sf).collect().head
+    assert(r.getLong(0) == n && r.getLong(1) == agree, s"counts: $r")
+    assert(BigInt(r.getDecimal(2).toBigInteger) == peNum, s"pe_num: $r")
+    val num = BigInt(agree) * n - peNum
+    val kappaAbs = (num.abs * 1000000 / (BigInt(n) * n - peNum)).toLong
+    assert(r.getLong(5) == kappaAbs, s"kappa abs: $r")
+    assert(r.getInt(6) == num.signum, s"kappa sign: $r")
+  }
+
   test("readability equals a driver-side replay of the FK/ease integer formulas") {
     val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
