@@ -210,6 +210,7 @@ object SparkEntry {
     "q_rolling_median"    -> ((s, d) => operators.Temporal.qRollingMedian(s, d)),
     "q_survival"          -> ((s, d) => operators.Temporal.qSurvival(s, d)),
     "q_attribution"       -> ((s, d) => operators.Temporal.qAttribution(s, d)),
+    "q_bootstrap"         -> ((s, d) => operators.Temporal.qBootstrap(s, d)),
     "q_runs_test"         -> ((s, d) => operators.Temporal.qRunsTest(s, d)),
     "q_asof_nearest"      -> ((s, d) => operators.Temporal.qAsofNearest(s, d)),
     "q_funnel_window"     -> ((s, d) => operators.Temporal.qFunnelWindow(s, d)),

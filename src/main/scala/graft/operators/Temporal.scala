@@ -908,6 +908,33 @@ object Temporal {
       .orderBy(col("t_hours"))
   }
 
+  /** Deterministic bootstrap of mean per-user spend — the distributed
+    * resampling technique (Poisson/online bootstrap, public literature:
+    * each replicate reweights every unit independently instead of
+    * drawing with replacement, so one pass computes all replicates):
+    * B = 32 replicates, weight w(u, b) = hash(u, b) mod 3 ∈ {0,1,2}
+    * (mean 1 — the deterministic multinomial stand-in for Poisson(1),
+    * same integer-hash convention as [[qAbLift]]'s arm split), and each
+    * replicate's mean spend ×100 is an exact integer division. The
+    * rank column orders replicate means, so percentile CIs read
+    * directly off the output. Scale: B× blowup of the per-USER frame
+    * (not the event log), partial-aggregated map-side.
+    */
+  def qBootstrap(s: SparkSession, d: String): DataFrame = {
+    val pu = perUserArmCents(s, d).select(col("user_id"), col("cents"))
+    pu.withColumn("b", explode(typedlit((0 until 32).toList)))
+      .withColumn("w", expr("((user_id * 2654435761 + b * 2246822519) % 4294967296) % 3"))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).cast("long").as("n_eff"),
+        sum(expr("w * cents")).cast("long").as("w_cents"))
+      .withColumn("mean_cents_x100", expr("(w_cents * 100) div n_eff"))
+      .withColumn("rank",
+        rank().over(Window.orderBy(col("mean_cents_x100"), col("b"))))
+      .select(col("b"), col("n_eff"), col("w_cents"),
+        col("mean_cents_x100"), col("rank"))
+      .orderBy(col("b"))
+  }
+
   /** Multi-touch attribution by channel (the marketing-analytics
     * counterpart of [[qFunnelWindow]], batch twin of
     * stream_attribution's pairing): every purchase credits the clicks
@@ -953,6 +980,24 @@ object Temporal {
       "FROM events WHERE event_type = 'purchase'"
 
   val oracles: Map[String, String] = Map(
+    "q_bootstrap" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+        |  FROM events GROUP BY user_id),
+        |r AS (SELECT pu.user_id, pu.cents, CAST(b.i AS INT) AS b
+        |      FROM pu, range(0, 32) b(i)),
+        |w AS (SELECT b, user_id, cents,
+        |        ((user_id * 2654435761 + b * 2246822519) % 4294967296) % 3 AS w FROM r),
+        |m AS (SELECT b, CAST(sum(w) AS BIGINT) AS n_eff,
+        |        CAST(sum(w * cents) AS BIGINT) AS w_cents FROM w GROUP BY b),
+        |f AS (SELECT b, n_eff, w_cents,
+        |        (w_cents * 100) // n_eff AS mean_cents_x100 FROM m)
+        |SELECT b, n_eff, w_cents, mean_cents_x100,
+        |  CAST(rank() OVER (ORDER BY mean_cents_x100, b) AS INT) AS rank
+        |FROM f ORDER BY b""".stripMargin,
+
     "q_attribution" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type, props
         |           FROM events),

@@ -456,6 +456,30 @@ class TemporalSpec extends AnyFunSuite {
     assert(zAbs == math.abs(runs * 1000000L - muX) * 1000L / sd, s"z: $r")
   }
 
+  test("bootstrap replicates equal a driver-side weighted replay") {
+    val pu = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).otherwise(0L)).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Temporal.qBootstrap(spark, sf).collect()
+    assert(rows.length == 32)
+    val means = rows.map(r => r.getInt(0) -> r.getLong(3)).toMap
+    rows.foreach { r =>
+      val b = r.getInt(0)
+      val ws = pu.map { case (u, c) => ((u * 2654435761L + b * 2246822519L) % 4294967296L % 3, c) }
+      val nEff = ws.map(_._1).sum
+      val wC = ws.map { case (w, c) => w * c }.sum
+      assert(r.getLong(1) == nEff && r.getLong(2) == wC, s"weights at $b: $r")
+      assert(r.getLong(3) == wC * 100 / nEff, s"mean at $b: $r")
+      val rk = 1 + means.count { case (b2, m2) =>
+        m2 < means(b) || (m2 == means(b) && b2 < b) }
+      assert(r.getInt(4) == rk, s"rank at $b: $r")
+    }
+    // the replicate spread must be non-degenerate (weights actually vary)
+    assert(means.values.toSet.size > 1, "all replicate means identical")
+  }
+
   test("attribution equals a driver-side multi-touch replay") {
     val ev = graft.streaming.EventStreams.normalizeProps(Tables.events(spark, sf))
       .selectExpr("user_id", "ts_us", "event_id", "event_type",
