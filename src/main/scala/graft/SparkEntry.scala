@@ -185,6 +185,7 @@ object SparkEntry {
     "pipe_merge_stats"    -> ((s, d) => Pipeline.mergeStats(s, d)),
     "pipe_mix_weights"    -> ((s, d) => Pipeline.mixWeights(s, d)),
     "pipe_split"          -> ((s, d) => Pipeline.splitAssign(s, d)),
+    "pipe_reshard"        -> ((s, d) => Pipeline.reshardAudit(s, d)),
     "pipe_chunk"          -> ((s, d) => Pipeline.chunk(s, d)),
     "pipe_dq_report"      -> ((s, d) => Pipeline.dqReport(s, d)),
     "pipe_freshness"      -> ((s, d) => Pipeline.freshness(s, d)),

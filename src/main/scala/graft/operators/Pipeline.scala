@@ -757,7 +757,80 @@ object Pipeline {
        |FROM pr WHERE inter > 0 AND (1000000 * inter) // uni >= 500000
        |ORDER BY a, b""".stripMargin
 
+  /** Resharding-movement audit: when a 16-shard corpus layout grows to
+    * 17 shards, how many documents move under mod-hash placement vs a
+    * consistent-hash ring (Karger et al., public literature)? Mod
+    * placement remaps ~16/17 of the corpus (every doc whose
+    * h mod 16 ≠ h mod 17); the ring — 4 virtual nodes per shard at
+    * deterministic hash positions, doc owned by its clockwise
+    * successor vnode — moves only the docs the NEW shard's vnodes
+    * capture (~1/17). At 100 TB this is the difference between
+    * rewriting the corpus on every capacity change and rewriting one
+    * shard's worth; the audit MEASURES it on the live corpus instead
+    * of asserting it. Everything is integer hashing on pinned
+    * constants; the vnode argmin is a 68-row broadcast cross join per
+    * doc, one pass, no shuffle beyond the final 1-row aggregate.
+    */
+  def reshardAudit(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(expr("(doc_id * 2654435761) % 4294967296").as("h"))
+    def vnodes(nShards: Int) = (0 until nShards).flatMap { sh =>
+      (0 until 4).map(v =>
+        (sh.toLong, (sh.toLong * 73856093L + v * 19349663L) % 4294967296L))
+    }
+    def ringAssign(n: Int, outCol: String)(df: DataFrame): DataFrame = {
+      val vn = vnodes(n).map { case (sh, pos) =>
+        struct(lit(sh).as("sh"), lit(pos).as("pos"))
+      }
+      // clockwise successor: min (pos - h) mod 2^32 over all vnodes —
+      // min_by on the (distance, pos) pair so coincident vnodes break
+      // ties identically in both engines
+      df.withColumn("vn", explode(array(vn: _*)))
+        .groupBy(col("h"))
+        .agg(min_by(col("vn.sh"),
+          struct(expr("(vn.pos - h + 4294967296) % 4294967296").as("dist"),
+            col("vn.pos").as("pos"))).as(outCol))
+    }
+    val r16 = ringAssign(16, "ring16")(docs)
+    val r17 = ringAssign(17, "ring17")(docs)
+    docs
+      .join(r16, Seq("h")).join(r17, Seq("h"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(expr("h % 16 <> h % 17"), 1L).otherwise(0L))
+          .cast("long").as("moved_mod"),
+        sum(when(col("ring16") =!= col("ring17"), 1L).otherwise(0L))
+          .cast("long").as("moved_ring"))
+      .withColumn("moved_mod_x1e6", expr("(moved_mod * 1000000) div n_docs"))
+      .withColumn("moved_ring_x1e6", expr("(moved_ring * 1000000) div n_docs"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "pipe_reshard" -> {
+      def vnodesSql(n: Int) = (0 until n).flatMap { sh =>
+        (0 until 4).map(v =>
+          s"(${sh}, ${(sh.toLong * 73856093L + v * 19349663L) % 4294967296L})")
+      }.mkString(", ")
+      s"""WITH docs AS (
+         |  SELECT (doc_id * 2654435761) % 4294967296 AS h FROM documents),
+         |v16 AS (SELECT * FROM (VALUES ${vnodesSql(16)}) t(sh, pos)),
+         |v17 AS (SELECT * FROM (VALUES ${vnodesSql(17)}) t(sh, pos)),
+         |r16 AS (SELECT d.h, arg_min(v.sh,
+         |          CAST((v.pos - d.h + 4294967296) % 4294967296 AS HUGEINT) * 4294967296 + v.pos) AS ring16
+         |        FROM docs d CROSS JOIN v16 v GROUP BY d.h),
+         |r17 AS (SELECT d.h, arg_min(v.sh,
+         |          CAST((v.pos - d.h + 4294967296) % 4294967296 AS HUGEINT) * 4294967296 + v.pos) AS ring17
+         |        FROM docs d CROSS JOIN v17 v GROUP BY d.h),
+         |j AS (SELECT d.h, r16.ring16, r17.ring17
+         |      FROM docs d JOIN r16 ON r16.h = d.h JOIN r17 ON r17.h = d.h)
+         |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN h % 16 <> h % 17 THEN 1 ELSE 0 END) AS BIGINT) AS moved_mod,
+         |  CAST(sum(CASE WHEN ring16 <> ring17 THEN 1 ELSE 0 END) AS BIGINT) AS moved_ring,
+         |  CAST(sum(CASE WHEN h % 16 <> h % 17 THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS moved_mod_x1e6,
+         |  CAST(sum(CASE WHEN ring16 <> ring17 THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS moved_ring_x1e6
+         |FROM j""".stripMargin
+    },
     "dedup_exact" ->
       s"""SELECT doc_id, $fpNorm AS fp_norm,
          |  min(doc_id) OVER (PARTITION BY $fpNorm) AS cluster_id,

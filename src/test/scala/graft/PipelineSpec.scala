@@ -726,6 +726,17 @@ class PipelineSpec extends AnyFunSuite {
     if (nT > 0) assert(r.getLong(6) == tp * 1000000L / nT)
   }
 
+  test("reshard audit: ring movement is bounded and mod movement is catastrophic") {
+    val r = Pipeline.reshardAudit(spark, sf).collect().head
+    val (n, mMod, mRing) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(n > 0 && r.getLong(3) == mMod * 1000000L / n && r.getLong(4) == mRing * 1000000L / n)
+    // mod-hash remaps ~16/17 of the corpus; the ring only what the new
+    // shard's vnodes capture (~1/17 with vnode variance)
+    assert(mMod * 100 / n >= 80, s"mod movement suspiciously low: $r")
+    assert(mRing * 100 / n <= 15, s"ring movement too high: $r")
+    assert(mRing < mMod, s"ring must beat mod: $r")
+  }
+
   test("kappa equals a driver-side confusion-matrix replay and is above chance") {
     val preds = graft.operators.Text.langId(spark, sf)
       .select("lang", "pred_lang").collect()
