@@ -57,6 +57,8 @@ object SparkEntry {
     "q_freq_cms"       -> ((s, d) => Relational.qFreqCms(s, d)),
     "q_approx_distinct_hll" -> ((s, d) => Relational.qApproxDistinctHll(s, d)),
     "q_chisq"          -> ((s, d) => Relational.qChisq(s, d)),
+    "q_anova"          -> ((s, d) => Relational.qAnova(s, d)),
+    "q_cramers_v"      -> ((s, d) => Relational.qCramersV(s, d)),
     "q_benford"        -> ((s, d) => Relational.qBenford(s, d)),
     "q_kmv_overlap"    -> ((s, d) => Relational.qKmvOverlap(s, d)),
     "q_stats"          -> ((s, d) => Relational.qStats(s, d)),
@@ -140,6 +142,10 @@ object SparkEntry {
     "q_triangle_count" -> ((s, d) => operators.Graph.triangleCounts(s, d)),
     "q_common_neighbors" -> ((s, d) => operators.Graph.commonNeighbors(s, d)),
     "q_components"     -> ((s, d) => operators.Graph.components(s, d)),
+    "q_degree_dist"    -> ((s, d) => operators.Graph.degreeDist(s, d)),
+    "q_clustering_coeff" -> ((s, d) => operators.Graph.clusteringCoeff(s, d)),
+    "q_resource_alloc" -> ((s, d) => operators.Graph.resourceAlloc(s, d)),
+    "q_kcore"          -> ((s, d) => operators.Graph.kcore(s, d)),
     "q_basket_rules"   -> ((s, d) => operators.Graph.basketRules(s, d)),
     "q_skyline"    -> ((s, d) => Relational.qSkyline(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),
@@ -213,6 +219,9 @@ object SparkEntry {
     "q_attribution"       -> ((s, d) => operators.Temporal.qAttribution(s, d)),
     "q_bootstrap"         -> ((s, d) => operators.Temporal.qBootstrap(s, d)),
     "q_runs_test"         -> ((s, d) => operators.Temporal.qRunsTest(s, d)),
+    "q_ewma"              -> ((s, d) => operators.Temporal.qEwma(s, d)),
+    "q_twap"              -> ((s, d) => operators.Temporal.qTwap(s, d)),
+    "q_seasonality"       -> ((s, d) => operators.Temporal.qSeasonality(s, d)),
     "q_asof_nearest"      -> ((s, d) => operators.Temporal.qAsofNearest(s, d)),
     "q_funnel_window"     -> ((s, d) => operators.Temporal.qFunnelWindow(s, d)),
     "q_ttest"             -> ((s, d) => operators.Temporal.qTtest(s, d)),
@@ -256,6 +265,61 @@ object SparkEntry {
         |          - CAST(count(*) AS HUGEINT) * sum(CAST(cents AS HUGEINT))))
         |    // (CAST(count(*) AS HUGEINT) * sum(CAST(cents AS HUGEINT))) AS BIGINT) AS gini_x1e6
         |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_anova" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (SELECT s.cents, c.c_mktsegment
+        |      FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+        |g AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_g,
+        |        CAST(sum(cents) AS BIGINT) AS s_g,
+        |        sum(CAST(cents AS HUGEINT) * cents) AS q_g
+        |      FROM j GROUP BY c_mktsegment),
+        |gm AS (SELECT *, (s_g * 100) // n_g AS m_g_x100 FROM g),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |        CAST(sum(n_g) AS BIGINT) AS n_total,
+        |        CAST(sum(s_g) AS BIGINT) AS sum_cents,
+        |        sum(q_g) AS ssq,
+        |        sum(CAST(n_g AS HUGEINT) * m_g_x100 * m_g_x100) AS sb_raw
+        |      FROM gm),
+        |d AS (SELECT *, (sum_cents * 100) // n_total AS m_x100 FROM t),
+        |f AS (SELECT k, n_total, sum_cents, ssq,
+        |        sb_raw - CAST(n_total AS HUGEINT) * m_x100 * m_x100 AS ssb,
+        |        ssq * 10000 - sb_raw AS ssw
+        |      FROM d)
+        |SELECT k, n_total, sum_cents, CAST(ssq AS DECIMAL(38,0)) AS ssq,
+        |  CAST(ssb AS DECIMAL(38,0)) AS ssb_x1e4,
+        |  CAST(ssw AS DECIMAL(38,0)) AS ssw_x1e4,
+        |  CAST(ssb * (n_total - k) * 1000 // (ssw * (k - 1)) AS BIGINT) AS f_x1e3
+        |FROM f""".stripMargin,
+
+    "q_cramers_v" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(value >= 100.0 AS INTEGER) AS hi FROM events),
+        |cells AS (SELECT event_type, hi, CAST(count(*) AS BIGINT) AS o
+        |          FROM e GROUP BY event_type, hi),
+        |rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS r
+        |       FROM cells GROUP BY event_type),
+        |cm AS (SELECT hi, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY hi),
+        |t AS (SELECT CAST(sum(o) AS BIGINT) AS n_total FROM cells),
+        |chi AS (SELECT cells.event_type, cells.hi,
+        |          CAST((CAST(cells.o AS HUGEINT) * t.n_total
+        |              - CAST(rm.r AS HUGEINT) * cm.c)
+        |            * (CAST(cells.o AS HUGEINT) * t.n_total
+        |              - CAST(rm.r AS HUGEINT) * cm.c) * 1000000
+        |            // (CAST(t.n_total AS HUGEINT) * rm.r * cm.c) AS BIGINT) AS chi_x1e6,
+        |          t.n_total
+        |        FROM cells JOIN rm USING (event_type) JOIN cm USING (hi) CROSS JOIN t),
+        |a AS (SELECT CAST(sum(chi_x1e6) AS BIGINT) AS chi2_x1e6,
+        |        CAST(max(n_total) AS BIGINT) AS n,
+        |        CAST(count(DISTINCT event_type) AS BIGINT) AS r,
+        |        CAST(count(DISTINCT hi) AS BIGINT) AS c
+        |      FROM chi)
+        |SELECT chi2_x1e6, n, r, c, least(r - 1, c - 1) AS dof_min,
+        |  (chi2_x1e6 * 1000) // (n * least(r - 1, c - 1)) AS v2_x1e9
+        |FROM a""".stripMargin,
 
     "q_chisq" ->
       """WITH e AS (SELECT event_type,

@@ -271,26 +271,7 @@ object Graph {
     * row per label with member count and id range.
     */
   def components(s: SparkSession, d: String, iters: Int = 8): DataFrame = {
-    val li = Tables.fanOut(Tables.lineitem(s, d)
-      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
-    val perOrder = li.groupBy(col("ok"))
-      .agg(sort_array(collect_set(col("pk"))).as("ps"))
-    val repeat = perOrder
-      .select(explode(graft.functions.GraphExpressionFunctions
-        .sortedLongPairs(col("ps"))).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-      .agg(count(lit(1)).as("w"))
-      .filter(col("w") >= 2)
-    // symmetric edge list + vertex set, checkpointed once. The
-    // repartition matters for the LOOP, not the data: the raw union
-    // carries 2× the aggregation's partition count, and every one of
-    // the 8 rounds would relaunch that many near-empty join tasks; an
-    // AQE-coalesced exchange right-sizes the checkpointed edges by
-    // BYTES (1-2 partitions locally, full width on a real cluster).
-    val edges = repeat.select(col("a").as("src"), col("b").as("dst"))
-      .union(repeat.select(col("b"), col("a")))
-      .repartition(col("src"))
-      .localCheckpoint()
+    val edges = repeatSymEdges(s, d)
     // each round materializes (localCheckpoint) — the broadcast of round
     // i would otherwise re-execute rounds 1..i-1's joins, turning 8
     // rounds into 36 chained shuffle stages of pure latency (measured
@@ -316,6 +297,32 @@ object Graph {
       .agg(count(lit(1)).as("n_parts"), min(col("v")).as("min_part"),
         max(col("v")).as("max_part"))
       .orderBy(col("component"))
+  }
+
+  /** Symmetrized repeat-co-purchase edges (pairs bought together in
+    * ≥2 distinct orders), checkpointed once — the shared sparse-graph
+    * base of [[components]] and [[kcore]]. The repartition matters for
+    * the LOOPS, not the data: the raw union carries 2× the
+    * aggregation's partition count, and every iterative round would
+    * relaunch that many near-empty join tasks; an AQE-coalesced
+    * exchange right-sizes the checkpointed edges by BYTES (1-2
+    * partitions locally, full width on a real cluster).
+    */
+  private[graft] def repeatSymEdges(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.fanOut(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+    val perOrder = li.groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+    val repeat = perOrder
+      .select(explode(graft.functions.GraphExpressionFunctions
+        .sortedLongPairs(col("ps"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+    repeat.select(col("a").as("src"), col("b").as("dst"))
+      .union(repeat.select(col("b"), col("a")))
+      .repartition(col("src"))
+      .localCheckpoint()
   }
 
   /** Market-basket association rules over parts co-purchased in the
@@ -364,6 +371,121 @@ object Graph {
       .limit(100)
   }
 
+  /** Degree distribution of the co-purchase graph in log₂ buckets —
+    * the first diagnostic run on any production graph (is it power-law?
+    * where does the skew live?): bucket = ⌊log₂ deg⌋+1 via
+    * length(bin(deg)) — pure integer string math, identical in both
+    * engines. One E-sized explode → V-sized degree agg → bucket-count
+    * rows (≤ 64 forever). The 100 TB shape: nothing after the first
+    * groupBy exceeds the vertex count.
+    */
+  def degreeDist(s: SparkSession, d: String): DataFrame =
+    triEdges(s, d)
+      .select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+      .groupBy(expr("CAST(length(bin(deg)) AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n_vertices"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
+      .orderBy(col("bucket"))
+
+  /** Per-vertex local clustering coefficient ×10⁶ — how tightly each
+    * part's co-purchase neighborhood closes: cc(v) = 2·tri(v) /
+    * (deg(v)·(deg(v)−1)), exact integer division over the SAME
+    * triangle counts q_triangle_count gates (the factored
+    * [[triEdges]]/[[triOriented]]/[[triAdjacency]]/[[triCreditRows]]
+    * pipeline — Σ min-deg² wedge work, wedge set never materialized).
+    * Vertices in no triangle enter with cc = 0 via a left join against
+    * the V-sized degree table. Output: every vertex with deg ≥ 2.
+    */
+  def clusteringCoeff(s: SparkSession, d: String): DataFrame = {
+    val e = triEdges(s, d)
+    val oriented = triOriented(e)
+    val adj = triAdjacency(oriented)
+    val tri = triCreditRows(s, oriented, adj)
+      .groupBy(col("part")).agg(sum(col("c")).as("n_tri"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    deg.filter(col("deg") >= 2)
+      .join(tri, col("v") === col("part"), "left")
+      .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+      .select(col("v"), col("deg"), col("n_tri"),
+        expr("(n_tri * 2000000) div (deg * (deg - 1))").as("cc_x1e6"))
+      .orderBy(col("v"))
+  }
+
+  /** Resource-allocation link-prediction index ×10⁹ per canonical edge
+    * — the Adamic–Adar family member whose weight 1/deg(w) is exact in
+    * integer arithmetic (no log): RA(a,b) = Σ_{w ∈ N(a)∩N(b)}
+    * 10⁹ div deg(w). The witness enumeration is the degree-oriented
+    * triangle probe ([[triCreditRows]]'s shape): each triangle (u,v,w)
+    * is found once and credits each of its three edges with the
+    * OPPOSITE vertex as witness, so only the T-sized triangle set
+    * shuffles and the witness-degree join is against the broadcast
+    * V-sized degree table. Top-100 by (ra, a, b) bounds the output.
+    */
+  def resourceAlloc(s: SparkSession, d: String): DataFrame = {
+    val e = triEdges(s, d)
+    val oriented = triOriented(e)
+    val adj = triAdjacency(oriented)
+    val par = s.sparkContext.defaultParallelism
+    val tri = oriented.repartition(par, col("src"))
+      .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
+      .repartition(par, col("dst"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
+      .select(col("src").as("u"), col("dst").as("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val credits = tri.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"), col("w").as("wit")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b"), col("v").as("wit")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b"), col("u").as("wit"))))
+        .as("cr"))
+      .select(col("cr.a").as("a"), col("cr.b").as("b"), col("cr.wit").as("wit"))
+    credits
+      .join(broadcast(deg.select(col("v").as("wit"), col("deg"))), Seq("wit"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000000 div deg")).as("ra_x1e9"))
+      .orderBy(col("ra_x1e9").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
+  /** k-core decomposition (k = 3) of the REPEAT-co-purchase graph
+    * ([[repeatSymEdges]] — the plain co-purchase graph has min degree
+    * ≥ 42 at the tested SFs, so its 3-core is the whole graph; the
+    * repeat graph genuinely cascades: 1880 → 935 vertices over 11
+    * peel rounds at sf0.01) by R = 12 synchronous rounds — the
+    * graph-sparsification / community-seed primitive: each round
+    * drops every vertex whose CURRENT degree is < k (and its edges),
+    * degrees recomputed between rounds. Defined as exactly R rounds so
+    * both engines compute the identical unrolled recurrence (the
+    * q_pagerank/q_components discipline); fixpoint at the tested SFs —
+    * round R ≡ round R+1 — is pinned in GraphSpec, so the R-round
+    * object IS the 3-core there. Scale shape: the symmetrized edge set
+    * is checkpointed once; each round is one V-sized degree agg + two
+    * broadcast semi-joins against the surviving-vertex set — E-sized
+    * work per round, vertex set only ever shrinks. Output: core
+    * members with their within-core degree.
+    */
+  def kcore(s: SparkSession, d: String, k: Int = 3, rounds: Int = 12): DataFrame = {
+    var sym = repeatSymEdges(s, d)
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("kv"))
+      sym = sym
+        .join(broadcast(keep), col("src") === col("kv"), "left_semi")
+        .join(broadcast(keep), col("dst") === col("kv"), "left_semi")
+        .localCheckpoint(eager = false)
+    }
+    sym.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
+      .select(col("src").as("v"), col("core_deg"))
+      .orderBy(col("v"))
+  }
+
   /** One BFS relaxation block in DuckDB SQL (least() skips NULLs in
     * both engines, so "unreached" propagates identically). Each d{i} is
     * referenced twice by round i+1 — MATERIALIZED stops the CTE chain
@@ -393,7 +515,104 @@ object Graph {
        |  FROM n CROSS JOIN nn LEFT JOIN f$i ON f$i.dst = n.nk)""".stripMargin
   }
 
+  /** One k-core peel round in DuckDB SQL: recompute both endpoint
+    * degrees by window over the surviving edges, keep edges whose
+    * endpoints both still clear k. MATERIALIZED — each round feeds the
+    * next once but CTE inlining would re-evaluate the chain.
+    */
+  private def kcoreStep(i: Int, k: Int): String = {
+    val p = if (i == 1) "sym" else s"k${i - 1}"
+    s"""k$i AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT src, dst,
+       |      count(*) OVER (PARTITION BY src) AS ds,
+       |      count(*) OVER (PARTITION BY dst) AS dd
+       |    FROM $p)
+       |  WHERE ds >= $k AND dd >= $k)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_degree_dist" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x
+        |  JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY v)
+        |SELECT CAST(length(bin(deg)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_vertices,
+        |  min(deg) AS min_deg, max(deg) AS max_deg
+        |FROM deg GROUP BY bucket ORDER BY bucket""".stripMargin,
+
+    "q_clustering_coeff" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x
+        |  JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |tri AS (
+        |  SELECT part, CAST(count(*) AS BIGINT) AS n_tri FROM (
+        |    SELECT x AS part FROM t UNION ALL
+        |    SELECT y FROM t UNION ALL
+        |    SELECT z FROM t)
+        |  GROUP BY part),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY v)
+        |SELECT d.v, d.deg, COALESCE(tri.n_tri, 0) AS n_tri,
+        |  (COALESCE(tri.n_tri, 0) * 2000000) // (d.deg * (d.deg - 1)) AS cc_x1e6
+        |FROM deg d LEFT JOIN tri ON tri.part = d.v
+        |WHERE d.deg >= 2 ORDER BY d.v""".stripMargin,
+
+    "q_resource_alloc" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x
+        |  JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY v),
+        |cr AS (
+        |  SELECT x AS a, y AS b, z AS wit FROM t
+        |  UNION ALL SELECT x, z, y FROM t
+        |  UNION ALL SELECT y, z, x FROM t)
+        |SELECT cr.a, cr.b, CAST(count(*) AS BIGINT) AS cn,
+        |  CAST(sum(1000000000 // deg.deg) AS BIGINT) AS ra_x1e9
+        |FROM cr JOIN deg ON deg.v = cr.wit
+        |GROUP BY cr.a, cr.b
+        |ORDER BY ra_x1e9 DESC, cr.a, cr.b LIMIT 100""".stripMargin,
+
+    "q_kcore" -> {
+      val steps = (1 to 12).map(kcoreStep(_, 3)).mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT x.l_partkey AS a, y.l_partkey AS b, x.l_orderkey AS ok
+         |  FROM lineitem x
+         |  JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         |rep AS (
+         |  SELECT a, b FROM (
+         |    SELECT a, b, count(DISTINCT ok) AS w FROM pairs GROUP BY a, b)
+         |  WHERE w >= 2),
+         |sym AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM rep
+         |  UNION ALL SELECT b, a FROM rep),
+         |$steps
+         |SELECT src AS v, CAST(count(*) AS BIGINT) AS core_deg
+         |FROM k12 GROUP BY src ORDER BY v""".stripMargin
+    },
+
     "q_basket_rules" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
         |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM op),

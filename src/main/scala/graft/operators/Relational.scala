@@ -876,6 +876,67 @@ object Relational {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** One-way ANOVA of per-customer spend across market segments — the
+    * k-group extension of [[graft.operators.Temporal.qTtest]]'s
+    * two-arm test, divide-late so every stage is exact: group means
+    * floor to the ×100 grain (S_g·100 div n_g — the only early
+    * division, on positive BIGINTs), then SSB = Σ n_g·dev² and
+    * SSW = Q·10⁴ − Σ n_g·m_g² are PURE DECIMAL(38,0) multiplications
+    * (Σcents² tops 1e21 at sf0.1 — sum-of-squares never fits BIGINT,
+    * and a per-group S_g² div n_g would overflow IntegralDivide's
+    * BIGINT result, so the mean-deviation identity is the only staging
+    * that stays exact). F = (SSB·(N−k)) / (SSW·(k−1)) emits ×1000 via
+    * one decimal integer division. Scale shape: one partial-agg pass
+    * to k group-moment rows, then a k-row reduce — nothing after the
+    * o_custkey shuffle touches data size.
+    */
+  def qAnova(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("cents"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val g = spend.groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_g"), sum(col("cents")).cast("long").as("s_g"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("q_g"))
+      .withColumn("m_g_x100", expr("(s_g * 100) div n_g"))
+    g.agg(count(lit(1)).cast("long").as("k"),
+        sum(col("n_g")).cast("long").as("n_total"),
+        sum(col("s_g")).cast("long").as("sum_cents"),
+        sum(col("q_g")).as("ssq"),
+        sum(expr("CAST(n_g AS DECIMAL(38,0)) * m_g_x100 * m_g_x100")).as("sb_raw"))
+      .withColumn("m_x100", expr("(sum_cents * 100) div n_total"))
+      // Σ n_g·(m_g − m)² = Σ n_g·m_g² − N·m² (the floored-mean grain is
+      // the definition here, identical in both engines)
+      .withColumn("ssb_x1e4",
+        expr("sb_raw - CAST(n_total AS DECIMAL(38,0)) * m_x100 * m_x100"))
+      .withColumn("ssw_x1e4", expr("ssq * 10000 - sb_raw"))
+      .withColumn("f_x1e3", expr(
+        "CAST(ssb_x1e4 * (n_total - k) * 1000 div (ssw_x1e4 * (k - 1)) AS BIGINT)"))
+      .select(col("k"), col("n_total"), col("sum_cents"), col("ssq"),
+        col("ssb_x1e4"), col("ssw_x1e4"), col("f_x1e3"))
+  }
+
+  /** Cramér's V effect size of the [[qChisq]] contingency table — the
+    * "is the association big, not just significant" companion number:
+    * V² = χ² / (N·min(r−1, c−1)), emitted ×10⁹ (squared form — the
+    * square root is left to the consumer so the emission stays an
+    * exact integer). χ² here is Σ of the per-cell floored ×10⁶
+    * contributions — the same deterministic grain [[qChisq]] gates on,
+    * so the two queries are consistent by construction. Runs entirely
+    * on qChisq's cells-sized output: one reduce over (types × 2) rows.
+    */
+  def qCramersV(spark: SparkSession, dir: String): DataFrame =
+    qChisq(spark, dir)
+      .agg(sum(col("chi_x1e6")).cast("long").as("chi2_x1e6"),
+        max(col("n_total")).cast("long").as("n"),
+        countDistinct(col("event_type")).cast("long").as("r"),
+        countDistinct(col("hi")).cast("long").as("c"))
+      .withColumn("dof_min", expr("least(r - 1, c - 1)"))
+      .select(col("chi2_x1e6"), col("n"), col("r"), col("c"), col("dof_min"),
+        expr("(chi2_x1e6 * 1000) div (n * dof_min)").as("v2_x1e9"))
+
   /** Mergeable-histogram quantile estimation — the single-pass,
     * partial-agg answer to "give me p50/p90/p99 of a 100 TB column
     * without sorting it": orders' totals bucket into fixed $10k-wide

@@ -970,6 +970,95 @@ object Temporal {
       .orderBy(col("channel"))
   }
 
+  /** Truncated exponential moving average of daily event revenue —
+    * the smoothing primitive of monitoring dashboards, made hash-exact
+    * by construction: with α = 1/2 the EWMA weights are dyadic, so the
+    * 8-term truncation s_t = Σ_{j=0..7} 2^(7−j)·rev_{t−j} over the
+    * weights actually present is all-BIGINT (series head has fewer
+    * terms; the denominator sums only present weights, exactly the
+    * standard renormalized-head EWMA). Daily revenue in exact cents;
+    * days = observed days per type (the lag runs over the type's own
+    * series). Scale shape: the event log collapses to a (type × day)
+    * grid in one partial-agg pass; the 8 lags share ONE window sort of
+    * that tiny grid. Truncation-vs-infinite error is 2⁻⁸ of the tail,
+    * below the ×100 emission grain.
+    */
+  def qEwma(s: SparkSession, d: String): DataFrame = {
+    val daily = EventStreams.normalize(Tables.events(s, d))
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val terms = (0 to 7).map { j =>
+      val l = if (j == 0) col("rev_cents") else lag(col("rev_cents"), j).over(w)
+      (when(l.isNotNull, l * lit(1L << (7 - j))).otherwise(lit(0L)),
+        when(l.isNotNull, lit(1L << (7 - j))).otherwise(lit(0L)))
+    }
+    daily
+      .withColumn("num", terms.map(_._1).reduce(_ + _))
+      .withColumn("den", terms.map(_._2).reduce(_ + _))
+      .select(col("event_type"), col("day"), col("rev_cents"),
+        expr("(num * 100) div den").as("ewma_cents_x100"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Time-weighted average of the event `value` per user — the TWAP /
+    * time-in-state primitive (sensor means, position-weighted prices):
+    * each event's value holds until the user's next event, so the mean
+    * is Σ cents·dur_us div Σ dur_us over lead()-derived intervals (the
+    * last event carries no duration — standard left-closed convention).
+    * Exact integers: cents·dur_us stages through DECIMAL(38,0) (a year
+    * of microseconds × large cents clears BIGINT only barely; the sum
+    * is bounded by max_cents·timespan per user, but headroom is free),
+    * final ×100 division emits BIGINT. ONE shuffle on user_id shared by
+    * the lead window and the rollup; output is one row per user with
+    * ≥ 2 events.
+    */
+  def qTwap(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("dur_us", lead(col("ts_us"), 1).over(w) - col("ts_us"))
+      .filter(col("dur_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dur_us")).cast("long").as("dur_us_total"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * dur_us")).as("cd"))
+      .select(col("user_id"), col("n_intervals"), col("dur_us_total"),
+        expr("CAST(cd * 100 div dur_us_total AS BIGINT)").as("twap_cents_x100"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Day-of-week seasonal index of event revenue per type — the
+    * seasonality decomposition a traffic/revenue dashboard runs:
+    * index = mean(dow) / mean(overall) staged as the exact integer
+    * (sum_dow·n_total·10⁶) div (n_dow·sum_total), DECIMAL(38,0)
+    * headroom for the cross-product. The weekday is pure epoch-day
+    * arithmetic — isodow = ((day+3) mod 7)+1 off 1970-01-01 being a
+    * Thursday — so no calendar-function or timezone drift can split
+    * the engines. One partial-agg pass to the (type × 7) grid; the
+    * per-type marginals broadcast back. Output: 7 rows per type.
+    */
+  def qSeasonality(s: SparkSession, d: String): DataFrame = {
+    val base = EventStreams.normalize(Tables.events(s, d))
+      .select(col("event_type"),
+        expr("((ts_us div 86400000000 + 3) % 7) + 1").as("dow"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val cells = base.groupBy(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("cents"))
+      .localCheckpoint(false) // feeds both the grid and its own marginal
+    val marg = cells.groupBy(col("event_type"))
+      .agg(sum(col("n")).as("n_total"), sum(col("cents")).as("cents_total"))
+    cells.join(broadcast(marg), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("n"), col("cents"),
+        expr("""CAST(CAST(cents AS DECIMAL(38,0)) * n_total * 1000000
+                 div (CAST(n AS DECIMAL(38,0)) * cents_total) AS BIGINT)""")
+          .as("idx_x1e6"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
   /** SQL twin of [[purchaseCents]], shared by the three day-domain
     * series oracles so the cents rounding / purchase filter can never
     * drift between them.
@@ -980,6 +1069,58 @@ object Temporal {
       "FROM events WHERE event_type = 'purchase'"
 
   val oracles: Map[String, String] = Map(
+    "q_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, day, rev_cents,
+        |        lag(rev_cents, 1) OVER w AS l1, lag(rev_cents, 2) OVER w AS l2,
+        |        lag(rev_cents, 3) OVER w AS l3, lag(rev_cents, 4) OVER w AS l4,
+        |        lag(rev_cents, 5) OVER w AS l5, lag(rev_cents, 6) OVER w AS l6,
+        |        lag(rev_cents, 7) OVER w AS l7
+        |      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, rev_cents,
+        |  ((rev_cents * 128 + coalesce(l1, 0) * 64 + coalesce(l2, 0) * 32
+        |    + coalesce(l3, 0) * 16 + coalesce(l4, 0) * 8 + coalesce(l5, 0) * 4
+        |    + coalesce(l6, 0) * 2 + coalesce(l7, 0)) * 100)
+        |  // (128 + CASE WHEN l1 IS NULL THEN 0 ELSE 64 END
+        |     + CASE WHEN l2 IS NULL THEN 0 ELSE 32 END
+        |     + CASE WHEN l3 IS NULL THEN 0 ELSE 16 END
+        |     + CASE WHEN l4 IS NULL THEN 0 ELSE 8 END
+        |     + CASE WHEN l5 IS NULL THEN 0 ELSE 4 END
+        |     + CASE WHEN l6 IS NULL THEN 0 ELSE 2 END
+        |     + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END) AS ewma_cents_x100
+        |FROM l ORDER BY event_type, day""".stripMargin,
+
+    "q_twap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |             CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |i AS (SELECT user_id, cents,
+        |        lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |          - ts_us AS dur_us
+        |      FROM e),
+        |g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_intervals,
+        |        CAST(sum(dur_us) AS BIGINT) AS dur_us_total,
+        |        sum(CAST(cents AS HUGEINT) * dur_us) AS cd
+        |      FROM i WHERE dur_us IS NOT NULL GROUP BY user_id)
+        |SELECT user_id, n_intervals, dur_us_total,
+        |  CAST(cd * 100 // dur_us_total AS BIGINT) AS twap_cents_x100
+        |FROM g ORDER BY user_id""".stripMargin,
+
+    "q_seasonality" ->
+      """WITH base AS (SELECT event_type,
+        |    ((epoch_us(ts) // 86400000000 + 3) % 7) + 1 AS dow,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |cells AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS cents FROM base GROUP BY event_type, dow),
+        |m AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum(cents) AS BIGINT) AS cents_total FROM cells GROUP BY event_type)
+        |SELECT c.event_type, c.dow, c.n, c.cents,
+        |  CAST(CAST(c.cents AS HUGEINT) * m.n_total * 1000000
+        |    // (CAST(c.n AS HUGEINT) * m.cents_total) AS BIGINT) AS idx_x1e6
+        |FROM cells c JOIN m USING (event_type) ORDER BY event_type, dow""".stripMargin,
+
     "q_bootstrap" ->
       """WITH pu AS (
         |  SELECT user_id,

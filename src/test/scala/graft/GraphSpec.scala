@@ -98,6 +98,94 @@ class GraphSpec extends AnyFunSuite {
     assert(got == want, "edge scores diverge from the brute-force recompute")
   }
 
+  test("degree distribution buckets partition the vertex set on power-of-two bounds") {
+    val rows = Graph.degreeDist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (b, mn, mx) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(mn >= (1L << (b - 1).toInt) && mx < (1L << b.toInt),
+        s"degree outside bucket bounds: $r")
+    }
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nVertices = li.groupBy(_._1).values.flatMap { rows2 =>
+      val ps = rows2.map(_._2).distinct.toSeq
+      if (ps.length >= 2) ps else Nil
+    }.toSet.size
+    assert(rows.map(_.getLong(1)).sum == nVertices.toLong,
+      "bucket counts do not partition the vertex set")
+  }
+
+  test("clustering coefficients equal a brute-force per-vertex recompute") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { rows2 =>
+      val ps = rows2.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val want = adj.toSeq.filter(_._2.size >= 2).map { case (v, ns) =>
+      val tri = ns.toSeq.combinations(2).count { case Seq(x, y) =>
+        edges.contains((math.min(x, y), math.max(x, y)))
+      }.toLong
+      val deg = ns.size.toLong
+      (v, deg, tri, tri * 2000000L / (deg * (deg - 1)))
+    }.sortBy(_._1)
+    val got = Graph.clusteringCoeff(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, "clustering coefficients diverge from the brute force")
+    assert(got.forall(_._4 <= 1000000L), "cc above 1")
+  }
+
+  test("resource-allocation index equals a brute-force witness-degree sum") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { rows2 =>
+      val ps = rows2.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val scored = edges.toSeq.map { case (a, b) =>
+      val ws = adj(a) & adj(b)
+      (a, b, ws.size.toLong, ws.toSeq.map(w => 1000000000L / adj(w).size).sum)
+    }.filter(_._3 > 0)
+    val want = scored.sortBy(t => (-t._4, t._1, t._2)).take(100)
+    val got = Graph.resourceAlloc(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, "RA scores diverge from the brute-force recompute")
+  }
+
+  test("kcore: 12 rounds reach the fixpoint and equal a driver-side peel of the repeat graph") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairOrders = li.groupBy(_._1).toSeq.flatMap { case (ok, rows2) =>
+      val ps = rows2.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield ((ps(i), ps(j)), ok)
+    }
+    var edges = pairOrders.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2)
+      .keys.toSet
+    var stable = false
+    while (!stable) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (v, o) => v -> o.size }
+      val next = edges.filter(e => deg(e._1) >= 3 && deg(e._2) >= 3)
+      stable = next == edges
+      edges = next
+    }
+    val want = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, o) => v -> o.size.toLong }
+    val r12 = Graph.kcore(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r12 == want, "12-round peel diverges from the driver-side fixpoint")
+    val r13 = Graph.kcore(spark, sf, rounds = 13).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r12 == r13, "round 12 is not a fixpoint — raise R")
+    assert(r12.nonEmpty, "3-core empty — graph too sparse to exercise the peel")
+    assert(r12.values.forall(_ >= 3L), "core member below degree k")
+  }
+
   test("components: 8-round labels equal a driver-side replay of the recurrence") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1)))

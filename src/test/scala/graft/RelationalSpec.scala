@@ -469,4 +469,48 @@ class RelationalSpec extends AnyFunSuite {
       assert(hhi >= 100000000L / n - 10000L, s"HHI below uniform bound: $r")
     }
   }
+
+  test("anova equals a BigInt driver-side recompute of the divide-late identity") {
+    val spend = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("cents"))
+      .join(Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = spend.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = groups.size.toLong
+    val n = spend.length.toLong
+    val s = spend.map(x => BigInt(x._2)).sum
+    val q = spend.map(x => BigInt(x._2) * x._2).sum
+    val mX100 = s * 100 / n
+    val sbRaw = groups.values.map { xs =>
+      val mg = xs.map(BigInt(_)).sum * 100 / xs.length
+      BigInt(xs.length) * mg * mg
+    }.sum
+    val ssb = sbRaw - n * mX100 * mX100
+    val ssw = q * 10000 - sbRaw
+    val f = ssb * (n - k) * 1000 / (ssw * (k - 1))
+    val r = operators.Relational.qAnova(spark, sf).collect().head
+    assert(r.getLong(0) == k && r.getLong(1) == n && BigInt(r.getLong(2)) == s)
+    assert(BigInt(r.getDecimal(3).toBigInteger) == q, s"ssq: $r")
+    assert(BigInt(r.getDecimal(4).toBigInteger) == ssb, s"ssb: $r")
+    assert(BigInt(r.getDecimal(5).toBigInteger) == ssw, s"ssw: $r")
+    assert(BigInt(r.getLong(6)) == f, s"f: $r")
+    // segments genuinely differ less than noise would: F must be finite, ≥ 0
+    assert(r.getLong(6) >= 0L)
+  }
+
+  test("cramers v aggregates the chisq cells it is defined over") {
+    val cells = operators.Relational.qChisq(spark, sf).collect()
+    val r = operators.Relational.qCramersV(spark, sf).collect().head
+    assert(r.getLong(0) == cells.map(_.getLong(7)).sum, s"chi2 sum: $r")
+    assert(r.getLong(1) == cells.head.getLong(5), s"n: $r")
+    assert(r.getLong(2) == cells.map(_.getString(0)).distinct.length.toLong)
+    assert(r.getLong(3) == cells.map(_.getInt(1)).distinct.length.toLong)
+    val dof = math.min(r.getLong(2) - 1, r.getLong(3) - 1)
+    assert(r.getLong(4) == dof && r.getLong(5) == r.getLong(0) * 1000 / (r.getLong(1) * dof))
+    // V² of a 2-level axis is bounded by 1 (×1e9)
+    assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000000000L, s"v2 out of [0,1]: $r")
+  }
 }

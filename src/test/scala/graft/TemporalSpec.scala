@@ -583,4 +583,60 @@ class TemporalSpec extends AnyFunSuite {
     // the series must actually exercise the fill path
     assert(rows.exists(_.getInt(4) == 1), "no filled day — grid not sparse")
   }
+
+  test("ewma equals a driver-side dyadic-weight replay per type series") {
+    val rows = Temporal.qEwma(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, ts) =>
+      val series = ts.sortBy(_.getLong(1)).map(_.getLong(2))
+      ts.sortBy(_.getLong(1)).zipWithIndex.foreach { case (r, i) =>
+        val terms = (0 to 7).flatMap { j =>
+          if (i - j >= 0) Some((series(i - j), 1L << (7 - j))) else None
+        }
+        val num = terms.map { case (x, w) => x * w }.sum
+        val den = terms.map(_._2).sum
+        assert(r.getLong(3) == num * 100 / den, s"ewma at $r")
+      }
+      // the head renormalizes: day 0 EWMA is the raw value ×100
+      val h = ts.minBy(_.getLong(1))
+      assert(h.getLong(3) == h.getLong(2) * 100, s"head not renormalized: $h")
+    }
+  }
+
+  test("twap equals a driver-side interval-weighted replay") {
+    val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = Temporal.qTwap(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byUser = ev.groupBy(_._1)
+    rows.foreach { r =>
+      val tl = byUser(r.getLong(0)).sortBy(e => (e._2, e._3))
+      val ivs = tl.zip(tl.tail).map { case (a, b) => (a._4, b._2 - a._2) }
+      val durTot = ivs.map(_._2).sum
+      val cd = ivs.map { case (c, d) => BigInt(c) * d }.sum
+      assert(r.getLong(1) == ivs.length && r.getLong(2) == durTot, s"intervals: $r")
+      assert(BigInt(r.getLong(3)) == cd * 100 / durTot, s"twap: $r")
+    }
+    // users with < 2 events carry no interval and must be absent
+    assert(rows.length == byUser.count(_._2.length >= 2))
+  }
+
+  test("seasonality indices n-weight-average to 1e6 per type") {
+    val rows = Temporal.qSeasonality(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dow = r.getLong(1)
+      assert(dow >= 1 && dow <= 7, s"dow out of range: $r")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (t, ds) =>
+      // idx = (cents/n) / (cents_tot/n_tot) ×1e6: the n-weighted mean of
+      // idx must sit at 1e6 up to the per-cell floor (< 7 units of slack)
+      val nTot = ds.map(_.getLong(2)).sum
+      val wsum = ds.map(r => BigInt(r.getLong(2)) * r.getLong(4)).sum
+      val mean = wsum / nTot
+      assert((mean - BigInt(1000000)).abs <= 7, s"type $t weighted mean $mean")
+    }
+  }
 }
