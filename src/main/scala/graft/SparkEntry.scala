@@ -192,6 +192,8 @@ object SparkEntry {
     "pipe_mix_weights"    -> ((s, d) => Pipeline.mixWeights(s, d)),
     "pipe_split"          -> ((s, d) => Pipeline.splitAssign(s, d)),
     "pipe_reshard"        -> ((s, d) => Pipeline.reshardAudit(s, d)),
+    "pipe_dataset_diff"   -> ((s, d) => Pipeline.datasetDiff(s, d)),
+    "ms_collapse"         -> ((s, d) => Metastore.collapseQ(s, d)),
     "pipe_chunk"          -> ((s, d) => Pipeline.chunk(s, d)),
     "pipe_dq_report"      -> ((s, d) => Pipeline.dqReport(s, d)),
     "pipe_freshness"      -> ((s, d) => Pipeline.freshness(s, d)),

@@ -127,6 +127,36 @@ object Metastore {
       .orderBy(col("rank"))
   }
 
+  /** ES field-collapsing analog (the `collapse` search option, beyond
+    * the reference): the ranked TF-IDF hit list collapsed to its best
+    * doc per `source` — one result per group, groups ordered by their
+    * best (score, doc_id), top 10, each carrying its group size. The
+    * collapse runs BEFORE pagination on the full hit list (ES
+    * semantics); the per-group window partitions by source, so the
+    * only post-score shuffle is source-keyed and group-count-bounded.
+    */
+  def collapseQ(s: SparkSession, d: String): DataFrame = {
+    val terms = Analyzer.analyzeQuery("the merge join table")
+    val i = idx(s, d)
+    val hits = ds.boostedHits(i, ds.scores(i, terms),
+      SearchRequest(q = Some("the merge join table")))
+    val wG = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    hits
+      .withColumn("rn", row_number().over(wG))
+      .withColumn("n_in_group", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+      .filter(col("rn") === 1)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+      .select(row_number().over(wAll).cast("int").as("rank"),
+        col("source"), col("doc_id"), col("name"), col("score"),
+        col("n_in_group"))
+      .orderBy(col("rank"))
+  }
+
   def paginate(s: SparkSession, d: String): DataFrame =
     ds.page(idx(s, d), SearchRequest(filters = Map("lang" -> Seq("en")), size = 20, from = 10),
       Seq("doc_id", "name"))
@@ -385,13 +415,15 @@ object Metastore {
        |  SELECT t.doc_id, CAST(sum(t.tf * t.boost * ((nn.n * 1000) // d.df)) AS BIGINT) AS raw_score
        |  FROM tf t JOIN dfs d ON t.field = d.field AND t.term = d.term CROSS JOIN nn
        |  GROUP BY t.doc_id),
-       |pg AS (
-       |  SELECT i.doc_id, i.name,
+       |hits AS (
+       |  SELECT i.doc_id, i.name, i.source,
        |    s.raw_score + (CASE WHEN i.ownerid = 'core' AND i.findability = 'published'
        |                        THEN 4500 ELSE 0 END) AS score
        |  FROM idx i JOIN sc s ON i.doc_id = s.doc_id
-       |  WHERE i.findability = 'published'
-       |  ORDER BY score DESC, i.doc_id LIMIT 20)""".stripMargin
+       |  WHERE i.findability = 'published'),
+       |pg AS (
+       |  SELECT doc_id, name, score FROM hits
+       |  ORDER BY score DESC, doc_id LIMIT 20)""".stripMargin
   private val evCte = s"WITH ev AS (\n${Tables.eventIndexSql}\n)"
   private def tok(e: String) = Analyzer.tokensSql(e)
 
@@ -479,6 +511,21 @@ object Metastore {
          |CROSS JOIN nn
          |JOIN rk r ON r.doc_id = t.doc_id
          |ORDER BY r.rank, t.field, t.term""".stripMargin,
+
+    "ms_collapse" ->
+      s"""$idxCte,
+         |$tfidfCtes,
+         |g AS (
+         |  SELECT source, doc_id, name, score,
+         |    row_number() OVER (PARTITION BY source ORDER BY score DESC, doc_id) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n_in_group
+         |  FROM hits),
+         |top AS (
+         |  SELECT * FROM g WHERE rn = 1
+         |  ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+         |  source, doc_id, name, CAST(score AS BIGINT) AS score, n_in_group
+         |FROM top ORDER BY rank""".stripMargin,
 
     "ms_hybrid_rrf" ->
       s"""$idxCte,

