@@ -224,6 +224,10 @@ object SparkEntry {
     "q_ewma"              -> ((s, d) => operators.Temporal.qEwma(s, d)),
     "q_twap"              -> ((s, d) => operators.Temporal.qTwap(s, d)),
     "q_seasonality"       -> ((s, d) => operators.Temporal.qSeasonality(s, d)),
+    "q_theil_sen"         -> ((s, d) => operators.Temporal.qTheilSen(s, d)),
+    "q_control_chart"     -> ((s, d) => operators.Temporal.qControlChart(s, d)),
+    "ms_search_after"     -> ((s, d) => Metastore.searchAfterQ(s, d)),
+    "ms_rescore"          -> ((s, d) => Metastore.rescoreQ(s, d)),
     "q_asof_nearest"      -> ((s, d) => operators.Temporal.qAsofNearest(s, d)),
     "q_funnel_window"     -> ((s, d) => operators.Temporal.qFunnelWindow(s, d)),
     "q_ttest"             -> ((s, d) => operators.Temporal.qTtest(s, d)),

@@ -157,6 +157,71 @@ object Metastore {
       .orderBy(col("rank"))
   }
 
+  /** ES `search_after` cursor pagination (beyond the reference's
+    * from/size): deep pages resume from a (score, doc_id) cursor with a
+    * strictly-after predicate instead of an O(from) offset scan — the
+    * pagination that still works at page 10⁶ of a 100 TB index. Here
+    * the cursor is derived deterministically as hit #40 of the ranked
+    * list (in production it arrives from the client); the page is the
+    * 20 hits strictly after it, ranks continuing at 41. The cursor is
+    * a broadcast 1-row crossJoin; the after-predicate is sargable and
+    * ships with the scan.
+    */
+  def searchAfterQ(s: SparkSession, d: String): DataFrame = {
+    val terms = Analyzer.analyzeQuery("the merge join table")
+    val i = idx(s, d)
+    val hits = ds.boostedHits(i, ds.scores(i, terms),
+        SearchRequest(q = Some("the merge join table")))
+      .select(col("doc_id"), col("name"), col("score"))
+    val cur = hits.orderBy(col("score").desc, col("doc_id")).offset(39).limit(1)
+      .select(col("score").as("c_score"), col("doc_id").as("c_id"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    hits.crossJoin(broadcast(cur))
+      .filter(col("score") < col("c_score") ||
+        (col("score") === col("c_score") && col("doc_id") > col("c_id")))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .select((row_number().over(wAll) + lit(40)).cast("int").as("rank"),
+        col("doc_id"), col("name"), col("score"))
+      .orderBy(col("rank"))
+  }
+
+  /** ES `rescore` window (beyond the reference): the top-50 primary
+    * TF-IDF hits re-scored by a secondary vector signal — cosine to
+    * query embedding 0 (vec_id ≡ doc_id), the expensive model applied
+    * only to the bounded window, never the corpus (the two-phase
+    * ranking every production stack runs). combined = primary +
+    * (cos·10⁶ + 10⁶) div 1000 — the +10⁶ shift keeps the numerator
+    * non-negative so truncating div ≡ flooring // in both engines.
+    * Top-10 of the rescored window, all-integer.
+    */
+  def rescoreQ(s: SparkSession, d: String): DataFrame = {
+    import graft.similarity.Similarity
+    val terms = Analyzer.analyzeQuery("the merge join table")
+    val i = idx(s, d)
+    val w50 = ds.boostedHits(i, ds.scores(i, terms),
+        SearchRequest(q = Some("the merge join table")))
+      .select(col("doc_id"), col("name"), col("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("q_emb"),
+        Similarity.norm(col("embedding")).as("q_nrm"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("combined").desc, col("doc_id"))
+    emb.join(broadcast(w50), col("vec_id") === col("doc_id"))
+      .crossJoin(broadcast(q))
+      .withColumn("cos_x1e6",
+        floor(Similarity.cosine(col("q_emb"), col("embedding"),
+          col("q_nrm"), Similarity.norm(col("embedding"))) * 1e6).cast("long"))
+      .withColumn("combined", expr("score + (cos_x1e6 + 1000000) div 1000"))
+      .orderBy(col("combined").desc, col("doc_id")).limit(10)
+      .select(row_number().over(wAll).cast("int").as("rank"),
+        col("doc_id"), col("name"), col("score").as("first_score"),
+        col("cos_x1e6"), col("combined"))
+      .orderBy(col("rank"))
+  }
+
   def paginate(s: SparkSession, d: String): DataFrame =
     ds.page(idx(s, d), SearchRequest(filters = Map("lang" -> Seq("en")), size = 20, from = 10),
       Seq("doc_id", "name"))
@@ -525,6 +590,39 @@ object Metastore {
          |  ORDER BY score DESC, doc_id LIMIT 10)
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
          |  source, doc_id, name, CAST(score AS BIGINT) AS score, n_in_group
+         |FROM top ORDER BY rank""".stripMargin,
+
+    "ms_search_after" ->
+      s"""$idxCte,
+         |$tfidfCtes,
+         |cur AS (
+         |  SELECT score AS c_score, doc_id AS c_id FROM hits
+         |  ORDER BY score DESC, doc_id LIMIT 1 OFFSET 39),
+         |nxt AS (
+         |  SELECT h.doc_id, h.name, h.score
+         |  FROM hits h CROSS JOIN cur
+         |  WHERE h.score < cur.c_score
+         |     OR (h.score = cur.c_score AND h.doc_id > cur.c_id)
+         |  ORDER BY h.score DESC, h.doc_id LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) + 40 AS INT) AS rank,
+         |  doc_id, name, CAST(score AS BIGINT) AS score
+         |FROM nxt ORDER BY rank""".stripMargin,
+
+    "ms_rescore" ->
+      s"""$idxCte,
+         |$tfidfCtes,
+         |w50 AS (
+         |  SELECT doc_id, name, score FROM hits
+         |  ORDER BY score DESC, doc_id LIMIT 50),
+         |vq AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |rs AS (
+         |  SELECT w.doc_id, w.name, w.score,
+         |    CAST(floor(${graft.similarity.Similarity.cosineSql("vq.q_emb", "e.embedding")} * 1e6) AS BIGINT) AS cos_x1e6
+         |  FROM w50 w JOIN embeddings e ON e.vec_id = w.doc_id CROSS JOIN vq),
+         |c AS (SELECT *, score + (cos_x1e6 + 1000000) // 1000 AS combined FROM rs),
+         |top AS (SELECT * FROM c ORDER BY combined DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY combined DESC, doc_id) AS INT) AS rank,
+         |  doc_id, name, CAST(score AS BIGINT) AS first_score, cos_x1e6, combined
          |FROM top ORDER BY rank""".stripMargin,
 
     "ms_hybrid_rrf" ->

@@ -1059,6 +1059,67 @@ object Temporal {
       .orderBy(col("event_type"), col("dow"))
   }
 
+  /** Theil–Sen robust trend slope of daily purchase revenue — the
+    * outlier-immune regression the monitoring family pairs with
+    * [[qRunsTest]]/q_changepoint: the (lower) median of all pairwise
+    * slopes ×1000, each slope floored exactly — Spark's truncating
+    * `div` is converted to a true floor via pmod ((num − pmod(num,
+    * den)) div den, den > 0), matching DuckDB's flooring `//`, so
+    * negative slopes cannot split the engines. Scale shape: the event
+    * log collapses to the bounded day domain (the calendar, not the
+    * data), so the pairwise self-join is days², corpus-size-free; the
+    * median runs over that same bounded set.
+    */
+  def qTheilSen(s: SparkSession, d: String): DataFrame = {
+    val daily = EventStreams.normalize(Tables.events(s, d))
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts_us div 86400000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+      .localCheckpoint(false) // both sides of the pair join
+    val a = daily.select(col("day").as("d1"), col("cents").as("c1"))
+    val b = daily.select(col("day").as("d2"), col("cents").as("c2"))
+    a.join(b, col("d1") < col("d2"))
+      .select(expr("(c2 - c1) * 1000").as("num"), expr("d2 - d1").as("den"))
+      .select(expr("(num - pmod(num, den)) div den").as("slope_x1e3"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("slope_x1e3")).as("min_slope_x1e3"),
+        expr("CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY slope_x1e3) AS BIGINT)")
+          .as("med_slope_x1e3"),
+        max(col("slope_x1e3")).as("max_slope_x1e3"))
+  }
+
+  /** c-chart control limits over daily event counts per type — the SPC
+    * (statistical process control) monitor: center = mean daily count,
+    * UCL/LCL = mean ± 3·√mean, all staged ×100 with the √ taken as one
+    * IEEE sqrt of an integer < 2⁵³ (floored — bit-identical in both
+    * engines, the [[qTtest]] convention). Output per type: series
+    * length, the limits, and how many days breach high/low. One
+    * partial-agg pass to the (type × day) grid; limits are a per-type
+    * reduce; the breach count re-joins the grid broadcast.
+    */
+  def qControlChart(s: SparkSession, d: String): DataFrame = {
+    val daily = EventStreams.normalize(Tables.events(s, d))
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(false) // grid feeds limits and breach scan
+    val lim = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n")).cast("long").as("total"))
+      .withColumn("mean_x100", expr("(total * 100) div n_days"))
+      .withColumn("s_x100",
+        expr("CAST(floor(sqrt(CAST(mean_x100 * 100 AS DOUBLE))) AS BIGINT)"))
+      .withColumn("ucl_x100", expr("mean_x100 + 3 * s_x100"))
+      .withColumn("lcl_x100", expr("greatest(mean_x100 - 3 * s_x100, CAST(0 AS BIGINT))"))
+    daily.join(broadcast(lim), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(max(col("n_days")).as("n_days"), max(col("mean_x100")).as("mean_x100"),
+        max(col("ucl_x100")).as("ucl_x100"), max(col("lcl_x100")).as("lcl_x100"),
+        sum(when(col("n") * 100 > col("ucl_x100"), 1L).otherwise(0L)).cast("long").as("n_out_hi"),
+        sum(when(col("n") * 100 < col("lcl_x100"), 1L).otherwise(0L)).cast("long").as("n_out_lo"))
+      .orderBy(col("event_type"))
+  }
+
   /** SQL twin of [[purchaseCents]], shared by the three day-domain
     * series oracles so the cents rounding / purchase filter can never
     * drift between them.
@@ -1069,6 +1130,49 @@ object Temporal {
       "FROM events WHERE event_type = 'purchase'"
 
   val oracles: Map[String, String] = Map(
+    "q_theil_sen" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |p AS (
+        |  SELECT (b.cents - a.cents) * 1000 AS num, b.day - a.day AS den
+        |  FROM daily a JOIN daily b ON a.day < b.day),
+        |sl AS (SELECT num // den AS slope_x1e3 FROM p),
+        |r AS (SELECT slope_x1e3,
+        |        row_number() OVER (ORDER BY slope_x1e3) AS rk,
+        |        count(*) OVER () AS n
+        |      FROM sl)
+        |SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+        |  min(slope_x1e3) AS min_slope_x1e3,
+        |  CAST(max(CASE WHEN rk = (n * 50 + 99) // 100 THEN slope_x1e3 END) AS BIGINT)
+        |    AS med_slope_x1e3,
+        |  max(slope_x1e3) AS max_slope_x1e3
+        |FROM r""".stripMargin,
+
+    "q_control_chart" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |lim AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(n) AS BIGINT) AS total
+        |  FROM daily GROUP BY event_type),
+        |l2 AS (SELECT *, (total * 100) // n_days AS mean_x100 FROM lim),
+        |l3 AS (SELECT *,
+        |  CAST(floor(sqrt(CAST(mean_x100 * 100 AS DOUBLE))) AS BIGINT) AS s_x100
+        |  FROM l2),
+        |l4 AS (SELECT event_type, n_days, mean_x100,
+        |        mean_x100 + 3 * s_x100 AS ucl_x100,
+        |        greatest(mean_x100 - 3 * s_x100, 0) AS lcl_x100 FROM l3)
+        |SELECT d.event_type, max(l.n_days) AS n_days, max(l.mean_x100) AS mean_x100,
+        |  max(l.ucl_x100) AS ucl_x100, max(l.lcl_x100) AS lcl_x100,
+        |  CAST(sum(CASE WHEN d.n * 100 > l.ucl_x100 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_hi,
+        |  CAST(sum(CASE WHEN d.n * 100 < l.lcl_x100 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_lo
+        |FROM daily d JOIN l4 l USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
+
     "q_ewma" ->
       """WITH daily AS (
         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

@@ -257,4 +257,30 @@ class SearchSpec extends AnyFunSuite {
     // in exactly one group)
     assert(rows.map(_.getLong(5)).forall(_ >= 1L))
   }
+
+  test("search_after page equals the offset-based deep page (cursor ≡ from/size)") {
+    val cursor = operators.Metastore.searchAfterQ(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    val offset = graft.search.SearchEngine.datasets.rankedSearch(
+        Tables.datasetIndex(spark, sf),
+        graft.search.SearchRequest(q = Some("the merge join table"), from = 40, size = 20),
+        Seq("name")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
+    assert(cursor.toSeq == offset.toSeq,
+      "cursor pagination diverges from offset pagination")
+    assert(cursor.nonEmpty, "deep page empty — corpus too small to exercise the cursor")
+  }
+
+  test("rescore: combined is the shifted-cosine formula over top-50 primary hits") {
+    val rows = operators.Metastore.rescoreQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(5) == r.getLong(3) + (r.getLong(4) + 1000000L) / 1000L,
+        s"combined formula drift: $r")
+      assert(r.getLong(4) >= -1000000L && r.getLong(4) <= 1000000L, s"cosine range: $r")
+    }
+    val combined = rows.map(_.getLong(5))
+    assert(combined.zip(combined.tail).forall { case (a, b) => a >= b })
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+  }
 }

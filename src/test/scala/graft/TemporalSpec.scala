@@ -623,6 +623,46 @@ class TemporalSpec extends AnyFunSuite {
     assert(rows.length == byUser.count(_._2.length >= 2))
   }
 
+  test("theil-sen equals a driver-side pairwise-slope median replay") {
+    val daily = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts_us div 86400000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val slopes = (for {
+      i <- daily.indices; j <- i + 1 until daily.length
+    } yield {
+      val num = (daily(j)._2 - daily(i)._2) * 1000L
+      val den = daily(j)._1 - daily(i)._1
+      Math.floorDiv(num, den)
+    }).sorted
+    val r = Temporal.qTheilSen(spark, sf).collect().head
+    assert(r.getLong(0) == slopes.length.toLong, s"n_pairs: $r")
+    assert(r.getLong(1) == slopes.head && r.getLong(3) == slopes.last, s"extremes: $r")
+    assert(r.getLong(2) == slopes((slopes.length * 50 + 99) / 100 - 1), s"median: $r")
+  }
+
+  test("control chart limits equal the c-chart formula and breaches reconcile") {
+    val rows = Temporal.qControlChart(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val ns = daily(r.getString(0))
+      val mean = ns.sum * 100L / ns.length
+      val s100 = math.sqrt((mean * 100L).toDouble).toLong
+      assert(r.getLong(1) == ns.length.toLong && r.getLong(2) == mean, s"mean: $r")
+      assert(r.getLong(3) == mean + 3 * s100, s"ucl: $r")
+      assert(r.getLong(4) == math.max(mean - 3 * s100, 0L), s"lcl: $r")
+      assert(r.getLong(5) == ns.count(_ * 100L > r.getLong(3)).toLong, s"hi: $r")
+      assert(r.getLong(6) == ns.count(_ * 100L < r.getLong(4)).toLong, s"lo: $r")
+    }
+  }
+
   test("seasonality indices n-weight-average to 1e6 per type") {
     val rows = Temporal.qSeasonality(spark, sf).collect()
     assert(rows.nonEmpty)
