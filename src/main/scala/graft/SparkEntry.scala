@@ -226,6 +226,9 @@ object SparkEntry {
     "q_seasonality"       -> ((s, d) => operators.Temporal.qSeasonality(s, d)),
     "q_theil_sen"         -> ((s, d) => operators.Temporal.qTheilSen(s, d)),
     "q_control_chart"     -> ((s, d) => operators.Temporal.qControlChart(s, d)),
+    "q_cusum"             -> ((s, d) => operators.Temporal.qCusum(s, d)),
+    "ann_filtered"        -> ((s, d) => Pipeline.annFiltered(s, d)),
+    "pipe_token_budget"   -> ((s, d) => Pipeline.tokenBudget(s, d)),
     "ms_search_after"     -> ((s, d) => Metastore.searchAfterQ(s, d)),
     "ms_rescore"          -> ((s, d) => Metastore.rescoreQ(s, d)),
     "q_asof_nearest"      -> ((s, d) => operators.Temporal.qAsofNearest(s, d)),

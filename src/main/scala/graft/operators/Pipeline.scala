@@ -7,6 +7,7 @@ import graft.similarity.Similarity
 import graft.streaming.EventStreams
 import graft.text.TextFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** SURVEY §2.3/§2.4/§2.6/§2.7 — training-data pipeline operators. */
@@ -447,6 +448,56 @@ object Pipeline {
       .orderBy(col("lang"), col("status"))
   }
 
+  /** Filtered vector search — ANN under a metadata predicate (the
+    * "filtered ANN" capability of modern vector stores): candidates
+    * restricted to English documents by a LEFT-SEMI join of the
+    * embedding table against the dimension-side id set BEFORE any
+    * distance math, so the scan prunes to the slice first (at 100 TB
+    * the filter rides partition/zone pruning, and the expensive cosine
+    * never touches excluded vectors). Queries are the standard
+    * vec_id ≡ 0 mod 97 grid restricted to the same slice; scoring is
+    * the gated brute-cosine baseline.
+    */
+  def annFiltered(s: SparkSession, d: String): DataFrame = {
+    val en = Tables.documents(s, d).filter(col("lang") === "en")
+      .select(col("doc_id"))
+    Similarity.bruteTopK(
+      Tables.embeddings(s, d)
+        .join(en, col("vec_id") === col("doc_id"), "left_semi"),
+      queryPred)
+  }
+
+  /** Token-budget corpus assembly — the "fill the training mix" step:
+    * per language, documents are admitted in quality order (distinct-
+    * token ratio ×10⁴, ties by doc_id) until the cumulative token
+    * count exceeds the 2500-token budget; the summary reports kept vs
+    * total docs/tokens and budget utilization. One shuffle on lang;
+    * the prefix sum reuses that partitioning. At 100 TB the
+    * within-lang quality order is a range sort — the same discipline
+    * as pipe_quota_sample's per-key top-k, with the budget replacing
+    * the row quota.
+    */
+  def tokenBudget(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.rawTokens(col("text"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("prio").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        greatest(size(toks).cast("long"), lit(1L)).as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .withColumn("prio", expr("(10000 * n_uniq) div n_tok"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("tokens_total"),
+        sum(when(col("cum_tok") <= 2500, 1L).otherwise(0L)).cast("long").as("n_kept"),
+        sum(when(col("cum_tok") <= 2500, col("n_tok")).otherwise(0L)).cast("long")
+          .as("tokens_kept"))
+      .withColumn("util_ppm", expr("(tokens_kept * 1000000) div 2500"))
+      .orderBy(col("lang"))
+  }
+
   /** Composed cleaning pipeline: quality-gate → exact-dedup (keep the
     * smallest doc_id per normalized-text fingerprint) — the minimal
     * corpus-preparation chain, one declarative plan end to end.
@@ -841,6 +892,41 @@ object Pipeline {
   }
 
   val oracles: Map[String, String] = Map(
+    "ann_filtered" ->
+      s"""WITH en AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+         |e AS (SELECT vec_id, embedding FROM embeddings
+         |      WHERE vec_id IN (SELECT doc_id FROM en)),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM e WHERE vec_id % 97 = 0),
+         |sc AS (
+         |  SELECT q.q_id, e.vec_id,
+         |    CAST(floor(${Similarity.cosineSql("q.q_emb", "e.embedding")} * 1e6) AS BIGINT) AS cos_x1e6
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |rk AS (
+         |  SELECT q_id, vec_id, cos_x1e6,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos_x1e6 DESC, vec_id) AS INT) AS rk
+         |  FROM sc)
+         |SELECT q_id, rk, vec_id, cos_x1e6 FROM rk WHERE rk <= 10
+         |ORDER BY q_id, rk""".stripMargin,
+
+    "pipe_token_budget" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    greatest(CAST(len(${TextFunctions.rawTokensSql("text")}) AS BIGINT), 1) AS n_tok,
+         |    CAST(len(list_distinct(${TextFunctions.rawTokensSql("text")})) AS BIGINT) AS n_uniq
+         |  FROM documents),
+         |p AS (SELECT *, (10000 * n_uniq) // n_tok AS prio FROM t),
+         |c AS (SELECT *,
+         |        sum(n_tok) OVER (PARTITION BY lang ORDER BY prio DESC, doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
+         |      FROM p)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS tokens_total,
+         |  CAST(sum(CASE WHEN cum_tok <= 2500 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN cum_tok <= 2500 THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+         |  (CAST(sum(CASE WHEN cum_tok <= 2500 THEN n_tok ELSE 0 END) AS BIGINT)
+         |    * 1000000) // 2500 AS util_ppm
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
+
     "pipe_dataset_diff" ->
       s"""WITH v1 AS (
          |  SELECT doc_id, lang, n_chars AS bytes1,

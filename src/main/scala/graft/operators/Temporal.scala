@@ -1089,6 +1089,48 @@ object Temporal {
         max(col("slope_x1e3")).as("max_slope_x1e3"))
   }
 
+  /** Two-sided CUSUM drift detection over daily purchase revenue — the
+    * change-ACCUMULATION monitor that catches slow drifts q_changepoint
+    * and [[qControlChart]]'s point limits miss. The clamped recursion
+    * S⁺_t = max(0, S⁺_{t−1} + y_t − k) is computed by its closed form
+    * S⁺_t = P_t − min(0, min_{i≤t} P_i) over the prefix sums P of
+    * (y − k) — turning the sequential recursion into two stock window
+    * functions (running sum, running min), the trick that makes CUSUM
+    * distributable at all. Slack k = sd/2, alarm h = 4·sd, sd the
+    * exact-integer sample deviation of the daily series (one IEEE
+    * sqrt, floored). Everything ×100 integer. The windows run over
+    * the bounded day domain, never the event log.
+    */
+  def qCusum(s: SparkSession, d: String): DataFrame = {
+    val daily = EventStreams.normalize(Tables.events(s, d))
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts_us div 86400000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+      .localCheckpoint(false) // stats reduce + series scan
+    val stats = daily.agg(count(lit(1)).as("n"),
+        sum(col("cents")).cast("long").as("tot"),
+        sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("ssq"))
+      .withColumn("mean_x100", expr("(tot * 100) div n"))
+      .withColumn("sd_x100", expr(
+        """CAST(floor(sqrt(CAST(
+          |  (CAST(n AS DECIMAL(38,0)) * ssq - CAST(tot AS DECIMAL(38,0)) * tot) * 10000
+          |    div (CAST(n AS DECIMAL(38,0)) * (n - 1)) AS DOUBLE))) AS BIGINT)""".stripMargin))
+      .select(col("mean_x100"), col("sd_x100"),
+        expr("sd_x100 div 2").as("k_x100"), (col("sd_x100") * 4).as("h_x100"))
+    val wRun = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(stats))
+      .withColumn("y", expr("cents * 100 - mean_x100"))
+      .withColumn("p_hi", sum(expr("y - k_x100")).over(wRun))
+      .withColumn("p_lo", sum(expr("y + k_x100")).over(wRun))
+      .withColumn("s_pos", col("p_hi") - least(min(col("p_hi")).over(wRun), lit(0L)))
+      .withColumn("s_neg", greatest(max(col("p_lo")).over(wRun), lit(0L)) - col("p_lo"))
+      .select(col("day"), col("cents"), col("s_pos"), col("s_neg"), col("h_x100"),
+        (col("s_pos") > col("h_x100")).cast("int").as("alarm_hi"),
+        (col("s_neg") > col("h_x100")).cast("int").as("alarm_lo"))
+      .orderBy(col("day"))
+  }
+
   /** c-chart control limits over daily event counts per type — the SPC
     * (statistical process control) monitor: center = mean daily count,
     * UCL/LCL = mean ± 3·√mean, all staged ×100 with the √ taken as one
@@ -1149,6 +1191,39 @@ object Temporal {
         |    AS med_slope_x1e3,
         |  max(slope_x1e3) AS max_slope_x1e3
         |FROM r""".stripMargin,
+
+    "q_cusum" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |st0 AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS tot,
+        |          sum(CAST(cents AS HUGEINT) * cents) AS ssq FROM daily),
+        |st1 AS (SELECT *, (tot * 100) // n AS mean_x100,
+        |          CAST(floor(sqrt(CAST(
+        |            (CAST(n AS HUGEINT) * ssq - CAST(tot AS HUGEINT) * tot) * 10000
+        |              // (CAST(n AS HUGEINT) * (n - 1)) AS DOUBLE))) AS BIGINT) AS sd_x100
+        |        FROM st0),
+        |st AS (SELECT mean_x100, sd_x100, sd_x100 // 2 AS k_x100,
+        |         sd_x100 * 4 AS h_x100 FROM st1),
+        |y AS (SELECT d.day, d.cents, d.cents * 100 - st.mean_x100 AS y,
+        |        st.k_x100, st.h_x100 FROM daily d CROSS JOIN st),
+        |p AS (SELECT *,
+        |        sum(y - k_x100) OVER w AS p_hi,
+        |        sum(y + k_x100) OVER w AS p_lo
+        |      FROM y WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |m AS (SELECT *,
+        |        min(p_hi) OVER w AS mn, max(p_lo) OVER w AS mx
+        |      FROM p WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f AS (SELECT day, cents,
+        |        p_hi - least(mn, 0) AS s_pos,
+        |        greatest(mx, 0) - p_lo AS s_neg, h_x100
+        |      FROM m)
+        |SELECT day, cents, CAST(s_pos AS BIGINT) AS s_pos,
+        |  CAST(s_neg AS BIGINT) AS s_neg, h_x100,
+        |  CAST(s_pos > h_x100 AS INTEGER) AS alarm_hi,
+        |  CAST(s_neg > h_x100 AS INTEGER) AS alarm_lo
+        |FROM f ORDER BY day""".stripMargin,
 
     "q_control_chart" ->
       """WITH daily AS (

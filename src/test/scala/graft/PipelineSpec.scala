@@ -773,6 +773,54 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("filtered ann: results stay inside the metadata slice and rank by cosine") {
+    val en = Tables.documents(spark, sf).filter(col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = Pipeline.annFiltered(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(en.contains(r.getLong(2)), s"candidate outside the slice: $r")
+      assert(en.contains(r.getLong(0)), s"query outside the slice: $r")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (_, g) =>
+      val byRank = g.sortBy(_.getInt(1))
+      assert(byRank.map(_.getInt(1)).toSeq == (1 to g.length))
+      val cs = byRank.map(_.getLong(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b }, "cosine not descending")
+    }
+    // the filter must actually prune: fewer hits than the unfiltered query grid
+    assert(rows.map(_.getLong(0)).distinct.length <
+      Tables.embeddings(spark, sf).filter(col("vec_id") % 97 === 0).count())
+  }
+
+  test("token budget admission equals a prefix-sum replay in quality order") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "lang", "text").collect()
+      .map { r =>
+        val toks = r.getString(2).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        val nTok = math.max(toks.length.toLong, 1L)
+        (r.getLong(0), r.getString(1), nTok, toks.distinct.length.toLong)
+      }
+    val rows = Pipeline.tokenBudget(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val g = docs.filter(_._2 == lang)
+        .map { case (id, _, nTok, nUniq) => (id, nTok, 10000L * nUniq / nTok) }
+        .sortBy(t => (-t._3, t._1))
+      var cum = 0L; var kept = 0L; var tokKept = 0L
+      g.foreach { case (_, nTok, _) =>
+        cum += nTok
+        if (cum <= 2500L) { kept += 1; tokKept += nTok }
+      }
+      assert(r.getLong(1) == g.length.toLong && r.getLong(2) == g.map(_._2).sum)
+      assert(r.getLong(3) == kept, s"kept count: $r")
+      assert(r.getLong(4) == tokKept, s"kept tokens: $r")
+      assert(r.getLong(5) == tokKept * 1000000L / 2500L, s"util: $r")
+      // the budget genuinely cuts
+      assert(kept < g.length, s"budget did not bind for $lang")
+    }
+  }
+
   test("dataset diff statuses reconcile with the snapshot membership rules") {
     val docs = Tables.documents(spark, sf).select("doc_id", "lang", "n_chars").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))

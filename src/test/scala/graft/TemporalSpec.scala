@@ -643,6 +643,36 @@ class TemporalSpec extends AnyFunSuite {
     assert(r.getLong(2) == slopes((slopes.length * 50 + 99) / 100 - 1), s"median: $r")
   }
 
+  test("cusum closed form equals the clamped recursion replay") {
+    val daily = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts_us div 86400000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = daily.length.toLong
+    val tot = daily.map(_._2).sum
+    val ssq = daily.map(x => BigInt(x._2) * x._2).sum
+    val mean = tot * 100L / n
+    val sd = math.sqrt(((BigInt(n) * ssq - BigInt(tot) * tot) * 10000 /
+      (BigInt(n) * (n - 1))).toDouble).toLong
+    val k = sd / 2
+    var sPos = 0L; var sNeg = 0L
+    val rows = Temporal.qCusum(spark, sf).collect()
+    assert(rows.length == daily.length)
+    rows.sortBy(_.getLong(0)).zip(daily).foreach { case (r, (day, c)) =>
+      val y = c * 100L - mean
+      sPos = math.max(0L, sPos + y - k)
+      sNeg = math.max(0L, sNeg - y - k)
+      assert(r.getLong(0) == day && r.getLong(1) == c)
+      assert(r.getLong(2) == sPos, s"s_pos recursion drift at day $day: $r")
+      assert(r.getLong(3) == sNeg, s"s_neg recursion drift at day $day: $r")
+      assert(r.getLong(4) == 4 * sd)
+      assert(r.getInt(5) == (if (sPos > 4 * sd) 1 else 0))
+      assert(r.getInt(6) == (if (sNeg > 4 * sd) 1 else 0))
+    }
+  }
+
   test("control chart limits equal the c-chart formula and breaches reconcile") {
     val rows = Temporal.qControlChart(spark, sf).collect()
     assert(rows.nonEmpty)
