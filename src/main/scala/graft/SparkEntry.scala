@@ -146,6 +146,9 @@ object SparkEntry {
     "q_clustering_coeff" -> ((s, d) => operators.Graph.clusteringCoeff(s, d)),
     "q_resource_alloc" -> ((s, d) => operators.Graph.resourceAlloc(s, d)),
     "q_kcore"          -> ((s, d) => operators.Graph.kcore(s, d)),
+    "q_label_prop"     -> ((s, d) => operators.Graph.labelProp(s, d)),
+    "ms_synonyms"      -> ((s, d) => Metastore.synonymsQ(s, d)),
+    "ms_function_score" -> ((s, d) => Metastore.functionScoreQ(s, d)),
     "q_basket_rules"   -> ((s, d) => operators.Graph.basketRules(s, d)),
     "q_skyline"    -> ((s, d) => Relational.qSkyline(s, d)),
     "q_fuzzy_join" -> ((s, d) => Relational.qFuzzyJoin(s, d)),

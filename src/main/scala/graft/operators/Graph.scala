@@ -325,6 +325,39 @@ object Graph {
       .localCheckpoint()
   }
 
+  /** Community detection by R = 6 synchronous label-propagation rounds
+    * over the repeat-co-purchase graph — the linear-time community
+    * primitive (public LPA literature), made deterministic (and thus
+    * gateable) by the tie rule: each round every vertex adopts the
+    * most frequent label among its neighbors, ties broken by the
+    * SMALLEST label; defined as exactly R rounds so both engines
+    * compute the identical unrolled recurrence (the q_components /
+    * q_kcore discipline — classic async LPA is order-dependent and
+    * ungateable). Each round: one E-sized join against the broadcast
+    * V-row label vector, a (v, label)-grid groupBy, and a per-vertex
+    * argmax window — no stage touches more than E rows. Output: one
+    * row per surviving community with size and id range.
+    */
+  def labelProp(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+    val edges = repeatSymEdges(s, d)
+    var lbl = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("l"))
+      .localCheckpoint()
+    for (i <- 1 to iters) {
+      val msg = edges.join(broadcast(lbl), col("src") === col("v"))
+        .groupBy(col("dst"), col("l")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("dst")).orderBy(col("c").desc, col("l"))
+      lbl = msg.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("dst").as("v"), col("l"))
+      if (i % 2 == 0 || i == iters) lbl = lbl.localCheckpoint()
+    }
+    lbl.groupBy(col("l").as("community"))
+      .agg(count(lit(1)).as("n_parts"), min(col("v")).as("min_part"),
+        max(col("v")).as("max_part"))
+      .orderBy(col("community"))
+  }
+
   /** Market-basket association rules over parts co-purchased in the
     * same order — the classic retail-analytics operator (Agrawal–Srikant
     * support/confidence/lift, frequent-pair tier): for every part pair
@@ -531,7 +564,43 @@ object Graph {
        |  WHERE ds >= $k AND dd >= $k)""".stripMargin
   }
 
+  /** One label-propagation round in DuckDB SQL: neighbor-label counts,
+    * then the per-vertex argmax with the (count desc, label asc) tie
+    * rule. MATERIALIZED for the same inlining reason as the other
+    * iterative oracles.
+    */
+  private def lpStep(i: Int): String = {
+    val p = s"lp${i - 1}"
+    s"""m$i AS MATERIALIZED (
+       |  SELECT e.dst AS v, p.l, count(*) AS c
+       |  FROM e JOIN $p p ON p.v = e.src GROUP BY e.dst, p.l),
+       |lp$i AS MATERIALIZED (
+       |  SELECT v, l FROM (
+       |    SELECT v, l, row_number() OVER (PARTITION BY v ORDER BY c DESC, l) AS rn
+       |    FROM m$i) WHERE rn = 1)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_label_prop" -> {
+      val steps = (1 to 6).map(lpStep).mkString(",\n")
+      s"""WITH pairs AS (
+         |  SELECT x.l_partkey AS a, y.l_partkey AS b, x.l_orderkey AS ok
+         |  FROM lineitem x
+         |  JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         |rep AS (
+         |  SELECT a, b FROM (
+         |    SELECT a, b, count(DISTINCT ok) AS w FROM pairs GROUP BY a, b)
+         |  WHERE w >= 2),
+         |e AS MATERIALIZED (
+         |  SELECT a AS src, b AS dst FROM rep
+         |  UNION ALL SELECT b, a FROM rep),
+         |lp0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS l FROM e),
+         |$steps
+         |SELECT l AS community, CAST(count(*) AS BIGINT) AS n_parts,
+         |  min(v) AS min_part, max(v) AS max_part
+         |FROM lp6 GROUP BY l ORDER BY community""".stripMargin
+    },
+
     "q_degree_dist" ->
       """WITH e AS (
         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

@@ -351,6 +351,48 @@ object Metastore {
         concat_ws(",", col("mt")).as("matched_terms"))
       .orderBy(col("doc_id")).limit(100)
 
+  /** Synonym-expanded match (ES synonym token filter analog, beyond
+    * the reference): the query "merge table" expands through a pinned
+    * synonym table (merge ↔ join, table ↔ column) before matching, so
+    * docs mentioning only the synonyms still hit; the matched-term set
+    * is emitted sorted (the [[wildcardQ]] discipline) so the gate
+    * hash-compares exactly which expansion fired per doc. One codegen'd
+    * array intersect per doc — no explode, no corpus shuffle.
+    */
+  def synonymsQ(s: SparkSession, d: String): DataFrame = {
+    val expansion = Seq("merge", "join", "table", "column")
+    ds.visible(idx(s, d), None)
+      .withColumn("mt", sort_array(array_intersect(
+        Analyzer.tokens(col("readme")), typedlit(expansion))))
+      .filter(size(col("mt")) > 0)
+      .select(col("doc_id"), col("name"), size(col("mt")).as("n_terms"),
+        concat_ws(",", col("mt")).as("matched_terms"))
+      .orderBy(col("doc_id")).limit(100)
+  }
+
+  /** ES function_score analog (beyond the reference): the ranked text
+    * score combined with an integer field_value_factor —
+    * fscore = score + stats.rowcount div 4 — the "boost big/popular
+    * documents" pattern (ES field_value_factor with weight 0.25,
+    * integer-exact instead of a float multiplier). Runs on the same
+    * boostedHits pre-pagination hit list the plain ranking pages; the
+    * factor join is a struct-field read, no extra shuffle.
+    */
+  def functionScoreQ(s: SparkSession, d: String): DataFrame = {
+    val terms = Analyzer.analyzeQuery("the merge join table")
+    val i = idx(s, d)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("fscore").desc, col("doc_id"))
+    ds.boostedHits(i, ds.scores(i, terms),
+        SearchRequest(q = Some("the merge join table")))
+      .withColumn("fscore", expr("score + stats.rowcount div 4"))
+      .orderBy(col("fscore").desc, col("doc_id")).limit(20)
+      .select(row_number().over(wAll).cast("int").as("rank"),
+        col("doc_id"), col("name"), col("score").as("text_score"),
+        expr("stats.rowcount").as("rowcount"), col("fscore"))
+      .orderBy(col("rank"))
+  }
+
   /** More-like-this (ES MLT analog, beyond the reference): rank visible
     * docs by rarity-weighted overlap with a seed doc's distinct readme
     * terms — weight = (N·1000) div df, the same integer idf surrogate
@@ -732,6 +774,30 @@ object Metastore {
          |SELECT doc_id, name, CAST(len(mt) AS INT) AS n_terms,
          |  array_to_string(mt, ',') AS matched_terms
          |FROM m WHERE len(mt) > 0 ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_synonyms" ->
+      s"""$idxCte,
+         |m AS (SELECT doc_id, name,
+         |        list_sort(list_distinct(list_filter(${tok("readme")},
+         |          x -> list_contains(['merge','join','table','column'], x)))) AS mt
+         |      FROM idx WHERE findability = 'published')
+         |SELECT doc_id, name, CAST(len(mt) AS INT) AS n_terms,
+         |  array_to_string(mt, ',') AS matched_terms
+         |FROM m WHERE len(mt) > 0 ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_function_score" ->
+      s"""$idxCte,
+         |$tfidfCtes,
+         |fs AS (
+         |  SELECT h.doc_id, h.name, h.score AS text_score,
+         |    i.stats.rowcount AS rowcount,
+         |    h.score + i.stats.rowcount // 4 AS fscore
+         |  FROM hits h JOIN idx i ON i.doc_id = h.doc_id),
+         |top AS (SELECT * FROM fs ORDER BY fscore DESC, doc_id LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY fscore DESC, doc_id) AS INT) AS rank,
+         |  doc_id, name, CAST(text_score AS BIGINT) AS text_score,
+         |  CAST(rowcount AS BIGINT) AS rowcount, CAST(fscore AS BIGINT) AS fscore
+         |FROM top ORDER BY rank""".stripMargin,
 
     "ms_more_like_this" ->
       s"""$idxCte,

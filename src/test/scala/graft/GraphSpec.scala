@@ -186,6 +186,31 @@ class GraphSpec extends AnyFunSuite {
     assert(r12.values.forall(_ >= 3L), "core member below degree k")
   }
 
+  test("label propagation equals a driver-side replay of the majority-vote rounds") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val pairOrders = li.groupBy(_._1).toSeq.flatMap { case (ok, rows2) =>
+      val ps = rows2.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield ((ps(i), ps(j)), ok)
+    }
+    val rep = pairOrders.groupBy(_._1).filter(_._2.map(_._2).distinct.size >= 2).keys.toSeq
+    val sym = rep.flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+    val inNbrs = sym.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var lbl: Map[Long, Long] = sym.map(_._1).distinct.map(v => v -> v).toMap
+    for (_ <- 1 to 6) {
+      lbl = inNbrs.map { case (v, ns) =>
+        val counts = ns.map(lbl).groupBy(identity).view.mapValues(_.size).toSeq
+        v -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val want = lbl.groupBy(_._2).map { case (l, m) =>
+      (l, m.size.toLong, m.keys.min, m.keys.max)
+    }.toSeq.sortBy(_._1)
+    val got = Graph.labelProp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, "LPA communities diverge from the synchronous replay")
+  }
+
   test("components: 8-round labels equal a driver-side replay of the recurrence") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1)))

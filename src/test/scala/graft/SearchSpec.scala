@@ -258,6 +258,37 @@ class SearchSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(5)).forall(_ >= 1L))
   }
 
+  test("synonym expansion finds docs the literal query misses") {
+    val expansion = Set("merge", "join", "table", "column")
+    val rows = operators.Metastore.synonymsQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val mt = r.getString(3).split(",")
+      assert(mt.length == r.getInt(2) && mt.forall(expansion.contains), s"terms: $r")
+      assert(mt.sorted.sameElements(mt), s"terms not sorted: $r")
+    }
+    // the expansion must genuinely widen the match: some doc matches ONLY
+    // through a synonym (no literal query term present)
+    assert(rows.exists { r =>
+      val mt = r.getString(3).split(",").toSet
+      mt.subsetOf(Set("join", "column"))
+    }, "no synonym-only match — expansion adds nothing on this corpus")
+  }
+
+  test("function_score combines text score and rowcount factor exactly") {
+    val rows = operators.Metastore.functionScoreQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(5) == r.getLong(3) + r.getLong(4) / 4, s"fscore formula: $r")
+    }
+    val fs = rows.map(_.getLong(5))
+    assert(fs.zip(fs.tail).forall { case (a, b) => a >= b })
+    // the factor genuinely participates (non-degenerate rowcounts); whether
+    // it reorders the visible page depends on the corpus, so that is not
+    // asserted here — the formula identity above is the contract
+    assert(rows.exists(_.getLong(4) / 4 > 0L), "rowcount factor always zero")
+  }
+
   test("search_after page equals the offset-based deep page (cursor ≡ from/size)") {
     val cursor = operators.Metastore.searchAfterQ(spark, sf).collect()
       .map(r => (r.getInt(0), r.getLong(1), r.getLong(3)))
