@@ -37,6 +37,10 @@ object SparkEntry {
     "ms_bm25"              -> ((s, d) => Metastore.bm25Q(s, d)),
     "ms_bool_minmatch"     -> ((s, d) => Metastore.boolMinMatchQ(s, d)),
     "ms_filter_negation"   -> ((s, d) => Metastore.filterNegation(s, d)),
+    "ms_dis_max"           -> ((s, d) => Metastore.disMaxQ(s, d)),
+    "ms_range_filter"      -> ((s, d) => Metastore.rangeFilterQ(s, d)),
+    "ms_date_histogram"    -> ((s, d) => Metastore.dateHistogramQ(s, d)),
+    "ms_significant_terms" -> ((s, d) => Metastore.significantTermsQ(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
     "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),
     "ms_events_visibility" -> ((s, d) => Metastore.eventsVisibility(s, d)),
@@ -238,6 +242,10 @@ object SparkEntry {
     "q_funnel_window"     -> ((s, d) => operators.Temporal.qFunnelWindow(s, d)),
     "q_ttest"             -> ((s, d) => operators.Temporal.qTtest(s, d)),
     "q_ks_test"           -> ((s, d) => operators.Temporal.qKsTest(s, d)),
+    "q_spearman"          -> ((s, d) => operators.Temporal.qSpearman(s, d)),
+    "q_kendall"           -> ((s, d) => operators.Temporal.qKendall(s, d)),
+    "q_autocorr"          -> ((s, d) => operators.Temporal.qAutocorr(s, d)),
+    "q_wow_growth"        -> ((s, d) => operators.Temporal.qWowGrowth(s, d)),
     "q_mannwhitney"       -> ((s, d) => operators.Temporal.qMannWhitney(s, d)),
     "mm_patchify"         -> ((s, d) => Pipeline.mmPatchify(s, d)),
     "mm_decode_bmp"       -> ((s, d) => Pipeline.mmDecodeBmp(s, d)),

@@ -481,6 +481,94 @@ object Metastore {
         size(col("matched")).cast("long").as("n_terms"))
       .orderBy(col("doc_id")).limit(100)
 
+  /** ES dis_max / best_fields analog (beyond the reference's
+    * most_fields): instead of SUMMING per-field scores across fields
+    * (the reference's multi_match type, [[qRankTfidf]]), dis_max ranks
+    * each doc by its single BEST field score (tie_breaker = 0) — the
+    * "title match beats scattered mentions" ranking. Built on the SAME
+    * [[SearchEngine.scoreComponents]] plan the most_fields ranking
+    * sums, so the two query types cannot drift: per-(doc, field) sums,
+    * then an argmax window per doc (ties → field name asc), visibility
+    * by inner join to the published set. The emitted best_field makes
+    * the argmax itself gate-checked.
+    */
+  def disMaxQ(s: SparkSession, d: String): DataFrame = {
+    val terms = Analyzer.analyzeQuery("the merge join table")
+    val i = idx(s, d)
+    val fieldScores = ds.scoreComponents(i, terms)
+      .groupBy(col("doc_id"), col("field"))
+      .agg(sum(col("component")).cast("long").as("f_score"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("f_score").desc, col("field"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("f_score").desc, col("doc_id"))
+    fieldScores
+      .withColumn("rn", row_number().over(wDoc))
+      .filter(col("rn") === 1)
+      .join(ds.visible(i, None).select(col("doc_id"), col("name")), Seq("doc_id"))
+      .orderBy(col("f_score").desc, col("doc_id")).limit(20)
+      .select(row_number().over(wAll).cast("int").as("rank"),
+        col("doc_id"), col("name"), col("field").as("best_field"),
+        col("f_score").as("dismax_score"))
+      .orderBy(col("rank"))
+  }
+
+  /** Numeric range filter (ES `range` query analog — the reference's
+    * filter grammar is exact-match only, models.py:97-105): visible
+    * docs with stats.rowcount in [20, 40] AND bytes ≥ 250. Both bounds
+    * are sargable comparisons on scan columns — at 100 TB they ride
+    * parquet min/max pruning, which exact-match filters cannot.
+    */
+  def rangeFilterQ(s: SparkSession, d: String): DataFrame =
+    ds.visible(idx(s, d), None)
+      .filter(expr("stats.rowcount BETWEEN 20 AND 40") && col("bytes") >= 250)
+      .select(col("doc_id"), col("name"),
+        expr("stats.rowcount").as("rowcount"), col("bytes"))
+      .orderBy(col("doc_id")).limit(100)
+
+  /** ES date_histogram aggregation analog over the events kind (the
+    * time-bucketed counts the reference's summary stops short of):
+    * visible click events bucketed per UTC day, with exact event count
+    * and integer-cents value sum per bucket. One partial-agg groupBy
+    * onto the day domain — the dashboard query shape at any scale.
+    */
+  def dateHistogramQ(s: SparkSession, d: String): DataFrame =
+    evEngine.visible(ev(s, d), None)
+      .filter(col("event_entity") === "click")
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).cast("long").as("cents"))
+      .orderBy(col("day"))
+
+  /** ES significant_terms aggregation analog: which analyzed readme
+    * terms are over-represented in a foreground slice (lang='fr')
+    * relative to the whole visible corpus? Per term, foreground and
+    * background document frequencies and the integer lift
+    * fg_df·n_bg·10⁶ div (bg_df·n_fg) — the monotone core of ES's
+    * JLH/significance scores without floats. Scale shape: one
+    * explode→groupBy over the corpus builds both df columns in a
+    * single pass (conditional aggregates), the fg/bg totals broadcast;
+    * the output is vocabulary-sized.
+    */
+  def significantTermsQ(s: SparkSession, d: String): DataFrame = {
+    val vis = ds.visible(idx(s, d), None)
+      .select(col("doc_id"), (col("lang") === "fr").as("fg"),
+        array_distinct(Analyzer.tokens(col("readme"))).as("toks"))
+    val tot = vis.agg(
+      sum(when(col("fg"), 1L).otherwise(0L)).cast("long").as("n_fg"),
+      count(lit(1)).cast("long").as("n_bg"))
+    vis.select(col("fg"), explode(col("toks")).as("term"))
+      .groupBy(col("term"))
+      .agg(sum(when(col("fg"), 1L).otherwise(0L)).cast("long").as("fg_df"),
+        count(lit(1)).cast("long").as("bg_df"))
+      .filter(col("fg_df") > 0)
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_x1e6", expr("(fg_df * n_bg * 1000000) div (bg_df * n_fg)"))
+      .select(col("term"), col("fg_df"), col("bg_df"), col("lift_x1e6"))
+      .orderBy(col("lift_x1e6").desc, col("term"))
+      .limit(15)
+  }
+
   // --- events kind -------------------------------------------------------
 
   def eventsFilter(s: SparkSession, d: String): DataFrame =
@@ -859,6 +947,63 @@ object Metastore {
          |SELECT doc_id, name, array_to_string(matched, ',') AS matched_terms,
          |  CAST(len(matched) AS BIGINT) AS n_terms
          |FROM m WHERE len(matched) > 0 ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_dis_max" ->
+      s"""$idxCte,
+         |$tfidfCtes,
+         |fsc AS (
+         |  SELECT t.doc_id, t.field,
+         |    CAST(sum(t.tf * t.boost * ((nn.n * 1000) // d.df)) AS BIGINT) AS f_score
+         |  FROM tf t JOIN dfs d ON t.field = d.field AND t.term = d.term
+         |  CROSS JOIN nn
+         |  GROUP BY t.doc_id, t.field),
+         |best AS (
+         |  SELECT doc_id, field, f_score FROM (
+         |    SELECT doc_id, field, f_score,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY f_score DESC, field) AS rn
+         |    FROM fsc) WHERE rn = 1),
+         |vis AS (
+         |  SELECT b.doc_id, i.name, b.field, b.f_score
+         |  FROM best b JOIN idx i ON i.doc_id = b.doc_id
+         |  WHERE i.findability = 'published'),
+         |top AS (SELECT * FROM vis ORDER BY f_score DESC, doc_id LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY f_score DESC, doc_id) AS INT) AS rank,
+         |  doc_id, name, field AS best_field, f_score AS dismax_score
+         |FROM top ORDER BY rank""".stripMargin,
+
+    "ms_range_filter" ->
+      s"""$idxCte
+         |SELECT doc_id, name, stats.rowcount AS rowcount, bytes FROM idx
+         |WHERE findability = 'published'
+         |  AND stats.rowcount BETWEEN 20 AND 40 AND bytes >= 250
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_date_histogram" ->
+      s"""$evCte
+         |SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+         |FROM ev
+         |WHERE findability = 'published' AND event_entity = 'click'
+         |GROUP BY day ORDER BY day""".stripMargin,
+
+    "ms_significant_terms" ->
+      s"""$idxCte,
+         |v AS (SELECT doc_id, lang = 'fr' AS fg,
+         |        list_distinct(${tok("readme")}) AS toks
+         |      FROM idx WHERE findability = 'published'),
+         |tot AS (SELECT CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS n_fg,
+         |          CAST(count(*) AS BIGINT) AS n_bg FROM v),
+         |e AS (SELECT fg, unnest(toks) AS term FROM v),
+         |dfb AS (SELECT term,
+         |          CAST(sum(CASE WHEN fg THEN 1 ELSE 0 END) AS BIGINT) AS fg_df,
+         |          CAST(count(*) AS BIGINT) AS bg_df
+         |        FROM e GROUP BY term)
+         |SELECT term, fg_df, bg_df,
+         |  CAST((fg_df * n_bg * 1000000) // (bg_df * n_fg) AS BIGINT) AS lift_x1e6
+         |FROM dfb CROSS JOIN tot
+         |WHERE fg_df > 0
+         |ORDER BY lift_x1e6 DESC, term LIMIT 15""".stripMargin,
 
     "ms_events_filter" ->
       s"""$evCte

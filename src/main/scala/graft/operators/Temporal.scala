@@ -766,6 +766,177 @@ object Temporal {
       .orderBy(col("bucket"), col("day"))
   }
 
+  /** The two daily series the rank-correlation family compares — click
+    * COUNT (x) and purchase CENTS (y) — zero-filled on the full
+    * [min, max] day grid (gap-fill discipline; a day with no events of
+    * either type is a genuine (0, 0) observation). One event-scan
+    * groupBy with conditional aggregates builds both columns; the grid
+    * join is day-domain-sized. SQL twin: [[dailyXySql]].
+    */
+  private def dailyXy(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(expr("ts_us div 86400000000").as("day"), col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val daily = ev.groupBy(col("day")).agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).cast("long").as("xr"),
+      sum(when(col("event_type") === "purchase", col("cents")).otherwise(0L))
+        .cast("long").as("yr"))
+    val grid = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+    grid.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("xr"), lit(0L)).as("x"),
+        coalesce(col("yr"), lit(0L)).as("y"))
+  }
+
+  private val dailyXySql: String =
+    """SELECT g.day, COALESCE(d.xr, 0) AS x, COALESCE(d.yr, 0) AS y
+      |FROM (SELECT unnest(range(
+      |        (SELECT min(epoch_us(ts) // 86400000000) FROM events),
+      |        (SELECT max(epoch_us(ts) // 86400000000) FROM events) + 1)) AS day) g
+      |LEFT JOIN (
+      |  SELECT epoch_us(ts) // 86400000000 AS day,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS xr,
+      |    CAST(sum(CASE WHEN event_type = 'purchase'
+      |             THEN CAST(floor(value * 100 + 0.5) AS BIGINT) ELSE 0 END) AS BIGINT) AS yr
+      |  FROM events GROUP BY 1) d ON d.day = g.day""".stripMargin
+
+  /** Spearman rank correlation between the daily click-count and daily
+    * purchase-revenue series — "do the SHAPES of the two series move
+    * together", robust to outliers where Pearson is not. Integer-exact
+    * to the last tie: the tie-averaged rank ×2 is the BIGINT
+    * 2·rank_first + cnt − 1 (the [[qMannWhitney]] staging), so the
+    * centered moments S_xx/S_yy/S_xy (all ×4-scaled) are exact BIGINTs;
+    * ρ·10⁶ divides |S_xy| by the PRODUCT of the two floored integer
+    * sqrts (each argument ~n⁴/3 stays far under 2⁵³ because n is the
+    * DAY domain — the sqrt is exact whatever the corpus size), with
+    * |ρ| and sign split because div/​// disagree on negatives. Scale:
+    * one fact-scan groupBy, then everything runs on the day domain —
+    * the two rank windows included.
+    */
+  def qSpearman(s: SparkSession, d: String): DataFrame = {
+    val xy = dailyXy(s, d)
+    // tie-averaged rank ×2 = 2·rank() + count(same value) − 1: rank()
+    // is the first rank of the tie group, so this is rank_first +
+    // rank_last — both windows run over the day domain only
+    val r2 = xy
+      .withColumn("rx2", (rank().over(Window.orderBy(col("x"))) * 2
+        + count(lit(1)).over(Window.partitionBy(col("x"))) - 1).cast("long"))
+      .withColumn("ry2", (rank().over(Window.orderBy(col("y"))) * 2
+        + count(lit(1)).over(Window.partitionBy(col("y"))) - 1).cast("long"))
+    r2.agg(count(lit(1)).cast("long").as("n"),
+        sum(col("rx2")).cast("long").as("sx"),
+        sum(col("ry2")).cast("long").as("sy"),
+        sum(col("rx2") * col("rx2")).cast("long").as("sxx"),
+        sum(col("ry2") * col("ry2")).cast("long").as("syy"),
+        sum(col("rx2") * col("ry2")).cast("long").as("sxy"))
+      .withColumn("s_xy", expr("n * sxy - sx * sy"))
+      .withColumn("s_xx", expr("n * sxx - sx * sx"))
+      .withColumn("s_yy", expr("n * syy - sy * sy"))
+      .withColumn("rho_abs_x1e6", expr(
+        """CAST(CAST(abs(s_xy) AS DECIMAL(38,0)) * 1000000
+          |  div (CAST(floor(sqrt(CAST(s_xx AS DOUBLE))) AS BIGINT)
+          |     * CAST(floor(sqrt(CAST(s_yy AS DOUBLE))) AS BIGINT)) AS BIGINT)""".stripMargin))
+      .withColumn("rho_sign", expr(
+        "CAST(CASE WHEN s_xy < 0 THEN -1 WHEN s_xy > 0 THEN 1 ELSE 0 END AS INT)"))
+      .select(col("n"), col("s_xy"), col("s_xx"), col("s_yy"),
+        col("rho_abs_x1e6"), col("rho_sign"))
+  }
+
+  /** Kendall's τ-b between the same two daily series — the
+    * concordant/discordant-pair member of the rank-correlation family
+    * (Spearman measures monotone AGREEMENT of ranks; Kendall counts
+    * pairwise ORDER inversions, with the τ-b tie correction). The
+    * pairwise i<j join runs over the DAY domain (day²/2 pairs —
+    * corpus-size-free, the [[qTheilSen]] discipline); C, D, and the
+    * tie-corrected denominator pieces n₀−n₁, n₀−n₂ are exact BIGINTs,
+    * their product stays far under 2⁵³ (≈n⁴/4), so one floored exact
+    * sqrt gives τ·10⁶ with |τ| and sign split.
+    */
+  def qKendall(s: SparkSession, d: String): DataFrame = {
+    val xy = dailyXy(s, d)
+    val a = xy.select(col("day").as("di"), col("x").as("xi"), col("y").as("yi"))
+    val b = xy.select(col("day").as("dj"), col("x").as("xj"), col("y").as("yj"))
+    a.join(b, col("di") < col("dj"))
+      .agg(count(lit(1)).cast("long").as("n0"),
+        sum(when((col("xi") < col("xj") && col("yi") < col("yj")) ||
+                 (col("xi") > col("xj") && col("yi") > col("yj")), 1L)
+          .otherwise(0L)).cast("long").as("c"),
+        sum(when((col("xi") < col("xj") && col("yi") > col("yj")) ||
+                 (col("xi") > col("xj") && col("yi") < col("yj")), 1L)
+          .otherwise(0L)).cast("long").as("d"),
+        sum(when(col("xi") === col("xj"), 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("yi") === col("yj"), 1L).otherwise(0L)).cast("long").as("n2"))
+      .withColumn("tau_abs_x1e6", expr(
+        """abs(c - d) * 1000000
+          |  div CAST(floor(sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))) AS BIGINT)""".stripMargin))
+      .withColumn("tau_sign", expr(
+        "CAST(CASE WHEN c < d THEN -1 WHEN c > d THEN 1 ELSE 0 END AS INT)"))
+      .select(col("n0"), col("c"), col("d"), col("n1"), col("n2"),
+        col("tau_abs_x1e6"), col("tau_sign"))
+  }
+
+  /** Autocorrelation function of daily purchase revenue at lags 1–7 —
+    * "does yesterday predict today" (weekly seasonality shows up as a
+    * lag-7 peak). Per lag, exact Pearson over the overlapping day
+    * pairs: the series is daily DOLLARS (cents div 100 at day grain —
+    * keeps S_xx ≈ n²·var(x) inside 2⁵³ through ~sf1 so the sqrt stays
+    * exact; headroom documented), moments are BIGINT, S_xy·10⁶ stages
+    * through DECIMAL(38,0), and |r| and sign split as usual. Scale:
+    * after the one fact-scan groupBy everything — the 7-lag explode
+    * included — runs on the day domain, exactly like [[qXcorr]].
+    */
+  def qAutocorr(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyCents(s, d)
+      .select(col("day"), expr("cents div 100").as("x"))
+    val b = daily.select(col("day").as("bday"), col("x").as("y"))
+    daily.withColumn("lag", explode(typedlit((1L to 7L).toList)))
+      .join(b, col("bday") === col("day") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("x")).cast("long").as("sx"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("y") * col("y")).cast("long").as("syy"),
+        sum(col("x") * col("y")).cast("long").as("sxy"))
+      .withColumn("s_xy", expr("n * sxy - sx * sy"))
+      .withColumn("s_xx", expr("n * sxx - sx * sx"))
+      .withColumn("s_yy", expr("n * syy - sy * sy"))
+      .withColumn("r_abs_x1e6", expr(
+        """CAST(CAST(abs(s_xy) AS DECIMAL(38,0)) * 1000000
+          |  div (CAST(floor(sqrt(CAST(s_xx AS DOUBLE))) AS BIGINT)
+          |     * CAST(floor(sqrt(CAST(s_yy AS DOUBLE))) AS BIGINT)) AS BIGINT)""".stripMargin))
+      .withColumn("r_sign", expr(
+        "CAST(CASE WHEN s_xy < 0 THEN -1 WHEN s_xy > 0 THEN 1 ELSE 0 END AS INT)"))
+      .select(col("lag"), col("n"), col("s_xy"), col("r_abs_x1e6"), col("r_sign"))
+      .orderBy(col("lag"))
+  }
+
+  /** Week-over-week revenue growth per event type — the reporting
+    * query behind every "vs last week" dashboard tile: weekly cents
+    * per type (week = epoch-day div 7 — pure integer arithmetic, no
+    * calendar function), previous week by lag over the per-type
+    * window, growth ×10⁴ emitted as |Δ|·10⁴ div prev with the sign
+    * split (div//​ negative disagreement). First weeks emit NULL
+    * growth. The window runs over the (type × week) grid only.
+    */
+  def qWowGrowth(s: SparkSession, d: String): DataFrame = {
+    val weekly = EventStreams.normalize(Tables.events(s, d))
+      .groupBy(col("event_type"),
+        expr("(ts_us div 86400000000) div 7").as("week"))
+      .agg(sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+        .cast("long").as("cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    weekly
+      .withColumn("prev", lag(col("cents"), 1).over(w))
+      .withColumn("delta", col("cents") - col("prev"))
+      .withColumn("growth_abs_x1e4", expr("(abs(delta) * 10000) div prev"))
+      .withColumn("growth_sign", expr(
+        "CAST(CASE WHEN delta < 0 THEN -1 WHEN delta > 0 THEN 1 ELSE 0 END AS INT)"))
+      .select(col("event_type"), col("week"), col("cents"), col("prev"),
+        col("delta"), col("growth_abs_x1e4"), col("growth_sign"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
   /** Per-event purchase rows in exact cents with their day — the shared
     * base of the day-domain series family ([[qLocf]] / [[qRunsTest]] /
     * [[qRollingMedian]]); its SQL twin is [[purchaseCentsSql]].
@@ -1172,6 +1343,92 @@ object Temporal {
       "FROM events WHERE event_type = 'purchase'"
 
   val oracles: Map[String, String] = Map(
+    "q_spearman" ->
+      s"""WITH xy AS ($dailyXySql),
+         |r AS (
+         |  SELECT day,
+         |    CAST(rank() OVER (ORDER BY x) * 2
+         |      + count(*) OVER (PARTITION BY x) - 1 AS BIGINT) AS rx2,
+         |    CAST(rank() OVER (ORDER BY y) * 2
+         |      + count(*) OVER (PARTITION BY y) - 1 AS BIGINT) AS ry2
+         |  FROM xy),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(rx2) AS BIGINT) AS sx, CAST(sum(ry2) AS BIGINT) AS sy,
+         |    CAST(sum(rx2 * rx2) AS BIGINT) AS sxx,
+         |    CAST(sum(ry2 * ry2) AS BIGINT) AS syy,
+         |    CAST(sum(rx2 * ry2) AS BIGINT) AS sxy
+         |  FROM r),
+         |c AS (
+         |  SELECT n, n * sxy - sx * sy AS s_xy, n * sxx - sx * sx AS s_xx,
+         |    n * syy - sy * sy AS s_yy
+         |  FROM m)
+         |SELECT n, s_xy, s_xx, s_yy,
+         |  CAST(CAST(abs(s_xy) AS HUGEINT) * 1000000
+         |    // (CAST(floor(sqrt(CAST(s_xx AS DOUBLE))) AS BIGINT)
+         |       * CAST(floor(sqrt(CAST(s_yy AS DOUBLE))) AS BIGINT)) AS BIGINT) AS rho_abs_x1e6,
+         |  CAST(CASE WHEN s_xy < 0 THEN -1 WHEN s_xy > 0 THEN 1 ELSE 0 END AS INT) AS rho_sign
+         |FROM c""".stripMargin,
+
+    "q_kendall" ->
+      s"""WITH xy AS ($dailyXySql),
+         |p AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n0,
+         |    CAST(sum(CASE WHEN (a.x < b.x AND a.y < b.y)
+         |                    OR (a.x > b.x AND a.y > b.y) THEN 1 ELSE 0 END) AS BIGINT) AS c,
+         |    CAST(sum(CASE WHEN (a.x < b.x AND a.y > b.y)
+         |                    OR (a.x > b.x AND a.y < b.y) THEN 1 ELSE 0 END) AS BIGINT) AS d,
+         |    CAST(sum(CASE WHEN a.x = b.x THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         |    CAST(sum(CASE WHEN a.y = b.y THEN 1 ELSE 0 END) AS BIGINT) AS n2
+         |  FROM xy a JOIN xy b ON a.day < b.day)
+         |SELECT n0, c, d, n1, n2,
+         |  abs(c - d) * 1000000
+         |    // CAST(floor(sqrt(CAST((n0 - n1) * (n0 - n2) AS DOUBLE))) AS BIGINT) AS tau_abs_x1e6,
+         |  CAST(CASE WHEN c < d THEN -1 WHEN c > d THEN 1 ELSE 0 END AS INT) AS tau_sign
+         |FROM p""".stripMargin,
+
+    "q_autocorr" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) // 100 AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |l AS (SELECT unnest(range(1, 8)) AS lag),
+        |m AS (
+        |  SELECT l.lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(a.x) AS BIGINT) AS sx, CAST(sum(b.x) AS BIGINT) AS sy,
+        |    CAST(sum(a.x * a.x) AS BIGINT) AS sxx,
+        |    CAST(sum(b.x * b.x) AS BIGINT) AS syy,
+        |    CAST(sum(a.x * b.x) AS BIGINT) AS sxy
+        |  FROM l
+        |  JOIN daily a ON true
+        |  JOIN daily b ON b.day = a.day + l.lag
+        |  GROUP BY l.lag),
+        |c AS (
+        |  SELECT lag, n, n * sxy - sx * sy AS s_xy, n * sxx - sx * sx AS s_xx,
+        |    n * syy - sy * sy AS s_yy
+        |  FROM m)
+        |SELECT lag, n, s_xy,
+        |  CAST(CAST(abs(s_xy) AS HUGEINT) * 1000000
+        |    // (CAST(floor(sqrt(CAST(s_xx AS DOUBLE))) AS BIGINT)
+        |       * CAST(floor(sqrt(CAST(s_yy AS DOUBLE))) AS BIGINT)) AS BIGINT) AS r_abs_x1e6,
+        |  CAST(CASE WHEN s_xy < 0 THEN -1 WHEN s_xy > 0 THEN 1 ELSE 0 END AS INT) AS r_sign
+        |FROM c ORDER BY lag""".stripMargin,
+
+    "q_wow_growth" ->
+      """WITH weekly AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) // 7 AS week,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT event_type, week, cents,
+        |    lag(cents, 1) OVER (PARTITION BY event_type ORDER BY week) AS prev
+        |  FROM weekly),
+        |g AS (SELECT *, cents - prev AS delta FROM w)
+        |SELECT event_type, week, cents, prev, delta,
+        |  (abs(delta) * 10000) // prev AS growth_abs_x1e4,
+        |  CAST(CASE WHEN delta < 0 THEN -1 WHEN delta > 0 THEN 1 ELSE 0 END AS INT) AS growth_sign
+        |FROM g ORDER BY event_type, week""".stripMargin,
+
     "q_theil_sen" ->
       """WITH daily AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day,

@@ -314,4 +314,65 @@ class SearchSpec extends AnyFunSuite {
     assert(combined.zip(combined.tail).forall { case (a, b) => a >= b })
     assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
   }
+
+  test("dis_max score is the MAX per-field sum, best_field its smallest argmax") {
+    val terms = Analyzer.analyzeQuery("the merge join table")
+    // independent replay: per-(doc, field) component sums off the same engine plan
+    val byField = ds.scoreComponents(idx, terms)
+      .groupBy(col("doc_id"), col("field"))
+      .agg(sum(col("component")).cast("long").as("f_score"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getString(1), r.getLong(2))).toSeq).toMap
+    val rows = Metastore.disMaxQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (doc, bf, score) = (r.getLong(1), r.getString(3), r.getLong(4))
+      val fs = byField(doc)
+      assert(score == fs.map(_._2).max, s"dis_max not the field max for doc $doc")
+      val argmax = fs.filter(_._2 == score).map(_._1).min
+      assert(bf == argmax, s"best_field $bf != smallest argmax $argmax for doc $doc")
+    }
+    // dis_max must differ from most_fields somewhere: a multi-field match
+    // sums higher than its best field (otherwise the query is vacuous)
+    val summed = byField.view.mapValues(_.map(_._2).sum)
+    assert(byField.exists { case (doc, fs) => summed(doc) > fs.map(_._2).max },
+      "corpus has no multi-field match — dis_max indistinguishable from most_fields")
+  }
+
+  test("range filter bounds are inclusive and visibility still applies") {
+    val rows = Metastore.rangeFilterQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 20 && r.getLong(2) <= 40, s"rowcount out of range: $r")
+      assert(r.getLong(3) >= 250, s"bytes below bound: $r")
+    }
+    val expected = ds.visible(idx, None)
+      .filter(expr("stats.rowcount BETWEEN 20 AND 40") && col("bytes") >= 250)
+      .count()
+    assert(rows.length == math.min(expected, 100), "row count drift vs direct filter")
+  }
+
+  test("date histogram buckets partition the matching event set") {
+    val rows = Metastore.dateHistogramQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val ev = SearchEngine.events.visible(Tables.eventIndex(spark, sf), None)
+      .filter(col("event_entity") === "click")
+    assert(rows.map(_.getLong(1)).sum == ev.count(), "bucket counts != match total")
+    val days = rows.map(_.getLong(0))
+    assert(days.distinct.length == days.length && days.sorted.toSeq == days.toSeq)
+  }
+
+  test("significant terms: lift is the exact fg/bg df ratio and fg_df <= bg_df") {
+    val vis = ds.visible(idx, None)
+    val nBg = vis.count()
+    val nFg = vis.filter(col("lang") === "fr").count()
+    val rows = Metastore.significantTermsQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (fgDf, bgDf, lift) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(fgDf >= 1 && fgDf <= bgDf, s"df ordering violated: $r")
+      assert(lift == fgDf * nBg * 1000000L / (bgDf * nFg), s"lift formula drift: $r")
+    }
+  }
 }

@@ -693,6 +693,105 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  // the zero-filled daily (click count, purchase cents) series the
+  // rank-correlation family runs on, replayed independently in Scala
+  private def dailyXySeries(): Array[(Long, Long, Long)] = {
+    val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .select(expr("ts_us div 86400000000").as("day"), col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byDay = ev.groupBy(_._1)
+    val (d0, d1) = (ev.map(_._1).min, ev.map(_._1).max)
+    (d0 to d1).map { day =>
+      val rows = byDay.getOrElse(day, Array.empty[(Long, String, Long)])
+      (day, rows.count(_._2 == "click").toLong,
+        rows.filter(_._2 == "purchase").map(_._3).sum)
+    }.toArray
+  }
+
+  // tie-averaged rank ×2 of each value in vs (2·rank_first + cnt − 1)
+  private def rank2(vs: Array[Long]): Array[Long] = {
+    val sorted = vs.sorted
+    val firstRank = sorted.zipWithIndex.reverse.toMap.map { case (v, i) => v -> (i + 1L) }
+    val cnt = vs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    vs.map(v => 2 * firstRank(v) + cnt(v) - 1)
+  }
+
+  test("spearman equals a driver-side tie-averaged rank replay") {
+    val xy = dailyXySeries()
+    val (rx, ry) = (rank2(xy.map(_._2)), rank2(xy.map(_._3)))
+    val n = xy.length.toLong
+    def mom(a: Array[Long], b: Array[Long]) =
+      n * a.zip(b).map { case (u, v) => u * v }.sum - a.sum * b.sum
+    val (sxy, sxx, syy) = (mom(rx, ry), mom(rx, rx), mom(ry, ry))
+    val r = Temporal.qSpearman(spark, sf).collect()(0)
+    assert(r.getLong(0) == n && r.getLong(1) == sxy &&
+      r.getLong(2) == sxx && r.getLong(3) == syy, s"moment drift: $r")
+    val denom = math.sqrt(sxx.toDouble).floor.toLong * math.sqrt(syy.toDouble).floor.toLong
+    assert(r.getLong(4) == (BigInt(sxy.abs) * 1000000 / denom).toLong, s"rho: $r")
+    assert(r.getInt(5) == sxy.sign.toInt)
+    // ×2 tie-averaged ranks of n values must sum to n(n+1) exactly
+    assert(rx.sum == n * (n + 1) && ry.sum == n * (n + 1))
+  }
+
+  test("kendall tau-b equals a brute-force concordant/discordant count") {
+    val xy = dailyXySeries()
+    var (c, dd, n1, n2) = (0L, 0L, 0L, 0L)
+    for (i <- xy.indices; j <- (i + 1) until xy.length) {
+      val (xi, yi, xj, yj) = (xy(i)._2, xy(i)._3, xy(j)._2, xy(j)._3)
+      if ((xi < xj && yi < yj) || (xi > xj && yi > yj)) c += 1
+      else if ((xi < xj && yi > yj) || (xi > xj && yi < yj)) dd += 1
+      if (xi == xj) n1 += 1
+      if (yi == yj) n2 += 1
+    }
+    val n0 = xy.length.toLong * (xy.length - 1) / 2
+    val r = Temporal.qKendall(spark, sf).collect()(0)
+    assert(r.getLong(0) == n0 && r.getLong(1) == c && r.getLong(2) == dd &&
+      r.getLong(3) == n1 && r.getLong(4) == n2, s"pair-count drift: $r")
+    val denom = math.sqrt(((n0 - n1) * (n0 - n2)).toDouble).floor.toLong
+    assert(r.getLong(5) == (c - dd).abs * 1000000 / denom, s"tau: $r")
+    assert(r.getInt(6) == (c - dd).sign.toInt)
+  }
+
+  test("autocorrelation equals a per-lag Pearson replay on daily dollars") {
+    val daily = dailyXySeries().map { case (day, _, cents) => day -> cents / 100 }.toMap
+    val rows = Temporal.qAutocorr(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == (1L to 7L))
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val pairs = daily.toSeq.sortBy(_._1).flatMap { case (day, x) =>
+        daily.get(day + k).map(y => (x, y)) }
+      val n = pairs.length.toLong
+      val sxy = n * pairs.map { case (x, y) => x * y }.sum -
+        pairs.map(_._1).sum * pairs.map(_._2).sum
+      assert(r.getLong(1) == n && r.getLong(2) == sxy, s"lag $k moments: $r")
+      def ss(vs: Seq[Long]) = n * vs.map(v => v * v).sum - vs.sum * vs.sum
+      val denom = math.sqrt(ss(pairs.map(_._1)).toDouble).floor.toLong *
+        math.sqrt(ss(pairs.map(_._2)).toDouble).floor.toLong
+      assert(r.getLong(3) == (BigInt(sxy.abs) * 1000000 / denom).toLong, s"lag $k r: $r")
+      assert(r.getInt(4) == sxy.sign.toInt, s"lag $k sign: $r")
+    }
+  }
+
+  test("wow growth: prev is last week's cents and the growth formula holds") {
+    val rows = Temporal.qWowGrowth(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (t, rs) =>
+      val ordered = rs.sortBy(_.getLong(1))
+      assert(ordered.head.isNullAt(3), s"first week of $t has a prev")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(3) == a.getLong(2), s"prev != last cents: $b")
+          val delta = b.getLong(2) - b.getLong(3)
+          assert(b.getLong(4) == delta, s"delta: $b")
+          assert(b.getLong(5) == delta.abs * 10000 / b.getLong(3), s"growth: $b")
+          assert(b.getInt(6) == delta.sign.toInt, s"sign: $b")
+        case _ =>
+      }
+    }
+  }
+
   test("seasonality indices n-weight-average to 1e6 per type") {
     val rows = Temporal.qSeasonality(spark, sf).collect()
     assert(rows.nonEmpty)
