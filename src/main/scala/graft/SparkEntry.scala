@@ -142,6 +142,8 @@ object SparkEntry {
     "q7_volume"        -> ((s, d) => Relational.q7Volume(s, d)),
     "q8_share"         -> ((s, d) => Relational.q8Share(s, d)),
     "q_pagerank"       -> ((s, d) => operators.Graph.pagerank(s, d)),
+    "q_hits"           -> ((s, d) => operators.Graph.hits(s, d)),
+    "q_assortativity"  -> ((s, d) => operators.Graph.assortativity(s, d)),
     "q_bfs"            -> ((s, d) => operators.Graph.bfs(s, d)),
     "q_triangle_count" -> ((s, d) => operators.Graph.triangleCounts(s, d)),
     "q_common_neighbors" -> ((s, d) => operators.Graph.commonNeighbors(s, d)),

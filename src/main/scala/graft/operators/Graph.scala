@@ -421,6 +421,101 @@ object Graph {
         min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"))
       .orderBy(col("bucket"))
 
+  /** Degree assortativity of the co-purchase graph — "do hubs connect
+    * to hubs" (positive) or "to leaves" (negative), the Newman 2002
+    * mixing coefficient: Pearson correlation of (deg(a), deg(b)) over
+    * the edge set with BOTH orientations included. Symmetry makes the
+    * two marginal distributions identical (Σx = Σy, Σx² = Σy²), so the
+    * denominator is S_xx exactly and NO sqrt is needed — r·10⁶ =
+    * S_xy·10⁶ div S_xx, pure integer arithmetic staged DECIMAL(38,0)
+    * (M·Σxy passes int64 at fact scale), |r| and sign split. Scale
+    * shape: degrees are one V-sized aggregate off the checkpointed
+    * edge list; the per-edge degree join shuffles E rows once per
+    * side; the moments are one reduce.
+    */
+  def assortativity(s: SparkSession, d: String): DataFrame = {
+    val e = triEdges(s, d)
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val sym = e.select(col("a"), col("b"))
+      .unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    sym
+      .join(deg.select(col("v"), col("deg").as("da")), col("a") === col("v")).drop("v")
+      .join(deg.select(col("v"), col("deg").as("db")), col("b") === col("v")).drop("v")
+      .agg(count(lit(1)).cast("long").as("m"),
+        sum(col("da")).cast("long").as("sx"),
+        sum(expr("CAST(da AS DECIMAL(38,0)) * da")).as("sxx"),
+        sum(expr("CAST(da AS DECIMAL(38,0)) * db")).as("sxy"))
+      .withColumn("s_xy", expr(
+        "CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("s_xx", expr(
+        "CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("r_abs_x1e6",
+        expr("CAST(abs(s_xy) * 1000000 div CAST(s_xx AS BIGINT) AS BIGINT)"))
+      .withColumn("r_sign", expr(
+        "CAST(CASE WHEN s_xy < 0 THEN -1 WHEN s_xy > 0 THEN 1 ELSE 0 END AS INT)"))
+      .select(col("m"), col("sx"),
+        expr("CAST(sxx AS BIGINT)").as("sxx"),
+        expr("CAST(sxy AS BIGINT)").as("sxy"),
+        expr("CAST(s_xy AS BIGINT)").as("s_xy"),
+        expr("CAST(s_xx AS BIGINT)").as("s_xx"),
+        col("r_abs_x1e6"), col("r_sign"))
+  }
+
+  /** HITS hubs & authorities over the directed nation trade graph —
+    * the query-independent half of Kleinberg 1999: a good AUTHORITY is
+    * bought from by good hubs, a good HUB buys from good authorities.
+    * Same architecture as [[pagerank]]: the 4-table fact-scale edge
+    * extraction aggregates to the ≤N² weighted matrix (checkpointed
+    * once), then `iters` synchronous rounds on broadcast N-row score
+    * vectors. Instead of a float L² norm the recurrence normalizes by
+    * L∞ (divide by the max) — EXACT in ×10¹² integers, which is what
+    * lets an eigenvector iteration gate hash-exact: a(v) =
+    * ⌊Σ h(u)·w(u,v) · 10¹² / max⌋, then h from the new a, products
+    * staged DECIMAL(38,0). Nations with no in/out edges carry 0.
+    */
+  def hits(s: SparkSession, d: String, iters: Int = 3): DataFrame = {
+    val nations = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("nk"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("src"))
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("dst"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+
+    // one normalized half-step: raw(v) = Σ score(u)·w over `from`→`to`,
+    // then ⌊raw·SCALE/max(raw)⌋ onto the full nation vector
+    def halfStep(score: DataFrame, from: String, to: String): DataFrame = {
+      val raw = edges.join(broadcast(score), col(from) === col("nk"))
+        .select(col(to).as("t"), expr("CAST(s AS DECIMAL(38,0)) * w").as("c"))
+        .groupBy(col("t")).agg(sum(col("c")).as("raw"))
+      val mx = raw.agg(max(col("raw")).as("mx"))
+      nations.join(raw, col("nk") === col("t"), "left")
+        .crossJoin(broadcast(mx))
+        .select(col("nk"),
+          coalesce(expr(s"CAST(raw * $Scale div CAST(mx AS BIGINT) AS BIGINT)"),
+            lit(0L)).as("s"))
+    }
+
+    var hub = nations.select(col("nk"), lit(Scale).as("s"))
+    var auth = nations.select(col("nk"), lit(0L).as("s"))
+    for (_ <- 1 to iters) {
+      auth = halfStep(hub, "src", "dst")
+      hub = halfStep(auth, "dst", "src")
+    }
+    auth.select(col("nk"), col("s").as("auth_x1e12"))
+      .join(hub.select(col("nk").as("nk2"), col("s").as("hub_x1e12")),
+        col("nk") === col("nk2"))
+      .select(col("nk").as("nationkey"), col("auth_x1e12"), col("hub_x1e12"))
+      .orderBy(col("nationkey"))
+  }
+
   /** Per-vertex local clustering coefficient ×10⁶ — how tightly each
     * part's co-purchase neighborhood closes: cc(v) = 2·tri(v) /
     * (deg(v)·(deg(v)−1)), exact integer division over the SAME
@@ -580,7 +675,69 @@ object Graph {
        |    FROM m$i) WHERE rn = 1)""".stripMargin
   }
 
+  /** One HITS half-step in DuckDB SQL: weighted in-sum from the `from`
+    * side's scores, then L∞ normalization onto the full nation vector.
+    * MATERIALIZED like every iterative oracle (CTE inlining would
+    * re-evaluate the chain exponentially).
+    */
+  private def hitsHalfStep(out: String, in: String, from: String, to: String): String =
+    s"""${out}_raw AS MATERIALIZED (
+       |  SELECT e.$to AS nk, sum(CAST(p.s AS HUGEINT) * e.w) AS raw
+       |  FROM e JOIN $in p ON p.nk = e.$from GROUP BY e.$to),
+       |${out}_mx AS (SELECT max(raw) AS mx FROM ${out}_raw),
+       |$out AS MATERIALIZED (
+       |  SELECT n.nk,
+       |    COALESCE(CAST(r.raw * $Scale // CAST(m.mx AS BIGINT) AS BIGINT), 0) AS s
+       |  FROM n LEFT JOIN ${out}_raw r ON r.nk = n.nk CROSS JOIN ${out}_mx m)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q_assortativity" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x
+        |  JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY v),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS m,
+        |    CAST(sum(da.deg) AS BIGINT) AS sx,
+        |    sum(CAST(da.deg AS HUGEINT) * da.deg) AS sxx,
+        |    sum(CAST(da.deg AS HUGEINT) * db.deg) AS sxy
+        |  FROM sym JOIN deg da ON da.v = sym.a JOIN deg db ON db.v = sym.b),
+        |c AS (
+        |  SELECT m, sx, sxx, sxy,
+        |    CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx AS s_xy,
+        |    CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS s_xx
+        |  FROM m)
+        |SELECT m, sx, CAST(sxx AS BIGINT) AS sxx, CAST(sxy AS BIGINT) AS sxy,
+        |  CAST(s_xy AS BIGINT) AS s_xy, CAST(s_xx AS BIGINT) AS s_xx,
+        |  CAST(abs(s_xy) * 1000000 // CAST(s_xx AS BIGINT) AS BIGINT) AS r_abs_x1e6,
+        |  CAST(CASE WHEN s_xy < 0 THEN -1 WHEN s_xy > 0 THEN 1 ELSE 0 END AS INT) AS r_sign
+        |FROM c""".stripMargin,
+
+    "q_hits" -> {
+      val steps = (1 to 3).flatMap(i => Seq(
+        hitsHalfStep(s"a$i", if (i == 1) "h0" else s"h${i - 1}", "src", "dst"),
+        hitsHalfStep(s"h$i", s"a$i", "dst", "src"))).mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+         |    CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY src, dst),
+         |n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation),
+         |h0 AS (SELECT nk, CAST($Scale AS BIGINT) AS s FROM n),
+         |$steps
+         |SELECT n.nk AS nationkey, a3.s AS auth_x1e12, h3.s AS hub_x1e12
+         |FROM n JOIN a3 ON a3.nk = n.nk JOIN h3 ON h3.nk = n.nk
+         |ORDER BY nationkey""".stripMargin
+    },
+
     "q_label_prop" -> {
       val steps = (1 to 6).map(lpStep).mkString(",\n")
       s"""WITH pairs AS (

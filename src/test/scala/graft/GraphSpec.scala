@@ -294,4 +294,69 @@ class GraphSpec extends AnyFunSuite {
     val lifts = rows.map(_.getLong(8))
     assert(lifts.zip(lifts.tail).forall { case (x, y) => x >= y })
   }
+
+  test("assortativity equals a brute-force degree-pair Pearson replay") {
+    val op = Tables.lineitem(spark, sf)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val edges = op.groupBy(_._1).iterator.flatMap { case (_, xs) =>
+      val ps = xs.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (v, o) => v -> o.length.toLong }
+    val pairs = edges.toSeq.flatMap(e => Seq((deg(e._1), deg(e._2)), (deg(e._2), deg(e._1))))
+    val m = BigInt(pairs.length)
+    val sx = BigInt(pairs.map(_._1).sum)
+    val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+    val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+    val (bigSxy, bigSxx) = (m * sxy - sx * sx_dup(pairs), m * sxx - sx * sx)
+    val r = Graph.assortativity(spark, sf).collect()(0)
+    assert(BigInt(r.getLong(0)) == m && BigInt(r.getLong(1)) == sx &&
+      BigInt(r.getLong(2)) == sxx && BigInt(r.getLong(3)) == sxy, s"moments: $r")
+    assert(BigInt(r.getLong(4)) == bigSxy && BigInt(r.getLong(5)) == bigSxx, s"centered: $r")
+    assert(BigInt(r.getLong(6)) == bigSxy.abs * 1000000 / bigSxx, s"r: $r")
+    assert(r.getInt(7) == bigSxy.signum)
+  }
+
+  // Σy over the symmetric pair list — by symmetry equal to Σx; kept
+  // explicit so the replay does not assume what the query proves
+  private def sx_dup(pairs: Seq[(Long, Long)]): BigInt = BigInt(pairs.map(_._2).sum)
+
+  test("hits equals a driver-side L-infinity-normalized recurrence replay") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sf).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nations = Tables.nation(spark, sf).select(col("n_nationkey").cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    val scale = BigInt(1000000000000L)
+    def half(score: Map[Long, BigInt], rev: Boolean): Map[Long, BigInt] = {
+      val raw = edges.groupBy(e => if (rev) e._1 else e._2).map { case (v, es) =>
+        v -> es.map(e => score(if (rev) e._2 else e._1) * e._3).sum }
+      val mx = raw.values.max
+      nations.map(v => v -> raw.get(v).map(_ * scale / mx).getOrElse(BigInt(0))).toMap
+    }
+    var hub = nations.map(_ -> scale).toMap
+    var auth = Map.empty[Long, BigInt]
+    for (_ <- 1 to 3) { auth = half(hub, rev = false); hub = half(auth, rev = true) }
+    val rows = Graph.hits(spark, sf).collect()
+    assert(rows.length == nations.length)
+    rows.foreach { r =>
+      assert(BigInt(r.getLong(1)) == auth(r.getLong(0)), s"auth drift: $r")
+      assert(BigInt(r.getLong(2)) == hub(r.getLong(0)), s"hub drift: $r")
+    }
+    // the iteration must differentiate: some nation is a stronger hub
+    // than authority (a uniform fixpoint would make the test vacuous)
+    assert(rows.map(_.getLong(1)).distinct.length > 1, "uniform authority vector")
+  }
 }
