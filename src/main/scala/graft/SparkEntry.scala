@@ -199,6 +199,7 @@ object SparkEntry {
     "pipe_quota_sample"   -> ((s, d) => Pipeline.quotaSample(s, d)),
     "pipe_merge_stats"    -> ((s, d) => Pipeline.mergeStats(s, d)),
     "pipe_mix_weights"    -> ((s, d) => Pipeline.mixWeights(s, d)),
+    "pipe_oversample"     -> ((s, d) => Pipeline.pipeOversample(s, d)),
     "pipe_split"          -> ((s, d) => Pipeline.splitAssign(s, d)),
     "pipe_reshard"        -> ((s, d) => Pipeline.reshardAudit(s, d)),
     "pipe_dataset_diff"   -> ((s, d) => Pipeline.datasetDiff(s, d)),
@@ -254,6 +255,7 @@ object SparkEntry {
     "mm_decode_wav"       -> ((s, d) => Pipeline.mmDecodeWav(s, d)),
     "mm_decode_png"       -> ((s, d) => Pipeline.mmDecodePng(s, d)),
     "mm_decode_gif"       -> ((s, d) => Pipeline.mmDecodeGif(s, d)),
+    "mm_decode_qoi"       -> ((s, d) => Pipeline.mmDecodeQoi(s, d)),
     "mm_decode_jpeg"      -> ((s, d) => Pipeline.mmDecodeJpeg(s, d)),
     "mm_phash"            -> ((s, d) => Pipeline.mmPhash(s, d)),
     "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),

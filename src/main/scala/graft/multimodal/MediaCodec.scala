@@ -862,4 +862,138 @@ object MediaCodec {
     }
     JpegMeta(w, h, sum)
   }
+
+  // --- QOI (Quite OK Image format, public spec at qoiformat.org) ---------
+
+  def isQoi(b: Array[Byte]): Boolean =
+    b.length >= 22 && b(0) == 'q'.toByte && b(1) == 'o'.toByte &&
+      b(2) == 'i'.toByte && b(3) == 'f'.toByte
+
+  /** Wrapped signed byte difference a − b per the QOI spec ("values are
+    * stored with wraparound"): result in [−128, 127].
+    */
+  private def wrapDiff(a: Int, b: Int): Int = ((a - b + 128) & 0xff) - 128
+
+  /** Encode an RGB image as QOI — a REAL general-purpose encoder (run
+    * detection, 64-slot color index, DIFF/LUMA/RGB op selection with
+    * the spec's wraparound differences), not a fixed-op writer: the
+    * pixel stream decides which ops appear. pixel(x, y) returns packed
+    * 0xRRGGBB; alpha is the spec's opaque 255 throughout.
+    */
+  def encodeQoi(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad qoi geometry ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream(22 + w * h)
+    out.write('q'); out.write('o'); out.write('i'); out.write('f')
+    def wbe32(v: Int): Unit = {
+      out.write((v >>> 24) & 0xff); out.write((v >>> 16) & 0xff)
+      out.write((v >>> 8) & 0xff); out.write(v & 0xff)
+    }
+    wbe32(w); wbe32(h)
+    out.write(3) // channels: RGB
+    out.write(0) // colorspace: sRGB with linear alpha
+    val index = new Array[Int](64) // packed r<<24|g<<16|b<<8|a; zero-init per spec
+    var pr = 0; var pg = 0; var pb = 0
+    var run = 0
+    var i = 0
+    val n = w * h
+    while (i < n) {
+      val p = pixel(i % w, i / w)
+      val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+      if (r == pr && g == pg && b == pb) {
+        run += 1
+        if (run == 62) { out.write(0xc0 | (run - 1)); run = 0 }
+      } else {
+        if (run > 0) { out.write(0xc0 | (run - 1)); run = 0 }
+        val hash = (r * 3 + g * 5 + b * 7 + 255 * 11) % 64
+        val packed = (r << 24) | (g << 16) | (b << 8) | 255
+        if (index(hash) == packed) out.write(hash)
+        else {
+          index(hash) = packed
+          val dr = wrapDiff(r, pr); val dg = wrapDiff(g, pg); val db = wrapDiff(b, pb)
+          if (dr >= -2 && dr <= 1 && dg >= -2 && dg <= 1 && db >= -2 && db <= 1)
+            out.write(0x40 | ((dr + 2) << 4) | ((dg + 2) << 2) | (db + 2))
+          else if (dg >= -32 && dg <= 31 && dr - dg >= -8 && dr - dg <= 7 &&
+                   db - dg >= -8 && db - dg <= 7) {
+            out.write(0x80 | (dg + 32))
+            out.write(((dr - dg + 8) << 4) | (db - dg + 8))
+          } else {
+            out.write(0xfe); out.write(r); out.write(g); out.write(b)
+          }
+        }
+        pr = r; pg = g; pb = b
+      }
+      i += 1
+    }
+    if (run > 0) out.write(0xc0 | (run - 1))
+    var z = 0
+    while (z < 7) { out.write(0); z += 1 }
+    out.write(1) // end marker 00×7 01
+    out.toByteArray
+  }
+
+  /** Decoded QOI: geometry + exact per-channel sums. */
+  final case class QoiMeta(width: Int, height: Int,
+                           sumR: Long, sumG: Long, sumB: Long)
+
+  /** QOI decoder per the public spec: big-endian header, all six chunk
+    * ops (RGB, RGBA, INDEX, DIFF, LUMA with biased wraparound
+    * differences, RUN with bias −1), the running 64-slot color index
+    * keyed by (3r+5g+7b+11a) mod 64, and end-marker validation.
+    * Bounded: throws on bad magic, bad geometry, stream overrun, or a
+    * missing end marker rather than reading out of bounds.
+    */
+  def decodeQoi(buf: Array[Byte]): QoiMeta = {
+    require(isQoi(buf), "not a QOI payload")
+    val w = be32(buf, 4); val h = be32(buf, 8)
+    val channels = buf(12) & 0xff
+    require(w > 0 && h > 0 && (channels == 3 || channels == 4),
+      s"bad qoi header ${w}x$h ch=$channels")
+    val index = new Array[Int](64)
+    var r = 0; var g = 0; var b = 0; var a = 255
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var p = 14
+    var run = 0
+    var px = 0
+    val n = w.toLong * h
+    while (px < n) {
+      if (run > 0) run -= 1
+      else {
+        require(p < buf.length - 8, "qoi stream overrun")
+        val tag = buf(p) & 0xff; p += 1
+        if (tag == 0xfe) {
+          r = buf(p) & 0xff; g = buf(p + 1) & 0xff; b = buf(p + 2) & 0xff; p += 3
+        } else if (tag == 0xff) {
+          r = buf(p) & 0xff; g = buf(p + 1) & 0xff
+          b = buf(p + 2) & 0xff; a = buf(p + 3) & 0xff; p += 4
+        } else (tag >> 6) match {
+          case 0 =>
+            val v = index(tag & 0x3f)
+            r = (v >>> 24) & 0xff; g = (v >>> 16) & 0xff
+            b = (v >>> 8) & 0xff; a = v & 0xff
+          case 1 =>
+            r = (r + (((tag >> 4) & 3) - 2)) & 0xff
+            g = (g + (((tag >> 2) & 3) - 2)) & 0xff
+            b = (b + ((tag & 3) - 2)) & 0xff
+          case 2 =>
+            val dg = (tag & 0x3f) - 32
+            val nb = buf(p) & 0xff; p += 1
+            r = (r + dg + ((nb >> 4) & 0xf) - 8) & 0xff
+            g = (g + dg) & 0xff
+            b = (b + dg + (nb & 0xf) - 8) & 0xff
+          case _ =>
+            run = tag & 0x3f // this pixel + `run` more repeats of prev
+        }
+        if ((tag >> 6) != 3 || tag == 0xfe || tag == 0xff)
+          index((r * 3 + g * 5 + b * 7 + a * 11) % 64) =
+            (r << 24) | (g << 16) | (b << 8) | a
+      }
+      sumR += r; sumG += g; sumB += b
+      px += 1
+    }
+    require(p + 8 <= buf.length, "qoi end marker missing")
+    var z = 0
+    while (z < 7) { require(buf(p + z) == 0, "bad qoi end marker"); z += 1 }
+    require(buf(p + 7) == 1, "bad qoi end marker")
+    QoiMeta(w, h, sumR, sumG, sumB)
+  }
 }

@@ -145,6 +145,10 @@ object Multimodal {
           val m = MediaCodec.decodeBmp(bytes)
           val fp = ((m.sumR * 31 + m.sumG) * 31 + m.sumB) % 1000000007L
           MediaMeta(id, bytes.length.toLong, fp, m.width.toLong, m.height.toLong, 1L)
+        } else if (MediaCodec.isQoi(bytes)) {
+          val m = MediaCodec.decodeQoi(bytes)
+          val fp = ((m.sumR * 31 + m.sumG) * 31 + m.sumB) % 1000000007L
+          MediaMeta(id, bytes.length.toLong, fp, m.width.toLong, m.height.toLong, 1L)
         } else if (MediaCodec.isPng(bytes)) {
           val m = MediaCodec.decodePng(bytes)
           val fp = ((m.sumR * 31 + m.sumG) * 31 + m.sumB) % 1000000007L
@@ -271,6 +275,61 @@ object Multimodal {
     }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
       .orderBy(col("doc_id"))
   }
+
+  /** Real-decoder gate, run-length/delta path: synthesize a genuine QOI
+    * image per doc (qoiformat.org; geometry/pixels pure functions of
+    * doc_id) through the REAL general-purpose [[MediaCodec.encodeQoi]],
+    * decode with [[MediaCodec.decodeQoi]], emit geometry + exact
+    * channel sums; the oracle recomputes the sums closed-form. The
+    * pixel pattern forces every chunk op into the stream: constant
+    * rows (y≡1 mod 4) drive RUN, two-color alternating rows (y≡3)
+    * drive INDEX hits, and the linear-gradient rows exercise
+    * DIFF/LUMA/RGB selection with the spec's wraparound differences —
+    * pinned op-by-op in MultimodalSpec. Widths start at 1. Narrow
+    * one-pass mapPartitions, no shuffle — the payload-column shape.
+    */
+  def decodeQoiPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (1 + id % 17).toInt
+        val h = (1 + id % 10).toInt
+        val payload = MediaCodec.encodeQoi(w, h, qoiPixel(id))
+        val m = MediaCodec.decodeQoi(payload)
+        (id, m.width.toLong, m.height.toLong, m.sumR, m.sumG, m.sumB)
+      }
+    }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The QOI gate's pixel function — shared with MultimodalSpec's
+    * op-census so the "every op appears" claim tests the shipped
+    * pattern, not a copy.
+    */
+  private[graft] def qoiPixel(id: Long)(x: Int, y: Int): Int =
+    if (y % 4 == 1) {
+      val v = ((id + 13L * y) % 256).toInt
+      (v << 16) | (v << 8) | v
+    } else if (y % 4 == 2) {
+      // slow +1/+1/+1 gradient — inside DIFF's [−2, 1] op range
+      val base = id + x + 2L * y
+      val r = (base % 256).toInt
+      val g = ((base + 1) % 256).toInt
+      val b = ((base + 2) % 256).toInt
+      (r << 16) | (g << 8) | b
+    } else if (y % 4 == 3) {
+      val base = if (x % 2 == 0) id else id + 128
+      val r = (base % 256).toInt
+      val g = ((base + 1) % 256).toInt
+      val b = ((base + 2) % 256).toInt
+      (r << 16) | (g << 8) | b
+    } else {
+      val r = ((id + 3L * x + 5L * y) % 256).toInt
+      val g = ((2L * id + 7L * x + y) % 256).toInt
+      val b = ((5L * id + x + 11L * y) % 256).toInt
+      (r << 16) | (g << 8) | b
+    }
 
   /** Real-decoder gate, palette-image path: synthesize a genuine
     * 16-color GIF89a per doc (palette AND pixel indices pure functions

@@ -147,6 +147,9 @@ object Pipeline {
   def mmDecodeGif(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeGifPlan(Tables.documents(s, d))
 
+  def mmDecodeQoi(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeQoiPlan(Tables.documents(s, d))
+
   def mmDecodeJpeg(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeJpegPlan(Tables.documents(s, d))
 
@@ -707,6 +710,47 @@ object Pipeline {
     * onto the corpus for weighted sampling (pipe_quota_sample /
     * q_weighted_sample are the consumers of exactly this table).
     */
+  /** Deterministic minority-class oversampling — the class-balancing
+    * step before training on a skewed corpus: every language is
+    * replicated up to the majority class's size, rep = ⌈target/n⌉
+    * copies per doc (stateless — any worker re-derives any doc's copy
+    * count, the [[Pipeline.split]] discipline). The audit row per
+    * language carries n_orig/rep/n_after plus before/after corpus
+    * shares (ppm) AND a checksum over the replicated rows
+    * (Σ doc_id·copy) so the gate proves the explode actually ran, not
+    * just the arithmetic around it. Scale shape: the rep table is
+    * |langs| rows broadcast; replication is a map-side
+    * explode(sequence) — no shuffle until the per-lang partial agg;
+    * the only unpartitioned window runs over the |langs|-row audit.
+    */
+  def pipeOversample(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id").cast("long").as("doc_id"), col("lang"))
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_orig"))
+    val totals = counts.agg(max(col("n_orig")).as("target"),
+      sum(col("n_orig")).cast("long").as("n_tot"))
+    val rep = counts.crossJoin(broadcast(totals))
+      .withColumn("rep_factor", expr("(target + n_orig - 1) div n_orig"))
+      .select(col("lang"), col("n_orig"), col("rep_factor"), col("n_tot"))
+    val expanded = docs
+      .join(broadcast(rep.select(col("lang"), col("rep_factor"))), Seq("lang"))
+      .select(col("lang"), col("doc_id"),
+        explode(expr("sequence(1L, rep_factor)")).as("copy"))
+    val audit = expanded.groupBy(col("lang"))
+      .agg(count(lit(1)).cast("long").as("n_after"),
+        sum(col("doc_id") * col("copy")).cast("long").as("checksum"))
+      .join(broadcast(rep), Seq("lang"))
+    audit
+      .withColumn("n_tot_after",
+        sum(col("n_after")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy()))
+      .select(col("lang"), col("n_orig"), col("rep_factor"), col("n_after"),
+        col("checksum"),
+        expr("(n_orig * 1000000) div n_tot").as("share_before_ppm"),
+        expr("(n_after * 1000000) div n_tot_after").as("share_after_ppm"))
+      .orderBy(col("lang"))
+  }
+
   def mixWeights(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     val bySource = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
@@ -1503,6 +1547,26 @@ object Pipeline {
         |SELECT source, rk, doc_id, hkey FROM rk WHERE rk <= 20
         |ORDER BY source, rk""".stripMargin,
 
+    "pipe_oversample" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_orig
+        |           FROM documents GROUP BY lang),
+        |t AS (SELECT max(n_orig) AS target, CAST(sum(n_orig) AS BIGINT) AS n_tot FROM c),
+        |r AS (SELECT lang, n_orig, (t.target + n_orig - 1) // n_orig AS rep_factor,
+        |        t.n_tot
+        |      FROM c CROSS JOIN t),
+        |e AS (SELECT d.lang, d.doc_id, unnest(range(1, r.rep_factor + 1)) AS copy
+        |      FROM documents d JOIN r USING (lang)),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_after,
+        |        CAST(sum(doc_id * copy) AS BIGINT) AS checksum
+        |      FROM e GROUP BY lang),
+        |f AS (SELECT r.lang, r.n_orig, r.rep_factor, a.n_after, a.checksum, r.n_tot
+        |      FROM r JOIN a USING (lang)),
+        |t2 AS (SELECT CAST(sum(n_after) AS BIGINT) AS n_tot_after FROM f)
+        |SELECT lang, n_orig, rep_factor, n_after, checksum,
+        |  (n_orig * 1000000) // n_tot AS share_before_ppm,
+        |  (n_after * 1000000) // n_tot_after AS share_after_ppm
+        |FROM f CROSS JOIN t2 ORDER BY lang""".stripMargin,
+
     "pipe_mix_weights" ->
       """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
         |           FROM documents GROUP BY source),
@@ -1670,6 +1734,33 @@ object Pipeline {
         |SELECT doc_id, CAST(wb * 8 AS BIGINT) AS width, CAST(hb * 8 AS BIGINT) AS height,
         |  CAST(sum(64 * pix) AS BIGINT) AS sum_lum
         |FROM px GROUP BY doc_id, wb, hb ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_qoi" ->
+      """WITH m AS (SELECT doc_id, 1 + doc_id % 17 AS w, 1 + doc_id % 10 AS h
+        |           FROM documents),
+        |px AS (
+        |  SELECT m.doc_id, m.w, m.h,
+        |    CASE WHEN y.i % 4 = 1 THEN (m.doc_id + 13 * y.i) % 256
+        |         WHEN y.i % 4 = 2 THEN (m.doc_id + x.i + 2 * y.i) % 256
+        |         WHEN y.i % 4 = 3 THEN
+        |           (CASE WHEN x.i % 2 = 0 THEN m.doc_id ELSE m.doc_id + 128 END) % 256
+        |         ELSE (m.doc_id + 3 * x.i + 5 * y.i) % 256 END AS r,
+        |    CASE WHEN y.i % 4 = 1 THEN (m.doc_id + 13 * y.i) % 256
+        |         WHEN y.i % 4 = 2 THEN (m.doc_id + x.i + 2 * y.i + 1) % 256
+        |         WHEN y.i % 4 = 3 THEN
+        |           (CASE WHEN x.i % 2 = 0 THEN m.doc_id ELSE m.doc_id + 128 END + 1) % 256
+        |         ELSE (2 * m.doc_id + 7 * x.i + y.i) % 256 END AS g,
+        |    CASE WHEN y.i % 4 = 1 THEN (m.doc_id + 13 * y.i) % 256
+        |         WHEN y.i % 4 = 2 THEN (m.doc_id + x.i + 2 * y.i + 2) % 256
+        |         WHEN y.i % 4 = 3 THEN
+        |           (CASE WHEN x.i % 2 = 0 THEN m.doc_id ELSE m.doc_id + 128 END + 2) % 256
+        |         ELSE (5 * m.doc_id + x.i + 11 * y.i) % 256 END AS b
+        |  FROM m, range(0, 17) x(i), range(0, 10) y(i)
+        |  WHERE x.i < m.w AND y.i < m.h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     "mm_decode_gif" ->
       """WITH m AS (SELECT doc_id, 2 + doc_id % 14 AS w, 2 + doc_id % 11 AS h

@@ -160,4 +160,64 @@ class MultimodalSpec extends AnyFunSuite {
     val want = (0 until 9).map(k => if (bs(k) * tc > ts * bc(k)) 1L << k else 0L).sum
     assert(rows.head.getLong(3) == want, "witness hash mismatch")
   }
+
+  test("QOI round-trip: all six ops appear in the gate's streams and decode inverts encode") {
+    // count chunk tags by walking the encoded stream (spec chunk framing)
+    def census(b: Array[Byte]): Map[String, Int] = {
+      var p = 14
+      val c = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+      while (p < b.length - 8) {
+        val tag = b(p) & 0xff
+        if (tag == 0xfe) { c("rgb") += 1; p += 4 }
+        else if (tag == 0xff) { c("rgba") += 1; p += 5 }
+        else (tag >> 6) match {
+          case 0 => c("index") += 1; p += 1
+          case 1 => c("diff") += 1; p += 1
+          case 2 => c("luma") += 1; p += 2
+          case _ => c("run") += 1; p += 1
+        }
+      }
+      c.toMap
+    }
+    val total = scala.collection.mutable.Map[String, Int]().withDefaultValue(0)
+    for (id <- 0L until 40L) {
+      val w = (1 + id % 17).toInt
+      val h = (1 + id % 10).toInt
+      val enc = MediaCodec.encodeQoi(w, h, Multimodal.qoiPixel(id))
+      val m = MediaCodec.decodeQoi(enc)
+      assert(m.width == w && m.height == h)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        val p = Multimodal.qoiPixel(id)(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+      }
+      assert((m.sumR, m.sumG, m.sumB) == ((sr, sg, sb)), s"channel sums at id=$id")
+      census(enc).foreach { case (k, n) => total(k) += n }
+    }
+    Seq("rgb", "index", "diff", "luma", "run").foreach(op =>
+      assert(total(op) > 0, s"op $op never exercised — gate weaker than claimed"))
+  }
+
+  test("QOI decoder matches hand-assembled byte streams per the public spec") {
+    def header(w: Int, h: Int): Array[Byte] =
+      Array[Byte]('q', 'o', 'i', 'f',
+        (w >>> 24).toByte, (w >>> 16).toByte, (w >>> 8).toByte, w.toByte,
+        (h >>> 24).toByte, (h >>> 16).toByte, (h >>> 8).toByte, h.toByte,
+        3, 0)
+    val end = Array[Byte](0, 0, 0, 0, 0, 0, 0, 1)
+    // 2x2: RGB(10,20,30); RUN(1); DIFF(+1,0,-1); INDEX(hash(10,20,30)=9)
+    val v1 = header(2, 2) ++ Array[Byte](0xfe.toByte, 10, 20, 30,
+      0xc0.toByte, 0x79.toByte, 0x09.toByte) ++ end
+    val m1 = MediaCodec.decodeQoi(v1)
+    assert((m1.width, m1.height) == ((2, 2)))
+    assert((m1.sumR, m1.sumG, m1.sumB) == ((10L + 10 + 11 + 10, 80L, 30L + 30 + 29 + 30)),
+      s"2x2 witness: $m1")
+    // 1x1: LUMA dg=+10, dr-dg=-2, db-dg=+3 from the (0,0,0) start pixel
+    val v2 = header(1, 1) ++ Array[Byte](0xaa.toByte, 0x6b.toByte) ++ end
+    val m2 = MediaCodec.decodeQoi(v2)
+    assert((m2.sumR, m2.sumG, m2.sumB) == ((8L, 10L, 13L)), s"luma witness: $m2")
+    // corrupted end marker must throw, not read garbage
+    val bad = v1.clone(); bad(bad.length - 1) = 0
+    intercept[IllegalArgumentException](MediaCodec.decodeQoi(bad))
+  }
 }

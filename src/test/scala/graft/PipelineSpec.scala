@@ -845,4 +845,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows.map(_._2).distinct.sorted.toSeq ==
       Seq("added", "changed", "removed", "unchanged"))
   }
+
+  test("oversample balances every language to within one replication step") {
+    val docs = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+        org.apache.spark.sql.functions.col("lang"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = docs.groupBy(_._2)
+    val target = byLang.values.map(_.length).max.toLong
+    val rows = Pipeline.pipeOversample(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == byLang.keySet)
+    val nAfterTotal = rows.map(_.getLong(3)).sum
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      val n = byLang(lang).length.toLong
+      val rep = (target + n - 1) / n
+      assert(r.getLong(1) == n && r.getLong(2) == rep, s"counts: $r")
+      assert(r.getLong(3) == n * rep, s"n_after: $r")
+      // balanced: within one replication step of the target, never below
+      assert(r.getLong(3) >= target && r.getLong(3) < target + n, s"balance: $r")
+      // checksum = Σ doc_id · (1 + 2 + … + rep) proves the explode ran
+      val want = byLang(lang).map(_._1).sum * (rep * (rep + 1) / 2)
+      assert(r.getLong(4) == want, s"checksum: $r")
+      assert(r.getLong(5) == n * 1000000L / docs.length, s"share before: $r")
+      assert(r.getLong(6) == r.getLong(3) * 1000000L / nAfterTotal, s"share after: $r")
+    }
+    // the majority class keeps rep=1 (oversampling never shrinks or inflates it)
+    assert(rows.exists(r => r.getLong(2) == 1L && r.getLong(1) == target))
+  }
 }
