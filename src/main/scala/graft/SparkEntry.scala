@@ -78,6 +78,10 @@ object SparkEntry {
     "q_grouping_id"    -> ((s, d) => Relational.qGroupingId(s, d)),
     "q_percentile_cont" -> ((s, d) => Relational.qPercentileCont(s, d)),
     "q_percentile_disc" -> ((s, d) => Relational.qPercentileDisc(s, d)),
+    "q_winsorize"       -> ((s, d) => Relational.qWinsorize(s, d)),
+    "q_event_regex"     -> ((s, d) => operators.Temporal.qEventRegex(s, d)),
+    "ms_boosting"       -> ((s, d) => Metastore.boostingQ(s, d)),
+    "ann_mmr"           -> ((s, d) => Pipeline.annMmr(s, d)),
     "q_weighted_median" -> ((s, d) => Relational.qWeightedMedian(s, d)),
     "q_hhi"             -> ((s, d) => Relational.qHhi(s, d)),
     "q_lateral_explode" -> ((s, d) => Text.lateralExplode(s, d)),
@@ -957,6 +961,34 @@ object SparkEntry {
         |  quantile_cont(CAST(l_quantity * 100 AS BIGINT), 0.5) AS median_cents,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (SELECT s.cents, c.c_mktsegment
+        |      FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+        |r AS (
+        |  SELECT c_mktsegment, cents,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY cents) AS rk,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM j),
+        |lims AS (
+        |  SELECT c_mktsegment,
+        |    CAST(max(CASE WHEN rk = (n * 10 + 99) // 100 THEN cents END) AS BIGINT) AS lo_cents,
+        |    CAST(max(CASE WHEN rk = (n * 90 + 99) // 100 THEN cents END) AS BIGINT) AS hi_cents
+        |  FROM r GROUP BY c_mktsegment)
+        |SELECT j.c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |  l.lo_cents, l.hi_cents,
+        |  CAST(sum(CASE WHEN j.cents < l.lo_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_lo,
+        |  CAST(sum(CASE WHEN j.cents > l.hi_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_clamped_hi,
+        |  (CAST(sum(j.cents) AS BIGINT) * 100) // count(*) AS mean_x100,
+        |  (CAST(sum(least(greatest(j.cents, l.lo_cents), l.hi_cents)) AS BIGINT) * 100)
+        |    // count(*) AS wmean_x100
+        |FROM j JOIN lims l USING (c_mktsegment)
+        |GROUP BY j.c_mktsegment, l.lo_cents, l.hi_cents
+        |ORDER BY j.c_mktsegment""".stripMargin,
 
     // percentile_disc semantics pinned as explicit integer rank math:
     // the discrete p-percentile is the value at sorted rank ceil(p*n)

@@ -569,6 +569,33 @@ object Metastore {
       .limit(15)
   }
 
+  /** ES boosting-query analog (positive query + negative demotion —
+    * beyond the reference): the ranked hit list with docs mentioning
+    * the negative term "sort" demoted by negative_boost = 0.5,
+    * realized EXACTLY as fscore = score − score div 2 (integer halving
+    * — no float multiplier), everything else untouched. The negative
+    * test is one array_contains over the analyzed readme on the shared
+    * boostedHits list; spec proves a demoted doc actually drops below
+    * a non-demoted one.
+    */
+  def boostingQ(s: SparkSession, d: String): DataFrame = {
+    val terms = Analyzer.analyzeQuery("the merge join table")
+    val i = idx(s, d)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("fscore").desc, col("doc_id"))
+    ds.boostedHits(i, ds.scores(i, terms),
+        SearchRequest(q = Some("the merge join table")))
+      .withColumn("has_neg",
+        array_contains(Analyzer.tokens(col("readme")), "sort"))
+      .withColumn("fscore",
+        expr("CASE WHEN has_neg THEN score - score div 2 ELSE score END"))
+      .orderBy(col("fscore").desc, col("doc_id")).limit(20)
+      .select(row_number().over(wAll).cast("int").as("rank"),
+        col("doc_id"), col("name"), col("score").as("text_score"),
+        col("has_neg"), col("fscore"))
+      .orderBy(col("rank"))
+  }
+
   // --- events kind -------------------------------------------------------
 
   def eventsFilter(s: SparkSession, d: String): DataFrame =
@@ -1004,6 +1031,23 @@ object Metastore {
          |FROM dfb CROSS JOIN tot
          |WHERE fg_df > 0
          |ORDER BY lift_x1e6 DESC, term LIMIT 15""".stripMargin,
+
+    "ms_boosting" ->
+      s"""$idxCte,
+         |$tfidfCtes,
+         |bq AS (
+         |  SELECT h.doc_id, h.name, h.score,
+         |    list_contains(${tok("readme")}, 'sort') AS has_neg
+         |  FROM hits h JOIN idx i ON i.doc_id = h.doc_id),
+         |fs AS (
+         |  SELECT doc_id, name, score, has_neg,
+         |    CASE WHEN has_neg THEN score - score // 2 ELSE score END AS fscore
+         |  FROM bq),
+         |top AS (SELECT * FROM fs ORDER BY fscore DESC, doc_id LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY fscore DESC, doc_id) AS INT) AS rank,
+         |  doc_id, name, CAST(score AS BIGINT) AS text_score, has_neg,
+         |  CAST(fscore AS BIGINT) AS fscore
+         |FROM top ORDER BY rank""".stripMargin,
 
     "ms_events_filter" ->
       s"""$evCte

@@ -93,6 +93,9 @@ object Pipeline {
   def annLshTopk(s: SparkSession, d: String): DataFrame =
     Similarity.lshTopK(Tables.embeddings(s, d), queryPred)
 
+  def annMmr(s: SparkSession, d: String): DataFrame =
+    Similarity.mmrTopK(Tables.embeddings(s, d), col("vec_id") === 0)
+
   def annIvfTopk(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, d), queryPred,
       model = Some(graft.similarity.IvfModel.cells))
@@ -1380,6 +1383,45 @@ object Pipeline {
          |ORDER BY m.method""".stripMargin,
 
     "ann_brute_topk" -> annBruteSql,
+
+    "ann_mmr" -> {
+      // unrolled greedy MMR recurrence: each step picks the not-yet-
+      // selected candidate maximizing sim_q − max(sim to selected)
+      val steps = (2 to 5).map { i =>
+        val p = s"sel${i - 1}"
+        s"""p$i AS (
+           |  SELECT c.vec_id, c.sim_q, max(p.sim) AS penalty
+           |  FROM cand c
+           |  JOIN pairs p ON p.ai = c.vec_id
+           |  JOIN $p s ON s.vec_id = p.bi
+           |  WHERE c.vec_id NOT IN (SELECT vec_id FROM $p)
+           |  GROUP BY c.vec_id, c.sim_q),
+           |s$i AS MATERIALIZED (
+           |  SELECT vec_id, sim_q, penalty, sim_q - penalty AS mmr, $i AS rank
+           |  FROM p$i ORDER BY mmr DESC, vec_id LIMIT 1),
+           |sel$i AS MATERIALIZED (
+           |  SELECT * FROM $p UNION ALL SELECT * FROM s$i)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH vq AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |sc AS (
+         |  SELECT e.vec_id,
+         |    CAST(floor(${Similarity.cosineSql("vq.q_emb", "e.embedding")} * 1e6) AS BIGINT) AS sim_q
+         |  FROM embeddings e CROSS JOIN vq WHERE e.vec_id <> 0),
+         |cand AS MATERIALIZED (
+         |  SELECT vec_id, sim_q FROM sc ORDER BY sim_q DESC, vec_id LIMIT 20),
+         |pairs AS MATERIALIZED (
+         |  SELECT a.vec_id AS ai, b.vec_id AS bi,
+         |    CAST(floor(${Similarity.cosineSql("ea.embedding", "eb.embedding")} * 1e6) AS BIGINT) AS sim
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+         |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+         |  JOIN embeddings eb ON eb.vec_id = b.vec_id),
+         |sel1 AS MATERIALIZED (
+         |  SELECT vec_id, sim_q, CAST(0 AS BIGINT) AS penalty, sim_q AS mmr, 1 AS rank
+         |  FROM cand ORDER BY sim_q DESC, vec_id LIMIT 1),
+         |$steps
+         |SELECT CAST(rank AS INT) AS rank, vec_id, sim_q, penalty, mmr
+         |FROM sel5 ORDER BY rank""".stripMargin
+    },
 
     "ann_sq_topk" -> Similarity.sqOracleSql("vec_id % 97 = 0"),
 

@@ -852,6 +852,44 @@ object Relational {
     * single-reducer sort), and the rank-weighted sum is one partial
     * agg.
     */
+  /** Winsorized mean per market segment — the robust-mean member of
+    * the outlier family ([[qOutlierMad]] flags, winsorize REPAIRS):
+    * per-customer spend cents clamped into the segment's [p10, p90]
+    * (PERCENTILE_DISC actual elements, so both limits and every
+    * clamped value stay exact BIGINTs — no interpolation float), then
+    * the raw vs winsorized mean ×100 and the clamp counts per side.
+    * Scale shape: the limits table is |segments| rows broadcast; the
+    * clamp is a map-side expression; two partial-agg passes over the
+    * per-customer rows, no window.
+    */
+  def qWinsorize(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("cents"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val lims = spend.groupBy(col("c_mktsegment"))
+      .agg(expr("CAST(percentile_disc(0.10) WITHIN GROUP (ORDER BY cents) AS BIGINT)")
+          .as("lo_cents"),
+        expr("CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY cents) AS BIGINT)")
+          .as("hi_cents"))
+    spend.join(broadcast(lims), Seq("c_mktsegment"))
+      .groupBy(col("c_mktsegment"), col("lo_cents"), col("hi_cents"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("cents")).cast("long").as("sum_raw"),
+        sum(expr("least(greatest(cents, lo_cents), hi_cents)")).cast("long").as("sum_w"),
+        sum(when(col("cents") < col("lo_cents"), 1L).otherwise(0L))
+          .cast("long").as("n_clamped_lo"),
+        sum(when(col("cents") > col("hi_cents"), 1L).otherwise(0L))
+          .cast("long").as("n_clamped_hi"))
+      .withColumn("mean_x100", expr("(sum_raw * 100) div n"))
+      .withColumn("wmean_x100", expr("(sum_w * 100) div n"))
+      .select(col("c_mktsegment"), col("n"), col("lo_cents"), col("hi_cents"),
+        col("n_clamped_lo"), col("n_clamped_hi"), col("mean_x100"), col("wmean_x100"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   def qGini(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))

@@ -937,6 +937,45 @@ object Temporal {
       .orderBy(col("event_type"), col("week"))
   }
 
+  /** Event-sequence pattern matching — the MATCH_RECOGNIZE /
+    * complex-event-processing analog built from composable pieces:
+    * each user's time-ordered event stream renders to a compact
+    * initial-letter string (c/v/p/s/e, first 40 events), and a pinned
+    * pattern table of regexes from the RE2 ∩ java.util.regex COMMON
+    * SUBSET (literals, classes, ., *, + — the txt_pii_scrub
+    * discipline, so both engines match identically) is evaluated per
+    * user: "view…click…purchase", "starts with signup", "two adjacent
+    * clicks", "view-only funnel to purchase", "three errors". One
+    * user_id shuffle builds every sequence; the 5 regexes run in ONE
+    * conditional-aggregate pass (stack unpivots the counts); output is
+    * |patterns| rows. At 100 TB the sequence strings are bounded (40
+    * chars) and the scan is embarrassingly parallel.
+    */
+  def qEventRegex(s: SparkSession, d: String): DataFrame = {
+    val pats = Seq("v.*c.*p", "^s", "cc", "v[vc]*p", "e.*e.*e")
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini"))
+    val seqs = ev.groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"),
+        col("ini")))).as("evs"))
+      .select(expr("substring(array_join(transform(evs, e -> e.ini), ''), 1, 40)")
+        .as("seq"))
+    val counts = seqs.agg(
+      count(lit(1)).cast("long").as("n_users"),
+      pats.zipWithIndex.map { case (p, k) =>
+        sum(when(col("seq").rlike(p), 1L).otherwise(0L)).cast("long").as(s"p$k")
+      }: _*)
+    val stackArgs = pats.zipWithIndex
+      .map { case (p, k) => s"'$p', p$k" }.mkString(", ")
+    counts
+      .select(col("n_users"),
+        expr(s"stack(${pats.length}, $stackArgs) AS (pattern, n_matched)"))
+      .select(col("pattern"), col("n_matched"), col("n_users"),
+        expr("(n_matched * 1000000) div n_users").as("share_ppm"))
+      .orderBy(col("pattern"))
+  }
+
   /** Per-event purchase rows in exact cents with their day — the shared
     * base of the day-domain series family ([[qLocf]] / [[qRunsTest]] /
     * [[qRollingMedian]]); its SQL twin is [[purchaseCentsSql]].
@@ -1343,6 +1382,32 @@ object Temporal {
       "FROM events WHERE event_type = 'purchase'"
 
   val oracles: Map[String, String] = Map(
+    "q_event_regex" -> {
+      val pats = Seq("v.*c.*p", "^s", "cc", "v[vc]*p", "e.*e.*e")
+      val conds = pats.zipWithIndex.map { case (p, k) =>
+        s"CAST(sum(CASE WHEN regexp_matches(seq, '$p') THEN 1 ELSE 0 END) AS BIGINT) AS p$k"
+      }.mkString(",\n        ")
+      val rows = pats.zipWithIndex.map { case (p, k) =>
+        s"SELECT '$p' AS pattern, p$k AS n_matched, n_users FROM m"
+      }.mkString("\n        UNION ALL ")
+      s"""WITH e AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         |    substring(event_type, 1, 1) AS ini
+         |  FROM events),
+         |seqs AS (
+         |  SELECT user_id,
+         |    substring(string_agg(ini, '' ORDER BY ts_us, event_id), 1, 40) AS seq
+         |  FROM e GROUP BY user_id),
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+         |        $conds
+         |      FROM seqs),
+         |u AS (
+         |        $rows)
+         |SELECT pattern, n_matched, n_users,
+         |  (n_matched * 1000000) // n_users AS share_ppm
+         |FROM u ORDER BY pattern""".stripMargin
+    },
+
     "q_spearman" ->
       s"""WITH xy AS ($dailyXySql),
          |r AS (

@@ -60,6 +60,58 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** MMR (Maximal Marginal Relevance) diversity re-rank — the
+    * result-diversification pass of a modern retrieval stack
+    * (Carbonell & Goldstein 1998): from the brute top-`kCand`
+    * candidates of one query, greedily select `kSel` results
+    * maximizing relevance MINUS redundancy, mmr = sim_q − max sim to
+    * anything already selected (λ = 1/2, scaled ×2 so the objective
+    * stays an exact BIGINT difference of two floored ×10⁶ cosines).
+    * The expensive geometry is bounded: candidate set and its
+    * kCand² pairwise-cosine table are computed once (checkpointed,
+    * ≤400 rows at any corpus size); each greedy round is an anti-join
+    * + max + top-1 over ≤20 rows. Deterministic ties (vec_id asc) ⇒
+    * oracle-gated hash-exact, with the greedy recurrence unrolled as
+    * CTE steps on the DuckDB side.
+    */
+  def mmrTopK(embeddings: DataFrame, queryPred: Column,
+              kCand: Int = 20, kSel: Int = 5): DataFrame = {
+    val cand = bruteTopK(embeddings, queryPred, kCand)
+      .select(col("vec_id"), col("cos_x1e6").as("sim_q"))
+      .join(embeddings.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+      .select(col("vec_id"), col("sim_q"), col("embedding"),
+        norm(col("embedding")).as("nrm"))
+      .localCheckpoint()
+    val pairs = cand
+      .select(col("vec_id").as("ai"), col("embedding").as("ea"), col("nrm").as("na"))
+      .join(cand.select(col("vec_id").as("bi"), col("embedding").as("eb"),
+        col("nrm").as("nb")), col("ai") =!= col("bi"))
+      .select(col("ai"), col("bi"),
+        floor(cosine(col("ea"), col("eb"), col("na"), col("nb")) * 1e6)
+          .cast("long").as("sim"))
+      .localCheckpoint()
+    var sel = cand.orderBy(col("sim_q").desc, col("vec_id")).limit(1)
+      .select(col("vec_id"), col("sim_q"), lit(0L).as("penalty"),
+        col("sim_q").as("mmr"), lit(1).as("rank"))
+    for (i <- 2 to kSel) {
+      val selIds = sel.select(col("vec_id").as("sid"))
+      val selIds2 = sel.select(col("vec_id").as("sid2"))
+      val next = cand
+        .join(selIds, col("vec_id") === col("sid"), "left_anti")
+        .join(pairs, col("vec_id") === col("ai"))
+        .join(selIds2, col("bi") === col("sid2"))
+        .groupBy(col("vec_id"), col("sim_q"))
+        .agg(max(col("sim")).as("penalty"))
+        .withColumn("mmr", col("sim_q") - col("penalty"))
+        .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), col("sim_q"), col("penalty"), col("mmr"),
+          lit(i).as("rank"))
+      sel = sel.unionByName(next).localCheckpoint(eager = false)
+    }
+    sel.select(col("rank").cast("int").as("rank"), col("vec_id"),
+      col("sim_q"), col("penalty"), col("mmr")).orderBy(col("rank"))
+  }
+
   /** Scalar-quantized (int8) ANN scan — the simplest compressed-vector
     * path: every component is quantized ONCE to a signed byte with a
     * pinned symmetric scale (code = clamp(round(x·S), ±127)), and the

@@ -846,6 +846,47 @@ class PipelineSpec extends AnyFunSuite {
       Seq("added", "changed", "removed", "unchanged"))
   }
 
+  test("mmr greedy selection equals a driver-side replay and diversifies the head") {
+    import org.apache.spark.sql.functions.col
+    val rows = Pipeline.annMmr(spark, sf).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to 5))
+    // replay: brute top-20 for query 0 and all pairwise cosines in Scala
+    val emb = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1e6).toLong
+    }
+    val q = emb(0L)
+    val cand = emb.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(q, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    var sel = List(cand.minBy { case (id, s) => (-s, id) })
+    for (_ <- 2 to 5) {
+      val rem = cand.filterNot(c => sel.exists(_._1 == c._1))
+      val next = rem.map { case (id, sq) =>
+        val pen = sel.map(s => cos(emb(id), emb(s._1))).max
+        (id, sq, pen, sq - pen)
+      }.minBy { case (id, _, _, mmr) => (-mmr, id) }
+      sel = sel :+ ((next._1, next._2))
+      val row = rows(sel.length - 1)
+      assert(row.getLong(1) == next._1 && row.getLong(2) == next._2 &&
+        row.getLong(3) == next._3 && row.getLong(4) == next._4,
+        s"greedy step ${sel.length} drift: $row vs $next")
+    }
+    assert(rows(0).getLong(1) == cand.head._1 && rows(0).getLong(3) == 0L)
+    // diversity: the MMR tail must differ from the plain top-5 (otherwise
+    // the re-rank is a no-op and the test is vacuous)
+    assert(rows.map(_.getLong(1)).toSet != cand.take(5).map(_._1).toSet,
+      "MMR selected exactly the top-5 — no diversification exercised")
+  }
+
   test("oversample balances every language to within one replication step") {
     val docs = Tables.documents(spark, sf)
       .select(org.apache.spark.sql.functions.col("doc_id").cast("long"),

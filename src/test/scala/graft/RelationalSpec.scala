@@ -513,4 +513,32 @@ class RelationalSpec extends AnyFunSuite {
     // V² of a 2-level axis is bounded by 1 (×1e9)
     assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000000000L, s"v2 out of [0,1]: $r")
   }
+
+  test("winsorize: disc limits, clamp counts, and both means replay exactly") {
+    val spend = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("cents"))
+      .join(Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rows = operators.Relational.qWinsorize(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == spend.map(_._1).toSet)
+    rows.foreach { r =>
+      val cs = spend.filter(_._1 == r.getString(0)).map(_._2).sorted
+      val n = cs.length
+      def disc(p: Int) = cs((n * p + 99) / 100 - 1)
+      val (lo, hi) = (disc(10), disc(90))
+      assert(r.getLong(1) == n && r.getLong(2) == lo && r.getLong(3) == hi, s"limits: $r")
+      assert(r.getLong(4) == cs.count(_ < lo) && r.getLong(5) == cs.count(_ > hi),
+        s"clamp counts: $r")
+      val w = cs.map(c => math.min(math.max(c, lo), hi))
+      assert(r.getLong(6) == cs.sum * 100 / n && r.getLong(7) == w.sum * 100 / n,
+        s"means: $r")
+      // winsorizing pulls the mean toward the center, never outside [lo, hi]
+      assert(r.getLong(7) >= lo * 100 && r.getLong(7) <= hi * 100, s"wmean range: $r")
+    }
+    assert(rows.exists(r => r.getLong(6) != r.getLong(7)),
+      "raw and winsorized means identical everywhere — clamping not exercised")
+  }
 }

@@ -340,6 +340,21 @@ class SearchSpec extends AnyFunSuite {
       "corpus has no multi-field match — dis_max indistinguishable from most_fields")
   }
 
+  test("boosting query: negative term halves the score and reorders the head") {
+    val rows = Metastore.boostingQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (score, neg, fscore) = (r.getLong(3), r.getBoolean(4), r.getLong(5))
+      assert(fscore == (if (neg) score - score / 2 else score), s"demotion formula: $r")
+    }
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+      "head is all-demoted or none-demoted — demotion not exercised")
+    // a demoted doc must sit below some doc it outscored on raw text score
+    val reordered = rows.exists(hi => rows.exists(lo =>
+      hi.getInt(0) < lo.getInt(0) && hi.getLong(3) < lo.getLong(3) && lo.getBoolean(4)))
+    assert(reordered, "no rank inversion — negative boost changed nothing")
+  }
+
   test("range filter bounds are inclusive and visibility still applies") {
     val rows = Metastore.rangeFilterQ(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -774,6 +774,29 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("event regex matches equal a driver-side scala-regex replay") {
+    val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val seqs = ev.groupBy(_._1).map { case (_, es) =>
+      es.sortBy(e => (e._2, e._3)).map(_._4).mkString.take(40)
+    }.toSeq
+    val rows = Temporal.qEventRegex(spark, sf).collect()
+    val pats = Seq("v.*c.*p", "^s", "cc", "v[vc]*p", "e.*e.*e")
+    assert(rows.map(_.getString(0)).sorted.toSeq == pats.sorted)
+    rows.foreach { r =>
+      val re = r.getString(0).r
+      val want = seqs.count(s => re.findFirstIn(s).isDefined).toLong
+      assert(r.getLong(1) == want, s"match count drift for ${r.getString(0)}")
+      assert(r.getLong(2) == seqs.length.toLong)
+      assert(r.getLong(3) == want * 1000000L / seqs.length)
+    }
+    // at least one pattern must be non-trivially selective (matches some
+    // but not all users) or the regex path is vacuous on this corpus
+    assert(rows.exists(r => r.getLong(1) > 0 && r.getLong(1) < r.getLong(2)))
+  }
+
   test("wow growth: prev is last week's cents and the growth formula holds") {
     val rows = Temporal.qWowGrowth(spark, sf).collect()
     assert(rows.nonEmpty)
