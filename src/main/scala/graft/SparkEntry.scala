@@ -191,6 +191,7 @@ object SparkEntry {
     "stream_quantile"   -> ((s, d) => Pipeline.streamQuantile(s, d)),
     "stream_sessionize" -> ((s, d) => Pipeline.streamSessionize(s, d)),
     "stream_dedup"      -> ((s, d) => Pipeline.streamDedup(s, d)),
+    "stream_uniques"    -> ((s, d) => Pipeline.streamUniques(s, d)),
     "stream_join"       -> ((s, d) => Pipeline.streamJoin(s, d)),
     "stream_attribution" -> ((s, d) => Pipeline.streamAttribution(s, d)),
     "stream_latest_state" -> ((s, d) => Pipeline.streamLatestState(s, d)),

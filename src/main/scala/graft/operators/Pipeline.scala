@@ -196,6 +196,9 @@ object Pipeline {
   def streamDedup(s: SparkSession, d: String): DataFrame =
     EventStreams.dedupBatch(EventStreams.normalize(Tables.events(s, d)))
 
+  def streamUniques(s: SparkSession, d: String): DataFrame =
+    EventStreams.uniquesBatch(EventStreams.normalize(Tables.events(s, d)))
+
   /** Top-3 event types per hourly window by count — the "trending now"
     * query, composed as windowed aggregation → the NATIVE TopKPerKey
     * operator (bounded heap per window key before the exchange, so the
@@ -1895,6 +1898,14 @@ object Pipeline {
       s"""SELECT DISTINCT user_id, event_type,
          |  epoch_us(ts) - epoch_us(ts) % ${60L * 1000000L} AS minute_us
          |FROM events ORDER BY user_id, event_type, minute_us""".stripMargin,
+
+    "stream_uniques" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |    epoch_us(ts) - epoch_us(ts) % 86400000000 AS day_us
+        |  FROM events)
+        |SELECT day_us, CAST(count(*) AS BIGINT) AS n_unique
+        |FROM ud GROUP BY day_us ORDER BY day_us""".stripMargin,
 
     "pipe_clean_corpus" ->
       s"""WITH q AS (

@@ -956,7 +956,15 @@ object Temporal {
     val ev = EventStreams.normalize(Tables.events(s, d))
       .select(col("user_id"), col("ts_us"), col("event_id"),
         substring(col("event_type"), 1, 1).as("ini"))
-    val seqs = ev.groupBy(col("user_id"))
+    // cap BEFORE the collect: the row_number window and the groupBy share
+    // one user_id exchange, so no user ever ships more than 40 events into
+    // the sequence build — unbounded per-user histories stay bounded state
+    val wU = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val seqs = ev
+      .withColumn("rn", row_number().over(wU))
+      .filter(col("rn") <= 40)
+      .groupBy(col("user_id"))
       .agg(sort_array(collect_list(struct(col("ts_us"), col("event_id"),
         col("ini")))).as("evs"))
       .select(expr("substring(array_join(transform(evs, e -> e.ini), ''), 1, 40)")

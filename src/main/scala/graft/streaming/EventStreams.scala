@@ -220,6 +220,35 @@ object EventStreams {
     * streaming path runs `dropDuplicates` on the same key under a
     * watermark (bounded state).
     */
+  /** Per-day DISTINCT USER counts — streaming cardinality, the "how
+    * many unique visitors today" dashboard tile. Batch face: one
+    * (user, day)-distinct + day count. Streaming face: the same two
+    * stages as chained stateful operators — watermarked
+    * `dropDuplicates` (state = one key per distinct (user, day), the
+    * exact-cardinality state bound) feeding a windowed count, the
+    * composition Structured Streaming supports natively in append
+    * mode; a distinct count thus commutes with arbitrary micro-batch
+    * splits because the DEDUP state, not the count, carries the
+    * semantics. Parity pinned in StreamingSpec.
+    */
+  def uniquesKeys(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"),
+      (col("ts_us") - col("ts_us") % 86400000000L).as("day_us"))
+
+  def uniquesBatch(ev: DataFrame): DataFrame =
+    uniquesKeys(ev).distinct()
+      .groupBy(col("day_us")).agg(count(lit(1)).as("n_unique"))
+      .orderBy(col("day_us"))
+
+  def uniquesStreaming(ev: DataFrame): DataFrame =
+    uniquesKeys(ev)
+      .withColumn("tsx", timestamp_micros(col("day_us")))
+      .withWatermark("tsx", "1 day")
+      .dropDuplicates(Seq("user_id", "day_us"))
+      .groupBy(window(col("tsx"), "1 day").as("w"))
+      .agg(count(lit(1)).as("n_unique"))
+      .select(unix_micros(col("w.start")).as("day_us"), col("n_unique"))
+
   def dedupKeys(ev: DataFrame): DataFrame =
     ev.select(col("user_id"), col("event_type"),
       (col("ts_us") - col("ts_us") % (60L * 1000000L)).as("minute_us"))

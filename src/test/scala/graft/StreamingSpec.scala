@@ -124,6 +124,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("chained dedup→window count (distinct users) emits a nonempty subset of batch") {
+    val ev = EventStreams.normalize(Tables.events(spark, sf))
+    val expected = EventStreams.uniquesBatch(ev).collect().map(_.toSeq).toSet
+    val schema = Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema).parquet(eventsDir)
+    // two chained stateful operators (dropDuplicates → windowed count):
+    // append mode emits only watermark-closed windows, so on a bounded
+    // replay the emitted set is a prefix of the batch day grid — every
+    // emitted row must match batch exactly, and most days must emit
+    val q = EventStreams.uniquesStreaming(EventStreams.normalize(stream))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("uniques_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("uniques_test").collect().map(_.toSeq).toSet
+      assert(got.nonEmpty, "no closed windows emitted")
+      assert(got.subsetOf(expected), "an emitted distinct count diverges from batch")
+      assert(got.size >= expected.size - 2,
+        s"only ${got.size} of ${expected.size} days emitted — watermark chain stuck")
+    } finally q.stop()
+  }
+
   test("streaming dedup to a parquet FILE sink round-trips equal to batch") {
     val ev = EventStreams.normalize(Tables.events(spark, sf))
     val expected = EventStreams.dedupBatch(ev).collect().map(_.toSeq).toSet
