@@ -79,6 +79,9 @@ object SparkEntry {
     "q_percentile_cont" -> ((s, d) => Relational.qPercentileCont(s, d)),
     "q_percentile_disc" -> ((s, d) => Relational.qPercentileDisc(s, d)),
     "q_winsorize"       -> ((s, d) => Relational.qWinsorize(s, d)),
+    "q_lorenz"          -> ((s, d) => Relational.qLorenz(s, d)),
+    "q_abc_analysis"    -> ((s, d) => Relational.qAbcAnalysis(s, d)),
+    "q_bollinger"       -> ((s, d) => operators.Temporal.qBollinger(s, d)),
     "q_event_regex"     -> ((s, d) => operators.Temporal.qEventRegex(s, d)),
     "ms_boosting"       -> ((s, d) => Metastore.boostingQ(s, d)),
     "ann_mmr"           -> ((s, d) => Pipeline.annMmr(s, d)),
@@ -962,6 +965,58 @@ object SparkEntry {
         |  quantile_cont(CAST(l_quantity * 100 AS BIGINT), 0.5) AS median_cents,
         |  CAST(count(*) AS BIGINT) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_lorenz" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (SELECT s.o_custkey, s.cents, c.c_mktsegment
+        |      FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+        |r AS (
+        |  SELECT c_mktsegment, cents,
+        |    CAST(row_number() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY cents, o_custkey) AS BIGINT) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+        |  FROM j),
+        |d AS (
+        |  SELECT c_mktsegment, ((rn - 1) * 10) // n AS decile,
+        |    CAST(count(*) AS BIGINT) AS n_customers,
+        |    CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM r GROUP BY c_mktsegment, ((rn - 1) * 10) // n),
+        |c AS (
+        |  SELECT c_mktsegment, decile, n_customers, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY c_mktsegment ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents,
+        |    CAST(sum(cents) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS seg_cents
+        |  FROM d)
+        |SELECT c_mktsegment, decile, n_customers, cents,
+        |  CAST(CAST(cum_cents AS HUGEINT) * 1000000 // seg_cents AS BIGINT) AS cum_share_ppm
+        |FROM c ORDER BY c_mktsegment, decile""".stripMargin,
+
+    "q_abc_analysis" ->
+      """WITH rev AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM lineitem GROUP BY l_partkey),
+        |r AS (
+        |  SELECT l_partkey, cents,
+        |    CAST(row_number() OVER (ORDER BY cents DESC, l_partkey) AS BIGINT) AS rk,
+        |    CAST(COALESCE(sum(cents) OVER (ORDER BY cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef,
+        |    CAST(sum(cents) OVER () AS BIGINT) AS total
+        |  FROM rev),
+        |cl AS (
+        |  SELECT *,
+        |    CASE WHEN CAST(bef AS HUGEINT) * 100 < CAST(total AS HUGEINT) * 70 THEN 'A'
+        |         WHEN CAST(bef AS HUGEINT) * 100 < CAST(total AS HUGEINT) * 90 THEN 'B'
+        |         ELSE 'C' END AS abc_class
+        |  FROM r)
+        |SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(cents) AS BIGINT) AS cents,
+        |  CAST(CAST(sum(cents) AS HUGEINT) * 1000000 // max(total) AS BIGINT) AS share_ppm,
+        |  min(rk) AS min_rank, max(rk) AS max_rank
+        |FROM cl GROUP BY abc_class ORDER BY abc_class""".stripMargin,
 
     "q_winsorize" ->
       """WITH spend AS (

@@ -852,6 +852,86 @@ object Relational {
     * single-reducer sort), and the rank-weighted sum is one partial
     * agg.
     */
+  /** Lorenz-curve deciles per market segment — the distributional
+    * readout behind [[qGini]]'s single coefficient: customers ranked
+    * by spend within their segment, decile d = ((rn−1)·10) div n, and
+    * per decile the exact customer count, cents, and CUMULATIVE share
+    * of the segment's total ×10⁶ (the Lorenz curve's y-axis — "the
+    * bottom 50% hold X% of spend"). The ranking window is the same
+    * per-segment customer-scale window Gini already runs; the
+    * cumulative pass runs over the 10-row-per-segment decile grid.
+    */
+  def qLorenz(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("cents"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("cents"), col("o_custkey"))
+    val deciles = spend
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("c_mktsegment"))))
+      .withColumn("decile", expr("((rn - 1) * 10) div n"))
+      .groupBy(col("c_mktsegment"), col("decile"))
+      .agg(count(lit(1)).cast("long").as("n_customers"),
+        sum(col("cents")).cast("long").as("cents"))
+    val wCum = Window.partitionBy(col("c_mktsegment")).orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wTot = Window.partitionBy(col("c_mktsegment"))
+    deciles
+      .withColumn("cum_cents", sum(col("cents")).over(wCum))
+      .withColumn("seg_cents", sum(col("cents")).over(wTot))
+      .select(col("c_mktsegment"), col("decile"), col("n_customers"), col("cents"),
+        // segment-total × 1e6 passes int64 near sf3 — DECIMAL(38,0) staged
+        expr("CAST(CAST(cum_cents AS DECIMAL(38,0)) * 1000000 div seg_cents AS BIGINT)")
+          .as("cum_share_ppm"))
+      .orderBy(col("c_mktsegment"), col("decile"))
+  }
+
+  /** ABC (Pareto 70/90) classification of parts by revenue — the
+    * inventory-analytics classic: parts ranked by total revenue desc,
+    * class A while the RUNNING share is < 70% of total, B to 90%,
+    * else C; per class the part count, revenue, exact share ×10⁶ and
+    * rank span. The ordered cumulative window runs over the PART
+    * domain (dimension-scale; at 100 TB the running sum
+    * range-partitions like every ordered prefix sum here — q_ks_test
+    * discipline). Boundary rule pinned: a part is classed by the
+    * share BEFORE it, so the part that crosses 70% is still A — both
+    * engines replay the identical rule.
+    */
+  def qAbcAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
+        .cast("long").as("cents"))
+    val wOrd = Window.orderBy(col("cents").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy()
+    val classed = rev
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("cents").desc, col("l_partkey"))).cast("long"))
+      .withColumn("before", coalesce(sum(col("cents")).over(wOrd), lit(0L)))
+      .withColumn("total", sum(col("cents")).over(wAll))
+      // ×100 / ×1e6 products of corpus-total cents overflow int64 past
+      // ~sf1 — stage through DECIMAL(38,0) like every corpus-sum multiply
+      .withColumn("abc_class",
+        when(expr("CAST(before AS DECIMAL(38,0)) * 100 < CAST(total AS DECIMAL(38,0)) * 70"), "A")
+          .when(expr("CAST(before AS DECIMAL(38,0)) * 100 < CAST(total AS DECIMAL(38,0)) * 90"), "B")
+          .otherwise(lit("C")))
+    classed.groupBy(col("abc_class"))
+      .agg(count(lit(1)).cast("long").as("n_parts"),
+        sum(col("cents")).cast("long").as("cents"),
+        min(col("rk")).as("min_rank"), max(col("rk")).as("max_rank"),
+        max(col("total")).as("total"))
+      .withColumn("share_ppm",
+        expr("CAST(CAST(cents AS DECIMAL(38,0)) * 1000000 div total AS BIGINT)"))
+      .select(col("abc_class"), col("n_parts"), col("cents"), col("share_ppm"),
+        col("min_rank"), col("max_rank"))
+      .orderBy(col("abc_class"))
+  }
+
   /** Winsorized mean per market segment — the robust-mean member of
     * the outlier family ([[qOutlierMad]] flags, winsorize REPAIRS):
     * per-customer spend cents clamped into the segment's [p10, p90]

@@ -937,6 +937,38 @@ object Temporal {
       .orderBy(col("event_type"), col("week"))
   }
 
+  /** Bollinger bands on daily purchase revenue — the rolling-moment
+    * member of the monitoring family ([[qControlChart]] uses the
+    * GLOBAL mean; bands adapt to the trailing window): over the
+    * trailing 20 days, mean ×100 and the population sd as one floored
+    * IEEE sqrt of the exact integer (n·Σx² − (Σx)²)·10⁴ div n² — the
+    * series is daily DOLLARS (cents div 100 at day grain) so the
+    * staged variance stays far inside 2⁵³ through ~sf10 (headroom
+    * documented). Bands = mean ± 2·sd; breach flags emitted per day.
+    * The window runs over the DAY domain only.
+    */
+  def qBollinger(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyCents(s, d)
+      .select(col("day"), expr("cents div 100").as("x"))
+    val w = Window.orderBy(col("day")).rowsBetween(-19, 0)
+    daily
+      .withColumn("n_w", count(lit(1)).over(w).cast("long"))
+      .withColumn("sx", sum(col("x")).over(w).cast("long"))
+      .withColumn("sxx", sum(col("x") * col("x")).over(w).cast("long"))
+      .withColumn("mean_x100", expr("(sx * 100) div n_w"))
+      .withColumn("sd_x100", expr(
+        "CAST(floor(sqrt(CAST((n_w * sxx - sx * sx) * 10000 div (n_w * n_w) AS DOUBLE))) AS BIGINT)"))
+      .withColumn("upper_x100", expr("mean_x100 + 2 * sd_x100"))
+      .withColumn("lower_x100", expr("mean_x100 - 2 * sd_x100"))
+      .withColumn("breach", expr(
+        """CAST(CASE WHEN x * 100 > mean_x100 + 2 * sd_x100 THEN 1
+          |          WHEN x * 100 < mean_x100 - 2 * sd_x100 THEN -1
+          |          ELSE 0 END AS INT)""".stripMargin))
+      .select(col("day"), col("x"), col("n_w"), col("mean_x100"), col("sd_x100"),
+        col("upper_x100"), col("lower_x100"), col("breach"))
+      .orderBy(col("day"))
+  }
+
   /** Event-sequence pattern matching — the MATCH_RECOGNIZE /
     * complex-event-processing analog built from composable pieces:
     * each user's time-ordered event stream renders to a compact
@@ -1390,6 +1422,30 @@ object Temporal {
       "FROM events WHERE event_type = 'purchase'"
 
   val oracles: Map[String, String] = Map(
+    "q_bollinger" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) // 100 AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |w AS (
+        |  SELECT day, x,
+        |    CAST(count(*) OVER tw AS BIGINT) AS n_w,
+        |    CAST(sum(x) OVER tw AS BIGINT) AS sx,
+        |    CAST(sum(x * x) OVER tw AS BIGINT) AS sxx
+        |  FROM daily
+        |  WINDOW tw AS (ORDER BY day ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |b AS (
+        |  SELECT day, x, n_w, (sx * 100) // n_w AS mean_x100,
+        |    CAST(floor(sqrt(CAST((n_w * sxx - sx * sx) * 10000 // (n_w * n_w) AS DOUBLE))) AS BIGINT) AS sd_x100
+        |  FROM w)
+        |SELECT day, x, n_w, mean_x100, sd_x100,
+        |  mean_x100 + 2 * sd_x100 AS upper_x100,
+        |  mean_x100 - 2 * sd_x100 AS lower_x100,
+        |  CAST(CASE WHEN x * 100 > mean_x100 + 2 * sd_x100 THEN 1
+        |            WHEN x * 100 < mean_x100 - 2 * sd_x100 THEN -1
+        |            ELSE 0 END AS INT) AS breach
+        |FROM b ORDER BY day""".stripMargin,
+
     "q_event_regex" -> {
       val pats = Seq("v.*c.*p", "^s", "cc", "v[vc]*p", "e.*e.*e")
       val conds = pats.zipWithIndex.map { case (p, k) =>

@@ -514,6 +514,76 @@ class RelationalSpec extends AnyFunSuite {
     assert(r.getLong(5) >= 0L && r.getLong(5) <= 1000000000L, s"v2 out of [0,1]: $r")
   }
 
+  test("lorenz deciles partition each segment and cumulative shares reach 1e6") {
+    val spend = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).as("cents"))
+      .join(Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment"), col("o_custkey"), col("cents"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = operators.Relational.qLorenz(spark, sf).collect()
+    rows.groupBy(_.getString(0)).foreach { case (seg, ds) =>
+      val sorted = ds.sortBy(_.getLong(1))
+      val segRows = spend.filter(_._1 == seg)
+      assert(sorted.map(_.getLong(2)).sum == segRows.length.toLong,
+        s"deciles do not partition $seg")
+      assert(sorted.map(_.getLong(3)).sum == segRows.map(_._3).sum,
+        s"decile cents do not sum to segment total for $seg")
+      // replay the decile assignment: rank asc by (cents, custkey)
+      val ranked = segRows.sortBy(t => (t._3, t._2)).zipWithIndex
+      val wantCents = ranked.groupBy { case (_, i) => i.toLong * 10 / segRows.length }
+        .view.mapValues(_.map(_._1._3).sum).toMap
+      sorted.foreach { r =>
+        assert(r.getLong(3) == wantCents(r.getLong(1)), s"decile cents drift: $r") }
+      // Lorenz curve: cumulative shares strictly increase and end at 1e6
+      val shares = sorted.map(_.getLong(4))
+      assert(shares.zip(shares.tail).forall { case (a, b) => a < b }, s"not monotone: $seg")
+      assert(shares.last == 1000000L, s"final share != 1e6 for $seg")
+      // inequality: the bottom decile holds less than a uniform 10% share
+      assert(shares.head < 100000L, s"no inequality visible in $seg")
+    }
+  }
+
+  test("abc classification replays the running-share boundary rule exactly") {
+    val rev = Tables.lineitem(spark, sf)
+      .groupBy(col("l_partkey"))
+      .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ranked = rev.sortBy { case (pk, c) => (-c, pk) }
+    val total = BigInt(ranked.map(_._2).sum)
+    var before = BigInt(0)
+    val classes = ranked.map { case (_, c) =>
+      val cls = if (before * 100 < total * 70) "A"
+        else if (before * 100 < total * 90) "B" else "C"
+      before += c
+      cls
+    }
+    val want = ranked.zip(classes).zipWithIndex
+      .groupBy(_._1._2).view.mapValues { g =>
+        (g.length.toLong, g.map(_._1._1._2).sum,
+          g.map(_._2 + 1L).min, g.map(_._2 + 1L).max)
+      }.toMap
+    val rows = operators.Relational.qAbcAnalysis(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("A", "B", "C"),
+      "some class is empty — boundary rule not exercised")
+    rows.foreach { r =>
+      val (n, cents, lo, hi) = want(r.getString(0))
+      assert(r.getLong(1) == n && r.getLong(2) == cents &&
+        r.getLong(4) == lo && r.getLong(5) == hi, s"class drift: $r")
+      assert(r.getLong(3) == (BigInt(cents) * 1000000 / total).toLong, s"share: $r")
+    }
+    // structural invariants: rank spans are contiguous in class order and
+    // shares honor the 70/90 boundaries (this synthetic corpus is near-
+    // uniform, so A's PART share is large too — that is data, not a bug)
+    val Seq(a, b, c) = rows.toSeq
+    assert(a.getLong(5) + 1 == b.getLong(4) && b.getLong(5) + 1 == c.getLong(4),
+      "class rank spans not contiguous")
+    assert(a.getLong(3) >= 700000L && a.getLong(3) + b.getLong(3) >= 900000L,
+      "running-share boundaries violated")
+    assert(a.getLong(3) + b.getLong(3) + c.getLong(3) >= 999998L, "shares lost mass")
+  }
+
   test("winsorize: disc limits, clamp counts, and both means replay exactly") {
     val spend = Tables.orders(spark, sf)
       .groupBy(col("o_custkey"))

@@ -774,6 +774,31 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("bollinger bands equal a driver-side trailing-moment replay") {
+    // the query's base: purchase days only, dollars at day grain
+    val series = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .filter(col("event_type") === "purchase")
+      .select(expr("ts_us div 86400000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum(col("cents")).as("c")).collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 100)).sortBy(_._1)
+    val rows = Temporal.qBollinger(spark, sf).collect()
+    assert(rows.length == series.length)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      val w = series.slice(math.max(0, i - 19), i + 1).map(_._2)
+      val n = w.length.toLong
+      val (sx, sxx) = (w.sum, w.map(v => v * v).sum)
+      val mean = sx * 100 / n
+      val sd = math.floor(math.sqrt(((n * sxx - sx * sx) * 10000 / (n * n)).toDouble)).toLong
+      assert(r.getLong(1) == series(i)._2 && r.getLong(2) == n, s"window at $i: $r")
+      assert(r.getLong(3) == mean && r.getLong(4) == sd, s"moments at $i: $r")
+      assert(r.getLong(5) == mean + 2 * sd && r.getLong(6) == mean - 2 * sd)
+      val x100 = series(i)._2 * 100
+      val breach = if (x100 > mean + 2 * sd) 1 else if (x100 < mean - 2 * sd) -1 else 0
+      assert(r.getInt(7) == breach, s"breach flag at $i: $r")
+    }
+  }
+
   test("event regex matches equal a driver-side scala-regex replay") {
     val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
       .select(col("user_id"), col("ts_us"), col("event_id"),
