@@ -150,6 +150,8 @@ object SparkEntry {
     "q8_share"         -> ((s, d) => Relational.q8Share(s, d)),
     "q_pagerank"       -> ((s, d) => operators.Graph.pagerank(s, d)),
     "q_hits"           -> ((s, d) => operators.Graph.hits(s, d)),
+    "q_apsp"           -> ((s, d) => operators.Graph.apsp(s, d)),
+    "q_forecast_naive" -> ((s, d) => operators.Temporal.qForecastNaive(s, d)),
     "q_assortativity"  -> ((s, d) => operators.Graph.assortativity(s, d)),
     "q_bfs"            -> ((s, d) => operators.Graph.bfs(s, d)),
     "q_triangle_count" -> ((s, d) => operators.Graph.triangleCounts(s, d)),

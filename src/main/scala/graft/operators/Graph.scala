@@ -114,6 +114,47 @@ object Graph {
       .orderBy(col("nationkey"))
   }
 
+  /** All-pairs shortest paths over the directed nation trade graph —
+    * [[bfs]] from EVERY source simultaneously, which is what yields
+    * the graph-theoretic summary numbers (per-node eccentricity,
+    * reachable-set size, closeness sum; diameter = max ecc): the
+    * frontier table is (src, v, dist) keyed by source, ≤N² rows, and
+    * each of the `iters` synchronous rounds is one join against the
+    * checkpointed edge list + a min-groupBy — the identical
+    * relaxation recurrence BFS gates, replayed per source. At scale
+    * the fact-level work is still only the one edge extraction; the
+    * iteration runs on the N²-bounded matrix.
+    */
+  def apsp(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+    val nations = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("nk"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("esrc"))
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("edst"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("esrc"), col("edst")).distinct().localCheckpoint()
+
+    var dist = nations.select(col("nk").as("src"), col("nk").as("v"),
+      lit(0L).as("dist"))
+    for (_ <- 1 to iters) {
+      val relaxed = dist.join(edges, col("v") === col("esrc"))
+        .select(col("src"), col("edst").as("v"), (col("dist") + 1).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy(col("src"), col("v")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(eager = false)
+    }
+    dist.groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("n_reachable"),
+        max(col("dist")).as("ecc"),
+        sum(col("dist")).cast("long").as("closeness_sum"))
+      .orderBy(col("src"))
+  }
+
   /** Per-part triangle counts in the co-purchase graph (parts appearing
     * in the same order are connected). Edge generation is bounded per
     * order (≤ lines² pairs within one order, never corpus-wide) and runs
@@ -736,6 +777,32 @@ object Graph {
          |SELECT n.nk AS nationkey, a3.s AS auth_x1e12, h3.s AS hub_x1e12
          |FROM n JOIN a3 ON a3.nk = n.nk JOIN h3 ON h3.nk = n.nk
          |ORDER BY nationkey""".stripMargin
+    },
+
+    "q_apsp" -> {
+      val steps = (1 to 6).map { i =>
+        val p = s"d${i - 1}"
+        s"""d$i AS MATERIALIZED (
+           |  SELECT src, v, min(dist) AS dist FROM (
+           |    SELECT src, v, dist FROM $p
+           |    UNION ALL
+           |    SELECT p.src, e.edst AS v, p.dist + 1 AS dist
+           |    FROM $p p JOIN e ON e.esrc = p.v)
+           |  GROUP BY src, v)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS esrc,
+         |    CAST(s.s_nationkey AS BIGINT) AS edst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation),
+         |d0 AS (SELECT nk AS src, nk AS v, CAST(0 AS BIGINT) AS dist FROM n),
+         |$steps
+         |SELECT src, CAST(count(*) AS BIGINT) AS n_reachable,
+         |  max(dist) AS ecc, CAST(sum(dist) AS BIGINT) AS closeness_sum
+         |FROM d6 GROUP BY src ORDER BY src""".stripMargin
     },
 
     "q_label_prop" -> {

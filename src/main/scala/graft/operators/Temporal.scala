@@ -937,6 +937,45 @@ object Temporal {
       .orderBy(col("event_type"), col("week"))
   }
 
+  /** Seasonal-naive forecast backtest — the baseline every forecasting
+    * system must beat, with its evaluation loop run exactly:
+    * fc(type, day) = count(type, day−7) on the zero-filled
+    * (type × day) grid, scored over all days with a forecast as
+    * WAPE ×10⁴ (Σ|err| div Σactual — total-volume-weighted) and
+    * MAPE ×10⁴ over actual>0 days (each day's |err|·10⁴ div actual
+    * floored BEFORE the mean, so both engines agree term by term).
+    * One event-scan groupBy; the lag-7 is a per-type window over the
+    * day grid; the scorecard is |types| rows.
+    */
+  def qForecastNaive(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(expr("ts_us div 86400000000").as("day"), col("event_type"))
+    val daily = ev.groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n"))
+    val types = ev.select(col("event_type")).distinct()
+    val grid = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+      .crossJoin(types)
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    grid.join(daily, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"), coalesce(col("n"), lit(0L)).as("actual"))
+      .withColumn("fc", lag(col("actual"), 7).over(w))
+      .filter(col("fc").isNotNull)
+      .withColumn("abs_err", abs(col("actual") - col("fc")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("actual")).cast("long").as("total_actual"),
+        sum(col("abs_err")).cast("long").as("total_abs_err"),
+        sum(when(col("actual") > 0, expr("(abs_err * 10000) div actual"))
+          .otherwise(0L)).cast("long").as("mape_num"),
+        sum(when(col("actual") > 0, 1L).otherwise(0L)).cast("long").as("n_scored"))
+      .withColumn("wape_x1e4", expr("(total_abs_err * 10000) div total_actual"))
+      .withColumn("mape_x1e4", expr("mape_num div n_scored"))
+      .select(col("event_type"), col("n_days"), col("total_actual"),
+        col("total_abs_err"), col("wape_x1e4"), col("n_scored"), col("mape_x1e4"))
+      .orderBy(col("event_type"))
+  }
+
   /** Bollinger bands on daily purchase revenue — the rolling-moment
     * member of the monitoring family ([[qControlChart]] uses the
     * GLOBAL mean; bands adapt to the trailing window): over the
@@ -1422,6 +1461,34 @@ object Temporal {
       "FROM events WHERE event_type = 'purchase'"
 
   val oracles: Map[String, String] = Map(
+    "q_forecast_naive" ->
+      """WITH ev AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day, event_type FROM events),
+        |daily AS (
+        |  SELECT event_type, day, CAST(count(*) AS BIGINT) AS n
+        |  FROM ev GROUP BY event_type, day),
+        |ty AS (SELECT DISTINCT event_type FROM ev),
+        |g AS (
+        |  SELECT t.event_type, d.day FROM ty t,
+        |    (SELECT unnest(range((SELECT min(day) FROM ev),
+        |                         (SELECT max(day) FROM ev) + 1)) AS day) d),
+        |f AS (
+        |  SELECT g.event_type, g.day, COALESCE(daily.n, 0) AS actual,
+        |    lag(COALESCE(daily.n, 0), 7)
+        |      OVER (PARTITION BY g.event_type ORDER BY g.day) AS fc
+        |  FROM g LEFT JOIN daily USING (event_type, day)),
+        |e AS (
+        |  SELECT event_type, actual, fc, abs(actual - fc) AS abs_err
+        |  FROM f WHERE fc IS NOT NULL)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(actual) AS BIGINT) AS total_actual,
+        |  CAST(sum(abs_err) AS BIGINT) AS total_abs_err,
+        |  (CAST(sum(abs_err) AS BIGINT) * 10000) // CAST(sum(actual) AS BIGINT) AS wape_x1e4,
+        |  CAST(sum(CASE WHEN actual > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+        |  CAST(sum(CASE WHEN actual > 0 THEN (abs_err * 10000) // actual ELSE 0 END) AS BIGINT)
+        |    // CAST(sum(CASE WHEN actual > 0 THEN 1 ELSE 0 END) AS BIGINT) AS mape_x1e4
+        |FROM e GROUP BY event_type ORDER BY event_type""".stripMargin,
+
     "q_bollinger" ->
       """WITH daily AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day,

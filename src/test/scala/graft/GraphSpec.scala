@@ -295,6 +295,45 @@ class GraphSpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).forall { case (x, y) => x >= y })
   }
 
+  test("apsp equals per-source BFS replays and agrees with the q_bfs row") {
+    import org.apache.spark.sql.functions.col
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sf).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("long"), col("s_nationkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val nations = Tables.nation(spark, sf).select(col("n_nationkey").cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    def bfsFrom(src: Long): Map[Long, Long] = {
+      var dist = Map(src -> 0L)
+      for (_ <- 1 to 6) {
+        val nxt = dist.toSeq.flatMap { case (v, dv) =>
+          adj.getOrElse(v, Seq.empty[Long]).map(_ -> (dv + 1)) }
+        dist = (dist.toSeq ++ nxt).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      }
+      dist
+    }
+    val rows = Graph.apsp(spark, sf).collect()
+    assert(rows.length == nations.length)
+    rows.foreach { r =>
+      val d = bfsFrom(r.getLong(0))
+      assert(r.getLong(1) == d.size.toLong, s"n_reachable: $r")
+      assert(r.getLong(2) == d.values.max, s"ecc: $r")
+      assert(r.getLong(3) == d.values.sum, s"closeness sum: $r")
+    }
+    // the src=0 row must agree with the single-source q_bfs distances
+    val bfs0 = Graph.bfs(spark, sf).collect()
+      .filter(!_.isNullAt(1)).map(_.getLong(1))
+    val r0 = rows.find(_.getLong(0) == 0L).get
+    assert(r0.getLong(1) == bfs0.length.toLong && r0.getLong(2) == bfs0.max,
+      "apsp src=0 disagrees with q_bfs")
+  }
+
   test("assortativity equals a brute-force degree-pair Pearson replay") {
     val op = Tables.lineitem(spark, sf)
       .select(org.apache.spark.sql.functions.col("l_orderkey"),

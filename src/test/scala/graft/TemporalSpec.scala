@@ -774,6 +774,30 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("seasonal-naive backtest equals a driver-side lag-7 scoring replay") {
+    val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .select(expr("ts_us div 86400000000").as("day"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val (d0, d1) = (ev.map(_._1).min, ev.map(_._1).max)
+    val counts = ev.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = Temporal.qForecastNaive(spark, sf).collect()
+    assert(rows.map(_.getString(0)).toSet == ev.map(_._2).toSet)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val series = (d0 to d1).map(day => counts.getOrElse((day, t), 0L))
+      val scored = series.drop(7).zip(series.dropRight(7)) // (actual, fc)
+      val absErr = scored.map { case (a, f) => (a - f).abs }
+      assert(r.getLong(1) == scored.length.toLong, s"n_days: $r")
+      assert(r.getLong(2) == scored.map(_._1).sum && r.getLong(3) == absErr.sum,
+        s"totals: $r")
+      assert(r.getLong(4) == absErr.sum * 10000 / scored.map(_._1).sum, s"wape: $r")
+      val pos = scored.filter(_._1 > 0)
+      val mapeNum = pos.map { case (a, f) => (a - f).abs * 10000 / a }.sum
+      assert(r.getLong(5) == pos.length.toLong &&
+        r.getLong(6) == mapeNum / pos.length, s"mape: $r")
+    }
+  }
+
   test("bollinger bands equal a driver-side trailing-moment replay") {
     // the query's base: purchase days only, dollars at day grain
     val series = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
