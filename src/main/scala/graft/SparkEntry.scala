@@ -227,6 +227,7 @@ object SparkEntry {
     "stream_topk"         -> ((s, d) => Pipeline.streamTopk(s, d)),
     "stream_spike"        -> ((s, d) => Pipeline.streamSpike(s, d)),
     "txt_bpe_pairs"       -> ((s, d) => Text.bpePairs(s, d)),
+    "txt_bpe_train"       -> ((s, d) => Text.bpeTrain(s, d)),
     "q_window_dist"       -> ((s, d) => Relational.qWindowDist(s, d)),
     "q_retention"         -> ((s, d) => operators.Temporal.qRetention(s, d)),
     "q_cohort_matrix"     -> ((s, d) => operators.Temporal.qCohortMatrix(s, d)),

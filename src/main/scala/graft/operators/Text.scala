@@ -389,6 +389,59 @@ object Text {
       .orderBy(col("pair"))
   }
 
+  /** BPE tokenizer TRAINING — the actual merge loop, not just one
+    * round's pair counts ([[bpePairs]]): words render to bracketed
+    * symbol strings ("the" → "[t][h][e]"), and each of 3 rounds counts
+    * frequency-weighted adjacent symbol pairs, picks the best merge
+    * (count desc, pair asc — deterministic), and rewrites every word
+    * via literal `replace("[a][b]" → "[a@b]")`. The bracket framing is
+    * what makes the rewrite EXACT: symbols share no delimiter
+    * characters, so both engines' non-overlapping left-to-right
+    * replace-all ≡ BPE's leftmost-greedy application of one merge
+    * (the "[a][a][a]" case rewrites to "[a@a][a]" in both). Emitted
+    * per round: the merge decision, its weighted count, and the
+    * corpus token count AFTER the merge — the compression trajectory
+    * a tokenizer trainer tracks. Scale shape: the corpus is scanned
+    * once for word frequencies; every round then runs on the
+    * VOCABULARY table (megabytes at any corpus size), exactly like a
+    * production BPE trainer.
+    */
+  def bpeTrain(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+    val symSplit = "split(substring(s, 2, length(s) - 2), '\\\\]\\\\[')"
+    val wf = Tables.documents(s, d)
+      .select(explode(rawTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("f"))
+      .select(col("f"), expr(
+        "concat_ws('', transform(sequence(1, length(w)), i -> concat('[', substr(w, i, 1), ']')))")
+        .as("s"))
+      .localCheckpoint()
+    var cur = wf
+    var out = Seq.empty[DataFrame]
+    for (r <- 1 to rounds) {
+      val best = cur
+        .withColumn("sym", expr(symSplit))
+        .filter(size(col("sym")) >= 2)
+        .select(col("f"), explode(expr(
+          """transform(sequence(1, size(sym) - 1),
+            |  i -> concat('[', element_at(sym, i), '][', element_at(sym, i + 1), ']'))"""
+            .stripMargin)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .select(col("pair"), col("n"),
+          expr("replace(pair, '][', '@')").as("merged"))
+        .localCheckpoint()
+      cur = cur
+        .crossJoin(broadcast(best.select(col("pair").as("bp"), col("merged").as("bm"))))
+        .select(col("f"), expr("replace(s, bp, bm)").as("s"))
+        .localCheckpoint(eager = false)
+      val toksAfter = cur.agg(
+        sum(expr(s"f * size($symSplit)")).cast("long").as("corpus_tokens"))
+      out :+= best.select(lit(r.toLong).as("round"), col("pair"), col("n"))
+        .crossJoin(toksAfter)
+    }
+    out.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   /** PII scrubbing — the redaction pass a training corpus goes through
     * before packing: regex-detect emails and phone numbers, replace with
     * typed placeholder tags, and count redactions per document. The test
@@ -690,6 +743,46 @@ object Text {
          |CROSS JOIN nn
          |WHERE p.n_pair >= 5
          |ORDER BY lift_x1e6 DESC, p.t1, p.t2 LIMIT 20""".stripMargin,
+
+    "txt_bpe_train" -> {
+      val rounds = (1 to 3).map { r =>
+        val p = s"s${r - 1}"
+        s"""p$r AS (
+           |  SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
+           |    SELECT f, unnest(list_transform(range(1, len(sym)),
+           |      i -> '[' || sym[i] || '][' || sym[i + 1] || ']')) AS pair
+           |    FROM (SELECT f, string_split(substring(s, 2, length(s) - 2), '][') AS sym
+           |          FROM $p)
+           |    WHERE len(sym) >= 2)
+           |  GROUP BY pair),
+           |b$r AS MATERIALIZED (
+           |  SELECT pair, n, replace(pair, '][', '@') AS merged
+           |  FROM p$r ORDER BY n DESC, pair LIMIT 1),
+           |s$r AS MATERIALIZED (
+           |  SELECT f, replace(s, b.pair, b.merged) AS s FROM $p, b$r b),
+           |t$r AS (
+           |  SELECT CAST(sum(f * len(string_split(substring(s, 2, length(s) - 2), ']['))) AS BIGINT)
+           |    AS corpus_tokens
+           |  FROM s$r)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wf AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+         |    SELECT unnest(${graft.text.TextFunctions.rawTokensSql("text")}) AS w
+         |    FROM documents)
+         |  GROUP BY w),
+         |s0 AS MATERIALIZED (
+         |  SELECT f, array_to_string(list_transform(range(1, length(w) + 1),
+         |    i -> '[' || substring(w, i, 1) || ']'), '') AS s
+         |  FROM wf),
+         |$rounds
+         |SELECT * FROM (
+         |  SELECT CAST(1 AS BIGINT) AS round, b1.pair, b1.n, t1.corpus_tokens FROM b1, t1
+         |  UNION ALL
+         |  SELECT CAST(2 AS BIGINT), b2.pair, b2.n, t2.corpus_tokens FROM b2, t2
+         |  UNION ALL
+         |  SELECT CAST(3 AS BIGINT), b3.pair, b3.n, t3.corpus_tokens FROM b3, t3)
+         |ORDER BY round""".stripMargin
+    },
 
     "txt_bpe_pairs" ->
       s"""WITH wf AS (

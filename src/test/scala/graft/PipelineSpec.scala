@@ -846,6 +846,45 @@ class PipelineSpec extends AnyFunSuite {
       Seq("added", "changed", "removed", "unchanged"))
   }
 
+  test("bpe training equals a driver-side merge-loop replay and compresses") {
+    import org.apache.spark.sql.functions.{col, explode}
+    val wf = Tables.documents(spark, sf)
+      .select(explode(graft.text.TextFunctions.rawTokens(col("text"))).as("w"))
+      .collect().map(_.getString(0))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // replay: symbol lists per word, 3 leftmost-greedy merge rounds
+    var words: Map[Vector[String], Long] =
+      wf.map { case (w, f) => w.toVector.map(_.toString) -> f }
+    def applyMerge(sym: Vector[String], a: String, b: String): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      var i = 0
+      while (i < sym.length) {
+        if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+          out += s"$a@$b"; i += 2
+        } else { out += sym(i); i += 1 }
+      }
+      out.result()
+    }
+    val rows = graft.operators.Text.bpeTrain(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    var prevTokens = Long.MaxValue
+    rows.foreach { r =>
+      val pairCounts = words.toSeq.flatMap { case (sym, f) =>
+        sym.zip(sym.tail).map(p => p -> f)
+      }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val best = pairCounts.toSeq.minBy { case ((a, b), n) => (-n, s"[$a][$b]") }
+      val (a, b) = best._1
+      assert(r.getString(1) == s"[$a][$b]" && r.getLong(2) == best._2,
+        s"merge decision drift at round ${r.getLong(0)}: $r vs $best")
+      words = words.toSeq.map { case (sym, f) => applyMerge(sym, a, b) -> f }
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val toks = words.map { case (sym, f) => sym.length * f }.sum
+      assert(r.getLong(3) == toks, s"corpus tokens drift: $r vs $toks")
+      assert(toks < prevTokens, "merge did not compress the corpus")
+      prevTokens = toks
+    }
+  }
+
   test("mmr greedy selection equals a driver-side replay and diversifies the head") {
     import org.apache.spark.sql.functions.col
     val rows = Pipeline.annMmr(spark, sf).collect()
