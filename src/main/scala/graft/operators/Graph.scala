@@ -533,9 +533,14 @@ object Graph {
     // one normalized half-step: raw(v) = Σ score(u)·w over `from`→`to`,
     // then ⌊raw·SCALE/max(raw)⌋ onto the full nation vector
     def halfStep(score: DataFrame, from: String, to: String): DataFrame = {
+      // raw feeds BOTH the L∞ max and the normalization join — lazily
+      // checkpoint the N-row aggregate so the score-vector lineage stays
+      // LINEAR across rounds (without this each half-step doubles the
+      // plan: 2^6 subtree copies after 3 rounds)
       val raw = edges.join(broadcast(score), col(from) === col("nk"))
         .select(col(to).as("t"), expr("CAST(s AS DECIMAL(38,0)) * w").as("c"))
         .groupBy(col("t")).agg(sum(col("c")).as("raw"))
+        .localCheckpoint(eager = false)
       val mx = raw.agg(max(col("raw")).as("mx"))
       nations.join(raw, col("nk") === col("t"), "left")
         .crossJoin(broadcast(mx))
