@@ -359,6 +359,38 @@ object Temporal {
       .orderBy(col("c_day"), col("day_offset"))
   }
 
+  /** Cohort lifetime-value curves — the revenue companion of
+    * [[qCohortMatrix]]'s retention grid: users grouped by first-seen
+    * WEEK, purchase cents accumulated per (cohort, age-in-weeks), and
+    * the running LTV per user ×100 (cum cents div cohort size) — "how
+    * much is a week-N signup worth by age K", the payback-curve
+    * readout. Scale shape: one per-user first-seen aggregate + one
+    * purchase-scan groupBy onto the weeks² grid; the cumulative
+    * window runs over the grid, cohort sizes broadcast.
+    */
+  def qCohortLtv(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id"), expr("(ts_us div 86400000000) div 7").as("week"),
+        col("event_type"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("week")).as("c_week"))
+    val sizes = cohort.groupBy(col("c_week"))
+      .agg(count(lit(1)).as("cohort_n"))
+    val grid = ev.filter(col("event_type") === "purchase")
+      .join(cohort, Seq("user_id"))
+      .groupBy(col("c_week"), (col("week") - col("c_week")).as("age_weeks"))
+      .agg(sum(col("cents")).cast("long").as("cents"))
+    val wCum = Window.partitionBy(col("c_week")).orderBy(col("age_weeks"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid
+      .withColumn("cum_cents", sum(col("cents")).over(wCum).cast("long"))
+      .join(broadcast(sizes), Seq("c_week"))
+      .select(col("c_week"), col("age_weeks"), col("cents"), col("cum_cents"),
+        col("cohort_n"),
+        expr("(cum_cents * 100) div cohort_n").as("ltv_per_user_x100"))
+      .orderBy(col("c_week"), col("age_weeks"))
+  }
+
   /** Deterministic A/B readout — arms assigned by a stateless hash
     * parity of user_id (re-derivable anywhere, like [[graft.operators
     * .Pipeline.splitAssign]]), conversion = any purchase event, rates
@@ -1461,6 +1493,30 @@ object Temporal {
       "FROM events WHERE event_type = 'purchase'"
 
   val oracles: Map[String, String] = Map(
+    "q_cohort_ltv" ->
+      """WITH ev AS (
+        |  SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS week, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |cohort AS (SELECT user_id, min(week) AS c_week FROM ev GROUP BY user_id),
+        |sizes AS (SELECT c_week, CAST(count(*) AS BIGINT) AS cohort_n
+        |          FROM cohort GROUP BY c_week),
+        |grid AS (
+        |  SELECT c.c_week, e.week - c.c_week AS age_weeks,
+        |    CAST(sum(e.cents) AS BIGINT) AS cents
+        |  FROM ev e JOIN cohort c USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |  GROUP BY c.c_week, e.week - c.c_week),
+        |cum AS (
+        |  SELECT c_week, age_weeks, cents,
+        |    CAST(sum(cents) OVER (PARTITION BY c_week ORDER BY age_weeks
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM grid)
+        |SELECT cum.c_week, cum.age_weeks, cum.cents, cum.cum_cents, s.cohort_n,
+        |  (cum.cum_cents * 100) // s.cohort_n AS ltv_per_user_x100
+        |FROM cum JOIN sizes s USING (c_week)
+        |ORDER BY cum.c_week, cum.age_weeks""".stripMargin,
+
     "q_forecast_naive" ->
       """WITH ev AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day, event_type FROM events),

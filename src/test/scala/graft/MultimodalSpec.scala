@@ -216,6 +216,11 @@ class MultimodalSpec extends AnyFunSuite {
     val v2 = header(1, 1) ++ Array[Byte](0xaa.toByte, 0x6b.toByte) ++ end
     val m2 = MediaCodec.decodeQoi(v2)
     assert((m2.sumR, m2.sumG, m2.sumB) == ((8L, 10L, 13L)), s"luma witness: $m2")
+    // 1x2: RGBA(1,2,3,a=4) then INDEX(hash(1,2,3,4)=14) — the alpha op
+    // participates in the index hash even though channel sums ignore it
+    val v3 = header(1, 2) ++ Array[Byte](0xff.toByte, 1, 2, 3, 4, 0x0e.toByte) ++ end
+    val m3 = MediaCodec.decodeQoi(v3)
+    assert((m3.sumR, m3.sumG, m3.sumB) == ((2L, 4L, 6L)), s"rgba witness: $m3")
     // corrupted end marker must throw, not read garbage
     val bad = v1.clone(); bad(bad.length - 1) = 0
     intercept[IllegalArgumentException](MediaCodec.decodeQoi(bad))

@@ -774,6 +774,34 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("cohort ltv: cumulative curves replay and are monotone per cohort") {
+    val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .select(col("user_id"), expr("(ts_us div 86400000000) div 7").as("week"),
+        col("event_type"), expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val cohort = ev.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cells = ev.filter(_._3 == "purchase")
+      .groupBy(e => (cohort(e._1), e._2 - cohort(e._1)))
+      .view.mapValues(_.map(_._4).sum).toMap
+    val rows = Temporal.qCohortLtv(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (cw, rs) =>
+      val ordered = rs.sortBy(_.getLong(1))
+      var cum = 0L
+      ordered.foreach { r =>
+        assert(r.getLong(2) == cells((cw, r.getLong(1))), s"cell cents: $r")
+        cum += r.getLong(2)
+        assert(r.getLong(3) == cum, s"cumulative: $r")
+        assert(r.getLong(4) == sizes(cw), s"cohort size: $r")
+        assert(r.getLong(5) == cum * 100 / sizes(cw), s"ltv: $r")
+      }
+      // LTV curve is non-decreasing by construction (cents >= 0)
+      val ltv = ordered.map(_.getLong(5))
+      assert(ltv.zip(ltv.tail).forall { case (x, y) => x <= y })
+    }
+  }
+
   test("seasonal-naive backtest equals a driver-side lag-7 scoring replay") {
     val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
       .select(expr("ts_us div 86400000000").as("day"), col("event_type"))
