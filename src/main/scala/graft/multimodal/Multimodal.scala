@@ -276,6 +276,41 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL pixel resize over the decoded-BMP path — the thumbnail stage
+    * of an image-ingest pipeline, upgraded from [[resizePlan]]'s
+    * geometry math to actual pixel work: decode the genuine BMP
+    * ([[decodeBmpPlan]]'s payloads), nearest-neighbor sample to a
+    * fixed 4×3 grid (src = (t·dim) div target — the standard floor
+    * mapping; monotone-distinct because w ≥ 4, h ≥ 3), and emit the
+    * exact channel sums of the 12 sampled pixels, which the oracle
+    * recomputes closed-form at the sampled coordinates. Same narrow
+    * one-pass encode+decode mapPartitions shape as the decoder gates.
+    */
+  def thumbnailPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (4 + id % 21).toInt
+        val h = (3 + id % 14).toInt
+        val payload = MediaCodec.encodeBmp(w, h, (x, y) => {
+          val r = ((id + 3L * x + 5L * y) % 256).toInt
+          val g = ((2L * id + 7L * x + y) % 256).toInt
+          val b = ((5L * id + x + 11L * y) % 256).toInt
+          (r << 16) | (g << 8) | b
+        })
+        val xs = (0 until 4).map(tx => tx * w / 4).toSet
+        val ys = (0 until 3).map(ty => ty * h / 3).toSet
+        var sr = 0L; var sg = 0L; var sb = 0L
+        val (dw, dh) = MediaCodec.foreachBmpPixel(payload) { (x, y, r, g, b) =>
+          if (xs(x) && ys(y)) { sr += r; sg += g; sb += b }
+        }
+        (id, dw.toLong, dh.toLong, sr, sg, sb)
+      }
+    }.toDF("doc_id", "width", "height", "thumb_sum_r", "thumb_sum_g", "thumb_sum_b")
+      .orderBy(col("doc_id"))
+  }
+
   /** Real-decoder gate, run-length/delta path: synthesize a genuine QOI
     * image per doc (qoiformat.org; geometry/pixels pure functions of
     * doc_id) through the REAL general-purpose [[MediaCodec.encodeQoi]],

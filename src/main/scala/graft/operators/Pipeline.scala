@@ -153,6 +153,43 @@ object Pipeline {
   def mmDecodeQoi(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeQoiPlan(Tables.documents(s, d))
 
+  def mmThumbnail(s: SparkSession, d: String): DataFrame =
+    Multimodal.thumbnailPlan(Tables.documents(s, d))
+
+  /** Quality-threshold sweep — the curation-tuning curve: for 5 pinned
+    * uniqueness thresholds (the repetition-filter knob), how many docs
+    * and tokens survive, as counts + ppm shares. ONE corpus pass:
+    * per-doc (uniq_bp, n_tok) computed map-side, all thresholds as
+    * conditional aggregates, stack() unpivots the 5-row scorecard.
+    * The curve is what you consult BEFORE committing a filter setting
+    * to a 100 TB run.
+    */
+  def pipeQualityCurve(s: SparkSession, d: String): DataFrame = {
+    val taus = Seq(0L, 2000L, 4000L, 6000L, 8000L)
+    val toks = graft.text.TextFunctions.rawTokens(col("text"))
+    val perDoc = Tables.documents(s, d).select(
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .select(col("n_tok"), expr("(10000 * n_uniq) div n_tok").as("uniq_bp"))
+    val aggCols = Seq(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col("n_tok")).cast("long").as("n_tokens")) ++
+      taus.flatMap { t =>
+        Seq(sum(when(col("uniq_bp") >= t, 1L).otherwise(0L)).cast("long").as(s"d$t"),
+          sum(when(col("uniq_bp") >= t, col("n_tok")).otherwise(0L))
+            .cast("long").as(s"t$t"))
+      }
+    val aggs = perDoc.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = taus.map(t => s"${t}L, d$t, t$t").mkString(", ")
+    aggs
+      .select(col("n_docs"), col("n_tokens"),
+        expr(s"stack(${taus.length}, $stackArgs) AS (tau_bp, docs_kept, tokens_kept)"))
+      .select(col("tau_bp"), col("docs_kept"), col("tokens_kept"),
+        expr("(docs_kept * 1000000) div n_docs").as("docs_ppm"),
+        expr("(tokens_kept * 1000000) div n_tokens").as("tokens_ppm"))
+      .orderBy(col("tau_bp"))
+  }
+
   def mmDecodeJpeg(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeJpegPlan(Tables.documents(s, d))
 
@@ -1779,6 +1816,42 @@ object Pipeline {
         |SELECT doc_id, CAST(wb * 8 AS BIGINT) AS width, CAST(hb * 8 AS BIGINT) AS height,
         |  CAST(sum(64 * pix) AS BIGINT) AS sum_lum
         |FROM px GROUP BY doc_id, wb, hb ORDER BY doc_id""".stripMargin,
+
+    "mm_thumbnail" ->
+      """WITH m AS (SELECT doc_id, 4 + doc_id % 21 AS w, 3 + doc_id % 14 AS h
+        |           FROM documents),
+        |px AS (
+        |  SELECT m.doc_id, m.w, m.h,
+        |    (m.doc_id + 3 * ((tx.i * m.w) // 4) + 5 * ((ty.i * m.h) // 3)) % 256 AS r,
+        |    (2 * m.doc_id + 7 * ((tx.i * m.w) // 4) + ((ty.i * m.h) // 3)) % 256 AS g,
+        |    (5 * m.doc_id + ((tx.i * m.w) // 4) + 11 * ((ty.i * m.h) // 3)) % 256 AS b
+        |  FROM m, range(0, 4) tx(i), range(0, 3) ty(i))
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(r) AS BIGINT) AS thumb_sum_r,
+        |  CAST(sum(g) AS BIGINT) AS thumb_sum_g,
+        |  CAST(sum(b) AS BIGINT) AS thumb_sum_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "pipe_quality_curve" -> {
+      val taus = Seq(0L, 2000L, 4000L, 6000L, 8000L)
+      val rows = taus.map { t =>
+        s"""SELECT CAST($t AS BIGINT) AS tau_bp,
+           |  CAST(sum(CASE WHEN uniq_bp >= $t THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+           |  CAST(sum(CASE WHEN uniq_bp >= $t THEN n_tok ELSE 0 END) AS BIGINT) AS tokens_kept,
+           |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tok) AS BIGINT) AS n_tokens
+           |FROM pd""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH pd AS (
+         |  SELECT n_tok, (10000 * n_uniq) // n_tok AS uniq_bp FROM (
+         |    SELECT CAST(len(${graft.text.TextFunctions.rawTokensSql("text")}) AS BIGINT) AS n_tok,
+         |      CAST(len(list_distinct(${graft.text.TextFunctions.rawTokensSql("text")})) AS BIGINT) AS n_uniq
+         |    FROM documents)),
+         |u AS ($rows)
+         |SELECT tau_bp, docs_kept, tokens_kept,
+         |  (docs_kept * 1000000) // n_docs AS docs_ppm,
+         |  (tokens_kept * 1000000) // n_tokens AS tokens_ppm
+         |FROM u ORDER BY tau_bp""".stripMargin
+    },
 
     "mm_decode_qoi" ->
       """WITH m AS (SELECT doc_id, 1 + doc_id % 17 AS w, 1 + doc_id % 10 AS h

@@ -161,6 +161,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.head.getLong(3) == want, "witness hash mismatch")
   }
 
+  test("thumbnail: nearest-neighbor samples are the decoded pixels at floor-mapped coords") {
+    val rows = graft.operators.Pipeline.mmThumbnail(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val w = (4 + id % 21).toInt
+      val h = (3 + id % 14).toInt
+      assert(r.getLong(1) == w && r.getLong(2) == h)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (tx <- 0 until 4; ty <- 0 until 3) {
+        val x = tx * w / 4; val y = ty * h / 3
+        sr += (id + 3L * x + 5L * y) % 256
+        sg += (2L * id + 7L * x + y) % 256
+        sb += (5L * id + x + 11L * y) % 256
+      }
+      assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((sr, sg, sb)),
+        s"sampled sums drift for doc $id")
+    }
+  }
+
   test("QOI round-trip: all six ops appear in the gate's streams and decode inverts encode") {
     // count chunk tags by walking the encoded stream (spec chunk framing)
     def census(b: Array[Byte]): Map[String, Int] = {

@@ -846,6 +846,20 @@ class PipelineSpec extends AnyFunSuite {
       Seq("added", "changed", "removed", "unchanged"))
   }
 
+  test("quality curve is monotone non-increasing and anchored at full corpus") {
+    val rows = Pipeline.pipeQualityCurve(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 2000L, 4000L, 6000L, 8000L))
+    // tau=0 keeps everything
+    assert(rows.head.getLong(3) == 1000000L && rows.head.getLong(4) == 1000000L)
+    // raising the threshold never keeps more
+    Seq(1, 2).foreach { i => // docs_kept, tokens_kept columns
+      val vs = rows.map(_.getLong(i))
+      assert(vs.zip(vs.tail).forall { case (a, b) => a >= b }, s"col $i not monotone")
+    }
+    // the sweep must actually discriminate somewhere on this corpus
+    assert(rows.map(_.getLong(1)).distinct.length > 1, "all thresholds keep the same set")
+  }
+
   test("bpe training equals a driver-side merge-loop replay and compresses") {
     import org.apache.spark.sql.functions.{col, explode}
     val wf = Tables.documents(spark, sf)
