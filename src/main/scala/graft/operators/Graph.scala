@@ -114,6 +114,85 @@ object Graph {
       .orderBy(col("nationkey"))
   }
 
+  /** Borůvka minimum spanning forest of the UNDIRECTED nation trade
+    * graph (edge weight = total lineitems in either direction; lighter
+    * = weaker trade link, so the MST is the cheapest backbone
+    * connecting all nations). The classic distributed MST: each round
+    * every component picks its minimum outgoing edge by the total
+    * order (w, a, b) — the determinism that makes an MST gateable —
+    * the picked edges join the forest, and components merge by a FIXED
+    * 5 rounds of min-label propagation over the picked-edge component
+    * graph (the q_components/q_kcore unrolled-recurrence discipline;
+    * GraphSpec proves the result IS a spanning tree vs driver-side
+    * Kruskal, so the fixed round counts are sufficient on this graph).
+    * 3 Borůvka rounds suffice for N=25 (components at least halve each
+    * round, and the sparser sf0.001 graph needs the third — pinned by
+    * the spec's spanning check against driver-side Kruskal). Scale: the fact-level work is ONE edge extraction; every
+    * round runs on the ≤N² component/edge tables.
+    */
+  def mst(s: SparkSession, d: String, rounds: Int = 3, labelRounds: Int = 5): DataFrame = {
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("src"))
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("dst"))
+    val und = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      .localCheckpoint()
+    val nations = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("v"))
+
+    var comp = nations.select(col("v"), col("v").as("c"))
+    var forest: DataFrame = null
+    for (r <- 1 to rounds) {
+      val labeled = und
+        .join(comp.select(col("v").as("va"), col("c").as("ca")), col("a") === col("va"))
+        .join(comp.select(col("v").as("vb"), col("c").as("cb")), col("b") === col("vb"))
+        .filter(col("ca") =!= col("cb"))
+        .select(col("a"), col("b"), col("w"), col("ca"), col("cb"))
+        .localCheckpoint(eager = false)
+      // each component's minimum outgoing edge by (w, a, b); a pick can
+      // be shared by both its endpoints' components — distinct dedups
+      val wPick = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cc")).orderBy(col("w"), col("a"), col("b"))
+      val picks = labeled
+        .select(col("a"), col("b"), col("w"), explode(array(col("ca"), col("cb"))).as("cc"))
+        .withColumn("rn", row_number().over(wPick))
+        .filter(col("rn") === 1)
+        .select(lit(r.toLong).as("round"), col("a"), col("b"), col("w"))
+        .distinct()
+        .localCheckpoint(eager = false)
+      forest = if (forest == null) picks else forest.unionByName(picks)
+      // merge components: min-label propagation over the picked edges'
+      // COMPONENT graph, fixed labelRounds synchronous rounds
+      val cedges = picks
+        .join(comp.select(col("v").as("va"), col("c").as("ca")), col("a") === col("va"))
+        .join(comp.select(col("v").as("vb"), col("c").as("cb")), col("b") === col("vb"))
+        .select(col("ca").as("x"), col("cb").as("y"))
+      val csym = cedges.unionByName(cedges.select(col("y").as("x"), col("x").as("y")))
+        .localCheckpoint(eager = false)
+      var lbl = comp.select(col("c")).distinct().select(col("c"), col("c").as("l"))
+      for (_ <- 1 to labelRounds) {
+        val msgs = csym.join(lbl.select(col("c").as("cy"), col("l").as("ly")),
+            col("y") === col("cy"))
+          .groupBy(col("x")).agg(min(col("ly")).as("ml"))
+        lbl = lbl.join(msgs, col("c") === col("x"), "left")
+          .select(col("c"), least(col("l"), coalesce(col("ml"), col("l"))).as("l"))
+          .localCheckpoint(eager = false)
+      }
+      comp = comp.join(lbl.select(col("c"), col("l")), Seq("c"))
+        .select(col("v"), col("l").as("c"))
+        .localCheckpoint(eager = false)
+    }
+    forest.orderBy(col("round"), col("a"), col("b"))
+  }
+
   /** All-pairs shortest paths over the directed nation trade graph —
     * [[bfs]] from EVERY source simultaneously, which is what yields
     * the graph-theoretic summary numbers (per-node eccentricity,
@@ -736,7 +815,69 @@ object Graph {
        |    COALESCE(CAST(r.raw * $Scale // CAST(m.mx AS BIGINT) AS BIGINT), 0) AS s
        |  FROM n LEFT JOIN ${out}_raw r ON r.nk = n.nk CROSS JOIN ${out}_mx m)""".stripMargin
 
+  /** One Borůvka round in DuckDB SQL (pick min outgoing edge per
+    * component, then `labelRounds` min-label merge rounds on the
+    * component graph). MATERIALIZED throughout — the usual iterative-
+    * oracle inlining guard.
+    */
+  private def mstRound(r: Int, labelRounds: Int): String = {
+    val prev = s"c${r - 1}"
+    val labels = (1 to labelRounds).map { k =>
+      val p = s"lb${r}_${k - 1}"
+      s"""m${r}_$k AS (
+         |  SELECT cs.x, min(p.l) AS ml FROM cs$r cs
+         |  JOIN $p p ON p.cid = cs.y GROUP BY cs.x),
+         |lb${r}_$k AS MATERIALIZED (
+         |  SELECT p.cid, least(p.l, COALESCE(m.ml, p.l)) AS l
+         |  FROM $p p LEFT JOIN m${r}_$k m ON m.x = p.cid)""".stripMargin
+    }.mkString(",\n")
+    s"""l$r AS (
+       |  SELECT u.a, u.b, u.w, pa.c AS ca, pb.c AS cb
+       |  FROM und u
+       |  JOIN $prev pa ON pa.v = u.a
+       |  JOIN $prev pb ON pb.v = u.b
+       |  WHERE pa.c <> pb.c),
+       |pk$r AS MATERIALIZED (
+       |  SELECT DISTINCT CAST($r AS BIGINT) AS round, a, b, w FROM (
+       |    SELECT a, b, w,
+       |      row_number() OVER (PARTITION BY cc ORDER BY w, a, b) AS rn
+       |    FROM (SELECT a, b, w, unnest([ca, cb]) AS cc FROM l$r))
+       |  WHERE rn = 1),
+       |ce$r AS (
+       |  SELECT pa.c AS x, pb.c AS y FROM pk$r p
+       |  JOIN $prev pa ON pa.v = p.a
+       |  JOIN $prev pb ON pb.v = p.b),
+       |cs$r AS MATERIALIZED (
+       |  SELECT x, y FROM ce$r UNION ALL SELECT y, x FROM ce$r),
+       |lb${r}_0 AS (SELECT DISTINCT c AS cid, c AS l FROM $prev),
+       |$labels,
+       |c$r AS MATERIALIZED (
+       |  SELECT cm.v, lb.l AS c FROM $prev cm
+       |  JOIN lb${r}_$labelRounds lb ON lb.cid = cm.c)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_mst" -> {
+      val steps = (1 to 3).map(mstRound(_, 5)).mkString(",\n")
+      s"""WITH und AS MATERIALIZED (
+         |  SELECT least(CAST(c.c_nationkey AS BIGINT), CAST(s.s_nationkey AS BIGINT)) AS a,
+         |    greatest(CAST(c.c_nationkey AS BIGINT), CAST(s.s_nationkey AS BIGINT)) AS b,
+         |    count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey
+         |  GROUP BY a, b),
+         |n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation),
+         |c0 AS (SELECT nk AS v, nk AS c FROM n),
+         |$steps
+         |SELECT round, a, b, w FROM (
+         |  SELECT * FROM pk1 UNION ALL SELECT * FROM pk2
+         |  UNION ALL SELECT * FROM pk3)
+         |ORDER BY round, a, b""".stripMargin
+    },
+
     "q_assortativity" ->
       """WITH e AS (
         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b

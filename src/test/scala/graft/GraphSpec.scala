@@ -295,6 +295,46 @@ class GraphSpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).forall { case (x, y) => x >= y })
   }
 
+  test("mst equals driver-side Kruskal: spanning, acyclic, same total weight") {
+    import org.apache.spark.sql.functions.{col, count, least, greatest, lit}
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sf).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_nationkey"))
+    val und = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey").cast("long"), col("s_nationkey").cast("long")).as("a"),
+        greatest(col("c_nationkey").cast("long"), col("s_nationkey").cast("long")).as("b"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val vertices = und.flatMap(e => Seq(e._1, e._2)).distinct
+    // Kruskal with union-find for the reference MST weight
+    val parent = scala.collection.mutable.Map(vertices.map(v => v -> v): _*)
+    def find(v: Long): Long = { var r = v; while (parent(r) != r) r = parent(r); r }
+    var kruskalWeight = 0L; var kruskalEdges = 0
+    und.sortBy(e => (e._3, e._1, e._2)).foreach { case (a, b, w) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { parent(ra) = rb; kruskalWeight += w; kruskalEdges += 1 }
+    }
+    val rows = Graph.mst(spark, sf).collect()
+    // spanning: V-1 edges (graph is connected on this data), acyclic
+    assert(rows.length == kruskalEdges, "edge count != Kruskal forest size")
+    assert(rows.length == vertices.length - 1, "not spanning — bump rounds")
+    val p2 = scala.collection.mutable.Map(vertices.map(v => v -> v): _*)
+    def find2(v: Long): Long = { var r = v; while (p2(r) != r) r = p2(r); r }
+    rows.foreach { r =>
+      val (ra, rb) = (find2(r.getLong(1)), find2(r.getLong(2)))
+      assert(ra != rb, s"cycle in reported forest at $r")
+      p2(ra) = rb
+    }
+    // MSTs may differ edge-by-edge only under weight ties; total weight
+    // is the invariant (and the (w,a,b) total order makes ours unique)
+    assert(rows.map(_.getLong(3)).sum == kruskalWeight,
+      "total weight differs from Kruskal — not a minimum spanning tree")
+  }
+
   test("apsp equals per-source BFS replays and agrees with the q_bfs row") {
     import org.apache.spark.sql.functions.col
     val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
