@@ -563,7 +563,11 @@ object Metastore {
         count(lit(1)).cast("long").as("bg_df"))
       .filter(col("fg_df") > 0)
       .crossJoin(broadcast(tot))
-      .withColumn("lift_x1e6", expr("(fg_df * n_bg * 1000000) div (bg_df * n_fg)"))
+      // fg_df·n_bg·1e6 is a doc-count × doc-count product — past int64
+      // at corpus scale, so stage DECIMAL(38,0) like every corpus-sum
+      // multiply
+      .withColumn("lift_x1e6", expr(
+        "CAST(CAST(fg_df AS DECIMAL(38,0)) * n_bg * 1000000 div (bg_df * n_fg) AS BIGINT)"))
       .select(col("term"), col("fg_df"), col("bg_df"), col("lift_x1e6"))
       .orderBy(col("lift_x1e6").desc, col("term"))
       .limit(15)
@@ -1027,7 +1031,7 @@ object Metastore {
          |          CAST(count(*) AS BIGINT) AS bg_df
          |        FROM e GROUP BY term)
          |SELECT term, fg_df, bg_df,
-         |  CAST((fg_df * n_bg * 1000000) // (bg_df * n_fg) AS BIGINT) AS lift_x1e6
+         |  CAST(CAST(fg_df AS HUGEINT) * n_bg * 1000000 // (bg_df * n_fg) AS BIGINT) AS lift_x1e6
          |FROM dfb CROSS JOIN tot
          |WHERE fg_df > 0
          |ORDER BY lift_x1e6 DESC, term LIMIT 15""".stripMargin,

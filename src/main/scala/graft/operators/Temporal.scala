@@ -961,7 +961,9 @@ object Temporal {
     weekly
       .withColumn("prev", lag(col("cents"), 1).over(w))
       .withColumn("delta", col("cents") - col("prev"))
-      .withColumn("growth_abs_x1e4", expr("(abs(delta) * 10000) div prev"))
+      // weekly-cents × 1e4 passes int64 at cluster scale — DECIMAL-staged
+      .withColumn("growth_abs_x1e4", expr(
+        "CAST(CAST(abs(delta) AS DECIMAL(38,0)) * 10000 div prev AS BIGINT)"))
       .withColumn("growth_sign", expr(
         "CAST(CASE WHEN delta < 0 THEN -1 WHEN delta > 0 THEN 1 ELSE 0 END AS INT)"))
       .select(col("event_type"), col("week"), col("cents"), col("prev"),
@@ -1677,7 +1679,7 @@ object Temporal {
         |  FROM weekly),
         |g AS (SELECT *, cents - prev AS delta FROM w)
         |SELECT event_type, week, cents, prev, delta,
-        |  (abs(delta) * 10000) // prev AS growth_abs_x1e4,
+        |  CAST(CAST(abs(delta) AS HUGEINT) * 10000 // prev AS BIGINT) AS growth_abs_x1e4,
         |  CAST(CASE WHEN delta < 0 THEN -1 WHEN delta > 0 THEN 1 ELSE 0 END AS INT) AS growth_sign
         |FROM g ORDER BY event_type, week""".stripMargin,
 
