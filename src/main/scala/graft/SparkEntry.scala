@@ -152,6 +152,7 @@ object SparkEntry {
     "q_hits"           -> ((s, d) => operators.Graph.hits(s, d)),
     "q_apsp"           -> ((s, d) => operators.Graph.apsp(s, d)),
     "q_mst"            -> ((s, d) => operators.Graph.mst(s, d)),
+    "q_cheapest_route" -> ((s, d) => operators.Graph.cheapestRoute(s, d)),
     "q_forecast_naive" -> ((s, d) => operators.Temporal.qForecastNaive(s, d)),
     "q_cohort_ltv"     -> ((s, d) => operators.Temporal.qCohortLtv(s, d)),
     "q_assortativity"  -> ((s, d) => operators.Graph.assortativity(s, d)),

@@ -114,6 +114,48 @@ object Graph {
       .orderBy(col("nationkey"))
   }
 
+  /** Bounded-hop cheapest routes from nation 0 over the weighted trade
+    * graph — [[bfs]] upgraded from the boolean to the MIN-PLUS
+    * semiring: edge cost = 10⁶ div w (inverse trade volume — strong
+    * trade links are cheap to route over), relaxation d′(v) =
+    * min(d(v), min_u d(u) + c(u, v)), `iters` synchronous rounds — the
+    * Bellman–Ford step as one broadcast join per round, exact BIGINT
+    * costs so the iterative fixpoint gates hash-exact. Emits each
+    * nation's cost and its hop-bounded reachability; NULL = unreached.
+    * Same scale shape as every matrix iteration here: one fact-scale
+    * edge extraction, then ≤N²-row rounds.
+    */
+  def cheapestRoute(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+    val nations = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("nk"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("src"))
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("dst"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), expr("1000000 div w").as("c"))
+      .localCheckpoint()
+
+    var dist = nations.select(col("nk"),
+      when(col("nk") === 0, lit(0L)).as("d"))
+    for (_ <- 1 to iters) {
+      val relaxed = edges.join(broadcast(dist), col("src") === col("nk"))
+        .filter(col("d").isNotNull)
+        .groupBy(col("dst")).agg(min(col("d") + col("c")).as("via"))
+      dist = dist.join(relaxed, col("nk") === col("dst"), "left")
+        .select(col("nk"), least(col("d"), col("via")).as("d"))
+        .localCheckpoint(eager = false)
+    }
+    dist.select(col("nk").as("nationkey"), col("d").as("cost_x1e6_inv"))
+      .orderBy(col("nationkey"))
+  }
+
   /** Borůvka minimum spanning forest of the UNDIRECTED nation trade
     * graph (edge weight = total lineitems in either direction; lighter
     * = weaker trade link, so the MST is the cheapest backbone
@@ -856,7 +898,37 @@ object Graph {
        |  JOIN lb${r}_$labelRounds lb ON lb.cid = cm.c)""".stripMargin
   }
 
+  /** One min-plus relaxation round in DuckDB SQL. */
+  private def routeStep(i: Int): String = {
+    val p = s"r${i - 1}"
+    s"""v$i AS (
+       |  SELECT e.dst, min(p.d + e.c) AS via
+       |  FROM e JOIN $p p ON p.nk = e.src
+       |  WHERE p.d IS NOT NULL GROUP BY e.dst),
+       |r$i AS MATERIALIZED (
+       |  SELECT p.nk, least(p.d, v$i.via) AS d
+       |  FROM $p p LEFT JOIN v$i ON v$i.dst = p.nk)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_cheapest_route" -> {
+      val steps = (1 to 6).map(routeStep).mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT src, dst, 1000000 // w AS c FROM (
+         |    SELECT CAST(c.c_nationkey AS BIGINT) AS src,
+         |      CAST(s.s_nationkey AS BIGINT) AS dst, count(*) AS w
+         |    FROM lineitem l
+         |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |    JOIN customer c ON o.o_custkey = c.c_custkey
+         |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |    GROUP BY src, dst)
+         |  WHERE src <> dst),
+         |n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation),
+         |r0 AS (SELECT nk, CASE WHEN nk = 0 THEN CAST(0 AS BIGINT) END AS d FROM n),
+         |$steps
+         |SELECT nk AS nationkey, d AS cost_x1e6_inv FROM r6 ORDER BY nationkey""".stripMargin
+    },
+
     "q_mst" -> {
       val steps = (1 to 3).map(mstRound(_, 5)).mkString(",\n")
       s"""WITH und AS MATERIALIZED (

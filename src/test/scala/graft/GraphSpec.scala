@@ -295,6 +295,40 @@ class GraphSpec extends AnyFunSuite {
     assert(lifts.zip(lifts.tail).forall { case (x, y) => x >= y })
   }
 
+  test("cheapest route equals a driver-side bounded Bellman-Ford replay") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sf).select(col("c_custkey"), col("c_nationkey"))
+    val supp = Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_nationkey"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").cast("long").as("src"),
+        col("s_nationkey").cast("long").as("dst"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), 1000000L / r.getLong(2)))
+      .filter(e => e._1 != e._2)
+    var dist = Map(0L -> 0L)
+    for (_ <- 1 to 6) {
+      val relax = edges.flatMap { case (u, v, c) => dist.get(u).map(du => v -> (du + c)) }
+      dist = (dist.toSeq ++ relax).groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    }
+    val rows = Graph.cheapestRoute(spark, sf).collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      dist.get(r.getLong(0)) match {
+        case Some(d) => assert(!r.isNullAt(1) && r.getLong(1) == d, s"cost drift: $r")
+        case None    => assert(r.isNullAt(1), s"unreached nation has a cost: $r")
+      }
+    }
+    // weighted costs must differentiate beyond hop counts (a cost of k·1e6
+    // for every k-hop nation would make the semiring change vacuous)
+    val costs = rows.filter(!_.isNullAt(1)).map(_.getLong(1))
+    assert(costs.exists(c => c % 1000000L != 0L || c > 0 && costs.count(_ == c) == 1),
+      "all costs are uniform multiples — weights not exercised")
+  }
+
   test("mst equals driver-side Kruskal: spanning, acyclic, same total weight") {
     import org.apache.spark.sql.functions.{col, count, least, greatest, lit}
     val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))

@@ -147,4 +147,33 @@ class PropertySpec extends AnyFunSuite {
       assert(g == (x.toSet & y.toSet).size.toLong, s"intersect divergence on ($x, $y)")
     }
   }
+
+  test("QOI encode→decode inverts on arbitrary images (random + runs + small diffs)") {
+    import graft.multimodal.MediaCodec
+    // pixel generators chosen to hit every op class: pure random (RGB/
+    // LUMA), long constant runs (RUN), few-color palettes (INDEX),
+    // ±1 neighbours (DIFF)
+    val dim = Gen.choose(1, 12)
+    val img: Gen[(Int, Int, Array[Int])] = for {
+      w <- dim; h <- dim
+      mode <- Gen.oneOf("random", "runs", "palette", "drift")
+      px <- mode match {
+        case "random" => Gen.listOfN(w * h, Gen.choose(0, 0xffffff))
+        case "runs" => Gen.listOfN((w * h + 9) / 10, Gen.choose(0, 0xffffff))
+          .map(cs => List.tabulate(w * h)(i => cs(i / 10 min (cs.length - 1))))
+        case "palette" => Gen.listOfN(3, Gen.choose(0, 0xffffff)).flatMap(pal =>
+          Gen.listOfN(w * h, Gen.choose(0, 2)).map(_.map(pal(_))))
+        case _ => Gen.choose(0, 0xffffff).map(start =>
+          List.tabulate(w * h)(i => (start + i) & 0xffffff))
+      }
+    } yield (w, h, px.toArray)
+    samples(img, 300).foreach { case (w, h, px) =>
+      val enc = MediaCodec.encodeQoi(w, h, (x, y) => px(y * w + x))
+      val m = MediaCodec.decodeQoi(enc)
+      assert(m.width == w && m.height == h)
+      def sum(shift: Int) = px.map(p => ((p >> shift) & 0xff).toLong).sum
+      assert((m.sumR, m.sumG, m.sumB) == ((sum(16), sum(8), sum(0))),
+        s"round-trip sums diverge on ${w}x$h ${px.take(6).mkString(",")}…")
+    }
+  }
 }
