@@ -272,6 +272,7 @@ object SparkEntry {
     "mm_decode_qoi"       -> ((s, d) => Pipeline.mmDecodeQoi(s, d)),
     "mm_thumbnail"        -> ((s, d) => Pipeline.mmThumbnail(s, d)),
     "pipe_quality_curve"  -> ((s, d) => Pipeline.pipeQualityCurve(s, d)),
+    "q_k_anonymity"       -> ((s, d) => Pipeline.qKAnonymity(s, d)),
     "mm_decode_jpeg"      -> ((s, d) => Pipeline.mmDecodeJpeg(s, d)),
     "mm_phash"            -> ((s, d) => Pipeline.mmPhash(s, d)),
     "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),

@@ -156,6 +156,39 @@ object Pipeline {
   def mmThumbnail(s: SparkSession, d: String): DataFrame =
     Multimodal.thumbnailPlan(Tables.documents(s, d))
 
+  /** k-anonymity audit — the privacy-engineering check before a corpus
+    * release: group documents by their quasi-identifier tuple
+    * (lang, source, size bucket), measure each equivalence class's
+    * size k, and report the re-identification risk profile — classes
+    * and docs at k = 1 (unique ⇒ re-identifiable), 2–4, 5–9, ≥10,
+    * with ppm shares. The k < 5 rows are what a release gate blocks
+    * on. One partial-agg pass to the QI grid (bounded by the QI
+    * domain, not the corpus), then a 4-row bucket rollup.
+    */
+  def qKAnonymity(s: SparkSession, d: String): DataFrame = {
+    val classes = Tables.documents(s, d)
+      .groupBy(col("lang"), col("source"),
+        expr("n_chars div 100").as("size_bucket"))
+      .agg(count(lit(1)).as("k"))
+    val tot = classes.agg(sum(col("k")).cast("long").as("n_docs_total"))
+    classes
+      .withColumn("k_bucket",
+        when(col("k") === 1, "1_unique")
+          .when(col("k") <= 4, "2_to_4")
+          .when(col("k") <= 9, "5_to_9")
+          .otherwise(lit("10_plus")))
+      .groupBy(col("k_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        sum(col("k")).cast("long").as("n_docs"),
+        min(col("k")).cast("long").as("min_k"),
+        max(col("k")).cast("long").as("max_k"))
+      .crossJoin(broadcast(tot))
+      .select(col("k_bucket"), col("n_classes"), col("n_docs"),
+        col("min_k"), col("max_k"),
+        expr("(n_docs * 1000000) div n_docs_total").as("docs_ppm"))
+      .orderBy(col("k_bucket"))
+  }
+
   /** Quality-threshold sweep — the curation-tuning curve: for 5 pinned
     * uniqueness thresholds (the repetition-filter knob), how many docs
     * and tokens survive, as counts + ppm shares. ONE corpus pass:
@@ -1831,6 +1864,25 @@ object Pipeline {
         |  CAST(sum(g) AS BIGINT) AS thumb_sum_g,
         |  CAST(sum(b) AS BIGINT) AS thumb_sum_b
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "q_k_anonymity" ->
+      """WITH cl AS (
+        |  SELECT lang, source, n_chars // 100 AS size_bucket,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM documents GROUP BY lang, source, size_bucket),
+        |t AS (SELECT CAST(sum(k) AS BIGINT) AS n_docs_total FROM cl),
+        |b AS (
+        |  SELECT CASE WHEN k = 1 THEN '1_unique'
+        |              WHEN k <= 4 THEN '2_to_4'
+        |              WHEN k <= 9 THEN '5_to_9'
+        |              ELSE '10_plus' END AS k_bucket,
+        |    CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(sum(k) AS BIGINT) AS n_docs,
+        |    CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
+        |  FROM cl GROUP BY 1)
+        |SELECT k_bucket, n_classes, n_docs, min_k, max_k,
+        |  (n_docs * 1000000) // n_docs_total AS docs_ppm
+        |FROM b CROSS JOIN t ORDER BY k_bucket""".stripMargin,
 
     "pipe_quality_curve" -> {
       val taus = Seq(0L, 2000L, 4000L, 6000L, 8000L)

@@ -846,6 +846,26 @@ class PipelineSpec extends AnyFunSuite {
       Seq("added", "changed", "removed", "unchanged"))
   }
 
+  test("k-anonymity buckets partition the corpus and honor their k ranges") {
+    val classes = Tables.documents(spark, sf)
+      .groupBy(org.apache.spark.sql.functions.col("lang"),
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.expr("n_chars div 100"))
+      .count().collect().map(_.getLong(3))
+    val rows = Pipeline.qKAnonymity(spark, sf).collect()
+    assert(rows.map(_.getLong(2)).sum == classes.sum, "doc mass lost")
+    assert(rows.map(_.getLong(1)).sum == classes.length.toLong, "class count lost")
+    val bounds = Map("1_unique" -> (1L, 1L), "2_to_4" -> (2L, 4L),
+      "5_to_9" -> (5L, 9L), "10_plus" -> (10L, Long.MaxValue))
+    rows.foreach { r =>
+      val (lo, hi) = bounds(r.getString(0))
+      assert(r.getLong(3) >= lo && r.getLong(4) <= hi, s"k range violated: $r")
+      val expected = classes.filter(k => k >= lo && k <= hi)
+      assert(r.getLong(1) == expected.length.toLong && r.getLong(2) == expected.sum,
+        s"bucket membership drift: $r")
+    }
+  }
+
   test("quality curve is monotone non-increasing and anchored at full corpus") {
     val rows = Pipeline.pipeQualityCurve(spark, sf).collect()
     assert(rows.map(_.getLong(0)).toSeq == Seq(0L, 2000L, 4000L, 6000L, 8000L))
