@@ -84,6 +84,7 @@ object SparkEntry {
     "q_bollinger"       -> ((s, d) => operators.Temporal.qBollinger(s, d)),
     "q_event_regex"     -> ((s, d) => operators.Temporal.qEventRegex(s, d)),
     "ms_boosting"       -> ((s, d) => Metastore.boostingQ(s, d)),
+    "ms_pinned"         -> ((s, d) => Metastore.pinnedQ(s, d)),
     "ann_mmr"           -> ((s, d) => Pipeline.annMmr(s, d)),
     "ann_knn_classify"  -> ((s, d) => Pipeline.annKnnClassify(s, d)),
     "q_weighted_median" -> ((s, d) => Relational.qWeightedMedian(s, d)),

@@ -600,6 +600,43 @@ object Metastore {
       .orderBy(col("rank"))
   }
 
+  /** ES pinned-results query analog (the editorially-promoted hits
+    * feature): a pinned id list ranks FIRST in list order — retrieved
+    * from the visible set even when the organic query does not match
+    * them (ES pinned semantics) — followed by the organic ranked hits
+    * with pinned ids excluded; top 10 overall. The pinned set is a
+    * 2-literal broadcast; everything else is the shared boostedHits
+    * plan.
+    */
+  def pinnedQ(s: SparkSession, d: String): DataFrame = {
+    // 7 is NOT visible (unlisted) — pinning does not bypass visibility,
+    // the ES semantics SearchSpec pins; 21 then 9 promote in list order
+    val pinned = Seq(7L, 21L, 9L)
+    val terms = Analyzer.analyzeQuery("the merge join table")
+    val i = idx(s, d)
+    val organic = ds.boostedHits(i, ds.scores(i, terms),
+        SearchRequest(q = Some("the merge join table")))
+      .filter(!col("doc_id").isin(pinned: _*))
+      .select(col("doc_id"), col("name"), col("score"),
+        lit(false).as("is_pinned"), lit(Int.MaxValue).as("pin_rank"))
+    val pinnedRows = ds.visible(i, None)
+      .filter(col("doc_id").isin(pinned: _*))
+      .select(col("doc_id"), col("name"), lit(0L).as("score"),
+        lit(true).as("is_pinned"),
+        pinned.zipWithIndex.foldLeft(lit(Int.MaxValue)) { case (acc, (id, k)) =>
+          when(col("doc_id") === id, k + 1).otherwise(acc)
+        }.as("pin_rank"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("is_pinned").desc, col("pin_rank"),
+        col("score").desc, col("doc_id"))
+    pinnedRows.unionByName(organic)
+      .orderBy(col("is_pinned").desc, col("pin_rank"), col("score").desc, col("doc_id"))
+      .limit(10)
+      .select(row_number().over(wAll).cast("int").as("rank"),
+        col("doc_id"), col("name"), col("is_pinned"), col("score"))
+      .orderBy(col("rank"))
+  }
+
   // --- events kind -------------------------------------------------------
 
   def eventsFilter(s: SparkSession, d: String): DataFrame =
@@ -1051,6 +1088,25 @@ object Metastore {
          |SELECT CAST(row_number() OVER (ORDER BY fscore DESC, doc_id) AS INT) AS rank,
          |  doc_id, name, CAST(score AS BIGINT) AS text_score, has_neg,
          |  CAST(fscore AS BIGINT) AS fscore
+         |FROM top ORDER BY rank""".stripMargin,
+
+    "ms_pinned" ->
+      s"""$idxCte,
+         |$tfidfCtes,
+         |org AS (
+         |  SELECT doc_id, name, score, false AS is_pinned, 2147483647 AS pin_rank
+         |  FROM hits WHERE doc_id NOT IN (7, 21, 9)),
+         |pin AS (
+         |  SELECT doc_id, name, CAST(0 AS BIGINT) AS score, true AS is_pinned,
+         |    CASE WHEN doc_id = 7 THEN 1 WHEN doc_id = 21 THEN 2 ELSE 3 END AS pin_rank
+         |  FROM idx WHERE findability = 'published' AND doc_id IN (7, 21, 9)),
+         |u AS (SELECT * FROM pin UNION ALL SELECT * FROM org),
+         |top AS (
+         |  SELECT * FROM u
+         |  ORDER BY is_pinned DESC, pin_rank, score DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (
+         |    ORDER BY is_pinned DESC, pin_rank, score DESC, doc_id) AS INT) AS rank,
+         |  doc_id, name, is_pinned, CAST(score AS BIGINT) AS score
          |FROM top ORDER BY rank""".stripMargin,
 
     "ms_events_filter" ->

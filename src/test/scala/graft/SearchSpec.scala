@@ -355,6 +355,20 @@ class SearchSpec extends AnyFunSuite {
     assert(reordered, "no rank inversion — negative boost changed nothing")
   }
 
+  test("pinned query: visible pins lead in list order, invisible pins stay filtered") {
+    val rows = Metastore.pinnedQ(spark, sf).collect()
+    assert(rows.length == 10 && rows.map(_.getInt(0)).toSeq == (1 to 10))
+    // doc 7 is unlisted: pinning must NOT bypass visibility
+    assert(!rows.exists(_.getLong(1) == 7L), "invisible pinned doc surfaced")
+    // 21 then 9 lead, flagged pinned; everything after is organic
+    assert(rows(0).getLong(1) == 21L && rows(0).getBoolean(3))
+    assert(rows(1).getLong(1) == 9L && rows(1).getBoolean(3))
+    assert(rows.drop(2).forall(!_.getBoolean(3)), "stray pinned row in organic tail")
+    // organic tail keeps the ranked order
+    val organic = rows.drop(2).map(_.getLong(4))
+    assert(organic.zip(organic.tail).forall { case (a, b) => a >= b })
+  }
+
   test("range filter bounds are inclusive and visibility still applies") {
     val rows = Metastore.rangeFilterQ(spark, sf).collect()
     assert(rows.nonEmpty)
