@@ -332,9 +332,14 @@ object SparkEntry {
         |        sb_raw - CAST(n_total AS HUGEINT) * m_x100 * m_x100 AS ssb,
         |        ssq * 10000 - sb_raw AS ssw
         |      FROM d)
-        |SELECT k, n_total, sum_cents, CAST(ssq AS DECIMAL(38,0)) AS ssq,
-        |  CAST(ssb AS DECIMAL(38,0)) AS ssb_x1e4,
-        |  CAST(ssw AS DECIMAL(38,0)) AS ssw_x1e4,
+        |SELECT k, n_total, sum_cents,
+        |  CAST(ssq // 1000000000000000000 AS BIGINT) AS ssq_hi,
+        |  CAST(ssq % 1000000000000000000 AS BIGINT) AS ssq_lo,
+        |  CAST(sign(ssb) AS INT) AS ssb_sign,
+        |  CAST(abs(ssb) // 1000000000000000000 AS BIGINT) AS ssb_x1e4_abs_hi,
+        |  CAST(abs(ssb) % 1000000000000000000 AS BIGINT) AS ssb_x1e4_abs_lo,
+        |  CAST(ssw // 1000000000000000000 AS BIGINT) AS ssw_x1e4_hi,
+        |  CAST(ssw % 1000000000000000000 AS BIGINT) AS ssw_x1e4_lo,
         |  CAST(ssb * (n_total - k) * 1000 // (ssw * (k - 1)) AS BIGINT) AS f_x1e3
         |FROM f""".stripMargin,
 
@@ -470,8 +475,10 @@ object SparkEntry {
          |    sum(cents * (${Relational.decayCaseSql})) AS dc
          |  FROM j GROUP BY c_mktsegment)
          |SELECT c_mktsegment, n_orders,
-         |  CAST(sc AS DECIMAL(38,0)) AS spend_cents,
-         |  CAST(dc AS DECIMAL(38,0)) AS decayed_x64,
+         |  CAST(sc // 1000000000000000000 AS BIGINT) AS spend_cents_hi,
+         |  CAST(sc % 1000000000000000000 AS BIGINT) AS spend_cents_lo,
+         |  CAST(dc // 1000000000000000000 AS BIGINT) AS decayed_x64_hi,
+         |  CAST(dc % 1000000000000000000 AS BIGINT) AS decayed_x64_lo,
          |  CAST((dc * 15625) // sc AS BIGINT) AS recency_x1e6
          |FROM g ORDER BY c_mktsegment""".stripMargin,
 

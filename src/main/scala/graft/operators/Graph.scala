@@ -378,6 +378,42 @@ object Graph {
       .select(col("cr.part").as("part"), col("cr.c").as("c"))
   }
 
+  /** Explicit (u, v, w) triangle triples of the oriented graph — the
+    * witness-carrying sibling of [[triCreditRows]] (which fuses the
+    * credit emission in-map and never materializes the triples): each
+    * triangle is found exactly once at its lowest-(deg,id) edge u→v,
+    * witness w ∈ adj⁺(u) ∩ adj⁺(v) via the in-map sorted-array
+    * intersection. Same Σ min-deg² work bound and E-sized-joins-only
+    * shuffle shape; use when a consumer needs the triangle identity
+    * (link prediction, RA witnesses), not just counts.
+    */
+  private[graft] def triTriples(s: SparkSession, oriented: DataFrame,
+                                adj: DataFrame): DataFrame = {
+    val par = s.sparkContext.defaultParallelism
+    oriented.repartition(par, col("src"))
+      .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
+      .repartition(par, col("dst"))
+      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
+      .select(col("src").as("u"), col("dst").as("v"),
+        explode(array_intersect(col("nu"), col("nv"))).as("w"))
+  }
+
+  /** Per-triangle edge credits with the witness carried: each (u,v,w)
+    * triple credits its three canonical (a<b) edges, witness = the
+    * opposite vertex. T×3 rows — the only thing that shuffles in the
+    * link-prediction consumers.
+    */
+  private[graft] def triEdgeWitnesses(tri: DataFrame): DataFrame =
+    tri.select(explode(array(
+        struct(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"), col("w").as("wit")),
+        struct(least(col("u"), col("w")).as("a"),
+          greatest(col("u"), col("w")).as("b"), col("v").as("wit")),
+        struct(least(col("v"), col("w")).as("a"),
+          greatest(col("v"), col("w")).as("b"), col("u").as("wit"))))
+        .as("cr"))
+      .select(col("cr.a").as("a"), col("cr.b").as("b"), col("cr.wit").as("wit"))
+
   /** Link-prediction scores for the co-purchase graph: per canonical
     * edge (a<b), the common-neighbor count and the ×10⁶ integer Jaccard
     * |N(a)∩N(b)| / |N(a)∪N(b)| — the classic link-prediction /
@@ -394,21 +430,10 @@ object Graph {
     val e = triEdges(s, d)
     val oriented = triOriented(e)
     val adj = triAdjacency(oriented)
-    val par = s.sparkContext.defaultParallelism
-    // (u,v,w) triangles, each found once at its lowest-(deg,id) edge
-    val tri = oriented.repartition(par, col("src"))
-      .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
-      .repartition(par, col("dst"))
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
-      .select(col("src").as("u"), col("dst").as("v"),
-        explode(array_intersect(col("nu"), col("nv"))).as("w"))
-    // each triangle credits its three canonical (a<b) edges
-    val credits = tri.select(explode(array(
-        struct(least(col("u"), col("v")).as("a"), greatest(col("u"), col("v")).as("b")),
-        struct(least(col("u"), col("w")).as("a"), greatest(col("u"), col("w")).as("b")),
-        struct(least(col("v"), col("w")).as("a"), greatest(col("v"), col("w")).as("b"))))
-        .as("e"))
-      .groupBy(col("e.a").as("a"), col("e.b").as("b"))
+    // (u,v,w) triangles, each found once at its lowest-(deg,id) edge;
+    // each credits its three canonical (a<b) edges (witness unused here)
+    val credits = triEdgeWitnesses(triTriples(s, oriented, adj))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("cn"))
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -429,12 +454,13 @@ object Graph {
     * engines compute the IDENTICAL K-round labels either way (the same
     * unrolled-recurrence trick q_pagerank/q_bfs gate on). Edge extraction
     * is the only fact-scale work (checkpointed once); each round is an
-    * E-sized join against the broadcast V-row label vector. Output: one
+    * E-sized join against the V-row label vector (no broadcast hint —
+    * labels are part-scale; AQE picks the strategy). Output: one
     * row per label with member count and id range.
     */
   def components(s: SparkSession, d: String, iters: Int = 8): DataFrame = {
     val edges = repeatSymEdges(s, d)
-    // each round materializes (localCheckpoint) — the broadcast of round
+    // each round materializes (localCheckpoint) — the join of round
     // i would otherwise re-execute rounds 1..i-1's joins, turning 8
     // rounds into 36 chained shuffle stages of pure latency (measured
     // 9.5 s → the checkpointed loop is linear in rounds)
@@ -446,10 +472,16 @@ object Graph {
       // as self-messages, one groupBy-min — algebraically identical to
       // aggregate-then-left-join-least (min is associative), one fewer
       // join + shuffle per round. Checkpoint every SECOND round: the
-      // odd round's broadcast re-runs one in-memory E-join (cheap),
+      // odd round's join re-runs one in-memory E-join (cheap),
       // halving the per-round materialization barriers that dominate
       // this latency-bound loop locally.
-      val m = edges.join(broadcast(lbl), col("src") === col("v"))
+      // NO broadcast hint on the V-row label vector: labels are
+      // part-scale (grow with the corpus — multi-GB at 100 TB), so a
+      // pinned hint is a driver OOM at scale. AQE broadcasts when the
+      // runtime stats allow and degrades to a shuffle join that only
+      // moves the label side (edges are already hash-partitioned by
+      // src from repeatSymEdges' repartition) when they don't.
+      val m = edges.join(lbl, col("src") === col("v"))
         .select(col("dst").as("v"), col("l"))
       lbl = m.union(lbl)
         .groupBy(col("v")).agg(min(col("l")).as("l"))
@@ -495,8 +527,9 @@ object Graph {
     * SMALLEST label; defined as exactly R rounds so both engines
     * compute the identical unrolled recurrence (the q_components /
     * q_kcore discipline — classic async LPA is order-dependent and
-    * ungateable). Each round: one E-sized join against the broadcast
-    * V-row label vector, a (v, label)-grid groupBy, and a per-vertex
+    * ungateable). Each round: one E-sized join against the V-row label
+    * vector (no broadcast hint — part-scale; AQE picks the strategy),
+    * a (v, label)-grid groupBy, and a per-vertex
     * argmax window — no stage touches more than E rows. Output: one
     * row per surviving community with size and id range.
     */
@@ -506,7 +539,8 @@ object Graph {
       .select(col("v"), col("v").as("l"))
       .localCheckpoint()
     for (i <- 1 to iters) {
-      val msg = edges.join(broadcast(lbl), col("src") === col("v"))
+      // no broadcast hint: part-scale label vector (see components)
+      val msg = edges.join(lbl, col("src") === col("v"))
         .groupBy(col("dst"), col("l")).agg(count(lit(1)).as("c"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("dst")).orderBy(col("c").desc, col("l"))
@@ -529,7 +563,9 @@ object Graph {
     * identical to [[components]]'s edge extraction — per-order distinct
     * part sets, pairs generated by the codegen'd [[graft.functions.SortedLongPairs]]
     * (blowup bounded per order, never per part); the item-frequency side
-    * is part-dimension-sized and broadcast. Top 100 by lift.
+    * is part-dimension-sized — catalog-scale, so it carries NO pinned
+    * broadcast hint (AQE decides; only the 1-row order-count scalar
+    * keeps a hint). Top 100 by lift.
     */
   def basketRules(s: SparkSession, d: String): DataFrame = {
     // ONE fact scan: the per-order distinct part sets are the shared
@@ -552,8 +588,11 @@ object Graph {
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= 2)
     pairs
-      .join(broadcast(item.select(col("pk").as("a"), col("n_item").as("n_a"))), Seq("a"))
-      .join(broadcast(item.select(col("pk").as("b"), col("n_item").as("n_b"))), Seq("b"))
+      // no broadcast hint on the per-item frequency table: it is
+      // part-scale (grows with the catalog — see components); the
+      // 1-row nOrders scalar keeps its hint
+      .join(item.select(col("pk").as("a"), col("n_item").as("n_a")), Seq("a"))
+      .join(item.select(col("pk").as("b"), col("n_item").as("n_b")), Seq("b"))
       .crossJoin(broadcast(nOrders))
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
         expr("(n_ab * 1000000) div n_orders").as("support_x1e6"),
@@ -612,15 +651,26 @@ object Graph {
         "CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx"))
       .withColumn("s_xx", expr(
         "CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      // the division stays fully DECIMAL(38,0) (quotient ≤ 10⁶ by
+      // Cauchy–Schwarz |S_xy| ≤ S_xx, so the BIGINT cast is of the
+      // quotient only — no silent NULL past int64 moments, ADVICE r6)
       .withColumn("r_abs_x1e6",
-        expr("CAST(abs(s_xy) * 1000000 div CAST(s_xx AS BIGINT) AS BIGINT)"))
+        expr("CAST(abs(s_xy) * 1000000 div s_xx AS BIGINT)"))
       .withColumn("r_sign", expr(
         "CAST(CASE WHEN s_xy < 0 THEN -1 WHEN s_xy > 0 THEN 1 ELSE 0 END AS INT)"))
+      // BIGINT-only output boundary: the DECIMAL(38,0) moments emit as
+      // base-10¹⁸ hi/lo BIGINT pairs (sxx/sxy/s_xx non-negative —
+      // degrees are positive and S_xx is a centered sum of squares;
+      // s_xy is signed, so |·| splits and r_sign carries the sign)
       .select(col("m"), col("sx"),
-        expr("CAST(sxx AS BIGINT)").as("sxx"),
-        expr("CAST(sxy AS BIGINT)").as("sxy"),
-        expr("CAST(s_xy AS BIGINT)").as("s_xy"),
-        expr("CAST(s_xx AS BIGINT)").as("s_xx"),
+        expr("CAST(sxx div 1000000000000000000 AS BIGINT)").as("sxx_hi"),
+        expr("CAST(sxx % 1000000000000000000 AS BIGINT)").as("sxx_lo"),
+        expr("CAST(sxy div 1000000000000000000 AS BIGINT)").as("sxy_hi"),
+        expr("CAST(sxy % 1000000000000000000 AS BIGINT)").as("sxy_lo"),
+        expr("CAST(abs(s_xy) div 1000000000000000000 AS BIGINT)").as("s_xy_abs_hi"),
+        expr("CAST(abs(s_xy) % 1000000000000000000 AS BIGINT)").as("s_xy_abs_lo"),
+        expr("CAST(s_xx div 1000000000000000000 AS BIGINT)").as("s_xx_hi"),
+        expr("CAST(s_xx % 1000000000000000000 AS BIGINT)").as("s_xx_lo"),
         col("r_abs_x1e6"), col("r_sign"))
   }
 
@@ -666,7 +716,10 @@ object Graph {
       nations.join(raw, col("nk") === col("t"), "left")
         .crossJoin(broadcast(mx))
         .select(col("nk"),
-          coalesce(expr(s"CAST(raw * $Scale div CAST(mx AS BIGINT) AS BIGINT)"),
+          // divisor stays DECIMAL(38,0) (ADVICE r6: a BIGINT cast of mx
+          // silently NULLs past int64 inflow ~sf50); the quotient is
+          // ≤ Scale by raw ≤ mx, so only IT casts to BIGINT
+          coalesce(expr(s"CAST(raw * $Scale div mx AS BIGINT)"),
             lit(0L)).as("s"))
     }
 
@@ -711,37 +764,24 @@ object Graph {
   /** Resource-allocation link-prediction index ×10⁹ per canonical edge
     * — the Adamic–Adar family member whose weight 1/deg(w) is exact in
     * integer arithmetic (no log): RA(a,b) = Σ_{w ∈ N(a)∩N(b)}
-    * 10⁹ div deg(w). The witness enumeration is the degree-oriented
-    * triangle probe ([[triCreditRows]]'s shape): each triangle (u,v,w)
-    * is found once and credits each of its three edges with the
-    * OPPOSITE vertex as witness, so only the T-sized triangle set
-    * shuffles and the witness-degree join is against the broadcast
-    * V-sized degree table. Top-100 by (ra, a, b) bounds the output.
+    * 10⁹ div deg(w). The witness enumeration is the shared factored
+    * probe ([[triTriples]] → [[triEdgeWitnesses]], the same stages
+    * [[commonNeighbors]] consumes — no inline re-implementation to
+    * drift): each triangle (u,v,w) is found once and credits each of
+    * its three edges with the OPPOSITE vertex as witness, so only the
+    * T-sized triangle set shuffles. The witness-degree join carries NO
+    * broadcast hint — the degree table is vertex-scale (grows with the
+    * corpus), so a pinned hint is a driver OOM at 100 TB; AQE
+    * broadcasts when runtime stats allow. Top-100 by (ra, a, b).
     */
   def resourceAlloc(s: SparkSession, d: String): DataFrame = {
     val e = triEdges(s, d)
     val oriented = triOriented(e)
     val adj = triAdjacency(oriented)
-    val par = s.sparkContext.defaultParallelism
-    val tri = oriented.repartition(par, col("src"))
-      .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
-      .repartition(par, col("dst"))
-      .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")), "dst")
-      .select(col("src").as("u"), col("dst").as("v"),
-        explode(array_intersect(col("nu"), col("nv"))).as("w"))
     val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
-    val credits = tri.select(explode(array(
-        struct(least(col("u"), col("v")).as("a"),
-          greatest(col("u"), col("v")).as("b"), col("w").as("wit")),
-        struct(least(col("u"), col("w")).as("a"),
-          greatest(col("u"), col("w")).as("b"), col("v").as("wit")),
-        struct(least(col("v"), col("w")).as("a"),
-          greatest(col("v"), col("w")).as("b"), col("u").as("wit"))))
-        .as("cr"))
-      .select(col("cr.a").as("a"), col("cr.b").as("b"), col("cr.wit").as("wit"))
-    credits
-      .join(broadcast(deg.select(col("v").as("wit"), col("deg"))), Seq("wit"))
+    triEdgeWitnesses(triTriples(s, oriented, adj))
+      .join(deg.select(col("v").as("wit"), col("deg")), Seq("wit"))
       .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("cn"),
         sum(expr("1000000000 div deg")).as("ra_x1e9"))
@@ -762,7 +802,8 @@ object Graph {
     * round R ≡ round R+1 — is pinned in GraphSpec, so the R-round
     * object IS the 3-core there. Scale shape: the symmetrized edge set
     * is checkpointed once; each round is one V-sized degree agg + two
-    * broadcast semi-joins against the surviving-vertex set — E-sized
+    * semi-joins against the surviving-vertex set (AQE-chosen strategy,
+    * no pinned hint) — E-sized
     * work per round, vertex set only ever shrinks. Output: core
     * members with their within-core degree.
     */
@@ -771,9 +812,12 @@ object Graph {
     for (_ <- 1 to rounds) {
       val keep = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
         .filter(col("deg") >= k).select(col("src").as("kv"))
+      // no broadcast hint: the surviving-vertex set is vertex-scale
+      // (see components) — AQE broadcasts the semi-join side when
+      // runtime stats allow, degrades to shuffle when they don't
       sym = sym
-        .join(broadcast(keep), col("src") === col("kv"), "left_semi")
-        .join(broadcast(keep), col("dst") === col("kv"), "left_semi")
+        .join(keep, col("src") === col("kv"), "left_semi")
+        .join(keep, col("dst") === col("kv"), "left_semi")
         .localCheckpoint(eager = false)
     }
     sym.groupBy(col("src")).agg(count(lit(1)).as("core_deg"))
@@ -854,7 +898,7 @@ object Graph {
        |${out}_mx AS (SELECT max(raw) AS mx FROM ${out}_raw),
        |$out AS MATERIALIZED (
        |  SELECT n.nk,
-       |    COALESCE(CAST(r.raw * $Scale // CAST(m.mx AS BIGINT) AS BIGINT), 0) AS s
+       |    COALESCE(CAST(r.raw * $Scale // m.mx AS BIGINT), 0) AS s
        |  FROM n LEFT JOIN ${out}_raw r ON r.nk = n.nk CROSS JOIN ${out}_mx m)""".stripMargin
 
   /** One Borůvka round in DuckDB SQL (pick min outgoing edge per
@@ -971,9 +1015,16 @@ object Graph {
         |    CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx AS s_xy,
         |    CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS s_xx
         |  FROM m)
-        |SELECT m, sx, CAST(sxx AS BIGINT) AS sxx, CAST(sxy AS BIGINT) AS sxy,
-        |  CAST(s_xy AS BIGINT) AS s_xy, CAST(s_xx AS BIGINT) AS s_xx,
-        |  CAST(abs(s_xy) * 1000000 // CAST(s_xx AS BIGINT) AS BIGINT) AS r_abs_x1e6,
+        |SELECT m, sx,
+        |  CAST(sxx // 1000000000000000000 AS BIGINT) AS sxx_hi,
+        |  CAST(sxx % 1000000000000000000 AS BIGINT) AS sxx_lo,
+        |  CAST(sxy // 1000000000000000000 AS BIGINT) AS sxy_hi,
+        |  CAST(sxy % 1000000000000000000 AS BIGINT) AS sxy_lo,
+        |  CAST(abs(s_xy) // 1000000000000000000 AS BIGINT) AS s_xy_abs_hi,
+        |  CAST(abs(s_xy) % 1000000000000000000 AS BIGINT) AS s_xy_abs_lo,
+        |  CAST(s_xx // 1000000000000000000 AS BIGINT) AS s_xx_hi,
+        |  CAST(s_xx % 1000000000000000000 AS BIGINT) AS s_xx_lo,
+        |  CAST(abs(s_xy) * 1000000 // s_xx AS BIGINT) AS r_abs_x1e6,
         |  CAST(CASE WHEN s_xy < 0 THEN -1 WHEN s_xy > 0 THEN 1 ELSE 0 END AS INT) AS r_sign
         |FROM c""".stripMargin,
 

@@ -1032,8 +1032,21 @@ object Relational {
       .withColumn("ssw_x1e4", expr("ssq * 10000 - sb_raw"))
       .withColumn("f_x1e3", expr(
         "CAST(ssb_x1e4 * (n_total - k) * 1000 div (ssw_x1e4 * (k - 1)) AS BIGINT)"))
-      .select(col("k"), col("n_total"), col("sum_cents"), col("ssq"),
-        col("ssb_x1e4"), col("ssw_x1e4"), col("f_x1e3"))
+      // The wide sums stay DECIMAL(38,0) internally, but the OUTPUT
+      // boundary is BIGINT-only (decimal128 hashes differently across
+      // engines' arrow writers): split each sum into base-10¹⁸ hi/lo
+      // BIGINTs. ssq and ssw are sums of squares (non-negative ⇒
+      // div/%% agree across truncate-vs-floor); ssb can graze negative
+      // on a degenerate equal-means corpus, so it emits |·| + sign.
+      .select(col("k"), col("n_total"), col("sum_cents"),
+        expr("CAST(ssq div 1000000000000000000 AS BIGINT)").as("ssq_hi"),
+        expr("CAST(ssq % 1000000000000000000 AS BIGINT)").as("ssq_lo"),
+        expr("CAST(sign(ssb_x1e4) AS INT)").as("ssb_sign"),
+        expr("CAST(abs(ssb_x1e4) div 1000000000000000000 AS BIGINT)").as("ssb_x1e4_abs_hi"),
+        expr("CAST(abs(ssb_x1e4) % 1000000000000000000 AS BIGINT)").as("ssb_x1e4_abs_lo"),
+        expr("CAST(ssw_x1e4 div 1000000000000000000 AS BIGINT)").as("ssw_x1e4_hi"),
+        expr("CAST(ssw_x1e4 % 1000000000000000000 AS BIGINT)").as("ssw_x1e4_lo"),
+        col("f_x1e3"))
   }
 
   /** Cramér's V effect size of the [[qChisq]] contingency table — the
@@ -1176,8 +1189,14 @@ object Relational {
         sum(expr("CAST(cents AS DECIMAL(38,0))")).as("spend_cents"),
         sum(expr(s"CAST(cents * ($decayCaseSql) AS DECIMAL(38,0))"))
           .as("decayed_x64"))
-      .select(col("c_mktsegment"), col("n_orders"), col("spend_cents"),
-        col("decayed_x64"),
+      // BIGINT-only output boundary: the DECIMAL(38,0) staging sums
+      // emit as base-10¹⁸ hi/lo BIGINT pairs (both non-negative ⇒
+      // truncating div ≡ flooring //).
+      .select(col("c_mktsegment"), col("n_orders"),
+        expr("CAST(spend_cents div 1000000000000000000 AS BIGINT)").as("spend_cents_hi"),
+        expr("CAST(spend_cents % 1000000000000000000 AS BIGINT)").as("spend_cents_lo"),
+        expr("CAST(decayed_x64 div 1000000000000000000 AS BIGINT)").as("decayed_x64_hi"),
+        expr("CAST(decayed_x64 % 1000000000000000000 AS BIGINT)").as("decayed_x64_lo"),
         // decayed/64/spend ×1e6 = decayed·15625/spend, exact integer div
         expr("CAST((decayed_x64 * 15625) div spend_cents AS BIGINT)")
           .as("recency_x1e6"))

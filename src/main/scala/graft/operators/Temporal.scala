@@ -633,8 +633,15 @@ object Temporal {
       .withColumn("t_abs_x1e3", expr("(abs(mean_diff_x1e4) * 100) div se_x1e3"))
       .withColumn("t_sign", expr(
         "CAST(CASE WHEN mean_diff_x1e4 < 0 THEN -1 WHEN mean_diff_x1e4 > 0 THEN 1 ELSE 0 END AS INT)"))
+      // BIGINT-only output boundary: the DECIMAL(38,0) Σcents² sums
+      // emit as base-10¹⁸ hi/lo BIGINT pairs (sums of squares ⇒
+      // non-negative ⇒ truncating div ≡ flooring //).
       .select(col("n_a"), col("n_b"), col("sum_cents_a"), col("sum_cents_b"),
-        col("ssq_a"), col("ssq_b"), col("mean_diff_x1e4"), col("se2_x1e6"),
+        expr("CAST(ssq_a div 1000000000000000000 AS BIGINT)").as("ssq_a_hi"),
+        expr("CAST(ssq_a % 1000000000000000000 AS BIGINT)").as("ssq_a_lo"),
+        expr("CAST(ssq_b div 1000000000000000000 AS BIGINT)").as("ssq_b_hi"),
+        expr("CAST(ssq_b % 1000000000000000000 AS BIGINT)").as("ssq_b_lo"),
+        col("mean_diff_x1e4"), col("se2_x1e6"),
         col("se_x1e3"), col("t_abs_x1e3"), col("t_sign"))
 
   /** Two-sample Kolmogorov–Smirnov D between the A/B hash arms on
@@ -2025,7 +2032,11 @@ object Temporal {
         |e AS (SELECT *,
         |  CAST(floor(sqrt(CAST(se2_x1e6 AS DOUBLE))) AS BIGINT) AS se_x1e3
         |  FROM d)
-        |SELECT n_a, n_b, sum_cents_a, sum_cents_b, ssq_a, ssq_b,
+        |SELECT n_a, n_b, sum_cents_a, sum_cents_b,
+        |  CAST(ssq_a // 1000000000000000000 AS BIGINT) AS ssq_a_hi,
+        |  CAST(ssq_a % 1000000000000000000 AS BIGINT) AS ssq_a_lo,
+        |  CAST(ssq_b // 1000000000000000000 AS BIGINT) AS ssq_b_hi,
+        |  CAST(ssq_b % 1000000000000000000 AS BIGINT) AS ssq_b_lo,
         |  mean_diff_x1e4, se2_x1e6, se_x1e3,
         |  (abs(mean_diff_x1e4) * 100) // se_x1e3 AS t_abs_x1e3,
         |  CAST(CASE WHEN mean_diff_x1e4 < 0 THEN -1

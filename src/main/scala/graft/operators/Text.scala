@@ -122,7 +122,11 @@ object Text {
           |  div (CAST(n AS DECIMAL(38,0)) * n - pe_num) AS BIGINT)""".stripMargin))
       .withColumn("kappa_sign", expr(
         "CAST(sign(CAST(agree AS DECIMAL(38,0)) * n - pe_num) AS INT)"))
-      .select(col("n"), col("agree"), col("pe_num"),
+      // BIGINT-only output boundary: pe_num (Σ row·col ≥ 0, DECIMAL(38,0)
+      // staged) emits as a base-10¹⁸ hi/lo BIGINT pair.
+      .select(col("n"), col("agree"),
+        expr("CAST(pe_num div 1000000000000000000 AS BIGINT)").as("pe_num_hi"),
+        expr("CAST(pe_num % 1000000000000000000 AS BIGINT)").as("pe_num_lo"),
         col("po_x1e6"), col("pe_x1e6"), col("kappa_abs_x1e6"), col("kappa_sign"))
   }
 
@@ -684,7 +688,9 @@ object Text {
          |t AS (SELECT CAST(sum(c) AS BIGINT) AS n,
          |        CAST(sum(CASE WHEN lang = pred THEN c ELSE 0 END) AS BIGINT) AS agree
          |      FROM conf)
-         |SELECT n, agree, pe_num,
+         |SELECT n, agree,
+         |  CAST(pe_num // 1000000000000000000 AS BIGINT) AS pe_num_hi,
+         |  CAST(pe_num % 1000000000000000000 AS BIGINT) AS pe_num_lo,
          |  (agree * 1000000) // n AS po_x1e6,
          |  CAST(CAST(pe_num AS HUGEINT) * 1000000 // (CAST(n AS HUGEINT) * n) AS BIGINT) AS pe_x1e6,
          |  CAST(abs(CAST(agree AS HUGEINT) * n - CAST(pe_num AS HUGEINT)) * 1000000

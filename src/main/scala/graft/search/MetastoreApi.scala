@@ -45,6 +45,12 @@ object MetastoreApi {
                       args: Map[String, Seq[String]]): ApiResult =
     search(spark, dir, kind, token.flatMap(AuthToken.userid(_, key)), args)
 
+  /** The kinds the reference's controller registry resolves
+    * (controllers/__init__.py — dataset + events); anything else maps
+    * to None there and HTTP 400 at the blueprint (blueprint.py:31-32).
+    */
+  val knownKinds: Set[String] = Set("dataset", "events")
+
   def search(spark: SparkSession, dir: String, kind: String = "dataset",
              userid: Option[String] = None,
              args: Map[String, Seq[String]] = Map.empty): ApiResult = {

@@ -73,21 +73,31 @@ object MetastoreServer {
         val kind = ex.getRequestURI.getPath.stripPrefix("/search")
           .stripPrefix("/") match { case "" => "dataset"; case k => k }
         val args = parseQuery(ex.getRequestURI.getRawQuery)
-        // blueprint.py:22 — header first, jwt query param as fallback
-        val token = Option(ex.getRequestHeaders.getFirst("auth-token"))
-          .orElse(args.get("jwt").flatMap(_.headOption))
-        val callback = args.get("callback").flatMap(_.headOption)
-        val result = MetastoreApi.searchWithToken(
-          spark, dir, kind, token, key, args - "jwt" - "callback")
-        val json = envelope(result)
-        val (body, ctype) = callback match {
-          case Some(cb) => (s"$cb($json);", "application/javascript")
-          case None => (json, "application/json")
+        // blueprint.py:31-32 parity: an unknown kind is a TRANSPORT
+        // error (controllers.py:12-16 resolves it to None → abort(400)),
+        // not an in-band error envelope like a bad filter column
+        if (!MetastoreApi.knownKinds(kind)) {
+          val bytes = s"""{"error":"unknown kind: ${esc(kind)}"}""".getBytes(UTF_8)
+          ex.getResponseHeaders.set("Content-Type", "application/json")
+          ex.sendResponseHeaders(400, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
+        } else {
+          // blueprint.py:22 — header first, jwt query param as fallback
+          val token = Option(ex.getRequestHeaders.getFirst("auth-token"))
+            .orElse(args.get("jwt").flatMap(_.headOption))
+          val callback = args.get("callback").flatMap(_.headOption)
+          val result = MetastoreApi.searchWithToken(
+            spark, dir, kind, token, key, args - "jwt" - "callback")
+          val json = envelope(result)
+          val (body, ctype) = callback match {
+            case Some(cb) => (s"$cb($json);", "application/javascript")
+            case None => (json, "application/json")
+          }
+          val bytes = body.getBytes(UTF_8)
+          ex.getResponseHeaders.set("Content-Type", ctype)
+          ex.sendResponseHeaders(200, bytes.length.toLong)
+          ex.getResponseBody.write(bytes)
         }
-        val bytes = body.getBytes(UTF_8)
-        ex.getResponseHeaders.set("Content-Type", ctype)
-        ex.sendResponseHeaders(200, bytes.length.toLong)
-        ex.getResponseBody.write(bytes)
       } catch {
         case e: Exception =>
           val bytes = s"""{"error":"${esc(String.valueOf(e.getMessage))}"}""".getBytes(UTF_8)

@@ -426,11 +426,14 @@ class GraphSpec extends AnyFunSuite {
     val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
     val (bigSxy, bigSxx) = (m * sxy - sx * sx_dup(pairs), m * sxx - sx * sx)
     val r = Graph.assortativity(spark, sf).collect()(0)
-    assert(BigInt(r.getLong(0)) == m && BigInt(r.getLong(1)) == sx &&
-      BigInt(r.getLong(2)) == sxx && BigInt(r.getLong(3)) == sxy, s"moments: $r")
-    assert(BigInt(r.getLong(4)) == bigSxy && BigInt(r.getLong(5)) == bigSxx, s"centered: $r")
-    assert(BigInt(r.getLong(6)) == bigSxy.abs * 1000000 / bigSxx, s"r: $r")
-    assert(r.getInt(7) == bigSxy.signum)
+    val B18 = BigInt(10).pow(18)
+    assert(BigInt(r.getLong(0)) == m && BigInt(r.getLong(1)) == sx, s"m/sx: $r")
+    assert(BigInt(r.getLong(2)) * B18 + r.getLong(3) == sxx &&
+      BigInt(r.getLong(4)) * B18 + r.getLong(5) == sxy, s"moments: $r")
+    assert(BigInt(r.getLong(6)) * B18 + r.getLong(7) == bigSxy.abs &&
+      BigInt(r.getLong(8)) * B18 + r.getLong(9) == bigSxx, s"centered: $r")
+    assert(BigInt(r.getLong(10)) == bigSxy.abs * 1000000 / bigSxx, s"r: $r")
+    assert(r.getInt(11) == bigSxy.signum)
   }
 
   // Σy over the symmetric pair list — by symmetry equal to Σx; kept

@@ -65,4 +65,13 @@ class MetastoreServerSpec extends AnyFunSuite {
     assert(code == 200)
     assert(body.startsWith("cb({") && body.endsWith("});"))
   }
+
+  test("unknown kind is HTTP 400, not an in-band envelope (blueprint.py:31-32)") {
+    // controllers.py:12-16 resolves an unknown kind to None and the
+    // blueprint aborts 400 — a transport error, unlike a bad filter
+    // column which stays a 200 + error envelope
+    val (code, body) = get("/search/nosuch?size=1")
+    assert(code == 400, s"expected 400, got $code: $body")
+    assert(body.contains("unknown kind"))
+  }
 }

@@ -749,11 +749,12 @@ class PipelineSpec extends AnyFunSuite {
       .map(k => BigInt(rowT(k)) * colT(k)).sum
     val r = graft.operators.Text.kappa(spark, sf).collect().head
     assert(r.getLong(0) == n && r.getLong(1) == agree, s"counts: $r")
-    assert(BigInt(r.getDecimal(2).toBigInteger) == peNum, s"pe_num: $r")
+    val B18 = BigInt(10).pow(18)
+    assert(BigInt(r.getLong(2)) * B18 + r.getLong(3) == peNum, s"pe_num: $r")
     val num = BigInt(agree) * n - peNum
     val kappaAbs = (num.abs * 1000000 / (BigInt(n) * n - peNum)).toLong
-    assert(r.getLong(5) == kappaAbs, s"kappa abs: $r")
-    assert(r.getInt(6) == num.signum, s"kappa sign: $r")
+    assert(r.getLong(6) == kappaAbs, s"kappa abs: $r")
+    assert(r.getInt(7) == num.signum, s"kappa sign: $r")
   }
 
   test("readability equals a driver-side replay of the FK/ease integer formulas") {

@@ -169,12 +169,13 @@ class RelationalSpec extends AnyFunSuite {
         val age = maxY - t._2
         BigInt(t._3) * (if (age <= 6) BigInt(64 >> age) else BigInt(0))
       }.sum
+      val B18 = BigInt(10).pow(18)
       assert(r.getLong(1) == os.length.toLong, s"n_orders: $r")
-      assert(BigInt(r.getDecimal(2).toBigInteger) == spend, s"spend: $r")
-      assert(BigInt(r.getDecimal(3).toBigInteger) == decayed, s"decayed: $r")
-      assert(r.getLong(4) == (decayed * 15625 / spend).toLong, s"recency: $r")
+      assert(BigInt(r.getLong(2)) * B18 + r.getLong(3) == spend, s"spend: $r")
+      assert(BigInt(r.getLong(4)) * B18 + r.getLong(5) == decayed, s"decayed: $r")
+      assert(r.getLong(6) == (decayed * 15625 / spend).toLong, s"recency: $r")
       // weight range [0, 64] bounds the ×1e6 ratio by [0, 1e6]
-      assert(r.getLong(4) >= 0L && r.getLong(4) <= 1000000L)
+      assert(r.getLong(6) >= 0L && r.getLong(6) <= 1000000L)
     }
   }
 
@@ -493,12 +494,14 @@ class RelationalSpec extends AnyFunSuite {
     val f = ssb * (n - k) * 1000 / (ssw * (k - 1))
     val r = operators.Relational.qAnova(spark, sf).collect().head
     assert(r.getLong(0) == k && r.getLong(1) == n && BigInt(r.getLong(2)) == s)
-    assert(BigInt(r.getDecimal(3).toBigInteger) == q, s"ssq: $r")
-    assert(BigInt(r.getDecimal(4).toBigInteger) == ssb, s"ssb: $r")
-    assert(BigInt(r.getDecimal(5).toBigInteger) == ssw, s"ssw: $r")
-    assert(BigInt(r.getLong(6)) == f, s"f: $r")
+    val B18 = BigInt(10).pow(18)
+    assert(BigInt(r.getLong(3)) * B18 + r.getLong(4) == q, s"ssq: $r")
+    assert(BigInt(r.getInt(5)) == ssb.signum, s"ssb sign: $r")
+    assert(BigInt(r.getLong(6)) * B18 + r.getLong(7) == ssb.abs, s"ssb: $r")
+    assert(BigInt(r.getLong(8)) * B18 + r.getLong(9) == ssw, s"ssw: $r")
+    assert(BigInt(r.getLong(10)) == f, s"f: $r")
     // segments genuinely differ less than noise would: F must be finite, ≥ 0
-    assert(r.getLong(6) >= 0L)
+    assert(r.getLong(10) >= 0L)
   }
 
   test("cramers v aggregates the chisq cells it is defined over") {

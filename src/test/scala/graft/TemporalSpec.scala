@@ -310,17 +310,18 @@ class TemporalSpec extends AnyFunSuite {
     val (na, sa, ssa) = stats(0); val (nb, sb, ssb) = stats(1)
     assert(BigInt(r.getLong(0)) == na && BigInt(r.getLong(1)) == nb)
     assert(BigInt(r.getLong(2)) == sa && BigInt(r.getLong(3)) == sb)
-    assert(r.getDecimal(4).toBigInteger == ssa.bigInteger)
-    assert(r.getDecimal(5).toBigInteger == ssb.bigInteger)
+    val B18 = BigInt(10).pow(18)
+    assert(BigInt(r.getLong(4)) * B18 + r.getLong(5) == ssa, s"ssq_a: $r")
+    assert(BigInt(r.getLong(6)) * B18 + r.getLong(7) == ssb, s"ssq_b: $r")
     val diff = sa * 10000 / na - sb * 10000 / nb
-    assert(BigInt(r.getLong(6)) == diff)
+    assert(BigInt(r.getLong(8)) == diff)
     val se2 = (na * ssa - sa * sa) * 1000000 / (na * (na - 1) * na) +
       (nb * ssb - sb * sb) * 1000000 / (nb * (nb - 1) * nb)
-    assert(BigInt(r.getLong(7)) == se2)
+    assert(BigInt(r.getLong(9)) == se2)
     val se = BigInt(math.floor(math.sqrt(se2.toDouble)).toLong)
-    assert(BigInt(r.getLong(8)) == se)
-    assert(BigInt(r.getLong(9)) == diff.abs * 100 / se)
-    assert(r.getInt(10) == diff.signum)
+    assert(BigInt(r.getLong(10)) == se)
+    assert(BigInt(r.getLong(11)) == diff.abs * 100 / se)
+    assert(r.getInt(12) == diff.signum)
   }
 
   test("ks d statistic matches a brute-force ecdf max-gap") {

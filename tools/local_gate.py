@@ -58,6 +58,27 @@ def main():
             print(f"FAIL {name}: oracle error {e}")
             n_fail += 1
             continue
+        # Output-boundary width lint: the driver's hasher canonicalizes
+        # decimal128 (DECIMAL > 18 digits) differently from both engines'
+        # agreed values (r6: q_anova/q_decay/q_ttest/txt_kappa all passed
+        # here value-exact yet hash-FAILed there). Reject any output
+        # column wider than BIGINT / DECIMAL(18,2) on EITHER side so
+        # "strict pass here => driver pass" holds again.
+        import pyarrow.types as pat
+
+        def too_wide(typ):
+            if pat.is_decimal(typ):
+                return typ.precision > 18 or typ.scale > 2
+            return False
+
+        wide = [(side, c, str(t.schema.field(c).type))
+                for side, t in (("spark", spark_t), ("duck", duck_t))
+                for c in t.schema.names if too_wide(t.schema.field(c).type)]
+        if wide:
+            detail = ", ".join(f"{side}.{c}={ty}" for side, c, ty in wide)
+            print(f"FAIL {name}: output wider than BIGINT/DECIMAL(18,2): {detail}")
+            n_fail += 1
+            continue
         s_cols = sorted(spark_t.schema.names)
         d_cols = sorted(duck_t.schema.names)
         if s_cols != d_cols:
