@@ -13,15 +13,24 @@ import org.apache.spark.sql.functions._
   * Deterministic: every value is a pure function of (row id, column tag)
   * via xxhash64. Never writes under /root/testdata.
   *
-  * Usage: GenData <outDir> <sf>   (sf=1.0 → 6 M lineitem rows)
+  * Usage: GenData <outDir> <sf> [vocabN]   (sf=1.0 → 6 M lineitem rows)
+  *
+  * vocabN (default 31 — the driver corpus' fixed vocabulary) sizes the
+  * document vocabulary. Passing vocabN ∝ corpus size reproduces the
+  * REALISTIC Heaps-law regime where the shingle space grows with the
+  * data and posting-list density stays constant — the regime the exact
+  * dedup operators' prefix/band filters are designed for (VERDICT r6
+  * item 7: demonstrate the dup-dense 31-word blowup is a density
+  * artifact, not plan blowup).
   */
 object GenData {
   def main(args: Array[String]): Unit = {
     val out = args(0)
     val sf = args(1).toDouble
+    val vocabN = args.lift(2).map(_.toInt).getOrElse(31)
     require(!out.startsWith("/root/testdata"), "refusing to write into the driver's testdata")
     val s = graft.GraftSession.local(logLevel = "ERROR")
-    gen(s, out, sf)
+    gen(s, out, sf, vocabN)
     s.stop()
   }
 
@@ -31,7 +40,7 @@ object GenData {
   /** Uniform double in [0, 1) as a pure function of (id, tag). */
   private def uf(tag: String) = u(tag, 1000000L).cast("double") / 1000000.0
 
-  def gen(s: SparkSession, out: String, sf: Double): Unit = {
+  def gen(s: SparkSession, out: String, sf: Double, vocabN: Int = 31): Unit = {
     val par = s.sparkContext.defaultParallelism
     def rows(atSf1: Long): Long = math.max(1L, (atSf1 * sf).toLong)
     def range(n: Long): DataFrame = s.range(0, n, 1, par).toDF("id")
@@ -146,8 +155,17 @@ object GenData {
         greatest(col("nw") - 1, lit(7))).otherwise(col("nw")))
       .select(
         col("id").as("doc_id"),
+        // vocabN ≤ 31: the driver's fixed word list (shape-matched
+        // density). vocabN > 31: synthetic "w<k>" tokens over a
+        // vocabulary that the caller sizes ∝ corpus — Zipf-free uniform
+        // draw keeps posting lists ∝ nDoc/vocabN, i.e. CONSTANT when
+        // vocab grows linearly with the corpus (the Heaps regime)
         array_join(transform(sequence(lit(1), col("nw")),
-          i => element_at(vocab, (pmod(xxhash64(col("srcid"), i, lit("dt")), lit(31)) + 1).cast("int"))),
+          i =>
+            if (vocabN <= 31)
+              element_at(vocab, (pmod(xxhash64(col("srcid"), i, lit("dt")), lit(31)) + 1).cast("int"))
+            else
+              concat(lit("w"), pmod(xxhash64(col("srcid"), i, lit("dt")), lit(vocabN)))),
           " ").as("text"),
         when(u("dl", 20) < 8, "en").when(u("dl", 20) < 11, "zh")
           .when(u("dl", 20) < 14, "es").when(u("dl", 20) < 17, "fr")
