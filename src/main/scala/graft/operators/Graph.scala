@@ -450,7 +450,10 @@ object Graph {
     * together in ≥2 distinct orders) by K synchronous rounds of min-label
     * propagation — label(v) starts at v and each round takes the min over
     * the in-neighborhood: after K rounds every vertex holds the smallest
-    * id within K hops, so components with diameter ≤ K are exact and both
+    * id within K hops, so components with diameter ≤ K are exact
+    * (K = 10 after the round-7 Converge probe showed diameter > 8 at
+    * the 10×-generator graph: sf0.1h churned 2 rows at R = 8,
+    * fixpoint at R = 10; sf1h fixpoint already at 8) and both
     * engines compute the IDENTICAL K-round labels either way (the same
     * unrolled-recurrence trick q_pagerank/q_bfs gate on). Edge extraction
     * is the only fact-scale work (checkpointed once); each round is an
@@ -458,7 +461,7 @@ object Graph {
     * labels are part-scale; AQE picks the strategy). Output: one
     * row per label with member count and id range.
     */
-  def components(s: SparkSession, d: String, iters: Int = 8): DataFrame = {
+  def components(s: SparkSession, d: String, iters: Int = 10): DataFrame = {
     val edges = repeatSymEdges(s, d)
     // each round materializes (localCheckpoint) — the join of round
     // i would otherwise re-execute rounds 1..i-1's joins, turning 8
@@ -1259,7 +1262,7 @@ object Graph {
     // (observed: DuckDB spilled >70 GB at sf0.1); materializing each
     // round keeps the oracle linear like the Spark side
     "q_components" -> {
-      val steps = (1 to 8).map { i =>
+      val steps = (1 to 10).map { i =>
         val p = s"l${i - 1}"
         s"""s$i AS MATERIALIZED (
            |  SELECT e.dst AS v, min(p.l) AS ml
@@ -1283,7 +1286,7 @@ object Graph {
          |$steps
          |SELECT l AS component, CAST(count(*) AS BIGINT) AS n_parts,
          |  min(v) AS min_part, max(v) AS max_part
-         |FROM l8 GROUP BY l ORDER BY component""".stripMargin
+         |FROM l10 GROUP BY l ORDER BY component""".stripMargin
     },
 
     "q_triangle_count" ->

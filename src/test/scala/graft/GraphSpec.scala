@@ -211,7 +211,7 @@ class GraphSpec extends AnyFunSuite {
     assert(got == want, "LPA communities diverge from the synchronous replay")
   }
 
-  test("components: 8-round labels equal a driver-side replay of the recurrence") {
+  test("components: 10-round labels equal a driver-side replay of the recurrence") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val rep = li.groupBy(_._1).values.flatMap { rows =>
@@ -221,7 +221,7 @@ class GraphSpec extends AnyFunSuite {
     val sym = rep.flatMap(e => Seq(e, (e._2, e._1)))
     val nbrs = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
     var lbl = nbrs.keys.map(v => v -> v).toMap
-    for (_ <- 1 to 8)
+    for (_ <- 1 to 10)
       lbl = lbl.map { case (v, l) =>
         v -> math.min(l, nbrs(v).map(lbl).foldLeft(Long.MaxValue)(math.min))
       }
