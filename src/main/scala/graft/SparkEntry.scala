@@ -250,6 +250,14 @@ object SparkEntry {
     "q_ewma"              -> ((s, d) => operators.Temporal.qEwma(s, d)),
     "q_twap"              -> ((s, d) => operators.Temporal.qTwap(s, d)),
     "q_seasonality"       -> ((s, d) => operators.Temporal.qSeasonality(s, d)),
+    "q_growth_accounting" -> ((s, d) => operators.Temporal.qGrowthAccounting(s, d)),
+    "q_rolling_corr"      -> ((s, d) => operators.Temporal.qRollingCorr(s, d)),
+    "q_holt"              -> ((s, d) => operators.Temporal.qHolt(s, d)),
+    "q_anomaly_dow"       -> ((s, d) => operators.Temporal.qAnomalyDow(s, d)),
+    "q_calendar_grid"     -> ((s, d) => operators.Temporal.qCalendarGrid(s, d)),
+    "q_duplicate_audit"   -> ((s, d) => Relational.qDuplicateAudit(s, d)),
+    "q_power_users"       -> ((s, d) => Relational.qPowerUsers(s, d)),
+    "q_ntile"             -> ((s, d) => Relational.qNtile(s, d)),
     "q_theil_sen"         -> ((s, d) => operators.Temporal.qTheilSen(s, d)),
     "q_control_chart"     -> ((s, d) => operators.Temporal.qControlChart(s, d)),
     "q_cusum"             -> ((s, d) => operators.Temporal.qCusum(s, d)),
@@ -632,6 +640,49 @@ object SparkEntry {
         |FROM customer JOIN supplier ON c_nationkey = s_nationkey
         |WHERE levenshtein(c_name, s_name) <= 6
         |ORDER BY c_custkey, s_suppkey""".stripMargin,
+
+    "q_duplicate_audit" ->
+      """WITH keys AS (
+        |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+        |    CAST(count(*) AS BIGINT) AS k
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT k AS multiplicity, CAST(count(*) AS BIGINT) AS n_keys,
+        |  CAST(sum(k) AS BIGINT) AS n_orders
+        |FROM keys GROUP BY k ORDER BY multiplicity""".stripMargin,
+
+    "q_power_users" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM spend),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |          CAST(sum(cents) AS BIGINT) AS total_cents FROM spend),
+        |br AS (SELECT unnest([1, 5, 10]) AS pct)
+        |SELECT CAST(br.pct AS BIGINT) AS pct,
+        |  greatest(1, (t.n_users * br.pct) // 100) AS k_users,
+        |  t.n_users, t.total_cents,
+        |  r.cum_cents AS top_cents,
+        |  CAST(CAST(r.cum_cents AS HUGEINT) * 10000 // t.total_cents AS BIGINT) AS share_x1e4
+        |FROM br CROSS JOIN tot t
+        |JOIN ranked r ON r.rn = greatest(1, (t.n_users * br.pct) // 100)
+        |ORDER BY pct""".stripMargin,
+
+    "q_ntile" ->
+      """WITH o AS (
+        |  SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |d AS (SELECT cents, CAST(ntile(10) OVER (ORDER BY cents, o_orderkey) AS INT) AS decile FROM o)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_orders,
+        |  min(cents) AS min_cents, max(cents) AS max_cents,
+        |  CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
 
     "q_pivot" ->
       """SELECT l_returnflag,

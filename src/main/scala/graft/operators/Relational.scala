@@ -1489,4 +1489,74 @@ object Relational {
            count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
   }
+
+  /** Duplicate-key audit over (customer, order-date) — the data-quality
+    * primitive every ingestion pipeline runs before declaring a column
+    * set a key: multiplicity histogram (how many candidate keys carry
+    * exactly k rows), with the row mass per bucket. multiplicity = 1 is
+    * the clean mass; everything above is the duplication to explain.
+    * Two partial-agg groupBys — key-domain then ≤max-multiplicity
+    * rows — nothing wider than the fact scan's key columns shuffles.
+    */
+  def qDuplicateAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"), expr("CAST(o_orderdate AS DATE)").as("od"))
+      .agg(count(lit(1)).as("k"))
+      .groupBy(col("k").as("multiplicity"))
+      .agg(count(lit(1)).as("n_keys"), sum(col("k")).cast("long").as("n_orders"))
+      .orderBy(col("multiplicity"))
+
+  /** Revenue concentration in the top 1% / 5% / 10% of customers — the
+    * "do whales carry the business" number ([[qLorenz]]'s fixed-bracket
+    * companion, [[qAbcAnalysis]]'s user-grain sibling): rank customers
+    * by spend (ties by key — total order), take the cumulative share at
+    * rank ⌈n·p/100⌉ (at least 1), share ×10⁴ staged DECIMAL(38,0).
+    * The ordered window runs on the CUSTOMER domain (range-partition
+    * the rank/cumsum at 100 TB — same note as [[qLorenz]]); brackets
+    * and totals are 1-row broadcasts.
+    */
+  def qPowerUsers(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).cast("long").as("cents"))
+    val w = Window.orderBy(col("cents").desc, col("o_custkey"))
+    val ranked = spend
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cum_cents",
+        sum(col("cents")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    val tot = spend.agg(count(lit(1)).as("n_users"),
+      sum(col("cents")).cast("long").as("total_cents"))
+    spark.range(1)
+      .select(explode(array(lit(1L), lit(5L), lit(10L))).as("pct"))
+      .crossJoin(broadcast(tot))
+      .withColumn("k_users", greatest(lit(1L), expr("(n_users * pct) div 100")))
+      .join(ranked.select(col("rn"), col("cum_cents")), col("rn") === col("k_users"))
+      .select(col("pct"), col("k_users"), col("n_users"), col("total_cents"),
+        col("cum_cents").cast("long").as("top_cents"),
+        expr("CAST(CAST(cum_cents AS DECIMAL(38,0)) * 10000 div total_cents AS BIGINT)")
+          .as("share_x1e4"))
+      .orderBy(col("pct"))
+  }
+
+  /** Decile report of order totals — the equi-depth histogram the BI
+    * layer renders next to [[qQuantileHist]]'s equi-width one: NTILE(10)
+    * over (cents, key) — a TOTAL order, so the SQL-standard first-
+    * buckets-larger tie split is identical in both engines — then
+    * per-decile count/min/max/sum. Like [[qPercentiles]] this is the
+    * EXACT full-sort path (one global ordered window over the fact
+    * rows — range-partition it on a cluster); the mergeable-sketch
+    * alternative at 100 TB is [[qQuantileHist]].
+    */
+  def qNtile(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("cents"), col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .withColumn("decile", ntile(10).over(w))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_orders"), min(col("cents")).as("min_cents"),
+        max(col("cents")).as("max_cents"),
+        sum(col("cents")).cast("long").as("sum_cents"))
+      .orderBy(col("decile"))
+  }
 }

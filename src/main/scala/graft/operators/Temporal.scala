@@ -1493,6 +1493,193 @@ object Temporal {
   }
 
   /** SQL twin of [[purchaseCents]], shared by the three day-domain
+    * the week grain used by the growth-accounting family. */
+  private def userWeeks(s: SparkSession, d: String): DataFrame =
+    EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id"), expr("ts_us div 604800000000").as("wk"))
+      .distinct()
+
+  /** Weekly growth accounting over the event log — the product-analytics
+    * identity every activation dashboard decomposes MAU into (public
+    * "growth accounting" framework: active(w) = new + retained +
+    * resurrected, with churned(w) = active(w−1) − retained(w)): per
+    * week, users seen for the first time (new), active both weeks
+    * (retained), returning after a gap (resurrected), and lost from the
+    * prior week (churned), plus the quick ratio ×100 =
+    * (new+resurrected)·100 div churned. Scale shape: ONE distinct over
+    * (user, week) — fact-scale partial-agg — then every further stage
+    * runs on the users×weeks activity grid (≤ |users|·|weeks|, and the
+    * self-joins are co-partitioned on user_id). No window, no collect.
+    */
+  def qGrowthAccounting(s: SparkSession, d: String): DataFrame = {
+    val uw = userWeeks(s, d).localCheckpoint(eager = false)
+    val fw = uw.groupBy(col("user_id")).agg(min(col("wk")).as("first_wk"))
+    val prev = uw.select(col("user_id"), (col("wk") + 1).as("wk"),
+      lit(1).as("was_prev"))
+    val status = uw.join(fw, Seq("user_id"))
+      .join(prev, Seq("user_id", "wk"), "left")
+      .select(col("wk"),
+        when(col("wk") === col("first_wk"), 1L).otherwise(0L).as("is_new"),
+        when(col("wk") =!= col("first_wk") && col("was_prev").isNotNull, 1L)
+          .otherwise(0L).as("is_retained"),
+        when(col("wk") =!= col("first_wk") && col("was_prev").isNull, 1L)
+          .otherwise(0L).as("is_resurrected"))
+      .groupBy(col("wk"))
+      .agg(sum(col("is_new")).cast("long").as("n_new"),
+        sum(col("is_retained")).cast("long").as("n_retained"),
+        sum(col("is_resurrected")).cast("long").as("n_resurrected"))
+    // churned at w = active in w−1 but not in w (bounded to observed weeks)
+    val maxWk = uw.agg(max(col("wk")).as("max_wk"))
+    val churned = uw.select(col("user_id"), (col("wk") + 1).as("wk"))
+      .join(uw, Seq("user_id", "wk"), "left_anti")
+      .crossJoin(broadcast(maxWk))
+      .filter(col("wk") <= col("max_wk"))
+      .groupBy(col("wk")).agg(count(lit(1)).as("n_churned"))
+    status.join(churned, Seq("wk"), "left")
+      .withColumn("n_churned", coalesce(col("n_churned"), lit(0L)))
+      .select(col("wk"), col("n_new"), col("n_retained"),
+        col("n_resurrected"), col("n_churned"),
+        when(col("n_churned") > 0,
+          expr("((n_new + n_resurrected) * 100) div n_churned"))
+          .otherwise(lit(null).cast("long")).as("quick_ratio_x100"))
+      .orderBy(col("wk"))
+  }
+
+  /** 14-day rolling Pearson correlation between the daily click-count
+    * and purchase-revenue series — "are the two signals moving together
+    * THIS fortnight" (the windowed companion of [[qSpearman]]'s global
+    * rank test), emitted integer-exact as r²·10⁶ with the sign split:
+    * over each trailing 14-day window, num = n·Σxy − Σx·Σy and the
+    * centered sums of squares stay DECIMAL(38,0); Cauchy–Schwarz bounds
+    * num² ≤ sxx·syy so the ×10⁶ quotient fits BIGINT; degenerate
+    * (constant) windows emit 0. Scale: the event log collapses to the
+    * DAY domain first — only that passes the single-partition ordered
+    * window (range-partition the running sums at 100 TB).
+    */
+  def qRollingCorr(s: SparkSession, d: String): DataFrame = {
+    val w = Window.orderBy(col("day")).rowsBetween(-13, 0)
+    val minD = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    dailyXy(s, d)
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("sx", sum(col("x")).over(w))
+      .withColumn("sy", sum(col("y")).over(w))
+      .withColumn("sxx", sum(expr("CAST(x AS DECIMAL(38,0)) * x")).over(w))
+      .withColumn("syy", sum(expr("CAST(y AS DECIMAL(38,0)) * y")).over(w))
+      .withColumn("sxy", sum(expr("CAST(x AS DECIMAL(38,0)) * y")).over(w))
+      .withColumn("rn", count(lit(1)).over(minD))
+      .filter(col("rn") >= 14)
+      .withColumn("num", expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("den", expr(
+        """(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
+          |  * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy)""".stripMargin))
+      .select(col("day"), col("x"), col("y"),
+        when(col("den") > 0,
+          expr("CAST(num * num * 1000000 div den AS BIGINT)"))
+          .otherwise(0L).as("r2_x1e6"),
+        expr("CAST(sign(num) AS INT)").as("r_sign"))
+      .orderBy(col("day"))
+  }
+
+  /** Brown's double exponential smoothing (α = 1/2, truncated 8-term
+    * kernel — the [[qEwma]] convention applied twice) of daily revenue
+    * per event type: S₁ = ewma(y), S₂ = ewma(S₁), level = 2·S₁ − S₂,
+    * trend = S₁ − S₂ (exact for α = 1/2 where α/(1−α) = 1), and the
+    * one-step forecast level + trend — the trend-aware upgrade of
+    * [[qForecastNaive]], all in BIGINT cents·×100 (each smoothing stage
+    * floors one integer division, a DEFINED part of the operator).
+    * Both window passes share the one (type, day) partition — a single
+    * day-domain shuffle after the fact-scale rollup.
+    */
+  def qHolt(s: SparkSession, d: String): DataFrame = {
+    val daily = EventStreams.normalize(Tables.events(s, d))
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("rev_cents"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    // truncated α=1/2 kernel over column c: (num, den) window sums
+    def kernel(c: Column): (Column, Column) = {
+      val terms = (0 to 7).map { j =>
+        val l = if (j == 0) c else lag(c, j).over(w)
+        (when(l.isNotNull, l * lit(1L << (7 - j))).otherwise(lit(0L)),
+          when(l.isNotNull, lit(1L << (7 - j))).otherwise(lit(0L)))
+      }
+      (terms.map(_._1).reduce(_ + _), terms.map(_._2).reduce(_ + _))
+    }
+    val (n1, d1) = kernel(col("rev_cents"))
+    val withS1 = daily
+      .withColumn("n1", n1).withColumn("d1", d1)
+      .withColumn("s1_x100", expr("(n1 * 100) div d1"))
+    val (n2, d2) = kernel(col("s1_x100"))
+    withS1
+      .withColumn("n2", n2).withColumn("d2", d2)
+      .withColumn("s2_x100", expr("n2 div d2"))
+      .select(col("event_type"), col("day"), col("rev_cents"),
+        col("s1_x100"), col("s2_x100"),
+        expr("2 * s1_x100 - s2_x100").as("level_x100"),
+        expr("s1_x100 - s2_x100").as("trend_x100"),
+        expr("3 * s1_x100 - 2 * s2_x100").as("forecast_x100"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Day-of-week seasonal anomaly screen over daily purchase revenue —
+    * the "is Tuesday unusually low FOR A TUESDAY" monitor: residual =
+    * cents − lower-median(same weekday), flagged when |residual| exceeds
+    * 3× the lower-median of all |residuals| (MAD), every statistic an
+    * exact integer via the row_number lower-median pick ([[qRunsTest]]'s
+    * convention — no interpolation, deterministic in both engines).
+    * |resid| and sign split per the signed-metric rule. Scale: the
+    * event scan collapses to the DAY domain; medians run on ≤7-row
+    * partitions and the 30-row day set.
+    */
+  def qAnomalyDow(s: SparkSession, d: String): DataFrame = {
+    val daily = dailyCents(s, d)
+      .withColumn("dow", expr("((day + 3) % 7) + 1"))
+    val wd = Window.partitionBy(col("dow")).orderBy(col("cents"), col("day"))
+    val med = daily
+      .withColumn("rn", row_number().over(wd))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("dow"))))
+      .filter(expr("rn = (cnt + 1) div 2"))
+      .select(col("dow"), col("cents").as("med_cents"))
+    val resid = daily.join(med, Seq("dow"))
+      .withColumn("resid_abs", abs(col("cents") - col("med_cents")))
+      .withColumn("resid_sign",
+        expr("CAST(sign(cents - med_cents) AS INT)"))
+    val wm = Window.orderBy(col("resid_abs"), col("day"))
+    val mad = resid
+      .withColumn("rn", row_number().over(wm))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy()))
+      .filter(expr("rn = (cnt + 1) div 2"))
+      .select(col("resid_abs").as("mad"))
+    resid.crossJoin(broadcast(mad))
+      .filter(col("resid_abs") > col("mad") * 3)
+      .select(col("day"), col("dow"), col("cents"), col("med_cents"),
+        col("resid_abs"), col("resid_sign"), col("mad"))
+      .orderBy(col("day"))
+  }
+
+  /** Day-of-week × hour activity grid with per-weekday peak hours — the
+    * calendar heatmap behind every traffic dashboard: 168 cells of
+    * event count + revenue cents, each weekday's modal hour flagged
+    * (ties to the earliest hour — deterministic). Weekday/hour are pure
+    * epoch-microsecond arithmetic (no calendar functions, no timezone
+    * drift). One fact-scale partial-agg to 168 rows; the peak window
+    * runs on those rows only.
+    */
+  def qCalendarGrid(s: SparkSession, d: String): DataFrame = {
+    val cells = EventStreams.normalize(Tables.events(s, d))
+      .select(expr("((ts_us div 86400000000 + 3) % 7) + 1").as("dow"),
+        expr("(ts_us % 86400000000) div 3600000000").as("hour"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("dow"), col("hour"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).cast("long").as("cents"))
+    val w = Window.partitionBy(col("dow")).orderBy(col("n_events").desc, col("hour"))
+    cells
+      .withColumn("is_peak_hour", (row_number().over(w) === 1).cast("int"))
+      .orderBy(col("dow"), col("hour"))
+  }
+
+  /** Single text source for the per-(day, user) purchase-cents CTE the
     * series oracles so the cents rounding / purchase filter can never
     * drift between them.
     */
@@ -1789,6 +1976,136 @@ object Temporal {
         |     + CASE WHEN l6 IS NULL THEN 0 ELSE 2 END
         |     + CASE WHEN l7 IS NULL THEN 0 ELSE 1 END) AS ewma_cents_x100
         |FROM l ORDER BY event_type, day""".stripMargin,
+
+    "q_growth_accounting" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk FROM events),
+        |fw AS (SELECT user_id, min(wk) AS first_wk FROM uw GROUP BY user_id),
+        |st AS (
+        |  SELECT u.wk,
+        |    CASE WHEN u.wk = f.first_wk THEN 1 ELSE 0 END AS is_new,
+        |    CASE WHEN u.wk <> f.first_wk AND p.user_id IS NOT NULL THEN 1 ELSE 0 END AS is_retained,
+        |    CASE WHEN u.wk <> f.first_wk AND p.user_id IS NULL THEN 1 ELSE 0 END AS is_resurrected
+        |  FROM uw u JOIN fw f USING (user_id)
+        |  LEFT JOIN uw p ON p.user_id = u.user_id AND p.wk = u.wk - 1),
+        |agg AS (SELECT wk, CAST(sum(is_new) AS BIGINT) AS n_new,
+        |          CAST(sum(is_retained) AS BIGINT) AS n_retained,
+        |          CAST(sum(is_resurrected) AS BIGINT) AS n_resurrected
+        |        FROM st GROUP BY wk),
+        |ch AS (
+        |  SELECT u.wk + 1 AS wk, CAST(count(*) AS BIGINT) AS n_churned
+        |  FROM uw u LEFT JOIN uw n ON n.user_id = u.user_id AND n.wk = u.wk + 1
+        |  WHERE n.user_id IS NULL AND u.wk + 1 <= (SELECT max(wk) FROM uw)
+        |  GROUP BY u.wk + 1)
+        |SELECT a.wk, n_new, n_retained, n_resurrected,
+        |  CAST(COALESCE(ch.n_churned, 0) AS BIGINT) AS n_churned,
+        |  CASE WHEN COALESCE(ch.n_churned, 0) > 0
+        |       THEN ((n_new + n_resurrected) * 100) // ch.n_churned
+        |       ELSE NULL END AS quick_ratio_x100
+        |FROM agg a LEFT JOIN ch ON ch.wk = a.wk
+        |ORDER BY a.wk""".stripMargin,
+
+    "q_rolling_corr" -> {
+      s"""WITH xy AS ($dailyXySql),
+         |w AS (
+         |  SELECT day, x, y,
+         |    row_number() OVER (ORDER BY day) AS rn,
+         |    CAST(count(*) OVER win AS BIGINT) AS n,
+         |    sum(x) OVER win AS sx, sum(y) OVER win AS sy,
+         |    sum(CAST(x AS HUGEINT) * x) OVER win AS sxx,
+         |    sum(CAST(y AS HUGEINT) * y) OVER win AS syy,
+         |    sum(CAST(x AS HUGEINT) * y) OVER win AS sxy
+         |  FROM xy
+         |  WINDOW win AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)),
+         |c AS (
+         |  SELECT day, x, y,
+         |    n * sxy - CAST(sx AS HUGEINT) * sy AS num,
+         |    (n * sxx - CAST(sx AS HUGEINT) * sx)
+         |      * (n * syy - CAST(sy AS HUGEINT) * sy) AS den
+         |  FROM w WHERE rn >= 14)
+         |SELECT day, x, y,
+         |  CASE WHEN den > 0 THEN CAST(num * num * 1000000 // den AS BIGINT)
+         |       ELSE 0 END AS r2_x1e6,
+         |  CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END AS INT) AS r_sign
+         |FROM c ORDER BY day""".stripMargin
+    },
+
+    "q_holt" -> {
+      def lagCols(c: String): String =
+        (1 to 7).map(j => s"lag($c, $j) OVER w AS ${c}_l$j").mkString(",\n        ")
+      def kernel(c: String, scale: String): String = {
+        val num = s"($c * 128" +
+          (1 to 7).map(j => s" + coalesce(${c}_l$j, 0) * ${1 << (7 - j)}").mkString + s")$scale"
+        val den = "(128" +
+          (1 to 7).map(j => s" + CASE WHEN ${c}_l$j IS NULL THEN 0 ELSE ${1 << (7 - j)} END").mkString + ")"
+        s"$num // $den"
+      }
+      s"""WITH daily AS (
+         |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+         |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+         |  FROM events GROUP BY 1, 2),
+         |l1 AS (SELECT event_type, day, rev_cents,
+         |        ${lagCols("rev_cents")}
+         |      FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |s1 AS (SELECT event_type, day, rev_cents,
+         |        ${kernel("rev_cents", " * 100")} AS s1_x100
+         |      FROM l1),
+         |l2 AS (SELECT event_type, day, rev_cents, s1_x100,
+         |        ${lagCols("s1_x100")}
+         |      FROM s1 WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+         |s2 AS (SELECT event_type, day, rev_cents, s1_x100,
+         |        ${kernel("s1_x100", "")} AS s2_x100
+         |      FROM l2)
+         |SELECT event_type, day, rev_cents, s1_x100, s2_x100,
+         |  2 * s1_x100 - s2_x100 AS level_x100,
+         |  s1_x100 - s2_x100 AS trend_x100,
+         |  3 * s1_x100 - 2 * s2_x100 AS forecast_x100
+         |FROM s2 ORDER BY event_type, day""".stripMargin
+    },
+
+    "q_anomaly_dow" -> {
+      s"""WITH pc AS ($purchaseCentsSql),
+         |daily AS (SELECT day, CAST(sum(cents) AS BIGINT) AS cents
+         |          FROM pc GROUP BY day),
+         |dd AS (SELECT day, cents, ((day + 3) % 7) + 1 AS dow FROM daily),
+         |med AS (
+         |  SELECT dow, cents AS med_cents FROM (
+         |    SELECT dow, cents,
+         |      row_number() OVER (PARTITION BY dow ORDER BY cents, day) AS rn,
+         |      count(*) OVER (PARTITION BY dow) AS cnt
+         |    FROM dd)
+         |  WHERE rn = (cnt + 1) // 2),
+         |resid AS (
+         |  SELECT d.day, d.dow, d.cents, m.med_cents,
+         |    abs(d.cents - m.med_cents) AS resid_abs,
+         |    CAST(CASE WHEN d.cents < m.med_cents THEN -1
+         |              WHEN d.cents > m.med_cents THEN 1 ELSE 0 END AS INT) AS resid_sign
+         |  FROM dd d JOIN med m ON m.dow = d.dow),
+         |mad AS (
+         |  SELECT resid_abs AS mad FROM (
+         |    SELECT resid_abs,
+         |      row_number() OVER (ORDER BY resid_abs, day) AS rn,
+         |      count(*) OVER () AS cnt
+         |    FROM resid)
+         |  WHERE rn = (cnt + 1) // 2)
+         |SELECT r.day, r.dow, r.cents, r.med_cents, r.resid_abs, r.resid_sign, m.mad
+         |FROM resid r CROSS JOIN mad m
+         |WHERE r.resid_abs > m.mad * 3
+         |ORDER BY r.day""".stripMargin
+    },
+
+    "q_calendar_grid" ->
+      """WITH cells AS (
+        |  SELECT ((epoch_us(ts) // 86400000000 + 3) % 7) + 1 AS dow,
+        |    (epoch_us(ts) % 86400000000) // 3600000000 AS hour,
+        |    CAST(count(*) AS BIGINT) AS n_events,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT dow, hour, n_events, cents,
+        |  CAST(CASE WHEN row_number() OVER
+        |    (PARTITION BY dow ORDER BY n_events DESC, hour) = 1
+        |    THEN 1 ELSE 0 END AS INT) AS is_peak_hour
+        |FROM cells ORDER BY dow, hour""".stripMargin,
 
     "q_twap" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,

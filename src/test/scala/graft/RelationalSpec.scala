@@ -614,4 +614,64 @@ class RelationalSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getLong(6) != r.getLong(7)),
       "raw and winsorized means identical everywhere — clamping not exercised")
   }
+
+  test("duplicate audit histogram partitions the orders table exactly") {
+    val rows = operators.Relational.qDuplicateAudit(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (mult, nKeys, nOrders) =>
+      assert(mult >= 1L && nOrders == mult * nKeys, s"bucket identity: $mult")
+    }
+    assert(rows.map(_._3).sum == Tables.orders(spark, sf).count(),
+      "buckets must partition all orders")
+    // the key-domain identity: sum of n_keys equals distinct key pairs
+    val nKeys = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(o_orderdate AS DATE) od")
+      .distinct().count()
+    assert(rows.map(_._2).sum == nKeys)
+  }
+
+  test("power-user brackets equal a sorted cumulative replay") {
+    val spend = Tables.orders(spark, sf)
+      .selectExpr("o_custkey", "CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) cents")
+      .groupBy("o_custkey").agg(sum(col("cents")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = spend.sortBy(t => (-t._2, t._1))
+    val total = sorted.map(t => BigInt(t._2)).sum
+    val rows = operators.Relational.qPowerUsers(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 5L, 10L))
+    rows.foreach { r =>
+      val k = math.max(1L, spend.length.toLong * r.getLong(0) / 100)
+      val top = sorted.take(k.toInt).map(t => BigInt(t._2)).sum
+      assert(r.getLong(1) == k && r.getLong(2) == spend.length.toLong)
+      assert(BigInt(r.getLong(4)) == top, s"top_cents: $r")
+      assert(BigInt(r.getLong(5)) == top * 10000 / total, s"share: $r")
+    }
+    // shares are monotone in the bracket and bounded by 1e4
+    val shares = rows.map(_.getLong(5))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(shares.forall(s => s >= 0 && s <= 10000L))
+  }
+
+  test("ntile deciles use the standard first-larger split and partition totals") {
+    val cents = Tables.orders(spark, sf)
+      .selectExpr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) cents")
+      .collect().map(_.getLong(0)).sorted
+    val n = cents.length
+    val rows = operators.Relational.qNtile(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.map(_._1).toSeq == (1 to 10))
+    // SQL-standard ntile: first (n mod 10) buckets get ceil(n/10)
+    val base = n / 10; val extra = n % 10
+    var idx = 0
+    rows.foreach { case (d, cnt, mn, mx, sm) =>
+      val size = base + (if (d <= extra) 1 else 0)
+      val slice = cents.slice(idx, idx + size)
+      idx += size
+      assert(cnt == size.toLong, s"decile $d size")
+      assert(mn == slice.min && mx == slice.max, s"decile $d bounds")
+      assert(sm == slice.sum, s"decile $d sum")
+    }
+    assert(idx == n)
+  }
 }

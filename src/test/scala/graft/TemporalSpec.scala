@@ -909,4 +909,132 @@ class TemporalSpec extends AnyFunSuite {
       assert((mean - BigInt(1000000)).abs <= 7, s"type $t weighted mean $mean")
     }
   }
+
+  test("growth accounting satisfies the activation identities on a replay") {
+    val uw = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .selectExpr("user_id", "ts_us div 604800000000 AS wk")
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byWeek = uw.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    val firstWk = uw.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val rows = Temporal.qGrowthAccounting(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val wk = r.getLong(0)
+      val active = byWeek(wk)
+      val nNew = active.count(u => firstWk(u) == wk).toLong
+      val prev = byWeek.getOrElse(wk - 1, Set.empty[Long])
+      val nRet = active.count(u => firstWk(u) != wk && prev(u)).toLong
+      val nRes = active.count(u => firstWk(u) != wk && !prev(u)).toLong
+      val nChu = prev.count(u => !active(u)).toLong
+      assert(r.getLong(1) == nNew && r.getLong(2) == nRet &&
+        r.getLong(3) == nRes && r.getLong(4) == nChu, s"counts: $r")
+      // the accounting identity: active = new + retained + resurrected
+      assert(nNew + nRet + nRes == active.size.toLong, s"identity: $r")
+      if (nChu > 0)
+        assert(r.getLong(5) == (nNew + nRes) * 100 / nChu, s"quick ratio: $r")
+      else assert(r.isNullAt(5))
+    }
+  }
+
+  test("rolling correlation equals a BigInt windowed Pearson replay") {
+    val xy = Temporal.qRollingCorr(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(xy.nonEmpty)
+    // rebuild the full daily series (the query emits only full windows)
+    val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .selectExpr("ts_us div 86400000000 AS day", "event_type",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val d0 = ev.map(_._1).min; val d1 = ev.map(_._1).max
+    val series = (d0 to d1).map { d =>
+      val rows = ev.filter(_._1 == d)
+      (d, rows.count(_._2 == "click").toLong,
+        rows.filter(_._2 == "purchase").map(_._3).sum)
+    }
+    val byDay = series.map(t => t._1 -> t).toMap
+    xy.foreach { case (day, x, y, r2, sgn) =>
+      val win = (day - 13 to day).map(byDay)
+      assert(win.exists(_._1 == day) && byDay(day)._2 == x && byDay(day)._3 == y)
+      val n = BigInt(win.length)
+      val sx = win.map(t => BigInt(t._2)).sum; val sy = win.map(t => BigInt(t._3)).sum
+      val sxx = win.map(t => BigInt(t._2) * t._2).sum
+      val syy = win.map(t => BigInt(t._3) * t._3).sum
+      val sxy = win.map(t => BigInt(t._2) * t._3).sum
+      val num = n * sxy - sx * sy
+      val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+      val want = if (den > 0) (num * num * 1000000 / den).toLong else 0L
+      assert(r2 == want && sgn == num.signum, s"day $day: got ($r2, $sgn) want ($want, ${num.signum})")
+      assert(r2 <= 1000000L, s"r2 above 1 at day $day")
+    }
+  }
+
+  test("holt double smoothing equals a per-type kernel replay") {
+    val rows = Temporal.qHolt(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    assert(rows.nonEmpty)
+    def kernel(ys: Seq[Long]): Seq[Long] = ys.indices.map { i =>
+      val terms = (0 to 7).flatMap { j =>
+        if (i - j >= 0) Some((ys(i - j), 1L << (7 - j))) else None
+      }
+      // caller scales the numerator; here the plain kernel
+      terms.map(t => t._1 * t._2).sum / terms.map(_._2).sum
+    }
+    def kernelX100(ys: Seq[Long]): Seq[Long] = ys.indices.map { i =>
+      val terms = (0 to 7).flatMap { j =>
+        if (i - j >= 0) Some((ys(i - j), 1L << (7 - j))) else None
+      }
+      terms.map(t => t._1 * t._2).sum * 100 / terms.map(_._2).sum
+    }
+    rows.groupBy(_._1).foreach { case (et, rs) =>
+      val sorted = rs.sortBy(_._2)
+      val s1 = kernelX100(sorted.map(_._3).toSeq)
+      val s2 = kernel(s1)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        assert(r._4 == s1(i) && r._5 == s2(i), s"$et day ${r._2}: s1/s2 drift")
+        assert(r._6 == 2 * s1(i) - s2(i) && r._7 == s1(i) - s2(i) &&
+          r._8 == 3 * s1(i) - 2 * s2(i), s"$et day ${r._2}: derived cols")
+      }
+    }
+  }
+
+  test("dow anomalies exceed 3x MAD and match the lower-median replay") {
+    val daily = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .filter(col("event_type") === "purchase")
+      .selectExpr("ts_us div 86400000000 AS day",
+        "CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents")
+      .groupBy(col("day")).agg(sum(col("cents")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def lowerMedian(xs: Seq[(Long, Long)]): Long = {
+      // order by (value, day), pick rank (n+1) div 2 — the query's rule
+      val sorted = xs.sortBy(t => (t._2, t._1))
+      sorted(((sorted.length + 1) / 2 - 1).max(0))._2
+    }
+    val med = daily.groupBy(t => ((t._1 + 3) % 7) + 1).view
+      .mapValues(v => lowerMedian(v.toSeq)).toMap
+    val resid = daily.map { case (d, c) =>
+      (d, c - med(((d + 3) % 7) + 1)) }
+    val mad = lowerMedian(resid.map(t => (t._1, t._2.abs)).toSeq.sortBy(identity))
+    val want = resid.filter(t => t._2.abs > 3 * mad).map(_._1).toSet
+    val got = Temporal.qAnomalyDow(spark, sf).collect()
+    assert(got.map(_.getLong(0)).toSet == want, "anomalous day set drift")
+    got.foreach { r =>
+      assert(r.getLong(6) == mad && r.getLong(4) > 3 * mad, s"threshold: $r")
+      assert(r.getLong(4) == (r.getLong(2) - r.getLong(3)).abs, s"resid: $r")
+    }
+  }
+
+  test("calendar grid partitions the event count with one peak per weekday") {
+    val rows = Temporal.qCalendarGrid(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))
+    val total = Tables.events(spark, sf).count()
+    assert(rows.map(_._3).sum == total, "cells must partition all events")
+    rows.groupBy(_._1).foreach { case (dow, cells) =>
+      val peaks = cells.filter(_._5 == 1)
+      assert(peaks.length == 1, s"dow $dow: ${peaks.length} peaks")
+      val best = cells.map(c => (-c._3, c._2)).min
+      assert((-peaks.head._3, peaks.head._2) == best, s"dow $dow: wrong peak")
+    }
+    assert(rows.forall(t => t._1 >= 1 && t._1 <= 7 && t._2 >= 0 && t._2 <= 23))
+  }
 }
