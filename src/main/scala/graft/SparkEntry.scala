@@ -41,6 +41,12 @@ object SparkEntry {
     "ms_range_filter"      -> ((s, d) => Metastore.rangeFilterQ(s, d)),
     "ms_date_histogram"    -> ((s, d) => Metastore.dateHistogramQ(s, d)),
     "ms_significant_terms" -> ((s, d) => Metastore.significantTermsQ(s, d)),
+    "ms_span_near"         -> ((s, d) => Metastore.spanNearQ(s, d)),
+    "ms_phrase_prefix"     -> ((s, d) => Metastore.phrasePrefixQ(s, d)),
+    "ms_percolate"         -> ((s, d) => Metastore.percolateQ(s, d)),
+    "ms_terms_agg_stats"   -> ((s, d) => Metastore.termsAggStatsQ(s, d)),
+    "ms_decay_recency"     -> ((s, d) => Metastore.decayRecencyQ(s, d)),
+    "ms_query_string"      -> ((s, d) => Metastore.queryStringQuery(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
     "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),
     "ms_events_visibility" -> ((s, d) => Metastore.eventsVisibility(s, d)),

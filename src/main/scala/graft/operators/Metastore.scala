@@ -655,6 +655,163 @@ object Metastore {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("event_entity"))
 
+  /** ES span_near analog (in_order = true, slop = 3): "merge" followed
+    * by "join" within ≤ 3 intervening analyzed tokens — the proximity
+    * upgrade of [[phraseQ]]'s adjacency (slop 0). Positions extracted
+    * once per doc, the ordered pair scan is a codegen'd higher-order
+    * flatten over the two (tiny) position lists — no explode, no
+    * positional join, one narrow map pass after the substring
+    * prefilter. Emits pair count and minimum gap per doc.
+    */
+  def spanNearQ(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(ds.visible(idx(s, d), None)
+      .filter(lower(col("readme")).contains("merge") &&
+        lower(col("readme")).contains("join")))
+      .withColumn("toks", Analyzer.tokens(col("readme")))
+      .withColumn("pm", expr("filter(sequence(0, size(toks) - 1), i -> toks[i] = 'merge')"))
+      .withColumn("pj", expr("filter(sequence(0, size(toks) - 1), i -> toks[i] = 'join')"))
+      .withColumn("gaps", expr(
+        "flatten(transform(pm, i -> transform(filter(pj, j -> j > i AND j - i <= 4), j -> j - i - 1)))"))
+      .filter(size(col("gaps")) > 0)
+      .select(col("doc_id"), col("name"),
+        size(col("gaps")).cast("long").as("n_pairs"),
+        expr("CAST(array_min(gaps) AS BIGINT)").as("min_gap"))
+      .orderBy(col("doc_id")).limit(100)
+
+  /** ES match_phrase_prefix analog: "merge jo*" — 'merge' immediately
+    * followed by any token with prefix "jo" (the search-as-you-type
+    * primitive). [[phraseQ]]'s adjacency scan with a prefix test on the
+    * trailing position; emits the distinct completions actually seen so
+    * the expansion itself is gate-checked.
+    */
+  def phrasePrefixQ(s: SparkSession, d: String): DataFrame =
+    Tables.fanOut(ds.visible(idx(s, d), None)
+      .filter(lower(col("readme")).contains("merge")))
+      .withColumn("toks", Analyzer.tokens(col("readme")))
+      .withColumn("completions", expr(
+        """array_sort(array_distinct(filter(
+          |  transform(sequence(1, greatest(size(toks) - 1, 1)), i ->
+          |    CASE WHEN toks[i - 1] = 'merge' AND startswith(toks[i], 'jo')
+          |         THEN toks[i] END),
+          |  x -> x IS NOT NULL)))""".stripMargin))
+      .filter(size(col("completions")) > 0)
+      .select(col("doc_id"), col("name"),
+        array_join(col("completions"), ",").as("completions"),
+        size(col("completions")).cast("long").as("n_completions"))
+      .orderBy(col("doc_id")).limit(100)
+
+  /** The pinned percolator query registry: (query_id, required terms,
+    * optional lang filter) — a SPEC constant shared verbatim with the
+    * DuckDB oracle (the decayCaseSql single-source discipline).
+    */
+  val percolatorQueries: Seq[(Long, Seq[String], Option[String])] = Seq(
+    (1L, Seq("merge", "join"), None),
+    (2L, Seq("window", "group"), Some("en")),
+    (3L, Seq("stream"), Some("zh")),
+    (4L, Seq("hash", "partition"), None),
+    (5L, Seq("vector", "data"), Some("en")))
+
+  /** ES percolate analog — search REVERSED: a registry of stored
+    * queries is matched against the document stream ("which alerts
+    * does this new doc trigger"), the primitive behind saved-search
+    * notifications. Each stored query = required analyzed terms (all
+    * must appear) + optional lang filter. The registry is a broadcast
+    * literal (percolator registries are small by design); the doc side
+    * streams through one tokenize + in-map forall per query — at
+    * 100 TB this is a map-only pass over the corpus, no shuffle until
+    * the per-query rollup. Emits per query: match count + id range.
+    */
+  def percolateQ(s: SparkSession, d: String): DataFrame = {
+    val reg = percolatorQueries.map { case (qid, terms, lang) =>
+      struct(lit(qid).as("query_id"),
+        array(terms.map(lit): _*).as("terms"),
+        lang.map(lit(_)).getOrElse(lit(null).cast("string")).as("q_lang"))
+    }
+    Tables.fanOut(ds.visible(idx(s, d), None))
+      .withColumn("toks", Analyzer.tokens(col("readme")))
+      .select(col("doc_id"), col("lang"), col("toks"),
+        explode(array(reg: _*)).as("q"))
+      .filter(expr("q.q_lang IS NULL OR q.q_lang = lang") &&
+        expr("forall(q.terms, t -> array_contains(toks, t))"))
+      .groupBy(col("q.query_id").as("query_id"))
+      .agg(count(lit(1)).as("n_matches"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+      .orderBy(col("query_id"))
+  }
+
+  /** ES terms aggregation with sub-aggregations (the `aggs` block the
+    * reference's summary endpoint stops short of): visible docs
+    * bucketed by source — doc count, byte sum, integer mean bytes ×100,
+    * and the per-bucket top document by (bytes desc, doc_id) — buckets
+    * ordered by count desc then key (the ES default), top 10 buckets.
+    * One partial-agg groupBy to the source domain + an argmax window
+    * on the same shuffle.
+    */
+  def termsAggStatsQ(s: SparkSession, d: String): DataFrame = {
+    val v = ds.visible(idx(s, d), None)
+      .select(col("doc_id"), col("source"), col("bytes"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("bytes").desc, col("doc_id"))
+    val top = v.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("doc_id").as("top_doc"),
+        col("bytes").as("top_bytes"))
+    v.groupBy(col("source"))
+      .agg(count(lit(1)).as("doc_count"),
+        sum(col("bytes")).cast("long").as("sum_bytes"))
+      .withColumn("avg_bytes_x100", expr("(sum_bytes * 100) div doc_count"))
+      .join(top, Seq("source"))
+      .orderBy(col("doc_count").desc, col("source")).limit(10)
+      .select(col("source"), col("doc_count"), col("sum_bytes"),
+        col("avg_bytes_x100"), col("top_doc"), col("top_bytes"))
+  }
+
+  /** ES function_score date-decay analog over the events kind (gauss/
+    * exp decay made integer-exact the [[Relational.qDecay]] way):
+    * score = value cents · 2^(6 − age_weeks) with a 6-week horizon,
+    * age from the corpus max timestamp (the "now" a decay query pins),
+    * top 50 by (score desc, event_id). The weight is a dyadic CASE —
+    * no float pow — and "now" is a 1-row broadcast scalar; the scan
+    * stays a map pass into a TakeOrdered top-k.
+    */
+  def decayRecencyQ(s: SparkSession, d: String): DataFrame = {
+    val e = evEngine.visible(ev(s, d), None)
+      .select(col("event_id"), col("event_entity"),
+        expr("ts_us div 604800000000").as("wk"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val now = e.agg(max(col("wk")).as("now_wk"))
+    val decayCase = (0 to 6).map(a => s"WHEN $a THEN ${64 >> a}")
+      .mkString("CASE now_wk - wk ", " ", " ELSE 0 END")
+    e.crossJoin(broadcast(now))
+      .select(col("event_id"), col("event_entity"),
+        (col("now_wk") - col("wk")).as("age_weeks"),
+        col("cents"), expr(s"cents * ($decayCase)").as("score_x64"))
+      .orderBy(col("score_x64").desc, col("event_id")).limit(50)
+  }
+
+  /** The pinned query-string spec constant (shared with the oracle and
+    * the spec's independent evaluator).
+    */
+  val queryStringQ: String = "merge AND (join OR sort) NOT slow"
+
+  /** ES query_string analog: a Lucene-style boolean mini-language
+    * (`AND`/`OR`/`NOT`/parens/implicit AND) parsed driver-side by
+    * [[graft.search.QueryString]] and compiled to ONE codegen'd
+    * predicate over the analyzed token array — no per-term scans, no
+    * joins; the visible set streams through a single map-filter pass
+    * (at 100 TB: a scan with the whole boolean tree fused into one
+    * whole-stage-codegen filter). The oracle renders the SAME parse
+    * tree to DuckDB SQL, so the semantics cannot drift.
+    */
+  def queryStringQuery(s: SparkSession, d: String): DataFrame = {
+    val tree = graft.search.QueryString.parse(queryStringQ)
+    Tables.fanOut(ds.visible(idx(s, d), None))
+      .withColumn("toks", Analyzer.tokens(col("readme")))
+      .filter(graft.search.QueryString.toPredicate(tree, col("toks")))
+      .select(col("doc_id"), col("name"), col("lang"))
+      .orderBy(col("doc_id")).limit(100)
+  }
+
   // --- oracle SQL --------------------------------------------------------
 
   private val idxCte = s"WITH idx AS (\n${Tables.datasetIndexSql}\n)"
@@ -1128,5 +1285,98 @@ object Metastore {
          |WHERE findability = 'published'
          |GROUP BY event_entity
          |ORDER BY event_entity""".stripMargin,
+
+    "ms_span_near" ->
+      s"""$idxCte,
+         |t AS (SELECT doc_id, name, ${tok("readme")} AS toks FROM idx
+         |      WHERE findability = 'published'),
+         |p AS (SELECT doc_id, name,
+         |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'merge') AS pm,
+         |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS pj
+         |      FROM t),
+         |g AS (SELECT doc_id, name,
+         |        flatten(list_transform(pm, i ->
+         |          list_transform(list_filter(pj, j -> j > i AND j - i <= 4),
+         |            j -> j - i - 1))) AS gaps
+         |      FROM p)
+         |SELECT doc_id, name, CAST(len(gaps) AS BIGINT) AS n_pairs,
+         |  CAST(list_min(gaps) AS BIGINT) AS min_gap
+         |FROM g WHERE len(gaps) > 0 ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_phrase_prefix" ->
+      s"""$idxCte,
+         |t AS (SELECT doc_id, name, ${tok("readme")} AS toks FROM idx
+         |      WHERE findability = 'published'),
+         |c AS (SELECT doc_id, name,
+         |        list_sort(list_distinct(list_filter(
+         |          list_transform(range(2, greatest(len(toks), 1) + 1), i ->
+         |            CASE WHEN toks[i - 1] = 'merge' AND starts_with(toks[i], 'jo')
+         |                 THEN toks[i] END),
+         |          x -> x IS NOT NULL))) AS completions
+         |      FROM t)
+         |SELECT doc_id, name, array_to_string(completions, ',') AS completions,
+         |  CAST(len(completions) AS BIGINT) AS n_completions
+         |FROM c WHERE len(completions) > 0 ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_percolate" -> {
+      val rows = percolatorQueries.map { case (qid, terms, lang) =>
+        val ts = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+        val lg = lang.map(l => s"'$l'").getOrElse("CAST(NULL AS VARCHAR)")
+        s"(CAST($qid AS BIGINT), $ts, $lg)"
+      }.mkString(", ")
+      s"""$idxCte,
+         |t AS (SELECT doc_id, lang, ${tok("readme")} AS toks FROM idx
+         |      WHERE findability = 'published'),
+         |reg AS (SELECT * FROM (VALUES $rows) q(query_id, terms, q_lang))
+         |SELECT r.query_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  min(t.doc_id) AS min_doc, max(t.doc_id) AS max_doc
+         |FROM t CROSS JOIN reg r
+         |WHERE (r.q_lang IS NULL OR r.q_lang = t.lang)
+         |  AND len(list_filter(r.terms, x -> NOT list_contains(t.toks, x))) = 0
+         |GROUP BY r.query_id ORDER BY r.query_id""".stripMargin
+    },
+
+    "ms_terms_agg_stats" ->
+      s"""$idxCte,
+         |v AS (SELECT doc_id, source, bytes FROM idx
+         |      WHERE findability = 'published'),
+         |agg AS (SELECT source, CAST(count(*) AS BIGINT) AS doc_count,
+         |          CAST(sum(bytes) AS BIGINT) AS sum_bytes
+         |        FROM v GROUP BY source),
+         |top AS (SELECT source, doc_id AS top_doc, bytes AS top_bytes FROM (
+         |          SELECT source, doc_id, bytes,
+         |            row_number() OVER (PARTITION BY source
+         |              ORDER BY bytes DESC, doc_id) AS rn
+         |          FROM v) WHERE rn = 1)
+         |SELECT a.source, a.doc_count, a.sum_bytes,
+         |  (a.sum_bytes * 100) // a.doc_count AS avg_bytes_x100,
+         |  t.top_doc, t.top_bytes
+         |FROM agg a JOIN top t ON t.source = a.source
+         |ORDER BY a.doc_count DESC, a.source LIMIT 10""".stripMargin,
+
+    "ms_decay_recency" -> {
+      val decayCase = (0 to 6).map(a => s"WHEN $a THEN ${64 >> a}")
+        .mkString("CASE n.now_wk - e.wk ", " ", " ELSE 0 END")
+      s"""$evCte,
+         |w AS (SELECT event_id, event_entity, ts_us // 604800000000 AS wk,
+         |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |      FROM ev WHERE findability = 'published'),
+         |n AS (SELECT max(wk) AS now_wk FROM w)
+         |SELECT e.event_id, e.event_entity,
+         |  n.now_wk - e.wk AS age_weeks, e.cents,
+         |  e.cents * ($decayCase) AS score_x64
+         |FROM w e CROSS JOIN n
+         |ORDER BY score_x64 DESC, e.event_id LIMIT 50""".stripMargin
+    },
+
+    "ms_query_string" -> {
+      val tree = graft.search.QueryString.parse(queryStringQ)
+      s"""$idxCte,
+         |t AS (SELECT doc_id, name, lang, ${tok("readme")} AS toks FROM idx
+         |      WHERE findability = 'published')
+         |SELECT doc_id, name, lang FROM t
+         |WHERE ${graft.search.QueryString.toSql(tree, "toks")}
+         |ORDER BY doc_id LIMIT 100""".stripMargin
+    },
   )
 }

@@ -404,4 +404,105 @@ class SearchSpec extends AnyFunSuite {
       assert(lift == fgDf * nBg * 1000000L / (bgDf * nFg), s"lift formula drift: $r")
     }
   }
+
+  test("span_near pairs and gaps equal a token-position replay") {
+    val docs = Tables.datasetIndex(spark, sf)
+      .filter(col("findability") === "published")
+      .select("doc_id", "readme").collect()
+      .map(r => r.getLong(0) -> graft.search.Analyzer
+        .analyzeQuery(r.getString(1)).toVector).toMap
+    val want = docs.flatMap { case (id, toks) =>
+      val pm = toks.indices.filter(toks(_) == "merge")
+      val pj = toks.indices.filter(toks(_) == "join")
+      val gaps = for (i <- pm; j <- pj if j > i && j - i <= 4) yield (j - i - 1).toLong
+      if (gaps.nonEmpty) Some(id -> (gaps.length.toLong, gaps.min)) else None
+    }
+    val got = Metastore.spanNearQ(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    // query emits the first 100 by doc_id — replay restricted accordingly
+    val cap = want.keys.toSeq.sorted.take(100).toSet
+    assert(got == want.view.filterKeys(cap).toMap, "span-near drift vs position replay")
+    assert(got.nonEmpty)
+  }
+
+  test("phrase_prefix completions all start with the prefix and follow 'merge'") {
+    val rows = Metastore.phrasePrefixQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val comps = r.getString(2).split(",")
+      assert(comps.nonEmpty && comps.forall(_.startsWith("jo")), s"bad completion: $r")
+      assert(r.getLong(3) == comps.length.toLong)
+    }
+  }
+
+  test("percolate matches equal a stored-query replay over the visible corpus") {
+    val docs = Tables.datasetIndex(spark, sf)
+      .filter(col("findability") === "published")
+      .select("doc_id", "lang", "readme").collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        graft.search.Analyzer.analyzeQuery(r.getString(2)).toSet))
+    val want = Metastore.percolatorQueries.flatMap { case (qid, terms, lang) =>
+      val hits = docs.filter { case (_, l, toks) =>
+        lang.forall(_ == l) && terms.forall(toks.contains)
+      }
+      if (hits.nonEmpty) Some((qid, hits.length.toLong, hits.map(_._1).min, hits.map(_._1).max))
+      else None
+    }.sortBy(_._1)
+    val got = Metastore.percolateQ(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, "percolator match sets drift from the replay")
+  }
+
+  test("terms agg buckets: count-desc order, argmax top doc, exact integer mean") {
+    val rows = Metastore.termsAggStatsQ(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    val counts = rows.map(_.getLong(1))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b }, "bucket order")
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * 100 / r.getLong(1), s"mean: $r")
+      assert(r.getLong(5) <= r.getLong(2), s"top doc bytes exceed bucket sum: $r")
+    }
+  }
+
+  test("decay recency: scores are the dyadic weight times cents, order is total") {
+    val rows = Metastore.decayRecencyQ(spark, sf).collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val (age, cents, score) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      val w = if (age <= 6) 64L >> age.toInt else 0L
+      assert(score == cents * w, s"decay weight drift: $r")
+    }
+    val keys = rows.map(r => (-r.getLong(4), r.getLong(0)))
+    assert(keys.zip(keys.tail).forall { case (a, b) =>
+      a._1 < b._1 || (a._1 == b._1 && a._2 < b._2) }, "top-50 order not total")
+  }
+
+  test("query-string parser: precedence, implicit AND, and plan ≡ evaluator") {
+    import graft.search.QueryString
+    // precedence: OR binds loosest, NOT tightest; implicit AND
+    val t1 = QueryString.parse("xx OR yy zz")
+    assert(QueryString.eval(t1, Set("xx")) && QueryString.eval(t1, Set("yy", "zz")))
+    assert(!QueryString.eval(t1, Set("yy")))
+    val t2 = QueryString.parse("NOT xx yy")
+    assert(QueryString.eval(t2, Set("yy")) && !QueryString.eval(t2, Set("xx", "yy")))
+    val t3 = QueryString.parse("xx AND (yy OR zz)")
+    assert(QueryString.eval(t3, Set("xx", "zz")) && !QueryString.eval(t3, Set("xx")))
+    // pinned: a term that analyzes to nothing (stop word) is an error,
+    // not a silent no-op clause
+    intercept[IllegalArgumentException](QueryString.parse("xx the"))
+    intercept[IllegalArgumentException](QueryString.parse("xx AND"))
+    intercept[IllegalArgumentException](QueryString.parse("(xx OR yy"))
+    intercept[IllegalArgumentException](QueryString.parse("the"))
+    // the shipped query's plan equals a driver-side evaluation replay
+    val tree = QueryString.parse(Metastore.queryStringQ)
+    val want = Tables.datasetIndex(spark, sf)
+      .filter(col("findability") === "published")
+      .select("doc_id", "readme").collect()
+      .map(r => (r.getLong(0),
+        graft.search.Analyzer.analyzeQuery(r.getString(1)).toSet))
+      .filter(t => QueryString.eval(tree, t._2)).map(_._1).sorted.take(100).toSeq
+    val got = Metastore.queryStringQuery(spark, sf).collect().map(_.getLong(0)).toSeq
+    assert(got == want, "query-string plan diverges from the evaluator replay")
+    assert(got.nonEmpty)
+  }
 }
