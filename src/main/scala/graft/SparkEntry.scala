@@ -289,6 +289,12 @@ object SparkEntry {
     "mm_thumbnail"        -> ((s, d) => Pipeline.mmThumbnail(s, d)),
     "pipe_quality_curve"  -> ((s, d) => Pipeline.pipeQualityCurve(s, d)),
     "q_k_anonymity"       -> ((s, d) => Pipeline.qKAnonymity(s, d)),
+    "q_l_diversity"       -> ((s, d) => Pipeline.qLDiversity(s, d)),
+    "pipe_class_balance"  -> ((s, d) => Pipeline.pipeClassBalance(s, d)),
+    "pipe_dup_cluster_stats" -> ((s, d) => Pipeline.pipeDupClusterStats(s, d)),
+    "txt_bigram_lm"       -> ((s, d) => Text.bigramLm(s, d)),
+    "txt_surprisal"       -> ((s, d) => Text.surprisal(s, d)),
+    "txt_code_detect"     -> ((s, d) => Text.codeDetect(s, d)),
     "mm_decode_jpeg"      -> ((s, d) => Pipeline.mmDecodeJpeg(s, d)),
     "mm_phash"            -> ((s, d) => Pipeline.mmPhash(s, d)),
     "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),

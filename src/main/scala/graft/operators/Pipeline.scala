@@ -192,6 +192,85 @@ object Pipeline {
       .orderBy(col("k_bucket"))
   }
 
+  /** l-diversity audit — [[qKAnonymity]]'s attribute-disclosure
+    * companion (public l-diversity literature): within each
+    * quasi-identifier class (source, size bucket), how many DISTINCT
+    * values of the sensitive attribute (lang) appear. A class with
+    * l = 1 leaks the sensitive value of every member even when k is
+    * large — the case k-anonymity alone cannot catch. Profile rows by
+    * l bucket with class/doc counts and ppm shares. Same scale shape
+    * as the k audit: one partial-agg pass to the QI grid.
+    */
+  def qLDiversity(s: SparkSession, d: String): DataFrame = {
+    val classes = Tables.documents(s, d)
+      .groupBy(col("source"), expr("n_chars div 100").as("size_bucket"))
+      .agg(count(lit(1)).as("k"),
+        countDistinct(col("lang")).as("l"))
+    val tot = classes.agg(sum(col("k")).cast("long").as("n_docs_total"))
+    classes
+      .withColumn("l_bucket",
+        when(col("l") === 1, "1_homogeneous")
+          .when(col("l") === 2, "2_binary")
+          .otherwise(lit("3_plus")))
+      .groupBy(col("l_bucket"))
+      .agg(count(lit(1)).cast("long").as("n_classes"),
+        sum(col("k")).cast("long").as("n_docs"),
+        min(col("l")).cast("long").as("min_l"),
+        max(col("l")).cast("long").as("max_l"))
+      .crossJoin(broadcast(tot))
+      .select(col("l_bucket"), col("n_classes"), col("n_docs"),
+        col("min_l"), col("max_l"),
+        expr("(n_docs * 1000000) div n_docs_total").as("docs_ppm"))
+      .orderBy(col("l_bucket"))
+  }
+
+  /** Class-balance report + uniform-rebalance weights per language —
+    * the mixture bookkeeping before an oversampling/temperature pass
+    * ([[pipeMixWeights]]' descriptive sibling): per class, doc and
+    * token counts, corpus shares in ppm, and the exact integer weight
+    * ×10⁶ that would rebalance doc counts to uniform
+    * (n_total·10⁶ div (n_classes·n_class) — >10⁶ means upsample).
+    * One corpus pass with map-side token counting; everything after
+    * runs on the |langs|-row grid.
+    */
+  def pipeClassBalance(s: SparkSession, d: String): DataFrame = {
+    val cls = Tables.documents(s, d)
+      .select(col("lang"),
+        size(graft.text.TextFunctions.rawTokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).cast("long").as("n_tokens"))
+    val tot = cls.agg(count(lit(1)).as("n_classes"),
+      sum(col("n_docs")).cast("long").as("n_docs_total"),
+      sum(col("n_tokens")).cast("long").as("n_tokens_total"))
+    cls.crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("n_tokens"),
+        expr("(n_docs * 1000000) div n_docs_total").as("docs_ppm"),
+        expr("(n_tokens * 1000000) div n_tokens_total").as("tokens_ppm"),
+        expr("CAST(CAST(n_docs_total AS DECIMAL(38,0)) * 1000000 div (n_classes * n_docs) AS BIGINT)")
+          .as("uniform_weight_x1e6"))
+      .orderBy(col("lang"))
+  }
+
+  /** Duplicate-cluster size histogram — the "how duplicated is my
+    * corpus" readout over [[dedupCluster]]'s near-dup components:
+    * per cluster size k, the number of clusters, the doc mass, and
+    * its ppm share. k = 1 is the unique mass; the tail tells you what
+    * a keep-one-per-cluster pass would delete. Runs on the cluster
+    * table (≤ |docs| rows), two cheap rollups after the LSH+CC work.
+    */
+  def pipeDupClusterStats(s: SparkSession, d: String): DataFrame = {
+    val cl = Dedup.nearDupClusters(Tables.documents(s, d))
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("k"))
+    val tot = cl.agg(sum(col("k")).cast("long").as("n_docs_total"))
+    cl.groupBy(col("k").as("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"),
+        sum(col("k")).cast("long").as("n_docs"))
+      .crossJoin(broadcast(tot))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        expr("(n_docs * 1000000) div n_docs_total").as("docs_ppm"))
+      .orderBy(col("cluster_size"))
+  }
+
   /** Quality-threshold sweep — the curation-tuning curve: for 5 pinned
     * uniqueness thresholds (the repetition-filter knob), how many docs
     * and tokens survive, as counts + ppm shares. ONE corpus pass:
@@ -922,6 +1001,29 @@ object Pipeline {
   private val fpNorm = TextFunctions.fingerprintSql(TextFunctions.normalizedSql("text"))
   private val shingleE = Dedup.shinglesSql("text")
 
+  /** Shared CTE chain of the near-dup transitive closure (pairs -> sym
+    * closure -> min-reachable label) — single source for the
+    * dedup_cluster and pipe_dup_cluster_stats oracles.
+    */
+  private lazy val clusterCtes: String =
+    s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingleE AS sh FROM documents),
+       |pr AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b
+       |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+       |  WHERE len(list_intersect(x.sh, y.sh)) > 0
+       |    AND (1000000 * CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT))
+       |        // CAST(len(list_distinct(x.sh || y.sh)) AS BIGINT) >= 500000),
+       |sym AS (SELECT a AS x, b AS y FROM pr UNION ALL SELECT b, a FROM pr),
+       |reach(x, y) AS (
+       |  SELECT x, y FROM sym
+       |  UNION
+       |  SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x),
+       |lab AS (
+       |  SELECT d.doc_id,
+       |    LEAST(d.doc_id, COALESCE(MIN(r.y), d.doc_id)) AS cluster_id
+       |  FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
+       |  GROUP BY d.doc_id)""".stripMargin
+
   private val annBruteSql =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 97 = 0),
@@ -1365,26 +1467,20 @@ object Pipeline {
     // CTE; cluster id = min reachable doc (same fixpoint the Spark
     // min-label propagation converges to)
     "dedup_cluster" ->
-      s"""WITH RECURSIVE sh AS (SELECT doc_id, $shingleE AS sh FROM documents),
-         |pr AS (
-         |  SELECT x.doc_id AS a, y.doc_id AS b
-         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
-         |  WHERE len(list_intersect(x.sh, y.sh)) > 0
-         |    AND (1000000 * CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT))
-         |        // CAST(len(list_distinct(x.sh || y.sh)) AS BIGINT) >= 500000),
-         |sym AS (SELECT a AS x, b AS y FROM pr UNION ALL SELECT b, a FROM pr),
-         |reach(x, y) AS (
-         |  SELECT x, y FROM sym
-         |  UNION
-         |  SELECT r.x, s.y FROM reach r JOIN sym s ON r.y = s.x),
-         |lab AS (
-         |  SELECT d.doc_id,
-         |    LEAST(d.doc_id, COALESCE(MIN(r.y), d.doc_id)) AS cluster_id
-         |  FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
-         |  GROUP BY d.doc_id)
+      s"""$clusterCtes
          |SELECT doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "pipe_dup_cluster_stats" ->
+      s"""$clusterCtes,
+         |cl AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS k
+         |       FROM lab GROUP BY cluster_id),
+         |t AS (SELECT CAST(sum(k) AS BIGINT) AS n_docs_total FROM cl)
+         |SELECT k AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(k) AS BIGINT) AS n_docs,
+         |  CAST((sum(k) * 1000000) // max(t.n_docs_total) AS BIGINT) AS docs_ppm
+         |FROM cl CROSS JOIN t GROUP BY k ORDER BY cluster_size""".stripMargin,
 
     "dedup_simhash" ->
       s"""WITH sig AS (
@@ -1892,6 +1988,42 @@ object Pipeline {
         |  CAST(sum(g) AS BIGINT) AS thumb_sum_g,
         |  CAST(sum(b) AS BIGINT) AS thumb_sum_b
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "q_l_diversity" ->
+      """WITH cl AS (
+        |  SELECT source, n_chars // 100 AS size_bucket,
+        |    CAST(count(*) AS BIGINT) AS k,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS l
+        |  FROM documents GROUP BY source, size_bucket),
+        |t AS (SELECT CAST(sum(k) AS BIGINT) AS n_docs_total FROM cl),
+        |b AS (
+        |  SELECT CASE WHEN l = 1 THEN '1_homogeneous'
+        |              WHEN l = 2 THEN '2_binary'
+        |              ELSE '3_plus' END AS l_bucket,
+        |    CAST(count(*) AS BIGINT) AS n_classes,
+        |    CAST(sum(k) AS BIGINT) AS n_docs,
+        |    CAST(min(l) AS BIGINT) AS min_l, CAST(max(l) AS BIGINT) AS max_l
+        |  FROM cl GROUP BY 1)
+        |SELECT l_bucket, n_classes, n_docs, min_l, max_l,
+        |  (n_docs * 1000000) // n_docs_total AS docs_ppm
+        |FROM b CROSS JOIN t ORDER BY l_bucket""".stripMargin,
+
+    "pipe_class_balance" -> {
+      val tk = graft.text.TextFunctions.rawTokensSql("text")
+      s"""WITH cls AS (
+         |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(len($tk)) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY lang),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_classes,
+         |        CAST(sum(n_docs) AS BIGINT) AS n_docs_total,
+         |        CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total FROM cls)
+         |SELECT lang, n_docs, n_tokens,
+         |  (n_docs * 1000000) // n_docs_total AS docs_ppm,
+         |  (n_tokens * 1000000) // n_tokens_total AS tokens_ppm,
+         |  CAST(CAST(n_docs_total AS HUGEINT) * 1000000
+         |    // (CAST(n_classes AS HUGEINT) * n_docs) AS BIGINT) AS uniform_weight_x1e6
+         |FROM cls CROSS JOIN t ORDER BY lang""".stripMargin
+    },
 
     "q_k_anonymity" ->
       """WITH cl AS (

@@ -569,6 +569,93 @@ object Text {
       .toDF("doc_id", "pos", "tok")
       .orderBy(col("doc_id"), col("pos"))
 
+  /** Bigram continuation table — the conditional-probability readout an
+    * n-gram LM data-prep pass builds ("given 'merge', what follows?"):
+    * raw-token bigram INSTANCE counts (not doc frequency — LM estimation
+    * counts occurrences), the top 20 context words by continuation mass
+    * (ties → lexicographic), each with its top-3 next words and exact
+    * conditional probability ×10⁶ (cnt·10⁶ div ctx_total). Scale shape:
+    * one in-map bigram expansion (bounded per doc), one (ctx, nxt)
+    * groupBy, then windows on the context-vocabulary domain only.
+    */
+  def bigramLm(s: SparkSession, d: String): DataFrame = {
+    val inst = Tables.fanOut(Tables.documents(s, d))
+      .select(rawTokens(col("text")).as("tk"))
+      .select(explode(expr(
+        """CASE WHEN size(tk) >= 2 THEN
+          |  transform(sequence(1, size(tk) - 1),
+          |    i -> struct(tk[i - 1] AS ctx, tk[i] AS nxt))
+          |ELSE array() END""".stripMargin)).as("p"))
+      .groupBy(col("p.ctx").as("ctx"), col("p.nxt").as("nxt"))
+      .agg(count(lit(1)).as("cnt"))
+    val totals = inst.groupBy(col("ctx"))
+      .agg(sum(col("cnt")).cast("long").as("ctx_total"))
+    val wCtx = org.apache.spark.sql.expressions.Window
+      .orderBy(col("ctx_total").desc, col("ctx"))
+    val topCtx = totals.withColumn("crn", row_number().over(wCtx))
+      .filter(col("crn") <= 20)
+    val wNxt = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("ctx")).orderBy(col("cnt").desc, col("nxt"))
+    inst.join(topCtx, Seq("ctx"))
+      .withColumn("rn", row_number().over(wNxt))
+      .filter(col("rn") <= 3)
+      .select(col("ctx"), col("rn").cast("int").as("rank"), col("nxt"),
+        col("cnt"), col("ctx_total"),
+        expr("(cnt * 1000000) div ctx_total").as("p_x1e6"))
+      .orderBy(col("ctx"), col("rank"))
+  }
+
+  /** Per-doc unigram surprisal in floor-log₂ bits — the information-
+    * content quality signal (low = boilerplate-heavy, high = novel)
+    * WITHOUT a float log: bits(t) = ⌊log₂(N div c(t))⌋ = the bit length
+    * of the floored count ratio minus one — pure integer string math
+    * (`length(bin(x)) − 1`, the [[graft.operators.Graph.degreeDist]]
+    * bucket trick), identical in both engines. Emits per doc the token
+    * count, total bits, and mean bits ×100. Scale shape: one corpus
+    * explode to token instances, a term-vocabulary groupBy, the
+    * postings join against the vocab table, one per-doc re-aggregate —
+    * token-scale shuffles carrying (doc_id, bits) pairs, never text.
+    */
+  def surprisal(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), explode(rawTokens(col("text"))).as("t"))
+    val tf = toks.groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val n = tf.agg(sum(col("c")).cast("long").as("n_total"))
+    val bits = tf.crossJoin(broadcast(n))
+      .select(col("t"),
+        expr("CAST(length(bin(n_total div c)) - 1 AS BIGINT)").as("bits"))
+    toks.join(bits, Seq("t"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"), sum(col("bits")).cast("long").as("bits_total"))
+      .select(col("doc_id"), col("n_tok"), col("bits_total"),
+        expr("(bits_total * 100) div n_tok").as("mean_bits_x100"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Code-vs-prose signal extraction — the classifier features a corpus
+    * router computes before sending "code-like" docs down a different
+    * pipeline: symbol density (non-alphanumeric, non-space chars per
+    * char ×10⁴), digit density ×10⁴, mean token length ×100, and the
+    * thresholded flag (symbols > 15% OR digits > 30%). Pure in-map
+    * string math — a zero-shuffle scan pass at any corpus size.
+    */
+  def codeDetect(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(regexp_replace(col("text"), "[a-zA-Z0-9 ]", "")).cast("long").as("n_sym"),
+        length(regexp_replace(col("text"), "[^0-9]", "")).cast("long").as("n_digit"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace"),
+        size(rawTokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_chars") > 0 && col("n_tok") > 0)
+      .select(col("doc_id"), col("n_chars"), col("n_tok"),
+        expr("(n_sym * 10000) div n_chars").as("symbol_bp"),
+        expr("(n_digit * 10000) div n_chars").as("digit_bp"),
+        expr("(n_nonspace * 100) div n_tok").as("mean_tok_len_x100"),
+        expr("CAST((n_sym * 10000) div n_chars > 1500 OR (n_digit * 10000) div n_chars > 3000 AS INT)")
+          .as("is_code_like"))
+      .orderBy(col("doc_id"))
+
   // --- oracle SQL --------------------------------------------------------
 
   private val langProfilesSql: String = langProfiles.map { case (l, p, words) =>
@@ -591,6 +678,71 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "txt_bigram_lm" -> {
+      val tk = rawTokensSql("text")
+      s"""WITH inst AS (
+         |  SELECT p.ctx, p.nxt, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(CASE WHEN len(tk) >= 2 THEN
+         |        list_transform(range(2, len(tk) + 1),
+         |          i -> {'ctx': tk[i - 1], 'nxt': tk[i]})
+         |      ELSE [] END) AS p
+         |    FROM (SELECT $tk AS tk FROM documents))
+         |  GROUP BY p.ctx, p.nxt),
+         |totals AS (SELECT ctx, CAST(sum(cnt) AS BIGINT) AS ctx_total
+         |           FROM inst GROUP BY ctx),
+         |topctx AS (SELECT ctx, ctx_total FROM (
+         |    SELECT ctx, ctx_total,
+         |      row_number() OVER (ORDER BY ctx_total DESC, ctx) AS crn
+         |    FROM totals) WHERE crn <= 20),
+         |ranked AS (
+         |  SELECT i.ctx, i.nxt, i.cnt, t.ctx_total,
+         |    row_number() OVER (PARTITION BY i.ctx
+         |      ORDER BY i.cnt DESC, i.nxt) AS rn
+         |  FROM inst i JOIN topctx t ON t.ctx = i.ctx)
+         |SELECT ctx, CAST(rn AS INT) AS rank, nxt, cnt, ctx_total,
+         |  (cnt * 1000000) // ctx_total AS p_x1e6
+         |FROM ranked WHERE rn <= 3 ORDER BY ctx, rank""".stripMargin
+    },
+
+    "txt_surprisal" -> {
+      val tk = rawTokensSql("text")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($tk) AS t FROM documents),
+         |tf AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM tf),
+         |bits AS (SELECT t,
+         |    CAST(length(bin(n_total // c)) - 1 AS BIGINT) AS bits
+         |  FROM tf CROSS JOIN n),
+         |pd AS (
+         |  SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(sum(b.bits) AS BIGINT) AS bits_total
+         |  FROM toks JOIN bits b ON b.t = toks.t
+         |  GROUP BY toks.doc_id)
+         |SELECT doc_id, n_tok, bits_total,
+         |  (bits_total * 100) // n_tok AS mean_bits_x100
+         |FROM pd ORDER BY doc_id""".stripMargin
+    },
+
+    "txt_code_detect" -> {
+      val tk = rawTokensSql("text")
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS BIGINT) AS n_sym,
+         |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         |    CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_nonspace,
+         |    CAST(len($tk) AS BIGINT) AS n_tok
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tok,
+         |  (n_sym * 10000) // n_chars AS symbol_bp,
+         |  (n_digit * 10000) // n_chars AS digit_bp,
+         |  (n_nonspace * 100) // n_tok AS mean_tok_len_x100,
+         |  CAST((n_sym * 10000) // n_chars > 1500
+         |    OR (n_digit * 10000) // n_chars > 3000 AS INT) AS is_code_like
+         |FROM m WHERE n_chars > 0 AND n_tok > 0
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "txt_repetition" ->
       s"""WITH t AS (
          |  SELECT doc_id, ${rawTokensSql("text")} AS tk FROM documents),

@@ -1014,4 +1014,106 @@ class PipelineSpec extends AnyFunSuite {
     // the majority class keeps rep=1 (oversampling never shrinks or inflates it)
     assert(rows.exists(r => r.getLong(2) == 1L && r.getLong(1) == target))
   }
+
+  test("l-diversity buckets equal a QI-class replay and flag homogeneity k cannot") {
+    val docs = Tables.documents(spark, sf)
+      .selectExpr("source", "n_chars div 100 AS sb", "lang").collect()
+      .map(r => ((r.getString(0), r.getLong(1)), r.getString(2)))
+    val classes = docs.groupBy(_._1).toSeq.map { case (_, v) =>
+      (v.length.toLong, v.map(_._2).distinct.length.toLong) }
+    def bucket(l: Long) =
+      if (l == 1) "1_homogeneous" else if (l == 2) "2_binary" else "3_plus"
+    val want = classes.groupBy(t => bucket(t._2)).map { case (b, v) =>
+      (b, v.length.toLong, v.map(_._1).sum, v.map(_._2).min, v.map(_._2).max)
+    }.toSeq.sortBy(_._1)
+    val total = classes.map(_._1).sum
+    val got = Pipeline.qLDiversity(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == want, "l-diversity profile drift")
+    Pipeline.qLDiversity(spark, sf).collect().foreach { r =>
+      assert(r.getLong(5) == r.getLong(2) * 1000000L / total, s"ppm: $r")
+    }
+  }
+
+  test("class balance: shares partition the corpus, weights rebalance to uniform") {
+    val rows = Pipeline.pipeClassBalance(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = rows.map(_.getLong(1)).sum
+    val k = rows.length.toLong
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1) * 1000000L / nDocs, s"docs ppm: $r")
+      assert(r.getLong(5) == BigInt(nDocs) * 1000000 / (BigInt(k) * r.getLong(1)),
+        s"weight: $r")
+    }
+    // weighted doc mass is uniform up to div flooring: w*n ~ total/k
+    rows.foreach { r =>
+      val mass = BigInt(r.getLong(5)) * r.getLong(1)
+      val target = BigInt(nDocs) * 1000000 / k
+      assert((mass - target).abs <= r.getLong(1), s"rebalanced mass drift: $r")
+    }
+  }
+
+  test("dup-cluster histogram partitions the corpus and matches the cluster table") {
+    val clusters = Dedup.nearDupClusters(Tables.documents(spark, sf))
+      .select("cluster_id").collect().map(_.getLong(0))
+    val sizes = clusters.groupBy(identity).map(_._2.length.toLong).toSeq
+    val want = sizes.groupBy(identity).map { case (k, v) =>
+      (k, v.length.toLong, k * v.length) }.toSeq.sortBy(_._1)
+    val got = Pipeline.pipeDupClusterStats(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, "cluster-size histogram drift")
+    assert(got.map(_._3).sum == clusters.length.toLong)
+  }
+
+  test("bigram LM: probabilities are exact conditionals and ranks are total") {
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => r.getString(0).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .sliding(2).filter(_.length == 2).map(a => (a(0), a(1))))
+    val cnt = toks.groupBy(identity).map { case (p, v) => p -> v.length.toLong }
+    val ctxTotal = cnt.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    val rows = graft.operators.Text.bigramLm(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 60)
+    rows.foreach { r =>
+      val (ctx, nxt) = (r.getString(0), r.getString(2))
+      assert(r.getLong(3) == cnt((ctx, nxt)), s"count: $r")
+      assert(r.getLong(4) == ctxTotal(ctx), s"ctx total: $r")
+      assert(r.getLong(5) == cnt((ctx, nxt)) * 1000000L / ctxTotal(ctx), s"p: $r")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (ctx, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length), s"ranks: $ctx")
+    }
+  }
+
+  test("surprisal bits equal the floor-log2 replay and bound the mean") {
+    val docToks = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+    val tf = docToks.flatMap(_._2).groupBy(identity).map { case (t, v) => t -> v.length.toLong }
+    val n = tf.values.sum
+    def bits(t: String): Long = 63 - java.lang.Long.numberOfLeadingZeros(n / tf(t))
+    val rows = graft.operators.Text.surprisal(spark, sf).collect()
+    assert(rows.length == docToks.count(_._2.nonEmpty))
+    rows.foreach { r =>
+      val ts = docToks.toMap.apply(r.getLong(0))
+      val total = ts.map(bits).sum
+      assert(r.getLong(1) == ts.length.toLong && r.getLong(2) == total, s"bits: $r")
+      assert(r.getLong(3) == total * 100 / ts.length, s"mean: $r")
+    }
+  }
+
+  test("code-detect signals are the exact integer ratios on this prose corpus") {
+    val rows = graft.operators.Text.codeDetect(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val t = texts(r.getLong(0))
+      val sym = t.count(c => !c.isLetterOrDigit && c != ' ').toLong
+      val dig = t.count(_.isDigit).toLong
+      assert(r.getLong(3) == sym * 10000 / t.length, s"symbol bp: $r")
+      assert(r.getLong(4) == dig * 10000 / t.length, s"digit bp: $r")
+      // the synthetic corpus is pure prose: nothing should flag as code
+      assert(r.getInt(6) == 0, s"prose flagged as code: $r")
+    }
+  }
 }
