@@ -149,6 +149,9 @@ object SparkEntry {
     "dedup_embedding_ivf" -> ((s, d) => Pipeline.dedupEmbeddingIvf(s, d)),
     "dedup_cluster"       -> ((s, d) => Pipeline.dedupCluster(s, d)),
     "pipe_dedup_incremental" -> ((s, d) => Pipeline.dedupIncremental(s, d)),
+    "ann_kmeans_step"  -> ((s, d) => Pipeline.annKmeansStep(s, d)),
+    "ann_dim_stats"    -> ((s, d) => Pipeline.annDimStats(s, d)),
+    "ann_outlier_dist" -> ((s, d) => Pipeline.annOutlierDist(s, d)),
     "ann_centroid"        -> ((s, d) => Pipeline.annCentroid(s, d)),
     // §2.4 similarity search
     "ann_brute_topk" -> ((s, d) => Pipeline.annBruteTopk(s, d)),

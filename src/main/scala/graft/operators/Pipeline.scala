@@ -54,6 +54,18 @@ object Pipeline {
   def annCentroid(s: SparkSession, d: String): DataFrame =
     Similarity.centroids(Tables.embeddings(s, d))
 
+  /** One exact Lloyd iteration (see [[Similarity.kmeansStep]]). */
+  def annKmeansStep(s: SparkSession, d: String): DataFrame =
+    Similarity.kmeansStep(Tables.embeddings(s, d))
+
+  /** Per-dimension embedding moments (see [[Similarity.dimStats]]). */
+  def annDimStats(s: SparkSession, d: String): DataFrame =
+    Similarity.dimStats(Tables.embeddings(s, d))
+
+  /** Within-cluster outliers (see [[Similarity.outlierDist]]). */
+  def annOutlierDist(s: SparkSession, d: String): DataFrame =
+    Similarity.outlierDist(Tables.embeddings(s, d))
+
   /** ANN-method QA — recall@10 of every approximate index against the
     * brute-force ground truth (the similarity-search twin of
     * [[dedupEval]]): one row per method with exact hit counts and the
@@ -1332,6 +1344,67 @@ object Pipeline {
          |SELECT a AS doc_id, CAST(count(*) AS BIGINT) AS n_dup_of,
          |  max(j) AS max_j_x1e6
          |FROM pr WHERE j >= 500000 GROUP BY a ORDER BY doc_id""".stripMargin,
+
+    "ann_kmeans_step" ->
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xi,
+        |    CAST(vec_id % 10 AS INT) AS cid0 FROM embeddings),
+        |sums AS (
+        |  SELECT cid0, CAST(t.i AS INT) AS dim,
+        |    CAST(sum(xi[CAST(t.i AS INT) + 1]) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM q CROSS JOIN range(0, 64) t(i) GROUP BY cid0, t.i),
+        |cent AS (
+        |  SELECT cid0 AS cid, CAST(max(nd) AS BIGINT) AS n_init,
+        |    list(s // nd ORDER BY dim) AS c
+        |  FROM sums GROUP BY cid0),
+        |asn AS (
+        |  SELECT q.vec_id, q.cid0,
+        |    min(CAST(list_sum(list_transform(range(1, 65),
+        |      d -> (q.xi[d] - c.c[d]) * (q.xi[d] - c.c[d]))) AS HUGEINT) * 16 + c.cid) AS key
+        |  FROM q CROSS JOIN cent c GROUP BY q.vec_id, q.cid0),
+        |a2 AS (SELECT vec_id, cid0, CAST(key % 16 AS INT) AS cid1, key // 16 AS d2 FROM asn),
+        |roll AS (
+        |  SELECT cid1 AS cid, CAST(count(*) AS BIGINT) AS n_after,
+        |    CAST(sum(CASE WHEN cid1 <> cid0 THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in,
+        |    sum(d2) AS inertia
+        |  FROM a2 GROUP BY cid1)
+        |SELECT c.cid, c.n_init,
+        |  CAST(COALESCE(r.n_after, 0) AS BIGINT) AS n_after,
+        |  CAST(COALESCE(r.n_moved_in, 0) AS BIGINT) AS n_moved_in,
+        |  CAST(COALESCE(r.inertia // r.n_after, 0) AS BIGINT) AS mean_d2
+        |FROM cent c LEFT JOIN roll r ON r.cid = c.cid ORDER BY c.cid""".stripMargin,
+
+    "ann_dim_stats" ->
+      """WITH x AS (
+        |  SELECT CAST(t.i AS INT) AS dim,
+        |    CAST(floor(CAST(embedding[CAST(t.i AS INT) + 1] AS DOUBLE) * 1000000) AS BIGINT) AS v
+        |  FROM embeddings CROSS JOIN range(0, 64) t(i)),
+        |g AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(v) AS BIGINT) AS sum_x1e6,
+        |        sum(CAST(v AS HUGEINT) * v) AS ssq
+        |      FROM x GROUP BY dim)
+        |SELECT dim, n, sum_x1e6,
+        |  abs(sum_x1e6) // n AS mean_abs_x1e6,
+        |  CAST(CASE WHEN sum_x1e6 < 0 THEN -1 WHEN sum_x1e6 > 0 THEN 1 ELSE 0 END AS INT) AS mean_sign,
+        |  CAST((n * ssq - CAST(sum_x1e6 AS HUGEINT) * sum_x1e6)
+        |    // (CAST(n AS HUGEINT) * n) AS BIGINT) AS var_x1e12
+        |FROM g ORDER BY dim""".stripMargin,
+
+    "ann_outlier_dist" ->
+      """WITH q AS (SELECT vec_id, CAST(label AS INT) AS label,
+        |    list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS xi
+        |  FROM embeddings),
+        |sums AS (SELECT label, CAST(t.i AS INT) AS dim,
+        |    CAST(sum(xi[CAST(t.i AS INT) + 1]) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM q CROSS JOIN range(0, 64) t(i) GROUP BY label, t.i),
+        |cent AS (SELECT label, list(s // nd ORDER BY dim) AS c FROM sums GROUP BY label)
+        |SELECT q.vec_id, q.label,
+        |  CAST(list_sum(list_transform(range(1, 65),
+        |    d -> (q.xi[d] - c.c[d]) * (q.xi[d] - c.c[d]))) AS BIGINT) AS d2
+        |FROM q JOIN cent c ON c.label = q.label
+        |ORDER BY d2 DESC, vec_id LIMIT 20""".stripMargin,
 
     "ann_centroid" ->
       s"""WITH x AS (

@@ -859,4 +859,107 @@ object Similarity {
       .select(col("q_id"), col("rk"), col("vec_id"), col("cos_x1e6"))
       .orderBy(col("q_id"), col("rk"))
   }
+
+  /** The ×10⁶-floored integer embedding — the exact-arithmetic view the
+    * clustering/statistics queries share (components |xᵢ| ≲ 2.3×10⁶ on
+    * this corpus' value range, so squared per-component terms stay well
+    * inside BIGINT).
+    */
+  private def intVec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    expr(s"transform(${c.toString}, x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))")
+
+  /** One EXACT Lloyd iteration of k-means (k = 10, seeded cid = vec_id
+    * mod k) as a gated query — the training step behind the offline
+    * [[kmeansCentroids]] codebook, made hash-exact: components floor to
+    * ×10⁶ integers, centroid components are the floored integer means
+    * (BIGINT div), distances are exact integer L2², and the argmin is
+    * the encoded key min(d2·16 + cid) — one BIGINT, no struct-ordering
+    * semantics to drift. Emits per cell: seed size, size after the
+    * step, arrivals that moved, and the floored mean distance (inertia
+    * div n — the quotient is component-bounded, so BIGINT-safe at any
+    * corpus size; the inertia SUM itself stays DECIMAL-staged). Scale
+    * shape: one (cid, dim)-grid partial agg for centroids (map-side
+    * combined), one map pass with the k×dim centroid table broadcast
+    * (k is FIXED — the hint is legal), one k-row rollup.
+    */
+  def kmeansStep(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      intVec(col("embedding")).as("xi"),
+      pmod(col("vec_id"), lit(k.toLong)).cast("int").as("cid0"))
+    val cents = q
+      .select(col("cid0"), posexplode(col("xi")).as(Seq("dim", "v")))
+      .groupBy(col("cid0"), col("dim"))
+      .agg(sum(col("v")).cast("long").as("s"), count(lit(1)).as("nd"))
+      .groupBy(col("cid0"))
+      .agg(max(col("nd")).as("n_init"),
+        expr("transform(array_sort(collect_list(struct(dim, s div nd))), p -> p.col2)")
+          .as("c"))
+    val assigned = q
+      .crossJoin(broadcast(cents.select(col("cid0").as("cid"), col("c"))))
+      .select(col("vec_id"), col("cid0"), col("cid"),
+        expr("aggregate(zip_with(xi, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)")
+          .as("d2"))
+      .groupBy(col("vec_id"), col("cid0"))
+      .agg(min(expr("d2 * 16 + cid")).as("key"))
+      .select(col("vec_id"), col("cid0"),
+        expr("CAST(key % 16 AS INT)").as("cid1"),
+        expr("key div 16").as("d2"))
+    assigned.groupBy(col("cid1").as("cid"))
+      .agg(count(lit(1)).as("n_after"),
+        sum(when(col("cid1") =!= col("cid0"), 1L).otherwise(0L)).cast("long").as("n_moved_in"),
+        sum(expr("CAST(d2 AS DECIMAL(38,0))")).as("inertia"))
+      .join(cents.select(col("cid0").as("cid"), col("n_init")), Seq("cid"), "right")
+      .select(col("cid"), col("n_init"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_moved_in"), lit(0L)).as("n_moved_in"),
+        coalesce(expr("CAST(inertia div n_after AS BIGINT)"), lit(0L)).as("mean_d2"))
+      .orderBy(col("cid"))
+  }
+
+  /** Per-dimension moment statistics of the embedding corpus — the
+    * "is dimension 12 dead / saturated / drifting" health check run
+    * before any index build: n, component sum ×10⁶, |mean| ×10⁶ +
+    * sign (split — sums can be negative and div/// disagree
+    * there), and the exact population variance ×10¹² via
+    * (n·Σx² − (Σx)²) div n² with the sum of squares DECIMAL(38,0)-
+    * staged. One posexplode partial-agg to the 64-row dim grid —
+    * map-side combined, nothing wider than (dim, v) shuffles.
+    */
+  def dimStats(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(posexplode(intVec(col("embedding"))).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).cast("long").as("sum_x1e6"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("ssq"))
+      .select(col("dim").cast("int").as("dim"), col("n"), col("sum_x1e6"),
+        expr("abs(sum_x1e6) div n").as("mean_abs_x1e6"),
+        expr("CAST(sign(sum_x1e6) AS INT)").as("mean_sign"),
+        expr("CAST((n * ssq - CAST(sum_x1e6 AS DECIMAL(38,0)) * sum_x1e6) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+          .as("var_x1e12"))
+      .orderBy(col("dim"))
+
+  /** Within-cluster outlier screen: each vector's exact integer L2²
+    * distance to its OWN label centroid (floored integer mean, the
+    * [[kmeansStep]] arithmetic), top 20 by (distance desc, id) — the
+    * mislabeled/garbage-vector audit an embedding pipeline runs after
+    * ingest. Centroids are a label-count×dim grid (broadcast legal —
+    * label cardinality is fixed); the scan is one map pass into a
+    * TakeOrdered top-k.
+    */
+  def outlierDist(embeddings: DataFrame, topK: Int = 20): DataFrame = {
+    val q = embeddings.select(col("vec_id"),
+      col("label").cast("int").as("label"), intVec(col("embedding")).as("xi"))
+    val cents = q
+      .select(col("label"), posexplode(col("xi")).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(sum(col("v")).cast("long").as("s"), count(lit(1)).as("nd"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(dim, s div nd))), p -> p.col2)")
+        .as("c"))
+    q.join(broadcast(cents), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        expr("aggregate(zip_with(xi, c, (a, b) -> (a - b) * (a - b)), 0L, (acc, v) -> acc + v)")
+          .as("d2"))
+      .orderBy(col("d2").desc, col("vec_id")).limit(topK)
+  }
 }
