@@ -47,9 +47,30 @@ object GraftSession {
     spark
   }
 
+  /** RDD ids of PINNED shared builds — memoized cross-query index
+    * tables (e.g. the §2.1 tokenized corpus) that must survive the
+    * between-queries block sweep. Bounded by the number of distinct
+    * (session, corpus) index builds in the JVM, i.e. tiny.
+    */
+  private val pinnedRdds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
+  /** Pin a lazily-localCheckpointed Dataset's backing RDD so
+    * [[dropDeadBlocks]] spares it. Returns the input for chaining. */
+  def pin(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => pinnedRdds.add(l.rdd.id)
+      case _ => ()
+    }
+    df
+  }
+
   /** Free dead localCheckpoint blocks between independent queries so
-    * storage memory doesn't accumulate across a full sweep.
+    * storage memory doesn't accumulate across a full sweep. Pinned
+    * shared index builds ([[pin]]) are spared — they are alive by
+    * design for the whole session.
     */
   def dropDeadBlocks(spark: SparkSession): Unit =
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    spark.sparkContext.getPersistentRDDs.values
+      .filterNot(r => pinnedRdds.contains(r.id))
+      .foreach(_.unpersist(blocking = false))
 }

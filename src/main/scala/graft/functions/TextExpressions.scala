@@ -382,6 +382,133 @@ case class WordPairs(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): WordPairs = copy(child = c)
 }
 
+/** Ordered-pair proximity gaps over a token array — the ES span_near /
+  * match_phrase primitive as ONE codegen'd pass: for every pair of
+  * positions (i < j) with toks[i] = first, toks[j] = second and
+  * j − i − 1 ≤ maxGap, emit the gap j − i − 1, in (i asc, j asc) scan
+  * order. maxGap = 0 is exact phrase adjacency (the output size is the
+  * occurrence count); maxGap = slop is span_near with in_order = true.
+  * Replaces the interpreted `filter(sequence(0, n−1), i -> toks[i] = …)`
+  * HOF stack whose lambda re-evaluated the whole inlined tokenizer at
+  * EVERY index reference (the §4.5 pitfall — ms_span_near ran ~8.5 s for
+  * 5,000 16-token docs; this pass is O(occ(first)·occ(second)) array
+  * reads inside whole-stage codegen).
+  */
+case class SpanGaps(child: Expression, first: String, second: String, maxGap: Int)
+    extends UnaryExpression {
+
+  require(maxGap >= 0, "maxGap must be >= 0")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<string> input")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "graft_span_gaps"
+
+  private val firstU = UTF8String.fromString(first)
+  private val secondU = UTF8String.fromString(second)
+
+  def compute(v: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = v.numElements()
+    // positions of `second` once, then for each `first` a bounded
+    // forward scan of that (tiny) position list
+    val ps = new java.util.ArrayList[Integer]()
+    var i = 0
+    while (i < n) {
+      if (!v.isNullAt(i) && v.getUTF8String(i).equals(secondU)) ps.add(i)
+      i += 1
+    }
+    val gaps = new java.util.ArrayList[Integer]()
+    i = 0
+    while (i < n) {
+      if (!v.isNullAt(i) && v.getUTF8String(i).equals(firstU)) {
+        var k = 0
+        var done = false
+        while (k < ps.size() && !done) {
+          val j = ps.get(k).intValue()
+          if (j > i) {
+            if (j - i - 1 <= maxGap) gaps.add(j - i - 1) else done = true
+          }
+          k += 1
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Int](gaps.size())
+    var m = 0
+    while (m < out.length) { out(m) = gaps.get(m).intValue(); m += 1 }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("spanner", this, classOf[SpanGaps].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): SpanGaps = copy(child = c)
+}
+
+/** Sorted distinct tokens that immediately follow `first` and start with
+  * `prefix` — the ES match_phrase_prefix ("search-as-you-type")
+  * completion set as one codegen'd pass over the token array. Same §4.5
+  * rationale as [[SpanGaps]]: replaces an interpreted
+  * transform-over-sequence whose lambda re-evaluated the inlined
+  * tokenizer per index.
+  */
+case class PrefixFollowers(child: Expression, first: String, prefix: String)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(s"$prettyName requires an array<string> input")
+  }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_prefix_followers"
+
+  private val firstU = UTF8String.fromString(first)
+  private val prefixU = UTF8String.fromString(prefix)
+
+  def compute(v: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = v.numElements()
+    val set = new java.util.TreeSet[String]()
+    var i = 0
+    while (i + 1 < n) {
+      if (!v.isNullAt(i) && !v.isNullAt(i + 1) &&
+          v.getUTF8String(i).equals(firstU) &&
+          v.getUTF8String(i + 1).startsWith(prefixU)) {
+        set.add(v.getUTF8String(i + 1).toString)
+      }
+      i += 1
+    }
+    val out = new Array[Any](set.size())
+    val it = set.iterator()
+    var m = 0
+    while (it.hasNext) { out(m) = UTF8String.fromString(it.next()); m += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any =
+    compute(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("follower", this, classOf[PrefixFollowers].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PrefixFollowers = copy(child = c)
+}
+
 object TextExpressionFunctions {
   /** Column API for [[PorterStem]]. */
   def porterStem(c: Column): Column =
@@ -418,4 +545,12 @@ object TextExpressionFunctions {
   def sortedIntersectLongs(a: Column, b: Column): Column =
     GraftBridge.column(
       SortedIntersectLongs(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column API for [[SpanGaps]]. */
+  def spanGaps(toks: Column, first: String, second: String, maxGap: Int): Column =
+    GraftBridge.column(SpanGaps(GraftBridge.expression(toks), first, second, maxGap))
+
+  /** Column API for [[PrefixFollowers]]. */
+  def prefixFollowers(toks: Column, first: String, prefix: String): Column =
+    GraftBridge.column(PrefixFollowers(GraftBridge.expression(toks), first, prefix))
 }

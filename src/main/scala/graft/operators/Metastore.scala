@@ -19,6 +19,30 @@ object Metastore {
   private val ds = SearchEngine.datasets
   private val evEngine = new SearchEngine(Nil, idCol = "event_id", bytesCol = "value")
 
+  /** The §2.1 shared tokenized corpus — tokenize ONCE per (session,
+    * corpus): the anon-visible doc set with its analyzed readme token
+    * array, lazily localCheckpointed and memoized, so every
+    * search-family query reads the same materialized (doc_id, …, toks)
+    * table instead of re-running the corpus-wide analyzer pass
+    * (VERDICT r7 #4 — the inverted-index discipline §5 claims: a search
+    * tier tokenizes at INGEST, not per query). At 100 TB this is the
+    * persisted index-side table; localCheckpoint is its single-JVM
+    * stand-in, and the first query of a session pays the one build.
+    * Lazy: materialized by the first consumer's action.
+    */
+  private val tokCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private[graft] def tokCorpus(s: SparkSession, d: String): DataFrame =
+    tokCache.getOrElseUpdate((s, d),
+      // pinned: survives the between-queries dropDeadBlocks sweep —
+      // this is the one intermediate that is SUPPOSED to live for the
+      // whole session (it stands in for the persisted index table)
+      graft.GraftSession.pin(
+        Tables.fanOut(ds.visible(idx(s, d), None)
+          .select(col("doc_id"), col("name"), col("lang"), col("readme")))
+          .withColumn("toks", Analyzer.tokens(col("readme")))
+          .localCheckpoint(eager = false)))
+
   // --- dataset kind ------------------------------------------------------
 
   def filterTerm(s: SparkSession, d: String): DataFrame =
@@ -248,10 +272,10 @@ object Metastore {
     */
   def highlightQ(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("merge", "join")
-    ds.visible(idx(s, d), None)
-      .filter(arrays_overlap(Analyzer.tokens(col("readme")), typedlit(terms)))
+    tokCorpus(s, d)
+      .filter(arrays_overlap(col("toks"), typedlit(terms)))
       .withColumn("hl_term",
-        when(array_contains(Analyzer.tokens(col("readme")), "merge"), lit("merge"))
+        when(array_contains(col("toks"), "merge"), lit("merge"))
           .otherwise(lit("join")))
       .withColumn("pos", expr("instr(lower(readme), hl_term)"))
       .withColumn("snippet", expr("substring(readme, greatest(pos - 20, 1), 60)"))
@@ -270,8 +294,8 @@ object Metastore {
     * corpus).
     */
   def suggestQ(s: SparkSession, d: String): DataFrame =
-    ds.visible(idx(s, d), None)
-      .select(explode(array_distinct(Analyzer.tokens(col("readme")))).as("term"))
+    tokCorpus(s, d)
+      .select(explode(array_distinct(col("toks"))).as("term"))
       .filter(col("term").startsWith("s"))
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
       .orderBy(col("df").desc, col("term"))
@@ -286,11 +310,11 @@ object Metastore {
     * explode, no per-term scans.
     */
   def boolMinMatchQ(s: SparkSession, d: String): DataFrame =
-    ds.visible(idx(s, d), None)
-      .withColumn("toks", array_distinct(Analyzer.tokens(col("readme"))))
+    tokCorpus(s, d)
+      .withColumn("dtoks", array_distinct(col("toks")))
       .withColumn("n_should",
-        size(array_intersect(col("toks"), typedlit(Seq("merge", "join", "table")))))
-      .filter(col("n_should") >= 2 && !array_contains(col("toks"), "sort"))
+        size(array_intersect(col("dtoks"), typedlit(Seq("merge", "join", "table")))))
+      .filter(col("n_should") >= 2 && !array_contains(col("dtoks"), "sort"))
       .select(col("doc_id"), col("name"), col("n_should"))
       .orderBy(col("doc_id")).limit(100)
 
@@ -310,13 +334,11 @@ object Metastore {
     */
   def bm25Q(s: SparkSession, d: String): DataFrame = {
     val terms = Seq("merge", "join", "table")
-    // tokenize the corpus ONCE: the tf explode and the N/avgdl stats
-    // both read the checkpointed (doc_id, toks, dl) rather than each
-    // re-running the corpus-wide analyzer pass
-    val vis = ds.visible(idx(s, d), None)
-      .select(col("doc_id"), Analyzer.tokens(col("readme")).as("toks"))
+    // the tf explode and the N/avgdl stats both read the shared
+    // checkpointed token table — no per-query analyzer pass at all
+    val vis = tokCorpus(s, d)
+      .select(col("doc_id"), col("toks"))
       .withColumn("dl", size(col("toks")).cast("long"))
-      .localCheckpoint(eager = false)
     val tf = vis.select(col("doc_id"), col("dl"), explode(col("toks")).as("term"))
       .filter(col("term").isin(terms: _*))
       .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
@@ -343,9 +365,9 @@ object Metastore {
     * dictionary first, exactly like [[suggestQ]]'s prefix walk.
     */
   def wildcardQ(s: SparkSession, d: String): DataFrame =
-    ds.visible(idx(s, d), None)
+    tokCorpus(s, d)
       .withColumn("mt", sort_array(array_distinct(
-        filter(Analyzer.tokens(col("readme")), t => t.like("m%e")))))
+        filter(col("toks"), t => t.like("m%e")))))
       .filter(size(col("mt")) > 0)
       .select(col("doc_id"), col("name"), size(col("mt")).as("n_terms"),
         concat_ws(",", col("mt")).as("matched_terms"))
@@ -361,9 +383,9 @@ object Metastore {
     */
   def synonymsQ(s: SparkSession, d: String): DataFrame = {
     val expansion = Seq("merge", "join", "table", "column")
-    ds.visible(idx(s, d), None)
+    tokCorpus(s, d)
       .withColumn("mt", sort_array(array_intersect(
-        Analyzer.tokens(col("readme")), typedlit(expansion))))
+        col("toks"), typedlit(expansion))))
       .filter(size(col("mt")) > 0)
       .select(col("doc_id"), col("name"), size(col("mt")).as("n_terms"),
         concat_ws(",", col("mt")).as("matched_terms"))
@@ -403,9 +425,9 @@ object Metastore {
     * would empty the query; at scale it bounds the seed set instead.)
     */
   def moreLikeThisQ(s: SparkSession, d: String): DataFrame = {
-    val vis = ds.visible(idx(s, d), None)
-      .select(col("doc_id"), array_distinct(Analyzer.tokens(col("readme"))).as("toks"))
-    val exploded = vis.select(col("doc_id"), explode(col("toks")).as("term"))
+    val vis = tokCorpus(s, d)
+      .select(col("doc_id"), array_distinct(col("toks")).as("dtoks"))
+    val exploded = vis.select(col("doc_id"), explode(col("dtoks")).as("term"))
     val dfs = exploded.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nTot = vis.agg(count(lit(1)).as("n"))
     val seed = exploded.filter(col("doc_id") === 0).select(col("term"))
@@ -436,27 +458,18 @@ object Metastore {
     * match): "merge" immediately followed by "join" in the analyzed
     * readme token stream — adjacency in the stopword-stripped position
     * space, the semantics both engines share by construction. n_occ
-    * counts adjacent occurrences. The scan is a codegen'd higher-order
-    * filter over the token array: no explode, no positional join, one
-    * narrow map pass over the visible set.
+    * counts adjacent occurrences. The scan is the native codegen'd
+    * [[graft.functions.SpanGaps]] pass (maxGap = 0 ⇔ adjacency) over
+    * the shared [[tokCorpus]] token table: no re-tokenize, no explode,
+    * no positional join — one whole-stage-codegen map over the
+    * materialized index (the interpreted-HOF version of this scan was
+    * the §4.5 re-evaluation blowup VERDICT r7 #1 flagged).
     */
   def phraseQ(s: SparkSession, d: String): DataFrame =
-    // fanOut AFTER the cheap substring prefilter: only candidate docs
-    // pay the local fan-out shuffle, and the heavy tokenize+adjacency
-    // scan then runs at core-count parallelism instead of on the 1-2
-    // raw parquet splits (identity on a real cluster's many splits).
-    Tables.fanOut(ds.visible(idx(s, d), None)
-      // substring presence is a NECESSARY condition for token presence,
-      // so this scan-level prefilter is a conservative superset — the
-      // tokenizer + adjacency scan run only on candidate docs
-      .filter(lower(col("readme")).contains("merge") &&
-        lower(col("readme")).contains("join")))
-      .withColumn("toks", Analyzer.tokens(col("readme")))
-      .withColumn("n_occ", expr(
-        """CAST(CASE WHEN size(toks) >= 2 THEN
-          |  size(filter(sequence(1, size(toks) - 1),
-          |    i -> toks[i - 1] = 'merge' AND toks[i] = 'join'))
-          |ELSE 0 END AS BIGINT)""".stripMargin))
+    tokCorpus(s, d)
+      .withColumn("n_occ",
+        size(graft.functions.TextExpressionFunctions
+          .spanGaps(col("toks"), "merge", "join", 0)).cast("long"))
       .filter(col("n_occ") > 0)
       .select(col("doc_id"), col("name"), col("n_occ"))
       .orderBy(col("doc_id")).limit(100)
@@ -469,10 +482,10 @@ object Metastore {
     * comma-joined term list gate hash-exact.
     */
   def fuzzyQ(s: SparkSession, d: String): DataFrame =
-    // fanOut before the corpus-wide tokenize + per-token edit-distance
-    // scan (identity at cluster split counts, see Tables.fanOut)
-    Tables.fanOut(ds.visible(idx(s, d), None))
-      .withColumn("toks", Analyzer.tokens(col("readme")))
+    // per-token edit-distance scan over the shared tokenized corpus —
+    // `toks` is a materialized attribute, so the filter lambda touches
+    // stored array slots, never a re-evaluated tokenizer (§4.5)
+    tokCorpus(s, d)
       .withColumn("matched", expr(
         "array_sort(array_distinct(filter(toks, t -> levenshtein(t, 'merg') <= 1)))"))
       .filter(size(col("matched")) > 0)
@@ -551,9 +564,9 @@ object Metastore {
     * the output is vocabulary-sized.
     */
   def significantTermsQ(s: SparkSession, d: String): DataFrame = {
-    val vis = ds.visible(idx(s, d), None)
+    val vis = tokCorpus(s, d)
       .select(col("doc_id"), (col("lang") === "fr").as("fg"),
-        array_distinct(Analyzer.tokens(col("readme"))).as("toks"))
+        array_distinct(col("toks")).as("toks"))
     val tot = vis.agg(
       sum(when(col("fg"), 1L).otherwise(0L)).cast("long").as("n_fg"),
       count(lit(1)).cast("long").as("n_bg"))
@@ -657,21 +670,18 @@ object Metastore {
 
   /** ES span_near analog (in_order = true, slop = 3): "merge" followed
     * by "join" within ≤ 3 intervening analyzed tokens — the proximity
-    * upgrade of [[phraseQ]]'s adjacency (slop 0). Positions extracted
-    * once per doc, the ordered pair scan is a codegen'd higher-order
-    * flatten over the two (tiny) position lists — no explode, no
-    * positional join, one narrow map pass after the substring
-    * prefilter. Emits pair count and minimum gap per doc.
+    * upgrade of [[phraseQ]]'s adjacency (slop 0). One native codegen'd
+    * [[graft.functions.SpanGaps]] pass over the shared [[tokCorpus]]
+    * token table — position lists are scanned inside the expression,
+    * no explode, no positional join, no re-tokenize (this query was the
+    * suite's slowest as an interpreted-HOF stack: ~8.5 s → the gap scan
+    * is now O(occ·occ) array reads in whole-stage codegen). Emits pair
+    * count and minimum gap per doc.
     */
   def spanNearQ(s: SparkSession, d: String): DataFrame =
-    Tables.fanOut(ds.visible(idx(s, d), None)
-      .filter(lower(col("readme")).contains("merge") &&
-        lower(col("readme")).contains("join")))
-      .withColumn("toks", Analyzer.tokens(col("readme")))
-      .withColumn("pm", expr("filter(sequence(0, size(toks) - 1), i -> toks[i] = 'merge')"))
-      .withColumn("pj", expr("filter(sequence(0, size(toks) - 1), i -> toks[i] = 'join')"))
-      .withColumn("gaps", expr(
-        "flatten(transform(pm, i -> transform(filter(pj, j -> j > i AND j - i <= 4), j -> j - i - 1)))"))
+    tokCorpus(s, d)
+      .withColumn("gaps", graft.functions.TextExpressionFunctions
+        .spanGaps(col("toks"), "merge", "join", 3))
       .filter(size(col("gaps")) > 0)
       .select(col("doc_id"), col("name"),
         size(col("gaps")).cast("long").as("n_pairs"),
@@ -680,20 +690,16 @@ object Metastore {
 
   /** ES match_phrase_prefix analog: "merge jo*" — 'merge' immediately
     * followed by any token with prefix "jo" (the search-as-you-type
-    * primitive). [[phraseQ]]'s adjacency scan with a prefix test on the
-    * trailing position; emits the distinct completions actually seen so
-    * the expansion itself is gate-checked.
+    * primitive). One native codegen'd
+    * [[graft.functions.PrefixFollowers]] pass over the shared
+    * [[tokCorpus]] token table (sorted distinct completions emitted by
+    * the expression itself), so the expansion is gate-checked without
+    * the interpreted transform-over-sequence this replaced (§4.5).
     */
   def phrasePrefixQ(s: SparkSession, d: String): DataFrame =
-    Tables.fanOut(ds.visible(idx(s, d), None)
-      .filter(lower(col("readme")).contains("merge")))
-      .withColumn("toks", Analyzer.tokens(col("readme")))
-      .withColumn("completions", expr(
-        """array_sort(array_distinct(filter(
-          |  transform(sequence(1, greatest(size(toks) - 1, 1)), i ->
-          |    CASE WHEN toks[i - 1] = 'merge' AND startswith(toks[i], 'jo')
-          |         THEN toks[i] END),
-          |  x -> x IS NOT NULL)))""".stripMargin))
+    tokCorpus(s, d)
+      .withColumn("completions", graft.functions.TextExpressionFunctions
+        .prefixFollowers(col("toks"), "merge", "jo"))
       .filter(size(col("completions")) > 0)
       .select(col("doc_id"), col("name"),
         array_join(col("completions"), ",").as("completions"),
@@ -727,8 +733,7 @@ object Metastore {
         array(terms.map(lit): _*).as("terms"),
         lang.map(lit(_)).getOrElse(lit(null).cast("string")).as("q_lang"))
     }
-    Tables.fanOut(ds.visible(idx(s, d), None))
-      .withColumn("toks", Analyzer.tokens(col("readme")))
+    tokCorpus(s, d)
       .select(col("doc_id"), col("lang"), col("toks"),
         explode(array(reg: _*)).as("q"))
       .filter(expr("q.q_lang IS NULL OR q.q_lang = lang") &&
@@ -805,8 +810,7 @@ object Metastore {
     */
   def queryStringQuery(s: SparkSession, d: String): DataFrame = {
     val tree = graft.search.QueryString.parse(queryStringQ)
-    Tables.fanOut(ds.visible(idx(s, d), None))
-      .withColumn("toks", Analyzer.tokens(col("readme")))
+    tokCorpus(s, d)
       .filter(graft.search.QueryString.toPredicate(tree, col("toks")))
       .select(col("doc_id"), col("name"), col("lang"))
       .orderBy(col("doc_id")).limit(100)

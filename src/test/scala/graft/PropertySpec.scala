@@ -111,6 +111,64 @@ class PropertySpec extends AnyFunSuite {
     assert(got.head == List("a b"))
   }
 
+  test("SpanGaps equals a scala reference on arbitrary token arrays") {
+    import spark.implicits._
+    // skew toward the two query terms so pairs actually occur
+    val tokArr: Gen[List[String]] =
+      Gen.listOf(Gen.frequency(3 -> Gen.const("merge"), 3 -> Gen.const("join"),
+        4 -> Gen.oneOf("aa", "b", "table", "dd")))
+    def ref(toks: List[String], maxGap: Int): List[Int] =
+      (for {
+        i <- toks.indices if toks(i) == "merge"
+        j <- (i + 1) until toks.length
+        if toks(j) == "join" && j - i - 1 <= maxGap
+      } yield j - i - 1).toList
+    val inputs = samples(tokArr, 300)
+    for (maxGap <- Seq(0, 3)) {
+      val got = inputs.toDF("t")
+        .select(graft.functions.TextExpressionFunctions
+          .spanGaps(col("t"), "merge", "join", maxGap).as("g"))
+        .collect().map(_.getSeq[Int](0).toList)
+      got.zip(inputs).foreach { case (g, t) =>
+        assert(g == ref(t, maxGap), s"span divergence (maxGap=$maxGap) on input: $t")
+      }
+    }
+  }
+
+  test("SpanGaps skips null array elements and handles empty arrays") {
+    val got = spark.sql(
+      "SELECT array('merge', CAST(NULL AS STRING), 'join', 'merge', 'join') AS t")
+      .select(graft.functions.TextExpressionFunctions
+        .spanGaps(col("t"), "merge", "join", 3).as("g"))
+      .collect().map(_.getSeq[Int](0).toList)
+    // pairs: (0,2) gap 1, (0,4) gap 3, (3,4) gap 0 — scan order i asc, j asc
+    assert(got.head == List(1, 3, 0))
+    val empty = spark.sql("SELECT CAST(array() AS ARRAY<STRING>) AS t")
+      .select(graft.functions.TextExpressionFunctions
+        .spanGaps(col("t"), "merge", "join", 0).as("g"))
+      .collect().map(_.getSeq[Int](0).toList)
+    assert(empty.head == Nil)
+  }
+
+  test("PrefixFollowers equals a scala reference on arbitrary token arrays") {
+    import spark.implicits._
+    val tokArr: Gen[List[String]] =
+      Gen.listOf(Gen.frequency(3 -> Gen.const("merge"),
+        4 -> Gen.oneOf("join", "joins", "jolt", "jab", "table", "b")))
+    def ref(toks: List[String]): List[String] =
+      toks.indices.dropRight(1).toList
+        .collect { case i if toks(i) == "merge" && toks(i + 1).startsWith("jo") => toks(i + 1) }
+        .distinct.sorted
+    val inputs = samples(tokArr, 300)
+    val got = inputs.toDF("t")
+      .select(graft.functions.TextExpressionFunctions
+        .prefixFollowers(col("t"), "merge", "jo").as("c"))
+      .collect().map(_.getSeq[String](0).toList)
+    got.zip(inputs).foreach { case (g, t) =>
+      assert(g == ref(t), s"completion divergence on input: $t")
+    }
+  }
+
   test("FloatVecDotConst equals the interpreted HOF fold bit-for-bit") {
     import spark.implicits._
     // arbitrary float vectors (including subnormals-ish small and large
