@@ -174,4 +174,26 @@ class PlanSpec extends AnyFunSuite {
         s"$n must not pin a broadcast of a vertex-scale table")
     }
   }
+
+  test("exact rank paths: no single-partition window over fact-scale rows") {
+    // VERDICT r7 #3: q_power_users/q_ntile funneled every customer/order
+    // through ONE task via Window.orderBy with no partitionBy. The
+    // two-phase rankedCum prefix sum replaces that; the ONLY allowed
+    // empty-partitionSpec window is the per-range offset prefix sum,
+    // whose input is the ≤shuffle.partitions (pid, pn, psum) rows.
+    for ((n, df) <- Seq(
+        "q_power_users" -> operators.Relational.qPowerUsers(spark, sf),
+        "q_ntile" -> operators.Relational.qNtile(spark, sf))) {
+      val plans = flatten(df.queryExecution.executedPlan)
+      val offenders = plans.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty && !w.child.output.exists(_.name == "pn") => w
+      }
+      assert(offenders.isEmpty,
+        s"$n has a single-partition window over non-offset rows:\n${offenders.mkString("\n")}")
+      // and the fact rows really are range-repartitioned for the rank
+      assert(plans.exists(_.toString.contains("rangepartitioning")),
+        s"$n must range-repartition by the rank order")
+    }
+  }
 }
