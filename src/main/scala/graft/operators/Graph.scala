@@ -654,11 +654,21 @@ object Graph {
         "CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx"))
       .withColumn("s_xx", expr(
         "CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
-      // the division stays fully DECIMAL(38,0) (quotient ≤ 10⁶ by
-      // Cauchy–Schwarz |S_xy| ≤ S_xx, so the BIGINT cast is of the
-      // quotient only — no silent NULL past int64 moments, ADVICE r6)
+      // carry-staged division (ADVICE r7): abs(s_xy)·10⁶ overflows
+      // DECIMAL(38,0)/HUGEINT once s_xy occupies two 10¹⁸ limbs
+      // (~10³⁶ · 10⁶ > 10³⁸ — Spark nulls, DuckDB errors). Divide
+      // FIRST and carry the remainder in ×10³ steps:
+      // ⌊x·10⁶/d⌋ = q0·10⁶ + q1·10³ + q2 with q0 = x div d,
+      // q1 = (r0·10³) div d, q2 = (r1·10³) div d (r's the running
+      // remainders) — exact, and no intermediate exceeds max(x, d·10³),
+      // so the identity holds through d ≤ 10³⁵ (vs 10³² before).
+      // Quotient ≤ 10⁶ by Cauchy–Schwarz |S_xy| ≤ S_xx.
+      .withColumn("q0", expr("abs(s_xy) div s_xx"))
+      .withColumn("r0", expr("abs(s_xy) % s_xx"))
+      .withColumn("q1", expr("(r0 * 1000) div s_xx"))
+      .withColumn("r1", expr("(r0 * 1000) % s_xx"))
       .withColumn("r_abs_x1e6",
-        expr("CAST(abs(s_xy) * 1000000 div s_xx AS BIGINT)"))
+        expr("CAST(q0 * 1000000 + q1 * 1000 + (r1 * 1000) div s_xx AS BIGINT)"))
       .withColumn("r_sign", expr(
         "CAST(CASE WHEN s_xy < 0 THEN -1 WHEN s_xy > 0 THEN 1 ELSE 0 END AS INT)"))
       // BIGINT-only output boundary: the DECIMAL(38,0) moments emit as
@@ -1017,7 +1027,14 @@ object Graph {
         |  SELECT m, sx, sxx, sxy,
         |    CAST(m AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sx AS s_xy,
         |    CAST(m AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx AS s_xx
-        |  FROM m)
+        |  FROM m),
+        |st AS (
+        |  SELECT *,
+        |    abs(s_xy) // s_xx AS q0, abs(s_xy) % s_xx AS r0
+        |  FROM c),
+        |st2 AS (
+        |  SELECT *, (r0 * 1000) // s_xx AS q1, (r0 * 1000) % s_xx AS r1
+        |  FROM st)
         |SELECT m, sx,
         |  CAST(sxx // 1000000000000000000 AS BIGINT) AS sxx_hi,
         |  CAST(sxx % 1000000000000000000 AS BIGINT) AS sxx_lo,
@@ -1027,9 +1044,9 @@ object Graph {
         |  CAST(abs(s_xy) % 1000000000000000000 AS BIGINT) AS s_xy_abs_lo,
         |  CAST(s_xx // 1000000000000000000 AS BIGINT) AS s_xx_hi,
         |  CAST(s_xx % 1000000000000000000 AS BIGINT) AS s_xx_lo,
-        |  CAST(abs(s_xy) * 1000000 // s_xx AS BIGINT) AS r_abs_x1e6,
+        |  CAST(q0 * 1000000 + q1 * 1000 + (r1 * 1000) // s_xx AS BIGINT) AS r_abs_x1e6,
         |  CAST(CASE WHEN s_xy < 0 THEN -1 WHEN s_xy > 0 THEN 1 ELSE 0 END AS INT) AS r_sign
-        |FROM c""".stripMargin,
+        |FROM st2""".stripMargin,
 
     "q_hits" -> {
       val steps = (1 to 3).flatMap(i => Seq(

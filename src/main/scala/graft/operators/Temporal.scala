@@ -1569,12 +1569,22 @@ object Temporal {
       .withColumn("rn", count(lit(1)).over(minD))
       .filter(col("rn") >= 14)
       .withColumn("num", expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
-      .withColumn("den", expr(
-        """(n * sxx - CAST(sx AS DECIMAL(38,0)) * sx)
-          |  * (n * syy - CAST(sy AS DECIMAL(38,0)) * sy)""".stripMargin))
+      .withColumn("sxx_c", expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("syy_c", expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      // STAGED division (ADVICE r7): num²·10⁶ div (sxx_c·syy_c) would
+      // materialize both num²·10⁶ (> 38 digits once num ≳ 10^16) and
+      // the den product (> 38 digits once the factors pass 10^19) —
+      // Spark non-ANSI nulls while DuckDB HUGEINT errors, diverging
+      // exactly at scale. Instead: ⌊A/(B·C)⌋ = ⌊⌊A/B⌋/C⌋ for
+      // non-negative operands, and ⌊num²·10⁶/B⌋ expands exactly as
+      // (num² div B)·10⁶ + ((num² mod B)·10⁶) div B. No intermediate
+      // exceeds max(num², B·10⁶): exact for |num| < 10^19 and
+      // sxx_c, syy_c < 10^32 (daily magnitudes ~10^15 cents — far past
+      // any real revenue; the old single-expression form broke at 10^16).
       .select(col("day"), col("x"), col("y"),
-        when(col("den") > 0,
-          expr("CAST(num * num * 1000000 div den AS BIGINT)"))
+        when(col("sxx_c") > 0 && col("syy_c") > 0, expr(
+          """CAST((((num * num) div sxx_c) * 1000000
+            |  + (((num * num) % sxx_c) * 1000000) div sxx_c) div syy_c AS BIGINT)""".stripMargin))
           .otherwise(0L).as("r2_x1e6"),
         expr("CAST(sign(num) AS INT)").as("r_sign"))
       .orderBy(col("day"))
@@ -2020,12 +2030,14 @@ object Temporal {
          |c AS (
          |  SELECT day, x, y,
          |    n * sxy - CAST(sx AS HUGEINT) * sy AS num,
-         |    (n * sxx - CAST(sx AS HUGEINT) * sx)
-         |      * (n * syy - CAST(sy AS HUGEINT) * sy) AS den
+         |    n * sxx - CAST(sx AS HUGEINT) * sx AS sxx_c,
+         |    n * syy - CAST(sy AS HUGEINT) * sy AS syy_c
          |  FROM w WHERE rn >= 14)
          |SELECT day, x, y,
-         |  CASE WHEN den > 0 THEN CAST(num * num * 1000000 // den AS BIGINT)
-         |       ELSE 0 END AS r2_x1e6,
+         |  CASE WHEN sxx_c > 0 AND syy_c > 0 THEN
+         |    CAST((((num * num) // sxx_c) * 1000000
+         |      + (((num * num) % sxx_c) * 1000000) // sxx_c) // syy_c AS BIGINT)
+         |  ELSE 0 END AS r2_x1e6,
          |  CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END AS INT) AS r_sign
          |FROM c ORDER BY day""".stripMargin
     },

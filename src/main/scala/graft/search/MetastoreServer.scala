@@ -73,13 +73,19 @@ object MetastoreServer {
         val kind = ex.getRequestURI.getPath.stripPrefix("/search")
           .stripPrefix("/") match { case "" => "dataset"; case k => k }
         val args = parseQuery(ex.getRequestURI.getRawQuery)
-        // blueprint.py:31-32 parity: an unknown kind is a TRANSPORT
-        // error (controllers.py:12-16 resolves it to None → abort(400)),
-        // not an in-band error envelope like a bad filter column
+        // Unknown kind is a 500, not a 400 — the reference's ACTUAL
+        // behavior (ADVICE r7): models.py:121 resolves the kind to
+        // None, models.py:137 then raises TypeError at
+        // kind_params['index'], which is in neither models.py:165's
+        // except tuple (NotFoundError/JSONDecodeError/ValueError) nor
+        // controllers.py:12's ElasticsearchException catch, so it
+        // propagates to Flask's 500 handler; blueprint.py:31-32's
+        // abort(400) is unreachable for this path. We surface the same
+        // server-error status with our JSON error body.
         if (!MetastoreApi.knownKinds(kind)) {
           val bytes = s"""{"error":"unknown kind: ${esc(kind)}"}""".getBytes(UTF_8)
           ex.getResponseHeaders.set("Content-Type", "application/json")
-          ex.sendResponseHeaders(400, bytes.length.toLong)
+          ex.sendResponseHeaders(500, bytes.length.toLong)
           ex.getResponseBody.write(bytes)
         } else {
           // blueprint.py:22 — header first, jwt query param as fallback

@@ -883,6 +883,12 @@ object Similarity {
     * (k is FIXED — the hint is legal), one k-row rollup.
     */
   def kmeansStep(embeddings: DataFrame, k: Int = 10): DataFrame = {
+    // the argmin below encodes (d2, cid) as d2·16 + cid — a base-16
+    // packing that silently corrupts both decoded fields for k > 16
+    // (ADVICE r7); the DuckDB oracle hard-codes the same base, so the
+    // bound is part of the operator's spec, not an implementation limit
+    // to lift quietly
+    require(k >= 1 && k <= 16, s"kmeansStep packs cid in base 16; k must be in [1,16], got $k")
     val q = embeddings.select(col("vec_id"),
       intVec(col("embedding")).as("xi"),
       pmod(col("vec_id"), lit(k.toLong)).cast("int").as("cid0"))

@@ -66,12 +66,16 @@ class MetastoreServerSpec extends AnyFunSuite {
     assert(body.startsWith("cb({") && body.endsWith("});"))
   }
 
-  test("unknown kind is HTTP 400, not an in-band envelope (blueprint.py:31-32)") {
-    // controllers.py:12-16 resolves an unknown kind to None and the
-    // blueprint aborts 400 — a transport error, unlike a bad filter
-    // column which stays a 200 + error envelope
+  test("unknown kind is HTTP 500 — the reference's actual behavior (ADVICE r7)") {
+    // models.py:121 resolves an unknown kind to None; models.py:137
+    // then raises TypeError (None['index']), which neither
+    // models.py:165's except tuple nor controllers.py:12's
+    // ElasticsearchException catch handles → Flask 500.
+    // blueprint.py:31-32's abort(400) is unreachable for this path
+    // (the r7 400 pin cited it incorrectly). A bad filter COLUMN, by
+    // contrast, stays a 200 + in-band error envelope.
     val (code, body) = get("/search/nosuch?size=1")
-    assert(code == 400, s"expected 400, got $code: $body")
+    assert(code == 500, s"expected 500, got $code: $body")
     assert(body.contains("unknown kind"))
   }
 }
