@@ -72,13 +72,23 @@ object Bench {
       name -> ((times, median, jobs.get / reps, stages.get / reps, tasks.get / reps))
     }
     val total = results.values.map(_._2).sum
+    // min + a contention flag ride along with the median (VERDICT r7
+    // #5): a median of 3 reps does not defend against SUSTAINED load —
+    // r7's mm_decode_gif ran 16.0/14.2/2.4 s and the 14.2 median entered
+    // the round comparison unmarked. Spread > 3× marks the entry so the
+    // round-over-round read uses min (noise floor) instead.
     val detail = results.map { case (name, (times, median, j, st, tk)) =>
-      s"""  "$name": {"times": [${times.map(ms).mkString(", ")}], "median": ${ms(median)}, "jobs": $j, "stages": $st, "tasks": $tk}"""
+      val mn = times.min
+      val noisy = mn > 0 && times.max / mn > 3.0
+      s"""  "$name": {"times": [${times.map(ms).mkString(", ")}], "median": ${ms(median)}, "min": ${ms(mn)}, "noisy": $noisy, "jobs": $j, "stages": $st, "tasks": $tk}"""
     }.mkString(",\n")
+    // box load at sweep end — the ±40% day-band context for the reader
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     val detailJson =
       s"""{
          |"sf": "$sfDir", "reps": $reps, "n_queries": ${results.size},
-         |"total_median": ${ms(total)}, "unit": "sec",
+         |"total_median": ${ms(total)}, "unit": "sec", "load_avg": ${ms(loadAvg)},
          |"queries": {
          |$detail
          |}

@@ -211,6 +211,26 @@ class GraphSpec extends AnyFunSuite {
     assert(got == want, "LPA communities diverge from the synchronous replay")
   }
 
+  test("labelProp has NOT converged at R — exactly-R-rounds is a semantic contract (VERDICT r7 #6)") {
+    // Synchronous LPA on bipartite-like structure does not converge:
+    // labels keep swapping round over round (the classic caveat —
+    // SCALING.md measures a 5.7k-row swap at 10× data; probing here
+    // shows it is not even a clean period-2 cycle: rounds 6, 7 AND 8
+    // all differ). The engine's "defined as exactly R rounds" wording
+    // is therefore load-bearing — the answer is a function of R, and
+    // this pins that on the ENGINE plans, not just prose. sf0.001's
+    // 200-vertex graph collapses to ONE community (converged — no
+    // witness there), so this runs at sf0.01 where the swap was
+    // measured.
+    val oscSf = "/root/testdata/sf0.01"
+    def run(iters: Int): Seq[(Long, Long, Long, Long)] =
+      Graph.labelProp(spark, oscSf, iters).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(run(6) != run(7),
+      "oscillation witness gone: rounds R and R+1 agree — if LPA now converges, " +
+        "update the exactly-R-rounds contract docs and this pin together")
+  }
+
   test("components: 10-round labels equal a driver-side replay of the recurrence") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
