@@ -47,6 +47,12 @@ object SparkEntry {
     "ms_terms_agg_stats"   -> ((s, d) => Metastore.termsAggStatsQ(s, d)),
     "ms_decay_recency"     -> ((s, d) => Metastore.decayRecencyQ(s, d)),
     "ms_query_string"      -> ((s, d) => Metastore.queryStringQuery(s, d)),
+    "ms_span_first"        -> ((s, d) => Metastore.spanFirstQ(s, d)),
+    "ms_span_not"          -> ((s, d) => Metastore.spanNotQ(s, d)),
+    "ms_regexp"            -> ((s, d) => Metastore.regexpQ(s, d)),
+    "ms_common_terms"      -> ((s, d) => Metastore.commonTermsQ(s, d)),
+    "ms_random_score"      -> ((s, d) => Metastore.randomScoreQ(s, d)),
+    "ms_did_you_mean"      -> ((s, d) => Metastore.didYouMeanQ(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
     "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),
     "ms_events_visibility" -> ((s, d) => Metastore.eventsVisibility(s, d)),

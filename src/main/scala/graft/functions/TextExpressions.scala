@@ -394,7 +394,8 @@ case class WordPairs(child: Expression) extends UnaryExpression {
   * 5,000 16-token docs; this pass is O(occ(first)·occ(second)) array
   * reads inside whole-stage codegen).
   */
-case class SpanGaps(child: Expression, first: String, second: String, maxGap: Int)
+case class SpanGaps(child: Expression, first: String, second: String, maxGap: Int,
+                    exclude: Option[String] = None)
     extends UnaryExpression {
 
   require(maxGap >= 0, "maxGap must be >= 0")
@@ -411,17 +412,34 @@ case class SpanGaps(child: Expression, first: String, second: String, maxGap: In
 
   private val firstU = UTF8String.fromString(first)
   private val secondU = UTF8String.fromString(second)
+  // ES span_not analog: a pair is suppressed when the excluded term
+  // occurs strictly INSIDE the span (between i and j)
+  private val exclU = exclude.map(UTF8String.fromString).orNull
 
   def compute(v: org.apache.spark.sql.catalyst.util.ArrayData)
       : org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = v.numElements()
-    // positions of `second` once, then for each `first` a bounded
-    // forward scan of that (tiny) position list
+    // positions of `second` (and `exclude`) once, then for each `first`
+    // a bounded forward scan of those (tiny) position lists
     val ps = new java.util.ArrayList[Integer]()
+    val pe = new java.util.ArrayList[Integer]()
     var i = 0
     while (i < n) {
-      if (!v.isNullAt(i) && v.getUTF8String(i).equals(secondU)) ps.add(i)
+      if (!v.isNullAt(i)) {
+        val t = v.getUTF8String(i)
+        if (t.equals(secondU)) ps.add(i)
+        if (exclU != null && t.equals(exclU)) pe.add(i)
+      }
       i += 1
+    }
+    def excluded(i: Int, j: Int): Boolean = {
+      var k = 0
+      while (k < pe.size()) {
+        val e = pe.get(k).intValue()
+        if (e > i && e < j) return true
+        k += 1
+      }
+      false
     }
     val gaps = new java.util.ArrayList[Integer]()
     i = 0
@@ -432,7 +450,8 @@ case class SpanGaps(child: Expression, first: String, second: String, maxGap: In
         while (k < ps.size() && !done) {
           val j = ps.get(k).intValue()
           if (j > i) {
-            if (j - i - 1 <= maxGap) gaps.add(j - i - 1) else done = true
+            if (j - i - 1 <= maxGap) { if (!excluded(i, j)) gaps.add(j - i - 1) }
+            else done = true
           }
           k += 1
         }
@@ -547,8 +566,9 @@ object TextExpressionFunctions {
       SortedIntersectLongs(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   /** Column API for [[SpanGaps]]. */
-  def spanGaps(toks: Column, first: String, second: String, maxGap: Int): Column =
-    GraftBridge.column(SpanGaps(GraftBridge.expression(toks), first, second, maxGap))
+  def spanGaps(toks: Column, first: String, second: String, maxGap: Int,
+               exclude: Option[String] = None): Column =
+    GraftBridge.column(SpanGaps(GraftBridge.expression(toks), first, second, maxGap, exclude))
 
   /** Column API for [[PrefixFollowers]]. */
   def prefixFollowers(toks: Column, first: String, prefix: String): Column =

@@ -816,6 +816,125 @@ object Metastore {
       .orderBy(col("doc_id")).limit(100)
   }
 
+  /** ES span_first analog: "join" within the FIRST 5 analyzed positions
+    * — the "matches near the start of the field" primitive (title-ish
+    * semantics without a separate field). One array_position read over
+    * the shared [[tokCorpus]] token table; emits the position so the
+    * boundary itself is gate-checked.
+    */
+  def spanFirstQ(s: SparkSession, d: String): DataFrame =
+    tokCorpus(s, d)
+      .withColumn("pos", array_position(col("toks"), "join"))
+      .filter(col("pos") >= 1 && col("pos") <= 5)
+      .select(col("doc_id"), col("name"), col("pos"))
+      .orderBy(col("doc_id")).limit(100)
+
+  /** ES span_not analog: the [[spanNearQ]] "merge … join" (slop 3)
+    * spans MINUS those with the excluded term "table" strictly inside
+    * the span — the "match unless interrupted" proximity primitive.
+    * Same native [[graft.functions.SpanGaps]] pass run with and without
+    * the exclusion, so the emitted (n_spans, n_clean, n_excluded)
+    * triple pins the exclusion logic, not just the surviving doc set.
+    */
+  def spanNotQ(s: SparkSession, d: String): DataFrame = {
+    val f = graft.functions.TextExpressionFunctions
+    tokCorpus(s, d)
+      .withColumn("all_g", f.spanGaps(col("toks"), "merge", "join", 3))
+      .withColumn("clean_g", f.spanGaps(col("toks"), "merge", "join", 3, Some("table")))
+      .filter(size(col("clean_g")) > 0)
+      .select(col("doc_id"), col("name"),
+        size(col("all_g")).cast("long").as("n_spans"),
+        size(col("clean_g")).cast("long").as("n_clean"),
+        (size(col("all_g")) - size(col("clean_g"))).cast("long").as("n_excluded"))
+      .orderBy(col("doc_id")).limit(100)
+  }
+
+  /** ES regexp query analog: visible docs containing any analyzed term
+    * matching `^s.*(m|k)$` (find-semantics regex in both engines; the
+    * anchors make it effectively full-match), matched term set emitted
+    * sorted — the [[wildcardQ]] discipline one expressiveness rung up.
+    * On a serving path the regex walks the term DICTIONARY (suggestQ's
+    * note); here it is one codegen'd filter over the shared token table.
+    */
+  def regexpQ(s: SparkSession, d: String): DataFrame =
+    tokCorpus(s, d)
+      .withColumn("mt", sort_array(array_distinct(
+        filter(col("toks"), t => t.rlike("^s.*(m|k)$")))))
+      .filter(size(col("mt")) > 0)
+      .select(col("doc_id"), col("name"), size(col("mt")).as("n_terms"),
+        concat_ws(",", col("mt")).as("matched_terms"))
+      .orderBy(col("doc_id")).limit(100)
+
+  /** ES common-terms / cutoff_frequency analog (the pre-BM25 stopword
+    * handling): query terms split by document frequency at the pinned
+    * cutoff df·3 > N — low-df terms are REQUIRED (AND), high-df terms
+    * only boost the score (OR) — score = 1000·n_low + n_high. On this
+    * corpus "dup" (df ≈ N/40) is the one low term, so the split is
+    * data-driven and both branches gate. The df classification is a
+    * 3-row broadcast off the shared token table's explode.
+    */
+  def commonTermsQ(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("dup", "merge", "join")
+    val v = tokCorpus(s, d)
+      .select(col("doc_id"), col("name"), array_distinct(col("toks")).as("dt"))
+    val n = v.agg(count(lit(1)).as("n"))
+    val cls = v.select(explode(col("dt")).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(n))
+      .withColumn("is_high", col("df") * 3 > col("n"))
+    val nLow = cls.agg(sum(when(!col("is_high"), 1L).otherwise(0L)).as("n_low_total"))
+    v.select(col("doc_id"), col("name"), explode(col("dt")).as("term"))
+      .join(broadcast(cls.select(col("term"), col("is_high"))), Seq("term"))
+      .groupBy(col("doc_id"), col("name"))
+      .agg(sum(when(!col("is_high"), 1L).otherwise(0L)).as("n_low"),
+        sum(when(col("is_high"), 1L).otherwise(0L)).cast("long").as("n_high"))
+      .crossJoin(broadcast(nLow))
+      .filter(col("n_low") === col("n_low_total"))
+      .select(col("doc_id"), col("name"), col("n_low").cast("long").as("n_low"),
+        col("n_high"), (col("n_low") * 1000 + col("n_high")).cast("long").as("ct_score"))
+      .orderBy(col("ct_score").desc, col("doc_id")).limit(20)
+  }
+
+  /** ES function_score random_score analog with a SEED — deterministic
+    * jitter for A/B-bucketed result shuffling: fscore = text score +
+    * (doc_id·1103515245 + 12345) mod 1024, the classic LCG step as a
+    * pure integer hash both engines compute identically (doc_id ≥ 0 ⇒
+    * both mods are non-negative). Runs on the shared boostedHits list
+    * like [[functionScoreQ]].
+    */
+  def randomScoreQ(s: SparkSession, d: String): DataFrame = {
+    val terms = Analyzer.analyzeQuery("the merge join table")
+    val i = idx(s, d)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("fscore").desc, col("doc_id"))
+    ds.boostedHits(i, ds.scores(i, terms),
+        SearchRequest(q = Some("the merge join table")))
+      .withColumn("jitter", expr("(doc_id * 1103515245 + 12345) % 1024"))
+      .withColumn("fscore", col("score") + col("jitter"))
+      .orderBy(col("fscore").desc, col("doc_id")).limit(20)
+      .select(row_number().over(wAll).cast("int").as("rank"),
+        col("doc_id"), col("name"), col("score").as("text_score"),
+        col("jitter"), col("fscore"))
+      .orderBy(col("rank"))
+  }
+
+  /** ES phrase-suggester "did you mean" analog: the misspelled query
+    * term "qery" expands against the corpus term DICTIONARY (distinct
+    * analyzed terms + df off the shared token table — vocabulary-sized,
+    * the suggester's data structure at any scale) to candidates within
+    * levenshtein distance ≤ 2, ranked (dist asc, df desc, term). Both
+    * engines compute the classic DP edit distance.
+    */
+  def didYouMeanQ(s: SparkSession, d: String): DataFrame =
+    tokCorpus(s, d)
+      .select(explode(array_distinct(col("toks"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .withColumn("dist", levenshtein(col("term"), lit("qery")).cast("long"))
+      .filter(col("dist") <= 2)
+      .orderBy(col("dist"), col("df").desc, col("term")).limit(5)
+      .select(col("term"), col("df"), col("dist"))
+
   // --- oracle SQL --------------------------------------------------------
 
   private val idxCte = s"WITH idx AS (\n${Tables.datasetIndexSql}\n)"
@@ -1382,5 +1501,98 @@ object Metastore {
          |WHERE ${graft.search.QueryString.toSql(tree, "toks")}
          |ORDER BY doc_id LIMIT 100""".stripMargin
     },
+
+    "ms_span_first" ->
+      s"""$idxCte,
+         |t AS (SELECT doc_id, name, ${tok("readme")} AS toks FROM idx
+         |      WHERE findability = 'published')
+         |SELECT doc_id, name, CAST(list_position(toks, 'join') AS BIGINT) AS pos
+         |FROM t
+         |WHERE list_position(toks, 'join') BETWEEN 1 AND 5
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_span_not" ->
+      s"""$idxCte,
+         |t AS (SELECT doc_id, name, ${tok("readme")} AS toks FROM idx
+         |      WHERE findability = 'published'),
+         |p AS (SELECT doc_id, name,
+         |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'merge') AS pm,
+         |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS pj,
+         |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'table') AS pe
+         |      FROM t),
+         |g AS (SELECT doc_id, name,
+         |        flatten(list_transform(pm, i ->
+         |          list_filter(pj, j -> j > i AND j - i <= 4))) AS n_all,
+         |        flatten(list_transform(pm, i ->
+         |          list_filter(pj, j -> j > i AND j - i <= 4
+         |            AND len(list_filter(pe, e -> e > i AND e < j)) = 0))) AS n_clean
+         |      FROM p)
+         |SELECT doc_id, name, CAST(len(n_all) AS BIGINT) AS n_spans,
+         |  CAST(len(n_clean) AS BIGINT) AS n_clean,
+         |  CAST(len(n_all) - len(n_clean) AS BIGINT) AS n_excluded
+         |FROM g WHERE len(n_clean) > 0 ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_regexp" ->
+      s"""$idxCte,
+         |t AS (SELECT doc_id, name, ${tok("readme")} AS toks FROM idx
+         |      WHERE findability = 'published'),
+         |m AS (SELECT doc_id, name,
+         |        list_sort(list_distinct(list_filter(toks,
+         |          x -> regexp_matches(x, '^s.*(m|k)$$')))) AS mt
+         |      FROM t)
+         |SELECT doc_id, name, CAST(len(mt) AS INT) AS n_terms,
+         |  array_to_string(mt, ',') AS matched_terms
+         |FROM m WHERE len(mt) > 0 ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_common_terms" ->
+      s"""$idxCte,
+         |v AS (SELECT doc_id, name, list_distinct(${tok("readme")}) AS dt FROM idx
+         |      WHERE findability = 'published'),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+         |cls AS (
+         |  SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |    CAST(count(*) AS BIGINT) * 3 > (SELECT n FROM nn) AS is_high
+         |  FROM (SELECT doc_id, unnest(dt) AS term FROM v)
+         |  WHERE term IN ('dup', 'merge', 'join')
+         |  GROUP BY term),
+         |nl AS (SELECT CAST(sum(CASE WHEN is_high THEN 0 ELSE 1 END) AS BIGINT)
+         |         AS n_low_total FROM cls),
+         |sc AS (
+         |  SELECT x.doc_id, x.name,
+         |    CAST(sum(CASE WHEN c.is_high THEN 0 ELSE 1 END) AS BIGINT) AS n_low,
+         |    CAST(sum(CASE WHEN c.is_high THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+         |  FROM (SELECT doc_id, name, unnest(dt) AS term FROM v) x
+         |  JOIN cls c ON c.term = x.term
+         |  GROUP BY x.doc_id, x.name)
+         |SELECT doc_id, name, n_low, n_high,
+         |  CAST(n_low * 1000 + n_high AS BIGINT) AS ct_score
+         |FROM sc CROSS JOIN nl
+         |WHERE n_low = n_low_total
+         |ORDER BY ct_score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "ms_random_score" ->
+      s"""$idxCte,
+         |$tfidfCtes,
+         |j AS (
+         |  SELECT doc_id, name, score,
+         |    (doc_id * 1103515245 + 12345) % 1024 AS jitter,
+         |    score + ((doc_id * 1103515245 + 12345) % 1024) AS fscore
+         |  FROM hits),
+         |top AS (SELECT * FROM j ORDER BY fscore DESC, doc_id LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY fscore DESC, doc_id) AS INT) AS rank,
+         |  doc_id, name, CAST(score AS BIGINT) AS text_score,
+         |  CAST(jitter AS BIGINT) AS jitter, CAST(fscore AS BIGINT) AS fscore
+         |FROM top ORDER BY rank""".stripMargin,
+
+    "ms_did_you_mean" ->
+      s"""$idxCte,
+         |t AS (SELECT doc_id, unnest(list_distinct(${tok("readme")})) AS term FROM idx
+         |      WHERE findability = 'published'),
+         |d AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+         |        CAST(levenshtein(term, 'qery') AS BIGINT) AS dist
+         |      FROM t GROUP BY term)
+         |SELECT term, df, dist FROM d
+         |WHERE dist <= 2
+         |ORDER BY dist, df DESC, term LIMIT 5""".stripMargin,
   )
 }

@@ -505,4 +505,79 @@ class SearchSpec extends AnyFunSuite {
     assert(got == want, "query-string plan diverges from the evaluator replay")
     assert(got.nonEmpty)
   }
+
+  test("span_not equals a position replay and the exclusion actually fires somewhere") {
+    val docs = Tables.datasetIndex(spark, sf)
+      .filter(col("findability") === "published")
+      .select("doc_id", "readme").collect()
+      .map(r => r.getLong(0) -> graft.search.Analyzer
+        .analyzeQuery(r.getString(1)).toVector).toMap
+    val want = docs.flatMap { case (id, toks) =>
+      val pm = toks.indices.filter(toks(_) == "merge")
+      val pj = toks.indices.filter(toks(_) == "join")
+      val pe = toks.indices.filter(toks(_) == "table")
+      val all = for (i <- pm; j <- pj if j > i && j - i <= 4) yield (i, j)
+      val clean = all.filterNot { case (i, j) => pe.exists(e => e > i && e < j) }
+      if (clean.nonEmpty) Some(id -> (all.length.toLong, clean.length.toLong)) else None
+    }
+    val got = Metastore.spanNotQ(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    val cap = want.keys.toSeq.sorted.take(100).toSet
+    assert(got == want.view.filterKeys(cap).toMap, "span_not drift vs position replay")
+    assert(got.nonEmpty)
+    // the exclusion must do real work at this sf, or the query is
+    // indistinguishable from plain span_near and the pin is vacuous.
+    // (Some doc with an excluded span may fall outside the surviving
+    // set — recompute over the full replay, not just `got`.)
+    val excludedSomewhere = docs.exists { case (_, toks) =>
+      val pm = toks.indices.filter(toks(_) == "merge")
+      val pj = toks.indices.filter(toks(_) == "join")
+      val pe = toks.indices.filter(toks(_) == "table")
+      (for (i <- pm; j <- pj if j > i && j - i <= 4) yield (i, j))
+        .exists { case (i, j) => pe.exists(e => e > i && e < j) }
+    }
+    assert(excludedSomewhere, "no span was ever excluded — exclusion branch untested")
+  }
+
+  test("common_terms: data-driven split has both branches and low terms are required") {
+    val rows = Metastore.commonTermsQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // every hit carries ALL low-df terms (n_low = n_low_total) and the
+    // corpus really splits the pinned query into both classes
+    val docs = Tables.datasetIndex(spark, sf)
+      .filter(col("findability") === "published")
+      .select("doc_id", "readme").collect()
+      .map(r => r.getLong(0) -> graft.search.Analyzer.analyzeQuery(r.getString(1)).toSet)
+    val n = docs.length.toLong
+    val dfs = Seq("dup", "merge", "join")
+      .map(t => t -> docs.count(_._2.contains(t)).toLong).toMap
+    val (high, low) = dfs.partition { case (_, df) => df * 3 > n }
+    assert(low.nonEmpty && high.nonEmpty,
+      s"query terms no longer split at the df cutoff: $dfs (n=$n)")
+    val lowTerms = low.keySet
+    rows.foreach { r =>
+      val toks = docs.toMap.apply(r.getLong(0))
+      assert(lowTerms.subsetOf(toks), s"doc ${r.getLong(0)} misses a required low-df term")
+      assert(r.getLong(4) == r.getLong(2) * 1000 + r.getLong(3), "score formula drift")
+    }
+  }
+
+  test("did_you_mean suggests real vocabulary terms within the edit budget") {
+    def lev(a: String, b: String): Long = {
+      val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+        if (i == 0) j else if (j == 0) i else 0
+      }
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length).toLong
+    }
+    val rows = Metastore.didYouMeanQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val term = r.getString(0)
+      assert(lev(term, "qery") == r.getLong(2), s"edit distance drift for '$term'")
+      assert(r.getLong(2) <= 2)
+    }
+  }
 }
