@@ -173,6 +173,10 @@ object SparkEntry {
     "q_forecast_naive" -> ((s, d) => operators.Temporal.qForecastNaive(s, d)),
     "q_cohort_ltv"     -> ((s, d) => operators.Temporal.qCohortLtv(s, d)),
     "q_assortativity"  -> ((s, d) => operators.Graph.assortativity(s, d)),
+    "q_closeness"      -> ((s, d) => operators.Graph.closeness(s, d)),
+    "q_graph_diameter" -> ((s, d) => operators.Graph.graphDiameter(s, d)),
+    "q_adamic_adar"    -> ((s, d) => operators.Graph.adamicAdar(s, d)),
+    "q_avg_nbr_deg"    -> ((s, d) => operators.Graph.avgNeighborDegree(s, d)),
     "q_bfs"            -> ((s, d) => operators.Graph.bfs(s, d)),
     "q_triangle_count" -> ((s, d) => operators.Graph.triangleCounts(s, d)),
     "q_common_neighbors" -> ((s, d) => operators.Graph.commonNeighbors(s, d)),

@@ -246,7 +246,20 @@ object Graph {
     * the fact-level work is still only the one edge extraction; the
     * iteration runs on the N²-bounded matrix.
     */
-  def apsp(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+  def apsp(s: SparkSession, d: String, iters: Int = 6): DataFrame =
+    apspDist(s, d, iters).groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("n_reachable"),
+        max(col("dist")).as("ecc"),
+        sum(col("dist")).cast("long").as("closeness_sum"))
+      .orderBy(col("src"))
+
+  /** The unrolled min-plus distance table behind [[apsp]] (and its
+    * centrality consumers [[closeness]]/[[graphDiameter]]): per (src, v)
+    * the ≤iters-hop shortest distance over the directed nation trade
+    * graph. Edge extraction is the only fact-scale work (checkpointed);
+    * rounds operate on the ≤N² distance grid.
+    */
+  private[graft] def apspDist(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
     val nations = Tables.nation(s, d)
       .select(col("n_nationkey").cast("long").as("nk"))
     val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
@@ -269,11 +282,56 @@ object Graph {
         .groupBy(col("src"), col("v")).agg(min(col("dist")).as("dist"))
         .localCheckpoint(eager = false)
     }
-    dist.groupBy(col("src"))
+    dist
+  }
+
+  /** Wasserman–Faust closeness centrality of the nation trade graph —
+    * the "how few hops to everyone" ranking, disconnected-safe:
+    * C = ((r−1)/(n−1)) · ((r−1)/S) with r = reached nodes, S = distance
+    * sum, emitted ×10⁶ as (r−1)²·10⁶ div ((n−1)·S) — pure integers off
+    * the SAME [[apspDist]] grid q_apsp rolls up, so the two can never
+    * disagree about distances. n is a 1-row broadcast; isolated
+    * sources (S = 0) emit 0.
+    */
+  def closeness(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+    val n = Tables.nation(s, d).agg(count(lit(1)).cast("long").as("n"))
+    apspDist(s, d, iters).groupBy(col("src"))
       .agg(count(lit(1)).cast("long").as("n_reachable"),
-        max(col("dist")).as("ecc"),
         sum(col("dist")).cast("long").as("closeness_sum"))
-      .orderBy(col("src"))
+      .crossJoin(broadcast(n))
+      .select(col("src"), col("n_reachable"), col("closeness_sum"),
+        when(col("closeness_sum") > 0, expr(
+          "(n_reachable - 1) * (n_reachable - 1) * 1000000 div ((n - 1) * closeness_sum)"))
+          .otherwise(0L).as("closeness_x1e6"))
+      .orderBy(col("closeness_x1e6").desc, col("src"))
+  }
+
+  /** Diameter / radius / center of the nation trade graph — the one-row
+    * graph-shape summary off the per-source eccentricities of the SAME
+    * [[apspDist]] grid: diameter = max ecc, radius = min ecc (over
+    * sources reaching every node — the standard connected-graph
+    * definition, restricted so partial reach cannot fake a small ecc),
+    * center/periphery = how many sources attain radius/diameter.
+    */
+  def graphDiameter(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+    val n = Tables.nation(s, d).agg(count(lit(1)).cast("long").as("n"))
+    // the ecc table is N-row tiny but feeds two consumers (the scalar
+    // rollup and the center/periphery counts) — checkpoint it lazily
+    // so the 6-round distance loop does not run twice
+    val ecc = apspDist(s, d, iters).groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("r"), max(col("dist")).as("ecc"))
+      .crossJoin(broadcast(n))
+      .filter(col("r") === col("n"))
+      .select(col("src"), col("ecc"))
+      .localCheckpoint(eager = false)
+    val scal = ecc.agg(count(lit(1)).cast("long").as("n_full_reach"),
+      max(col("ecc")).as("diameter"), min(col("ecc")).as("radius"))
+    ecc.crossJoin(broadcast(scal))
+      .groupBy(col("n_full_reach"), col("diameter"), col("radius"))
+      .agg(sum(when(col("ecc") === col("radius"), 1L).otherwise(0L))
+          .cast("long").as("n_center"),
+        sum(when(col("ecc") === col("diameter"), 1L).otherwise(0L))
+          .cast("long").as("n_periphery"))
   }
 
   /** Per-part triangle counts in the co-purchase graph (parts appearing
@@ -444,6 +502,59 @@ object Graph {
         expr("(cn * 1000000) div (da + db - cn)").as("jac_x1e6"))
       .orderBy(col("jac_x1e6").desc, col("a"), col("b"))
       .limit(100)
+  }
+
+  /** Dyadic Adamic–Adar link-prediction scores (Adamic & Adar 2003,
+    * public literature) for co-purchase edges: each common neighbor w
+    * contributes 1/log(deg(w)) — rare shared neighbors matter more —
+    * realized integer-exact with the dyadic surrogate
+    * 10⁶ div bitlen(deg(w)) (bitlen = ⌊log₂⌋+1, the length(bin())
+    * convention q_degree_dist buckets by; witnesses have deg ≥ 2, so
+    * bitlen ≥ 2 and no division blows up). Same factored triangle
+    * pipeline as [[resourceAlloc]]: witnesses enumerated once at each
+    * triangle's lowest-(deg,id) edge, only the T×3 witness rows and a
+    * V-row degree join shuffle. Completes the link-prediction ladder
+    * (common-neighbors / Jaccard / RA / AA).
+    */
+  def adamicAdar(s: SparkSession, d: String): DataFrame = {
+    val e = triEdges(s, d)
+    val oriented = triOriented(e)
+    val adj = triAdjacency(oriented)
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    triEdgeWitnesses(triTriples(s, oriented, adj))
+      .join(deg.select(col("v").as("wit"), col("deg").as("dw")), "wit")
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).cast("long").as("cn"),
+        sum(expr("1000000 div length(bin(dw))")).cast("long").as("aa_x1e6"))
+      .orderBy(col("aa_x1e6").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
+  /** Average-neighbor-degree curve of the co-purchase graph — knn(k),
+    * the standard assortativity COMPANION read ([[assortativity]] gives
+    * the one-number mixing coefficient; this shows WHERE the mixing
+    * bends): per log₂ degree bucket (the q_degree_dist convention),
+    * endpoint count, neighbor-degree sum and the exact integer mean
+    * ×10⁶ (DECIMAL-staged — an E-sized sum of degrees passes int64 at
+    * fact scale). Two V-row degree joins on the symmetrized edge list,
+    * one bucket-domain rollup — nothing beyond E rows shuffles.
+    */
+  def avgNeighborDegree(s: SparkSession, d: String): DataFrame = {
+    val e = triEdges(s, d)
+    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val sym = e.select(col("a"), col("b"))
+      .unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    sym
+      .join(deg.select(col("v"), col("deg").as("da")), col("a") === col("v")).drop("v")
+      .join(deg.select(col("v"), col("deg").as("db")), col("b") === col("v")).drop("v")
+      .groupBy(expr("CAST(length(bin(da)) AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_endpoints"),
+        sum(col("db")).cast("long").as("sum_nbr_deg"))
+      .withColumn("avg_nbr_deg_x1e6", expr(
+        "CAST(CAST(sum_nbr_deg AS DECIMAL(38,0)) * 1000000 div n_endpoints AS BIGINT)"))
+      .orderBy(col("bucket"))
   }
 
   /** Connected components of the repeat-co-purchase graph (pairs bought
@@ -967,6 +1078,33 @@ object Graph {
        |  FROM $p p LEFT JOIN v$i ON v$i.dst = p.nk)""".stripMargin
   }
 
+  /** The unrolled min-plus APSP CTE chain (e/n/d0..d6) shared by the
+    * q_apsp / q_closeness / q_graph_diameter oracles — one definition,
+    * so the three can never disagree about the distance grid.
+    */
+  private lazy val apspCtes: String = {
+    val steps = (1 to 6).map { i =>
+      val p = s"d${i - 1}"
+      s"""d$i AS MATERIALIZED (
+         |  SELECT src, v, min(dist) AS dist FROM (
+         |    SELECT src, v, dist FROM $p
+         |    UNION ALL
+         |    SELECT p.src, e.edst AS v, p.dist + 1 AS dist
+         |    FROM $p p JOIN e ON e.esrc = p.v)
+         |  GROUP BY src, v)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS esrc,
+       |    CAST(s.s_nationkey AS BIGINT) AS edst
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+       |n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation),
+       |d0 AS (SELECT nk AS src, nk AS v, CAST(0 AS BIGINT) AS dist FROM n),
+       |$steps""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_cheapest_route" -> {
       val steps = (1 to 6).map(routeStep).mkString(",\n")
@@ -1068,31 +1206,84 @@ object Graph {
          |ORDER BY nationkey""".stripMargin
     },
 
-    "q_apsp" -> {
-      val steps = (1 to 6).map { i =>
-        val p = s"d${i - 1}"
-        s"""d$i AS MATERIALIZED (
-           |  SELECT src, v, min(dist) AS dist FROM (
-           |    SELECT src, v, dist FROM $p
-           |    UNION ALL
-           |    SELECT p.src, e.edst AS v, p.dist + 1 AS dist
-           |    FROM $p p JOIN e ON e.esrc = p.v)
-           |  GROUP BY src, v)""".stripMargin
-      }.mkString(",\n")
-      s"""WITH e AS MATERIALIZED (
-         |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS esrc,
-         |    CAST(s.s_nationkey AS BIGINT) AS edst
-         |  FROM lineitem l
-         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
-         |  JOIN customer c ON o.o_custkey = c.c_custkey
-         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
-         |n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation),
-         |d0 AS (SELECT nk AS src, nk AS v, CAST(0 AS BIGINT) AS dist FROM n),
-         |$steps
+    "q_apsp" ->
+      s"""$apspCtes
          |SELECT src, CAST(count(*) AS BIGINT) AS n_reachable,
          |  max(dist) AS ecc, CAST(sum(dist) AS BIGINT) AS closeness_sum
-         |FROM d6 GROUP BY src ORDER BY src""".stripMargin
-    },
+         |FROM d6 GROUP BY src ORDER BY src""".stripMargin,
+
+    "q_closeness" ->
+      s"""$apspCtes,
+         |c AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS n_reachable,
+         |    CAST(sum(dist) AS BIGINT) AS closeness_sum
+         |  FROM d6 GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nation)
+         |SELECT src, n_reachable, closeness_sum,
+         |  CASE WHEN closeness_sum > 0 THEN
+         |    (n_reachable - 1) * (n_reachable - 1) * 1000000 // ((n - 1) * closeness_sum)
+         |  ELSE 0 END AS closeness_x1e6
+         |FROM c CROSS JOIN nn
+         |ORDER BY closeness_x1e6 DESC, src""".stripMargin,
+
+    "q_graph_diameter" ->
+      s"""$apspCtes,
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nation),
+         |ecc AS (
+         |  SELECT src, CAST(count(*) AS BIGINT) AS r, max(dist) AS ecc
+         |  FROM d6 GROUP BY src),
+         |full_reach AS (SELECT src, ecc FROM ecc CROSS JOIN nn WHERE r = n),
+         |scal AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_full_reach,
+         |    max(ecc) AS diameter, min(ecc) AS radius
+         |  FROM full_reach)
+         |SELECT n_full_reach, diameter, radius,
+         |  CAST(sum(CASE WHEN f.ecc = s.radius THEN 1 ELSE 0 END) AS BIGINT) AS n_center,
+         |  CAST(sum(CASE WHEN f.ecc = s.diameter THEN 1 ELSE 0 END) AS BIGINT) AS n_periphery
+         |FROM full_reach f CROSS JOIN scal s
+         |GROUP BY n_full_reach, diameter, radius""".stripMargin,
+
+    "q_adamic_adar" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x
+        |  JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |t AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b),
+        |cr AS (
+        |  SELECT a, b, wit FROM (
+        |    SELECT x AS a, y AS b, z AS wit FROM t UNION ALL
+        |    SELECT x, z, y FROM t UNION ALL
+        |    SELECT y, z, x FROM t)),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY v)
+        |SELECT cr.a, cr.b, CAST(count(*) AS BIGINT) AS cn,
+        |  CAST(sum(1000000 // length(bin(dw.deg))) AS BIGINT) AS aa_x1e6
+        |FROM cr JOIN deg dw ON dw.v = cr.wit
+        |GROUP BY cr.a, cr.b
+        |ORDER BY aa_x1e6 DESC, cr.a, cr.b LIMIT 100""".stripMargin,
+
+    "q_avg_nbr_deg" ->
+      """WITH e AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x
+        |  JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |deg AS (
+        |  SELECT v, CAST(count(*) AS BIGINT) AS deg FROM (
+        |    SELECT a AS v FROM e UNION ALL SELECT b FROM e)
+        |  GROUP BY v),
+        |sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e)
+        |SELECT CAST(length(bin(da.deg)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_endpoints,
+        |  CAST(sum(db.deg) AS BIGINT) AS sum_nbr_deg,
+        |  CAST(CAST(sum(db.deg) AS HUGEINT) * 1000000 // count(*) AS BIGINT) AS avg_nbr_deg_x1e6
+        |FROM sym JOIN deg da ON da.v = sym.a JOIN deg db ON db.v = sym.b
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_label_prop" -> {
       val steps = (1 to 6).map(lpStep).mkString(",\n")

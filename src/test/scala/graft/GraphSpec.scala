@@ -157,6 +157,70 @@ class GraphSpec extends AnyFunSuite {
     assert(got == want, "RA scores diverge from the brute-force recompute")
   }
 
+  test("adamic-adar equals a brute-force dyadic witness sum and ranks rare witnesses higher") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { rows2 =>
+      val ps = rows2.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val adj = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    def bitlen(x: Long): Long = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    val scored = edges.toSeq.map { case (a, b) =>
+      val ws = adj(a) & adj(b)
+      (a, b, ws.size.toLong, ws.toSeq.map(w => 1000000L / bitlen(adj(w).size.toLong)).sum)
+    }.filter(_._3 > 0)
+    val want = scored.sortBy(t => (-t._4, t._1, t._2)).take(100)
+    val got = Graph.adamicAdar(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, "AA scores diverge from the brute-force recompute")
+    assert(got.nonEmpty)
+  }
+
+  test("closeness and diameter derive from the same distance grid as apsp") {
+    val apspRows = Graph.apsp(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val n = Tables.nation(spark, sf).count()
+    val got = Graph.closeness(spark, sf).collect()
+    got.foreach { r =>
+      val (nr, _, s) = apspRows(r.getLong(0))
+      assert(r.getLong(1) == nr && r.getLong(2) == s, "closeness inputs drift from apsp")
+      val want = if (s > 0) (nr - 1) * (nr - 1) * 1000000L / ((n - 1) * s) else 0L
+      assert(r.getLong(3) == want, s"closeness formula drift at src ${r.getLong(0)}")
+    }
+    val dia = Graph.graphDiameter(spark, sf).collect()
+    if (dia.nonEmpty) {
+      val full = apspRows.filter(_._2._1 == n)
+      val eccs = full.values.map(_._2)
+      val row = dia.head
+      assert(row.getLong(0) == full.size && row.getLong(1) == eccs.max &&
+        row.getLong(2) == eccs.min, "diameter/radius drift from apsp eccentricities")
+      assert(row.getLong(3) == eccs.count(_ == eccs.min) &&
+        row.getLong(4) == eccs.count(_ == eccs.max), "center/periphery counts drift")
+    }
+  }
+
+  test("avg-neighbor-degree buckets reproduce a brute-force knn curve") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { rows2 =>
+      val ps = rows2.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val sym = edges.toSeq.flatMap(e => Seq((e._1, e._2), (e._2, e._1)))
+    val want = sym.groupBy { case (a, _) => 64L - java.lang.Long.numberOfLeadingZeros(deg(a)) }
+      .map { case (bucket, es) =>
+        val s = es.map { case (_, b) => deg(b) }.sum
+        (bucket, es.size.toLong, s, s * 1000000L / es.size)
+      }.toSeq.sortBy(_._1)
+    val got = Graph.avgNeighborDegree(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want, "knn curve diverges from the brute-force recompute")
+  }
+
   test("kcore: 12 rounds reach the fixpoint and equal a driver-side peel of the repeat graph") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
