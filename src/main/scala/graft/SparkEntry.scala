@@ -106,6 +106,12 @@ object SparkEntry {
     "ms_score_explain"  -> ((s, d) => Metastore.scoreExplain(s, d)),
     "q_unpivot"        -> ((s, d) => Relational.qUnpivot(s, d)),
     "q_outlier_mad"    -> ((s, d) => Relational.qOutlierMad(s, d)),
+    "q_outlier_iqr"    -> ((s, d) => Relational.qOutlierIqr(s, d)),
+    "q_harmonic_mean"  -> ((s, d) => Relational.qHarmonicMean(s, d)),
+    "q_entropy"        -> ((s, d) => Relational.qEntropy(s, d)),
+    "q_moving_minmax"  -> ((s, d) => operators.Temporal.qMovingMinmax(s, d)),
+    "q_interp_linear"  -> ((s, d) => operators.Temporal.qInterpLinear(s, d)),
+    "q_prop_ztest"     -> ((s, d) => operators.Temporal.qPropZtest(s, d)),
     "q_full_outer"     -> ((s, d) => Relational.qFullOuter(s, d)),
     "q_set_ops_all"    -> ((s, d) => Relational.qSetOpsAll(s, d)),
     "q_profile"        -> ((s, d) => Relational.qProfile(s, d)),
@@ -1158,6 +1164,136 @@ object SparkEntry {
         |  CAST(max(CASE WHEN rk = (n * 50 + 99) // 100 THEN cents END) AS BIGINT) AS p50_cents,
         |  CAST(max(CASE WHEN rk = (n * 75 + 99) // 100 THEN cents END) AS BIGINT) AS p75_cents
         |FROM r GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_outlier_iqr" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |r AS (
+        |  SELECT o_orderpriority, cents,
+        |    row_number() OVER (PARTITION BY o_orderpriority ORDER BY cents) AS rk,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM c),
+        |q AS (
+        |  SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+        |    CAST(max(CASE WHEN rk = (n * 25 + 99) // 100 THEN cents END) AS BIGINT) AS q1_cents,
+        |    CAST(max(CASE WHEN rk = (n * 75 + 99) // 100 THEN cents END) AS BIGINT) AS q3_cents
+        |  FROM r GROUP BY o_orderpriority)
+        |SELECT c.o_orderpriority, q.n, q.q1_cents, q.q3_cents,
+        |  q.q3_cents - q.q1_cents AS iqr_cents,
+        |  CAST(sum(CASE WHEN 2 * c.cents < 2 * q.q1_cents - 3 * (q.q3_cents - q.q1_cents)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN 2 * c.cents > 2 * q.q3_cents + 3 * (q.q3_cents - q.q1_cents)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        |  CAST((sum(CASE WHEN 2 * c.cents < 2 * q.q1_cents - 3 * (q.q3_cents - q.q1_cents)
+        |       THEN 1 ELSE 0 END)
+        |   + sum(CASE WHEN 2 * c.cents > 2 * q.q3_cents + 3 * (q.q3_cents - q.q1_cents)
+        |       THEN 1 ELSE 0 END)) * 10000 // max(q.n) AS BIGINT) AS outlier_rate_x1e4
+        |FROM c JOIN q USING (o_orderpriority)
+        |GROUP BY c.o_orderpriority, q.n, q.q1_cents, q.q3_cents
+        |ORDER BY c.o_orderpriority""".stripMargin,
+
+    "q_harmonic_mean" ->
+      """WITH c AS (
+        |  SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+        |  CAST((sum(cents) * 100) // count(*) AS BIGINT) AS am_cents_x100,
+        |  CAST(CAST(count(*) AS HUGEINT) * 1000000000000 * 100
+        |    // sum(1000000000000 // cents) AS BIGINT) AS hm_cents_x100
+        |FROM c GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q_entropy" ->
+      """WITH cls AS (
+        |  SELECT c.c_mktsegment, o.o_orderpriority, CAST(count(*) AS BIGINT) AS c
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |g AS (
+        |  SELECT c_mktsegment, o_orderpriority, c,
+        |    CAST(sum(c) OVER (PARTITION BY c_mktsegment) AS BIGINT) AS n
+        |  FROM cls)
+        |SELECT c_mktsegment, CAST(max(n) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  (max(c) * 10000) // max(n) AS modal_share_x1e4,
+        |  CAST(sum(c * (length(bin(n // c)) - 1)) * 100 // max(n) AS BIGINT)
+        |    AS entropy_bits_x100
+        |FROM g GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_moving_minmax" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, rev_cents,
+        |  CAST(min(rev_cents) OVER w AS BIGINT) AS min7_cents,
+        |  CAST(max(rev_cents) OVER w AS BIGINT) AS max7_cents,
+        |  CAST(max(rev_cents) OVER w - min(rev_cents) OVER w AS BIGINT) AS range7_cents,
+        |  CAST(CASE WHEN rev_cents = max(rev_cents) OVER w THEN 1 ELSE 0 END AS INT) AS at_high,
+        |  CAST(CASE WHEN rev_cents = min(rev_cents) OVER w THEN 1 ELSE 0 END AS INT) AS at_low
+        |FROM daily
+        |WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q_interp_linear" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM events GROUP BY 1, 2),
+        |cal AS (
+        |  SELECT event_type, unnest(range(lo, hi + 1)) AS day FROM (
+        |    SELECT event_type, min(day) AS lo, max(day) AS hi FROM daily GROUP BY 1)),
+        |grid AS (
+        |  SELECT cal.event_type, cal.day, d.rev_cents
+        |  FROM cal LEFT JOIN daily d ON d.event_type = cal.event_type AND d.day = cal.day),
+        |anch AS (
+        |  SELECT event_type, day, rev_cents,
+        |    last_value(CASE WHEN rev_cents IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wb AS pd,
+        |    last_value(rev_cents IGNORE NULLS) OVER wb AS pv,
+        |    first_value(CASE WHEN rev_cents IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wf AS nd,
+        |    first_value(rev_cents IGNORE NULLS) OVER wf AS nv
+        |  FROM grid
+        |  WINDOW wb AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY event_type ORDER BY day
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT event_type, day,
+        |  CAST(CASE
+        |    WHEN rev_cents IS NOT NULL THEN rev_cents
+        |    WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |      pv + CASE WHEN nv < pv THEN -(abs(nv - pv) * (day - pd) // (nd - pd))
+        |                ELSE abs(nv - pv) * (day - pd) // (nd - pd) END
+        |    WHEN pv IS NOT NULL THEN pv
+        |    ELSE nv END AS BIGINT) AS rev_filled_cents,
+        |  CASE WHEN rev_cents IS NOT NULL THEN 'actual'
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN 'interp'
+        |       WHEN pv IS NOT NULL THEN 'locf'
+        |       ELSE 'bocf' END AS fill_src
+        |FROM anch ORDER BY event_type, day""".stripMargin,
+
+    "q_prop_ztest" ->
+      """WITH s AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |    CAST(sum(CASE WHEN event_type = 'click' AND value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |    CAST(sum(CASE WHEN event_type = 'view' AND value >= 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS x2
+        |  FROM events WHERE event_type IN ('click', 'view'))
+        |SELECT n1, x1, n2, x2,
+        |  CAST(CAST(x1 * n2 - x2 * n1 AS HUGEINT) * (x1 * n2 - x2 * n1)
+        |    * (n1 + n2) * 1000000
+        |    // (CAST(n1 AS HUGEINT) * n2 * (x1 + x2) * (n1 + n2 - x1 - x2))
+        |    AS BIGINT) AS z2_x1e6,
+        |  (x1 * 10000) // n1 AS rate1_x1e4,
+        |  (x2 * 10000) // n2 AS rate2_x1e4,
+        |  CAST(CASE WHEN CAST(CAST(x1 * n2 - x2 * n1 AS HUGEINT) * (x1 * n2 - x2 * n1)
+        |    * (n1 + n2) * 1000000
+        |    // (CAST(n1 AS HUGEINT) * n2 * (x1 + x2) * (n1 + n2 - x1 - x2)) AS BIGINT)
+        |    > 3841459 THEN 1 ELSE 0 END AS INT) AS significant_95
+        |FROM s""".stripMargin,
 
     "q_weighted_median" ->
       """WITH li AS (

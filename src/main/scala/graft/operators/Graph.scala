@@ -308,20 +308,24 @@ object Graph {
 
   /** Diameter / radius / center of the nation trade graph — the one-row
     * graph-shape summary off the per-source eccentricities of the SAME
-    * [[apspDist]] grid: diameter = max ecc, radius = min ecc (over
-    * sources reaching every node — the standard connected-graph
-    * definition, restricted so partial reach cannot fake a small ecc),
-    * center/periphery = how many sources attain radius/diameter.
+    * [[apspDist]] grid: diameter = max ecc, radius = min ecc over the
+    * sources attaining the MAXIMAL reach count (= every node once the
+    * graph is connected at the probed hop budget — the standard
+    * connected-graph definition; at tiny SFs where nothing reaches all
+    * n, the max-reach restriction still yields a well-defined non-empty
+    * summary instead of an empty result), center/periphery = how many
+    * sources attain radius/diameter.
     */
   def graphDiameter(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
-    val n = Tables.nation(s, d).agg(count(lit(1)).cast("long").as("n"))
+    val reach = apspDist(s, d, iters).groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("r"), max(col("dist")).as("ecc"))
+    val rmax = reach.agg(max(col("r")).as("r_max"))
     // the ecc table is N-row tiny but feeds two consumers (the scalar
     // rollup and the center/periphery counts) — checkpoint it lazily
     // so the 6-round distance loop does not run twice
-    val ecc = apspDist(s, d, iters).groupBy(col("src"))
-      .agg(count(lit(1)).cast("long").as("r"), max(col("dist")).as("ecc"))
-      .crossJoin(broadcast(n))
-      .filter(col("r") === col("n"))
+    val ecc = reach
+      .crossJoin(broadcast(rmax))
+      .filter(col("r") === col("r_max"))
       .select(col("src"), col("ecc"))
       .localCheckpoint(eager = false)
     val scal = ecc.agg(count(lit(1)).cast("long").as("n_full_reach"),
@@ -1228,11 +1232,11 @@ object Graph {
 
     "q_graph_diameter" ->
       s"""$apspCtes,
-         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nation),
          |ecc AS (
          |  SELECT src, CAST(count(*) AS BIGINT) AS r, max(dist) AS ecc
          |  FROM d6 GROUP BY src),
-         |full_reach AS (SELECT src, ecc FROM ecc CROSS JOIN nn WHERE r = n),
+         |rmax AS (SELECT max(r) AS r_max FROM ecc),
+         |full_reach AS (SELECT src, ecc FROM ecc CROSS JOIN rmax WHERE r = r_max),
          |scal AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_full_reach,
          |    max(ecc) AS diameter, min(ecc) AS radius

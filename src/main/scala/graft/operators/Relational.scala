@@ -1601,4 +1601,92 @@ object Relational {
         sum(col("cents")).cast("long").as("sum_cents"))
       .orderBy(col("decile"))
   }
+
+  /** Tukey-fence (IQR) outlier audit of order totals per priority —
+    * the box-plot rule next to [[qOutlierMad]]'s robust-z one: discrete
+    * quartiles via percentile_disc (the [[qPercentileDisc]] exact-rank
+    * machinery), fences at Q1 − 1.5·IQR / Q3 + 1.5·IQR kept integer by
+    * scaling the comparison ×2 (2·cents vs 2·Q1 − 3·IQR), outlier
+    * counts + rate ×10⁴. The quartile table is a 5-row broadcast; the
+    * count pass is one partial-agg scan.
+    */
+  def qOutlierIqr(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+    val q = o.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        expr("CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY cents) AS BIGINT)")
+          .as("q1_cents"),
+        expr("CAST(percentile_disc(0.75) WITHIN GROUP (ORDER BY cents) AS BIGINT)")
+          .as("q3_cents"))
+    o.join(broadcast(q), Seq("o_orderpriority"))
+      .groupBy(col("o_orderpriority"), col("n"), col("q1_cents"), col("q3_cents"))
+      .agg(
+        sum(when(expr("2 * cents < 2 * q1_cents - 3 * (q3_cents - q1_cents)"), 1L)
+          .otherwise(0L)).cast("long").as("n_low"),
+        sum(when(expr("2 * cents > 2 * q3_cents + 3 * (q3_cents - q1_cents)"), 1L)
+          .otherwise(0L)).cast("long").as("n_high"))
+      .select(col("o_orderpriority"), col("n"), col("q1_cents"), col("q3_cents"),
+        (col("q3_cents") - col("q1_cents")).as("iqr_cents"),
+        col("n_low"), col("n_high"),
+        expr("((n_low + n_high) * 10000) div n").as("outlier_rate_x1e4"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** Harmonic mean of order totals per priority — the "average rate"
+    * mean (always ≤ the arithmetic mean; the right average for
+    * per-unit-cost style figures), kept exact by the pinned spec
+    * hm = n·10¹² div Σ(10¹² div cents): the inner floor-div at K = 10¹²
+    * loses < 10⁻⁸ relative per term and is BIT-IDENTICAL in both
+    * engines, which is what a differential gate needs. Emitted next to
+    * the arithmetic mean so the AM ≥ HM inequality is visible in the
+    * output. One partial-agg pass.
+    */
+  def qHarmonicMean(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("1000000000000 div cents")).cast("long").as("sum_inv_x1e12"),
+        sum(col("cents")).cast("long").as("sum_cents"))
+      .select(col("o_orderpriority"), col("n"),
+        expr("(sum_cents * 100) div n").as("am_cents_x100"),
+        expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000000000 * 100 div sum_inv_x1e12 AS BIGINT)")
+          .as("hm_cents_x100"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Dyadic Shannon entropy of the order-priority mix per customer
+    * segment — "how concentrated is each segment's demand", the
+    * information-theoretic companion of [[qHhi]]: per-class surprisal
+    * in floor-log₂ bits (bits = length(bin(n div c)) − 1, the
+    * [[graft.operators.Text.surprisal]] convention — integer-exact in
+    * both engines, no float log), H·10² = Σ c·bits·100 div n; also the
+    * modal share ×10⁴. Scale shape: one fact-scale join onto the
+    * broadcastable customer dim? No — customer grows with SF, so the
+    * join is hint-free (AQE decides); aggregates are two partial-agg
+    * groupBys on the segment×priority grid.
+    */
+  def qEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val cls = Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("c"))
+    // n per segment via a window over the segment×priority GRID (tens
+    // of rows — never fact rows), then one grid-sized rollup
+    cls.withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("c_mktsegment"))))
+      .withColumn("bits", expr("length(bin(n div c)) - 1"))
+      .groupBy(col("c_mktsegment"))
+      .agg(max(col("n")).cast("long").as("n"),
+        count(lit(1)).cast("long").as("n_classes"),
+        max(col("c")).cast("long").as("modal_c"),
+        sum(expr("c * bits")).cast("long").as("weighted_bits"))
+      .select(col("c_mktsegment"), col("n"), col("n_classes"),
+        expr("(modal_c * 10000) div n").as("modal_share_x1e4"),
+        expr("(weighted_bits * 100) div n").as("entropy_bits_x100"))
+      .orderBy(col("c_mktsegment"))
+  }
 }

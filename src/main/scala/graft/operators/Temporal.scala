@@ -1689,6 +1689,104 @@ object Temporal {
       .orderBy(col("dow"), col("hour"))
   }
 
+  /** The (event_type, day) revenue rollup shared by the channel/fill
+    * queries below — the [[qHolt]] daily grain.
+    */
+  private def typeDaily(s: SparkSession, d: String): DataFrame =
+    EventStreams.normalize(Tables.events(s, d))
+      .select(col("event_type"), expr("ts_us div 86400000000").as("day"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("cents")).as("rev_cents"))
+
+  /** Trailing 7-day Donchian channel of daily revenue per event type —
+    * rolling min / max / range plus the breakout flags (today touches
+    * the channel edge), the band-trading sibling of [[qBollinger]]'s
+    * mean±σ bands but in EXACT order statistics (min/max need no
+    * variance staging at all). One day-domain window after the
+    * fact-scale rollup.
+    */
+  def qMovingMinmax(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("day")).rowsBetween(-6, 0)
+    typeDaily(s, d)
+      .select(col("event_type"), col("day"), col("rev_cents"),
+        min(col("rev_cents")).over(w).as("min7_cents"),
+        max(col("rev_cents")).over(w).as("max7_cents"))
+      .withColumn("range7_cents", col("max7_cents") - col("min7_cents"))
+      .withColumn("at_high", (col("rev_cents") === col("max7_cents")).cast("int"))
+      .withColumn("at_low", (col("rev_cents") === col("min7_cents")).cast("int"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Linear interpolation gap fill of the per-type daily revenue series
+    * — [[qLocf]]'s straight-line upgrade: missing days take
+    * prev + ⌊|next − prev|·(day − prev_day) / (next_day − prev_day)⌋
+    * (magnitude-and-sign so truncation is symmetric and identical in
+    * both engines); leading/trailing gaps fall back to
+    * backward/forward fill, and each row labels its source
+    * (actual/interp/locf/bocf) so the gate pins the branch logic. The
+    * dense grid and both anchor scans live on the DAY domain — the
+    * fact scan collapses first.
+    */
+  def qInterpLinear(s: SparkSession, d: String): DataFrame = {
+    val daily = typeDaily(s, d)
+    val cal = daily.groupBy(col("event_type"))
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("event_type"), explode(expr("sequence(lo, hi)")).as("day"))
+    val grid = cal.join(daily, Seq("event_type", "day"), "left_outer")
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wf = Window.partitionBy(col("event_type")).orderBy(col("day"))
+      .rowsBetween(0, Window.unboundedFollowing)
+    grid
+      .withColumn("pd", last(when(col("rev_cents").isNotNull, col("day")), ignoreNulls = true).over(wb))
+      .withColumn("pv", last(col("rev_cents"), ignoreNulls = true).over(wb))
+      .withColumn("nd", first(when(col("rev_cents").isNotNull, col("day")), ignoreNulls = true).over(wf))
+      .withColumn("nv", first(col("rev_cents"), ignoreNulls = true).over(wf))
+      .select(col("event_type"), col("day"),
+        when(col("rev_cents").isNotNull, col("rev_cents"))
+          .when(col("pv").isNotNull && col("nv").isNotNull, expr(
+            """pv + CASE WHEN nv < pv THEN
+              |  -(abs(nv - pv) * (day - pd) div (nd - pd))
+              |ELSE abs(nv - pv) * (day - pd) div (nd - pd) END""".stripMargin))
+          .when(col("pv").isNotNull, col("pv"))
+          .otherwise(col("nv")).as("rev_filled_cents"),
+        when(col("rev_cents").isNotNull, lit("actual"))
+          .when(col("pv").isNotNull && col("nv").isNotNull, lit("interp"))
+          .when(col("pv").isNotNull, lit("locf"))
+          .otherwise(lit("bocf")).as("fill_src"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
+  /** Two-proportion z-test: does the click channel "finish" (value ≥
+    * 100, the eventIndex convention) at a different rate than view? The
+    * classic A/B significance primitive, kept EXACT by emitting z²
+    * (which needs no sqrt): z² = (x₁n₂ − x₂n₁)²·N div
+    * (n₁n₂(x₁+x₂)(N−x₁−x₂)), ×10⁶, staged DECIMAL(38,0) — exact
+    * through samples of ~10⁸ per arm (beyond that you subsample the
+    * test, not the warehouse). Significance = z² vs the pinned
+    * χ²₁(0.95) = 3.841459 constant. One partial-agg scan → 1 row.
+    */
+  def qPropZtest(s: SparkSession, d: String): DataFrame =
+    EventStreams.normalize(Tables.events(s, d))
+      .filter(col("event_type").isin("click", "view"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).cast("long").as("n1"),
+        sum(when(col("event_type") === "click" && col("value") >= 100.0, 1L)
+          .otherwise(0L)).cast("long").as("x1"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).cast("long").as("n2"),
+        sum(when(col("event_type") === "view" && col("value") >= 100.0, 1L)
+          .otherwise(0L)).cast("long").as("x2"))
+      .withColumn("z2_x1e6", expr(
+        """CAST(CAST(x1 * n2 - x2 * n1 AS DECIMAL(38,0)) * (x1 * n2 - x2 * n1)
+          |  * (n1 + n2) * 1000000
+          |  div (CAST(n1 AS DECIMAL(38,0)) * n2 * (x1 + x2) * (n1 + n2 - x1 - x2))
+          |  AS BIGINT)""".stripMargin))
+      .withColumn("rate1_x1e4", expr("(x1 * 10000) div n1"))
+      .withColumn("rate2_x1e4", expr("(x2 * 10000) div n2"))
+      .withColumn("significant_95",
+        (col("z2_x1e6") > 3841459L).cast("int"))
+
   /** Single text source for the per-(day, user) purchase-cents CTE the
     * series oracles so the cents rounding / purchase filter can never
     * drift between them.

@@ -190,15 +190,14 @@ class GraphSpec extends AnyFunSuite {
       assert(r.getLong(3) == want, s"closeness formula drift at src ${r.getLong(0)}")
     }
     val dia = Graph.graphDiameter(spark, sf).collect()
-    if (dia.nonEmpty) {
-      val full = apspRows.filter(_._2._1 == n)
-      val eccs = full.values.map(_._2)
-      val row = dia.head
-      assert(row.getLong(0) == full.size && row.getLong(1) == eccs.max &&
-        row.getLong(2) == eccs.min, "diameter/radius drift from apsp eccentricities")
-      assert(row.getLong(3) == eccs.count(_ == eccs.min) &&
-        row.getLong(4) == eccs.count(_ == eccs.max), "center/periphery counts drift")
-    }
+    val rMax = apspRows.values.map(_._1).max
+    val full = apspRows.filter(_._2._1 == rMax)
+    val eccs = full.values.map(_._2)
+    val row = dia.head
+    assert(row.getLong(0) == full.size && row.getLong(1) == eccs.max &&
+      row.getLong(2) == eccs.min, "diameter/radius drift from apsp eccentricities")
+    assert(row.getLong(3) == eccs.count(_ == eccs.min) &&
+      row.getLong(4) == eccs.count(_ == eccs.max), "center/periphery counts drift")
   }
 
   test("avg-neighbor-degree buckets reproduce a brute-force knn curve") {

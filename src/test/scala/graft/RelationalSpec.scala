@@ -674,4 +674,54 @@ class RelationalSpec extends AnyFunSuite {
     }
     assert(idx == n)
   }
+
+  test("IQR fences equal a driver-side quartile recompute") {
+    val cents = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sorted }
+    val got = operators.Relational.qOutlierIqr(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val vs = cents(r.getString(0))
+      val n = vs.length
+      val q1 = vs((n * 25 + 99) / 100 - 1)
+      val q3 = vs((n * 75 + 99) / 100 - 1)
+      assert(r.getLong(2) == q1 && r.getLong(3) == q3, s"quartile drift in ${r.getString(0)}")
+      val lo = vs.count(v => 2 * v < 2 * q1 - 3 * (q3 - q1)).toLong
+      val hi = vs.count(v => 2 * v > 2 * q3 + 3 * (q3 - q1)).toLong
+      assert(r.getLong(5) == lo && r.getLong(6) == hi, s"fence counts drift in ${r.getString(0)}")
+    }
+  }
+
+  test("harmonic mean: formula replay and AM >= HM") {
+    val cents = Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("c"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val got = operators.Relational.qHarmonicMean(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val vs = cents(r.getString(0))
+      val hm = BigInt(vs.length) * 1000000000000L * 100 / vs.map(1000000000000L / _).sum
+      assert(r.getLong(3) == hm.toLong, s"HM drift in ${r.getString(0)}")
+      assert(r.getLong(2) >= r.getLong(3), "AM < HM — impossible for positive values")
+    }
+  }
+
+  test("dyadic entropy is bounded by log2(n_classes) and uses the surprisal convention") {
+    val got = operators.Relational.qEntropy(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (nClasses, ent) = (r.getLong(2), r.getLong(4))
+      // H <= log2(k) for a k-class distribution; the dyadic floor can
+      // only lower it. ceil-log2 of n_classes bounds the bucket values.
+      val log2k = 64 - java.lang.Long.numberOfLeadingZeros(nClasses - 1)
+      assert(ent <= log2k * 100, s"entropy ${ent} above the log2(k) bound")
+      assert(ent >= 0 && r.getLong(3) >= 10000 / nClasses,
+        "modal share below the uniform floor")
+    }
+  }
 }

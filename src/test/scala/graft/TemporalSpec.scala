@@ -1037,4 +1037,69 @@ class TemporalSpec extends AnyFunSuite {
     }
     assert(rows.forall(t => t._1 >= 1 && t._1 <= 7 && t._2 >= 0 && t._2 <= 23))
   }
+
+  test("moving min/max channel brackets the series and flags are consistent") {
+    val rows = operators.Temporal.qMovingMinmax(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getInt(6), r.getInt(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, rev, mn, mx, rng, hi, lo) =>
+      assert(mn <= rev && rev <= mx, "series escapes its own channel")
+      assert(rng == mx - mn)
+      assert((hi == 1) == (rev == mx) && (lo == 1) == (rev == mn))
+    }
+    // windowed replay per type
+    rows.groupBy(_._1).foreach { case (_, ts) =>
+      val sorted = ts.sortBy(_._2)
+      sorted.zipWithIndex.foreach { case ((_, _, _, mn, mx, _, _, _), i) =>
+        val win = sorted.slice(math.max(0, i - 6), i + 1).map(_._3)
+        assert(mn == win.min && mx == win.max, "rolling bounds drift from a slice replay")
+      }
+    }
+  }
+
+  test("linear interpolation fills every day, labels sources, and anchors exactly") {
+    val daily = operators.Temporal.qMovingMinmax(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val rows = operators.Temporal.qInterpLinear(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (_, ts) =>
+      val days = ts.map(_._2).sorted
+      assert(days.toSeq == (days.min to days.max).toSeq, "grid not dense")
+    }
+    rows.foreach { case (t, day, v, src) =>
+      daily.get((t, day)) match {
+        case Some(actual) => assert(src == "actual" && v == actual, s"anchor drift at ($t, $day)")
+        case None =>
+          assert(Set("interp", "locf", "bocf")(src), s"missing day mislabeled at ($t, $day)")
+          // an interpolated value lies within [min(prev,next), max(prev,next)]
+          if (src == "interp") {
+            val known = daily.collect { case ((tt, dd), vv) if tt == t => dd -> vv }
+            val pv = known.filter(_._1 < day).maxBy(_._1)._2
+            val nv = known.filter(_._1 > day).minBy(_._1)._2
+            assert(v >= math.min(pv, nv) && v <= math.max(pv, nv), "interp outside anchors")
+          }
+      }
+    }
+  }
+
+  test("two-proportion z-squared equals a driver-side recompute of the pooled formula") {
+    val Seq((n1, x1, n2, x2)) = {
+      val e = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+        .filter(col("event_type").isin("click", "view"))
+        .select(col("event_type"), col("value")).collect()
+      val c = e.filter(_.getString(0) == "click")
+      val v = e.filter(_.getString(0) == "view")
+      Seq((c.length.toLong, c.count(_.getDouble(1) >= 100.0).toLong,
+        v.length.toLong, v.count(_.getDouble(1) >= 100.0).toLong))
+    }
+    val row = operators.Temporal.qPropZtest(spark, sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) == ((n1, x1, n2, x2)))
+    val num = BigInt(x1 * n2 - x2 * n1)
+    val want = num * num * (n1 + n2) * 1000000 /
+      (BigInt(n1) * n2 * (x1 + x2) * (n1 + n2 - x1 - x2))
+    assert(row.getLong(4) == want.toLong, "z^2 formula drift")
+    assert((row.getInt(7) == 1) == (want.toLong > 3841459L))
+  }
 }
