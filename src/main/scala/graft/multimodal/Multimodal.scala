@@ -444,4 +444,83 @@ object Multimodal {
     }.toDF("doc_id", "sample_rate", "n_samples", "sum_abs", "max_abs")
       .orderBy(col("doc_id"))
   }
+
+  /** REAL RLE-TGA decode gate ([[MediaCodec.encodeTga]]/decodeTga —
+    * Truevision spec, type 10, bottom-up): pixels repeat in runs of
+    * 1 + id mod 5 so both RLE and raw packets occur; the emitted
+    * TOP-LEFT pixel pins the bottom-up row order (channel sums alone
+    * cannot). Same narrow one-pass encode+decode mapPartitions shape
+    * as the other codec gates.
+    */
+  def decodeTgaPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (5 + id % 19).toInt
+        val h = (3 + id % 11).toInt
+        val rl = (1 + id % 5).toInt
+        val payload = MediaCodec.encodeTga(w, h, (x, y) => {
+          val cx = x / rl
+          val r = ((id + 3L * cx + 5L * y) % 256).toInt
+          val g = ((2L * id + 7L * cx + y) % 256).toInt
+          val b = ((5L * id + cx + 11L * y) % 256).toInt
+          (r << 16) | (g << 8) | b
+        })
+        val m = MediaCodec.decodeTga(payload)
+        (id, m.width.toLong, m.height.toLong, m.sumR, m.sumG, m.sumB,
+          m.topLeftR.toLong, m.topLeftG.toLong, m.topLeftB.toLong)
+      }
+    }.toDF("doc_id", "width", "height", "sum_r", "sum_g", "sum_b",
+      "tl_r", "tl_g", "tl_b")
+      .orderBy(col("doc_id"))
+  }
+
+  /** REAL G.711 mu-law companding gate ([[MediaCodec.encodeWavMulaw]] /
+    * decodeWavMulaw): PCM16 samples compand to 8-bit codes and expand
+    * back; the oracle recomputes the FULL compand→expand roundtrip
+    * closed-form (segment exponent via bit length, mantissa via
+    * shifted floor-div), so a bias/segment/mantissa bug anywhere
+    * breaks the hash.
+    */
+  def decodeMulawPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (20 + id % 50).toInt
+        val payload = MediaCodec.encodeWavMulaw(n, 8000,
+          i => (((id * 7919L + i * 2741L) % 65536L) - 32768L).toInt)
+        val m = MediaCodec.decodeWavMulaw(payload)
+        (id, m.sampleRate.toLong, m.nSamples, m.sumAbs, m.maxAbs)
+      }
+    }.toDF("doc_id", "sample_rate", "n_samples", "sum_abs", "max_abs")
+      .orderBy(col("doc_id"))
+  }
+
+  /** REAL Netpbm P6 decode gate ([[MediaCodec.encodePpm]]/decodePpm):
+    * ASCII token header with a '#' comment line (the parser must skip
+    * it to find the geometry) + raw RGB raster; channel sums recomputed
+    * closed-form by the oracle.
+    */
+  def decodePpmPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (3 + id % 17).toInt
+        val h = (2 + id % 13).toInt
+        val payload = MediaCodec.encodePpm(w, h, (x, y) => {
+          val r = ((3L * id + 2L * x + 7L * y) % 256).toInt
+          val g = ((id + 5L * x + 3L * y) % 256).toInt
+          val b = ((7L * id + 11L * x + y) % 256).toInt
+          (r << 16) | (g << 8) | b
+        })
+        val m = MediaCodec.decodePpm(payload)
+        (id, m.width.toLong, m.height.toLong, m.maxval.toLong,
+          m.sumR, m.sumG, m.sumB)
+      }
+    }.toDF("doc_id", "width", "height", "maxval", "sum_r", "sum_g", "sum_b")
+      .orderBy(col("doc_id"))
+  }
 }

@@ -171,6 +171,15 @@ object Pipeline {
   def mmThumbnail(s: SparkSession, d: String): DataFrame =
     Multimodal.thumbnailPlan(Tables.documents(s, d))
 
+  def mmDecodeTga(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeTgaPlan(Tables.documents(s, d))
+
+  def mmDecodeMulaw(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeMulawPlan(Tables.documents(s, d))
+
+  def mmDecodePpm(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodePpmPlan(Tables.documents(s, d))
+
   /** k-anonymity audit — the privacy-engineering check before a corpus
     * release: group documents by their quasi-identifier tuple
     * (lang, source, size bucket), measure each equivalence class's
@@ -1977,6 +1986,61 @@ object Pipeline {
         |  FROM m, range(0, 24) x(i), range(0, 16) y(i)
         |  WHERE x.i < m.w AND y.i < m.h)
         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_tga" ->
+      """WITH m AS (SELECT doc_id, 5 + doc_id % 19 AS w, 3 + doc_id % 11 AS h,
+        |             1 + doc_id % 5 AS rl
+        |           FROM documents),
+        |px AS (
+        |  SELECT m.doc_id, m.w, m.h,
+        |    (m.doc_id + 3 * (x.i // m.rl) + 5 * y.i) % 256 AS r,
+        |    (2 * m.doc_id + 7 * (x.i // m.rl) + y.i) % 256 AS g,
+        |    (5 * m.doc_id + (x.i // m.rl) + 11 * y.i) % 256 AS b
+        |  FROM m, range(0, 24) x(i), range(0, 14) y(i)
+        |  WHERE x.i < m.w AND y.i < m.h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
+        |  CAST(sum(b) AS BIGINT) AS sum_b,
+        |  CAST(doc_id % 256 AS BIGINT) AS tl_r,
+        |  CAST((2 * doc_id) % 256 AS BIGINT) AS tl_g,
+        |  CAST((5 * doc_id) % 256 AS BIGINT) AS tl_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    // the full G.711 compand->expand roundtrip closed-form: segment
+    // exponent = bitlen((|s|+132) >> 7) - 1, mantissa by shifted
+    // floor-div, magnitude = ((8*man + 132) << e) - 132
+    "mm_decode_mulaw" ->
+      """WITH m AS (SELECT doc_id, 20 + doc_id % 50 AS n FROM documents),
+        |s AS (
+        |  SELECT m.doc_id, m.n,
+        |    ((m.doc_id * 7919 + i.i * 2741) % 65536) - 32768 AS s
+        |  FROM m, range(0, 70) i(i) WHERE i.i < m.n),
+        |c AS (SELECT doc_id, n, least(abs(s), 32635) + 132 AS m132 FROM s),
+        |e AS (SELECT doc_id, n, m132, length(bin(m132 // 128)) - 1 AS e FROM c),
+        |d AS (
+        |  SELECT doc_id, n,
+        |    ((((m132 // (1 << (e + 3))) % 16) * 8 + 132) * (1 << e)) - 132 AS dec
+        |  FROM e)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum(dec) AS BIGINT) AS sum_abs, CAST(max(dec) AS BIGINT) AS max_abs
+        |FROM d GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_ppm" ->
+      """WITH m AS (SELECT doc_id, 3 + doc_id % 17 AS w, 2 + doc_id % 13 AS h
+        |           FROM documents),
+        |px AS (
+        |  SELECT m.doc_id, m.w, m.h,
+        |    (3 * m.doc_id + 2 * x.i + 7 * y.i) % 256 AS r,
+        |    (m.doc_id + 5 * x.i + 3 * y.i) % 256 AS g,
+        |    (7 * m.doc_id + 11 * x.i + y.i) % 256 AS b
+        |  FROM m, range(0, 20) x(i), range(0, 15) y(i)
+        |  WHERE x.i < m.w AND y.i < m.h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(255 AS BIGINT) AS maxval,
         |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
         |  CAST(sum(b) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,

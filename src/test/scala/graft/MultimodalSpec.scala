@@ -245,4 +245,70 @@ class MultimodalSpec extends AnyFunSuite {
     val bad = v1.clone(); bad(bad.length - 1) = 0
     intercept[IllegalArgumentException](MediaCodec.decodeQoi(bad))
   }
+
+  test("TGA round-trip: RLE + raw packets, bottom-up origin pinned by the top-left pixel") {
+    // constant row → one RLE packet; alternating row → raw packets
+    val enc = MediaCodec.encodeTga(4, 2, (x, y) =>
+      if (y == 0) 0x112233 else (if (x % 2 == 0) 0x445566 else 0x778899))
+    val m = MediaCodec.decodeTga(enc)
+    assert(m.width == 4 && m.height == 2)
+    // top-left = (0,0) = row y=0 which is stored LAST in a bottom-up file
+    assert((m.topLeftR, m.topLeftG, m.topLeftB) == ((0x11, 0x22, 0x33)),
+      "bottom-up row order not honored")
+    assert(m.sumR == 4L * 0x11 + 2 * 0x44 + 2 * 0x77)
+    assert(m.sumB == 4L * 0x33 + 2 * 0x66 + 2 * 0x99)
+    // hand-assembled stream: 18-byte header + one RLE packet (2x red)
+    val hand = new Array[Byte](18 + 4)
+    hand(2) = 10; hand(12) = 2; hand(14) = 1; hand(16) = 24
+    hand(18) = 0x81.toByte // RLE, 2 pixels
+    hand(19) = 0x00; hand(20) = 0x00; hand(21) = 0xff.toByte // B,G,R = red
+    val hm = MediaCodec.decodeTga(hand)
+    assert(hm.width == 2 && hm.height == 1 && hm.sumR == 510L && hm.sumG == 0L)
+    // a packet crossing the scanline must throw, not wrap silently
+    val cross = hand.clone(); cross(18) = 0x82.toByte // 3 pixels on a 2-wide row
+    intercept[IllegalArgumentException](MediaCodec.decodeTga(cross))
+  }
+
+  test("mu-law companding matches the G.711 spec on published witness values") {
+    // 0 encodes to 0xFF (all-ones complement), decodes back to 0
+    assert(MediaCodec.mulawEncode(0) == 0xff)
+    assert(MediaCodec.mulawDecode(0xff) == 0)
+    // quantization error is bounded by half the segment step everywhere
+    for (s <- Seq(-32768, -32635, -12345, -100, -1, 0, 1, 33, 100, 8191, 32635, 32767)) {
+      val dec = MediaCodec.mulawDecode(MediaCodec.mulawEncode(s))
+      val clipped = math.max(-32635, math.min(32635, s))
+      val step = {
+        val m132 = math.abs(clipped) + 132
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(m132 >> 7).toInt
+        8 << e
+      }
+      assert(math.abs(dec - clipped) <= step / 2 + 4,
+        s"companding error for $s: decoded $dec (step $step)")
+      assert(math.signum(dec) == math.signum(clipped) || dec == 0)
+    }
+    // monotone: larger magnitude never decodes smaller
+    val decs = (0 to 32635 by 97).map(s => MediaCodec.mulawDecode(MediaCodec.mulawEncode(s)))
+    assert(decs == decs.sorted, "mu-law expand not monotone")
+    // WAV plumbing: fmt code 7, 8-bit, chunk walk
+    val wav = MediaCodec.encodeWavMulaw(3, 8000, Seq(0, 1000, -1000))
+    val wm = MediaCodec.decodeWavMulaw(wav)
+    assert(wm.sampleRate == 8000 && wm.nSamples == 3L)
+    val d1000 = MediaCodec.mulawDecode(MediaCodec.mulawEncode(1000)).toLong
+    assert(wm.sumAbs == 2 * d1000 && wm.maxAbs == d1000)
+  }
+
+  test("PPM parser skips comments and demands exact geometry") {
+    val enc = MediaCodec.encodePpm(2, 2, (x, y) => (x << 16) | (y << 8) | 7)
+    val m = MediaCodec.decodePpm(enc)
+    assert(m.width == 2 && m.height == 2 && m.maxval == 255)
+    assert(m.sumR == 2L && m.sumG == 2L && m.sumB == 28L)
+    // hand-written header variants: extra comments + odd whitespace
+    val hand = ("P6\n#c1\n# another comment\n 2\t1\n255\n".getBytes("US-ASCII")
+      ++ Array[Byte](1, 2, 3, 4, 5, 6))
+    val hm = MediaCodec.decodePpm(hand)
+    assert(hm.width == 2 && hm.height == 1)
+    assert((hm.sumR, hm.sumG, hm.sumB) == ((5L, 7L, 9L)))
+    // truncated raster must throw
+    intercept[IllegalArgumentException](MediaCodec.decodePpm(hand.dropRight(1)))
+  }
 }
