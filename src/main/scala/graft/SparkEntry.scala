@@ -306,6 +306,10 @@ object SparkEntry {
     "mm_decode_gif"       -> ((s, d) => Pipeline.mmDecodeGif(s, d)),
     "mm_decode_qoi"       -> ((s, d) => Pipeline.mmDecodeQoi(s, d)),
     "mm_decode_tga"       -> ((s, d) => Pipeline.mmDecodeTga(s, d)),
+    "pipe_perplexity_bucket" -> ((s, d) => Pipeline.pipePerplexityBucket(s, d)),
+    "pipe_tokenizer_fertility" -> ((s, d) => Pipeline.pipeTokenizerFertility(s, d)),
+    "pipe_shard_skew"     -> ((s, d) => Pipeline.pipeShardSkew(s, d)),
+    "pipe_dedup_rate_by_source" -> ((s, d) => Pipeline.pipeDedupRateBySource(s, d)),
     "mm_decode_mulaw"     -> ((s, d) => Pipeline.mmDecodeMulaw(s, d)),
     "mm_decode_ppm"       -> ((s, d) => Pipeline.mmDecodePpm(s, d)),
     "mm_thumbnail"        -> ((s, d) => Pipeline.mmThumbnail(s, d)),

@@ -1017,6 +1017,112 @@ object Pipeline {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Surprisal (perplexity-proxy) histogram of the corpus — the
+    * LM-quality-filter readout every "remove low/high-perplexity docs"
+    * curation step is tuned from: docs bucketed by their mean unigram
+    * surprisal in whole floor-log₂ bits ([[Text.surprisal]]'s per-doc
+    * metric), per bucket the doc count, token mass, and corpus-share
+    * ×10⁴. The vocabulary table is a broadcast; the histogram domain
+    * is ≤ the 17-bit ceiling — nothing beyond token-scale pairs
+    * shuffles.
+    */
+  def pipePerplexityBucket(s: SparkSession, d: String): DataFrame = {
+    val perDoc = Text.surprisal(s, d)
+    val tot = perDoc.agg(count(lit(1)).as("total_docs"))
+    perDoc
+      .groupBy(expr("mean_bits_x100 div 100").as("bits_bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        sum(col("bits_total")).cast("long").as("bits_total"))
+      .crossJoin(broadcast(tot))
+      .withColumn("doc_share_x1e4", expr("(n_docs * 10000) div total_docs"))
+      .drop("total_docs")
+      .orderBy(col("bits_bucket"))
+  }
+
+  /** Tokenizer fertility by language — tokens-per-word and
+    * tokens-per-100-chars, the "is the tokenizer efficient on this
+    * language" health metric a multilingual pipeline tracks per slice:
+    * fertility ×10⁴ = BPE-ish tokens ([[TextFunctions.bpeCount]])
+    * per whitespace word, density ×10⁴ per 100 chars. One partial-agg
+    * scan to the language domain.
+    */
+  def pipeTokenizerFertility(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("lang"),
+        size(TextFunctions.wsTokens(col("text"))).cast("long").as("ws"),
+        TextFunctions.bpeCount(col("text")).as("bpe"),
+        length(col("text")).cast("long").as("chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).cast("long").as("n_words"),
+        sum(col("bpe")).cast("long").as("n_bpe_tokens"),
+        sum(col("chars")).cast("long").as("n_chars"))
+      .withColumn("fertility_x1e4", expr("(n_bpe_tokens * 10000) div n_words"))
+      .withColumn("tokens_per_100chars_x100",
+        expr("(n_bpe_tokens * 10000) div n_chars"))
+      .orderBy(col("lang"))
+
+  /** Shard-balance audit of the [[reshardAudit]] 16-shard ring — the
+    * "is any output shard hot" operational readout a reshard job emits
+    * next to its data: per-shard doc count and byte mass, each shard's
+    * deviation from the ideal 1/16 share ×10⁴, and the max-over-mean
+    * skew ×10⁴ (broadcast 1-row totals). The ring assignment reuses
+    * the SAME consistent-hash vnode spec, so this audit and the
+    * reshard can never disagree about placement.
+    */
+  def pipeShardSkew(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+      .select(col("n_chars"),
+        expr("(doc_id * 2654435761) % 4294967296").as("h"))
+    val vn = (0 until 16).flatMap { sh =>
+      (0 until 4).map(v =>
+        struct(lit(sh.toLong).as("sh"),
+          lit((sh.toLong * 73856093L + v * 19349663L) % 4294967296L).as("pos")))
+    }
+    val assigned = docs.withColumn("vn", explode(array(vn: _*)))
+      .groupBy(col("h"), col("n_chars"))
+      .agg(min_by(col("vn.sh"),
+        struct(expr("(vn.pos - h + 4294967296) % 4294967296").as("dist"),
+          col("vn.pos").as("pos"))).as("shard"))
+    val per = assigned.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).cast("long").as("bytes"))
+    val tot = per.agg(sum(col("n_docs")).cast("long").as("tot_docs"),
+      sum(col("bytes")).cast("long").as("tot_bytes"),
+      max(col("bytes")).cast("long").as("max_bytes"),
+      count(lit(1)).as("n_shards"))
+    per.crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_docs"), col("bytes"),
+        expr("(bytes * 10000) div tot_bytes").as("byte_share_x1e4"),
+        expr("(n_docs * 10000) div tot_docs").as("doc_share_x1e4"),
+        expr("(max_bytes * n_shards * 10000) div tot_bytes").as("skew_x1e4"))
+      .orderBy(col("shard"))
+  }
+
+  /** Exact-duplicate rate per source — "which ingest feed is most
+    * duplicated", the triage readout that decides where dedup budget
+    * goes: per source, docs, docs in multi-doc fingerprint clusters,
+    * the dup rate ×10⁴, and how many would survive keep-one-per-
+    * cluster (cluster representative = min doc_id, charged to ITS
+    * source — the [[graft.dedup.Dedup.exactKeep]] rule). Fingerprint
+    * groupBys only — the text never shuffles.
+    */
+  def pipeDedupRateBySource(s: SparkSession, d: String): DataFrame = {
+    val fp = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        TextFunctions.fingerprint(TextFunctions.normalized(col("text"))).as("fp"))
+      .localCheckpoint(eager = false)
+    val w = Window.partitionBy(col("fp"))
+    fp.withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L)).cast("long").as("n_in_dup_clusters"),
+        sum(when(col("rep") === col("doc_id"), 1L).otherwise(0L)).cast("long").as("n_survivors"))
+      .withColumn("dup_rate_x1e4", expr("(n_in_dup_clusters * 10000) div n_docs"))
+      .orderBy(col("source"))
+  }
+
   // --- oracles -----------------------------------------------------------
 
   private val fpNorm = TextFunctions.fingerprintSql(TextFunctions.normalizedSql("text"))
@@ -1222,6 +1328,89 @@ object Pipeline {
          |    // count(*) AS BIGINT) AS moved_ring_x1e6
          |FROM j""".stripMargin
     },
+    "pipe_perplexity_bucket" -> {
+      val tk = TextFunctions.rawTokensSql("text")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($tk) AS t FROM documents),
+         |tf AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY t),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM tf),
+         |bits AS (SELECT t,
+         |    CAST(length(bin(n_total // c)) - 1 AS BIGINT) AS bits
+         |  FROM tf CROSS JOIN n),
+         |pd AS (
+         |  SELECT toks.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+         |    CAST(sum(b.bits) AS BIGINT) AS bits_total
+         |  FROM toks JOIN bits b ON b.t = toks.t
+         |  GROUP BY toks.doc_id),
+         |tot AS (SELECT CAST(count(*) AS BIGINT) AS total_docs FROM pd)
+         |SELECT ((bits_total * 100) // n_tok) // 100 AS bits_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(bits_total) AS BIGINT) AS bits_total,
+         |  CAST(count(*) * 10000 // max(total_docs) AS BIGINT) AS doc_share_x1e4
+         |FROM pd CROSS JOIN tot
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+
+    "pipe_tokenizer_fertility" -> {
+      val ws = TextFunctions.wsTokensSql("text")
+      val bpe = TextFunctions.bpeCountSql("text")
+      s"""WITH c AS (
+         |  SELECT lang, CAST(len($ws) AS BIGINT) AS ws, $bpe AS bpe,
+         |    CAST(length(text) AS BIGINT) AS chars
+         |  FROM documents)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ws) AS BIGINT) AS n_words,
+         |  CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+         |  CAST(sum(chars) AS BIGINT) AS n_chars,
+         |  CAST(sum(bpe) * 10000 // sum(ws) AS BIGINT) AS fertility_x1e4,
+         |  CAST(sum(bpe) * 10000 // sum(chars) AS BIGINT) AS tokens_per_100chars_x100
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "pipe_shard_skew" -> {
+      val vnodesSql = (0 until 16).flatMap { sh =>
+        (0 until 4).map(v =>
+          s"(${sh}, ${(sh.toLong * 73856093L + v * 19349663L) % 4294967296L})")
+      }.mkString(", ")
+      s"""WITH docs AS (
+         |  SELECT n_chars, (doc_id * 2654435761) % 4294967296 AS h FROM documents),
+         |vn AS (SELECT * FROM (VALUES $vnodesSql) t(sh, pos)),
+         |asg AS (SELECT d.h, d.n_chars, arg_min(v.sh,
+         |          CAST((v.pos - d.h + 4294967296) % 4294967296 AS HUGEINT) * 4294967296 + v.pos) AS shard
+         |        FROM docs d CROSS JOIN vn v GROUP BY d.h, d.n_chars),
+         |per AS (SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |          CAST(sum(n_chars) AS BIGINT) AS bytes
+         |        FROM asg GROUP BY shard),
+         |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tot_docs,
+         |          CAST(sum(bytes) AS BIGINT) AS tot_bytes,
+         |          CAST(max(bytes) AS BIGINT) AS max_bytes,
+         |          CAST(count(*) AS BIGINT) AS n_shards
+         |        FROM per)
+         |SELECT CAST(shard AS BIGINT) AS shard, n_docs, bytes,
+         |  CAST((bytes * 10000) // tot_bytes AS BIGINT) AS byte_share_x1e4,
+         |  CAST((n_docs * 10000) // tot_docs AS BIGINT) AS doc_share_x1e4,
+         |  CAST((max_bytes * n_shards * 10000) // tot_bytes AS BIGINT) AS skew_x1e4
+         |FROM per CROSS JOIN tot ORDER BY shard""".stripMargin
+    },
+
+    "pipe_dedup_rate_by_source" ->
+      s"""WITH fp AS (
+         |  SELECT doc_id, source, $fpNorm AS fp FROM documents),
+         |cl AS (
+         |  SELECT doc_id, source,
+         |    count(*) OVER (PARTITION BY fp) AS cluster_size,
+         |    min(doc_id) OVER (PARTITION BY fp) AS rep
+         |  FROM fp)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_in_dup_clusters,
+         |  CAST(sum(CASE WHEN rep = doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_survivors,
+         |  CAST(sum(CASE WHEN cluster_size > 1 THEN 1 ELSE 0 END) * 10000
+         |    // count(*) AS BIGINT) AS dup_rate_x1e4
+         |FROM cl GROUP BY source ORDER BY source""".stripMargin,
+
     "dedup_exact" ->
       s"""SELECT doc_id, $fpNorm AS fp_norm,
          |  min(doc_id) OVER (PARTITION BY $fpNorm) AS cluster_id,

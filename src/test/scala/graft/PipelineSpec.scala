@@ -1116,4 +1116,45 @@ class PipelineSpec extends AnyFunSuite {
       assert(r.getInt(6) == 0, s"prose flagged as code: $r")
     }
   }
+
+  test("shard skew audit: every doc placed once, shares partition the corpus") {
+    val rows = operators.Pipeline.pipeShardSkew(spark, sf).collect()
+    assert(rows.length == 16, "one row per shard expected")
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs, "docs lost or double-placed")
+    val totBytes = rows.map(_.getLong(2)).sum
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * 10000 / totBytes, "byte share drift")
+      // skew is a corpus-level constant ≥ 10000 (max ≥ mean)
+      assert(r.getLong(5) >= 10000L)
+      assert(r.getLong(5) == rows.head.getLong(5))
+    }
+  }
+
+  test("dedup rate by source partitions the corpus and agrees with exactKeep") {
+    val rows = operators.Pipeline.pipeDedupRateBySource(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nDocs = Tables.documents(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nDocs)
+    val survivors = rows.map(_.getLong(3)).sum
+    val keepCount = graft.dedup.Dedup.exactKeep(Tables.documents(spark, sf)).count()
+    assert(survivors == keepCount, "per-source survivors disagree with exactKeep")
+    rows.foreach { r =>
+      assert(r.getLong(3) <= r.getLong(1) && r.getLong(2) <= r.getLong(1))
+    }
+  }
+
+  test("tokenizer fertility is >= 1 word-for-word and buckets cover the corpus") {
+    val rows = operators.Pipeline.pipeTokenizerFertility(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // every whitespace word yields at least one BPE-ish token
+      assert(r.getLong(5) >= 10000L, s"fertility below 1.0: $r")
+    }
+    val buckets = operators.Pipeline.pipePerplexityBucket(spark, sf).collect()
+    assert(buckets.map(_.getLong(1)).sum == Tables.documents(spark, sf).count())
+    buckets.foreach { b =>
+      assert(b.getLong(0) >= 0 && b.getLong(0) <= 17, s"bucket outside log2 range: $b")
+    }
+  }
 }
