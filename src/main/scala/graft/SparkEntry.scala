@@ -230,6 +230,8 @@ object SparkEntry {
     "stream_join"       -> ((s, d) => Pipeline.streamJoin(s, d)),
     "stream_attribution" -> ((s, d) => Pipeline.streamAttribution(s, d)),
     "stream_latest_state" -> ((s, d) => Pipeline.streamLatestState(s, d)),
+    "stream_kmv_uniques"  -> ((s, d) => Pipeline.streamKmvUniques(s, d)),
+    "stream_cdc_tombstone" -> ((s, d) => Pipeline.streamCdcTombstone(s, d)),
     "stream_funnel"       -> ((s, d) => Pipeline.streamFunnel(s, d)),
     "stream_session_window" -> ((s, d) => Pipeline.streamSessionWindow(s, d)),
     "pipe_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),

@@ -579,6 +579,12 @@ object Pipeline {
   def streamLatestState(s: SparkSession, d: String): DataFrame =
     EventStreams.latestState(EventStreams.normalize(Tables.events(s, d)))
 
+  def streamKmvUniques(s: SparkSession, d: String): DataFrame =
+    EventStreams.kmvUniques(EventStreams.normalize(Tables.events(s, d)))
+
+  def streamCdcTombstone(s: SparkSession, d: String): DataFrame =
+    EventStreams.cdcTombstone(EventStreams.normalize(Tables.events(s, d)))
+
   /** Time-bounded funnel — the batch face of
     * [[EventStreams.funnelStreaming]] (same recurrence as
     * q_funnel_window; cross-batch state-machine parity pinned in
@@ -1648,6 +1654,44 @@ object Pipeline {
          |SELECT r.user_id, r.ts_us AS last_ts_us, r.event_id AS last_event_id,
          |  r.event_type AS last_type, r.value AS last_value,
          |  a.n_events, a.sum_value
+         |FROM rk r JOIN agg a ON r.user_id = a.user_id WHERE r.rk = 1
+         |ORDER BY r.user_id""".stripMargin,
+
+    "stream_kmv_uniques" ->
+      s"""WITH h AS (SELECT event_type,
+         |             (user_id * 2654435761) % 4294967296 AS h FROM events),
+         |d AS (SELECT DISTINCT event_type, h FROM h),
+         |r AS (SELECT event_type, h,
+         |        row_number() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+         |        count(*) OVER (PARTITION BY event_type) AS nd
+         |      FROM d),
+         |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+         |      FROM h GROUP BY 1),
+         |est AS (SELECT event_type, CAST(max(nd) AS BIGINT) AS nd,
+         |          CAST(max(CASE WHEN rk = 64 THEN h END) AS BIGINT) AS h64
+         |        FROM r GROUP BY event_type)
+         |SELECT n.event_type, n.n_events,
+         |  CAST(least(est.nd, 64) AS BIGINT) AS sketch_size,
+         |  CAST(CASE WHEN est.nd < 64 THEN est.nd
+         |       ELSE (63 * 4294967296) // greatest(est.h64, 1) END AS BIGINT)
+         |    AS est_distinct_users
+         |FROM n JOIN est USING (event_type) ORDER BY n.event_type""".stripMargin,
+
+    "stream_cdc_tombstone" ->
+      s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type
+         |            FROM events),
+         |rk AS (SELECT *, row_number() OVER (
+         |         PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rk
+         |       FROM ev),
+         |agg AS (SELECT user_id,
+         |          CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS n_deletes,
+         |          CAST(sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) AS BIGINT)
+         |            AS n_upserts
+         |        FROM ev GROUP BY user_id)
+         |SELECT r.user_id, r.ts_us AS last_ts_us, r.event_id AS last_event_id,
+         |  CAST(CASE WHEN r.event_type = 'error' THEN 0 ELSE 1 END AS INT) AS is_live,
+         |  a.n_upserts, a.n_deletes
          |FROM rk r JOIN agg a ON r.user_id = a.user_id WHERE r.rk = 1
          |ORDER BY r.user_id""".stripMargin,
 

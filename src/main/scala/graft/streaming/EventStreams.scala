@@ -38,6 +38,20 @@ case class FEv(user_id: Long, ts_us: Long, event_type: String)
 case class FunnelSt(var views: Seq[Long], var clicks: Seq[Long],
                     var purchases: Seq[Long], var n_seen: Long)
 
+/** Per-event input to the KMV sketch maintainer. */
+case class KEv(event_type: String, h: Long)
+
+/** Per-type KMV state: the ≤k smallest distinct hashes (sorted) plus a
+  * monotone event counter. The bottom-k merge is a set operation —
+  * order-independent across any micro-batch arrival order, which is
+  * what makes the streaming sketch ≡ the batch BottomK aggregate.
+  */
+case class KmvSt(var hs: Seq[Long], var n: Long)
+
+/** Per-user CDC state for the tombstone maintainer. */
+case class CdcSt(var ts_us: Long, var event_id: Long, var event_type: String,
+                 var n_upserts: Long, var n_deletes: Long)
+
 /** Structured-Streaming operators over `events` (SURVEY §2.7).
   *
   * Each transform is written against a plain DataFrame so the SAME code
@@ -405,6 +419,115 @@ object EventStreams {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn _)
       .toDF("user_id", "last_ts_us", "last_event_id", "last_type",
         "last_value", "n_events", "sum_value")
+  }
+
+  /** KMV distinct-users sketch per event type (batch face): the
+    * deterministic approximate-distinct a stream job actually
+    * maintains at 100 TB — k smallest distinct Knuth-hash values per
+    * key via the native [[graft.functions.BottomK]] aggregate (≤ k
+    * longs per group over the wire, map-side combined), estimate
+    * (k−1)·2³² div h_k, exact when fewer than k distinct hashes
+    * (the q_approx_distinct_kmv estimator applied per stream key).
+    * Streaming face in [[kmvUniquesStreaming]]; parity in
+    * StreamingSpec.
+    */
+  def kmvUniques(ev: DataFrame, k: Int = 64): DataFrame =
+    ev.select(col("event_type"),
+        ((col("user_id") * 2654435761L) % 4294967296L).as("h"))
+      .groupBy(col("event_type"))
+      .agg(graft.functions.BottomK.bottomK(col("h"), k).as("sk"),
+        count(lit(1)).as("n_events"))
+      .select(col("event_type"), col("n_events"),
+        size(col("sk")).cast("long").as("sketch_size"),
+        when(size(col("sk")) < k, size(col("sk")).cast("long"))
+          .otherwise(expr(s"(${k - 1} * 4294967296) div greatest(element_at(sk, $k), 1)"))
+          .as("est_distinct_users"))
+      .orderBy(col("event_type"))
+
+  /** Streaming KMV via mapGroupsWithState: per type the state holds the
+    * ≤k smallest distinct hashes — a set-merge, so ANY cross-batch
+    * arrival order yields the identical sketch, and the final row per
+    * type (argmax n_events) is bit-equal to the batch face.
+    */
+  def kmvUniquesStreaming(spark: SparkSession, ev: DataFrame, k: Int = 64): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+    def fn(typ: String, rows: Iterator[KEv], state: GroupState[KmvSt])
+        : (String, Long, Long, Long) = {
+      val st = state.getOption.getOrElse(KmvSt(Vector.empty, 0L))
+      val set = scala.collection.mutable.TreeSet.empty[Long] ++ st.hs
+      rows.foreach { e => st.n += 1; set += e.h }
+      st.hs = set.take(k).toVector
+      state.update(st)
+      val est =
+        if (st.hs.length < k) st.hs.length.toLong
+        else (k - 1).toLong * 4294967296L / math.max(st.hs(k - 1), 1L)
+      (typ, st.n, st.hs.length.toLong, est)
+    }
+
+    ev.select(col("event_type"),
+        ((col("user_id") * 2654435761L) % 4294967296L).as("h"))
+      .as[KEv]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn _)
+      .toDF("event_type", "n_events", "sketch_size", "est_distinct_users")
+  }
+
+  /** CDC latest-state WITH tombstones (batch face): 'error' events are
+    * delete markers — a user whose most-recent event (ts, id max) is a
+    * tombstone is NOT live in the materialized view, the upsert/delete
+    * semantics of a CDC sink compaction. One struct-max partial agg
+    * plus marker counters; streaming face in
+    * [[cdcTombstoneStreaming]], parity in StreamingSpec.
+    */
+  def cdcTombstone(ev: DataFrame): DataFrame =
+    ev.groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"))).as("last"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .cast("long").as("n_deletes"),
+        sum(when(col("event_type") =!= "error", 1L).otherwise(0L))
+          .cast("long").as("n_upserts"))
+      .select(col("user_id"), col("last.ts_us").as("last_ts_us"),
+        col("last.event_id").as("last_event_id"),
+        when(col("last.event_type") === "error", 0).otherwise(1)
+          .cast("int").as("is_live"),
+        col("n_upserts"), col("n_deletes"))
+      .orderBy(col("user_id"))
+
+  /** Streaming CDC-with-tombstones via mapGroupsWithState: the state is
+    * the (ts, id)-max event plus monotone upsert/delete counters —
+    * every merge is an idempotent max/add, so cross-batch order cannot
+    * change the final row (argmax n_upserts + n_deletes per user).
+    */
+  def cdcTombstoneStreaming(spark: SparkSession, ev: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+    ev.select(col("user_id").cast("long"), col("ts_us"), col("event_id"),
+        col("event_type"), col("value"))
+      .as[LEv]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[LEv], state: GroupState[CdcSt]) =>
+          var st = state.getOption.orNull
+          rows.foreach { e =>
+            val del = if (e.event_type == "error") 1L else 0L
+            if (st == null)
+              st = CdcSt(e.ts_us, e.event_id, e.event_type, 1L - del, del)
+            else {
+              if (e.ts_us > st.ts_us || (e.ts_us == st.ts_us && e.event_id > st.event_id)) {
+                st.ts_us = e.ts_us; st.event_id = e.event_id; st.event_type = e.event_type
+              }
+              st.n_upserts += 1L - del; st.n_deletes += del
+            }
+          }
+          state.update(st)
+          (user, st.ts_us, st.event_id,
+            if (st.event_type == "error") 0 else 1, st.n_upserts, st.n_deletes)
+      }
+      .toDF("user_id", "last_ts_us", "last_event_id", "is_live",
+        "n_upserts", "n_deletes")
   }
 
   /** Streaming time-bounded funnel (the streaming face of

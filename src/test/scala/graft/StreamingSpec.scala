@@ -329,4 +329,70 @@ class StreamingSpec extends AnyFunSuite {
       assert(got == expected, "streamed funnel diverged from the batch recurrence")
     } finally q.stop()
   }
+
+  /** Two-file staging shared by the round-8 stateful parities: odd/even
+    * event split so the state genuinely merges across two triggers.
+    */
+  private def twoBatchDir(tag: String): String = {
+    val dir = java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+    Tables.events(spark, sf).filter(col("event_id") % 2 === 0)
+      .coalesce(1).write.parquet(s"$dir/a")
+    Tables.events(spark, sf).filter(col("event_id") % 2 =!= 0)
+      .coalesce(1).write.parquet(s"$dir/b")
+    val staged = java.nio.file.Files.createTempDirectory(s"graft-$tag-stage")
+    for ((sub, n) <- Seq("a" -> "0.parquet", "b" -> "1.parquet")) {
+      val src = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      java.nio.file.Files.copy(src, staged.resolve(n))
+    }
+    staged.toString
+  }
+
+  test("KMV sketch over TWO micro-batches merges to the batch BottomK estimate") {
+    val ev = EventStreams.normalize(Tables.events(spark, sf))
+    val expected = EventStreams.kmvUniques(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val schema = Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(twoBatchDir("kmv"))
+    val q = EventStreams.kmvUniquesStreaming(spark, EventStreams.normalize(stream))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kmv_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("kmv_test")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type")).orderBy(col("n_events").desc)))
+        .filter(col("rk") === 1).drop("rk")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == expected, "streamed KMV sketch diverged from the batch aggregate")
+    } finally q.stop()
+  }
+
+  test("CDC tombstones over TWO micro-batches merge to the batch view") {
+    val ev = EventStreams.normalize(Tables.events(spark, sf))
+    val expected = EventStreams.cdcTombstone(ev).collect().map(_.toSeq).toSet
+    // the corpus must exercise BOTH final states or the tombstone
+    // branch is untested
+    val live = expected.map(_(3).asInstanceOf[Int]).toSet
+    assert(live == Set(0, 1), "corpus yields only one liveness state")
+    val schema = Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(twoBatchDir("cdc"))
+    val q = EventStreams.cdcTombstoneStreaming(spark, EventStreams.normalize(stream))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cdc_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("cdc_test")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"))
+            .orderBy((col("n_upserts") + col("n_deletes")).desc)))
+        .filter(col("rk") === 1).drop("rk")
+        .collect().map(_.toSeq).toSet
+      assert(got == expected, "streamed CDC view diverged from the batch compaction")
+    } finally q.stop()
+  }
 }
