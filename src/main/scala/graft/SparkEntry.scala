@@ -53,6 +53,8 @@ object SparkEntry {
     "ms_common_terms"      -> ((s, d) => Metastore.commonTermsQ(s, d)),
     "ms_random_score"      -> ((s, d) => Metastore.randomScoreQ(s, d)),
     "ms_did_you_mean"      -> ((s, d) => Metastore.didYouMeanQ(s, d)),
+    "ms_rank_eval"         -> ((s, d) => Metastore.rankEvalQ(s, d)),
+    "ms_msearch"           -> ((s, d) => Metastore.msearchQ(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
     "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),
     "ms_events_visibility" -> ((s, d) => Metastore.eventsVisibility(s, d)),

@@ -935,6 +935,76 @@ object Metastore {
       .orderBy(col("dist"), col("df").desc, col("term")).limit(5)
       .select(col("term"), col("df"), col("dist"))
 
+  /** ES _rank_eval endpoint analog: score the SHIPPED ranking against a
+    * pinned relevance-judgment set (judgments are request INPUT in ES —
+    * here the deterministic rule doc_id ≡ 0 mod 7 over the visible
+    * set). Emits the standard IR metrics over the TF-IDF top-20, all
+    * integer-exact: precision@5/@10 ×10⁴, recall@20 ×10⁴, MRR ×10⁶
+    * (10⁶ div first relevant rank), and the dyadic DCG
+    * Σ 10⁶ div bitlen(rank+1) (⌊log₂⌋+1 discount — the float-free
+    * form of the log₂(rank+1) discount). The hit list is ≤20 rows, so
+    * every window/aggregate here is page-sized.
+    */
+  def rankEvalQ(s: SparkSession, d: String): DataFrame = {
+    val terms = Analyzer.analyzeQuery("the merge join table")
+    val i = idx(s, d)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val ranked = ds.boostedHits(i, ds.scores(i, terms),
+        SearchRequest(q = Some("the merge join table")))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .select(row_number().over(wAll).cast("long").as("rank"), col("doc_id"))
+      .withColumn("rel", (col("doc_id") % 7 === 0).cast("long"))
+    val judged = ds.visible(i, None).filter(col("doc_id") % 7 === 0)
+      .agg(count(lit(1)).cast("long").as("n_rel_total"))
+    ranked.agg(
+        count(lit(1)).cast("long").as("n_retrieved"),
+        sum(col("rel")).cast("long").as("n_rel_retrieved"),
+        sum(when(col("rank") <= 5, col("rel")).otherwise(0L)).cast("long").as("rel5"),
+        sum(when(col("rank") <= 10, col("rel")).otherwise(0L)).cast("long").as("rel10"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel"),
+        sum(when(col("rel") === 1,
+          expr("1000000 div length(bin(rank + 1))")).otherwise(0L))
+          .cast("long").as("dcg_dyadic_x1e6"))
+      .crossJoin(broadcast(judged))
+      .select(col("n_retrieved"), col("n_rel_retrieved"), col("n_rel_total"),
+        expr("(rel5 * 10000) div 5").as("p_at_5_x1e4"),
+        expr("(rel10 * 10000) div 10").as("p_at_10_x1e4"),
+        expr("(n_rel_retrieved * 10000) div n_rel_total").as("recall_at_20_x1e4"),
+        coalesce(expr("1000000 div first_rel"), lit(0L)).as("mrr_x1e6"),
+        col("dcg_dyadic_x1e6"))
+  }
+
+  /** ES _msearch analog — N queries answered in ONE corpus pass: the
+    * pinned query batch (any-term q-match semantics, the reference's
+    * match rule) explodes against each doc's distinct-token array, and
+    * a per-query rollup emits hit count, id range, and byte mass. At
+    * 100 TB this is the batching that amortizes a corpus scan across a
+    * dashboard's query fan — one scan + one query-domain groupBy
+    * instead of N scans.
+    */
+  val msearchQueries: Seq[(Long, Seq[String])] = Seq(
+    (1L, Seq("merge", "join")),
+    (2L, Seq("window", "group")),
+    (3L, Seq("stream")),
+    (4L, Seq("vector", "hash", "batch")))
+
+  def msearchQ(s: SparkSession, d: String): DataFrame = {
+    val reg = msearchQueries.map { case (qid, terms) =>
+      struct(lit(qid).as("query_id"), array(terms.map(lit): _*).as("terms"))
+    }
+    tokCorpus(s, d)
+      .join(idx(s, d).select(col("doc_id"), col("bytes")), Seq("doc_id"))
+      .select(col("doc_id"), col("bytes"), col("toks"),
+        explode(array(reg: _*)).as("q"))
+      .filter(arrays_overlap(col("toks"), col("q.terms")))
+      .groupBy(col("q.query_id").as("query_id"))
+      .agg(count(lit(1)).as("n_hits"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        sum(col("bytes")).cast("long").as("total_bytes"))
+      .orderBy(col("query_id"))
+  }
+
   // --- oracle SQL --------------------------------------------------------
 
   private val idxCte = s"WITH idx AS (\n${Tables.datasetIndexSql}\n)"
@@ -1583,6 +1653,49 @@ object Metastore {
          |  doc_id, name, CAST(score AS BIGINT) AS text_score,
          |  CAST(jitter AS BIGINT) AS jitter, CAST(fscore AS BIGINT) AS fscore
          |FROM top ORDER BY rank""".stripMargin,
+
+    "ms_rank_eval" ->
+      s"""$idxCte,
+         |$tfidfCtes,
+         |rkd AS (
+         |  SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank,
+         |    doc_id, CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS rel
+         |  FROM pg),
+         |jt AS (SELECT CAST(count(*) AS BIGINT) AS n_rel_total FROM idx
+         |       WHERE findability = 'published' AND doc_id % 7 = 0),
+         |m AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_retrieved,
+         |    CAST(sum(rel) AS BIGINT) AS n_rel_retrieved,
+         |    CAST(sum(CASE WHEN rank <= 5 THEN rel ELSE 0 END) AS BIGINT) AS rel5,
+         |    CAST(sum(CASE WHEN rank <= 10 THEN rel ELSE 0 END) AS BIGINT) AS rel10,
+         |    min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+         |    CAST(sum(CASE WHEN rel = 1 THEN 1000000 // length(bin(rank + 1))
+         |             ELSE 0 END) AS BIGINT) AS dcg_dyadic_x1e6
+         |  FROM rkd)
+         |SELECT n_retrieved, n_rel_retrieved, jt.n_rel_total,
+         |  CAST((rel5 * 10000) // 5 AS BIGINT) AS p_at_5_x1e4,
+         |  CAST((rel10 * 10000) // 10 AS BIGINT) AS p_at_10_x1e4,
+         |  CAST((n_rel_retrieved * 10000) // jt.n_rel_total AS BIGINT)
+         |    AS recall_at_20_x1e4,
+         |  CAST(coalesce(1000000 // first_rel, 0) AS BIGINT) AS mrr_x1e6,
+         |  dcg_dyadic_x1e6
+         |FROM m CROSS JOIN jt""".stripMargin,
+
+    "ms_msearch" -> {
+      val qRows = msearchQueries.map { case (qid, terms) =>
+        s"($qid, ${terms.map(t => s"'$t'").mkString("[", ", ", "]")})"
+      }.mkString(", ")
+      s"""$idxCte,
+         |t AS (SELECT doc_id, bytes, ${tok("readme")} AS toks FROM idx
+         |      WHERE findability = 'published'),
+         |q AS (SELECT * FROM (VALUES $qRows) v(query_id, terms))
+         |SELECT CAST(q.query_id AS BIGINT) AS query_id,
+         |  CAST(count(*) AS BIGINT) AS n_hits,
+         |  min(t.doc_id) AS min_doc, max(t.doc_id) AS max_doc,
+         |  CAST(sum(t.bytes) AS BIGINT) AS total_bytes
+         |FROM t JOIN q ON list_has_any(t.toks, q.terms)
+         |GROUP BY q.query_id ORDER BY query_id""".stripMargin
+    },
 
     "ms_did_you_mean" ->
       s"""$idxCte,

@@ -562,6 +562,35 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("rank_eval metrics equal a driver-side recompute over the shipped top-20") {
+    val top = Metastore.qRankTfidf(spark, sf).collect()
+      .map(r => r.getLong(1)) // doc_id in rank order
+    val rel = top.zipWithIndex.filter { case (id, _) => id % 7 == 0 }
+      .map { case (_, i) => (i + 1).toLong } // relevant ranks, 1-based
+    val row = Metastore.rankEvalQ(spark, sf).collect().head
+    assert(row.getLong(0) == top.length.toLong)
+    assert(row.getLong(1) == rel.length.toLong)
+    assert(row.getLong(3) == rel.count(_ <= 5) * 10000L / 5)
+    assert(row.getLong(4) == rel.count(_ <= 10) * 10000L / 10)
+    assert(row.getLong(6) == (if (rel.isEmpty) 0L else 1000000L / rel.min))
+    def bitlen(x: Long) = 64 - java.lang.Long.numberOfLeadingZeros(x)
+    assert(row.getLong(7) == rel.map(r => 1000000L / bitlen(r + 1)).sum,
+      "dyadic DCG drift")
+  }
+
+  test("msearch per-query hits equal independent any-term match counts") {
+    val docs = Tables.datasetIndex(spark, sf)
+      .filter(col("findability") === "published")
+      .select("doc_id", "readme").collect()
+      .map(r => r.getLong(0) -> graft.search.Analyzer.analyzeQuery(r.getString(1)).toSet)
+    val got = Metastore.msearchQ(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Metastore.msearchQueries.foreach { case (qid, terms) =>
+      val want = docs.count { case (_, toks) => terms.exists(toks) }.toLong
+      assert(got.getOrElse(qid, 0L) == want, s"query $qid hit count drift")
+    }
+  }
+
   test("did_you_mean suggests real vocabulary terms within the edit budget") {
     def lev(a: String, b: String): Long = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
