@@ -150,6 +150,8 @@ object SparkEntry {
     "txt_fingerprint" -> ((s, d) => Text.fingerprintQ(s, d)),
     "txt_term_stats"  -> ((s, d) => Text.termStats(s, d)),
     "txt_zipf"        -> ((s, d) => Text.zipf(s, d)),
+    "txt_oov_rate"    -> ((s, d) => Text.oovRate(s, d)),
+    "txt_char_trigrams" -> ((s, d) => Text.charTrigrams(s, d)),
     "pipe_index_merge" -> ((s, d) => Text.indexMerge(s, d)),
     // §2.3 dedup
     "dedup_exact"         -> ((s, d) => Pipeline.dedupExact(s, d)),

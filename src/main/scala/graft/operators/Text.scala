@@ -677,7 +677,100 @@ object Text {
        |ELSE CAST([] AS BIGINT[]) END""".stripMargin
   }
 
+  /** Train/val bigram OOV audit — the eval-contamination-adjacent
+    * readout an LM data split needs BEFORE training ("how much of the
+    * val set's n-gram mass is unseen in train"): corpus split by
+    * doc_id parity, train-side distinct bigram vocabulary, val-side
+    * per-doc-distinct bigram occurrences scored seen/unseen, OOV rates
+    * ×10⁶ by occurrence and by type. The vocabulary is bigram-sized
+    * (broadcastable at any corpus scale — Heaps' law, SCALING.md); the
+    * val side is one left join + rollup.
+    */
+  def oovRate(s: SparkSession, d: String): DataFrame = {
+    val bg = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"),
+        explode(graft.dedup.Dedup.shingles(col("text"), 2)).as("bg"))
+    val train = bg.filter(col("doc_id") % 2 === 0).select(col("bg")).distinct()
+      .localCheckpoint(eager = false)
+    val nTrain = train.agg(count(lit(1)).cast("long").as("n_train_vocab"))
+    bg.filter(col("doc_id") % 2 =!= 0)
+      .join(train.withColumn("seen", lit(1)), Seq("bg"), "left")
+      .agg(count(lit(1)).cast("long").as("n_val_occ"),
+        countDistinct(col("bg")).cast("long").as("n_val_types"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).cast("long").as("n_oov_occ"),
+        countDistinct(when(col("seen").isNull, col("bg"))).cast("long").as("n_oov_types"))
+      .crossJoin(broadcast(nTrain))
+      .select(col("n_train_vocab"), col("n_val_occ"), col("n_val_types"),
+        col("n_oov_occ"), col("n_oov_types"),
+        expr("(n_oov_occ * 1000000) div n_val_occ").as("oov_occ_x1e6"),
+        expr("(n_oov_types * 1000000) div n_val_types").as("oov_type_x1e6"))
+  }
+
+  /** Per-language top-5 character trigrams — the classic langid feature
+    * profile ([[langId]]'s marker lists are word-level; production
+    * identifiers use char n-grams): lowercase sliding 3-grams, counts
+    * per (lang, trigram), top 5 by (count desc, trigram). The trigram
+    * extraction is LET-BOUND (`transform(array(lower(text)), t -> …)`)
+    * so the lowercased text evaluates once per row, not per index —
+    * the §4.5 discipline; the rank window runs on the trigram-vocab
+    * domain.
+    */
+  def charTrigrams(s: SparkSession, d: String): DataFrame = {
+    val counts = Tables.fanOut(Tables.documents(s, d))
+      .select(col("lang"), explode(expr(
+        """element_at(transform(array(lower(text)), t ->
+          |  CASE WHEN length(t) >= 3
+          |       THEN transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))
+          |       ELSE array() END), 1)""".stripMargin)).as("tg"))
+      .groupBy(col("lang"), col("tg"))
+      .agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n").desc, col("tg"))
+    counts.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("tg").as("trigram"), col("n"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
   val oracles: Map[String, String] = Map(
+    "txt_oov_rate" -> {
+      val sh2 = graft.dedup.Dedup.shinglesSql("text", 2)
+      s"""WITH bg AS (
+         |  SELECT doc_id, unnest($sh2) AS bg FROM documents),
+         |train AS (SELECT DISTINCT bg FROM bg WHERE doc_id % 2 = 0),
+         |nt AS (SELECT CAST(count(*) AS BIGINT) AS n_train_vocab FROM train),
+         |v AS (
+         |  SELECT b.bg, t.bg IS NOT NULL AS seen
+         |  FROM bg b LEFT JOIN train t ON t.bg = b.bg
+         |  WHERE b.doc_id % 2 <> 0)
+         |SELECT nt.n_train_vocab,
+         |  CAST(count(*) AS BIGINT) AS n_val_occ,
+         |  CAST(count(DISTINCT bg) AS BIGINT) AS n_val_types,
+         |  CAST(sum(CASE WHEN seen THEN 0 ELSE 1 END) AS BIGINT) AS n_oov_occ,
+         |  CAST(count(DISTINCT CASE WHEN seen THEN NULL ELSE bg END) AS BIGINT)
+         |    AS n_oov_types,
+         |  CAST(sum(CASE WHEN seen THEN 0 ELSE 1 END) * 1000000 // count(*) AS BIGINT)
+         |    AS oov_occ_x1e6,
+         |  CAST(count(DISTINCT CASE WHEN seen THEN NULL ELSE bg END) * 1000000
+         |    // count(DISTINCT bg) AS BIGINT) AS oov_type_x1e6
+         |FROM v CROSS JOIN nt GROUP BY nt.n_train_vocab""".stripMargin
+    },
+
+    "txt_char_trigrams" ->
+      """WITH tg AS (
+        |  SELECT lang, unnest(
+        |    CASE WHEN length(lower(text)) >= 3
+        |         THEN list_transform(range(1, length(lower(text)) - 1),
+        |                i -> substr(lower(text), i, 3))
+        |         ELSE [] END) AS tg
+        |  FROM documents),
+        |c AS (SELECT lang, tg, CAST(count(*) AS BIGINT) AS n FROM tg GROUP BY 1, 2),
+        |r AS (SELECT lang, tg, n,
+        |        CAST(row_number() OVER (PARTITION BY lang ORDER BY n DESC, tg) AS INT)
+        |          AS rank
+        |      FROM c)
+        |SELECT lang, rank, tg AS trigram, n FROM r
+        |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
     "txt_bigram_lm" -> {
       val tk = rawTokensSql("text")
       s"""WITH inst AS (

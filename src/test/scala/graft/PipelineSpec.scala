@@ -1144,6 +1144,40 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("OOV rate equals a driver-side split replay and type rate >= 0") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def bigrams(t: String): Seq[String] = {
+      val toks = t.split(" ").filter(_.nonEmpty)
+      if (toks.length < 2) Nil
+      else toks.sliding(2).map(_.mkString("_")).toSeq.distinct
+    }
+    val train = docs.filter(_._1 % 2 == 0).flatMap(d => bigrams(d._2)).toSet
+    val valOcc = docs.filter(_._1 % 2 != 0).flatMap(d => bigrams(d._2))
+    val row = operators.Text.oovRate(spark, sf).collect().head
+    assert(row.getLong(0) == train.size.toLong)
+    assert(row.getLong(1) == valOcc.length.toLong)
+    assert(row.getLong(3) == valOcc.count(b => !train(b)).toLong, "OOV occurrence drift")
+    assert(row.getLong(5) == row.getLong(3) * 1000000L / row.getLong(1))
+  }
+
+  test("char trigrams: top-5 per lang, counts match a driver scan") {
+    val byLang = Tables.documents(spark, sf).select("lang", "text").collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rs) =>
+        l -> rs.flatMap(r => r.getString(1).toLowerCase.sliding(3).filter(_.length == 3))
+          .groupBy(identity).map { case (t, v) => t -> v.size.toLong }
+      }
+    val rows = operators.Text.charTrigrams(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.length == math.min(5, byLang(lang).size))
+      val want = byLang(lang).toSeq.sortBy { case (t, n) => (-n, t) }.take(rs.length)
+      val got = rs.sortBy(_.getInt(1)).map(r => (r.getString(2), r.getLong(3))).toSeq
+      assert(got == want, s"trigram profile drift for $lang")
+    }
+  }
+
   test("tokenizer fertility is >= 1 word-for-word and buckets cover the corpus") {
     val rows = operators.Pipeline.pipeTokenizerFertility(spark, sf).collect()
     assert(rows.nonEmpty)
