@@ -114,6 +114,9 @@ object SparkEntry {
     "q_moving_minmax"  -> ((s, d) => operators.Temporal.qMovingMinmax(s, d)),
     "q_interp_linear"  -> ((s, d) => operators.Temporal.qInterpLinear(s, d)),
     "q_prop_ztest"     -> ((s, d) => operators.Temporal.qPropZtest(s, d)),
+    "q_cumulative_uniques" -> ((s, d) => operators.Temporal.qCumulativeUniques(s, d)),
+    "q_order_gap_stats" -> ((s, d) => operators.Temporal.qOrderGapStats(s, d)),
+    "q_new_vs_returning" -> ((s, d) => operators.Temporal.qNewVsReturning(s, d)),
     "q_full_outer"     -> ((s, d) => Relational.qFullOuter(s, d)),
     "q_set_ops_all"    -> ((s, d) => Relational.qSetOpsAll(s, d)),
     "q_profile"        -> ((s, d) => Relational.qProfile(s, d)),
@@ -1286,6 +1289,56 @@ object SparkEntry {
         |       WHEN pv IS NOT NULL THEN 'locf'
         |       ELSE 'bocf' END AS fill_src
         |FROM anch ORDER BY event_type, day""".stripMargin,
+
+    "q_cumulative_uniques" ->
+      """WITH ev AS (SELECT epoch_us(ts) // 86400000000 AS day, user_id FROM events),
+        |fd AS (SELECT user_id, min(day) AS first_day FROM ev GROUP BY 1),
+        |nu AS (SELECT first_day AS day, CAST(count(*) AS BIGINT) AS new_users
+        |       FROM fd GROUP BY 1),
+        |da AS (SELECT day, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        |       FROM ev GROUP BY 1),
+        |j AS (SELECT coalesce(da.day, nu.day) AS day,
+        |        coalesce(nu.new_users, 0) AS new_users,
+        |        coalesce(da.dau, 0) AS dau
+        |      FROM da FULL OUTER JOIN nu ON nu.day = da.day)
+        |SELECT day, new_users, dau,
+        |  CAST(sum(new_users) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM j ORDER BY day""".stripMargin,
+
+    "q_order_gap_stats" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey,
+        |    CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+        |      AS od
+        |  FROM orders),
+        |g AS (
+        |  SELECT o_custkey,
+        |    od - lag(od) OVER (PARTITION BY o_custkey ORDER BY od, o_orderkey) AS gap
+        |  FROM o)
+        |SELECT CAST(length(bin(gap)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(min(gap) AS BIGINT) AS min_gap_days,
+        |  CAST(max(gap) AS BIGINT) AS max_gap_days,
+        |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+        |FROM g WHERE gap IS NOT NULL AND gap > 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_new_vs_returning" ->
+      """WITH o AS (
+        |  SELECT o_custkey, substr(CAST(o_orderdate AS VARCHAR), 1, 7) AS month
+        |  FROM orders),
+        |fm AS (SELECT o_custkey, min(month) AS fm FROM o GROUP BY 1)
+        |SELECT o.month, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN o.month = fm.fm THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+        |  CAST(sum(CASE WHEN o.month <> fm.fm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_returning,
+        |  CAST(count(DISTINCT CASE WHEN o.month = fm.fm THEN o.o_custkey END) AS BIGINT)
+        |    AS n_new_customers,
+        |  CAST(sum(CASE WHEN o.month = fm.fm THEN 1 ELSE 0 END) * 10000
+        |    // count(*) AS BIGINT) AS new_share_x1e4
+        |FROM o JOIN fm USING (o_custkey)
+        |GROUP BY o.month ORDER BY o.month""".stripMargin,
 
     "q_prop_ztest" ->
       """WITH s AS (

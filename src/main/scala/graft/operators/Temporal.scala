@@ -1787,6 +1787,72 @@ object Temporal {
       .withColumn("significant_95",
         (col("z2_x1e6") > 3841459L).cast("int"))
 
+  /** Cumulative-uniques curve — "total distinct users ever seen, by
+    * day" plus the daily new/active split. The naive shape
+    * (COUNT(DISTINCT) over an expanding window) rescans every prefix —
+    * quadratic; the scale shape used here is the FIRST-SEEN trick:
+    * one (user → min day) aggregate, a day-domain rollup of first
+    * appearances, and a running sum over the ≤days-sized grid. DAU
+    * rides the same scan as a (day, user)-distinct count.
+    */
+  def qCumulativeUniques(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(expr("ts_us div 86400000000").as("day"), col("user_id"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("first_day"))
+      .groupBy(col("first_day").as("day")).agg(count(lit(1)).as("new_users"))
+    val dau = ev.distinct().groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    // day-domain outer join (a gap day has DAU but no first-seens)
+    dau.join(firstDay, Seq("day"), "full_outer")
+      .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"),
+        coalesce(col("dau"), lit(0L)).as("dau"))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .orderBy(col("day"))
+  }
+
+  /** Inter-order gap distribution — days between a customer's
+    * consecutive orders, rolled to the log₂ bucket grid (the
+    * degree-dist convention): the purchase-cadence readout RFM recency
+    * scores threshold. The lag runs in per-customer partitions
+    * (parallel across the key domain — no global window), the
+    * histogram is a ≤17-bucket rollup.
+    */
+  def qOrderGapStats(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("od"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"),
+        expr("CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') AS BIGINT)")
+          .as("od"))
+      .withColumn("gap", col("od") - lag(col("od"), 1).over(w))
+      .filter(col("gap").isNotNull && col("gap") > 0)
+      .groupBy(expr("CAST(length(bin(gap)) AS BIGINT)").as("bucket"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("gap")).as("min_gap_days"), max(col("gap")).as("max_gap_days"),
+        countDistinct(col("o_custkey")).cast("long").as("n_customers"))
+      .orderBy(col("bucket"))
+  }
+
+  /** New-vs-returning split per order month — the acquisition/retention
+    * composition every growth dashboard leads with: orders from
+    * customers whose FIRST order falls in that month vs returning,
+    * share ×10⁴. First-month table is one aggregate over the customer
+    * domain; the month rollup rides the same scan.
+    */
+  def qNewVsReturning(s: SparkSession, d: String): DataFrame = {
+    val ord = Tables.orders(s, d)
+      .select(col("o_custkey"), substring(expr("CAST(o_orderdate AS STRING)"), 1, 7).as("month"))
+    val firstMonth = ord.groupBy(col("o_custkey")).agg(min(col("month")).as("fm"))
+    ord.join(firstMonth, Seq("o_custkey"))
+      .groupBy(col("month"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("month") === col("fm"), 1L).otherwise(0L)).cast("long").as("n_new"),
+        sum(when(col("month") =!= col("fm"), 1L).otherwise(0L)).cast("long").as("n_returning"),
+        countDistinct(when(col("month") === col("fm"), col("o_custkey")))
+          .cast("long").as("n_new_customers"))
+      .withColumn("new_share_x1e4", expr("(n_new * 10000) div n_orders"))
+      .orderBy(col("month"))
+  }
+
   /** Single text source for the per-(day, user) purchase-cents CTE the
     * series oracles so the cents rounding / purchase filter can never
     * drift between them.

@@ -1084,6 +1084,39 @@ class TemporalSpec extends AnyFunSuite {
     }
   }
 
+  test("cumulative uniques: monotone, ends at total distinct, DAU bounds new users") {
+    val rows = operators.Temporal.qCumulativeUniques(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.nonEmpty)
+    val totalUsers = graft.streaming.EventStreams
+      .normalize(Tables.events(spark, sf)).select("user_id").distinct().count()
+    assert(rows.last._4 == totalUsers, "curve must end at the total distinct count")
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted, "cum not monotone")
+    assert(rows.map(_._2).sum == totalUsers, "every user first-seen exactly once")
+    rows.foreach { case (_, nw, dau, _) =>
+      assert(nw <= dau, "more first-seen users than active users on a day")
+    }
+  }
+
+  test("order gaps: buckets partition the positive gaps, new/returning partitions orders") {
+    val gaps = operators.Temporal.qOrderGapStats(spark, sf).collect()
+    assert(gaps.nonEmpty)
+    gaps.foreach { r =>
+      val (b, mn, mx) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(mn >= (1L << (b - 1).toInt) && mx < (1L << b.toInt),
+        s"bucket $b bounds violated: [$mn, $mx]")
+    }
+    val nvr = operators.Temporal.qNewVsReturning(spark, sf).collect()
+    assert(nvr.nonEmpty)
+    assert(nvr.map(_.getLong(1)).sum == Tables.orders(spark, sf).count())
+    nvr.foreach { r =>
+      assert(r.getLong(2) + r.getLong(3) == r.getLong(1), "new + returning != orders")
+    }
+    // every customer is new exactly once
+    val nCust = Tables.orders(spark, sf).select("o_custkey").distinct().count()
+    assert(nvr.map(_.getLong(4)).sum == nCust)
+  }
+
   test("two-proportion z-squared equals a driver-side recompute of the pooled formula") {
     val Seq((n1, x1, n2, x2)) = {
       val e = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
