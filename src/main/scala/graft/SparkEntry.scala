@@ -169,6 +169,8 @@ object SparkEntry {
     "dedup_cluster"       -> ((s, d) => Pipeline.dedupCluster(s, d)),
     "pipe_dedup_incremental" -> ((s, d) => Pipeline.dedupIncremental(s, d)),
     "ann_kmeans_step"  -> ((s, d) => Pipeline.annKmeansStep(s, d)),
+    "ann_cell_purity"  -> ((s, d) => Pipeline.annCellPurity(s, d)),
+    "ann_sim_hist"     -> ((s, d) => Pipeline.annSimHist(s, d)),
     "ann_dim_stats"    -> ((s, d) => Pipeline.annDimStats(s, d)),
     "ann_outlier_dist" -> ((s, d) => Pipeline.annOutlierDist(s, d)),
     "ann_centroid"        -> ((s, d) => Pipeline.annCentroid(s, d)),

@@ -130,6 +130,12 @@ object Pipeline {
   def annIvfPqTopk(s: SparkSession, d: String): DataFrame =
     Similarity.ivfPqTopK(Tables.embeddings(s, d), queryPred)
 
+  def annCellPurity(s: SparkSession, d: String): DataFrame =
+    Similarity.cellPurity(Tables.embeddings(s, d))
+
+  def annSimHist(s: SparkSession, d: String): DataFrame =
+    Similarity.simHist(Tables.embeddings(s, d))
+
   // --- §2.6 multimodal ---------------------------------------------------
 
   def mmDecodeMeta(s: SparkSession, d: String): DataFrame =
@@ -1836,6 +1842,10 @@ object Pipeline {
     "dedup_embedding_ivf" ->
       Similarity.embeddingDedupIvfOracleSql(graft.similarity.IvfModel.cells, 400000L),
     "ann_pair_sim" -> pairSimSql(300000L),
+
+    "ann_cell_purity" -> Similarity.cellPurityOracleSql(),
+
+    "ann_sim_hist" -> Similarity.simHistOracleSql,
 
     "ann_ivf_topk" ->
       Similarity.ivfOracleSql(graft.similarity.IvfModel.cells, "vec_id % 97 = 0"),

@@ -968,4 +968,103 @@ object Similarity {
           .as("d2"))
       .orderBy(col("d2").desc, col("vec_id")).limit(topK)
   }
+
+  /** Label purity of the pinned IVF cells — "are the coarse-quantizer
+    * cells label-coherent", the index-QA readout that decides whether
+    * the codebook needs retraining: every vector assigned its
+    * [[nearestCell]] (the SAME pinned codebook ann_ivf_topk probes, so
+    * this audits the shipped index, not a lookalike), per cell the
+    * majority label (ties → smallest label) and purity ×10⁴. One
+    * literal-broadcast map pass + a cells×labels-grid rollup.
+    */
+  def cellPurity(embeddings: DataFrame,
+                 cents: Seq[Seq[Float]] = IvfModel.cells): DataFrame = {
+    val assigned = graft.Tables.fanOut(embeddings)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        nearestCell(col("embedding"), cents).cast("long").as("cell"))
+    val perLab = assigned.groupBy(col("cell"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("cell")).orderBy(col("c").desc, col("label"))
+    perLab.withColumn("rk", row_number().over(w))
+      .groupBy(col("cell"))
+      .agg(sum(col("c")).cast("long").as("n_vecs"),
+        count(lit(1)).cast("long").as("n_labels"),
+        max(when(col("rk") === 1, col("label"))).as("majority_label"),
+        max(when(col("rk") === 1, col("c"))).cast("long").as("majority_n"))
+      .withColumn("purity_x1e4", expr("(majority_n * 10000) div n_vecs"))
+      .orderBy(col("cell"))
+  }
+
+  /** DuckDB oracle for [[cellPurity]] — the ivfOracleSql cell-assign
+    * chain (same greatest + first-match tie rule) rolled to purity.
+    */
+  def cellPurityOracleSql(cents: Seq[Seq[Float]] = IvfModel.cells): String = {
+    val n = cents.length
+    def centSim(v: String, j: Int): String = {
+      val c = cents(j)
+      val invNorm = 1.0 / math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val dotC = c.zipWithIndex
+        .map { case (x, d) => s"CAST($v[${d + 1}] AS DOUBLE) * (${x.toDouble})" }
+        .mkString("(0.0 + ", " + ", ")")
+      s"($dotC * ($invNorm))"
+    }
+    val simCols = (0 until n).map(j => s"    ${centSim("embedding", j)} AS s$j").mkString(",\n")
+    val sNames = (0 until n).map(j => s"s$j").mkString(", ")
+    val cellCase = (0 until n).map(j => s"WHEN s$j = g THEN $j").mkString("CASE ", " ", " END")
+    s"""WITH s AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |$simCols
+       |  FROM embeddings),
+       |a AS (SELECT *, greatest($sNames) AS g FROM s),
+       |c AS (SELECT vec_id, label, CAST($cellCase AS BIGINT) AS cell FROM a),
+       |pl AS (SELECT cell, label, CAST(count(*) AS BIGINT) AS c FROM c GROUP BY 1, 2),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY cell ORDER BY c DESC, label) AS rk
+       |       FROM pl)
+       |SELECT cell, CAST(sum(c) AS BIGINT) AS n_vecs,
+       |  CAST(count(*) AS BIGINT) AS n_labels,
+       |  CAST(max(CASE WHEN rk = 1 THEN label END) AS BIGINT) AS majority_label,
+       |  CAST(max(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS majority_n,
+       |  CAST(max(CASE WHEN rk = 1 THEN c END) * 10000 // sum(c) AS BIGINT)
+       |    AS purity_x1e4
+       |FROM rk GROUP BY cell ORDER BY cell""".stripMargin
+  }
+
+  /** Pairwise-similarity histogram over the deterministic adjacent-id
+    * pairing (vec_id, vec_id+1) — the embedding-space health check run
+    * before index build ("is the corpus collapsing to a cone"):
+    * floor-×10⁶ cosine per pair (the gateable double convention),
+    * bucketed at 0.1 width. The pairing is an equi-join on the id key
+    * (co-partitioned single shuffle), never an all-pairs product.
+    */
+  def simHist(embeddings: DataFrame): DataFrame = {
+    val withNorm = graft.Tables.fanOut(embeddings)
+      .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
+    val nxt = withNorm.select((col("vec_id") - 1).as("vec_id"),
+      col("embedding").as("e2"), col("nrm").as("n2"))
+    withNorm.join(nxt, Seq("vec_id"))
+      .withColumn("cos_x1e6",
+        floor(cosine(col("embedding"), col("e2"), col("nrm"), col("n2")) * 1e6)
+          .cast("long"))
+      .withColumn("bucket", expr("CAST(floor(cos_x1e6 / 100000.0) AS BIGINT)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min(col("cos_x1e6")).as("min_cos_x1e6"),
+        max(col("cos_x1e6")).as("max_cos_x1e6"))
+      .orderBy(col("bucket"))
+  }
+
+  /** DuckDB oracle for [[simHist]] (same fold-order dot products). */
+  def simHistOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding, ${normSql("embedding")} AS nrm FROM embeddings),
+       |p AS (
+       |  SELECT a.vec_id,
+       |    CAST(floor((${dotSql("a.embedding", "b.embedding")}
+       |      / (a.nrm * b.nrm)) * 1e6) AS BIGINT) AS cos_x1e6
+       |  FROM e a JOIN e b ON b.vec_id = a.vec_id + 1)
+       |SELECT CAST(floor(cos_x1e6 / 100000.0) AS BIGINT) AS bucket,
+       |  CAST(count(*) AS BIGINT) AS n_pairs,
+       |  CAST(min(cos_x1e6) AS BIGINT) AS min_cos_x1e6,
+       |  CAST(max(cos_x1e6) AS BIGINT) AS max_cos_x1e6
+       |FROM p GROUP BY 1 ORDER BY 1""".stripMargin
 }

@@ -1144,6 +1144,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("cell purity partitions the corpus and audits the SHIPPED codebook") {
+    val rows = operators.Pipeline.annCellPurity(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nVecs, "vectors lost in cell assignment")
+    rows.foreach { r =>
+      val (n, nl, mn, p) = (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5))
+      assert(mn <= n && p == mn * 10000 / n)
+      assert(mn * nl >= n, "majority count below the uniform floor")
+    }
+  }
+
+  test("similarity histogram covers every adjacent pair with cosine in [-1, 1]") {
+    val rows = operators.Pipeline.annSimHist(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val nVecs = Tables.embeddings(spark, sf).count()
+    assert(rows.map(_.getLong(1)).sum == nVecs - 1, "pair count != n - 1")
+    rows.foreach { r =>
+      val (b, mn, mx) = (r.getLong(0), r.getLong(2), r.getLong(3))
+      assert(b >= -10 && b <= 10)
+      assert(mn >= b * 100000 && mx < (b + 1) * 100000, s"bucket $b bounds: [$mn, $mx]")
+      assert(mn >= -1000000L && mx <= 1000000L)
+    }
+  }
+
   test("OOV rate equals a driver-side split replay and type rate >= 0") {
     val docs = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getString(1))
