@@ -160,7 +160,10 @@ class PlanSpec extends AnyFunSuite {
     // with an allowlist of broadcast() argument heads.
     val src = scala.io.Source.fromFile(
       "src/main/scala/graft/operators/Graph.scala", "UTF-8").mkString
-    val allowed = Set("nn", "pr", "dist", "score", "mx", "nOrders")
+    // round 8 additions: n (nation count), rmax/scal (1-row aggregates
+    // over the ≤N-row eccentricity table) — all fixed-cardinality
+    val allowed = Set("nn", "pr", "dist", "score", "mx", "nOrders",
+      "n", "rmax", "scal")
     val heads = """broadcast\((\w+)""".r
       .findAllMatchIn(src).map(_.group(1)).toList
     val bad = heads.filterNot(allowed)
