@@ -161,6 +161,7 @@ object SparkEntry {
     "dedup_exact_keep"    -> ((s, d) => Pipeline.dedupExactKeep(s, d)),
     "dedup_ngram_jaccard" -> ((s, d) => Pipeline.dedupNgramJaccard(s, d)),
     "dedup_minhash_lsh"   -> ((s, d) => Pipeline.dedupMinhashLsh(s, d)),
+    "dedup_lsh_sweep"     -> ((s, d) => Pipeline.dedupLshSweep(s, d)),
     "dedup_simhash"       -> ((s, d) => Pipeline.dedupSimhash(s, d)),
     "dedup_span"          -> ((s, d) => Pipeline.dedupSpan(s, d)),
     "dedup_levenshtein"   -> ((s, d) => Pipeline.dedupLevenshtein(s, d)),

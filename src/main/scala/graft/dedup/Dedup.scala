@@ -254,6 +254,93 @@ object Dedup {
             .stripMargin)).as(Seq("band", "key")))
   }
 
+  /** LSH banding-parameter sweep — the tuning readout that decides the
+    * (bands, rows) operating point BEFORE a 100 TB dedup run: the SAME
+    * 64-permutation signature table re-banded at (32,2)/(16,4)/(8,8)
+    * (S-curve thresholds ≈ 0.18/0.50/0.77), per config the hot-bucket
+    * count, the multiplicity pair mass Σ n·(n−1)/2 (the shuffle cost a
+    * config implies), and the distinct candidate-pair count (the
+    * verify cost). One signature build (checkpointed), three
+    * band-domain passes — the sweep never re-reads the corpus text.
+    */
+  def lshSweep(docs: DataFrame): DataFrame = {
+    val exSh = graft.Tables.fanOut(docs)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    val sig = exSh
+      .select(col("doc_id"),
+        graft.functions.TextExpressionFunctions.polyHash(col("s"), 31L, MinHashP).as("h"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.MinHashAgg.minhashSig(col("h")).as("mh"))
+      .localCheckpoint()
+    val configs = Seq((32, 2), (16, 4), (8, 8))
+    configs.map { case (b, r) =>
+      val bands = sig.select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, ${b - 1}), bb ->
+             |  aggregate(sequence(0, ${r - 1}), 0L,
+             |    (acc, rr) -> (acc * 31 + element_at(mh, bb * $r + rr + 1)) % $MinHashP))"""
+            .stripMargin)).as(Seq("band", "key")))
+        .localCheckpoint()
+      val stats = bands.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) div 2")).cast("long").as("mult_pairs"),
+          sum(when(col("n") >= 2, 1L).otherwise(0L)).cast("long").as("hot_buckets"))
+      val left = bands.select(col("doc_id").as("a"), col("band"), col("key"))
+      val right = bands.select(col("doc_id").as("b2"), col("band"), col("key"))
+      val nCand = graft.operators.Skew
+        .saltedJoin(left, right, Seq("band", "key"), LshSalts, col("a"))
+        .filter(col("a") < col("b2")).select(col("a"), col("b2")).distinct()
+        .agg(count(lit(1)).cast("long").as("n_candidate_pairs"))
+      stats.crossJoin(broadcast(nCand))
+        .select(lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("hot_buckets"), col("mult_pairs"), col("n_candidate_pairs"))
+    }.reduce(_ unionByName _).orderBy(col("bands"))
+  }
+
+  /** DuckDB oracle for [[lshSweep]]: the signature recomputed from the
+    * [[graft.functions.MinHashAgg]] permutation spec as a 64-row
+    * constants table, then each config's band fold + bucket math.
+    */
+  def lshSweepOracleSql: String = {
+    val permRows = (0 until graft.functions.MinHashAgg.Perms).map { i =>
+      s"($i, ${graft.functions.MinHashAgg.permA(i)}, ${graft.functions.MinHashAgg.permB(i)})"
+    }.mkString(", ")
+    val hashS = graft.text.TextFunctions.fingerprintSql("s")
+    def cfg(b: Int, r: Int): String =
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |  (SELECT CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT) FROM (
+         |     SELECT band, key, count(*) AS n FROM band_$b GROUP BY 1, 2)) AS hot_buckets,
+         |  (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) FROM (
+         |     SELECT band, key, count(*) AS n FROM band_$b GROUP BY 1, 2)) AS mult_pairs,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM (
+         |     SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+         |     FROM band_$b x JOIN band_$b y
+         |       ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id))
+         |    AS n_candidate_pairs""".stripMargin
+    def bandCte(b: Int, r: Int): String =
+      s"""band_$b AS (
+         |  SELECT doc_id, k // $r AS band,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(mh ORDER BY k)),
+         |      (acc, x) -> (acc * 31 + x) % $MinHashP) AS key
+         |  FROM sig GROUP BY doc_id, k // $r)""".stripMargin
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${shinglesSql("text")}) AS s FROM documents),
+       |hh AS (SELECT doc_id, $hashS AS h FROM sh),
+       |perm AS (SELECT * FROM (VALUES $permRows) p(k, a, b)),
+       |sig AS (
+       |  SELECT doc_id, k, min((a * h + b) % $MinHashP) AS mh
+       |  FROM hh CROSS JOIN perm GROUP BY doc_id, k),
+       |${bandCte(32, 2)},
+       |${bandCte(16, 4)},
+       |${bandCte(8, 8)}
+       |${cfg(32, 2)}
+       |UNION ALL
+       |${cfg(16, 4)}
+       |UNION ALL
+       |${cfg(8, 8)}
+       |ORDER BY bands""".stripMargin
+  }
+
   /** MinHash-LSH near-dup pairs, verified by exact Jaccard ≥ τ.
     * With J ≥ 0.9 dups, P[miss] = (1-0.9^4)^16 ≈ 3e-8 ⇒ output equals the
     * brute-force oracle; the LSH layer is the 100 TB path (signatures are

@@ -27,6 +27,9 @@ object Pipeline {
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLshPairs(Tables.documents(s, d))
 
+  def dedupLshSweep(s: SparkSession, d: String): DataFrame =
+    Dedup.lshSweep(Tables.documents(s, d))
+
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
     Dedup.simhashPairs(Tables.documents(s, d))
 
@@ -1454,6 +1457,8 @@ object Pipeline {
 
     "dedup_ngram_jaccard" -> bruteJaccard,
     "dedup_minhash_lsh" -> bruteJaccard,
+
+    "dedup_lsh_sweep" -> Dedup.lshSweepOracleSql,
 
     "pipe_interleave" ->
       s"""WITH bs AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs

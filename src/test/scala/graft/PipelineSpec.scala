@@ -1144,6 +1144,23 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("LSH sweep: candidate mass is monotone in band width and bounded by multiplicity") {
+    val rows = operators.Pipeline.dedupLshSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length == 3)
+    rows.foreach { case (b, r, _, mult, cand) =>
+      assert(b * r == 64L, "configs must tile the 64-perm signature")
+      assert(cand <= mult, "distinct candidates cannot exceed the multiplicity mass")
+    }
+    // lower S-curve threshold (more bands of fewer rows) ⇒ MORE candidates:
+    // (32,2) ≥ (16,4) ≥ (8,8) in distinct pairs on any corpus
+    val byBands = rows.sortBy(-_._1).map(_._5)
+    assert(byBands.toSeq == byBands.sorted.reverse.toSeq,
+      s"candidate counts not monotone in banding: ${rows.toSeq}")
+    // the shipped (16,4) config's candidates must appear in the sweep
+    assert(rows.exists(t => t._1 == 16 && t._5 > 0), "shipped config finds nothing")
+  }
+
   test("cell purity partitions the corpus and audits the SHIPPED codebook") {
     val rows = operators.Pipeline.annCellPurity(spark, sf).collect()
     assert(rows.nonEmpty)
