@@ -28,6 +28,9 @@ import duckdb
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 BENCH = Path(sys.argv[2] if len(sys.argv) > 2 else "/root/repo/BENCH_DETAIL.json")
 REPS = 3
+# per-oracle wall budget: past this the oracle is marked slow and the
+# comparison uses the single timed rep (or the timeout floor)
+BUDGET_S = 120.0
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -60,17 +63,42 @@ def main() -> None:
         if Path(p).exists():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
-    times, errors = {}, {}
-    for name, sql in sorted(oracles.items()):
-        reps = []
+    times, errors, timeouts = {}, {}, {}
+
+    def timed(sql: str) -> float:
+        """One execution with an interrupt watchdog at BUDGET_S."""
+        import threading
+        done = threading.Event()
+
+        def watchdog() -> None:
+            if not done.wait(BUDGET_S):
+                con.interrupt()
+        w = threading.Thread(target=watchdog, daemon=True)
+        w.start()
+        t0 = time.monotonic()
         try:
-            for _ in range(REPS):
-                t0 = time.monotonic()
-                con.execute(sql).fetchall()
-                reps.append(time.monotonic() - t0)
-            times[name] = statistics.median(reps)
-        except Exception as e:  # noqa: BLE001 - record and move on
-            errors[name] = str(e).splitlines()[0][:120]
+            con.execute(sql).fetchall()
+            return time.monotonic() - t0
+        finally:
+            done.set()
+
+    for i, (name, sql) in enumerate(sorted(oracles.items())):
+        try:
+            first = timed(sql)
+            if first > 5.0:
+                times[name] = first  # slow query: one rep is the number
+            else:
+                reps = [first] + [timed(sql) for _ in range(REPS - 1)]
+                times[name] = statistics.median(reps)
+        except Exception as e:  # noqa: BLE001 - interrupt lands here too
+            msg = str(e).splitlines()[0][:120]
+            if "INTERRUPT" in msg.upper() or "interrupted" in msg.lower():
+                timeouts[name] = BUDGET_S
+                times[name] = BUDGET_S  # floor: true cost is >= budget
+            else:
+                errors[name] = msg
+        print(f"[{i + 1}/{len(oracles)}] {name}: "
+              f"{times.get(name, 'ERR')}", flush=True)
 
     bench = {}
     if BENCH.exists():
@@ -124,10 +152,15 @@ def main() -> None:
               "| query | spark s | duckdb s | ratio |", "|---|---:|---:|---:|"]
     for r, q in [t for t in ratios if t[0] < 1.0][:20]:
         lines.append(f"| {q} | {bench[q]:.3f} | {times[q]:.3f} | {r:.2f} |")
+    if timeouts:
+        lines += ["", f"## Oracles past the {BUDGET_S:.0f}s budget "
+                      "(entered at the budget FLOOR — true cost is higher)", ""]
+        lines += [f"- `{k}` (Spark side: {bench.get(k, float('nan')):.2f} s)"
+                  for k in sorted(timeouts)]
     if errors:
         lines += ["", "## Oracles DuckDB could not time", ""]
         lines += [f"- `{k}`: {v}" for k, v in sorted(errors.items())]
-    lines += ["", f"Raw medians: see tools/baseline.py output below.", ""]
+    lines += ["", "Raw medians: BASELINE_DETAIL.json.", ""]
 
     Path("/root/repo/BASELINE.md").write_text("\n".join(lines) + "\n")
     detail = {"sf": SF, "reps": REPS, "duck_total": round(total_duck, 3),
