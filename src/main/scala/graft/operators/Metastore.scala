@@ -1005,6 +1005,35 @@ object Metastore {
       .orderBy(col("query_id"))
   }
 
+  /** ES nested aggregations analog (a terms agg INSIDE a terms agg —
+    * the two-level bucket tree [[termsAggStatsQ]] stops short of): top-5
+    * sources by doc count, each with its top-2 languages (count, byte
+    * mass), both levels ES-default ordered (count desc, key). The inner
+    * grid is sources×langs-sized; the outer rank runs on the ≤sources
+    * domain — one fact-scale partial agg feeds both levels.
+    */
+  def nestedAggsQ(s: SparkSession, d: String): DataFrame = {
+    val v = ds.visible(idx(s, d), None)
+      .select(col("source"), col("lang"), col("bytes"))
+    val inner = v.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("lang_count"), sum(col("bytes")).cast("long").as("lang_bytes"))
+      .localCheckpoint(eager = false)
+    val outer = inner.groupBy(col("source"))
+      .agg(sum(col("lang_count")).cast("long").as("src_count"))
+      .withColumn("src_rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("src_count").desc, col("source"))).cast("int"))
+      .filter(col("src_rank") <= 5)
+    val wLang = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("lang_count").desc, col("lang"))
+    inner.join(broadcast(outer), Seq("source"))
+      .withColumn("lang_rank", row_number().over(wLang).cast("int"))
+      .filter(col("lang_rank") <= 2)
+      .select(col("src_rank"), col("source"), col("src_count"),
+        col("lang_rank"), col("lang"), col("lang_count"), col("lang_bytes"))
+      .orderBy(col("src_rank"), col("lang_rank"))
+  }
+
   // --- oracle SQL --------------------------------------------------------
 
   private val idxCte = s"WITH idx AS (\n${Tables.datasetIndexSql}\n)"
@@ -1696,6 +1725,28 @@ object Metastore {
          |FROM t JOIN q ON list_has_any(t.toks, q.terms)
          |GROUP BY q.query_id ORDER BY query_id""".stripMargin
     },
+
+    "ms_nested_aggs" ->
+      s"""$idxCte,
+         |v AS (SELECT source, lang, bytes FROM idx WHERE findability = 'published'),
+         |inner_b AS (
+         |  SELECT source, lang, CAST(count(*) AS BIGINT) AS lang_count,
+         |    CAST(sum(bytes) AS BIGINT) AS lang_bytes
+         |  FROM v GROUP BY source, lang),
+         |outer_b AS (
+         |  SELECT source, CAST(sum(lang_count) AS BIGINT) AS src_count,
+         |    CAST(row_number() OVER (ORDER BY sum(lang_count) DESC, source) AS INT)
+         |      AS src_rank
+         |  FROM inner_b GROUP BY source),
+         |top_src AS (SELECT * FROM outer_b WHERE src_rank <= 5),
+         |ranked AS (
+         |  SELECT t.src_rank, i.source, t.src_count, i.lang, i.lang_count, i.lang_bytes,
+         |    CAST(row_number() OVER (PARTITION BY i.source
+         |      ORDER BY i.lang_count DESC, i.lang) AS INT) AS lang_rank
+         |  FROM inner_b i JOIN top_src t ON t.source = i.source)
+         |SELECT src_rank, source, src_count, lang_rank, lang, lang_count, lang_bytes
+         |FROM ranked WHERE lang_rank <= 2
+         |ORDER BY src_rank, lang_rank""".stripMargin,
 
     "ms_did_you_mean" ->
       s"""$idxCte,

@@ -591,6 +591,30 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("nested aggs: inner buckets sum to their outer bucket, both levels ES-ordered") {
+    val rows = Metastore.nestedAggsQ(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getInt(3),
+        r.getString(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val full = Tables.datasetIndex(spark, sf)
+      .filter(col("findability") === "published")
+      .groupBy(col("source"), col("lang")).count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    rows.groupBy(_._2).foreach { case (src, rs) =>
+      val srcTotal = full.collect { case ((s2, _), n) if s2 == src => n }.sum
+      assert(rs.head._3 == srcTotal, s"outer count drift for $src")
+      // inner ranks are the true per-source top-2 langs (count desc, lang)
+      val want = full.collect { case ((s2, l), n) if s2 == src => (l, n) }
+        .toSeq.sortBy { case (l, n) => (-n, l) }.take(rs.length)
+      assert(rs.sortBy(_._4).map(t => (t._5, t._6)).toSeq == want,
+        s"inner bucket drift for $src")
+    }
+    // outer ranks are the true top-5 sources
+    val srcCounts = full.groupBy(_._1._1).view.mapValues(_.values.sum)
+    val wantSrc = srcCounts.toSeq.sortBy { case (s2, n) => (-n, s2) }.take(5).map(_._1)
+    assert(rows.sortBy(_._1).map(_._2).distinct.toSeq == wantSrc)
+  }
+
   test("did_you_mean suggests real vocabulary terms within the edit budget") {
     def lev(a: String, b: String): Long = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
