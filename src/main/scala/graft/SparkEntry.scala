@@ -325,6 +325,7 @@ object SparkEntry {
     "pipe_dedup_rate_by_source" -> ((s, d) => Pipeline.pipeDedupRateBySource(s, d)),
     "mm_decode_mulaw"     -> ((s, d) => Pipeline.mmDecodeMulaw(s, d)),
     "mm_decode_ppm"       -> ((s, d) => Pipeline.mmDecodePpm(s, d)),
+    "mm_decode_adpcm"     -> ((s, d) => Pipeline.mmDecodeAdpcm(s, d)),
     "mm_thumbnail"        -> ((s, d) => Pipeline.mmThumbnail(s, d)),
     "pipe_quality_curve"  -> ((s, d) => Pipeline.pipeQualityCurve(s, d)),
     "q_k_anonymity"       -> ((s, d) => Pipeline.qKAnonymity(s, d)),

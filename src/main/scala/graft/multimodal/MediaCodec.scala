@@ -1185,6 +1185,141 @@ object MediaCodec {
     MulawMeta(sr, dataLen.toLong, sum, max)
   }
 
+  // ----------------------------------------------------------- IMA ADPCM
+  // IMA/DVI ADPCM (public spec; tables from the IMA Digital Audio Focus
+  // Group reference): 4-bit differential coding with an adaptive step
+  // size — a genuinely STATEFUL codec (predictor + step index thread
+  // through every sample). WAV container format code 0x11, mono, one
+  // block: header = initial predictor (int16) + step index + reserved,
+  // then nibbles two per byte (low nibble first).
+
+  val adpcmStepTable: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31,
+    34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+    157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544,
+    598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707,
+    1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871,
+    5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899,
+    15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  val adpcmIndexTable: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
+
+  private def clampS16(v: Int): Int = math.max(-32768, math.min(32767, v))
+  private def clampIdx(v: Int): Int = math.max(0, math.min(88, v))
+
+  /** One IMA encode step: quantize (sample − pred) to a 4-bit code and
+    * return (code, newPred, newIndex) — newPred is the DECODER's
+    * reconstruction (the encoder tracks its own decode, which is what
+    * makes the oracle replayable as one fold over the input samples).
+    */
+  def adpcmEncodeStep(sample: Int, pred: Int, index: Int): (Int, Int, Int) = {
+    val step = adpcmStepTable(index)
+    var diff = sample - pred
+    val sign = if (diff < 0) { diff = -diff; 8 } else 0
+    var delta = 0
+    var dq = step >> 3
+    if (diff >= step) { delta |= 4; diff -= step; dq += step }
+    if (diff >= (step >> 1)) { delta |= 2; diff -= step >> 1; dq += step >> 1 }
+    if (diff >= (step >> 2)) { delta |= 1; dq += step >> 2 }
+    val newPred = clampS16(if (sign != 0) pred - dq else pred + dq)
+    val newIndex = clampIdx(index + adpcmIndexTable(delta))
+    (sign | delta, newPred, newIndex)
+  }
+
+  /** One IMA decode step: code → (newPred, newIndex). */
+  def adpcmDecodeStep(code: Int, pred: Int, index: Int): (Int, Int) = {
+    val step = adpcmStepTable(index)
+    var dq = step >> 3
+    if ((code & 4) != 0) dq += step
+    if ((code & 2) != 0) dq += step >> 1
+    if ((code & 1) != 0) dq += step >> 2
+    val newPred = clampS16(if ((code & 8) != 0) pred - dq else pred + dq)
+    (newPred, clampIdx(index + adpcmIndexTable(code & 7)))
+  }
+
+  /** Encode mono IMA-ADPCM WAV (format 0x11), ONE block: sample(0) goes
+    * verbatim into the block header (initial predictor, index 0), the
+    * remaining n−1 samples as adaptive 4-bit codes.
+    */
+  def encodeWavAdpcm(n: Int, sampleRate: Int, sample: Int => Int): Array[Byte] = {
+    require(n >= 1 && sampleRate > 0, s"bad adpcm geometry n=$n sr=$sampleRate")
+    val nNib = n - 1
+    val dataLen = 4 + (nNib + 1) / 2
+    val out = new Array[Byte](48 + dataLen)
+    out(0) = 'R'; out(1) = 'I'; out(2) = 'F'; out(3) = 'F'
+    put32(out, 4, 40 + dataLen)
+    out(8) = 'W'; out(9) = 'A'; out(10) = 'V'; out(11) = 'E'
+    out(12) = 'f'; out(13) = 'm'; out(14) = 't'; out(15) = ' '
+    put32(out, 16, 20); put16(out, 20, 0x11); put16(out, 22, 1)
+    put32(out, 24, sampleRate); put32(out, 28, sampleRate / 2)
+    put16(out, 32, dataLen); put16(out, 34, 4)
+    put16(out, 36, 2) // cbSize
+    put16(out, 38, n) // samplesPerBlock
+    out(40) = 'd'; out(41) = 'a'; out(42) = 't'; out(43) = 'a'
+    put32(out, 44, dataLen)
+    var pred = clampS16(sample(0))
+    var idx = 0
+    put16(out, 48, pred & 0xffff)
+    out(50) = idx.toByte; out(51) = 0
+    var i = 1
+    while (i < n) {
+      val (c1, p1, x1) = adpcmEncodeStep(clampS16(sample(i)), pred, idx)
+      pred = p1; idx = x1
+      var b = c1
+      if (i + 1 < n) {
+        val (c2, p2, x2) = adpcmEncodeStep(clampS16(sample(i + 1)), pred, idx)
+        pred = p2; idx = x2
+        b |= c2 << 4
+      }
+      out(52 + (i - 1) / 2) = b.toByte
+      i += 2
+    }
+    out
+  }
+
+  final case class AdpcmMeta(sampleRate: Int, nSamples: Long,
+                             sumAbs: Long, maxAbs: Long, finalIndex: Int)
+
+  /** Decode the mono one-block IMA-ADPCM WAV: chunk walk, block header,
+    * nibble stream through the adaptive state machine. Emits decoded
+    * stats plus the FINAL step index — a single state-machine slip
+    * anywhere changes it.
+    */
+  def decodeWavAdpcm(b: Array[Byte]): AdpcmMeta = {
+    require(isWav(b), "not a WAV payload")
+    var o = 12
+    var sr = -1; var fmt = -1; var channels = -1; var spb = -1
+    var dataOff = -1; var dataLen = -1
+    while (o + 8 <= b.length && (sr < 0 || dataOff < 0)) {
+      val id = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = i32(b, o + 4)
+      require(len >= 0 && o + 8 + len <= b.length, s"truncated WAV chunk $id")
+      if (id == "fmt ") {
+        fmt = u16(b, o + 8); channels = u16(b, o + 10); sr = i32(b, o + 12)
+        if (len >= 20) spb = u16(b, o + 26)
+      } else if (id == "data") { dataOff = o + 8; dataLen = len }
+      o += 8 + len + (len & 1)
+    }
+    require(sr > 0 && dataOff >= 0, "WAV missing fmt/data chunk")
+    require(fmt == 0x11 && channels == 1, s"only mono IMA ADPCM supported (fmt=$fmt)")
+    require(spb >= 1, "missing samplesPerBlock")
+    var pred = (u16(b, dataOff) << 16) >> 16 // sign-extend header sample
+    var idx = b(dataOff + 2) & 0xff
+    require(idx <= 88, s"bad initial step index $idx")
+    var sum = math.abs(pred.toLong); var max = math.abs(pred.toLong)
+    var i = 1
+    while (i < spb) {
+      val byte = b(dataOff + 4 + (i - 1) / 2) & 0xff
+      val code = if ((i - 1) % 2 == 0) byte & 0x0f else byte >> 4
+      val (p, x) = adpcmDecodeStep(code, pred, idx)
+      pred = p; idx = x
+      val a = math.abs(p.toLong)
+      sum += a; if (a > max) max = a
+      i += 1
+    }
+    AdpcmMeta(sr, spb.toLong, sum, max, idx)
+  }
+
   // ----------------------------------------------------------------- PPM
   // Netpbm P6 (public spec): ASCII header "P6", whitespace-separated
   // width/height/maxval with '#' comment lines, then raw RGB triplets.

@@ -498,6 +498,30 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** REAL IMA-ADPCM companding gate ([[MediaCodec.encodeWavAdpcm]] /
+    * decodeWavAdpcm — format 0x11 WAV, one block): a genuinely
+    * STATEFUL codec — predictor and adaptive step index thread through
+    * every 4-bit code, so the oracle must replay the whole encode
+    * state machine (31 unrolled SQL steps over the step/index tables).
+    * The emitted FINAL step index pins the adaptation path: a single
+    * state slip anywhere shifts it. Fixed n = 32 samples per doc
+    * (odd-nibble packing is pinned by the byte-level spec instead);
+    * sample content varies per doc.
+    */
+  def decodeAdpcmPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val payload = MediaCodec.encodeWavAdpcm(32, 8000,
+          i => (((id * 37L + i.toLong * i * 3) % 8000L) - 4000L).toInt)
+        val m = MediaCodec.decodeWavAdpcm(payload)
+        (id, m.sampleRate.toLong, m.nSamples, m.sumAbs, m.maxAbs, m.finalIndex.toLong)
+      }
+    }.toDF("doc_id", "sample_rate", "n_samples", "sum_abs", "max_abs", "final_index")
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL Netpbm P6 decode gate ([[MediaCodec.encodePpm]]/decodePpm):
     * ASCII token header with a '#' comment line (the parser must skip
     * it to find the geometry) + raw RGB raster; channel sums recomputed

@@ -189,6 +189,72 @@ object Pipeline {
   def mmDecodePpm(s: SparkSession, d: String): DataFrame =
     Multimodal.decodePpmPlan(Tables.documents(s, d))
 
+  def mmDecodeAdpcm(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodeAdpcmPlan(Tables.documents(s, d))
+
+  /** The [[mmDecodeAdpcm]] oracle: the IMA encode state machine (whose
+    * running predictor IS the decoder's reconstruction) unrolled as 31
+    * SQL steps, each a small expression pyramid joined against the
+    * 89-row step table and 8-row index table — the same
+    * unrolled-recurrence discipline as the graph oracles, applied to a
+    * codec.
+    */
+  private def adpcmOracleSql: String = {
+    val stepRows = graft.multimodal.MediaCodec.adpcmStepTable.zipWithIndex
+      .map { case (v, i) => s"($i, $v)" }.mkString(", ")
+    val idxRows = graft.multimodal.MediaCodec.adpcmIndexTable.zipWithIndex
+      .map { case (dv, d) => s"($d, $dv)" }.mkString(", ")
+    def stepCte(k: Int): String =
+      s"""s$k AS (
+         |  SELECT doc_id,
+         |    greatest(-32768, least(32767,
+         |      pred + CASE WHEN sgn THEN -dq ELSE dq END)) AS pred,
+         |    greatest(0, least(88, idx + dv)) AS idx,
+         |    sum_abs + abs(greatest(-32768, least(32767,
+         |      pred + CASE WHEN sgn THEN -dq ELSE dq END))) AS sum_abs,
+         |    greatest(max_abs, abs(greatest(-32768, least(32767,
+         |      pred + CASE WHEN sgn THEN -dq ELSE dq END)))) AS max_abs
+         |  FROM (
+         |    SELECT q.*, ix.dv FROM (
+         |      SELECT y.*,
+         |        (v // 8 + CASE WHEN b0 THEN v // 4 ELSE 0 END
+         |          + CASE WHEN b1 THEN v // 2 ELSE 0 END
+         |          + CASE WHEN b2 THEN v ELSE 0 END) AS dq,
+         |        (CASE WHEN b2 THEN 4 ELSE 0 END + CASE WHEN b1 THEN 2 ELSE 0 END
+         |          + CASE WHEN b0 THEN 1 ELSE 0 END) AS delta
+         |      FROM (
+         |        SELECT x.*, (r1 >= v // 4) AS b0 FROM (
+         |          SELECT w.*, (r2 >= v // 2) AS b1,
+         |            r2 - CASE WHEN r2 >= v // 2 THEN v // 2 ELSE 0 END AS r1
+         |          FROM (
+         |            SELECT z0.*, (ad0 >= v) AS b2,
+         |              ad0 - CASE WHEN ad0 >= v THEN v ELSE 0 END AS r2
+         |            FROM (
+         |              SELECT z.*, st.v, (sk < z.pred) AS sgn,
+         |                abs(sk - z.pred) AS ad0
+         |              FROM (
+         |                SELECT *,
+         |                  ((doc_id * 37 + ${3L * k * k}) % 8000) - 4000 AS sk
+         |                FROM s${k - 1}) z
+         |              JOIN stept st ON st.i = z.idx) z0) w) x) y) q
+         |    JOIN idxt ix ON ix.d = q.delta) f)""".stripMargin
+    val steps = (1 to 31).map(stepCte).mkString(",\n")
+    s"""WITH stept AS (SELECT * FROM (VALUES $stepRows) t(i, v)),
+       |idxt AS (SELECT * FROM (VALUES $idxRows) t(d, dv)),
+       |s0 AS (
+       |  SELECT doc_id,
+       |    ((doc_id * 37) % 8000) - 4000 AS pred, 0 AS idx,
+       |    abs(((doc_id * 37) % 8000) - 4000) AS sum_abs,
+       |    abs(((doc_id * 37) % 8000) - 4000) AS max_abs
+       |  FROM documents),
+       |$steps
+       |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+       |  CAST(32 AS BIGINT) AS n_samples,
+       |  CAST(sum_abs AS BIGINT) AS sum_abs, CAST(max_abs AS BIGINT) AS max_abs,
+       |  CAST(idx AS BIGINT) AS final_index
+       |FROM s31 ORDER BY doc_id""".stripMargin
+  }
+
   /** k-anonymity audit — the privacy-engineering check before a corpus
     * release: group documents by their quasi-identifier tuple
     * (lang, source, size bucket), measure each equivalence class's
@@ -2292,6 +2358,8 @@ object Pipeline {
         |  CAST(sum(r) AS BIGINT) AS sum_r, CAST(sum(g) AS BIGINT) AS sum_g,
         |  CAST(sum(b) AS BIGINT) AS sum_b
         |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "mm_decode_adpcm" -> adpcmOracleSql,
 
     "mm_phash" ->
       """WITH m AS (SELECT doc_id, 4 + doc_id % 21 AS w, 3 + doc_id % 14 AS h
