@@ -448,12 +448,12 @@ object Relational {
       .select(col("o_orderstatus"),
         expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("cents"))
       .groupBy(col("o_orderstatus"))
-      .agg(
-        expr("percentile(cents, 0.25)").as("p25"),
-        expr("percentile(cents, 0.5)").as("p50"),
-        expr("percentile(cents, 0.75)").as("p75"))
+      // ONE percentile buffer evaluating all three points (vs three
+      // independent aggregates each building its own per-group value
+      // map — measured ~3x the agg work for identical output)
+      .agg(expr("percentile(cents, array(0.25, 0.5, 0.75))").as("p"))
       .selectExpr("o_orderstatus",
-        "stack(3, 25L, p25, 50L, p50, 75L, p75) AS (pct, cents_q)")
+        "stack(3, 25L, p[0], 50L, p[1], 75L, p[2]) AS (pct, cents_q)")
       .orderBy(col("o_orderstatus"), col("pct"))
   }
 
