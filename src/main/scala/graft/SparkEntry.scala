@@ -56,6 +56,7 @@ object SparkEntry {
     "ms_rank_eval"         -> ((s, d) => Metastore.rankEvalQ(s, d)),
     "ms_msearch"           -> ((s, d) => Metastore.msearchQ(s, d)),
     "ms_nested_aggs"       -> ((s, d) => Metastore.nestedAggsQ(s, d)),
+    "ms_post_filter"       -> ((s, d) => Metastore.postFilterQ(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
     "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),
     "ms_events_visibility" -> ((s, d) => Metastore.eventsVisibility(s, d)),

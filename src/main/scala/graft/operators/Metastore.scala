@@ -1034,6 +1034,33 @@ object Metastore {
       .orderBy(col("src_rank"), col("lang_rank"))
   }
 
+  /** ES post_filter analog — the faceted-navigation subtlety the plain
+    * filter grammar cannot express: the lang FACET counts the WHOLE
+    * query match set (so the UI keeps showing the other options) while
+    * the hit page is filtered to the selected lang AFTER aggregation.
+    * Emits per lang: pre-filter facet count, the selected flag, and
+    * how many of the filtered top-10 page rows carry it (non-selected
+    * langs must show 0 — the semantics under test). One corpus match
+    * pass feeds both sides.
+    */
+  def postFilterQ(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("merge", "join")
+    val matchSet = tokCorpus(s, d)
+      .filter(arrays_overlap(col("toks"), typedlit(terms)))
+      .select(col("doc_id"), col("lang"))
+      .localCheckpoint(eager = false)
+    val facets = matchSet.groupBy(col("lang"))
+      .agg(count(lit(1)).as("facet_count"))
+    val pageCounts = matchSet.filter(col("lang") === "fr")
+      .orderBy(col("doc_id")).limit(10)
+      .groupBy(col("lang")).agg(count(lit(1)).as("n_in_page"))
+    facets.join(pageCounts, Seq("lang"), "left_outer")
+      .select(col("lang"), col("facet_count"),
+        (col("lang") === "fr").cast("int").as("is_selected"),
+        coalesce(col("n_in_page"), lit(0L)).as("n_in_page"))
+      .orderBy(col("lang"))
+  }
+
   // --- oracle SQL --------------------------------------------------------
 
   private val idxCte = s"WITH idx AS (\n${Tables.datasetIndexSql}\n)"
@@ -1725,6 +1752,21 @@ object Metastore {
          |FROM t JOIN q ON list_has_any(t.toks, q.terms)
          |GROUP BY q.query_id ORDER BY query_id""".stripMargin
     },
+
+    "ms_post_filter" ->
+      s"""$idxCte,
+         |m AS (
+         |  SELECT doc_id, lang FROM idx
+         |  WHERE findability = 'published'
+         |    AND list_has_any(${tok("readme")}, ['merge', 'join'])),
+         |f AS (SELECT lang, CAST(count(*) AS BIGINT) AS facet_count FROM m GROUP BY lang),
+         |pg AS (SELECT doc_id, lang FROM m WHERE lang = 'fr' ORDER BY doc_id LIMIT 10),
+         |pc AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_in_page FROM pg GROUP BY lang)
+         |SELECT f.lang, f.facet_count,
+         |  CAST(CASE WHEN f.lang = 'fr' THEN 1 ELSE 0 END AS INT) AS is_selected,
+         |  CAST(coalesce(pc.n_in_page, 0) AS BIGINT) AS n_in_page
+         |FROM f LEFT JOIN pc ON pc.lang = f.lang
+         |ORDER BY f.lang""".stripMargin,
 
     "ms_nested_aggs" ->
       s"""$idxCte,

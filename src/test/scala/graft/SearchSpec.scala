@@ -615,6 +615,26 @@ class SearchSpec extends AnyFunSuite {
     assert(rows.sortBy(_._1).map(_._2).distinct.toSeq == wantSrc)
   }
 
+  test("post_filter: facets count the whole match set; only the selected lang pages") {
+    val docs = Tables.datasetIndex(spark, sf)
+      .filter(col("findability") === "published")
+      .select("doc_id", "readme", "lang").collect()
+      .map(r => (r.getLong(0), graft.search.Analyzer.analyzeQuery(r.getString(1)).toSet, r.getString(2)))
+    val matched = docs.filter { case (_, toks, _) => toks("merge") || toks("join") }
+    val wantFacets = matched.groupBy(_._3).view.mapValues(_.length.toLong).toMap
+    val page = matched.filter(_._3 == "fr").map(_._1).sorted.take(10).toSet
+    val rows = Metastore.postFilterQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getString(0)).toSet == wantFacets.keySet)
+    rows.foreach { r =>
+      val lang = r.getString(0)
+      assert(r.getLong(1) == wantFacets(lang), s"facet drift for $lang")
+      assert(r.getInt(2) == (if (lang == "fr") 1 else 0))
+      assert(r.getLong(3) == (if (lang == "fr") page.size.toLong else 0L),
+        s"page count drift for $lang — non-selected langs must page 0 rows")
+    }
+  }
+
   test("did_you_mean suggests real vocabulary terms within the edit budget") {
     def lev(a: String, b: String): Long = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
