@@ -57,6 +57,10 @@ object SparkEntry {
     "ms_msearch"           -> ((s, d) => Metastore.msearchQ(s, d)),
     "ms_nested_aggs"       -> ((s, d) => Metastore.nestedAggsQ(s, d)),
     "ms_post_filter"       -> ((s, d) => Metastore.postFilterQ(s, d)),
+    "ms_composite_agg"     -> ((s, d) => Metastore.compositeAggQ(s, d)),
+    "ms_top_hits"          -> ((s, d) => Metastore.topHitsQ(s, d)),
+    "ms_terms_set"         -> ((s, d) => Metastore.termsSetQ(s, d)),
+    "ms_adjacency_matrix"  -> ((s, d) => Metastore.adjacencyMatrixQ(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
     "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),
     "ms_events_visibility" -> ((s, d) => Metastore.eventsVisibility(s, d)),

@@ -1061,6 +1061,96 @@ object Metastore {
       .orderBy(col("lang"))
   }
 
+  /** ES composite-aggregation analog — the ONLY agg pagination that
+    * scales: buckets are keyed by the (source, lang) tuple in key
+    * order, and a page is "the first 8 buckets strictly after the
+    * after_key from the previous page". Because the after-key
+    * predicate is on the GROUP KEYS, it pushes below the aggregate
+    * (filter-before-groupBy here), so each page is one scan of the
+    * key range — no global materialize-then-skip like from/size
+    * pagination needs. Emits per bucket: doc count + byte mass.
+    */
+  def compositeAggQ(s: SparkSession, d: String): DataFrame = {
+    val (afterSrc, afterLang) = ("src14", "es")
+    ds.visible(idx(s, d), None)
+      // after_key pushdown: composite keys ARE the group keys, so the
+      // page predicate prunes the scan before any aggregation state
+      .filter(col("source") > afterSrc ||
+        (col("source") === afterSrc && col("lang") > afterLang))
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("doc_count"), sum(col("bytes")).as("byte_sum"))
+      .orderBy(col("source"), col("lang"))
+      .limit(8)
+  }
+
+  /** ES top_hits-aggregation analog: per lang bucket, the top-2 docs
+    * by query-term frequency (score desc, doc_id) with their score —
+    * the "show me the best example per facet" shape. One pass over
+    * the shared token table computes the per-doc tf score, then a
+    * per-lang rank window; the window partitions by lang (bounded
+    * vocabulary), so every partition is independent at 100 TB and the
+    * per-bucket K keeps state O(langs·K) under TopKRewrite semantics.
+    */
+  def topHitsQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = tokCorpus(s, d)
+      .withColumn("score",
+        size(filter(col("toks"), t => t === "merge" || t === "join")).cast("long"))
+      .filter(col("score") > 0)
+    val w = Window.partitionBy(col("lang")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 2)
+      .select(col("lang"), col("rank"), col("doc_id"), col("score"))
+      .orderBy(col("lang"), col("rank"))
+  }
+
+  /** ES terms_set query analog — minimum_should_match comes from a
+    * FIELD, not a constant (the per-doc dynamic threshold
+    * [[boolMinMatchQ]] cannot express): a doc matches when it contains
+    * at least `1 + min(2, bytes div 200)` of the 4-term set, so bigger
+    * docs must match more terms. Emits the matched count and the
+    * per-doc requirement so the gate pins the threshold arithmetic.
+    * One codegen'd array-intersect per doc on the shared token table.
+    */
+  def termsSetQ(s: SparkSession, d: String): DataFrame = {
+    val termSet = Seq("merge", "join", "table", "scan")
+    val bytes = ds.visible(idx(s, d), None).select(col("doc_id"), col("bytes"))
+    tokCorpus(s, d)
+      .join(bytes, Seq("doc_id"))
+      .withColumn("n_matched",
+        size(array_intersect(array_distinct(col("toks")), typedlit(termSet))).cast("long"))
+      .withColumn("required", lit(1L) + least(lit(2L), expr("bytes div 200")))
+      .filter(col("n_matched") >= col("required"))
+      .select(col("doc_id"), col("n_matched"), col("required"))
+      .orderBy(col("doc_id")).limit(100)
+  }
+
+  /** ES adjacency_matrix aggregation analog: three named term filters
+    * A='merge', B='join', C='sort' over the corpus; emit the doc count
+    * of every non-empty intersection bucket (A, B, C, A&B, A&C, B&C,
+    * A&B&C) — the co-occurrence matrix a facet UI renders. ONE corpus
+    * pass computes the three membership flags per doc, one aggregate
+    * produces all seven sums (map-side partial), and `stack` unpivots
+    * them to rows — no per-bucket scans, no self-join.
+    */
+  def adjacencyMatrixQ(s: SparkSession, d: String): DataFrame =
+    tokCorpus(s, d)
+      .select(
+        array_contains(col("toks"), "merge").cast("long").as("a"),
+        array_contains(col("toks"), "join").cast("long").as("b"),
+        array_contains(col("toks"), "sort").cast("long").as("c"))
+      .agg(
+        sum(col("a")).as("na"), sum(col("b")).as("nb"), sum(col("c")).as("nc"),
+        sum(col("a") * col("b")).as("nab"),
+        sum(col("a") * col("c")).as("nac"),
+        sum(col("b") * col("c")).as("nbc"),
+        sum(col("a") * col("b") * col("c")).as("nabc"))
+      .select(expr(
+        """stack(7, 'A', na, 'A&B', nab, 'A&B&C', nabc, 'A&C', nac,
+          |         'B', nb, 'B&C', nbc, 'C', nc) AS (bucket, doc_count)""".stripMargin))
+      .filter(col("doc_count") > 0)
+      .orderBy(col("bucket"))
+
   // --- oracle SQL --------------------------------------------------------
 
   private val idxCte = s"WITH idx AS (\n${Tables.datasetIndexSql}\n)"
@@ -1752,6 +1842,67 @@ object Metastore {
          |FROM t JOIN q ON list_has_any(t.toks, q.terms)
          |GROUP BY q.query_id ORDER BY query_id""".stripMargin
     },
+
+    "ms_composite_agg" ->
+      s"""$idxCte
+         |SELECT source, lang, CAST(count(*) AS BIGINT) AS doc_count,
+         |  CAST(sum(bytes) AS BIGINT) AS byte_sum
+         |FROM idx
+         |WHERE findability = 'published'
+         |  AND (source > 'src14' OR (source = 'src14' AND lang > 'es'))
+         |GROUP BY source, lang
+         |ORDER BY source, lang LIMIT 8""".stripMargin,
+
+    "ms_top_hits" ->
+      s"""$idxCte,
+         |scored AS (
+         |  SELECT lang, doc_id,
+         |    CAST(len(list_filter(${tok("readme")},
+         |      t -> t IN ('merge', 'join'))) AS BIGINT) AS score
+         |  FROM idx WHERE findability = 'published'),
+         |ranked AS (
+         |  SELECT lang, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY lang
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM scored WHERE score > 0)
+         |SELECT lang, rank, doc_id, score FROM ranked
+         |WHERE rank <= 2 ORDER BY lang, rank""".stripMargin,
+
+    "ms_terms_set" ->
+      s"""$idxCte
+         |SELECT doc_id,
+         |  CAST(len(list_intersect(list_distinct(${tok("readme")}),
+         |    ['merge', 'join', 'table', 'scan'])) AS BIGINT) AS n_matched,
+         |  CAST(1 + least(2, bytes // 200) AS BIGINT) AS required
+         |FROM idx
+         |WHERE findability = 'published'
+         |  AND len(list_intersect(list_distinct(${tok("readme")}),
+         |    ['merge', 'join', 'table', 'scan'])) >= 1 + least(2, bytes // 200)
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_adjacency_matrix" ->
+      s"""$idxCte,
+         |flags AS (
+         |  SELECT
+         |    CAST(list_contains(${tok("readme")}, 'merge') AS BIGINT) AS a,
+         |    CAST(list_contains(${tok("readme")}, 'join') AS BIGINT) AS b,
+         |    CAST(list_contains(${tok("readme")}, 'sort') AS BIGINT) AS c
+         |  FROM idx WHERE findability = 'published'),
+         |sums AS (
+         |  SELECT sum(a) AS na, sum(b) AS nb, sum(c) AS nc,
+         |    sum(a*b) AS nab, sum(a*c) AS nac, sum(b*c) AS nbc,
+         |    sum(a*b*c) AS nabc
+         |  FROM flags),
+         |buckets AS (
+         |  SELECT 'A' AS bucket, na AS doc_count FROM sums
+         |  UNION ALL SELECT 'A&B', nab FROM sums
+         |  UNION ALL SELECT 'A&B&C', nabc FROM sums
+         |  UNION ALL SELECT 'A&C', nac FROM sums
+         |  UNION ALL SELECT 'B', nb FROM sums
+         |  UNION ALL SELECT 'B&C', nbc FROM sums
+         |  UNION ALL SELECT 'C', nc FROM sums)
+         |SELECT bucket, CAST(doc_count AS BIGINT) AS doc_count
+         |FROM buckets WHERE doc_count > 0 ORDER BY bucket""".stripMargin,
 
     "ms_post_filter" ->
       s"""$idxCte,

@@ -635,6 +635,74 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("composite agg: page is the first 8 key-ordered buckets strictly after the after-key") {
+    val full = Tables.datasetIndex(spark, sf)
+      .filter(col("findability") === "published")
+      .select("source", "lang", "bytes").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val want = full.groupBy(_._1).view
+      .mapValues(vs => (vs.length.toLong, vs.map(_._2).sum)).toSeq
+      .filter { case ((s2, l), _) => s2 > "src14" || (s2 == "src14" && l > "es") }
+      .sortBy(_._1).take(8)
+    val rows = Metastore.compositeAggQ(spark, sf).collect()
+      .map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3))))
+    assert(rows.nonEmpty && rows.toSeq == want)
+    rows.foreach { case ((s2, l), _) =>
+      assert(s2 > "src14" || (s2 == "src14" && l > "es"),
+        s"bucket ($s2,$l) is not strictly after the after-key")
+    }
+  }
+
+  test("top_hits: per-lang top-2 docs by query-term frequency, ES tie order") {
+    val docs = Tables.datasetIndex(spark, sf)
+      .filter(col("findability") === "published")
+      .select("doc_id", "readme", "lang").collect()
+      .map(r => (r.getLong(0), graft.search.Analyzer.analyzeQuery(r.getString(1)), r.getString(2)))
+    val scored = docs
+      .map { case (id, toks, lang) =>
+        (lang, id, toks.count(t => t == "merge" || t == "join").toLong) }
+      .filter(_._3 > 0)
+    val want = scored.groupBy(_._1).toSeq.flatMap { case (lang, ds2) =>
+      ds2.sortBy { case (_, id, sc) => (-sc, id) }.take(2).zipWithIndex
+        .map { case ((_, id, sc), i) => (lang, (i + 1).toLong, id, sc) }
+    }.sortBy(t => (t._1, t._2))
+    val rows = Metastore.topHitsQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.toSeq == want)
+  }
+
+  test("terms_set: the match threshold is per-doc, driven by the bytes field") {
+    val meta = Tables.datasetIndex(spark, sf)
+      .filter(col("findability") === "published")
+      .select("doc_id", "readme", "bytes").collect()
+      .map(r => (r.getLong(0),
+        graft.search.Analyzer.analyzeQuery(r.getString(1)).toSet, r.getLong(2)))
+    val termSet = Set("merge", "join", "table", "scan")
+    val want = meta.map { case (id, toks, bytes) =>
+        (id, toks.count(termSet).toLong, 1L + math.min(2L, bytes / 200)) }
+      .filter { case (_, m, req) => m >= req }
+      .sortBy(_._1).take(100).toSeq
+    val rows = Metastore.termsSetQ(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty && rows.toSeq == want)
+    // the threshold genuinely varies across docs — otherwise this is just bool_minmatch
+    assert(rows.map(_._3).distinct.length > 1, "threshold never varied; test is vacuous")
+  }
+
+  test("adjacency matrix: every intersection bucket counts docs holding ALL its terms") {
+    val docs = Tables.datasetIndex(spark, sf)
+      .filter(col("findability") === "published")
+      .select("readme").collect()
+      .map(r => graft.search.Analyzer.analyzeQuery(r.getString(0)).toSet)
+    val filters = Map("A" -> "merge", "B" -> "join", "C" -> "sort")
+    val want = Seq("A", "A&B", "A&B&C", "A&C", "B", "B&C", "C")
+      .map(b => b -> docs.count(toks => b.split("&").forall(k => toks(filters(k)))).toLong)
+      .filter(_._2 > 0)
+    val rows = Metastore.adjacencyMatrixQ(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.nonEmpty && rows.toSeq == want)
+  }
+
   test("did_you_mean suggests real vocabulary terms within the edit budget") {
     def lev(a: String, b: String): Long = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
