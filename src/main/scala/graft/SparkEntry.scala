@@ -208,6 +208,8 @@ object SparkEntry {
     "q_resource_alloc" -> ((s, d) => operators.Graph.resourceAlloc(s, d)),
     "q_kcore"          -> ((s, d) => operators.Graph.kcore(s, d)),
     "q_label_prop"     -> ((s, d) => operators.Graph.labelProp(s, d)),
+    "q_scc"            -> ((s, d) => operators.Graph.scc(s, d)),
+    "q_item_sim"       -> ((s, d) => operators.Graph.itemSim(s, d)),
     "ms_synonyms"      -> ((s, d) => Metastore.synonymsQ(s, d)),
     "ms_function_score" -> ((s, d) => Metastore.functionScoreQ(s, d)),
     "q_basket_rules"   -> ((s, d) => operators.Graph.basketRules(s, d)),

@@ -338,6 +338,69 @@ object Graph {
           .cast("long").as("n_periphery"))
   }
 
+  /** Strongly connected components of the DIRECTED nation trade graph —
+    * the directed sibling of [[components]]: who is in a mutual trade
+    * cycle with whom. The dense flow matrix (every nation buys a little
+    * from every nation at scale) is sparsified to each nation's top-3
+    * export destinations by flow count (ties by destination key), which
+    * keeps the structure rank-driven and scale-stable — a relative
+    * weight threshold degenerates as the law of large numbers
+    * concentrates flows around the mean. SCC = mutual reachability:
+    * the reflexive reachability relation is closed by `doublings`
+    * squaring rounds (reach ≤ 2^doublings = 32 hops > any 25-node
+    * path), then intersected with its transpose; a node's component id
+    * is the minimum node it mutually reaches. Scale shape: the 4-table
+    * flow join is the only fact-scale work (one shuffle pipeline,
+    * partial-aggregated to ≤N² rows before the rank window); every
+    * squaring round operates on the ≤N² reachability grid. Emits per
+    * nation: component id, component size, sparsified out-degree.
+    */
+  def scc(s: SparkSession, d: String, doublings: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("a"))
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("b"))
+    val flows = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+    // the rank window partitions by source nation — bounded domain, no
+    // single-partition funnel; everything past here is N²-bounded
+    val rk = Window.partitionBy(col("a")).orderBy(col("w").desc, col("b"))
+    val edges = flows.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= 3).select(col("a"), col("b"))
+      .localCheckpoint()
+    val nations = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("nk"))
+    var reach = nations.select(col("nk").as("src"), col("nk").as("v"))
+      .union(edges.select(col("a").as("src"), col("b").as("v")))
+      .distinct().localCheckpoint()
+    for (_ <- 1 to doublings) {
+      // reflexive relation ⇒ R∘R ⊇ R: the composition alone is the
+      // next closure step, no union needed; checkpoint keeps the plan
+      // linear in rounds (see [[components]])
+      reach = reach.select(col("src"), col("v").as("mid"))
+        .join(reach.select(col("src").as("mid"), col("v")), Seq("mid"))
+        .select(col("src"), col("v"))
+        .distinct().localCheckpoint(eager = false)
+    }
+    val mutual = reach.intersect(reach.select(col("v").as("src"), col("src").as("v")))
+    val sccId = mutual.groupBy(col("src").as("nation"))
+      .agg(min(col("v")).as("scc_id"))
+    val sizes = sccId.groupBy(col("scc_id"))
+      .agg(count(lit(1)).as("scc_size"))
+    val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("n_out"))
+    sccId.join(sizes, Seq("scc_id"))
+      .join(deg, col("nation") === col("a"), "left")
+      .select(col("nation"), col("scc_id"), col("scc_size"),
+        coalesce(col("n_out"), lit(0L)).as("n_out"))
+      .orderBy(col("nation"))
+  }
+
   /** Per-part triangle counts in the co-purchase graph (parts appearing
     * in the same order are connected). Edge generation is bounded per
     * order (≤ lines² pairs within one order, never corpus-wide) and runs
@@ -747,6 +810,48 @@ object Graph {
           .as("lift_x1e6"))
       .orderBy(col("lift_x1e6").desc, col("a"), col("b"))
       .limit(100)
+  }
+
+  /** Item-item similarity metrics over co-purchase baskets — the
+    * collaborative-filtering complement of [[basketRules]]' directional
+    * confidence/lift: squared Salton cosine n_ab²/(n_a·n_b) (×10¹²,
+    * squaring keeps it sqrt-free and exact), Jaccard
+    * n_ab/(n_a+n_b−n_ab) and overlap n_ab/min(n_a,n_b) (both ×10⁶) for
+    * every part pair co-bought in ≥2 distinct orders, top-50 by cosine.
+    * Same scale shape as basketRules: ONE fact scan into per-order
+    * distinct part sets, pair counts explode them (pairs per order are
+    * (basket size choose 2)-bounded — linear in orders, never
+    * all-pairs over the catalog), item frequencies re-explode them; the
+    * cosine numerator is staged through DECIMAL(38,0) (n_ab²·10¹² ~
+    * 10³² at 100 TB order counts — inside 38 digits, past BIGINT).
+    */
+  def itemSim(s: SparkSession, d: String): DataFrame = {
+    val perOrder = Tables.fanOut(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk")))
+      .groupBy(col("ok"))
+      .agg(sort_array(collect_set(col("pk"))).as("ps"))
+      .localCheckpoint(eager = false)
+    val item = perOrder.select(explode(col("ps")).as("pk"))
+      .groupBy(col("pk")).agg(count(lit(1)).as("n_item"))
+    val pairs = perOrder
+      .select(explode(graft.functions.GraphExpressionFunctions
+        .sortedLongPairs(col("ps"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 2)
+    pairs
+      // per-item frequencies are part-scale: no broadcast hint (see
+      // basketRules) — AQE decides from runtime stats
+      .join(item.select(col("pk").as("a"), col("n_item").as("n_a")), Seq("a"))
+      .join(item.select(col("pk").as("b"), col("n_item").as("n_b")), Seq("b"))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        expr("""CAST(CAST(n_ab AS DECIMAL(38,0)) * n_ab * 1000000000000
+               |  div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""".stripMargin)
+          .as("cos2_x1e12"),
+        expr("(n_ab * 1000000) div (n_a + n_b - n_ab)").as("jaccard_x1e6"),
+        expr("(n_ab * 1000000) div least(n_a, n_b)").as("overlap_x1e6"))
+      .orderBy(col("cos2_x1e12").desc, col("a"), col("b"))
+      .limit(50)
   }
 
   /** Degree distribution of the co-purchase graph in log₂ buckets —
@@ -1526,6 +1631,62 @@ object Graph {
          |  min(v) AS min_part, max(v) AS max_part
          |FROM l10 GROUP BY l ORDER BY component""".stripMargin
     },
+
+    "q_scc" -> {
+      val steps = (1 to 5).map { i =>
+        s"""r$i AS MATERIALIZED (
+           |  SELECT DISTINCT x.src, y.v
+           |  FROM r${i - 1} x JOIN r${i - 1} y ON x.v = y.src)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH flows AS MATERIALIZED (
+         |  SELECT CAST(c.c_nationkey AS BIGINT) AS a,
+         |    CAST(s.s_nationkey AS BIGINT) AS b, count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey
+         |  GROUP BY 1, 2),
+         |e AS MATERIALIZED (
+         |  SELECT a, b FROM (
+         |    SELECT a, b, row_number() OVER (
+         |      PARTITION BY a ORDER BY w DESC, b) AS rk FROM flows)
+         |  WHERE rk <= 3),
+         |n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation),
+         |r0 AS MATERIALIZED (
+         |  SELECT nk AS src, nk AS v FROM n UNION SELECT a, b FROM e),
+         |$steps,
+         |m AS (
+         |  SELECT x.src, x.v FROM r5 x
+         |  JOIN r5 y ON y.src = x.v AND y.v = x.src),
+         |sccid AS (SELECT src AS nation, min(v) AS scc_id FROM m GROUP BY src),
+         |sz AS (SELECT scc_id, CAST(count(*) AS BIGINT) AS scc_size
+         |       FROM sccid GROUP BY scc_id),
+         |deg AS (SELECT a, CAST(count(*) AS BIGINT) AS n_out FROM e GROUP BY a)
+         |SELECT nation, scc_id, scc_size,
+         |  coalesce(n_out, CAST(0 AS BIGINT)) AS n_out
+         |FROM sccid JOIN sz USING (scc_id)
+         |LEFT JOIN deg ON deg.a = sccid.nation
+         |ORDER BY nation""".stripMargin
+    },
+
+    "q_item_sim" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |item AS (SELECT pk, CAST(count(*) AS BIGINT) AS n_item FROM op GROUP BY pk),
+        |pairs AS (
+        |  SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM op x JOIN op y ON x.ok = y.ok AND x.pk < y.pk
+        |  GROUP BY a, b),
+        |f AS (SELECT * FROM pairs WHERE n_ab >= 2)
+        |SELECT f.a, f.b, f.n_ab, ia.n_item AS n_a, ib.n_item AS n_b,
+        |  CAST(CAST(f.n_ab AS HUGEINT) * f.n_ab * 1000000000000
+        |    // (CAST(ia.n_item AS HUGEINT) * ib.n_item) AS BIGINT) AS cos2_x1e12,
+        |  (f.n_ab * 1000000) // (ia.n_item + ib.n_item - f.n_ab) AS jaccard_x1e6,
+        |  (f.n_ab * 1000000) // least(ia.n_item, ib.n_item) AS overlap_x1e6
+        |FROM f
+        |JOIN item ia ON ia.pk = f.a
+        |JOIN item ib ON ib.pk = f.b
+        |ORDER BY cos2_x1e12 DESC, f.a, f.b LIMIT 50""".stripMargin,
 
     "q_triangle_count" ->
       """WITH e AS (

@@ -558,4 +558,76 @@ class GraphSpec extends AnyFunSuite {
     // than authority (a uniform fixpoint would make the test vacuous)
     assert(rows.map(_.getLong(1)).distinct.length > 1, "uniform authority vector")
   }
+
+  test("scc equals a driver-side BFS mutual-reachability replay on the top-3 flow graph") {
+    import org.apache.spark.sql.functions._
+    // rebuild the sparsified edge list independently: aggregate the
+    // flows in Spark (fact-scale), rank driver-side
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sf).selectExpr("c_custkey", "CAST(c_nationkey AS LONG) a")
+    val supp = Tables.supplier(spark, sf).selectExpr("s_suppkey", "CAST(s_nationkey AS LONG) b")
+    val flows = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .filter(col("a") =!= col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val edges = flows.groupBy(_._1).toSeq.flatMap { case (_, fs) =>
+      fs.sortBy { case (_, b, w) => (-w, b) }.take(3).map(f => (f._1, f._2))
+    }
+    val nations = Tables.nation(spark, sf).select(col("n_nationkey").cast("long"))
+      .collect().map(_.getLong(0))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def reach(v: Long): Set[Long] = {
+      var seen = Set(v); var frontier = List(v)
+      while (frontier.nonEmpty) {
+        val nxt = frontier.flatMap(u => adj.getOrElse(u, Set.empty)).filterNot(seen)
+        seen ++= nxt; frontier = nxt.distinct
+      }
+      seen
+    }
+    val r = nations.map(v => v -> reach(v)).toMap
+    val wantScc = nations.map(v =>
+      v -> nations.filter(w => r(v)(w) && r(w)(v)).min).toMap
+    val wantSize = wantScc.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val outDeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val rows = Graph.scc(spark, sf).collect()
+    assert(rows.length == nations.length)
+    rows.foreach { row =>
+      val (v, id, sz, deg) = (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+      assert(id == wantScc(v), s"scc id drift for nation $v")
+      assert(sz == wantSize(wantScc(v)), s"scc size drift for nation $v")
+      assert(deg == outDeg.getOrElse(v, 0L), s"out-degree drift for nation $v")
+    }
+    // the structure must be non-trivial: at least one multi-node SCC
+    // AND more than one component (a single giant SCC or all
+    // singletons would both make the mutual-reachability logic vacuous)
+    assert(wantSize.values.max > 1, "no multi-node SCC — sparsifier too aggressive")
+    assert(wantSize.size > 1, "one giant SCC — sparsifier too weak")
+  }
+
+  test("item_sim metrics equal exact BigInt arithmetic over replayed basket counts") {
+    import org.apache.spark.sql.functions._
+    val op = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = op.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nItem = op.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val rows = Graph.itemSim(spark, sf).collect()
+    assert(rows.length == 50)
+    var prev = Long.MaxValue
+    rows.foreach { r =>
+      val (a, b, nab, na, nb) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val wantNab = byOrder.values.count(ps => ps(a) && ps(b)).toLong
+      assert(nab == wantNab && nab >= 2, s"pair count drift for ($a,$b)")
+      assert(na == nItem(a) && nb == nItem(b), s"item count drift for ($a,$b)")
+      assert(BigInt(r.getLong(5)) ==
+        BigInt(nab) * nab * 1000000000000L / (BigInt(na) * nb), s"cosine drift: $r")
+      assert(r.getLong(6) == nab * 1000000L / (na + nb - nab), s"jaccard drift: $r")
+      assert(r.getLong(7) == nab * 1000000L / math.min(na, nb), s"overlap drift: $r")
+      assert(r.getLong(5) <= prev, "not sorted by cosine desc"); prev = r.getLong(5)
+    }
+  }
 }
