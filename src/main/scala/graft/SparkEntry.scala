@@ -259,6 +259,9 @@ object SparkEntry {
     "pipe_quota_sample"   -> ((s, d) => Pipeline.quotaSample(s, d)),
     "pipe_merge_stats"    -> ((s, d) => Pipeline.mergeStats(s, d)),
     "pipe_mix_weights"    -> ((s, d) => Pipeline.mixWeights(s, d)),
+    "pipe_curriculum"     -> ((s, d) => Pipeline.curriculum(s, d)),
+    "pipe_temperature"    -> ((s, d) => Pipeline.temperature(s, d)),
+    "pipe_span_mask"      -> ((s, d) => Pipeline.spanMask(s, d)),
     "pipe_oversample"     -> ((s, d) => Pipeline.pipeOversample(s, d)),
     "pipe_split"          -> ((s, d) => Pipeline.splitAssign(s, d)),
     "pipe_reshard"        -> ((s, d) => Pipeline.reshardAudit(s, d)),

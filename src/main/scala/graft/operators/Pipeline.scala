@@ -761,6 +761,88 @@ object Pipeline {
       .orderBy(col("lang"))
   }
 
+  /** Curriculum staging plan — order training data easy→hard by lexical
+    * diversity (type-token ratio ×10⁴, the [[tokenBudget]] prio) into
+    * four FIXED difficulty bands. Fixed thresholds, not quantiles, on
+    * purpose: data-dependent quartiles need a global rank (the exact
+    * path [[graft.operators.Relational.rankedCum]] provides), while a
+    * banded curriculum is one groupBy — zero extra shuffles at 100 TB
+    * and stable stage semantics across corpus versions. Emits per
+    * stage: doc/token mass, difficulty range, and the cumulative token
+    * offset where the stage starts in the training order (a 4-row
+    * window — bounded stage domain, not a fact-scale sort).
+    */
+  def curriculum(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.rawTokens(col("text"))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"),
+        greatest(size(toks).cast("long"), lit(1L)).as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_uniq"))
+      .withColumn("difficulty_x1e4", expr("(10000 * n_uniq) div n_tok"))
+      .withColumn("stage",
+        when(col("difficulty_x1e4") < 2500, 1L)
+          .when(col("difficulty_x1e4") < 5000, 2L)
+          .when(col("difficulty_x1e4") < 7500, 3L).otherwise(4L))
+    val stages = scored.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("n_tokens"),
+        min(col("difficulty_x1e4")).as("min_diff"),
+        max(col("difficulty_x1e4")).as("max_diff"))
+    val w = Window.orderBy(col("stage")).rowsBetween(Window.unboundedPreceding, -1)
+    stages.withColumn("start_tok", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .orderBy(col("stage"))
+  }
+
+  /** Temperature-scaled language sampling (T = 2) — the standard
+    * multilingual rebalancer: sample language i with probability
+    * ∝ n_i^(1/T) = √n_i, which upweights low-resource languages
+    * without flattening to uniform ([[mixWeights]] is the T → ∞
+    * endpoint of the same family; the lang domain is the skewed one —
+    * sources are deliberately balanced in this corpus). ⌊√n⌋ is exact
+    * BIGINT for any count below 2⁵³ (IEEE sqrt is correctly rounded on
+    * integers — bit-equal in both engines), so weights and the
+    * 10k-draw allocation gate hash-exact. One lang-domain aggregate +
+    * a 1-row broadcast: the fact scan is the only corpus-scale work.
+    */
+  def temperature(s: SparkSession, d: String): DataFrame = {
+    val byLang = Tables.documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("sqrt_n", floor(sqrt(col("n_docs"))).cast("long"))
+    val totals = byLang.agg(sum(col("n_docs")).as("n_total"),
+      sum(col("sqrt_n")).as("sqrt_total"))
+    byLang.crossJoin(broadcast(totals))
+      .select(col("lang"), col("n_docs"), col("sqrt_n"),
+        expr("(n_docs * 1000000) div n_total").as("share_ppm"),
+        expr("(sqrt_n * 1000000) div sqrt_total").as("weight_ppm"),
+        expr("(sqrt_n * 10000) div sqrt_total").as("samples_per_10k"))
+      .orderBy(col("lang"))
+  }
+
+  /** T5-style span-corruption masking plan: per doc, 15% of tokens
+    * masked in mean-length-3 spans — n_masked = max(1, ⌊0.15·n⌋),
+    * n_spans = max(1, ⌊n_masked/3⌋), encoder input n − n_masked +
+    * n_spans sentinels, decoder target n_masked + n_spans + 1 (EOS) —
+    * the seq2seq budget planner that sizes batches BEFORE any
+    * tokenizer runs. The first span start is derived from the text
+    * fingerprint (mod the last legal start), so masking is
+    * reproducible without an RNG: a re-run of the pipeline masks the
+    * same positions. Pure per-row arithmetic — embarrassingly
+    * parallel, no shuffle before the output page.
+    */
+  def spanMask(s: SparkSession, d: String): DataFrame = {
+    val toks = TextFunctions.rawTokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"),
+        greatest(size(toks).cast("long"), lit(1L)).as("n_tok"))
+      .withColumn("n_masked", greatest(lit(1L), expr("(n_tok * 15) div 100")))
+      .withColumn("n_spans", greatest(lit(1L), expr("n_masked div 3")))
+      .select(col("doc_id"), col("n_tok"), col("n_masked"), col("n_spans"),
+        expr("n_tok - n_masked + n_spans").as("input_len"),
+        expr("n_masked + n_spans + 1").as("target_len"),
+        expr("fp % greatest(n_tok - n_masked + 1, 1)").as("first_start"))
+      .orderBy(col("doc_id")).limit(100)
+  }
+
   /** Composed cleaning pipeline: quality-gate → exact-dedup (keep the
     * smallest doc_id per normalized-text fingerprint) — the minimal
     * corpus-preparation chain, one declarative plan end to end.
@@ -2201,6 +2283,63 @@ object Pipeline {
         |  (n_orig * 1000000) // n_tot AS share_before_ppm,
         |  (n_after * 1000000) // n_tot_after AS share_after_ppm
         |FROM f CROSS JOIN t2 ORDER BY lang""".stripMargin,
+
+    "pipe_curriculum" ->
+      s"""WITH sc AS (
+         |  SELECT doc_id,
+         |    greatest(CAST(len(${TextFunctions.rawTokensSql("text")}) AS BIGINT), 1) AS n_tok,
+         |    CAST(len(list_distinct(${TextFunctions.rawTokensSql("text")})) AS BIGINT) AS n_uniq
+         |  FROM documents),
+         |st AS (
+         |  SELECT doc_id, n_tok, (10000 * n_uniq) // n_tok AS difficulty_x1e4,
+         |    CASE WHEN (10000 * n_uniq) // n_tok < 2500 THEN 1
+         |         WHEN (10000 * n_uniq) // n_tok < 5000 THEN 2
+         |         WHEN (10000 * n_uniq) // n_tok < 7500 THEN 3
+         |         ELSE 4 END AS stage
+         |  FROM sc),
+         |g AS (
+         |  SELECT CAST(stage AS BIGINT) AS stage,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |    min(difficulty_x1e4) AS min_diff, max(difficulty_x1e4) AS max_diff
+         |  FROM st GROUP BY stage)
+         |SELECT stage, n_docs, n_tokens, min_diff, max_diff,
+         |  coalesce(CAST(sum(n_tokens) OVER (ORDER BY stage
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+         |    CAST(0 AS BIGINT)) AS start_tok
+         |FROM g ORDER BY stage""".stripMargin,
+
+    "pipe_temperature" ->
+      """WITH s AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS sqrt_n
+        |  FROM documents GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+        |        CAST(sum(sqrt_n) AS BIGINT) AS sqrt_total FROM s)
+        |SELECT s.lang, s.n_docs, s.sqrt_n,
+        |  (s.n_docs * 1000000) // t.n_total AS share_ppm,
+        |  (s.sqrt_n * 1000000) // t.sqrt_total AS weight_ppm,
+        |  (s.sqrt_n * 10000) // t.sqrt_total AS samples_per_10k
+        |FROM s CROSS JOIN t ORDER BY s.lang""".stripMargin,
+
+    "pipe_span_mask" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, ${TextFunctions.fingerprintSql("text")} AS fp,
+         |    greatest(CAST(len(${TextFunctions.rawTokensSql("text")}) AS BIGINT), 1) AS n_tok
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, n_tok,
+         |    greatest(1, (n_tok * 15) // 100) AS n_masked
+         |  FROM b),
+         |sp AS (
+         |  SELECT m.doc_id, m.n_tok, m.n_masked,
+         |    greatest(1, m.n_masked // 3) AS n_spans, b.fp
+         |  FROM m JOIN b USING (doc_id))
+         |SELECT doc_id, n_tok, n_masked, n_spans,
+         |  n_tok - n_masked + n_spans AS input_len,
+         |  n_masked + n_spans + 1 AS target_len,
+         |  fp % greatest(n_tok - n_masked + 1, 1) AS first_start
+         |FROM sp ORDER BY doc_id LIMIT 100""".stripMargin,
 
     "pipe_mix_weights" ->
       """WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs

@@ -1233,4 +1233,65 @@ class PipelineSpec extends AnyFunSuite {
       assert(b.getLong(0) >= 0 && b.getLong(0) <= 17, s"bucket outside log2 range: $b")
     }
   }
+
+  test("curriculum stages partition the corpus and offsets are exact token prefix sums") {
+    val rows = Pipeline.curriculum(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.map(_._1).toSeq == rows.map(_._1).sorted.toSeq)
+    // stages partition the corpus: doc counts sum to |documents|
+    assert(rows.map(_._2).sum == docs.count())
+    // difficulty ranges respect the fixed band edges and never overlap
+    val bands = Map(1L -> (0L, 2499L), 2L -> (2500L, 4999L), 3L -> (5000L, 7499L), 4L -> (7500L, 10000L))
+    rows.foreach { case (st, _, _, lo, hi, _) =>
+      val (bLo, bHi) = bands(st)
+      assert(lo >= bLo && hi <= bHi, s"stage $st difficulty [$lo,$hi] escapes its band")
+    }
+    // start_tok is the exact prefix sum of earlier stages' token mass
+    var cum = 0L
+    rows.foreach { case (_, _, nTok, _, _, start) =>
+      assert(start == cum, s"start_tok drift: got $start want $cum")
+      cum += nTok
+    }
+  }
+
+  test("temperature weights are exact isqrt shares that upweight low-resource langs") {
+    val counts = docs.groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    def isqrt(n: Long): Long = math.floor(math.sqrt(n.toDouble)).toLong
+    val sqrtTotal = counts.values.map(isqrt).sum
+    val nTotal = counts.values.sum
+    val rows = Pipeline.temperature(spark, sf).collect()
+    assert(rows.length == counts.size)
+    rows.foreach { r =>
+      val (lang, n, sq) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert(n == counts(lang) && sq == isqrt(n), s"count/isqrt drift for $lang")
+      assert(sq * sq <= n && (sq + 1) * (sq + 1) > n, s"isqrt not exact for $lang")
+      assert(r.getLong(3) == n * 1000000L / nTotal, s"share drift for $lang")
+      assert(r.getLong(4) == sq * 1000000L / sqrtTotal, s"weight drift for $lang")
+      assert(r.getLong(5) == sq * 10000L / sqrtTotal, s"allocation drift for $lang")
+    }
+    // the defining property of temperature < inf on a skewed domain:
+    // the minority langs gain weight vs their proportional share, the
+    // majority (en) loses — and the rebalance is actually visible
+    val en = rows.find(_.getString(0) == "en").get
+    assert(en.getLong(4) < en.getLong(3), "majority lang not downweighted")
+    rows.filterNot(_.getString(0) == "en").foreach { r =>
+      assert(r.getLong(4) > r.getLong(3),
+        s"low-resource lang ${r.getString(0)} not upweighted")
+    }
+  }
+
+  test("span mask budgets follow the T5 arithmetic and starts are in range") {
+    val rows = Pipeline.spanMask(spark, sf).collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val (n, masked, spans) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(masked == math.max(1L, n * 15 / 100), s"mask budget drift: $r")
+      assert(spans == math.max(1L, masked / 3), s"span count drift: $r")
+      assert(r.getLong(4) == n - masked + spans, s"input_len drift: $r")
+      assert(r.getLong(5) == masked + spans + 1, s"target_len drift: $r")
+      val start = r.getLong(6)
+      assert(start >= 0 && start <= math.max(n - masked, 0L), s"first span start out of range: $r")
+    }
+  }
 }
