@@ -347,6 +347,8 @@ object SparkEntry {
     "txt_code_detect"     -> ((s, d) => Text.codeDetect(s, d)),
     "mm_decode_jpeg"      -> ((s, d) => Pipeline.mmDecodeJpeg(s, d)),
     "mm_phash"            -> ((s, d) => Pipeline.mmPhash(s, d)),
+    "mm_sobel"            -> ((s, d) => Pipeline.mmSobel(s, d)),
+    "mm_hist_eq"          -> ((s, d) => Pipeline.mmHistEq(s, d)),
     "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),
     "txt_repetition"      -> ((s, d) => Text.repetition(s, d)),
     "txt_bigram_coverage" -> ((s, d) => Text.bigramCoverage(s, d)),

@@ -245,6 +245,107 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Sobel edge statistics over the REAL BMP decode path: gray =
+    * (r+g+b) div 3 per decoded pixel, the standard 3×3 Sobel kernels
+    * at every interior pixel (w ≥ 4, h ≥ 3 ⇒ interior non-empty), L1
+    * gradient magnitude |gx|+|gy| (sqrt-free, so the edge detector
+    * gates hash-exact), and an edge count at the fixed threshold 256.
+    * The oracle recomputes every tap closed-form from the pixel
+    * formula, so a bug anywhere in the decode OR the convolution
+    * breaks the hash. Same narrow one-pass encode+decode
+    * mapPartitions shape as the other decoder gates — per-image state
+    * is one w×h gray grid, embarrassingly parallel, no shuffle.
+    */
+  def sobelPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (4 + id % 21).toInt
+        val h = (3 + id % 14).toInt
+        val payload = MediaCodec.encodeBmp(w, h, (x, y) => {
+          val r = ((id + 3L * x + 5L * y) % 256).toInt
+          val g = ((2L * id + 7L * x + y) % 256).toInt
+          val b = ((5L * id + x + 11L * y) % 256).toInt
+          (r << 16) | (g << 8) | b
+        })
+        val gray = Array.ofDim[Int](h, w)
+        val (dw, dh) = MediaCodec.foreachBmpPixel(payload) { (x, y, r, g, b) =>
+          gray(y)(x) = (r + g + b) / 3
+        }
+        var sgx = 0L; var sgy = 0L; var smag = 0L; var nEdge = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val gx = (gray(y - 1)(x + 1) + 2 * gray(y)(x + 1) + gray(y + 1)(x + 1)) -
+              (gray(y - 1)(x - 1) + 2 * gray(y)(x - 1) + gray(y + 1)(x - 1))
+            val gy = (gray(y + 1)(x - 1) + 2 * gray(y + 1)(x) + gray(y + 1)(x + 1)) -
+              (gray(y - 1)(x - 1) + 2 * gray(y - 1)(x) + gray(y - 1)(x + 1))
+            sgx += math.abs(gx); sgy += math.abs(gy)
+            val m = math.abs(gx) + math.abs(gy)
+            smag += m
+            if (m >= 256) nEdge += 1
+            x += 1
+          }
+          y += 1
+        }
+        val nInt = (w - 2).toLong * (h - 2).toLong
+        (id, dw.toLong, dh.toLong, nInt, sgx, sgy, smag, nEdge)
+      }
+    }.toDF("doc_id", "width", "height", "n_interior",
+        "sum_abs_gx", "sum_abs_gy", "sum_mag", "n_edge")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Histogram-equalization plan over the REAL BMP decode path: the
+    * classic eq(v) = (cdf(v) − cdf_min)·255 div (n − cdf_min) transfer
+    * function (cdf_min = count of the darkest occupied level) computed
+    * from the decoded gray histogram — emitted as the level count,
+    * gray range, and the exact sum of equalized values, the stats a
+    * normalization stage checks before re-encoding. All-integer floor
+    * division keeps it engine-exact; the degenerate flat image
+    * (n = cdf_min) maps to 0 by definition on both sides. One 256-bin
+    * histogram per image, no shuffle.
+    */
+  def histEqPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (4 + id % 21).toInt
+        val h = (3 + id % 14).toInt
+        val payload = MediaCodec.encodeBmp(w, h, (x, y) => {
+          val r = ((id + 3L * x + 5L * y) % 256).toInt
+          val g = ((2L * id + 7L * x + y) % 256).toInt
+          val b = ((5L * id + x + 11L * y) % 256).toInt
+          (r << 16) | (g << 8) | b
+        })
+        val hist = Array.fill(256)(0L)
+        val (dw, dh) = MediaCodec.foreachBmpPixel(payload) { (_, _, r, g, b) =>
+          hist((r + g + b) / 3) += 1
+        }
+        val n = w.toLong * h
+        var gmin = -1L; var gmax = -1L; var nLevels = 0L; var cdfMin = 0L
+        var cdf = 0L; var sumEq = 0L
+        var v = 0
+        while (v < 256) {
+          val c = hist(v)
+          if (c > 0) {
+            if (gmin < 0) { gmin = v; cdfMin = c }
+            gmax = v; nLevels += 1
+          }
+          cdf += c
+          if (c > 0 && n > cdfMin)
+            sumEq += ((cdf - cdfMin) * 255L / (n - cdfMin)) * c
+          v += 1
+        }
+        (id, dw.toLong, dh.toLong, nLevels, gmin, gmax, sumEq)
+      }
+    }.toDF("doc_id", "width", "height", "n_levels", "gray_min", "gray_max", "sum_eq")
+      .orderBy(col("doc_id"))
+  }
+
   /** Real-decoder gate, compressed-image path: synthesize a genuine
     * 8-bit truecolor PNG per doc (geometry/pixels pure functions of
     * doc_id; the per-row filter type cycles through all five spec

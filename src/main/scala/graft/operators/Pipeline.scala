@@ -165,6 +165,12 @@ object Pipeline {
   def mmPhash(s: SparkSession, d: String): DataFrame =
     Multimodal.phashPlan(Tables.documents(s, d))
 
+  def mmSobel(s: SparkSession, d: String): DataFrame =
+    Multimodal.sobelPlan(Tables.documents(s, d))
+
+  def mmHistEq(s: SparkSession, d: String): DataFrame =
+    Multimodal.histEqPlan(Tables.documents(s, d))
+
   def mmDecodeWav(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeWavPlan(Tables.documents(s, d))
 
@@ -2565,6 +2571,62 @@ object Pipeline {
         |SELECT doc_id, CAST(wb * 8 AS BIGINT) AS width, CAST(hb * 8 AS BIGINT) AS height,
         |  CAST(sum(64 * pix) AS BIGINT) AS sum_lum
         |FROM px GROUP BY doc_id, wb, hb ORDER BY doc_id""".stripMargin,
+
+    "mm_sobel" -> {
+      def g(xs: String, ys: String) =
+        s"(((m.doc_id + 3*($xs) + 5*($ys)) % 256 + (2*m.doc_id + 7*($xs) + ($ys)) % 256" +
+          s" + (5*m.doc_id + ($xs) + 11*($ys)) % 256) // 3)"
+      val gx = s"((${g("x.i+1", "y.i-1")} + 2*${g("x.i+1", "y.i")} + ${g("x.i+1", "y.i+1")})" +
+        s" - (${g("x.i-1", "y.i-1")} + 2*${g("x.i-1", "y.i")} + ${g("x.i-1", "y.i+1")}))"
+      val gy = s"((${g("x.i-1", "y.i+1")} + 2*${g("x.i", "y.i+1")} + ${g("x.i+1", "y.i+1")})" +
+        s" - (${g("x.i-1", "y.i-1")} + 2*${g("x.i", "y.i-1")} + ${g("x.i+1", "y.i-1")}))"
+      s"""WITH m AS (SELECT doc_id, 4 + doc_id % 21 AS w, 3 + doc_id % 14 AS h
+         |           FROM documents),
+         |t AS (
+         |  SELECT m.doc_id, m.w, m.h, abs($gx) AS agx, abs($gy) AS agy
+         |  FROM m, range(1, 23) x(i), range(1, 15) y(i)
+         |  WHERE x.i < m.w - 1 AND y.i < m.h - 1)
+         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST((w - 2) * (h - 2) AS BIGINT) AS n_interior,
+         |  CAST(sum(agx) AS BIGINT) AS sum_abs_gx,
+         |  CAST(sum(agy) AS BIGINT) AS sum_abs_gy,
+         |  CAST(sum(agx + agy) AS BIGINT) AS sum_mag,
+         |  CAST(sum(CASE WHEN agx + agy >= 256 THEN 1 ELSE 0 END) AS BIGINT) AS n_edge
+         |FROM t GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+    },
+
+    "mm_hist_eq" ->
+      """WITH m AS (SELECT doc_id, 4 + doc_id % 21 AS w, 3 + doc_id % 14 AS h
+        |           FROM documents),
+        |px AS (
+        |  SELECT m.doc_id, m.w, m.h,
+        |    ((m.doc_id + 3 * x.i + 5 * y.i) % 256
+        |     + (2 * m.doc_id + 7 * x.i + y.i) % 256
+        |     + (5 * m.doc_id + x.i + 11 * y.i) % 256) // 3 AS gray
+        |  FROM m, range(0, 24) x(i), range(0, 16) y(i)
+        |  WHERE x.i < m.w AND y.i < m.h),
+        |hist AS (
+        |  SELECT doc_id, w, h, gray, CAST(count(*) AS BIGINT) AS c
+        |  FROM px GROUP BY doc_id, w, h, gray),
+        |cdf AS (
+        |  SELECT doc_id, w, h, gray, c,
+        |    CAST(sum(c) OVER (PARTITION BY doc_id ORDER BY gray) AS BIGINT) AS cdf
+        |  FROM hist),
+        |st AS (
+        |  SELECT doc_id, CAST(w * h AS BIGINT) AS n,
+        |    CAST(min_by(c, gray) AS BIGINT) AS cdf_min,
+        |    CAST(min(gray) AS BIGINT) AS gray_min,
+        |    CAST(max(gray) AS BIGINT) AS gray_max,
+        |    CAST(count(*) AS BIGINT) AS n_levels
+        |  FROM cdf GROUP BY doc_id, w, h)
+        |SELECT c.doc_id, CAST(c.w AS BIGINT) AS width, CAST(c.h AS BIGINT) AS height,
+        |  s.n_levels, s.gray_min, s.gray_max,
+        |  CAST(sum((CASE WHEN s.n > s.cdf_min
+        |    THEN ((c.cdf - s.cdf_min) * 255) // (s.n - s.cdf_min)
+        |    ELSE 0 END) * c.c) AS BIGINT) AS sum_eq
+        |FROM cdf c JOIN st s ON s.doc_id = c.doc_id
+        |GROUP BY c.doc_id, c.w, c.h, s.n_levels, s.gray_min, s.gray_max
+        |ORDER BY c.doc_id""".stripMargin,
 
     "mm_thumbnail" ->
       """WITH m AS (SELECT doc_id, 4 + doc_id % 21 AS w, 3 + doc_id % 14 AS h

@@ -181,6 +181,80 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("sobel: kernel witness on a synthetic ramp and the per-doc replay") {
+    // hand witness: a pure horizontal ramp gray(x,y)=x has gx=8, gy=0
+    // at every interior pixel (Sobel column sums are 1+2+1 on each side,
+    // two columns apart)
+    val w = 5; val h = 4
+    val ramp = Array.tabulate(h, w)((_, x) => x)
+    for (y <- 1 until h - 1; x <- 1 until w - 1) {
+      val gx = (ramp(y - 1)(x + 1) + 2 * ramp(y)(x + 1) + ramp(y + 1)(x + 1)) -
+        (ramp(y - 1)(x - 1) + 2 * ramp(y)(x - 1) + ramp(y + 1)(x - 1))
+      val gy = (ramp(y + 1)(x - 1) + 2 * ramp(y + 1)(x) + ramp(y + 1)(x + 1)) -
+        (ramp(y - 1)(x - 1) + 2 * ramp(y - 1)(x) + ramp(y - 1)(x + 1))
+      assert(gx == 8 && gy == 0, "kernel orientation drift")
+    }
+    // per-doc replay from the closed-form pixels, through the magnitude sums
+    val rows = graft.operators.Pipeline.mmSobel(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val dw = (4 + id % 21).toInt
+      val dh = (3 + id % 14).toInt
+      assert(r.getLong(1) == dw && r.getLong(2) == dh)
+      assert(r.getLong(3) == (dw - 2).toLong * (dh - 2))
+      def g(x: Int, y: Int): Long =
+        ((id + 3L * x + 5L * y) % 256 + (2L * id + 7L * x + y) % 256 +
+          (5L * id + x + 11L * y) % 256) / 3
+      var (sgx, sgy, smag, nEdge) = (0L, 0L, 0L, 0L)
+      for (y <- 1 until dh - 1; x <- 1 until dw - 1) {
+        val gx = (g(x + 1, y - 1) + 2 * g(x + 1, y) + g(x + 1, y + 1)) -
+          (g(x - 1, y - 1) + 2 * g(x - 1, y) + g(x - 1, y + 1))
+        val gy = (g(x - 1, y + 1) + 2 * g(x, y + 1) + g(x + 1, y + 1)) -
+          (g(x - 1, y - 1) + 2 * g(x, y - 1) + g(x + 1, y - 1))
+        sgx += math.abs(gx); sgy += math.abs(gy)
+        val m = math.abs(gx) + math.abs(gy)
+        smag += m; if (m >= 256) nEdge += 1
+      }
+      assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ==
+        ((sgx, sgy, smag, nEdge)), s"sobel stats drift for doc $id")
+    }
+    assert(rows.map(_.getLong(7)).sum > 0, "no edges anywhere — threshold vacuous")
+  }
+
+  test("hist-eq: transfer function endpoints and the exact replay") {
+    val rows = graft.operators.Pipeline.mmHistEq(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val dw = (4 + id % 21).toInt
+      val dh = (3 + id % 14).toInt
+      val hist = Array.fill(256)(0L)
+      for (y <- 0 until dh; x <- 0 until dw)
+        hist((((id + 3L * x + 5L * y) % 256 + (2L * id + 7L * x + y) % 256 +
+          (5L * id + x + 11L * y) % 256) / 3).toInt) += 1
+      val n = dw.toLong * dh
+      val occupied = hist.zipWithIndex.filter(_._1 > 0)
+      val cdfMin = occupied.head._1
+      assert(r.getLong(3) == occupied.length.toLong, s"level count drift: $r")
+      assert(r.getLong(4) == occupied.head._2.toLong &&
+        r.getLong(5) == occupied.last._2.toLong, s"gray range drift: $r")
+      var cdf = 0L; var sumEq = 0L
+      for (v <- 0 until 256) {
+        cdf += hist(v)
+        if (hist(v) > 0 && n > cdfMin)
+          sumEq += ((cdf - cdfMin) * 255L / (n - cdfMin)) * hist(v)
+      }
+      assert(r.getLong(6) == sumEq, s"equalized sum drift for doc $id")
+      // endpoints: the darkest occupied level maps to 0, the brightest to
+      // 255 — the defining property of the transfer function
+      if (n > cdfMin) {
+        assert((cdfMin - cdfMin) * 255L / (n - cdfMin) == 0L)
+        assert((n - cdfMin) * 255L / (n - cdfMin) == 255L)
+      }
+    }
+  }
+
   test("QOI round-trip: all six ops appear in the gate's streams and decode inverts encode") {
     // count chunk tags by walking the encoded stream (spec chunk framing)
     def census(b: Array[Byte]): Map[String, Int] = {
