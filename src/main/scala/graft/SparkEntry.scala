@@ -250,6 +250,7 @@ object SparkEntry {
     "stream_latest_state" -> ((s, d) => Pipeline.streamLatestState(s, d)),
     "stream_kmv_uniques"  -> ((s, d) => Pipeline.streamKmvUniques(s, d)),
     "stream_cdc_tombstone" -> ((s, d) => Pipeline.streamCdcTombstone(s, d)),
+    "stream_late_audit"   -> ((s, d) => Pipeline.streamLateAudit(s, d)),
     "stream_funnel"       -> ((s, d) => Pipeline.streamFunnel(s, d)),
     "stream_session_window" -> ((s, d) => Pipeline.streamSessionWindow(s, d)),
     "pipe_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),
@@ -343,6 +344,7 @@ object SparkEntry {
     "pipe_class_balance"  -> ((s, d) => Pipeline.pipeClassBalance(s, d)),
     "pipe_dup_cluster_stats" -> ((s, d) => Pipeline.pipeDupClusterStats(s, d)),
     "txt_bigram_lm"       -> ((s, d) => Text.bigramLm(s, d)),
+    "txt_kneser_ney"      -> ((s, d) => Text.kneserNey(s, d)),
     "txt_surprisal"       -> ((s, d) => Text.surprisal(s, d)),
     "txt_code_detect"     -> ((s, d) => Text.codeDetect(s, d)),
     "mm_decode_jpeg"      -> ((s, d) => Pipeline.mmDecodeJpeg(s, d)),

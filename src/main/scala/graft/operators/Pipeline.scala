@@ -666,6 +666,9 @@ object Pipeline {
   def streamCdcTombstone(s: SparkSession, d: String): DataFrame =
     EventStreams.cdcTombstone(EventStreams.normalize(Tables.events(s, d)))
 
+  def streamLateAudit(s: SparkSession, d: String): DataFrame =
+    EventStreams.lateAudit(EventStreams.normalize(Tables.events(s, d)))
+
   /** Time-bounded funnel — the batch face of
     * [[EventStreams.funnelStreaming]] (same recurrence as
     * q_funnel_window; cross-batch state-machine parity pinned in
@@ -2832,6 +2835,24 @@ object Pipeline {
          |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM events e JOIN dim d ON e.user_id = d.user_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_late_audit" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    event_id + ((event_id % 1000003) * 2654435761) % 1000 AS arrival
+        |  FROM events),
+        |h AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    max(ts_us) OVER (PARTITION BY user_id ORDER BY arrival, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+        |  FROM e)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN ts_us < hwm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+        |  CAST(coalesce(max(CASE WHEN ts_us < hwm THEN hwm - ts_us END), 0)
+        |    AS BIGINT) AS max_late_us,
+        |  (CAST(sum(CASE WHEN ts_us < hwm THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+        |    // count(*) AS late_ppm
+        |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "stream_dedup" ->
       s"""SELECT DISTINCT user_id, event_type,

@@ -605,6 +605,62 @@ object Text {
       .orderBy(col("ctx"), col("rank"))
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities — the smoothing every
+    * production n-gram LM actually ships (Chen–Goodman): with absolute
+    * discount D = 3/4,
+    *
+    *   P_KN(w|v) = max(c(v,w) − D, 0)/c(v)
+    *             + (D·N1+(v·)/c(v)) · (N1+(·w)/T)
+    *
+    * where N1+(v·) = distinct continuations of v, N1+(·w) = distinct
+    * contexts preceding w (the "how novel is w across contexts"
+    * continuation count that makes KN better than Katz), T = total
+    * bigram types. Multiplying through by 4 clears the discount:
+    * p ×10⁶ = (max(4c−3, 0)·T·10⁶ + 3·N1+(v·)·N1+(·w)·10⁶) div
+    * (4·c(v)·T) — ONE exact floor division over DECIMAL(38,0) staging
+    * (c·T·10⁶ ~ 10³⁴ at 100 TB corpus counts — inside 38 digits, past
+    * BIGINT). Emits the [[bigramLm]] page shape (top-20 contexts,
+    * top-3 continuations each) ranked by the SMOOTHED probability, so
+    * the reordering vs raw MLE is visible in the gate. Scale shape:
+    * the (ctx, nxt) type table is built once (lazy checkpoint, 4
+    * consumers), all three count tables are vocabulary-scale
+    * aggregates of it, T is a 1-row broadcast.
+    */
+  def kneserNey(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+    val inst = Tables.fanOut(Tables.documents(s, d))
+      .select(rawTokens(col("text")).as("tk"))
+      .select(explode(expr(
+        """CASE WHEN size(tk) >= 2 THEN
+          |  transform(sequence(1, size(tk) - 1),
+          |    i -> struct(tk[i - 1] AS ctx, tk[i] AS nxt))
+          |ELSE array() END""".stripMargin)).as("p"))
+      .groupBy(col("p.ctx").as("ctx"), col("p.nxt").as("nxt"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint(eager = false)
+    val ctxTot = inst.groupBy(col("ctx"))
+      .agg(sum(col("cnt")).cast("long").as("ctx_total"),
+        count(lit(1)).as("n1f"))
+    val contTot = inst.groupBy(col("nxt")).agg(count(lit(1)).as("n1b"))
+    val tTypes = inst.agg(count(lit(1)).as("t_types"))
+    val wCtx = w.orderBy(col("ctx_total").desc, col("ctx"))
+    val topCtx = ctxTot.withColumn("crn", row_number().over(wCtx))
+      .filter(col("crn") <= 20)
+    val wNxt = w.partitionBy(col("ctx")).orderBy(col("pkn_x1e6").desc, col("nxt"))
+    inst.join(topCtx, Seq("ctx"))
+      .join(contTot, Seq("nxt"))
+      .crossJoin(broadcast(tTypes))
+      .withColumn("pkn_x1e6", expr(
+        """CAST((greatest(4 * cnt - 3, 0) * CAST(t_types AS DECIMAL(38,0)) * 1000000
+          |  + 3 * CAST(n1f AS DECIMAL(38,0)) * n1b * 1000000)
+          |  div (4 * CAST(ctx_total AS DECIMAL(38,0)) * t_types) AS BIGINT)""".stripMargin))
+      .withColumn("rank", row_number().over(wNxt).cast("int"))
+      .filter(col("rank") <= 3)
+      .select(col("ctx"), col("rank"), col("nxt"), col("cnt"), col("ctx_total"),
+        col("n1f"), col("n1b"), col("pkn_x1e6"))
+      .orderBy(col("ctx"), col("rank"))
+  }
+
   /** Per-doc unigram surprisal in floor-log₂ bits — the information-
     * content quality signal (low = boilerplate-heavy, high = novel)
     * WITHOUT a float log: bits(t) = ⌊log₂(N div c(t))⌋ = the bit length
@@ -794,6 +850,44 @@ object Text {
          |  FROM inst i JOIN topctx t ON t.ctx = i.ctx)
          |SELECT ctx, CAST(rn AS INT) AS rank, nxt, cnt, ctx_total,
          |  (cnt * 1000000) // ctx_total AS p_x1e6
+         |FROM ranked WHERE rn <= 3 ORDER BY ctx, rank""".stripMargin
+    },
+
+    "txt_kneser_ney" -> {
+      val tk = rawTokensSql("text")
+      s"""WITH inst AS (
+         |  SELECT p.ctx, p.nxt, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT unnest(CASE WHEN len(tk) >= 2 THEN
+         |        list_transform(range(2, len(tk) + 1),
+         |          i -> {'ctx': tk[i - 1], 'nxt': tk[i]})
+         |      ELSE [] END) AS p
+         |    FROM (SELECT $tk AS tk FROM documents))
+         |  GROUP BY p.ctx, p.nxt),
+         |ctxtot AS (SELECT ctx, CAST(sum(cnt) AS BIGINT) AS ctx_total,
+         |             CAST(count(*) AS BIGINT) AS n1f
+         |           FROM inst GROUP BY ctx),
+         |conttot AS (SELECT nxt, CAST(count(*) AS BIGINT) AS n1b
+         |            FROM inst GROUP BY nxt),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM inst),
+         |topctx AS (SELECT ctx, ctx_total, n1f FROM (
+         |    SELECT ctx, ctx_total, n1f,
+         |      row_number() OVER (ORDER BY ctx_total DESC, ctx) AS crn
+         |    FROM ctxtot) WHERE crn <= 20),
+         |scored AS (
+         |  SELECT i.ctx, i.nxt, i.cnt, t.ctx_total, t.n1f, c.n1b,
+         |    CAST((greatest(4 * i.cnt - 3, 0) * CAST(tt.t_types AS HUGEINT) * 1000000
+         |      + 3 * CAST(t.n1f AS HUGEINT) * c.n1b * 1000000)
+         |      // (4 * CAST(t.ctx_total AS HUGEINT) * tt.t_types) AS BIGINT) AS pkn_x1e6
+         |  FROM inst i
+         |  JOIN topctx t ON t.ctx = i.ctx
+         |  JOIN conttot c ON c.nxt = i.nxt
+         |  CROSS JOIN tt),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY ctx
+         |    ORDER BY pkn_x1e6 DESC, nxt) AS rn
+         |  FROM scored)
+         |SELECT ctx, CAST(rn AS INT) AS rank, nxt, cnt, ctx_total, n1f, n1b,
+         |  pkn_x1e6
          |FROM ranked WHERE rn <= 3 ORDER BY ctx, rank""".stripMargin
     },
 

@@ -22,6 +22,19 @@ case class LEv(user_id: Long, ts_us: Long, event_id: Long,
 case class Latest(var ts_us: Long, var event_id: Long, var event_type: String,
                   var value: Double, var n: Long, var sum_cents: Long)
 
+/** Per-event input to the lateness auditor. */
+case class AEv(user_id: Long, ts_us: Long, event_id: Long)
+
+/** Per-user lateness-audit state: every (arrival, event_id, ts) seen so
+  * far — the audit is ORDER-SENSITIVE (lateness is relative to the
+  * running event-time high-water mark in arrival order), so the state
+  * keeps the raw sequence and each batch re-derives the audit from it,
+  * making the emitted row independent of cross-batch arrival split
+  * (the [[FunnelSt]] replay discipline). A production deployment whose
+  * transport preserves arrival order per key would keep only the hwm.
+  */
+case class LateSt(var evs: Seq[(Long, Long, Long)])
+
 /** Per-event input to the funnel state machine. */
 case class FEv(user_id: Long, ts_us: Long, event_type: String)
 
@@ -541,6 +554,74 @@ object EventStreams {
     * batch face's `v_ts IS NOT NULL`); parity resolves per user by
     * argmax n_seen (StreamingSpec).
     */
+  /** Ingestion-lateness audit — the data-quality readout every
+    * event-time pipeline checks before trusting its watermarks: events
+    * arrive in a jittered order (arrival = event_id + a deterministic
+    * multiplicative-hash jitter < 1000 positions — the RNG-free stand-in
+    * for network/broker reordering; `event_id % 1000003` bounds the
+    * product at ~10¹⁵ so the hash can never overflow at any corpus
+    * size), and an event is LATE if its event time is below the
+    * per-user running event-time high-water mark at its arrival. Emits
+    * per user: event count, late count, worst lateness, late ppm —
+    * the numbers that size a real watermark delay. Scale shape: one
+    * window partitioned by user (per-user state only), one user-domain
+    * aggregate; nothing global.
+    */
+  def lateAudit(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("arrival"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    ev.select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("arrival",
+        col("event_id") + ((col("event_id") % 1000003L) * 2654435761L) % 1000L)
+      .withColumn("hwm", max(col("ts_us")).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("ts_us") < col("hwm"), 1L).otherwise(0L))
+          .cast("long").as("n_late"),
+        max(when(col("ts_us") < col("hwm"), col("hwm") - col("ts_us"))
+          .otherwise(0L)).as("max_late_us"))
+      .withColumn("late_ppm", expr("(n_late * 1000000) div n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Streaming lateness audit via flatMapGroupsWithState: [[LateSt]]
+    * holds the raw per-user (arrival, id, ts) sequence and every batch
+    * re-derives the audit by replaying it in arrival order — so the
+    * last emitted row per user equals [[lateAudit]]'s regardless of
+    * how a micro-batch split interleaves arrivals.
+    */
+  def lateAuditStreaming(spark: SparkSession, ev: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def fn(user: Long, rows: Iterator[AEv], state: GroupState[LateSt])
+        : Iterator[(Long, Long, Long, Long, Long)] = {
+      val st = state.getOption.getOrElse(LateSt(Nil))
+      rows.foreach { e =>
+        val arrival = e.event_id + ((e.event_id % 1000003L) * 2654435761L) % 1000L
+        st.evs = st.evs :+ ((arrival, e.event_id, e.ts_us))
+      }
+      state.update(st)
+      val sorted = st.evs.sortBy(t => (t._1, t._2))
+      var hwm = Long.MinValue; var nLate = 0L; var maxLate = 0L
+      sorted.foreach { case (_, _, ts) =>
+        if (hwm != Long.MinValue && ts < hwm) {
+          nLate += 1; maxLate = math.max(maxLate, hwm - ts)
+        }
+        hwm = math.max(hwm, ts)
+      }
+      Iterator.single((user, sorted.size.toLong, nLate, maxLate,
+        nLate * 1000000L / sorted.size))
+    }
+
+    ev.select(col("user_id").cast("long"), col("ts_us"), col("event_id"))
+      .as[AEv]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn _)
+      .toDF("user_id", "n_events", "n_late", "max_late_us", "late_ppm")
+  }
+
   def funnelStreaming(spark: SparkSession, ev: DataFrame,
                       clickUs: Long = 3600000000L,
                       purchUs: Long = 86400000000L): DataFrame = {

@@ -1084,6 +1084,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("Kneser-Ney probabilities equal the exact discounted-interpolation replay") {
+    val toks = Tables.documents(spark, sf).select("text").collect()
+      .flatMap(r => r.getString(0).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        .sliding(2).filter(_.length == 2).map(a => (a(0), a(1))))
+    val cnt = toks.groupBy(identity).map { case (p, v) => p -> v.length.toLong }
+    val ctxTotal = cnt.groupBy(_._1._1).map { case (c, m) => c -> m.values.sum }
+    val n1f = cnt.groupBy(_._1._1).map { case (c, m) => c -> m.size.toLong }
+    val n1b = cnt.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val tTypes = cnt.size.toLong
+    val rows = graft.operators.Text.kneserNey(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 60)
+    rows.foreach { r =>
+      val (ctx, nxt) = (r.getString(0), r.getString(2))
+      val (c, ct, f, b) = (cnt((ctx, nxt)), ctxTotal(ctx), n1f(ctx), n1b(nxt))
+      assert(r.getLong(3) == c && r.getLong(4) == ct, s"counts: $r")
+      assert(r.getLong(5) == f && r.getLong(6) == b, s"continuation counts: $r")
+      val want = (BigInt(math.max(4 * c - 3, 0L)) * tTypes * 1000000 +
+        BigInt(3) * f * b * 1000000) / (BigInt(4) * ct * tTypes)
+      assert(BigInt(r.getLong(7)) == want, s"pkn: $r")
+      // interpolation floor: even a count-1 bigram keeps the backoff mass
+      assert(r.getLong(7) > 0, s"smoothed probability vanished: $r")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (ctx, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length), s"ranks: $ctx")
+      // within a context the emitted page is ordered by the SMOOTHED prob
+      val ps = rs.sortBy(_.getInt(1)).map(_.getLong(7))
+      assert(ps.zip(ps.tail).forall { case (a, b) => a >= b }, s"page order: $ctx")
+    }
+  }
+
   test("surprisal bits equal the floor-log2 replay and bound the mean") {
     val docToks = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => r.getLong(0) ->

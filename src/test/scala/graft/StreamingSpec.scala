@@ -370,6 +370,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("lateness audit over TWO micro-batches replays to the batch window result") {
+    val ev = EventStreams.normalize(Tables.events(spark, sf))
+    val expected = EventStreams.lateAudit(ev).collect().map(_.toSeq).toSet
+    // the jitter must produce genuine lateness or the audit is vacuous
+    assert(expected.exists(_(2).asInstanceOf[Long] > 0L), "no late events in corpus")
+    val schema = Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(twoBatchDir("late"))
+    val q = EventStreams.lateAuditStreaming(spark, EventStreams.normalize(stream))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("late_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("late_test")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+        .filter(col("rk") === 1).drop("rk")
+        .collect().map(_.toSeq).toSet
+      assert(got == expected,
+        "streamed lateness audit diverged from the batch window replay")
+    } finally q.stop()
+  }
+
   test("CDC tombstones over TWO micro-batches merge to the batch view") {
     val ev = EventStreams.normalize(Tables.events(spark, sf))
     val expected = EventStreams.cdcTombstone(ev).collect().map(_.toSeq).toSet
