@@ -61,6 +61,8 @@ object SparkEntry {
     "ms_top_hits"          -> ((s, d) => Metastore.topHitsQ(s, d)),
     "ms_terms_set"         -> ((s, d) => Metastore.termsSetQ(s, d)),
     "ms_adjacency_matrix"  -> ((s, d) => Metastore.adjacencyMatrixQ(s, d)),
+    "ms_pipeline_aggs"     -> ((s, d) => Metastore.pipelineAggsQ(s, d)),
+    "ms_rank_feature"      -> ((s, d) => Metastore.rankFeatureQ(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
     "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),
     "ms_events_visibility" -> ((s, d) => Metastore.eventsVisibility(s, d)),

@@ -553,6 +553,58 @@ object Metastore {
         sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).cast("long").as("cents"))
       .orderBy(col("day"))
 
+  /** ES pipeline-aggregations analog — derivative, cumulative_sum and
+    * moving_fn(avg, 7) chained onto the daily click date_histogram
+    * ([[dateHistogramQ]]'s base): the "trend panel" every dashboard
+    * builds from bucket aggs. derivative = n − lag(n) (first bucket 0,
+    * matching ES's skipped-first-bucket rendered as an integer),
+    * cum_n = prefix sum, ma7_x100 = windowed mean ×100 in exact floor
+    * arithmetic. Scale shape: the fact-scale work is ONE histogram
+    * groupBy; every pipeline agg is a window over the bounded
+    * day domain (≤366 rows/year per partition-worth), exactly how ES
+    * computes them — over buckets, never over raw events.
+    */
+  def pipelineAggsQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = evEngine.visible(ev(s, d), None)
+      .filter(col("event_entity") === "click")
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val wd = Window.orderBy(col("day"))
+    val w7 = wd.rowsBetween(-6, 0)
+    base
+      .withColumn("derivative",
+        coalesce(col("n") - lag(col("n"), 1).over(wd), lit(0L)))
+      .withColumn("cum_n", sum(col("n")).over(wd.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("ma7_sum", sum(col("n")).over(w7))
+      .withColumn("ma7_cnt", count(lit(1)).over(w7))
+      .withColumn("ma7_x100", expr("(ma7_sum * 100) div ma7_cnt"))
+      .orderBy(col("day"))
+      .select(col("day"), col("n"), col("derivative"), col("cum_n"), col("ma7_x100"))
+  }
+
+  /** ES rank_feature query analog — relevance boosted by a numeric
+    * FEATURE field through the saturation function sat(x) = x/(x+k)
+    * (pivot k = 500), the shape ES uses so an unbounded feature cannot
+    * dominate: docs matching 'merge' score tf·10⁶ + sat(bytes)·10⁶ —
+    * term frequency dominates, the byte-mass feature breaks ties, and
+    * the saturation term is ONE exact integer division (x·10⁶ div
+    * (x+k), monotone and < 10⁶ like the real thing). Top-20 page.
+    */
+  def rankFeatureQ(s: SparkSession, d: String): DataFrame = {
+    val bytes = ds.visible(idx(s, d), None).select(col("doc_id"), col("bytes"))
+    tokCorpus(s, d)
+      .withColumn("tf",
+        size(filter(col("toks"), t => t === "merge")).cast("long"))
+      .filter(col("tf") > 0)
+      .join(bytes, Seq("doc_id"))
+      .withColumn("sat_x1e6", expr("(bytes * 1000000) div (bytes + 500)"))
+      .withColumn("score", expr("tf * 1000000 + sat_x1e6"))
+      .select(col("doc_id"), col("tf"), col("bytes"), col("sat_x1e6"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
   /** ES significant_terms aggregation analog: which analyzed readme
     * terms are over-represented in a foreground slice (lang='fr')
     * relative to the whole visible corpus? Per term, foreground and
@@ -1550,6 +1602,37 @@ object Metastore {
          |FROM ev
          |WHERE findability = 'published' AND event_entity = 'click'
          |GROUP BY day ORDER BY day""".stripMargin,
+
+    "ms_pipeline_aggs" ->
+      s"""$evCte,
+         |b AS (
+         |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n
+         |  FROM ev
+         |  WHERE findability = 'published' AND event_entity = 'click'
+         |  GROUP BY day)
+         |SELECT day, n,
+         |  CAST(coalesce(n - lag(n, 1) OVER (ORDER BY day), 0) AS BIGINT)
+         |    AS derivative,
+         |  CAST(sum(n) OVER (ORDER BY day
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+         |  (CAST(sum(n) OVER (ORDER BY day
+         |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) * 100)
+         |    // CAST(count(*) OVER (ORDER BY day
+         |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS ma7_x100
+         |FROM b ORDER BY day""".stripMargin,
+
+    "ms_rank_feature" ->
+      s"""$idxCte
+         |SELECT doc_id,
+         |  CAST(len(list_filter(${tok("readme")}, t -> t = 'merge')) AS BIGINT) AS tf,
+         |  bytes,
+         |  (bytes * 1000000) // (bytes + 500) AS sat_x1e6,
+         |  CAST(len(list_filter(${tok("readme")}, t -> t = 'merge')) AS BIGINT)
+         |    * 1000000 + (bytes * 1000000) // (bytes + 500) AS score
+         |FROM idx
+         |WHERE findability = 'published'
+         |  AND len(list_filter(${tok("readme")}, t -> t = 'merge')) > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "ms_significant_terms" ->
       s"""$idxCte,

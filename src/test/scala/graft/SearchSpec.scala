@@ -703,6 +703,45 @@ class SearchSpec extends AnyFunSuite {
     assert(rows.nonEmpty && rows.toSeq == want)
   }
 
+  test("pipeline aggs: derivative/cumsum/moving-avg equal bucket-level replays") {
+    val rows = Metastore.pipelineAggsQ(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val ns = rows.map(_._2)
+    var cum = 0L
+    rows.zipWithIndex.foreach { case ((_, n, drv, c, ma), i) =>
+      assert(drv == (if (i == 0) 0L else n - ns(i - 1)), s"derivative drift at $i")
+      cum += n
+      assert(c == cum, s"cumulative sum drift at $i")
+      val win = ns.slice(math.max(0, i - 6), i + 1)
+      assert(ma == win.sum * 100 / win.length, s"moving avg drift at $i")
+    }
+    // derivative must see both signs somewhere or the trend panel is vacuous
+    assert(rows.exists(_._3 > 0) && rows.exists(_._3 < 0), "derivative never changed sign")
+  }
+
+  test("rank_feature: saturation is monotone, bounded, and tf dominates the score") {
+    val rows = Metastore.rankFeatureQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tf, bytes, sat, score) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(tf > 0)
+      assert(sat == bytes * 1000000L / (bytes + 500), s"saturation drift: $r")
+      assert(sat < 1000000L, "saturation must stay below 1 — feature cannot dominate")
+      assert(score == tf * 1000000L + sat, s"score composition drift: $r")
+    }
+    // the page is score-ordered and saturation actually breaks a tf tie somewhere
+    val scores = rows.map(_.getLong(4))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    val byTf = rows.groupBy(_.getLong(1)).filter(_._2.length > 1)
+    assert(byTf.nonEmpty, "no tf tie on the page — saturation tiebreak untested")
+    byTf.values.foreach { rs =>
+      val sats = rs.map(_.getLong(3))
+      assert(sats.zip(sats.tail).forall { case (a, b) => a >= b },
+        "within a tf tie the page must order by saturation")
+    }
+  }
+
   test("did_you_mean suggests real vocabulary terms within the edit budget") {
     def lev(a: String, b: String): Long = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
