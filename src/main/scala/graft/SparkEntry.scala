@@ -265,6 +265,8 @@ object SparkEntry {
     "pipe_curriculum"     -> ((s, d) => Pipeline.curriculum(s, d)),
     "pipe_temperature"    -> ((s, d) => Pipeline.temperature(s, d)),
     "pipe_span_mask"      -> ((s, d) => Pipeline.spanMask(s, d)),
+    "pipe_split_leakage"  -> ((s, d) => Pipeline.splitLeakage(s, d)),
+    "q_harmonic_centrality" -> ((s, d) => operators.Graph.harmonic(s, d)),
     "pipe_oversample"     -> ((s, d) => Pipeline.pipeOversample(s, d)),
     "pipe_split"          -> ((s, d) => Pipeline.splitAssign(s, d)),
     "pipe_reshard"        -> ((s, d) => Pipeline.reshardAudit(s, d)),

@@ -338,6 +338,22 @@ object Graph {
           .cast("long").as("n_periphery"))
   }
 
+  /** Harmonic centrality off the SAME [[apspDist]] grid as
+    * q_apsp/q_closeness — the disconnected-robust centrality
+    * (Boldi–Vigna): H(v) = Σ_{u≠v reached} 1/d(v,u), exact as
+    * Σ 10⁶ div d (each term is an integer — no common-denominator
+    * blowup, which is why harmonic gates trivially where closeness
+    * needed the (r−1)² staging). Sharing the checkpointed distance
+    * grid means the three centralities can never disagree about
+    * distances, and the grid's fact-scale extraction runs once.
+    */
+  def harmonic(s: SparkSession, d: String, iters: Int = 6): DataFrame =
+    apspDist(s, d, iters).filter(col("dist") > 0)
+      .groupBy(col("src"))
+      .agg(count(lit(1)).cast("long").as("n_peers"),
+        sum(expr("1000000 div dist")).cast("long").as("h_x1e6"))
+      .orderBy(col("h_x1e6").desc, col("src"))
+
   /** Strongly connected components of the DIRECTED nation trade graph —
     * the directed sibling of [[components]]: who is in a mutual trade
     * cycle with whom. The dense flow matrix (every nation buys a little
@@ -1631,6 +1647,13 @@ object Graph {
          |  min(v) AS min_part, max(v) AS max_part
          |FROM l10 GROUP BY l ORDER BY component""".stripMargin
     },
+
+    "q_harmonic_centrality" ->
+      s"""$apspCtes
+         |SELECT src, CAST(count(*) AS BIGINT) AS n_peers,
+         |  CAST(sum(1000000 // dist) AS BIGINT) AS h_x1e6
+         |FROM d6 WHERE dist > 0 GROUP BY src
+         |ORDER BY h_x1e6 DESC, src""".stripMargin,
 
     "q_scc" -> {
       val steps = (1 to 5).map { i =>

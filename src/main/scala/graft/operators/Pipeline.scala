@@ -852,6 +852,48 @@ object Pipeline {
       .orderBy(col("doc_id")).limit(100)
   }
 
+  /** Train/eval split decontamination audit — the GPT-3-style n-gram
+    * leakage check run BEFORE any benchmark number is trusted: docs
+    * are split by the same multiplicative hash [[splitAssign]] ships,
+    * and an eval (val/test) doc is CONTAMINATED if it shares any
+    * 8-token span with any train doc (exact-dup fingerprints miss
+    * near-identical paraphrases; span overlap is the published
+    * decontamination standard). Emits per eval split: docs,
+    * contaminated docs, leak ppm. Scale shape: only 8-byte span
+    * poly-hashes ever shuffle (the [[graft.dedup.Dedup.spanDups]]
+    * discipline — text stays in the map side), the train-gram set is
+    * gram-vocabulary-scale, and the membership join is hash-to-hash.
+    */
+  def splitLeakage(s: SparkSession, d: String): DataFrame = {
+    val train = 3435973836L // floor(0.8 * 2^32)
+    val valCap = 3865470566L // floor(0.9 * 2^32)
+    val tk = TextFunctions.rawTokens(col("text"))
+    val tagged = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), tk.as("tk"),
+        expr("(doc_id * 2654435761) % 4294967296").as("h32"))
+      .withColumn("split",
+        when(col("h32") < train, lit("train"))
+          .when(col("h32") < valCap, lit("val")).otherwise(lit("test")))
+      .select(col("doc_id"), col("split"),
+        transform(graft.functions.TextExpressionFunctions
+            .wordShingles(array_join(col("tk"), " "), 8),
+          sh => TextFunctions.fingerprint(sh)).as("hs"))
+      .localCheckpoint(eager = false)
+    val ex = tagged.select(col("doc_id"), col("split"), explode(col("hs")).as("h"))
+    val trainGrams = ex.filter(col("split") === "train").select(col("h")).distinct()
+    val contaminated = ex.filter(col("split") =!= "train")
+      .join(trainGrams, Seq("h"))
+      .select(col("doc_id")).distinct()
+      .withColumn("bad", lit(1L))
+    tagged.filter(col("split") =!= "train")
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("bad"), lit(0L))).cast("long").as("n_contaminated"))
+      .withColumn("leak_ppm", expr("(n_contaminated * 1000000) div n_docs"))
+      .orderBy(col("split"))
+  }
+
   /** Composed cleaning pipeline: quality-gate → exact-dedup (keep the
     * smallest doc_id per normalized-text fingerprint) — the minimal
     * corpus-preparation chain, one declarative plan end to end.
@@ -2164,6 +2206,33 @@ object Pipeline {
         |SELECT window_start_us, event_type, n, sum_value
         |FROM rk WHERE rk <= 3
         |ORDER BY window_start_us, n DESC, event_type""".stripMargin,
+
+    "pipe_split_leakage" -> {
+      val fp = graft.text.TextFunctions
+        .fingerprintSql("array_to_string(list_slice(tk, i, i + 7), '_')")
+      s"""WITH t AS (
+         |  SELECT doc_id, ${TextFunctions.rawTokensSql("text")} AS tk,
+         |    CASE WHEN (doc_id * 2654435761) % 4294967296 < 3435973836 THEN 'train'
+         |         WHEN (doc_id * 2654435761) % 4294967296 < 3865470566 THEN 'val'
+         |         ELSE 'test' END AS split
+         |  FROM documents),
+         |s AS (
+         |  SELECT doc_id, split,
+         |    CASE WHEN len(tk) >= 8 THEN
+         |      list_distinct(list_transform(range(1, len(tk) - 6), i -> $fp))
+         |    ELSE CAST([] AS BIGINT[]) END AS hs
+         |  FROM t),
+         |ex AS (SELECT doc_id, split, unnest(hs) AS h FROM s),
+         |tg AS (SELECT DISTINCT h FROM ex WHERE split = 'train'),
+         |bad AS (SELECT DISTINCT ex.doc_id FROM ex JOIN tg USING (h)
+         |        WHERE ex.split <> 'train')
+         |SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(count(bad.doc_id) AS BIGINT) AS n_contaminated,
+         |  (CAST(count(bad.doc_id) AS BIGINT) * 1000000) // count(*) AS leak_ppm
+         |FROM s LEFT JOIN bad ON bad.doc_id = s.doc_id
+         |WHERE s.split <> 'train'
+         |GROUP BY s.split ORDER BY s.split""".stripMargin
+    },
 
     "pipe_split" ->
       """WITH t AS (

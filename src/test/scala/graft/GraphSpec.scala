@@ -559,6 +559,42 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).distinct.length > 1, "uniform authority vector")
   }
 
+  test("harmonic centrality equals a driver-side BFS replay over the trade edges") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sf).selectExpr("c_custkey", "CAST(c_nationkey AS LONG) a")
+    val supp = Tables.supplier(spark, sf).selectExpr("s_suppkey", "CAST(s_nationkey AS LONG) b")
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("a"), col("b")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val nations = Tables.nation(spark, sf).select(col("n_nationkey").cast("long"))
+      .collect().map(_.getLong(0))
+    def dists(v: Long): Map[Long, Long] = {
+      var d = Map(v -> 0L); var frontier = Set(v)
+      for (hop <- 1L to 6L; if frontier.nonEmpty) {
+        val nxt = frontier.flatMap(u => adj.getOrElse(u, Set.empty)) -- d.keySet
+        d ++= nxt.map(_ -> hop); frontier = nxt
+      }
+      d
+    }
+    val want = nations.map { v =>
+      val ds = dists(v).filter(_._2 > 0)
+      v -> ((ds.size.toLong, ds.values.map(1000000L / _).sum))
+    }.toMap
+    val rows = Graph.harmonic(spark, sf).collect()
+    assert(rows.length == nations.length)
+    rows.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) == want(r.getLong(0)),
+        s"harmonic drift for nation ${r.getLong(0)}")
+    }
+    val hs = rows.map(_.getLong(2))
+    assert(hs.zip(hs.tail).forall { case (a, b) => a >= b }, "not ranked by centrality")
+  }
+
   test("scc equals a driver-side BFS mutual-reachability replay on the top-3 flow graph") {
     import org.apache.spark.sql.functions._
     // rebuild the sparsified edge list independently: aggregate the

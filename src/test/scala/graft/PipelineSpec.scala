@@ -1084,6 +1084,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("split leakage equals a driver-side 8-gram decontamination replay") {
+    val tagged = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map { r =>
+        val id = r.getLong(0)
+        val h = (id * 2654435761L) % 4294967296L
+        val split = if (h < 3435973836L) "train" else if (h < 3865470566L) "val" else "test"
+        val tk = r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        val grams = if (tk.length >= 8)
+          tk.sliding(8).map(_.mkString("_")).toSet else Set.empty[String]
+        (id, split, grams)
+      }
+    val trainGrams = tagged.filter(_._2 == "train").flatMap(_._3).toSet
+    val want = tagged.filter(_._2 != "train").groupBy(_._2).map { case (sp, ds2) =>
+      sp -> ((ds2.length.toLong, ds2.count(_._3.exists(trainGrams)).toLong))
+    }
+    val rows = Pipeline.splitLeakage(spark, sf).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val (sp, n, bad) = (r.getString(0), r.getLong(1), r.getLong(2))
+      assert((n, bad) == want(sp), s"leakage drift for $sp")
+      assert(r.getLong(3) == bad * 1000000L / n, s"ppm drift for $sp")
+    }
+    // the corpus must actually leak or the audit is vacuous
+    assert(rows.map(_.getLong(2)).sum > 0, "no cross-split contamination found")
+  }
+
   test("Kneser-Ney probabilities equal the exact discounted-interpolation replay") {
     val toks = Tables.documents(spark, sf).select("text").collect()
       .flatMap(r => r.getString(0).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
