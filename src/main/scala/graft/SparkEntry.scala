@@ -310,6 +310,8 @@ object SparkEntry {
     "q_calendar_grid"     -> ((s, d) => operators.Temporal.qCalendarGrid(s, d)),
     "q_duplicate_audit"   -> ((s, d) => Relational.qDuplicateAudit(s, d)),
     "q_power_users"       -> ((s, d) => Relational.qPowerUsers(s, d)),
+    "q_pareto"            -> ((s, d) => Relational.qPareto(s, d)),
+    "ms_cross_fields"     -> ((s, d) => Metastore.crossFieldsQ(s, d)),
     "q_ntile"             -> ((s, d) => Relational.qNtile(s, d)),
     "q_theil_sen"         -> ((s, d) => operators.Temporal.qTheilSen(s, d)),
     "q_control_chart"     -> ((s, d) => operators.Temporal.qControlChart(s, d)),
@@ -742,6 +744,33 @@ object SparkEntry {
         |FROM br CROSS JOIN tot t
         |JOIN ranked r ON r.rn = greatest(1, (t.n_users * br.pct) // 100)
         |ORDER BY pct""".stripMargin,
+
+    "q_pareto" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |ranked AS (
+        |  SELECT row_number() OVER (ORDER BY cents DESC, o_custkey) AS rn,
+        |    CAST(sum(cents) OVER (ORDER BY cents DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+        |  FROM spend),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |          CAST(sum(cents) AS BIGINT) AS total_cents FROM spend),
+        |br AS (SELECT CAST(unnest([50, 80, 90]) AS BIGINT) AS pct),
+        |k AS (
+        |  SELECT br.pct, t.n_users, t.total_cents,
+        |    CAST(min(r.rn) AS BIGINT) AS k_users
+        |  FROM br CROSS JOIN tot t
+        |  JOIN ranked r ON r.cum_cents * 100 >= t.total_cents * br.pct
+        |  GROUP BY br.pct, t.n_users, t.total_cents)
+        |SELECT k.pct, k.n_users, k.total_cents, k.k_users,
+        |  (k.k_users * 10000) // k.n_users AS k_pop_x1e4,
+        |  r2.cum_cents,
+        |  CAST(CAST(r2.cum_cents AS HUGEINT) * 10000 // k.total_cents AS BIGINT)
+        |    AS share_x1e4
+        |FROM k JOIN ranked r2 ON r2.rn = k.k_users
+        |ORDER BY k.pct""".stripMargin,
 
     "q_ntile" ->
       """WITH o AS (

@@ -123,6 +123,38 @@ object Metastore {
       .orderBy(col("rank"), col("field"), col("term"))
   }
 
+  /** ES multi_match cross_fields analog — the TERM-centric blend
+    * most_fields ([[qRankTfidf]]) is not: all fields are scored as if
+    * one combined field. Per query term the document frequency is
+    * BLENDED (max df across fields — ES's blended-df device, so a term
+    * rare in every field cannot borrow a huge idf from one sparse
+    * field), per (doc, term) the best single field contribution
+    * max(tf·boost) counts (a term repeated across fields scores once),
+    * and the doc score is the sum over terms. Same integer-TF-IDF spec
+    * as the rest of §2.1. Shares [[SearchEngine.scoreComponents]]'
+    * checkpointed one-pass index build, so the corpus is tokenized
+    * once; everything downstream is (matching docs × terms)-scale.
+    */
+  def crossFieldsQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val i = idx(s, d)
+    val comps = ds.scoreComponents(i, Analyzer.analyzeQuery("merge join table"))
+    val bdf = comps.select(col("term"), col("field"), col("df")).distinct()
+      .groupBy(col("term")).agg(max(col("df")).as("bdf"))
+    val perDocTerm = comps.groupBy(col("doc_id"), col("term"))
+      .agg(max(col("tf") * col("boost")).as("wtf"), max(col("n")).as("nn"))
+    val scored = perDocTerm.join(broadcast(bdf), Seq("term"))
+      .withColumn("tscore", col("wtf") * expr("(nn * 1000) div bdf"))
+      .groupBy(col("doc_id")).agg(sum(col("tscore")).cast("long").as("score"))
+    ds.visible(i, None).select(col("doc_id"), col("name"))
+      .join(scored, Seq("doc_id"))
+      .orderBy(col("score").desc, col("doc_id")).limit(20)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .select(col("rank"), col("doc_id"), col("name"), col("score"))
+      .orderBy(col("rank"))
+  }
+
   /** Hybrid lexical+vector retrieval via reciprocal-rank fusion — the
     * modern search stack's default fusion: RRF(d) = Σ 1e6 div (60 +
     * rank_i(d)) over the rankings that retrieved d (missing ⇒ 0), all
@@ -1306,6 +1338,26 @@ object Metastore {
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
          |       doc_id, name, CAST(score AS BIGINT) AS score
          |FROM pg ORDER BY rank""".stripMargin,
+
+    "ms_cross_fields" ->
+      s"""$idxCte,
+         |$tfidfCtes,
+         |bdf AS (SELECT term, max(df) AS bdf FROM dfs GROUP BY term),
+         |pdt AS (SELECT doc_id, term, max(tf * boost) AS wtf
+         |        FROM tf GROUP BY doc_id, term),
+         |sc2 AS (
+         |  SELECT p.doc_id,
+         |    CAST(sum(p.wtf * ((nn.n * 1000) // b.bdf)) AS BIGINT) AS score
+         |  FROM pdt p JOIN bdf b USING (term) CROSS JOIN nn
+         |  GROUP BY p.doc_id),
+         |pg2 AS (
+         |  SELECT i.doc_id, i.name, s.score
+         |  FROM idx i JOIN sc2 s USING (doc_id)
+         |  WHERE i.findability = 'published'
+         |  ORDER BY score DESC, doc_id LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rank,
+         |  doc_id, name, CAST(score AS BIGINT) AS score
+         |FROM pg2 ORDER BY rank""".stripMargin,
 
     "ms_score_explain" ->
       s"""$idxCte,

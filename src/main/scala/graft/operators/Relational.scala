@@ -1567,6 +1567,41 @@ object Relational {
       .orderBy(col("pct"))
   }
 
+  /** Pareto coverage — the inverse readout of [[qPowerUsers]]: instead
+    * of "how much do the top p% hold", "how FEW customers cover p% of
+    * revenue" (the 80/20 number). k(p) = min rank whose cumulative
+    * spend reaches p% — computed WITHOUT a single-partition sort via
+    * the same [[rankedCum]] two-phase range-partitioned prefix sum;
+    * the threshold probe is a 3-row broadcast against the ranked
+    * table (cum is monotone, so min(rn) over the filter is exact),
+    * and the coverage row at k comes back through an equi-join on rn.
+    * Shares ×10⁴ staged DECIMAL(38,0)/HUGEINT.
+    */
+  def qPareto(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).cast("long").as("cents"))
+    val ranked = rankedCum(spend, Seq(col("cents").desc, col("o_custkey")), col("cents"))
+      .select(col("rn"), col("cum").cast("long").as("cum_cents"))
+      .localCheckpoint(eager = false)
+    val tot = spend.agg(count(lit(1)).as("n_users"),
+      sum(col("cents")).cast("long").as("total_cents"))
+    val pcts = spark.range(1)
+      .select(explode(array(lit(50L), lit(80L), lit(90L))).as("pct"))
+      .crossJoin(broadcast(tot))
+    val k = ranked.crossJoin(broadcast(pcts))
+      .filter(col("cum_cents") * 100 >= col("total_cents") * col("pct"))
+      .groupBy(col("pct"), col("n_users"), col("total_cents"))
+      .agg(min(col("rn")).as("k_users"))
+    k.join(ranked, col("rn") === col("k_users"))
+      .select(col("pct"), col("n_users"), col("total_cents"), col("k_users"),
+        expr("(k_users * 10000) div n_users").as("k_pop_x1e4"),
+        col("cum_cents"),
+        expr("CAST(CAST(cum_cents AS DECIMAL(38,0)) * 10000 div total_cents AS BIGINT)")
+          .as("share_x1e4"))
+      .orderBy(col("pct"))
+  }
+
   /** Decile report of order totals — the equi-depth histogram the BI
     * layer renders next to [[qQuantileHist]]'s equi-width one: NTILE(10)
     * over (cents, key) — a TOTAL order, so the SQL-standard first-

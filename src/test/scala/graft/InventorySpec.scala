@@ -32,6 +32,33 @@ class InventorySpec extends AnyFunSuite {
       s"oracleSql entries with no matching queries entry: ${orphans.toSeq.sorted}")
   }
 
+  test("no registry key is defined twice across the source maps") {
+    // a Map literal silently keeps only the LAST duplicate key, so a
+    // re-registered name ships one implementation with the OTHER
+    // name's oracle (caught live in round 8: a second pipe_shard_skew
+    // gated against the wrong columns). Count key literals in source.
+    val sources = Seq(
+      "src/main/scala/graft/SparkEntry.scala",
+      "src/main/scala/graft/operators/Metastore.scala",
+      "src/main/scala/graft/operators/Pipeline.scala",
+      "src/main/scala/graft/operators/Temporal.scala",
+      "src/main/scala/graft/operators/Graph.scala",
+      "src/main/scala/graft/operators/Text.scala")
+    val keyRe = """"((?:ms|q[0-9]?|ann|txt|mm|pipe|dedup|stream)_[a-z0-9_]+)"\s*->""".r
+    // the global invariant: every registered name has EXACTLY one
+    // queries entry and at most one oracle entry — so its `"name" ->`
+    // literal appears at most twice across all registry sources
+    val counts = sources.flatMap { f =>
+      val body = scala.io.Source.fromFile(f, "UTF-8").mkString
+      keyRe.findAllMatchIn(body).map(_.group(1)).toSeq
+    }.groupBy(identity).view.mapValues(_.length)
+    val dups = counts.filter { case (k, n) =>
+      n > 2 && SparkEntry.queries.contains(k)
+    }.toMap
+    assert(dups.isEmpty,
+      s"registry key literal appears >2x across sources (silent Map override): $dups")
+  }
+
   test("every query is oracle-gated or on the declared rows-only list") {
     // q_approx_distinct is the one DECLARED rows-only check (HLL —
     // its hash-exact twin q_approx_distinct_hll gates); anything else

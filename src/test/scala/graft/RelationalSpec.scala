@@ -724,4 +724,31 @@ class RelationalSpec extends AnyFunSuite {
         "modal share below the uniform floor")
     }
   }
+
+  test("pareto coverage: k is the minimal spend-ranked prefix reaching each threshold") {
+    val spend = Tables.orders(SparkTestSession.spark, SparkTestSession.sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)"))
+        .cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sorted = spend.sortBy { case (k, c) => (-c, k) }
+    val cum = sorted.scanLeft(0L)(_ + _._2).tail
+    val total = cum.last
+    val nUsers = sorted.length.toLong
+    val rows = graft.operators.Relational.qPareto(SparkTestSession.spark, SparkTestSession.sf)
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(50L, 80L, 90L))
+    rows.foreach { r =>
+      val (pct, k) = (r.getLong(0), r.getLong(3))
+      assert(r.getLong(1) == nUsers && r.getLong(2) == total)
+      assert(cum(k.toInt - 1) * 100 >= total * pct, s"prefix below threshold at $pct%")
+      assert(k == 1 || cum(k.toInt - 2) * 100 < total * pct, s"k not minimal at $pct%")
+      assert(r.getLong(4) == k * 10000L / nUsers, s"population share drift: $r")
+      assert(r.getLong(5) == cum(k.toInt - 1), s"coverage cents drift: $r")
+      assert(BigInt(r.getLong(6)) == BigInt(cum(k.toInt - 1)) * 10000 / total)
+    }
+    val ks = rows.map(_.getLong(3))
+    assert(ks.zip(ks.tail).forall { case (a, b) => a < b },
+      "coverage thresholds must need strictly more customers")
+  }
 }

@@ -742,6 +742,38 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("cross_fields: blended-df term-centric scores equal a full driver replay") {
+    val docs = Tables.datasetIndex(spark, sf)
+      .select("doc_id", "title", "owner", "ownerid", "readme", "findability").collect()
+    val fields = Seq((1, 5L), (2, 2L), (3, 1L), (4, 2L)) // (col idx, boost)
+    val terms = Seq("merge", "join", "table")
+    def toks(s0: String) = graft.search.Analyzer.analyzeQuery(s0)
+    val n = docs.length.toLong
+    // blended df per term = max over fields of that field's df
+    val bdf = terms.map { t =>
+      t -> fields.map { case (i, _) =>
+        docs.count(r => toks(r.getString(i)).contains(t)).toLong
+      }.max
+    }.toMap
+    val want = docs.flatMap { r =>
+      val sc = terms.map { t =>
+        val wtf = fields.map { case (i, b) =>
+          toks(r.getString(i)).count(_ == t).toLong * b }.max
+        if (wtf > 0) wtf * ((n * 1000) / bdf(t)) else 0L
+      }.sum
+      if (sc > 0 && r.getString(5) == "published") Some((r.getLong(0), sc)) else None
+    }.sortBy { case (id, sc) => (-sc, id) }.take(20)
+    val rows = Metastore.crossFieldsQ(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(r => (r.getLong(1), r.getLong(3))).toSeq == want.toSeq)
+    assert(rows.map(_.getInt(0)).toSeq == (1 to rows.length))
+    // and it genuinely differs from most_fields (field-centric) somewhere,
+    // or the blend is a no-op on this corpus
+    val mf = Metastore.qRankTfidf(spark, sf).collect().map(r => r.getLong(1)).toSeq
+    assert(mf != rows.map(_.getLong(1)).toSeq,
+      "cross_fields page identical to most_fields — blend untested")
+  }
+
   test("did_you_mean suggests real vocabulary terms within the edit budget") {
     def lev(a: String, b: String): Long = {
       val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
