@@ -62,6 +62,8 @@ object SparkEntry {
     "ms_terms_set"         -> ((s, d) => Metastore.termsSetQ(s, d)),
     "ms_adjacency_matrix"  -> ((s, d) => Metastore.adjacencyMatrixQ(s, d)),
     "ms_pipeline_aggs"     -> ((s, d) => Metastore.pipelineAggsQ(s, d)),
+    "ms_terms_error"       -> ((s, d) => Metastore.termsErrorQ(s, d)),
+    "ann_probe_sweep"      -> ((s, d) => Pipeline.annProbeSweep(s, d)),
     "ms_rank_feature"      -> ((s, d) => Metastore.rankFeatureQ(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
     "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),

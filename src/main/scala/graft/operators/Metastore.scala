@@ -637,6 +637,49 @@ object Metastore {
       .limit(20)
   }
 
+  /** ES distributed terms-aggregation ERROR BOUND analog — the
+    * doc_count_error_upper_bound semantics that make ES's sharded
+    * top-N honest: the corpus is split into 4 hash shards, each shard
+    * reports only its local top-3 sources (shard_size), the
+    * coordinator sums the reported counts, and a term's error bound is
+    * Σ over NON-reporting shards of that shard's smallest reported
+    * count (a missing term can hide at most just under that much).
+    * Emits the merged top-5 WITH the true count alongside, so the gate
+    * pins merged ≤ true ≤ merged + err_upper — the exact invariant ES
+    * documents. This is the 100 TB aggregation story in miniature:
+    * bounded per-shard state, explicit error accounting instead of a
+    * full shuffle.
+    */
+  def termsErrorQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = ds.visible(idx(s, d), None)
+      .select(col("doc_id"), col("source"), (col("doc_id") % 4).as("shard"))
+    val perShard = docs.groupBy(col("shard"), col("source"))
+      .agg(count(lit(1)).as("cnt"))
+    val wSh = Window.partitionBy(col("shard")).orderBy(col("cnt").desc, col("source"))
+    val reported = perShard.withColumn("rk", row_number().over(wSh))
+      .filter(col("rk") <= 3)
+      .localCheckpoint(eager = false)
+    val shardMin = reported.groupBy(col("shard")).agg(min(col("cnt")).as("sh_min"))
+    val merged = reported.join(shardMin, Seq("shard"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).cast("long").as("merged_count"),
+        sum(col("sh_min")).cast("long").as("min_in"),
+        count(lit(1)).as("n_shards_in"))
+    val tot = shardMin.agg(sum(col("sh_min")).cast("long").as("tot_min"))
+    val truth = docs.groupBy(col("source")).agg(count(lit(1)).as("true_count"))
+    merged.crossJoin(broadcast(tot))
+      .withColumn("err_upper", col("tot_min") - col("min_in"))
+      .join(truth, Seq("source"))
+      .withColumn("mrk", row_number().over(
+        Window.orderBy(col("merged_count").desc, col("source"))))
+      .filter(col("mrk") <= 5)
+      .select(col("mrk").cast("int").as("rank"), col("source"),
+        col("merged_count"), col("true_count"), col("err_upper"),
+        col("n_shards_in"))
+      .orderBy(col("rank"))
+  }
+
   /** ES significant_terms aggregation analog: which analyzed readme
     * terms are over-represented in a foreground slice (lang='fr')
     * relative to the whole visible corpus? Per term, foreground and
@@ -1685,6 +1728,35 @@ object Metastore {
          |WHERE findability = 'published'
          |  AND len(list_filter(${tok("readme")}, t -> t = 'merge')) > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "ms_terms_error" ->
+      s"""$idxCte,
+         |d AS (SELECT doc_id, source, doc_id % 4 AS shard FROM idx
+         |      WHERE findability = 'published'),
+         |ps AS (SELECT shard, source, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM d GROUP BY shard, source),
+         |rep AS (SELECT shard, source, cnt FROM (
+         |    SELECT shard, source, cnt,
+         |      row_number() OVER (PARTITION BY shard
+         |        ORDER BY cnt DESC, source) AS rk
+         |    FROM ps) WHERE rk <= 3),
+         |sm AS (SELECT shard, min(cnt) AS sh_min FROM rep GROUP BY shard),
+         |m AS (
+         |  SELECT r.source, CAST(sum(r.cnt) AS BIGINT) AS merged_count,
+         |    CAST(sum(s.sh_min) AS BIGINT) AS min_in,
+         |    CAST(count(*) AS BIGINT) AS n_shards_in
+         |  FROM rep r JOIN sm s USING (shard) GROUP BY r.source),
+         |tm AS (SELECT CAST(sum(sh_min) AS BIGINT) AS tot_min FROM sm),
+         |tr AS (SELECT source, CAST(count(*) AS BIGINT) AS true_count
+         |       FROM d GROUP BY source),
+         |pg AS (
+         |  SELECT m.source, m.merged_count, tr.true_count,
+         |    tm.tot_min - m.min_in AS err_upper, m.n_shards_in,
+         |    row_number() OVER (ORDER BY m.merged_count DESC, m.source) AS mrk
+         |  FROM m CROSS JOIN tm JOIN tr ON tr.source = m.source)
+         |SELECT CAST(mrk AS INT) AS rank, source, merged_count, true_count,
+         |  CAST(err_upper AS BIGINT) AS err_upper, n_shards_in
+         |FROM pg WHERE mrk <= 5 ORDER BY rank""".stripMargin,
 
     "ms_significant_terms" ->
       s"""$idxCte,

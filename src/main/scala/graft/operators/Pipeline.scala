@@ -102,6 +102,33 @@ object Pipeline {
 
   private val queryPred = col("vec_id") % 97 === 0
 
+  /** IVF nprobe tuning curve — the recall-vs-cost sweep an ANN
+    * deployment runs before picking its operating point: recall@10
+    * against brute-force truth at nprobe ∈ {1, 2, 4} over the SAME
+    * pinned codebook the shipped ann_ivf_topk uses. Recall must be
+    * non-decreasing in nprobe by construction (more probed cells ⊇
+    * fewer) — pinned in spec; the gate pins the exact numbers. Truth
+    * is computed once (checkpoint) and each sweep point is a top-k
+    * join against it — the whole sweep is (queries × k)-scale after
+    * the per-point ANN plans.
+    */
+  def annProbeSweep(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val truth = Similarity.bruteTopK(emb, queryPred)
+      .select(col("q_id"), col("vec_id")).localCheckpoint()
+    val stats = truth.agg(count(lit(1)).cast("long").as("n_truth"))
+    Seq(1, 2, 4).map { np =>
+      val p = Similarity.ivfTopK(emb, queryPred, nProbe = np,
+          model = Some(graft.similarity.IvfModel.cells))
+        .select(col("q_id"), col("vec_id"))
+      val hits = truth.join(p, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).cast("long").as("hits"))
+      stats.crossJoin(hits)
+        .select(lit(np.toLong).as("nprobe"), col("n_truth"), col("hits"),
+          expr("(hits * 1000000) div n_truth").as("recall_x1e6"))
+    }.reduce(_ union _).orderBy(col("nprobe"))
+  }
+
   def annBruteTopk(s: SparkSession, d: String): DataFrame =
     Similarity.bruteTopK(Tables.embeddings(s, d), queryPred)
 
@@ -2059,6 +2086,23 @@ object Pipeline {
     // recall@10 audit: each method's pair set against the brute-force
     // ground truth, every side the VERBATIM oracle text of the gated
     // query it audits (embedded as CTE-bearing subqueries)
+    "ann_probe_sweep" -> {
+      val sweeps = Seq(1, 2, 4).map { np =>
+        s"""SELECT CAST($np AS BIGINT) AS nprobe, q_id, vec_id FROM (
+           |${Similarity.ivfOracleSql(graft.similarity.IvfModel.cells,
+                "vec_id % 97 = 0", nProbe = np)}
+           |) z""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH tr AS (SELECT q_id, vec_id FROM (\n$annBruteSql\n) z),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM tr),
+         |mp AS (\n$sweeps\n),
+         |h AS (SELECT nprobe, CAST(count(*) AS BIGINT) AS hits
+         |      FROM mp JOIN tr USING (q_id, vec_id) GROUP BY nprobe)
+         |SELECT h.nprobe, t.n_truth, h.hits,
+         |  (h.hits * 1000000) // t.n_truth AS recall_x1e6
+         |FROM h CROSS JOIN t ORDER BY h.nprobe""".stripMargin
+    },
+
     "ann_recall_eval" ->
       s"""WITH tr AS (SELECT q_id, vec_id FROM (\n$annBruteSql\n) z),
          |mp AS (

@@ -1084,6 +1084,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("probe sweep: recall grows with nprobe and never exceeds the truth set") {
+    val rows = Pipeline.annProbeSweep(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    val nTruth = rows.head._2
+    rows.foreach { case (_, nt, hits, rec) =>
+      assert(nt == nTruth && hits <= nt)
+      assert(rec == hits * 1000000L / nt, "recall arithmetic drift")
+    }
+    val recs = rows.map(_._4)
+    assert(recs.zip(recs.tail).forall { case (a, b) => a <= b },
+      "recall must be non-decreasing in nprobe (probed cells are nested)")
+    // the sweep must show a real tradeoff: probing 4 cells beats 1
+    assert(recs.last > recs.head, "nprobe had no effect — sweep vacuous")
+    // limit check: probing EVERY cell degenerates to brute force exactly
+    val embAll = Tables.embeddings(spark, sf)
+    val pred = col("vec_id") % 97 === 0
+    val brute = Similarity.bruteTopK(embAll, pred).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val all = Similarity.ivfTopK(embAll, pred, nProbe = 10,
+        model = Some(graft.similarity.IvfModel.cells)).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(all == brute, "nprobe=cells must equal brute force exactly")
+  }
+
   test("split leakage equals a driver-side 8-gram decontamination replay") {
     val tagged = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map { r =>

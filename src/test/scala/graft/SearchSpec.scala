@@ -742,6 +742,39 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("terms_error: the ES sharded-agg bound merged <= true <= merged + err holds") {
+    val docs = Tables.datasetIndex(spark, sf)
+      .filter(col("findability") === "published")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perShard = docs.groupBy { case (id, _) => id % 4 }.view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap).toMap
+    val reported = perShard.view.mapValues(
+      _.toSeq.sortBy { case (src, c) => (-c, src) }.take(3)).toMap
+    val shMin = reported.view.mapValues(_.map(_._2).min).toMap
+    val trueCounts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val rows = Metastore.termsErrorQ(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val src = r.getString(1)
+      val (merged, truth, err, nIn) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      val wantMerged = reported.values.flatMap(_.filter(_._1 == src).map(_._2)).sum
+      val inShards = reported.filter(_._2.exists(_._1 == src)).keySet
+      val wantErr = (reported.keySet -- inShards).toSeq.map(shMin).sum
+      assert(merged == wantMerged, s"merged count drift for $src")
+      assert(err == wantErr, s"error bound drift for $src")
+      assert(nIn == inShards.size.toLong, s"reporting-shard count drift for $src")
+      assert(truth == trueCounts(src), s"true count drift for $src")
+      // the documented ES invariant
+      assert(merged <= truth && truth <= merged + err,
+        s"error bound violated for $src: merged=$merged true=$truth err=$err")
+    }
+    // the bound must be doing real work somewhere (a term not reported
+    // by every shard), or shard_size exceeded the source domain
+    assert(rows.exists(_.getLong(4) > 0), "every term reported everywhere — bound vacuous")
+  }
+
   test("cross_fields: blended-df term-centric scores equal a full driver replay") {
     val docs = Tables.datasetIndex(spark, sf)
       .select("doc_id", "title", "owner", "ownerid", "readme", "findability").collect()
