@@ -313,6 +313,8 @@ object SparkEntry {
     "q_duplicate_audit"   -> ((s, d) => Relational.qDuplicateAudit(s, d)),
     "q_power_users"       -> ((s, d) => Relational.qPowerUsers(s, d)),
     "q_pareto"            -> ((s, d) => Relational.qPareto(s, d)),
+    "q_did"               -> ((s, d) => operators.Temporal.qDid(s, d)),
+    "q_srm"               -> ((s, d) => operators.Temporal.qSrm(s, d)),
     "ms_cross_fields"     -> ((s, d) => Metastore.crossFieldsQ(s, d)),
     "q_ntile"             -> ((s, d) => Relational.qNtile(s, d)),
     "q_theil_sen"         -> ((s, d) => operators.Temporal.qTheilSen(s, d)),
@@ -359,6 +361,8 @@ object SparkEntry {
     "mm_phash"            -> ((s, d) => Pipeline.mmPhash(s, d)),
     "mm_sobel"            -> ((s, d) => Pipeline.mmSobel(s, d)),
     "mm_hist_eq"          -> ((s, d) => Pipeline.mmHistEq(s, d)),
+    "mm_audio_stats"      -> ((s, d) => Pipeline.mmAudioStats(s, d)),
+    "txt_heaps"           -> ((s, d) => Text.heaps(s, d)),
     "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),
     "txt_repetition"      -> ((s, d) => Text.repetition(s, d)),
     "txt_bigram_coverage" -> ((s, d) => Text.bigramCoverage(s, d)),

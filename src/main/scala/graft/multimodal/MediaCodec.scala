@@ -574,6 +574,33 @@ object MediaCodec {
     WavMeta(sr, n.toLong, sum, max)
   }
 
+  /** Per-sample walk over a PCM16 mono WAV — the same RIFF chunk walk
+    * and validation as [[decodeWav]], streaming each sign-extended
+    * sample to `f` in order. Returns (sampleRate, nSamples).
+    */
+  def foreachWavSample(b: Array[Byte])(f: Int => Unit): (Int, Long) = {
+    require(isWav(b), "not a WAV payload")
+    var o = 12
+    var sr = -1; var bits = -1; var channels = -1
+    var dataOff = -1; var dataLen = -1
+    while (o + 8 <= b.length && (sr < 0 || dataOff < 0)) {
+      val id = new String(b, o, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val len = i32(b, o + 4)
+      require(len >= 0 && o + 8 + len <= b.length, s"truncated WAV chunk $id")
+      if (id == "fmt ") {
+        require(u16(b, o + 8) == 1, "only PCM WAV supported")
+        channels = u16(b, o + 10); sr = i32(b, o + 12); bits = u16(b, o + 22)
+      } else if (id == "data") { dataOff = o + 8; dataLen = len }
+      o += 8 + len + (len & 1)
+    }
+    require(sr > 0 && dataOff >= 0, "WAV missing fmt/data chunk")
+    require(channels == 1 && bits == 16, s"only PCM16 mono supported (ch=$channels bits=$bits)")
+    val n = dataLen / 2
+    var i = 0
+    while (i < n) { f((u16(b, dataOff + i * 2) << 16) >> 16); i += 1 }
+    (sr, n.toLong)
+  }
+
   // ---------------------------------------------------------------- JPEG
 
   /** JPEG spec (ITU-T T.81) fixtures: zigzag scan order, the Annex K

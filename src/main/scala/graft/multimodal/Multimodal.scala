@@ -546,6 +546,41 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Audio feature statistics over the REAL WAV decode path — the
+    * frontend numbers a speech/audio curation pass computes before any
+    * model runs: energy (exact sum of squared amplitudes — RMS without
+    * the sqrt, so it gates hash-exact), zero-crossing count (sign
+    * products < 0 — the cheap voicing/noisiness signal), and peak.
+    * Same synthetic PCM16 payload family as [[decodeWavPlan]]
+    * (amplitude formula pure in doc_id), decoded by the REAL RIFF
+    * walk ([[MediaCodec.foreachWavSample]]); the oracle recomputes
+    * every sample closed-form, so a bug in the chunk walk or the
+    * sign-extension breaks the hash. One pass, no shuffle.
+    */
+  def audioStatsPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val n = (50 + id % 300).toInt
+        val sr = (8000 + (id % 3) * 4000).toInt
+        val payload = MediaCodec.encodeWavPcm16(n, sr,
+          i => (((id * 31 + i * 17L) % 4001L) - 2000L).toInt)
+        var energy = 0L; var zc = 0L; var peak = 0L
+        var prev = 0
+        var first = true
+        val (dsr, dn) = MediaCodec.foreachWavSample(payload) { v =>
+          energy += v.toLong * v
+          if (!first && prev.toLong * v < 0) zc += 1
+          val a = math.abs(v.toLong); if (a > peak) peak = a
+          prev = v; first = false
+        }
+        (id, dsr.toLong, dn, energy, zc, peak)
+      }
+    }.toDF("doc_id", "sample_rate", "n_samples", "energy", "zero_crossings", "peak")
+      .orderBy(col("doc_id"))
+  }
+
   /** REAL RLE-TGA decode gate ([[MediaCodec.encodeTga]]/decodeTga —
     * Truevision spec, type 10, bottom-up): pixels repeat in runs of
     * 1 + id mod 5 so both RLE and raw packets occur; the emitted

@@ -201,6 +201,9 @@ object Pipeline {
   def mmDecodeWav(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeWavPlan(Tables.documents(s, d))
 
+  def mmAudioStats(s: SparkSession, d: String): DataFrame =
+    Multimodal.audioStatsPlan(Tables.documents(s, d))
+
   def mmDecodePng(s: SparkSession, d: String): DataFrame =
     Multimodal.decodePngPlan(Tables.documents(s, d))
 
@@ -2743,6 +2746,23 @@ object Pipeline {
         |FROM cdf c JOIN st s ON s.doc_id = c.doc_id
         |GROUP BY c.doc_id, c.w, c.h, s.n_levels, s.gray_min, s.gray_max
         |ORDER BY c.doc_id""".stripMargin,
+
+    "mm_audio_stats" ->
+      """WITH m AS (SELECT doc_id, 50 + doc_id % 300 AS n,
+        |             8000 + (doc_id % 3) * 4000 AS sr FROM documents),
+        |s AS (
+        |  SELECT m.doc_id, m.n, m.sr,
+        |    (m.doc_id * 31 + i.i * 17) % 4001 - 2000 AS v,
+        |    CASE WHEN i.i > 0
+        |      THEN (m.doc_id * 31 + (i.i - 1) * 17) % 4001 - 2000 END AS pv
+        |  FROM m, range(0, 350) i(i) WHERE i.i < m.n)
+        |SELECT doc_id, CAST(sr AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS energy,
+        |  CAST(sum(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS zero_crossings,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak
+        |FROM s GROUP BY doc_id, sr, n ORDER BY doc_id""".stripMargin,
 
     "mm_thumbnail" ->
       """WITH m AS (SELECT doc_id, 4 + doc_id % 21 AS w, 3 + doc_id % 14 AS h

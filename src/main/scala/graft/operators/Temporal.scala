@@ -414,6 +414,71 @@ object Temporal {
       .orderBy(col("arm"))
   }
 
+  /** Difference-in-differences — the canonical quasi-experimental
+    * estimator ([[qAbLift]]'s observational sibling): treatment =
+    * odd user_id, intervention at day 19738 (mid-window of the event
+    * span at every scale), outcome = mean event value in cents ×100.
+    * DiD = (T_post − T_pre) − (C_post − C_pre), the parallel-trends
+    * difference that nets out both the group baseline and the secular
+    * trend. All four cell means are floored non-negative integer
+    * divisions (sum·100 div n); the estimate is a signed difference of
+    * EXACT integers, emitted as |did| + sign so truncate-vs-floor can
+    * never diverge. One scan, one 1-row conditional aggregate — the
+    * whole analysis is a single map-side-combined pass at any scale.
+    */
+  def qDid(s: SparkSession, d: String): DataFrame = {
+    val cutoffDay = 19738L
+    EventStreams.normalize(Tables.events(s, d))
+      .select((col("user_id") % 2 === 1).as("treat"),
+        (expr("ts_us div 86400000000") >= cutoffDay).as("post"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+      .agg(
+        sum(when(col("treat") && !col("post"), 1L).otherwise(0L)).cast("long").as("n_tpre"),
+        sum(when(col("treat") && col("post"), 1L).otherwise(0L)).cast("long").as("n_tpost"),
+        sum(when(!col("treat") && !col("post"), 1L).otherwise(0L)).cast("long").as("n_cpre"),
+        sum(when(!col("treat") && col("post"), 1L).otherwise(0L)).cast("long").as("n_cpost"),
+        sum(when(col("treat") && !col("post"), col("cents")).otherwise(0L)).as("s_tpre"),
+        sum(when(col("treat") && col("post"), col("cents")).otherwise(0L)).as("s_tpost"),
+        sum(when(!col("treat") && !col("post"), col("cents")).otherwise(0L)).as("s_cpre"),
+        sum(when(!col("treat") && col("post"), col("cents")).otherwise(0L)).as("s_cpost"))
+      .select(col("n_tpre"), col("n_tpost"), col("n_cpre"), col("n_cpost"),
+        expr("(s_tpre * 100) div n_tpre").as("m_tpre_x100"),
+        expr("(s_tpost * 100) div n_tpost").as("m_tpost_x100"),
+        expr("(s_cpre * 100) div n_cpre").as("m_cpre_x100"),
+        expr("(s_cpost * 100) div n_cpost").as("m_cpost_x100"))
+      .select(col("*"),
+        abs(expr("(m_tpost_x100 - m_tpre_x100) - (m_cpost_x100 - m_cpre_x100)"))
+          .as("did_abs_x100"),
+        expr("CAST(sign((m_tpost_x100 - m_tpre_x100) - (m_cpost_x100 - m_cpre_x100)) AS INT)")
+          .as("did_sign"))
+  }
+
+  /** Sample-ratio-mismatch check — the first gate every experimentation
+    * platform runs before reading a result: does the realized
+    * assignment match the designed 50/50 split? χ² for one degree of
+    * freedom collapses to (a−b)²/(a+b) under equal expectation — one
+    * exact integer division ×10⁶ — and the flag fires above the
+    * critical value 3.841 (p < 0.05). Two assignment schemes are
+    * audited so BOTH flag states are exercised: the healthy user-parity
+    * split and a deliberately broken mod-5 split (⅕ vs ⅘ — the classic
+    * bucketing bug SRM exists to catch, imbalanced enough to trip the
+    * 3.841 critical value at every test scale). User-domain aggregate only.
+    */
+  def qSrm(s: SparkSession, d: String): DataFrame = {
+    val users = EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id")).distinct()
+    def scheme(name: String, isB: org.apache.spark.sql.Column) =
+      users.agg(
+        sum(when(isB, 0L).otherwise(1L)).cast("long").as("n_a"),
+        sum(when(isB, 1L).otherwise(0L)).cast("long").as("n_b"))
+        .select(lit(name).as("scheme"), col("n_a"), col("n_b"),
+          expr("((n_a - n_b) * (n_a - n_b) * 1000000) div (n_a + n_b)").as("chi2_x1e6"))
+        .withColumn("srm", (col("chi2_x1e6") > 3841000L).cast("int"))
+    scheme("mod2", col("user_id") % 2 === 1)
+      .unionByName(scheme("mod5", col("user_id") % 5 === 0))
+      .orderBy(col("scheme"))
+  }
+
   /** Gaps-and-islands — longest consecutive-day activity streak per
     * user (the engagement metric behind "7-day streak" features, and
     * the canonical SQL islands idiom the surface was missing). Island
@@ -2752,6 +2817,55 @@ object Temporal {
         |  CAST(sum(converted) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS conv_x1e4,
         |  CAST(sum(purchase_cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS value_per_user_cents
         |FROM pu GROUP BY arm ORDER BY arm""".stripMargin,
+
+    "q_did" ->
+      """WITH e AS (
+        |  SELECT user_id % 2 = 1 AS treat,
+        |    epoch_us(ts) // 86400000000 >= 19738 AS post,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN treat AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_tpre,
+        |    CAST(sum(CASE WHEN treat AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_tpost,
+        |    CAST(sum(CASE WHEN NOT treat AND NOT post THEN 1 ELSE 0 END) AS BIGINT) AS n_cpre,
+        |    CAST(sum(CASE WHEN NOT treat AND post THEN 1 ELSE 0 END) AS BIGINT) AS n_cpost,
+        |    CAST(sum(CASE WHEN treat AND NOT post THEN cents ELSE 0 END) AS BIGINT) AS s_tpre,
+        |    CAST(sum(CASE WHEN treat AND post THEN cents ELSE 0 END) AS BIGINT) AS s_tpost,
+        |    CAST(sum(CASE WHEN NOT treat AND NOT post THEN cents ELSE 0 END) AS BIGINT) AS s_cpre,
+        |    CAST(sum(CASE WHEN NOT treat AND post THEN cents ELSE 0 END) AS BIGINT) AS s_cpost
+        |  FROM e),
+        |m AS (
+        |  SELECT n_tpre, n_tpost, n_cpre, n_cpost,
+        |    (s_tpre * 100) // n_tpre AS m_tpre_x100,
+        |    (s_tpost * 100) // n_tpost AS m_tpost_x100,
+        |    (s_cpre * 100) // n_cpre AS m_cpre_x100,
+        |    (s_cpost * 100) // n_cpost AS m_cpost_x100
+        |  FROM c)
+        |SELECT *,
+        |  abs((m_tpost_x100 - m_tpre_x100) - (m_cpost_x100 - m_cpre_x100)) AS did_abs_x100,
+        |  CAST(sign((m_tpost_x100 - m_tpre_x100) - (m_cpost_x100 - m_cpre_x100)) AS INT)
+        |    AS did_sign
+        |FROM m""".stripMargin,
+
+    "q_srm" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s2 AS (
+        |  SELECT 'mod2' AS scheme,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM u),
+        |s5 AS (
+        |  SELECT 'mod5' AS scheme,
+        |    CAST(sum(CASE WHEN user_id % 5 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN user_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM u),
+        |b AS (SELECT * FROM s2 UNION ALL SELECT * FROM s5)
+        |SELECT scheme, n_a, n_b,
+        |  ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b) AS chi2_x1e6,
+        |  CAST(CASE WHEN ((n_a - n_b) * (n_a - n_b) * 1000000) // (n_a + n_b)
+        |    > 3841000 THEN 1 ELSE 0 END AS INT) AS srm
+        |FROM b ORDER BY scheme""".stripMargin,
 
     "q_changepoint" ->
       """WITH daily AS (

@@ -605,6 +605,39 @@ object Text {
       .orderBy(col("ctx"), col("rank"))
   }
 
+  /** Heaps-law vocabulary-growth curve — the corpus-QA measurement
+    * behind "does dedup cost stay near-linear?" (SCALING.md's r7
+    * superlinearity question, promoted to a first-class query): token
+    * instances and DISTINCT vocabulary at 25/50/75/100% of the corpus
+    * (quarters by doc_id mod 4, so the curve is deterministic and
+    * scale-stable). The trick that keeps it one pass: a type's
+    * first-quarter-of-appearance min(b) is aggregated once, and the
+    * vocabulary at quarter k is Σ of types with min(b) < k — no
+    * per-fraction re-scan. Everything after the token groupBy is
+    * ≤4-row bounded-domain arithmetic.
+    */
+  def heaps(s: SparkSession, d: String): DataFrame = {
+    val toks = Tables.fanOut(Tables.documents(s, d))
+      .select((col("doc_id") % 4).as("b"),
+        explode(rawTokens(col("text"))).as("t"))
+    val inst = toks.groupBy(col("b")).agg(count(lit(1)).as("ni"))
+    val vocab = toks.groupBy(col("t")).agg(min(col("b")).as("mb"))
+      .groupBy(col("mb")).agg(count(lit(1)).as("nv"))
+    val dcs = Tables.documents(s, d).groupBy((col("doc_id") % 4).as("b"))
+      .agg(count(lit(1)).as("nd"))
+    val ks = s.range(1).select(explode(
+      array((1 to 4).map(k => lit(k.toLong)): _*)).as("quarter"))
+    val instK = ks.join(inst, col("b") < col("quarter")).groupBy(col("quarter"))
+      .agg(sum(col("ni")).cast("long").as("n_instances"))
+    val vocabK = ks.join(vocab, col("mb") < col("quarter")).groupBy(col("quarter"))
+      .agg(sum(col("nv")).cast("long").as("n_vocab"))
+    val docK = ks.join(dcs, col("b") < col("quarter")).groupBy(col("quarter"))
+      .agg(sum(col("nd")).cast("long").as("n_docs"))
+    docK.join(instK, Seq("quarter")).join(vocabK, Seq("quarter"))
+      .withColumn("vocab_per_10k_tok", expr("(n_vocab * 10000) div n_instances"))
+      .orderBy(col("quarter"))
+  }
+
   /** Interpolated Kneser–Ney bigram probabilities — the smoothing every
     * production n-gram LM actually ships (Chen–Goodman): with absolute
     * discount D = 3/4,
@@ -851,6 +884,28 @@ object Text {
          |SELECT ctx, CAST(rn AS INT) AS rank, nxt, cnt, ctx_total,
          |  (cnt * 1000000) // ctx_total AS p_x1e6
          |FROM ranked WHERE rn <= 3 ORDER BY ctx, rank""".stripMargin
+    },
+
+    "txt_heaps" -> {
+      val tk = rawTokensSql("text")
+      s"""WITH tk AS (
+         |  SELECT doc_id % 4 AS b, unnest($tk) AS t FROM documents),
+         |inst AS (SELECT b, CAST(count(*) AS BIGINT) AS ni FROM tk GROUP BY b),
+         |voc AS (SELECT t, min(b) AS mb FROM tk GROUP BY t),
+         |vk AS (SELECT mb, CAST(count(*) AS BIGINT) AS nv FROM voc GROUP BY mb),
+         |dc AS (SELECT doc_id % 4 AS b, CAST(count(*) AS BIGINT) AS nd
+         |       FROM documents GROUP BY b),
+         |q AS (SELECT CAST(unnest([1, 2, 3, 4]) AS BIGINT) AS quarter),
+         |ik AS (SELECT q.quarter, CAST(sum(i.ni) AS BIGINT) AS n_instances
+         |       FROM q JOIN inst i ON i.b < q.quarter GROUP BY q.quarter),
+         |vq AS (SELECT q.quarter, CAST(sum(v.nv) AS BIGINT) AS n_vocab
+         |       FROM q JOIN vk v ON v.mb < q.quarter GROUP BY q.quarter),
+         |dq AS (SELECT q.quarter, CAST(sum(d.nd) AS BIGINT) AS n_docs
+         |       FROM q JOIN dc d ON d.b < q.quarter GROUP BY q.quarter)
+         |SELECT dq.quarter, dq.n_docs, ik.n_instances, vq.n_vocab,
+         |  (vq.n_vocab * 10000) // ik.n_instances AS vocab_per_10k_tok
+         |FROM dq JOIN ik USING (quarter) JOIN vq USING (quarter)
+         |ORDER BY quarter""".stripMargin
     },
 
     "txt_kneser_ney" -> {

@@ -255,6 +255,27 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("audio stats: energy/ZCR/peak equal the closed-form sample replay") {
+    val rows = graft.operators.Pipeline.mmAudioStats(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(50).foreach { r =>
+      val id = r.getLong(0)
+      val n = (50 + id % 300).toInt
+      assert(r.getLong(1) == 8000 + (id % 3) * 4000 && r.getLong(2) == n.toLong)
+      def v(i: Int): Long = (id * 31 + i * 17L) % 4001L - 2000L
+      var energy = 0L; var zc = 0L; var peak = 0L
+      for (i <- 0 until n) {
+        energy += v(i) * v(i)
+        if (i > 0 && v(i - 1) * v(i) < 0) zc += 1
+        peak = math.max(peak, math.abs(v(i)))
+      }
+      assert((r.getLong(3), r.getLong(4), r.getLong(5)) == ((energy, zc, peak)),
+        s"audio stats drift for doc $id")
+    }
+    // the signal must actually oscillate or ZCR is vacuous
+    assert(rows.map(_.getLong(4)).sum > 0, "no zero crossings anywhere")
+  }
+
   test("QOI round-trip: all six ops appear in the gate's streams and decode inverts encode") {
     // count chunk tags by walking the encoded stream (spec chunk framing)
     def census(b: Array[Byte]): Map[String, Int] = {

@@ -1084,6 +1084,31 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("heaps curve: cumulative quarters replay and vocabulary growth is sublinear") {
+    val docTok = Tables.documents(spark, sf).select("doc_id", "text").collect()
+      .map(r => (r.getLong(0) % 4,
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq))
+    val rows = graft.operators.Text.heaps(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L, 4L))
+    rows.foreach { r =>
+      val k = r.getLong(0)
+      val in = docTok.filter(_._1 < k)
+      assert(r.getLong(1) == in.length.toLong, s"doc count drift at quarter $k")
+      val inst = in.map(_._2.length.toLong).sum
+      assert(r.getLong(2) == inst, s"instance count drift at quarter $k")
+      val voc = in.flatMap(_._2).distinct.length.toLong
+      assert(r.getLong(3) == voc, s"vocabulary drift at quarter $k")
+      assert(r.getLong(4) == voc * 10000L / inst, s"density drift at quarter $k")
+    }
+    // Heaps law: vocabulary grows, but slower than token mass — the
+    // per-10k-token density must be non-increasing along the curve
+    val dens = rows.map(_.getLong(4))
+    assert(dens.zip(dens.tail).forall { case (a, b) => b <= a },
+      "vocabulary density increased with corpus size — not a Heaps curve")
+    val vocs = rows.map(_.getLong(3))
+    assert(vocs.zip(vocs.tail).forall { case (a, b) => b >= a })
+  }
+
   test("probe sweep: recall grows with nprobe and never exceeds the truth set") {
     val rows = Pipeline.annProbeSweep(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

@@ -1135,4 +1135,50 @@ class TemporalSpec extends AnyFunSuite {
     assert(row.getLong(4) == want.toLong, "z^2 formula drift")
     assert((row.getInt(7) == 1) == (want.toLong > 3841459L))
   }
+
+  test("difference-in-differences equals the four-cell driver replay") {
+    val evs = graft.streaming.EventStreams.normalize(
+        Tables.events(SparkTestSession.spark, SparkTestSession.sf))
+      .select("user_id", "ts_us", "value").collect()
+      .map(r => (r.getLong(0) % 2 == 1, r.getLong(1) / 86400000000L >= 19738L,
+        math.floor(r.getDouble(2) * 100 + 0.5).toLong))
+    def cell(t: Boolean, p: Boolean) = {
+      val xs = evs.filter(e => e._1 == t && e._2 == p)
+      (xs.length.toLong, xs.map(_._3).sum)
+    }
+    val (ntpre, stpre) = cell(t = true, p = false)
+    val (ntpost, stpost) = cell(t = true, p = true)
+    val (ncpre, scpre) = cell(t = false, p = false)
+    val (ncpost, scpost) = cell(t = false, p = true)
+    // every cell must be populated or the design is degenerate
+    assert(Seq(ntpre, ntpost, ncpre, ncpost).forall(_ > 0), "empty DiD cell")
+    val row = Temporal.qDid(SparkTestSession.spark, SparkTestSession.sf).collect().head
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ==
+      ((ntpre, ntpost, ncpre, ncpost)), "cell counts drift")
+    val ms2 = Seq(stpre * 100 / ntpre, stpost * 100 / ntpost,
+      scpre * 100 / ncpre, scpost * 100 / ncpost)
+    assert((4 to 7).map(row.getLong).toSeq == ms2, "cell means drift")
+    val did = (ms2(1) - ms2(0)) - (ms2(3) - ms2(2))
+    assert(row.getLong(8) == math.abs(did) && row.getInt(9) == did.sign.toInt)
+  }
+
+  test("SRM: healthy parity split passes, broken mod-5 split is flagged") {
+    val users = graft.streaming.EventStreams.normalize(
+        Tables.events(SparkTestSession.spark, SparkTestSession.sf))
+      .select("user_id").distinct().collect().map(_.getLong(0))
+    def chi(b: Long) = {
+      val a = users.length - b
+      (a - b) * (a - b) * 1000000L / users.length
+    }
+    val rows = Temporal.qSrm(SparkTestSession.spark, SparkTestSession.sf).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4))))
+      .toMap
+    val b2 = users.count(_ % 2 == 1).toLong
+    val b5 = users.count(_ % 5 == 0).toLong
+    assert(rows("mod2") == ((users.length - b2, b2, chi(b2), if (chi(b2) > 3841000L) 1 else 0)))
+    assert(rows("mod5") == ((users.length - b5, b5, chi(b5), if (chi(b5) > 3841000L) 1 else 0)))
+    // the audit must exercise BOTH outcomes on this corpus
+    assert(rows("mod2")._4 == 0, "healthy split flagged — corpus parity broken")
+    assert(rows("mod5")._4 == 1, "broken split not flagged — check imbalance")
+  }
 }
