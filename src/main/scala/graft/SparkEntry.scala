@@ -73,6 +73,10 @@ object SparkEntry {
     "q3_join_topk"     -> ((s, d) => Relational.q3JoinTopk(s, d)),
     "q5_multijoin"     -> ((s, d) => Relational.q5MultiJoin(s, d)),
     "q6_filter_agg"    -> ((s, d) => Relational.q6FilterAgg(s, d)),
+    "q4_order_priority" -> ((s, d) => Relational.q4OrderPriority(s, d)),
+    "q10_returned"     -> ((s, d) => Relational.q10Returned(s, d)),
+    "q13_custdist"     -> ((s, d) => Relational.q13CustDist(s, d)),
+    "q14_promo"        -> ((s, d) => Relational.q14Promo(s, d)),
     "q_window_running" -> ((s, d) => Relational.qWindowRunning(s, d)),
     "q_rollup"         -> ((s, d) => Relational.qRollup(s, d)),
     "q_semi_anti"      -> ((s, d) => Relational.qSemiAnti(s, d)),
@@ -898,6 +902,59 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1996-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1995-07-01'
+        |  AND EXISTS (
+        |    SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey
+        |      AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q10_returned" ->
+      """SELECT c_custkey, c_name, c_acctbal, n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01'
+        |  AND o_orderdate < TIMESTAMP '1995-04-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q13_custdist" ->
+      """WITH pc AS (
+        |  SELECT c.c_custkey, CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY c.c_custkey)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM pc GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+
+    "q14_promo" ->
+      """WITH s AS (
+        |  SELECT
+        |    sum(CASE WHEN p_type = 'ECONOMY'
+        |        THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |        ELSE CAST(0.0 AS DECIMAL(18,4)) END) AS promo,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS total
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1995-03-01'
+        |    AND l_shipdate < TIMESTAMP '1995-04-01')
+        |SELECT
+        |  CAST(CAST(promo * 10000 AS HUGEINT) * 10000
+        |    // CAST(total * 10000 AS HUGEINT) AS BIGINT) AS promo_share_x1e4,
+        |  CAST(promo AS DOUBLE) AS promo_revenue,
+        |  CAST(total AS DOUBLE) AS total_revenue
+        |FROM s""".stripMargin,
 
     "q6_filter_agg" ->
       """SELECT COALESCE(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS revenue

@@ -94,6 +94,101 @@ object Relational {
         .as("revenue"))
   }
 
+  /** TPC-H Q4 shape — order-priority checking: count orders per
+    * priority that had at least one LATE lineitem (shipped > 90 days
+    * after the order date — the available-schema adaptation of Q4's
+    * commitdate<receiptdate predicate). The EXISTS collapses to a
+    * LEFT SEMI join, so each order contributes once however many
+    * lines are late, and the join output is order-keyed (never
+    * lineitem-scale) before the bounded priority aggregate.
+    */
+  def q4OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1995-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q10 — returned-item reporting: the top-20 customers by
+    * revenue lost to returns in a quarter, with nation context. The
+    * returnflag filter prunes the fact scan, the nation dim
+    * broadcasts, and the top-20 runs as a distributed
+    * TakeOrderedAndProject over the customer-grain aggregate.
+    */
+  def q10Returned(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    Tables.lineitem(spark, dir)
+      .filter(col("l_returnflag") === "R")
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir)
+          .select("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  /** TPC-H Q13 — customer order-count distribution: how many customers
+    * placed k orders (excluding URGENT ones — the available-schema
+    * stand-in for Q13's comment exclusion), INCLUDING the zero-order
+    * customers the left join preserves. Two narrow aggregates: the
+    * per-customer count shuffles customer-keyed rows, the distribution
+    * is count-domain bounded.
+    */
+  def q13CustDist(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select("o_orderkey", "o_custkey")
+    Tables.customer(spark, dir).select(col("c_custkey"))
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy(col("c_count"))
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  /** TPC-H Q14 — promotion effect: the share of one month's revenue
+    * from promo-class parts (p_type = 'ECONOMY' in this catalog's type
+    * vocabulary), as BOTH the exact ×10⁴ integer share (DECIMAL(18,4)
+    * sums are integral in 10⁻⁴ units, so the ratio is one staged
+    * DECIMAL(38,0) floor division — exact at any corpus size) and the
+    * two revenue doubles for the BI reader. One pruned fact scan, one
+    * part join, a single 1-row conditional aggregate.
+    */
+  def q14Promo(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1995-03-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1995-04-01").cast("timestamp"))
+    val rev = dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    li.join(Tables.part(spark, dir).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "ECONOMY", rev).otherwise(dec4(lit(0.0)))).as("promo"),
+        sum(rev).as("total"))
+      .select(
+        expr("""CAST(CAST(promo * 10000 AS DECIMAL(38,0)) * 10000
+               |  div CAST(total * 10000 AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+          .as("promo_share_x1e4"),
+        col("promo").cast("double").as("promo_revenue"),
+        col("total").cast("double").as("total_revenue"))
+  }
+
   /** Window functions: per-customer order sequence + running total. */
   def qWindowRunning(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))

@@ -725,6 +725,62 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("TPC-H q4/q10/q13/q14 shapes equal driver replays over the 1995 windows") {
+    import SparkTestSession._
+    val t0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00").getTime
+    val tH = java.sql.Timestamp.valueOf("1995-07-01 00:00:00").getTime
+    val tQ = java.sql.Timestamp.valueOf("1995-04-01 00:00:00").getTime
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getString(3)))
+    val lines = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_shipdate", "l_returnflag", "l_extendedprice", "l_discount")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime, r.getString(2),
+        r.getDouble(3), r.getDouble(4)))
+    // q4: orders with any line shipped >90 days after order date
+    val shipByOrder = lines.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    val ninety = 90L * 86400000L
+    val wantQ4 = orders
+      .filter(o => o._3 >= t0 && o._3 < tH)
+      .filter(o => shipByOrder.getOrElse(o._1, Nil).exists(_ > o._3 + ninety))
+      .groupBy(_._4).view.mapValues(_.length.toLong).toMap
+    val q4 = operators.Relational.q4OrderPriority(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(q4 == wantQ4 && q4.nonEmpty, "q4 priority counts drift")
+    // q10: top-20 customers by returned revenue in 1995Q1
+    val q1Orders = orders.filter(o => o._3 >= t0 && o._3 < tQ)
+      .map(o => o._1 -> o._2).toMap
+    val revByCust = lines
+      .filter(l => l._3 == "R" && q1Orders.contains(l._1))
+      .groupBy(l => q1Orders(l._1)).view.mapValues(ls =>
+        ls.map(l => BigDecimal(l._4 * (1.0 - l._5)).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+          .sum.toDouble).toMap
+    val q10 = operators.Relational.q10Returned(spark, sf).collect()
+    assert(q10.nonEmpty && q10.length <= 20)
+    q10.foreach { r =>
+      assert(math.abs(r.getDouble(4) - revByCust(r.getLong(0))) < 1e-6,
+        s"q10 revenue drift for customer ${r.getLong(0)}")
+    }
+    val revs = q10.map(_.getDouble(4))
+    assert(revs.zip(revs.tail).forall { case (a, b) => a >= b }, "q10 not revenue-ordered")
+    // q13: distribution counts partition the customer base
+    val q13 = operators.Relational.q13CustDist(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nCust = Tables.customer(spark, sf).count()
+    assert(q13.map(_._2).sum == nCust, "q13 buckets must partition all customers")
+    val nonUrgent = orders.filter(_._4 != "1-URGENT").groupBy(_._2).view.mapValues(_.length.toLong)
+    val custIds = Tables.customer(spark, sf).select("c_custkey").collect().map(_.getLong(0))
+    val wantQ13 = custIds.map(c => nonUrgent.getOrElse(c, 0L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(q13.toMap == wantQ13, "q13 distribution drift")
+    // q14: share bounded and consistent with the two revenue columns
+    val q14 = operators.Relational.q14Promo(spark, sf).collect().head
+    assert(q14.getLong(0) >= 0 && q14.getLong(0) <= 10000)
+    assert(q14.getDouble(1) <= q14.getDouble(2))
+    assert(q14.getDouble(1) > 0, "promo class empty — share vacuous")
+  }
+
   test("pareto coverage: k is the minimal spend-ranked prefix reaching each threshold") {
     val spend = Tables.orders(SparkTestSession.spark, SparkTestSession.sf)
       .groupBy(col("o_custkey"))
