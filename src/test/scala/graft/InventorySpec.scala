@@ -44,7 +44,7 @@ class InventorySpec extends AnyFunSuite {
       "src/main/scala/graft/operators/Temporal.scala",
       "src/main/scala/graft/operators/Graph.scala",
       "src/main/scala/graft/operators/Text.scala")
-    val keyRe = """"((?:ms|q[0-9]?|ann|txt|mm|pipe|dedup|stream)_[a-z0-9_]+)"\s*->""".r
+    val keyRe = """"((?:ms|q[0-9]*|ann|txt|mm|pipe|dedup|stream)_[a-z0-9_]+)"\s*->""".r
     // the global invariant: every registered name has EXACTLY one
     // queries entry and at most one oracle entry — so its `"name" ->`
     // literal appears at most twice across all registry sources

@@ -199,4 +199,20 @@ class PlanSpec extends AnyFunSuite {
         s"$n must range-repartition by the rank order")
     }
   }
+
+  test("round-8 page/semi shapes: distributed top-k and a real semi join") {
+    // q10's top-20 must be a TakeOrderedAndProject (per-partition heaps,
+    // never a global sort); q4's EXISTS must stay a LeftSemi join (one
+    // probe per order, no lineitem-scale fanout into the aggregate)
+    val q10 = operators.Relational.q10Returned(spark, sf)
+    q10.collect()
+    assert(flatten(q10.queryExecution.executedPlan)
+        .exists(_.nodeName.contains("TakeOrderedAndProject")),
+      "q10 page is not a distributed top-k")
+    val q4 = operators.Relational.q4OrderPriority(spark, sf)
+    q4.collect()
+    assert(flatten(q4.queryExecution.executedPlan)
+        .exists(_.toString.contains("LeftSemi")),
+      "q4 EXISTS did not plan as a semi join")
+  }
 }
