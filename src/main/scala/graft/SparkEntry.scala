@@ -319,6 +319,8 @@ object SparkEntry {
     "q_pareto"            -> ((s, d) => Relational.qPareto(s, d)),
     "q_did"               -> ((s, d) => operators.Temporal.qDid(s, d)),
     "q_srm"               -> ((s, d) => operators.Temporal.qSrm(s, d)),
+    "q_dispersion"        -> ((s, d) => operators.Temporal.qDispersion(s, d)),
+    "q_t_closeness"       -> ((s, d) => Pipeline.qTCloseness(s, d)),
     "ms_cross_fields"     -> ((s, d) => Metastore.crossFieldsQ(s, d)),
     "q_ntile"             -> ((s, d) => Relational.qNtile(s, d)),
     "q_theil_sen"         -> ((s, d) => operators.Temporal.qTheilSen(s, d)),

@@ -356,6 +356,52 @@ object Pipeline {
       .orderBy(col("l_bucket"))
   }
 
+  /** t-closeness audit — the third leg of the release-privacy triad
+    * ([[qKAnonymity]] membership, [[qLDiversity]] distinctness, this:
+    * DISTRIBUTION skew): a class can have many distinct sensitive
+    * values and still leak if its distribution diverges from the
+    * global one. Distance = total variation (the categorical EMD),
+    * computed exactly: Σ|c_i·N − n_i·C| over ALL langs collapses to
+    * N·C + Σ_present(|c_i·N − n_i·C| − n_i·C) — absent langs
+    * contribute n_i·C without ever being materialized — then
+    * tvd ×10⁶ = num·10⁶ div (2·C·N), staged DECIMAL(38,0) (c·N ~
+    * 10²⁴ at corpus scale). Emits the worst-5 classes with the
+    * t > 0.2 breach flag. Same QI grid and scale shape as the k/l
+    * audits: one partial-agg pass, then class-domain arithmetic.
+    */
+  def qTCloseness(s: SparkSession, d: String): DataFrame = {
+    val cell = Tables.documents(s, d)
+      .groupBy(col("source"), expr("n_chars div 100").as("size_bucket"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(eager = false)
+    val cls = cell.groupBy(col("source"), col("size_bucket"))
+      .agg(sum(col("c")).cast("long").as("k"), count(lit(1)).as("n_langs"))
+    val global = cell.groupBy(col("lang")).agg(sum(col("c")).cast("long").as("n_g"))
+    val tot = global.agg(sum(col("n_g")).cast("long").as("n_total"))
+    val num = cell
+      .join(broadcast(global), Seq("lang"))
+      .join(cls.select(col("source"), col("size_bucket"), col("k")),
+        Seq("source", "size_bucket"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"), col("size_bucket"))
+      .agg(sum(expr(
+        """abs(CAST(c AS DECIMAL(38,0)) * n_total - CAST(n_g AS DECIMAL(38,0)) * k)
+          |  - CAST(n_g AS DECIMAL(38,0)) * k""".stripMargin)).as("part_num"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("tvd_x1e6").desc, col("source"), col("size_bucket"))
+    cls.join(num, Seq("source", "size_bucket"))
+      .crossJoin(broadcast(tot))
+      .withColumn("tvd_x1e6", expr(
+        """CAST(((CAST(n_total AS DECIMAL(38,0)) * k + part_num) * 1000000)
+          |  div (2 * CAST(n_total AS DECIMAL(38,0)) * k) AS BIGINT)""".stripMargin))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select(col("rk").cast("int").as("rank"), col("source"), col("size_bucket"),
+        col("k"), col("n_langs"), col("tvd_x1e6"),
+        (col("tvd_x1e6") > 200000L).cast("int").as("breach"))
+      .orderBy(col("rank"))
+  }
+
   /** Class-balance report + uniform-rebalance weights per language —
     * the mixture bookkeeping before an oversampling/temperature pass
     * ([[pipeMixWeights]]' descriptive sibling): per class, doc and
@@ -2253,6 +2299,43 @@ object Pipeline {
         |SELECT window_start_us, event_type, n, sum_value
         |FROM rk WHERE rk <= 3
         |ORDER BY window_start_us, n DESC, event_type""".stripMargin,
+
+    "q_t_closeness" ->
+      """WITH cell AS (
+        |  SELECT source, n_chars // 100 AS size_bucket, lang,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source, size_bucket, lang),
+        |cls AS (
+        |  SELECT source, size_bucket, CAST(sum(c) AS BIGINT) AS k,
+        |    CAST(count(*) AS BIGINT) AS n_langs
+        |  FROM cell GROUP BY source, size_bucket),
+        |g AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n_g FROM cell GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n_total FROM g),
+        |num AS (
+        |  SELECT cell.source, cell.size_bucket,
+        |    sum(abs(CAST(cell.c AS HUGEINT) * t.n_total
+        |          - CAST(g.n_g AS HUGEINT) * cls.k)
+        |        - CAST(g.n_g AS HUGEINT) * cls.k) AS part_num
+        |  FROM cell
+        |  JOIN g USING (lang)
+        |  JOIN cls ON cls.source = cell.source AND cls.size_bucket = cell.size_bucket
+        |  CROSS JOIN t
+        |  GROUP BY cell.source, cell.size_bucket),
+        |scored AS (
+        |  SELECT cls.source, cls.size_bucket, cls.k, cls.n_langs,
+        |    CAST(((CAST(t.n_total AS HUGEINT) * cls.k + num.part_num) * 1000000)
+        |      // (2 * CAST(t.n_total AS HUGEINT) * cls.k) AS BIGINT) AS tvd_x1e6
+        |  FROM cls
+        |  JOIN num ON num.source = cls.source AND num.size_bucket = cls.size_bucket
+        |  CROSS JOIN t),
+        |pg AS (
+        |  SELECT *, row_number() OVER (
+        |    ORDER BY tvd_x1e6 DESC, source, size_bucket) AS rk
+        |  FROM scored)
+        |SELECT CAST(rk AS INT) AS rank, source, size_bucket, k, n_langs,
+        |  tvd_x1e6,
+        |  CAST(CASE WHEN tvd_x1e6 > 200000 THEN 1 ELSE 0 END AS INT) AS breach
+        |FROM pg WHERE rk <= 5 ORDER BY rank""".stripMargin,
 
     "pipe_split_leakage" -> {
       val fp = graft.text.TextFunctions

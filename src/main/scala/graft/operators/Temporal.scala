@@ -414,6 +414,33 @@ object Temporal {
       .orderBy(col("arm"))
   }
 
+  /** Dispersion (Fano) index of daily event counts per type — the
+    * burstiness diagnostic that separates Poisson-like traffic
+    * (fano ≈ 1) from bursty incident-driven load (fano ≫ 1) and
+    * over-regular synthetic load (fano < 1): variance/mean ×10⁶ =
+    * (n·Σx² − (Σx)²)·10⁶ div (n·Σx), exact integers staged
+    * DECIMAL(38,0) (n·Σx²·10⁶ ~ 10³² at 10¹²-row days). The daily
+    * grid is one partial-agg pass; everything after is
+    * (types × days)-bounded.
+    */
+  def qDispersion(s: SparkSession, d: String): DataFrame = {
+    val daily = EventStreams.normalize(Tables.events(s, d))
+      .groupBy(col("event_type"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("x")).cast("long").as("n_events"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sx2"))
+      .select(col("event_type"), col("n_days"), col("n_events"),
+        expr("(n_events * 100) div n_days").as("mean_x100"),
+        expr("""CAST(((CAST(n_days AS DECIMAL(38,0)) * sx2
+               |  - CAST(n_events AS DECIMAL(38,0)) * n_events) * 1000000)
+               |  div (CAST(n_days AS DECIMAL(38,0)) * n_events) AS BIGINT)"""
+          .stripMargin).as("fano_x1e6"))
+      .withColumn("overdispersed", (col("fano_x1e6") > 1000000L).cast("int"))
+      .orderBy(col("event_type"))
+  }
+
   /** Difference-in-differences — the canonical quasi-experimental
     * estimator ([[qAbLift]]'s observational sibling): treatment =
     * odd user_id, intervention at day 19738 (mid-window of the event
@@ -2817,6 +2844,27 @@ object Temporal {
         |  CAST(sum(converted) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS conv_x1e4,
         |  CAST(sum(purchase_cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS value_per_user_cents
         |FROM pu GROUP BY arm ORDER BY arm""".stripMargin,
+
+    "q_dispersion" ->
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY event_type, day),
+        |s AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(x) AS BIGINT) AS n_events,
+        |    sum(CAST(x AS HUGEINT) * x) AS sx2
+        |  FROM daily GROUP BY event_type)
+        |SELECT event_type, n_days, n_events,
+        |  (n_events * 100) // n_days AS mean_x100,
+        |  CAST(((CAST(n_days AS HUGEINT) * sx2
+        |      - CAST(n_events AS HUGEINT) * n_events) * 1000000)
+        |    // (CAST(n_days AS HUGEINT) * n_events) AS BIGINT) AS fano_x1e6,
+        |  CAST(CASE WHEN ((CAST(n_days AS HUGEINT) * sx2
+        |      - CAST(n_events AS HUGEINT) * n_events) * 1000000)
+        |    // (CAST(n_days AS HUGEINT) * n_events) > 1000000
+        |    THEN 1 ELSE 0 END AS INT) AS overdispersed
+        |FROM s ORDER BY event_type""".stripMargin,
 
     "q_did" ->
       """WITH e AS (

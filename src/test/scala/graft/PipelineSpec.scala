@@ -1084,6 +1084,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("t-closeness: total-variation distances equal the exact BigInt replay") {
+    val rows0 = docs.select("source", "n_chars", "lang").collect()
+      .map(r => ((r.getString(0), r.getLong(1) / 100), r.getString(2)))
+    val byClass = rows0.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.length.toLong).toMap).toMap
+    val global = rows0.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = rows0.length.toLong
+    def tvd(cls: Map[String, Long]): BigInt = {
+      val k = cls.values.sum
+      val num = global.map { case (lang, ng) =>
+        (BigInt(cls.getOrElse(lang, 0L)) * n - BigInt(ng) * k).abs
+      }.sum
+      num * 1000000 / (BigInt(2) * n * k)
+    }
+    val want = byClass.map { case (key, cls) => key -> tvd(cls) }
+    val out = Pipeline.qTCloseness(spark, sf).collect()
+    assert(out.length == 5)
+    out.foreach { r =>
+      val key = (r.getString(1), r.getLong(2))
+      assert(BigInt(r.getLong(5)) == want(key), s"tvd drift for $key")
+      assert(r.getLong(5) >= 0 && r.getLong(5) <= 1000000, s"tvd out of range: $r")
+      assert((r.getInt(6) == 1) == (r.getLong(5) > 200000L), s"breach flag drift: $r")
+      assert(r.getLong(3) == byClass(key).values.sum, s"class size drift: $key")
+      assert(r.getLong(4) == byClass(key).size.toLong, s"lang count drift: $key")
+    }
+    // the page really is the worst classes: nothing outside beats rank 5
+    val pageMin = out.map(_.getLong(5)).min
+    val outsideMax = want.view.filterKeys(k =>
+      !out.exists(r => (r.getString(1), r.getLong(2)) == k)).values
+      .foldLeft(BigInt(0))(_ max _)
+    assert(outsideMax <= pageMin, "a worse class was left off the page")
+  }
+
   test("heaps curve: cumulative quarters replay and vocabulary growth is sublinear") {
     val docTok = Tables.documents(spark, sf).select("doc_id", "text").collect()
       .map(r => (r.getLong(0) % 4,

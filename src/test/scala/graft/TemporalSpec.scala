@@ -1136,6 +1136,28 @@ class TemporalSpec extends AnyFunSuite {
     assert((row.getInt(7) == 1) == (want.toLong > 3841459L))
   }
 
+  test("dispersion: Fano factors equal the exact daily-count replay") {
+    val daily = graft.streaming.EventStreams.normalize(
+        Tables.events(SparkTestSession.spark, SparkTestSession.sf))
+      .select("event_type", "ts_us").collect()
+      .map(r => (r.getString(0), r.getLong(1) / 86400000000L))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case ((t, d), x) => (t, d, x) }
+    val rows = Temporal.qDispersion(SparkTestSession.spark, SparkTestSession.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val xs = daily.filter(_._1 == r.getString(0)).map(_._3)
+      val (nd, ne) = (xs.length.toLong, xs.sum)
+      assert(r.getLong(1) == nd && r.getLong(2) == ne, s"grid drift: $r")
+      assert(r.getLong(3) == ne * 100 / nd, s"mean drift: $r")
+      val sx2 = xs.map(x => BigInt(x) * x).sum
+      val fano = (BigInt(nd) * sx2 - BigInt(ne) * ne) * 1000000 / (BigInt(nd) * ne)
+      assert(BigInt(r.getLong(4)) == fano, s"fano drift: $r")
+      assert((r.getInt(5) == 1) == (fano > 1000000), s"flag drift: $r")
+      assert(fano >= 0, "variance cannot be negative")
+    }
+  }
+
   test("difference-in-differences equals the four-cell driver replay") {
     val evs = graft.streaming.EventStreams.normalize(
         Tables.events(SparkTestSession.spark, SparkTestSession.sf))
