@@ -368,6 +368,7 @@ object SparkEntry {
     "mm_sobel"            -> ((s, d) => Pipeline.mmSobel(s, d)),
     "mm_hist_eq"          -> ((s, d) => Pipeline.mmHistEq(s, d)),
     "mm_audio_stats"      -> ((s, d) => Pipeline.mmAudioStats(s, d)),
+    "mm_decode_png_idx"   -> ((s, d) => Pipeline.mmDecodePngIdx(s, d)),
     "txt_heaps"           -> ((s, d) => Text.heaps(s, d)),
     "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),
     "txt_repetition"      -> ((s, d) => Text.repetition(s, d)),

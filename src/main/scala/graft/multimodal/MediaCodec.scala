@@ -318,6 +318,173 @@ object MediaCodec {
     PngMeta(w, h, sr, sg, sb)
   }
 
+  /** Indexed-color PNG encoder (color type 3, bit depth 4): 16-entry
+    * PLTE, scanlines packed two pixels per byte MSB-first per the PNG
+    * spec, filters applied at BYTE granularity (bpp < 8 ⇒ the filter
+    * unit is one byte — `a` is the previous byte, not the previous
+    * pixel), odd widths pad the final low nibble with zero.
+    */
+  def encodePngIndexed(w: Int, h: Int, palette: Array[Int],
+                       index: (Int, Int) => Int,
+                       filterFor: Int => Int = _ % 5): Array[Byte] = {
+    require(w > 0 && h > 0, s"bad png geometry ${w}x$h")
+    require(palette.length == 16, "palette must have 16 entries")
+    val stride = (w + 1) / 2
+    val raw = new Array[Byte](h * (1 + stride))
+    val prior = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      java.util.Arrays.fill(cur, 0)
+      var x = 0
+      while (x < w) {
+        val ix = index(x, y) & 0xf
+        if (x % 2 == 0) cur(x / 2) |= ix << 4 else cur(x / 2) |= ix
+        x += 1
+      }
+      val ft = filterFor(y) % 5
+      val base = y * (1 + stride)
+      raw(base) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val a = if (i >= 1) cur(i - 1) else 0
+        val b = if (y > 0) prior(i) else 0
+        val c = if (y > 0 && i >= 1) prior(i - 1) else 0
+        val f = ft match {
+          case 0 => cur(i)
+          case 1 => cur(i) - a
+          case 2 => cur(i) - b
+          case 3 => cur(i) - ((a + b) / 2)
+          case 4 => cur(i) - paeth(a, b, c)
+        }
+        raw(base + 1 + i) = (f & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater
+    deflater.setInput(raw); deflater.finish()
+    val zbuf = new Array[Byte](raw.length + 64)
+    var zlen = 0
+    while (!deflater.finished()) {
+      val n = deflater.deflate(zbuf, zlen, zbuf.length - zlen)
+      require(n > 0 || deflater.finished(), "deflate stalled")
+      zlen += n
+    }
+    deflater.end()
+    val z = java.util.Arrays.copyOf(zbuf, zlen)
+    val ihdr = new Array[Byte](13)
+    putBe32(ihdr, 0, w); putBe32(ihdr, 4, h)
+    ihdr(8) = 4; ihdr(9) = 3 // bit depth 4, indexed-color
+    val plte = new Array[Byte](48)
+    var j = 0
+    while (j < 16) {
+      plte(j * 3) = ((palette(j) >> 16) & 0xff).toByte
+      plte(j * 3 + 1) = ((palette(j) >> 8) & 0xff).toByte
+      plte(j * 3 + 2) = (palette(j) & 0xff).toByte
+      j += 1
+    }
+    (Seq(PngSig, pngChunk("IHDR", ihdr), pngChunk("PLTE", plte),
+      pngChunk("IDAT", z)) :+ pngChunk("IEND", Array.empty[Byte]))
+      .reduce(_ ++ _)
+  }
+
+  /** Decoded indexed PNG: geometry, palette size, exact index sum and
+    * palette-resolved channel sums.
+    */
+  final case class PngIdxMeta(width: Int, height: Int, nColors: Int,
+                              sumIdx: Long, sumR: Long, sumG: Long, sumB: Long)
+
+  /** Chunk-walking decoder for 4-bit indexed-color PNG: CRC-verifies
+    * every chunk, reads PLTE, inflates, unfilters at byte granularity
+    * (bpp = 1 byte for sub-byte depths per the spec), unpacks nibbles
+    * MSB-first, and ignores the pad nibble on odd widths.
+    */
+  def decodePngIndexed(b: Array[Byte]): PngIdxMeta = {
+    require(isPng(b), "not a PNG payload")
+    var o = 8
+    var w = -1; var h = -1
+    var plte: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream
+    var done = false
+    while (!done) {
+      require(o + 8 <= b.length, "truncated PNG chunk header")
+      val len = be32(b, o)
+      require(len >= 0 && o + 12 + len <= b.length, "truncated PNG chunk")
+      val typ = new String(b, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      val crc = new java.util.zip.CRC32
+      crc.update(b, o + 4, 4 + len)
+      require(crc.getValue.toInt == be32(b, o + 8 + len), s"PNG CRC mismatch in $typ")
+      typ match {
+        case "IHDR" =>
+          w = be32(b, o + 8); h = be32(b, o + 12)
+          require(w > 0 && h > 0, s"bad png geometry ${w}x$h")
+          require(b(o + 16) == 4 && b(o + 17) == 3 && b(o + 18) == 0 &&
+            b(o + 19) == 0 && b(o + 20) == 0,
+            "only 4-bit indexed non-interlaced PNG supported")
+        case "PLTE" =>
+          require(len % 3 == 0 && len <= 48, s"bad PLTE length $len")
+          plte = java.util.Arrays.copyOfRange(b, o + 8, o + 8 + len)
+        case "IDAT" => idat.write(b, o + 8, len)
+        case "IEND" => done = true
+        case _ => ()
+      }
+      o += 12 + len
+    }
+    require(w > 0 && plte != null, "PNG missing IHDR/PLTE")
+    val stride = (w + 1) / 2
+    val raw = new Array[Byte](h * (1 + stride))
+    val inflater = new java.util.zip.Inflater
+    inflater.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inflater.finished()) {
+      val n = inflater.inflate(raw, got, raw.length - got)
+      require(n > 0 || inflater.finished(), "truncated PNG pixel stream")
+      got += n
+    }
+    inflater.end()
+    require(got == raw.length, s"PNG pixel stream $got != ${raw.length}")
+    var sIdx = 0L; var sr = 0L; var sg = 0L; var sb = 0L
+    val prior = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + stride)
+      val ft = raw(base) & 0xff
+      require(ft <= 4, s"bad PNG filter type $ft")
+      var i = 0
+      while (i < stride) {
+        val f = raw(base + 1 + i) & 0xff
+        val a = if (i >= 1) cur(i - 1) else 0
+        val b2 = if (y > 0) prior(i) else 0
+        val c = if (y > 0 && i >= 1) prior(i - 1) else 0
+        val v = ft match {
+          case 0 => f
+          case 1 => f + a
+          case 2 => f + b2
+          case 3 => f + ((a + b2) / 2)
+          case 4 => f + paeth(a, b2, c)
+        }
+        cur(i) = v & 0xff
+        i += 1
+      }
+      var x = 0
+      while (x < w) {
+        val ix = if (x % 2 == 0) (cur(x / 2) >> 4) & 0xf else cur(x / 2) & 0xf
+        require(ix * 3 < plte.length, s"palette index $ix out of range")
+        sIdx += ix
+        sr += plte(ix * 3) & 0xff
+        sg += plte(ix * 3 + 1) & 0xff
+        sb += plte(ix * 3 + 2) & 0xff
+        x += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    PngIdxMeta(w, h, plte.length / 3, sIdx, sr, sg, sb)
+  }
+
   // ---- GIF (GIF89a spec): 16-color palette, variable-width LZW ----
 
   def isGif(b: Array[Byte]): Boolean =

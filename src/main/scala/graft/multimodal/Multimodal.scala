@@ -346,6 +346,41 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Real-decoder gate, indexed-color PNG path: synthesize a genuine
+    * 4-bit PLTE PNG per doc — palette and index map pure functions of
+    * doc_id, widths start at 3 so ODD widths keep the pad-nibble path
+    * in play, the per-row filter type cycles all five — then run the
+    * REAL [[MediaCodec.decodePngIndexed]] (CRC walk, PLTE parse,
+    * inflate, BYTE-granularity unfilter, MSB-first nibble unpack) and
+    * emit geometry + exact index and palette-resolved channel sums.
+    * The oracle recomputes everything closed-form from the index and
+    * palette formulas, so a bug anywhere in the sub-byte path breaks
+    * the hash.
+    */
+  def decodePngIndexedPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val w = (3 + id % 13).toInt
+        val h = (2 + id % 9).toInt
+        val palette = Array.tabulate(16) { j =>
+          val r = ((id + 17L * j) % 256).toInt
+          val g = ((2L * id + 29L * j) % 256).toInt
+          val b = ((3L * id + 41L * j) % 256).toInt
+          (r << 16) | (g << 8) | b
+        }
+        val payload = MediaCodec.encodePngIndexed(w, h, palette,
+          (x, y) => ((id + 3L * x + 5L * y) % 16).toInt)
+        val m = MediaCodec.decodePngIndexed(payload)
+        (id, m.width.toLong, m.height.toLong, m.nColors.toLong,
+          m.sumIdx, m.sumR, m.sumG, m.sumB)
+      }
+    }.toDF("doc_id", "width", "height", "n_colors",
+        "sum_idx", "sum_r", "sum_g", "sum_b")
+      .orderBy(col("doc_id"))
+  }
+
   /** Real-decoder gate, compressed-image path: synthesize a genuine
     * 8-bit truecolor PNG per doc (geometry/pixels pure functions of
     * doc_id; the per-row filter type cycles through all five spec

@@ -210,6 +210,9 @@ object Pipeline {
   def mmDecodeGif(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeGifPlan(Tables.documents(s, d))
 
+  def mmDecodePngIdx(s: SparkSession, d: String): DataFrame =
+    Multimodal.decodePngIndexedPlan(Tables.documents(s, d))
+
   def mmDecodeQoi(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeQoiPlan(Tables.documents(s, d))
 
@@ -2829,6 +2832,22 @@ object Pipeline {
         |FROM cdf c JOIN st s ON s.doc_id = c.doc_id
         |GROUP BY c.doc_id, c.w, c.h, s.n_levels, s.gray_min, s.gray_max
         |ORDER BY c.doc_id""".stripMargin,
+
+    "mm_decode_png_idx" ->
+      """WITH m AS (SELECT doc_id, 3 + doc_id % 13 AS w, 2 + doc_id % 9 AS h
+        |           FROM documents),
+        |px AS (
+        |  SELECT m.doc_id, m.w, m.h,
+        |    (m.doc_id + 3 * x.i + 5 * y.i) % 16 AS idx
+        |  FROM m, range(0, 16) x(i), range(0, 11) y(i)
+        |  WHERE x.i < m.w AND y.i < m.h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(16 AS BIGINT) AS n_colors,
+        |  CAST(sum(idx) AS BIGINT) AS sum_idx,
+        |  CAST(sum((doc_id + 17 * idx) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((2 * doc_id + 29 * idx) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((3 * doc_id + 41 * idx) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
 
     "mm_audio_stats" ->
       """WITH m AS (SELECT doc_id, 50 + doc_id % 300 AS n,

@@ -255,6 +255,47 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("indexed PNG: round-trip across filters, odd-width pad nibble, palette sums") {
+    import graft.multimodal.MediaCodec
+    val pal = Array.tabulate(16)(j => (j << 16) | ((15 - j) << 8) | (j * 17))
+    // odd width exercises the pad nibble; h=6 cycles filters 0..4 and repeats 0
+    val w = 5; val h = 6
+    def ix(x: Int, y: Int) = (x + 2 * y) % 16
+    val m = MediaCodec.decodePngIndexed(MediaCodec.encodePngIndexed(w, h, pal, ix))
+    assert(m.width == w && m.height == h && m.nColors == 16)
+    var (si, sr, sg, sb) = (0L, 0L, 0L, 0L)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = ix(x, y)
+      si += i; sr += (pal(i) >> 16) & 0xff; sg += (pal(i) >> 8) & 0xff; sb += pal(i) & 0xff
+    }
+    assert((m.sumIdx, m.sumR, m.sumG, m.sumB) == ((si, sr, sg, sb)),
+      "indexed round-trip sums drift")
+    // a single-pixel image: the degenerate stride-1 edge of every filter
+    for (ft <- 0 to 4) {
+      val one = MediaCodec.decodePngIndexed(
+        MediaCodec.encodePngIndexed(1, 1, pal, (_, _) => 7, _ => ft))
+      assert(one.sumIdx == 7L, s"1x1 filter-$ft round-trip failed")
+    }
+    // the gate plan agrees with a driver replay on real docs
+    val rows = graft.operators.Pipeline.mmDecodePngIdx(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.take(30).foreach { r =>
+      val id = r.getLong(0)
+      val dw = (3 + id % 13).toInt
+      val dh = (2 + id % 9).toInt
+      assert(r.getLong(1) == dw && r.getLong(2) == dh && r.getLong(3) == 16)
+      var (wi, wr, wg, wb) = (0L, 0L, 0L, 0L)
+      for (y <- 0 until dh; x <- 0 until dw) {
+        val i = ((id + 3L * x + 5L * y) % 16).toInt
+        wi += i
+        wr += (id + 17L * i) % 256; wg += (2L * id + 29L * i) % 256
+        wb += (3L * id + 41L * i) % 256
+      }
+      assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ==
+        ((wi, wr, wg, wb)), s"indexed PNG stats drift for doc $id")
+    }
+  }
+
   test("audio stats: energy/ZCR/peak equal the closed-form sample replay") {
     val rows = graft.operators.Pipeline.mmAudioStats(spark, sf).collect()
     assert(rows.nonEmpty)
