@@ -370,6 +370,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("idempotent sink: batch replay is a no-op and the output is exactly-once") {
+    import graft.sources.IdempotentSink
+    val root = java.nio.file.Files.createTempDirectory("graft-idem").toString
+    val a = spark.range(0, 100).toDF("v")
+    val b = spark.range(100, 150).toDF("v")
+    IdempotentSink.write(root)(a, 0L)
+    IdempotentSink.write(root)(b, 1L)
+    assert(IdempotentSink.readCommitted(spark, root).count() == 150)
+    // replaying batch 0 — even with DIFFERENT data, as a crashed-and-
+    // recomputed batch might produce — must not change committed output
+    IdempotentSink.write(root)(spark.range(0, 999).toDF("v"), 0L)
+    val after = IdempotentSink.readCommitted(spark, root)
+    assert(after.count() == 150, "replayed batch was not a no-op")
+    assert(after.agg(sum(col("v"))).head.getLong(0) == (0L until 150L).sum)
+    // end-to-end: a real stream through foreachBatch, then a FULL replay
+    // from a fresh checkpoint (same source ⇒ same batch ids) — committed
+    // output must not grow
+    val root2 = java.nio.file.Files.createTempDirectory("graft-idem2").toString
+    val schema = Tables.events(spark, sf).schema
+    val dir = twoBatchDir("idem")
+    def runOnce(): Unit = {
+      val cp = java.nio.file.Files.createTempDirectory("graft-idem-cp").toString
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(dir)
+        .writeStream.option("checkpointLocation", cp)
+        .foreachBatch(IdempotentSink.write(root2) _)
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    val n1 = IdempotentSink.readCommitted(spark, root2).count()
+    assert(n1 == Tables.events(spark, sf).count(), "first run lost rows")
+    runOnce() // fresh checkpoint ⇒ the engine REPLAYS batch ids 0 and 1
+    val n2 = IdempotentSink.readCommitted(spark, root2).count()
+    assert(n2 == n1, s"replay duplicated output: $n1 -> $n2")
+  }
+
   test("lateness audit over TWO micro-batches replays to the batch window result") {
     val ev = EventStreams.normalize(Tables.events(spark, sf))
     val expected = EventStreams.lateAudit(ev).collect().map(_.toSeq).toSet
