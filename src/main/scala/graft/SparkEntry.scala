@@ -321,6 +321,8 @@ object SparkEntry {
     "q_srm"               -> ((s, d) => operators.Temporal.qSrm(s, d)),
     "q_dispersion"        -> ((s, d) => operators.Temporal.qDispersion(s, d)),
     "q_t_closeness"       -> ((s, d) => Pipeline.qTCloseness(s, d)),
+    "q_error_budget"      -> ((s, d) => operators.Temporal.qErrorBudget(s, d)),
+    "q_key_skew"          -> ((s, d) => Relational.qKeySkew(s, d)),
     "ms_cross_fields"     -> ((s, d) => Metastore.crossFieldsQ(s, d)),
     "q_ntile"             -> ((s, d) => Relational.qNtile(s, d)),
     "q_theil_sen"         -> ((s, d) => operators.Temporal.qTheilSen(s, d)),
@@ -757,6 +759,20 @@ object SparkEntry {
         |FROM br CROSS JOIN tot t
         |JOIN ranked r ON r.rn = greatest(1, (t.n_users * br.pct) // 100)
         |ORDER BY pct""".stripMargin,
+
+    "q_key_skew" ->
+      """WITH keys AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY l_partkey),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+        |        CAST(count(*) AS BIGINT) AS n_keys,
+        |        CAST(max(cnt) AS BIGINT) AS max_cnt FROM keys)
+        |SELECT l_partkey, cnt,
+        |  (cnt * 1000000) // t.n_rows AS share_ppm,
+        |  CAST(CAST(t.max_cnt AS HUGEINT) * t.n_keys * 100 // t.n_rows AS BIGINT)
+        |    AS skew_x100
+        |FROM keys CROSS JOIN t
+        |ORDER BY cnt DESC, l_partkey LIMIT 10""".stripMargin,
 
     "q_pareto" ->
       """WITH spend AS (

@@ -1662,6 +1662,29 @@ object Relational {
       .orderBy(col("pct"))
   }
 
+  /** Join-key skew audit — the diagnostic run BEFORE deciding whether a
+    * join needs salting ([[graft.functions.Skew.saltedJoin]]'s intake
+    * form): the top-10 hottest lineitem part keys with their row share
+    * ×10⁶, plus on every row the corpus-wide skew factor — hottest
+    * key's count over the mean count ×100 (100 = perfectly uniform;
+    * the number that says whether one reducer will eat the join). One
+    * partial-agg pass to the key grid; the max/mean factor is a 1-row
+    * broadcast; the page is a distributed top-k.
+    */
+  def qKeySkew(spark: SparkSession, dir: String): DataFrame = {
+    val keys = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    val tot = keys.agg(sum(col("cnt")).cast("long").as("n_rows"),
+      count(lit(1)).as("n_keys"), max(col("cnt")).cast("long").as("max_cnt"))
+    keys.crossJoin(broadcast(tot))
+      .select(col("l_partkey"), col("cnt"),
+        expr("(cnt * 1000000) div n_rows").as("share_ppm"),
+        expr("""CAST(CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 100
+               |  div n_rows AS BIGINT)""".stripMargin).as("skew_x100"))
+      .orderBy(col("cnt").desc, col("l_partkey"))
+      .limit(10)
+  }
+
   /** Pareto coverage — the inverse readout of [[qPowerUsers]]: instead
     * of "how much do the top p% hold", "how FEW customers cover p% of
     * revenue" (the 80/20 number). k(p) = min rank whose cumulative

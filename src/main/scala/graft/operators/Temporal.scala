@@ -414,6 +414,36 @@ object Temporal {
       .orderBy(col("arm"))
   }
 
+  /** SLO error-budget burn — the SRE readout that decides "can we ship
+    * this week": with a 1% error-rate objective, each day's budget
+    * burn is rate/SLO (×100: 100 = burning exactly the budget), and
+    * the cumulative share of the window's total budget consumed so
+    * far (×10⁶) tells you when you run out. 'error' events over all
+    * events, exact integers throughout (rate ppm = e·10⁶ div n; burn
+    * = rate_ppm div 100 since SLO = 1% = 10⁴ ppm). Day-domain
+    * windows only; the fact scan partial-aggregates to the daily
+    * grid in one pass.
+    */
+  def qErrorBudget(s: SparkSession, d: String): DataFrame = {
+    val daily = EventStreams.normalize(Tables.events(s, d))
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .cast("long").as("e"))
+    val tot = daily.agg(sum(col("n")).cast("long").as("n_tot"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    daily.crossJoin(broadcast(tot))
+      .withColumn("rate_ppm", expr("(e * 1000000) div n"))
+      .withColumn("burn_x100", expr("rate_ppm div 100"))
+      .withColumn("cum_e", sum(col("e")).over(w))
+      // window budget = 1% of ALL events; share of it consumed so far
+      .withColumn("budget_used_ppm",
+        expr("(cum_e * 1000000) div (n_tot div 100)"))
+      .select(col("day"), col("n"), col("e"), col("rate_ppm"),
+        col("burn_x100"), col("cum_e"), col("budget_used_ppm"))
+      .orderBy(col("day"))
+  }
+
   /** Dispersion (Fano) index of daily event counts per type — the
     * burstiness diagnostic that separates Poisson-like traffic
     * (fano ≈ 1) from bursty incident-driven load (fano ≫ 1) and
@@ -2844,6 +2874,24 @@ object Temporal {
         |  CAST(sum(converted) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS conv_x1e4,
         |  CAST(sum(purchase_cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS value_per_user_cents
         |FROM pu GROUP BY arm ORDER BY arm""".stripMargin,
+
+    "q_error_budget" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS e
+        |  FROM events GROUP BY day),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM daily)
+        |SELECT day, n, e,
+        |  (e * 1000000) // n AS rate_ppm,
+        |  ((e * 1000000) // n) // 100 AS burn_x100,
+        |  CAST(sum(e) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_e,
+        |  (CAST(sum(e) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    * 1000000) // (t.n_tot // 100) AS budget_used_ppm
+        |FROM daily CROSS JOIN t ORDER BY day""".stripMargin,
 
     "q_dispersion" ->
       """WITH daily AS (

@@ -725,6 +725,24 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("key skew: the hot-key page and skew factor equal the key-grid replay") {
+    import SparkTestSession._
+    val counts = Tables.lineitem(spark, sf).groupBy(col("l_partkey")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nRows = counts.map(_._2).sum
+    val skew = BigInt(counts.map(_._2).max) * counts.length * 100 / nRows
+    val want = counts.sortBy { case (k, c) => (-c, k) }.take(10)
+    val rows = operators.Relational.qKeySkew(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.zip(want).foreach { case (r, (k, c)) =>
+      assert(r.getLong(0) == k && r.getLong(1) == c, s"hot-key page drift: $r")
+      assert(r.getLong(2) == c * 1000000L / nRows, s"share drift: $r")
+      assert(BigInt(r.getLong(3)) == skew, s"skew factor drift: $r")
+    }
+    // max >= mean by definition; equality only under perfect uniformity
+    assert(rows.head.getLong(3) >= 100L)
+  }
+
   test("TPC-H q4/q10/q13/q14 shapes equal driver replays over the 1995 windows") {
     import SparkTestSession._
     val t0 = java.sql.Timestamp.valueOf("1995-01-01 00:00:00").getTime

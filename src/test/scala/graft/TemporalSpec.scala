@@ -1136,6 +1136,30 @@ class TemporalSpec extends AnyFunSuite {
     assert((row.getInt(7) == 1) == (want.toLong > 3841459L))
   }
 
+  test("error budget: burn and cumulative consumption equal the daily replay") {
+    val evs = graft.streaming.EventStreams.normalize(
+        Tables.events(SparkTestSession.spark, SparkTestSession.sf))
+      .select("ts_us", "event_type").collect()
+      .map(r => (r.getLong(0) / 86400000000L, r.getString(1) == "error"))
+    val daily = evs.groupBy(_._1).view.mapValues(ds2 =>
+      (ds2.length.toLong, ds2.count(_._2).toLong)).toMap
+    val nTot = evs.length.toLong
+    val rows = Temporal.qErrorBudget(SparkTestSession.spark, SparkTestSession.sf).collect()
+    assert(rows.length == daily.size)
+    var cum = 0L
+    rows.foreach { r =>
+      val (n, e) = daily(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == e, s"grid drift: $r")
+      val rate = e * 1000000L / n
+      assert(r.getLong(3) == rate && r.getLong(4) == rate / 100, s"burn drift: $r")
+      cum += e
+      assert(r.getLong(5) == cum, s"cumulative drift: $r")
+      assert(r.getLong(6) == cum * 1000000L / (nTot / 100), s"budget share drift: $r")
+    }
+    // the corpus carries real errors or the whole audit is vacuous
+    assert(cum > 0, "no error events in corpus")
+  }
+
   test("dispersion: Fano factors equal the exact daily-count replay") {
     val daily = graft.streaming.EventStreams.normalize(
         Tables.events(SparkTestSession.spark, SparkTestSession.sf))
