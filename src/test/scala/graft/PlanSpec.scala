@@ -200,6 +200,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("composite agg: the after-key predicate reaches the parquet scan") {
+    // the WHOLE point of after-key pagination is that the page
+    // predicate is on the GROUP KEYS and prunes the SCAN — if it only
+    // filters post-scan, composite paging reads the full corpus per
+    // page like from/size does
+    val p = plan(operators.Metastore.compositeAggQ(spark, sf))
+    val pushedLine = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    assert(pushedLine.contains("source"),
+      s"after-key source predicate not pushed to the scan: $pushedLine")
+  }
+
   test("round-8 page/semi shapes: distributed top-k and a real semi join") {
     // q10's top-20 must be a TakeOrderedAndProject (per-partition heaps,
     // never a global sort); q4's EXISTS must stay a LeftSemi join (one
