@@ -323,6 +323,7 @@ object SparkEntry {
     "q_t_closeness"       -> ((s, d) => Pipeline.qTCloseness(s, d)),
     "q_error_budget"      -> ((s, d) => operators.Temporal.qErrorBudget(s, d)),
     "q_key_skew"          -> ((s, d) => Relational.qKeySkew(s, d)),
+    "q_moments"           -> ((s, d) => Relational.qMoments(s, d)),
     "ms_cross_fields"     -> ((s, d) => Metastore.crossFieldsQ(s, d)),
     "q_ntile"             -> ((s, d) => Relational.qNtile(s, d)),
     "q_theil_sen"         -> ((s, d) => operators.Temporal.qTheilSen(s, d)),
@@ -759,6 +760,32 @@ object SparkEntry {
         |FROM br CROSS JOIN tot t
         |JOIN ranked r ON r.rn = greatest(1, (t.n_users * br.pct) // 100)
         |ORDER BY pct""".stripMargin,
+
+    "q_moments" ->
+      """WITH x AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(floor(o_totalprice) AS BIGINT) // 100 AS x
+        |  FROM orders),
+        |m AS (SELECT prio, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS xbar
+        |      FROM x GROUP BY prio),
+        |c AS (SELECT x.prio, m.n, m.xbar, x.x - m.xbar AS c
+        |      FROM x JOIN m USING (prio)),
+        |s AS (
+        |  SELECT prio, n, xbar,
+        |    sum(CAST(c AS HUGEINT) * c) AS m2,
+        |    sum(CAST(c AS HUGEINT) * c * c) AS m3,
+        |    sum(CAST(c AS HUGEINT) * c * c * c) AS m4
+        |  FROM c GROUP BY prio, n, xbar)
+        |SELECT prio, n, xbar,
+        |  CAST(m2 // n AS BIGINT) AS var_u,
+        |  CAST(CASE WHEN m2 > 0 THEN
+        |    ((abs(m3) * 1000000 // m2) * (abs(m3) * 1000000 // m2) * n) // m2
+        |  ELSE 0 END AS BIGINT) AS skew2_x1e12,
+        |  CAST(sign(m3) AS INT) AS skew_sign,
+        |  CAST(CASE WHEN m2 > 0 THEN (n * (m4 * 1000000 // m2)) // m2
+        |  ELSE 0 END AS BIGINT) AS kurt_x1e6
+        |FROM s ORDER BY prio""".stripMargin,
 
     "q_key_skew" ->
       """WITH keys AS (

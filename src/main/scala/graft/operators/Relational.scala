@@ -285,6 +285,47 @@ object Relational {
           " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))").as("var_cents"))
       .orderBy(col("o_orderstatus"))
 
+  /** Exact higher moments — skewness and kurtosis of order values per
+    * priority, the distribution-shape profile [[qStats]]' mean/variance
+    * readout stops short of. TWO-PASS central sums about the FLOORED
+    * group mean (x in hundred-dollar units): the one-pass n-power
+    * formulas (n³·S4 − …) blow past 38 digits at cluster scale, while
+    * centered units keep Σc⁴ ~ 10²⁵ at 10¹²-row groups — the extra
+    * broadcast-join pass IS the scale fix. Ratios are staged floor
+    * divisions (spec-defined):
+    *   skew²×10¹² = (|Σc³|·10⁶ div Σc²)²·n div Σc²  (+ sign(Σc³)),
+    *   kurt ×10⁶  = n·(Σc⁴·10⁶ div Σc²) div Σc²,
+    * each intermediate < 10³⁸ at any realistic corpus. m2 = 0 groups
+    * (constant value) emit zeros. The 5-row means table broadcasts —
+    * fixed priority domain, never data-scale.
+    */
+  def qMoments(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("prio"),
+        expr("CAST(floor(o_totalprice) AS BIGINT) div 100").as("x"))
+    val means = x.groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).cast("long").as("s1"))
+      .withColumn("xbar", expr("s1 div n"))
+      .select(col("prio"), col("n"), col("xbar"))
+    x.join(broadcast(means), Seq("prio"))
+      .withColumn("c", col("x") - col("xbar"))
+      .groupBy(col("prio"), col("n"), col("xbar"))
+      .agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("m2"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c * c")).as("m3"),
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c * c * c")).as("m4"))
+      .select(col("prio"), col("n"), col("xbar"),
+        expr("CAST(m2 div n AS BIGINT)").as("var_u"),
+        when(col("m2") > 0, expr(
+          """CAST((CAST(abs(m3) * 1000000 div m2 AS DECIMAL(38,0))
+            |  * (abs(m3) * 1000000 div m2) * n)
+            |  div m2 AS BIGINT)""".stripMargin)).otherwise(0L).as("skew2_x1e12"),
+        expr("CAST(sign(m3) AS INT)").as("skew_sign"),
+        when(col("m2") > 0, expr(
+          "CAST((CAST(n AS DECIMAL(38,0)) * (m4 * 1000000 div m2)) div m2 AS BIGINT)"))
+          .otherwise(0L).as("kurt_x1e6"))
+      .orderBy(col("prio"))
+  }
+
   /** UNION / INTERSECT / EXCEPT over customer key sets. */
   def qSetOps(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)

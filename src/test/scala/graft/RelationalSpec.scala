@@ -725,6 +725,36 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("moments: staged skewness/kurtosis equal the exact BigInt two-pass replay") {
+    import SparkTestSession._
+    val xs = Tables.orders(spark, sf)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => (r.getString(0), math.floor(r.getDouble(1)).toLong / 100))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val rows = operators.Relational.qMoments(spark, sf).collect()
+    assert(rows.length == xs.size)
+    rows.foreach { r =>
+      val v = xs(r.getString(0))
+      val n = v.length.toLong
+      val xbar = v.sum / n
+      val c = v.map(_ - xbar)
+      val m2 = c.map(x => BigInt(x) * x).sum
+      val m3 = c.map(x => BigInt(x) * x * x).sum
+      val m4 = c.map(x => BigInt(x) * x * x * x).sum
+      assert(r.getLong(1) == n && r.getLong(2) == xbar, s"grid drift: $r")
+      assert(BigInt(r.getLong(3)) == m2 / n, s"variance drift: $r")
+      val rr = m3.abs * 1000000 / m2
+      assert(BigInt(r.getLong(4)) == rr * rr * n / m2, s"skew^2 drift: $r")
+      assert(r.getInt(5) == m3.signum, s"skew sign drift: $r")
+      assert(BigInt(r.getLong(6)) == BigInt(n) * (m4 * 1000000 / m2) / m2,
+        s"kurtosis drift: $r")
+      // near-uniform order values: kurtosis must sit well BELOW the
+      // Gaussian 3.0 (uniform is 1.8) — a sanity pin on the scaling
+      assert(r.getLong(6) > 1000000L && r.getLong(6) < 3000000L,
+        s"kurtosis outside the plausible uniform band: $r")
+    }
+  }
+
   test("key skew: the hot-key page and skew factor equal the key-grid replay") {
     import SparkTestSession._
     val counts = Tables.lineitem(spark, sf).groupBy(col("l_partkey")).count()
