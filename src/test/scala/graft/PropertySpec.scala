@@ -234,4 +234,45 @@ class PropertySpec extends AnyFunSuite {
         s"round-trip sums diverge on ${w}x$h ${px.take(6).mkString(",")}…")
     }
   }
+
+  test("indexed PNG round-trips arbitrary palettes, indices, and filter schedules") {
+    import graft.multimodal.MediaCodec
+    val gen = for {
+      w <- Gen.choose(1, 12)
+      h <- Gen.choose(1, 10)
+      pal <- Gen.listOfN(16, Gen.choose(0, 0xffffff))
+      ixs <- Gen.listOfN(w * h, Gen.choose(0, 15))
+      f0 <- Gen.choose(0, 4)
+    } yield (w, h, pal.toArray, ixs.toArray, f0)
+    samples(gen, 300).foreach { case (w, h, pal, ixs, f0) =>
+      val enc = MediaCodec.encodePngIndexed(w, h, pal,
+        (x, y) => ixs(y * w + x), y => (y + f0) % 5)
+      val m = MediaCodec.decodePngIndexed(enc)
+      assert(m.width == w && m.height == h && m.nColors == 16)
+      assert(m.sumIdx == ixs.map(_.toLong).sum, s"index sum drift on ${w}x$h f0=$f0")
+      def sum(shift: Int) = ixs.map(i => ((pal(i) >> shift) & 0xff).toLong).sum
+      assert((m.sumR, m.sumG, m.sumB) == ((sum(16), sum(8), sum(0))),
+        s"palette sums drift on ${w}x$h f0=$f0")
+    }
+  }
+
+  test("foreachWavSample streams exactly the samples decodeWav aggregates") {
+    import graft.multimodal.MediaCodec
+    val gen = for {
+      n <- Gen.choose(1, 200)
+      sr <- Gen.oneOf(8000, 16000, 44100)
+      xs <- Gen.listOfN(n, Gen.choose(-32768, 32767))
+    } yield (sr, xs.toArray)
+    samples(gen, 200).foreach { case (sr, xs) =>
+      val enc = MediaCodec.encodeWavPcm16(xs.length, sr, xs(_))
+      val agg = MediaCodec.decodeWav(enc)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val (dsr, dn) = MediaCodec.foreachWavSample(enc)(buf += _)
+      assert(dsr == sr && dn == xs.length.toLong)
+      assert(buf.toSeq == xs.toSeq, "sample walk diverged from the payload")
+      assert(buf.map(v => math.abs(v.toLong)).sum == agg.sumAbs &&
+        (if (buf.isEmpty) 0L else buf.map(v => math.abs(v.toLong)).max) == agg.maxAbs,
+        "sample walk disagrees with the aggregate decoder")
+    }
+  }
 }
