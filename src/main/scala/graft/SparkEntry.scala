@@ -63,6 +63,8 @@ object SparkEntry {
     "ms_adjacency_matrix"  -> ((s, d) => Metastore.adjacencyMatrixQ(s, d)),
     "ms_pipeline_aggs"     -> ((s, d) => Metastore.pipelineAggsQ(s, d)),
     "ms_terms_error"       -> ((s, d) => Metastore.termsErrorQ(s, d)),
+    "ms_field_stats"       -> ((s, d) => Metastore.fieldStatsQ(s, d)),
+    "q_rate_limit"         -> ((s, d) => operators.Temporal.qRateLimit(s, d)),
     "ann_probe_sweep"      -> ((s, d) => Pipeline.annProbeSweep(s, d)),
     "ms_rank_feature"      -> ((s, d) => Metastore.rankFeatureQ(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),

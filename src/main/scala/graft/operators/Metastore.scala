@@ -637,6 +637,27 @@ object Metastore {
       .limit(20)
   }
 
+  /** ES numeric field-stats analog (the _field_caps/stats surface a
+    * metastore UI introspects before building filters): per numeric
+    * field of the datasets index — bytes and the stats.rowcount
+    * sub-field — min, max, sum, exact mean ×100, and the count of docs
+    * carrying the field. One visible-corpus scan melts the fields
+    * in-map (a 2-entry explode, no join), then a 2-row aggregate.
+    */
+  def fieldStatsQ(s: SparkSession, d: String): DataFrame =
+    ds.visible(idx(s, d), None)
+      .select(explode(array(
+        struct(lit("bytes").as("field"), col("bytes").as("v")),
+        struct(lit("stats.rowcount").as("field"), col("stats.rowcount").as("v"))))
+        .as("f"))
+      .groupBy(col("f.field").as("field"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        min(col("f.v")).cast("long").as("min_v"),
+        max(col("f.v")).cast("long").as("max_v"),
+        sum(col("f.v")).cast("long").as("sum_v"))
+      .withColumn("mean_x100", expr("(sum_v * 100) div n_docs"))
+      .orderBy(col("field"))
+
   /** ES distributed terms-aggregation ERROR BOUND analog — the
     * doc_count_error_upper_bound semantics that make ES's sharded
     * top-N honest: the corpus is split into 4 hash shards, each shard
@@ -1728,6 +1749,20 @@ object Metastore {
          |WHERE findability = 'published'
          |  AND len(list_filter(${tok("readme")}, t -> t = 'merge')) > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "ms_field_stats" ->
+      s"""$idxCte,
+         |f AS (
+         |  SELECT 'bytes' AS field, bytes AS v FROM idx
+         |  WHERE findability = 'published'
+         |  UNION ALL
+         |  SELECT 'stats.rowcount', stats.rowcount FROM idx
+         |  WHERE findability = 'published')
+         |SELECT field, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(min(v) AS BIGINT) AS min_v, CAST(max(v) AS BIGINT) AS max_v,
+         |  CAST(sum(v) AS BIGINT) AS sum_v,
+         |  (CAST(sum(v) AS BIGINT) * 100) // CAST(count(*) AS BIGINT) AS mean_x100
+         |FROM f GROUP BY field ORDER BY field""".stripMargin,
 
     "ms_terms_error" ->
       s"""$idxCte,

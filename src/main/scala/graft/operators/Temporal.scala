@@ -414,6 +414,33 @@ object Temporal {
       .orderBy(col("arm"))
   }
 
+  /** Daily-quota audit — who would a 5-events-per-day quota have hit
+    * (the window is chosen to be NON-VACUOUS on this corpus: per-minute
+    * peaks at 2 events at every SF — measured before shipping, the
+    * probe-first discipline): per user, days over quota, the busiest
+    * day, the events a strict limiter would have dropped
+    * (Σ max(0, n−L)), and the drop ratio ppm. The (user, day) grid
+    * partial-aggregates in one pass (never raw-event state), the
+    * per-user rollup shuffles user-keyed counts only. Top-20 worst
+    * offenders — a distributed top-k, not a global sort.
+    */
+  def qRateLimit(s: SparkSession, d: String, limit: Long = 5L): DataFrame = {
+    val perDay = EventStreams.normalize(Tables.events(s, d))
+      .groupBy(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    perDay.groupBy(col("user_id"))
+      .agg(count(lit(1)).cast("long").as("n_days"),
+        sum(col("n")).cast("long").as("n_events"),
+        max(col("n")).cast("long").as("peak_day"),
+        sum(when(col("n") > limit, col("n") - limit).otherwise(0L))
+          .cast("long").as("n_dropped"),
+        sum(when(col("n") > limit, 1L).otherwise(0L))
+          .cast("long").as("days_over"))
+      .withColumn("drop_ppm", expr("(n_dropped * 1000000) div n_events"))
+      .orderBy(col("n_dropped").desc, col("user_id"))
+      .limit(20)
+  }
+
   /** SLO error-budget burn — the SRE readout that decides "can we ship
     * this week": with a 1% error-rate objective, each day's budget
     * burn is rate/SLO (×100: 100 = burning exactly the budget), and
@@ -2874,6 +2901,22 @@ object Temporal {
         |  CAST(sum(converted) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS conv_x1e4,
         |  CAST(sum(purchase_cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS value_per_user_cents
         |FROM pu GROUP BY arm ORDER BY arm""".stripMargin,
+
+    "q_rate_limit" ->
+      """WITH pm AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY user_id, day),
+        |u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+        |    CAST(sum(n) AS BIGINT) AS n_events,
+        |    CAST(max(n) AS BIGINT) AS peak_day,
+        |    CAST(sum(CASE WHEN n > 5 THEN n - 5 ELSE 0 END) AS BIGINT) AS n_dropped,
+        |    CAST(sum(CASE WHEN n > 5 THEN 1 ELSE 0 END) AS BIGINT) AS days_over
+        |  FROM pm GROUP BY user_id)
+        |SELECT user_id, n_days, n_events, peak_day, n_dropped,
+        |  days_over, (n_dropped * 1000000) // n_events AS drop_ppm
+        |FROM u ORDER BY n_dropped DESC, user_id LIMIT 20""".stripMargin,
 
     "q_error_budget" ->
       """WITH daily AS (

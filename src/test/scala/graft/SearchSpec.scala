@@ -742,6 +742,21 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("field stats: per-field min/max/sum/mean equal the visible-corpus replay") {
+    val docs = Tables.datasetIndex(spark, sf)
+      .filter(col("findability") === "published")
+      .select(col("bytes"), col("stats.rowcount").as("rc")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val rows = Metastore.fieldStatsQ(spark, sf).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    def stats(vs: Seq[Long]) =
+      (vs.length.toLong, vs.min, vs.max, vs.sum, vs.sum * 100 / vs.length)
+    assert(rows("bytes") == stats(docs.map(_._1).toSeq), "bytes field stats drift")
+    assert(rows("stats.rowcount") == stats(docs.map(_._2).toSeq), "rowcount stats drift")
+    assert(rows.size == 2)
+  }
+
   test("terms_error: the ES sharded-agg bound merged <= true <= merged + err holds") {
     val docs = Tables.datasetIndex(spark, sf)
       .filter(col("findability") === "published")

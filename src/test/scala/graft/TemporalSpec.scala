@@ -1136,6 +1136,34 @@ class TemporalSpec extends AnyFunSuite {
     assert((row.getInt(7) == 1) == (want.toLong > 3841459L))
   }
 
+  test("rate limit: quota drops equal the per-day replay and are non-vacuous") {
+    val perDay = graft.streaming.EventStreams.normalize(
+        Tables.events(SparkTestSession.spark, SparkTestSession.sf))
+      .select("user_id", "ts_us").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / 86400000000L))
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.map { case ((u, d), n) => (u, d, n) }
+    val byUser = perDay.groupBy(_._1)
+    val want = byUser.view.mapValues { ds2 =>
+      val ns = ds2.map(_._3)
+      (ns.length.toLong, ns.sum, ns.max,
+        ns.map(n => math.max(0L, n - 5)).sum, ns.count(_ > 5).toLong)
+    }.toMap
+    val rows = Temporal.qRateLimit(SparkTestSession.spark, SparkTestSession.sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      val (nd, ne, peak, dropped, over) = want(u)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)) ==
+        ((nd, ne, peak, dropped, over)), s"quota audit drift for user $u")
+      assert(r.getLong(6) == dropped * 1000000L / ne, s"drop ppm drift for user $u")
+    }
+    // the page is ordered by drops and the quota actually bites somewhere
+    val drops = rows.map(_.getLong(4))
+    assert(drops.zip(drops.tail).forall { case (a, b) => a >= b })
+    assert(drops.head > 0, "no user ever exceeded the quota — audit vacuous")
+  }
+
   test("error budget: burn and cumulative consumption equal the daily replay") {
     val evs = graft.streaming.EventStreams.normalize(
         Tables.events(SparkTestSession.spark, SparkTestSession.sf))
