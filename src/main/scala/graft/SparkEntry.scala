@@ -65,6 +65,8 @@ object SparkEntry {
     "ms_terms_error"       -> ((s, d) => Metastore.termsErrorQ(s, d)),
     "ms_field_stats"       -> ((s, d) => Metastore.fieldStatsQ(s, d)),
     "q_rate_limit"         -> ((s, d) => operators.Temporal.qRateLimit(s, d)),
+    "ms_rollover_plan"     -> ((s, d) => Metastore.rolloverPlanQ(s, d)),
+    "q_discount_impact"    -> ((s, d) => Relational.qDiscountImpact(s, d)),
     "ann_probe_sweep"      -> ((s, d) => Pipeline.annProbeSweep(s, d)),
     "ms_rank_feature"      -> ((s, d) => Metastore.rankFeatureQ(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
@@ -762,6 +764,20 @@ object SparkEntry {
         |FROM br CROSS JOIN tot t
         |JOIN ranked r ON r.rn = greatest(1, (t.n_users * br.pct) // 100)
         |ORDER BY pct""".stripMargin,
+
+    "q_discount_impact" ->
+      """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS gross_revenue,
+        |  CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        |    AS discount_given,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS net_revenue,
+        |  CAST(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4)))
+        |      * 10000 AS HUGEINT) * 10000
+        |    // CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) * 10000 AS HUGEINT)
+        |    AS BIGINT) AS disc_rate_x1e4
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
 
     "q_moments" ->
       """WITH x AS (

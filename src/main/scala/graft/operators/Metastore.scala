@@ -637,6 +637,32 @@ object Metastore {
       .limit(20)
   }
 
+  /** ES ILM size-based rollover plan analog — which index generation
+    * does each day's data land in, under a max-docs-per-generation
+    * policy (100 here — sized to roll at every test SF): generation = cumulative docs BEFORE the day
+    * div threshold, so a generation can overshoot by at most one day's
+    * volume (exactly how date-ordered rollover behaves — a day is
+    * never split). Emits per day: docs, assigned generation, and the
+    * generation-relative cumulative fill. The events fact scan
+    * partial-aggregates to the day grid in one pass; the plan itself
+    * is day-domain arithmetic — at 100 TB this is the metadata query
+    * an ingest controller runs, not a data move.
+    */
+  def rolloverPlanQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val thr = 100L
+    val daily = evEngine.visible(ev(s, d), None)
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, -1)
+    daily
+      .withColumn("cum_before", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("generation", expr(s"cum_before div $thr"))
+      .withColumn("gen_fill", expr(s"cum_before % $thr") + col("n"))
+      .select(col("day"), col("n"), col("generation"), col("gen_fill"))
+      .orderBy(col("day"))
+  }
+
   /** ES numeric field-stats analog (the _field_caps/stats surface a
     * metastore UI introspects before building filters): per numeric
     * field of the datasets index — bytes and the stats.rowcount
@@ -1749,6 +1775,21 @@ object Metastore {
          |WHERE findability = 'published'
          |  AND len(list_filter(${tok("readme")}, t -> t = 'merge')) > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "ms_rollover_plan" ->
+      s"""$evCte,
+         |daily AS (
+         |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n
+         |  FROM ev WHERE findability = 'published' GROUP BY day),
+         |c AS (
+         |  SELECT day, n,
+         |    CAST(coalesce(sum(n) OVER (ORDER BY day
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS cum_before
+         |  FROM daily)
+         |SELECT day, n, cum_before // 100 AS generation,
+         |  cum_before % 100 + n AS gen_fill
+         |FROM c ORDER BY day""".stripMargin,
 
     "ms_field_stats" ->
       s"""$idxCte,

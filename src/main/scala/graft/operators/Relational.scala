@@ -285,6 +285,33 @@ object Relational {
           " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))").as("var_cents"))
       .orderBy(col("o_orderstatus"))
 
+  /** Discount impact per part brand — the promo-spend accounting a
+    * merchandising review reads: gross (undiscounted) revenue, the
+    * discount given away, net revenue, and the effective discount rate
+    * ×10⁴ — all from DECIMAL(18,4)-exact sums so the three columns
+    * reconcile to the cent (gross − given ≡ net by construction, and
+    * the gate would catch either engine flooring differently). One
+    * pruned fact scan joined to the part dim; brand-domain output.
+    */
+  def qDiscountImpact(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(dec4(col("l_extendedprice"))).as("gross"),
+        sum(dec4(col("l_extendedprice") * col("l_discount"))).as("given"),
+        sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("net"))
+      .select(col("p_brand"), col("n_lines"),
+        col("gross").cast("double").as("gross_revenue"),
+        col("given").cast("double").as("discount_given"),
+        col("net").cast("double").as("net_revenue"),
+        expr("""CAST(CAST(given * 10000 AS DECIMAL(38,0)) * 10000
+               |  div CAST(gross * 10000 AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
+          .as("disc_rate_x1e4"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Exact higher moments — skewness and kurtosis of order values per
     * priority, the distribution-shape profile [[qStats]]' mean/variance
     * readout stops short of. TWO-PASS central sums about the FLOORED

@@ -725,6 +725,21 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("discount impact: gross minus given reconciles to net, rate bounded") {
+    import SparkTestSession._
+    val rows = operators.Relational.qDiscountImpact(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (gross, given, net) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      // DECIMAL(18,4) sums reconcile to within one ulp of the double cast
+      assert(math.abs((gross - given) - net) < 1e-6,
+        s"revenue does not reconcile for ${r.getString(0)}")
+      val rate = r.getLong(5)
+      assert(rate >= 0 && rate <= 10000, s"discount rate out of range: $r")
+      assert(given > 0, s"brand ${r.getString(0)} shows zero discount — vacuous")
+    }
+  }
+
   test("moments: staged skewness/kurtosis equal the exact BigInt two-pass replay") {
     import SparkTestSession._
     val xs = Tables.orders(spark, sf)

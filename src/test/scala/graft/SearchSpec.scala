@@ -742,6 +742,26 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("rollover plan: generations fill in day order and never split a day") {
+    val rows = Metastore.rolloverPlanQ(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    var cum = 0L
+    rows.foreach { case (_, n, gen, fill) =>
+      assert(gen == cum / 100, "generation assignment drift")
+      assert(fill == cum % 100 + n, "generation fill drift")
+      cum += n
+    }
+    // generations are monotone in day order and more than one exists
+    val gens = rows.map(_._3)
+    assert(gens.zip(gens.tail).forall { case (a, b) => b >= a })
+    assert(gens.distinct.length > 1, "threshold never rolled — plan vacuous")
+    // a generation can overshoot by AT MOST one day's volume
+    rows.foreach { case (_, n, _, fill) =>
+      assert(fill < 100 + n, s"generation overshot more than one day")
+    }
+  }
+
   test("field stats: per-field min/max/sum/mean equal the visible-corpus replay") {
     val docs = Tables.datasetIndex(spark, sf)
       .filter(col("findability") === "published")
