@@ -377,6 +377,8 @@ object SparkEntry {
     "mm_audio_stats"      -> ((s, d) => Pipeline.mmAudioStats(s, d)),
     "mm_decode_png_idx"   -> ((s, d) => Pipeline.mmDecodePngIdx(s, d)),
     "txt_heaps"           -> ((s, d) => Text.heaps(s, d)),
+    "txt_char_entropy"    -> ((s, d) => Text.charEntropy(s, d)),
+    "q_bridge_analysis"   -> ((s, d) => Relational.qBridgeAnalysis(s, d)),
     "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),
     "txt_repetition"      -> ((s, d) => Text.repetition(s, d)),
     "txt_bigram_coverage" -> ((s, d) => Text.bigramCoverage(s, d)),
@@ -764,6 +766,32 @@ object SparkEntry {
         |FROM br CROSS JOIN tot t
         |JOIN ranked r ON r.rn = greatest(1, (t.n_users * br.pct) // 100)
         |ORDER BY pct""".stripMargin,
+
+    "q_bridge_analysis" ->
+      """WITH li AS (
+        |  SELECT p.p_brand,
+        |    CASE WHEN o.o_orderdate >= TIMESTAMP '1996-01-01' THEN 1 ELSE 0 END AS p1,
+        |    CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5)
+        |      AS BIGINT) AS cents,
+        |    CAST(l.l_quantity AS BIGINT) AS qty
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o.o_orderdate < TIMESTAMP '1997-01-01'),
+        |g AS (
+        |  SELECT p_brand,
+        |    CAST(sum(CASE WHEN p1 = 0 THEN qty ELSE 0 END) AS BIGINT) AS qty0,
+        |    CAST(sum(CASE WHEN p1 = 1 THEN qty ELSE 0 END) AS BIGINT) AS qty1,
+        |    CAST(sum(CASE WHEN p1 = 0 THEN cents ELSE 0 END) AS BIGINT) AS rev0_c,
+        |    CAST(sum(CASE WHEN p1 = 1 THEN cents ELSE 0 END) AS BIGINT) AS rev1_c
+        |  FROM li GROUP BY p_brand)
+        |SELECT p_brand, qty0, qty1, rev0_c, rev1_c,
+        |  rev1_c - rev0_c AS delta_c,
+        |  rev0_c // qty0 AS unit0_c,
+        |  (qty1 - qty0) * (rev0_c // qty0) AS volume_effect_c,
+        |  (rev1_c - rev0_c) - (qty1 - qty0) * (rev0_c // qty0) AS price_mix_effect_c
+        |FROM g WHERE qty0 > 0 ORDER BY p_brand""".stripMargin,
 
     "q_discount_impact" ->
       """SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,

@@ -285,6 +285,45 @@ object Relational {
           " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))").as("var_cents"))
       .orderBy(col("o_orderstatus"))
 
+  /** Revenue bridge (waterfall) 1995 → 1996 per brand — the finance
+    * review's "WHY did revenue move" decomposition: Δrevenue splits
+    * into a VOLUME effect (Δqty at the old unit price, unit₀ = rev₀
+    * div qty₀ floored) and the residual PRICE/MIX effect. Everything
+    * is exact signed BIGINT cents — subtractions and one signed
+    * product, no division of a signed quantity anywhere, so
+    * truncate-vs-floor can never diverge and the bridge reconciles
+    * identically in both engines (volume + price_mix ≡ Δ by
+    * construction). One fact scan, conditional aggregation per period
+    * — the two periods never join.
+    */
+  def qBridgeAnalysis(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      .withColumn("p1", (col("o_orderdate") >= lit("1996-01-01").cast("timestamp")).cast("int"))
+      .withColumn("cents",
+        expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)"))
+      .withColumn("qty", expr("CAST(l_quantity AS BIGINT)"))
+    li.groupBy(col("p_brand"))
+      .agg(
+        sum(when(col("p1") === 0, col("qty")).otherwise(0L)).cast("long").as("qty0"),
+        sum(when(col("p1") === 1, col("qty")).otherwise(0L)).cast("long").as("qty1"),
+        sum(when(col("p1") === 0, col("cents")).otherwise(0L)).cast("long").as("rev0_c"),
+        sum(when(col("p1") === 1, col("cents")).otherwise(0L)).cast("long").as("rev1_c"))
+      .filter(col("qty0") > 0)
+      .withColumn("delta_c", col("rev1_c") - col("rev0_c"))
+      .withColumn("unit0_c", expr("rev0_c div qty0"))
+      .withColumn("volume_effect_c", (col("qty1") - col("qty0")) * col("unit0_c"))
+      .withColumn("price_mix_effect_c", col("delta_c") - col("volume_effect_c"))
+      .select(col("p_brand"), col("qty0"), col("qty1"), col("rev0_c"), col("rev1_c"),
+        col("delta_c"), col("unit0_c"), col("volume_effect_c"), col("price_mix_effect_c"))
+      .orderBy(col("p_brand"))
+  }
+
   /** Discount impact per part brand — the promo-spend accounting a
     * merchandising review reads: gross (undiscounted) revenue, the
     * discount given away, net revenue, and the effective discount rate

@@ -605,6 +605,38 @@ object Text {
       .orderBy(col("ctx"), col("rank"))
   }
 
+  /** Per-doc character-level dyadic entropy — the random-vs-structured
+    * text detector (encrypted/compressed junk scores near log₂36,
+    * natural text far below): counts for the 37-symbol domain
+    * [a-z0-9 ] computed IN-MAP by the replace-length trick
+    * (len(t) − len(replace(t, ch))) over a literal char array — no
+    * char explode, ZERO shuffle before the output page — then
+    * H = Σ c·⌊log₂(n div c)⌋ / n in the established floor-log₂
+    * integer convention (length(bin(x)) − 1, identical both engines).
+    * Out-of-domain chars are excluded from n so the distribution sums
+    * to one. Emits n counted, distinct symbols, entropy ×100.
+    */
+  def charEntropy(s: SparkSession, d: String): DataFrame = {
+    val domain = ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString) :+ " "
+    Tables.documents(s, d)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .withColumn("cnts", expr(
+        s"""transform(array(${domain.map(c => s"'${if (c == " ") " " else c}'").mkString(",")}),
+           |  ch -> length(t) - length(replace(t, ch, '')))""".stripMargin))
+      .select(col("doc_id"),
+        expr("CAST(aggregate(cnts, 0L, (a, x) -> a + x) AS BIGINT)").as("n"),
+        expr("CAST(size(filter(cnts, x -> x > 0)) AS BIGINT)").as("n_symbols"),
+        col("cnts"))
+      .filter(col("n") > 0)
+      .withColumn("h_x100", expr(
+        """CAST(aggregate(cnts, 0L,
+          |  (a, x) -> a + CASE WHEN x > 0
+          |    THEN CAST(x AS BIGINT) * (length(bin(n div x)) - 1) ELSE 0L END)
+          |  * 100 div n AS BIGINT)""".stripMargin))
+      .select(col("doc_id"), col("n"), col("n_symbols"), col("h_x100"))
+      .orderBy(col("doc_id")).limit(100)
+  }
+
   /** Heaps-law vocabulary-growth curve — the corpus-QA measurement
     * behind "does dedup cost stay near-linear?" (SCALING.md's r7
     * superlinearity question, promoted to a first-class query): token
@@ -884,6 +916,28 @@ object Text {
          |SELECT ctx, CAST(rn AS INT) AS rank, nxt, cnt, ctx_total,
          |  (cnt * 1000000) // ctx_total AS p_x1e6
          |FROM ranked WHERE rn <= 3 ORDER BY ctx, rank""".stripMargin
+    },
+
+    "txt_char_entropy" -> {
+      val domain = (('a' to 'z').map(_.toString) ++
+        ('0' to '9').map(_.toString) :+ " ").map(c => s"'$c'").mkString(", ")
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t FROM documents),
+         |c AS (
+         |  SELECT doc_id,
+         |    list_transform([$domain],
+         |      ch -> length(t) - length(replace(t, ch, ''))) AS cnts
+         |  FROM d),
+         |s AS (
+         |  SELECT doc_id, CAST(list_sum(cnts) AS BIGINT) AS n,
+         |    CAST(len(list_filter(cnts, x -> x > 0)) AS BIGINT) AS n_symbols,
+         |    cnts
+         |  FROM c)
+         |SELECT doc_id, n, n_symbols,
+         |  CAST(list_sum(list_transform(cnts,
+         |      x -> CASE WHEN x > 0
+         |        THEN CAST(x AS BIGINT) * (length(bin(n // x)) - 1)
+         |        ELSE 0 END)) * 100 // n AS BIGINT) AS h_x100
+         |FROM s WHERE n > 0 ORDER BY doc_id LIMIT 100""".stripMargin
     },
 
     "txt_heaps" -> {

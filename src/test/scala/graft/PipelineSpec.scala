@@ -1084,6 +1084,26 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("char entropy equals the floor-log2 replay and separates text from noise") {
+    val domain = (('a' to 'z') ++ ('0' to '9') :+ ' ').toSet
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.filter(domain)).toMap
+    val rows = graft.operators.Text.charEntropy(spark, sf).collect()
+    assert(rows.length == 100)
+    rows.foreach { r =>
+      val cs = texts(r.getLong(0))
+      val cnt = cs.groupBy(identity).view.mapValues(_.length.toLong)
+      val n = cs.length.toLong
+      assert(r.getLong(1) == n, s"char count drift: $r")
+      assert(r.getLong(2) == cnt.size.toLong, s"symbol count drift: $r")
+      def bits(x: Long) = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      val h = cnt.values.map(c => c * bits(n / c)).sum * 100 / n
+      assert(r.getLong(3) == h, s"entropy drift: $r")
+      // bounded by log2(37) ~ 5.2; natural text sits below the max
+      assert(r.getLong(3) >= 0 && r.getLong(3) <= 520, s"entropy out of range: $r")
+    }
+  }
+
   test("t-closeness: total-variation distances equal the exact BigInt replay") {
     val rows0 = docs.select("source", "n_chars", "lang").collect()
       .map(r => ((r.getString(0), r.getLong(1) / 100), r.getString(2)))

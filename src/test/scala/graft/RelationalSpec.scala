@@ -725,6 +725,23 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("revenue bridge: volume + price/mix reconcile to delta exactly") {
+    import SparkTestSession._
+    val rows = operators.Relational.qBridgeAnalysis(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (q0, q1, r0, r1) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      val (delta, unit0, vol, mix) = (r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+      assert(delta == r1 - r0, s"delta drift: $r")
+      assert(unit0 == r0 / q0, s"unit price drift: $r")
+      assert(vol == (q1 - q0) * unit0, s"volume effect drift: $r")
+      assert(mix == delta - vol, "bridge does not reconcile — the defining invariant")
+    }
+    // the decomposition must separate real effects somewhere
+    assert(rows.exists(r => r.getLong(7) != 0 && r.getLong(8) != 0),
+      "no brand shows both effects — bridge vacuous")
+  }
+
   test("discount impact: gross minus given reconciles to net, rate bounded") {
     import SparkTestSession._
     val rows = operators.Relational.qDiscountImpact(spark, sf).collect()
