@@ -379,6 +379,7 @@ object SparkEntry {
     "txt_heaps"           -> ((s, d) => Text.heaps(s, d)),
     "txt_char_entropy"    -> ((s, d) => Text.charEntropy(s, d)),
     "q_bridge_analysis"   -> ((s, d) => Relational.qBridgeAnalysis(s, d)),
+    "q_linreg_multi"      -> ((s, d) => Relational.qLinregMulti(s, d)),
     "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),
     "txt_repetition"      -> ((s, d) => Text.repetition(s, d)),
     "txt_bigram_coverage" -> ((s, d) => Text.bigramCoverage(s, d)),
@@ -766,6 +767,45 @@ object SparkEntry {
         |FROM br CROSS JOIN tot t
         |JOIN ranked r ON r.rn = greatest(1, (t.n_users * br.pct) // 100)
         |ORDER BY pct""".stripMargin,
+
+    "q_linreg_multi" ->
+      """WITH po AS (
+        |  SELECT l_orderkey, CAST(count(*) AS BIGINT) AS x1,
+        |    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x2
+        |  FROM lineitem GROUP BY l_orderkey),
+        |b AS (
+        |  SELECT o.o_orderpriority AS prio,
+        |    CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS y,
+        |    po.x1, po.x2
+        |  FROM orders o JOIN po ON o.o_orderkey = po.l_orderkey),
+        |m AS (
+        |  SELECT prio, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x1) AS BIGINT) // CAST(count(*) AS BIGINT) AS m1,
+        |    CAST(sum(x2) AS BIGINT) // CAST(count(*) AS BIGINT) AS m2,
+        |    CAST(sum(y) AS BIGINT) // CAST(count(*) AS BIGINT) AS my
+        |  FROM b GROUP BY prio),
+        |s AS (
+        |  SELECT b.prio, m.n,
+        |    sum(CAST(b.x1 - m.m1 AS HUGEINT) * (b.x1 - m.m1)) AS s11,
+        |    sum(CAST(b.x2 - m.m2 AS HUGEINT) * (b.x2 - m.m2)) AS s22,
+        |    sum(CAST(b.x1 - m.m1 AS HUGEINT) * (b.x2 - m.m2)) AS s12,
+        |    sum(CAST(b.x1 - m.m1 AS HUGEINT) * (b.y - m.my)) AS s1y,
+        |    sum(CAST(b.x2 - m.m2 AS HUGEINT) * (b.y - m.my)) AS s2y
+        |  FROM b JOIN m USING (prio) GROUP BY b.prio, m.n),
+        |d AS (
+        |  SELECT prio, n, s11 * s22 - s12 * s12 AS det,
+        |    s1y * s22 - s2y * s12 AS n1, s2y * s11 - s1y * s12 AS n2
+        |  FROM s)
+        |SELECT prio, n,
+        |  CAST(CASE WHEN det > 0 THEN
+        |    (abs(n1) // det) * 1000000 + ((abs(n1) % det) * 1000000) // det
+        |  ELSE 0 END AS BIGINT) AS b1_abs_x1e6,
+        |  CAST(CASE WHEN det > 0 THEN sign(n1) ELSE 0 END AS INT) AS b1_sign,
+        |  CAST(CASE WHEN det > 0 THEN
+        |    (abs(n2) // det) * 1000000 + ((abs(n2) % det) * 1000000) // det
+        |  ELSE 0 END AS BIGINT) AS b2_abs_x1e6,
+        |  CAST(CASE WHEN det > 0 THEN sign(n2) ELSE 0 END AS INT) AS b2_sign
+        |FROM d ORDER BY prio""".stripMargin,
 
     "q_bridge_analysis" ->
       """WITH li AS (

@@ -285,6 +285,63 @@ object Relational {
           " / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))").as("var_cents"))
       .orderBy(col("o_orderstatus"))
 
+  /** Exact two-feature least squares per order priority — order value
+    * (cents) regressed on line count and total quantity, the
+    * multi-feature step up from the single-x q_regression: centered
+    * normal equations solved by Cramer's rule,
+    *   b1 = (S1y·S22 − S2y·S12)/det,  b2 = (S2y·S11 − S1y·S12)/det,
+    *   det = S11·S22 − S12²,
+    * with TWO-PASS centered sums about floored means (the q_moments
+    * discipline — centered magnitudes keep every product inside
+    * DECIMAL(38,0) at 10¹⁰-row groups) and the slope quotients staged
+    * as (|num| div det)·10⁶ + (|num| mod det)·10⁶ div det with signs
+    * emitted separately — no signed division anywhere. Collinear
+    * groups (det = 0) emit zeros. Scale shape: one order-grain
+    * aggregate of lineitem, a 5-row broadcast of means, one
+    * conditional-sum pass.
+    */
+  def qLinregMulti(spark: SparkSession, dir: String): DataFrame = {
+    val perOrder = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).cast("long").as("x1"),
+        sum(expr("CAST(l_quantity AS BIGINT)")).cast("long").as("x2"))
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("y"))
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+    val means = base.groupBy(col("prio"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(x1) div count(1)").as("m1"),
+        expr("sum(x2) div count(1)").as("m2"),
+        expr("sum(y) div count(1)").as("my"))
+    def stagedDiv(num: String, den: String): String =
+      s"(abs($num) div $den) * 1000000 + ((abs($num) % $den) * 1000000) div $den"
+    base.join(broadcast(means), Seq("prio"))
+      .select(col("prio"), col("n"),
+        (col("x1") - col("m1")).as("c1"),
+        (col("x2") - col("m2")).as("c2"),
+        (col("y") - col("my")).as("cy"))
+      .groupBy(col("prio"), col("n"))
+      .agg(sum(expr("CAST(c1 AS DECIMAL(38,0)) * c1")).as("s11"),
+        sum(expr("CAST(c2 AS DECIMAL(38,0)) * c2")).as("s22"),
+        sum(expr("CAST(c1 AS DECIMAL(38,0)) * c2")).as("s12"),
+        sum(expr("CAST(c1 AS DECIMAL(38,0)) * cy")).as("s1y"),
+        sum(expr("CAST(c2 AS DECIMAL(38,0)) * cy")).as("s2y"))
+      .withColumn("det", expr("s11 * s22 - s12 * s12"))
+      .withColumn("n1", expr("s1y * s22 - s2y * s12"))
+      .withColumn("n2", expr("s2y * s11 - s1y * s12"))
+      .select(col("prio"), col("n"),
+        when(col("det") > 0,
+          expr(s"CAST(${stagedDiv("n1", "det")} AS BIGINT)")).otherwise(0L)
+          .as("b1_abs_x1e6"),
+        expr("CAST(CASE WHEN det > 0 THEN sign(n1) ELSE 0 END AS INT)").as("b1_sign"),
+        when(col("det") > 0,
+          expr(s"CAST(${stagedDiv("n2", "det")} AS BIGINT)")).otherwise(0L)
+          .as("b2_abs_x1e6"),
+        expr("CAST(CASE WHEN det > 0 THEN sign(n2) ELSE 0 END AS INT)").as("b2_sign"))
+      .orderBy(col("prio"))
+  }
+
   /** Revenue bridge (waterfall) 1995 → 1996 per brand — the finance
     * review's "WHY did revenue move" decomposition: Δrevenue splits
     * into a VOLUME effect (Δqty at the old unit price, unit₀ = rev₀

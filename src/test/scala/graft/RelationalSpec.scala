@@ -725,6 +725,45 @@ class RelationalSpec extends AnyFunSuite {
     }
   }
 
+  test("two-feature regression equals the BigInt Cramer replay and predicts sanely") {
+    import SparkTestSession._
+    val po = Tables.lineitem(spark, sf).groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("x1"), sum(expr("CAST(l_quantity AS BIGINT)")).as("x2"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val base = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderpriority", "o_totalprice").collect()
+      .flatMap { r =>
+        po.get(r.getLong(0)).map { case (x1, x2) =>
+          (r.getString(1), x1, x2, math.floor(r.getDouble(2) * 100 + 0.5).toLong)
+        }
+      }
+    val rows = operators.Relational.qLinregMulti(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val g = base.filter(_._1 == r.getString(0))
+      val n = g.length.toLong
+      val (m1, m2, my) = (g.map(_._2).sum / n, g.map(_._3).sum / n, g.map(_._4).sum / n)
+      val c = g.map(t => (BigInt(t._2 - m1), BigInt(t._3 - m2), BigInt(t._4 - my)))
+      val s11 = c.map(t => t._1 * t._1).sum; val s22 = c.map(t => t._2 * t._2).sum
+      val s12 = c.map(t => t._1 * t._2).sum
+      val s1y = c.map(t => t._1 * t._3).sum; val s2y = c.map(t => t._2 * t._3).sum
+      val det = s11 * s22 - s12 * s12
+      val n1 = s1y * s22 - s2y * s12; val n2 = s2y * s11 - s1y * s12
+      assert(r.getLong(1) == n)
+      def staged(num: BigInt): BigInt =
+        (num.abs / det) * 1000000 + (num.abs % det) * 1000000 / det
+      assert(BigInt(r.getLong(2)) == staged(n1), s"b1 drift: $r")
+      assert(r.getInt(3) == n1.signum, s"b1 sign drift: $r")
+      assert(BigInt(r.getLong(4)) == staged(n2), s"b2 drift: $r")
+      assert(r.getInt(5) == n2.signum, s"b2 sign drift: $r")
+    }
+    // the system must actually solve something: a nonzero slope exists
+    // (no directional claim — this generator's totalprice is independent
+    // of the lineitem columns, so slopes are small-but-exact numbers)
+    assert(rows.exists(r => r.getLong(2) > 0 || r.getLong(4) > 0),
+      "all slopes zero — regression vacuous")
+  }
+
   test("revenue bridge: volume + price/mix reconcile to delta exactly") {
     import SparkTestSession._
     val rows = operators.Relational.qBridgeAnalysis(spark, sf).collect()
