@@ -68,6 +68,8 @@ object SparkEntry {
     "ms_rollover_plan"     -> ((s, d) => Metastore.rolloverPlanQ(s, d)),
     "q_discount_impact"    -> ((s, d) => Relational.qDiscountImpact(s, d)),
     "ann_probe_sweep"      -> ((s, d) => Pipeline.annProbeSweep(s, d)),
+    "ann_pq_error"         -> ((s, d) => Pipeline.annPqError(s, d)),
+    "q_max_gap"            -> ((s, d) => operators.Temporal.qMaxGap(s, d)),
     "ms_rank_feature"      -> ((s, d) => Metastore.rankFeatureQ(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
     "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),

@@ -112,6 +112,9 @@ object Pipeline {
     * join against it — the whole sweep is (queries × k)-scale after
     * the per-point ANN plans.
     */
+  def annPqError(s: SparkSession, d: String): DataFrame =
+    Similarity.pqQuantError(Tables.embeddings(s, d))
+
   def annProbeSweep(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val truth = Similarity.bruteTopK(emb, queryPred)
@@ -2138,6 +2141,8 @@ object Pipeline {
     // recall@10 audit: each method's pair set against the brute-force
     // ground truth, every side the VERBATIM oracle text of the gated
     // query it audits (embedded as CTE-bearing subqueries)
+    "ann_pq_error" -> Similarity.pqErrorSql(),
+
     "ann_probe_sweep" -> {
       val sweeps = Seq(1, 2, 4).map { np =>
         s"""SELECT CAST($np AS BIGINT) AS nprobe, q_id, vec_id FROM (

@@ -414,6 +414,48 @@ object Temporal {
       .orderBy(col("arm"))
   }
 
+  /** Heartbeat-gap detection per event type — the "did the pipeline go
+    * silent" monitor: the largest interval between consecutive events
+    * and the count of gaps over one hour. The scale-critical
+    * decomposition: consecutive gaps are computed inside (type, DAY)
+    * partitions — per-day state only, no one-reducer-per-type funnel
+    * — and the day-BOUNDARY gaps come from a second window over the
+    * bounded (type, day) summary grid (first/last event per day), so
+    * no gap is ever missed and no partition ever exceeds a day of one
+    * type. Union both gap families, roll up per type.
+    */
+  def qMaxGap(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(col("event_type"), col("ts_us"), col("event_id"),
+        expr("ts_us div 86400000000").as("day"))
+    val wIntra = Window.partitionBy(col("event_type"), col("day"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val intra = ev
+      .withColumn("gap", col("ts_us") - lag(col("ts_us"), 1).over(wIntra))
+      .filter(col("gap").isNotNull)
+      .select(col("event_type"), col("gap"))
+    val days = ev.groupBy(col("event_type"), col("day"))
+      .agg(min(col("ts_us")).as("first_us"), max(col("ts_us")).as("last_us"),
+        count(lit(1)).as("n"))
+    val wDay = Window.partitionBy(col("event_type")).orderBy(col("day"))
+    val boundary = days
+      .withColumn("gap", col("first_us") - lag(col("last_us"), 1).over(wDay))
+      .filter(col("gap").isNotNull)
+      .select(col("event_type"), col("gap"))
+    val nTot = days.groupBy(col("event_type"))
+      .agg(sum(col("n")).cast("long").as("n_events"))
+    intra.unionByName(boundary)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n_gaps"),
+        max(col("gap")).cast("long").as("max_gap_us"),
+        sum(when(col("gap") > 3600000000L, 1L).otherwise(0L))
+          .cast("long").as("gaps_over_1h"))
+      .join(nTot, Seq("event_type"))
+      .select(col("event_type"), col("n_events"), col("n_gaps"),
+        col("max_gap_us"), col("gaps_over_1h"))
+      .orderBy(col("event_type"))
+  }
+
   /** Daily-quota audit — who would a 5-events-per-day quota have hit
     * (the window is chosen to be NON-VACUOUS on this corpus: per-minute
     * peaks at 2 events at every SF — measured before shipping, the
@@ -2901,6 +2943,39 @@ object Temporal {
         |  CAST(sum(converted) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS conv_x1e4,
         |  CAST(sum(purchase_cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS value_per_user_cents
         |FROM pu GROUP BY arm ORDER BY arm""".stripMargin,
+
+    "q_max_gap" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) AS ts_us, event_id,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |intra AS (
+        |  SELECT event_type,
+        |    ts_us - lag(ts_us) OVER (PARTITION BY event_type, day
+        |      ORDER BY ts_us, event_id) AS gap
+        |  FROM e),
+        |days AS (
+        |  SELECT event_type, day, min(ts_us) AS first_us, max(ts_us) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM e GROUP BY event_type, day),
+        |bnd AS (
+        |  SELECT event_type,
+        |    first_us - lag(last_us) OVER (PARTITION BY event_type
+        |      ORDER BY day) AS gap
+        |  FROM days),
+        |g AS (
+        |  SELECT event_type, gap FROM intra WHERE gap IS NOT NULL
+        |  UNION ALL SELECT event_type, gap FROM bnd WHERE gap IS NOT NULL),
+        |nt AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events
+        |       FROM days GROUP BY event_type)
+        |SELECT g.event_type, nt.n_events,
+        |  CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(max(g.gap) AS BIGINT) AS max_gap_us,
+        |  CAST(sum(CASE WHEN g.gap > 3600000000 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS gaps_over_1h
+        |FROM g JOIN nt ON nt.event_type = g.event_type
+        |GROUP BY g.event_type, nt.n_events
+        |ORDER BY g.event_type""".stripMargin,
 
     "q_rate_limit" ->
       """WITH pm AS (

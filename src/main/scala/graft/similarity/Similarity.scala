@@ -320,6 +320,78 @@ object Similarity {
     * the 8 non-zero dot terms written out (the Spark loop's zero-coef
     * terms add ±0.0, which the accumulator absorbs bitwise).
     */
+  /** PQ reconstruction-error QA — the index-health number that decides
+    * whether the pinned codebook needs retraining on drifted data:
+    * per vector the exact quantization error Σ_m min_k d_mk (the
+    * squared distance to the assigned centroid per subspace — by
+    * construction of the argmin assignment, this IS ‖x − decode(code
+    * (x))‖²), floored ×10⁶ per vector BEFORE the corpus sum so the
+    * mean is an order-independent integer aggregate. Emits the top-20
+    * worst-quantized vectors with the corpus mean alongside. Same
+    * pinned-literal arithmetic as [[pqTopK]] ⇒ hash-exact.
+    */
+  def pqQuantError(embeddings: DataFrame,
+                   model: Seq[Seq[Seq[Float]]] = PqModel.books): DataFrame = {
+    val mM = model.length
+    val kK = model.head.length
+    val dim = mM * PqModel.SubDim
+    def padded(m: Int, cent: Seq[Float]): Seq[Double] = {
+      val a = Array.fill(dim)(0.0)
+      cent.zipWithIndex.foreach { case (c, j) => a(m * PqModel.SubDim + j) = c.toDouble }
+      a.toSeq
+    }
+    val pre = graft.Tables.fanOut(embeddings).select(
+      col("vec_id") +:
+        ((0 until mM).map(m => expr(pqVvSql("embedding", m, 0)).as(s"vv_$m")) ++
+          (for (m <- 0 until mM; kk <- 0 until kK) yield
+            graft.functions.VectorFunctions
+              .floatVecDotConst(col("embedding"), padded(m, model(m)(kk)))
+              .as(s"dot_${m}_$kk"))): _*)
+      .localCheckpoint(eager = false)
+    val minSum = (0 until mM).map { m =>
+      (0 until kK).map(kk => pqDSql(s"vv_$m", s"dot_${m}_$kk", model(m)(kk)))
+        .mkString("least(", ", ", ")")
+    }.mkString(" + ")
+    val e = pre.select(col("vec_id"),
+      expr(s"CAST(floor(($minSum) * 1000000) AS BIGINT)").as("qerr_x1e6"))
+    val t = e.agg(count(lit(1)).as("n_vecs"),
+      sum(col("qerr_x1e6")).cast("long").as("sum_err"))
+    e.crossJoin(broadcast(t))
+      .withColumn("mean_x1e6", expr("sum_err div n_vecs"))
+      .select(col("vec_id"), col("qerr_x1e6"), col("mean_x1e6"))
+      .orderBy(col("qerr_x1e6").desc, col("vec_id")).limit(20)
+  }
+
+  /** DuckDB rendering of [[pqQuantError]]: same pre CTE as
+    * [[pqOracleSql]], per-vector min-distance sum, integer mean.
+    */
+  def pqErrorSql(model: Seq[Seq[Seq[Float]]] = PqModel.books): String = {
+    val mM = model.length
+    val kK = model.head.length
+    val preCols = ((0 until mM).map(m =>
+      s"    ${pqVvSql("embedding", m, 1)} AS vv_$m") ++
+      (for (m <- 0 until mM; kk <- 0 until kK)
+        yield s"    ${pqDotSql("embedding", m, model(m)(kk), 1)} AS dot_${m}_$kk"))
+      .mkString(",\n")
+    val minSum = (0 until mM).map { m =>
+      (0 until kK).map(kk => pqDSql(s"vv_$m", s"dot_${m}_$kk", model(m)(kk)))
+        .mkString("least(", ", ", ")")
+    }.mkString(" + ")
+    s"""WITH pre AS (
+       |  SELECT vec_id,
+       |$preCols
+       |  FROM embeddings),
+       |e AS (
+       |  SELECT vec_id,
+       |    CAST(floor(($minSum) * 1000000) AS BIGINT) AS qerr_x1e6
+       |  FROM pre),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       |        CAST(sum(qerr_x1e6) AS BIGINT) AS sum_err FROM e)
+       |SELECT e.vec_id, e.qerr_x1e6, t.sum_err // t.n_vecs AS mean_x1e6
+       |FROM e CROSS JOIN t
+       |ORDER BY e.qerr_x1e6 DESC, e.vec_id LIMIT 20""".stripMargin
+  }
+
   def pqOracleSql(queryPredSql: String, k: Int = 10,
                   model: Seq[Seq[Seq[Float]]] = PqModel.books): String = {
     val mM = model.length

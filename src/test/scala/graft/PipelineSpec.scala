@@ -1162,6 +1162,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(vocs.zip(vocs.tail).forall { case (a, b) => b >= a })
   }
 
+  test("PQ quantization error equals the per-subspace argmin distance replay") {
+    import graft.similarity.PqModel
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val rows = Pipeline.annPqError(spark, sf).collect()
+    assert(rows.length == 20)
+    def qerr(v: Array[Float]): Double =
+      (0 until PqModel.M).map { m =>
+        (0 until PqModel.K).map { k =>
+          val c = PqModel.books(m)(k)
+          (0 until PqModel.SubDim).map { j =>
+            val d = v(m * PqModel.SubDim + j).toDouble - c(j).toDouble
+            d * d
+          }.sum
+        }.min
+      }.sum
+    // NOTE: the engines compute vv − 2·dot + cc, not Σ(x−c)² — equal in
+    // real arithmetic but not bit-for-bit in floats; compare with slack
+    // well below the 1e-6 floor granularity times vector count
+    val byId = vecs.toMap
+    rows.foreach { r =>
+      val want = qerr(byId(r.getLong(0)))
+      assert(math.abs(r.getLong(1) / 1e6 - want) < 1e-4,
+        s"quantization error drift for vec ${r.getLong(0)}")
+    }
+    // the page is the WORST vectors: every page error >= the corpus mean
+    val mean = rows.head.getLong(2)
+    assert(rows.forall(_.getLong(1) >= mean),
+      "a top-20 worst vector scored below the corpus mean")
+    val errs = rows.map(_.getLong(1))
+    assert(errs.zip(errs.tail).forall { case (a, b) => a >= b })
+  }
+
   test("probe sweep: recall grows with nprobe and never exceeds the truth set") {
     val rows = Pipeline.annProbeSweep(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))

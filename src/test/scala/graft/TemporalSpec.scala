@@ -1136,6 +1136,30 @@ class TemporalSpec extends AnyFunSuite {
     assert((row.getInt(7) == 1) == (want.toLong > 3841459L))
   }
 
+  test("max gap: day-decomposed gaps equal the straight consecutive-scan replay") {
+    val evs = graft.streaming.EventStreams.normalize(
+        Tables.events(SparkTestSession.spark, SparkTestSession.sf))
+      .select("event_type", "ts_us", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val rows = Temporal.qMaxGap(SparkTestSession.spark, SparkTestSession.sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val typ = r.getString(0)
+      val ts = evs.filter(_._1 == typ).sortBy(e => (e._2, e._3)).map(_._2)
+      // the union of intra-day and boundary gaps IS the plain
+      // consecutive-event gap sequence — the decomposition must lose
+      // nothing (ties inside a day order by event_id; a day boundary
+      // only ever separates sorted timestamps)
+      val gaps = ts.zip(ts.tail).map { case (a, b) => b - a }
+      assert(r.getLong(1) == ts.length.toLong, s"event count drift: $r")
+      assert(r.getLong(2) == gaps.length.toLong, s"gap count drift: $r")
+      assert(r.getLong(3) == gaps.max, s"max gap drift: $r")
+      assert(r.getLong(4) == gaps.count(_ > 3600000000L).toLong, s"1h-gap count drift: $r")
+    }
+    // gaps over an hour exist on this corpus or the monitor is vacuous
+    assert(rows.map(_.getLong(4)).sum > 0, "no gap ever exceeded an hour")
+  }
+
   test("rate limit: quota drops equal the per-day replay and are non-vacuous") {
     val perDay = graft.streaming.EventStreams.normalize(
         Tables.events(SparkTestSession.spark, SparkTestSession.sf))
