@@ -70,6 +70,8 @@ object SparkEntry {
     "ann_probe_sweep"      -> ((s, d) => Pipeline.annProbeSweep(s, d)),
     "ann_pq_error"         -> ((s, d) => Pipeline.annPqError(s, d)),
     "q_max_gap"            -> ((s, d) => operators.Temporal.qMaxGap(s, d)),
+    "q_seasonal_decompose" -> ((s, d) => operators.Temporal.qSeasonalDecompose(s, d)),
+    "txt_vocab_overlap"    -> ((s, d) => Text.vocabOverlap(s, d)),
     "ms_rank_feature"      -> ((s, d) => Metastore.rankFeatureQ(s, d)),
     "ms_events_filter"     -> ((s, d) => Metastore.eventsFilter(s, d)),
     "ms_events_sort"       -> ((s, d) => Metastore.eventsSort(s, d)),

@@ -414,6 +414,40 @@ object Temporal {
       .orderBy(col("arm"))
   }
 
+  /** Additive seasonal decomposition of the daily event count — the
+    * STL-lite readout (trend + day-of-week seasonal + residual) in
+    * exact ×100 integers: trend = centered 7-day moving mean (edge
+    * days use the available window — a DEFINED choice, same both
+    * engines), seasonal = the mean DETRENDED deviation of that
+    * weekday (so the seasonal component is centered around zero by
+    * construction up to flooring), residual = actual·100 − trend −
+    * seasonal. Day-domain windows and a 7-row weekday grid only; the
+    * fact scan partial-aggregates once.
+    */
+  def qSeasonalDecompose(s: SparkSession, d: String): DataFrame = {
+    val daily = EventStreams.normalize(Tables.events(s, d))
+      .groupBy(expr("ts_us div 86400000000").as("day"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("dow", expr("day % 7"))
+    val wTrend = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    val t2 = daily
+      .withColumn("tsum", sum(col("n")).over(wTrend))
+      .withColumn("tcnt", count(lit(1)).over(wTrend))
+      .withColumn("trend_x100", expr("(tsum * 100) div tcnt"))
+      .withColumn("detr_x100", col("n") * 100 - col("trend_x100"))
+      .localCheckpoint(eager = false)
+    val seasonal = t2.groupBy(col("dow"))
+      .agg(expr("CAST(sum(detr_x100) AS BIGINT)").as("ds"),
+        count(lit(1)).as("dn"))
+      .withColumn("seas_x100", expr(
+        "CAST(sign(ds) AS BIGINT) * (abs(ds) div dn)"))
+      .select(col("dow"), col("seas_x100"))
+    t2.join(broadcast(seasonal), Seq("dow"))
+      .select(col("day"), col("n"), col("trend_x100"), col("seas_x100"),
+        (col("n") * 100 - col("trend_x100") - col("seas_x100")).as("resid_x100"))
+      .orderBy(col("day"))
+  }
+
   /** Heartbeat-gap detection per event type — the "did the pipeline go
     * silent" monitor: the largest interval between consecutive events
     * and the count of gaps over one hour. The scale-critical
@@ -2943,6 +2977,30 @@ object Temporal {
         |  CAST(sum(converted) AS BIGINT) * 10000 // CAST(count(*) AS BIGINT) AS conv_x1e4,
         |  CAST(sum(purchase_cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS value_per_user_cents
         |FROM pu GROUP BY arm ORDER BY arm""".stripMargin,
+
+    "q_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY day),
+        |t AS (
+        |  SELECT day, n, day % 7 AS dow,
+        |    (CAST(sum(n) OVER (ORDER BY day
+        |       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) * 100)
+        |      // CAST(count(*) OVER (ORDER BY day
+        |       ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT) AS trend_x100
+        |  FROM daily),
+        |t2 AS (SELECT *, n * 100 - trend_x100 AS detr_x100 FROM t),
+        |se AS (
+        |  SELECT dow,
+        |    CAST(sign(sum(detr_x100)) AS BIGINT)
+        |      * (abs(CAST(sum(detr_x100) AS BIGINT))
+        |         // CAST(count(*) AS BIGINT)) AS seas_x100
+        |  FROM t2 GROUP BY dow)
+        |SELECT t2.day, t2.n, t2.trend_x100, se.seas_x100,
+        |  t2.n * 100 - t2.trend_x100 - se.seas_x100 AS resid_x100
+        |FROM t2 JOIN se ON se.dow = t2.dow
+        |ORDER BY t2.day""".stripMargin,
 
     "q_max_gap" ->
       """WITH e AS (

@@ -605,6 +605,32 @@ object Text {
       .orderBy(col("ctx"), col("rank"))
   }
 
+  /** Cross-language vocabulary overlap — the contamination/code-mixing
+    * signal a multilingual corpus audit reads (a high off-diagonal
+    * Jaccard means langid is leaking or the corpus shares boilerplate):
+    * per unordered lang pair, |V_a ∩ V_b|, the two vocabulary sizes,
+    * and Jaccard ×10⁶. One token pass builds the (lang, type) grid;
+    * the intersection join is TYPE-keyed (vocabulary-scale, text never
+    * self-joins), pair counts are lang²-bounded.
+    */
+  def vocabOverlap(s: SparkSession, d: String): DataFrame = {
+    val lt = Tables.fanOut(Tables.documents(s, d))
+      .select(col("lang"), explode(rawTokens(col("text"))).as("t"))
+      .distinct()
+      .localCheckpoint(eager = false)
+    val sizes = lt.groupBy(col("lang")).agg(count(lit(1)).as("v"))
+    val inter = lt.as("a").join(lt.as("b"),
+        col("a.t") === col("b.t") && col("a.lang") < col("b.lang"))
+      .groupBy(col("a.lang").as("lang_a"), col("b.lang").as("lang_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("lang").as("lang_a"), col("v").as("v_a")), Seq("lang_a"))
+      .join(sizes.select(col("lang").as("lang_b"), col("v").as("v_b")), Seq("lang_b"))
+      .select(col("lang_a"), col("lang_b"), col("v_a"), col("v_b"), col("n_common"),
+        expr("(n_common * 1000000) div (v_a + v_b - n_common)").as("jaccard_x1e6"))
+      .orderBy(col("lang_a"), col("lang_b"))
+  }
+
   /** Per-doc character-level dyadic entropy — the random-vs-structured
     * text detector (encrypted/compressed junk scores near log₂36,
     * natural text far below): counts for the 37-symbol domain
@@ -916,6 +942,24 @@ object Text {
          |SELECT ctx, CAST(rn AS INT) AS rank, nxt, cnt, ctx_total,
          |  (cnt * 1000000) // ctx_total AS p_x1e6
          |FROM ranked WHERE rn <= 3 ORDER BY ctx, rank""".stripMargin
+    },
+
+    "txt_vocab_overlap" -> {
+      val tk = rawTokensSql("text")
+      s"""WITH lt AS (
+         |  SELECT DISTINCT lang, unnest($tk) AS t FROM documents),
+         |sz AS (SELECT lang, CAST(count(*) AS BIGINT) AS v FROM lt GROUP BY lang),
+         |inter AS (
+         |  SELECT a.lang AS lang_a, b.lang AS lang_b,
+         |    CAST(count(*) AS BIGINT) AS n_common
+         |  FROM lt a JOIN lt b ON a.t = b.t AND a.lang < b.lang
+         |  GROUP BY a.lang, b.lang)
+         |SELECT i.lang_a, i.lang_b, sa.v AS v_a, sb.v AS v_b, i.n_common,
+         |  (i.n_common * 1000000) // (sa.v + sb.v - i.n_common) AS jaccard_x1e6
+         |FROM inter i
+         |JOIN sz sa ON sa.lang = i.lang_a
+         |JOIN sz sb ON sb.lang = i.lang_b
+         |ORDER BY i.lang_a, i.lang_b""".stripMargin
     },
 
     "txt_char_entropy" -> {

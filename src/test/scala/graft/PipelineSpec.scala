@@ -1084,6 +1084,32 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("vocabulary overlap equals the set-intersection replay over lang pairs") {
+    val vocab = docs.select("lang", "text").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.flatMap(r =>
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)).toSet)
+      .toMap
+    val langs = vocab.keys.toSeq.sorted
+    // read columns by name — the join order rearranges positions
+    val byName = graft.operators.Text.vocabOverlap(spark, sf).collect().map { r =>
+      (r.getAs[String]("lang_a"), r.getAs[String]("lang_b"),
+        r.getAs[Long]("v_a"), r.getAs[Long]("v_b"),
+        r.getAs[Long]("n_common"), r.getAs[Long]("jaccard_x1e6"))
+    }
+    assert(byName.length == langs.length * (langs.length - 1) / 2)
+    byName.foreach { case (a, b, va, vb, nc, j) =>
+      assert(a < b)
+      assert(va == vocab(a).size.toLong && vb == vocab(b).size.toLong,
+        s"vocab size drift for ($a,$b)")
+      val wantN = (vocab(a) & vocab(b)).size.toLong
+      assert(nc == wantN, s"intersection drift for ($a,$b)")
+      assert(j == nc * 1000000L / (va + vb - nc), s"jaccard drift for ($a,$b)")
+    }
+    // the synthetic corpus shares a vocabulary across langs — overlap
+    // must be substantial, or the query found the wrong grid
+    assert(byName.forall(_._5 > 0), "disjoint vocabularies — check the token grid")
+  }
+
   test("char entropy equals the floor-log2 replay and separates text from noise") {
     val domain = (('a' to 'z') ++ ('0' to '9') :+ ' ').toSet
     val texts = docs.select("doc_id", "text").collect()

@@ -1136,6 +1136,37 @@ class TemporalSpec extends AnyFunSuite {
     assert((row.getInt(7) == 1) == (want.toLong > 3841459L))
   }
 
+  test("seasonal decomposition reconstructs exactly and components replay") {
+    val daily = graft.streaming.EventStreams.normalize(
+        Tables.events(SparkTestSession.spark, SparkTestSession.sf))
+      .select("ts_us").collect().map(_.getLong(0) / 86400000000L)
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .toSeq.sortBy(_._1)
+    val days = daily.map(_._1); val ns = daily.map(_._2)
+    val trend = days.indices.map { i =>
+      val w = (math.max(0, i - 3) to math.min(days.length - 1, i + 3)).map(ns)
+      w.sum * 100 / w.length
+    }
+    val detr = days.indices.map(i => ns(i) * 100 - trend(i))
+    val seas = days.indices.groupBy(i => days(i) % 7).view.mapValues { is =>
+      val s0 = is.map(detr).sum
+      s0.sign * (s0.abs / is.length)
+    }.toMap
+    val rows = Temporal.qSeasonalDecompose(SparkTestSession.spark, SparkTestSession.sf)
+      .collect()
+    assert(rows.length == days.length)
+    rows.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(0) == days(i) && r.getLong(1) == ns(i))
+      assert(r.getLong(2) == trend(i), s"trend drift at day ${days(i)}")
+      assert(r.getLong(3) == seas(days(i) % 7), s"seasonal drift at day ${days(i)}")
+      // the defining identity: actual*100 = trend + seasonal + residual
+      assert(r.getLong(1) * 100 == r.getLong(2) + r.getLong(3) + r.getLong(4),
+        "decomposition does not reconstruct")
+    }
+    // the seasonal component must be centered-ish and non-constant
+    assert(rows.map(_.getLong(3)).distinct.length > 1, "flat seasonal — vacuous")
+  }
+
   test("max gap: day-decomposed gaps equal the straight consecutive-scan replay") {
     val evs = graft.streaming.EventStreams.normalize(
         Tables.events(SparkTestSession.spark, SparkTestSession.sf))
