@@ -66,6 +66,7 @@ object SparkEntry {
     "ms_field_stats"       -> ((s, d) => Metastore.fieldStatsQ(s, d)),
     "q_rate_limit"         -> ((s, d) => operators.Temporal.qRateLimit(s, d)),
     "ms_rollover_plan"     -> ((s, d) => Metastore.rolloverPlanQ(s, d)),
+    "ms_phrase_slop"       -> ((s, d) => Metastore.phraseSlopQ(s, d)),
     "q_discount_impact"    -> ((s, d) => Relational.qDiscountImpact(s, d)),
     "ann_probe_sweep"      -> ((s, d) => Pipeline.annProbeSweep(s, d)),
     "ann_pq_error"         -> ((s, d) => Pipeline.annPqError(s, d)),

@@ -862,6 +862,30 @@ object Metastore {
         expr("CAST(array_min(gaps) AS BIGINT)").as("min_gap"))
       .orderBy(col("doc_id")).limit(100)
 
+  /** ES match_phrase-with-slop analog — "merge join" at slop 2, the
+    * everyday loose-phrase query between exact phrase (slop 0) and
+    * span_near: an ORDERED pair matches with ≤ 2 intervening tokens
+    * (each intervening token costs one move), and the REVERSED pair
+    * matches only when adjacent (a transposition costs exactly 2 — the
+    * documented ES slop accounting, so "join merge" is in but
+    * "join x merge" is out). Both pair families come from the same
+    * native codegen'd [[graft.functions.SpanGaps]] pass over the
+    * shared [[tokCorpus]] table (§4.5 discipline — no interpreted
+    * HOF re-evaluation).
+    */
+  def phraseSlopQ(s: SparkSession, d: String): DataFrame =
+    tokCorpus(s, d)
+      .withColumn("ord", graft.functions.TextExpressionFunctions
+        .spanGaps(col("toks"), "merge", "join", 2))
+      .withColumn("rev", graft.functions.TextExpressionFunctions
+        .spanGaps(col("toks"), "join", "merge", 0))
+      .filter(size(col("ord")) > 0 || size(col("rev")) > 0)
+      .select(col("doc_id"), col("name"),
+        size(col("ord")).cast("long").as("n_ordered"),
+        size(col("rev")).cast("long").as("n_transposed"),
+        (size(col("ord")) + size(col("rev"))).cast("long").as("n_matches"))
+      .orderBy(col("doc_id")).limit(100)
+
   /** ES match_phrase_prefix analog: "merge jo*" — 'merge' immediately
     * followed by any token with prefix "jo" (the search-as-you-type
     * primitive). One native codegen'd
@@ -1924,6 +1948,25 @@ object Metastore {
          |SELECT doc_id, name, CAST(len(gaps) AS BIGINT) AS n_pairs,
          |  CAST(list_min(gaps) AS BIGINT) AS min_gap
          |FROM g WHERE len(gaps) > 0 ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_phrase_slop" ->
+      s"""$idxCte,
+         |t AS (SELECT doc_id, name, ${tok("readme")} AS toks FROM idx
+         |      WHERE findability = 'published'),
+         |p AS (SELECT doc_id, name,
+         |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'merge') AS pm,
+         |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS pj
+         |      FROM t),
+         |g AS (SELECT doc_id, name,
+         |        CAST(len(flatten(list_transform(pm, i ->
+         |          list_filter(pj, j -> j > i AND j - i <= 3)))) AS BIGINT) AS n_ordered,
+         |        CAST(len(flatten(list_transform(pj, j ->
+         |          list_filter(pm, i -> i = j + 1)))) AS BIGINT) AS n_transposed
+         |      FROM p)
+         |SELECT doc_id, name, n_ordered, n_transposed,
+         |  n_ordered + n_transposed AS n_matches
+         |FROM g WHERE n_ordered > 0 OR n_transposed > 0
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
 
     "ms_phrase_prefix" ->
       s"""$idxCte,

@@ -742,6 +742,26 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase slop: ordered-within-2 and transposed-adjacent replay exactly") {
+    val docs = ds.visible(idx, None).select(col("doc_id"), col("readme")).collect()
+      .map(r => r.getLong(0) -> Analyzer.analyzeQuery(r.getString(1)))
+    val want = docs.flatMap { case (id, toks) =>
+      val pm = toks.zipWithIndex.collect { case ("merge", i) => i }
+      val pj = toks.zipWithIndex.collect { case ("join", i) => i }
+      val ord = (for (i <- pm; j <- pj; if j > i && j - i <= 3) yield 1).size.toLong
+      val rev = (for (j <- pj; i <- pm; if i == j + 1) yield 1).size.toLong
+      if (ord > 0 || rev > 0) Some((id, ord, rev)) else None
+    }.sortBy(_._1).take(100).toSeq
+    val got = Metastore.phraseSlopQ(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == want)
+    // the slop family must be strictly wider than the exact phrase
+    val exact = Metastore.phraseQ(spark, sf).collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(got.map(_._1).toSet) || got.length == 100,
+      "exact-phrase docs missing from the slop match set")
+    assert(got.exists(t => t._2 > 0 && t._3 >= 0), "no ordered matches — vacuous")
+  }
+
   test("rollover plan: generations fill in day order and never split a day") {
     val rows = Metastore.rolloverPlanQ(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
