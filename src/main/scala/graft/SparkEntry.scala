@@ -385,6 +385,8 @@ object SparkEntry {
     "txt_char_entropy"    -> ((s, d) => Text.charEntropy(s, d)),
     "q_bridge_analysis"   -> ((s, d) => Relational.qBridgeAnalysis(s, d)),
     "q_linreg_multi"      -> ((s, d) => Relational.qLinregMulti(s, d)),
+    "q_ship_latency"      -> ((s, d) => Relational.qShipLatency(s, d)),
+    "q_backlog"           -> ((s, d) => Relational.qBacklog(s, d)),
     "txt_diversity"       -> ((s, d) => Text.diversity(s, d)),
     "txt_repetition"      -> ((s, d) => Text.repetition(s, d)),
     "txt_bigram_coverage" -> ((s, d) => Text.bigramCoverage(s, d)),
@@ -772,6 +774,59 @@ object SparkEntry {
         |FROM br CROSS JOIN tot t
         |JOIN ranked r ON r.rn = greatest(1, (t.n_users * br.pct) // 100)
         |ORDER BY pct""".stripMargin,
+
+    "q_ship_latency" ->
+      """WITH ls AS (
+        |  SELECT l_orderkey, max(l_shipdate) AS last_ship
+        |  FROM lineitem GROUP BY l_orderkey),
+        |lat AS (
+        |  SELECT o.o_orderpriority AS prio,
+        |    (epoch_us(ls.last_ship) - epoch_us(o.o_orderdate)) // 86400000000 AS days
+        |  FROM orders o JOIN ls ON o.o_orderkey = ls.l_orderkey),
+        |lb AS (SELECT prio, days, length(bin(greatest(days, 1))) AS bucket FROM lat),
+        |h AS (
+        |  SELECT prio,
+        |    array_to_string(list_sort(list(
+        |      lpad(CAST(bucket AS VARCHAR), 2, '0') || ':' || CAST(c AS VARCHAR))), ',')
+        |      AS hist_csv
+        |  FROM (SELECT prio, bucket, CAST(count(*) AS BIGINT) AS c
+        |        FROM lb GROUP BY prio, bucket)
+        |  GROUP BY prio),
+        |s AS (
+        |  SELECT prio, CAST(count(*) AS BIGINT) AS n_orders,
+        |    (CAST(sum(days) AS BIGINT) * 100) // CAST(count(*) AS BIGINT)
+        |      AS mean_days_x100,
+        |    CAST(max(days) AS BIGINT) AS max_days
+        |  FROM lat GROUP BY prio)
+        |SELECT s.prio, s.n_orders, s.mean_days_x100, s.max_days, h.hist_csv
+        |FROM s JOIN h USING (prio) ORDER BY s.prio""".stripMargin,
+
+    "q_backlog" ->
+      """WITH placed AS (
+        |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+        |    CAST(count(*) AS BIGINT) AS opened
+        |  FROM orders GROUP BY day),
+        |done AS (
+        |  SELECT day, CAST(count(*) AS BIGINT) AS closed FROM (
+        |    SELECT l_orderkey,
+        |      max(epoch_us(l_shipdate) // 86400000000) AS day
+        |    FROM lineitem GROUP BY l_orderkey)
+        |  GROUP BY day),
+        |g AS (
+        |  SELECT coalesce(p.day, d.day) AS day,
+        |    coalesce(p.opened, 0) AS opened, coalesce(d.closed, 0) AS closed
+        |  FROM placed p FULL OUTER JOIN done d ON p.day = d.day)
+        |SELECT day, CAST(opened AS BIGINT) AS opened,
+        |  CAST(closed AS BIGINT) AS closed,
+        |  CAST(sum(opened) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_opened,
+        |  CAST(sum(closed) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_closed,
+        |  CAST(sum(opened) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  - CAST(sum(closed) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS backlog
+        |FROM g ORDER BY day""".stripMargin,
 
     "q_linreg_multi" ->
       """WITH po AS (

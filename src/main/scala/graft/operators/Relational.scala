@@ -342,6 +342,66 @@ object Relational {
       .orderBy(col("prio"))
   }
 
+  /** Fulfillment-latency profile per order priority — days from order
+    * to LAST line shipped (the complete-order latency a promise-date
+    * SLA is written against): mean ×100, max, and a ⌊log₂⌋+1 bucket
+    * histogram CSV (the degreeDist bucket trick — ≤7 buckets however
+    * long the tail). One lineitem→order-grain aggregate (max shipdate
+    * per order), one join to orders, priority-domain rollup. The CSV
+    * column makes the whole histogram one hash-comparable row per
+    * priority.
+    */
+  def qShipLatency(spark: SparkSession, dir: String): DataFrame = {
+    val lastShip = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("last_ship"))
+    val lat = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_orderpriority").as("prio"), col("o_orderdate"))
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .withColumn("days", expr(
+        "(unix_micros(last_ship) - unix_micros(o_orderdate)) div 86400000000"))
+      .withColumn("bucket", expr("length(bin(greatest(days, 1)))"))
+    val hist = lat.groupBy(col("prio"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("prio"))
+      .agg(array_join(sort_array(collect_list(
+        concat(lpad(col("bucket").cast("string"), 2, "0"), lit(":"), col("c")))), ",")
+        .as("hist_csv"))
+    lat.groupBy(col("prio"))
+      .agg(count(lit(1)).cast("long").as("n_orders"),
+        expr("(sum(days) * 100) div count(1)").as("mean_days_x100"),
+        max(col("days")).cast("long").as("max_days"))
+      .join(hist, Seq("prio"))
+      .orderBy(col("prio"))
+  }
+
+  /** Open-order backlog time series — cumulative orders placed minus
+    * orders fully shipped per day (the queue-depth curve an operations
+    * review watches): an order leaves the backlog on the day its LAST
+    * line ships. Two day-grain aggregates (placed, completed) outer-
+    * merged on the day grid, then day-domain cumulative windows —
+    * the fact tables are each touched once, everything after is
+    * calendar-bounded.
+    */
+  def qBacklog(spark: SparkSession, dir: String): DataFrame = {
+    val placed = Tables.orders(spark, dir)
+      .groupBy(expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+      .agg(count(lit(1)).as("opened"))
+    val done = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(max(expr("unix_micros(l_shipdate) div 86400000000")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("closed"))
+    val w = Window.orderBy(col("day")).rowsBetween(Window.unboundedPreceding, 0)
+    placed.join(done, Seq("day"), "full_outer")
+      .select(col("day"),
+        coalesce(col("opened"), lit(0L)).as("opened"),
+        coalesce(col("closed"), lit(0L)).as("closed"))
+      .withColumn("cum_opened", sum(col("opened")).over(w))
+      .withColumn("cum_closed", sum(col("closed")).over(w))
+      .withColumn("backlog", col("cum_opened") - col("cum_closed"))
+      .orderBy(col("day"))
+  }
+
   /** Revenue bridge (waterfall) 1995 → 1996 per brand — the finance
     * review's "WHY did revenue move" decomposition: Δrevenue splits
     * into a VOLUME effect (Δqty at the old unit price, unit₀ = rev₀

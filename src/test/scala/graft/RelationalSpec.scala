@@ -764,6 +764,42 @@ class RelationalSpec extends AnyFunSuite {
       "all slopes zero — regression vacuous")
   }
 
+  test("ship latency and backlog replay from the order/lineitem grain") {
+    import SparkTestSession._
+    val lastShip = Tables.lineitem(spark, sf).groupBy(col("l_orderkey"))
+      .agg(max(col("l_shipdate")).as("ls")).collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime).toMap
+    val orders = Tables.orders(spark, sf)
+      .select("o_orderkey", "o_orderpriority", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime))
+    // latency replay
+    val lat = orders.flatMap { case (k, p, od) =>
+      lastShip.get(k).map(ls => (p, (ls * 1000 - od * 1000) / 86400000000L))
+    }
+    val rows = operators.Relational.qShipLatency(spark, sf).collect()
+    rows.foreach { r =>
+      val ds2 = lat.filter(_._1 == r.getString(0)).map(_._2)
+      assert(r.getLong(1) == ds2.length.toLong)
+      assert(r.getLong(2) == ds2.sum * 100 / ds2.length, s"mean drift: $r")
+      assert(r.getLong(3) == ds2.max, s"max drift: $r")
+      val want = ds2.groupBy(d => java.lang.Long.toBinaryString(math.max(d, 1)).length)
+        .map { case (b, v) => f"$b%02d:${v.length}" }.toSeq.sorted.mkString(",")
+      assert(r.getString(4) == want, s"histogram drift: $r")
+    }
+    // backlog replay: ends at zero open orders iff every order shipped
+    val bl = operators.Relational.qBacklog(spark, sf).collect()
+    val last = bl.last
+    val nOrders = orders.length.toLong
+    val nShipped = orders.count(o => lastShip.contains(o._1)).toLong
+    assert(last.getLong(3) == nOrders, "cumulative opened drift")
+    assert(last.getLong(4) == nShipped, "cumulative closed drift")
+    assert(last.getLong(5) == nOrders - nShipped, "final backlog drift")
+    // backlog is internally consistent on every row
+    bl.foreach(r => assert(r.getLong(5) == r.getLong(3) - r.getLong(4)))
+    // the backlog must actually rise above zero somewhere (orders ship later)
+    assert(bl.exists(_.getLong(5) > 0), "backlog never positive — vacuous")
+  }
+
   test("revenue bridge: volume + price/mix reconcile to delta exactly") {
     import SparkTestSession._
     val rows = operators.Relational.qBridgeAnalysis(spark, sf).collect()
