@@ -67,6 +67,8 @@ object SparkEntry {
     "q_rate_limit"         -> ((s, d) => operators.Temporal.qRateLimit(s, d)),
     "ms_rollover_plan"     -> ((s, d) => Metastore.rolloverPlanQ(s, d)),
     "ms_phrase_slop"       -> ((s, d) => Metastore.phraseSlopQ(s, d)),
+    "ms_knn"               -> ((s, d) => Metastore.knnQ(s, d)),
+    "q_rank_shift"         -> ((s, d) => Relational.qRankShift(s, d)),
     "q_discount_impact"    -> ((s, d) => Relational.qDiscountImpact(s, d)),
     "ann_probe_sweep"      -> ((s, d) => Pipeline.annProbeSweep(s, d)),
     "ann_pq_error"         -> ((s, d) => Pipeline.annPqError(s, d)),
@@ -774,6 +776,30 @@ object SparkEntry {
         |FROM br CROSS JOIN tot t
         |JOIN ranked r ON r.rn = greatest(1, (t.n_users * br.pct) // 100)
         |ORDER BY pct""".stripMargin,
+
+    "q_rank_shift" ->
+      """WITH li AS (
+        |  SELECT p.p_brand,
+        |    CASE WHEN o.o_orderdate >= TIMESTAMP '1995-02-01' THEN 1 ELSE 0 END AS m2,
+        |    CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100 + 0.5)
+        |      AS BIGINT) AS cents
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+        |    AND o.o_orderdate < TIMESTAMP '1995-03-01'),
+        |g AS (
+        |  SELECT p_brand,
+        |    CAST(sum(CASE WHEN m2 = 0 THEN cents ELSE 0 END) AS BIGINT) AS rev1,
+        |    CAST(sum(CASE WHEN m2 = 1 THEN cents ELSE 0 END) AS BIGINT) AS rev2
+        |  FROM li GROUP BY p_brand),
+        |r AS (
+        |  SELECT p_brand, rev1, rev2,
+        |    CAST(row_number() OVER (ORDER BY rev1 DESC, p_brand) AS BIGINT) AS rank1,
+        |    CAST(row_number() OVER (ORDER BY rev2 DESC, p_brand) AS BIGINT) AS rank2
+        |  FROM g)
+        |SELECT p_brand, rev1, rev2, rank1, rank2, rank1 - rank2 AS shift
+        |FROM r ORDER BY rank2""".stripMargin,
 
     "q_ship_latency" ->
       """WITH ls AS (

@@ -637,6 +637,30 @@ object Metastore {
       .limit(20)
   }
 
+  /** ES 8.x knn-search-with-filter analog on the SEARCH surface — the
+    * piece ann_filtered (§2.4) does not exercise: the vector page is
+    * composed WITH the index's visibility rules (published only) and a
+    * keyword filter (lang = 'en'), exactly how the _search knn section
+    * behaves — the filter restricts CANDIDATES, the query vector is
+    * external (vec 0), and the page carries index fields. Exact brute
+    * cosine ×10⁶ over the filtered pool (the candidates are pruned
+    * BEFORE any distance math — at scale this is the difference
+    * between scoring a slice and scoring the corpus).
+    */
+  def knnQ(s: SparkSession, d: String): DataFrame = {
+    val vis = ds.visible(idx(s, d), None).filter(col("lang") === "en")
+      .select(col("doc_id"), col("name")).localCheckpoint(eager = false)
+    val emb = Tables.embeddings(s, d)
+    val cand = emb.join(vis.select(col("doc_id").as("vec_id")), Seq("vec_id"))
+      .filter(col("vec_id") =!= 0)
+    val pool = cand.unionByName(emb.filter(col("vec_id") === 0))
+    graft.similarity.Similarity.bruteTopK(pool, col("vec_id") === 0)
+      .join(vis.withColumnRenamed("doc_id", "vec_id"), Seq("vec_id"))
+      .select(col("rk").cast("int").as("rank"), col("vec_id").as("doc_id"),
+        col("name"), col("cos_x1e6"))
+      .orderBy(col("rank"))
+  }
+
   /** ES ILM size-based rollover plan analog — which index generation
     * does each day's data land in, under a max-docs-per-generation
     * policy (100 here — sized to roll at every test SF): generation = cumulative docs BEFORE the day
@@ -1799,6 +1823,27 @@ object Metastore {
          |WHERE findability = 'published'
          |  AND len(list_filter(${tok("readme")}, t -> t = 'merge')) > 0
          |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "ms_knn" -> {
+      val cos = graft.similarity.Similarity.cosineSql("q.q_emb", "e.embedding")
+      s"""$idxCte,
+         |vis AS (SELECT doc_id, name FROM idx
+         |        WHERE findability = 'published' AND lang = 'en'),
+         |e AS (SELECT vec_id, embedding FROM embeddings
+         |      WHERE vec_id IN (SELECT doc_id FROM vis) AND vec_id <> 0),
+         |q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+         |sc AS (
+         |  SELECT e.vec_id,
+         |    CAST(floor($cos * 1e6) AS BIGINT) AS cos_x1e6
+         |  FROM e CROSS JOIN q),
+         |rk AS (
+         |  SELECT vec_id, cos_x1e6,
+         |    CAST(row_number() OVER (ORDER BY cos_x1e6 DESC, vec_id) AS INT) AS rank
+         |  FROM sc)
+         |SELECT r.rank, r.vec_id AS doc_id, v.name, r.cos_x1e6
+         |FROM rk r JOIN vis v ON v.doc_id = r.vec_id
+         |WHERE r.rank <= 10 ORDER BY r.rank""".stripMargin
+    },
 
     "ms_rollover_plan" ->
       s"""$evCte,

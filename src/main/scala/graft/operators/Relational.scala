@@ -342,6 +342,38 @@ object Relational {
       .orderBy(col("prio"))
   }
 
+  /** Movers-and-shakers rank shift — brand revenue ranks in Jan 1995
+    * vs Feb 1995 with the rank delta, the period-over-period report a
+    * category review opens with. Both period ranks come from ONE
+    * conditional aggregate over a single pruned fact pass (the two
+    * months never join); the rank windows run on the bounded brand
+    * domain. Brands absent from a month rank by zero revenue — total
+    * order with the brand tiebreak, so the shift is always defined.
+    */
+  def qRankShift(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+              col("o_orderdate") < lit("1995-03-01").cast("timestamp"))
+      .withColumn("m2", (col("o_orderdate") >= lit("1995-02-01").cast("timestamp")).cast("int"))
+      .withColumn("cents",
+        expr("CAST(floor(l_extendedprice * (1.0 - l_discount) * 100 + 0.5) AS BIGINT)"))
+    val w1 = Window.orderBy(col("rev1").desc, col("p_brand"))
+    val w2 = Window.orderBy(col("rev2").desc, col("p_brand"))
+    li.groupBy(col("p_brand"))
+      .agg(sum(when(col("m2") === 0, col("cents")).otherwise(0L)).cast("long").as("rev1"),
+        sum(when(col("m2") === 1, col("cents")).otherwise(0L)).cast("long").as("rev2"))
+      .withColumn("rank1", row_number().over(w1).cast("long"))
+      .withColumn("rank2", row_number().over(w2).cast("long"))
+      .withColumn("shift", col("rank1") - col("rank2"))
+      .select(col("p_brand"), col("rev1"), col("rev2"),
+        col("rank1"), col("rank2"), col("shift"))
+      .orderBy(col("rank2"))
+  }
+
   /** Fulfillment-latency profile per order priority — days from order
     * to LAST line shipped (the complete-order latency a promise-date
     * SLA is written against): mean ×100, max, and a ⌊log₂⌋+1 bucket

@@ -764,6 +764,26 @@ class RelationalSpec extends AnyFunSuite {
       "all slopes zero — regression vacuous")
   }
 
+  test("rank shift: both period ranks are total orders and shifts sum to zero") {
+    import SparkTestSession._
+    val rows = operators.Relational.qRankShift(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val n = rows.length
+    assert(rows.map(_._4).sorted.toSeq == (1L to n) &&
+      rows.map(_._5).sorted.toSeq == (1L to n), "ranks must be total orders")
+    // a permutation's rank deltas always sum to zero — the consistency
+    // invariant that catches a mismatched rank window immediately
+    assert(rows.map(_._6).sum == 0L, "rank shifts do not sum to zero")
+    rows.foreach { case (_, _, _, r1, r2, sh) => assert(sh == r1 - r2) }
+    // the ranks come from the revenues: verify the month-2 ordering
+    val byRank2 = rows.sortBy(_._5).map(t => (t._3, t._1))
+    assert(byRank2.zip(byRank2.tail).forall { case ((a, ab), (b, bb)) =>
+      a > b || (a == b && ab < bb) }, "rank2 not ordered by month-2 revenue")
+    assert(rows.exists(_._6 != 0), "no brand moved — report vacuous")
+  }
+
   test("ship latency and backlog replay from the order/lineitem grain") {
     import SparkTestSession._
     val lastShip = Tables.lineitem(spark, sf).groupBy(col("l_orderkey"))

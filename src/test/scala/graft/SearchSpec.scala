@@ -742,6 +742,36 @@ class SearchSpec extends AnyFunSuite {
     }
   }
 
+  test("knn page respects visibility and the keyword filter; scores replay") {
+    val visEn = Tables.datasetIndex(spark, sf)
+      .filter(col("findability") === "published" && col("lang") === "en")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val emb = Tables.embeddings(spark, sf).select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val q = emb.find(_._1 == 0L).get._2
+    def cos(a: Array[Float], b: Array[Float]): Long = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+      }
+      math.floor(d / math.sqrt(na) / math.sqrt(nb) * 1e6).toLong
+    }
+    val want = emb.filter(e => e._1 != 0 && visEn(e._1))
+      .map(e => (e._1, cos(q, e._2)))
+      .sortBy { case (id, c) => (-c, id) }.take(10)
+    val rows = Metastore.knnQ(spark, sf).collect()
+    assert(rows.length == 10)
+    rows.zip(want).zipWithIndex.foreach { case ((r, (id, c)), i) =>
+      assert(r.getInt(0) == i + 1)
+      assert(r.getLong(1) == id, s"knn neighbor drift at rank ${i + 1}")
+      assert(visEn(r.getLong(1)), "page leaked a non-visible or non-en doc")
+      // driver double math can differ in the last ulp from the in-order
+      // SQL chain; the floor granularity bounds the drift to ±1
+      assert(math.abs(r.getLong(3) - c) <= 1, s"cosine drift at rank ${i + 1}")
+    }
+  }
+
   test("phrase slop: ordered-within-2 and transposed-adjacent replay exactly") {
     val docs = ds.visible(idx, None).select(col("doc_id"), col("readme")).collect()
       .map(r => r.getLong(0) -> Analyzer.analyzeQuery(r.getString(1)))
