@@ -69,6 +69,7 @@ object SparkEntry {
     "ms_phrase_slop"       -> ((s, d) => Metastore.phraseSlopQ(s, d)),
     "ms_knn"               -> ((s, d) => Metastore.knnQ(s, d)),
     "q_rank_shift"         -> ((s, d) => Relational.qRankShift(s, d)),
+    "q_adoption"           -> ((s, d) => Relational.qAdoption(s, d)),
     "q_discount_impact"    -> ((s, d) => Relational.qDiscountImpact(s, d)),
     "ann_probe_sweep"      -> ((s, d) => Pipeline.annProbeSweep(s, d)),
     "ann_pq_error"         -> ((s, d) => Pipeline.annPqError(s, d)),
@@ -776,6 +777,23 @@ object SparkEntry {
         |FROM br CROSS JOIN tot t
         |JOIN ranked r ON r.rn = greatest(1, (t.n_users * br.pct) // 100)
         |ORDER BY pct""".stripMargin,
+
+    "q_adoption" ->
+      """WITH fs AS (
+        |  SELECT l_partkey,
+        |    min(epoch_us(o_orderdate) // 86400000000 // 30) AS month
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY l_partkey),
+        |m AS (SELECT month, CAST(count(*) AS BIGINT) AS n_new
+        |      FROM fs GROUP BY month),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_parts FROM part)
+        |SELECT month, n_new,
+        |  CAST(sum(n_new) OVER (ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_active,
+        |  (CAST(sum(n_new) OVER (ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 1000000)
+        |    // c.n_parts AS coverage_ppm
+        |FROM m CROSS JOIN c ORDER BY month""".stripMargin,
 
     "q_rank_shift" ->
       """WITH li AS (

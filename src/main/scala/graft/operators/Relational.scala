@@ -342,6 +342,32 @@ object Relational {
       .orderBy(col("prio"))
   }
 
+  /** Catalog activation curve — when did each part first sell, rolled
+    * up monthly: parts newly activated per month, the cumulative
+    * activated count, and coverage of the catalog ppm — the
+    * assortment-health readout ("is the long tail ever bought?").
+    * First-sale is one (part → min orderdate) aggregate off a single
+    * fact pass (the q_cumulative-uniques first-seen discipline);
+    * everything after runs on the bounded month grid with a 1-row
+    * catalog-size broadcast.
+    */
+  def qAdoption(spark: SparkSession, dir: String): DataFrame = {
+    val firstSale = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_partkey"))
+      .agg(min(expr("unix_micros(o_orderdate) div 86400000000 div 30")).as("month"))
+    val monthly = firstSale.groupBy(col("month"))
+      .agg(count(lit(1)).as("n_new"))
+    val catalog = Tables.part(spark, dir).agg(count(lit(1)).as("n_parts"))
+    val w = Window.orderBy(col("month")).rowsBetween(Window.unboundedPreceding, 0)
+    monthly.crossJoin(broadcast(catalog))
+      .withColumn("cum_active", sum(col("n_new")).over(w))
+      .withColumn("coverage_ppm", expr("(cum_active * 1000000) div n_parts"))
+      .select(col("month"), col("n_new"), col("cum_active"), col("coverage_ppm"))
+      .orderBy(col("month"))
+  }
+
   /** Movers-and-shakers rank shift — brand revenue ranks in Jan 1995
     * vs Feb 1995 with the rank delta, the period-over-period report a
     * category review opens with. Both period ranks come from ONE

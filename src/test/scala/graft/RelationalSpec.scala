@@ -764,6 +764,29 @@ class RelationalSpec extends AnyFunSuite {
       "all slopes zero — regression vacuous")
   }
 
+  test("adoption curve: first-sale months replay and coverage is monotone") {
+    import SparkTestSession._
+    val od = Tables.orders(spark, sf).select("o_orderkey", "o_orderdate").collect()
+      .map(r => r.getLong(0) -> r.getTimestamp(1).getTime * 1000).toMap
+    val firstSale = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(1), od(r.getLong(0)) / 86400000000L / 30))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min)
+    val wantMonthly = firstSale.values.groupBy(identity).view
+      .mapValues(_.size.toLong).toMap
+    val nParts = Tables.part(spark, sf).count()
+    val rows = operators.Relational.qAdoption(spark, sf).collect()
+    assert(rows.map(_.getLong(0)).toSet == wantMonthly.keySet)
+    var cum = 0L
+    rows.foreach { r =>
+      assert(r.getLong(1) == wantMonthly(r.getLong(0)), s"new-part count drift: $r")
+      cum += r.getLong(1)
+      assert(r.getLong(2) == cum, s"cumulative drift: $r")
+      assert(r.getLong(3) == cum * 1000000L / nParts, s"coverage drift: $r")
+    }
+    // coverage must end high (TPC-H sells essentially the whole catalog)
+    assert(rows.last.getLong(3) > 900000L, "catalog never activates — check the grid")
+  }
+
   test("rank shift: both period ranks are total orders and shifts sum to zero") {
     import SparkTestSession._
     val rows = operators.Relational.qRankShift(spark, sf).collect()
