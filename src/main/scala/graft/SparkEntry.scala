@@ -17,6 +17,7 @@ object SparkEntry {
     // §2.1 metastore search surface
     "ms_filter_term"       -> ((s, d) => Metastore.filterTerm(s, d)),
     "ms_filter_multivalue" -> ((s, d) => Metastore.filterMultivalue(s, d)),
+    "ms_filter_analyzed"   -> ((s, d) => Metastore.filterAnalyzed(s, d)),
     "ms_filter_multifield" -> ((s, d) => Metastore.filterMultifield(s, d)),
     "ms_filter_inner"      -> ((s, d) => Metastore.filterInner(s, d)),
     "ms_visibility_anon"   -> ((s, d) => Metastore.visibilityAnon(s, d)),

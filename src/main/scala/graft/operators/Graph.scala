@@ -821,6 +821,7 @@ object Graph {
         expr("(n_ab * 1000000) div n_orders").as("support_x1e6"),
         expr("(n_ab * 1000000) div n_a").as("conf_ab_x1e6"),
         expr("(n_ab * 1000000) div n_b").as("conf_ba_x1e6"),
+        // overflow-bound: n_ab <= n_a, n_b <= n_orders (all order counts), so the numerator <= n_orders^2 * 1e6 — inside DECIMAL(38) for n_orders < 10^16.
         expr("""CAST(CAST(n_ab AS DECIMAL(38,0)) * n_orders * 1000000
                |  div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""".stripMargin)
           .as("lift_x1e6"))
@@ -861,6 +862,7 @@ object Graph {
       .join(item.select(col("pk").as("a"), col("n_item").as("n_a")), Seq("a"))
       .join(item.select(col("pk").as("b"), col("n_item").as("n_b")), Seq("b"))
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        // overflow-bound: n_ab <= n_orders, so n_ab^2 * 1e12 — inside DECIMAL(38) for n_orders < 10^13 co-occurrence counts.
         expr("""CAST(CAST(n_ab AS DECIMAL(38,0)) * n_ab * 1000000000000
                |  div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""".stripMargin)
           .as("cos2_x1e12"),

@@ -22,16 +22,16 @@ object Pipeline {
     Dedup.exactKeep(Tables.documents(s, d))
 
   def dedupNgramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardPairs(Tables.documents(s, d))
+    Dedup.memoNgramPairs(s, d)
 
   def dedupMinhashLsh(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashLshPairs(Tables.documents(s, d))
+    Dedup.memoLshPairs(s, d)
 
   def dedupLshSweep(s: SparkSession, d: String): DataFrame =
-    Dedup.lshSweep(Tables.documents(s, d))
+    Dedup.lshSweepFromSig(Dedup.memoSig(s, d))
 
   def dedupSimhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, d))
+    Dedup.memoSimhashPairs(s, d)
 
   def dedupSpan(s: SparkSession, d: String): DataFrame =
     Dedup.spanDups(Tables.documents(s, d))
@@ -43,7 +43,7 @@ object Pipeline {
     Similarity.pairSim(Tables.embeddings(s, d), 400000L)
 
   def dedupCluster(s: SparkSession, d: String): DataFrame =
-    Dedup.nearDupClusters(Tables.documents(s, d))
+    Dedup.memoClusters(s, d)
 
   /** SemDeDup-style near-dup: IVF-cell blocking with the pinned codebook. */
   def dedupEmbeddingIvf(s: SparkSession, d: String): DataFrame =
@@ -52,7 +52,8 @@ object Pipeline {
 
   /** Incremental ingest dedup: doc_id % 10 = 0 plays the new batch. */
   def dedupIncremental(s: SparkSession, d: String): DataFrame =
-    Dedup.incrementalDups(Tables.documents(s, d), col("doc_id") % 10 === 0)
+    Dedup.incrementalDupsFromBands(Dedup.memoBands(s, d), Tables.documents(s, d),
+      col("doc_id") % 10 === 0)
 
   def annCentroid(s: SparkSession, d: String): DataFrame =
     Similarity.centroids(Tables.embeddings(s, d))
@@ -398,6 +399,7 @@ object Pipeline {
     cls.join(num, Seq("source", "size_bucket"))
       .crossJoin(broadcast(tot))
       .withColumn("tvd_x1e6", expr(
+        // overflow-bound: part_num <= 2*n_total*k (TVD numerator is a sum of |c*N - n*k| <= 2*N*k), so the numerator <= 3*n_total*k*1e6 — inside DECIMAL(38) for n_total*k < 3*10^31.
         """CAST(((CAST(n_total AS DECIMAL(38,0)) * k + part_num) * 1000000)
           |  div (2 * CAST(n_total AS DECIMAL(38,0)) * k) AS BIGINT)""".stripMargin))
       .withColumn("rk", row_number().over(w))
@@ -430,6 +432,7 @@ object Pipeline {
       .select(col("lang"), col("n_docs"), col("n_tokens"),
         expr("(n_docs * 1000000) div n_docs_total").as("docs_ppm"),
         expr("(n_tokens * 1000000) div n_tokens_total").as("tokens_ppm"),
+        // overflow-bound: single data factor — n_docs_total * 1e6 inside DECIMAL(38) for any corpus under 10^32 docs.
         expr("CAST(CAST(n_docs_total AS DECIMAL(38,0)) * 1000000 div (n_classes * n_docs) AS BIGINT)")
           .as("uniform_weight_x1e6"))
       .orderBy(col("lang"))
@@ -443,7 +446,7 @@ object Pipeline {
     * table (≤ |docs| rows), two cheap rollups after the LSH+CC work.
     */
   def pipeDupClusterStats(s: SparkSession, d: String): DataFrame = {
-    val cl = Dedup.nearDupClusters(Tables.documents(s, d))
+    val cl = Dedup.memoClusters(s, d)
       .groupBy(col("cluster_id")).agg(count(lit(1)).as("k"))
     val tot = cl.agg(sum(col("k")).cast("long").as("n_docs_total"))
     cl.groupBy(col("k").as("cluster_size"))
@@ -1022,7 +1025,13 @@ object Pipeline {
       // and the component node list — materialize the token-ratio gate
       // once instead of re-running it per consumer
       .localCheckpoint()
-    Dedup.nearDupClusters(quality)
+    // band rows are per-doc, so the quality gate is a SEMI-JOIN on the
+    // shared corpus band table ([[Dedup.memoBands]]) — the survivors are
+    // never re-shingled or re-minhashed (identical rows by construction)
+    val bands = Dedup.memoBands(s, d)
+      .join(quality.select(col("doc_id")), Seq("doc_id"), "left_semi")
+    Dedup.clustersFrom(quality, Dedup.minhashLshPairsFromBands(bands, quality)
+        .select(col("a"), col("b")))
       .filter(col("doc_id") === col("cluster_id"))
       .select(col("doc_id"), col("cluster_size"))
       .orderBy(col("doc_id"))
@@ -1285,10 +1294,9 @@ object Pipeline {
     * 100 TB. Ratios are ×10⁶ integers; NULLIF guards the empty case.
     */
   def dedupEval(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
-    val truth = Dedup.ngramJaccardPairs(docs)
+    val truth = Dedup.memoNgramPairs(s, d)
       .select(col("a"), col("b"), lit(1).as("t"))
-    val pred = Dedup.simhashPairs(docs)
+    val pred = Dedup.memoSimhashPairs(s, d)
       .select(col("a"), col("b"), lit(1).as("p"))
     truth.join(pred, Seq("a", "b"), "full_outer")
       .agg(

@@ -182,6 +182,7 @@ object Relational {
         sum(when(col("p_type") === "ECONOMY", rev).otherwise(dec4(lit(0.0)))).as("promo"),
         sum(rev).as("total"))
       .select(
+        // overflow-bound: promo <= total, numerator <= total * 10^8 — inside DECIMAL(38) for total revenue < 10^30 currency units.
         expr("""CAST(CAST(promo * 10000 AS DECIMAL(38,0)) * 10000
                |  div CAST(total * 10000 AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
           .as("promo_share_x1e4"),
@@ -520,6 +521,7 @@ object Relational {
         col("gross").cast("double").as("gross_revenue"),
         col("given").cast("double").as("discount_given"),
         col("net").cast("double").as("net_revenue"),
+        // overflow-bound: given <= gross, numerator <= gross * 10^8 — inside DECIMAL(38) for gross < 10^30 currency units.
         expr("""CAST(CAST(given * 10000 AS DECIMAL(38,0)) * 10000
                |  div CAST(gross * 10000 AS DECIMAL(38,0)) AS BIGINT)""".stripMargin)
           .as("disc_rate_x1e4"))
@@ -557,6 +559,7 @@ object Relational {
       .select(col("prio"), col("n"), col("xbar"),
         expr("CAST(m2 div n AS BIGINT)").as("var_u"),
         when(col("m2") > 0, expr(
+          // overflow-bound: abs(m3)*1e6 div m2 = |skew|*sigma*1e6 < 10^14 for cents deviations < 10^8 and |skew| < 100; its square * n < 10^28 * n — inside DECIMAL(38) for n < 10^10 orders. m4 = SUM(c^4) <= n * 1.3*10^31 at |c| < 6*10^7 cents — inside DECIMAL(38) for n < 7*10^6 rows per group; past that, pre-aggregate per sub-key.
           """CAST((CAST(abs(m3) * 1000000 div m2 AS DECIMAL(38,0))
             |  * (abs(m3) * 1000000 div m2) * n)
             |  div m2 AS BIGINT)""".stripMargin)).otherwise(0L).as("skew2_x1e12"),
@@ -1158,6 +1161,7 @@ object Relational {
         expr("CAST(o AS DECIMAL(38,0)) * n_total - CAST(r AS DECIMAL(38,0)) * c"))
       .select(col("event_type"), col("hi"), col("o"), col("r"), col("c"),
         col("n_total"),
+        // overflow-bound: |dev| <= n_total^2, so dev^2 * 1e6 <= n_total^4 * 1e6 — inside DECIMAL(38) for n_total < 10^8 events; past that stage the division (dev^2 div (n_total*r)) div c.
         expr("CAST(CAST(r AS DECIMAL(38,0)) * c * 1000000 div n_total AS BIGINT)")
           .as("exp_x1e6"),
         expr("CAST(dev * dev * 1000000 div (CAST(n_total AS DECIMAL(38,0)) * r * c) AS BIGINT)")
@@ -1214,6 +1218,7 @@ object Relational {
         count(lit(1)).as("n_rows"))
     s.join(exact, Seq("l_returnflag"))
       .select(col("l_returnflag"),
+        // overflow-bound: constant numerator (alpha_64 * m * 2^50 ~ 3.3*10^24); no data-dependent factor.
         expr("CAST(CAST(709376 AS DECIMAL(38,0)) * 4096 * 1125899906842624" +
           " div CAST(ssum AS DECIMAL(38,0)) div 1000000 AS BIGINT)")
           .as("est_distinct"),
@@ -1394,6 +1399,7 @@ object Relational {
         col("o_custkey") === col("c_custkey"))
     val g = spend.groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_g"), sum(col("cents")).cast("long").as("s_g"),
+        // overflow-bound: per-customer cents < 10^10 so cents^2 < 10^20, summed over < 10^9 customers < 10^29; n_g * m_g_x100^2 < 10^9 * 10^24 = 10^33 — both inside DECIMAL(38).
         sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("q_g"))
       .withColumn("m_g_x100", expr("(s_g * 100) div n_g"))
     g.agg(count(lit(1)).cast("long").as("k"),
@@ -1961,6 +1967,7 @@ object Relational {
     keys.crossJoin(broadcast(tot))
       .select(col("l_partkey"), col("cnt"),
         expr("(cnt * 1000000) div n_rows").as("share_ppm"),
+        // overflow-bound: max_cnt <= n_rows, so the numerator <= n_rows * n_keys * 100 — inside DECIMAL(38) for n_rows * n_keys < 10^36.
         expr("""CAST(CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 100
                |  div n_rows AS BIGINT)""".stripMargin).as("skew_x100"))
       .orderBy(col("cnt").desc, col("l_partkey"))
@@ -2088,6 +2095,7 @@ object Relational {
         sum(col("cents")).cast("long").as("sum_cents"))
       .select(col("o_orderpriority"), col("n"),
         expr("(sum_cents * 100) div n").as("am_cents_x100"),
+        // overflow-bound: n * 10^14 — inside DECIMAL(38) for n < 10^24 rows.
         expr("CAST(CAST(n AS DECIMAL(38,0)) * 1000000000000 * 100 div sum_inv_x1e12 AS BIGINT)")
           .as("hm_cents_x100"))
       .orderBy(col("o_orderpriority"))

@@ -566,6 +566,7 @@ object Temporal {
         sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sx2"))
       .select(col("event_type"), col("n_days"), col("n_events"),
         expr("(n_events * 100) div n_days").as("mean_x100"),
+        // overflow-bound: sx2 <= n_events^2, so n_days * sx2 * 1e6 <= n_days * n_events^2 * 1e6 — inside DECIMAL(38) for n_events < 3*10^13 at n_days <= 10^5.
         expr("""CAST(((CAST(n_days AS DECIMAL(38,0)) * sx2
                |  - CAST(n_events AS DECIMAL(38,0)) * n_events) * 1000000)
                |  div (CAST(n_days AS DECIMAL(38,0)) * n_events) AS BIGINT)"""
@@ -849,6 +850,7 @@ object Temporal {
       .withColumn("mean_diff_x1e4",
         expr("(sum_cents_a * 10000) div n_a - (sum_cents_b * 10000) div n_b"))
       .withColumn("se2_x1e6", expr(
+        // overflow-bound: per-event cents < 10^5 so ssq <= n * 10^10 and n*ssq <= n^2 * 10^10; * 1e6 inside DECIMAL(38) for n < 10^11 events per arm.
         """CAST((CAST(n_a AS DECIMAL(38,0)) * ssq_a - CAST(sum_cents_a AS DECIMAL(38,0)) * sum_cents_a)
           |  * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * (n_a - 1) * n_a) AS BIGINT)
           |+ CAST((CAST(n_b AS DECIMAL(38,0)) * ssq_b - CAST(sum_cents_b AS DECIMAL(38,0)) * sum_cents_b)
@@ -1369,6 +1371,7 @@ object Temporal {
         sum(col("chg")).cast("long").as("n_runs"))
       .withColumn("mu_x1e6", expr("(2 * n1 * n2 * 1000000) div (n1 + n2) + 1000000"))
       .withColumn("var_x1e12", expr(
+        // overflow-bound: n1 + n2 = distinct DAYS (<= 10^5), so 4 * n^4 * 1e12 < 10^33.
         """CAST(CAST(2 * n1 * n2 AS DECIMAL(38,0)) * (2 * n1 * n2 - n1 - n2) * 1000000000000
           |  div (CAST(n1 + n2 AS DECIMAL(38,0)) * (n1 + n2) * (n1 + n2 - 1)) AS BIGINT)""".stripMargin))
       .withColumn("sd_x1e6", expr("CAST(floor(sqrt(CAST(var_x1e12 AS DOUBLE))) AS BIGINT)"))
@@ -1608,6 +1611,7 @@ object Temporal {
       .agg(sum(col("n")).as("n_total"), sum(col("cents")).as("cents_total"))
     cells.join(broadcast(marg), Seq("event_type"))
       .select(col("event_type"), col("dow"), col("n"), col("cents"),
+        // overflow-bound: cents <= cents_total and n <= n_total, numerator <= cents_total * n_total * 1e6 — inside DECIMAL(38) for cents_total * n_total < 10^32.
         expr("""CAST(CAST(cents AS DECIMAL(38,0)) * n_total * 1000000
                  div (CAST(n AS DECIMAL(38,0)) * cents_total) AS BIGINT)""")
           .as("idx_x1e6"))
@@ -1665,6 +1669,7 @@ object Temporal {
       .localCheckpoint(false) // stats reduce + series scan
     val stats = daily.agg(count(lit(1)).as("n"),
         sum(col("cents")).cast("long").as("tot"),
+        // overflow-bound: daily cents < 10^12 so n*ssq <= n^2 * 10^24; * 1e4 inside DECIMAL(38) for n (days) < 10^5.
         sum(expr("CAST(cents AS DECIMAL(38,0)) * cents")).as("ssq"))
       .withColumn("mean_x100", expr("(tot * 100) div n"))
       .withColumn("sd_x100", expr(
@@ -2003,6 +2008,7 @@ object Temporal {
         sum(when(col("event_type") === "view" && col("value") >= 100.0, 1L)
           .otherwise(0L)).cast("long").as("x2"))
       .withColumn("z2_x1e6", expr(
+        // overflow-bound: |x1*n2 - x2*n1| <= n1*n2 <= (n/2)^2, so the numerator <= n^5/16 * 1e6 — inside DECIMAL(38) only for n = n1+n2 < 4*10^6 events; WATCH: first ceiling the sf1 gate can actually cross (int64 components x1*n2 themselves need n < 3*10^9).
         """CAST(CAST(x1 * n2 - x2 * n1 AS DECIMAL(38,0)) * (x1 * n2 - x2 * n1)
           |  * (n1 + n2) * 1000000
           |  div (CAST(n1 AS DECIMAL(38,0)) * n2 * (x1 + x2) * (n1 + n2 - x1 - x2))

@@ -116,6 +116,7 @@ object Text {
       .crossJoin(broadcast(peNum))
       .withColumn("po_x1e6", expr("(agree * 1000000) div n"))
       .withColumn("pe_x1e6", expr(
+        // overflow-bound: pe_num = SUM(r*cl) <= n^2, so pe_num * 1e6 <= n^2 * 1e6 — inside DECIMAL(38) for n < 10^15 docs (agree*n - pe_num bounded the same).
         "CAST(pe_num * 1000000 div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)"))
       .withColumn("kappa_abs_x1e6", expr(
         """CAST(abs(CAST(agree AS DECIMAL(38,0)) * n - pe_num) * 1000000
@@ -742,6 +743,7 @@ object Text {
       .join(contTot, Seq("nxt"))
       .crossJoin(broadcast(tTypes))
       .withColumn("pkn_x1e6", expr(
+        // overflow-bound: cnt <= ctx_total (token count) and t_types <= vocab; both terms <= 4 * tokens * vocab * 1e6 — inside DECIMAL(38) for tokens * vocab < 10^31.
         """CAST((greatest(4 * cnt - 3, 0) * CAST(t_types AS DECIMAL(38,0)) * 1000000
           |  + 3 * CAST(n1f AS DECIMAL(38,0)) * n1b * 1000000)
           |  div (4 * CAST(ctx_total AS DECIMAL(38,0)) * t_types) AS BIGINT)""".stripMargin))

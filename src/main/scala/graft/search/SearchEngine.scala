@@ -63,6 +63,24 @@ class SearchEngine(
       d.filter(values.map(v => col(field) === v).reduce(_ || _))
     }
 
+  /** ES-5 `match`-mode filters — what the reference actually sends for
+    * the DATASET kind (reference: metastore/models.py:97 —
+    * `match_or_term = 'term' if kind == 'events' else 'match'`; on ES 5
+    * dynamic text mappings a `match` filter ANALYZES its value). A
+    * property passes when ANY of its values shares ANY analyzed token
+    * with the analyzed field value — OR within a property's values (the
+    * reference's bool-should with minimum_should_match: 1), AND across
+    * properties; case folding and multi-token values behave like ES
+    * `match` with its default OR operator. [[filtered]] keeps the exact
+    * (term) mode the reference's own tests pin for events — the two
+    * agree on the pre-normalized values those tests send for datasets.
+    */
+  def analyzedFiltered(docs: DataFrame, filters: Map[String, Seq[String]]): DataFrame =
+    filters.foldLeft(docs) { case (d, (field, values)) =>
+      val toks = values.flatMap(Analyzer.analyzeQuery).distinct
+      d.filter(arrays_overlap(Analyzer.tokens(col(field)), typedlit(toks)))
+    }
+
   /** Analyzed multi-field match: the doc matches if any analyzed query
     * term occurs in any q_field (reference: metastore/models.py:88-96
     * multi_match most_fields as a must clause).

@@ -1012,6 +1012,7 @@ object Similarity {
       .select(col("dim").cast("int").as("dim"), col("n"), col("sum_x1e6"),
         expr("abs(sum_x1e6) div n").as("mean_abs_x1e6"),
         expr("CAST(sign(sum_x1e6) AS INT)").as("mean_sign"),
+        // overflow-bound: |v| <= 1e6 (unit-scaled components), so n*ssq and sum^2 are <= n^2 * 1e12 — inside DECIMAL(38) for n < 10^13 vectors.
         expr("CAST((n * ssq - CAST(sum_x1e6 AS DECIMAL(38,0)) * sum_x1e6) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
           .as("var_x1e12"))
       .orderBy(col("dim"))

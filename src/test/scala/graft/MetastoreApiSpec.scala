@@ -52,6 +52,35 @@ class MetastoreApiSpec extends AnyFunSuite {
     assert(b.take(a.length).sameElements(a))
   }
 
+  test("filters AND across properties, OR across a property's values (test:333-345)") {
+    val both = MetastoreApi.search(spark, sf,
+      args = Map("lang" -> Seq("\"en\"", "\"fr\""), "source" -> Seq("\"src3\"")))
+    assert(both.error.isEmpty && both.total > 0)
+    val en = MetastoreApi.search(spark, sf,
+      args = Map("lang" -> Seq("\"en\""), "source" -> Seq("\"src3\"")))
+    val fr = MetastoreApi.search(spark, sf,
+      args = Map("lang" -> Seq("\"fr\""), "source" -> Seq("\"src3\"")))
+    assert(both.total == en.total + fr.total) // values OR (languages disjoint)
+    val rows = both.results.select("lang", "source").distinct().collect()
+    assert(rows.forall(r => Set("en", "fr")(r.getString(0)) && r.getString(1) == "src3"))
+  }
+
+  test("analyzed match-mode dataset filter case-folds and ORs value tokens (models.py:97)") {
+    import org.apache.spark.sql.functions.col
+    val ds = graft.search.SearchEngine.datasets
+    val vis = ds.visible(Tables.datasetIndex(spark, sf), None)
+    // term mode: 'EN' ≠ 'en' → empty; match mode: the value analyzes to
+    // ['en'] and hits every en doc — the ES-5 divergence VERDICT r8 names
+    assert(ds.filtered(vis, Map("lang" -> Seq("EN"))).isEmpty)
+    val analyzed = ds.analyzedFiltered(vis, Map("lang" -> Seq("EN"))).count()
+    assert(analyzed > 0 &&
+      analyzed == ds.filtered(vis, Map("lang" -> Seq("en"))).count())
+    // a multi-token value ORs its tokens (ES match default operator):
+    // 'SRC3 Bogusterm' hits 'Owner src3' through the src3 token alone
+    val multi = ds.analyzedFiltered(vis, Map("owner" -> Seq("SRC3 Bogusterm"))).count()
+    assert(multi > 0 && multi == vis.filter(col("source") === "src3").count())
+  }
+
   test("q search ranks and respects visibility (test:440-447)") {
     val anon = MetastoreApi.search(spark, sf, args = Map("q" -> Seq("\"merge join\"")))
     val auth = MetastoreApi.search(spark, sf, userid = Some("src5"),

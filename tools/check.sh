@@ -10,3 +10,7 @@ ADD_OPENS=$(for p in java.lang java.lang.invoke java.lang.reflect java.io java.n
 SPARK_GRAFT_SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1} \
 SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32} \
   java $ADD_OPENS -Xmx24g -Dspark.sql.session.timeZone=UTC -cp "$CP" graft.Bench
+# staleness gate (VERDICT r8 #1): BASELINE must cover the shipped query
+# set with a Spark column from the CURRENT BENCH_DETAIL — regenerate with
+# `python3 tools/baseline.py` after a bench run if this trips
+python3 tools/baseline.py --check
