@@ -90,6 +90,17 @@ object SparkEntry {
     "q10_returned"     -> ((s, d) => Relational.q10Returned(s, d)),
     "q13_custdist"     -> ((s, d) => Relational.q13CustDist(s, d)),
     "q14_promo"        -> ((s, d) => Relational.q14Promo(s, d)),
+    "q2_min_cost_supp" -> ((s, d) => Relational.q2MinCostSupp(s, d)),
+    "q9_profit"        -> ((s, d) => Relational.q9Profit(s, d)),
+    "q12_ship_priority" -> ((s, d) => Relational.q12ShipPriority(s, d)),
+    "q15_top_supplier" -> ((s, d) => Relational.q15TopSupplier(s, d)),
+    "q16_supp_variety" -> ((s, d) => Relational.q16SuppVariety(s, d)),
+    "q17_small_qty"    -> ((s, d) => Relational.q17SmallQty(s, d)),
+    "q18_large_orders" -> ((s, d) => Relational.q18LargeOrders(s, d)),
+    "q19_disjunctive"  -> ((s, d) => Relational.q19Disjunctive(s, d)),
+    "q20_dominant_supp" -> ((s, d) => Relational.q20DominantSupp(s, d)),
+    "q21_late_supplier" -> ((s, d) => Relational.q21LateSupplier(s, d)),
+    "q22_idle_rich"    -> ((s, d) => Relational.q22IdleRich(s, d)),
     "q_window_running" -> ((s, d) => Relational.qWindowRunning(s, d)),
     "q_rollup"         -> ((s, d) => Relational.qRollup(s, d)),
     "q_semi_anti"      -> ((s, d) => Relational.qSemiAnti(s, d)),
@@ -1192,6 +1203,159 @@ object SparkEntry {
         |  CAST(promo AS DOUBLE) AS promo_revenue,
         |  CAST(total AS DOUBLE) AS total_revenue
         |FROM s""".stripMargin,
+
+    "q2_min_cost_supp" ->
+      """WITH cost AS (
+        |  SELECT p_partkey, l_suppkey,
+        |    min(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+        |        // CAST(l_quantity AS BIGINT)) AS cost_cents
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_size <= 10 AND p_type = 'SMALL'
+        |  GROUP BY 1, 2),
+        |minc AS (SELECT p_partkey, min(cost_cents) AS min_cents FROM cost GROUP BY 1)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, cost_cents
+        |FROM cost
+        |JOIN minc USING (p_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE cost_cents = min_cents AND r_name = 'EUROPE'
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin,
+
+    "q9_profit" ->
+      """SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))
+        |         - CAST(p_retailprice * l_quantity * 0.8 AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS sum_profit
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%widget%'
+        |GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin,
+
+    "q12_ship_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS r
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(r AS DOUBLE) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE r = (SELECT max(r) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q16_supp_variety" ->
+      """SELECT p_brand, p_type, p_size,
+        |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 13 = 0)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+
+    "q17_small_qty" ->
+      """WITH pa AS (
+        |  SELECT l_partkey, sum(CAST(l_quantity AS BIGINT)) AS sq,
+        |    count(*) AS n
+        |  FROM lineitem GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS small_qty_revenue
+        |FROM lineitem l
+        |JOIN part ON l.l_partkey = p_partkey
+        |JOIN pa ON pa.l_partkey = l.l_partkey
+        |WHERE p_brand = 'Brand#5'
+        |  AND CAST(l_quantity AS BIGINT) * 2 * n < sq""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH oq AS (
+        |  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  epoch_us(o_orderdate) AS o_date_us, o_totalprice, sum_qty
+        |FROM oq
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+
+    "q19_disjunctive" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4)))
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#10' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+
+    "q20_dominant_supp" ->
+      """WITH vol AS (
+        |  SELECT l_partkey, l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS sq
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  GROUP BY 1, 2),
+        |tot AS (SELECT l_partkey, sum(sq) AS tq FROM vol GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS n_dominated
+        |FROM vol JOIN tot USING (l_partkey)
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE sq * 2 > tq
+        |GROUP BY 1, 2
+        |ORDER BY n_dominated DESC, s_suppkey LIMIT 100""".stripMargin,
+
+    "q21_late_supplier" ->
+      """WITH f AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F'),
+        |g AS (
+        |  SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS nl,
+        |    max(CASE WHEN late THEN l_suppkey END) AS late_supp
+        |  FROM f GROUP BY 1)
+        |SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM g JOIN supplier ON late_supp = s_suppkey
+        |WHERE ns >= 2 AND nl = 1
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+
+    "q22_idle_rich" ->
+      """WITH cust AS (
+        |  SELECT c_custkey, c_name, c_acctbal,
+        |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM customer),
+        |pos AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_pos,
+        |    CAST(sum(cents) AS BIGINT) AS sum_pos
+        |  FROM cust WHERE c_acctbal > 0)
+        |SELECT right(c_name, 1) AS check_digit,
+        |  CAST(count(*) AS BIGINT) AS numcust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+        |FROM cust, pos
+        |WHERE right(c_name, 1) IN ('1', '3', '5', '7', '9')
+        |  AND cents * n_pos > sum_pos
+        |  AND c_custkey NOT IN (
+        |    SELECT o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY 1 ORDER BY check_digit""".stripMargin,
 
     "q6_filter_agg" ->
       """SELECT COALESCE(CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS revenue

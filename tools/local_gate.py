@@ -40,10 +40,13 @@ def main():
     con.execute("SET TimeZone='UTC'")
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # locally-generated tables (GenData) are multi-part dirs
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+        elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -53,9 +56,31 @@ def main():
             n_fail += 1
             continue
         try:
-            duck_t = con.execute(sql).fetch_arrow_table()
+            # optional per-oracle budget (big locally-generated SFs where
+            # brute-force oracles would run for hours): interrupt past
+            # GRAFT_ORACLE_TIMEOUT seconds and record a SKIP, not a FAIL
+            budget = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
+            if budget > 0:
+                import threading
+                done = threading.Event()
+
+                def watchdog():
+                    if not done.wait(budget):
+                        con.interrupt()
+                threading.Thread(target=watchdog, daemon=True).start()
+                try:
+                    duck_t = con.execute(sql).fetch_arrow_table()
+                finally:
+                    done.set()
+            else:
+                duck_t = con.execute(sql).fetch_arrow_table()
         except Exception as e:
-            print(f"FAIL {name}: oracle error {e}")
+            msg = str(e)
+            if "INTERRUPT" in msg.upper() or "interrupted" in msg.lower():
+                print(f"SKIP {name}: oracle past {budget:.0f}s budget")
+                n_skip += 1
+                continue
+            print(f"FAIL {name}: oracle error {msg.splitlines()[0][:160]}")
             n_fail += 1
             continue
         # Output-boundary width lint: the driver's hasher canonicalizes
@@ -119,7 +144,8 @@ def main():
         else:
             print(f"PASS {name} ({len(s_rows)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail")
+    skip = f", {n_skip} oracle-timeout-skip" if n_skip else ""
+    print(f"== {n_pass} pass, {n_fail} fail{skip}")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":
