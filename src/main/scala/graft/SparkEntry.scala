@@ -114,6 +114,7 @@ object SparkEntry {
     "q_approx_distinct_hll" -> ((s, d) => Relational.qApproxDistinctHll(s, d)),
     "q_chisq"          -> ((s, d) => Relational.qChisq(s, d)),
     "q_anova"          -> ((s, d) => Relational.qAnova(s, d)),
+    "q_kruskal"        -> ((s, d) => Relational.qKruskal(s, d)),
     "q_cramers_v"      -> ((s, d) => Relational.qCramersV(s, d)),
     "q_benford"        -> ((s, d) => Relational.qBenford(s, d)),
     "q_kmv_overlap"    -> ((s, d) => Relational.qKmvOverlap(s, d)),
@@ -220,6 +221,7 @@ object SparkEntry {
     "q7_volume"        -> ((s, d) => Relational.q7Volume(s, d)),
     "q8_share"         -> ((s, d) => Relational.q8Share(s, d)),
     "q_pagerank"       -> ((s, d) => operators.Graph.pagerank(s, d)),
+    "q_katz"           -> ((s, d) => operators.Graph.katz(s, d)),
     "q_hits"           -> ((s, d) => operators.Graph.hits(s, d)),
     "q_apsp"           -> ((s, d) => operators.Graph.apsp(s, d)),
     "q_mst"            -> ((s, d) => operators.Graph.mst(s, d)),
@@ -324,6 +326,7 @@ object SparkEntry {
     "q_sessionize"        -> ((s, d) => operators.Temporal.qSessionize(s, d)),
     "q_dau_mau"           -> ((s, d) => operators.Temporal.qDauMau(s, d)),
     "q_xcorr"             -> ((s, d) => operators.Temporal.qXcorr(s, d)),
+    "q_granger"           -> ((s, d) => operators.Temporal.qGranger(s, d)),
     "q_locf"              -> ((s, d) => operators.Temporal.qLocf(s, d)),
     "q_rolling_median"    -> ((s, d) => operators.Temporal.qRollingMedian(s, d)),
     "q_survival"          -> ((s, d) => operators.Temporal.qSurvival(s, d)),
@@ -433,6 +436,33 @@ object SparkEntry {
         |          - CAST(count(*) AS HUGEINT) * sum(CAST(cents AS HUGEINT))))
         |    // (CAST(count(*) AS HUGEINT) * sum(CAST(cents AS HUGEINT))) AS BIGINT) AS gini_x1e6
         |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_kruskal" ->
+      """WITH spend AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY o_custkey),
+        |j AS (SELECT s.cents, c.c_mktsegment
+        |  FROM spend s JOIN customer c ON s.o_custkey = c.c_custkey),
+        |vc AS (
+        |  SELECT cents, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(sum(count(*)) OVER (ORDER BY cents) AS BIGINT) AS cum
+        |  FROM j GROUP BY cents),
+        |cell AS (
+        |  SELECT cents, c_mktsegment, CAST(count(*) AS BIGINT) AS cnt_gs
+        |  FROM j GROUP BY 1, 2),
+        |g AS (
+        |  SELECT c_mktsegment, CAST(sum(cnt_gs) AS BIGINT) AS n_g,
+        |    CAST(sum(cnt_gs * (2 * (vc.cum - vc.cnt + 1) + vc.cnt - 1)) AS BIGINT) AS s2_g
+        |  FROM cell JOIN vc USING (cents) GROUP BY 1),
+        |t AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(n_g) AS BIGINT) AS n,
+        |    sum((CAST(s2_g AS HUGEINT) * s2_g) // n_g) AS a
+        |  FROM g)
+        |SELECT n, n_groups,
+        |  CAST((CAST(3000000 AS HUGEINT) * a) // (n * (n + 1))
+        |    - 3 * (n + 1) * 1000000 AS BIGINT) AS h_x1e6
+        |FROM t""".stripMargin,
 
     "q_anova" ->
       """WITH spend AS (

@@ -114,6 +114,43 @@ object Graph {
       .orderBy(col("nationkey"))
   }
 
+  /** Katz centrality over the (directed, unweighted) trade graph — the
+    * prestige measure that counts ALL inbound walks with attenuation,
+    * where [[pagerank]] normalizes by out-degree and [[hits]] couples
+    * two scores: x ← 1 + α·Aᵀx as a FIXED unrolled recurrence (12
+    * rounds, x scaled ×10⁶, α = 1/32 as an exact floor division per
+    * edge — 1/32 < 1/λ_max ≤ 1/deg_max = 1/24 guarantees the infinite
+    * series converges, and the fixed recurrence gates bit-exact
+    * regardless). Same architecture as [[bfs]]: fact-scale edge
+    * extraction ONCE (checkpointed ≤N² rows), then N-bounded rounds
+    * with the score vector broadcast. x ≤ 10⁶/(1 − 24/32) = 4·10⁶ —
+    * no overflow at any graph size with this α policy.
+    */
+  def katz(s: SparkSession, d: String, iters: Int = 12): DataFrame = {
+    val nations = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("nk"))
+    val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("src"))
+    val supp = Tables.supplier(s, d)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("dst"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("src"), col("dst")).distinct().localCheckpoint()
+    var score = nations.select(col("nk"), lit(1000000L).as("x"))
+    for (_ <- 1 to iters) {
+      val inflow = edges.join(broadcast(score), col("src") === col("nk"))
+        .select(col("dst"), expr("x div 32").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      score = nations.join(inflow, col("nk") === col("dst"), "left")
+        .select(col("nk"), expr("1000000 + coalesce(inflow, 0)").as("x"))
+    }
+    score.select(col("nk").as("nationkey"), col("x").as("katz_x1e6"))
+      .orderBy(col("nationkey"))
+  }
+
   /** Bounded-hop cheapest routes from nation 0 over the weighted trade
     * graph — [[bfs]] upgraded from the boolean to the MIN-PLUS
     * semiring: edge cost = 10⁶ div w (inverse trade volume — strong
@@ -1576,6 +1613,28 @@ object Graph {
          |i0 AS (SELECT nk, $Scale // nn.nn AS pr FROM n CROSS JOIN nn),
          |$steps
          |SELECT nk AS nationkey, pr AS pr_x1e12 FROM i5 ORDER BY nationkey""".stripMargin
+    },
+
+    "q_katz" -> {
+      def katzStep(i: Int): String =
+        s"""f$i AS (
+           |  SELECT e.dst, CAST(sum(p.x // 32) AS BIGINT) AS inflow
+           |  FROM e JOIN k${i - 1} p ON p.nk = e.src GROUP BY e.dst),
+           |k$i AS (
+           |  SELECT n.nk, 1000000 + COALESCE(f$i.inflow, 0) AS x
+           |  FROM n LEFT JOIN f$i ON f$i.dst = n.nk)""".stripMargin
+      val steps = (1 to 12).map(katzStep).mkString(",\n")
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS src,
+         |    CAST(s.s_nationkey AS BIGINT) AS dst
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+         |n AS (SELECT CAST(n_nationkey AS BIGINT) AS nk FROM nation),
+         |k0 AS (SELECT nk, CAST(1000000 AS BIGINT) AS x FROM n),
+         |$steps
+         |SELECT nk AS nationkey, x AS katz_x1e6 FROM k12 ORDER BY nationkey""".stripMargin
     },
 
     "q_bfs" -> {

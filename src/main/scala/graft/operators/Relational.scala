@@ -1642,6 +1642,48 @@ object Relational {
     * to k group-moment rows, then a k-row reduce — nothing after the
     * o_custkey shuffle touches data size.
     */
+  /** Kruskal–Wallis H across market segments on per-customer spend —
+    * [[qAnova]]'s rank-based (distribution-free) sibling and the k-group
+    * generalization of q_mannwhitney. Tie-averaged ranks ride as DOUBLED
+    * integers (2·avgrank = 2·start + cnt − 1, the q_mannwhitney device),
+    * computed from ONE cumulative count over the DISTINCT-cents value
+    * domain (never a fact-scale single-partition window); with doubled
+    * rank sums S₂g the statistic folds as H = 3/(N(N+1))·Σ S₂g²/n_g −
+    * 3(N+1). Per-group floors are mirrored in the oracle, so the ×10⁶
+    * readout is bit-identical (no tie correction — documented; spend
+    * cents are near-unique so the correction is ~1 ppm here).
+    */
+  def qKruskal(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).cast("long").as("cents"))
+      .join(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .localCheckpoint(eager = false) // feeds the value domain AND the cells
+    // cumulative count over the distinct-cents domain via the range-
+    // partitioned two-phase prefix sum (rankedCum) — the domain is
+    // near-customer-scale here, so a bare single-partition window would
+    // be the r7 scale-killer PlanSpec bans
+    val vc = rankedCum(spend.groupBy(col("cents")).agg(count(lit(1)).as("cnt")),
+        Seq(col("cents")), col("cnt"))
+      .withColumn("start", col("cum") - col("cnt") + 1)
+    val cell = spend.groupBy(col("cents"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt_gs"))
+    val g = cell.join(vc.select(col("cents"), col("start"), col("cnt")), Seq("cents"))
+      .groupBy(col("c_mktsegment"))
+      .agg(sum(col("cnt_gs")).cast("long").as("n_g"),
+        sum(expr("cnt_gs * (2 * start + cnt - 1)")).cast("long").as("s2_g"))
+    g.agg(count(lit(1)).cast("long").as("n_groups"),
+        sum(col("n_g")).cast("long").as("n"),
+        // overflow-bound: S2_g <= 2N^2 so S2_g^2 <= 4N^4 — inside DECIMAL(38) for N < 10^9 customers; the div n_g floor is mirrored in the oracle.
+        sum(expr("(CAST(s2_g AS DECIMAL(38,0)) * s2_g) div n_g")).as("a"))
+      .select(col("n"), col("n_groups"),
+        // overflow-bound: A = Σ S2_g²/n_g <= 4N^3, so 3·10^6·A <= 1.2·10^7·N^3 — inside DECIMAL(38) for N < 10^10.
+        expr("""CAST((CAST(3000000 AS DECIMAL(38,0)) * a) div (n * (n + 1))
+               |  - 3 * (n + 1) * 1000000 AS BIGINT)""".stripMargin).as("h_x1e6"))
+  }
+
   def qAnova(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))

@@ -939,6 +939,69 @@ object Temporal {
     * emitted cov_num = n·Σxy − Σx·Σy is the covariance NUMERATOR
     * (the sign/argmax carrier), so no sqrt or division ever runs.
     */
+  /** Granger-style lagged-regression readout: does YESTERDAY's click
+    * volume explain TODAY's purchase volume beyond yesterday's purchase
+    * volume alone? R² of the restricted AR model (y_t ~ y_{t−1}) vs the
+    * full model (y_t ~ y_{t−1} + x_{t−1}), both computed EXACTLY from
+    * integer normal equations: centered sums C·· = n·Σab − Σa·Σb fold
+    * from one 1-row aggregate; the full-model R² closes by Cramer
+    * (D, D1, D2) like q_linreg_multi; every ratio is a carry-staged
+    * ×10⁶ floor division mirrored in the oracle. The lag is a
+    * day-grid self-join (day = day+1) on the zero-filled [[dailyXy]]
+    * day domain — deterministic under gaps, never a fact-scale window.
+    * The causal claim is only as good as the lag-1 linear model — this
+    * is the screening statistic, not an inference procedure.
+    */
+  def qGranger(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(expr("ts_us div 86400000000").as("day"), col("event_type"))
+    val daily = ev.groupBy(col("day")).agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).cast("long").as("x"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).cast("long").as("y"))
+    val grid = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+    val full = grid.join(daily, Seq("day"), "left")
+      .select(col("day"), coalesce(col("x"), lit(0L)).as("x"),
+        coalesce(col("y"), lit(0L)).as("y"))
+      .localCheckpoint(eager = false) // both lag-join sides
+    val lagged = full.as("t")
+      .join(full.select((col("day") + 1).as("day"),
+          col("y").as("u"), col("x").as("v")), Seq("day"))
+      .select(col("y"), col("u"), col("v"))
+    lagged.agg(
+        count(lit(1)).cast("long").as("n"),
+        sum(col("u")).cast("long").as("su"), sum(col("v")).cast("long").as("sv"),
+        sum(col("y")).cast("long").as("sy"),
+        sum(expr("CAST(u AS DECIMAL(38,0)) * u")).as("suu"),
+        sum(expr("CAST(u AS DECIMAL(38,0)) * v")).as("suv"),
+        sum(expr("CAST(u AS DECIMAL(38,0)) * y")).as("suy"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("svv"),
+        sum(expr("CAST(v AS DECIMAL(38,0)) * y")).as("svy"),
+        sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+      .withColumn("cuu", expr("n * suu - CAST(su AS DECIMAL(38,0)) * su"))
+      .withColumn("cuv", expr("n * suv - CAST(su AS DECIMAL(38,0)) * sv"))
+      .withColumn("cuy", expr("n * suy - CAST(su AS DECIMAL(38,0)) * sy"))
+      .withColumn("cvv", expr("n * svv - CAST(sv AS DECIMAL(38,0)) * sv"))
+      .withColumn("cvy", expr("n * svy - CAST(sv AS DECIMAL(38,0)) * sy"))
+      .withColumn("cyy", expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
+      // overflow-bound: |C··| <= n²·d² with n = 30-day span and d = max daily count; the Cramer terms below are <= 2·(n²d²)³ = 2n⁶d⁶ — inside DECIMAL(38) for d < 6·10⁴/day (≈ sf2 here); past that pre-scale counts to thousands. The ×10⁶ carries stage as (A div B)·10⁶ + ((A mod B)·10⁶) div B so no intermediate exceeds max(A, B·10⁶).
+      .withColumn("det", expr("cuu * cvv - CAST(cuv AS DECIMAL(38,0)) * cuv"))
+      .withColumn("d1", expr("cuy * cvv - CAST(cvy AS DECIMAL(38,0)) * cuv"))
+      .withColumn("d2", expr("cuu * cvy - CAST(cuv AS DECIMAL(38,0)) * cuy"))
+      .withColumn("nf", expr("d1 * cuy + CAST(d2 AS DECIMAL(38,0)) * cvy"))
+      .withColumn("df", expr("det * cyy"))
+      .withColumn("ar", expr("CAST(cuy AS DECIMAL(38,0)) * cuy"))
+      .withColumn("br", expr("cuu * cyy"))
+      .select(col("n").as("n_days"),
+        when(col("br") > 0, expr(
+          "CAST((ar div br) * 1000000 + ((ar % br) * 1000000) div br AS BIGINT)"))
+          .otherwise(0L).as("r2_restr_x1e6"),
+        when(col("df") > 0, expr(
+          "CAST((nf div df) * 1000000 + ((nf % df) * 1000000) div df AS BIGINT)"))
+          .otherwise(0L).as("r2_full_x1e6"))
+      .withColumn("gain_x1e6", col("r2_full_x1e6") - col("r2_restr_x1e6"))
+  }
+
   def qXcorr(s: SparkSession, d: String): DataFrame = {
     val ev = EventStreams.normalize(Tables.events(s, d))
       .select(expr("ts_us div 86400000000").as("day"), col("event_type"))
@@ -2094,6 +2157,51 @@ object Temporal {
       "FROM events WHERE event_type = 'purchase'"
 
   val oracles: Map[String, String] = Map(
+    "q_granger" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+        |  FROM events GROUP BY 1),
+        |grid AS (SELECT unnest(range((SELECT min(day) FROM daily),
+        |                             (SELECT max(day) FROM daily) + 1)) AS day),
+        |f AS (SELECT g.day, COALESCE(d.x, 0) AS x, COALESCE(d.y, 0) AS y
+        |      FROM grid g LEFT JOIN daily d USING (day)),
+        |l AS (SELECT t.y, p.y AS u, p.x AS v FROM f t JOIN f p ON t.day = p.day + 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(u) AS BIGINT) AS su, CAST(sum(v) AS BIGINT) AS sv,
+        |  CAST(sum(y) AS BIGINT) AS sy,
+        |  sum(CAST(u AS HUGEINT) * u) AS suu, sum(CAST(u AS HUGEINT) * v) AS suv,
+        |  sum(CAST(u AS HUGEINT) * y) AS suy, sum(CAST(v AS HUGEINT) * v) AS svv,
+        |  sum(CAST(v AS HUGEINT) * y) AS svy, sum(CAST(y AS HUGEINT) * y) AS syy
+        |  FROM l),
+        |c AS (SELECT n,
+        |  n * suu - CAST(su AS HUGEINT) * su AS cuu,
+        |  n * suv - CAST(su AS HUGEINT) * sv AS cuv,
+        |  n * suy - CAST(su AS HUGEINT) * sy AS cuy,
+        |  n * svv - CAST(sv AS HUGEINT) * sv AS cvv,
+        |  n * svy - CAST(sv AS HUGEINT) * sy AS cvy,
+        |  n * syy - CAST(sy AS HUGEINT) * sy AS cyy FROM s),
+        |e AS (SELECT n, cuy, cvy, cyy,
+        |  cuu * cvv - CAST(cuv AS HUGEINT) * cuv AS det,
+        |  cuy * cvv - CAST(cvy AS HUGEINT) * cuv AS d1,
+        |  cuu * cvy - CAST(cuv AS HUGEINT) * cuy AS d2,
+        |  CAST(cuy AS HUGEINT) * cuy AS ar,
+        |  cuu * cyy AS br FROM c),
+        |r AS (SELECT n, ar, br,
+        |  d1 * cuy + CAST(d2 AS HUGEINT) * cvy AS nf,
+        |  det * cyy AS df FROM e)
+        |SELECT n AS n_days,
+        |  CASE WHEN br > 0 THEN CAST((ar // br) * 1000000
+        |    + ((ar % br) * 1000000) // br AS BIGINT) ELSE 0 END AS r2_restr_x1e6,
+        |  CASE WHEN df > 0 THEN CAST((nf // df) * 1000000
+        |    + ((nf % df) * 1000000) // df AS BIGINT) ELSE 0 END AS r2_full_x1e6,
+        |  CASE WHEN df > 0 THEN CAST((nf // df) * 1000000
+        |    + ((nf % df) * 1000000) // df AS BIGINT) ELSE 0 END
+        |  - CASE WHEN br > 0 THEN CAST((ar // br) * 1000000
+        |    + ((ar % br) * 1000000) // br AS BIGINT) ELSE 0 END AS gain_x1e6
+        |FROM r""".stripMargin,
+
     "q_cohort_ltv" ->
       """WITH ev AS (
         |  SELECT user_id, (epoch_us(ts) // 86400000000) // 7 AS week, event_type,

@@ -38,6 +38,14 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
+    # big locally-generated SFs: bound DuckDB so a brute-force oracle
+    # degrades to spill/timeout instead of taking down the box
+    mem = os.environ.get("GRAFT_DUCK_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
+    thr = os.environ.get("GRAFT_DUCK_THREADS")
+    if thr:
+        con.execute(f"SET threads={int(thr)}")
     for t in TABLES:
         p = os.path.join(sfdir, f"{t}.parquet")
         if os.path.isdir(p):
