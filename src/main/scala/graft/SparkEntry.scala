@@ -187,6 +187,8 @@ object SparkEntry {
     "stream_sliding_agg" -> ((s, d) => Pipeline.streamSlidingAgg(s, d)),
     // §2.5 text analysis
     "txt_token_count" -> ((s, d) => Text.tokenCount(s, d)),
+    "txt_novelty"     -> ((s, d) => Text.novelty(s, d)),
+    "txt_burstiness"  -> ((s, d) => Text.burstiness(s, d)),
     "txt_quality"     -> ((s, d) => Text.quality(s, d)),
     "txt_langid"      -> ((s, d) => Text.langId(s, d)),
     "txt_fingerprint" -> ((s, d) => Text.fingerprintQ(s, d)),
@@ -379,6 +381,9 @@ object SparkEntry {
     "pipe_perplexity_bucket" -> ((s, d) => Pipeline.pipePerplexityBucket(s, d)),
     "pipe_tokenizer_fertility" -> ((s, d) => Pipeline.pipeTokenizerFertility(s, d)),
     "pipe_shard_skew"     -> ((s, d) => Pipeline.pipeShardSkew(s, d)),
+    "pipe_near_dup_rate_by_source" -> ((s, d) => Pipeline.pipeNearDupRateBySource(s, d)),
+    "pipe_cluster_reps"   -> ((s, d) => Pipeline.pipeClusterReps(s, d)),
+    "pipe_dedup_threshold_curve" -> ((s, d) => Pipeline.pipeDedupThresholdCurve(s, d)),
     "pipe_dedup_rate_by_source" -> ((s, d) => Pipeline.pipeDedupRateBySource(s, d)),
     "mm_decode_mulaw"     -> ((s, d) => Pipeline.mmDecodeMulaw(s, d)),
     "mm_decode_ppm"       -> ((s, d) => Pipeline.mmDecodePpm(s, d)),
@@ -396,6 +401,8 @@ object SparkEntry {
     "mm_decode_jpeg"      -> ((s, d) => Pipeline.mmDecodeJpeg(s, d)),
     "mm_phash"            -> ((s, d) => Pipeline.mmPhash(s, d)),
     "mm_sobel"            -> ((s, d) => Pipeline.mmSobel(s, d)),
+    "mm_integral_image"   -> ((s, d) => Pipeline.mmIntegral(s, d)),
+    "mm_box_blur"         -> ((s, d) => Pipeline.mmBoxBlur(s, d)),
     "mm_hist_eq"          -> ((s, d) => Pipeline.mmHistEq(s, d)),
     "mm_audio_stats"      -> ((s, d) => Pipeline.mmAudioStats(s, d)),
     "mm_decode_png_idx"   -> ((s, d) => Pipeline.mmDecodePngIdx(s, d)),

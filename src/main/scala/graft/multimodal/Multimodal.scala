@@ -256,6 +256,112 @@ object Multimodal {
     * mapPartitions shape as the other decoder gates — per-image state
     * is one w×h gray grid, embarrassingly parallel, no shuffle.
     */
+  /** Integral image (summed-area table) over the synthetic BMP's gray
+    * plane — the O(1)-region-sum primitive behind box filters, Haar
+    * features, and adaptive thresholding: per doc the SAT corner
+    * (= total mass), the midpoint SAT value, one interior block sum
+    * recovered by the 4-lookup identity (pinned against the direct sum
+    * by construction), and the full-table checksum
+    * Σ gray(x,y)·(w−x)·(h−y) — the closed form the oracle recomputes
+    * without materializing the DP. Per-row kernel, nothing but the
+    * 8-long summary crosses a shuffle.
+    */
+  def integralPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val payload = MediaCodec.encodeBmp((4 + id % 21).toInt, (3 + id % 14).toInt,
+          (x, y) => {
+            val r = ((id + 3L * x + 5L * y) % 256).toInt
+            val g = ((2L * id + 7L * x + y) % 256).toInt
+            val b = ((5L * id + x + 11L * y) % 256).toInt
+            (r << 16) | (g << 8) | b
+          })
+        val probe = Array.ofDim[Int](16, 24)
+        val (w, h) = MediaCodec.foreachBmpPixel(payload) { (x, y, r, g, b) =>
+          probe(y)(x) = (r + g + b) / 3
+        }
+        // summed-area DP: sat(x,y) = g + sat(x−1,y) + sat(x,y−1) − sat(x−1,y−1)
+        val sat = Array.ofDim[Long](h, w)
+        var checksum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val up = if (y > 0) sat(y - 1)(x) else 0L
+            val left = if (x > 0) sat(y)(x - 1) else 0L
+            val diag = if (y > 0 && x > 0) sat(y - 1)(x - 1) else 0L
+            sat(y)(x) = probe(y)(x) + up + left - diag
+            checksum += sat(y)(x)
+            x += 1
+          }
+          y += 1
+        }
+        def look(x: Int, y: Int): Long =
+          if (x < 0 || y < 0) 0L else sat(y)(x)
+        // block [w/4, 3w/4) × [h/4, 3h/4) via the 4-lookup identity
+        val (x0, x1) = (w / 4, 3 * w / 4 - 1)
+        val (y0, y1) = (h / 4, 3 * h / 4 - 1)
+        val block =
+          if (x1 < x0 || y1 < y0) 0L
+          else look(x1, y1) - look(x0 - 1, y1) - look(x1, y0 - 1) + look(x0 - 1, y0 - 1)
+        (id, w.toLong, h.toLong, sat(h - 1)(w - 1), sat(h / 2)(w / 2), block, checksum)
+      }
+    }.toDF("doc_id", "width", "height", "total", "mid_sat", "block_sum", "sat_checksum")
+      .orderBy(col("doc_id"))
+  }
+
+  /** 3×3 box blur (floor mean of the 9-neighborhood) over the synthetic
+    * BMP's gray plane — the denoising kernel: per doc the interior
+    * count, blurred mass, total absolute change vs the center pixel
+    * (how much the filter smooths), and the blurred max. Same per-row
+    * kernel economics as [[sobelPlan]].
+    */
+  def boxBlurPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+      it.map { id =>
+        val payload = MediaCodec.encodeBmp((4 + id % 21).toInt, (3 + id % 14).toInt,
+          (x, y) => {
+            val r = ((id + 3L * x + 5L * y) % 256).toInt
+            val g = ((2L * id + 7L * x + y) % 256).toInt
+            val b = ((5L * id + x + 11L * y) % 256).toInt
+            (r << 16) | (g << 8) | b
+          })
+        val gray = Array.ofDim[Int](16, 24)
+        val (w, h) = MediaCodec.foreachBmpPixel(payload) { (x, y, r, g, b) =>
+          gray(y)(x) = (r + g + b) / 3
+        }
+        var sBlur = 0L; var sDelta = 0L; var mx = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            var s = 0
+            var dy = -1
+            while (dy <= 1) {
+              var dx = -1
+              while (dx <= 1) { s += gray(y + dy)(x + dx); dx += 1 }
+              dy += 1
+            }
+            val b = s / 9
+            sBlur += b
+            sDelta += math.abs(b - gray(y)(x))
+            if (b > mx) mx = b
+            x += 1
+          }
+          y += 1
+        }
+        (id, w.toLong, h.toLong, (w - 2).toLong * (h - 2),
+          sBlur, sDelta, mx)
+      }
+    }.toDF("doc_id", "width", "height", "n_interior",
+        "sum_blur", "sum_abs_delta", "max_blur")
+      .orderBy(col("doc_id"))
+  }
+
   def sobelPlan(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._

@@ -199,6 +199,12 @@ object Pipeline {
   def mmSobel(s: SparkSession, d: String): DataFrame =
     Multimodal.sobelPlan(Tables.documents(s, d))
 
+  def mmIntegral(s: SparkSession, d: String): DataFrame =
+    Multimodal.integralPlan(Tables.documents(s, d))
+
+  def mmBoxBlur(s: SparkSession, d: String): DataFrame =
+    Multimodal.boxBlurPlan(Tables.documents(s, d))
+
   def mmHistEq(s: SparkSession, d: String): DataFrame =
     Multimodal.histEqPlan(Tables.documents(s, d))
 
@@ -1403,6 +1409,71 @@ object Pipeline {
       .orderBy(col("shard"))
   }
 
+  /** NEAR-dup rate per source — [[pipeDedupRateBySource]]'s LSH-cluster
+    * sibling, and the reason the shared cluster table exists: the same
+    * triage readout over MinHash-LSH near-dup clusters instead of exact
+    * fingerprints. Reads [[graft.dedup.Dedup.memoClusters]] (built once
+    * per session ≙ the maintained cluster-assignment table at 100 TB) —
+    * this query itself is two cheap rollups.
+    */
+  def pipeNearDupRateBySource(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+    Dedup.memoClusters(s, d)
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source")), Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cluster_size") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_in_dup_clusters"),
+        sum(when(col("rep") === col("doc_id"), 1L).otherwise(0L)).cast("long")
+          .as("n_survivors"))
+      .withColumn("dup_rate_x1e4", expr("(n_in_dup_clusters * 10000) div n_docs"))
+      .orderBy(col("source"))
+  }
+
+  /** Quality-based cluster representatives — the curation decision
+    * [[Dedup.exactKeep]]'s min-doc-id rule dodges: per multi-doc
+    * near-dup cluster, keep the doc with the HIGHEST distinct-token
+    * count (ties → smallest doc_id). Runs on the shared cluster table;
+    * the quality score is one map-side pass over cluster members only
+    * (a semi-join restricts the corpus scan at scale).
+    */
+  def pipeClusterReps(s: SparkSession, d: String): DataFrame = {
+    val cl = Dedup.memoClusters(s, d).filter(col("cluster_size") > 1)
+    val uniq = Tables.documents(s, d)
+      .join(cl.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        size(array_distinct(TextFunctions.rawTokens(col("text")))).cast("long").as("uniq"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("uniq").desc, col("doc_id"))
+    cl.join(uniq, Seq("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("cluster_size"),
+        col("doc_id").as("rep_doc_id"), col("uniq").as("rep_uniq"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Dedup threshold curve — what τ buys BEFORE committing a 100 TB
+    * run: for 5 pinned Jaccard thresholds, how many verified near-dup
+    * pairs and how many distinct member docs survive. Reads the shared
+    * exact-Jaccard pair table ([[Dedup.memoNgramPairs]], τ ≥ 0.5 base)
+    * and re-thresholds it — the corpus text is never re-read, the same
+    * one-signature-table economics as dedup_lsh_sweep.
+    */
+  def pipeDedupThresholdCurve(s: SparkSession, d: String): DataFrame = {
+    val taus = "array(500000L, 600000L, 700000L, 800000L, 900000L)"
+    val pairs = Dedup.memoNgramPairs(s, d)
+    val perTau = pairs
+      .select(explode(expr(s"filter($taus, t -> j_x1e6 >= t)")).as("tau_x1e6"))
+      .groupBy(col("tau_x1e6")).agg(count(lit(1)).cast("long").as("n_pairs"))
+    val docsPerTau = pairs
+      .select(col("j_x1e6"), explode(array(col("a"), col("b"))).as("doc"))
+      .select(explode(expr(s"filter($taus, t -> j_x1e6 >= t)")).as("tau_x1e6"), col("doc"))
+      .groupBy(col("tau_x1e6")).agg(countDistinct(col("doc")).as("n_docs"))
+    perTau.join(docsPerTau, Seq("tau_x1e6")).orderBy(col("tau_x1e6"))
+  }
+
   /** Exact-duplicate rate per source — "which ingest feed is most
     * duplicated", the triage readout that decides where dedup budget
     * goes: per source, docs, docs in multi-doc fingerprint clusters,
@@ -2086,6 +2157,57 @@ object Pipeline {
          |SELECT doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "pipe_near_dup_rate_by_source" ->
+      s"""$clusterCtes,
+         |cs AS (
+         |  SELECT doc_id, cluster_id,
+         |    count(*) OVER (PARTITION BY cluster_id) AS k,
+         |    min(doc_id) OVER (PARTITION BY cluster_id) AS rep
+         |  FROM lab)
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_clusters,
+         |  CAST(sum(CASE WHEN rep = cs.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+         |  (CAST(sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000)
+         |    // CAST(count(*) AS BIGINT) AS dup_rate_x1e4
+         |FROM cs JOIN documents d ON cs.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
+    "pipe_cluster_reps" ->
+      s"""$clusterCtes,
+         |cs AS (
+         |  SELECT doc_id, cluster_id,
+         |    CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+         |  FROM lab),
+         |u AS (
+         |  SELECT doc_id,
+         |    CAST(len(list_distinct(${graft.text.TextFunctions.rawTokensSql("text")})) AS BIGINT) AS uniq
+         |  FROM documents),
+         |r AS (
+         |  SELECT cs.cluster_id, cs.cluster_size, cs.doc_id, u.uniq,
+         |    row_number() OVER (PARTITION BY cs.cluster_id
+         |                       ORDER BY u.uniq DESC, cs.doc_id) AS rn
+         |  FROM cs JOIN u USING (doc_id) WHERE cs.cluster_size > 1)
+         |SELECT cluster_id, cluster_size, doc_id AS rep_doc_id, uniq AS rep_uniq
+         |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin,
+
+    "pipe_dedup_threshold_curve" ->
+      s"""WITH sh AS (SELECT doc_id, $shingleE AS sh FROM documents),
+         |pr AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b,
+         |    (1000000 * CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT))
+         |      // CAST(len(list_distinct(x.sh || y.sh)) AS BIGINT) AS j_x1e6
+         |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id
+         |  WHERE len(list_intersect(x.sh, y.sh)) > 0),
+         |taus AS (SELECT unnest([500000, 600000, 700000, 800000, 900000]) AS tau),
+         |q AS (SELECT CAST(t.tau AS BIGINT) AS tau_x1e6, a, b
+         |      FROM taus t JOIN pr ON j_x1e6 >= t.tau),
+         |p AS (SELECT tau_x1e6, CAST(count(*) AS BIGINT) AS n_pairs FROM q GROUP BY 1),
+         |dd AS (SELECT tau_x1e6, CAST(count(DISTINCT doc) AS BIGINT) AS n_docs FROM (
+         |  SELECT tau_x1e6, a AS doc FROM q UNION ALL SELECT tau_x1e6, b FROM q)
+         |  GROUP BY 1)
+         |SELECT p.tau_x1e6, p.n_pairs, dd.n_docs
+         |FROM p JOIN dd USING (tau_x1e6) ORDER BY tau_x1e6""".stripMargin,
 
     "pipe_dup_cluster_stats" ->
       s"""$clusterCtes,
@@ -2789,6 +2911,48 @@ object Pipeline {
         |SELECT doc_id, CAST(wb * 8 AS BIGINT) AS width, CAST(hb * 8 AS BIGINT) AS height,
         |  CAST(sum(64 * pix) AS BIGINT) AS sum_lum
         |FROM px GROUP BY doc_id, wb, hb ORDER BY doc_id""".stripMargin,
+
+    "mm_integral_image" ->
+      """WITH m AS (SELECT doc_id, 4 + doc_id % 21 AS w, 3 + doc_id % 14 AS h
+        |           FROM documents),
+        |px AS (
+        |  SELECT m.doc_id, m.w, m.h, x.i AS x, y.i AS y,
+        |    ((m.doc_id + 3 * x.i + 5 * y.i) % 256
+        |     + (2 * m.doc_id + 7 * x.i + y.i) % 256
+        |     + (5 * m.doc_id + x.i + 11 * y.i) % 256) // 3 AS gray
+        |  FROM m, range(0, 24) x(i), range(0, 16) y(i)
+        |  WHERE x.i < m.w AND y.i < m.h)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(gray) AS BIGINT) AS total,
+        |  CAST(sum(CASE WHEN x <= w // 2 AND y <= h // 2 THEN gray ELSE 0 END)
+        |    AS BIGINT) AS mid_sat,
+        |  CAST(sum(CASE WHEN x >= w // 4 AND x < (3 * w) // 4
+        |                 AND y >= h // 4 AND y < (3 * h) // 4
+        |            THEN gray ELSE 0 END) AS BIGINT) AS block_sum,
+        |  CAST(sum(gray * (w - x) * (h - y)) AS BIGINT) AS sat_checksum
+        |FROM px GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin,
+
+    "mm_box_blur" -> {
+      def g(xs: String, ys: String) =
+        s"(((m.doc_id + 3*($xs) + 5*($ys)) % 256 + (2*m.doc_id + 7*($xs) + ($ys)) % 256" +
+          s" + (5*m.doc_id + ($xs) + 11*($ys)) % 256) // 3)"
+      val nine = (for (dy <- -1 to 1; dx <- -1 to 1)
+        yield g(s"x.i${if (dx >= 0) "+" + dx else dx.toString}",
+          s"y.i${if (dy >= 0) "+" + dy else dy.toString}")).mkString(" + ")
+      s"""WITH m AS (SELECT doc_id, 4 + doc_id % 21 AS w, 3 + doc_id % 14 AS h
+         |           FROM documents),
+         |t AS (
+         |  SELECT m.doc_id, m.w, m.h,
+         |    ($nine) // 9 AS b, ${g("x.i", "y.i")} AS c
+         |  FROM m, range(1, 23) x(i), range(1, 15) y(i)
+         |  WHERE x.i < m.w - 1 AND y.i < m.h - 1)
+         |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+         |  CAST((w - 2) * (h - 2) AS BIGINT) AS n_interior,
+         |  CAST(sum(b) AS BIGINT) AS sum_blur,
+         |  CAST(sum(abs(b - c)) AS BIGINT) AS sum_abs_delta,
+         |  CAST(max(b) AS BIGINT) AS max_blur
+         |FROM t GROUP BY doc_id, w, h ORDER BY doc_id""".stripMargin
+    },
 
     "mm_sobel" -> {
       def g(xs: String, ys: String) =

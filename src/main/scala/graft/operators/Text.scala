@@ -19,6 +19,69 @@ object Text {
       col("n_chars").as("n_chars_declared"))
     .orderBy(col("doc_id"))
 
+  /** Rolling 8-gram novelty per document in doc_id (ingest) order — the
+    * curation metric behind "is this feed still adding new content":
+    * the share of each doc's distinct 8-gram hashes first seen in an
+    * EARLIER doc. One span-hash explode, one 8-byte-hash groupBy for
+    * the first-occurrence doc, one doc-grain rollup — corpus text never
+    * crosses a shuffle (the dedup_span discipline), and "seen before"
+    * is an order-free min comparison, not a sequential scan.
+    */
+  def novelty(s: SparkSession, d: String): DataFrame = {
+    val k = 8
+    val tk = rawTokens(col("text"))
+    val spans = Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"),
+        transform(
+          graft.functions.TextExpressionFunctions
+            .wordShingles(array_join(tk, " "), k),
+          sh => fingerprint(sh)).as("hs"))
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"), col("hs"))
+      .localCheckpoint() // the explode AND the doc-grain rollup read it
+    val ex = spans.select(col("doc_id"), explode(col("hs")).as("h"))
+    val firstDoc = ex.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+    val seen = ex.join(firstDoc, Seq("h"))
+      .filter(col("first_doc") < col("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_seen_before"))
+    spans.select(col("doc_id"), col("n_grams"))
+      .join(seen, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_seen_before"), lit(0L)).as("n_seen_before"))
+      .withColumn("novelty_x1e6",
+        expr("((n_grams - n_seen_before) * 1000000) div greatest(n_grams, 1)"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Token burstiness — the Fano factor (variance-to-mean of per-doc
+    * counts, zeros included) for the 20 highest-volume tokens: bursty
+    * tokens concentrate in few docs (topical), Poisson-like ones spread
+    * evenly (function words). One token pass to (term, doc) cells, a
+    * term-domain rollup, top-20 by total; the Fano ratio is a
+    * carry-staged ×10⁶ floor division over DECIMAL(38,0)-staged
+    * moments.
+    */
+  def burstiness(s: SparkSession, d: String): DataFrame = {
+    val cell = Tables.documents(s, d)
+      .select(col("doc_id"), explode(rawTokens(col("text"))).as("term"))
+      .groupBy(col("term"), col("doc_id")).agg(count(lit(1)).as("c"))
+    val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+    cell.groupBy(col("term"))
+      .agg(sum(col("c")).cast("long").as("total"),
+        count(lit(1)).as("doc_freq"),
+        // overflow-bound: per-(term,doc) counts c < 10^9 and Σc <= corpus tokens T, so Σc² <= T·max(c) < 10^9·T — inside DECIMAL(38) for T < 10^28 tokens.
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("sq"))
+      .orderBy(col("total").desc, col("term"))
+      .limit(20)
+      .crossJoin(broadcast(nDocs))
+      // overflow-bound: num = N·Σc² − total² <= N·10^9·T — inside DECIMAL(38) for N·T < 10^28; the ×10⁶ carries stage as (num div den)·10⁶ + ((num mod den)·10⁶) div den.
+      .withColumn("num", expr("n_docs * sq - CAST(total AS DECIMAL(38,0)) * total"))
+      .withColumn("den", expr("CAST(n_docs AS DECIMAL(38,0)) * total"))
+      .select(col("term"), col("total"), col("doc_freq"),
+        expr("CAST((num div den) * 1000000 + ((num % den) * 1000000) div den AS BIGINT)")
+          .as("fano_x1e6"))
+      .orderBy(col("total").desc, col("term"))
+  }
+
   /** Quality scoring: integer-basis-point ratios (SURVEY §6 float rules). */
   def quality(s: SparkSession, d: String): DataFrame = {
     val toks = rawTokens(col("text"))
@@ -818,6 +881,49 @@ object Text {
     * field during struct_pack assignment, so a fold whose later fields
     * read earlier accumulator fields computes the wrong thing.
     */
+  private val noveltySql: String = {
+    val fp = fingerprintSql("array_to_string(list_slice(tk, i, i + 7), '_')")
+    s"""WITH t AS (
+       |  SELECT doc_id, ${rawTokensSql("text")} AS tk FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(tk) >= 8 THEN
+       |      list_distinct(list_transform(range(1, len(tk) - 6), i -> $fp))
+       |    ELSE CAST([] AS BIGINT[]) END AS hs
+       |  FROM t),
+       |ex AS (SELECT doc_id, unnest(hs) AS h FROM s),
+       |fd AS (SELECT h, min(doc_id) AS first_doc FROM ex GROUP BY h),
+       |sb AS (SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_seen_before
+       |       FROM ex JOIN fd USING (h)
+       |       WHERE fd.first_doc < ex.doc_id GROUP BY ex.doc_id)
+       |SELECT s.doc_id, CAST(len(s.hs) AS BIGINT) AS n_grams,
+       |  COALESCE(sb.n_seen_before, CAST(0 AS BIGINT)) AS n_seen_before,
+       |  ((CAST(len(s.hs) AS BIGINT) - COALESCE(sb.n_seen_before, CAST(0 AS BIGINT))) * 1000000)
+       |    // greatest(CAST(len(s.hs) AS BIGINT), 1) AS novelty_x1e6
+       |FROM s LEFT JOIN sb USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  private val burstinessSql: String =
+    s"""WITH cell AS (
+       |  SELECT term, doc_id, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT doc_id, unnest(${rawTokensSql("text")}) AS term FROM documents)
+       |  GROUP BY 1, 2),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |g AS (
+       |  SELECT term, CAST(sum(c) AS BIGINT) AS total,
+       |    CAST(count(*) AS BIGINT) AS doc_freq,
+       |    sum(CAST(c AS HUGEINT) * c) AS sq
+       |  FROM cell GROUP BY 1
+       |  ORDER BY total DESC, term LIMIT 20),
+       |f AS (
+       |  SELECT term, total, doc_freq,
+       |    n_docs * sq - CAST(total AS HUGEINT) * total AS num,
+       |    CAST(n_docs AS HUGEINT) * total AS den
+       |  FROM g CROSS JOIN nd)
+       |SELECT term, total, doc_freq,
+       |  CAST((num // den) * 1000000 + ((num % den) * 1000000) // den AS BIGINT) AS fano_x1e6
+       |FROM f ORDER BY total DESC, term""".stripMargin
+
   private def gramHashesSql(n: Int): String = {
     val gram = (0 until n).map(j => if (j == 0) "tk[i]" else s"tk[i + $j]")
       .mkString(" || ' ' || ")
@@ -882,6 +988,8 @@ object Text {
   }
 
   val oracles: Map[String, String] = Map(
+    "txt_novelty" -> noveltySql,
+    "txt_burstiness" -> burstinessSql,
     "txt_oov_rate" -> {
       val sh2 = graft.dedup.Dedup.shinglesSql("text", 2)
       s"""WITH bg AS (
