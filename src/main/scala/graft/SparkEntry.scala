@@ -50,6 +50,8 @@ object SparkEntry {
     "ms_query_string"      -> ((s, d) => Metastore.queryStringQuery(s, d)),
     "ms_span_first"        -> ((s, d) => Metastore.spanFirstQ(s, d)),
     "ms_span_not"          -> ((s, d) => Metastore.spanNotQ(s, d)),
+    "ms_span_or"           -> ((s, d) => Metastore.spanOrQ(s, d)),
+    "ms_terms_lookup"      -> ((s, d) => Metastore.termsLookupQ(s, d)),
     "ms_regexp"            -> ((s, d) => Metastore.regexpQ(s, d)),
     "ms_common_terms"      -> ((s, d) => Metastore.commonTermsQ(s, d)),
     "ms_random_score"      -> ((s, d) => Metastore.randomScoreQ(s, d)),
@@ -74,6 +76,7 @@ object SparkEntry {
     "q_discount_impact"    -> ((s, d) => Relational.qDiscountImpact(s, d)),
     "ann_probe_sweep"      -> ((s, d) => Pipeline.annProbeSweep(s, d)),
     "ann_pq_error"         -> ((s, d) => Pipeline.annPqError(s, d)),
+    "ann_sq_error"         -> ((s, d) => Pipeline.annSqError(s, d)),
     "q_max_gap"            -> ((s, d) => operators.Temporal.qMaxGap(s, d)),
     "q_seasonal_decompose" -> ((s, d) => operators.Temporal.qSeasonalDecompose(s, d)),
     "txt_vocab_overlap"    -> ((s, d) => Text.vocabOverlap(s, d)),

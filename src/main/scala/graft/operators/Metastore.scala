@@ -1088,6 +1088,42 @@ object Metastore {
       .orderBy(col("doc_id")).limit(100)
   }
 
+  /** ES span_or analog — the disjunction that completes the span
+    * family (span_first/near/not are pinned already): docs where
+    * EITHER "merge … join" OR "hash … join" matches within gap ≤ 3,
+    * with per-clause and combined span counts. Two [[SpanGaps]] passes
+    * over the shared token table; the OR is a size() disjunction, no
+    * re-tokenize.
+    */
+  def spanOrQ(s: SparkSession, d: String): DataFrame = {
+    val f = graft.functions.TextExpressionFunctions
+    tokCorpus(s, d)
+      .withColumn("g_mj", f.spanGaps(col("toks"), "merge", "join", 3))
+      .withColumn("g_hj", f.spanGaps(col("toks"), "hash", "join", 3))
+      .filter(size(col("g_mj")) > 0 || size(col("g_hj")) > 0)
+      .select(col("doc_id"), col("name"),
+        size(col("g_mj")).cast("long").as("n_merge_join"),
+        size(col("g_hj")).cast("long").as("n_hash_join"),
+        (size(col("g_mj")) + size(col("g_hj"))).cast("long").as("n_spans"))
+      .orderBy(col("doc_id")).limit(100)
+  }
+
+  /** ES terms-lookup analog (the terms query whose value set is FETCHED
+    * from another document at query time — { index, id: 0, path:
+    * 'lang' }): visible docs whose lang equals document 0's lang. The
+    * lookup is a 1-row broadcast semi join — the term set never hits
+    * the driver as a literal, which is the point of the ES feature
+    * (server-side set resolution).
+    */
+  def termsLookupQ(s: SparkSession, d: String): DataFrame = {
+    val lookup = idx(s, d).filter(col("doc_id") === 0)
+      .select(col("lang").as("lv"))
+    ds.visible(idx(s, d), None)
+      .join(broadcast(lookup), col("lang") === col("lv"), "left_semi")
+      .orderBy(col("doc_id")).limit(100)
+      .select(col("doc_id"), col("name"), col("lang"))
+  }
+
   /** ES regexp query analog: visible docs containing any analyzed term
     * matching `^s.*(m|k)$` (find-semantics regex in both engines; the
     * anchors make it effectively full-match), matched term set emitted
@@ -2143,6 +2179,34 @@ object Metastore {
          |  CAST(len(n_clean) AS BIGINT) AS n_clean,
          |  CAST(len(n_all) - len(n_clean) AS BIGINT) AS n_excluded
          |FROM g WHERE len(n_clean) > 0 ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_span_or" ->
+      s"""$idxCte,
+         |t AS (SELECT doc_id, name, ${tok("readme")} AS toks FROM idx
+         |      WHERE findability = 'published'),
+         |p AS (SELECT doc_id, name,
+         |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'merge') AS pm,
+         |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'hash') AS ph,
+         |        list_filter(range(1, len(toks) + 1), i -> toks[i] = 'join') AS pj
+         |      FROM t),
+         |g AS (SELECT doc_id, name,
+         |        flatten(list_transform(pm, i ->
+         |          list_filter(pj, j -> j > i AND j - i <= 4))) AS mj,
+         |        flatten(list_transform(ph, i ->
+         |          list_filter(pj, j -> j > i AND j - i <= 4))) AS hj
+         |      FROM p)
+         |SELECT doc_id, name, CAST(len(mj) AS BIGINT) AS n_merge_join,
+         |  CAST(len(hj) AS BIGINT) AS n_hash_join,
+         |  CAST(len(mj) + len(hj) AS BIGINT) AS n_spans
+         |FROM g WHERE len(mj) > 0 OR len(hj) > 0
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
+
+    "ms_terms_lookup" ->
+      s"""$idxCte
+         |SELECT doc_id, name, lang FROM idx
+         |WHERE findability = 'published'
+         |  AND lang = (SELECT lang FROM idx WHERE doc_id = 0)
+         |ORDER BY doc_id LIMIT 100""".stripMargin,
 
     "ms_regexp" ->
       s"""$idxCte,

@@ -116,6 +116,9 @@ object Pipeline {
   def annPqError(s: SparkSession, d: String): DataFrame =
     Similarity.pqQuantError(Tables.embeddings(s, d))
 
+  def annSqError(s: SparkSession, d: String): DataFrame =
+    Similarity.sqQuantError(Tables.embeddings(s, d))
+
   def annProbeSweep(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val truth = Similarity.bruteTopK(emb, queryPred)
@@ -2272,6 +2275,7 @@ object Pipeline {
     // ground truth, every side the VERBATIM oracle text of the gated
     // query it audits (embedded as CTE-bearing subqueries)
     "ann_pq_error" -> Similarity.pqErrorSql(),
+    "ann_sq_error" -> Similarity.sqErrorSql(),
 
     "ann_probe_sweep" -> {
       val sweeps = Seq(1, 2, 4).map { np =>

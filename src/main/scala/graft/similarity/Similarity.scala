@@ -194,6 +194,53 @@ object Similarity {
        |SELECT q_id, rk, vec_id, qdot FROM r WHERE rk <= $k
        |ORDER BY q_id, rk""".stripMargin
 
+  /** SQ reconstruction-error QA — [[pqQuantError]]'s scalar-quantizer
+    * sibling and the audit that justifies (or vetoes) the int8 scan of
+    * [[sqTopK]]: per vector the squared residual between e·scale and
+    * its clamped-rounded int8 code, summed left-to-right in array order
+    * (the [[dotSql]] fold-order discipline), floored ×10⁶ per ROW so
+    * the corpus mean folds as exact integers. Unclamped dims contribute
+    * ≤ 0.25 each; the top-20 worst rows surface the clamp outliers the
+    * scale parameter is tuned against.
+    */
+  def sqQuantError(embeddings: DataFrame, scale: Double = 200.0): DataFrame = {
+    val resid =
+      s"""CAST(e AS DOUBLE) * $scale - greatest(CAST(-127 AS DOUBLE),
+         |  least(CAST(127 AS DOUBLE),
+         |    CAST(floor(CAST(e AS DOUBLE) * $scale + 0.5) AS DOUBLE)))""".stripMargin
+    val e = graft.Tables.fanOut(embeddings).select(col("vec_id"),
+      expr(
+        s"""CAST(floor(aggregate(transform(embedding, e -> $resid),
+           |  CAST(0.0 AS DOUBLE), (acc, x) -> acc + x * x) * 1000000) AS BIGINT)"""
+          .stripMargin).as("qerr_x1e6"))
+    val t = e.agg(count(lit(1)).as("n_vecs"),
+      sum(col("qerr_x1e6")).cast("long").as("sum_err"))
+    e.crossJoin(broadcast(t))
+      .withColumn("mean_x1e6", expr("sum_err div n_vecs"))
+      .select(col("vec_id"), col("qerr_x1e6"), col("mean_x1e6"))
+      .orderBy(col("qerr_x1e6").desc, col("vec_id")).limit(20)
+  }
+
+  /** DuckDB rendering of [[sqQuantError]]: explicit left-associated
+    * 64-term chain (the [[dotSql]] order), residual inlined twice per
+    * dim (same value, same fold).
+    */
+  def sqErrorSql(scale: Double = 200.0, dim: Int = Dim): String = {
+    def resid(i: Int) =
+      s"(CAST(embedding[$i] AS DOUBLE) * $scale - greatest(CAST(-127 AS DOUBLE), " +
+        s"least(CAST(127 AS DOUBLE), floor(CAST(embedding[$i] AS DOUBLE) * $scale + 0.5))))"
+    val chain = (1 to dim).map(i => s"${resid(i)} * ${resid(i)}")
+      .mkString("(0.0 + ", " + ", ")")
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(floor($chain * 1000000) AS BIGINT) AS qerr_x1e6
+       |  FROM embeddings),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       |        CAST(sum(qerr_x1e6) AS BIGINT) AS sum_err FROM e)
+       |SELECT e.vec_id, e.qerr_x1e6, t.sum_err // t.n_vecs AS mean_x1e6
+       |FROM e CROSS JOIN t
+       |ORDER BY e.qerr_x1e6 DESC, e.vec_id LIMIT 20""".stripMargin
+  }
+
   /** Radius (range) search: ALL corpus vectors within cosine ≥ τ of each
     * query vector — the fixed-threshold dual of top-k, what dedup and
     * retrieval-filtering pipelines actually issue. Same scale shape as
