@@ -601,6 +601,55 @@ object Metastore {
         sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).cast("long").as("cents"))
       .orderBy(col("day"))
 
+  /** ES date_range aggregation analog — the NAMED open-ended buckets a
+    * dashboard pins ("early"/"mid"/"late" with half-open from/to), as
+    * opposed to [[dateHistogramQ]]'s uniform intervals: per bucket its
+    * bounds (epoch µs, NULL = unbounded like ES's missing from/to),
+    * doc_count, and the value mass in cents. One conditional-aggregate
+    * pass; the bucket spec is a 3-row literal.
+    */
+  def dateRangeAggQ(s: SparkSession, d: String): DataFrame = {
+    val t1 = 1704931200000000L // 2024-01-11T00:00Z µs
+    val t2 = 1705795200000000L // 2024-01-21T00:00Z µs
+    val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    evEngine.visible(ev(s, d), None)
+      .select(
+        when(col("ts_us") < t1, "early")
+          .when(col("ts_us") < t2, "mid").otherwise("late").as("bucket"),
+        cents.as("cents"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("doc_count"), sum(col("cents")).cast("long").as("cents"))
+      .withColumn("from_us",
+        when(col("bucket") === "mid", t1).when(col("bucket") === "late", t2))
+      .withColumn("to_us",
+        when(col("bucket") === "early", t1).when(col("bucket") === "mid", t2))
+      .select(col("bucket"), col("from_us"), col("to_us"),
+        col("doc_count"), col("cents"))
+      .orderBy(col("bucket"))
+  }
+
+  /** ES histogram aggregation analog — fixed-interval numeric buckets
+    * with min_doc_count: 0, i.e. EMPTY buckets zero-filled across the
+    * observed [min, max] span (the property q_histogram does not pin):
+    * value bucketed at interval 50, per bucket doc_count + cents mass.
+    * The zero-fill grid derives from one 1-row min/max aggregate — ES
+    * materializes the same span server-side.
+    */
+  def histogramAggQ(s: SparkSession, d: String): DataFrame = {
+    val vis = evEngine.visible(ev(s, d), None)
+      .select(expr("CAST(floor(value / 50) AS BIGINT) * 50").as("bucket"),
+        expr("CAST(floor(value * 100 + 0.5) AS BIGINT)").as("cents"))
+    val agg = vis.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("doc_count"), sum(col("cents")).cast("long").as("cents"))
+    val grid = vis.agg(min(col("bucket")).as("b0"), max(col("bucket")).as("b1"))
+      .select(explode(expr("sequence(b0, b1, 50)")).as("bucket"))
+    grid.join(agg, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("doc_count"), lit(0L)).as("doc_count"),
+        coalesce(col("cents"), lit(0L)).as("cents"))
+      .orderBy(col("bucket"))
+  }
+
   /** ES pipeline-aggregations analog — derivative, cumulative_sum and
     * moving_fn(avg, 7) chained onto the daily click date_histogram
     * ([[dateHistogramQ]]'s base): the "trend panel" every dashboard
@@ -1853,6 +1902,36 @@ object Metastore {
          |FROM ev
          |WHERE findability = 'published' AND event_entity = 'click'
          |GROUP BY day ORDER BY day""".stripMargin,
+
+    "ms_date_range_agg" ->
+      s"""$evCte
+         |SELECT
+         |  CASE WHEN ts_us < 1704931200000000 THEN 'early'
+         |       WHEN ts_us < 1705795200000000 THEN 'mid' ELSE 'late' END AS bucket,
+         |  CASE WHEN ts_us < 1704931200000000 THEN CAST(NULL AS BIGINT)
+         |       WHEN ts_us < 1705795200000000 THEN CAST(1704931200000000 AS BIGINT)
+         |       ELSE CAST(1705795200000000 AS BIGINT) END AS from_us,
+         |  CASE WHEN ts_us < 1704931200000000 THEN CAST(1704931200000000 AS BIGINT)
+         |       WHEN ts_us < 1705795200000000 THEN CAST(1705795200000000 AS BIGINT)
+         |       ELSE CAST(NULL AS BIGINT) END AS to_us,
+         |  CAST(count(*) AS BIGINT) AS doc_count,
+         |  CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+         |FROM ev WHERE findability = 'published'
+         |GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
+
+    "ms_histogram_agg" ->
+      s"""$evCte,
+         |v AS (SELECT CAST(floor(value / 50) AS BIGINT) * 50 AS bucket,
+         |        CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |      FROM ev WHERE findability = 'published'),
+         |a AS (SELECT bucket, CAST(count(*) AS BIGINT) AS doc_count,
+         |        CAST(sum(cents) AS BIGINT) AS cents
+         |      FROM v GROUP BY bucket),
+         |grid AS (SELECT unnest(range((SELECT min(bucket) FROM v),
+         |                             (SELECT max(bucket) FROM v) + 1, 50)) AS bucket)
+         |SELECT g.bucket, COALESCE(a.doc_count, CAST(0 AS BIGINT)) AS doc_count,
+         |  COALESCE(a.cents, CAST(0 AS BIGINT)) AS cents
+         |FROM grid g LEFT JOIN a USING (bucket) ORDER BY g.bucket""".stripMargin,
 
     "ms_pipeline_aggs" ->
       s"""$evCte,

@@ -1002,6 +1002,58 @@ object Temporal {
       .withColumn("gain_x1e6", col("r2_full_x1e6") - col("r2_restr_x1e6"))
   }
 
+  /** Pairwise correlation NUMERATORS across the three daily event-count
+    * series (click/view/purchase) — the q_xcorr convention generalized
+    * to the 3×3 matrix's upper triangle: per pair n, the covariance
+    * numerator n·Σxy − Σx·Σy (sign/magnitude carrier), both variance
+    * numerators, and the sign — no sqrt or division ever runs, so every
+    * cell is exact BIGINT-in-DECIMAL at any scale. One event scan to
+    * the day domain, one 1-row aggregate, a 3-row stack.
+    */
+  def qCorrMatrix(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(expr("ts_us div 86400000000").as("day"), col("event_type"))
+    val daily = ev.groupBy(col("day")).agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).cast("long").as("c"),
+      sum(when(col("event_type") === "view", 1L).otherwise(0L)).cast("long").as("v"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).cast("long").as("p"))
+    val grid = ev.agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(explode(expr("sequence(d0, d1)")).as("day"))
+    val f = grid.join(daily, Seq("day"), "left")
+      .select(coalesce(col("c"), lit(0L)).as("c"),
+        coalesce(col("v"), lit(0L)).as("v"), coalesce(col("p"), lit(0L)).as("p"))
+    // overflow-bound: daily counts < 10^9 over a bounded span keep every n·Σxy and Σx·Σy under 10^22 — inside DECIMAL(38) with 16 digits to spare.
+    val sums = f.agg(count(lit(1)).cast("long").as("n"),
+      sum(col("c")).cast("long").as("sc"), sum(col("v")).cast("long").as("sv"),
+      sum(col("p")).cast("long").as("sp"),
+      sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("scc"),
+      sum(expr("CAST(v AS DECIMAL(38,0)) * v")).as("svv"),
+      sum(expr("CAST(p AS DECIMAL(38,0)) * p")).as("spp"),
+      sum(expr("CAST(c AS DECIMAL(38,0)) * v")).as("scv"),
+      sum(expr("CAST(c AS DECIMAL(38,0)) * p")).as("scp"),
+      sum(expr("CAST(v AS DECIMAL(38,0)) * p")).as("svp"))
+    sums.select(expr(
+        """stack(3,
+          |  'click', 'view',
+          |    CAST(n * scv - CAST(sc AS DECIMAL(38,0)) * sv AS BIGINT),
+          |    CAST(n * scc - CAST(sc AS DECIMAL(38,0)) * sc AS BIGINT),
+          |    CAST(n * svv - CAST(sv AS DECIMAL(38,0)) * sv AS BIGINT),
+          |  'click', 'purchase',
+          |    CAST(n * scp - CAST(sc AS DECIMAL(38,0)) * sp AS BIGINT),
+          |    CAST(n * scc - CAST(sc AS DECIMAL(38,0)) * sc AS BIGINT),
+          |    CAST(n * spp - CAST(sp AS DECIMAL(38,0)) * sp AS BIGINT),
+          |  'view', 'purchase',
+          |    CAST(n * svp - CAST(sv AS DECIMAL(38,0)) * sp AS BIGINT),
+          |    CAST(n * svv - CAST(sv AS DECIMAL(38,0)) * sv AS BIGINT),
+          |    CAST(n * spp - CAST(sp AS DECIMAL(38,0)) * sp AS BIGINT)
+          |) AS (series_a, series_b, cov_num, var_a_num, var_b_num)""".stripMargin),
+        col("n").as("n_days"))
+      .select(col("series_a"), col("series_b"), col("n_days"),
+        col("cov_num"), col("var_a_num"), col("var_b_num"),
+        expr("CAST(sign(cov_num) AS INT)").as("corr_sign"))
+      .orderBy(col("series_a"), col("series_b"))
+  }
+
   def qXcorr(s: SparkSession, d: String): DataFrame = {
     val ev = EventStreams.normalize(Tables.events(s, d))
       .select(expr("ts_us div 86400000000").as("day"), col("event_type"))
@@ -2157,6 +2209,46 @@ object Temporal {
       "FROM events WHERE event_type = 'purchase'"
 
   val oracles: Map[String, String] = Map(
+    "q_corr_matrix" ->
+      """WITH daily AS (
+        |  SELECT epoch_us(ts) // 86400000000 AS day,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |  FROM events GROUP BY 1),
+        |grid AS (SELECT unnest(range((SELECT min(day) FROM daily),
+        |                             (SELECT max(day) FROM daily) + 1)) AS day),
+        |f AS (SELECT COALESCE(d.c, 0) AS c, COALESCE(d.v, 0) AS v, COALESCE(d.p, 0) AS p
+        |      FROM grid g LEFT JOIN daily d USING (day)),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(c) AS BIGINT) AS sc, CAST(sum(v) AS BIGINT) AS sv,
+        |  CAST(sum(p) AS BIGINT) AS sp,
+        |  sum(CAST(c AS HUGEINT) * c) AS scc, sum(CAST(v AS HUGEINT) * v) AS svv,
+        |  sum(CAST(p AS HUGEINT) * p) AS spp, sum(CAST(c AS HUGEINT) * v) AS scv,
+        |  sum(CAST(c AS HUGEINT) * p) AS scp, sum(CAST(v AS HUGEINT) * p) AS svp
+        |  FROM f),
+        |u AS (
+        |  SELECT 'click' AS series_a, 'view' AS series_b, n AS n_days,
+        |    CAST(n * scv - CAST(sc AS HUGEINT) * sv AS BIGINT) AS cov_num,
+        |    CAST(n * scc - CAST(sc AS HUGEINT) * sc AS BIGINT) AS var_a_num,
+        |    CAST(n * svv - CAST(sv AS HUGEINT) * sv AS BIGINT) AS var_b_num
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'click', 'purchase', n,
+        |    CAST(n * scp - CAST(sc AS HUGEINT) * sp AS BIGINT),
+        |    CAST(n * scc - CAST(sc AS HUGEINT) * sc AS BIGINT),
+        |    CAST(n * spp - CAST(sp AS HUGEINT) * sp AS BIGINT)
+        |  FROM s
+        |  UNION ALL
+        |  SELECT 'view', 'purchase', n,
+        |    CAST(n * svp - CAST(sv AS HUGEINT) * sp AS BIGINT),
+        |    CAST(n * svv - CAST(sv AS HUGEINT) * sv AS BIGINT),
+        |    CAST(n * spp - CAST(sp AS HUGEINT) * sp AS BIGINT)
+        |  FROM s)
+        |SELECT series_a, series_b, n_days, cov_num, var_a_num, var_b_num,
+        |  CAST(sign(cov_num) AS INT) AS corr_sign
+        |FROM u ORDER BY series_a, series_b""".stripMargin,
+
     "q_granger" ->
       """WITH daily AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day,

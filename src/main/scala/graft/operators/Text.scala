@@ -52,6 +52,24 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Hapax legomena rate per ingest source — the vocabulary-health
+    * probe (a high once-only share means thin coverage or noisy
+    * tokenization; a collapsing one means boilerplate): per source the
+    * token mass, vocabulary size, hapax count, and hapax share of the
+    * vocabulary ×10⁶. One token pass to (source, term) cells, a
+    * source-domain rollup.
+    */
+  def hapax(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("source"), explode(rawTokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("source"))
+      .agg(sum(col("cnt")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_vocab"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("long").as("n_hapax"))
+      .withColumn("hapax_rate_x1e6", expr("(n_hapax * 1000000) div n_vocab"))
+      .orderBy(col("source"))
+
   /** Token burstiness — the Fano factor (variance-to-mean of per-doc
     * counts, zeros included) for the 20 highest-volume tokens: bursty
     * tokens concentrate in few docs (topical), Poisson-like ones spread
@@ -989,6 +1007,18 @@ object Text {
 
   val oracles: Map[String, String] = Map(
     "txt_novelty" -> noveltySql,
+    "txt_hapax" ->
+      s"""WITH cell AS (
+         |  SELECT source, term, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT source, unnest(${rawTokensSql("text")}) AS term FROM documents)
+         |  GROUP BY 1, 2)
+         |SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) AS BIGINT) AS n_vocab,
+         |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+         |  (CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // CAST(count(*) AS BIGINT) AS hapax_rate_x1e6
+         |FROM cell GROUP BY source ORDER BY source""".stripMargin,
+
     "txt_burstiness" -> burstinessSql,
     "txt_oov_rate" -> {
       val sh2 = graft.dedup.Dedup.shinglesSql("text", 2)
