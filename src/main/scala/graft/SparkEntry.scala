@@ -168,6 +168,7 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
     "q_approx_distinct_kmv" -> ((s, d) => Relational.qApproxDistinctKmv(s, d)),
     "q_bitmap_distinct" -> ((s, d) => Relational.qBitmapDistinct(s, d)),
+    "q_bitmap_distinct_roaring" -> ((s, d) => Relational.qBitmapDistinctRoaring(s, d)),
     "q_pivot"        -> ((s, d) => Relational.qPivot(s, d)),
     "q_cube"         -> ((s, d) => Relational.qCube(s, d)),
     "q_outer_join"   -> ((s, d) => Relational.qOuterJoin(s, d)),
@@ -1516,6 +1517,11 @@ object SparkEntry {
         |  CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
         |  CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders GROUP BY ym ORDER BY ym""".stripMargin,
+    "q_bitmap_distinct_roaring" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(DISTINCT list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split_regex(CAST(o_custkey AS VARCHAR), ''), c -> CAST(ascii(c) AS BIGINT))), (a, b) -> (a * 31 + b) % 1000000007)) AS BIGINT) AS n_distinct_keys,
+        |  CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q_approx_distinct_kmv" ->
       """WITH h AS (

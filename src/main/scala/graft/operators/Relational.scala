@@ -1386,6 +1386,25 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy(col("ym"))
 
+  /** [[qBitmapDistinct]] with ROARING containers over a SPARSE key
+    * space — the production shape the flat bitmap's docstring promises
+    * ([[graft.functions.RoaringDistinctAgg]]): keys are poly-hashes of
+    * the customer id spread across [0, 10⁹+7), where a flat bitmap
+    * would ship 128 MB partials per group and the roaring buffer ships
+    * ~2 B per distinct value (array containers, upgrading to 8 KiB
+    * bitmaps only for dense chunks). The hash is the engine-portable
+    * fingerprint so DuckDB counts the identical key set.
+    */
+  def qBitmapDistinctRoaring(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderpriority"),
+        graft.text.TextFunctions.fingerprint(col("o_custkey").cast("string")).as("hkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.RoaringDistinctAgg.roaringDistinct(col("hkey"))
+          .as("n_distinct_keys"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
   /** Chi-square independence audit of a contingency table — the
     * drift/association screen (is event type independent of the value
     * band?) in exact scaled integers: per cell, expected×10⁶ =

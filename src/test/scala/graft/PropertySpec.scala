@@ -23,6 +23,55 @@ class PropertySpec extends AnyFunSuite {
       1 -> Gen.oneOf('\t', '"', '\'', '(', ')')))
       .map(_.mkString)
 
+  test("roaring buffer: cardinality/merge/serde agree with a reference Set across the array→bitmap upgrade") {
+    import graft.functions.RoaringBuffer
+    // mixed regimes: sparse across chunks, dense-in-one-chunk (forces
+    // the 4096 array→bitmap upgrade), duplicates, chunk boundaries
+    val sparse = Gen.chooseNum(0L, (1L << 31) - 1)
+    val dense = Gen.chooseNum(0L, 8191L).map(65536L * 7 + _)
+    val edge = Gen.oneOf(0L, 65535L, 65536L, (1L << 31) - 1)
+    val value: Gen[Long] = Gen.frequency(3 -> sparse, 6 -> dense, 1 -> edge)
+    val sets = (0 until 20).map { i =>
+      samples(Gen.listOfN(1500, value), 1).head
+    }
+    sets.zipWithIndex.foreach { case (xs, i) =>
+      val b = new RoaringBuffer
+      xs.foreach(b.add)
+      assert(b.cardinality == xs.toSet.size, s"set $i cardinality")
+    }
+    // pairwise merge ≡ set union, through serde on one side
+    val agg = graft.functions.RoaringDistinctAgg(
+      org.apache.spark.sql.GraftBridge.expression(lit(0L)))
+    sets.grouped(2).zipWithIndex.foreach { case (Seq(xs, ys), i) =>
+      val a = new RoaringBuffer; xs.foreach(a.add)
+      val bb = new RoaringBuffer; ys.foreach(bb.add)
+      val roundTripped = agg.deserialize(agg.serialize(bb))
+      assert(roundTripped.cardinality == ys.toSet.size, s"pair $i serde")
+      a.or(roundTripped)
+      assert(a.cardinality == (xs.toSet ++ ys.toSet).size, s"pair $i union")
+    }
+    // the dense-chunk upgrade really happened and counts right
+    val b = new RoaringBuffer
+    (0L until 5000L).foreach(v => b.add(65536L * 3 + v))
+    assert(b.cardinality == 5000L)
+    // and flat-vs-roaring agree on a shared random workload
+    val flat = graft.functions.BitmapDistinctAgg(
+      org.apache.spark.sql.GraftBridge.expression(lit(0L)))
+    val xs = sets.head
+    var fb = flat.createAggregationBuffer()
+    val rb = new RoaringBuffer
+    xs.foreach { v =>
+      val word = (v >>> 6).toInt
+      // flat update path inlined (the agg's update needs an InternalRow)
+      fb = { val g = if (word + 1 <= fb.length) fb else {
+        var cap = fb.length; while (cap < word + 1) cap *= 2
+        java.util.Arrays.copyOf(fb, cap) }
+        g(word) |= 1L << (v & 63); g }
+      rb.add(v)
+    }
+    assert(flat.eval(fb) == rb.cardinality)
+  }
+
   test("driver-side analyzeQuery equals engine-side tokens() on arbitrary ASCII") {
     import spark.implicits._
     val inputs = samples(asciiText, 300)
