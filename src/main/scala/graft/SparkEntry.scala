@@ -42,6 +42,8 @@ object SparkEntry {
     "ms_range_filter"      -> ((s, d) => Metastore.rangeFilterQ(s, d)),
     "ms_date_histogram"    -> ((s, d) => Metastore.dateHistogramQ(s, d)),
     "ms_date_range_agg"    -> ((s, d) => Metastore.dateRangeAggQ(s, d)),
+    "ms_stats_bucket"      -> ((s, d) => Metastore.statsBucketQ(s, d)),
+    "ms_filters_agg"       -> ((s, d) => Metastore.filtersAggQ(s, d)),
     "ms_histogram_agg"     -> ((s, d) => Metastore.histogramAggQ(s, d)),
     "ms_significant_terms" -> ((s, d) => Metastore.significantTermsQ(s, d)),
     "ms_span_near"         -> ((s, d) => Metastore.spanNearQ(s, d)),
@@ -195,6 +197,7 @@ object SparkEntry {
     "txt_token_count" -> ((s, d) => Text.tokenCount(s, d)),
     "txt_novelty"     -> ((s, d) => Text.novelty(s, d)),
     "txt_hapax"       -> ((s, d) => Text.hapax(s, d)),
+    "txt_source_drift" -> ((s, d) => Text.sourceDrift(s, d)),
     "txt_burstiness"  -> ((s, d) => Text.burstiness(s, d)),
     "txt_quality"     -> ((s, d) => Text.quality(s, d)),
     "txt_langid"      -> ((s, d) => Text.langId(s, d)),
@@ -337,6 +340,7 @@ object SparkEntry {
     "q_xcorr"             -> ((s, d) => operators.Temporal.qXcorr(s, d)),
     "q_granger"           -> ((s, d) => operators.Temporal.qGranger(s, d)),
     "q_corr_matrix"       -> ((s, d) => operators.Temporal.qCorrMatrix(s, d)),
+    "q_emd"               -> ((s, d) => operators.Temporal.qEmd(s, d)),
     "q_locf"              -> ((s, d) => operators.Temporal.qLocf(s, d)),
     "q_rolling_median"    -> ((s, d) => operators.Temporal.qRollingMedian(s, d)),
     "q_survival"          -> ((s, d) => operators.Temporal.qSurvival(s, d)),

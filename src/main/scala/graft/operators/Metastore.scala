@@ -650,6 +650,44 @@ object Metastore {
       .orderBy(col("bucket"))
   }
 
+  /** ES stats_bucket pipeline aggregation analog — the 1-row summary
+    * over sibling buckets ([[dateHistogramQ]]'s daily click counts):
+    * bucket count, min/max/sum of the per-bucket doc counts, and the
+    * average ×100 as an exact floor division. The fact-scale work is
+    * the ONE histogram groupBy; the stats are a bucket-domain fold.
+    */
+  def statsBucketQ(s: SparkSession, d: String): DataFrame =
+    dateHistogramQ(s, d)
+      .agg(count(lit(1)).cast("long").as("n_buckets"),
+        min(col("n")).as("min_n"), max(col("n")).as("max_n"),
+        sum(col("n")).cast("long").as("sum_n"))
+      .withColumn("avg_n_x100", expr("(sum_n * 100) div n_buckets"))
+
+  /** ES `filters` aggregation analog — NAMED, possibly OVERLAPPING
+    * predicate buckets in one pass (big-ticket / click-type / weekend),
+    * each with doc_count + cents mass: one conditional aggregate over
+    * the visible events, a 3-row stack — never three scans.
+    */
+  def filtersAggQ(s: SparkSession, d: String): DataFrame = {
+    val cents = expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")
+    val dow = expr("((ts_us div 86400000000 + 3) % 7) + 1") // 1=Mon..7=Sun
+    evEngine.visible(ev(s, d), None)
+      .select(col("value"), cents.as("cents"), dow.as("dow"), col("event_entity"))
+      .agg(
+        sum(when(col("value") >= 300.0, 1L).otherwise(0L)).cast("long").as("n_big"),
+        sum(when(col("value") >= 300.0, col("cents")).otherwise(0L)).cast("long").as("c_big"),
+        sum(when(col("event_entity") === "click", 1L).otherwise(0L)).cast("long").as("n_click"),
+        sum(when(col("event_entity") === "click", col("cents")).otherwise(0L)).cast("long").as("c_click"),
+        sum(when(col("dow") >= 6, 1L).otherwise(0L)).cast("long").as("n_wkd"),
+        sum(when(col("dow") >= 6, col("cents")).otherwise(0L)).cast("long").as("c_wkd"))
+      .select(expr(
+        """stack(3,
+          |  'big_ticket', n_big, c_big,
+          |  'clicks', n_click, c_click,
+          |  'weekend', n_wkd, c_wkd) AS (bucket, doc_count, cents)""".stripMargin))
+      .orderBy(col("bucket"))
+  }
+
   /** ES pipeline-aggregations analog — derivative, cumulative_sum and
     * moving_fn(avg, 7) chained onto the daily click date_histogram
     * ([[dateHistogramQ]]'s base): the "trend panel" every dashboard
@@ -1902,6 +1940,37 @@ object Metastore {
          |FROM ev
          |WHERE findability = 'published' AND event_entity = 'click'
          |GROUP BY day ORDER BY day""".stripMargin,
+
+    "ms_stats_bucket" ->
+      s"""$evCte,
+         |b AS (
+         |  SELECT ts_us // 86400000000 AS day, CAST(count(*) AS BIGINT) AS n
+         |  FROM ev WHERE findability = 'published' AND event_entity = 'click'
+         |  GROUP BY day)
+         |SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+         |  CAST(min(n) AS BIGINT) AS min_n, CAST(max(n) AS BIGINT) AS max_n,
+         |  CAST(sum(n) AS BIGINT) AS sum_n,
+         |  (CAST(sum(n) AS BIGINT) * 100) // CAST(count(*) AS BIGINT) AS avg_n_x100
+         |FROM b""".stripMargin,
+
+    "ms_filters_agg" ->
+      s"""$evCte,
+         |base AS (
+         |  SELECT value, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         |    ((ts_us // 86400000000 + 3) % 7) + 1 AS dow, event_entity
+         |  FROM ev WHERE findability = 'published'),
+         |a AS (SELECT
+         |  CAST(sum(CASE WHEN value >= 300.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
+         |  CAST(sum(CASE WHEN value >= 300.0 THEN cents ELSE 0 END) AS BIGINT) AS c_big,
+         |  CAST(sum(CASE WHEN event_entity = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+         |  CAST(sum(CASE WHEN event_entity = 'click' THEN cents ELSE 0 END) AS BIGINT) AS c_click,
+         |  CAST(sum(CASE WHEN dow >= 6 THEN 1 ELSE 0 END) AS BIGINT) AS n_wkd,
+         |  CAST(sum(CASE WHEN dow >= 6 THEN cents ELSE 0 END) AS BIGINT) AS c_wkd
+         |  FROM base)
+         |SELECT 'big_ticket' AS bucket, n_big AS doc_count, c_big AS cents FROM a
+         |UNION ALL SELECT 'clicks', n_click, c_click FROM a
+         |UNION ALL SELECT 'weekend', n_wkd, c_wkd FROM a
+         |ORDER BY bucket""".stripMargin,
 
     "ms_date_range_agg" ->
       s"""$evCte

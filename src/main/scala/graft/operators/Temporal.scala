@@ -1688,6 +1688,42 @@ object Temporal {
     * the lead window and the rollup; output is one row per user with
     * ≥ 2 events.
     */
+  /** 1-D earth mover's distance (Wasserstein-1) between the click and
+    * purchase value distributions over $10 bins — the distribution-
+    * shift statistic that, unlike q_ks_test's sup-norm, charges HOW FAR
+    * mass moved, not just that it did. Exact in cross-multiplied
+    * integers: EMD·(N_a·N_b) = Σ_bins |cumA·N_b − cumB·N_a| (both
+    * empirical CDFs scaled to a common denominator), emitted ×10⁶ via
+    * one carry-staged floor division; the bin grid is bounded by the
+    * value domain, the cumsum is a bin-domain window.
+    */
+  def qEmd(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("event_type"), expr("CAST(floor(value / 10) AS BIGINT)").as("bin"))
+    val cells = ev.groupBy(col("bin")).agg(
+      sum(when(col("event_type") === "click", 1L).otherwise(0L)).cast("long").as("a"),
+      sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).cast("long").as("b"))
+    val w = Window.orderBy(col("bin")).rowsBetween(Window.unboundedPreceding, 0)
+    // the bin domain is |value range|/10 rows — a bounded-domain window,
+    // not a fact-scale one
+    val cum = cells
+      .withColumn("ca", sum(col("a")).over(w))
+      .withColumn("cb", sum(col("b")).over(w))
+    val tot = cells.agg(sum(col("a")).cast("long").as("na"),
+      sum(col("b")).cast("long").as("nb"))
+    cum.crossJoin(broadcast(tot))
+      // overflow-bound: |ca·nb − cb·na| <= na·nb < 10^18 for counts < 10^9 per side; the ×10⁶ carries stage as (num div den)·10⁶ + ((num mod den)·10⁶) div den.
+      .agg(sum(expr("abs(CAST(ca AS DECIMAL(38,0)) * nb - CAST(cb AS DECIMAL(38,0)) * na)"))
+          .as("num"),
+        max(col("na")).as("na"), max(col("nb")).as("nb"),
+        count(lit(1)).cast("long").as("n_bins"))
+      .withColumn("den", expr("CAST(na AS DECIMAL(38,0)) * nb"))
+      .select(col("na").as("n_click"), col("nb").as("n_purchase"), col("n_bins"),
+        expr("CAST((num div den) * 1000000 + ((num % den) * 1000000) div den AS BIGINT)")
+          .as("emd_bins_x1e6"))
+  }
+
   def qTwap(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
     EventStreams.normalize(Tables.events(s, d))
@@ -2209,6 +2245,31 @@ object Temporal {
       "FROM events WHERE event_type = 'purchase'"
 
   val oracles: Map[String, String] = Map(
+    "q_emd" ->
+      """WITH ev2 AS (
+        |  SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bin
+        |  FROM events WHERE event_type IN ('click', 'purchase')),
+        |cells AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS b
+        |  FROM ev2 GROUP BY bin),
+        |cum AS (
+        |  SELECT bin, CAST(sum(a) OVER (ORDER BY bin) AS BIGINT) AS ca,
+        |    CAST(sum(b) OVER (ORDER BY bin) AS BIGINT) AS cb
+        |  FROM cells),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS na, CAST(sum(b) AS BIGINT) AS nb
+        |        FROM cells),
+        |agg AS (
+        |  SELECT sum(abs(CAST(ca AS HUGEINT) * nb - CAST(cb AS HUGEINT) * na)) AS num,
+        |    max(na) AS na, max(nb) AS nb, CAST(count(*) AS BIGINT) AS n_bins
+        |  FROM cum CROSS JOIN tot)
+        |SELECT na AS n_click, nb AS n_purchase, n_bins,
+        |  CAST((num // (CAST(na AS HUGEINT) * nb)) * 1000000
+        |    + ((num % (CAST(na AS HUGEINT) * nb)) * 1000000)
+        |      // (CAST(na AS HUGEINT) * nb) AS BIGINT) AS emd_bins_x1e6
+        |FROM agg""".stripMargin,
+
     "q_corr_matrix" ->
       """WITH daily AS (
         |  SELECT epoch_us(ts) // 86400000000 AS day,

@@ -52,6 +52,44 @@ object Text {
       .orderBy(col("doc_id"))
   }
 
+  /** Per-source unigram drift — total-variation distance between each
+    * source's token distribution and the corpus distribution, the
+    * ingest-feed drift monitor: TVD·2·N·N_s = Σ_t |c_s·N − c·N_s| with
+    * the terms ABSENT from the source folded in algebraically
+    * ((N − Σ_{t∈s} c_t)·N_s — never a full source×vocab grid), emitted
+    * ×10⁶ via a carry-staged floor division. One (source, term) cell
+    * pass joined to the term-domain corpus counts.
+    */
+  def sourceDrift(s: SparkSession, d: String): DataFrame = {
+    val cells = Tables.documents(s, d)
+      .select(col("source"), explode(rawTokens(col("text"))).as("term"))
+      .groupBy(col("source"), col("term")).agg(count(lit(1)).as("cs"))
+      .localCheckpoint(eager = false) // corpus counts AND the per-source fold
+    val corpus = cells.groupBy(col("term")).agg(sum(col("cs")).cast("long").as("c"))
+    val tot = corpus.agg(sum(col("c")).cast("long").as("n"))
+    val perSource = cells.join(corpus, Seq("term"))
+      .groupBy(col("source"))
+      .agg(sum(col("cs")).cast("long").as("ns"),
+        sum(col("c")).cast("long").as("pmass"))
+    // overflow-bound: cs·N and c·N_s are <= N² (corpus token mass squared) — inside DECIMAL(38) for N < 10^19 tokens; the ×10⁶ carries stage as (num div den)·10⁶ + ((num mod den)·10⁶) div den.
+    val cellsWithNs = cells.join(corpus, Seq("term"))
+      .join(perSource.select(col("source"), col("ns")), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .groupBy(col("source"))
+      .agg(sum(expr("abs(CAST(cs AS DECIMAL(38,0)) * n - CAST(c AS DECIMAL(38,0)) * ns)"))
+        .as("psum"))
+    cellsWithNs
+      .join(perSource, Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("num",
+        expr("psum + CAST(n - pmass AS DECIMAL(38,0)) * ns"))
+      .withColumn("den", expr("CAST(2 AS DECIMAL(38,0)) * n * ns"))
+      .select(col("source"), col("ns").as("n_tokens"),
+        expr("CAST((num div den) * 1000000 + ((num % den) * 1000000) div den AS BIGINT)")
+          .as("tvd_x1e6"))
+      .orderBy(col("source"))
+  }
+
   /** Hapax legomena rate per ingest source — the vocabulary-health
     * probe (a high once-only share means thin coverage or noisy
     * tokenization; a collapsing one means boilerplate): per source the
@@ -1007,6 +1045,30 @@ object Text {
 
   val oracles: Map[String, String] = Map(
     "txt_novelty" -> noveltySql,
+    "txt_source_drift" ->
+      s"""WITH cell AS (
+         |  SELECT source, term, CAST(count(*) AS BIGINT) AS cs FROM (
+         |    SELECT source, unnest(${rawTokensSql("text")}) AS term FROM documents)
+         |  GROUP BY 1, 2),
+         |corpus AS (SELECT term, CAST(sum(cs) AS BIGINT) AS c FROM cell GROUP BY 1),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM corpus),
+         |per AS (
+         |  SELECT source, CAST(sum(cs) AS BIGINT) AS ns,
+         |    CAST(sum(c) AS BIGINT) AS pmass,
+         |    sum(abs(CAST(cs AS HUGEINT) * (SELECT n FROM tot)
+         |            - CAST(c AS HUGEINT) * sns)) AS psum
+         |  FROM (SELECT cell.source, cell.cs, corpus.c,
+         |          CAST(sum(cell.cs) OVER (PARTITION BY cell.source) AS BIGINT) AS sns
+         |        FROM cell JOIN corpus USING (term))
+         |  GROUP BY source)
+         |SELECT source, ns AS n_tokens,
+         |  CAST(((psum + CAST((SELECT n FROM tot) - pmass AS HUGEINT) * ns)
+         |        // (CAST(2 AS HUGEINT) * (SELECT n FROM tot) * ns)) * 1000000
+         |    + (((psum + CAST((SELECT n FROM tot) - pmass AS HUGEINT) * ns)
+         |        % (CAST(2 AS HUGEINT) * (SELECT n FROM tot) * ns)) * 1000000)
+         |      // (CAST(2 AS HUGEINT) * (SELECT n FROM tot) * ns) AS BIGINT) AS tvd_x1e6
+         |FROM per ORDER BY source""".stripMargin,
+
     "txt_hapax" ->
       s"""WITH cell AS (
          |  SELECT source, term, CAST(count(*) AS BIGINT) AS cnt FROM (
