@@ -43,6 +43,8 @@ object SparkEntry {
     "ms_date_histogram"    -> ((s, d) => Metastore.dateHistogramQ(s, d)),
     "ms_date_range_agg"    -> ((s, d) => Metastore.dateRangeAggQ(s, d)),
     "ms_stats_bucket"      -> ((s, d) => Metastore.statsBucketQ(s, d)),
+    "ms_multi_terms_agg"   -> ((s, d) => Metastore.multiTermsAggQ(s, d)),
+    "ms_range_agg"         -> ((s, d) => Metastore.rangeAggQ(s, d)),
     "ms_filters_agg"       -> ((s, d) => Metastore.filtersAggQ(s, d)),
     "ms_histogram_agg"     -> ((s, d) => Metastore.histogramAggQ(s, d)),
     "ms_significant_terms" -> ((s, d) => Metastore.significantTermsQ(s, d)),
@@ -341,6 +343,7 @@ object SparkEntry {
     "q_granger"           -> ((s, d) => operators.Temporal.qGranger(s, d)),
     "q_corr_matrix"       -> ((s, d) => operators.Temporal.qCorrMatrix(s, d)),
     "q_emd"               -> ((s, d) => operators.Temporal.qEmd(s, d)),
+    "q_audience_overlap"  -> ((s, d) => operators.Temporal.qAudienceOverlap(s, d)),
     "q_locf"              -> ((s, d) => operators.Temporal.qLocf(s, d)),
     "q_rolling_median"    -> ((s, d) => operators.Temporal.qRollingMedian(s, d)),
     "q_survival"          -> ((s, d) => operators.Temporal.qSurvival(s, d)),
@@ -395,6 +398,7 @@ object SparkEntry {
     "pipe_shard_skew"     -> ((s, d) => Pipeline.pipeShardSkew(s, d)),
     "pipe_near_dup_rate_by_source" -> ((s, d) => Pipeline.pipeNearDupRateBySource(s, d)),
     "pipe_cluster_reps"   -> ((s, d) => Pipeline.pipeClusterReps(s, d)),
+    "pipe_length_curve"   -> ((s, d) => Pipeline.pipeLengthCurve(s, d)),
     "pipe_dedup_threshold_curve" -> ((s, d) => Pipeline.pipeDedupThresholdCurve(s, d)),
     "pipe_dedup_rate_by_source" -> ((s, d) => Pipeline.pipeDedupRateBySource(s, d)),
     "mm_decode_mulaw"     -> ((s, d) => Pipeline.mmDecodeMulaw(s, d)),

@@ -650,6 +650,42 @@ object Metastore {
       .orderBy(col("bucket"))
   }
 
+  /** ES multi_terms aggregation analog — composite-key term buckets
+    * ((lang, source) pairs) ordered by doc_count like ES's default,
+    * top-20 with bytes mass: one partial-agg pass over the visible
+    * index, distributed top-k via TakeOrderedAndProject.
+    */
+  def multiTermsAggQ(s: SparkSession, d: String): DataFrame =
+    ds.visible(idx(s, d), None)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("doc_count"), sum(col("bytes")).cast("long").as("bytes"))
+      .orderBy(col("doc_count").desc, col("lang"), col("source"))
+      .limit(20)
+
+  /** ES range aggregation analog (numeric, NAMED half-open buckets on
+    * the bytes field — date_range's numeric sibling): per bucket its
+    * bounds (NULL = unbounded), doc_count and bytes mass, from one
+    * conditional-aggregate pass over the visible index.
+    */
+  def rangeAggQ(s: SparkSession, d: String): DataFrame = {
+    val b1 = 200L
+    val b2 = 400L
+    ds.visible(idx(s, d), None)
+      .select(
+        when(col("bytes") < b1, "small")
+          .when(col("bytes") < b2, "medium").otherwise("large").as("bucket"),
+        col("bytes"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("doc_count"), sum(col("bytes")).cast("long").as("bytes"))
+      .withColumn("from_bytes",
+        when(col("bucket") === "medium", b1).when(col("bucket") === "large", b2))
+      .withColumn("to_bytes",
+        when(col("bucket") === "small", b1).when(col("bucket") === "medium", b2))
+      .select(col("bucket"), col("from_bytes"), col("to_bytes"),
+        col("doc_count"), col("bytes"))
+      .orderBy(col("bucket"))
+  }
+
   /** ES stats_bucket pipeline aggregation analog — the 1-row summary
     * over sibling buckets ([[dateHistogramQ]]'s daily click counts):
     * bucket count, min/max/sum of the per-bucket doc counts, and the
@@ -1940,6 +1976,30 @@ object Metastore {
          |FROM ev
          |WHERE findability = 'published' AND event_entity = 'click'
          |GROUP BY day ORDER BY day""".stripMargin,
+
+    "ms_multi_terms_agg" ->
+      s"""$idxCte
+         |SELECT lang, source, CAST(count(*) AS BIGINT) AS doc_count,
+         |  CAST(sum(bytes) AS BIGINT) AS bytes
+         |FROM idx WHERE findability = 'published'
+         |GROUP BY 1, 2
+         |ORDER BY doc_count DESC, lang, source LIMIT 20""".stripMargin,
+
+    "ms_range_agg" ->
+      s"""$idxCte
+         |SELECT
+         |  CASE WHEN bytes < 200 THEN 'small'
+         |       WHEN bytes < 400 THEN 'medium' ELSE 'large' END AS bucket,
+         |  CASE WHEN bytes < 200 THEN CAST(NULL AS BIGINT)
+         |       WHEN bytes < 400 THEN CAST(200 AS BIGINT)
+         |       ELSE CAST(400 AS BIGINT) END AS from_bytes,
+         |  CASE WHEN bytes < 200 THEN CAST(200 AS BIGINT)
+         |       WHEN bytes < 400 THEN CAST(400 AS BIGINT)
+         |       ELSE CAST(NULL AS BIGINT) END AS to_bytes,
+         |  CAST(count(*) AS BIGINT) AS doc_count,
+         |  CAST(sum(bytes) AS BIGINT) AS bytes
+         |FROM idx WHERE findability = 'published'
+         |GROUP BY 1, 2, 3 ORDER BY bucket""".stripMargin,
 
     "ms_stats_bucket" ->
       s"""$evCte,

@@ -501,6 +501,36 @@ object Pipeline {
       .orderBy(col("tau_bp"))
   }
 
+  /** Min-length threshold curve — [[pipeQualityCurve]]'s companion for
+    * the other universal curation knob: for 5 pinned minimum token
+    * lengths, how many docs and tokens survive (counts + ppm). ONE
+    * corpus pass, all thresholds as conditional aggregates — the
+    * survival curve consulted before committing a length filter to a
+    * 100 TB run.
+    */
+  def pipeLengthCurve(s: SparkSession, d: String): DataFrame = {
+    val taus = Seq(0L, 20L, 40L, 60L, 80L)
+    val toks = graft.text.TextFunctions.rawTokens(col("text"))
+    val perDoc = Tables.documents(s, d).select(size(toks).cast("long").as("n_tok"))
+    val aggCols = Seq(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(col("n_tok")).cast("long").as("n_tokens")) ++
+      taus.flatMap { t =>
+        Seq(sum(when(col("n_tok") >= t, 1L).otherwise(0L)).cast("long").as(s"d$t"),
+          sum(when(col("n_tok") >= t, col("n_tok")).otherwise(0L))
+            .cast("long").as(s"t$t"))
+      }
+    val aggs = perDoc.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = taus.map(t => s"${t}L, d$t, t$t").mkString(", ")
+    aggs
+      .select(col("n_docs"), col("n_tokens"),
+        expr(s"stack(${taus.length}, $stackArgs) AS (min_tok, docs_kept, tokens_kept)"))
+      .select(col("min_tok"), col("docs_kept"), col("tokens_kept"),
+        expr("(docs_kept * 1000000) div n_docs").as("docs_ppm"),
+        expr("(tokens_kept * 1000000) div n_tokens").as("tokens_ppm"))
+      .orderBy(col("min_tok"))
+  }
+
   def mmDecodeJpeg(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeJpegPlan(Tables.documents(s, d))
 
@@ -2160,6 +2190,22 @@ object Pipeline {
          |SELECT doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
          |FROM lab ORDER BY doc_id""".stripMargin,
+
+    "pipe_length_curve" -> {
+      val tk = graft.text.TextFunctions.rawTokensSql("text")
+      s"""WITH d AS (SELECT CAST(len($tk) AS BIGINT) AS n_tok FROM documents),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |        CAST(sum(n_tok) AS BIGINT) AS n_tokens FROM d),
+         |taus AS (SELECT CAST(unnest([0, 20, 40, 60, 80]) AS BIGINT) AS min_tok),
+         |k AS (
+         |  SELECT min_tok, CAST(count(*) AS BIGINT) AS docs_kept,
+         |    CAST(sum(n_tok) AS BIGINT) AS tokens_kept
+         |  FROM taus JOIN d ON n_tok >= min_tok GROUP BY 1)
+         |SELECT min_tok, docs_kept, tokens_kept,
+         |  (docs_kept * 1000000) // t.n_docs AS docs_ppm,
+         |  (tokens_kept * 1000000) // t.n_tokens AS tokens_ppm
+         |FROM k CROSS JOIN t ORDER BY min_tok""".stripMargin
+    },
 
     "pipe_near_dup_rate_by_source" ->
       s"""$clusterCtes,

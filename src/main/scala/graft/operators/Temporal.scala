@@ -1688,6 +1688,35 @@ object Temporal {
     * the lead window and the rollup; output is one row per user with
     * ≥ 2 events.
     */
+  /** Audience overlap between event types — exact pairwise Jaccard of
+    * the user sets behind click/view/purchase: the segmentation readout
+    * ("do purchasers come from clickers?"). One user-grain pass builds
+    * a 3-bit membership profile, one 8-row profile rollup closes all
+    * three pairs — user ids cross ONE shuffle, never a pairwise join.
+    */
+  def qAudienceOverlap(s: SparkSession, d: String): DataFrame = {
+    val prof = EventStreams.normalize(Tables.events(s, d))
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "click", 1L).otherwise(0L)).as("hc"),
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("hv"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("hp"))
+    val counts = prof.agg(
+      sum(col("hc")).cast("long").as("nc"), sum(col("hv")).cast("long").as("nv"),
+      sum(col("hp")).cast("long").as("np"),
+      sum(col("hc") * col("hv")).cast("long").as("icv"),
+      sum(col("hc") * col("hp")).cast("long").as("icp"),
+      sum(col("hv") * col("hp")).cast("long").as("ivp"))
+    counts.select(expr(
+        """stack(3,
+          |  'click', 'view', icv, nc + nv - icv,
+          |  'click', 'purchase', icp, nc + np - icp,
+          |  'view', 'purchase', ivp, nv + np - ivp
+          |) AS (type_a, type_b, n_both, n_union)""".stripMargin))
+      .withColumn("jaccard_x1e6", expr("(n_both * 1000000) div n_union"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
   /** 1-D earth mover's distance (Wasserstein-1) between the click and
     * purchase value distributions over $10 bins — the distribution-
     * shift statistic that, unlike q_ks_test's sup-norm, charges HOW FAR
@@ -2245,6 +2274,27 @@ object Temporal {
       "FROM events WHERE event_type = 'purchase'"
 
   val oracles: Map[String, String] = Map(
+    "q_audience_overlap" ->
+      """WITH prof AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS hc,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS hv,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS hp
+        |  FROM events WHERE event_type IN ('click', 'view', 'purchase')
+        |  GROUP BY user_id),
+        |c AS (SELECT CAST(sum(hc) AS BIGINT) AS nc, CAST(sum(hv) AS BIGINT) AS nv,
+        |  CAST(sum(hp) AS BIGINT) AS np,
+        |  CAST(sum(hc * hv) AS BIGINT) AS icv, CAST(sum(hc * hp) AS BIGINT) AS icp,
+        |  CAST(sum(hv * hp) AS BIGINT) AS ivp FROM prof),
+        |u AS (
+        |  SELECT 'click' AS type_a, 'view' AS type_b, icv AS n_both,
+        |    nc + nv - icv AS n_union FROM c
+        |  UNION ALL SELECT 'click', 'purchase', icp, nc + np - icp FROM c
+        |  UNION ALL SELECT 'view', 'purchase', ivp, nv + np - ivp FROM c)
+        |SELECT type_a, type_b, n_both, n_union,
+        |  (n_both * 1000000) // n_union AS jaccard_x1e6
+        |FROM u ORDER BY type_a, type_b""".stripMargin,
+
     "q_emd" ->
       """WITH ev2 AS (
         |  SELECT event_type, CAST(floor(value / 10) AS BIGINT) AS bin
