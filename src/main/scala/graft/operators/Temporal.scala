@@ -1981,20 +1981,28 @@ object Temporal {
       .withColumn("num", expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
       .withColumn("sxx_c", expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
       .withColumn("syy_c", expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy"))
-      // STAGED division (ADVICE r7): num²·10⁶ div (sxx_c·syy_c) would
-      // materialize both num²·10⁶ (> 38 digits once num ≳ 10^16) and
-      // the den product (> 38 digits once the factors pass 10^19) —
-      // Spark non-ANSI nulls while DuckDB HUGEINT errors, diverging
-      // exactly at scale. Instead: ⌊A/(B·C)⌋ = ⌊⌊A/B⌋/C⌋ for
-      // non-negative operands, and ⌊num²·10⁶/B⌋ expands exactly as
-      // (num² div B)·10⁶ + ((num² mod B)·10⁶) div B. No intermediate
-      // exceeds max(num², B·10⁶): exact for |num| < 10^19 and
-      // sxx_c, syy_c < 10^32 (daily magnitudes ~10^15 cents — far past
-      // any real revenue; the old single-expression form broke at 10^16).
+      // COMMON-DOWNSCALE division (round 9, forced by the sf1 gate —
+      // the r8 staged form's first quotient num² div sxx_c ≈ r²·syy_c
+      // exceeds BIGINT once syy_c passes ~9·10^18, and Spark's `div`
+      // returns LONG, so ANSI throws ARITHMETIC_OVERFLOW at sf1 daily
+      // revenues): r² is SCALE-INVARIANT, so floor-divide num, sxx_c,
+      // syy_c by one common sc = ⌈max/10⁹⌉ first — every factor drops
+      // under 10⁹, the single-shot quotient (n2²·10⁶) div (sx2·sy2) is
+      // ≤ ~4·10⁶ by Cauchy-Schwarz (num² ≤ sxx·syy), and both engines
+      // mirror the identical floors. sc = 1 at small SFs, where
+      // ⌊⌊A/B⌋/C⌋ = ⌊A/(BC)⌋ makes this bit-identical to the r8 form;
+      // past that the readout is r² of the downscaled sums (relative
+      // error O(10⁻⁹)). overflow-bound: every div result ≤ 4·10⁶ and
+      // every product ≤ 10²⁴ — inside LONG/DECIMAL(38) at ANY scale.
+      .withColumn("sc",
+        expr("greatest(abs(num), greatest(sxx_c, syy_c)) div 1000000000 + 1"))
+      .withColumn("n2", expr("abs(num) div sc"))
+      .withColumn("sx2", expr("sxx_c div sc"))
+      .withColumn("sy2", expr("syy_c div sc"))
       .select(col("day"), col("x"), col("y"),
-        when(col("sxx_c") > 0 && col("syy_c") > 0, expr(
-          """CAST((((num * num) div sxx_c) * 1000000
-            |  + (((num * num) % sxx_c) * 1000000) div sxx_c) div syy_c AS BIGINT)""".stripMargin))
+        when(col("sx2") > 0 && col("sy2") > 0, expr(
+          """CAST((CAST(n2 AS DECIMAL(38,0)) * n2 * 1000000)
+            |  div (CAST(sx2 AS DECIMAL(38,0)) * sy2) AS BIGINT)""".stripMargin))
           .otherwise(0L).as("r2_x1e6"),
         expr("CAST(sign(num) AS INT)").as("r_sign"))
       .orderBy(col("day"))
@@ -2738,14 +2746,19 @@ object Temporal {
          |    n * sxy - CAST(sx AS HUGEINT) * sy AS num,
          |    n * sxx - CAST(sx AS HUGEINT) * sx AS sxx_c,
          |    n * syy - CAST(sy AS HUGEINT) * sy AS syy_c
-         |  FROM w WHERE rn >= 14)
+         |  FROM w WHERE rn >= 14),
+         |d AS (
+         |  SELECT day, x, y, num,
+         |    abs(num) // sc AS n2, sxx_c // sc AS sx2, syy_c // sc AS sy2
+         |  FROM (SELECT *, greatest(abs(num), sxx_c, syy_c) // 1000000000 + 1 AS sc
+         |        FROM c))
          |SELECT day, x, y,
-         |  CASE WHEN sxx_c > 0 AND syy_c > 0 THEN
-         |    CAST((((num * num) // sxx_c) * 1000000
-         |      + (((num * num) % sxx_c) * 1000000) // sxx_c) // syy_c AS BIGINT)
+         |  CASE WHEN sx2 > 0 AND sy2 > 0 THEN
+         |    CAST((CAST(n2 AS HUGEINT) * n2 * 1000000)
+         |      // (CAST(sx2 AS HUGEINT) * sy2) AS BIGINT)
          |  ELSE 0 END AS r2_x1e6,
          |  CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END AS INT) AS r_sign
-         |FROM c ORDER BY day""".stripMargin
+         |FROM d ORDER BY day""".stripMargin
     },
 
     "q_holt" -> {
