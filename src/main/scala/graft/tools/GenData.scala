@@ -44,6 +44,13 @@ object GenData {
     val par = s.sparkContext.defaultParallelism
     def rows(atSf1: Long): Long = math.max(1L, (atSf1 * sf).toLong)
     def range(n: Long): DataFrame = s.range(0, n, 1, par).toDF("id")
+    // NOTE on timestamps: Spark embeds its schema in the parquet footer,
+    // so an NTZ-cast write makes SPARK re-read NTZ (breaking unix_micros
+    // paths) while an LTZ write makes DUCKDB read timestamptz. The
+    // driver's pyarrow files carry neither footer nor UTC annotation.
+    // We keep the LTZ write (Spark-side semantics match the driver) and
+    // the LOCAL gate normalizes DuckDB's timestamptz to wall-UTC naive
+    // for localdata dirs only (tools/local_gate.py).
     def write(df: DataFrame, name: String): Unit =
       df.write.mode(SaveMode.Overwrite).parquet(s"$out/$name.parquet")
 

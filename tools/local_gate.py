@@ -112,6 +112,26 @@ def main():
             print(f"FAIL {name}: output wider than BIGINT/DECIMAL(18,2): {detail}")
             n_fail += 1
             continue
+        if "localdata" in sfdir:
+            # locally-GENERATED data: Spark writes LTZ (annotated UTC) so
+            # DuckDB reads timestamptz where the driver's pyarrow files
+            # are naive. Same UTC wall values — normalize tz-aware to
+            # naive on the duck side for these dev dirs ONLY; driver-SF
+            # gates stay byte-strict.
+            import pyarrow as pa
+            import pyarrow.types as pat2
+            new_cols = []
+            changed = False
+            for c in duck_t.schema.names:
+                col0 = duck_t.column(c)
+                t = duck_t.schema.field(c).type
+                if pat2.is_timestamp(t) and t.tz is not None:
+                    col0 = col0.cast(pa.timestamp(t.unit))
+                    changed = True
+                new_cols.append(col0)
+            if changed:
+                duck_t = pa.table(
+                    {c: new_cols[i] for i, c in enumerate(duck_t.schema.names)})
         s_cols = sorted(spark_t.schema.names)
         d_cols = sorted(duck_t.schema.names)
         if s_cols != d_cols:
