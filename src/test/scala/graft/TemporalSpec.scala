@@ -961,8 +961,13 @@ class TemporalSpec extends AnyFunSuite {
       val syy = win.map(t => BigInt(t._3) * t._3).sum
       val sxy = win.map(t => BigInt(t._2) * t._3).sum
       val num = n * sxy - sx * sy
-      val den = (n * sxx - sx * sx) * (n * syy - sy * sy)
-      val want = if (den > 0) (num * num * 1000000 / den).toLong else 0L
+      val sxxC = n * sxx - sx * sx
+      val syyC = n * syy - sy * sy
+      // r9 common-downscale replay (the sf1 overflow fix): all three
+      // terms floor-divided by sc = max/1e9 + 1, then one floor ratio
+      val sc = (num.abs.max(sxxC.max(syyC)) / 1000000000L) + 1
+      val (n2, sx2, sy2) = (num.abs / sc, sxxC / sc, syyC / sc)
+      val want = if (sx2 > 0 && sy2 > 0) (n2 * n2 * 1000000 / (sx2 * sy2)).toLong else 0L
       assert(r2 == want && sgn == num.signum, s"day $day: got ($r2, $sgn) want ($want, ${num.signum})")
       assert(r2 <= 1000000L, s"r2 above 1 at day $day")
     }
