@@ -559,6 +559,33 @@ class GraphSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).distinct.length > 1, "uniform authority vector")
   }
 
+  test("katz equals a driver-side floor recurrence replay and differentiates") {
+    import org.apache.spark.sql.functions.col
+    val edges = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf).select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sf).select(col("s_suppkey"), col("s_nationkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").cast("long"), col("s_nationkey").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nations = Tables.nation(spark, sf).select(col("n_nationkey").cast("long"))
+      .collect().map(_.getLong(0)).sorted
+    var x = nations.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 12) {
+      val inflow = edges.toSeq.groupBy(_._2).map { case (v, es) =>
+        v -> es.map(e => x(e._1) / 32).sum }
+      x = nations.map(v => v -> (1000000L + inflow.getOrElse(v, 0L))).toMap
+    }
+    val rows = operators.Graph.katz(spark, sf).collect()
+    assert(rows.length == nations.length)
+    rows.foreach(r => assert(r.getLong(1) == x(r.getLong(0)), s"katz drift: $r"))
+    // attenuated walk counting must rank SOME nation above the 1e6 base
+    assert(rows.map(_.getLong(1)).max > 1000000L)
+    assert(rows.map(_.getLong(1)).distinct.length > 1, "uniform katz vector")
+  }
+
   test("harmonic centrality equals a driver-side BFS replay over the trade edges") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")

@@ -1048,6 +1048,35 @@ class RelationalSpec extends AnyFunSuite {
     assert(q22.values.sum > 0, "q22 vacuous at this SF")
   }
 
+  test("kruskal-wallis H equals a driver-side doubled-rank replay") {
+    val spend = Tables.orders(spark, sf)
+      .groupBy(col("o_custkey"))
+      .agg(sum(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)")).cast("long").as("cents"))
+      .join(Tables.customer(spark, sf).select(col("c_custkey"), col("c_mktsegment")),
+        col("o_custkey") === col("c_custkey"))
+      .select("cents", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // doubled tie-averaged rank per distinct value: 2*start + cnt - 1
+    val byVal = spend.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val sortedVals = byVal.keys.toSeq.sorted
+    val start = sortedVals.scanLeft(1L)((acc, v) => acc + byVal(v))
+      .zip(sortedVals).map(_.swap).toMap
+    val dr = sortedVals.map(v => v -> (2 * start(v) + byVal(v) - 1)).toMap
+    val groups = spend.groupBy(_._2).view.mapValues { xs =>
+      (xs.length.toLong, xs.map(t => BigInt(dr(t._1))).sum)
+    }.toMap
+    val n = BigInt(spend.length)
+    val a2 = groups.values.map { case (ng, s2) => s2 * s2 / ng }.sum
+    val want = (BigInt(3000000) * a2 / (n * (n + 1)) - 3 * (n + 1) * 1000000).toLong
+    val row = operators.Relational.qKruskal(spark, sf).collect().head
+    assert(row.getLong(0) == spend.length.toLong)
+    assert(row.getLong(1) == groups.size.toLong)
+    assert(row.getLong(2) == want, s"H drift: got ${row.getLong(2)} want $want")
+    // segments genuinely differ in this catalog at most SFs only mildly;
+    // the statistic must at least be finite and above the floor slack
+    assert(row.getLong(2) > -groups.size.toLong, "H impossibly negative")
+  }
+
   test("pareto coverage: k is the minimal spend-ranked prefix reaching each threshold") {
     val spend = Tables.orders(SparkTestSession.spark, SparkTestSession.sf)
       .groupBy(col("o_custkey"))

@@ -1315,4 +1315,87 @@ class TemporalSpec extends AnyFunSuite {
     assert(rows("mod2")._4 == 0, "healthy split flagged — corpus parity broken")
     assert(rows("mod5")._4 == 1, "broken split not flagged — check imbalance")
   }
+
+  test("granger lagged regression equals a BigInt normal-equation replay") {
+    val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .selectExpr("ts_us div 86400000000 AS day", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val d0 = ev.map(_._1).min; val d1 = ev.map(_._1).max
+    val f = (d0 to d1).map { d =>
+      val rows = ev.filter(_._1 == d)
+      (d, rows.count(_._2 == "click").toLong, rows.count(_._2 == "purchase").toLong)
+    }
+    val byDay = f.map(t => t._1 -> t).toMap
+    val lagged = f.filter(t => byDay.contains(t._1 - 1)).map { t =>
+      val p = byDay(t._1 - 1); (t._3, p._3, p._2) // (y, u = y_prev, v = x_prev)
+    }
+    val n = BigInt(lagged.length)
+    def S(g: ((Long, Long, Long)) => BigInt) = lagged.map(g).sum
+    val (su, sv, sy) = (S(t => BigInt(t._2)), S(t => BigInt(t._3)), S(t => BigInt(t._1)))
+    val suu = S(t => BigInt(t._2) * t._2); val suv = S(t => BigInt(t._2) * t._3)
+    val suy = S(t => BigInt(t._2) * t._1); val svv = S(t => BigInt(t._3) * t._3)
+    val svy = S(t => BigInt(t._3) * t._1); val syy = S(t => BigInt(t._1) * t._1)
+    val cuu = n * suu - su * su; val cuv = n * suv - su * sv
+    val cuy = n * suy - su * sy; val cvv = n * svv - sv * sv
+    val cvy = n * svy - sv * sy; val cyy = n * syy - sy * sy
+    def carry(a: BigInt, b: BigInt): Long =
+      ((a / b) * 1000000 + (a % b) * 1000000 / b).toLong
+    val (ar, br) = (cuy * cuy, cuu * cyy)
+    val det = cuu * cvv - cuv * cuv
+    val nf = (cuy * cvv - cvy * cuv) * cuy + (cuu * cvy - cuv * cuy) * cvy
+    val df = det * cyy
+    val wantR = if (br > 0) carry(ar, br) else 0L
+    val wantF = if (df > 0) carry(nf, df) else 0L
+    val row = Temporal.qGranger(spark, sf).collect().head
+    assert(row.getLong(0) == lagged.length.toLong)
+    assert(row.getLong(1) == wantR && row.getLong(2) == wantF,
+      s"granger drift: got (${row.getLong(1)}, ${row.getLong(2)}) want ($wantR, $wantF)")
+    assert(row.getLong(3) == wantF - wantR)
+    // the full model must explain at least as much (floor slack <= 1 ppm)
+    assert(wantF >= wantR - 1)
+  }
+
+  test("earth mover's distance equals a BigInt CDF-gap replay and is metric-sane") {
+    val vals = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .selectExpr("event_type", "CAST(floor(value / 10) AS BIGINT) AS bin")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val bins = vals.map(_._2).distinct.sorted
+    val na = BigInt(vals.count(_._1 == "click"))
+    val nb = BigInt(vals.count(_._1 == "purchase"))
+    var (ca, cb) = (BigInt(0), BigInt(0))
+    var num = BigInt(0)
+    bins.foreach { b =>
+      ca += vals.count(t => t._1 == "click" && t._2 == b)
+      cb += vals.count(t => t._1 == "purchase" && t._2 == b)
+      num += (ca * nb - cb * na).abs
+    }
+    val den = na * nb
+    val want = ((num / den) * 1000000 + (num % den) * 1000000 / den).toLong
+    val row = Temporal.qEmd(spark, sf).collect().head
+    assert(row.getLong(0) == na.toLong && row.getLong(1) == nb.toLong)
+    assert(row.getLong(2) == bins.length.toLong)
+    assert(row.getLong(3) == want, s"emd drift: got ${row.getLong(3)} want $want")
+    // identical distributions would give 0; these two genuinely differ
+    assert(want >= 0)
+  }
+
+  test("audience overlap equals a driver-side set replay") {
+    val ev = Tables.events(spark, sf)
+      .filter(col("event_type").isin("click", "view", "purchase"))
+      .select("user_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def users(t: String) = ev.filter(_._2 == t).map(_._1).toSet
+    val (c, v, p) = (users("click"), users("view"), users("purchase"))
+    val want = Map(
+      ("click", "view") -> (c & v, c | v),
+      ("click", "purchase") -> (c & p, c | p),
+      ("view", "purchase") -> (v & p, v | p))
+    Temporal.qAudienceOverlap(spark, sf).collect().foreach { r =>
+      val (i, u) = want((r.getString(0), r.getString(1)))
+      assert(r.getLong(2) == i.size.toLong && r.getLong(3) == u.size.toLong,
+        s"overlap drift at ${r.getString(0)}/${r.getString(1)}")
+      assert(r.getLong(4) == i.size.toLong * 1000000 / u.size, "jaccard drift")
+    }
+  }
 }
