@@ -172,6 +172,7 @@ object SparkEntry {
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
     "q_approx_distinct_kmv" -> ((s, d) => Relational.qApproxDistinctKmv(s, d)),
     "q_bitmap_distinct" -> ((s, d) => Relational.qBitmapDistinct(s, d)),
+    "q_vwap"            -> ((s, d) => Relational.qVwap(s, d)),
     "q_bitmap_distinct_roaring" -> ((s, d) => Relational.qBitmapDistinctRoaring(s, d)),
     "q_pivot"        -> ((s, d) => Relational.qPivot(s, d)),
     "q_cube"         -> ((s, d) => Relational.qCube(s, d)),
@@ -399,6 +400,7 @@ object SparkEntry {
     "pipe_near_dup_rate_by_source" -> ((s, d) => Pipeline.pipeNearDupRateBySource(s, d)),
     "pipe_cluster_reps"   -> ((s, d) => Pipeline.pipeClusterReps(s, d)),
     "pipe_length_curve"   -> ((s, d) => Pipeline.pipeLengthCurve(s, d)),
+    "pipe_dedup_bytes_saved" -> ((s, d) => Pipeline.pipeDedupBytesSaved(s, d)),
     "pipe_dedup_threshold_curve" -> ((s, d) => Pipeline.pipeDedupThresholdCurve(s, d)),
     "pipe_dedup_rate_by_source" -> ((s, d) => Pipeline.pipeDedupRateBySource(s, d)),
     "mm_decode_mulaw"     -> ((s, d) => Pipeline.mmDecodeMulaw(s, d)),
@@ -1519,6 +1521,15 @@ object SparkEntry {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
     // q_approx_distinct intentionally omitted: HLL estimate (rows-only check).
+
+    "q_vwap" ->
+      """SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT) AS ym,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
+        |  (CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) * 100)
+        |    // CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS vwap_cents_x100
+        |FROM lineitem GROUP BY ym ORDER BY ym""".stripMargin,
 
     "q_bitmap_distinct" ->
       """SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS ym,

@@ -1507,6 +1507,28 @@ object Pipeline {
     perTau.join(docsPerTau, Seq("tau_x1e6")).orderBy(col("tau_x1e6"))
   }
 
+  /** Near-dup storage savings per source — the BYTES a keep-one-per-
+    * cluster pass would reclaim, charged to the dropped doc's source
+    * (the capacity-planning readout next to the count-based rates):
+    * reads the shared cluster table, joins doc sizes for cluster
+    * members only, two rollups.
+    */
+  def pipeDedupBytesSaved(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("cluster_id"))
+    Dedup.memoClusters(s, d)
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .join(Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars")),
+        Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_chars")).cast("long").as("bytes_total"),
+        sum(when(col("rep") =!= col("doc_id"), col("n_chars")).otherwise(0L))
+          .cast("long").as("bytes_saved"),
+        sum(when(col("rep") =!= col("doc_id"), 1L).otherwise(0L))
+          .cast("long").as("docs_dropped"))
+      .withColumn("saved_ppm", expr("(bytes_saved * 1000000) div bytes_total"))
+      .orderBy(col("source"))
+  }
+
   /** Exact-duplicate rate per source — "which ingest feed is most
     * duplicated", the triage readout that decides where dedup budget
     * goes: per source, docs, docs in multi-doc fingerprint clusters,
@@ -2206,6 +2228,23 @@ object Pipeline {
          |  (tokens_kept * 1000000) // t.n_tokens AS tokens_ppm
          |FROM k CROSS JOIN t ORDER BY min_tok""".stripMargin
     },
+
+    "pipe_dedup_bytes_saved" ->
+      s"""$clusterCtes,
+         |cs AS (
+         |  SELECT doc_id, cluster_id,
+         |    min(doc_id) OVER (PARTITION BY cluster_id) AS rep
+         |  FROM lab)
+         |SELECT d.source,
+         |  CAST(sum(d.n_chars) AS BIGINT) AS bytes_total,
+         |  CAST(sum(CASE WHEN rep <> cs.doc_id THEN d.n_chars ELSE 0 END) AS BIGINT)
+         |    AS bytes_saved,
+         |  CAST(sum(CASE WHEN rep <> cs.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_dropped,
+         |  (CAST(sum(CASE WHEN rep <> cs.doc_id THEN d.n_chars ELSE 0 END) AS BIGINT)
+         |   * 1000000) // CAST(sum(d.n_chars) AS BIGINT) AS saved_ppm
+         |FROM cs JOIN documents d ON cs.doc_id = d.doc_id
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     "pipe_near_dup_rate_by_source" ->
       s"""$clusterCtes,

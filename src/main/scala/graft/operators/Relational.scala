@@ -454,6 +454,25 @@ object Relational {
       .orderBy(col("check_digit"))
   }
 
+  /** Monthly volume-weighted average unit price (VWAP) — the price
+    * index a demand dashboard tracks: Σ extendedprice / Σ quantity per
+    * ship month, folded as exact cents and integral quantities, the
+    * ratio ×100 as one floor division (extendedprice is already the
+    * quantity-scaled line total, so this IS the qty-weighted unit
+    * price). One pruned two-column scan, month-domain output.
+    */
+  def qVwap(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(expr("CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)").as("ym"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("cents"),
+        col("l_quantity").cast("long").as("qty"))
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("qty")).cast("long").as("sum_qty"),
+        sum(col("cents")).cast("long").as("sum_cents"))
+      .withColumn("vwap_cents_x100", expr("(sum_cents * 100) div sum_qty"))
+      .orderBy(col("ym"))
+
   /** Hierarchical ROLLUP aggregate (null group keys coalesced to 'ALL'). */
   def qRollup(spark: SparkSession, dir: String): DataFrame = {
     Tables.lineitem(spark, dir)
