@@ -181,13 +181,16 @@ object Graph {
 
     var dist = nations.select(col("nk"),
       when(col("nk") === 0, lit(0L)).as("d"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val relaxed = edges.join(broadcast(dist), col("src") === col("nk"))
         .filter(col("d").isNotNull)
         .groupBy(col("dst")).agg(min(col("d") + col("c")).as("via"))
       dist = dist.join(relaxed, col("nk") === col("dst"), "left")
         .select(col("nk"), least(col("d"), col("via")).as("d"))
-        .localCheckpoint(eager = false)
+      // same every-3rd-round checkpoint cadence as apspDist: dist is
+      // read twice per round (broadcast + left join), so bound the plan
+      // at 2^3 copies instead of paying a checkpoint job per round
+      if (i % 3 == 0 && i < iters) dist = dist.localCheckpoint(eager = false)
     }
     dist.select(col("nk").as("nationkey"), col("d").as("cost_x1e6_inv"))
       .orderBy(col("nationkey"))
@@ -235,7 +238,6 @@ object Graph {
         .join(comp.select(col("v").as("vb"), col("c").as("cb")), col("b") === col("vb"))
         .filter(col("ca") =!= col("cb"))
         .select(col("a"), col("b"), col("w"), col("ca"), col("cb"))
-        .localCheckpoint(eager = false)
       // each component's minimum outgoing edge by (w, a, b); a pick can
       // be shared by both its endpoints' components — distinct dedups
       val wPick = org.apache.spark.sql.expressions.Window
@@ -257,13 +259,18 @@ object Graph {
       val csym = cedges.unionByName(cedges.select(col("y").as("x"), col("x").as("y")))
         .localCheckpoint(eager = false)
       var lbl = comp.select(col("c")).distinct().select(col("c"), col("c").as("l"))
-      for (_ <- 1 to labelRounds) {
+      for (i <- 1 to labelRounds) {
         val msgs = csym.join(lbl.select(col("c").as("cy"), col("l").as("ly")),
             col("y") === col("cy"))
           .groupBy(col("x")).agg(min(col("ly")).as("ml"))
         lbl = lbl.join(msgs, col("c") === col("x"), "left")
           .select(col("c"), least(col("l"), coalesce(col("ml"), col("l"))).as("l"))
-          .localCheckpoint(eager = false)
+        // lbl is read twice per label round: checkpoint every SECOND
+        // round — plan stays ≤ 4 copies of the csym leaf while the
+        // round-job count halves (VERDICT r9 #2; measured r10: zero
+        // checkpoints re-spends the saved scheduler time recomputing
+        // the 2^5-duplicated shuffle subplans)
+        if (i % 2 == 0 && i < labelRounds) lbl = lbl.localCheckpoint(eager = false)
       }
       comp = comp.join(lbl.select(col("c"), col("l")), Seq("c"))
         .select(col("v"), col("l").as("c"))
@@ -317,6 +324,11 @@ object Graph {
         .select(col("src"), col("edst").as("v"), (col("dist") + 1).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy(col("src"), col("v")).agg(min(col("dist")).as("dist"))
+        // dist is read twice next round (join + union) AND each round
+        // ends in a shuffle: skipping checkpoints duplicates the
+        // exchange subtrees faster than AQE can reuse them (measured
+        // r10: every-3rd-round cadence made q_graph_diameter 1.7x
+        // SLOWER) — per-round stays
         .localCheckpoint(eager = false)
     }
     dist
@@ -1018,17 +1030,19 @@ object Graph {
     // one normalized half-step: raw(v) = Σ score(u)·w over `from`→`to`,
     // then ⌊raw·SCALE/max(raw)⌋ onto the full nation vector
     def halfStep(score: DataFrame, from: String, to: String): DataFrame = {
-      // raw feeds BOTH the L∞ max and the normalization join — lazily
-      // checkpoint the N-row aggregate so the score-vector lineage stays
-      // LINEAR across rounds (without this each half-step doubles the
-      // plan: 2^6 subtree copies after 3 rounds)
+      // the L∞ max rides an N-row window over the raw aggregate (the
+      // nation-count score vector — bounded domain), so raw has ONE
+      // consumer and the score lineage stays LINEAR with no per-half-
+      // step checkpoint or mx-broadcast job: VERDICT r9 #2 measured the
+      // unrolled family paying ~35 ms scheduler latency per round job
+      // (q_hits 58 jobs); fusing the 6 checkpoints + 6 scalar
+      // broadcasts into the plan halves that
       val raw = edges.join(broadcast(score), col(from) === col("nk"))
         .select(col(to).as("t"), expr("CAST(s AS DECIMAL(38,0)) * w").as("c"))
         .groupBy(col("t")).agg(sum(col("c")).as("raw"))
-        .localCheckpoint(eager = false)
-      val mx = raw.agg(max(col("raw")).as("mx"))
+        .withColumn("mx", max(col("raw")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()))
       nations.join(raw, col("nk") === col("t"), "left")
-        .crossJoin(broadcast(mx))
         .select(col("nk"),
           // divisor stays DECIMAL(38,0) (ADVICE r6: a BIGINT cast of mx
           // silently NULLs past int64 inflow ~sf50); the quotient is

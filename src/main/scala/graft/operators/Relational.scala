@@ -1288,6 +1288,9 @@ object Relational {
     val tot = rev.groupBy(col("nationkey"))
       .agg(sum(col("rev")).as("trev"), count(lit(1)).as("n_supp"))
     rev.join(broadcast(tot), "nationkey")
+      // overflow-bound: rev <= trev so rev*1e4 <= trev*1e4 < 1e24 at
+      // 1e20 corpus cents — inside DECIMAL(38); bp <= 1e4 so each bp*bp
+      // <= 1e8 and sum(bp*bp) <= (sum bp)^2 = 1e8, LONG-safe.
       .withColumn("bp", expr("CAST((CAST(rev AS DECIMAL(38,0)) * 10000) div trev AS BIGINT)"))
       .groupBy(col("nationkey"), col("n_supp"))
       .agg(sum(expr("bp * bp")).cast("long").as("hhi_x1e8"))
@@ -1566,26 +1569,25 @@ object Relational {
     * inventory-analytics classic: parts ranked by total revenue desc,
     * class A while the RUNNING share is < 70% of total, B to 90%,
     * else C; per class the part count, revenue, exact share ×10⁶ and
-    * rank span. The ordered cumulative window runs over the PART
-    * domain (dimension-scale; at 100 TB the running sum
-    * range-partitions like every ordered prefix sum here — q_ks_test
-    * discipline). Boundary rule pinned: a part is classed by the
-    * share BEFORE it, so the part that crosses 70% is still A — both
-    * engines replay the identical rule.
+    * rank span. The rank/cumsum over the PART domain (grows with SF —
+    * ~2·10⁸ parts at TPC-H sf1000) runs as [[rankedCum]]'s two-phase
+    * range-partitioned prefix sum, NOT a bare single-partition window
+    * (VERDICT r9 #1 — the q_kruskal migration applied here); the total
+    * is a 1-row broadcast. Boundary rule pinned: a part is classed by
+    * the share BEFORE it, so the part that crosses 70% is still A —
+    * both engines replay the identical rule.
     */
   def qAbcAnalysis(spark: SparkSession, dir: String): DataFrame = {
     val rev = Tables.lineitem(spark, dir)
       .groupBy(col("l_partkey"))
       .agg(sum(expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)"))
         .cast("long").as("cents"))
-    val wOrd = Window.orderBy(col("cents").desc, col("l_partkey"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wAll = Window.partitionBy()
-    val classed = rev
-      .withColumn("rk", row_number().over(
-        Window.orderBy(col("cents").desc, col("l_partkey"))).cast("long"))
-      .withColumn("before", coalesce(sum(col("cents")).over(wOrd), lit(0L)))
-      .withColumn("total", sum(col("cents")).over(wAll))
+    val tot = rev.agg(sum(col("cents")).cast("long").as("total"))
+    val classed = rankedCum(rev,
+        Seq(col("cents").desc, col("l_partkey")), col("cents"))
+      .withColumnRenamed("rn", "rk")
+      .withColumn("before", col("cum") - col("cents"))
+      .crossJoin(broadcast(tot))
       // ×100 / ×1e6 products of corpus-total cents overflow int64 past
       // ~sf1 — stage through DECIMAL(38,0) like every corpus-sum multiply
       .withColumn("abc_class",
@@ -2233,24 +2235,39 @@ object Relational {
     * AQE partition coalescing merges ADJACENT ranges, preserving the
     * pid-order invariant. Emits `rn` (BIGINT, 1-based) and `cum`.
     */
-  private def rankedCum(df: DataFrame, order: Seq[Column], value: Column): DataFrame = {
+  private def rankedCum(df: DataFrame, order: Seq[Column], value: Column): DataFrame =
+    rankedCumN(df, order, Seq("v" -> value)).withColumnRenamed("cum_v", "cum")
+
+  /** [[rankedCum]] generalized to N running sums in the same pass —
+    * multi-series cumulative scans (KS's two ECDFs, Mann–Whitney's
+    * tie-rank counter) pay ONE range shuffle, not one per series.
+    * Emits `rn` plus one `cum_<name>` per (name, value) pair.
+    */
+  private[graft] def rankedCumN(df: DataFrame, order: Seq[Column],
+      values: Seq[(String, Column)]): DataFrame = {
     val parted = df.repartitionByRange(order: _*)
       .withColumn("pid", spark_partition_id())
     val wLoc = Window.partitionBy(col("pid")).orderBy(order: _*)
-    val local = parted
-      .withColumn("lrn", row_number().over(wLoc).cast("long"))
-      .withColumn("lcum",
-        sum(value).over(wLoc.rowsBetween(Window.unboundedPreceding, 0)))
+    val wRun = wLoc.rowsBetween(Window.unboundedPreceding, 0)
+    val local = values.foldLeft(
+        parted.withColumn("lrn", row_number().over(wLoc).cast("long"))) {
+      case (acc, (nm, v)) => acc.withColumn(s"lcum_$nm", sum(v).over(wRun))
+    }
     val wPid = Window.orderBy(col("pid")).rowsBetween(Window.unboundedPreceding, -1)
+    val aggs = count(lit(1)).as("pn") +:
+      values.map { case (nm, v) => sum(v).cast("long").as(s"psum_$nm") }
     val offs = local.groupBy(col("pid"))
-      .agg(count(lit(1)).as("pn"), sum(value).cast("long").as("psum"))
-      .select(col("pid"),
-        coalesce(sum(col("pn")).over(wPid), lit(0L)).as("prior_n"),
-        coalesce(sum(col("psum")).over(wPid), lit(0L)).as("prior_sum"))
-    local.join(broadcast(offs), Seq("pid"))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("pid") +:
+        coalesce(sum(col("pn")).over(wPid), lit(0L)).as("prior_n") +:
+        values.map { case (nm, _) =>
+          coalesce(sum(col(s"psum_$nm")).over(wPid), lit(0L)).as(s"prior_$nm") }: _*)
+    val joined = local.join(broadcast(offs), Seq("pid"))
       .withColumn("rn", col("lrn") + col("prior_n"))
-      .withColumn("cum", col("lcum") + col("prior_sum"))
-      .drop("pid", "lrn", "lcum", "prior_n", "prior_sum")
+    values.foldLeft(joined) { case (acc, (nm, _)) =>
+      acc.withColumn(s"cum_$nm", col(s"lcum_$nm") + col(s"prior_$nm"))
+    }.drop("pid" +: "lrn" +: "prior_n" +: values.flatMap { case (nm, _) =>
+      Seq(s"lcum_$nm", s"prior_$nm") }: _*)
   }
 
   /** Revenue concentration in the top 1% / 5% / 10% of customers — the
@@ -2334,6 +2351,9 @@ object Relational {
       .agg(min(col("rn")).as("k_users"))
     k.join(ranked, col("rn") === col("k_users"))
       .select(col("pct"), col("n_users"), col("total_cents"), col("k_users"),
+        // overflow-bound: k_users <= n_users so k_users*1e4 stays LONG
+        // for n_users < 9.2e14; cum_cents*1e4 <= total_cents*1e4 < 1e24
+        // at 1e20 corpus cents — inside DECIMAL(38).
         expr("(k_users * 10000) div n_users").as("k_pop_x1e4"),
         col("cum_cents"),
         expr("CAST(CAST(cum_cents AS DECIMAL(38,0)) * 10000 div total_cents AS BIGINT)")

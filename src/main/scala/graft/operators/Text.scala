@@ -32,10 +32,14 @@ object Text {
     val tk = rawTokens(col("text"))
     val spans = Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"),
-        transform(
+        // dedupe AFTER hashing (array_distinct over fingerprints), matching
+        // the oracle's list_distinct placement: two distinct shingle strings
+        // colliding under polyHash mod 1e9+7 must count ONCE in both
+        // engines, or n_grams diverges at corpus scale (ADVICE r9)
+        array_distinct(transform(
           graft.functions.TextExpressionFunctions
             .wordShingles(array_join(tk, " "), k),
-          sh => fingerprint(sh)).as("hs"))
+          sh => fingerprint(sh))).as("hs"))
       .select(col("doc_id"), size(col("hs")).cast("long").as("n_grams"), col("hs"))
       .localCheckpoint() // the explode AND the doc-grain rollup read it
     val ex = spans.select(col("doc_id"), explode(col("hs")).as("h"))
@@ -300,8 +304,11 @@ object Text {
     * term frequency with a deterministic (ctf desc, term asc) order;
     * each row carries the Zipf invariant rank·ctf and the exact ×10⁶
     * corpus share. The scan aggregates to vocabulary size immediately
-    * (term-level partial aggs), the ranking window runs over the
-    * VOCABULARY (≪ corpus, broadcastable), never the token stream.
+    * (term-level partial aggs); the vocabulary RANK — a domain that
+    * grows with the corpus under Heaps' law — runs as
+    * [[graft.operators.Relational.rankedCumN]]'s range-partitioned
+    * two-phase prefix sum, never a single-partition window over the
+    * full vocab (r10: the same migration as q_abc_analysis).
     */
   def zipf(s: SparkSession, d: String): DataFrame = {
     val tf = Tables.fanOut(Tables.documents(s, d))
@@ -309,10 +316,10 @@ object Text {
       .groupBy(col("term")).agg(count(lit(1)).as("ctf"))
       .localCheckpoint(false)
     val tot = tf.agg(sum(col("ctf")).as("n_tokens"))
-    tf.crossJoin(broadcast(tot))
-      .withColumn("rank",
-        row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy(col("ctf").desc, col("term"))).cast("long"))
+    graft.operators.Relational
+      .rankedCumN(tf, Seq(col("ctf").desc, col("term")), Seq("c" -> col("ctf")))
+      .withColumnRenamed("rn", "rank")
+      .crossJoin(broadcast(tot))
       .select(col("rank"), col("term"), col("ctf"),
         expr("rank * ctf").as("rank_x_ctf"),
         expr("ctf * 1000000 div n_tokens").as("share_x1e6"))

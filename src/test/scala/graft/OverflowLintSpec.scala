@@ -37,37 +37,39 @@ class OverflowLintSpec extends AnyFunSuite {
     t.startsWith("*") || t.startsWith("//") || t.startsWith("/*")
   }
 
-  /** Sites: 2-line windows of non-comment code containing a
-    * DECIMAL(38-staged multi-factor product and a `div`, i.e. at least
-    * two `*` multiplications in the same window as the staging cast and
-    * the division. Returns (lineIdx, window) pairs, 0-based.
+  /** Sites: up-to-4-line windows of consecutive non-comment code
+    * containing a DECIMAL(38-staged multi-factor product and a `div`,
+    * i.e. at least two `*` multiplications in the same window as the
+    * staging cast and the division. 4 lines (ADVICE r9: 2 missed a div
+    * landing two lines below the multiplication in a wrapped expr
+    * string). Returns (lineIdx, window) pairs, 0-based.
     */
-  private[graft] def sites(lines: Vector[String]): Seq[(Int, String)] =
-    lines.indices.flatMap { i =>
-      if (isComment(lines(i))) None
-      else {
-        val next = if (i + 1 < lines.length && !isComment(lines(i + 1))) lines(i + 1) else ""
-        val w = lines(i) + " " + next
-        val stars = w.count(_ == '*')
-        val hit = w.contains("DECIMAL(38") && stars >= 2 &&
-          "\\bdiv\\b".r.findFirstIn(w).isDefined
-        // only charge the FIRST line of a window so a 3-line chain
-        // doesn't report twice
-        val prevHit = i > 0 && !isComment(lines(i - 1)) && {
-          val pw = lines(i - 1) + " " + lines(i)
-          pw.contains("DECIMAL(38") && pw.count(_ == '*') >= 2 &&
-            "\\bdiv\\b".r.findFirstIn(pw).isDefined
-        }
-        if (hit && !prevHit) Some(i -> w.trim.take(120)) else None
-      }
+  private[graft] def sites(lines: Vector[String]): Seq[(Int, String)] = {
+    def window(i: Int): String =
+      (i until math.min(i + 4, lines.length))
+        .map(lines(_)).takeWhile(!isComment(_)).mkString(" ")
+    def hitAt(i: Int): Boolean = !isComment(lines(i)) && {
+      val w = window(i)
+      w.contains("DECIMAL(38") && w.count(_ == '*') >= 2 &&
+        "\\bdiv\\b".r.findFirstIn(w).isDefined
     }
+    lines.indices.flatMap { i =>
+      // only charge the FIRST line of an overlapping chain so a wrapped
+      // expression doesn't report once per line it spans
+      val prevHit = (math.max(0, i - 3) until i).exists(hitAt)
+      if (hitAt(i) && !prevHit) Some(i -> window(i).trim.take(120)) else None
+    }
+  }
 
   /** A site is justified iff `overflow-bound:` appears within the 14
-    * lines above it (usually inside the expression's scaladoc/comment).
+    * lines above it (usually the expression's scaladoc/comment) or the
+    * 6 lines below its first line — a wrapped expr chain often carries
+    * the bound comment mid-expression, after the first flagged line.
     */
   private[graft] def violations(lines: Vector[String]): Seq[(Int, String)] =
     sites(lines).filterNot { case (i, _) =>
-      lines.slice(math.max(0, i - 14), i + 1).exists(_.contains("overflow-bound:"))
+      lines.slice(math.max(0, i - 14), math.min(lines.length, i + 7))
+        .exists(_.contains("overflow-bound:"))
     }
 
   test("every DECIMAL(38,0) product-div site carries an overflow-bound justification") {
@@ -91,12 +93,18 @@ class OverflowLintSpec extends AnyFunSuite {
       "  .withColumn(\"x\",",
       "    expr(\"CAST(a AS DECIMAL(38,0)) * b * 1000000 div c\"))")
     assert(violations(ok).isEmpty, "a justified site must pass")
-    // staged rewrite has only single-factor products per div — no site
+    // the staged rewrite still star-counts as a site — intended: its
+    // bound comment documents why each factor stays small (the r8 fixes
+    // all carry one). Direct assertion, not the r9 tautology (ADVICE r9).
     val staged = Vector(
       "    expr(\"(CAST(a AS DECIMAL(38,0)) div b) * 1000000 + ((a % b) * 1000000) div b\")")
-    assert(sites(staged).nonEmpty || staged.head.count(_ == '*') >= 2,
-      "sanity: the staged form still contains stars") // staged forms DO get flagged
-    // ...which is intended: the bound comment documents why each factor
-    // stays small; the r8 fixes all carry one.
+    assert(sites(staged).nonEmpty, "the staged form must still be a site")
+    // a div landing two lines below the multiplication (wrapped expr
+    // string) is now inside the 4-line window — the r9 escape hatch
+    val gap = Vector(
+      "    expr(\"\"\"CAST(a AS DECIMAL(38,0)) * b * 1000000",
+      "      + carry",
+      "      div c\"\"\")")
+    assert(violations(gap).nonEmpty, "a 3-line-wrapped product-div must be flagged")
   }
 }

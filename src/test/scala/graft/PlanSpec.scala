@@ -200,6 +200,73 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("suite-wide: no single-partition window over a corpus-growing domain") {
+    // VERDICT r9 #1: the empty-partitionSpec ban, widened from the
+    // 2-query whitelist above to ALL registry plans. A Window.orderBy
+    // with no partitionBy funnels its whole input through ONE task —
+    // fine iff the input domain is BOUNDED (does not grow with corpus
+    // size). Every query below is on the explicit allowlist because its
+    // single-partition window runs over such a domain; everything else
+    // must rank/cumsum via rankedCum's range-partitioned prefix sum
+    // (whose own offset window — input = one row per range partition,
+    // carrying the `pn` count column — is the one shape always allowed).
+    // Structurally exempt shapes, detected from the plan itself:
+    //  (a) rankedCum's offset window — input is one row per range
+    //      partition (carries `pn` / `psum_*` columns);
+    //  (b) a window whose child subtree contains a limit (TakeOrdered /
+    //      GlobalLimit / CollectLimit / LocalLimit): the ES-page family
+    //      (ms_*), txt_bigram_lm's top-20-ctx rank, pipe_interleave's
+    //      k-row position window — Catalyst's LimitPushDownThroughWindow
+    //      already bounded the input to a page.
+    // Everything else must be on the explicit bounded-DOMAIN allowlist.
+    val bounded = Map(
+      // day/month/time grids — cardinality grows with calendar time,
+      // not with corpus bytes (~2.5k rows even at 100 TB over 7 years)
+      "ms_pipeline_aggs" -> "day grid", "ms_rollover_plan" -> "day grid",
+      "q_adoption" -> "month grid", "q_anomaly_dow" -> "day grid",
+      "q_backlog" -> "day grid", "q_bollinger" -> "day grid",
+      "q_changepoint" -> "day grid", "q_cumulative_uniques" -> "day grid",
+      "q_cusum" -> "day grid", "q_dau_mau" -> "day grid",
+      "q_error_budget" -> "day grid", "q_rolling_corr" -> "day grid",
+      "q_rolling_median" -> "day grid", "q_runs_test" -> "day grid",
+      "q_spearman" -> "day grid", "q_survival" -> "tenure-day grid",
+      // fixed categorical domains
+      "ms_nested_aggs" -> "source domain", "ms_terms_error" -> "source domain",
+      "pipe_curriculum" -> "stage domain (4)", "pipe_oversample" -> "lang domain",
+      "q_benford" -> "9 leading digits", "q_bootstrap" -> "B=200 replicates",
+      "q_emd" -> "value bins", "q_rank_shift" -> "brand domain (25)",
+      "q_t_closeness" -> "source x size-bucket grid",
+      // two-phase skyline: the global pass runs on the per-block local
+      // skylines' union — O(blocks x skyline size), not part-scale
+      "q_skyline" -> "local-skyline survivor set",
+      // HITS' L-inf normalization window runs over the N-row nation
+      // score vector (fixed graph cardinality, never fact-scale)
+      "q_hits" -> "nation-N score vector")
+    def limited(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
+      flatten(p).exists {
+        case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+        case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+        case _: org.apache.spark.sql.execution.LocalLimitExec => true
+        case _: org.apache.spark.sql.execution.CollectLimitExec => true
+        case _ => false
+      }
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
+      case (name, fn) if !bounded.contains(name) =>
+        val plans = flatten(fn(spark, sf).queryExecution.executedPlan)
+        val bad = plans.exists {
+          case w: org.apache.spark.sql.execution.window.WindowExec =>
+            w.partitionSpec.isEmpty &&
+              !w.child.output.exists(a => a.name == "pn" || a.name.startsWith("psum_")) &&
+              !limited(w.child)
+          case _ => false
+        }
+        name -> bad
+    }.collect { case (name, true) => name }
+    assert(offenders.isEmpty,
+      s"single-partition windows outside the bounded-domain allowlist " +
+        s"(${offenders.length}): ${offenders.mkString(", ")}")
+  }
+
   test("composite agg: the after-key predicate reaches the parquet scan") {
     // the WHOLE point of after-key pagination is that the page
     // predicate is on the GROUP KEYS and prunes the SCAN — if it only

@@ -24,6 +24,43 @@ def load_spark(outdir, name):
     t = pa.concat_tables([pq.read_table(f) for f in files])
     return t
 
+def run_oracle(con, sql, budget):
+    """Run one oracle under an optional time budget.
+
+    Returns (arrow_table, skipped). The watchdog races with a healthy
+    fetch: if the budget expires in the window after fetch_arrow_table()
+    returns but before done.set() runs, the interrupt lands on the shared
+    connection and would cancel the NEXT query (ADVICE r9). Each watchdog
+    therefore sets its own `fired` flag before interrupting — an
+    interrupt exception without OUR flag is a stale leftover from a
+    previous query's watchdog and is retried, never recorded as a
+    SKIP/FAIL for this healthy oracle.
+    """
+    import threading
+    attempts = 0
+    while True:
+        attempts += 1
+        done = threading.Event()
+        fired = threading.Event()
+        if budget > 0:
+            def watchdog(ev=done, fl=fired):
+                if not ev.wait(budget):
+                    fl.set()
+                    con.interrupt()
+            threading.Thread(target=watchdog, daemon=True).start()
+        try:
+            return con.execute(sql).fetch_arrow_table(), False
+        except Exception as e:
+            msg = str(e)
+            is_int = "INTERRUPT" in msg.upper() or "interrupted" in msg.lower()
+            if is_int and fired.is_set():
+                return None, True  # genuinely past THIS query's budget
+            if is_int and attempts < 3:
+                continue  # stale interrupt from a prior watchdog: retry
+            raise
+        finally:
+            done.set()
+
 def norm(v):
     if v is None:
         return None
@@ -68,26 +105,13 @@ def main():
             # brute-force oracles would run for hours): interrupt past
             # GRAFT_ORACLE_TIMEOUT seconds and record a SKIP, not a FAIL
             budget = float(os.environ.get("GRAFT_ORACLE_TIMEOUT", "0") or 0)
-            if budget > 0:
-                import threading
-                done = threading.Event()
-
-                def watchdog():
-                    if not done.wait(budget):
-                        con.interrupt()
-                threading.Thread(target=watchdog, daemon=True).start()
-                try:
-                    duck_t = con.execute(sql).fetch_arrow_table()
-                finally:
-                    done.set()
-            else:
-                duck_t = con.execute(sql).fetch_arrow_table()
-        except Exception as e:
-            msg = str(e)
-            if "INTERRUPT" in msg.upper() or "interrupted" in msg.lower():
+            duck_t, skipped = run_oracle(con, sql, budget)
+            if skipped:
                 print(f"SKIP {name}: oracle past {budget:.0f}s budget")
                 n_skip += 1
                 continue
+        except Exception as e:
+            msg = str(e)
             print(f"FAIL {name}: oracle error {msg.splitlines()[0][:160]}")
             n_fail += 1
             continue
