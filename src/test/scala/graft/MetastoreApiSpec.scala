@@ -152,6 +152,77 @@ class MetastoreApiSpec extends AnyFunSuite {
     assert(uid(s"""{"userid":"src5","exp":"oops"}""").isEmpty)         // non-coercible ⇒ malformed
   }
 
+  // --- events-kind reference vectors, test_controllers.py:559-590 ------
+  // indexSomeEventRecords(10): record i has year 2000+i,
+  // entity = flow unless i%3==0 (else login), action = finished unless
+  // i%4==0 (else deleted), findability = published unless i%2==0 (else
+  // unlisted), ownerid = datahubid — replayed verbatim so the reference
+  // counts pin the visibility ∧ filter algebra.
+  private def eventFixture: org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    (0 until 10).map { i =>
+      (i.toLong,
+        java.time.LocalDateTime.of(2000 + i, 1, 1, 0, 0)
+          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L,
+        if (i % 3 != 0) "flow" else "login",
+        if (i % 4 != 0) "finished" else "deleted",
+        "datahubid",
+        if (i % 2 != 0) "published" else "unlisted",
+        100.0)
+    }.toDF("event_id", "ts_us", "event_entity", "event_action",
+      "ownerid", "findability", "value")
+  }
+  private def eventPage(docs: org.apache.spark.sql.DataFrame,
+                        userid: Option[String],
+                        filters: Map[String, Seq[String]] = Map.empty) = {
+    val eng = graft.search.SearchEngine.events
+    eng.sortedPage(docs, graft.search.SearchRequest(
+      userid = userid, filters = filters), "ts_us", docs.columns.toSeq)
+  }
+
+  test("events: empty index yields empty results and zero summary (test:557-558)") {
+    import org.apache.spark.sql.functions.col
+    val docs = eventFixture.filter(col("event_id") < 0)
+    assert(eventPage(docs, None).count() == 0)
+    val sm = graft.search.SearchEngine.events
+      .summary(docs, graft.search.SearchRequest()).collect()(0)
+    assert(sm.getLong(0) == 0L && sm.get(1).toString.toDouble == 0.0)
+  }
+
+  test("events: unlisted rows hidden from anon, visible with owner id (test:560-572)") {
+    val docs = eventFixture
+    assert(eventPage(docs, None).count() == 5)                   // published only
+    assert(eventPage(docs, Some("datahubid")).count() == 10)     // own unlisted too
+  }
+
+  test("events: per-dimension filter counts match the reference (test:574-590)") {
+    val docs = eventFixture
+    val own = Some("datahubid")
+    assert(eventPage(docs, own,
+      Map("findability" -> Seq("unlisted"))).count() == 5)
+    assert(eventPage(docs, own,
+      Map("event_action" -> Seq("finished"))).count() == 7)
+    assert(eventPage(docs, own,
+      Map("event_entity" -> Seq("flow"))).count() == 6)
+    assert(eventPage(docs, own,
+      Map("event_entity" -> Seq("flow"),
+          "event_action" -> Seq("finished"))).count() == 4)
+  }
+
+  test("events: fixture page sorts 2009 first desc, 2000 first asc (test:592-599)") {
+    val docs = eventFixture
+    val eng = graft.search.SearchEngine.events
+    def years(asc: Boolean) =
+      eng.sortedPage(docs, graft.search.SearchRequest(
+          userid = Some("datahubid"), sortAsc = asc), "ts_us", Seq("ts_us"))
+        .collect().map(r => java.time.LocalDateTime
+          .ofEpochSecond(r.getLong(0) / 1000000L, 0, java.time.ZoneOffset.UTC).getYear)
+    val desc = years(asc = false)
+    assert(desc.head == 2009 && desc.last == 2000)
+    val ascY = years(asc = true)
+    assert(ascY.head == 2000 && ascY.last == 2009)
+  }
+
   test("events kind sorts by timestamp desc by default (test:592-599)") {
     val r = MetastoreApi.search(spark, sf, kind = "events", userid = Some("user3"))
     val ts = r.results.select("ts_us").collect().map(_.getLong(0))
