@@ -108,12 +108,11 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         detailJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
-    val qs = results.map { case (k, (_, median, _, _, _)) => s"\"" + k + "\":" + ms(median) }
-      .mkString("{", ",", "}")
-    // headline fields LAST: the driver records a log tail, so when the
-    // line is truncated from the front the total/count still survive
-    // (JSON key order is semantically irrelevant to any parser)
-    println(s"""{"queries":$qs,"sf":"$sfDir","reps":$reps,"detail":"$detailPath","n_queries":${results.size},"metric":"total","value":${ms(total)},"unit":"sec"}""")
+    // stdout carries ONLY the summary fields (VERDICT r9 #4: the
+    // 413-entry per-query map overflowed the driver's captured log tail
+    // and left BENCH_r09.json with parsed:null) — the full per-query
+    // map lives in the detail sidecar, which cannot be truncated
+    println(s"""{"sf":"$sfDir","reps":$reps,"detail":"$detailPath","n_queries":${results.size},"metric":"total","value":${ms(total)},"unit":"sec"}""")
     spark.stop()
   }
 }

@@ -223,6 +223,7 @@ object SparkEntry {
     "dedup_embedding_ivf" -> ((s, d) => Pipeline.dedupEmbeddingIvf(s, d)),
     "dedup_cluster"       -> ((s, d) => Pipeline.dedupCluster(s, d)),
     "pipe_dedup_incremental" -> ((s, d) => Pipeline.dedupIncremental(s, d)),
+    "pipe_cluster_merge" -> ((s, d) => Pipeline.clusterMerge(s, d)),
     "ann_kmeans_step"  -> ((s, d) => Pipeline.annKmeansStep(s, d)),
     "ann_cell_purity"  -> ((s, d) => Pipeline.annCellPurity(s, d)),
     "ann_sim_hist"     -> ((s, d) => Pipeline.annSimHist(s, d)),

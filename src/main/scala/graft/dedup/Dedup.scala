@@ -558,6 +558,83 @@ object Dedup {
       .select(col("id"), coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
+  /** Incremental cluster maintenance (VERDICT r9 #6) — the operation a
+    * 100 TB curation loop actually runs between full rebuilds: the
+    * persisted cluster assignment covers the EXISTING corpus
+    * (doc_id % 10 ≠ 0, the same batch convention as
+    * [[incrementalDupsFromBands]]); the new batch's verified pairs —
+    * batch-internal plus one-sided batch→corpus bridges, so candidate
+    * volume scales with the BATCH, never the corpus — merge into it by
+    * connected components over the CONTRACTED merge graph: existing
+    * endpoints collapse to their cluster ids before any label-prop
+    * round, so the rounds touch only affected components. Contraction
+    * preserves both the partition (contracting already-connected sets
+    * preserves connectivity) and the id rule (cluster_id = min member
+    * doc_id, and min over {touched cluster ids ∪ new doc ids} = min
+    * over all member ids because each cluster id IS its members' min;
+    * batch ids ≡ 0 (mod 10) and cluster ids ≢ 0 can never collide), so
+    * merge ≡ rebuild EXACTLY — the oracle recomputes the clustering
+    * from scratch on the union and the driver hash-compares.
+    */
+  def clusterMerge(s: SparkSession, d: String, tauX1e6: Long = 500000L): DataFrame = {
+    val isNew = col("doc_id") % 10 === 0
+    val docs = graft.Tables.documents(s, d)
+    val bands = memoBands(s, d)
+    // the persisted existing-corpus assignment (memoized: at 100 TB this
+    // is the on-disk index table a pipeline maintains, not a per-query
+    // build — the warm bench rep charges it to ingest like every memo)
+    val exClusters = memo(s, d, "ex_clusters") {
+      val ex = bands.filter(col("doc_id") % 10 =!= 0)
+      val cand = graft.operators.Skew.saltedJoin(
+          ex.select(col("doc_id").as("a"), col("band"), col("key")),
+          ex.select(col("doc_id").as("b"), col("band"), col("key")),
+          Seq("band", "key"), LshSalts, col("a"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+      clustersFrom(docs.filter(!isNew),
+        verifyJaccard(cand, docs, tauX1e6).select(col("a"), col("b")))
+    }
+    // delta pairs: the union of (new,new) and one-sided (new,old)
+    // candidates is exactly the full LSH candidate set minus the
+    // already-indexed (old,old) pairs — nothing is missed, nothing
+    // corpus-scale is re-joined
+    val nb = bands.filter(isNew)
+    val eb = bands.filter(!isNew)
+    val candInt = graft.operators.Skew.saltedJoin(
+        nb.select(col("doc_id").as("a"), col("band"), col("key")),
+        nb.select(col("doc_id").as("b"), col("band"), col("key")),
+        Seq("band", "key"), LshSalts, col("a"))
+      .filter(col("a") < col("b")).select(col("a"), col("b"))
+    val candBridge = graft.operators.Skew.saltedJoin(
+        nb.select(col("doc_id").as("a"), col("band"), col("key")),
+        eb.select(col("doc_id").as("b"), col("band"), col("key")),
+        Seq("band", "key"), LshSalts, col("a"))
+      .select(col("a"), col("b"))
+    val delta = verifyJaccard(candInt.unionByName(candBridge).distinct(), docs, tauX1e6)
+      .select(col("a"), col("b"))
+    // contract: old endpoints → their cluster ids (batch-internal b's
+    // have no assignment row and stay themselves)
+    val exAssign = exClusters.select(col("doc_id").as("b"), col("cluster_id").as("cid_b"))
+    val cEdges = delta.join(exAssign, Seq("b"), "left")
+      .select(col("a"), coalesce(col("cid_b"), col("b")).as("b"))
+    val nodes = cEdges.select(col("a").as("id"))
+      .union(cEdges.select(col("b").as("id"))).distinct()
+    // batch-sized merge graph: only affected components run label rounds
+    val remap = connectedComponents(nodes, cEdges)
+      .select(col("id"), col("cluster_id").as("new_cid"))
+      .localCheckpoint(eager = false) // read by both remapping joins
+    val exFinal = exClusters.select(col("doc_id"), col("cluster_id"))
+      .join(remap.withColumnRenamed("id", "cluster_id"), Seq("cluster_id"), "left")
+      .select(col("doc_id"), coalesce(col("new_cid"), col("cluster_id")).as("cluster_id"))
+    val newFinal = docs.filter(isNew).select(col("doc_id"))
+      .join(remap.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("new_cid"), col("doc_id")).as("cluster_id"))
+    exFinal.unionByName(newFinal)
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .orderBy(col("doc_id"))
+  }
+
   /** Near-dup clusters: MinHash-LSH pairs (exact-Jaccard verified)
     * → connected components → (doc_id, cluster_id, cluster_size).
     */

@@ -55,6 +55,14 @@ object Pipeline {
     Dedup.incrementalDupsFromBands(Dedup.memoBands(s, d), Tables.documents(s, d),
       col("doc_id") % 10 === 0)
 
+  /** Incremental cluster maintenance: merge the new batch's verified
+    * pairs into the persisted existing-corpus assignment — label rounds
+    * touch only affected components; the oracle rebuilds from scratch
+    * (merge ≡ rebuild, see [[graft.dedup.Dedup.clusterMerge]]).
+    */
+  def clusterMerge(s: SparkSession, d: String): DataFrame =
+    Dedup.clusterMerge(s, d)
+
   def annCentroid(s: SparkSession, d: String): DataFrame =
     Similarity.centroids(Tables.embeddings(s, d))
 
@@ -2208,6 +2216,16 @@ object Pipeline {
     // CTE; cluster id = min reachable doc (same fixpoint the Spark
     // min-label propagation converges to)
     "dedup_cluster" ->
+      s"""$clusterCtes
+         |SELECT doc_id, cluster_id,
+         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |FROM lab ORDER BY doc_id""".stripMargin,
+
+    // the merge gate IS the scratch rebuild: the Spark side maintains the
+    // existing-corpus assignment incrementally (contracted batch-sized
+    // merge graph), the oracle reclusters the full union from zero —
+    // hash-equality proves merge ≡ rebuild
+    "pipe_cluster_merge" ->
       s"""$clusterCtes
          |SELECT doc_id, cluster_id,
          |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size

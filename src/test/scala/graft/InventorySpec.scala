@@ -59,6 +59,22 @@ class InventorySpec extends AnyFunSuite {
       s"registry key literal appears >2x across sources (silent Map override): $dups")
   }
 
+  test("SURVEY's registry-size line matches the live registry (VERDICT r9 #5)") {
+    // the r8/r9 narrative drift class (prose said 411, registry shipped
+    // 413): SURVEY carries ONE machine-readable count line that this
+    // lint pins to SparkEntry.queries.size — adding a query without
+    // updating the line fails the suite, so totals can never drift
+    val re = """Registry size: (\d+) gated queries""".r
+    re.findFirstMatchIn(survey) match {
+      case Some(m) =>
+        assert(m.group(1).toInt == SparkEntry.queries.size,
+          s"SURVEY says 'Registry size: ${m.group(1)}' but the registry has " +
+            s"${SparkEntry.queries.size} queries - update the SURVEY line")
+      case None => fail(
+        "SURVEY.md must carry a 'Registry size: N gated queries' line")
+    }
+  }
+
   test("every query is oracle-gated or on the declared rows-only list") {
     // q_approx_distinct is the one DECLARED rows-only check (HLL —
     // its hash-exact twin q_approx_distinct_hll gates); anything else

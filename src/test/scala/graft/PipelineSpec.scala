@@ -1066,6 +1066,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(shared == direct, "memoized cluster table drifted from the direct build")
   }
 
+  test("incremental cluster merge equals the scratch rebuild (pipe_cluster_merge)") {
+    // merge ≡ rebuild is the operator's correctness CONTRACT (the gate
+    // proves it vs DuckDB's recursive closure; this pins it in-JVM):
+    // contracting existing components to their cluster ids preserves
+    // both the partition and the min-doc-id labeling
+    val merged = Pipeline.clusterMerge(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val rebuilt = Pipeline.dedupCluster(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(merged.length == rebuilt.length)
+    assert(merged.sameElements(rebuilt),
+      "incremental merge diverged from the scratch rebuild")
+    // non-vacuous: the batch really attached to the existing corpus —
+    // at least one cluster mixes new (doc_id%10==0) and existing docs
+    val mixed = merged.groupBy(_._2).exists { case (_, ms) =>
+      ms.exists(_._1 % 10 == 0) && ms.exists(_._1 % 10 != 0)
+    }
+    assert(mixed, "no cross-batch cluster at this SF - the merge path was vacuous")
+  }
+
   test("dup-cluster histogram partitions the corpus and matches the cluster table") {
     val clusters = Dedup.nearDupClusters(Tables.documents(spark, sf))
       .select("cluster_id").collect().map(_.getLong(0))
