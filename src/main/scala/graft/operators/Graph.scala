@@ -501,6 +501,14 @@ object Graph {
           .sortedLongPairs(col("ps"))).as("p"))
         .select(col("p.a").as("a"), col("p.b").as("b"))
         .distinct()
+        // pin the checkpoint's partition count: AQE's size-based
+        // coalescing shrinks the distinct's exchange to ~5 partitions
+        // at sf1 (E is byte-light but every consumer is CPU-dense), and
+        // a localCheckpoint FREEZES that — downstream degree joins and
+        // intersect probes then run 5-wide on 32 cores (measured r10:
+        // q_assortativity 12 s -> the repartition restores linear).
+        // Same rationale as triCreditRows' explicit repartition.
+        .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint())
     })
 
@@ -618,6 +626,9 @@ object Graph {
     triWitnessCache.getOrElseUpdate((s, d), graft.GraftSession.pin {
       val oriented = triOriented(triEdges(s, d))
       triEdgeWitnesses(triTriples(s, oriented, triAdjacency(oriented)))
+        // T×3 rows, byte-light / CPU-dense consumers — pin the width
+        // before freezing it in the checkpoint (see triEdges)
+        .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint(eager = false)
     })
 
