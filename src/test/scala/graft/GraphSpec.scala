@@ -693,4 +693,36 @@ class GraphSpec extends AnyFunSuite {
       assert(r.getLong(5) <= prev, "not sorted by cosine desc"); prev = r.getLong(5)
     }
   }
+
+  test("shared graph tables: one instance per (session, corpus), content equals a direct rebuild") {
+    import org.apache.spark.sql.functions._
+    // identity: the memo returns THE SAME DataFrame, so every consumer
+    // reads one pinned build (the r10 memoFlows/memoWitnesses discipline)
+    val f1 = operators.Graph.memoFlows(spark, sf)
+    val f2 = operators.Graph.memoFlows(spark, sf)
+    assert(f1 eq f2, "memoFlows must return the cached instance")
+    val w1 = operators.Graph.memoWitnesses(spark, sf)
+    assert(w1 eq operators.Graph.memoWitnesses(spark, sf),
+      "memoWitnesses must return the cached instance")
+    // content parity: the shared flow matrix equals a direct rebuild of
+    // the 4-table trade join (so no consumer can drift from the schema)
+    val li = Tables.lineitem(spark, sf).select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables.orders(spark, sf).select(col("o_orderkey"), col("o_custkey"))
+    val cust = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("src"))
+    val supp = Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("dst"))
+    val direct = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val shared = f1.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(shared == direct, "memoFlows drifted from the direct 4-table build")
+    // and the witness table is consistent: every witness row's three
+    // vertices are pairwise distinct and (a < b) canonical
+    val bad = w1.filter(col("a") >= col("b") ||
+      col("wit") === col("a") || col("wit") === col("b")).count()
+    assert(bad == 0, s"$bad malformed witness rows")
+  }
 }
