@@ -112,7 +112,7 @@ def main() -> None:
                     for q in shared)
 
     lines = [
-        "# BASELINE — single-node reference derivation (round 9)", "",
+        "# BASELINE — single-node reference derivation", "",
         "No ES/reference-side timing can exist in this environment (the",
         "reference delegates every query to Elasticsearch; zero egress), so",
         "the baseline is **DuckDB executing the oracle SQL** for the same",
