@@ -583,17 +583,34 @@ object Dedup {
     // the persisted existing-corpus assignment (memoized: at 100 TB this
     // is the on-disk index table a pipeline maintains, not a per-query
     // build — the warm bench rep charges it to ingest like every memo)
-    val exClusters = memo(s, d, "ex_clusters") {
-      val ex = bands.filter(col("doc_id") % 10 =!= 0)
-      val cand = graft.operators.Skew.saltedJoin(
-          ex.select(col("doc_id").as("a"), col("band"), col("key")),
-          ex.select(col("doc_id").as("b"), col("band"), col("key")),
-          Seq("band", "key"), LshSalts, col("a"))
-        .filter(col("a") < col("b"))
-        .select(col("a"), col("b")).distinct()
-      clustersFrom(docs.filter(!isNew),
-        verifyJaccard(cand, docs, tauX1e6).select(col("a"), col("b")))
-    }
+    val exClusters = memo(s, d, "ex_clusters")(
+      existingClustersFrom(docs, bands, isNew, tauX1e6))
+    clusterMergeFrom(docs, bands, exClusters, isNew, tauX1e6)
+  }
+
+  /** The existing-corpus-only assignment [[clusterMerge]] maintains —
+    * LSH pairs among non-batch docs, clustered (spec entry point).
+    */
+  private[graft] def existingClustersFrom(docs: DataFrame, bands: DataFrame,
+      isNew: Column, tauX1e6: Long): DataFrame = {
+    val ex = bands.filter(!isNew)
+    val cand = graft.operators.Skew.saltedJoin(
+        ex.select(col("doc_id").as("a"), col("band"), col("key")),
+        ex.select(col("doc_id").as("b"), col("band"), col("key")),
+        Seq("band", "key"), LshSalts, col("a"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+    clustersFrom(docs.filter(!isNew),
+      verifyJaccard(cand, docs, tauX1e6).select(col("a"), col("b")))
+  }
+
+  /** [[clusterMerge]]'s core over injectable inputs — the spec drives
+    * it with a synthetic corpus that FORCES the bridge case (one new
+    * doc merging TWO existing clusters), which a real corpus may never
+    * exercise at the gated SFs.
+    */
+  private[graft] def clusterMergeFrom(docs: DataFrame, bands: DataFrame,
+      exClusters: DataFrame, isNew: Column, tauX1e6: Long): DataFrame = {
     // delta pairs: the union of (new,new) and one-sided (new,old)
     // candidates is exactly the full LSH candidate set minus the
     // already-indexed (old,old) pairs — nothing is missed, nothing

@@ -1086,6 +1086,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(mixed, "no cross-batch cluster at this SF - the merge path was vacuous")
   }
 
+  test("cluster merge: a new doc BRIDGING two existing clusters merges them like a rebuild") {
+    // the one topology the real corpus may never exercise at the gated
+    // SFs: a batch doc that is a near-dup of TWO existing clusters at
+    // once, so the merge must FUSE previously-distinct cluster ids.
+    // Overlap geometry: n sits across a1's tail and b1's head, so
+    // J(n,a1) ≈ J(n,b1) ≈ 0.55 ≥ τ=0.5 while J(a1,b1) ≈ 0.25 < τ.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val m = (1 to 22).map(i => s"m$i")
+    val a1 = (m.take(16) ++ (1 to 6).map(i => s"x$i")).mkString(" ")
+    val a2 = (m.take(16) ++ (1 to 5).map(i => s"x$i") :+ "x9").mkString(" ")
+    val b1 = ((1 to 6).map(i => s"y$i") ++ m.drop(6)).mkString(" ")
+    val b2 = ((1 to 5).map(i => s"y$i") :+ "y9") .mkString(" ") + " " + m.drop(6).mkString(" ")
+    val n  = m.mkString(" ")
+    val iso = "z1 z2 z3 z4 z5 z6 z7 z8"
+    // ids: existing ≢ 0 (mod 10), the batch doc ≡ 0
+    val docs = Seq(
+      (1L, a1), (2L, a2), (21L, b1), (22L, b2), (3L, iso), (30L, n)
+    ).toDF("doc_id", "text")
+    val isNew = col("doc_id") % 10 === 0
+    val tau = 500000L
+    val bands = Dedup.bandsFromSig(Dedup.sigFromShingles(
+      docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.explode(Dedup.shingles(col("text"))).as("s"))))
+    val ex = Dedup.existingClustersFrom(docs, bands, isNew, tau)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // precondition: A={1,2} and B={21,22} are DISTINCT existing clusters
+    assert(ex(1L) == ex(2L) && ex(21L) == ex(22L) && ex(1L) != ex(21L),
+      s"existing topology wrong: $ex")
+    val merged = Dedup.clusterMergeFrom(docs, bands, Dedup.existingClustersFrom(
+        docs, bands, isNew, tau), isNew, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byDoc = merged.map(t => t._1 -> t._2).toMap
+    // the bridge fused A, B, and the new doc into ONE cluster labeled
+    // by the minimum member id (1), with the isolated doc a singleton
+    assert(Seq(1L, 2L, 21L, 22L, 30L).map(byDoc).distinct == Seq(1L),
+      s"bridge did not fuse the clusters: $byDoc")
+    assert(byDoc(3L) == 3L, "isolated doc must stay a singleton")
+    // and merge ≡ rebuild on the union corpus, row for row
+    val rebuilt = Dedup.nearDupClusters(docs, tau)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(merged.sorted.sameElements(rebuilt.sorted),
+      "synthetic merge diverged from the scratch rebuild")
+  }
+
   test("dup-cluster histogram partitions the corpus and matches the cluster table") {
     val clusters = Dedup.nearDupClusters(Tables.documents(spark, sf))
       .select("cluster_id").collect().map(_.getLong(0))
