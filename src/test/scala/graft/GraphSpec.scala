@@ -725,4 +725,16 @@ class GraphSpec extends AnyFunSuite {
       col("wit") === col("a") || col("wit") === col("b")).count()
     assert(bad == 0, s"$bad malformed witness rows")
   }
+
+  test("shared-table checkpoints keep full width (the r10 AQE-freeze trap)") {
+    // localCheckpoint FREEZES whatever partitioning the plan ended with;
+    // AQE's size-based coalescing had shrunk the byte-light edge list to
+    // ~4 partitions at sf1, serializing every CPU-dense consumer. The
+    // explicit repartition must keep the frozen width at the core count.
+    val par = spark.sparkContext.defaultParallelism
+    assert(operators.Graph.triEdges(spark, sf).rdd.getNumPartitions == par,
+      "triEdges checkpoint lost its width")
+    assert(operators.Graph.memoWitnesses(spark, sf).rdd.getNumPartitions == par,
+      "memoWitnesses checkpoint lost its width")
+  }
 }
