@@ -583,7 +583,7 @@ object Dedup {
     // the persisted existing-corpus assignment (memoized: at 100 TB this
     // is the on-disk index table a pipeline maintains, not a per-query
     // build — the warm bench rep charges it to ingest like every memo)
-    val exClusters = memo(s, d, "ex_clusters")(
+    val exClusters = memo(s, d, s"ex_clusters_$tauX1e6")(
       existingClustersFrom(docs, bands, isNew, tauX1e6))
     clusterMergeFrom(docs, bands, exClusters, isNew, tauX1e6)
   }

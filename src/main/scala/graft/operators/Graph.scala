@@ -972,6 +972,9 @@ object Graph {
         "CAST(m AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sx"))
       .withColumn("s_xx", expr(
         "CAST(m AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      // overflow-bound: m·Σxy ≤ E·V·deg_max² stays far under 10³⁸ at any
+      // physical scale (E ≤ 10¹⁴, deg ≤ 10⁷ → ~10³⁵), and the division
+      // below is carry-staged so no ×10⁶ product ever forms.
       // carry-staged division (ADVICE r7): abs(s_xy)·10⁶ overflows
       // DECIMAL(38,0)/HUGEINT once s_xy occupies two 10¹⁸ limbs
       // (~10³⁶ · 10⁶ > 10³⁸ — Spark nulls, DuckDB errors). Divide

@@ -1657,7 +1657,10 @@ object Relational {
       .groupBy(col("c_mktsegment"))
       // DECIMAL(38,0) staging, cast BEFORE the rank multiply: 10⁶·(wsum −
       // nS) tops ~1e21 at sf0.1 and (2i−1)·cents alone nears int64 at
-      // large SF — both silent-wraparound territory in BIGINT
+      // large SF — both silent-wraparound territory in BIGINT.
+      // overflow-bound: wsum ≤ 2nS, so 10⁶·(wsum−nS) ≤ 10⁶·nS ~ 10³²
+      // even at n~3·10⁹ customers × S~3·10¹⁶ cents (100 TB); the
+      // quotient is Gini·10⁶ ≤ 10⁶, well inside BIGINT
       .agg(count(lit(1)).as("n"),
         sum(expr("CAST(cents AS DECIMAL(38,0))")).as("s"),
         sum(expr("CAST(cents AS DECIMAL(38,0)) * (2 * i - 1)")).as("wsum"))

@@ -1987,6 +1987,9 @@ object Temporal {
       .withColumn("sxy", sum(expr("CAST(x AS DECIMAL(38,0)) * y")).over(w))
       .withColumn("rn", count(lit(1)).over(minD))
       .filter(col("rn") >= 14)
+      // overflow-bound: full derivation in the COMMON-DOWNSCALE note
+      // below — after sc every factor is <10⁹, every product ≤10²⁴,
+      // and the one remaining LONG-quotient ceiling is ~$260B/day
       .withColumn("num", expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
       .withColumn("sxx_c", expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
       .withColumn("syy_c", expr("n * syy - CAST(sy AS DECIMAL(38,0)) * sy"))

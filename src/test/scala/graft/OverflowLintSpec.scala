@@ -45,18 +45,23 @@ class OverflowLintSpec extends AnyFunSuite {
     * string). Returns (lineIdx, window) pairs, 0-based.
     */
   private[graft] def sites(lines: Vector[String]): Seq[(Int, String)] = {
+    // the window is the next 4 NON-comment lines, scanning past interior
+    // comments (ADVICE r10: takeWhile truncated at the first comment, so
+    // a div landing below a mid-expression comment was never flagged)
     def window(i: Int): String =
-      (i until math.min(i + 4, lines.length))
-        .map(lines(_)).takeWhile(!isComment(_)).mkString(" ")
+      lines.iterator.drop(i).filterNot(isComment).take(4).mkString(" ")
     def hitAt(i: Int): Boolean = !isComment(lines(i)) && {
       val w = window(i)
       w.contains("DECIMAL(38") && w.count(_ == '*') >= 2 &&
         "\\bdiv\\b".r.findFirstIn(w).isDefined
     }
+    // j's window covers line i iff ≤4 non-comment lines span [j, i]
+    def covers(j: Int, i: Int): Boolean =
+      !isComment(lines(j)) && (j to i).count(k => !isComment(lines(k))) <= 4
     lines.indices.flatMap { i =>
       // only charge the FIRST line of an overlapping chain so a wrapped
       // expression doesn't report once per line it spans
-      val prevHit = (math.max(0, i - 3) until i).exists(hitAt)
+      val prevHit = (math.max(0, i - 12) until i).exists(j => covers(j, i) && hitAt(j))
       if (hitAt(i) && !prevHit) Some(i -> window(i).trim.take(120)) else None
     }
   }
@@ -106,5 +111,14 @@ class OverflowLintSpec extends AnyFunSuite {
       "      + carry",
       "      div c\"\"\")")
     assert(violations(gap).nonEmpty, "a 3-line-wrapped product-div must be flagged")
+    // a div landing BELOW a mid-expression comment line is flagged too —
+    // the window scans past interior comments instead of truncating at
+    // the first one (ADVICE r10 false negative)
+    val interior = Vector(
+      "    expr(\"\"\"CAST(a AS DECIMAL(38,0)) * b * 1000000",
+      "      // carry the scaled numerator",
+      "      div c\"\"\")")
+    assert(violations(interior).nonEmpty,
+      "a product-div split by an interior comment must be flagged")
   }
 }

@@ -242,14 +242,19 @@ class PlanSpec extends AnyFunSuite {
       // HITS' L-inf normalization window runs over the N-row nation
       // score vector (fixed graph cardinality, never fact-scale)
       "q_hits" -> "nation-N score vector")
-    def limited(p: org.apache.spark.sql.execution.SparkPlan): Boolean =
-      flatten(p).exists {
-        case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
-        case _: org.apache.spark.sql.execution.GlobalLimitExec => true
-        case _: org.apache.spark.sql.execution.LocalLimitExec => true
-        case _: org.apache.spark.sql.execution.CollectLimitExec => true
-        case _ => false
-      }
+    // the limit must sit on the window's DIRECT input lineage — descend
+    // only through single-child operators, so a limit buried on one
+    // branch of a join/union can never exempt a fact-scale window
+    // (ADVICE r10: the old subtree-wide exists() would have)
+    @annotation.tailrec
+    def limited(p: org.apache.spark.sql.execution.SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => true
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => true
+      case _: org.apache.spark.sql.execution.LocalLimitExec => true
+      case _: org.apache.spark.sql.execution.CollectLimitExec => true
+      case u if u.children.length == 1 => limited(u.children.head)
+      case _ => false
+    }
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).collect {
       case (name, fn) if !bounded.contains(name) =>
         val plans = flatten(fn(spark, sf).queryExecution.executedPlan)

@@ -36,25 +36,33 @@ def run_oracle(con, sql, budget):
     previous query's watchdog and is retried, never recorded as a
     SKIP/FAIL for this healthy oracle.
     """
-    import threading
+    import threading, time
     attempts = 0
+    t0 = time.monotonic()
     while True:
         attempts += 1
         done = threading.Event()
         fired = threading.Event()
+        # stale-interrupt retries share ONE budget: each attempt gets only
+        # what remains, so a single oracle can never run 3x the budget
+        remaining = budget - (time.monotonic() - t0) if budget > 0 else 0
+        if budget > 0 and remaining <= 0:
+            return None, True
         if budget > 0:
-            def watchdog(ev=done, fl=fired):
-                if not ev.wait(budget):
+            def watchdog(ev=done, fl=fired, b=remaining):
+                if not ev.wait(b):
                     fl.set()
                     con.interrupt()
             threading.Thread(target=watchdog, daemon=True).start()
         try:
             return con.execute(sql).fetch_arrow_table(), False
         except Exception as e:
+            # OUR watchdog fired: past budget regardless of how the
+            # resulting error stringifies (SKIP, never FAIL)
+            if fired.is_set():
+                return None, True
             msg = str(e)
             is_int = "INTERRUPT" in msg.upper() or "interrupted" in msg.lower()
-            if is_int and fired.is_set():
-                return None, True  # genuinely past THIS query's budget
             if is_int and attempts < 3:
                 continue  # stale interrupt from a prior watchdog: retry
             raise
