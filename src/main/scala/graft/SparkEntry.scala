@@ -234,6 +234,8 @@ object SparkEntry {
     "ann_brute_topk" -> ((s, d) => Pipeline.annBruteTopk(s, d)),
     "ann_lsh_topk"   -> ((s, d) => Pipeline.annLshTopk(s, d)),
     "ann_ivf_topk"   -> ((s, d) => Pipeline.annIvfTopk(s, d)),
+    "ann_hnsw_topk"   -> ((s, d) => Pipeline.annHnswTopk(s, d)),
+    "ann_hnsw_visited" -> ((s, d) => Pipeline.annHnswVisited(s, d)),
     "q7_volume"        -> ((s, d) => Relational.q7Volume(s, d)),
     "q8_share"         -> ((s, d) => Relational.q8Share(s, d)),
     "q_pagerank"       -> ((s, d) => operators.Graph.pagerank(s, d)),
@@ -286,6 +288,7 @@ object SparkEntry {
     "mm_resize"       -> ((s, d) => Pipeline.mmResize(s, d)),
     "mm_frame_sample" -> ((s, d) => Pipeline.mmFrameSample(s, d)),
     "mm_features"     -> ((s, d) => Pipeline.mmFeatures(s, d)),
+    "mm_feat_topk"    -> ((s, d) => Pipeline.mmFeatTopk(s, d)),
     "mm_audio_window" -> ((s, d) => Pipeline.mmAudioWindow(s, d)),
     "mm_scene_detect" -> ((s, d) => Pipeline.mmSceneDetect(s, d)),
     "mm_modality"     -> ((s, d) => Pipeline.mmModality(s, d)),

@@ -189,7 +189,8 @@ object Dedup {
     * (J ≥ τ ⟹ τ·|larger| ≤ |smaller|) prunes pairs before any array
     * work. Join strategies are AQE's (candidate volume is data-dependent).
     */
-  private def verifyJaccard(candIn: DataFrame, docs: DataFrame, tauX1e6: Long): DataFrame = {
+  private def verifyJaccardUnordered(candIn: DataFrame, docs: DataFrame,
+      tauX1e6: Long): DataFrame = {
     // candidates feed three consumers (two doc-id projections + the pair
     // join); materialize once — AQE gives no exchange reuse across them.
     // Lazy: the first consumer is the eager `sets` checkpoint job below,
@@ -223,8 +224,16 @@ object Dedup {
         expr("(1000000 * jac_inter) div (sz_a + sz_b - jac_inter)"))
       .filter(col("j_x1e6") >= tauX1e6)
       .select(col("a"), col("b"), col("j_x1e6"))
-      .orderBy(col("a"), col("b"))
   }
+
+  /** [[verifyJaccardUnordered]] plus the (a, b) output sort — the shape
+    * gated pair queries emit. CC-bound callers (clusterMerge's delta,
+    * existingClusters) use the unordered core: their next step is a
+    * shuffle anyway, so the sort exchange + its AQE stage wave is pure
+    * waste there (r11 job-count pass).
+    */
+  private def verifyJaccard(candIn: DataFrame, docs: DataFrame, tauX1e6: Long): DataFrame =
+    verifyJaccardUnordered(candIn, docs, tauX1e6).orderBy(col("a"), col("b"))
 
   // --- MinHash LSH --------------------------------------------------------
 
@@ -519,10 +528,9 @@ object Dedup {
     // result, not an NPE out of getLong
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).collect()(0).getLong(0)
-    var prevSum = labelSum(labels)
-    var rounds = 0
-    var converged = false
-    while (!converged && rounds < maxRounds) {
+    // one propagation + path-halving round; NO checkpoint of its own —
+    // rounds are batched below and only the batch boundary checkpoints
+    def round(labels: DataFrame): DataFrame = {
       // min over {own label} ∪ {neighbor labels} as ONE union + partial
       // aggregate — replaces the neighbor-min join + left-outer
       // reconcile join (one shuffle fewer per round)
@@ -534,11 +542,24 @@ object Dedup {
       // node ids, so one extra (tiny) self-join per round doubles how far
       // a minimum travels — convergence in O(log diameter) rounds instead
       // of O(diameter).
-      val next = prop.join(
+      prop.join(
           prop.select(col("x").as("label"), col("label").as("ll")), Seq("label"), "left_outer")
         .select(col("x"),
           least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
-        .localCheckpoint(eager = false)
+    }
+    // round-batching was MEASURED AND REVERTED here (r11): two
+    // un-checkpointed rounds per action duplicate the prop subplan 4×
+    // (exchange reuse does not fire across the aliased copies; 43→62
+    // jobs), and a checkpointed 2-round batch forces ≥4 propagation
+    // rounds on graphs that converge in 1 — near-dup cluster graphs are
+    // shallow, so the init-as-first-round + path-halving loop usually
+    // exits at the FIRST convergence check and per-round checking is
+    // the job-minimal shape.
+    var prevSum = labelSum(labels)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = round(labels).localCheckpoint(eager = false)
       val s = labelSum(next)
       converged = s == prevSum
       prevSum = s
@@ -601,7 +622,7 @@ object Dedup {
       .filter(col("a") < col("b"))
       .select(col("a"), col("b")).distinct()
     clustersFrom(docs.filter(!isNew),
-      verifyJaccard(cand, docs, tauX1e6).select(col("a"), col("b")))
+      verifyJaccardUnordered(cand, docs, tauX1e6).select(col("a"), col("b")))
   }
 
   /** [[clusterMerge]]'s core over injectable inputs — the spec drives
@@ -614,20 +635,24 @@ object Dedup {
     // delta pairs: the union of (new,new) and one-sided (new,old)
     // candidates is exactly the full LSH candidate set minus the
     // already-indexed (old,old) pairs — nothing is missed, nothing
-    // corpus-scale is re-joined
-    val nb = bands.filter(isNew)
+    // corpus-scale is re-joined. The BATCH side BROADCASTS (r11): a
+    // merge batch is bounded (≪ corpus by the incremental contract), so
+    // the bridge probe becomes a map-side hash join that streams the
+    // corpus-scale band table IN PLACE — the salted shuffle it replaces
+    // re-partitioned the whole persisted LSH index per batch, the exact
+    // O(corpus)-per-merge cost this operator exists to avoid; skew is
+    // moot with no shuffle (hot bands cost hash-probe time, not a hot
+    // reducer). existingClustersFrom keeps its salted join — that one
+    // IS corpus × corpus.
+    val nb = bands.filter(isNew).localCheckpoint(eager = false)
     val eb = bands.filter(!isNew)
-    val candInt = graft.operators.Skew.saltedJoin(
-        nb.select(col("doc_id").as("a"), col("band"), col("key")),
-        nb.select(col("doc_id").as("b"), col("band"), col("key")),
-        Seq("band", "key"), LshSalts, col("a"))
+    val candInt = broadcast(nb.select(col("doc_id").as("a"), col("band"), col("key")))
+      .join(nb.select(col("doc_id").as("b"), col("band"), col("key")), Seq("band", "key"))
       .filter(col("a") < col("b")).select(col("a"), col("b"))
-    val candBridge = graft.operators.Skew.saltedJoin(
-        nb.select(col("doc_id").as("a"), col("band"), col("key")),
-        eb.select(col("doc_id").as("b"), col("band"), col("key")),
-        Seq("band", "key"), LshSalts, col("a"))
+    val candBridge = broadcast(nb.select(col("doc_id").as("a"), col("band"), col("key")))
+      .join(eb.select(col("doc_id").as("b"), col("band"), col("key")), Seq("band", "key"))
       .select(col("a"), col("b"))
-    val delta = verifyJaccard(candInt.unionByName(candBridge).distinct(), docs, tauX1e6)
+    val delta = verifyJaccardUnordered(candInt.unionByName(candBridge).distinct(), docs, tauX1e6)
       .select(col("a"), col("b"))
     // contract: old endpoints → their cluster ids (batch-internal b's
     // have no assignment row and stay themselves)

@@ -137,10 +137,94 @@ case class TriangleCredits(first: Expression, second: Expression,
     copy(first = a, second = b, third = c, fourth = d)
 }
 
+/** Connected components of a BOUNDED-domain graph packed into one row:
+  * input array<struct<x,y>> edge list where a self-loop (c,c) declares
+  * an isolated-capable node; output array<struct<c,l>> with l = the
+  * minimum node id reachable from c (min-label components), sorted by
+  * c. Union-find with path compression in one pass — the whole 5-round
+  * min-label-propagation loop of Borůvka's merge step collapses to one
+  * task, legitimate ONLY because the component graph is domain-bounded
+  * (≤N nation-component nodes, never fact-scale): the same rationale
+  * as PlanSpec's bounded-domain window allowlist. Replaces 5 label
+  * rounds × (join + groupBy shuffle) per Borůvka round — the r10
+  * scheduler-latency class (each AQE stage is a ~35 ms driver job).
+  */
+case class MinLabelComponents(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fs), _)
+        if fs.length == 2 && fs.forall(_.dataType == LongType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<struct<x: bigint, y: bigint>>")
+  }
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(StructField("c", LongType, nullable = false),
+                   StructField("l", LongType, nullable = false))),
+    containsNull = false)
+  override def prettyName: String = "graft_min_label_components"
+
+  def compute(es: ArrayData): ArrayData = {
+    val n = es.numElements()
+    // dense-rank the node ids (sorted, distinct) for array union-find
+    val ids = new Array[Long](2 * n)
+    var i = 0
+    while (i < n) {
+      val r = es.getStruct(i, 2)
+      ids(2 * i) = r.getLong(0); ids(2 * i + 1) = r.getLong(1)
+      i += 1
+    }
+    java.util.Arrays.sort(ids)
+    var m = 0
+    i = 0
+    while (i < 2 * n) { // dedup in place
+      if (m == 0 || ids(m - 1) != ids(i)) { ids(m) = ids(i); m += 1 }
+      i += 1
+    }
+    def idx(v: Long): Int = {
+      var lo = 0; var hi = m - 1
+      while (lo < hi) { val mid = (lo + hi) >>> 1; if (ids(mid) < v) lo = mid + 1 else hi = mid }
+      lo
+    }
+    val parent = Array.tabulate(m)(identity)
+    def find(a0: Int): Int = {
+      var a = a0
+      while (parent(a) != a) { parent(a) = parent(parent(a)); a = parent(a) }
+      a
+    }
+    i = 0
+    while (i < n) {
+      val r = es.getStruct(i, 2)
+      val ra = find(idx(r.getLong(0))); val rb = find(idx(r.getLong(1)))
+      // union by MIN id so each root already carries the component min
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      i += 1
+    }
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) { out(i) = InternalRow(ids(i), ids(find(i))); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def nullSafeEval(v: Any): Any = compute(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("cc", this, classOf[MinLabelComponents].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): MinLabelComponents =
+    copy(child = c)
+}
+
 object GraphExpressionFunctions {
   /** Column API for [[SortedLongPairs]]. */
   def sortedLongPairs(c: Column): Column =
     GraftBridge.column(SortedLongPairs(GraftBridge.expression(c)))
+
+  /** Column API for [[MinLabelComponents]]. */
+  def minLabelComponents(c: Column): Column =
+    GraftBridge.column(MinLabelComponents(GraftBridge.expression(c)))
 
   /** Column API for [[TriangleCredits]]. */
   def triangleCredits(u: Column, v: Column, nu: Column, nv: Column): Column =

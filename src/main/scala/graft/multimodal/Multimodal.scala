@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Decoded-media metadata row (SURVEY §2.6). */
@@ -71,20 +72,89 @@ object Multimodal {
           " ELSE n_samples END"))
       .orderBy(col("doc_id"))
 
-  /** STUB feature extraction: a deterministic pseudo-feature vector
-    * seeded from the decoded fingerprint — stands in for an image
-    * embedding model; the shape (fixed-width double[64] per payload,
-    * derived inside the plan) is what a real extractor plugs into.
+  /** Feature extraction over the REAL decoded BMP pixels (r11, VERDICT
+    * r10 #5 — replaces the fingerprint stub): a pinned-weights random
+    * projection of the image's 27 per-channel 3×3 block sums (the
+    * mm_phash grid, per channel) into a 16-dim integer feature vector,
+    * clamped to ±127 — the ann_sq integer-staging discipline applied to
+    * an image featurizer. Weights are a pinned LCG
+    * (W(k,j) = (1103515245·(27k+j) + 12345) mod 2001 − 1000, public
+    * glibc constants), so both engines recompute them closed-form;
+    * |dot| ≤ 27·1000·maxBlockSum < 2³⁰, the ÷2²¹ downscale lands the
+    * useful range inside ±127, and the division is SIGN-SPLIT
+    * (sign·(|dot| div 2²¹)) because Spark's div truncates while
+    * DuckDB's // floors. One narrow encode→decode→project map pass per
+    * payload — no shuffle; at 100 TB the projection rides the decode
+    * scan for free.
     */
-  def featuresPlan(meta: DataFrame, dim: Int = 64): DataFrame =
-    meta.select(col("doc_id"),
-      // CAST: a bare 1000.0 literal is DECIMAL in Spark SQL, DOUBLE in
-      // DuckDB — force double division on both sides. One row per vector
-      // slot (posexplode) so the gate hash-compares scalar cells.
-      posexplode(expr(s"transform(sequence(0, ${dim - 1}), i -> " +
-        "CAST((fp * (i + 13)) % 2001 - 1000 AS DOUBLE) / CAST(1000 AS DOUBLE))"))
-        .as(Seq("i", "feature")))
-      .orderBy(col("doc_id"), col("i"))
+  private[graft] val FeatDim = 16
+  private[graft] val FeatScale = 2097152L // 2^21
+
+  private[graft] def featWeight(k: Int, j: Int): Long =
+    (1103515245L * (k * 27 + j) + 12345L) % 2001L - 1000L
+
+  /** The featurizer for one synthetic payload id, via the real codec. */
+  private[graft] def featVec(id: Long): Array[Long] = {
+    val w = (4 + id % 21).toInt
+    val h = (3 + id % 14).toInt
+    val payload = MediaCodec.encodeBmp(w, h, (x, y) => {
+      val r = ((id + 3L * x + 5L * y) % 256).toInt
+      val g = ((2L * id + 7L * x + y) % 256).toInt
+      val b = ((5L * id + x + 11L * y) % 256).toInt
+      (r << 16) | (g << 8) | b
+    })
+    val s = new Array[Long](27)
+    MediaCodec.foreachBmpPixel(payload) { (x, y, r, g, b) =>
+      val bx = if (x < w / 3) 0 else if (x < 2 * w / 3) 1 else 2
+      val by = if (y < h / 3) 0 else if (y < 2 * h / 3) 1 else 2
+      val cell = by * 3 + bx
+      s(cell) += r; s(9 + cell) += g; s(18 + cell) += b
+    }
+    Array.tabulate(FeatDim) { k =>
+      var dt = 0L
+      var j = 0
+      while (j < 27) { dt += featWeight(k, j) * s(j); j += 1 }
+      val a = math.min(math.abs(dt) / FeatScale, 127L)
+      if (dt >= 0) a else -a
+    }
+  }
+
+  /** (doc_id, fv array<bigint>[16]) — the featurized corpus. */
+  private[graft] def featVecsPlan(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long")).as[Long]
+      .mapPartitions(_.map(id => (id, featVec(id))))
+      .toDF("doc_id", "fv")
+  }
+
+  /** Gated face: one row per (doc_id, k) feature cell. */
+  def featuresPlan(docs: DataFrame): DataFrame =
+    featVecsPlan(docs)
+      .select(col("doc_id"), posexplode(col("fv")).as(Seq("k", "feature")))
+      .select(col("doc_id"), col("k").cast("int").as("k"), col("feature"))
+      .orderBy(col("doc_id"), col("k"))
+
+  /** decode→featurize→brute-top-k, chained end to end (the VERDICT r10
+    * #5 integration): per query payload (doc_id % 97 = 0), the top-10
+    * corpus payloads by exact integer feature dot product, ties by id.
+    * The query side broadcasts; the corpus featurizes in the same
+    * narrow map pass — one scan, no shuffle before the per-query top-k.
+    */
+  def featTopkPlan(docs: DataFrame, k: Int = 10): DataFrame = {
+    val fv = featVecsPlan(docs)
+    val q = fv.filter(col("doc_id") % 97 === 0)
+      .select(col("doc_id").as("q_id"), col("fv").as("qv"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("fdot").desc, col("doc_id"))
+    fv.join(broadcast(q), col("doc_id") =!= col("q_id"))
+      .select(col("q_id"), col("doc_id"),
+        expr("aggregate(zip_with(qv, fv, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+          .as("fdot"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("doc_id"), col("fdot"))
+      .orderBy(col("q_id"), col("rk"))
+  }
 
   /** Video scene segmentation plumbing: per-frame luma deltas → cut
     * detection (a boundary where |luma_i − luma_{i−1}| > tau; frame 0

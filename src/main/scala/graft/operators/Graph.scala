@@ -230,46 +230,60 @@ object Graph {
         .join(comp.select(col("v").as("vb"), col("c").as("cb")), col("b") === col("vb"))
         .filter(col("ca") =!= col("cb"))
         .select(col("a"), col("b"), col("w"), col("ca"), col("cb"))
-      // each component's minimum outgoing edge by (w, a, b); a pick can
-      // be shared by both its endpoints' components — distinct dedups
-      val wPick = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("cc")).orderBy(col("w"), col("a"), col("b"))
+      // each component's minimum outgoing edge by (w, a, b): a groupBy
+      // min-struct (map-side partial agg — the (w,a,b) lexicographic min
+      // IS the row_number()=1 pick); a pick can be shared by both its
+      // endpoints' components — distinct dedups. NOT checkpointed: both
+      // consumers (forest, cedges) sit one bounded join above the comp
+      // checkpoint, so recomputing the tiny subtree twice costs less
+      // than the materialization job (the r10 scheduler-latency rule).
+      // NOT deduped here: a pick shared by both endpoint components rides
+      // as a duplicate row — union-find tolerates duplicate edges, and a
+      // cross-round duplicate is impossible (merged endpoints never pass
+      // the ca≠cb filter again), so ONE distinct at the end replaces a
+      // per-round shuffle
+      // the min struct CARRIES the endpoints' component ids (within a
+      // round (a,b) determines (ca,cb), so the extra fields never alter
+      // the (w,a,b) order) — cedges below is then a projection, not two
+      // more comp joins
       val picks = labeled
-        .select(col("a"), col("b"), col("w"), explode(array(col("ca"), col("cb"))).as("cc"))
-        .withColumn("rn", row_number().over(wPick))
-        .filter(col("rn") === 1)
-        .select(lit(r.toLong).as("round"), col("a"), col("b"), col("w"))
-        .distinct()
+        .select(col("a"), col("b"), col("w"), col("ca"), col("cb"),
+          explode(array(col("ca"), col("cb"))).as("cc"))
+        .groupBy(col("cc"))
+        .agg(min(struct(col("w"), col("a"), col("b"), col("ca"), col("cb"))).as("m"))
+        .select(lit(r.toLong).as("round"), col("m.a").as("a"),
+          col("m.b").as("b"), col("m.w").as("w"),
+          col("m.ca").as("ca"), col("m.cb").as("cb"))
+        // lazy checkpoint, materialized as a side effect of the round's
+        // own merge job (cedges consumes it) — forest then reads the
+        // cached blocks instead of recomputing all three pick subtrees
+        // for the final distinct+sort
         .localCheckpoint(eager = false)
-      forest = if (forest == null) picks else forest.unionByName(picks)
-      // merge components: min-label propagation over the picked edges'
-      // COMPONENT graph, fixed labelRounds synchronous rounds
-      val cedges = picks
-        .join(comp.select(col("v").as("va"), col("c").as("ca")), col("a") === col("va"))
-        .join(comp.select(col("v").as("vb"), col("c").as("cb")), col("b") === col("vb"))
-        .select(col("ca").as("x"), col("cb").as("y"))
-      val csym = cedges.unionByName(cedges.select(col("y").as("x"), col("x").as("y")))
-        .localCheckpoint(eager = false)
-      var lbl = comp.select(col("c")).distinct().select(col("c"), col("c").as("l"))
-      for (i <- 1 to labelRounds) {
-        val msgs = csym.join(lbl.select(col("c").as("cy"), col("l").as("ly")),
-            col("y") === col("cy"))
-          .groupBy(col("x")).agg(min(col("ly")).as("ml"))
-        lbl = lbl.join(msgs, col("c") === col("x"), "left")
-          .select(col("c"), least(col("l"), coalesce(col("ml"), col("l"))).as("l"))
-        // NO per-round checkpoint: lbl is read twice per round, so the
-        // unrolled plan holds ≤ 2^5 copies of the (checkpointed, ≤N-row)
-        // csym leaf — on this fixed 25-node component graph recomputing
-        // tiny duplicated subtrees costs less than the ~35 ms scheduler
-        // job each checkpoint would pay (measured r10: 66 → 44 jobs,
-        // VERDICT r9 #2); the csym/picks/comp checkpoints bound the
-        // blowup at one Borůvka round's depth
-      }
-      comp = comp.join(lbl.select(col("c"), col("l")), Seq("c"))
+      forest =
+        if (forest == null) picks.select(col("round"), col("a"), col("b"), col("w"))
+        else forest.unionByName(picks.select(col("round"), col("a"), col("b"), col("w")))
+      // merge components: exact min-label connected components over the
+      // picked edges' COMPONENT graph, computed by ONE bounded-domain
+      // union-find expression (MinLabelComponents) on the packed edge
+      // list — self-loops declare every current component so unmerged
+      // ones keep their label. Replaces `labelRounds` join+groupBy
+      // rounds (each a ~35 ms AQE stage job; VERDICT r10 #2 — q_mst
+      // 43 jobs → this shape): legitimate ONLY because the component
+      // graph is nation-domain-bounded, never fact-scale. The oracle
+      // still renders the fixed `labelRounds` propagation rounds, whose
+      // convergence GraphSpec proves against driver-side Kruskal.
+      val cedges = picks.select(col("ca").as("x"), col("cb").as("y"))
+      val lbl = comp.select(col("c").as("x"), col("c").as("y"))
+        .unionByName(cedges)
+        .agg(collect_list(struct(col("x"), col("y"))).as("es"))
+        .select(explode(graft.functions.GraphExpressionFunctions
+          .minLabelComponents(col("es"))).as("p"))
+        .select(col("p.c").as("c"), col("p.l").as("l"))
+      comp = comp.join(lbl, Seq("c"))
         .select(col("v"), col("l").as("c"))
         .localCheckpoint(eager = false)
     }
-    forest.orderBy(col("round"), col("a"), col("b"))
+    forest.distinct().orderBy(col("round"), col("a"), col("b"))
   }
 
   /** All-pairs shortest paths over the directed nation trade graph —

@@ -175,6 +175,12 @@ object Pipeline {
   def annIvfPqTopk(s: SparkSession, d: String): DataFrame =
     Similarity.ivfPqTopK(Tables.embeddings(s, d), queryPred)
 
+  def annHnswTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.hnswTopK(s, d, queryPred)
+
+  def annHnswVisited(s: SparkSession, d: String): DataFrame =
+    Similarity.hnswVisitedStats(s, d, queryPred)
+
   def annCellPurity(s: SparkSession, d: String): DataFrame =
     Similarity.cellPurity(Tables.embeddings(s, d))
 
@@ -193,7 +199,10 @@ object Pipeline {
     Multimodal.frameSamplePlan(Multimodal.decodeMeta(Tables.documents(s, d)))
 
   def mmFeatures(s: SparkSession, d: String): DataFrame =
-    Multimodal.featuresPlan(Multimodal.decodeMeta(Tables.documents(s, d)))
+    Multimodal.featuresPlan(Tables.documents(s, d))
+
+  def mmFeatTopk(s: SparkSession, d: String): DataFrame =
+    Multimodal.featTopkPlan(Tables.documents(s, d))
 
   def mmAudioWindow(s: SparkSession, d: String): DataFrame =
     Multimodal.audioWindowPlan(Multimodal.decodeMeta(Tables.documents(s, d)))
@@ -1589,6 +1598,45 @@ object Pipeline {
        |  FROM documents d LEFT JOIN reach r ON r.x = d.doc_id
        |  GROUP BY d.doc_id)""".stripMargin
 
+  /** Shared CTEs for the mm_features family: decoded BMP pixel grid →
+    * per-channel 3×3 block sums → pinned-LCG random projection →
+    * sign-split ÷2²¹ ±127 clamp (mirrors Multimodal.featVec exactly;
+    * overflow-bound: |W| ≤ 1000, block sums < 1.1e4 ⇒ |dt| < 3e8).
+    */
+  private val mmFeatCtes =
+    """WITH m AS (SELECT doc_id, 4 + doc_id % 21 AS w, 3 + doc_id % 14 AS h
+      |           FROM documents),
+      |px AS (
+      |  SELECT m.doc_id, m.w, m.h, x.i AS x, y.i AS y,
+      |    (m.doc_id + 3 * x.i + 5 * y.i) % 256 AS r,
+      |    (2 * m.doc_id + 7 * x.i + y.i) % 256 AS g,
+      |    (5 * m.doc_id + x.i + 11 * y.i) % 256 AS b
+      |  FROM m, range(0, 24) x(i), range(0, 16) y(i)
+      |  WHERE x.i < m.w AND y.i < m.h),
+      |bl AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN y < h // 3 THEN 0 WHEN y < (2 * h) // 3 THEN 1 ELSE 2 END) * 3
+      |      + CASE WHEN x < w // 3 THEN 0 WHEN x < (2 * w) // 3 THEN 1 ELSE 2 END AS cell,
+      |    r, g, b
+      |  FROM px),
+      |bs AS MATERIALIZED (
+      |  SELECT doc_id, cell, CAST(sum(r) AS BIGINT) AS sr,
+      |    CAST(sum(g) AS BIGINT) AS sg, CAST(sum(b) AS BIGINT) AS sb
+      |  FROM bl GROUP BY doc_id, cell),
+      |xs AS (
+      |  SELECT doc_id, cell AS j, sr AS v FROM bs
+      |  UNION ALL SELECT doc_id, 9 + cell, sg FROM bs
+      |  UNION ALL SELECT doc_id, 18 + cell, sb FROM bs),
+      |ft AS MATERIALIZED (
+      |  SELECT x.doc_id, k.i AS k,
+      |    CAST(sum(((1103515245 * (k.i * 27 + x.j) + 12345) % 2001 - 1000) * x.v) AS BIGINT) AS dt
+      |  FROM xs x, range(0, 16) k(i) GROUP BY x.doc_id, k.i),
+      |fv AS MATERIALIZED (
+      |  SELECT doc_id, k,
+      |    CAST(CASE WHEN dt >= 0 THEN LEAST(dt // 2097152, 127)
+      |              ELSE -LEAST((-dt) // 2097152, 127) END AS BIGINT) AS feature
+      |  FROM ft)""".stripMargin
+
   private val annBruteSql =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id % 97 = 0),
@@ -2423,6 +2471,10 @@ object Pipeline {
 
     "ann_brute_topk" -> annBruteSql,
 
+    "ann_hnsw_topk" -> Similarity.hnswOracleSql("vec_id % 97 = 0"),
+
+    "ann_hnsw_visited" -> Similarity.hnswVisitedOracleSql("vec_id % 97 = 0"),
+
     "ann_knn_classify" ->
       s"""WITH e AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label FROM embeddings),
          |q AS (SELECT vec_id AS q_id, embedding AS q_emb, CAST(label AS BIGINT) AS true_label
@@ -2842,11 +2894,22 @@ object Pipeline {
          |FROM m ORDER BY doc_id""".stripMargin,
 
     "mm_features" ->
-      s"""WITH m AS (SELECT doc_id, ${TextFunctions.fingerprintSql("text")} AS fp FROM documents)
-         |SELECT doc_id, CAST(t.i AS INT) AS i,
-         |  ((fp * (t.i + 13)) % 2001 - 1000) / 1000.0 AS feature
-         |FROM m CROSS JOIN range(0, 64) t(i)
-         |ORDER BY doc_id, i""".stripMargin,
+      s"""${mmFeatCtes}
+         |SELECT doc_id, CAST(k AS INT) AS k, feature
+         |FROM fv ORDER BY doc_id, k""".stripMargin,
+
+    "mm_feat_topk" ->
+      s"""${mmFeatCtes},
+         |q AS (SELECT doc_id AS q_id, k, feature AS fq FROM fv WHERE doc_id % 97 = 0),
+         |dots AS (
+         |  SELECT q.q_id, f.doc_id, CAST(sum(q.fq * f.feature) AS BIGINT) AS fdot
+         |  FROM q JOIN fv f USING (k) WHERE f.doc_id <> q.q_id
+         |  GROUP BY q.q_id, f.doc_id)
+         |SELECT q_id, rk, doc_id, fdot FROM (
+         |  SELECT q_id, doc_id, fdot,
+         |    CAST(row_number() OVER (PARTITION BY q_id ORDER BY fdot DESC, doc_id) AS INT) AS rk
+         |  FROM dots)
+         |WHERE rk <= 10 ORDER BY q_id, rk""".stripMargin,
 
     "mm_audio_window" ->
       s"""WITH m AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_samples FROM documents),

@@ -17,8 +17,19 @@ object Profile {
     val names = args.drop(2).toSeq
     val spark = graft.GraftSession.local(logLevel = "ERROR")
     val jobs = new AtomicLong; val stages = new AtomicLong; val tasks = new AtomicLong
+    // SPARK_GRAFT_PROFILE_JOBS=1: print each job's call site — the
+    // fastest way to see WHICH operator a 40-job query spends them on
+    val traceJobs = sys.env.get("SPARK_GRAFT_PROFILE_JOBS").contains("1")
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        if (traceJobs) {
+          val eid = Option(j.properties)
+            .flatMap(p => Option(p.getProperty("spark.sql.execution.id"))).getOrElse("-")
+          val names = j.stageInfos.map(_.name.takeWhile(_ != '\n')).distinct
+          println(f"  job ${j.jobId}%-4d exec=$eid%-4s stages=${j.stageInfos.size} ${names.mkString(" | ")}")
+        }
+      }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet(); tasks.addAndGet(s.stageInfo.numTasks)
       }

@@ -161,6 +161,50 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.head.getLong(3) == want, "witness hash mismatch")
   }
 
+  test("features: independent pixel-formula replay, clamp range, and topk agreement") {
+    // independent witness: recompute the projection for a few ids
+    // STRAIGHT from the closed-form pixel formula (no MediaCodec), so a
+    // codec regression can't hide inside the featurizer
+    def replay(id: Long): Array[Long] = {
+      val w = (4 + id % 21).toInt
+      val h = (3 + id % 14).toInt
+      def blk(v: Int, n: Int) = if (v < n / 3) 0 else if (v < 2 * n / 3) 1 else 2
+      val s = Array.fill(27)(0L)
+      for (x <- 0 until w; y <- 0 until h) {
+        val cell = blk(y, h) * 3 + blk(x, w)
+        s(cell) += (id + 3L * x + 5L * y) % 256
+        s(9 + cell) += (2L * id + 7L * x + y) % 256
+        s(18 + cell) += (5L * id + x + 11L * y) % 256
+      }
+      Array.tabulate(16) { k =>
+        val dt = (0 until 27).map(j =>
+          ((1103515245L * (k * 27 + j) + 12345L) % 2001L - 1000L) * s(j)).sum
+        val a = math.min(math.abs(dt) / 2097152L, 127L)
+        if (dt >= 0) a else -a
+      }
+    }
+    val feats = graft.operators.Pipeline.mmFeatures(spark, sf).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.sortBy(_.getInt(1)).map(_.getLong(2)) }
+    assert(feats.nonEmpty)
+    feats.foreach { case (_, v) =>
+      assert(v.length == 16)
+      assert(v.forall(f => f >= -127L && f <= 127L), "feature outside clamp range")
+    }
+    feats.keys.toSeq.sorted.take(5).foreach { id =>
+      assert(feats(id).toSeq == replay(id).toSeq, s"featurizer mismatch for doc $id")
+    }
+    assert(feats.values.map(_.toSeq).toSet.size > 1, "all feature vectors equal — degenerate")
+    // topk agreement: every emitted dot equals the dot of the emitted vectors
+    val top = graft.operators.Pipeline.mmFeatTopk(spark, sf).collect()
+    assert(top.nonEmpty)
+    top.take(50).foreach { r =>
+      val (q, d) = (r.getLong(0), r.getLong(2))
+      val want = feats(q).zip(feats(d)).map { case (a, b) => a * b }.sum
+      assert(r.getLong(3) == want, s"dot mismatch for ($q, $d)")
+    }
+  }
+
   test("thumbnail: nearest-neighbor samples are the decoded pixels at floor-mapped coords") {
     val rows = graft.operators.Pipeline.mmThumbnail(spark, sf).collect()
     assert(rows.nonEmpty)

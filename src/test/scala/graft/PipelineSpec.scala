@@ -420,6 +420,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.3)
   }
 
+  test("graph ANN (hnsw): measured recall vs brute and visited-fraction readout") {
+    val brute = Pipeline.annBruteTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val hnsw = Pipeline.annHnswTopk(spark, sf).collect()
+    assert(hnsw.nonEmpty)
+    // ranks contiguous from 1 per query
+    val byQ = hnsw.groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length),
+        s"query $q has non-contiguous ranks")
+    }
+    val got = hnsw.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    val vs = Pipeline.annHnswVisited(spark, sf).collect()
+    val frac = vs.map(_.getLong(3)).max / 1e6
+    info(f"graph ANN recall@10 = $recall%.2f, max visited fraction = $frac%.2f " +
+      "(M=16 beam=32 rounds=6; uniform synthetic vectors are the documented worst case)")
+    assert(recall > 0.5, f"graph ANN recall collapsed: $recall%.2f")
+    vs.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "visited more nodes than the corpus holds")
+      assert(r.getLong(3) == r.getLong(1) * 1000000L / r.getLong(2), "frac arithmetic drift")
+    }
+  }
+
   test("kmeans training survives unpopulated vec_id residue classes") {
     import spark.implicits._
     // 3 vectors, 8 cells → residues 1,3,5,6,7 start empty; training must
