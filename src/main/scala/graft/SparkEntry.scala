@@ -297,6 +297,8 @@ object SparkEntry {
     "stream_quantile"   -> ((s, d) => Pipeline.streamQuantile(s, d)),
     "stream_sessionize" -> ((s, d) => Pipeline.streamSessionize(s, d)),
     "stream_dedup"      -> ((s, d) => Pipeline.streamDedup(s, d)),
+    "stream_dedup_within" -> ((s, d) => Pipeline.streamDedupWithin(s, d)),
+    "stream_attr_left"  -> ((s, d) => Pipeline.streamAttrLeft(s, d)),
     "stream_uniques"    -> ((s, d) => Pipeline.streamUniques(s, d)),
     "stream_join"       -> ((s, d) => Pipeline.streamJoin(s, d)),
     "stream_attribution" -> ((s, d) => Pipeline.streamAttribution(s, d)),

@@ -591,6 +591,12 @@ object Pipeline {
   def streamDedup(s: SparkSession, d: String): DataFrame =
     EventStreams.dedupBatch(EventStreams.normalize(Tables.events(s, d)))
 
+  def streamDedupWithin(s: SparkSession, d: String): DataFrame =
+    EventStreams.dedupWithinBatch(EventStreams.normalize(Tables.events(s, d)))
+
+  def streamAttrLeft(s: SparkSession, d: String): DataFrame =
+    EventStreams.attributionPairsBatch(EventStreams.normalize(Tables.events(s, d)))
+
   def streamUniques(s: SparkSession, d: String): DataFrame =
     EventStreams.uniquesBatch(EventStreams.normalize(Tables.events(s, d)))
 
@@ -3440,6 +3446,34 @@ object Pipeline {
       s"""SELECT DISTINCT user_id, event_type,
          |  epoch_us(ts) - epoch_us(ts) % ${60L * 1000000L} AS minute_us
          |FROM events ORDER BY user_id, event_type, minute_us""".stripMargin,
+
+    // the greedy anchor recurrence of dropDuplicatesWithinWatermark:
+    // each recursion step advances every key's anchor to its next event
+    // past anchor + delay; anchors strictly increase so it terminates
+    "stream_dedup_within" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         |em AS (
+         |  SELECT user_id, event_type, min(ts_us) AS ts_us FROM t GROUP BY 1, 2
+         |  UNION ALL
+         |  SELECT x.user_id, x.event_type, x.nts FROM (
+         |    SELECT em.user_id, em.event_type, min(t.ts_us) AS nts
+         |    FROM em JOIN t ON t.user_id = em.user_id
+         |      AND t.event_type = em.event_type
+         |      AND t.ts_us > em.ts_us + ${EventStreams.DedupWithinDelayUs}
+         |    GROUP BY em.user_id, em.event_type, em.ts_us) x
+         |  WHERE x.nts IS NOT NULL)
+         |SELECT user_id, event_type, ts_us FROM em
+         |ORDER BY user_id, event_type, ts_us""".stripMargin,
+
+    "stream_attr_left" ->
+      s"""WITH ev AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type FROM events),
+         |c AS (SELECT user_id, ts_us AS c_ts_us, event_id AS c_id FROM ev WHERE event_type = 'click'),
+         |p AS (SELECT event_id AS purchase_id, user_id, ts_us AS p_ts_us FROM ev WHERE event_type = 'purchase')
+         |SELECT p.purchase_id, c.c_id
+         |FROM p LEFT JOIN c ON c.user_id = p.user_id
+         |  AND c.c_ts_us >= p.p_ts_us - 3600000000 AND c.c_ts_us <= p.p_ts_us
+         |ORDER BY p.purchase_id, c.c_id ASC NULLS FIRST""".stripMargin,
 
     "stream_uniques" ->
       """WITH ud AS (

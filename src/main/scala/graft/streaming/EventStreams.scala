@@ -291,6 +291,50 @@ object EventStreams {
       .dropDuplicates(Seq("user_id", "event_type", "minute_us"))
       .drop("tsx")
 
+  /** Watermark-scoped dedup delay (1 hour, = the stream's watermark). */
+  val DedupWithinDelayUs = 3600000000L
+
+  /** Batch face of `dropDuplicatesWithinWatermark` (VERDICT r10 #6a) —
+    * the semantics the full-history `dropDuplicates` of [[dedupBatch]]
+    * does NOT have: per (user, type), an event is a duplicate only
+    * while its burst's FIRST event (the anchor) is within the delay;
+    * once the anchor ages out the same key emits again. That is the
+    * greedy anchor recurrence over the per-key event times in order:
+    * emit t iff t > lastEmitted + delay, lastEmitted jumps to t.
+    * Evaluated as one fold over the per-key sorted array (per-key event
+    * counts are user-bounded, never corpus-wide — the collect_list is
+    * safe at any corpus size); the oracle renders the identical
+    * recurrence as a recursive CTE (each step = every key's next
+    * anchor). The sentinel seed is −10¹⁸ (NOT Long.Min: the fold adds
+    * the delay to it, which must not wrap).
+    */
+  def dedupWithinBatch(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), col("event_type"), col("ts_us"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(sort_array(collect_list(col("ts_us"))).as("tss"))
+      .select(col("user_id"), col("event_type"),
+        explode(expr(
+          s"slice(aggregate(tss, array(CAST(-1000000000000000000 AS BIGINT)), " +
+            s"(acc, t) -> IF(t > element_at(acc, -1) + ${DedupWithinDelayUs}L, " +
+            // slice length is start-relative and start+length must stay
+            // inside Int (2147483647 overflows to an empty result)
+            "concat(acc, array(t)), acc)), 2, 100000000)")).as("ts_us"))
+      .orderBy(col("user_id"), col("event_type"), col("ts_us"))
+
+  /** The streaming twin: native `dropDuplicatesWithinWatermark` — state
+    * per key expires at anchor + delay (the watermark delay), so the
+    * state bound is the number of DISTINCT ACTIVE keys per hour, not
+    * all keys ever seen (the [[dedupStreaming]] full-history trap at
+    * 100 TB). Parity with [[dedupWithinBatch]] pinned in StreamingSpec
+    * over two event-time-ordered micro-batches.
+    */
+  def dedupWithinStreaming(ev: DataFrame): DataFrame =
+    ev.select(col("user_id"), col("event_type"),
+        timestamp_micros(col("ts_us")).as("tsx"))
+      .withWatermark("tsx", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("user_id", "event_type"))
+      .select(col("user_id"), col("event_type"), unix_micros(col("tsx")).as("ts_us"))
+
   /** Per-purchase click attribution (batch, oracle-gated): every
     * purchase joined to the same user's clicks in the hour before it.
     * The join is an EQUI-join on user_id with the time range as a
@@ -333,6 +377,53 @@ object EventStreams {
     p.join(c, col("user_id") === col("c_user") &&
       col("c_tsx") >= col("p_tsx") - expr("INTERVAL 1 HOUR") &&
       col("c_tsx") <= col("p_tsx"))
+      .select(col("purchase_id"), col("c_id"))
+  }
+
+  /** Pair-level LEFT OUTER attribution, the batch face of the
+    * stream-stream left outer interval join (VERDICT r10 #6b): every
+    * purchase emits its in-window clicks, and a zero-click purchase
+    * emits ONE (purchase_id, NULL) row. NULLS FIRST pinned explicitly —
+    * Spark's ascending default, DuckDB's is NULLS LAST.
+    */
+  def attributionPairsBatch(ev: DataFrame): DataFrame = {
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_us").as("c_ts_us"),
+        col("event_id").as("c_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_us").as("p_ts_us"))
+    p.join(c, col("user_id") === col("c_user") &&
+        col("c_ts_us") >= col("p_ts_us") - lit(3600000000L) &&
+        col("c_ts_us") <= col("p_ts_us"), "left_outer")
+      .select(col("purchase_id"), col("c_id"))
+      .orderBy(col("purchase_id"), asc_nulls_first("c_id"))
+  }
+
+  /** Stream-stream LEFT OUTER interval join — the subtle semantics
+    * worth pinning (VERDICT r10 #6b): matched pairs emit as they join,
+    * but a zero-click purchase's NULL row can only emit once the CLICK
+    * watermark has passed the end of its match window (no earlier —
+    * a matching click could still arrive; no later — the join state
+    * must evict). Both sides watermarked + a both-sided time bound,
+    * the state-eviction contract stream-stream joins require; the
+    * unmatched-side emission is exactly what the inner
+    * [[attributionPairsStreaming]] can never produce. Parity vs
+    * [[attributionPairsBatch]] pinned in StreamingSpec over two
+    * micro-batches (null rows gated on the final watermark).
+    */
+  def attributionPairsLeftStreaming(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), timestamp_micros(col("ts_us")).as("c_tsx"),
+        col("event_id").as("c_id"))
+      .withWatermark("c_tsx", "2 hours")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        timestamp_micros(col("ts_us")).as("p_tsx"))
+      .withWatermark("p_tsx", "2 hours")
+    p.join(c, col("user_id") === col("c_user") &&
+      col("c_tsx") >= col("p_tsx") - expr("INTERVAL 1 HOUR") &&
+      col("c_tsx") <= col("p_tsx"), "leftOuter")
       .select(col("purchase_id"), col("c_id"))
   }
 

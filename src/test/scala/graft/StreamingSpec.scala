@@ -109,6 +109,141 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Two event-time-ordered micro-batch files, split at the span
+    * midpoint: the split-by-TIME staging is load-bearing — it
+    * guarantees no event in batch 2 can be below batch 1's watermark,
+    * so the streamed results are arrival-order-deterministic.
+    */
+  private def timeSplitDir(n: Int): String = {
+    val ev = EventStreams.normalize(Tables.events(spark, sf))
+    val mm = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    def cut(i: Int) = lo + (hi - lo) / n * i
+    val dir = java.nio.file.Files.createTempDirectory("graft-time-split").toString
+    val staged = java.nio.file.Files.createTempDirectory("graft-time-split-stage")
+    for (i <- 0 until n) {
+      val pred = col("ts_us") >= cut(i) &&
+        (if (i == n - 1) lit(true) else col("ts_us") < cut(i + 1))
+      ev.filter(pred).repartition(1).sortWithinPartitions(col("ts_us"))
+        .write.parquet(s"$dir/$i")
+      val src = new java.io.File(s"$dir/$i").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = staged.resolve(s"$i.parquet")
+      java.nio.file.Files.copy(src, dst)
+      // FileStreamSource orders new files by MODIFICATION TIME — pin it,
+      // or a late slice can be listed first and the earlier slices then
+      // dropped wholesale as below-watermark late data
+      dst.toFile.setLastModified(1700000000000L + i * 60000L)
+    }
+    staged.toString
+  }
+
+  private lazy val twoBatchDir: String = timeSplitDir(2)
+
+  private def fileStream(dir: String) = {
+    val schema = EventStreams.normalize(Tables.events(spark, sf)).schema
+    spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+  }
+
+  private def twoBatchStream = fileStream(twoBatchDir)
+
+  test("dropDuplicatesWithinWatermark over THREE micro-batches equals a driver-side replay") {
+    // The gated batch face (dedupWithinBatch) is the CONTINUOUS-time
+    // semantics — the micro-batch → 0 limit, where the watermark keeps
+    // pace with every event. Under giant micro-batches the engine's
+    // eviction necessarily lags: during a batch, an event deduplicates
+    // against its key's state even if that state is already past expiry
+    // (measured — a two-batch run emits batch 1's anchors only), and
+    // expired state is only REMOVED at the end of the batch, so a key
+    // re-emits in batch N+2 of its anchor at the earliest. Parity is
+    // therefore against a replay of exactly that: per batch, emit iff
+    // no state for the key (expired or not); after the batch, evict
+    // entries whose expiry is below the advanced watermark.
+    val ev = EventStreams.normalize(Tables.events(spark, sf))
+    val delayUs = EventStreams.DedupWithinDelayUs
+    val mm = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    def cut(i: Int) = lo + (hi - lo) / 3 * i
+    val rows = ev.select(col("user_id"), col("event_type"), col("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val batches = (0 until 3).map(i => rows.filter(r =>
+      r._3 >= cut(i) && (i == 2 || r._3 < cut(i + 1))).sortBy(_._3))
+    val state = scala.collection.mutable.Map.empty[(Long, String), Long] // -> expiry us
+    val expected = scala.collection.mutable.Set.empty[(Long, String, Long)]
+    // the watermark in effect DURING batch N is the one computed from
+    // batches < N, and state cleanup runs at the END of batch N with
+    // that (lagging) watermark — measured: a key re-emits two batches
+    // after its anchor at the earliest, never in the next batch
+    var wMs = Long.MinValue // watermark tracks in ms
+    for (b <- batches) {
+      for ((u, k, t) <- b)
+        if (!state.contains((u, k))) { state((u, k)) = t + delayUs; expected += ((u, k, t)) }
+      state.filterInPlace { case (_, exp) => exp / 1000 >= wMs }
+      wMs = math.max(wMs, b.map(_._3).max / 1000 - delayUs / 1000)
+    }
+    val q = EventStreams.dedupWithinStreaming(fileStream(timeSplitDir(3)))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_within_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_within_test").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected.toSet,
+        s"watermark-scoped dedup diverged: got ${got.size} vs replay ${expected.size}")
+      // the watermark scoping is observable: keys re-emit across batches,
+      // which the full-history dropDuplicates can never do
+      val fullHistory = ev.select(col("user_id"), col("event_type")).distinct().count()
+      assert(got.size > fullHistory,
+        "no key ever re-emitted — the watermark scoping is not observable")
+      // and every emitted pair per key is farther apart than the delay —
+      // the operator's actual contract, shared with the batch face
+      got.groupBy(t => (t._1, t._2)).values.foreach { es =>
+        val ts = es.map(_._3).toSeq.sorted
+        ts.zip(ts.drop(1)).foreach { case (a, b) =>
+          assert(b - a > delayUs, s"two emits within the dedup window: $es")
+        }
+      }
+    } finally q.stop()
+  }
+
+  test("stream-stream LEFT OUTER interval join: matches plus watermark-expired null rows") {
+    val ev = EventStreams.normalize(Tables.events(spark, sf))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))
+    val expected = EventStreams.attributionPairsBatch(ev).collect().map(key).toSet
+    def side(t: String) = twoBatchStream.filter(col("event_type") === t)
+    val q = EventStreams.attributionPairsLeftStreaming(side("click"), side("purchase"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_left_join_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("ss_left_join_test").collect().map(key).toSet
+      // nothing spurious, and every MATCHED pair emits (clicks precede
+      // their purchase, and the time-split staging means a match can
+      // never arrive below the watermark)
+      assert(got.subsetOf(expected), s"spurious rows: ${(got -- expected).take(5)}")
+      val matched = expected.filter(_._2 != -1L)
+      assert(matched.subsetOf(got), "matched pairs missing from the streamed join")
+      // null-side rows emit exactly for purchases whose click window
+      // closed before a LATER batch's watermark: batch 1's watermark is
+      // the only one a next batch applies, so purchases older than
+      // (batch-1 max ts − watermark 2 h − window 1 h) MUST have emitted
+      val mm = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi")).head()
+      val mid = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+      val pTs = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("ts_us")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val mustEmit = expected.filter { case (pid, cid) =>
+        cid == -1L && pTs(pid) <= mid - 3L * 3600000000L
+      }
+      assert(mustEmit.nonEmpty, "corpus has no watermark-expired zero-click purchase")
+      assert(mustEmit.subsetOf(got),
+        "watermark-expired null rows missing from the streamed left join")
+      assert(got.exists(_._2 == -1L), "no null-side row emitted at all")
+    } finally q.stop()
+  }
+
   test("streaming dropDuplicates equals batch DISTINCT on the dedup key") {
     val ev = EventStreams.normalize(Tables.events(spark, sf))
     val expected = EventStreams.dedupBatch(ev).collect().map(_.toSeq).toSet
