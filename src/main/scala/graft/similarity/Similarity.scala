@@ -1249,6 +1249,20 @@ object Similarity {
     * shape: per round only the Q×beam frontier rows join the pinned
     * graph — the corpus is never rescanned after entry scoring.
     */
+  private val hnswVisitedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  /** Memoized+pinned default-parameter visited set: [[hnswTopK]] and
+    * [[hnswVisitedStats]] are two faces of ONE walk — sharing the table
+    * halves the family's cost (the memoFlows discipline; the warm bench
+    * rep charges the walk where a serving system would, per batch).
+    * Keyed on the query predicate too — the r10-ADVICE memo-key rule.
+    */
+  private def hnswVisitedShared(s: SparkSession, d: String, queryPred: Column): DataFrame =
+    hnswVisitedCache.getOrElseUpdate((s, d, queryPred.toString),
+      graft.GraftSession.pin(hnswVisited(s, d, queryPred)
+        .localCheckpoint(eager = false)))
+
   private def hnswVisited(s: SparkSession, d: String, queryPred: Column,
       beam: Int = HnswBeam, rounds: Int = HnswRounds): DataFrame = {
     val base = graft.Tables.fanOut(graft.Tables.embeddings(s, d))
@@ -1288,7 +1302,7 @@ object Similarity {
   /** Graph-ANN top-k (the gated query face): rank the visited set. */
   def hnswTopK(s: SparkSession, d: String, queryPred: Column, k: Int = 10): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_x1e6").desc, col("vec_id"))
-    hnswVisited(s, d, queryPred)
+    hnswVisitedShared(s, d, queryPred)
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= k)
       .select(col("q_id"), col("rk"), col("vec_id"), col("cos_x1e6"))
@@ -1300,7 +1314,7 @@ object Similarity {
     */
   def hnswVisitedStats(s: SparkSession, d: String, queryPred: Column): DataFrame = {
     val n = graft.Tables.embeddings(s, d).agg(count(lit(1)).as("n_corpus"))
-    hnswVisited(s, d, queryPred)
+    hnswVisitedShared(s, d, queryPred)
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_visited"))
       .crossJoin(broadcast(n))
       .select(col("q_id"), col("n_visited"), col("n_corpus"),

@@ -48,6 +48,26 @@ class BaselineSpec extends AnyFunSuite {
         s"(${missing.size}) extra=${extra.toSeq.sorted.take(8)} (${extra.size})")
   }
 
+  test("SCALING.md quotes the shipped BENCH_DETAIL run (one number everywhere)") {
+    // VERDICT r10 #7: the committed round summary and the committed
+    // BENCH_DETAIL must come from the SAME run. Convention: SCALING.md's
+    // LAST "N queries, X s total median" sentence is the round summary.
+    val scaling = scala.io.Source.fromFile("SCALING.md", "UTF-8").mkString
+    val quote = """(\d+) queries, (\d+\.?\d*) s total median""".r
+      .findAllMatchIn(scaling).toSeq.lastOption
+    assert(quote.nonEmpty, "SCALING.md has no 'N queries, X s total median' summary")
+    val (qN, qTotal) = (quote.get.group(1).toInt, quote.get.group(2).toDouble)
+    val bench = scala.io.Source.fromFile("BENCH_DETAIL.json", "UTF-8").mkString
+    val bN = """"n_queries":\s*(\d+)""".r.findFirstMatchIn(bench).get.group(1).toInt
+    val bTotal = """"total_median":\s*(\d+\.?\d*)""".r
+      .findFirstMatchIn(bench).get.group(1).toDouble
+    assert(qN == bN,
+      s"SCALING.md summary counts $qN queries, shipped BENCH_DETAIL has $bN")
+    assert(math.abs(qTotal - bTotal) < 0.15,
+      s"SCALING.md quotes $qTotal s, shipped BENCH_DETAIL total is $bTotal s " +
+        "— requote from the same run")
+  }
+
   test("baseline carries a same-run Spark column (r9 format)") {
     val spark = keysOf("spark")
     assert(spark.nonEmpty, "BASELINE_DETAIL.json has no spark column — pre-r9 format")
