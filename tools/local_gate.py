@@ -78,16 +78,21 @@ def norm(v):
         return v
     return v
 
-def main():
-    sfdir, outdir = sys.argv[1], sys.argv[2]
-    only = set(sys.argv[3:])
+def connect(sfdir):
+    """Fresh DuckDB connection with the views + resource caps applied —
+    also used to REPLACE a connection an OOM/interrupt has poisoned
+    (a failed pending query leaves the old one returning 'unsuccessful
+    or closed pending query result' for every later oracle)."""
     con = duckdb.connect()
     con.execute("SET TimeZone='UTC'")
     # big locally-generated SFs: bound DuckDB so a brute-force oracle
-    # degrades to spill/timeout instead of taking down the box
+    # degrades to spill/timeout instead of taking down the box. A temp
+    # directory is REQUIRED for the spill path — an in-memory connection
+    # has none, so memory_limit alone turns into a hard OOM.
     mem = os.environ.get("GRAFT_DUCK_MEM")
     if mem:
         con.execute(f"SET memory_limit='{mem}'")
+        con.execute("SET temp_directory='/tmp/duck_spill'")
     thr = os.environ.get("GRAFT_DUCK_THREADS")
     if thr:
         con.execute(f"SET threads={int(thr)}")
@@ -98,6 +103,13 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
+    con = connect(sfdir)
     oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
     n_pass = n_fail = n_skip = 0
     for name, sql in sorted(oracle.items()):
@@ -122,6 +134,13 @@ def main():
             msg = str(e)
             print(f"FAIL {name}: oracle error {msg.splitlines()[0][:160]}")
             n_fail += 1
+            # an OOM/closed-result error poisons the connection for every
+            # later oracle — replace it before moving on
+            try:
+                con.close()
+            except Exception:  # noqa: BLE001
+                pass
+            con = connect(sfdir)
             continue
         # Output-boundary width lint: the driver's hasher canonicalizes
         # decimal128 (DECIMAL > 18 digits) differently from both engines'

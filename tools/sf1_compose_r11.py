@@ -42,13 +42,16 @@ for log in sys.argv[3:]:
             queries[name] = {"status": "pass", "rows": rows}
         elif line.startswith("SKIP "):
             name = line.split()[1].rstrip(":")
-            queries[name] = {"status": "oracle_budget_skip"}
+            # a budget skip never downgrades a pass from another check
+            if queries.get(name, {}).get("status") not in ("pass", "decomposed_pass"):
+                queries[name] = {"status": "oracle_budget_skip"}
         elif line.startswith("FAIL "):
             name = line.split()[1].rstrip(":")
             detail = line.split(":", 1)[1].strip()[:200]
-            # an OOM from a contending run is not a verdict — keep the
-            # prior status unless nothing better exists
-            if "Out of Memory" in detail:
+            # an OOM from a contending run — or the poisoned-connection
+            # error every later oracle gets after one — is not a verdict;
+            # keep the prior status unless nothing better exists
+            if "Out of Memory" in detail or "unsuccessful or closed" in detail:
                 queries.setdefault(name, {"status": "brute_oracle_skip",
                                           "note": "oracle OOM under budget"})
             else:

@@ -290,6 +290,72 @@ def check_cluster_stats(name, verified):
         print(f"DFAIL {name}: got {got[:4]}... want {want[:4]}...")
 
 
+def check_bytes_saved(name, verified):
+    """bytes_total/saved per source from the verified cluster table —
+    a doc is dropped iff doc_id ≠ cluster_id (cluster_id IS the min
+    member id, the keep-one rule)."""
+    dump = load_dump(name)
+    if verified is None or dump is None:
+        print(f"DSKIP {name}: cluster table not verified")
+        return
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, source, n_chars FROM "
+        f"read_parquet('{table_path('documents')}')").fetchall()
+    from collections import defaultdict
+    agg = defaultdict(lambda: [0, 0, 0])  # total, saved, dropped
+    for doc, src, nch in rows:
+        a = agg[src]
+        a[0] += nch
+        if verified[doc][0] != doc:
+            a[1] += nch
+            a[2] += 1
+    want = sorted((s, t, sv, dr, sv * 1000000 // t)
+                  for s, (t, sv, dr) in agg.items())
+    got = sorted(zip(dump.column("source").to_pylist(),
+                     dump.column("bytes_total").to_pylist(),
+                     dump.column("bytes_saved").to_pylist(),
+                     dump.column("docs_dropped").to_pylist(),
+                     dump.column("saved_ppm").to_pylist()))
+    if got == want:
+        print(f"DPASS {name}: {len(got)} sources ≡ verified cluster table + doc sizes")
+    else:
+        print(f"DFAIL {name}: got {got[:2]} want {want[:2]}")
+
+
+def check_dup_rate_by_source(name, verified):
+    """Per-source near-dup rates from the verified cluster table
+    (rep = cluster_id, survivor iff doc_id == cluster_id)."""
+    dump = load_dump(name)
+    if verified is None or dump is None:
+        print(f"DSKIP {name}: cluster table not verified")
+        return
+    con = duckdb.connect()
+    rows = con.execute(
+        f"SELECT doc_id, source FROM read_parquet('{table_path('documents')}')"
+    ).fetchall()
+    from collections import defaultdict
+    agg = defaultdict(lambda: [0, 0, 0])  # n_docs, in_dup, survivors
+    for doc, src in rows:
+        c, size = verified[doc]
+        a = agg[src]
+        a[0] += 1
+        if size > 1:
+            a[1] += 1
+        if c == doc:
+            a[2] += 1
+    want = sorted((s, n, d, sv, d * 10000 // n) for s, (n, d, sv) in agg.items())
+    got = sorted(zip(dump.column("source").to_pylist(),
+                     dump.column("n_docs").to_pylist(),
+                     dump.column("n_in_dup_clusters").to_pylist(),
+                     dump.column("n_survivors").to_pylist(),
+                     dump.column("dup_rate_x1e4").to_pylist()))
+    if got == want:
+        print(f"DPASS {name}: {len(got)} sources ≡ verified cluster table")
+    else:
+        print(f"DFAIL {name}: got {got[:2]} want {want[:2]}")
+
+
 def check_cluster_reps(name, verified):
     dump = load_dump(name)
     if verified is None or dump is None:
@@ -329,7 +395,8 @@ def main():
         *(n for n in SAMPLED),
         "dedup_cluster", "pipe_cluster_merge", "pipe_dedup_incremental",
         "pipe_dedup_eval", "pipe_dedup_threshold_curve",
-        "pipe_dup_cluster_stats", "pipe_cluster_reps",
+        "pipe_dup_cluster_stats", "pipe_cluster_reps", "pipe_dedup_bytes_saved",
+        "pipe_near_dup_rate_by_source",
     ]
     for name in plan:
         if ONLY and name not in ONLY:
@@ -351,6 +418,10 @@ def main():
                 check_cluster_stats(name, verified_clusters)
             elif name == "pipe_cluster_reps":
                 check_cluster_reps(name, verified_clusters)
+            elif name == "pipe_dedup_bytes_saved":
+                check_bytes_saved(name, verified_clusters)
+            elif name == "pipe_near_dup_rate_by_source":
+                check_dup_rate_by_source(name, verified_clusters)
         except Exception as e:  # noqa: BLE001
             print(f"DFAIL {name}: exception {str(e)[:160]}")
 
