@@ -93,6 +93,9 @@ object Pipeline {
     val stats = truth.agg(count(lit(1)).cast("long").as("n_truth"),
       countDistinct(col("q_id")).cast("long").as("n_queries"))
     val methods = Seq(
+      // hnsw rides the memoized shared walk ann_hnsw_topk ships — the
+      // audit row costs one (queries × k)-scale join (VERDICT r11 #2)
+      "hnsw" -> pairs(Similarity.hnswTopK(s, d, queryPred)),
       "ivf" -> pairs(Similarity.ivfTopK(emb, queryPred,
         model = Some(graft.similarity.IvfModel.cells))),
       "lsh" -> pairs(Similarity.lshTopK(emb, queryPred)),
@@ -2454,7 +2457,10 @@ object Pipeline {
     "ann_recall_eval" ->
       s"""WITH tr AS (SELECT q_id, vec_id FROM (\n$annBruteSql\n) z),
          |mp AS (
-         |  SELECT 'ivf' AS method, q_id, vec_id FROM (
+         |  SELECT 'hnsw' AS method, q_id, vec_id FROM (
+         |${Similarity.hnswOracleSql("vec_id % 97 = 0")}
+         |  ) z
+         |  UNION ALL SELECT 'ivf', q_id, vec_id FROM (
          |${Similarity.ivfOracleSql(graft.similarity.IvfModel.cells, "vec_id % 97 = 0")}
          |  ) z
          |  UNION ALL SELECT 'lsh', q_id, vec_id FROM (\n$annLshSql\n) z

