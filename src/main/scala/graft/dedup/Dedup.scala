@@ -422,6 +422,12 @@ object Dedup {
     */
   val LshSalts = 4
 
+  /** Max batch-side band rows [[clusterMergeFrom]] will force-broadcast
+    * (~tens of MB serialized at (long, int, long) width). Above it the
+    * merge falls back to the salted shuffle join — slower, never an OOM.
+    */
+  val ClusterMergeBroadcastRows = 2000000L
+
   def minhashLshPairs(docs: DataFrame, tauX1e6: Long = 500000L): DataFrame = {
     // no shingle checkpoint: band rows are the only consumer of the
     // exploded shingles now (verification re-derives candidate docs'
@@ -631,7 +637,8 @@ object Dedup {
     * exercise at the gated SFs.
     */
   private[graft] def clusterMergeFrom(docs: DataFrame, bands: DataFrame,
-      exClusters: DataFrame, isNew: Column, tauX1e6: Long): DataFrame = {
+      exClusters: DataFrame, isNew: Column, tauX1e6: Long,
+      maxBroadcastRows: Long = ClusterMergeBroadcastRows): DataFrame = {
     // delta pairs: the union of (new,new) and one-sided (new,old)
     // candidates is exactly the full LSH candidate set minus the
     // already-indexed (old,old) pairs — nothing is missed, nothing
@@ -642,16 +649,33 @@ object Dedup {
     // re-partitioned the whole persisted LSH index per batch, the exact
     // O(corpus)-per-merge cost this operator exists to avoid; skew is
     // moot with no shuffle (hot bands cost hash-probe time, not a hot
-    // reducer). existingClustersFrom keeps its salted join — that one
-    // IS corpus × corpus.
+    // reducer). The contract is ENFORCED (ADVICE r11 #4), not assumed:
+    // batches above maxBroadcastRows take the salted-shuffle fallback.
+    // existingClustersFrom keeps its salted join — that one IS
+    // corpus × corpus.
     val nb = bands.filter(isNew).localCheckpoint(eager = false)
     val eb = bands.filter(!isNew)
-    val candInt = broadcast(nb.select(col("doc_id").as("a"), col("band"), col("key")))
-      .join(nb.select(col("doc_id").as("b"), col("band"), col("key")), Seq("band", "key"))
-      .filter(col("a") < col("b")).select(col("a"), col("b"))
-    val candBridge = broadcast(nb.select(col("doc_id").as("a"), col("band"), col("key")))
-      .join(eb.select(col("doc_id").as("b"), col("band"), col("key")), Seq("band", "key"))
-      .select(col("a"), col("b"))
+    val nbA = nb.select(col("doc_id").as("a"), col("band"), col("key"))
+    val nbB = nb.select(col("doc_id").as("b"), col("band"), col("key"))
+    val ebB = eb.select(col("doc_id").as("b"), col("band"), col("key"))
+    // ADVICE r11: the broadcast hint bypasses autoBroadcastJoinThreshold,
+    // so an oversized "batch" would OOM the driver instead of running a
+    // slow join — enforce the bounded-batch contract with one count on
+    // the checkpointed batch table (materializing blocks every
+    // downstream consumer reuses) and fall back to the salted shuffle
+    // join above the bound.
+    val batchRows = nb.count()
+    val (candInt, candBridge) =
+      if (batchRows <= maxBroadcastRows)
+        (broadcast(nbA).join(nbB, Seq("band", "key"))
+           .filter(col("a") < col("b")).select(col("a"), col("b")),
+         broadcast(nbA).join(ebB, Seq("band", "key"))
+           .select(col("a"), col("b")))
+      else
+        (graft.operators.Skew.saltedJoin(nbA, nbB, Seq("band", "key"), LshSalts, col("a"))
+           .filter(col("a") < col("b")).select(col("a"), col("b")),
+         graft.operators.Skew.saltedJoin(ebB, nbA, Seq("band", "key"), LshSalts, col("b"))
+           .select(col("a"), col("b")))
     val delta = verifyJaccardUnordered(candInt.unionByName(candBridge).distinct(), docs, tauX1e6)
       .select(col("a"), col("b"))
     // contract: old endpoints → their cluster ids (batch-internal b's

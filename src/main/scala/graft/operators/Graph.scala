@@ -209,7 +209,7 @@ object Graph {
     * the spec's spanning check against driver-side Kruskal). Scale: the fact-level work is ONE edge extraction; every
     * round runs on the ≤N² component/edge tables.
     */
-  def mst(s: SparkSession, d: String, rounds: Int = 3, labelRounds: Int = 5): DataFrame = {
+  def mst(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
     // undirected fold of the shared flow matrix: per unordered pair the
     // total lineitems in EITHER direction (Σ of the two directed counts
     // ≡ the original row count) — an N²-row regroup, not a fact scan
@@ -270,8 +270,10 @@ object Graph {
       // rounds (each a ~35 ms AQE stage job; VERDICT r10 #2 — q_mst
       // 43 jobs → this shape): legitimate ONLY because the component
       // graph is nation-domain-bounded, never fact-scale. The oracle
-      // still renders the fixed `labelRounds` propagation rounds, whose
-      // convergence GraphSpec proves against driver-side Kruskal.
+      // renders domain−1 = 24 propagation rounds — exact connected
+      // components on ≤25 nodes, so both engines merge identically on
+      // ANY pick chain (ADVICE r11 #1); GraphSpec proves the forest
+      // against driver-side Kruskal.
       val cedges = picks.select(col("ca").as("x"), col("cb").as("y"))
       val lbl = comp.select(col("c").as("x"), col("c").as("y"))
         .unionByName(cedges)
@@ -1243,7 +1245,13 @@ object Graph {
   /** One Borůvka round in DuckDB SQL (pick min outgoing edge per
     * component, then `labelRounds` min-label merge rounds on the
     * component graph). MATERIALIZED throughout — the usual iterative-
-    * oracle inlining guard.
+    * oracle inlining guard. The Spark side merges components EXACTLY
+    * (union-find), so `labelRounds` must be ≥ domain−1: a min label
+    * travels one hop per propagation round and a pick-graph chain can
+    * span all 25 nations, so 24 rounds make the propagation exact
+    * connected components on this domain — both engines then compute
+    * the same merge no matter how the picks chain (ADVICE r11 #1;
+    * 5 rounds could data-dependently under-merge).
     */
   private def mstRound(r: Int, labelRounds: Int): String = {
     val prev = s"c${r - 1}"
@@ -1340,7 +1348,8 @@ object Graph {
     },
 
     "q_mst" -> {
-      val steps = (1 to 3).map(mstRound(_, 5)).mkString(",\n")
+      // 24 = nation domain − 1: exact CC, see mstRound's scaladoc
+      val steps = (1 to 3).map(mstRound(_, 24)).mkString(",\n")
       s"""WITH und AS MATERIALIZED (
          |  SELECT least(CAST(c.c_nationkey AS BIGINT), CAST(s.s_nationkey AS BIGINT)) AS a,
          |    greatest(CAST(c.c_nationkey AS BIGINT), CAST(s.s_nationkey AS BIGINT)) AS b,

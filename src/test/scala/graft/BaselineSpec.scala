@@ -48,10 +48,19 @@ class BaselineSpec extends AnyFunSuite {
         s"(${missing.size}) extra=${extra.toSeq.sorted.take(8)} (${extra.size})")
   }
 
-  test("SCALING.md quotes the shipped BENCH_DETAIL run (one number everywhere)") {
-    // VERDICT r10 #7: the committed round summary and the committed
-    // BENCH_DETAIL must come from the SAME run. Convention: SCALING.md's
-    // LAST "N queries, X s total median" sentence is the round summary.
+  test("SCALING.md quotes a current-generation BENCH_DETAIL run") {
+    // VERDICT r10 #7 pinned "one number everywhere"; VERDICT r11 #5
+    // relaxed the TOTAL to a noise band: the driver regenerates (and
+    // commits) BENCH_DETAIL.json after every round close, so strict
+    // total equality goes red on the next working tree through no
+    // builder action (r11: 148.1 committed vs 135.9 regenerated, both
+    // honest runs of the same suite under different ambient load — the
+    // box measures ±40% same-day). The enforceable invariants: the
+    // QUERY COUNT matches exactly (the original r8 bug was a stale
+    // 305-of-373 mid-round quote), and the total is within the
+    // documented noise band of the shipped artifact. Convention:
+    // SCALING.md's LAST "N queries, X s total median" sentence is the
+    // round summary.
     val scaling = scala.io.Source.fromFile("SCALING.md", "UTF-8").mkString
     val quote = """(\d+) queries, (\d+\.?\d*) s total median""".r
       .findAllMatchIn(scaling).toSeq.lastOption
@@ -63,9 +72,10 @@ class BaselineSpec extends AnyFunSuite {
       .findFirstMatchIn(bench).get.group(1).toDouble
     assert(qN == bN,
       s"SCALING.md summary counts $qN queries, shipped BENCH_DETAIL has $bN")
-    assert(math.abs(qTotal - bTotal) < 0.15,
-      s"SCALING.md quotes $qTotal s, shipped BENCH_DETAIL total is $bTotal s " +
-        "— requote from the same run")
+    val ratio = qTotal / bTotal
+    assert(ratio > 0.6 && ratio < 1.67,
+      s"SCALING.md quotes $qTotal s vs BENCH_DETAIL's $bTotal s — outside the " +
+        "ambient-load noise band; requote from a current run")
   }
 
   test("baseline carries a same-run Spark column (r9 format)") {

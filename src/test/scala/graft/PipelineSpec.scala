@@ -1154,6 +1154,13 @@ class PipelineSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(merged.sorted.sameElements(rebuilt.sorted),
       "synthetic merge diverged from the scratch rebuild")
+    // an over-bound batch takes the salted-shuffle fallback instead of
+    // a forced broadcast (ADVICE r11 #4) — same rows, different join
+    val fallback = Dedup.clusterMergeFrom(docs, bands, Dedup.existingClustersFrom(
+        docs, bands, isNew, tau), isNew, tau, maxBroadcastRows = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fallback.sorted.sameElements(merged.sorted),
+      "salted fallback path diverged from the broadcast path")
   }
 
   test("dup-cluster histogram partitions the corpus and matches the cluster table") {

@@ -39,6 +39,15 @@ for log in sys.argv[3:]:
         if line.startswith("PASS "):
             name = line.split()[1]
             rows = int(line.split("(")[1].split()[0])
+            # ADVICE r11: a Phase-A PASS must not silently bury a recorded
+            # decomposed FAIL — the two checks verified different renderings
+            # and a conflict means one of them is wrong. Keep the FAIL,
+            # surface the conflict loudly for manual adjudication.
+            prior = queries.get(name, {})
+            if prior.get("status") == "fail":
+                print(f"CONFLICT {name}: full-oracle PASS vs recorded FAIL "
+                      f"({prior.get('detail', '')[:120]}) — keeping FAIL; adjudicate manually")
+                continue
             queries[name] = {"status": "pass", "rows": rows}
         elif line.startswith("SKIP "):
             name = line.split()[1].rstrip(":")
