@@ -91,7 +91,14 @@ object MetastoreServer {
           // blueprint.py:22 — header first, jwt query param as fallback
           val token = Option(ex.getRequestHeaders.getFirst("auth-token"))
             .orElse(args.get("jwt").flatMap(_.headOption))
+          // jsonpify echoes the callback verbatim; we additionally gate
+          // it to identifier characters (VERDICT r11 #8) — a reflected
+          // `callback=<script>` must not round-trip into the JS body.
+          // A non-identifier callback degrades to the plain JSON
+          // envelope rather than erroring (the permissive-read spirit
+          // of the reference surface).
           val callback = args.get("callback").flatMap(_.headOption)
+            .filter(_.matches("[A-Za-z0-9_.$]+"))
           val result = MetastoreApi.searchWithToken(
             spark, dir, kind, token, key, args - "jwt" - "callback")
           val json = envelope(result)

@@ -57,12 +57,21 @@ object StreamBench {
         val progress = q.recentProgress.toSeq.filter(_.numInputRows > 0)
         val latencies = progress
           .map(_.durationMs.getOrDefault("triggerExecution", 0L).toLong)
+        // peak state-store footprint across the run (sum over operators
+        // per trigger, max over triggers) — the number that separates
+        // bounded-state operators (dropDuplicatesWithinWatermark, the
+        // eviction-bounded join buffers) from full-history ones at 100 TB
+        val stateRows = progress.map(_.stateOperators.map(_.numRowsTotal).sum)
+          .maxOption.getOrElse(0L)
+        val stateBytes = progress.map(_.stateOperators.map(_.memoryUsedBytes).sum)
+          .maxOption.getOrElse(0L)
         q.stop()
         println(s"""{"metric":"stream_rows_per_sec","pipeline":"$name",""" +
           s""""n_files":$nFiles,"rows_per_batch":${nRows / nFiles},""" +
           s""""value":${ms(nRows / wallSec)},"rows":$nRows,""" +
           s""""micro_batches":${progress.size},"wall_sec":${ms(wallSec)},""" +
           s""""mean_batch_ms":${if (latencies.nonEmpty) latencies.sum / latencies.length else 0},""" +
+          s""""state_rows":$stateRows,"state_bytes":$stateBytes,""" +
           s""""sf":"$sfDir"}""")
       }
 
@@ -83,6 +92,29 @@ object StreamBench {
         EventStreams.latestStateStreaming(spark, source())
           .writeStream.outputMode("update")
           .format("memory").queryName(s"sb_state_$nFiles").start()
+      }
+      // the r11 stateful pair (VERDICT r11 #4): watermark-scoped dedup
+      // vs the full-history dedup on the SAME feed — the state_rows
+      // column is the operator's selling point (distinct ACTIVE keys vs
+      // all keys ever seen) — and the left-outer interval join, whose
+      // null-side buffer drains on watermark advance
+      run("dedup_within") { () =>
+        EventStreams.dedupWithinStreaming(source())
+          .writeStream.outputMode("append")
+          .format("memory").queryName(s"sb_dwithin_$nFiles").start()
+      }
+      run("dedup_full_history") { () =>
+        EventStreams.dedupStreaming(source())
+          .writeStream.outputMode("append")
+          .format("memory").queryName(s"sb_dfull_$nFiles").start()
+      }
+      run("ss_join_left_outer") { () =>
+        val s = source()
+        EventStreams.attributionPairsLeftStreaming(
+            s.filter(col("event_type") === "click"),
+            s.filter(col("event_type") === "purchase"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(s"sb_ljoin_$nFiles").start()
       }
     }
     spark.stop()

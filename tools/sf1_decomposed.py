@@ -389,6 +389,46 @@ def check_cluster_reps(name, verified):
         print(f"DFAIL {name}: got {got[:3]} want {want[:3]}")
 
 
+def check_dedup_corpus(name):
+    """pipe_dedup_corpus = quality gate -> LSH pairs among survivors ->
+    CC -> keep min per cluster. Decomposition (VERDICT r11 #3): the
+    quality gate is a PER-ROW function, so its own oracle CTE runs
+    verbatim at sf1 (no pairs); band rows are per-doc, so the survivor
+    pair set is exactly the VERIFIED full-corpus LSH pair dump
+    restricted to survivor endpoints (same tau, exact Jaccard is a
+    per-pair function); clusters/sizes = union-find over that set —
+    the same derived recompute dedup_cluster's check uses."""
+    dump = load_dump(name)
+    pairs = load_dump("dedup_minhash_lsh")
+    if dump is None or pairs is None:
+        print(f"DSKIP {name}: missing dumps")
+        return
+    sql = ORACLES[name]
+    cut = sql.index("sh AS (")
+    qsql = sql[:cut].rstrip().rstrip(",") + "\nSELECT doc_id FROM q"
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{table_path('documents')}')")
+    q = {r[0] for r in con.execute(qsql).fetchall()}
+    uf = UF()
+    for a, b in zip(pairs.column("a").to_pylist(), pairs.column("b").to_pylist()):
+        if a in q and b in q:
+            uf.union(a, b)
+    lab = {i: uf.find(i) for i in q}
+    from collections import Counter
+    size = Counter(lab.values())
+    want = sorted((i, size[lab[i]]) for i in q if lab[i] == i)
+    got = sorted(zip(dump.column("doc_id").to_pylist(),
+                     dump.column("cluster_size").to_pylist()))
+    if got == want:
+        print(f"DPASS {name}: {len(got)} survivors ≡ quality-gate oracle (per-row) + "
+              "union-find over the verified LSH pair dump ∩ survivor set")
+    else:
+        bad = [(g, w) for g, w in zip(got, want) if g != w][:3]
+        print(f"DFAIL {name}: {len(got)} vs {len(want)} rows, diffs {bad}")
+
+
 def main():
     verified_clusters = None
     plan = [
@@ -396,7 +436,7 @@ def main():
         "dedup_cluster", "pipe_cluster_merge", "pipe_dedup_incremental",
         "pipe_dedup_eval", "pipe_dedup_threshold_curve",
         "pipe_dup_cluster_stats", "pipe_cluster_reps", "pipe_dedup_bytes_saved",
-        "pipe_near_dup_rate_by_source",
+        "pipe_near_dup_rate_by_source", "pipe_dedup_corpus",
     ]
     for name in plan:
         if ONLY and name not in ONLY:
@@ -422,6 +462,8 @@ def main():
                 check_bytes_saved(name, verified_clusters)
             elif name == "pipe_near_dup_rate_by_source":
                 check_dup_rate_by_source(name, verified_clusters)
+            elif name == "pipe_dedup_corpus":
+                check_dedup_corpus(name)
         except Exception as e:  # noqa: BLE001
             print(f"DFAIL {name}: exception {str(e)[:160]}")
 
