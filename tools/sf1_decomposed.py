@@ -429,6 +429,54 @@ def check_dedup_corpus(name):
         print(f"DFAIL {name}: {len(got)} vs {len(want)} rows, diffs {bad}")
 
 
+def check_cooccurrence(name):
+    """txt_cooccurrence's oracle is a within-doc token-pair self-join +
+    one 90M-row GROUP BY whose single-statement form resists DuckDB's
+    budget interrupt at sf1 (r11's skip). Decomposition (VERDICT r11
+    #3): pair counts grouped by (t1, t2) are ADDITIVE over disjoint doc
+    subsets, so the ORACLE'S OWN SQL runs 10 times restricted to
+    doc_id % 10 residues (pure string surgery on its FROM/ORDER
+    clauses — no re-implementation), partials accumulate in a DuckDB
+    table, and the summed counts are compared against the Spark dump
+    entirely IN DuckDB (full outer join, IS DISTINCT FROM) — strict on
+    missing, extra, and miscounted pairs alike."""
+    files = sorted(glob.glob(os.path.join(OUTDIR, name, "*.parquet")))
+    if not files:
+        print(f"DSKIP {name}: no spark dump")
+        return
+    sql = ORACLES[name]
+    if "FROM documents)" not in sql or " ORDER BY t1, t2" not in sql:
+        print(f"DSKIP {name}: oracle text drifted from the expected shape")
+        return
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute("SET temp_directory='/tmp/duck_spill'")
+    con.execute("SET memory_limit='60GB'")
+    con.execute("SET threads=16")
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{table_path('documents')}')")
+    con.execute("CREATE TABLE part (t1 VARCHAR, t2 VARCHAR, n_docs BIGINT)")
+    for r in range(10):
+        batch = sql.replace(
+            "FROM documents)", f"FROM documents WHERE doc_id % 10 = {r})"
+        ).replace(" ORDER BY t1, t2", "")
+        con.execute(f"INSERT INTO part\n{batch}")
+    con.execute("CREATE TABLE agg AS SELECT t1, t2, "
+                "CAST(sum(n_docs) AS BIGINT) AS n_docs FROM part GROUP BY 1, 2")
+    con.execute("DROP TABLE part")
+    dump_glob = os.path.join(OUTDIR, name, "*.parquet")
+    bad, = con.execute(
+        f"SELECT count(*) FROM agg a FULL OUTER JOIN "
+        f"read_parquet('{dump_glob}') d USING (t1, t2) "
+        f"WHERE a.n_docs IS DISTINCT FROM d.n_docs").fetchone()
+    n, = con.execute("SELECT count(*) FROM agg").fetchone()
+    if bad == 0:
+        print(f"DPASS {name}: {n} pairs ≡ the oracle's own SQL run as 10 "
+              "disjoint doc-residue partial aggregations (counts additive)")
+    else:
+        print(f"DFAIL {name}: {bad} of {n} pairs differ from the batched oracle")
+
+
 def main():
     verified_clusters = None
     plan = [
@@ -437,6 +485,7 @@ def main():
         "pipe_dedup_eval", "pipe_dedup_threshold_curve",
         "pipe_dup_cluster_stats", "pipe_cluster_reps", "pipe_dedup_bytes_saved",
         "pipe_near_dup_rate_by_source", "pipe_dedup_corpus",
+        "txt_cooccurrence",
     ]
     for name in plan:
         if ONLY and name not in ONLY:
@@ -464,6 +513,8 @@ def main():
                 check_dup_rate_by_source(name, verified_clusters)
             elif name == "pipe_dedup_corpus":
                 check_dedup_corpus(name)
+            elif name == "txt_cooccurrence":
+                check_cooccurrence(name)
         except Exception as e:  # noqa: BLE001
             print(f"DFAIL {name}: exception {str(e)[:160]}")
 
