@@ -236,6 +236,8 @@ object SparkEntry {
     "ann_ivf_topk"   -> ((s, d) => Pipeline.annIvfTopk(s, d)),
     "ann_hnsw_topk"   -> ((s, d) => Pipeline.annHnswTopk(s, d)),
     "ann_hnsw_visited" -> ((s, d) => Pipeline.annHnswVisited(s, d)),
+    "ann_nn_descent"  -> ((s, d) => Pipeline.annNnDescent(s, d)),
+    "ann_nn_descent_recall" -> ((s, d) => Pipeline.annNnDescentRecall(s, d)),
     "q7_volume"        -> ((s, d) => Relational.q7Volume(s, d)),
     "q8_share"         -> ((s, d) => Relational.q8Share(s, d)),
     "q_pagerank"       -> ((s, d) => operators.Graph.pagerank(s, d)),

@@ -184,6 +184,12 @@ object Pipeline {
   def annHnswVisited(s: SparkSession, d: String): DataFrame =
     Similarity.hnswVisitedStats(s, d, queryPred)
 
+  def annNnDescent(s: SparkSession, d: String): DataFrame =
+    Similarity.nnDescentTopM(s, d)
+
+  def annNnDescentRecall(s: SparkSession, d: String): DataFrame =
+    Similarity.nnDescentRecall(s, d)
+
   def annCellPurity(s: SparkSession, d: String): DataFrame =
     Similarity.cellPurity(Tables.embeddings(s, d))
 
@@ -2486,6 +2492,10 @@ object Pipeline {
     "ann_hnsw_topk" -> Similarity.hnswOracleSql("vec_id % 97 = 0"),
 
     "ann_hnsw_visited" -> Similarity.hnswVisitedOracleSql("vec_id % 97 = 0"),
+
+    "ann_nn_descent" -> Similarity.nnDescentOracleSql(),
+
+    "ann_nn_descent_recall" -> Similarity.nnDescentRecallOracleSql(),
 
     "ann_knn_classify" ->
       s"""WITH e AS (SELECT vec_id, embedding, CAST(label AS BIGINT) AS label FROM embeddings),

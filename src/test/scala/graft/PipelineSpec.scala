@@ -444,6 +444,27 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("NN-descent: ranks contiguous, monotone lift over init, edges are real neighbors") {
+    val rows = Pipeline.annNnDescent(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (s, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length), s"src $s ranks")
+      assert(rs.map(_.getLong(2)).distinct.length == rs.length, s"src $s dup nbr")
+      assert(rs.forall(_.getLong(2) != s), s"src $s self edge")
+    }
+    val r = Pipeline.annNnDescentRecall(spark, sf).collect().head
+    val (nTruth, hitsInit, hits) = (r.getLong(1), r.getLong(2), r.getLong(4))
+    assert(hits >= hitsInit,
+      s"descent lost recall vs its init: $hits < $hitsInit")
+    assert(hits > 0 && hits <= nTruth)
+    info(f"NN-descent recall@${Similarity.NndM} = ${hits.toDouble / nTruth}%.2f " +
+      f"(init ${hitsInit.toDouble / nTruth}%.2f; uniform vectors are the worst case " +
+      "— no neighbor-of-neighbor correlation to exploit)")
+    // arithmetic of the gated row
+    assert(r.getLong(3) == hitsInit * 1000000L / nTruth)
+    assert(r.getLong(5) == hits * 1000000L / nTruth)
+  }
+
   test("kmeans training survives unpopulated vec_id residue classes") {
     import spark.implicits._
     // 3 vectors, 8 cells → residues 1,3,5,6,7 start empty; training must

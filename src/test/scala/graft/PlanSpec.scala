@@ -206,6 +206,19 @@ class PlanSpec extends AnyFunSuite {
       s"corpus-scale broadcast hints crept into Similarity.scala: $bad")
   }
 
+  test("nn-descent build: vertex-keyed joins only, no pinned broadcast, no product") {
+    // the descent's per-round local join must move candidates through
+    // vertex-keyed equi-joins (linear in the corpus), same discipline
+    // as the hnsw build pin above
+    val df = graft.similarity.Similarity.nnDescentBuildPlan(
+      spark, sf, graft.similarity.Similarity.NndM, 1)
+    assert(!df.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "nn-descent build must not pin a corpus-scale broadcast hint")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"nn-descent build regressed to a non-equi product:\n$p")
+  }
+
   test("exact rank paths: no single-partition window over fact-scale rows") {
     // VERDICT r7 #3: q_power_users/q_ntile funneled every customer/order
     // through ONE task via Window.orderBy with no partitionBy. The
