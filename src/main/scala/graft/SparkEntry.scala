@@ -262,6 +262,10 @@ object SparkEntry {
     "q_resource_alloc" -> ((s, d) => operators.Graph.resourceAlloc(s, d)),
     "q_kcore"          -> ((s, d) => operators.Graph.kcore(s, d)),
     "q_label_prop"     -> ((s, d) => operators.Graph.labelProp(s, d)),
+    "q_modularity"     -> ((s, d) => operators.Graph.modularity(s, d)),
+    "q_betweenness"    -> ((s, d) => operators.Graph.betweenness(s, d)),
+    "q_seq_pairs"      -> ((s, d) => operators.Temporal.qSeqPairs(s, d)),
+    "dedup_containment" -> ((s, d) => Pipeline.dedupContainment(s, d)),
     "q_scc"            -> ((s, d) => operators.Graph.scc(s, d)),
     "q_item_sim"       -> ((s, d) => operators.Graph.itemSim(s, d)),
     "ms_synonyms"      -> ((s, d) => Metastore.synonymsQ(s, d)),

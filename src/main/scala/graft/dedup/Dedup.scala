@@ -235,6 +235,86 @@ object Dedup {
   private def verifyJaccard(candIn: DataFrame, docs: DataFrame, tauX1e6: Long): DataFrame =
     verifyJaccardUnordered(candIn, docs, tauX1e6).orderBy(col("a"), col("b"))
 
+  /** Doc-inside-doc near-dup via the OVERLAP COEFFICIENT
+    * C(A,B) = |A∩B| / min(|A|,|B|) ≥ τ — the asymmetric containment
+    * signal Jaccard structurally misses: a passage wholly quoted inside
+    * a 10× larger document has J ≈ |A|/|B| → 0 but C = 1 (the
+    * quotation/boilerplate-inclusion case a training-data dedup pass
+    * must catch). Lossless candidate generation is necessarily
+    * ONE-SIDED here: classic prefix×prefix filtering degenerates for C
+    * because a tiny partner B forces the required overlap down to
+    * ⌈τ|B|⌉ regardless of |A| — no short prefix of the larger side is
+    * safe. But every qualifying pair must share ⌈τ·min⌉ shingles OF THE
+    * SMALLER SET, so if the smaller set's (|B| − ⌈τ|B|⌉ + 1)
+    * globally-rarest shingles all miss A, then |A∩B| ≤ ⌈τ|B|⌉ − 1 < τ|B|
+    * — contradiction. Hence: join SMALLER-SIDE PREFIXES against the
+    * full inverted index (size asymmetry enforced in the join, equal
+    * sizes probed from both sides and deduped). Work bound:
+    * Σ_docs Σ_{s ∈ prefix} df(s) — the rarity ordering puts the
+    * lowest-df shingles in the prefix, so a million-df boilerplate
+    * shingle never drives the probe unless a doc consists of nothing
+    * else; the full-postings side is only ever the INDEXED side of the
+    * equi-join (it is never self-joined). Verification is the same
+    * per-pair in-map sorted-intersect the Jaccard verifier uses, with
+    * min(|A|,|B|) as the denominator.
+    */
+  def containmentPairs(docs: DataFrame, tauX1e6: Long = 800000L): DataFrame = {
+    val ex = explodedShingles(docs)
+    val dfs = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+    val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    // posted = full inverted index with per-doc rarity rank + size;
+    // BOTH join sides (prefix slice + full postings) read it
+    val posted = ex.join(dfs, Seq("s"))
+      .withColumn("rn", row_number().over(byRarity))
+      .withColumn("sz", count(lit(1)).over(
+        byRarity.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .select(col("doc_id"), col("s"), col("rn"), col("sz"))
+      .localCheckpoint()
+    // ⌈τ·sz⌉ in pure BIGINT arithmetic — the smaller side's prefix
+    val prefix = posted.filter(
+      col("rn") <= col("sz") - expr(s"($tauX1e6 * sz + 999999) div 1000000") + 1)
+    val cand = prefix.as("x").join(posted.as("y"),
+        col("x.s") === col("y.s") &&
+          // strict size asymmetry probes small→large once; equal sizes
+          // probe both directions and collapse under the canonical pair
+          (col("x.sz") < col("y.sz") ||
+            (col("x.sz") === col("y.sz") && col("x.doc_id") =!= col("y.doc_id"))))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+      .distinct()
+    verifyContainment(cand, docs, tauX1e6)
+  }
+
+  /** Exact overlap-coefficient verification of an (a, b) candidate set —
+    * the [[verifyJaccardUnordered]] shape with min-size denominator:
+    * corpus semi-join-restricted to candidate docs, one native shingle
+    * pass per doc, per-pair codegen'd sorted-intersect; the LogicalRDD
+    * barrier before the threshold filter keeps Catalyst from pushing
+    * the predicate into the join and re-evaluating the intersect.
+    */
+  private def verifyContainment(candIn: DataFrame, docs: DataFrame,
+      tauX1e6: Long): DataFrame = {
+    val cand = candIn.localCheckpoint(eager = false)
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val sets = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), sort_array(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
+      .localCheckpoint()
+    val scored = cand
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("b"))
+      .select(col("a"), col("b"), col("sz_a"), col("sz_b"),
+        graft.functions.TextExpressionFunctions.sortedIntersectCount(col("sh_a"), col("sh_b"))
+          .as("inter"))
+      .localCheckpoint(eager = false)
+    scored
+      .withColumn("c_x1e6", expr("(1000000 * inter) div least(sz_a, sz_b)"))
+      .filter(col("c_x1e6") >= tauX1e6)
+      .select(col("a"), col("b"), col("c_x1e6"))
+      .orderBy(col("a"), col("b"))
+  }
+
   // --- MinHash LSH --------------------------------------------------------
 
   val MinHashPerms = 64

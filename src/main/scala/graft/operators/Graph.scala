@@ -405,6 +405,82 @@ object Graph {
         sum(expr("1000000 div dist")).cast("long").as("h_x1e6"))
       .orderBy(col("h_x1e6").desc, col("src"))
 
+  /** Betweenness + stress centrality of the directed nation trade graph
+    * — "who sits on the trade routes": for every geodesic pair (s, t),
+    * the fraction of shortest s→t paths through v (Freeman 1977
+    * betweenness, ×10⁶ with per-pair integer division so both engines
+    * floor identically) and the raw path count through v (Shimbel's
+    * stress centrality — all-integer, no division at all). Instead of
+    * Brandes' backward dependency pass (whose δ accumulator is a
+    * rational that can't gate hash-exact), the shortest-path COUNT grid
+    * σ(s, v) is built level-synchronously on top of the SAME
+    * [[apspDist]] distance grid the q_apsp family shares: σ₀ = 1 on the
+    * diagonal, σ_k(s, v) = Σ_{u→v} σ_{k−1}(s, u) restricted to
+    * d(s, v) = k — every round is one join of the ≤N²-row level against
+    * the checkpointed edge list. The pair enumeration (σ_sv · σ_vt on
+    * d(s,v)+d(v,t) = d(s,t)) is N³-bounded matrix work, zero fact-scale
+    * shuffles beyond the one shared flow extraction; at 100 TB the
+    * grid is pinned-source-sampled (the standard Brandes-sampling
+    * rendering) — the recurrence is unchanged, only the s-domain
+    * shrinks.
+    */
+  def betweenness(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+    val nations = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("nk"))
+    // edge KEY SET of the shared flow matrix; read every σ round
+    val edges = memoFlows(s, d)
+      .select(col("src").as("eu"), col("dst").as("ev"))
+      .localCheckpoint(eager = false)
+    // the distance grid feeds the σ levels AND the final pair filter
+    val dist = apspDist(s, d, iters).localCheckpoint(eager = false)
+    var level = dist.filter(col("dist") === 0)
+      .select(col("src").as("ss"), col("v"), lit(1L).as("sig"))
+    var sigma = level
+    for (k <- 1 to iters) {
+      // σ_k lives exactly on the distance-k slice of the grid: expand
+      // the previous level one hop, sum path counts, keep only rows the
+      // distance grid puts at hop k (left-semi — no new columns)
+      val lv = dist.filter(col("dist") === k)
+        .select(col("src").as("ss"), col("v"))
+      level = level.join(edges, col("v") === col("eu"))
+        .select(col("ss"), col("ev").as("v"), col("sig"))
+        .groupBy(col("ss"), col("v")).agg(sum(col("sig")).as("sig"))
+        .join(lv, Seq("ss", "v"), "left_semi")
+        .localCheckpoint(eager = false)
+      sigma = sigma.unionByName(level)
+    }
+    // σ grid with its distances attached — three consumers below
+    val dd = dist.select(col("src").as("ds"), col("v").as("dv"), col("dist"))
+    val sigd = sigma
+      .join(dd, col("ss") === col("ds") && col("v") === col("dv"))
+      .select(col("ss").as("s"), col("v"), col("sig"), col("dist"))
+      .localCheckpoint(eager = false)
+    val aSide = sigd.filter(col("s") =!= col("v"))
+      .select(col("s"), col("v"), col("sig").as("s1"), col("dist").as("d1"))
+    val bSide = sigd.filter(col("s") =!= col("v"))
+      .select(col("s").as("v"), col("v").as("t"),
+        col("sig").as("s2"), col("dist").as("d2"))
+    val stSide = sigd
+      .select(col("s"), col("v").as("t"), col("sig").as("sst"),
+        col("dist").as("d_st"))
+    nations.join(
+      aSide.join(bSide, Seq("v"))
+        .filter(col("t") =!= col("s"))
+        .join(stSide, Seq("s", "t"))
+        // v is ON a geodesic s→t iff the hop counts compose exactly
+        .filter(col("d_st") === col("d1") + col("d2"))
+        .groupBy(col("v"))
+        .agg(count(lit(1)).cast("long").as("n_geo_pairs"),
+          sum(col("s1") * col("s2")).cast("long").as("stress"),
+          sum(expr("(s1 * s2 * 1000000) div sst")).cast("long").as("bc_x1e6")),
+      col("nk") === col("v"), "left")
+      .select(col("nk").as("v"),
+        coalesce(col("n_geo_pairs"), lit(0L)).as("n_geo_pairs"),
+        coalesce(col("stress"), lit(0L)).as("stress"),
+        coalesce(col("bc_x1e6"), lit(0L)).as("bc_x1e6"))
+      .orderBy(col("bc_x1e6").desc, col("v"))
+  }
+
   /** Strongly connected components of the DIRECTED nation trade graph —
     * the directed sibling of [[components]]: who is in a mutual trade
     * cycle with whom. The dense flow matrix (every nation buys a little
@@ -826,24 +902,81 @@ object Graph {
     * argmax window — no stage touches more than E rows. Output: one
     * row per surviving community with size and id range.
     */
-  def labelProp(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
-    val edges = repeatSymEdges(s, d)
-    var lbl = edges.select(col("src").as("v")).distinct()
-      .select(col("v"), col("v").as("l"))
-      .localCheckpoint()
-    for (i <- 1 to iters) {
-      // no broadcast hint: part-scale label vector (see components)
-      val msg = edges.join(lbl, col("src") === col("v"))
-        .groupBy(col("dst"), col("l")).agg(count(lit(1)).as("c"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("dst")).orderBy(col("c").desc, col("l"))
-      lbl = msg.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-        .select(col("dst").as("v"), col("l"))
-      if (i % 2 == 0 || i == iters) lbl = lbl.localCheckpoint()
-    }
-    lbl.groupBy(col("l").as("community"))
+  def labelProp(s: SparkSession, d: String, iters: Int = 6): DataFrame =
+    lpLabels(s, d, iters).groupBy(col("l").as("community"))
       .agg(count(lit(1)).as("n_parts"), min(col("v")).as("min_part"),
         max(col("v")).as("max_part"))
+      .orderBy(col("community"))
+
+  /** The vertex→label table behind [[labelProp]] — memoized + pinned per
+    * (session, corpus, rounds) like [[repeatSymEdges]]: the community
+    * PARTITION is consumed by two gated queries (q_label_prop's size
+    * rollup and q_modularity's quality score), and a production system
+    * maintains the community assignment as a table next to the edge
+    * list rather than re-running propagation per consumer.
+    */
+  private val lpLabelCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+
+  private[graft] def lpLabels(s: SparkSession, d: String, iters: Int): DataFrame =
+    lpLabelCache.getOrElseUpdate((s, d, iters), graft.GraftSession.pin {
+      val edges = repeatSymEdges(s, d)
+      var lbl = edges.select(col("src").as("v")).distinct()
+        .select(col("v"), col("v").as("l"))
+        .localCheckpoint()
+      for (i <- 1 to iters) {
+        // no broadcast hint: part-scale label vector (see components)
+        val msg = edges.join(lbl, col("src") === col("v"))
+          .groupBy(col("dst"), col("l")).agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("dst")).orderBy(col("c").desc, col("l"))
+        lbl = msg.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("dst").as("v"), col("l"))
+        if (i % 2 == 0 || i == iters) lbl = lbl.localCheckpoint()
+      }
+      lbl
+    })
+
+  /** Newman modularity of the label-propagation partition over the
+    * repeat-co-purchase graph — the standard "is this community
+    * structure real" score (Newman & Girvan 2004): per community c,
+    * Q_c = m_c/m − (S_c/2m)², with m_c = intra-community edges, S_c =
+    * degree sum, m = total undirected edges. Emitted ×10⁹ with BOTH
+    * terms floored independently (each numerator is non-negative, so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree — the
+    * signed single-fraction rendering would diverge on negative
+    * contributions). S_c²·10⁹ passes int64 at fact scale → staged
+    * through DECIMAL(38,0) (oracle: HUGEINT). Scale shape: the labels
+    * and the edge list are the SAME pinned tables q_label_prop /
+    * q_components maintain; scoring is two V-row label joins on the
+    * E-row edge list and a communities-domain rollup — nothing new
+    * touches facts.
+    */
+  def modularity(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+    val sym = repeatSymEdges(s, d)
+    val lbl = lpLabels(s, d, iters)
+    val und = sym.filter(col("src") < col("dst"))
+    // 1-row total-edge-count scalar — fixed cardinality, hintable
+    val mTot = und.agg(count(lit(1)).cast("long").as("m"))
+    val deg = sym.groupBy(col("src").as("v"))
+      .agg(count(lit(1)).cast("long").as("deg"))
+    val intra = und
+      .join(lbl.select(col("v").as("src"), col("l").as("la")), "src")
+      .join(lbl.select(col("v").as("dst"), col("l").as("lb")), "dst")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("community"))
+      .agg(count(lit(1)).cast("long").as("m_intra"))
+    lbl.join(deg, "v")
+      .groupBy(col("l").as("community"))
+      .agg(count(lit(1)).cast("long").as("n_nodes"),
+        sum(col("deg")).cast("long").as("deg_sum"))
+      .join(intra, Seq("community"), "left")
+      .na.fill(0L, Seq("m_intra"))
+      .crossJoin(broadcast(mTot))
+      .select(col("community"), col("n_nodes"), col("m_intra"), col("deg_sum"),
+        expr("CAST((CAST(m_intra AS DECIMAL(38,0)) * 1000000000) div m" +
+          " - (CAST(deg_sum AS DECIMAL(38,0)) * deg_sum * 1000000000)" +
+          " div (4 * CAST(m AS DECIMAL(38,0)) * m) AS BIGINT)").as("q_x1e9"))
       .orderBy(col("community"))
   }
 
@@ -1227,6 +1360,42 @@ object Graph {
        |    FROM m$i) WHERE rn = 1)""".stripMargin
   }
 
+  /** The shared repeat-graph + 6-round label-propagation CTE chain
+    * (pairs/rep/e/lp0..lp6) behind the q_label_prop and q_modularity
+    * oracles — one definition, so the rollup and the quality score can
+    * never disagree about the partition.
+    */
+  private lazy val lpCtes: String = {
+    val steps = (1 to 6).map(lpStep).mkString(",\n")
+    s"""WITH pairs AS (
+       |  SELECT x.l_partkey AS a, y.l_partkey AS b, x.l_orderkey AS ok
+       |  FROM lineitem x
+       |  JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+       |rep AS MATERIALIZED (
+       |  SELECT a, b FROM (
+       |    SELECT a, b, count(DISTINCT ok) AS w FROM pairs GROUP BY a, b)
+       |  WHERE w >= 2),
+       |e AS MATERIALIZED (
+       |  SELECT a AS src, b AS dst FROM rep
+       |  UNION ALL SELECT b, a FROM rep),
+       |lp0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS l FROM e),
+       |$steps""".stripMargin
+  }
+
+  /** One shortest-path-COUNT accumulation round in DuckDB SQL: expand
+    * the previous σ level one hop and keep only rows the d6 distance
+    * grid puts at exactly hop `i` — the level-synchronous σ recurrence
+    * [[betweenness]] runs. MATERIALIZED like every iterative oracle.
+    */
+  private def sigStep(i: Int): String = {
+    val p = s"s${i - 1}"
+    s"""s$i AS MATERIALIZED (
+       |  SELECT p.src, e.edst AS v, CAST(sum(p.sig) AS BIGINT) AS sig
+       |  FROM $p p JOIN e ON e.esrc = p.v
+       |  JOIN d6 dd ON dd.src = p.src AND dd.v = e.edst AND dd.dist = $i
+       |  GROUP BY p.src, e.edst)""".stripMargin
+  }
+
   /** One HITS half-step in DuckDB SQL: weighted in-sum from the `from`
     * side's scores, then L∞ normalization onto the full nation vector.
     * MATERIALIZED like every iterative oracle (CTE inlining would
@@ -1509,24 +1678,61 @@ object Graph {
         |FROM sym JOIN deg da ON da.v = sym.a JOIN deg db ON db.v = sym.b
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
-    "q_label_prop" -> {
-      val steps = (1 to 6).map(lpStep).mkString(",\n")
-      s"""WITH pairs AS (
-         |  SELECT x.l_partkey AS a, y.l_partkey AS b, x.l_orderkey AS ok
-         |  FROM lineitem x
-         |  JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
-         |rep AS (
-         |  SELECT a, b FROM (
-         |    SELECT a, b, count(DISTINCT ok) AS w FROM pairs GROUP BY a, b)
-         |  WHERE w >= 2),
-         |e AS MATERIALIZED (
-         |  SELECT a AS src, b AS dst FROM rep
-         |  UNION ALL SELECT b, a FROM rep),
-         |lp0 AS MATERIALIZED (SELECT DISTINCT src AS v, src AS l FROM e),
-         |$steps
+    "q_label_prop" ->
+      s"""$lpCtes
          |SELECT l AS community, CAST(count(*) AS BIGINT) AS n_parts,
          |  min(v) AS min_part, max(v) AS max_part
-         |FROM lp6 GROUP BY l ORDER BY community""".stripMargin
+         |FROM lp6 GROUP BY l ORDER BY community""".stripMargin,
+
+    "q_modularity" ->
+      s"""$lpCtes,
+         |m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM rep),
+         |deg AS (
+         |  SELECT src AS v, CAST(count(*) AS BIGINT) AS deg FROM e GROUP BY src),
+         |comm AS (
+         |  SELECT lp.l AS community, CAST(count(*) AS BIGINT) AS n_nodes,
+         |    CAST(sum(deg.deg) AS BIGINT) AS deg_sum
+         |  FROM lp6 lp JOIN deg ON deg.v = lp.v GROUP BY lp.l),
+         |intra AS (
+         |  SELECT la.l AS community, CAST(count(*) AS BIGINT) AS m_intra
+         |  FROM rep
+         |  JOIN lp6 la ON la.v = rep.a
+         |  JOIN lp6 lb ON lb.v = rep.b AND lb.l = la.l
+         |  GROUP BY la.l)
+         |SELECT c.community, c.n_nodes,
+         |  COALESCE(i.m_intra, 0) AS m_intra, c.deg_sum,
+         |  CAST((CAST(COALESCE(i.m_intra, 0) AS HUGEINT) * 1000000000) // m.m
+         |    - (CAST(c.deg_sum AS HUGEINT) * c.deg_sum * 1000000000)
+         |      // (4 * CAST(m.m AS HUGEINT) * m.m) AS BIGINT) AS q_x1e9
+         |FROM comm c LEFT JOIN intra i ON i.community = c.community
+         |CROSS JOIN m ORDER BY c.community""".stripMargin,
+
+    "q_betweenness" -> {
+      val steps = (1 to 6).map(sigStep).mkString(",\n")
+      s"""$apspCtes,
+         |s0 AS (SELECT nk AS src, nk AS v, CAST(1 AS BIGINT) AS sig FROM n),
+         |$steps,
+         |sig AS (
+         |  SELECT * FROM s0 UNION ALL SELECT * FROM s1 UNION ALL
+         |  SELECT * FROM s2 UNION ALL SELECT * FROM s3 UNION ALL
+         |  SELECT * FROM s4 UNION ALL SELECT * FROM s5 UNION ALL
+         |  SELECT * FROM s6),
+         |sd AS MATERIALIZED (
+         |  SELECT g.src AS s, g.v, g.sig, d.dist
+         |  FROM sig g JOIN d6 d ON d.src = g.src AND d.v = g.v),
+         |thr AS (
+         |  SELECT a.v AS v, CAST(count(*) AS BIGINT) AS n_geo_pairs,
+         |    CAST(sum(a.sig * b.sig) AS BIGINT) AS stress,
+         |    CAST(sum((a.sig * b.sig * 1000000) // st.sig) AS BIGINT) AS bc_x1e6
+         |  FROM sd a
+         |  JOIN sd b ON b.s = a.v AND b.v <> a.s AND b.v <> b.s
+         |  JOIN sd st ON st.s = a.s AND st.v = b.v AND st.dist = a.dist + b.dist
+         |  WHERE a.s <> a.v
+         |  GROUP BY a.v)
+         |SELECT n.nk AS v, COALESCE(t.n_geo_pairs, 0) AS n_geo_pairs,
+         |  COALESCE(t.stress, 0) AS stress, COALESCE(t.bc_x1e6, 0) AS bc_x1e6
+         |FROM n LEFT JOIN thr t ON t.v = n.nk
+         |ORDER BY bc_x1e6 DESC, v""".stripMargin
     },
 
     "q_degree_dist" ->

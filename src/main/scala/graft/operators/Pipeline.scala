@@ -39,6 +39,10 @@ object Pipeline {
   def dedupLevenshtein(s: SparkSession, d: String): DataFrame =
     Dedup.levenshteinPairs(Tables.documents(s, d))
 
+  /** Asymmetric doc-inside-doc containment (overlap coefficient ≥ 0.8). */
+  def dedupContainment(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, d))
+
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Similarity.pairSim(Tables.embeddings(s, d), 400000L)
 
@@ -1686,6 +1690,17 @@ object Pipeline {
        |SELECT q_id, rk, vec_id, cos_x1e6 FROM rk WHERE rk <= 10
        |ORDER BY q_id, rk""".stripMargin
 
+  private val bruteContainment =
+    s"""WITH sh AS (SELECT doc_id, $shingleE AS sh FROM documents),
+       |pr AS (
+       |  SELECT x.doc_id AS a, y.doc_id AS b,
+       |    CAST(len(list_intersect(x.sh, y.sh)) AS BIGINT) AS inter,
+       |    CAST(least(len(x.sh), len(y.sh)) AS BIGINT) AS mn
+       |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
+       |SELECT a, b, (1000000 * inter) // mn AS c_x1e6
+       |FROM pr WHERE inter > 0 AND (1000000 * inter) // mn >= 800000
+       |ORDER BY a, b""".stripMargin
+
   private val bruteJaccard =
     s"""WITH sh AS (SELECT doc_id, $shingleE AS sh FROM documents),
        |pr AS (
@@ -1941,6 +1956,7 @@ object Pipeline {
          |ORDER BY doc_id_a, doc_id_b""".stripMargin
     },
 
+    "dedup_containment" -> bruteContainment,
     "dedup_ngram_jaccard" -> bruteJaccard,
     "dedup_minhash_lsh" -> bruteJaccard,
 

@@ -718,6 +718,51 @@ object Temporal {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** Sequential-pattern support over per-user event histories — the
+    * order-sensitive sibling of [[qMarkov]] (which counts only ADJACENT
+    * transitions): for every ordered type pair (a, b), how many users
+    * did a STRICTLY BEFORE their first b (first-occurrence semantics,
+    * ties broken by event_id — the deterministic rendering of the
+    * classic 2-sequence support of AprioriAll/PrefixSpan), plus
+    * confidence P(b after a | a) and lift vs the independence
+    * baseline, both exact ×10⁶ integers (lift's support·N·10⁶ staged
+    * through DECIMAL(38,0)). Scale shape: ONE fact-scale shuffle to the
+    * (user, type) first-occurrence grid — per-user state only — then a
+    * user-keyed equi-join whose blowup is |types|² per user (types is
+    * a small fixed domain, so this is linear in users), aggregated to
+    * the |types|²-row pair matrix. The user count is a 1-row broadcast.
+    */
+  def qSeqPairs(s: SparkSession, d: String): DataFrame = {
+    val ev = EventStreams.normalize(Tables.events(s, d))
+      .select(col("user_id"), col("ts_us"), col("event_id"), col("event_type"))
+    // first occurrence of each type per user; read by both pair-join
+    // sides AND the marginals — materialize the narrow grid once
+    val firsts = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("event_type"),
+        col("f.ts_us").as("fts"), col("f.event_id").as("fid"))
+      .localCheckpoint(eager = false)
+    val nUsers = firsts.select(col("user_id")).distinct()
+      .agg(count(lit(1)).cast("long").as("n_users"))
+    val typeN = firsts.groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("long").as("n"))
+    firsts.as("x").join(firsts.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") =!= col("y.event_type") &&
+          (col("x.fts") < col("y.fts") ||
+            (col("x.fts") === col("y.fts") && col("x.fid") < col("y.fid"))))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).cast("long").as("support"))
+      .join(typeN.select(col("event_type").as("type_a"), col("n").as("n_a")), "type_a")
+      .join(typeN.select(col("event_type").as("type_b"), col("n").as("n_b")), "type_b")
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("support"), col("n_a"), col("n_b"),
+        expr("(support * 1000000) div n_a").as("conf_x1e6"),
+        expr("CAST((CAST(support AS DECIMAL(38,0)) * n_users * 1000000)" +
+          " div (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)").as("lift_x1e6"))
+      .orderBy(col("support").desc, col("type_a"), col("type_b"))
+  }
+
   /** Rolling (cumulative) mode of each user's event types — per event,
     * the most frequent type seen so far, ties broken lexicographically
     * smallest. Pure window functions, no token self-join: the running
@@ -3518,6 +3563,32 @@ object Temporal {
         |SELECT from_type, to_type, n,
         |  CAST(n * 1000000 // sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS p_x1e6
         |FROM c ORDER BY from_type, to_type""".stripMargin,
+
+    "q_seq_pairs" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |f AS (
+        |  SELECT user_id, event_type, ts_us AS fts, event_id AS fid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts_us, event_id) AS rn
+        |    FROM ev) WHERE rn = 1),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM f),
+        |tn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY event_type),
+        |sup AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |    CAST(count(*) AS BIGINT) AS support
+        |  FROM f x JOIN f y ON y.user_id = x.user_id
+        |    AND x.event_type <> y.event_type
+        |    AND (x.fts < y.fts OR (x.fts = y.fts AND x.fid < y.fid))
+        |  GROUP BY 1, 2)
+        |SELECT s.type_a, s.type_b, s.support, a.n AS n_a, b.n AS n_b,
+        |  (s.support * 1000000) // a.n AS conf_x1e6,
+        |  CAST((CAST(s.support AS HUGEINT) * nu.n_users * 1000000)
+        |    // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS lift_x1e6
+        |FROM sup s
+        |JOIN tn a ON a.event_type = s.type_a
+        |JOIN tn b ON b.event_type = s.type_b
+        |CROSS JOIN nu
+        |ORDER BY s.support DESC, s.type_a, s.type_b""".stripMargin,
 
     "q_mode_rolling" ->
       """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),

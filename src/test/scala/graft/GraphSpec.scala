@@ -294,6 +294,98 @@ class GraphSpec extends AnyFunSuite {
         "update the exactly-R-rounds contract docs and this pin together")
   }
 
+  test("modularity equals a driver-side Newman Q replay of the label-prop partition") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val und = li.groupBy(_._1).values.flatMap { rows =>
+      val ps = rows.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSeq.groupBy(identity).filter(_._2.size >= 2).keys.toSeq
+    val sym = und.flatMap(e => Seq(e, (e._2, e._1)))
+    val inNbrs = sym.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    var lbl: Map[Long, Long] = sym.map(_._1).distinct.map(v => v -> v).toMap
+    for (_ <- 1 to 6) {
+      lbl = inNbrs.map { case (v, ns) =>
+        val counts = ns.map(lbl).groupBy(identity).view.mapValues(_.size).toSeq
+        v -> counts.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    val m = und.size.toLong
+    val deg = sym.groupBy(_._1).map { case (v, es) => v -> es.size.toLong }
+    val want = lbl.groupBy(_._2).map { case (c, vs) =>
+      val nodes = vs.keySet
+      val mIntra = und.count(e => nodes(e._1) && nodes(e._2)).toLong
+      val degSum = nodes.toSeq.map(deg).sum
+      // both terms floored independently — the gated convention
+      val q = (BigInt(mIntra) * 1000000000L / m -
+        BigInt(degSum) * degSum * 1000000000L / (BigInt(4) * m * m)).toLong
+      (c, nodes.size.toLong, mIntra, degSum, q)
+    }.toSet
+    val got = Graph.modularity(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got == want, "modularity rows diverge from the Newman Q replay")
+    // aggregate Q is a sane modularity (Q ∈ [-0.5, 1] up to flooring)
+    val qTot = got.toSeq.map(_._5).sum
+    assert(qTot >= -500000000L && qTot <= 1000000000L, s"total Q out of range: $qTot")
+  }
+
+  test("betweenness equals a driver-side shortest-path-count replay") {
+    // rebuild the directed nation trade edges exactly as the operator does
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+    val ord = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val cust = Tables.customer(spark, sf)
+      .selectExpr("c_custkey", "CAST(c_nationkey AS LONG) src")
+    val supp = Tables.supplier(spark, sf)
+      .selectExpr("s_suppkey", "CAST(s_nationkey AS LONG) dst")
+    import org.apache.spark.sql.functions.col
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select("src", "dst").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nodes = Tables.nation(spark, sf).selectExpr("CAST(n_nationkey AS LONG)")
+      .collect().map(_.getLong(0)).sorted
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    // per-source BFS carrying shortest-path counts, 6-hop budget
+    def grid(s0: Long): Map[Long, (Long, Long)] = {
+      val dist = scala.collection.mutable.Map(s0 -> 0L)
+      val sig = scala.collection.mutable.Map(s0 -> 1L)
+      var frontier = Seq(s0)
+      var h = 0L
+      while (frontier.nonEmpty && h < 6) {
+        h += 1
+        val next = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+        for (u <- frontier; v <- adj.getOrElse(u, Array.empty[Long])
+             if !dist.contains(v)) next(v) += sig(u)
+        frontier = next.keys.toSeq
+        next.foreach { case (v, c) => dist(v) = h; sig(v) = c }
+      }
+      dist.keys.map(v => v -> ((dist(v), sig(v)))).toMap
+    }
+    val grids = nodes.map(s0 => s0 -> grid(s0)).toMap
+    val acc = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    for {
+      s0 <- nodes
+      (v, (d1, s1)) <- grids(s0) if v != s0
+      (t, (d2, s2)) <- grids(v) if t != v && t != s0
+      (dst, sst) <- grids(s0).get(t) if dst == d1 + d2
+    } {
+      val (np, st, bc) = acc(v)
+      acc(v) = (np + 1, st + s1 * s2, bc + s1 * s2 * 1000000L / sst)
+    }
+    val want = nodes.map(v => (v, acc(v)._1, acc(v)._2, acc(v)._3)).toSet
+    val got = Graph.betweenness(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == want, "betweenness/stress rows diverge from the σ replay")
+    // a through-node exists exactly when some geodesic is ≥ 2 hops (the
+    // sf0.001 trade graph is complete — all zeros is CORRECT there)
+    val multiHop = nodes.exists(s0 => grids(s0).exists(_._2._1 >= 2L))
+    assert(got.exists(_._4 > 0L) == multiHop,
+      s"through-node witness inconsistent with multi-hop geodesics ($multiHop)")
+  }
+
   test("components: 10-round labels equal a driver-side replay of the recurrence") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1)))

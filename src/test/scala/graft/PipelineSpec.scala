@@ -48,6 +48,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
   }
 
+  test("containment pairs equal brute force and catch the doc-inside-doc case jaccard misses") {
+    import spark.implicits._
+    // doc 1 is a verbatim passage of doc 0 (10 of its 60 tokens):
+    // C(0,1) = 1 but J(0,1) ≈ 8/58 — the asymmetric case Jaccard misses.
+    // A shared boilerplate run (df = n shingle) rides along so the
+    // one-sided prefix scheme is exercised on a hot posting list too.
+    val boiler = "terms of service apply"
+    val big = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val quote = (10 until 20).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (0L, s"$boiler $big"),
+      (1L, s"$boiler $quote"),
+      (2L, s"$boiler completely different text about other things entirely"),
+      (3L, s"$boiler $big trailing extras appended here"))
+    val got = Dedup.containmentPairs(corpus.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def sh(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString("_")).toSet
+    val mats = corpus.map { case (id, t) => id -> sh(t) }
+    val want = (for {
+      (a, sa) <- mats; (b, sb) <- mats if a < b
+      inter = (sa & sb).size if inter > 0
+      c = 1000000L * inter / math.min(sa.size, sb.size) if c >= 800000L
+    } yield (a, b, c)).toSet
+    assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
+    // the contained-quote pair is found, and Jaccard would have missed it
+    assert(got.exists(p => p._1 == 0L && p._2 == 1L), "doc-inside-doc pair missed")
+    val (s0, s1) = (mats.head._2, mats(1)._2)
+    val j01 = 1000000L * (s0 & s1).size / (s0 ++ s1).size
+    assert(j01 < 500000L, s"witness not asymmetric enough: J(0,1) = $j01")
+  }
+
+  test("containment on the live corpus contains every J >= tau_C pair (C >= J)") {
+    // C(A,B) = |A∩B|/min ≥ |A∩B|/|A∪B| = J always, so every pair at
+    // J ≥ τ_C = 0.8 MUST also clear the containment gate — a lossless-
+    // candidate-generation witness on the live corpus (28 such pairs
+    // planted at sf0.001)
+    val cont = Pipeline.dedupContainment(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val jacHigh = Dedup.ngramJaccardPairs(docs).collect()
+      .filter(_.getLong(2) >= 800000L)
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jacHigh.nonEmpty, "expected J >= 0.8 near-dup pairs in the test corpus")
+    assert(jacHigh.subsetOf(cont),
+      s"J >= tau_C pairs missing from containment: ${jacHigh -- cont}")
+  }
+
   test("MinHashAgg signature equals a scala reference across partitionings") {
     import graft.functions.MinHashAgg
     import spark.implicits._

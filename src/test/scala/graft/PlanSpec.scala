@@ -161,9 +161,10 @@ class PlanSpec extends AnyFunSuite {
     val src = scala.io.Source.fromFile(
       "src/main/scala/graft/operators/Graph.scala", "UTF-8").mkString
     // round 8 additions: n (nation count), rmax/scal (1-row aggregates
-    // over the ≤N-row eccentricity table) — all fixed-cardinality
+    // over the ≤N-row eccentricity table) — all fixed-cardinality.
+    // round 12: mTot (modularity's 1-row total-edge-count scalar)
     val allowed = Set("nn", "pr", "dist", "score", "mx", "nOrders",
-      "n", "rmax", "scal")
+      "n", "rmax", "scal", "mTot")
     val heads = """broadcast\((\w+)""".r
       .findAllMatchIn(src).map(_.group(1)).toList
     val bad = heads.filterNot(allowed)

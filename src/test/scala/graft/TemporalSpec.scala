@@ -159,6 +159,38 @@ class TemporalSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == nEvents - nUsers)
   }
 
+  test("seq pairs equal a driver-side first-occurrence replay") {
+    val ev = graft.streaming.EventStreams.normalize(Tables.events(spark, sf))
+      .select("user_id", "ts_us", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val firsts = ev.groupBy(e => (e._1, e._4)).map { case ((u, t), rows) =>
+      val m = rows.minBy(e => (e._2, e._3)); (u, t, m._2, m._3)
+    }.toSeq
+    val nUsers = firsts.map(_._1).distinct.size.toLong
+    val typeN = firsts.groupBy(_._2).map { case (t, r) => t -> r.size.toLong }
+    val sup = scala.collection.mutable.Map
+      .empty[(String, String), Long].withDefaultValue(0L)
+    firsts.groupBy(_._1).values.foreach { fs =>
+      for (x <- fs; y <- fs
+           if x._2 != y._2 && (x._3 < y._3 || (x._3 == y._3 && x._4 < y._4)))
+        sup((x._2, y._2)) += 1
+    }
+    val want = sup.toSeq.map { case ((a, b), s) =>
+      val na = typeN(a); val nb = typeN(b)
+      (a, b, s, na, nb, s * 1000000L / na,
+        (BigInt(s) * nUsers * 1000000L / (BigInt(na) * nb)).toLong)
+    }.toSet
+    val got = Temporal.qSeqPairs(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == want, "seq-pair support/conf/lift diverge from the replay")
+    assert(got.nonEmpty)
+    // support is bounded by both marginals by construction
+    got.foreach { case (a, b, s, na, nb, _, _) =>
+      assert(s <= math.min(na, nb), s"support $s exceeds marginals for ($a,$b)")
+    }
+  }
+
   test("scd2 segments: half-open, non-overlapping, exactly one open segment per user") {
     val rows = Temporal.qScd2(spark, sf).collect()
     assert(rows.nonEmpty)
