@@ -266,6 +266,8 @@ object SparkEntry {
     "q_betweenness"    -> ((s, d) => operators.Graph.betweenness(s, d)),
     "q_seq_pairs"      -> ((s, d) => operators.Temporal.qSeqPairs(s, d)),
     "dedup_containment" -> ((s, d) => Pipeline.dedupContainment(s, d)),
+    "ann_rq_topk"      -> ((s, d) => Pipeline.annRqTopk(s, d)),
+    "ann_rq_error"     -> ((s, d) => Pipeline.annRqError(s, d)),
     "q_scc"            -> ((s, d) => operators.Graph.scc(s, d)),
     "q_item_sim"       -> ((s, d) => operators.Graph.itemSim(s, d)),
     "ms_synonyms"      -> ((s, d) => Metastore.synonymsQ(s, d)),

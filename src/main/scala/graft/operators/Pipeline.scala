@@ -104,6 +104,7 @@ object Pipeline {
         model = Some(graft.similarity.IvfModel.cells))),
       "lsh" -> pairs(Similarity.lshTopK(emb, queryPred)),
       "pq"  -> pairs(Similarity.pqTopK(emb, queryPred)),
+      "rq"  -> pairs(Similarity.rqTopK(emb, queryPred)),
       "sq"  -> pairs(Similarity.sqTopK(emb, queryPred)))
     methods.map { case (nm, p) =>
       val hits = truth.join(p, Seq("q_id", "vec_id"))
@@ -187,6 +188,12 @@ object Pipeline {
 
   def annHnswVisited(s: SparkSession, d: String): DataFrame =
     Similarity.hnswVisitedStats(s, d, queryPred)
+
+  def annRqTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.rqTopK(Tables.embeddings(s, d), queryPred)
+
+  def annRqError(s: SparkSession, d: String): DataFrame =
+    Similarity.rqQuantError(Tables.embeddings(s, d))
 
   def annNnDescent(s: SparkSession, d: String): DataFrame =
     Similarity.nnDescentTopM(s, d)
@@ -2489,6 +2496,9 @@ object Pipeline {
          |  UNION ALL SELECT 'pq', q_id, vec_id FROM (
          |${Similarity.pqOracleSql("vec_id % 97 = 0")}
          |  ) z
+         |  UNION ALL SELECT 'rq', q_id, vec_id FROM (
+         |${Similarity.rqOracleSql("vec_id % 97 = 0")}
+         |  ) z
          |  UNION ALL SELECT 'sq', q_id, vec_id FROM (
          |${Similarity.sqOracleSql("vec_id % 97 = 0")}
          |  ) z),
@@ -2580,6 +2590,10 @@ object Pipeline {
     "ann_sq_topk" -> Similarity.sqOracleSql("vec_id % 97 = 0"),
 
     "ann_pq_topk" -> Similarity.pqOracleSql("vec_id % 97 = 0"),
+
+    "ann_rq_topk" -> Similarity.rqOracleSql("vec_id % 97 = 0"),
+
+    "ann_rq_error" -> Similarity.rqErrorSql(),
 
     "ann_ivf_pq_topk" -> Similarity.ivfPqOracleSql("vec_id % 97 = 0"),
 

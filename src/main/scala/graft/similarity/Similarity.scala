@@ -496,6 +496,267 @@ object Similarity {
        |ORDER BY q_id, rk""".stripMargin
   }
 
+  // --- Residual quantization (RQ) ----------------------------------------
+
+  /** c·c with the in-order fold every serve-side chain uses. */
+  private def rqCc(cent: Seq[Float]): Double =
+    cent.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+
+  /** c1_k · c2_j, in array order (the cross term of ‖c1+c2‖²). */
+  private def rqCross(c1: Seq[Float], c2: Seq[Float]): Double =
+    c1.zip(c2).foldLeft(0.0)((a, p) => a + p._1.toDouble * p._2.toDouble)
+
+  /** The pair constant 2·(c1_k·c2_j) + c2_j·c2_j — one Scala double
+    * literal per (k, j), so d(x, c1+c2) renders as
+    * ((d1_k) − 2·x·c2_j) + ccp_{k,j} with d1_k = (x·x − 2·x·c1_k) + c1·c1
+    * already a named column: identical associativity on both engines.
+    */
+  private def rqCcp(c1: Seq[Float], c2: Seq[Float]): Double =
+    2.0 * rqCross(c1, c2) + rqCc(c2)
+
+  /** 64-term literal dot chain for the oracle (1-based list indexing). */
+  private def rqDotSql(v: String, cent: Seq[Float]): String =
+    cent.zipWithIndex.map { case (c, j) =>
+      s"CAST($v[${j + 1}] AS DOUBLE) * (${c.toDouble})"
+    }.mkString("(0.0 + ", " + ", ")")
+
+  private def rqVvSql(v: String, dim: Int): String =
+    (1 to dim).map(i => s"CAST($v[$i] AS DOUBLE) * CAST($v[$i] AS DOUBLE)")
+      .mkString("(0.0 + ", " + ", ")")
+
+  /** Residual-quantization ADC scan (Chen–Guan–Wang 2010, public
+    * literature) — the compression rung between SQ and PQ that refines
+    * the APPROXIMATION instead of partitioning the COORDINATES: every
+    * corpus vector is greedily encoded as (a1, a2) — nearest level-1
+    * centroid, then nearest level-2 centroid of the residual — and the
+    * scan scores d(q, c1+c2) from two per-query lookup tables. At
+    * 100 TB the corpus side reads 2 codes (1 byte) per vector; both
+    * codebooks are literal broadcasts; the corpus is never shuffled
+    * beyond the top-k window. Everything is pinned-literal double
+    * arithmetic in fixed association order ⇒ the whole
+    * encode→ADC→re-rank plan gates HASH-EXACT against [[rqOracleSql]];
+    * recall vs brute is pinned in spec. The decomposition discipline is
+    * [[pqTopK]]'s: d = (vv − 2·dot1_k) + cc1_k for level 1, then
+    * d2 = (d1sel − 2·dot2_j) + ccp_{k,j} with d1sel = least(d1_*) (the
+    * selected level-1 distance IS the min — no CASE re-derivation), so
+    * both engines fold the same named values in the same order.
+    */
+  def rqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+             l1: Seq[Seq[Float]] = RqModel.level1,
+             l2: Seq[Seq[Float]] = RqModel.level2): DataFrame = {
+    val k1 = l1.length
+    val k2 = l2.length
+    // corpus side: vv + 2·(K1+K2) literal dots, barriered (codes are an
+    // ingest-time artifact — the checkpoint is the honest pipeline shape)
+    val pre = graft.Tables.fanOut(embeddings).select(
+      col("vec_id") +:
+        (expr(s"aggregate(transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("vv") +:
+          (l1.indices.map(kk => graft.functions.VectorFunctions
+            .floatVecDotConst(col("embedding"), l1(kk).map(_.toDouble))
+            .as(s"dot1_$kk")) ++
+           l2.indices.map(j => graft.functions.VectorFunctions
+            .floatVecDotConst(col("embedding"), l2(j).map(_.toDouble))
+            .as(s"dot2_$j")))): _*)
+      .localCheckpoint()
+    val withD1 = pre.select(col("*") +:
+      l1.indices.map(kk =>
+        expr(s"(vv - 2.0 * dot1_$kk) + (${rqCc(l1(kk))})").as(s"d1_$kk")): _*)
+    val d1least = l1.indices.map(kk => s"d1_$kk").mkString("least(", ", ", ")")
+    val withA1 = withD1
+      .withColumn("d1sel", expr(d1least))
+      .withColumn("a1", expr(l1.indices
+        .map(kk => s"WHEN d1_$kk = d1sel THEN $kk")
+        .mkString("CASE ", " ", " END")))
+      .localCheckpoint()
+    val withD2 = withA1.select(Seq(col("vec_id"), col("a1")) ++
+      l2.indices.map { j =>
+        val ccp = l1.indices.map(kk => s"WHEN $kk THEN (${rqCcp(l1(kk), l2(j))})")
+          .mkString("CASE a1 ", " ", " END")
+        expr(s"(d1sel - 2.0 * dot2_$j) + ($ccp)").as(s"d2_$j")
+      }: _*)
+      .localCheckpoint()
+    val d2least = l2.indices.map(j => s"d2_$j").mkString("least(", ", ", ")")
+    val codes = withD2
+      .withColumn("a2", expr(l2.indices
+        .map(j => s"WHEN d2_$j = $d2least THEN $j")
+        .mkString("CASE ", " ", " END")))
+      .select(col("vec_id"), col("a1"), col("a2"))
+    // query side: the (K1 × K2)-entry ADC lookup table per query
+    val qpre = embeddings.filter(queryPred)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .select(col("q_id") +:
+        (expr(s"aggregate(transform(q_emb, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("qq") +:
+          (l1.indices.map(kk => graft.functions.VectorFunctions
+            .floatVecDotConst(col("q_emb"), l1(kk).map(_.toDouble))
+            .as(s"qdot1_$kk")) ++
+           l2.indices.map(j => graft.functions.VectorFunctions
+            .floatVecDotConst(col("q_emb"), l2(j).map(_.toDouble))
+            .as(s"qdot2_$j")))): _*)
+      .localCheckpoint()
+    val qtab = qpre.select(col("q_id") +:
+      (for (kk <- l1.indices; j <- l2.indices) yield
+        expr(s"((qq - 2.0 * qdot1_$kk) + (${rqCc(l1(kk))}) - 2.0 * qdot2_$j)" +
+          s" + (${rqCcp(l1(kk), l2(j))})").as(s"dq_${kk}_$j")): _*)
+      .localCheckpoint()
+    val adc = expr(l1.indices.map { kk =>
+      val inner = l2.indices.map(j => s"WHEN $j THEN dq_${kk}_$j")
+        .mkString("(CASE a2 ", " ", " END)")
+      s"WHEN $kk THEN $inner"
+    }.mkString("CASE a1 ", " ", " END"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("adist_x1e6"), col("vec_id"))
+    codes.join(broadcast(qtab), col("vec_id") =!= col("q_id"))
+      .withColumn("adist_x1e6", floor(adc * 1e6).cast("long"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("rk"), col("vec_id"), col("adist_x1e6"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  /** RQ reconstruction-error QA — the two-level sibling of
+    * [[pqQuantError]]: per vector the exact ‖x − c1 − c2‖² of its
+    * greedy encoding (= min_j d2_j by construction), floored ×10⁶ per
+    * row, corpus mean alongside, top-20 worst. The one-number health
+    * check that decides whether the pinned books need retraining, and
+    * the measured claim behind RQ's place on the compression ladder
+    * (its mean error should undercut level-1-only quantization).
+    */
+  def rqQuantError(embeddings: DataFrame,
+                   l1: Seq[Seq[Float]] = RqModel.level1,
+                   l2: Seq[Seq[Float]] = RqModel.level2): DataFrame = {
+    val pre = graft.Tables.fanOut(embeddings).select(
+      col("vec_id") +:
+        (expr(s"aggregate(transform(embedding, e -> CAST(e AS DOUBLE) * CAST(e AS DOUBLE)), CAST(0.0 AS DOUBLE), (a, x) -> a + x)").as("vv") +:
+          (l1.indices.map(kk => graft.functions.VectorFunctions
+            .floatVecDotConst(col("embedding"), l1(kk).map(_.toDouble))
+            .as(s"dot1_$kk")) ++
+           l2.indices.map(j => graft.functions.VectorFunctions
+            .floatVecDotConst(col("embedding"), l2(j).map(_.toDouble))
+            .as(s"dot2_$j")))): _*)
+      .localCheckpoint(eager = false)
+    val withD1 = pre.select(col("*") +:
+      l1.indices.map(kk =>
+        expr(s"(vv - 2.0 * dot1_$kk) + (${rqCc(l1(kk))})").as(s"d1_$kk")): _*)
+    val d1least = l1.indices.map(kk => s"d1_$kk").mkString("least(", ", ", ")")
+    val withA1 = withD1
+      .withColumn("d1sel", expr(d1least))
+      .withColumn("a1", expr(l1.indices
+        .map(kk => s"WHEN d1_$kk = d1sel THEN $kk")
+        .mkString("CASE ", " ", " END")))
+      .localCheckpoint(eager = false)
+    val d2s = l2.indices.map { j =>
+      val ccp = l1.indices.map(kk => s"WHEN $kk THEN (${rqCcp(l1(kk), l2(j))})")
+        .mkString("CASE a1 ", " ", " END")
+      s"(d1sel - 2.0 * dot2_$j) + ($ccp)"
+    }.mkString("least(", ", ", ")")
+    val e = withA1.select(col("vec_id"),
+      expr(s"CAST(floor(($d2s) * 1000000) AS BIGINT)").as("qerr_x1e6"))
+    val t = e.agg(count(lit(1)).as("n_vecs"),
+      sum(col("qerr_x1e6")).cast("long").as("sum_err"))
+    e.crossJoin(broadcast(t))
+      .withColumn("mean_x1e6", expr("sum_err div n_vecs"))
+      .select(col("vec_id"), col("qerr_x1e6"), col("mean_x1e6"))
+      .orderBy(col("qerr_x1e6").desc, col("vec_id")).limit(20)
+  }
+
+  /** Shared encode CTE chain (pre/d1/a1sel/d2/codes) of the RQ oracles. */
+  private def rqEncodeCtes(l1: Seq[Seq[Float]], l2: Seq[Seq[Float]],
+      dim: Int): String = {
+    val preCols = (s"    ${rqVvSql("embedding", dim)} AS vv" +:
+      (l1.indices.map(kk => s"    ${rqDotSql("embedding", l1(kk))} AS dot1_$kk") ++
+       l2.indices.map(j => s"    ${rqDotSql("embedding", l2(j))} AS dot2_$j")))
+      .mkString(",\n")
+    val d1Cols = l1.indices
+      .map(kk => s"    (vv - 2.0 * dot1_$kk) + (${rqCc(l1(kk))}) AS d1_$kk")
+      .mkString(",\n")
+    val d1least = l1.indices.map(kk => s"d1_$kk").mkString("least(", ", ", ")")
+    val a1Case = l1.indices.map(kk => s"WHEN d1_$kk = d1sel THEN $kk")
+      .mkString("CASE ", " ", " END")
+    val d2Cols = l2.indices.map { j =>
+      val ccp = l1.indices.map(kk => s"WHEN $kk THEN (${rqCcp(l1(kk), l2(j))})")
+        .mkString("CASE a1 ", " ", " END")
+      s"    (d1sel - 2.0 * dot2_$j) + ($ccp) AS d2_$j"
+    }.mkString(",\n")
+    s"""WITH pre AS MATERIALIZED (
+       |  SELECT vec_id,
+       |$preCols
+       |  FROM embeddings),
+       |wd1 AS MATERIALIZED (
+       |  SELECT *,
+       |$d1Cols
+       |  FROM pre),
+       |wa1 AS MATERIALIZED (
+       |  SELECT *, $a1Case AS a1 FROM (
+       |    SELECT *, $d1least AS d1sel FROM wd1)),
+       |wd2 AS MATERIALIZED (
+       |  SELECT vec_id, a1, d1sel,
+       |$d2Cols
+       |  FROM wa1)""".stripMargin
+  }
+
+  /** DuckDB rendering of the full RQ plan (encode → ADC → re-rank). */
+  def rqOracleSql(queryPredSql: String, k: Int = 10,
+                  l1: Seq[Seq[Float]] = RqModel.level1,
+                  l2: Seq[Seq[Float]] = RqModel.level2,
+                  dim: Int = Dim): String = {
+    val d2least = l2.indices.map(j => s"d2_$j").mkString("least(", ", ", ")")
+    val a2Case = l2.indices.map(j => s"WHEN d2_$j = $d2least THEN $j")
+      .mkString("CASE ", " ", " END")
+    val qpreCols = (s"    ${rqVvSql("q_emb", dim)} AS qq" +:
+      (l1.indices.map(kk => s"    ${rqDotSql("q_emb", l1(kk))} AS qdot1_$kk") ++
+       l2.indices.map(j => s"    ${rqDotSql("q_emb", l2(j))} AS qdot2_$j")))
+      .mkString(",\n")
+    val dqCols = (for (kk <- l1.indices; j <- l2.indices) yield
+      s"    ((qq - 2.0 * qdot1_$kk) + (${rqCc(l1(kk))}) - 2.0 * qdot2_$j)" +
+        s" + (${rqCcp(l1(kk), l2(j))}) AS dq_${kk}_$j")
+      .mkString(",\n")
+    val adc = l1.indices.map { kk =>
+      val inner = l2.indices.map(j => s"WHEN $j THEN dq_${kk}_$j")
+        .mkString("(CASE c.a2 ", " ", " END)")
+      s"WHEN $kk THEN $inner"
+    }.mkString("(CASE c.a1 ", " ", " END)")
+    s"""${rqEncodeCtes(l1, l2, dim)},
+       |codes AS MATERIALIZED (
+       |  SELECT vec_id, a1, $a2Case AS a2 FROM wd2),
+       |q0 AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+       |       WHERE $queryPredSql),
+       |qpre AS (
+       |  SELECT q_id,
+       |$qpreCols
+       |  FROM q0),
+       |dq AS MATERIALIZED (
+       |  SELECT q_id,
+       |$dqCols
+       |  FROM qpre),
+       |sc AS (
+       |  SELECT q.q_id, c.vec_id,
+       |    CAST(floor(($adc) * 1e6) AS BIGINT) AS adist_x1e6
+       |  FROM codes c CROSS JOIN dq q WHERE c.vec_id <> q.q_id),
+       |rk AS (
+       |  SELECT q_id, vec_id, adist_x1e6,
+       |    CAST(row_number() OVER (PARTITION BY q_id
+       |      ORDER BY adist_x1e6, vec_id) AS INT) AS rk
+       |  FROM sc)
+       |SELECT q_id, rk, vec_id, adist_x1e6 FROM rk WHERE rk <= $k
+       |ORDER BY q_id, rk""".stripMargin
+  }
+
+  /** DuckDB rendering of [[rqQuantError]]. */
+  def rqErrorSql(l1: Seq[Seq[Float]] = RqModel.level1,
+                 l2: Seq[Seq[Float]] = RqModel.level2,
+                 dim: Int = Dim): String = {
+    val d2least = l2.indices.map(j => s"d2_$j").mkString("least(", ", ", ")")
+    s"""${rqEncodeCtes(l1, l2, dim)},
+       |e AS (
+       |  SELECT vec_id,
+       |    CAST(floor(($d2least) * 1000000) AS BIGINT) AS qerr_x1e6
+       |  FROM wd2),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+       |        CAST(sum(qerr_x1e6) AS BIGINT) AS sum_err FROM e)
+       |SELECT e.vec_id, e.qerr_x1e6, t.sum_err // t.n_vecs AS mean_x1e6
+       |FROM e CROSS JOIN t
+       |ORDER BY e.qerr_x1e6 DESC, e.vec_id LIMIT 20""".stripMargin
+  }
+
   /** IVF-PQ composite — the canonical billion-vector serving layout
     * (coarse quantizer prunes the corpus to nProbe cells per query, PQ
     * codes compress the scan INSIDE those cells to M 4-bit lookups per

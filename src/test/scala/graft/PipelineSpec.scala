@@ -405,6 +405,49 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall > 0.05)
   }
 
+  test("RQ ADC scan: valid ranks, non-decreasing distances, measured recall, error undercuts level 1") {
+    val rows = Pipeline.annRqTopk(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to rs.length))
+      val ds = sorted.map(_.getLong(3))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b })
+    }
+    val brute = Pipeline.annBruteTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rq = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute & rq).size.toDouble / brute.size
+    info(f"RQ ADC recall@10 vs cosine brute = $recall%.2f (16+16 books, approximate by design)")
+    assert(recall > 0.05)
+    // the ladder claim: adding the residual book must strictly reduce
+    // mean reconstruction error vs level-1-only quantization (driver
+    // replay of the greedy encode over the pinned literals)
+    import graft.similarity.RqModel
+    val embs = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getSeq[Float](1).map(_.toDouble).toArray)
+    def d2(x: Array[Double], c: Seq[Float], r: Array[Double]): Double = {
+      var s = 0.0; var j = 0
+      while (j < x.length) { val d = r(j) - c(j); s += d * d; j += 1 }
+      s
+    }
+    var e1Sum = 0.0; var e2Sum = 0.0
+    embs.foreach { x =>
+      val a1 = RqModel.level1.indices.minBy(k => d2(x, RqModel.level1(k), x))
+      val r1 = x.indices.map(j => x(j) - RqModel.level1(a1)(j)).toArray
+      e1Sum += r1.map(v => v * v).sum
+      val a2 = RqModel.level2.indices.minBy(j => d2(x, RqModel.level2(j), r1))
+      e2Sum += r1.indices.map(j => r1(j) - RqModel.level2(a2)(j)).map(v => v * v).sum
+    }
+    info(f"mean err level-1 only = ${e1Sum / embs.length}%.4f, RQ = ${e2Sum / embs.length}%.4f")
+    assert(e2Sum < e1Sum, "residual book failed to reduce reconstruction error")
+    // and the gated error query's mean agrees with the replay (x1e6 floor slack)
+    val meanGated = Pipeline.annRqError(spark, sf).collect().head.getLong(2)
+    val meanReplay = (e2Sum * 1000000 / embs.length).toLong
+    assert(math.abs(meanGated - meanReplay) <= embs.length,
+      s"gated mean $meanGated vs replay $meanReplay")
+  }
+
   test("SQ int8 scan: ranks valid, dots bounded, measured recall vs brute") {
     val rows = Pipeline.annSqTopk(spark, sf).collect()
     assert(rows.nonEmpty)
@@ -789,13 +832,14 @@ class PipelineSpec extends AnyFunSuite {
 
   test("ann recall audit reconciles with the underlying gated top-k sets") {
     val rows = Pipeline.annRecallEval(spark, sf).collect()
-    assert(rows.map(_.getString(0)).toSeq == Seq("hnsw", "ivf", "lsh", "pq", "sq"))
+    assert(rows.map(_.getString(0)).toSeq == Seq("hnsw", "ivf", "lsh", "pq", "rq", "sq"))
     val truth = Pipeline.annBruteTopk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val byName = Map(
       "hnsw" -> Pipeline.annHnswTopk(spark, sf),
       "ivf" -> Pipeline.annIvfTopk(spark, sf), "lsh" -> Pipeline.annLshTopk(spark, sf),
-      "pq" -> Pipeline.annPqTopk(spark, sf), "sq" -> Pipeline.annSqTopk(spark, sf))
+      "pq" -> Pipeline.annPqTopk(spark, sf), "rq" -> Pipeline.annRqTopk(spark, sf),
+      "sq" -> Pipeline.annSqTopk(spark, sf))
     rows.foreach { r =>
       val pred = byName(r.getString(0)).collect()
         .map(x => (x.getLong(0), x.getLong(2))).toSet
