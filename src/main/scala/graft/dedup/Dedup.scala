@@ -406,6 +406,14 @@ object Dedup {
   def memoSimhashPairs(s: SparkSession, d: String): DataFrame =
     memo(s, d, "simhash_pairs")(simhashPairs(graft.Tables.documents(s, d)))
 
+  /** Shared overlap-coefficient containment pair set — the same
+    * maintained-table treatment as [[memoNgramPairs]]: at 100 TB the
+    * containment audit is a persisted ingest artifact, not a per-query
+    * rebuild of the full inverted index.
+    */
+  def memoContainmentPairs(s: SparkSession, d: String): DataFrame =
+    memo(s, d, "containment_pairs")(containmentPairs(graft.Tables.documents(s, d)))
+
   /** LSH banding-parameter sweep — the tuning readout that decides the
     * (bands, rows) operating point BEFORE a 100 TB dedup run: the SAME
     * 64-permutation signature table re-banded at (32,2)/(16,4)/(8,8)

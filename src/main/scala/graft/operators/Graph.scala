@@ -312,29 +312,39 @@ object Graph {
     * graph. Edge extraction is the only fact-scale work (checkpointed);
     * rounds operate on the ≤N² distance grid.
     */
-  private[graft] def apspDist(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
-    val nations = Tables.nation(s, d)
-      .select(col("n_nationkey").cast("long").as("nk"))
-    // distinct (src, dst) pairs = the shared flow matrix's key set
-    val edges = memoFlows(s, d)
-      .select(col("src").as("esrc"), col("dst").as("edst"))
+  private val apspDistCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
 
-    var dist = nations.select(col("nk").as("src"), col("nk").as("v"),
-      lit(0L).as("dist"))
-    for (_ <- 1 to iters) {
-      val relaxed = dist.join(edges, col("v") === col("esrc"))
-        .select(col("src"), col("edst").as("v"), (col("dist") + 1).as("dist"))
-      dist = dist.unionByName(relaxed)
-        .groupBy(col("src"), col("v")).agg(min(col("dist")).as("dist"))
-        // dist is read twice next round (join + union) AND each round
-        // ends in a shuffle: skipping checkpoints duplicates the
-        // exchange subtrees faster than AQE can reuse them (measured
-        // r10: every-3rd-round cadence made q_graph_diameter 1.7x
-        // SLOWER) — per-round stays
-        .localCheckpoint(eager = false)
-    }
-    dist
-  }
+  private[graft] def apspDist(s: SparkSession, d: String, iters: Int = 6): DataFrame =
+    // memoized + PINNED per (session, corpus, hops) — FIVE centrality
+    // queries (q_apsp / q_closeness / q_graph_diameter /
+    // q_harmonic_centrality / q_betweenness) consume this ≤N²-row grid,
+    // and a production system maintains the distance matrix next to the
+    // flow matrix rather than re-running the 6 relaxation rounds per
+    // consumer (the triEdges / lpLabels discipline; round 12)
+    apspDistCache.getOrElseUpdate((s, d, iters), graft.GraftSession.pin {
+      val nations = Tables.nation(s, d)
+        .select(col("n_nationkey").cast("long").as("nk"))
+      // distinct (src, dst) pairs = the shared flow matrix's key set
+      val edges = memoFlows(s, d)
+        .select(col("src").as("esrc"), col("dst").as("edst"))
+
+      var dist = nations.select(col("nk").as("src"), col("nk").as("v"),
+        lit(0L).as("dist"))
+      for (_ <- 1 to iters) {
+        val relaxed = dist.join(edges, col("v") === col("esrc"))
+          .select(col("src"), col("edst").as("v"), (col("dist") + 1).as("dist"))
+        dist = dist.unionByName(relaxed)
+          .groupBy(col("src"), col("v")).agg(min(col("dist")).as("dist"))
+          // dist is read twice next round (join + union) AND each round
+          // ends in a shuffle: skipping checkpoints duplicates the
+          // exchange subtrees faster than AQE can reuse them (measured
+          // r10: every-3rd-round cadence made q_graph_diameter 1.7x
+          // SLOWER) — per-round stays
+          .localCheckpoint(eager = false)
+      }
+      dist
+    })
 
   /** Wasserman–Faust closeness centrality of the nation trade graph —
     * the "how few hops to everyone" ranking, disconnected-safe:
@@ -431,8 +441,9 @@ object Graph {
     val edges = memoFlows(s, d)
       .select(col("src").as("eu"), col("dst").as("ev"))
       .localCheckpoint(eager = false)
-    // the distance grid feeds the σ levels AND the final pair filter
-    val dist = apspDist(s, d, iters).localCheckpoint(eager = false)
+    // the distance grid feeds the σ levels AND the final pair filter —
+    // it is the shared memoized+pinned table ([[apspDist]])
+    val dist = apspDist(s, d, iters)
     var level = dist.filter(col("dist") === 0)
       .select(col("src").as("ss"), col("v"), lit(1L).as("sig"))
     var sigma = level

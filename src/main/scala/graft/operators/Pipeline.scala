@@ -41,7 +41,7 @@ object Pipeline {
 
   /** Asymmetric doc-inside-doc containment (overlap coefficient ≥ 0.8). */
   def dedupContainment(s: SparkSession, d: String): DataFrame =
-    Dedup.containmentPairs(Tables.documents(s, d))
+    Dedup.memoContainmentPairs(s, d)
 
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Similarity.pairSim(Tables.embeddings(s, d), 400000L)
@@ -104,7 +104,8 @@ object Pipeline {
         model = Some(graft.similarity.IvfModel.cells))),
       "lsh" -> pairs(Similarity.lshTopK(emb, queryPred)),
       "pq"  -> pairs(Similarity.pqTopK(emb, queryPred)),
-      "rq"  -> pairs(Similarity.rqTopK(emb, queryPred)),
+      "rq"  -> pairs(Similarity.rqTopK(emb, queryPred,
+        codesIn = Some(Similarity.memoRqCodes(s, d)))),
       "sq"  -> pairs(Similarity.sqTopK(emb, queryPred)))
     methods.map { case (nm, p) =>
       val hits = truth.join(p, Seq("q_id", "vec_id"))
@@ -190,7 +191,8 @@ object Pipeline {
     Similarity.hnswVisitedStats(s, d, queryPred)
 
   def annRqTopk(s: SparkSession, d: String): DataFrame =
-    Similarity.rqTopK(Tables.embeddings(s, d), queryPred)
+    Similarity.rqTopK(Tables.embeddings(s, d), queryPred,
+      codesIn = Some(Similarity.memoRqCodes(s, d)))
 
   def annRqError(s: SparkSession, d: String): DataFrame =
     Similarity.rqQuantError(Tables.embeddings(s, d))

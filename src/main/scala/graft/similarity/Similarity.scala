@@ -543,10 +543,21 @@ object Similarity {
     */
   def rqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
              l1: Seq[Seq[Float]] = RqModel.level1,
-             l2: Seq[Seq[Float]] = RqModel.level2): DataFrame = {
-    val k1 = l1.length
-    val k2 = l2.length
-    // corpus side: vv + 2·(K1+K2) literal dots, barriered (codes are an
+             l2: Seq[Seq[Float]] = RqModel.level2,
+             codesIn: Option[DataFrame] = None): DataFrame = {
+    val codes = codesIn.getOrElse(rqCodesPlan(embeddings, l1, l2))
+    rqTopKFromCodes(codes, embeddings, queryPred, k, l1, l2)
+  }
+
+  /** The (vec_id, a1, a2) greedy RQ encoding of a corpus — the
+    * ingest-time artifact the scan reads. Memoized+pinned per
+    * (session, corpus) via [[memoRqCodes]]; the inline build is kept
+    * for arbitrary-DataFrame callers (specs).
+    */
+  private[graft] def rqCodesPlan(embeddings: DataFrame,
+      l1: Seq[Seq[Float]] = RqModel.level1,
+      l2: Seq[Seq[Float]] = RqModel.level2): DataFrame = {
+    // corpus side: vv + (K1+K2) literal dots, barriered (codes are an
     // ingest-time artifact — the checkpoint is the honest pipeline shape)
     val pre = graft.Tables.fanOut(embeddings).select(
       col("vec_id") +:
@@ -576,11 +587,24 @@ object Similarity {
       }: _*)
       .localCheckpoint()
     val d2least = l2.indices.map(j => s"d2_$j").mkString("least(", ", ", ")")
-    val codes = withD2
+    withD2
       .withColumn("a2", expr(l2.indices
         .map(j => s"WHEN d2_$j = $d2least THEN $j")
         .mkString("CASE ", " ", " END")))
       .select(col("vec_id"), col("a1"), col("a2"))
+  }
+
+  /** Memoized + pinned RQ code table per (session, corpus). */
+  private val rqCodesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  def memoRqCodes(s: SparkSession, d: String): DataFrame =
+    rqCodesCache.getOrElseUpdate((s, d), graft.GraftSession.pin(
+      rqCodesPlan(graft.Tables.embeddings(s, d)).localCheckpoint(eager = false)))
+
+  /** ADC scan + re-rank over a prebuilt code table ([[rqTopK]]'s tail). */
+  private def rqTopKFromCodes(codes: DataFrame, embeddings: DataFrame,
+      queryPred: Column, k: Int, l1: Seq[Seq[Float]], l2: Seq[Seq[Float]])
+      : DataFrame = {
     // query side: the (K1 × K2)-entry ADC lookup table per query
     val qpre = embeddings.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

@@ -200,7 +200,10 @@ class PlanSpec extends AnyFunSuite {
     // every head is query-batch-, model-, or 1-row-aggregate-sized
     val src = scala.io.Source.fromFile(
       "src/main/scala/graft/similarity/Similarity.scala", "UTF-8").mkString
-    val allowed = Set("queries", "t", "probes", "qq", "cents", "entry", "bm", "qs", "n")
+    // r12: qtab = the RQ scan's per-query (K1×K2) ADC lookup table —
+    // query-batch-sized like qq/queries, never corpus-scale
+    val allowed = Set("queries", "t", "probes", "qq", "cents", "entry", "bm", "qs", "n",
+      "qtab")
     val bad = """broadcast\((\w+)""".r.findAllMatchIn(src).map(_.group(1))
       .toList.filterNot(allowed)
     assert(bad.isEmpty,

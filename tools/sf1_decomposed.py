@@ -43,6 +43,7 @@ ORACLES = json.load(open(os.path.join(OUTDIR, "oracle_sql.json")))
 # pairwise-independent queries: (id cols, base table, id key)
 SAMPLED = {
     "dedup_ngram_jaccard": (("a", "b"), "documents", "doc_id"),
+    "dedup_containment": (("a", "b"), "documents", "doc_id"),
     "dedup_minhash_lsh": (("a", "b"), "documents", "doc_id"),
     "dedup_levenshtein": (("doc_id_a", "doc_id_b"), "documents", "doc_id"),
     "dedup_simhash": (("a", "b"), "documents", "doc_id"),
