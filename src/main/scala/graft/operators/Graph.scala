@@ -984,6 +984,9 @@ object Graph {
       .join(intra, Seq("community"), "left")
       .na.fill(0L, Seq("m_intra"))
       .crossJoin(broadcast(mTot))
+      // overflow-bound: deg_sum ≤ 2m ≤ 2·|E| (int64-scale edge count);
+      // deg_sum²·10⁹ ≤ 4·(10¹²)²·10⁹ = 4·10³³ < 10³⁸, and 4m² ≤ 4·10²⁴
+      // — both products fit DECIMAL(38,0) to beyond 10¹²-edge graphs
       .select(col("community"), col("n_nodes"), col("m_intra"), col("deg_sum"),
         expr("CAST((CAST(m_intra AS DECIMAL(38,0)) * 1000000000) div m" +
           " - (CAST(deg_sum AS DECIMAL(38,0)) * deg_sum * 1000000000)" +

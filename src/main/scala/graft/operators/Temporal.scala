@@ -756,6 +756,9 @@ object Temporal {
       .join(typeN.select(col("event_type").as("type_a"), col("n").as("n_a")), "type_a")
       .join(typeN.select(col("event_type").as("type_b"), col("n").as("n_b")), "type_b")
       .crossJoin(broadcast(nUsers))
+      // overflow-bound: support ≤ n_a ≤ n_users (user counts, int64);
+      // support·n_users·10⁶ ≤ (10¹²)²·10⁶ = 10³⁰ < 10³⁸ and
+      // n_a·n_b ≤ 10²⁴ — DECIMAL(38,0) holds to 10¹²-user corpora
       .select(col("type_a"), col("type_b"), col("support"), col("n_a"), col("n_b"),
         expr("(support * 1000000) div n_a").as("conf_x1e6"),
         expr("CAST((CAST(support AS DECIMAL(38,0)) * n_users * 1000000)" +

@@ -72,7 +72,15 @@ artifact = {
              "the r12 IVF-cell-blocked graph build: ann_hnsw_topk / "
              "ann_hnsw_visited full-oracle, and ann_recall_eval with its new "
              "fifth (hnsw) method row. Both decomposed checks validated at "
-             "sf0.01 against the full gate before running at sf1."),
+             "sf0.01 against the full gate before running at sf1. Round-12 "
+             "additions gated at sf1 in the same pass: q_modularity, "
+             "q_betweenness, q_seq_pairs, ann_rq_topk, ann_rq_error, the "
+             "nn-descent pair and ann_recall_eval (now 6 method rows) all "
+             "full-oracle (recall_eval and rq_error need "
+             "GRAFT_DUCK_MEM=80GB so the 6-method CTE chain spills instead "
+             "of OOMing); dedup_containment via the sampled-corpus oracle "
+             "(pairwise-independent output, doc_id<2500 slice, 175 rows "
+             "strict-equal)."),
     "queries": dict(sorted(queries.items())),
 }
 Path("/root/repo/CORRECTNESS_sf1.json").write_text(json.dumps(artifact, indent=1))
