@@ -264,6 +264,7 @@ object SparkEntry {
     "q_label_prop"     -> ((s, d) => operators.Graph.labelProp(s, d)),
     "q_modularity"     -> ((s, d) => operators.Graph.modularity(s, d)),
     "q_betweenness"    -> ((s, d) => operators.Graph.betweenness(s, d)),
+    "q_betweenness_sampled" -> ((s, d) => operators.Graph.betweennessSampled(s, d)),
     "q_seq_pairs"      -> ((s, d) => operators.Temporal.qSeqPairs(s, d)),
     "dedup_containment" -> ((s, d) => Pipeline.dedupContainment(s, d)),
     "ann_rq_topk"      -> ((s, d) => Pipeline.annRqTopk(s, d)),

@@ -384,6 +384,27 @@ class GraphSpec extends AnyFunSuite {
     val multiHop = nodes.exists(s0 => grids(s0).exists(_._2._1 >= 2L))
     assert(got.exists(_._4 > 0L) == multiHop,
       s"through-node witness inconsistent with multi-hop geodesics ($multiHop)")
+
+    // the SAMPLED face: same replay restricted to the pinned source
+    // subset s ≡ 0 (mod 5), raw sums equal, estimator = raw × N/|S|
+    val accS = scala.collection.mutable.Map
+      .empty[Long, (Long, Long, Long)].withDefaultValue((0L, 0L, 0L))
+    for {
+      s0 <- nodes if s0 % 5 == 0
+      (v, (d1, s1)) <- grids(s0) if v != s0
+      (t, (d2, s2)) <- grids(v) if t != v && t != s0
+      (dst, sst) <- grids(s0).get(t) if dst == d1 + d2
+    } {
+      val (np, st, bc) = accS(v)
+      accS(v) = (np + 1, st + s1 * s2, bc + s1 * s2 * 1000000L / sst)
+    }
+    val nS = nodes.count(_ % 5 == 0).toLong
+    val wantS = nodes.map(v => (v, accS(v)._1, accS(v)._2, accS(v)._3, nS,
+      accS(v)._2 * nodes.length / nS, accS(v)._3 * nodes.length / nS)).toSet
+    val gotS = Graph.betweennessSampled(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(gotS == wantS, "sampled betweenness diverges from the restricted replay")
   }
 
   test("components: 10-round labels equal a driver-side replay of the recurrence") {
