@@ -313,6 +313,7 @@ object SparkEntry {
     "stream_attribution" -> ((s, d) => Pipeline.streamAttribution(s, d)),
     "stream_latest_state" -> ((s, d) => Pipeline.streamLatestState(s, d)),
     "stream_kmv_uniques"  -> ((s, d) => Pipeline.streamKmvUniques(s, d)),
+    "stream_seq_pairs"    -> ((s, d) => Pipeline.streamSeqPairs(s, d)),
     "stream_cdc_tombstone" -> ((s, d) => Pipeline.streamCdcTombstone(s, d)),
     "stream_late_audit"   -> ((s, d) => Pipeline.streamLateAudit(s, d)),
     "stream_funnel"       -> ((s, d) => Pipeline.streamFunnel(s, d)),

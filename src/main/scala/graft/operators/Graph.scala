@@ -502,11 +502,11 @@ object Graph {
     val stSide = sigd
       .select(col("s"), col("v").as("t"), col("sig").as("sst"),
         col("dist").as("d_st"))
-    // N and |S| are 1-row scalars for the N div |S| estimator scale
-    val domain = nations.select(col("nk").as("s"))
-    val scal = broadcast(domain.agg(
+    // N and |S| are a 1-row scalar aggregate (allowlisted hint head)
+    // for the N div |S| estimator scale
+    val scal = nations.select(col("nk").as("s")).agg(
       count(lit(1)).cast("long").as("n_nations"),
-      sum(when(sourcePred, 1L).otherwise(0L)).cast("long").as("n_sources")))
+      sum(when(sourcePred, 1L).otherwise(0L)).cast("long").as("n_sources"))
     nations.join(
       aSide.join(bSide, Seq("v"))
         .filter(col("t") =!= col("s"))
@@ -518,7 +518,7 @@ object Graph {
           sum(col("s1") * col("s2")).cast("long").as("stress"),
           sum(expr("(s1 * s2 * 1000000) div sst")).cast("long").as("bc_x1e6")),
       col("nk") === col("v"), "left")
-      .crossJoin(scal)
+      .crossJoin(broadcast(scal))
       .select(col("nk").as("v"),
         coalesce(col("n_geo_pairs"), lit(0L)).as("n_geo_pairs"),
         coalesce(col("stress"), lit(0L)).as("stress"),

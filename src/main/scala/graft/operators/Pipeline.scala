@@ -835,6 +835,9 @@ object Pipeline {
   def streamCdcTombstone(s: SparkSession, d: String): DataFrame =
     EventStreams.cdcTombstone(EventStreams.normalize(Tables.events(s, d)))
 
+  def streamSeqPairs(s: SparkSession, d: String): DataFrame =
+    EventStreams.seqPairsSupport(EventStreams.normalize(Tables.events(s, d)))
+
   def streamLateAudit(s: SparkSession, d: String): DataFrame =
     EventStreams.lateAudit(EventStreams.normalize(Tables.events(s, d)))
 
@@ -2178,6 +2181,20 @@ object Pipeline {
          |  a.n_events, a.sum_value
          |FROM rk r JOIN agg a ON r.user_id = a.user_id WHERE r.rk = 1
          |ORDER BY r.user_id""".stripMargin,
+
+    "stream_seq_pairs" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+        |f AS (
+        |  SELECT user_id, event_type, ts_us AS fts, event_id AS fid FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts_us, event_id) AS rn
+        |    FROM ev) WHERE rn = 1)
+        |SELECT x.event_type AS type_a, y.event_type AS type_b,
+        |  CAST(count(*) AS BIGINT) AS support
+        |FROM f x JOIN f y ON y.user_id = x.user_id
+        |  AND x.event_type <> y.event_type
+        |  AND (x.fts < y.fts OR (x.fts = y.fts AND x.fid < y.fid))
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "stream_kmv_uniques" ->
       s"""WITH h AS (SELECT event_type,

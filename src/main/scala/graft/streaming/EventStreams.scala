@@ -51,6 +51,17 @@ case class FEv(user_id: Long, ts_us: Long, event_type: String)
 case class FunnelSt(var views: Seq[Long], var clicks: Seq[Long],
                     var purchases: Seq[Long], var n_seen: Long)
 
+/** Per-event input to the 2-sequence first-occurrence maintainer. */
+case class SEv(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
+
+/** Per-user 2-sequence state: the FIRST (ts, id) per event type — the
+  * exact state a streaming sequential-pattern miner maintains, bounded
+  * by the type domain per user. The first-occurrence merge is a
+  * per-type min — order-independent across any micro-batch arrival
+  * split, which is what makes the streamed pair sets ≡ the batch face.
+  */
+case class SeqSt(var firsts: Map[String, (Long, Long)], var n: Long)
+
 /** Per-event input to the KMV sketch maintainer. */
 case class KEv(event_type: String, h: Long)
 
@@ -523,6 +534,72 @@ object EventStreams {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn _)
       .toDF("user_id", "last_ts_us", "last_event_id", "last_type",
         "last_value", "n_events", "sum_value")
+  }
+
+  /** Ordered 2-sequence support matrix (batch face of
+    * stream_seq_pairs): per ordered type pair (a, b), how many users
+    * hit their first a strictly before their first b ((ts, id) order —
+    * the [[graft.operators.Temporal.qSeqPairs]] support stage, without
+    * the marginals/lift so the matrix is the stream-maintainable
+    * artifact: a per-user |types|-entry first-occurrence state plus a
+    * |types|²-row count). Streaming face in [[seqPairsStreaming]];
+    * parity pinned in StreamingSpec.
+    */
+  def seqPairsSupport(ev: DataFrame): DataFrame = {
+    val firsts = ev.groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts_us"), col("event_id"))).as("f"))
+      .select(col("user_id"), col("event_type"),
+        col("f.ts_us").as("fts"), col("f.event_id").as("fid"))
+      .localCheckpoint(eager = false)
+    firsts.as("x").join(firsts.as("y"),
+        col("x.user_id") === col("y.user_id") &&
+          col("x.event_type") =!= col("y.event_type") &&
+          (col("x.fts") < col("y.fts") ||
+            (col("x.fts") === col("y.fts") && col("x.fid") < col("y.fid"))))
+      .groupBy(col("x.event_type").as("type_a"), col("y.event_type").as("type_b"))
+      .agg(count(lit(1)).cast("long").as("support"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Streaming 2-sequence miner via mapGroupsWithState (Update mode):
+    * per user the state holds the first (ts, id) per type — a per-type
+    * MIN, so ANY cross-batch arrival order (including a late-arriving
+    * EARLIER occurrence that legally rewrites the user's pair set)
+    * converges to the identical state. Each batch the user appears in
+    * emits the user's current ordered-pair set as a sorted "a>b" CSV
+    * plus a monotone event counter; a consumer (or the parity spec)
+    * resolves the current row per user as argmax n_events, and the
+    * corpus support matrix is one split+explode+count away — the
+    * aggregation [[seqPairsSupport]] runs in batch.
+    */
+  def seqPairsStreaming(spark: SparkSession, ev: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+
+    def fn(user: Long, rows: Iterator[SEv], state: GroupState[SeqSt])
+        : (Long, Long, String) = {
+      val st = state.getOption.getOrElse(SeqSt(Map.empty, 0L))
+      rows.foreach { e =>
+        st.n += 1
+        val cur = st.firsts.get(e.event_type)
+        if (cur.forall(c => e.ts_us < c._1 || (e.ts_us == c._1 && e.event_id < c._2)))
+          st.firsts += (e.event_type -> ((e.ts_us, e.event_id)))
+      }
+      state.update(st)
+      val pairs = for {
+        (ta, (tsa, ida)) <- st.firsts
+        (tb, (tsb, idb)) <- st.firsts
+        if ta != tb && (tsa < tsb || (tsa == tsb && ida < idb))
+      } yield s"$ta>$tb"
+      (user, st.n, pairs.toSeq.sorted.mkString(","))
+    }
+
+    ev.select(col("user_id").cast("long"), col("ts_us"), col("event_id"),
+        col("event_type"))
+      .as[SEv]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn _)
+      .toDF("user_id", "n_events", "pairs")
   }
 
   /** KMV distinct-users sketch per event type (batch face): the

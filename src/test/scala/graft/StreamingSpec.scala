@@ -483,6 +483,35 @@ class StreamingSpec extends AnyFunSuite {
     staged.toString
   }
 
+  test("streamed 2-sequence pair sets over TWO micro-batches merge to the batch support matrix") {
+    val ev = EventStreams.normalize(Tables.events(spark, sf))
+    val expected = EventStreams.seqPairsSupport(ev).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val schema = Tables.events(spark, sf).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(twoBatchDir("seqp"))
+    val q = EventStreams.seqPairsStreaming(spark, EventStreams.normalize(stream))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("seqp_test").start()
+    try {
+      q.processAllAvailable()
+      // current row per user = argmax n_events (monotone counter), then
+      // the corpus support matrix is one explode+count away
+      val got = spark.table("seqp_test")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+        .filter(col("rk") === 1 && col("pairs") =!= "")
+        .select(explode(split(col("pairs"), ",")).as("p"))
+        .select(split(col("p"), ">").getItem(0).as("type_a"),
+          split(col("p"), ">").getItem(1).as("type_b"))
+        .groupBy(col("type_a"), col("type_b")).count()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected,
+        "streamed first-occurrence pair sets diverged from the batch support matrix")
+    } finally q.stop()
+  }
+
   test("KMV sketch over TWO micro-batches merges to the batch BottomK estimate") {
     val ev = EventStreams.normalize(Tables.events(spark, sf))
     val expected = EventStreams.kmvUniques(ev).collect()
