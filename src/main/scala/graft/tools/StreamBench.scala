@@ -116,6 +116,14 @@ object StreamBench {
           .writeStream.outputMode("append")
           .format("memory").queryName(s"sb_ljoin_$nFiles").start()
       }
+      // the r12 stateful op: per-user first-occurrence map — state is
+      // users × ≤|types| rows regardless of event volume, the bound
+      // that separates it from the full-history dedup above
+      run("seq_pairs") { () =>
+        EventStreams.seqPairsStreaming(spark, source())
+          .writeStream.outputMode("update")
+          .format("memory").queryName(s"sb_seqp_$nFiles").start()
+      }
     }
     spark.stop()
   }
