@@ -273,14 +273,25 @@ object Dedup {
     // ⌈τ·sz⌉ in pure BIGINT arithmetic — the smaller side's prefix
     val prefix = posted.filter(
       col("rn") <= col("sz") - expr(s"($tauX1e6 * sz + 999999) div 1000000") + 1)
-    val cand = prefix.as("x").join(posted.as("y"),
-        col("x.s") === col("y.s") &&
-          // strict size asymmetry probes small→large once; equal sizes
-          // probe both directions and collapse under the canonical pair
-          (col("x.sz") < col("y.sz") ||
-            (col("x.sz") === col("y.sz") && col("x.doc_id") =!= col("y.doc_id"))))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("b"))
+    // SALTED shingle join (the LSH band-join discipline): a boilerplate
+    // shingle stays out of prefixes on a normal corpus, but a corpus of
+    // near-identical docs makes every doc's single rarest shingle the
+    // SAME key — the full-postings side of that one key must not land
+    // on one reducer. Salt the big (postings) side by its own doc id,
+    // replicate the prefix side; the size-asymmetry predicate moves to
+    // a post-join filter (it was conjoined with the equi key).
+    val x = prefix.select(col("doc_id").as("x_id"), col("s"),
+      col("sz").as("x_sz"))
+    val y = posted.select(col("doc_id").as("y_id"), col("s"),
+      col("sz").as("y_sz"))
+    val cand = graft.operators.Skew
+      .saltedJoin(y, x, Seq("s"), LshSalts, col("y_id"))
+      // strict size asymmetry probes small→large once; equal sizes
+      // probe both directions and collapse under the canonical pair
+      .filter(col("x_sz") < col("y_sz") ||
+        (col("x_sz") === col("y_sz") && col("x_id") =!= col("y_id")))
+      .select(least(col("x_id"), col("y_id")).as("a"),
+        greatest(col("x_id"), col("y_id")).as("b"))
       .distinct()
     verifyContainment(cand, docs, tauX1e6)
   }

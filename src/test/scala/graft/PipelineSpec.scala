@@ -81,6 +81,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(j01 < 500000L, s"witness not asymmetric enough: J(0,1) = $j01")
   }
 
+  test("containment equals brute force on an all-near-identical corpus (salted hot-key path)") {
+    // every doc's RAREST shingle is the same key on this corpus, so the
+    // full-postings side of one shingle carries every doc — the salted
+    // join must still return exactly the brute answer (n² TRUE pairs;
+    // the quadratic term is in the data, as with dedup_simhash at sf1)
+    import spark.implicits._
+    val base = (0 until 12).map(i => s"w$i").mkString(" ")
+    val corpus = (0L until 30L).map(i =>
+      (i, if (i % 3 == 0) base else s"$base extra$i"))
+    val got = Dedup.containmentPairs(corpus.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def sh(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString("_")).toSet
+    val mats = corpus.map { case (id, t) => id -> sh(t) }
+    val want = (for {
+      (a, sa) <- mats; (b, sb) <- mats if a < b
+      inter = (sa & sb).size if inter > 0
+      c = 1000000L * inter / math.min(sa.size, sb.size) if c >= 800000L
+    } yield (a, b, c)).toSet
+    assert(want.size > 300, s"adversarial corpus should be near-all-pairs: ${want.size}")
+    assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
+  }
+
   test("containment on the live corpus contains every J >= tau_C pair (C >= J)") {
     // C(A,B) = |A∩B|/min ≥ |A∩B|/|A∪B| = J always, so every pair at
     // J ≥ τ_C = 0.8 MUST also clear the containment gate — a lossless-
