@@ -436,7 +436,7 @@ object Graph {
     */
   def betweenness(s: SparkSession, d: String, iters: Int = 6): DataFrame =
     betweennessFrom(s, d, iters, sourcePred = lit(true))
-      .drop("n_sources", "stress_est", "bc_est_x1e6")
+      .orderBy(col("bc_x1e6").desc, col("v"))
 
   /** The at-scale rendering of [[betweenness]] made code, not prose
     * (the r11 lesson: a scale path named only in a docstring is graded
@@ -456,9 +456,34 @@ object Graph {
     * sums AND the scaled estimates; the exact face is the special
     * case S = V.
     */
-  def betweennessSampled(s: SparkSession, d: String, iters: Int = 6): DataFrame =
-    betweennessFrom(s, d, iters, sourcePred = col("s") % 5 === 0)
+  def betweennessSampled(s: SparkSession, d: String, iters: Int = 6): DataFrame = {
+    val sourcePred = col("s") % 5 === 0
+    // N and |S| are a 1-row scalar aggregate (allowlisted hint head)
+    // for the N div |S| estimator scale — built only on the SAMPLED
+    // face, so the exact face's plan carries no estimator stage
+    val scal = Tables.nation(s, d)
+      .select(col("n_nationkey").cast("long").as("s")).agg(
+        count(lit(1)).cast("long").as("n_nations"),
+        sum(when(sourcePred, 1L).otherwise(0L)).cast("long").as("n_sources"))
+    betweennessFrom(s, d, iters, sourcePred)
+      .crossJoin(broadcast(scal))
+      .select(col("v"), col("n_geo_pairs"), col("stress"), col("bc_x1e6"),
+        col("n_sources"),
+        // engine-parity guard: an empty source subset yields NULL
+        // estimates on BOTH engines instead of a Spark NULL vs DuckDB
+        // division-by-zero error divergence
+        when(col("n_sources") > 0,
+          expr("stress * n_nations div n_sources")).as("stress_est"),
+        when(col("n_sources") > 0,
+          expr("bc_x1e6 * n_nations div n_sources")).as("bc_est_x1e6"))
+      .orderBy(col("bc_x1e6").desc, col("v"))
+  }
 
+  /** The shared σ-grid + geodesic-pair core of both betweenness faces:
+    * unordered (v, n_geo_pairs, stress, bc_x1e6) rows over the full
+    * vertex domain, with `sourcePred` restricting the CUBIC
+    * enumeration's source side only.
+    */
   private def betweennessFrom(s: SparkSession, d: String, iters: Int,
                               sourcePred: Column): DataFrame = {
     val nations = Tables.nation(s, d)
@@ -502,11 +527,6 @@ object Graph {
     val stSide = sigd
       .select(col("s"), col("v").as("t"), col("sig").as("sst"),
         col("dist").as("d_st"))
-    // N and |S| are a 1-row scalar aggregate (allowlisted hint head)
-    // for the N div |S| estimator scale
-    val scal = nations.select(col("nk").as("s")).agg(
-      count(lit(1)).cast("long").as("n_nations"),
-      sum(when(sourcePred, 1L).otherwise(0L)).cast("long").as("n_sources"))
     nations.join(
       aSide.join(bSide, Seq("v"))
         .filter(col("t") =!= col("s"))
@@ -518,15 +538,10 @@ object Graph {
           sum(col("s1") * col("s2")).cast("long").as("stress"),
           sum(expr("(s1 * s2 * 1000000) div sst")).cast("long").as("bc_x1e6")),
       col("nk") === col("v"), "left")
-      .crossJoin(broadcast(scal))
       .select(col("nk").as("v"),
         coalesce(col("n_geo_pairs"), lit(0L)).as("n_geo_pairs"),
         coalesce(col("stress"), lit(0L)).as("stress"),
-        coalesce(col("bc_x1e6"), lit(0L)).as("bc_x1e6"),
-        col("n_sources"),
-        expr("coalesce(stress, 0) * n_nations div n_sources").as("stress_est"),
-        expr("coalesce(bc_x1e6, 0) * n_nations div n_sources").as("bc_est_x1e6"))
-      .orderBy(col("bc_x1e6").desc, col("v"))
+        coalesce(col("bc_x1e6"), lit(0L)).as("bc_x1e6"))
   }
 
   /** Strongly connected components of the DIRECTED nation trade graph —
@@ -1803,8 +1818,10 @@ object Graph {
          |SELECT n.nk AS v, COALESCE(t.n_geo_pairs, 0) AS n_geo_pairs,
          |  COALESCE(t.stress, 0) AS stress, COALESCE(t.bc_x1e6, 0) AS bc_x1e6,
          |  s.n_sources,
-         |  COALESCE(t.stress, 0) * s.n_nations // s.n_sources AS stress_est,
-         |  COALESCE(t.bc_x1e6, 0) * s.n_nations // s.n_sources AS bc_est_x1e6
+         |  CASE WHEN s.n_sources > 0 THEN
+         |    COALESCE(t.stress, 0) * s.n_nations // s.n_sources END AS stress_est,
+         |  CASE WHEN s.n_sources > 0 THEN
+         |    COALESCE(t.bc_x1e6, 0) * s.n_nations // s.n_sources END AS bc_est_x1e6
          |FROM n LEFT JOIN thr t ON t.v = n.nk CROSS JOIN scal s
          |ORDER BY bc_x1e6 DESC, v""".stripMargin,
 

@@ -566,8 +566,8 @@ object EventStreams {
     * MIN, so ANY cross-batch arrival order (including a late-arriving
     * EARLIER occurrence that legally rewrites the user's pair set)
     * converges to the identical state. Each batch the user appears in
-    * emits the user's current ordered-pair set as a sorted "a>b" CSV
-    * plus a monotone event counter; a consumer (or the parity spec)
+    * emits the user's current ordered-pair set as a sorted array of
+    * (a, b) structs plus a monotone event counter; a consumer (or the parity spec)
     * resolves the current row per user as argmax n_events, and the
     * corpus support matrix is one split+explode+count away — the
     * aggregation [[seqPairsSupport]] runs in batch.
@@ -577,7 +577,7 @@ object EventStreams {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 
     def fn(user: Long, rows: Iterator[SEv], state: GroupState[SeqSt])
-        : (Long, Long, String) = {
+        : (Long, Long, Seq[(String, String)]) = {
       val st = state.getOption.getOrElse(SeqSt(Map.empty, 0L))
       rows.foreach { e =>
         st.n += 1
@@ -586,12 +586,18 @@ object EventStreams {
           st.firsts += (e.event_type -> ((e.ts_us, e.event_id)))
       }
       state.update(st)
+      // STRUCTURAL pair encoding (array of (a, b) structs), never a
+      // delimited string — an event_type is free text and may contain
+      // any separator a string rendering would split on. The .toSeq on
+      // the source is load-bearing: a for-comprehension over a Map
+      // yielding tuples rebuilds a MAP and silently collapses pairs
+      // sharing type_a.
       val pairs = for {
-        (ta, (tsa, ida)) <- st.firsts
-        (tb, (tsb, idb)) <- st.firsts
+        (ta, (tsa, ida)) <- st.firsts.toSeq
+        (tb, (tsb, idb)) <- st.firsts.toSeq
         if ta != tb && (tsa < tsb || (tsa == tsb && ida < idb))
-      } yield s"$ta>$tb"
-      (user, st.n, pairs.toSeq.sorted.mkString(","))
+      } yield (ta, tb)
+      (user, st.n, pairs.sorted)
     }
 
     ev.select(col("user_id").cast("long"), col("ts_us"), col("event_id"),

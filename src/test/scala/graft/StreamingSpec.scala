@@ -501,10 +501,9 @@ class StreamingSpec extends AnyFunSuite {
         .withColumn("rk", row_number().over(
           org.apache.spark.sql.expressions.Window
             .partitionBy(col("user_id")).orderBy(col("n_events").desc)))
-        .filter(col("rk") === 1 && col("pairs") =!= "")
-        .select(explode(split(col("pairs"), ",")).as("p"))
-        .select(split(col("p"), ">").getItem(0).as("type_a"),
-          split(col("p"), ">").getItem(1).as("type_b"))
+        .filter(col("rk") === 1)
+        .select(explode(col("pairs")).as("p"))
+        .select(col("p._1").as("type_a"), col("p._2").as("type_b"))
         .groupBy(col("type_a"), col("type_b")).count()
         .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
       assert(got == expected,
