@@ -235,6 +235,13 @@ object Dedup {
   private def verifyJaccard(candIn: DataFrame, docs: DataFrame, tauX1e6: Long): DataFrame =
     verifyJaccardUnordered(candIn, docs, tauX1e6).orderBy(col("a"), col("b"))
 
+  /** Containment threshold τ ×10⁶ — the SINGLE source of truth for both
+    * the Spark plan ([[containmentPairs]]' default) and the DuckDB brute
+    * oracle (Pipeline.bruteContainment interpolates this constant), so
+    * the two sides cannot silently diverge (r12 ADVICE).
+    */
+  val ContainmentTauX1e6 = 800000L
+
   /** Doc-inside-doc near-dup via the OVERLAP COEFFICIENT
     * C(A,B) = |A∩B| / min(|A|,|B|) ≥ τ — the asymmetric containment
     * signal Jaccard structurally misses: a passage wholly quoted inside
@@ -258,7 +265,7 @@ object Dedup {
     * per-pair in-map sorted-intersect the Jaccard verifier uses, with
     * min(|A|,|B|) as the denominator.
     */
-  def containmentPairs(docs: DataFrame, tauX1e6: Long = 800000L): DataFrame = {
+  def containmentPairs(docs: DataFrame, tauX1e6: Long = ContainmentTauX1e6): DataFrame = {
     val ex = explodedShingles(docs)
     val dfs = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
     val byRarity = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))

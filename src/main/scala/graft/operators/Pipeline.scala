@@ -1710,7 +1710,7 @@ object Pipeline {
        |    CAST(least(len(x.sh), len(y.sh)) AS BIGINT) AS mn
        |  FROM sh x JOIN sh y ON x.doc_id < y.doc_id)
        |SELECT a, b, (1000000 * inter) // mn AS c_x1e6
-       |FROM pr WHERE inter > 0 AND (1000000 * inter) // mn >= 800000
+       |FROM pr WHERE inter > 0 AND (1000000 * inter) // mn >= ${Dedup.ContainmentTauX1e6}
        |ORDER BY a, b""".stripMargin
 
   private val bruteJaccard =

@@ -29,6 +29,7 @@ object TrainRq {
       .select(col("vec_id"), col("embedding")).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
       .sortBy(_._1)
+    require(rows.nonEmpty, s"empty embeddings corpus at $sfDir — nothing to train on")
     val dim = rows.head._2.length
 
     def dist2(a: Array[Double], b: Array[Double]): Double = {
