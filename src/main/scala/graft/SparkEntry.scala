@@ -255,6 +255,7 @@ object SparkEntry {
     "q_avg_nbr_deg"    -> ((s, d) => operators.Graph.avgNeighborDegree(s, d)),
     "q_bfs"            -> ((s, d) => operators.Graph.bfs(s, d)),
     "q_triangle_count" -> ((s, d) => operators.Graph.triangleCounts(s, d)),
+    "q_witness_count" -> ((s, d) => operators.Graph.witnessCount(s, d)),
     "q_common_neighbors" -> ((s, d) => operators.Graph.commonNeighbors(s, d)),
     "q_components"     -> ((s, d) => operators.Graph.components(s, d)),
     "q_degree_dist"    -> ((s, d) => operators.Graph.degreeDist(s, d)),

@@ -77,6 +77,33 @@ class GraphSpec extends AnyFunSuite {
     assert(got == triCount.toMap, "per-part triangle counts diverge from reference")
   }
 
+  test("witness-count audit row equals a brute-force recompute of E, degrees, wedge bound and T") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { lines =>
+      val ps: Seq[Long] = lines.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val wedgeBound = edges.toSeq.map(e => math.min(deg(e._1), deg(e._2))).sum
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var t = 0L
+    for {
+      (a, bs) <- adj; b <- bs
+      cs <- adj.get(b); c <- cs
+      if edges.contains((a, c))
+    } t += 1
+    val r = Graph.witnessCount(spark, sf).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getLong(0) == edges.size.toLong, "n_edges")
+    assert(row.getLong(1) == deg.values.max, "max_deg")
+    assert(row.getLong(2) == wedgeBound, "wedge_bound")
+    assert(row.getLong(3) == t, "n_triangles")
+    assert(row.getLong(4) == 3 * t, "n_witness_rows = 3T")
+  }
+
   test("common-neighbor scores equal a brute-force adjacency recompute") {
     val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
       .map(r => (r.getLong(0), r.getLong(1)))
