@@ -238,6 +238,7 @@ object SparkEntry {
     "ann_hnsw_visited" -> ((s, d) => Pipeline.annHnswVisited(s, d)),
     "ann_nn_descent"  -> ((s, d) => Pipeline.annNnDescent(s, d)),
     "ann_nn_descent_recall" -> ((s, d) => Pipeline.annNnDescentRecall(s, d)),
+    "ann_descent_topk" -> ((s, d) => Pipeline.annDescentTopk(s, d)),
     "q7_volume"        -> ((s, d) => Relational.q7Volume(s, d)),
     "q8_share"         -> ((s, d) => Relational.q8Share(s, d)),
     "q_pagerank"       -> ((s, d) => operators.Graph.pagerank(s, d)),

@@ -103,6 +103,11 @@ object Pipeline {
       "ivf" -> pairs(Similarity.ivfTopK(emb, queryPred,
         model = Some(graft.similarity.IvfModel.cells))),
       "lsh" -> pairs(Similarity.lshTopK(emb, queryPred)),
+      // nnd: the SAME beam walk as hnsw over the NN-descent-BUILT
+      // graph — the production build path audited as a serving
+      // structure (VERDICT r12 #3); rides the memoized shared walk
+      // ann_descent_topk ships
+      "nnd" -> pairs(Similarity.descentTopK(s, d, queryPred)),
       "pq"  -> pairs(Similarity.pqTopK(emb, queryPred)),
       "rq"  -> pairs(Similarity.rqTopK(emb, queryPred,
         codesIn = Some(Similarity.memoRqCodes(s, d)))),
@@ -199,6 +204,13 @@ object Pipeline {
 
   def annNnDescent(s: SparkSession, d: String): DataFrame =
     Similarity.nnDescentTopM(s, d)
+
+  /** Top-k SERVED from the NN-descent-built graph — the end-to-end
+    * face of the production build path (same beam walk as
+    * ann_hnsw_topk; only the graph under it differs).
+    */
+  def annDescentTopk(s: SparkSession, d: String): DataFrame =
+    Similarity.descentTopK(s, d, queryPred)
 
   def annNnDescentRecall(s: SparkSession, d: String): DataFrame =
     Similarity.nnDescentRecall(s, d)
@@ -2512,6 +2524,9 @@ object Pipeline {
          |${Similarity.ivfOracleSql(graft.similarity.IvfModel.cells, "vec_id % 97 = 0")}
          |  ) z
          |  UNION ALL SELECT 'lsh', q_id, vec_id FROM (\n$annLshSql\n) z
+         |  UNION ALL SELECT 'nnd', q_id, vec_id FROM (
+         |${Similarity.descentTopKOracleSql("vec_id % 97 = 0")}
+         |  ) z
          |  UNION ALL SELECT 'pq', q_id, vec_id FROM (
          |${Similarity.pqOracleSql("vec_id % 97 = 0")}
          |  ) z
@@ -2539,6 +2554,8 @@ object Pipeline {
     "ann_hnsw_visited" -> Similarity.hnswVisitedOracleSql("vec_id % 97 = 0"),
 
     "ann_nn_descent" -> Similarity.nnDescentOracleSql(),
+
+    "ann_descent_topk" -> Similarity.descentTopKOracleSql("vec_id % 97 = 0"),
 
     "ann_nn_descent_recall" -> Similarity.nnDescentRecallOracleSql(),
 

@@ -580,6 +580,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getLong(5) == hits * 1000000L / nTruth)
   }
 
+  test("descent-served top-k: ranks contiguous, recall_eval audits it as a 7th method row") {
+    val served = Pipeline.annDescentTopk(spark, sf).collect()
+    assert(served.nonEmpty)
+    served.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length),
+        s"query $q has non-contiguous ranks")
+      assert(rows.forall(_.getLong(2) != q), s"query $q returned itself")
+    }
+    val eval = Pipeline.annRecallEval(spark, sf).collect()
+    val methods = eval.map(_.getString(0)).toSeq
+    assert(methods == methods.sorted && methods.contains("nnd") &&
+      methods.length == 7,
+      s"recall_eval must carry the 7 method rows incl. nnd, got $methods")
+    val nnd = eval.find(_.getString(0) == "nnd").get
+    val brute = Pipeline.annBruteTopk(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val got = served.map(r => (r.getLong(0), r.getLong(2))).toSet
+    // the audit row measures exactly the serving face's pair set
+    assert(nnd.getLong(3) == (brute & got).size.toLong,
+      "nnd hits diverge from the served pair set")
+    info(f"descent-served recall@10 = ${nnd.getLong(3).toDouble / nnd.getLong(2)}%.2f " +
+      "(same walk params as hnsw; only the graph under it differs)")
+  }
+
   test("kmeans training survives unpopulated vec_id residue classes") {
     import spark.implicits._
     // 3 vectors, 8 cells → residues 1,3,5,6,7 start empty; training must
