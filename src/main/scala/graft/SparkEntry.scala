@@ -309,6 +309,8 @@ object SparkEntry {
     "stream_sessionize" -> ((s, d) => Pipeline.streamSessionize(s, d)),
     "stream_dedup"      -> ((s, d) => Pipeline.streamDedup(s, d)),
     "stream_dedup_within" -> ((s, d) => Pipeline.streamDedupWithin(s, d)),
+    "stream_latest_state_ttl" -> ((s, d) => Pipeline.streamLatestStateTtl(s, d)),
+    "stream_seq_pairs_ttl" -> ((s, d) => Pipeline.streamSeqPairsTtl(s, d)),
     "stream_attr_left"  -> ((s, d) => Pipeline.streamAttrLeft(s, d)),
     "stream_uniques"    -> ((s, d) => Pipeline.streamUniques(s, d)),
     "stream_join"       -> ((s, d) => Pipeline.streamJoin(s, d)),

@@ -62,6 +62,26 @@ case class SEv(user_id: Long, ts_us: Long, event_id: Long, event_type: String)
   */
 case class SeqSt(var firsts: Map[String, (Long, Long)], var n: Long)
 
+/** [[LEv]] carrying the watermark timestamp column: EventTimeTimeout
+  * requires the watermarked column to SURVIVE to the stateful operator
+  * (UnsupportedOperationChecker), so the TTL faces keep it in the row
+  * and ignore it in the merge.
+  */
+case class LEvT(user_id: Long, ts_us: Long, event_id: Long,
+  event_type: String, value: Double, tsx: java.sql.Timestamp)
+
+/** [[SEv]] carrying the watermark timestamp column (see [[LEvT]]). */
+case class SEvT(user_id: Long, ts_us: Long, event_id: Long,
+  event_type: String, tsx: java.sql.Timestamp)
+
+/** [[SeqSt]] plus the entity's LATEST event ts — the TTL face's
+  * eviction anchor. firsts are per-type minima, so the latest-activity
+  * timestamp must be carried explicitly: deriving it from the map
+  * would let a late-arriving earlier event LOWER the timeout.
+  */
+case class SeqTtlSt(var firsts: Map[String, (Long, Long)], var n: Long,
+  var last_ts: Long)
+
 /** Per-event input to the KMV sketch maintainer. */
 case class KEv(event_type: String, h: Long)
 
@@ -606,6 +626,158 @@ object EventStreams {
       .groupByKey(_.user_id)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn _)
       .toDF("user_id", "n_events", "pairs")
+  }
+
+  // --- TTL/eviction faces of the entity-keyed state (VERDICT r12 #2) ----
+
+  /** Event-time TTL horizon for the entity-keyed stream state: 48 h of
+    * inactivity evicts an entity. The NoTimeout faces above hold one
+    * state row per entity EVER SEEN — minimal for the semantics but
+    * immortal, so at 100 TB event volume state grows with the lifetime
+    * distinct-entity domain. The TTL faces bound it by the ACTIVE
+    * domain instead (the watermark-scoped-dedup argument applied to
+    * mapGroupsWithState): an entity silent for the horizon is dropped,
+    * and a returning entity restarts — i.e. per entity the state
+    * covers exactly its FINAL activity session under gap>TTL breaks,
+    * which is what [[finalSessionEvents]] renders in batch. 48 h sits
+    * inside the generator's gap distribution (median per-user gap
+    * ~7.5 h, p99 ~49 h), so both populations are exercised: at sf0.01
+    * 81/150 users have a break and 69 do not.
+    */
+  val StateTtlUs = 48L * 3600L * 1000000L
+
+  /** Events of each user's FINAL activity session: sessions break on
+    * per-user inactivity gaps > ttl (event-time order (ts, id); the
+    * gap is measured on ts). Two bounded-partition windows over the
+    * per-user event sets — never a corpus-wide sort.
+    */
+  def finalSessionEvents(ev: DataFrame, ttlUs: Long = StateTtlUs): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val brk = when(col("ts_us") - lag(col("ts_us"), 1).over(byTs) > ttlUs, 1)
+      .otherwise(0)
+    ev.withColumn("sess", sum(brk).over(byTs))
+      .withColumn("mx", max(col("sess")).over(Window.partitionBy(col("user_id"))))
+      .filter(col("sess") === col("mx"))
+      .drop("sess", "mx")
+  }
+
+  /** Batch face of [[latestStateTtlStreaming]]: latest-state over the
+    * final activity session only — the view whose counters the TTL
+    * stream job's state holds at end of stream.
+    */
+  def latestStateTtl(ev: DataFrame, ttlUs: Long = StateTtlUs): DataFrame =
+    latestState(finalSessionEvents(ev, ttlUs))
+
+  /** Batch face of [[seqPairsTtlStreaming]]: the 2-sequence support
+    * matrix over final-session events only.
+    */
+  def seqPairsTtlSupport(ev: DataFrame, ttlUs: Long = StateTtlUs): DataFrame =
+    seqPairsSupport(finalSessionEvents(ev, ttlUs))
+
+  /** TTL latest-state via flatMapGroupsWithState + EventTimeTimeout
+    * (Update mode): the merge recurrence of [[latestStateStreaming]],
+    * plus a timeout at lastEventTs + ttl. When the WATERMARK passes an
+    * entity's timeout the state row is REMOVED (the timeout invocation
+    * emits nothing); if the entity returns later its counters restart
+    * — per entity the surviving state covers its final activity
+    * session, the [[latestStateTtl]] batch semantics (parity pinned in
+    * StreamingSpec over an explicitly batched feed where eviction
+    * timing is controlled). State is ∝ entities ACTIVE within the
+    * horizon — the 100 TB production rendering. The timeout timestamp
+    * is clamped above the current watermark: a state refreshed by a
+    * late event must still be evictable, never throw.
+    */
+  def latestStateTtlStreaming(spark: SparkSession, ev: DataFrame,
+      ttlUs: Long = StateTtlUs, delay: String = "0 seconds"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def fn(user: Long, rows: Iterator[LEvT], state: GroupState[Latest])
+        : Iterator[(Long, Long, Long, String, Double, Long, Double)] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        var cur = state.getOption.orNull
+        rows.foreach { e =>
+          // HALF_UP cents fold — see [[latestStateStreaming]]
+          val cents = Math.signum(e.value).toLong * Math.round(Math.abs(e.value) * 100.0)
+          if (cur == null)
+            cur = Latest(e.ts_us, e.event_id, e.event_type, e.value, 1L, cents)
+          else {
+            if (e.ts_us > cur.ts_us || (e.ts_us == cur.ts_us && e.event_id > cur.event_id)) {
+              cur.ts_us = e.ts_us; cur.event_id = e.event_id
+              cur.event_type = e.event_type; cur.value = e.value
+            }
+            cur.n += 1; cur.sum_cents += cents
+          }
+        }
+        state.update(cur)
+        state.setTimeoutTimestamp(
+          math.max(cur.ts_us / 1000L + ttlUs / 1000L,
+            state.getCurrentWatermarkMs() + 1L))
+        Iterator.single((user, cur.ts_us, cur.event_id, cur.event_type,
+          cur.value, cur.n, cur.sum_cents.toDouble / 100.0))
+      }
+    }
+
+    ev.select(col("user_id").cast("long"), col("ts_us"), col("event_id"),
+        col("event_type"), col("value"),
+        timestamp_micros(col("ts_us")).as("tsx"))
+      .withWatermark("tsx", delay)
+      .as[LEvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout())(fn _)
+      .toDF("user_id", "last_ts_us", "last_event_id", "last_type",
+        "last_value", "n_events", "sum_value")
+  }
+
+  /** TTL 2-sequence miner: the [[seqPairsStreaming]] recurrence under
+    * EventTimeTimeout eviction — state (the per-type first-occurrence
+    * map) is removed after the horizon and REBUILT from scratch if the
+    * entity returns, so the surviving pair set is the final session's
+    * ([[seqPairsTtlSupport]] in batch). Emits last_ts_us next to the
+    * monotone counter so a consumer resolves the current row per user
+    * as argmax (last_ts_us, n_events) — across a restart the counter
+    * alone is NOT monotone, the pair (ts, n) is.
+    */
+  def seqPairsTtlStreaming(spark: SparkSession, ev: DataFrame,
+      ttlUs: Long = StateTtlUs, delay: String = "0 seconds"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def fn(user: Long, rows: Iterator[SEvT], state: GroupState[SeqTtlSt])
+        : Iterator[(Long, Long, Long, Seq[(String, String)])] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val st = state.getOption.getOrElse(SeqTtlSt(Map.empty, 0L, Long.MinValue))
+        rows.foreach { e =>
+          st.n += 1
+          if (e.ts_us > st.last_ts) st.last_ts = e.ts_us
+          val cur = st.firsts.get(e.event_type)
+          if (cur.forall(c => e.ts_us < c._1 || (e.ts_us == c._1 && e.event_id < c._2)))
+            st.firsts += (e.event_type -> ((e.ts_us, e.event_id)))
+        }
+        state.update(st)
+        state.setTimeoutTimestamp(
+          math.max(st.last_ts / 1000L + ttlUs / 1000L,
+            state.getCurrentWatermarkMs() + 1L))
+        val pairs = for {
+          (ta, (tsa, ida)) <- st.firsts.toSeq
+          (tb, (tsb, idb)) <- st.firsts.toSeq
+          if ta != tb && (tsa < tsb || (tsa == tsb && ida < idb))
+        } yield (ta, tb)
+        Iterator.single((user, st.last_ts, st.n, pairs.sorted))
+      }
+    }
+
+    ev.select(col("user_id").cast("long"), col("ts_us"), col("event_id"),
+        col("event_type"), timestamp_micros(col("ts_us")).as("tsx"))
+      .withWatermark("tsx", delay)
+      .as[SEvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout())(fn _)
+      .toDF("user_id", "last_ts_us", "n_events", "pairs")
   }
 
   /** KMV distinct-users sketch per event type (batch face): the

@@ -511,6 +511,171 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  /** Resolve the TTL faces' update-mode emissions to the current row per
+    * user: across an eviction+restart the counter alone is not monotone,
+    * the (last_ts_us, n_events) pair is.
+    */
+  private def resolveTtl(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+          .orderBy(col("last_ts_us").desc, col("n_events").desc)))
+      .filter(col("rk") === 1).drop("rk")
+
+  test("TTL latest-state: continuation, eviction, and restart pinned over controlled batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600L * 1000000L
+    val ttl = 10 * H
+    // u1 never gaps > ttl (state continues across all batches); u2 is
+    // silent 18h and the intermediate tick-only batch fires its timeout
+    // BEFORE it returns (restart — counters reset); u3 is evicted and
+    // never returns (its resolved row is the pre-eviction emission,
+    // which IS its final session); u9 is the clock whose ticks advance
+    // the watermark while always staying within ttl of each other.
+    val batches = Seq(
+      Seq((1L, 1 * H, 101L, "view", 1.0), (2L, 2 * H, 102L, "view", 2.0),
+        (3L, 1 * H, 103L, "click", 3.0), (9L, 3 * H, 109L, "tick", 0.5)),
+      Seq((1L, 8 * H, 111L, "click", 1.5), (9L, 9 * H, 119L, "tick", 0.5)),
+      Seq((9L, 16 * H, 129L, "tick", 0.5)),
+      // start-of-batch watermark 16h > u2's 12h and u3's 11h timeouts,
+      // neither has data here -> both evicted in this batch
+      Seq((9L, 17 * H, 139L, "tick", 0.5)),
+      Seq((1L, 18 * H, 141L, "buy", 4.0), (2L, 20 * H, 142L, "view", 9.0),
+        (9L, 24 * H, 149L, "tick", 0.5)),
+      Seq((9L, 30 * H, 159L, "tick", 0.5)))
+    val all = batches.flatten
+    val batchEv = all.toDF("user_id", "ts_us", "event_id", "event_type", "value")
+    val expected = EventStreams.latestStateTtl(batchEv, ttl)
+      .collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val ev = mem.toDF.toDF("user_id", "ts_us", "event_id", "event_type", "value")
+    val q = EventStreams.latestStateTtlStreaming(spark, ev, ttl)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ttl_latest_test").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = resolveTtl(spark.table("ttl_latest_test"))
+        .collect().map(_.toSeq).toSet
+      assert(got == expected,
+        s"TTL streamed latest-state diverged from the final-session batch view\n" +
+          s"got=$got\nexpected=$expected")
+      // the restart really reset u2's counters
+      val u2 = got.find(_.head == 2L).get
+      assert(u2(5) == 1L, s"u2 must restart after eviction, got $u2")
+      // and the state store holds exactly the horizon-live entities:
+      // after the trailing no-data batch the watermark is 30h, so u3
+      // (11h timeout) and u1 (28h) are dropped; u2 (timeout exactly
+      // 30h, not yet < wm) and u9 (40h) remain — evictions after an
+      // entity's LAST event never change the resolved output, which is
+      // why the parity above held with u1 already gone
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty && st.head.numRowsTotal == 2L,
+        s"state must hold exactly the horizon-live entities, got ${st.head.numRowsTotal}")
+    } finally q.stop()
+  }
+
+  test("TTL 2-sequence miner: evicted state rebuilds from scratch; pairs match the final-session matrix") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600L * 1000000L
+    val ttl = 10 * H
+    // u2's pre-eviction pair (view->buy) must NOT survive the restart:
+    // after eviction only its final-session events order the pairs
+    val batches = Seq(
+      Seq((2L, 1 * H, 201L, "view", 0.0), (2L, 2 * H, 202L, "buy", 0.0),
+        (9L, 3 * H, 209L, "tick", 0.0)),
+      Seq((9L, 9 * H, 219L, "tick", 0.0)),
+      Seq((9L, 16 * H, 229L, "tick", 0.0)),
+      Seq((9L, 17 * H, 239L, "tick", 0.0)), // u2 (timeout 12h) evicted here
+      Seq((2L, 20 * H, 241L, "buy", 0.0), (2L, 21 * H, 242L, "click", 0.0),
+        (9L, 24 * H, 249L, "tick", 0.0)))
+    val all = batches.flatten
+    val batchEv = all.toDF("user_id", "ts_us", "event_id", "event_type", "value")
+    val expected = EventStreams.seqPairsTtlSupport(batchEv, ttl).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val ev = mem.toDF.toDF("user_id", "ts_us", "event_id", "event_type", "value")
+    val q = EventStreams.seqPairsTtlStreaming(spark, ev, ttl)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ttl_seqp_test").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = resolveTtl(spark.table("ttl_seqp_test"))
+        .select(explode(col("pairs")).as("p"))
+        .select(col("p._1").as("type_a"), col("p._2").as("type_b"))
+        .groupBy(col("type_a"), col("type_b")).count()
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(got == expected,
+        s"TTL streamed pair sets diverged from the final-session matrix\n" +
+          s"got=$got\nexpected=$expected")
+      assert(got.contains(("buy", "click", 1L)) && !got.exists(p =>
+          p._1 == "view" && p._2 == "buy"),
+        s"u2's pre-eviction (view, buy) pair leaked through the restart: $got")
+    } finally q.stop()
+  }
+
+  test("TTL latest-state on REAL events: every resolved row is a session-tail merge, evictions occur") {
+    // In an event-time-ordered feed the state can only restart AT a
+    // true >ttl gap (the watermark never reaches lastTs+ttl before an
+    // event that arrives within ttl), but a coarse trigger may MISS a
+    // gap (delayed eviction merges adjacent sessions). So the exact
+    // invariant under any batching is: per user the resolved stream row
+    // equals the latest-state over sessions j..k for SOME j — with j=k
+    // (the gated batch face) whenever every eviction fired. Feed the
+    // sf events in 6h event-time buckets and pin that invariant, plus
+    // that at least one user actually restarted (j > 1 resolved away).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ttl = EventStreams.StateTtlUs
+    val bucketUs = 6L * 3600L * 1000000L
+    val rows = EventStreams.normalize(Tables.events(spark, sf))
+      .select("user_id", "ts_us", "event_id", "event_type", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(e => (e._2, e._3))
+    val batches = rows.groupBy(_._2 / bucketUs).toSeq.sortBy(_._1).map(_._2.toSeq)
+
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val ev = mem.toDF.toDF("user_id", "ts_us", "event_id", "event_type", "value")
+    val q = EventStreams.latestStateTtlStreaming(spark, ev, ttl)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ttl_latest_real_test").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = resolveTtl(spark.table("ttl_latest_real_test")).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3),
+          r.getDouble(4), r.getLong(5), r.getDouble(6)))).toMap
+
+      // driver-side session suffixes per user (1k rows at this sf)
+      def cents(v: Double): Long =
+        Math.signum(v).toLong * Math.round(Math.abs(v) * 100.0)
+      var restarts = 0
+      rows.groupBy(_._1).foreach { case (u, esUnsorted) =>
+        val es = esUnsorted.sortBy(e => (e._2, e._3))
+        val sessions = es.tail.foldLeft(Vector(Vector(es.head))) { (acc, e) =>
+          if (e._2 - acc.last.last._2 > ttl) acc :+ Vector(e)
+          else acc.init :+ (acc.last :+ e)
+        }
+        val candidates = sessions.indices.map { j =>
+          val sfx = sessions.drop(j).flatten
+          val last = sfx.maxBy(e => (e._2, e._3))
+          (last._2, last._3, last._4, last._5, sfx.size.toLong,
+            sfx.map(e => cents(e._5)).sum.toDouble / 100.0)
+        }
+        assert(candidates.contains(got(u)),
+          s"user $u resolved row ${got(u)} is not a session-tail merge of $candidates")
+        if (got(u) == candidates.last && candidates.size > 1) restarts += 1
+      }
+      assert(restarts >= 1,
+        "no user restarted at a session gap — TTL eviction was never exercised on the real feed")
+    } finally q.stop()
+  }
+
   test("KMV sketch over TWO micro-batches merges to the batch BottomK estimate") {
     val ev = EventStreams.normalize(Tables.events(spark, sf))
     val expected = EventStreams.kmvUniques(ev).collect()
