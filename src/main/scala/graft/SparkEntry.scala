@@ -257,6 +257,7 @@ object SparkEntry {
     "q_bfs"            -> ((s, d) => operators.Graph.bfs(s, d)),
     "q_triangle_count" -> ((s, d) => operators.Graph.triangleCounts(s, d)),
     "q_witness_count" -> ((s, d) => operators.Graph.witnessCount(s, d)),
+    "q_bridges" -> ((s, d) => operators.Graph.bridges(s, d)),
     "q_common_neighbors" -> ((s, d) => operators.Graph.commonNeighbors(s, d)),
     "q_components"     -> ((s, d) => operators.Graph.components(s, d)),
     "q_degree_dist"    -> ((s, d) => operators.Graph.degreeDist(s, d)),
@@ -269,6 +270,7 @@ object SparkEntry {
     "q_betweenness_sampled" -> ((s, d) => operators.Graph.betweennessSampled(s, d)),
     "q_seq_pairs"      -> ((s, d) => operators.Temporal.qSeqPairs(s, d)),
     "dedup_containment" -> ((s, d) => Pipeline.dedupContainment(s, d)),
+    "dedup_containment_minhash" -> ((s, d) => Pipeline.dedupContainmentMinhash(s, d)),
     "ann_rq_topk"      -> ((s, d) => Pipeline.annRqTopk(s, d)),
     "ann_rq_error"     -> ((s, d) => Pipeline.annRqError(s, d)),
     "q_scc"            -> ((s, d) => operators.Graph.scc(s, d)),
@@ -311,6 +313,7 @@ object SparkEntry {
     "stream_dedup_within" -> ((s, d) => Pipeline.streamDedupWithin(s, d)),
     "stream_latest_state_ttl" -> ((s, d) => Pipeline.streamLatestStateTtl(s, d)),
     "stream_seq_pairs_ttl" -> ((s, d) => Pipeline.streamSeqPairsTtl(s, d)),
+    "stream_rate_limit" -> ((s, d) => Pipeline.streamRateLimit(s, d)),
     "stream_attr_left"  -> ((s, d) => Pipeline.streamAttrLeft(s, d)),
     "stream_uniques"    -> ((s, d) => Pipeline.streamUniques(s, d)),
     "stream_join"       -> ((s, d) => Pipeline.streamJoin(s, d)),

@@ -432,6 +432,121 @@ object Dedup {
   def memoContainmentPairs(s: SparkSession, d: String): DataFrame =
     memo(s, d, "containment_pairs")(containmentPairs(graft.Tables.documents(s, d)))
 
+  /** Containment threshold for the MinHash ESTIMATOR face (τ = 0.5 —
+    * the estimator exists to cast a wider, cheaper net than the exact
+    * τ = 0.8 face, which verifies what this one surfaces).
+    */
+  val ContainmentEstTauX1e6 = 500000L
+
+  /** MinHash ESTIMATOR for the overlap coefficient — the asymmetric
+    * twin of [[minhashLshPairsFromBands]], riding the SAME shared
+    * signature/band tables (zero extra ingest state): candidates from
+    * (16, 4)-band cohabitation (salted, as ever), Ĵ = matching
+    * signature slots m / 64, and C through the inclusion identity
+    * I = J·(|A|+|B|)/(1+J) with the EXACT distinct-shingle sizes
+    * carried per doc:
+    *   ĉ×1e6 = (m·(szA+szB)·10⁶) div ((64+m)·min(szA, szB)).
+    * At 100 TB this is the cheap containment sweep — signatures and
+    * sizes are 8-byte-per-slot ingest artifacts, no inverted index
+    * probe — and every emitted pair carries its exact C as the
+    * estimator-QA column (the ann_rq_error discipline: an estimator
+    * ships WITH its measured error, exact-verified on the emitted set
+    * only, never corpus²). Deterministic integer arithmetic end to end
+    * (m·(szA+szB)·10⁶ ≤ 64·~10⁴·10⁶ ≪ 2⁶³) ⇒ hash-exact oracle.
+    */
+  def containmentMinhash(s: SparkSession, d: String,
+      tauX1e6: Long = ContainmentEstTauX1e6): DataFrame =
+    containmentMinhashFrom(graft.Tables.documents(s, d),
+      memoSig(s, d), memoBands(s, d), tauX1e6)
+
+  /** [[containmentMinhash]] over prebuilt (possibly shared) signature
+    * and band tables — the testable core.
+    */
+  def containmentMinhashFrom(docs: DataFrame, sig: DataFrame, bands: DataFrame,
+      tauX1e6: Long = ContainmentEstTauX1e6): DataFrame = {
+    val left = bands.select(col("doc_id").as("a"), col("band"), col("key"))
+    val right = bands.select(col("doc_id").as("b"), col("band"), col("key"))
+    val cand = graft.operators.Skew
+      .saltedJoin(left, right, Seq("band", "key"), LshSalts, col("a"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b")).distinct()
+      .localCheckpoint(eager = false)
+    val candDocs = cand.select(col("a").as("doc_id"))
+      .union(cand.select(col("b").as("doc_id"))).distinct()
+    val sets = docs.join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), sort_array(shingles(col("text"))).as("sh"))
+      .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("sz"))
+      .localCheckpoint()
+    cand
+      .join(sig.select(col("doc_id").as("a"), col("mh").as("mh_a")), Seq("a"))
+      .join(sig.select(col("doc_id").as("b"), col("mh").as("mh_b")), Seq("b"))
+      .withColumn("m_sig", expr(
+        "aggregate(zip_with(mh_a, mh_b, (x, y) -> IF(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)"))
+      .join(sets.select(col("doc_id").as("a"), col("sh").as("sh_a"), col("sz").as("sz_a")), Seq("a"))
+      .join(sets.select(col("doc_id").as("b"), col("sh").as("sh_b"), col("sz").as("sz_b")), Seq("b"))
+      .withColumn("c_est_x1e6", expr(
+        s"(m_sig * (sz_a + sz_b) * 1000000) div (($MinHashPerms + m_sig) * least(sz_a, sz_b))"))
+      .filter(col("c_est_x1e6") >= tauX1e6)
+      .withColumn("inter",
+        graft.functions.TextExpressionFunctions.sortedIntersectCount(col("sh_a"), col("sh_b")))
+      .select(col("a"), col("b"), col("sz_a"), col("sz_b"), col("m_sig"),
+        col("c_est_x1e6"),
+        expr("(1000000 * inter) div least(sz_a, sz_b)").as("c_exact_x1e6"))
+      .orderBy(col("a"), col("b"))
+  }
+
+  /** DuckDB rendering of [[containmentMinhash]]: the 64-permutation
+    * signature replay (the [[lshSweepOracleSql]] constants table), the
+    * (16, 4) band fold, bucket-cohabitation candidates, the slot-match
+    * estimator, and the exact-intersect QA column.
+    */
+  def containmentMinhashOracleSql(tauX1e6: Long = ContainmentEstTauX1e6): String = {
+    val permRows = (0 until graft.functions.MinHashAgg.Perms).map { i =>
+      s"($i, ${graft.functions.MinHashAgg.permA(i)}, ${graft.functions.MinHashAgg.permB(i)})"
+    }.mkString(", ")
+    val hashS = graft.text.TextFunctions.fingerprintSql("s")
+    val rows = MinHashPerms / MinHashBands
+    s"""WITH sh AS (
+       |  SELECT doc_id, unnest(${shinglesSql("text")}) AS s FROM documents),
+       |hh AS (SELECT doc_id, $hashS AS h FROM sh),
+       |perm AS (SELECT * FROM (VALUES $permRows) p(k, a, b)),
+       |sig AS MATERIALIZED (
+       |  SELECT doc_id, k, min((a * h + b) % $MinHashP) AS mh
+       |  FROM hh CROSS JOIN perm GROUP BY doc_id, k),
+       |band AS MATERIALIZED (
+       |  SELECT doc_id, k // $rows AS band,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list(mh ORDER BY k)),
+       |      (acc, x) -> (acc * 31 + x) % $MinHashP) AS key
+       |  FROM sig GROUP BY doc_id, k // $rows),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+       |  FROM band x JOIN band y
+       |    ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+       |m AS (
+       |  SELECT c.a, c.b, CAST(count(*) FILTER (sa.mh = sb.mh) AS BIGINT) AS m_sig
+       |  FROM cand c
+       |  JOIN sig sa ON sa.doc_id = c.a
+       |  JOIN sig sb ON sb.doc_id = c.b AND sb.k = sa.k
+       |  GROUP BY c.a, c.b),
+       |sz AS MATERIALIZED (
+       |  SELECT doc_id, ${shinglesSql("text")} AS sh FROM documents),
+       |j AS (
+       |  SELECT m.a, m.b,
+       |    CAST(len(za.sh) AS BIGINT) AS sz_a, CAST(len(zb.sh) AS BIGINT) AS sz_b,
+       |    m.m_sig,
+       |    CAST(len(list_intersect(za.sh, zb.sh)) AS BIGINT) AS inter
+       |  FROM m JOIN sz za ON za.doc_id = m.a JOIN sz zb ON zb.doc_id = m.b),
+       |e AS (
+       |  SELECT a, b, sz_a, sz_b, m_sig,
+       |    (m_sig * (sz_a + sz_b) * 1000000)
+       |      // (($MinHashPerms + m_sig) * least(sz_a, sz_b)) AS c_est_x1e6,
+       |    (1000000 * inter) // least(sz_a, sz_b) AS c_exact_x1e6
+       |  FROM j)
+       |SELECT a, b, sz_a, sz_b, m_sig, c_est_x1e6, c_exact_x1e6
+       |FROM e WHERE c_est_x1e6 >= $tauX1e6
+       |ORDER BY a, b""".stripMargin
+  }
+
   /** LSH banding-parameter sweep — the tuning readout that decides the
     * (bands, rows) operating point BEFORE a 100 TB dedup run: the SAME
     * 64-permutation signature table re-banded at (32,2)/(16,4)/(8,8)

@@ -599,6 +599,59 @@ object Graph {
       .orderBy(col("nation"))
   }
 
+  /** Bridge (cut-edge) detection on the nation trade graph — the graph-
+    * robustness readout: an undirected edge is a bridge iff removing it
+    * disconnects its endpoints, i.e. the single link whose loss
+    * partitions the trade network. Edges are the same top-3-flows-per-
+    * nation sparsification [[scc]] uses, undirected-deduped (a < b).
+    * Per candidate edge the residual graph's transitive closure is
+    * computed by `doublings` squaring rounds over an (edge, u, v)
+    * keyed relation — EVERYTHING here is nation-domain-bounded (≤ N²/2
+    * candidate edges × ≤ N² closure pairs, never fact-scale; the one
+    * non-equi join pairs two ≤N²-row tables and exists to EXCLUDE the
+    * removed edge, a bounded-domain product like the unrolled
+    * recurrences above it). Bridge = endpoint pair absent from the
+    * residual closure. The oracle unrolls the identical recurrence.
+    */
+  def bridges(s: SparkSession, d: String, doublings: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val flows = memoFlows(s, d)
+      .select(col("src").as("a"), col("dst").as("b"), col("w"))
+      .filter(col("a") =!= col("b"))
+    val rk = Window.partitionBy(col("a")).orderBy(col("w").desc, col("b"))
+    val und = flows.withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= 3)
+      .select(least(col("a"), col("b")).as("ea"), greatest(col("a"), col("b")).as("eb"))
+      .distinct()
+      .localCheckpoint()
+    val sym = und.select(col("ea").as("u"), col("eb").as("v"))
+      .union(und.select(col("eb").as("u"), col("ea").as("v")))
+    // residual adjacency per candidate edge: every symmetric edge that
+    // is not the removed one (non-equi pairing of two N-bounded tables)
+    var p = und.as("e").join(sym.as("g"),
+        !(col("e.ea") === least(col("g.u"), col("g.v")) &&
+          col("e.eb") === greatest(col("g.u"), col("g.v"))))
+      .select(col("e.ea").as("ea"), col("e.eb").as("eb"), col("g.u").as("u"), col("g.v").as("v"))
+      .distinct()
+      .localCheckpoint()
+    for (_ <- 1 to doublings) {
+      p = p.unionByName(
+          p.select(col("ea"), col("eb"), col("u"), col("v").as("mid"))
+            .join(p.select(col("ea"), col("eb"), col("u").as("mid"), col("v")),
+              Seq("ea", "eb", "mid"))
+            .select(col("ea"), col("eb"), col("u"), col("v")))
+        .distinct()
+        .localCheckpoint(eager = false)
+    }
+    val connected = p.filter(col("u") === col("ea") && col("v") === col("eb"))
+      .select(col("ea"), col("eb")).distinct()
+      .withColumn("linked", lit(1L))
+    und.join(connected, Seq("ea", "eb"), "left")
+      .select(col("ea").as("a"), col("eb").as("b"),
+        when(col("linked").isNull, 1L).otherwise(0L).as("is_bridge"))
+      .orderBy(col("a"), col("b"))
+  }
+
   /** Per-part triangle counts in the co-purchase graph (parts appearing
     * in the same order are connected). Edge generation is bounded per
     * order (≤ lines² pairs within one order, never corpus-wide) and runs
@@ -2148,6 +2201,45 @@ object Graph {
         |      SELECT y FROM t UNION ALL
         |      SELECT z FROM t)
         |GROUP BY part ORDER BY part""".stripMargin,
+
+    "q_bridges" -> {
+      val steps = (1 to 5).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT DISTINCT ea, eb, u, v FROM (
+           |    SELECT ea, eb, u, v FROM p${i - 1}
+           |    UNION ALL
+           |    SELECT x.ea, x.eb, x.u, y.v
+           |    FROM p${i - 1} x JOIN p${i - 1} y
+           |      ON x.ea = y.ea AND x.eb = y.eb AND x.v = y.u))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH flows AS MATERIALIZED (
+         |  SELECT CAST(c.c_nationkey AS BIGINT) AS a,
+         |    CAST(s.s_nationkey AS BIGINT) AS b, count(*) AS w
+         |  FROM lineitem l
+         |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  WHERE c.c_nationkey <> s.s_nationkey
+         |  GROUP BY 1, 2),
+         |er AS (
+         |  SELECT a, b FROM (
+         |    SELECT a, b, row_number() OVER (
+         |      PARTITION BY a ORDER BY w DESC, b) AS rk FROM flows)
+         |  WHERE rk <= 3),
+         |und AS MATERIALIZED (
+         |  SELECT DISTINCT least(a, b) AS ea, greatest(a, b) AS eb FROM er),
+         |sym AS (SELECT ea AS u, eb AS v FROM und
+         |        UNION ALL SELECT eb, ea FROM und),
+         |p0 AS MATERIALIZED (
+         |  SELECT DISTINCT e.ea, e.eb, g.u, g.v FROM und e JOIN sym g
+         |    ON NOT (e.ea = least(g.u, g.v) AND e.eb = greatest(g.u, g.v))),
+         |$steps,
+         |conn AS (SELECT DISTINCT ea, eb FROM p5 WHERE u = ea AND v = eb)
+         |SELECT und.ea AS a, und.eb AS b,
+         |  CAST(CASE WHEN conn.ea IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_bridge
+         |FROM und LEFT JOIN conn ON conn.ea = und.ea AND conn.eb = und.eb
+         |ORDER BY a, b""".stripMargin
+    },
 
     // witness-count audit: same naive id-oriented triangle enumeration
     // as the q_triangle_count oracle (orientation does not change T),

@@ -43,6 +43,12 @@ object Pipeline {
   def dedupContainment(s: SparkSession, d: String): DataFrame =
     Dedup.memoContainmentPairs(s, d)
 
+  /** MinHash containment ESTIMATOR off the shared signature/band
+    * tables, with the exact C of every emitted pair as the QA column.
+    */
+  def dedupContainmentMinhash(s: SparkSession, d: String): DataFrame =
+    Dedup.containmentMinhash(s, d)
+
   def dedupEmbedding(s: SparkSession, d: String): DataFrame =
     Similarity.pairSim(Tables.embeddings(s, d), 400000L)
 
@@ -862,6 +868,14 @@ object Pipeline {
 
   def streamSeqPairsTtl(s: SparkSession, d: String): DataFrame =
     EventStreams.seqPairsTtlSupport(EventStreams.normalize(Tables.events(s, d)))
+
+  /** Token-bucket admission per user — the batch face of
+    * [[EventStreams.rateLimitStreaming]] (event-level enforcement, vs
+    * q_rate_limit's day-quota aggregate view); ordered two-batch
+    * streaming parity pinned in StreamingSpec.
+    */
+  def streamRateLimit(s: SparkSession, d: String): DataFrame =
+    EventStreams.rateLimitBatch(EventStreams.normalize(Tables.events(s, d)))
 
   def streamLateAudit(s: SparkSession, d: String): DataFrame =
     EventStreams.lateAudit(EventStreams.normalize(Tables.events(s, d)))
@@ -1994,6 +2008,8 @@ object Pipeline {
     },
 
     "dedup_containment" -> bruteContainment,
+
+    "dedup_containment_minhash" -> Dedup.containmentMinhashOracleSql(),
     "dedup_ngram_jaccard" -> bruteJaccard,
     "dedup_minhash_lsh" -> bruteJaccard,
 
@@ -2206,6 +2222,34 @@ object Pipeline {
          |  a.n_events, a.sum_value
          |FROM rk r JOIN agg a ON r.user_id = a.user_id WHERE r.rk = 1
          |ORDER BY r.user_id""".stripMargin,
+
+    "stream_rate_limit" -> {
+      val p = EventStreams.RateLimitPeriodUs
+      val cap = EventStreams.RateLimitBurst * p
+      val newcr = s"least(CAST($cap AS BIGINT), st.cr + CASE WHEN st.pt < 0 THEN 0 ELSE e.ts_us - st.pt END)"
+      s"""WITH RECURSIVE ev AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+         |    row_number() OVER (PARTITION BY user_id
+         |      ORDER BY epoch_us(ts), event_id) AS i
+         |  FROM events),
+         |mx AS (SELECT user_id, max(i) AS m FROM ev GROUP BY 1),
+         |st AS (
+         |  SELECT user_id, CAST(0 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS pt,
+         |    CAST($cap AS BIGINT) AS cr,
+         |    CAST(0 AS BIGINT) AS na, CAST(0 AS BIGINT) AS nd
+         |  FROM mx
+         |  UNION ALL
+         |  SELECT st.user_id, st.i + 1, e.ts_us,
+         |    CASE WHEN $newcr >= $p THEN $newcr - $p ELSE $newcr END,
+         |    st.na + CASE WHEN $newcr >= $p THEN 1 ELSE 0 END,
+         |    st.nd + CASE WHEN $newcr < $p THEN 1 ELSE 0 END
+         |  FROM st JOIN ev e ON e.user_id = st.user_id AND e.i = st.i + 1)
+         |SELECT st.user_id, mx.m AS n_events, st.na AS n_allowed,
+         |  st.nd AS n_denied,
+         |  (st.na * 1000000) // (st.na + st.nd) AS allow_ppm
+         |FROM st JOIN mx ON mx.user_id = st.user_id AND st.i = mx.m
+         |ORDER BY st.user_id""".stripMargin
+    },
 
     "stream_latest_state_ttl" ->
       s"""WITH ev0 AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value

@@ -82,6 +82,12 @@ case class SEvT(user_id: Long, ts_us: Long, event_id: Long,
 case class SeqTtlSt(var firsts: Map[String, (Long, Long)], var n: Long,
   var last_ts: Long)
 
+/** Token-bucket state: last event ts, credit balance (µs of event
+  * time), allowed/denied counters — one row per entity, the bucket a
+  * rate-limiting gateway holds.
+  */
+case class RlSt(var pt: Long, var cr: Long, var na: Long, var nd: Long)
+
 /** Per-event input to the KMV sketch maintainer. */
 case class KEv(event_type: String, h: Long)
 
@@ -778,6 +784,87 @@ object EventStreams {
       .flatMapGroupsWithState(OutputMode.Update(),
         GroupStateTimeout.EventTimeTimeout())(fn _)
       .toDF("user_id", "last_ts_us", "n_events", "pairs")
+  }
+
+  // --- token-bucket rate limiting (round 13) -----------------------------
+
+  /** Token-bucket parameters: refill one event-credit per
+    * [[RateLimitPeriodUs]] of event time (1 sustained event/hour),
+    * burst capacity [[RateLimitBurst]]. Integer event-time credits —
+    * the bucket holds up to burst·period µs of credit, an event costs
+    * period µs, allowed iff the refilled balance covers it — so the
+    * recurrence is exact in BIGINT and gates hash-exact.
+    */
+  val RateLimitPeriodUs = 3600L * 1000000L
+  val RateLimitBurst = 5L
+
+  /** Batch face of [[rateLimitStreaming]] — the per-user token-bucket
+    * admission fold, evaluated as one `aggregate` HOF over the per-user
+    * (ts, id)-sorted event array (bounded per user, never corpus-wide;
+    * the [[dedupWithinBatch]] shape with a 4-field accumulator). Unlike
+    * q_rate_limit's day-quota AGGREGATE view, this is the event-level
+    * admission decision an ingest gateway actually enforces: bursts
+    * drain the bucket, idle time refills it, sustained overrate drops.
+    * Output per user: totals + the admission ratio. The oracle renders
+    * the identical recurrence as a recursive CTE.
+    */
+  def rateLimitBatch(ev: DataFrame, periodUs: Long = RateLimitPeriodUs,
+      burst: Long = RateLimitBurst): DataFrame = {
+    val cap = burst * periodUs
+    val newcr = s"least(CAST($cap AS BIGINT), acc.cr + IF(acc.pt < CAST(0 AS BIGINT), CAST(0 AS BIGINT), e.ts - acc.pt))"
+    ev.select(col("user_id"), struct(col("ts_us").as("ts"), col("event_id").as("id")).as("e"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(col("e"))).as("evs"))
+      .select(col("user_id"), size(col("evs")).cast("long").as("n_events"),
+        expr(
+          s"""aggregate(evs,
+             |  named_struct('pt', CAST(-1 AS BIGINT), 'cr', CAST($cap AS BIGINT),
+             |    'na', CAST(0 AS BIGINT), 'nd', CAST(0 AS BIGINT)),
+             |  (acc, e) -> named_struct(
+             |    'pt', e.ts,
+             |    'cr', IF($newcr >= ${periodUs}L, $newcr - ${periodUs}L, $newcr),
+             |    'na', acc.na + IF($newcr >= ${periodUs}L, 1L, 0L),
+             |    'nd', acc.nd + IF($newcr < ${periodUs}L, 1L, 0L)))""".stripMargin).as("st"))
+      .select(col("user_id"), col("n_events"), col("st.na").as("n_allowed"),
+        col("st.nd").as("n_denied"),
+        expr("(st.na * 1000000) div (st.na + st.nd)").as("allow_ppm"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Token-bucket enforcement ON the stream via mapGroupsWithState
+    * (Update mode): per user the state is the bucket itself — (last ts,
+    * credit balance, allowed/denied counters), one row per entity. The
+    * fold is SEQUENTIAL in event time (credits depend on elapsed time),
+    * so rows are sorted within each batch and cross-batch parity holds
+    * on event-time-ordered feeds exactly: folding an ordered split
+    * through the carried (pt, cr) state ≡ folding the whole history
+    * (pinned in StreamingSpec over a ts-range two-batch split).
+    */
+  def rateLimitStreaming(spark: SparkSession, ev: DataFrame,
+      periodUs: Long = RateLimitPeriodUs, burst: Long = RateLimitBurst): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    val cap = burst * periodUs
+
+    def fn(user: Long, rows: Iterator[AEv], state: GroupState[RlSt])
+        : (Long, Long, Long, Long, Long) = {
+      val st = state.getOption.getOrElse(RlSt(-1L, cap, 0L, 0L))
+      rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+        val elapsed = if (st.pt < 0L) 0L else e.ts_us - st.pt
+        val newcr = math.min(cap, st.cr + elapsed)
+        if (newcr >= periodUs) { st.cr = newcr - periodUs; st.na += 1 }
+        else { st.cr = newcr; st.nd += 1 }
+        st.pt = e.ts_us
+      }
+      state.update(st)
+      (user, st.na + st.nd, st.na, st.nd, st.na * 1000000L / (st.na + st.nd))
+    }
+
+    ev.select(col("user_id").cast("long"), col("ts_us"), col("event_id"))
+      .as[AEv]
+      .groupByKey(_.user_id)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(fn _)
+      .toDF("user_id", "n_events", "n_allowed", "n_denied", "allow_ppm")
   }
 
   /** KMV distinct-users sketch per event type (batch face): the

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Graph
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 class GraphSpec extends AnyFunSuite {
@@ -102,6 +103,44 @@ class GraphSpec extends AnyFunSuite {
     assert(row.getLong(2) == wedgeBound, "wedge_bound")
     assert(row.getLong(3) == t, "n_triangles")
     assert(row.getLong(4) == 3 * t, "n_witness_rows = 3T")
+  }
+
+  test("bridges equal a driver-side remove-edge reachability check") {
+    val got = Graph.bridges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // rebuild the same top-3 flow edge set driver-side
+    val flows = Tables.lineitem(spark, sf).select("l_orderkey", "l_suppkey")
+      .join(Tables.orders(spark, sf).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, sf)
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("src")),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.supplier(spark, sf)
+        .select(col("s_suppkey"), col("s_nationkey").cast("long").as("dst")),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val top3 = flows.groupBy(_._1).values.flatMap { es =>
+      es.sortBy(e => (-e._3, e._2)).take(3)
+    }
+    val und = top3.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    def reachable(edges: Set[(Long, Long)], from: Long, to: Long): Boolean = {
+      val adj = (edges.toSeq ++ edges.toSeq.map(e => (e._2, e._1)))
+        .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      var seen = Set(from); var frontier = Set(from)
+      while (frontier.nonEmpty && !seen.contains(to)) {
+        frontier = frontier.flatMap(v => adj.getOrElse(v, Set.empty)) -- seen
+        seen ++= frontier
+      }
+      seen.contains(to)
+    }
+    val want = und.map { e =>
+      e -> (if (reachable(und - e, e._1, e._2)) 0L else 1L)
+    }.toMap
+    assert(got.keySet == want.keySet, "edge sets diverge")
+    assert(got == want,
+      s"bridge flags diverge: ${got.toSet -- want.toSet} vs ${want.toSet -- got.toSet}")
   }
 
   test("common-neighbor scores equal a brute-force adjacency recompute") {

@@ -81,6 +81,51 @@ class PipelineSpec extends AnyFunSuite {
     assert(j01 < 500000L, s"witness not asymmetric enough: J(0,1) = $j01")
   }
 
+  test("minhash containment estimator equals a driver-side replay over the real signatures") {
+    import spark.implicits._
+    // doc 1 is a verbatim passage of doc 0 (the asymmetric case the
+    // estimator exists to surface cheaply); near-identical pairs ride
+    // along so several band buckets genuinely cohabit
+    val big = (0 until 60).map(i => s"tok$i").mkString(" ")
+    val quote = (10 until 40).map(i => s"tok$i").mkString(" ")
+    val corpus = Seq(
+      (0L, big), (1L, quote), (2L, s"$big tail0"), (3L, s"$big tail1"),
+      (4L, "completely different text about other things entirely here"))
+    val docs = corpus.toDF("doc_id", "text")
+    val exSh = docs.select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("s"))
+    val sig = Dedup.sigFromShingles(exSh).localCheckpoint()
+    val bands = Dedup.bandsFromSig(sig).localCheckpoint()
+    val got = Dedup.containmentMinhashFrom(docs, sig, bands).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+
+    // driver-side replay from the SAME signature/band tables
+    val sigM = sig.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val bandRows = bands.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val cands = (for {
+      (da, ba, ka) <- bandRows; (db, bb, kb) <- bandRows
+      if da < db && ba == bb && ka == kb
+    } yield (da, db)).toSet
+    def sh(t: String): Set[String] =
+      t.split("\\s+").filter(_.nonEmpty).sliding(3).filter(_.length == 3)
+        .map(_.mkString("_")).toSet
+    val mats = corpus.map { case (id, t) => id -> sh(t) }.toMap
+    val want = (for {
+      (a, b) <- cands
+      m = sigM(a).zip(sigM(b)).count { case (x, y) => x == y }.toLong
+      (szA, szB) = (mats(a).size.toLong, mats(b).size.toLong)
+      cEst = m * (szA + szB) * 1000000L / ((64L + m) * math.min(szA, szB))
+      if cEst >= Dedup.ContainmentEstTauX1e6
+      cExact = 1000000L * (mats(a) & mats(b)).size / math.min(szA, szB)
+    } yield (a, b, szA, szB, m, cEst, cExact)).toSet
+    assert(want.nonEmpty, "the synthetic corpus must produce estimator pairs")
+    assert(got == want, s"missing ${want -- got}, extra ${got -- want}")
+    // the asymmetric quote pair is surfaced and its exact QA confirms it
+    val p01 = got.find(p => p._1 == 0L && p._2 == 1L)
+    assert(p01.nonEmpty, "estimator missed the doc-inside-doc pair")
+    assert(p01.get._7 == 1000000L, s"QA column should show exact containment: $p01")
+  }
+
   test("containment equals brute force on an all-near-identical corpus (salted hot-key path)") {
     // every doc's RAREST shingle is the same key on this corpus, so the
     // full-postings side of one shingle carries every doc — the salted

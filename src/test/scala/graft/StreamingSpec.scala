@@ -676,6 +676,53 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("token-bucket rate limit over TWO ts-ordered micro-batches equals the batch fold") {
+    val ev = EventStreams.normalize(Tables.events(spark, sf))
+    // a TIGHTER policy than the gated default (8h refill, burst 2) so
+    // the sparse spec-SF feed (median per-user gap ~7.7h) genuinely
+    // denies — the default 1h/5 policy is exercised by the sf0.01 gate
+    val (periodUs, burst) = (8L * 3600L * 1000000L, 2L)
+    val expected = EventStreams.rateLimitBatch(ev, periodUs, burst)
+      .collect().map(_.toSeq).toSet
+
+    // the fold is SEQUENTIAL in event time, so the split must be a
+    // ts-RANGE cut (an ordered split folded through the carried
+    // (pt, cr) state ≡ folding the whole history); file order is
+    // forced via modification times
+    val mid = ev.agg(expr("percentile_approx(ts_us, 0.5)")).head.getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rl").toString
+    ev.filter(col("ts_us") <= mid).coalesce(1).write.parquet(s"$dir/a")
+    ev.filter(col("ts_us") > mid).coalesce(1).write.parquet(s"$dir/b")
+    val staged = java.nio.file.Files.createTempDirectory("graft-rl-stage")
+    for (((sub, n), i) <- Seq("a" -> "0.parquet", "b" -> "1.parquet").zipWithIndex) {
+      val src = new java.io.File(s"$dir/$sub").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head.toPath
+      val dst = staged.resolve(n)
+      java.nio.file.Files.copy(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+    }
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "1").parquet(staged.toString)
+    val q = EventStreams.rateLimitStreaming(spark, stream, periodUs, burst)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("rate_limit_test").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("rate_limit_test")
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("n_events").desc)))
+        .filter(col("rk") === 1).drop("rk")
+        .collect().map(_.toSeq).toSet
+      assert(got == expected, "streamed token bucket diverged from the batch fold")
+      assert(expected.exists(r => r(3).asInstanceOf[Long] > 0L),
+        "no denials on the real feed — policy too loose to test anything")
+      assert(expected.exists(r => r(2).asInstanceOf[Long] > 0L),
+        "no admissions — policy too tight to distinguish the fold from a constant")
+    } finally q.stop()
+  }
+
   test("KMV sketch over TWO micro-batches merges to the batch BottomK estimate") {
     val ev = EventStreams.normalize(Tables.events(spark, sf))
     val expected = EventStreams.kmvUniques(ev).collect()
