@@ -925,12 +925,14 @@ class PipelineSpec extends AnyFunSuite {
 
   test("ann recall audit reconciles with the underlying gated top-k sets") {
     val rows = Pipeline.annRecallEval(spark, sf).collect()
-    assert(rows.map(_.getString(0)).toSeq == Seq("hnsw", "ivf", "lsh", "pq", "rq", "sq"))
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("hnsw", "ivf", "lsh", "nnd", "pq", "rq", "sq"))
     val truth = Pipeline.annBruteTopk(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val byName = Map(
       "hnsw" -> Pipeline.annHnswTopk(spark, sf),
       "ivf" -> Pipeline.annIvfTopk(spark, sf), "lsh" -> Pipeline.annLshTopk(spark, sf),
+      "nnd" -> Pipeline.annDescentTopk(spark, sf),
       "pq" -> Pipeline.annPqTopk(spark, sf), "rq" -> Pipeline.annRqTopk(spark, sf),
       "sq" -> Pipeline.annSqTopk(spark, sf))
     rows.foreach { r =>
