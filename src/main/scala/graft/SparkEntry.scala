@@ -239,6 +239,7 @@ object SparkEntry {
     "ann_nn_descent"  -> ((s, d) => Pipeline.annNnDescent(s, d)),
     "ann_nn_descent_recall" -> ((s, d) => Pipeline.annNnDescentRecall(s, d)),
     "ann_descent_topk" -> ((s, d) => Pipeline.annDescentTopk(s, d)),
+    "ann_descent_visited" -> ((s, d) => Pipeline.annDescentVisited(s, d)),
     "q7_volume"        -> ((s, d) => Relational.q7Volume(s, d)),
     "q8_share"         -> ((s, d) => Relational.q8Share(s, d)),
     "q_pagerank"       -> ((s, d) => operators.Graph.pagerank(s, d)),
@@ -258,6 +259,7 @@ object SparkEntry {
     "q_triangle_count" -> ((s, d) => operators.Graph.triangleCounts(s, d)),
     "q_witness_count" -> ((s, d) => operators.Graph.witnessCount(s, d)),
     "q_bridges" -> ((s, d) => operators.Graph.bridges(s, d)),
+    "q_ktruss" -> ((s, d) => operators.Graph.ktruss(s, d)),
     "q_common_neighbors" -> ((s, d) => operators.Graph.commonNeighbors(s, d)),
     "q_components"     -> ((s, d) => operators.Graph.components(s, d)),
     "q_degree_dist"    -> ((s, d) => operators.Graph.degreeDist(s, d)),

@@ -599,6 +599,75 @@ object Graph {
       .orderBy(col("nation"))
   }
 
+  /** Fixed-round k-truss peel (k = 4) on the co-purchase graph — the
+    * edge-level community-core operator (Cohen 2008): an edge survives
+    * a round iff its triangle SUPPORT (triangles through it) is
+    * ≥ k−2 on the current survivor set. Two fixed peel rounds + one
+    * output recount — the exactly-R-rounds contract of the label-prop
+    * family (a fixpoint loop is not oracle-renderable; the fixed
+    * unrolling is, and each round is the SAME degree-oriented
+    * Σ min-deg² closure probe the triangle family ships: round 1's
+    * support IS the shared pinned witness table, later rounds re-probe
+    * only survivors, whose count only shrinks). Output: top-100
+    * surviving edges by (final support desc, a, b) — bounded at any
+    * corpus size, full recurrence exercised.
+    */
+  def ktruss(s: SparkSession, d: String, k: Int = 4, rounds: Int = 2): DataFrame = {
+    val minSup = (k - 2).toLong
+    // Recounts keep the ORIGINAL pinned orientation and semi-join it to
+    // the survivor set: any FIXED total order on vertices enumerates
+    // each triangle exactly once, so the full-graph (deg, id) order
+    // stays valid on every subgraph — a round costs one semi-join +
+    // adjacency rebuild + probe instead of a degree recompute and
+    // re-orientation (support counts are orientation-independent, so
+    // the oracle's id-ordered triple join sees identical numbers).
+    def support(e: DataFrame): DataFrame = {
+      val keep = e.select(col("a").as("src"), col("b").as("dst"))
+        .union(e.select(col("b").as("src"), col("a").as("dst")))
+      val oriented = triOriented(triEdges(s, d))
+        .join(keep, Seq("src", "dst"), "left_semi")
+        // pin the width before the checkpoint freezes it (the triEdges
+        // discipline): the survivor set is byte-light but the probe is
+        // CPU-dense — AQE's size-coalesced partitioning would serialize
+        // the array intersects onto a few cores (measured: the
+        // checkpoint-free rendering of this round ran 1.7× slower)
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint() // two consumers: adjacency build + closure probe
+      val adj = oriented.groupBy(col("src"))
+        .agg(sort_array(collect_set(col("dst"))).as("nbrs"))
+        .localCheckpoint() // probed from both endpoints of every edge
+      triEdgeWitnesses(triTriples(s, oriented, adj))
+        .groupBy(col("a"), col("b")).agg(count(lit(1)).as("support"))
+    }
+    // round 1's support is the shared pinned witness table — free.
+    // The peel is ABSORBING: a round that removes nothing leaves the
+    // edge set (hence every later support recount, hence every later
+    // round and the output recount) bit-identical — so a no-change
+    // round short-circuits the remaining probes EXACTLY, the way the
+    // cluster-merge count guard gates its broadcast: one driver-side
+    // per-round cardinality scalar buys skipping a full Σ min-deg²
+    // re-probe when k is below the graph's truss floor.
+    var e = triEdges(s, d)
+    var n = e.count()
+    var sup = memoWitnesses(s, d).groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("support"))
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
+      val survivors = e.join(sup, Seq("a", "b"), "left")
+        .filter(coalesce(col("support"), lit(0L)) >= minSup)
+        .select(col("a"), col("b"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .localCheckpoint()
+      val m = survivors.count()
+      if (m == n) converged = true
+      else { e = survivors; n = m; sup = support(e) }
+    }
+    e.join(sup, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), coalesce(col("support"), lit(0L)).as("support"))
+      .orderBy(col("support").desc, col("a"), col("b"))
+      .limit(100)
+  }
+
   /** Bridge (cut-edge) detection on the nation trade graph — the graph-
     * robustness readout: an undirected edge is a bridge iff removing it
     * disconnects its endpoints, i.e. the single link whose loss
@@ -2201,6 +2270,37 @@ object Graph {
         |      SELECT y FROM t UNION ALL
         |      SELECT z FROM t)
         |GROUP BY part ORDER BY part""".stripMargin,
+
+    "q_ktruss" -> {
+      def supCte(i: Int): String =
+        s"""t$i AS (
+           |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+           |  FROM e$i e1
+           |  JOIN e$i e2 ON e2.a = e1.a AND e2.b > e1.b
+           |  JOIN e$i e3 ON e3.a = e1.b AND e3.b = e2.b),
+           |s$i AS (
+           |  SELECT a, b, CAST(count(*) AS BIGINT) AS support FROM (
+           |    SELECT x AS a, y AS b FROM t$i UNION ALL
+           |    SELECT x, z FROM t$i UNION ALL
+           |    SELECT y, z FROM t$i)
+           |  GROUP BY a, b)""".stripMargin
+      def peelCte(i: Int): String =
+        s"""e${i + 1} AS MATERIALIZED (
+           |  SELECT e.a, e.b FROM e$i e LEFT JOIN s$i s USING (a, b)
+           |  WHERE coalesce(s.support, 0) >= 2)""".stripMargin
+      s"""WITH e0 AS MATERIALIZED (
+         |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+         |  FROM lineitem x
+         |  JOIN lineitem y ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+         |${supCte(0)},
+         |${peelCte(0)},
+         |${supCte(1)},
+         |${peelCte(1)},
+         |${supCte(2)}
+         |SELECT e.a, e.b, coalesce(s.support, CAST(0 AS BIGINT)) AS support
+         |FROM e2 e LEFT JOIN s2 s USING (a, b)
+         |ORDER BY support DESC, e.a, e.b LIMIT 100""".stripMargin
+    },
 
     "q_bridges" -> {
       val steps = (1 to 5).map { i =>

@@ -218,6 +218,9 @@ object Pipeline {
   def annDescentTopk(s: SparkSession, d: String): DataFrame =
     Similarity.descentTopK(s, d, queryPred)
 
+  def annDescentVisited(s: SparkSession, d: String): DataFrame =
+    Similarity.descentVisitedStats(s, d, queryPred)
+
   def annNnDescentRecall(s: SparkSession, d: String): DataFrame =
     Similarity.nnDescentRecall(s, d)
 
@@ -2663,6 +2666,8 @@ object Pipeline {
     "ann_nn_descent" -> Similarity.nnDescentOracleSql(),
 
     "ann_descent_topk" -> Similarity.descentTopKOracleSql("vec_id % 97 = 0"),
+
+    "ann_descent_visited" -> Similarity.descentVisitedOracleSql("vec_id % 97 = 0"),
 
     "ann_nn_descent_recall" -> Similarity.nnDescentRecallOracleSql(),
 

@@ -1713,6 +1713,36 @@ object Similarity {
       .orderBy(col("q_id"), col("rk"))
   }
 
+  /** Scan-saving readout of the descent-graph walk — the
+    * [[hnswVisitedStats]] twin over the SAME memoized visited set
+    * [[descentTopK]] serves from, so the two build paths' structural
+    * quality (how much of the corpus a query touches) is comparable
+    * row for row.
+    */
+  def descentVisitedStats(s: SparkSession, d: String, queryPred: Column): DataFrame = {
+    val n = graft.Tables.embeddings(s, d).agg(count(lit(1)).as("n_corpus"))
+    descentVisitedShared(s, d, queryPred)
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_visited"))
+      .crossJoin(broadcast(n))
+      .select(col("q_id"), col("n_visited"), col("n_corpus"),
+        expr("(n_visited * 1000000) div n_corpus").as("visited_frac_x1e6"))
+      .orderBy(col("q_id"))
+  }
+
+  /** DuckDB rendering of [[descentVisitedStats]] (the
+    * [[hnswVisitedOracleSql]] readout over the descent walk CTEs).
+    */
+  def descentVisitedOracleSql(queryPredSql: String, m: Int = NndM,
+      dRounds: Int = NndRounds, beam: Int = HnswBeam,
+      wRounds: Int = HnswRounds): String =
+    s"""${nnDescentCtes(m, dRounds)},
+       |${walkCtes(s"g$dRounds", queryPredSql, beam, wRounds)}
+       |SELECT v.q_id, CAST(count(*) AS BIGINT) AS n_visited,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_corpus,
+       |  CAST(count(*) AS BIGINT) * 1000000 // (SELECT count(*) FROM e) AS visited_frac_x1e6
+       |FROM v$wRounds v WHERE v.vec_id <> v.q_id
+       |GROUP BY v.q_id ORDER BY v.q_id""".stripMargin
+
   /** DuckDB renderings of [[hnswTopK]] / [[hnswVisitedStats]]: the
     * IVF-cell-BLOCKED M-NN build (the [[ivfOracleSql]] assignment +
     * probe CTEs feeding a within-probed-cell candidate join — the

@@ -105,6 +105,45 @@ class GraphSpec extends AnyFunSuite {
     assert(row.getLong(4) == 3 * t, "n_witness_rows = 3T")
   }
 
+  test("ktruss: two fixed peel rounds + output recount equal a driver-side replay") {
+    val li = Tables.lineitem(spark, sf).select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges0: Set[(Long, Long)] = li.groupBy(_._1).values.flatMap { lines =>
+      val ps: Seq[Long] = lines.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    def supportOf(es: Set[(Long, Long)]): Map[(Long, Long), Long] = {
+      val adj = es.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+      val sup = scala.collection.mutable.Map.empty[(Long, Long), Long].withDefaultValue(0L)
+      for {
+        (a, bs) <- adj; b <- bs
+        cs <- adj.get(b); c <- cs
+        if es.contains((a, c))
+      } { sup((a, b)) += 1; sup((a, c)) += 1; sup((b, c)) += 1 }
+      sup.toMap.withDefaultValue(0L)
+    }
+    def replay(minSup: Long): (Seq[(Long, Long, Long)], Int) = {
+      var es = edges0
+      for (_ <- 1 to 2) { val sp = supportOf(es); es = es.filter(e => sp(e) >= minSup) }
+      val fin = supportOf(es)
+      (es.toSeq.map(e => (e._1, e._2, fin(e)))
+        .sortBy(t => (-t._3, t._1, t._2)).take(100), es.size)
+    }
+    val (want, _) = replay(2L)
+    val got = Graph.ktruss(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want, s"ktruss diverged:\n got=${got.take(5)}\nwant=${want.take(5)}")
+    // the gated k=4 face peels nothing on this dense spec-SF graph
+    // (every co-purchase edge sits in ≥2 triangles), so the PEEL is
+    // exercised at k=30: edges genuinely drop and the replay still
+    // matches — the recurrence, not just the support count, is pinned
+    val (want30, size30) = replay(28L)
+    val got30 = Graph.ktruss(spark, sf, k = 30).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got30 == want30, s"k=30 ktruss diverged:\n got=${got30.take(5)}\nwant=${want30.take(5)}")
+    assert(size30 < edges0.size, "k=30 peeled nothing — raise k in the spec")
+  }
+
   test("bridges equal a driver-side remove-edge reachability check") {
     val got = Graph.bridges(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap

@@ -647,6 +647,13 @@ class PipelineSpec extends AnyFunSuite {
       "nnd hits diverge from the served pair set")
     info(f"descent-served recall@10 = ${nnd.getLong(3).toDouble / nnd.getLong(2)}%.2f " +
       "(same walk params as hnsw; only the graph under it differs)")
+    // the visited-fraction readout rides the same memoized walk
+    val vs = Pipeline.annDescentVisited(spark, sf).collect()
+    assert(vs.nonEmpty)
+    vs.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "visited more nodes than the corpus holds")
+      assert(r.getLong(3) == r.getLong(1) * 1000000L / r.getLong(2), "frac arithmetic drift")
+    }
   }
 
   test("kmeans training survives unpopulated vec_id residue classes") {
