@@ -1676,7 +1676,7 @@ object Similarity {
 
   private[graft] def descentServeGraph(s: SparkSession, d: String): DataFrame =
     descentServeCache.getOrElseUpdate((s, d), graft.GraftSession.pin {
-      val bNbr = graft.Tables.embeddings(s, d)
+      val bNbr = graft.Tables.fanOut(graft.Tables.embeddings(s, d))
         .select(col("vec_id").as("nbr"), col("embedding").as("n_emb"),
           norm(col("embedding")).as("n_nrm"))
       nnDescentGraph(s, d).select(col("src"), col("nbr"))

@@ -717,8 +717,13 @@ object EventStreams {
           }
         }
         state.update(cur)
+        // CEIL to ms: flooring both terms could fire the eviction up
+        // to 999µs EARLY — splitting a session the batch face (strict
+        // gap > ttl) keeps together; rounding up can only DELAY an
+        // eviction by <1ms, the direction the tail-merge invariant
+        // already absorbs
         state.setTimeoutTimestamp(
-          math.max(cur.ts_us / 1000L + ttlUs / 1000L,
+          math.max((cur.ts_us + ttlUs + 999L) / 1000L,
             state.getCurrentWatermarkMs() + 1L))
         Iterator.single((user, cur.ts_us, cur.event_id, cur.event_type,
           cur.value, cur.n, cur.sum_cents.toDouble / 100.0))
@@ -764,8 +769,9 @@ object EventStreams {
             st.firsts += (e.event_type -> ((e.ts_us, e.event_id)))
         }
         state.update(st)
+        // ceil to ms — see latestStateTtlStreaming: never evict early
         state.setTimeoutTimestamp(
-          math.max(st.last_ts / 1000L + ttlUs / 1000L,
+          math.max((st.last_ts + ttlUs + 999L) / 1000L,
             state.getCurrentWatermarkMs() + 1L))
         val pairs = for {
           (ta, (tsa, ida)) <- st.firsts.toSeq
@@ -850,11 +856,16 @@ object EventStreams {
         : (Long, Long, Long, Long, Long) = {
       val st = state.getOption.getOrElse(RlSt(-1L, cap, 0L, 0L))
       rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-        val elapsed = if (st.pt < 0L) 0L else e.ts_us - st.pt
+        // a late cross-batch event must never refill retroactively or
+        // regress the clock: elapsed floors at 0 and pt is monotone —
+        // the late event is charged against the bucket AS OF the
+        // latest state (state stays valid; exact batch parity is the
+        // ordered-feed contract, as for the other sequential folds)
+        val elapsed = if (st.pt < 0L) 0L else math.max(0L, e.ts_us - st.pt)
         val newcr = math.min(cap, st.cr + elapsed)
         if (newcr >= periodUs) { st.cr = newcr - periodUs; st.na += 1 }
         else { st.cr = newcr; st.nd += 1 }
-        st.pt = e.ts_us
+        st.pt = math.max(st.pt, e.ts_us)
       }
       state.update(st)
       (user, st.na + st.nd, st.na, st.nd, st.na * 1000000L / (st.na + st.nd))

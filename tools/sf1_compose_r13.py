@@ -1,13 +1,13 @@
 #!/usr/bin/env python3
 """Compose the round-13 CORRECTNESS_sf1.json.
 
-Inputs: the r12 artifact (428 standing passes — untouched queries carry
-over), a Phase-A big-budget gate log (PASS/FAIL/SKIP — this round: the
-re-verified blocked-build hnsw pair + the 5-method ann_recall_eval),
-and the decomposed log (DPASS/DFAIL from tools/sf1_decomposed.py —
-this round: pipe_dedup_corpus, txt_cooccurrence). Same precedence and
-conflict rules as r11's compose: any FAIL is recorded, never hidden,
-and a later PASS refuses to overwrite a recorded FAIL silently.
+Inputs: the r12 artifact (428 standing passes - untouched queries carry
+over), a Phase-A big-budget gate log (PASS/FAIL/SKIP - this round: the
+nine r13 additions plus the re-verified 7-method ann_recall_eval), and
+the decomposed log (DPASS/DFAIL from tools/sf1_decomposed.py - none
+needed this round; every r13 addition gated full-oracle). Precedence:
+any FAIL is recorded, never hidden - neither a later PASS nor a later
+SKIP may overwrite a recorded FAIL.
 
 Usage: sf1_compose_r13.py <r12.json> <decomposed.log> <phaseA.log...>
 """
@@ -41,7 +41,10 @@ for log in sys.argv[3:]:
             queries[name] = {"status": "pass", "rows": rows}
         elif line.startswith("SKIP "):
             name = line.split()[1].rstrip(":")
-            if queries.get(name, {}).get("status") not in ("pass", "decomposed_pass"):
+            # a SKIP never overwrites a recorded result of EITHER kind:
+            # "any FAIL is recorded, never hidden" applies here too
+            if queries.get(name, {}).get("status") not in (
+                    "pass", "decomposed_pass", "fail"):
                 queries[name] = {"status": "oracle_budget_skip"}
         elif line.startswith("FAIL "):
             name = line.split()[1].rstrip(":")
