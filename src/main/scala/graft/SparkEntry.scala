@@ -316,6 +316,8 @@ object SparkEntry {
     "stream_latest_state_ttl" -> ((s, d) => Pipeline.streamLatestStateTtl(s, d)),
     "stream_seq_pairs_ttl" -> ((s, d) => Pipeline.streamSeqPairsTtl(s, d)),
     "stream_rate_limit" -> ((s, d) => Pipeline.streamRateLimit(s, d)),
+    "stream_rate_limit_ttl" -> ((s, d) => Pipeline.streamRateLimitTtl(s, d)),
+    "stream_cdc_compact" -> ((s, d) => Pipeline.streamCdcCompact(s, d)),
     "stream_attr_left"  -> ((s, d) => Pipeline.streamAttrLeft(s, d)),
     "stream_uniques"    -> ((s, d) => Pipeline.streamUniques(s, d)),
     "stream_join"       -> ((s, d) => Pipeline.streamJoin(s, d)),

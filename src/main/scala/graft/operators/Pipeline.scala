@@ -880,6 +880,24 @@ object Pipeline {
   def streamRateLimit(s: SparkSession, d: String): DataFrame =
     EventStreams.rateLimitBatch(EventStreams.normalize(Tables.events(s, d)))
 
+  /** TTL face of the token bucket (VERDICT r13 #1): admission counters
+    * over each user's final gap>horizon session — the state an
+    * EventTimeTimeout rate limiter holds at end of stream. Horizon =
+    * bucket capacity makes the eviction decision-exact (see
+    * [[EventStreams.RateLimitHorizonUs]]).
+    */
+  def streamRateLimitTtl(s: SparkSession, d: String): DataFrame =
+    EventStreams.rateLimitTtl(EventStreams.normalize(Tables.events(s, d)))
+
+  /** CDC snapshot+delta compaction (VERDICT r13 #6): the sink ⊕ live
+    * state view of [[EventStreams.cdcCompactStreaming]], rendered in
+    * batch as the two-level (segment, then user) merge; equals
+    * stream_cdc_tombstone bit-exactly on the shared columns (the
+    * compaction algebra), n_segments audits the flush count.
+    */
+  def streamCdcCompact(s: SparkSession, d: String): DataFrame =
+    EventStreams.cdcCompact(EventStreams.normalize(Tables.events(s, d)))
+
   def streamLateAudit(s: SparkSession, d: String): DataFrame =
     EventStreams.lateAudit(EventStreams.normalize(Tables.events(s, d)))
 
@@ -2253,6 +2271,80 @@ object Pipeline {
          |FROM st JOIN mx ON mx.user_id = st.user_id AND st.i = mx.m
          |ORDER BY st.user_id""".stripMargin
     },
+
+    "stream_rate_limit_ttl" -> {
+      val p = EventStreams.RateLimitPeriodUs
+      val cap = EventStreams.RateLimitBurst * p
+      val h = EventStreams.RateLimitHorizonUs
+      val newcr = s"least(CAST($cap AS BIGINT), st.cr + CASE WHEN st.pt < 0 THEN 0 ELSE e.ts_us - st.pt END)"
+      s"""WITH RECURSIVE ev0 AS (
+         |  SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+         |sb AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (
+         |         PARTITION BY user_id ORDER BY ts_us, event_id)
+         |         > $h THEN 1 ELSE 0 END AS brk
+         |       FROM ev0),
+         |ss AS (SELECT *, sum(brk) OVER (
+         |         PARTITION BY user_id ORDER BY ts_us, event_id) AS sess
+         |       FROM sb),
+         |mxs AS (SELECT *, max(sess) OVER (PARTITION BY user_id) AS m FROM ss),
+         |ev AS (SELECT user_id, ts_us, event_id,
+         |         row_number() OVER (PARTITION BY user_id
+         |           ORDER BY ts_us, event_id) AS i
+         |       FROM mxs WHERE sess = m),
+         |mx AS (SELECT user_id, max(i) AS m FROM ev GROUP BY 1),
+         |st AS (
+         |  SELECT user_id, CAST(0 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS pt,
+         |    CAST($cap AS BIGINT) AS cr,
+         |    CAST(0 AS BIGINT) AS na, CAST(0 AS BIGINT) AS nd
+         |  FROM mx
+         |  UNION ALL
+         |  SELECT st.user_id, st.i + 1, e.ts_us,
+         |    CASE WHEN $newcr >= $p THEN $newcr - $p ELSE $newcr END,
+         |    st.na + CASE WHEN $newcr >= $p THEN 1 ELSE 0 END,
+         |    st.nd + CASE WHEN $newcr < $p THEN 1 ELSE 0 END
+         |  FROM st JOIN ev e ON e.user_id = st.user_id AND e.i = st.i + 1)
+         |SELECT st.user_id, st.pt AS last_ts_us, mx.m AS n_events,
+         |  st.na AS n_allowed, st.nd AS n_denied,
+         |  (st.na * 1000000) // (st.na + st.nd) AS allow_ppm
+         |FROM st JOIN mx ON mx.user_id = st.user_id AND st.i = mx.m
+         |ORDER BY st.user_id""".stripMargin
+    },
+
+    "stream_cdc_compact" ->
+      s"""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type
+         |            FROM events),
+         |sb AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (
+         |         PARTITION BY user_id ORDER BY ts_us, event_id)
+         |         > ${EventStreams.StateTtlUs} THEN 1 ELSE 0 END AS brk
+         |       FROM ev),
+         |ss AS (SELECT *, sum(brk) OVER (
+         |         PARTITION BY user_id ORDER BY ts_us, event_id) AS seg
+         |       FROM sb),
+         |srk AS (SELECT *, row_number() OVER (PARTITION BY user_id, seg
+         |          ORDER BY ts_us DESC, event_id DESC) AS rk
+         |        FROM ss),
+         |scnt AS (SELECT user_id, seg,
+         |           CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+         |             AS n_deletes,
+         |           CAST(sum(CASE WHEN event_type = 'error' THEN 0 ELSE 1 END) AS BIGINT)
+         |             AS n_upserts
+         |         FROM ss GROUP BY 1, 2),
+         |sink AS (SELECT r.user_id, r.seg, r.ts_us, r.event_id, r.event_type,
+         |           c.n_upserts, c.n_deletes
+         |         FROM srk r JOIN scnt c ON c.user_id = r.user_id AND c.seg = r.seg
+         |         WHERE r.rk = 1),
+         |urk AS (SELECT *, row_number() OVER (PARTITION BY user_id
+         |          ORDER BY ts_us DESC, event_id DESC) AS rk
+         |        FROM sink),
+         |uagg AS (SELECT user_id, CAST(sum(n_upserts) AS BIGINT) AS n_upserts,
+         |           CAST(sum(n_deletes) AS BIGINT) AS n_deletes,
+         |           CAST(count(*) AS BIGINT) AS n_segments
+         |         FROM sink GROUP BY 1)
+         |SELECT k.user_id, k.ts_us AS last_ts_us, k.event_id AS last_event_id,
+         |  CAST(CASE WHEN k.event_type = 'error' THEN 0 ELSE 1 END AS INT) AS is_live,
+         |  a.n_upserts, a.n_deletes, a.n_segments
+         |FROM urk k JOIN uagg a ON a.user_id = k.user_id WHERE k.rk = 1
+         |ORDER BY k.user_id""".stripMargin,
 
     "stream_latest_state_ttl" ->
       s"""WITH ev0 AS (SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type, value

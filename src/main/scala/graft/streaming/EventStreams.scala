@@ -88,6 +88,19 @@ case class SeqTtlSt(var firsts: Map[String, (Long, Long)], var n: Long,
   */
 case class RlSt(var pt: Long, var cr: Long, var na: Long, var nd: Long)
 
+/** [[AEv]] carrying the watermark timestamp column (see [[LEvT]]). */
+case class AEvT(user_id: Long, ts_us: Long, event_id: Long,
+  tsx: java.sql.Timestamp)
+
+/** Per-(user, segment) CDC compaction state: the [[CdcSt]] fields
+  * scoped to the CURRENT segment (since the last flush). The segment
+  * is identified by its FIRST event ts — derived from data, never a
+  * counter, so clearing the state on flush loses nothing (a counter
+  * would collide with flushed segments after a restart).
+  */
+case class CdcCmpSt(var seg_start: Long, var ts_us: Long, var event_id: Long,
+  var event_type: String, var n_upserts: Long, var n_deletes: Long)
+
 /** Per-event input to the KMV sketch maintainer. */
 case class KEv(event_type: String, h: Long)
 
@@ -815,7 +828,18 @@ object EventStreams {
     * the identical recurrence as a recursive CTE.
     */
   def rateLimitBatch(ev: DataFrame, periodUs: Long = RateLimitPeriodUs,
-      burst: Long = RateLimitBurst): DataFrame = {
+      burst: Long = RateLimitBurst): DataFrame =
+    rateLimitFold(ev, periodUs, burst)
+      .select(col("user_id"), col("n_events"), col("st.na").as("n_allowed"),
+        col("st.nd").as("n_denied"),
+        expr("(st.na * 1000000) div (st.na + st.nd)").as("allow_ppm"))
+      .orderBy(col("user_id"))
+
+  /** The shared token-bucket fold: per user, (n_events, final bucket
+    * struct st = (pt, cr, na, nd)). st.pt is the user's max event ts —
+    * the fold runs in (ts, id) order, so the last folded ts IS the max.
+    */
+  private def rateLimitFold(ev: DataFrame, periodUs: Long, burst: Long): DataFrame = {
     val cap = burst * periodUs
     val newcr = s"least(CAST($cap AS BIGINT), acc.cr + IF(acc.pt < CAST(0 AS BIGINT), CAST(0 AS BIGINT), e.ts - acc.pt))"
     ev.select(col("user_id"), struct(col("ts_us").as("ts"), col("event_id").as("id")).as("e"))
@@ -831,10 +855,97 @@ object EventStreams {
              |    'cr', IF($newcr >= ${periodUs}L, $newcr - ${periodUs}L, $newcr),
              |    'na', acc.na + IF($newcr >= ${periodUs}L, 1L, 0L),
              |    'nd', acc.nd + IF($newcr < ${periodUs}L, 1L, 0L)))""".stripMargin).as("st"))
-      .select(col("user_id"), col("n_events"), col("st.na").as("n_allowed"),
-        col("st.nd").as("n_denied"),
+  }
+
+  /** Eviction horizon for the rate-limit TTL face: the bucket CAPACITY
+    * in event time (burst·period, 5 h at the gated constants). This is
+    * the one entity-keyed operator where horizon eviction costs ZERO
+    * admission semantics (VERDICT r13 #1): a user idle ≥ burst·period
+    * has refilled to a FULL bucket whether or not its state row was
+    * dropped — elapsed ≥ cap forces newcr = cap from ANY prior (pt, cr)
+    * — so re-initializing (pt = −1, cr = cap) on return yields
+    * bit-identical allow/deny decisions for every subsequent event.
+    * Only the counters restart, which is exactly the final-session
+    * batch face below.
+    */
+  val RateLimitHorizonUs: Long = RateLimitBurst * RateLimitPeriodUs
+
+  /** Batch face of [[rateLimitTtlStreaming]]: the token-bucket fold
+    * over each user's FINAL activity session under gap > horizon
+    * breaks ([[finalSessionEvents]]) — the exact counters the TTL
+    * stream job's state holds at end of stream when every eviction
+    * fired. last_ts_us (= st.pt, the fold's running max) rides along
+    * as the restart-resolution key the streaming consumers sort on.
+    */
+  def rateLimitTtl(ev: DataFrame, periodUs: Long = RateLimitPeriodUs,
+      burst: Long = RateLimitBurst,
+      horizonUs: Long = RateLimitHorizonUs): DataFrame = {
+    require(horizonUs >= burst * periodUs,
+      "horizon below bucket capacity: an evicted entity could return with a NON-full bucket, changing admission decisions")
+    rateLimitFold(finalSessionEvents(ev, horizonUs), periodUs, burst)
+      .select(col("user_id"), col("st.pt").as("last_ts_us"), col("n_events"),
+        col("st.na").as("n_allowed"), col("st.nd").as("n_denied"),
         expr("(st.na * 1000000) div (st.na + st.nd)").as("allow_ppm"))
       .orderBy(col("user_id"))
+  }
+
+  /** Token-bucket enforcement with EventTimeTimeout eviction — the
+    * 100 TB face of [[rateLimitStreaming]]: state is one bucket row per
+    * entity ACTIVE within the horizon, not per entity ever seen. When
+    * the watermark passes lastTs + horizon the row is removed; a
+    * returning entity re-initializes to (pt = −1, cr = cap), which is
+    * bit-identical to the un-evicted bucket because horizon ≥ cap
+    * guarantees the idle refill already reached cap (see
+    * [[RateLimitHorizonUs]]) — so eviction never changes an admission
+    * decision, only restarts the counters (the [[rateLimitTtl]] batch
+    * semantics; parity + eviction replay pinned in StreamingSpec,
+    * bounded-state-vs-NoTimeout measured on the aging feed in
+    * StreamBench).
+    */
+  def rateLimitTtlStreaming(spark: SparkSession, ev: DataFrame,
+      periodUs: Long = RateLimitPeriodUs, burst: Long = RateLimitBurst,
+      horizonUs: Long = RateLimitHorizonUs,
+      delay: String = "0 seconds"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(horizonUs >= burst * periodUs,
+      "horizon below bucket capacity: eviction would change admission decisions")
+    val cap = burst * periodUs
+
+    def fn(user: Long, rows: Iterator[AEvT], state: GroupState[RlSt])
+        : Iterator[(Long, Long, Long, Long, Long, Long)] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val st = state.getOption.getOrElse(RlSt(-1L, cap, 0L, 0L))
+        rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+          // late-event guard as in [[rateLimitStreaming]]: elapsed
+          // floors at 0, pt is monotone
+          val elapsed = if (st.pt < 0L) 0L else math.max(0L, e.ts_us - st.pt)
+          val newcr = math.min(cap, st.cr + elapsed)
+          if (newcr >= periodUs) { st.cr = newcr - periodUs; st.na += 1 }
+          else { st.cr = newcr; st.nd += 1 }
+          st.pt = math.max(st.pt, e.ts_us)
+        }
+        state.update(st)
+        // ceil to ms — see latestStateTtlStreaming: never evict early;
+        // clamped above the watermark so a late refresh can't throw
+        state.setTimeoutTimestamp(
+          math.max((st.pt + horizonUs + 999L) / 1000L,
+            state.getCurrentWatermarkMs() + 1L))
+        Iterator.single((user, st.pt, st.na + st.nd, st.na, st.nd,
+          st.na * 1000000L / (st.na + st.nd)))
+      }
+    }
+
+    ev.select(col("user_id").cast("long"), col("ts_us"), col("event_id"),
+        timestamp_micros(col("ts_us")).as("tsx"))
+      .withWatermark("tsx", delay)
+      .as[AEvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout())(fn _)
+      .toDF("user_id", "last_ts_us", "n_events", "n_allowed", "n_denied",
+        "allow_ppm")
   }
 
   /** Token-bucket enforcement ON the stream via mapGroupsWithState
@@ -985,6 +1096,107 @@ object EventStreams {
       }
       .toDF("user_id", "last_ts_us", "last_event_id", "is_live",
         "n_upserts", "n_deletes")
+  }
+
+  /** CDC snapshot+delta compaction (batch face of
+    * [[cdcCompactStreaming]]; VERDICT r13 #6): unlike the rate-limit
+    * bucket, evicting CDC state changes semantics (the latest-state
+    * view must survive idleness), so the 100 TB face is the
+    * Kafka-compacted-topic rendering — idle entities are FLUSHED to
+    * the sink instead of dropped, live state holds only
+    * horizon-active entities, and the view is sink ⊕ live state. The
+    * merge algebra makes the compaction exact: each flushed segment
+    * row carries a (ts, id)-max struct and since-flush counters, and
+    * max-of-maxes / sum-of-sums per user reconstructs [[cdcTombstone]]
+    * bit-exactly. This face renders that algebra in batch: segments =
+    * per-user gap > horizon sessions, level 1 = the per-(user,
+    * segment) sink rows, level 2 = the per-user merge. n_segments
+    * (flushes + live) rides along as the compaction audit column. Two
+    * user-keyed co-partitioned shuffles, nothing corpus-global.
+    */
+  def cdcCompact(ev: DataFrame, horizonUs: Long = StateTtlUs): DataFrame = {
+    val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val brk = when(col("ts_us") - lag(col("ts_us"), 1).over(byTs) > horizonUs, 1)
+      .otherwise(0)
+    ev.withColumn("seg", sum(brk).over(byTs))
+      .groupBy(col("user_id"), col("seg"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"))).as("last"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L))
+          .cast("long").as("n_deletes"),
+        sum(when(col("event_type") =!= "error", 1L).otherwise(0L))
+          .cast("long").as("n_upserts"))
+      .groupBy(col("user_id"))
+      .agg(max(col("last")).as("last"),
+        sum(col("n_upserts")).cast("long").as("n_upserts"),
+        sum(col("n_deletes")).cast("long").as("n_deletes"),
+        count(lit(1)).cast("long").as("n_segments"))
+      .select(col("user_id"), col("last.ts_us").as("last_ts_us"),
+        col("last.event_id").as("last_event_id"),
+        when(col("last.event_type") === "error", 0).otherwise(1)
+          .cast("int").as("is_live"),
+        col("n_upserts"), col("n_deletes"), col("n_segments"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Streaming CDC compaction via flatMapGroupsWithState +
+    * EventTimeTimeout: per user the state holds the CURRENT segment's
+    * (ts, id)-max struct + since-flush counters, keyed by the
+    * segment's first event ts. A timeout invocation EMITS the state
+    * row marked flushed = 1 (the write to the compacted sink — in
+    * production the [[graft.sources.IdempotentSink]]) and REMOVES the
+    * state; data invocations emit the running segment row flushed = 0
+    * (update-mode upsert). A consumer resolves the view as: per
+    * (user, seg_start) the latest row (argmax (n, flushed)), then the
+    * per-user max/sum merge — which equals [[cdcCompact]] and hence
+    * [[cdcTombstone]] when every eviction fired (parity pinned in
+    * StreamingSpec; bounded live state measured on the aging feed in
+    * StreamBench).
+    */
+  def cdcCompactStreaming(spark: SparkSession, ev: DataFrame,
+      horizonUs: Long = StateTtlUs, delay: String = "0 seconds"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def fn(user: Long, rows: Iterator[LEvT], state: GroupState[CdcCmpSt])
+        : Iterator[(Long, Long, Long, Long, Int, Long, Long, Int)] = {
+      if (state.hasTimedOut) {
+        val st = state.get
+        state.remove()
+        Iterator.single((user, st.seg_start, st.ts_us, st.event_id,
+          if (st.event_type == "error") 0 else 1, st.n_upserts, st.n_deletes, 1))
+      } else {
+        var st = state.getOption.orNull
+        rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+          val del = if (e.event_type == "error") 1L else 0L
+          if (st == null)
+            st = CdcCmpSt(e.ts_us, e.ts_us, e.event_id, e.event_type, 1L - del, del)
+          else {
+            if (e.ts_us > st.ts_us || (e.ts_us == st.ts_us && e.event_id > st.event_id)) {
+              st.ts_us = e.ts_us; st.event_id = e.event_id; st.event_type = e.event_type
+            }
+            st.n_upserts += 1L - del; st.n_deletes += del
+          }
+        }
+        state.update(st)
+        // ceil to ms — see latestStateTtlStreaming: never flush early
+        state.setTimeoutTimestamp(
+          math.max((st.ts_us + horizonUs + 999L) / 1000L,
+            state.getCurrentWatermarkMs() + 1L))
+        Iterator.single((user, st.seg_start, st.ts_us, st.event_id,
+          if (st.event_type == "error") 0 else 1, st.n_upserts, st.n_deletes, 0))
+      }
+    }
+
+    ev.select(col("user_id").cast("long"), col("ts_us"), col("event_id"),
+        col("event_type"), col("value"),
+        timestamp_micros(col("ts_us")).as("tsx"))
+      .withWatermark("tsx", delay)
+      .as[LEvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout())(fn _)
+      .toDF("user_id", "seg_start_us", "last_ts_us", "last_event_id",
+        "is_live", "n_upserts", "n_deletes", "flushed")
   }
 
   /** Streaming time-bounded funnel (the streaming face of

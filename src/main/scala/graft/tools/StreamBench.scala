@@ -153,6 +153,33 @@ object StreamBench {
           .writeStream.outputMode("update")
           .format("memory").queryName(s"sb_spat_$nFiles").start()
       }
+      // the r14 TTL face (VERDICT r13 #1): the token bucket is the one
+      // entity-keyed operator where horizon eviction is decision-EXACT
+      // (an idle-past-horizon bucket is full either way), so the
+      // bounded-state column costs zero semantics
+      run("rate_limit_aging_full") { () =>
+        EventStreams.rateLimitStreaming(spark, agingSource())
+          .writeStream.outputMode("update")
+          .format("memory").queryName(s"sb_rlaf_$nFiles").start()
+      }
+      run("rate_limit_aging_ttl") { () =>
+        EventStreams.rateLimitTtlStreaming(spark, agingSource())
+          .writeStream.outputMode("update")
+          .format("memory").queryName(s"sb_rlat_$nFiles").start()
+      }
+      // the r14 CDC compaction (VERDICT r13 #6): unlike the TTL faces
+      // the evicted rows are EMITTED (flushed to the sink), so the view
+      // survives idleness while live state stays horizon-bounded
+      run("cdc_aging_full") { () =>
+        EventStreams.cdcTombstoneStreaming(spark, agingSource())
+          .writeStream.outputMode("update")
+          .format("memory").queryName(s"sb_cdaf_$nFiles").start()
+      }
+      run("cdc_aging_compact") { () =>
+        EventStreams.cdcCompactStreaming(spark, agingSource())
+          .writeStream.outputMode("update")
+          .format("memory").queryName(s"sb_cdac_$nFiles").start()
+      }
     }
     spark.stop()
   }

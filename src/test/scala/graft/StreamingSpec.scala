@@ -723,6 +723,142 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TTL token bucket: decisions survive eviction bit-exactly; counters restart (continuation/eviction/restart)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val M = 60L * 1000000L
+    val (periodUs, burst) = (60 * M, 2L) // cap = 120 min
+    val horizon = 240 * M // >= cap, so eviction is decision-exact
+    // Event-time-ORDERED feed (the face's contract). u1 stays within
+    // the horizon across batches: burst drains (60, 70 allowed; 90
+    // denied), idle refill re-admits at 200 (continuation). u2 bursts
+    // then goes silent > horizon; the tick-only batch 5 (wm 350) fires
+    // its 302 timeout BEFORE it returns at 700 — counters restart, and
+    // the returning event is ALLOWED exactly as it would be un-evicted
+    // (an idle-past-horizon bucket is full either way). u3 is evicted
+    // and never returns (resolved row = its pre-eviction final
+    // session). u9 is the watermark clock, ticking within the horizon
+    // of itself.
+    val batches = Seq(
+      Seq((1L, 60 * M, 101L), (1L, 70 * M, 102L), (2L, 60 * M, 201L),
+        (2L, 61 * M, 202L), (2L, 62 * M, 203L), (3L, 50 * M, 301L),
+        (9L, 80 * M, 901L)),
+      Seq((1L, 90 * M, 103L), (9L, 100 * M, 902L)),
+      Seq((1L, 200 * M, 104L), (9L, 210 * M, 903L)),
+      Seq((9L, 350 * M, 904L)),
+      // wm 350 during this batch: u2 (timeout 302) and u3 (290) fire
+      Seq((9L, 560 * M, 905L)),
+      Seq((2L, 700 * M, 204L), (9L, 700 * M, 906L)),
+      Seq((9L, 900 * M, 907L)))
+    val all = batches.flatten
+    val batchEv = all.map(e => (e._1, e._2, e._3, "view", 0.0))
+      .toDF("user_id", "ts_us", "event_id", "event_type", "value")
+    val expected = EventStreams.rateLimitTtl(batchEv, periodUs, burst, horizon)
+      .collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, Long, Long)]
+    val ev = mem.toDF.toDF("user_id", "ts_us", "event_id")
+    val q = EventStreams.rateLimitTtlStreaming(spark, ev, periodUs, burst, horizon)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ttl_rl_test").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val got = resolveTtl(spark.table("ttl_rl_test"))
+        .collect().map(_.toSeq).toSet
+      assert(got == expected,
+        s"TTL streamed token bucket diverged from the final-session batch fold\n" +
+          s"got=$got\nexpected=$expected")
+      // u1 was denied mid-burst then re-admitted after refill (the full
+      // bucket recurrence really ran: 3 allowed, 1 denied)
+      val u1 = got.find(_.head == 1L).get
+      assert(u1(3) == 3L && u1(4) == 1L, s"u1 fold wrong: $u1")
+      // u2 restarted after eviction: 1 event, ALLOWED (full bucket on
+      // return — the decision-exactness claim)
+      val u2 = got.find(_.head == 2L).get
+      assert(u2(2) == 1L && u2(3) == 1L && u2(4) == 0L,
+        s"u2 must restart with a full bucket after eviction, got $u2")
+      // state holds only horizon-live entities after the trailing
+      // no-data batch (wm 900: u1 evicted at 200+240=440, u2 timeout
+      // 940 alive, u9 940 alive)
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty && st.head.numRowsTotal == 2L,
+        s"state must hold exactly the horizon-live entities, got ${st.head.numRowsTotal}")
+    } finally q.stop()
+  }
+
+  test("CDC compaction: flushed sink rows ⊕ live state merge to the tombstone view exactly") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600L * 1000000L
+    val ttl = 10 * H
+    // u1: upserts in two segments separated by a fired flush — the
+    // sink row (segment 1) and the live row (segment 2) must MERGE to
+    // the full-history counters; u2's latest event is a tombstone in a
+    // flushed segment, then it returns with an upsert (is_live flips
+    // back in the merged view); u3 flushed, never returns (view = sink
+    // only); u9 is the watermark clock.
+    val batches = Seq(
+      Seq((1L, 1 * H, 101L, "view", 1.0), (1L, 2 * H, 102L, "click", 1.0),
+        (2L, 1 * H, 201L, "view", 1.0), (2L, 3 * H, 202L, "error", 1.0),
+        (3L, 2 * H, 301L, "view", 1.0), (9L, 3 * H, 901L, "tick", 0.0)),
+      Seq((9L, 9 * H, 902L, "tick", 0.0)),
+      Seq((9L, 16 * H, 903L, "tick", 0.0)),
+      // wm 16h: u1 (12h), u2 (13h), u3 (12h) all time out here → flushed
+      Seq((9L, 17 * H, 904L, "tick", 0.0)),
+      Seq((1L, 20 * H, 103L, "buy", 1.0), (2L, 21 * H, 203L, "view", 1.0),
+        (9L, 24 * H, 905L, "tick", 0.0)))
+    val all = batches.flatten
+    val batchEv = all.toDF("user_id", "ts_us", "event_id", "event_type", "value")
+    val expected = EventStreams.cdcCompact(batchEv, ttl)
+      .collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, Long, Long, String, Double)]
+    val ev = mem.toDF.toDF("user_id", "ts_us", "event_id", "event_type", "value")
+    val q = EventStreams.cdcCompactStreaming(spark, ev, ttl)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cdc_cmp_test").start()
+    try {
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      val emitted = spark.table("cdc_cmp_test")
+      assert(emitted.filter(col("flushed") === 1).count() == 3L,
+        "expected exactly the three idle entities to flush to the sink")
+      // sink ⊕ state resolution: per (user, segment) the latest row —
+      // a flushed row is final for its segment, otherwise the running
+      // row with the largest counters — then the per-user max/sum merge
+      val perSeg = emitted
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id"), col("seg_start_us"))
+            .orderBy((col("n_upserts") + col("n_deletes")).desc, col("flushed").desc)))
+        .filter(col("rk") === 1).drop("rk")
+      val got = perSeg.groupBy(col("user_id"))
+        .agg(max(struct(col("last_ts_us"), col("last_event_id"), col("is_live"))).as("l"),
+          sum(col("n_upserts")).cast("long").as("n_upserts"),
+          sum(col("n_deletes")).cast("long").as("n_deletes"),
+          count(lit(1)).cast("long").as("n_segments"))
+        .select(col("user_id"), col("l.last_ts_us"), col("l.last_event_id"),
+          col("l.is_live"), col("n_upserts"), col("n_deletes"), col("n_segments"))
+        .collect().map(_.toSeq).toSet
+      assert(got == expected,
+        s"sink ⊕ state merge diverged from the batch compaction\n" +
+          s"got=$got\nexpected=$expected")
+      // and the compaction algebra really reconstructs the NoTimeout
+      // tombstone view on the shared columns
+      val tomb = EventStreams.cdcTombstone(batchEv)
+        .collect().map(_.toSeq).toSet
+      assert(got.map(_.dropRight(1)) == tomb,
+        "merged compaction view must equal cdcTombstone bit-exactly")
+      // live state bounded: only entities active within the horizon
+      // (u1 20h+10h=30h > wm 24h alive, u2 31h alive, u3 flushed+gone,
+      // u9 alive)
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty && st.head.numRowsTotal == 3L,
+        s"live state must hold only horizon-active entities, got ${st.head.numRowsTotal}")
+    } finally q.stop()
+  }
+
   test("KMV sketch over TWO micro-batches merges to the batch BottomK estimate") {
     val ev = EventStreams.normalize(Tables.events(spark, sf))
     val expected = EventStreams.kmvUniques(ev).collect()
