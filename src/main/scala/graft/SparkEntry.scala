@@ -240,6 +240,7 @@ object SparkEntry {
     "ann_nn_descent_recall" -> ((s, d) => Pipeline.annNnDescentRecall(s, d)),
     "ann_descent_topk" -> ((s, d) => Pipeline.annDescentTopk(s, d)),
     "ann_descent_visited" -> ((s, d) => Pipeline.annDescentVisited(s, d)),
+    "ann_descent_insert" -> ((s, d) => Pipeline.annDescentInsert(s, d)),
     "q7_volume"        -> ((s, d) => Relational.q7Volume(s, d)),
     "q8_share"         -> ((s, d) => Relational.q8Share(s, d)),
     "q_pagerank"       -> ((s, d) => operators.Graph.pagerank(s, d)),

@@ -224,6 +224,12 @@ object Pipeline {
   def annNnDescentRecall(s: SparkSession, d: String): DataFrame =
     Similarity.nnDescentRecall(s, d)
 
+  /** Search-then-link insert of the ~1% held-out vectors into the base
+    * descent graph (VERDICT r13 #5) — the production ingest path.
+    */
+  def annDescentInsert(s: SparkSession, d: String): DataFrame =
+    Similarity.descentInsert(s, d)
+
   def annCellPurity(s: SparkSession, d: String): DataFrame =
     Similarity.cellPurity(Tables.embeddings(s, d))
 
@@ -2760,6 +2766,7 @@ object Pipeline {
     "ann_descent_topk" -> Similarity.descentTopKOracleSql("vec_id % 97 = 0"),
 
     "ann_descent_visited" -> Similarity.descentVisitedOracleSql("vec_id % 97 = 0"),
+    "ann_descent_insert" -> Similarity.descentInsertOracleSql(),
 
     "ann_nn_descent_recall" -> Similarity.nnDescentRecallOracleSql(),
 

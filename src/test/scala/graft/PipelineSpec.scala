@@ -656,6 +656,36 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("descent insert: links are valid base edges; recall within 2 points of a full rebuild") {
+    val ins = Pipeline.annDescentInsert(spark, sf).collect()
+    assert(ins.nonEmpty)
+    ins.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(q % Similarity.NndHoldMod == Similarity.NndHoldResidue,
+        s"inserted src $q is not a held-out vector")
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to rows.length),
+        s"insert $q has non-contiguous ranks")
+      assert(rows.forall(r => r.getLong(2) % Similarity.NndHoldMod !=
+          Similarity.NndHoldResidue && r.getLong(2) != q),
+        s"insert $q linked a held-out or self node — links must target the base graph")
+    }
+    // recall of the inserted adjacency vs the full-rebuild descent
+    // graph restricted to the same sources, against the same brute
+    // truth — the insert path must not cost more than 2 points
+    val truth = Similarity.bruteTopK(Tables.embeddings(spark, sf),
+        Similarity.descentHoldPred, Similarity.NndM).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val insSet = ins.map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(truth.nonEmpty)
+    val rebuildSet = Similarity.nnDescentGraph(spark, sf)
+      .filter(col("src") % Similarity.NndHoldMod === Similarity.NndHoldResidue)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rIns = (truth & insSet).size.toDouble / truth.size
+    val rReb = (truth & rebuildSet).size.toDouble / truth.size
+    info(f"insert recall@${Similarity.NndM} = $rIns%.3f vs full rebuild $rReb%.3f")
+    assert(rIns >= rReb - 0.02,
+      f"search-then-link insert lost more than 2 recall points vs a full rebuild: $rIns%.3f < $rReb%.3f - 0.02")
+  }
+
   test("kmeans training survives unpopulated vec_id residue classes") {
     import spark.implicits._
     // 3 vectors, 8 cells → residues 1,3,5,6,7 start empty; training must
