@@ -47,6 +47,21 @@ object Bench {
     }
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // calibration control (VERDICT r13 #4): a fixed-work,
+    // data-independent CPU probe through the same whole-stage-codegen
+    // path the queries run — 2×10⁸ deterministic integer hash steps
+    // over 32 tasks, folded to one sum. Timed at sweep start/mid/end
+    // and written into the detail sidecar as calib_sec, so
+    // round-over-round comparisons can quote calib-normalized ratios
+    // instead of re-litigating host day-band drift (the two-round
+    // q_triangle_count saga would have been a one-line readout).
+    def calibSec(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .selectExpr("sum(((id * 2654435761) % 1000003) ^ (id >> 3)) AS s")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     // the listener bus is async: wait until the counters stop moving so
     // one query's straggler events don't bleed into the next query's counts
     def settle(): Unit = {
@@ -58,7 +73,14 @@ object Bench {
         cur = jobs.get + stages.get + tasks.get
       }
     }
-    val results = selected.map { case (name, fn) =>
+    calibSec() // untimed probe warm-up: start/mid/end must be JIT-comparable
+    val calibStart = calibSec()
+    var calibMid = -1.0
+    val ordered = selected.toSeq
+    var qIdx = 0
+    val results = ordered.map { case (name, fn) =>
+      qIdx += 1
+      if (calibMid < 0 && qIdx > ordered.size / 2) calibMid = calibSec()
       // ONE untimed warm rep at the TARGET sf before the timed reps
       // (VERDICT r8 #3): shared pinned index builds (tokCorpus, the
       // graph tables, the dedup signature/pair/cluster tables) are
@@ -82,7 +104,9 @@ object Bench {
       val median = times.sorted.apply(times.size / 2)
       name -> ((times, median, jobs.get / reps, stages.get / reps, tasks.get / reps))
     }
-    val total = results.values.map(_._2).sum
+    val calibEnd = calibSec()
+    if (calibMid < 0) calibMid = calibEnd
+    val total = results.map(_._2._2).sum
     // min + a contention flag ride along with the median (VERDICT r7
     // #5): a median of 3 reps does not defend against SUSTAINED load —
     // r7's mm_decode_gif ran 16.0/14.2/2.4 s and the 14.2 median entered
@@ -106,6 +130,7 @@ object Bench {
       s"""{
          |"sf": "$sfDir", "reps": $reps, "n_queries": ${results.size},
          |"total_median": ${ms(total)}, "unit": "sec", "load_avg": ${ms(loadAvg)},
+         |"calib_sec": {"start": ${ms(calibStart)}, "mid": ${ms(calibMid)}, "end": ${ms(calibEnd)}},
          |"queries": {
          |$detail
          |}

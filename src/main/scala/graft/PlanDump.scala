@@ -32,7 +32,17 @@ object PlanDump {
     "ann_rq_topk", "dedup_containment", "q_betweenness",
     // round 13: the descent-graph beam serve, the signature-riding
     // containment estimator, and the token-bucket admission fold
-    "ann_descent_topk", "dedup_containment_minhash", "stream_rate_limit")
+    "ann_descent_topk", "dedup_containment_minhash", "stream_rate_limit",
+    // round 14 (VERDICT r13 #2): close the plan-audit blindness for the
+    // heavy tail — PlansCoverageSpec lints that every query whose
+    // BENCH_DETAIL idle median exceeds 1 s has a section here, so the
+    // list below covers everything ≥ ~0.8 s for noise headroom
+    "q_ktruss", "q_bridges", "ann_recall_eval", "dedup_levenshtein",
+    "q_resource_alloc", "q_adamic_adar", "q_item_sim", "q_common_neighbors",
+    "pipe_dedup_corpus", "ann_ivf_pq_topk", "txt_char_entropy",
+    "q_weighted_median", "ann_probe_sweep", "txt_char_trigrams",
+    "dedup_lsh_sweep", "stream_rate_limit_ttl", "ann_descent_insert",
+    "stream_cdc_compact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
@@ -72,7 +82,13 @@ object PlanDump {
         val sig = graft.dedup.Dedup.sigFromShingles(exSh)
         graft.dedup.Dedup.containmentMinhashFrom(docs, sig,
           graft.dedup.Dedup.bandsFromSig(sig))
-      }))
+      }),
+      // the peel loop interleaves driver scalars + checkpoints, so the
+      // registry query's final plan is LogicalRDD scans; the shape that
+      // matters is the ROUND BODY delta (witness semi-join → triple
+      // dedup → fringe delta → broadcast decrement)
+      "q_ktruss" -> ((s, d) =>
+        graft.operators.Graph.ktrussDeltaPlan(s, d)))
     if (adhoc.nonEmpty) {
       adhoc.foreach { name =>
         println(s"\n===== $name")
@@ -125,7 +141,25 @@ object PlanDump {
       "pipe_cluster_merge" -> "incremental cluster merge: the BATCH side broadcasts into both delta candidate joins, so the corpus-scale persisted band table streams in place — O(batch) per merge, never O(corpus).",
       "ann_rq_topk" -> "residual-quantization ADC: encode is a narrow map chain over checkpointed literal-dot columns (no shuffle), the K1xK2 per-query lookup table broadcasts, scan reads 2 codes per vector.",
       "dedup_containment" -> "containment BUILD plan (the gated query reads the memoized pinned pair table; this is the ingest-time shape): smaller-side rarity prefixes equi-join the full inverted index (never prefix x prefix, never postings self-join both-full); candidate pairs verified by one in-map sorted-intersect.",
-      "q_betweenness" -> "betweenness: one fact-scale edge extraction (the shared flow matrix), then 6 sigma rounds + the pair enumeration all on <=N^2-row checkpointed grids.")
+      "q_betweenness" -> "betweenness: one fact-scale edge extraction (the shared flow matrix), then 6 sigma rounds + the pair enumeration all on <=N^2-row checkpointed grids.",
+      "q_ktruss" -> "k-truss ROUND BODY (the loop's audit face): pinned witness table scanned once via broadcast semi-join against the fringe, canonical-triple dedup, 3-edge delta count, broadcast decrement of the live support table - no closure re-probe anywhere.",
+      "q_bridges" -> "bridge detection: everything nation-domain-bounded (<=N^2/2 candidate edges x <=N^2 closure pairs); the non-equi join excludes the removed edge over two N-bounded tables - constant in fact-table scale.",
+      "ann_recall_eval" -> "recall referee: 7 method rows off memoized pinned indexes, brute referee bounded to the query grid; the plan is the per-method join of pinned pair sets against the truth set.",
+      "dedup_levenshtein" -> "edit-distance dedup: LSH-banded candidate generation (never all-pairs), per-candidate-pair codegen'd levenshtein verify.",
+      "q_resource_alloc" -> "resource-allocation index: reads the pinned TX3 witness table, one degree join + per-edge witness-degree sum - no intersect probe at query time.",
+      "q_adamic_adar" -> "Adamic-Adar: same pinned witness-table consumer shape as resource-alloc with a log-degree weight table join.",
+      "q_item_sim" -> "item similarity: degree-oriented co-occurrence with per-order bounded pair blowup; item stats broadcast into the verify.",
+      "q_common_neighbors" -> "common neighbors: pinned witness-table rollup + integer Jaccard over degree joins; top-100 bounded output.",
+      "pipe_dedup_corpus" -> "full prep chain: quality gate -> LSH clustering over survivors -> keep-one-per-cluster; the cluster table is the pinned session artifact, the chain is filter + two bounded joins.",
+      "ann_ivf_pq_topk" -> "IVF-PQ: pinned cell assignment prunes the scan to probed cells, the per-query ADC lookup table broadcasts, scan reads codes only.",
+      "txt_char_entropy" -> "char entropy: one explode-free codegen'd per-doc histogram expression pass + corpus rollup - no per-char rows shuffle.",
+      "q_weighted_median" -> "weighted median: per-group sorted prefix-sum window over co-partitioned shuffles; no global sort.",
+      "ann_probe_sweep" -> "IVF probe sweep: ONE pinned cell assignment shared across probe counts; per-probe recall rows are bounded joins.",
+      "txt_char_trigrams" -> "char trigrams: codegen'd per-doc trigram emission, single partial-agg rollup to the bounded trigram grid.",
+      "dedup_lsh_sweep" -> "LSH band-count sweep: the signature table builds once; each band setting re-buckets the pinned signatures - candidate joins only.",
+      "stream_rate_limit_ttl" -> "TTL token bucket batch face: per-user sessionize window (two user-keyed shuffles) + the same aggregate() bucket fold as stream_rate_limit.",
+      "ann_descent_insert" -> "search-then-link insert: held-out queries beam-walk the pinned base graph (frontier broadcast per round), top-M link window - the corpus is never rescanned.",
+      "stream_cdc_compact" -> "CDC compaction batch face: two-level (user,segment)->user merge, both levels user-keyed co-partitioned shuffles; struct-max + counter sums.")
     Headline.foreach { name =>
       val df = buildPlans.getOrElse(name, SparkEntry.queries(name))(spark, sfDir)
       sb.append(s"\n## $name\n${descriptions.getOrElse(name, "")}\n```\n")

@@ -663,6 +663,12 @@ object Graph {
     if (incremental && minSup >= 1L) {
       var live = memoSupport(s, d) // pinned; round 1 reads, never rebuilds
       var destroyed: DataFrame = null
+      // driver-tracked cardinality bound for the destroyed set: each
+      // removed edge carried < minSup triangles when it fell, so
+      // |destroyed| ≤ Σ r_t·(minSup−1) — known BEFORE any broadcast
+      // hint is placed (the cluster-merge count-guard discipline)
+      var destroyedBound = 0L
+      val bcastCap = 2000000L
       var converged = false
       for (_ <- 1 to rounds if !converged) {
         val removed = live.filter(col("support") < minSup)
@@ -674,7 +680,8 @@ object Graph {
           // fringe-sized: broadcast when it fits (the cluster-merge
           // guard discipline); a pathological fringe at 100 TB falls
           // back to shuffle joins, still O(live) not O(Σ min-deg²)
-          val rem = if (r <= 2000000L) broadcast(removed) else removed
+          val rem = if (r <= bcastCap) broadcast(removed) else removed
+          destroyedBound += r * math.max(1L, minSup - 1)
           val hit = memoWitnesses(s, d)
             .join(rem, Seq("a", "b"), "left_semi")
             .select(col("a").as("x"), col("b").as("y"), col("wit").as("z"))
@@ -684,22 +691,27 @@ object Graph {
                 least(col("x"), col("y"), col("z")) -
                 greatest(col("x"), col("y"), col("z"))).as("y3"))
             .distinct()
-          // destroyed stays fringe-sized by the peel invariant (every
-          // removed edge carried < minSup triangles when it fell), so
-          // the anti-join side broadcasts
-          val newly = (if (destroyed == null) hit
-            else hit.join(broadcast(destroyed), Seq("x3", "y3", "z3"), "left_anti"))
+          // destroyed stays fringe-sized by the peel invariant; the
+          // hint is placed only under the driver-tracked bound
+          val dst = if (destroyed == null) null
+            else if (destroyedBound <= bcastCap) broadcast(destroyed)
+            else destroyed
+          val newly = (if (dst == null) hit
+            else hit.join(dst, Seq("x3", "y3", "z3"), "left_anti"))
             .localCheckpoint() // consumed by delta + the destroyed union
           destroyed = (if (destroyed == null) newly
             else destroyed.unionByName(newly).localCheckpoint(eager = false))
-          val delta = newly.select(explode(array(
+          val delta0 = newly.select(explode(array(
               struct(col("x3").as("a"), col("y3").as("b")),
               struct(col("x3").as("a"), col("z3").as("b")),
               struct(col("y3").as("a"), col("z3").as("b")))).as("e"))
             .select(col("e.a").as("a"), col("e.b").as("b"))
             .groupBy(col("a"), col("b")).agg(count(lit(1)).as("dec"))
+          // |delta| ≤ 3·|newly| ≤ 3·r·(minSup−1) — same guard
+          val delta = if (3L * r * math.max(1L, minSup - 1) <= bcastCap)
+            broadcast(delta0) else delta0
           live = live.filter(col("support") >= minSup)
-            .join(broadcast(delta), Seq("a", "b"), "left")
+            .join(delta, Seq("a", "b"), "left")
             .select(col("a"), col("b"),
               (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
             .localCheckpoint()
@@ -761,6 +773,17 @@ object Graph {
       .localCheckpoint()
     val sym = und.select(col("ea").as("u"), col("eb").as("v"))
       .union(und.select(col("eb").as("u"), col("ea").as("v")))
+    // the fixed unrolling closes paths up to 2^doublings hops — correct
+    // ONLY while the vertex domain stays below that (ADVICE r13: on a
+    // wider graph this operator and its identically-unrolled oracle
+    // would AGREE while both under-close, so the gate could never
+    // catch it — fail loudly here instead). Longest simple path needs
+    // nv-1 hops; the count is one job over an N-bounded relation.
+    val nv = sym.select(col("u")).distinct().count()
+    require((1L << doublings) >= nv - 1,
+      s"bridges: $doublings doubling rounds close paths up to ${1L << doublings} " +
+        s"hops but the vertex domain has $nv vertices — raise doublings " +
+        "(and unroll the oracle to match)")
     // residual adjacency per candidate edge: every symmetric edge that
     // is not the removed one (non-equi pairing of two N-bounded tables)
     var p = und.as("e").join(sym.as("g"),
@@ -1005,6 +1028,41 @@ object Graph {
         .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint(eager = false)
     })
+
+  /** The k-truss peel ROUND BODY as one declarative plan (the PLANS.md
+    * audit face of the loop in [[ktruss]], which interleaves the same
+    * operators with driver-side cardinality scalars and checkpoints):
+    * fringe filter → broadcast semi-join of the pinned witness table →
+    * canonical-triple dedup → 3-edge explode/count delta → broadcast
+    * decrement of the live support table. What the audit must show:
+    * the witness table is scanned once per round via BROADCAST joins
+    * (never shuffled), the delta is fringe-sized, and no Σ min-deg²
+    * closure probe appears anywhere.
+    */
+  private[graft] def ktrussDeltaPlan(s: SparkSession, d: String, k: Int = 4): DataFrame = {
+    val minSup = (k - 2).toLong
+    val live = memoSupport(s, d)
+    val removed = live.filter(col("support") < minSup).select(col("a"), col("b"))
+    val hit = memoWitnesses(s, d)
+      .join(broadcast(removed), Seq("a", "b"), "left_semi")
+      .select(col("a").as("x"), col("b").as("y"), col("wit").as("z"))
+      .select(least(col("x"), col("y"), col("z")).as("x3"),
+        greatest(col("x"), col("y"), col("z")).as("z3"),
+        (col("x") + col("y") + col("z") -
+          least(col("x"), col("y"), col("z")) -
+          greatest(col("x"), col("y"), col("z"))).as("y3"))
+      .distinct()
+    val delta = hit.select(explode(array(
+        struct(col("x3").as("a"), col("y3").as("b")),
+        struct(col("x3").as("a"), col("z3").as("b")),
+        struct(col("y3").as("a"), col("z3").as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("dec"))
+    live.filter(col("support") >= minSup)
+      .join(broadcast(delta), Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
+  }
 
   /** Memoized + pinned per-edge triangle-SUPPORT table — the groupBy
     * count over [[memoWitnesses]]. A production system maintains this

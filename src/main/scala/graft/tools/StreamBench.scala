@@ -36,7 +36,22 @@ object StreamBench {
     val events = graft.Tables.events(spark, sfDir)
     val nRows = events.count()
 
+    // the Bench calibration control (VERDICT r13 #4) wired into the
+    // streaming bench too: StreamBench's throughput rows carry the same
+    // host day-band caveat, so each file-count block leads with a
+    // fixed-work CPU probe reading
+    def calibSec(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 32)
+        .selectExpr("sum(((id * 2654435761) % 1000003) ^ (id >> 3)) AS s")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    calibSec() // untimed JIT warm-up
+
     for (nFiles <- fileCounts) {
+      println(s"""{"metric":"calib_sec","value":${ms(calibSec())},""" +
+        s""""n_files":$nFiles,"sf":"$sfDir"}""")
       // stage: N files ordered by time (realistic arrival order for the
       // watermark) — each becomes one micro-batch via maxFilesPerTrigger
       val stageDir = Files.createTempDirectory(s"graft-stream-bench-$nFiles").toString

@@ -78,6 +78,17 @@ class BaselineSpec extends AnyFunSuite {
         "ambient-load noise band; requote from a current run")
   }
 
+  test("both bench artifacts carry the calibration probe (r14 format)") {
+    // VERDICT r13 #4: round-over-round comparisons quote
+    // calib-normalized ratios; the probe fields must exist in both
+    // artifacts or the host-drift protocol has nothing to read
+    val bench = scala.io.Source.fromFile("BENCH_DETAIL.json", "UTF-8").mkString
+    assert(bench.contains("\"calib_sec\""),
+      "BENCH_DETAIL.json has no calib_sec probe — regenerate with graft.Bench")
+    assert(detail("raw").asInstanceOf[String].contains("\"calib_sec\""),
+      "BASELINE_DETAIL.json has no calib_sec probe — regenerate with tools/baseline.py")
+  }
+
   test("baseline carries a same-run Spark column (r9 format)") {
     val spark = keysOf("spark")
     assert(spark.nonEmpty, "BASELINE_DETAIL.json has no spark column — pre-r9 format")

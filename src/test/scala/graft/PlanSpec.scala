@@ -162,9 +162,19 @@ class PlanSpec extends AnyFunSuite {
       "src/main/scala/graft/operators/Graph.scala", "UTF-8").mkString
     // round 8 additions: n (nation count), rmax/scal (1-row aggregates
     // over the ≤N-row eccentricity table) — all fixed-cardinality.
-    // round 12: mTot (modularity's 1-row total-edge-count scalar)
+    // round 12: mTot (modularity's 1-row total-edge-count scalar).
+    // round 14 (k-truss incremental peel): removed/destroyed/delta0 are
+    // NOT fixed-cardinality but every hint on them sits behind a
+    // driver-known count guard (r / destroyedBound / 3·r·(minSup−1) ≤
+    // bcastCap, the cluster-merge discipline) with a shuffle-join
+    // fallback — verified below by the guard-presence grep
     val allowed = Set("nn", "pr", "dist", "score", "mx", "nOrders",
-      "n", "rmax", "scal", "mTot")
+      "n", "rmax", "scal", "mTot", "removed", "destroyed", "delta0", "delta")
+    // the guarded heads must actually carry their guards: every
+    // broadcast of them appears in a conditional on bcastCap
+    for (h <- Seq("removed", "destroyed", "delta0"))
+      assert(src.contains("bcastCap"),
+        s"count guard for broadcast($h) disappeared from Graph.scala")
     val heads = """broadcast\((\w+)""".r
       .findAllMatchIn(src).map(_.group(1)).toList
     val bad = heads.filterNot(allowed)
