@@ -328,6 +328,7 @@ object SparkEntry {
     "stream_seq_pairs"    -> ((s, d) => Pipeline.streamSeqPairs(s, d)),
     "stream_cdc_tombstone" -> ((s, d) => Pipeline.streamCdcTombstone(s, d)),
     "stream_late_audit"   -> ((s, d) => Pipeline.streamLateAudit(s, d)),
+    "stream_late_audit_ttl" -> ((s, d) => Pipeline.streamLateAuditTtl(s, d)),
     "stream_funnel"       -> ((s, d) => Pipeline.streamFunnel(s, d)),
     "stream_session_window" -> ((s, d) => Pipeline.streamSessionWindow(s, d)),
     "pipe_clean_corpus" -> ((s, d) => Pipeline.cleanCorpus(s, d)),

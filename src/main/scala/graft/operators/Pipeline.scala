@@ -907,6 +907,13 @@ object Pipeline {
   def streamLateAudit(s: SparkSession, d: String): DataFrame =
     EventStreams.lateAudit(EventStreams.normalize(Tables.events(s, d)))
 
+  /** TTL face of the lateness auditor (round 14): the audit over final
+    * gap>48h sessions — the one whose eviction drops a per-EVENT replay
+    * buffer, the suite's worst state-growth class.
+    */
+  def streamLateAuditTtl(s: SparkSession, d: String): DataFrame =
+    EventStreams.lateAuditTtl(EventStreams.normalize(Tables.events(s, d)))
+
   /** Time-bounded funnel — the batch face of
     * [[EventStreams.funnelStreaming]] (same recurrence as
     * q_funnel_window; cross-batch state-machine parity pinned in
@@ -3716,6 +3723,34 @@ object Pipeline {
          |  CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
          |FROM events e JOIN dim d ON e.user_id = d.user_id
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "stream_late_audit_ttl" ->
+      s"""WITH ev0 AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         |sb AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER (
+         |         PARTITION BY user_id ORDER BY ts_us, event_id)
+         |         > ${EventStreams.StateTtlUs} THEN 1 ELSE 0 END AS brk
+         |       FROM ev0),
+         |ss AS (SELECT *, sum(brk) OVER (
+         |         PARTITION BY user_id ORDER BY ts_us, event_id) AS sess
+         |       FROM sb),
+         |mxs AS (SELECT *, max(sess) OVER (PARTITION BY user_id) AS m FROM ss),
+         |e AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    event_id + ((event_id % 1000003) * 2654435761) % 1000 AS arrival
+         |  FROM mxs WHERE sess = m),
+         |h AS (
+         |  SELECT user_id, event_id, ts_us,
+         |    max(ts_us) OVER (PARTITION BY user_id ORDER BY arrival, event_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hwm
+         |  FROM e)
+         |SELECT user_id, CAST(max(ts_us) AS BIGINT) AS last_ts_us,
+         |  CAST(count(*) AS BIGINT) AS n_events,
+         |  CAST(sum(CASE WHEN ts_us < hwm THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+         |  CAST(coalesce(max(CASE WHEN ts_us < hwm THEN hwm - ts_us END), 0)
+         |    AS BIGINT) AS max_late_us,
+         |  (CAST(sum(CASE WHEN ts_us < hwm THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+         |    // count(*) AS late_ppm
+         |FROM h GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "stream_late_audit" ->
       """WITH e AS (

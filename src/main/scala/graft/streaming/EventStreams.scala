@@ -1241,6 +1241,90 @@ object EventStreams {
       .orderBy(col("user_id"))
   }
 
+  /** Batch face of [[lateAuditTtlStreaming]]: the lateness audit over
+    * each user's FINAL activity session (gap > ttl breaks on EVENT
+    * time). The [[LateSt]] state is the suite's worst growth class —
+    * raw per-EVENT sequences, not per-entity counters — so the TTL
+    * face matters more here than anywhere: evicting an idle entity
+    * drops its whole replay buffer, and the surviving audit covers
+    * exactly the final session's arrival-order replay. last_ts_us
+    * (the session's max event ts, the eviction anchor) rides along as
+    * the restart-resolution key.
+    */
+  def lateAuditTtl(ev: DataFrame, ttlUs: Long = StateTtlUs): DataFrame = {
+    val fin = finalSessionEvents(ev, ttlUs)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("arrival"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    fin.select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("arrival",
+        col("event_id") + ((col("event_id") % 1000003L) * 2654435761L) % 1000L)
+      .withColumn("hwm", max(col("ts_us")).over(w))
+      .groupBy(col("user_id"))
+      .agg(max(col("ts_us")).as("last_ts_us"),
+        count(lit(1)).as("n_events"),
+        sum(when(col("ts_us") < col("hwm"), 1L).otherwise(0L))
+          .cast("long").as("n_late"),
+        max(when(col("ts_us") < col("hwm"), col("hwm") - col("ts_us"))
+          .otherwise(0L)).as("max_late_us"))
+      .withColumn("late_ppm", expr("(n_late * 1000000) div n_events"))
+      .orderBy(col("user_id"))
+  }
+
+  /** Streaming lateness audit under EventTimeTimeout eviction: the
+    * [[lateAuditStreaming]] replay recurrence with the state (the raw
+    * per-user event buffer) REMOVED once the watermark passes the
+    * entity's last event ts + ttl — a returning entity replays only
+    * its final session, the [[lateAuditTtl]] batch semantics. The
+    * eviction anchor is the buffer's max event ts (a set max — a
+    * late-arriving earlier event can never LOWER it); parity +
+    * eviction pinned in StreamingSpec, aging-feed state bytes in
+    * StreamBench (per-EVENT state is where eviction pays most).
+    */
+  def lateAuditTtlStreaming(spark: SparkSession, ev: DataFrame,
+      ttlUs: Long = StateTtlUs, delay: String = "0 seconds"): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def fn(user: Long, rows: Iterator[AEvT], state: GroupState[LateSt])
+        : Iterator[(Long, Long, Long, Long, Long, Long)] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val st = state.getOption.getOrElse(LateSt(Nil))
+        rows.foreach { e =>
+          val arrival = e.event_id + ((e.event_id % 1000003L) * 2654435761L) % 1000L
+          st.evs = st.evs :+ ((arrival, e.event_id, e.ts_us))
+        }
+        state.update(st)
+        val lastTs = st.evs.map(_._3).max
+        // ceil to ms — see latestStateTtlStreaming: never evict early
+        state.setTimeoutTimestamp(
+          math.max((lastTs + ttlUs + 999L) / 1000L,
+            state.getCurrentWatermarkMs() + 1L))
+        val sorted = st.evs.sortBy(t => (t._1, t._2))
+        var hwm = Long.MinValue; var nLate = 0L; var maxLate = 0L
+        sorted.foreach { case (_, _, ts) =>
+          if (hwm != Long.MinValue && ts < hwm) {
+            nLate += 1; maxLate = math.max(maxLate, hwm - ts)
+          }
+          hwm = math.max(hwm, ts)
+        }
+        Iterator.single((user, lastTs, sorted.size.toLong, nLate, maxLate,
+          nLate * 1000000L / sorted.size))
+      }
+    }
+
+    ev.select(col("user_id").cast("long"), col("ts_us"), col("event_id"),
+        timestamp_micros(col("ts_us")).as("tsx"))
+      .withWatermark("tsx", delay)
+      .as[AEvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.EventTimeTimeout())(fn _)
+      .toDF("user_id", "last_ts_us", "n_events", "n_late", "max_late_us",
+        "late_ppm")
+  }
+
   /** Streaming lateness audit via flatMapGroupsWithState: [[LateSt]]
     * holds the raw per-user (arrival, id, ts) sequence and every batch
     * re-derives the audit by replaying it in arrival order — so the

@@ -182,6 +182,19 @@ object StreamBench {
           .writeStream.outputMode("update")
           .format("memory").queryName(s"sb_rlat_$nFiles").start()
       }
+      // the r14 lateness-audit TTL face: the one whose NoTimeout state
+      // grows per EVENT (raw replay buffers) — state_bytes is the
+      // column to read here, not state_rows
+      run("late_audit_aging_full") { () =>
+        EventStreams.lateAuditStreaming(spark, agingSource())
+          .writeStream.outputMode("append") // the full-history face is an Append-mode fMGWS
+          .format("memory").queryName(s"sb_laaf_$nFiles").start()
+      }
+      run("late_audit_aging_ttl") { () =>
+        EventStreams.lateAuditTtlStreaming(spark, agingSource())
+          .writeStream.outputMode("update")
+          .format("memory").queryName(s"sb_laat_$nFiles").start()
+      }
       // the r14 CDC compaction (VERDICT r13 #6): unlike the TTL faces
       // the evicted rows are EMITTED (flushed to the sink), so the view
       // survives idleness while live state stays horizon-bounded

@@ -787,6 +787,66 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("TTL lateness audit: evicted replay buffers restart; audit matches the final-session batch face") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val H = 3600L * 1000000L
+    val ttl = 10 * H
+    // u1 stays inside the horizon (continuation) — its event ids are
+    // chosen so the deterministic arrival jitter reorders 102 after
+    // 103 (a genuine late event inside the final session); u2 is
+    // silent > ttl and returns after its buffer was dropped (the
+    // restart must NOT count lateness against pre-eviction hwm); u3
+    // is evicted and never returns; u9 is the watermark clock.
+    val batches = Seq(
+      Seq((1L, 5 * H, 101L, "view", 0.0), (2L, 1 * H, 201L, "view", 0.0),
+        (2L, 2 * H, 202L, "view", 0.0), (3L, 1 * H, 301L, "view", 0.0),
+        (9L, 5 * H, 901L, "tick", 0.0)),
+      Seq((1L, 9 * H, 103L, "view", 0.0), (1L, 8 * H, 102L, "view", 0.0),
+        (9L, 12 * H, 902L, "tick", 0.0)),
+      // u3 (timeout 11h) evicted at wm 12h here; u2 (timeout exactly
+      // 12h) survives until the next tick pushes wm past it
+      Seq((9L, 14 * H, 903L, "tick", 0.0)),
+      Seq((9L, 15 * H, 904L, "tick", 0.0)),
+      Seq((1L, 16 * H, 104L, "view", 0.0), (2L, 20 * H, 203L, "view", 0.0),
+        (9L, 22 * H, 905L, "tick", 0.0)))
+    val all = batches.flatten
+    val batchEv = all.toDF("user_id", "ts_us", "event_id", "event_type", "value")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
+    val expected = EventStreams.lateAuditTtl(batchEv, ttl)
+      .collect().map(_.toSeq).toSet
+
+    val mem = MemoryStream[(Long, Long, Long)]
+    val ev = mem.toDF.toDF("user_id", "ts_us", "event_id")
+    val q = EventStreams.lateAuditTtlStreaming(spark, ev, ttl)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ttl_late_test").start()
+    try {
+      batches.foreach { b =>
+        mem.addData(b.map(e => (e._1, e._2, e._3)): _*); q.processAllAvailable()
+      }
+      val got = resolveTtl(spark.table("ttl_late_test"))
+        .collect().map(_.toSeq).toSet
+      assert(got == expected,
+        s"TTL streamed lateness audit diverged from the final-session batch face\n" +
+          s"got=$got\nexpected=$expected")
+      // u2 restarted: its resolved row covers only the final session
+      // (1 event, zero lateness)
+      val u2 = got.find(_.head == 2L).get
+      assert(u2(2) == 1L && u2(3) == 0L, s"u2 must restart clean, got $u2")
+      // the batch face really measured SOME lateness somewhere (u1's
+      // jittered 102-after-103), or the parity is vacuous
+      assert(expected.exists(r => r(3).asInstanceOf[Long] > 0L),
+        "no late event in the fixture — the audit recurrence was never exercised")
+      // state holds only horizon-live entities after the trailing
+      // no-data batch (wm 22h: u1 timeout 26h, u2 30h, u9 32h; u3 gone)
+      val st = q.lastProgress.stateOperators
+      assert(st.nonEmpty && st.head.numRowsTotal == 3L,
+        s"state must hold exactly the horizon-live entities, got ${st.head.numRowsTotal}")
+    } finally q.stop()
+  }
+
   test("CDC compaction: flushed sink rows ⊕ live state merge to the tombstone view exactly") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
