@@ -47,21 +47,13 @@ object Bench {
     }
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // calibration control (VERDICT r13 #4): a fixed-work,
-    // data-independent CPU probe through the same whole-stage-codegen
-    // path the queries run — 2×10⁸ deterministic integer hash steps
-    // over 32 tasks, folded to one sum. Timed at sweep start/mid/end
-    // and written into the detail sidecar as calib_sec, so
-    // round-over-round comparisons can quote calib-normalized ratios
-    // instead of re-litigating host day-band drift (the two-round
-    // q_triangle_count saga would have been a one-line readout).
-    def calibSec(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, 32)
-        .selectExpr("sum(((id * 2654435761) % 1000003) ^ (id >> 3)) AS s")
-        .collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // calibration control (VERDICT r13 #4): the shared fixed-work CPU
+    // probe (GraftSession.calibSec), timed at sweep start/mid/end and
+    // written into the detail sidecar as calib_sec, so round-over-round
+    // comparisons can quote calib-normalized ratios instead of
+    // re-litigating host day-band drift (the two-round q_triangle_count
+    // saga would have been a one-line readout).
+    def calibSec(): Double = GraftSession.calibSec(spark)
     // the listener bus is async: wait until the counters stop moving so
     // one query's straggler events don't bleed into the next query's counts
     def settle(): Unit = {

@@ -69,6 +69,21 @@ object GraftSession {
     * shared index builds ([[pin]]) are spared — they are alive by
     * design for the whole session.
     */
+  /** The bench calibration probe (VERDICT r13 #4): fixed-work,
+    * data-independent CPU time through the same whole-stage-codegen
+    * path the queries run — 2x10^8 deterministic integer hash steps
+    * over 32 tasks. ONE definition so Bench and StreamBench calib_sec
+    * readings stay comparable by construction; callers run it once
+    * untimed first (JIT warm-up).
+    */
+  def calibSec(spark: SparkSession): Double = {
+    val t0 = System.nanoTime()
+    spark.range(0L, 200000000L, 1L, 32)
+      .selectExpr("sum(((id * 2654435761) % 1000003) ^ (id >> 3)) AS s")
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def dropDeadBlocks(spark: SparkSession): Unit =
     spark.sparkContext.getPersistentRDDs.values
       .filterNot(r => pinnedRdds.contains(r.id))

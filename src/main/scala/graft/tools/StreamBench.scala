@@ -40,13 +40,7 @@ object StreamBench {
     // streaming bench too: StreamBench's throughput rows carry the same
     // host day-band caveat, so each file-count block leads with a
     // fixed-work CPU probe reading
-    def calibSec(): Double = {
-      val t0 = System.nanoTime()
-      spark.range(0L, 200000000L, 1L, 32)
-        .selectExpr("sum(((id * 2654435761) % 1000003) ^ (id >> 3)) AS s")
-        .collect()
-      (System.nanoTime() - t0) / 1e9
-    }
+    def calibSec(): Double = graft.GraftSession.calibSec(spark)
     calibSec() // untimed JIT warm-up
 
     for (nFiles <- fileCounts) {

@@ -170,11 +170,17 @@ class PlanSpec extends AnyFunSuite {
     // fallback — verified below by the guard-presence grep
     val allowed = Set("nn", "pr", "dist", "score", "mx", "nOrders",
       "n", "rmax", "scal", "mTot", "removed", "destroyed", "delta0", "delta")
-    // the guarded heads must actually carry their guards: every
-    // broadcast of them appears in a conditional on bcastCap
-    for (h <- Seq("removed", "destroyed", "delta0"))
-      assert(src.contains("bcastCap"),
-        s"count guard for broadcast($h) disappeared from Graph.scala")
+    // the guarded heads must actually carry their guards: each specific
+    // cap condition must still exist verbatim next to its broadcast
+    // (a file-wide 'bcastCap' grep would stay green if one guard were
+    // dropped while another survived — review r14)
+    for ((h, guard) <- Seq(
+        "removed" -> "if (r <= bcastCap) broadcast(removed)",
+        "destroyed" -> "if (destroyedBound <= bcastCap) broadcast(destroyed)",
+        "delta0" -> "if (3L * r * math.max(1L, minSup - 1) <= bcastCap)"))
+      assert(src.contains(guard),
+        s"the count guard for broadcast($h) disappeared from Graph.scala " +
+          s"(expected: $guard)")
     val heads = """broadcast\((\w+)""".r
       .findAllMatchIn(src).map(_.group(1)).toList
     val bad = heads.filterNot(allowed)

@@ -21,8 +21,11 @@ class PlansCoverageSpec extends AnyFunSuite {
     val loadAvg = """"load_avg":\s*(\d+\.?\d*)""".r
       .findFirstMatchIn(bench).map(_.group(1).toDouble).getOrElse(0.0)
     val threshold = if (loadAvg > 4.0) 2.5 else 1.0
+    // tolerant of both writers: Bench.scala's compact one-line entries
+    // AND a json.dumps(indent=1) rewrite (tools/baseline.py respike) —
+    // [^}] crosses newlines, so only the key/brace adjacency needs \s*
     val entry =
-      """"([a-z0-9_]+)": \{"times":[^}]*"min": (\d+\.?\d*)""".r
+      """"([a-z0-9_]+)":\s*\{\s*"times":[^}]*"min":\s*(\d+\.?\d*)""".r
     val heavy = entry.findAllMatchIn(bench)
       .filter(_.group(2).toDouble > threshold)
       .map(_.group(1)).toSet

@@ -103,8 +103,42 @@ def respike(bench_raw: dict) -> dict:
             qs[q] = merged
     bench_raw["total_median"] = round(
         sum(v["median"] for v in qs.values()), 3)
-    BENCH.write_text(json.dumps(bench_raw, indent=1))
+    BENCH.write_text(render_bench(bench_raw))
     return bench_raw
+
+
+def render_bench(bd: dict) -> str:
+    """Serialize BENCH_DETAIL in graft.Bench's native one-entry-per-line
+    format — PlansCoverageSpec/BaselineSpec parse it with line regexes,
+    so a json.dumps rewrite must never replace it (review r14).
+    """
+    def ms(v: float) -> str:
+        return f"{v:.3f}"
+    lines = []
+    for name, v in bd["queries"].items():
+        extra = ""
+        if "sweep_times" in v:
+            extra = (f", \"sweep_times\": "
+                     f"[{', '.join(ms(t) for t in v['sweep_times'])}], "
+                     f"\"sweep_median\": {ms(v['sweep_median'])}, "
+                     f"\"respiked\": true")
+        lines.append(
+            f'  "{name}": {{"times": [{", ".join(ms(t) for t in v["times"])}],'
+            f' "median": {ms(v["median"])}, "min": {ms(v["min"])},'
+            f' "noisy": {str(v["noisy"]).lower()}, "jobs": {v["jobs"]},'
+            f' "stages": {v["stages"]}, "tasks": {v["tasks"]}{extra}}}')
+    c = bd.get("calib_sec", {})
+    calib = (f'"calib_sec": {{"start": {c.get("start", 0)}, '
+             f'"mid": {c.get("mid", 0)}, "end": {c.get("end", 0)}}},\n'
+             if c else "")
+    body = ",\n".join(lines)
+    return ("{\n"
+            f'"sf": "{bd["sf"]}", "reps": {bd["reps"]}, '
+            f'"n_queries": {len(bd["queries"])},\n'
+            f'"total_median": {ms(bd["total_median"])}, "unit": "sec", '
+            f'"load_avg": {ms(bd["load_avg"])},\n'
+            f"{calib}"
+            '"queries": {\n' + body + "\n}\n}")
 
 
 def main() -> None:

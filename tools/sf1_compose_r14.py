@@ -26,6 +26,13 @@ queries = dict(r13["queries"])
 for line in Path(sys.argv[2]).read_text().splitlines():
     if line.startswith("DPASS "):
         name = line.split()[1].rstrip(":")
+        # a decomposed pass is the WEAKER check: it must never hide a
+        # recorded full-oracle FAIL (review r14 — the PASS branch
+        # already enforces this, the decomposed one did not)
+        if queries.get(name, {}).get("status") == "fail":
+            print(f"CONFLICT {name}: decomposed PASS vs recorded FAIL "
+                  f"({queries[name].get('detail', '')[:120]}) — keeping FAIL")
+            continue
         queries[name] = {"status": "decomposed_pass",
                          "detail": line.split(":", 1)[1].strip()[:220]}
     elif line.startswith("DFAIL "):
@@ -60,7 +67,11 @@ for log in sys.argv[3:]:
                 print(f"WARNING {name}: oracle CRASHED under the memory "
                       f"budget, recording as brute_oracle_skip with the "
                       f"error detail: {detail[:120]}")
-                if queries.get(name, {}).get("status") != "fail":
+                # a crash-shaped skip must never overwrite a RECORDED
+                # result of any kind — pass, decomposed pass, or fail
+                # (review r14: the first cut only protected 'fail')
+                if queries.get(name, {}).get("status") not in (
+                        "pass", "decomposed_pass", "fail"):
                     queries[name] = {"status": "brute_oracle_skip",
                                      "note": "oracle OOM/crash under budget",
                                      "error_detail": detail}
