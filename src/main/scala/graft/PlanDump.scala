@@ -42,7 +42,11 @@ object PlanDump {
     "pipe_dedup_corpus", "ann_ivf_pq_topk", "txt_char_entropy",
     "q_weighted_median", "ann_probe_sweep", "txt_char_trigrams",
     "dedup_lsh_sweep", "stream_rate_limit_ttl", "ann_descent_insert",
-    "stream_cdc_compact")
+    "stream_cdc_compact",
+    // round 15 (VERDICT r14 #1): the two sub-second queries the
+    // driver's contended rewrite phantom-spiked past the lint — cheap
+    // insurance alongside the idle-floor ledger that actually fixes it
+    "ann_sq_error", "ms_significant_terms")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
