@@ -118,11 +118,19 @@ object Bench {
     // box load at sweep end — the ±40% day-band context for the reader
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
+    // self-labeling contention flag (VERDICT r14 #7): the fixed-work
+    // probe degrading >2x mid-sweep means the wall numbers are host
+    // weather, not plans (r14's driver regeneration: calib 0.118→0.447,
+    // total 191.9 s vs 128.1 s idle for identical code). Consumers must
+    // not read a contended artifact as a round-over-round number.
+    val calibRatio = if (calibStart > 0) math.max(calibMid, calibEnd) / calibStart else 1.0
+    val contended = calibRatio > 2.0
     val detailJson =
       s"""{
          |"sf": "$sfDir", "reps": $reps, "n_queries": ${results.size},
          |"total_median": ${ms(total)}, "unit": "sec", "load_avg": ${ms(loadAvg)},
          |"calib_sec": {"start": ${ms(calibStart)}, "mid": ${ms(calibMid)}, "end": ${ms(calibEnd)}},
+         |"calib_ratio": ${ms(calibRatio)}, "contended": $contended,
          |"queries": {
          |$detail
          |}
@@ -135,7 +143,7 @@ object Bench {
     // 413-entry per-query map overflowed the driver's captured log tail
     // and left BENCH_r09.json with parsed:null) — the full per-query
     // map lives in the detail sidecar, which cannot be truncated
-    println(s"""{"sf":"$sfDir","reps":$reps,"detail":"$detailPath","n_queries":${results.size},"metric":"total","value":${ms(total)},"unit":"sec"}""")
+    println(s"""{"sf":"$sfDir","reps":$reps,"detail":"$detailPath","n_queries":${results.size},"metric":"total","value":${ms(total)},"unit":"sec","calib_ratio":${ms(calibRatio)},"contended":$contended}""")
     spark.stop()
   }
 }

@@ -74,7 +74,10 @@ object GraftSession {
     * path the queries run — 2x10^8 deterministic integer hash steps
     * over 32 tasks. ONE definition so Bench and StreamBench calib_sec
     * readings stay comparable by construction; callers run it once
-    * untimed first (JIT warm-up).
+    * untimed first (JIT warm-up). tools/baseline.py runs the IDENTICAL
+    * expression in DuckDB (aligned per ADVICE r14); even so, calib_sec
+    * is a DRIFT probe — start/mid/end within one artifact are
+    * comparable, absolute seconds across engines are not.
     */
   def calibSec(spark: SparkSession): Double = {
     val t0 = System.nanoTime()

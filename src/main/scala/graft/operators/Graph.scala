@@ -1042,9 +1042,14 @@ object Graph {
   private[graft] def ktrussDeltaPlan(s: SparkSession, d: String, k: Int = 4): DataFrame = {
     val minSup = (k - 2).toLong
     val live = memoSupport(s, d)
-    val removed = live.filter(col("support") < minSup).select(col("a"), col("b"))
+    // removedPlan/deltaPlan: PLAN-DUMP-ONLY heads (this def is never
+    // executed — PLANS.md renders it). The executed loop in [[ktruss]]
+    // places the same hints behind driver-known count guards; distinct
+    // names keep PlanSpec's per-guard broadcast lint 1:1 with the
+    // hints that actually run (ADVICE r14).
+    val removedPlan = live.filter(col("support") < minSup).select(col("a"), col("b"))
     val hit = memoWitnesses(s, d)
-      .join(broadcast(removed), Seq("a", "b"), "left_semi")
+      .join(broadcast(removedPlan), Seq("a", "b"), "left_semi")
       .select(col("a").as("x"), col("b").as("y"), col("wit").as("z"))
       .select(least(col("x"), col("y"), col("z")).as("x3"),
         greatest(col("x"), col("y"), col("z")).as("z3"),
@@ -1052,14 +1057,14 @@ object Graph {
           least(col("x"), col("y"), col("z")) -
           greatest(col("x"), col("y"), col("z"))).as("y3"))
       .distinct()
-    val delta = hit.select(explode(array(
+    val deltaPlan = hit.select(explode(array(
         struct(col("x3").as("a"), col("y3").as("b")),
         struct(col("x3").as("a"), col("z3").as("b")),
         struct(col("y3").as("a"), col("z3").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("dec"))
     live.filter(col("support") >= minSup)
-      .join(broadcast(delta), Seq("a", "b"), "left")
+      .join(broadcast(deltaPlan), Seq("a", "b"), "left")
       .select(col("a"), col("b"),
         (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
   }

@@ -87,6 +87,13 @@ class BaselineSpec extends AnyFunSuite {
       "BENCH_DETAIL.json has no calib_sec probe — regenerate with graft.Bench")
     assert(detail("raw").asInstanceOf[String].contains("\"calib_sec\""),
       "BASELINE_DETAIL.json has no calib_sec probe — regenerate with tools/baseline.py")
+    // r15 (VERDICT r14 #7): the artifact must self-label contention so
+    // a contended driver regeneration can't masquerade as a
+    // round-over-round number (r14: 191.9 s at load 5.7 vs 128.1 s
+    // idle, identical code)
+    assert(bench.contains("\"calib_ratio\"") && bench.contains("\"contended\""),
+      "BENCH_DETAIL.json lacks the calib_ratio/contended self-label — " +
+        "regenerate with graft.Bench (r15 format)")
   }
 
   test("baseline carries a same-run Spark column (r9 format)") {

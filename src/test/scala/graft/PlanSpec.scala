@@ -168,8 +168,13 @@ class PlanSpec extends AnyFunSuite {
     // driver-known count guard (r / destroyedBound / 3·r·(minSup−1) ≤
     // bcastCap, the cluster-merge discipline) with a shuffle-join
     // fallback — verified below by the guard-presence grep
+    // round 15 (ADVICE r14): removedPlan/deltaPlan are the
+    // PLAN-DUMP-ONLY heads inside ktrussDeltaPlan (never executed —
+    // PLANS.md renders it); the executed guarded heads keep their own
+    // names so the per-guard grep below stays 1:1 with hints that run
     val allowed = Set("nn", "pr", "dist", "score", "mx", "nOrders",
-      "n", "rmax", "scal", "mTot", "removed", "destroyed", "delta0", "delta")
+      "n", "rmax", "scal", "mTot", "removed", "destroyed", "delta0",
+      "removedPlan", "deltaPlan")
     // the guarded heads must actually carry their guards: each specific
     // cap condition must still exist verbatim next to its broadcast
     // (a file-wide 'bcastCap' grep would stay green if one guard were

@@ -97,8 +97,16 @@ def respike(bench_raw: dict) -> dict:
             # the artifact, and the merged entry's job/stage counters
             # come from the isolated run — flag that too
             merged = dict(fresh[q])
-            merged["sweep_times"] = qs[q]["times"]
-            merged["sweep_median"] = qs[q]["median"]
+            if qs[q].get("respiked"):
+                # already respiked by an earlier run: qs[q]["times"] are
+                # IDLE re-measurements — keep the ORIGINAL full-sweep
+                # evidence instead of overwriting it with them
+                # (ADVICE r14)
+                merged["sweep_times"] = qs[q]["sweep_times"]
+                merged["sweep_median"] = qs[q]["sweep_median"]
+            else:
+                merged["sweep_times"] = qs[q]["times"]
+                merged["sweep_median"] = qs[q]["median"]
             merged["respiked"] = True
             qs[q] = merged
     bench_raw["total_median"] = round(
@@ -131,6 +139,12 @@ def render_bench(bd: dict) -> str:
     calib = (f'"calib_sec": {{"start": {c.get("start", 0)}, '
              f'"mid": {c.get("mid", 0)}, "end": {c.get("end", 0)}}},\n'
              if c else "")
+    # carry the Bench self-labeling contention fields through the
+    # respike rewrite (r15): dropping them would un-label a contended
+    # artifact the moment baseline.py touches it
+    if "calib_ratio" in bd:
+        calib += (f'"calib_ratio": {ms(bd["calib_ratio"])}, '
+                  f'"contended": {str(bd["contended"]).lower()},\n')
     body = ",\n".join(lines)
     return ("{\n"
             f'"sf": "{bd["sf"]}", "reps": {bd["reps"]}, '
@@ -151,12 +165,17 @@ def main() -> None:
 
     def calib_sec() -> float:
         """Fixed-work, data-independent CPU probe (the Bench calib_sec
-        twin, VERDICT r13 #4): 2e8 deterministic integer hash steps in
-        DuckDB. Timed at sweep start/mid/end so the duck column carries
-        its own host-drift context."""
+        twin, VERDICT r13 #4): the IDENTICAL expression
+        GraftSession.calibSec runs in Spark (ADVICE r14 — the xor term
+        was previously missing here), 2e8 deterministic integer hash
+        steps. Timed at sweep start/mid/end so the duck column carries
+        its own host-drift context. calib_sec values are a DRIFT probe
+        within one artifact: start/mid/end of the SAME sweep are
+        comparable; absolute seconds across engines are not (different
+        executors), even with the expression aligned."""
         t0 = time.monotonic()
         con.execute(
-            "SELECT sum((i * 2654435761) % 1000003) "
+            "SELECT sum(xor((i * 2654435761) % 1000003, i >> 3)) "
             "FROM range(200000000) t(i)").fetchall()
         return time.monotonic() - t0
 
@@ -270,9 +289,13 @@ def main() -> None:
     lines += ["", "Raw medians: BASELINE_DETAIL.json.", ""]
 
     Path("/root/repo/BASELINE.md").write_text("\n".join(lines) + "\n")
+    calib_ratio = (round(max(calib["mid"], calib["end"]) / calib["start"], 3)
+                   if calib.get("start") else 1.0)
     detail = {"sf": SF, "reps": REPS, "duck_total": round(total_duck, 3),
               "spark_total_shared": round(total_spark, 3),
               "calib_sec": calib,
+              "calib_ratio": calib_ratio,
+              "contended": calib_ratio > 2.0,
               "bench_detail_n": len(bench),
               "queries": {k: round(v, 4) for k, v in sorted(times.items())},
               "spark": {k: round(bench[k], 4) for k in shared}}
