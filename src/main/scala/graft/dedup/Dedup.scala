@@ -394,7 +394,14 @@ object Dedup {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
   private def memo(s: SparkSession, d: String, key: String)(build: => DataFrame): DataFrame =
     memoCache.getOrElseUpdate((s, d, key),
-      graft.GraftSession.pin(build.localCheckpoint(eager = false)))
+      // consult the persisted index store first (the ingest→serve
+      // path, [[graft.sources.IndexStore]]): a session pointed at a
+      // saved store serves the signature/band tables from parquet
+      // instead of re-tokenizing the corpus; a hit replaces only the
+      // BUILD — pinning and checkpoint semantics stay identical
+      graft.GraftSession.pin(
+        graft.sources.IndexStore.lookup(s, d, "dedup_" + key)
+          .getOrElse(build).localCheckpoint(eager = false)))
 
   /** Shared signature table over the full `documents` corpus. */
   def memoSig(s: SparkSession, d: String): DataFrame =

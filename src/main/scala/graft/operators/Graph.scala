@@ -1021,9 +1021,13 @@ object Graph {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private[graft] def memoWitnesses(s: SparkSession, d: String): DataFrame =
     triWitnessCache.getOrElseUpdate((s, d), graft.GraftSession.pin {
-      val oriented = triOriented(triEdges(s, d))
-      triEdgeWitnesses(triTriples(s, oriented, triAdjacency(oriented)))
-        // T×3 rows, byte-light / CPU-dense consumers — pin the width
+      // persisted-store hit (ingest→serve, [[graft.sources.IndexStore]])
+      // replaces only the build — the maintained link-prediction
+      // feature table loaded instead of re-enumerated
+      graft.sources.IndexStore.lookup(s, d, "ktruss_witnesses").getOrElse {
+        val oriented = triOriented(triEdges(s, d))
+        triEdgeWitnesses(triTriples(s, oriented, triAdjacency(oriented)))
+      } // T×3 rows, byte-light / CPU-dense consumers — pin the width
         // before freezing it in the checkpoint (see triEdges)
         .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint(eager = false)
@@ -1079,9 +1083,12 @@ object Graph {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private[graft] def memoSupport(s: SparkSession, d: String): DataFrame =
     triSupportCache.getOrElseUpdate((s, d), graft.GraftSession.pin {
-      memoWitnesses(s, d).groupBy(col("a"), col("b"))
-        .agg(count(lit(1)).as("support"))
-        .repartition(s.sparkContext.defaultParallelism)
+      // persisted-store hit (ingest→serve) replaces only the build —
+      // and spares the witness-table aggregate entirely
+      graft.sources.IndexStore.lookup(s, d, "ktruss_support").getOrElse {
+        memoWitnesses(s, d).groupBy(col("a"), col("b"))
+          .agg(count(lit(1)).as("support"))
+      }.repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint(eager = false)
     })
 

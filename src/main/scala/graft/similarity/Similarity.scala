@@ -1524,7 +1524,11 @@ object Similarity {
       buildProbe: Int = HnswBuildProbe): DataFrame =
     // key carries m and buildProbe (the r11-ADVICE memo-key rule)
     nnGraphCache.getOrElseUpdate((s, d, m, buildProbe), graft.GraftSession.pin {
-      nnGraphBuildPlan(s, d, m, buildProbe)
+      // persisted-store hit (ingest→serve, [[graft.sources.IndexStore]])
+      // replaces only the build; the name embeds m/probe so a store
+      // can never serve a differently-parameterized adjacency
+      graft.sources.IndexStore.lookup(s, d, s"nn_graph_m${m}_p$buildProbe")
+        .getOrElse(nnGraphBuildPlan(s, d, m, buildProbe))
         // byte-light, CPU-dense consumers: pin the width before the
         // checkpoint freezes it (the triEdges discipline)
         .repartition(s.sparkContext.defaultParallelism)
@@ -1679,13 +1683,15 @@ object Similarity {
 
   private[graft] def descentServeGraph(s: SparkSession, d: String): DataFrame =
     descentServeCache.getOrElseUpdate((s, d), graft.GraftSession.pin {
-      val bNbr = graft.Tables.fanOut(graft.Tables.embeddings(s, d))
-        .select(col("vec_id").as("nbr"), col("embedding").as("n_emb"),
-          norm(col("embedding")).as("n_nrm"))
-      nnDescentGraph(s, d).select(col("src"), col("nbr"))
-        .join(bNbr, Seq("nbr"))
-        .select(col("src"), col("nbr"), col("n_emb"), col("n_nrm"))
-        .repartition(s.sparkContext.defaultParallelism)
+      // persisted-store hit (ingest→serve) replaces only the build
+      graft.sources.IndexStore.lookup(s, d, "descent_serve").getOrElse {
+        val bNbr = graft.Tables.fanOut(graft.Tables.embeddings(s, d))
+          .select(col("vec_id").as("nbr"), col("embedding").as("n_emb"),
+            norm(col("embedding")).as("n_nrm"))
+        nnDescentGraph(s, d).select(col("src"), col("nbr"))
+          .join(bNbr, Seq("nbr"))
+          .select(col("src"), col("nbr"), col("n_emb"), col("n_nrm"))
+      }.repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint(eager = false)
     })
 
@@ -1984,7 +1990,9 @@ object Similarity {
   private[graft] def nnDescentGraph(s: SparkSession, d: String, m: Int = NndM,
       rounds: Int = NndRounds): DataFrame =
     nnDescentCache.getOrElseUpdate((s, d, m, rounds), graft.GraftSession.pin {
-      nnDescentBuildPlan(s, d, m, rounds)
+      // persisted-store hit (ingest→serve) replaces only the build
+      graft.sources.IndexStore.lookup(s, d, s"nn_descent_m${m}_r$rounds")
+        .getOrElse(nnDescentBuildPlan(s, d, m, rounds))
         .repartition(s.sparkContext.defaultParallelism)
         .localCheckpoint(eager = false)
     })
