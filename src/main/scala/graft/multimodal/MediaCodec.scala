@@ -99,6 +99,30 @@ object MediaCodec {
     BmpMeta(w, h, sr, sg, sb)
   }
 
+  /** Walk a concatenated-BMP multi-frame payload (the naive video
+    * container mm_scene_detect synthesizes: each frame a COMPLETE BMP
+    * file, frames back to back) and decode every frame with the real
+    * [[decodeBmp]]. The cursor advances by each frame's
+    * BITMAPFILEHEADER size field (bytes 2–5) — a wrong size, a
+    * truncated tail, or a non-BMP byte at a frame boundary throws
+    * rather than resynchronizing, the same strictness as the other
+    * decoders. Returns the frames in payload order.
+    */
+  def decodeBmpFrames(b: Array[Byte]): Seq[BmpMeta] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[BmpMeta]
+    var off = 0
+    while (off < b.length) {
+      require(b.length - off >= 54 && b(off) == 'B'.toByte && b(off + 1) == 'M'.toByte,
+        s"bad frame header at offset $off")
+      val sz = i32(b, off + 2)
+      require(sz >= 54 && off + sz <= b.length, s"truncated frame at offset $off size=$sz")
+      out += decodeBmp(java.util.Arrays.copyOfRange(b, off, off + sz))
+      off += sz
+    }
+    require(out.nonEmpty, "empty multi-frame payload")
+    out.toSeq
+  }
+
   /** Decode a 24-bit BMP and fold every pixel through `f(x, y, r, g, b)`
     * in raster (top-left → bottom-right) order — the pixel-level face of
     * [[decodeBmp]] for consumers that need more than channel sums (the

@@ -257,7 +257,7 @@ object Pipeline {
     Multimodal.audioWindowPlan(Multimodal.decodeMeta(Tables.documents(s, d)))
 
   def mmSceneDetect(s: SparkSession, d: String): DataFrame =
-    Multimodal.sceneDetectPlan(Multimodal.decodeMeta(Tables.documents(s, d)))
+    Multimodal.sceneDetectPlan(Tables.documents(s, d))
 
   def mmDecodeBmp(s: SparkSession, d: String): DataFrame =
     Multimodal.decodeBmpPlan(Tables.documents(s, d))
@@ -3231,19 +3231,34 @@ object Pipeline {
          |       ELSE n_samples END AS tail_samples
          |FROM f ORDER BY doc_id""".stripMargin,
 
+    // real-pixel replay (r15): per (doc, frame) the oracle recomputes
+    // the BT.601 mean luma over the SAME closed-form pixels the Spark
+    // side encodes into genuine concatenated BMPs and decodes back via
+    // the real frame walk — luma numerator is non-negative so DuckDB
+    // // equals Spark div
     "mm_scene_detect" ->
-      s"""WITH m AS (SELECT doc_id, ${TextFunctions.fingerprintSql("text")} AS fp,
-         |  1 + ${TextFunctions.fingerprintSql("text")} % 16 AS n_frames FROM documents),
-         |fr AS (SELECT doc_id, n_frames, t.i AS idx, (fp * (t.i + 7)) % 256 AS luma
-         |       FROM m CROSS JOIN range(0, 16) t(i) WHERE t.i < n_frames),
-         |lg AS (SELECT *, lag(luma) OVER (PARTITION BY doc_id ORDER BY idx) AS prev FROM fr),
-         |ct AS (SELECT doc_id, n_frames, idx,
-         |         CASE WHEN prev IS NULL OR abs(luma - prev) > 96 THEN 1 ELSE 0 END AS cut
-         |       FROM lg)
-         |SELECT doc_id, n_frames, CAST(sum(cut) AS BIGINT) AS n_scenes,
-         |  CAST(max(CASE WHEN cut = 1 THEN idx END) AS BIGINT) AS last_cut,
-         |  CAST(sum(CASE WHEN cut = 1 THEN idx ELSE 0 END) AS BIGINT) AS cut_checksum
-         |FROM ct GROUP BY doc_id, n_frames ORDER BY doc_id""".stripMargin,
+      """WITH m AS (SELECT doc_id, 3 + doc_id % 6 AS w, 2 + doc_id % 5 AS h,
+        |             2 + doc_id % 12 AS n FROM documents),
+        |fr AS (SELECT m.doc_id, m.n, m.w, m.h, f.i AS idx
+        |       FROM m, range(0, 14) f(i) WHERE f.i < m.n),
+        |px AS (
+        |  SELECT fr.doc_id, fr.n, fr.idx, fr.w, fr.h,
+        |    (fr.doc_id + 17 * fr.idx * fr.idx + 3 * x.i + 5 * y.i) % 256 AS r,
+        |    (2 * fr.doc_id + 31 * fr.idx * fr.idx + 7 * x.i + y.i) % 256 AS g,
+        |    (3 * fr.doc_id + 47 * fr.idx * fr.idx + x.i + 11 * y.i) % 256 AS b
+        |  FROM fr, range(0, 9) x(i), range(0, 7) y(i)
+        |  WHERE x.i < fr.w AND y.i < fr.h),
+        |lm AS (SELECT doc_id, n, idx,
+        |         (299 * sum(r) + 587 * sum(g) + 114 * sum(b)) // (1000 * w * h) AS luma
+        |       FROM px GROUP BY doc_id, n, idx, w, h),
+        |lg AS (SELECT *, lag(luma) OVER (PARTITION BY doc_id ORDER BY idx) AS prev FROM lm),
+        |ct AS (SELECT doc_id, n, idx,
+        |         CASE WHEN prev IS NULL OR abs(luma - prev) > 48 THEN 1 ELSE 0 END AS cut
+        |       FROM lg)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_frames, CAST(sum(cut) AS BIGINT) AS n_scenes,
+        |  CAST(max(CASE WHEN cut = 1 THEN idx END) AS BIGINT) AS last_cut,
+        |  CAST(sum(CASE WHEN cut = 1 THEN idx ELSE 0 END) AS BIGINT) AS cut_checksum
+        |FROM ct GROUP BY doc_id, n ORDER BY doc_id""".stripMargin,
 
     // mm_decode_bmp / mm_decode_wav verify the REAL codecs: payload
     // geometry and content are pure functions of doc_id, so the oracle

@@ -524,6 +524,23 @@ class MultimodalSpec extends AnyFunSuite {
       "adaptive step never converged toward the target")
   }
 
+  test("concatenated-BMP frame walk decodes every frame and rejects torn payloads") {
+    // three frames with distinct content AND distinct padding classes
+    val frames = Seq((4, 2), (5, 3), (7, 1)).zipWithIndex.map { case ((w, h), i) =>
+      MediaCodec.encodeBmp(w, h, (x, y) => ((i * 40 + x) << 16) | (y << 8) | (i & 0xff))
+    }
+    val payload = frames.reduce(_ ++ _)
+    val metas = MediaCodec.decodeBmpFrames(payload)
+    assert(metas == frames.map(MediaCodec.decodeBmp),
+      "frame walk diverges from decoding each frame alone")
+    // a truncated tail must throw, not silently drop the frame
+    intercept[IllegalArgumentException](
+      MediaCodec.decodeBmpFrames(payload.dropRight(1)))
+    // garbage at a frame boundary must throw, not resynchronize
+    intercept[IllegalArgumentException](
+      MediaCodec.decodeBmpFrames(frames.head ++ Array[Byte](0, 1, 2)))
+  }
+
   test("PPM parser skips comments and demands exact geometry") {
     val enc = MediaCodec.encodePpm(2, 2, (x, y) => (x << 16) | (y << 8) | 7)
     val m = MediaCodec.decodePpm(enc)
