@@ -171,6 +171,7 @@ object SparkEntry {
     "q_gap_fill"       -> ((s, d) => Relational.qGapFill(s, d)),
     "q_approx_distinct" -> ((s, d) => Relational.qApproxDistinct(s, d)),
     "q_approx_distinct_kmv" -> ((s, d) => Relational.qApproxDistinctKmv(s, d)),
+    "q_quantile_kll" -> ((s, d) => Relational.qQuantileKll(s, d)),
     "q_bitmap_distinct" -> ((s, d) => Relational.qBitmapDistinct(s, d)),
     "q_vwap"            -> ((s, d) => Relational.qVwap(s, d)),
     "q_bitmap_distinct_roaring" -> ((s, d) => Relational.qBitmapDistinctRoaring(s, d)),
@@ -360,6 +361,7 @@ object SparkEntry {
     "q_changepoint"       -> ((s, d) => operators.Temporal.qChangepoint(s, d)),
     "stream_topk"         -> ((s, d) => Pipeline.streamTopk(s, d)),
     "stream_spike"        -> ((s, d) => Pipeline.streamSpike(s, d)),
+    "txt_bpe_apply"       -> ((s, d) => Text.bpeApply(s, d)),
     "txt_bpe_pairs"       -> ((s, d) => Text.bpePairs(s, d)),
     "txt_bpe_train"       -> ((s, d) => Text.bpeTrain(s, d)),
     "q_window_dist"       -> ((s, d) => Relational.qWindowDist(s, d)),
@@ -1587,6 +1589,47 @@ object SparkEntry {
         |       ELSE (63 * 4294967296) // greatest(k.h_k, 1) END AS est_distinct
         |FROM nr JOIN agg a ON nr.l_returnflag = a.l_returnflag
         |LEFT JOIN kth k ON nr.l_returnflag = k.l_returnflag
+        |ORDER BY nr.l_returnflag""".stripMargin,
+
+    // replays the deterministic level-sampling rule: level = trailing
+    // zeros of the content hash, L = min level with <= 256 survivors,
+    // quantiles = order statistics of the surviving sample
+    "q_quantile_kll" ->
+      """WITH r AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+        |    (((l_orderkey * 40503 + l_linenumber * 7919 + l_partkey) % 2147483648)
+        |      * 2654435761) % 4294967296 AS h
+        |  FROM lineitem),
+        |lv AS (SELECT l_returnflag, v,
+        |         CASE WHEN h = 0 THEN 32 ELSE bit_count((h & -h) - 1) END AS lvl
+        |       FROM r),
+        |lsel AS (
+        |  SELECT l_returnflag, CAST(min(L) AS BIGINT) AS lvl FROM (
+        |    SELECT lv.l_returnflag, g.L,
+        |      sum(CASE WHEN lv.lvl >= g.L THEN 1 ELSE 0 END) AS c
+        |    FROM lv, range(0, 34) g(L) GROUP BY 1, 2)
+        |  WHERE c <= 256 GROUP BY 1),
+        |rk AS (
+        |  SELECT lv.l_returnflag, lv.v,
+        |    row_number() OVER (PARTITION BY lv.l_returnflag ORDER BY lv.v) AS rk,
+        |    count(*) OVER (PARTITION BY lv.l_returnflag) AS n_samp
+        |  FROM lv JOIN lsel s ON lv.l_returnflag = s.l_returnflag
+        |  WHERE lv.lvl >= s.lvl),
+        |agg AS (
+        |  SELECT l_returnflag, CAST(max(n_samp) AS BIGINT) AS n_samp,
+        |    CAST(min(CASE WHEN rk = greatest(1, (n_samp * 50 + 99) // 100) THEN v END) AS BIGINT) AS p50_cents,
+        |    CAST(min(CASE WHEN rk = greatest(1, (n_samp * 90 + 99) // 100) THEN v END) AS BIGINT) AS p90_cents,
+        |    CAST(min(CASE WHEN rk = greatest(1, (n_samp * 99 + 99) // 100) THEN v END) AS BIGINT) AS p99_cents
+        |  FROM rk GROUP BY 1),
+        |nr AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows
+        |       FROM lineitem GROUP BY 1)
+        |SELECT nr.l_returnflag, nr.n_rows, s.lvl,
+        |  coalesce(a.n_samp, CAST(0 AS BIGINT)) AS n_samp,
+        |  coalesce(a.n_samp, CAST(0 AS BIGINT)) * (CAST(1 AS BIGINT) << s.lvl) AS est_n,
+        |  a.p50_cents, a.p90_cents, a.p99_cents
+        |FROM nr JOIN lsel s ON nr.l_returnflag = s.l_returnflag
+        |LEFT JOIN agg a ON nr.l_returnflag = a.l_returnflag
         |ORDER BY nr.l_returnflag""".stripMargin,
 
     "q_string_agg" ->

@@ -1388,6 +1388,50 @@ object Relational {
           .as("est_distinct"))
       .orderBy(col("l_returnflag"))
 
+  /** DETERMINISTIC rank-adaptive mergeable quantile sketch (r15,
+    * VERDICT r14 #6): p50/p90/p99 of the price-cents distribution per
+    * return flag via the native KLL-style
+    * [[graft.functions.QuantileSketchAgg]] — the adaptive-quantile
+    * rung joining the gated sketch family the way BottomK/HLL/Roaring
+    * gated distinct (q_quantile_hist stays the fixed-width face;
+    * engine-native approx_percentile remains documented-but-ungateable
+    * for the same reason HLL registers are). Each row's sampling level
+    * is the trailing-zero count of a content hash computed IN the
+    * query (the modular staging keeps every product within BIGINT);
+    * the sketch keeps rows with level ≥ L, raising L until ≤ k
+    * survive — a pure function of the row set, so partitioning and
+    * merge order cannot change the result and the DuckDB oracle
+    * replays the identical selection rule. Sampled rows weigh 2^L;
+    * quantiles are order statistics of the sorted sample at index
+    * ⌈p·n/100⌉ and est_n = n_samp·2^L is the self-audit against the
+    * exact n_rows. ≤ k (level, value) pairs per group cross the wire,
+    * full map-side combine — the 100 TB shape for adaptive quantiles.
+    */
+  def qQuantileKll(spark: SparkSession, dir: String, k: Int = 256): DataFrame = {
+    def quant(p: Int) =
+      when(size(col("sk")) <= 1, lit(null).cast("long"))
+        .otherwise(expr(
+          s"element_at(sk, 2 + CAST(greatest(1, (CAST(size(sk) - 1 AS BIGINT) * $p + 99) div 100) AS INT) - 1)"))
+        .as(s"p${p}_cents")
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"),
+        expr("CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)").as("v"),
+        expr("(((l_orderkey * 40503 + l_linenumber * 7919 + l_partkey) % 2147483648) " +
+          "* 2654435761) % 4294967296").as("h"))
+      .withColumn("lvl", expr(
+        "CASE WHEN h = 0 THEN 32 ELSE CAST(bit_count((h & -h) - 1) AS INT) END"))
+      .groupBy(col("l_returnflag"))
+      .agg(graft.functions.QuantileSketchAgg.quantileSketch(col("v"), col("lvl"), k).as("sk"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("n_rows"),
+        element_at(col("sk"), 1).as("lvl"),
+        (size(col("sk")) - 1).cast("long").as("n_samp"),
+        expr("CAST(size(sk) - 1 AS BIGINT) * shiftleft(CAST(1 AS BIGINT), " +
+          "CAST(element_at(sk, 1) AS INT))").as("est_n"),
+        quant(50), quant(90), quant(99))
+      .orderBy(col("l_returnflag"))
+  }
+
   /** Exact distinct customers per order month via the native
     * [[graft.functions.BitmapDistinctAgg]] — the mergeable-EXACT
     * alternative to HLL/KMV when keys are dense integers: each group's

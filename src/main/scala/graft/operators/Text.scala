@@ -573,6 +573,61 @@ object Text {
     out.reduce(_ unionByName _).orderBy(col("round"))
   }
 
+  /** BPE APPLY (r15, VERDICT r14 #5): tokenize the corpus with the
+    * pinned merge list [[bpeTrain]] produces — the production
+    * tokenization pass whose fertility pipe_tokenizer_fertility
+    * approximates with whitespace words. The apply runs the SAME
+    * merge loop over the VOCABULARY table with word identity retained
+    * (per round: argmax pair → bracketed replace-all, the proven
+    * leftmost-greedy ≡ replace-all trick), so the merges are exactly
+    * the trainer's; each document's token count is then one vocab
+    * join away: explode raw words → join (w → n_bpe) → per-doc sums.
+    * Scale shape: merge rounds touch only the Heaps-law-sized vocab
+    * table, the corpus is scanned twice (word frequencies + the
+    * per-doc join), and the join key is the word — exactly how a real
+    * tokenizer service applies a frozen merge table at 100 TB. Output
+    * per doc: n_words (the whitespace baseline), n_bpe_tokens, and
+    * integer fertility ×10⁶ = 10⁶·n_bpe div n_words (non-negative
+    * numerator → DuckDB // parity).
+    */
+  def bpeApply(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+    val symSplit = "split(substring(s, 2, length(s) - 2), '\\\\]\\\\[')"
+    val wf = Tables.documents(s, d)
+      .select(explode(rawTokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("f"))
+      .select(col("w"), col("f"), expr(
+        "concat_ws('', transform(sequence(1, length(w)), i -> concat('[', substr(w, i, 1), ']')))")
+        .as("s"))
+      .localCheckpoint()
+    var cur = wf
+    for (_ <- 1 to rounds) {
+      val best = cur
+        .withColumn("sym", expr(symSplit))
+        .filter(size(col("sym")) >= 2)
+        .select(col("f"), explode(expr(
+          """transform(sequence(1, size(sym) - 1),
+            |  i -> concat('[', element_at(sym, i), '][', element_at(sym, i + 1), ']'))"""
+            .stripMargin)).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("f")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .select(col("pair").as("bp"), expr("replace(pair, '][', '@')").as("bm"))
+        .localCheckpoint()
+      // the 1-row best pair broadcasts; the vocab table never shuffles
+      cur = cur
+        .crossJoin(broadcast(best))
+        .select(col("w"), col("f"), expr("replace(s, bp, bm)").as("s"))
+        .localCheckpoint(eager = false)
+    }
+    val vocab = cur.select(col("w"), expr(s"size($symSplit)").cast("long").as("n_bpe"))
+    Tables.fanOut(Tables.documents(s, d))
+      .select(col("doc_id"), explode(rawTokens(col("text"))).as("w"))
+      .join(vocab, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_bpe")).as("n_bpe_tokens"))
+      .withColumn("fertility_x1e6", expr("(1000000 * n_bpe_tokens) div n_words"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII scrubbing — the redaction pass a training corpus goes through
     * before packing: regex-detect emails and phone numbers, replace with
     * typed placeholder tags, and count redactions per document. The test
@@ -1489,6 +1544,50 @@ object Text {
          |  UNION ALL
          |  SELECT CAST(3 AS BIGINT), b3.pair, b3.n, t3.corpus_tokens FROM b3, t3)
          |ORDER BY round""".stripMargin
+    },
+
+    "txt_bpe_apply" -> {
+      // the trainer's merge CTE chain with word identity retained,
+      // then the frozen vocab (w -> n_bpe) joined back onto the corpus
+      val rounds = (1 to 3).map { r =>
+        val p = s"s${r - 1}"
+        s"""p$r AS (
+           |  SELECT pair, CAST(sum(f) AS BIGINT) AS n FROM (
+           |    SELECT f, unnest(list_transform(range(1, len(sym)),
+           |      i -> '[' || sym[i] || '][' || sym[i + 1] || ']')) AS pair
+           |    FROM (SELECT f, string_split(substring(s, 2, length(s) - 2), '][') AS sym
+           |          FROM $p)
+           |    WHERE len(sym) >= 2)
+           |  GROUP BY pair),
+           |b$r AS MATERIALIZED (
+           |  SELECT pair, replace(pair, '][', '@') AS merged
+           |  FROM p$r ORDER BY n DESC, pair LIMIT 1),
+           |s$r AS MATERIALIZED (
+           |  SELECT w, f, replace(s, b.pair, b.merged) AS s FROM $p, b$r b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH wf AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS f FROM (
+         |    SELECT unnest(${graft.text.TextFunctions.rawTokensSql("text")}) AS w
+         |    FROM documents)
+         |  GROUP BY w),
+         |s0 AS MATERIALIZED (
+         |  SELECT w, f, array_to_string(list_transform(range(1, length(w) + 1),
+         |    i -> '[' || substring(w, i, 1) || ']'), '') AS s
+         |  FROM wf),
+         |$rounds,
+         |v AS (
+         |  SELECT w, CAST(len(string_split(substring(s, 2, length(s) - 2), '][')) AS BIGINT)
+         |    AS n_bpe
+         |  FROM s3),
+         |tk AS (
+         |  SELECT doc_id, unnest(${graft.text.TextFunctions.rawTokensSql("text")}) AS w
+         |  FROM documents)
+         |SELECT tk.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |  CAST(sum(v.n_bpe) AS BIGINT) AS n_bpe_tokens,
+         |  (1000000 * CAST(sum(v.n_bpe) AS BIGINT)) // CAST(count(*) AS BIGINT)
+         |    AS fertility_x1e6
+         |FROM tk JOIN v ON tk.w = v.w
+         |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin
     },
 
     "txt_bpe_pairs" ->

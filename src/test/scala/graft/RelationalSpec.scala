@@ -1103,4 +1103,34 @@ class RelationalSpec extends AnyFunSuite {
     assert(ks.zip(ks.tail).forall { case (a, b) => a < b },
       "coverage thresholds must need strictly more customers")
   }
+
+  test("quantile sketch is partition-invariant with bounded rank error (r15)") {
+    import spark.implicits._
+    val n = 5000
+    def value(i: Long): Long = i * 37 % 9973 // pseudo-shuffled value stream
+    val df = (0L until n.toLong).map(i => (value(i), i)).toDF("v", "r")
+      .withColumn("h", expr("(((r * 40503) % 2147483648) * 2654435761) % 4294967296"))
+      .withColumn("lvl", expr(
+        "CASE WHEN h = 0 THEN 32 ELSE CAST(bit_count((h & -h) - 1) AS INT) END"))
+    def sk(parts: Int): Seq[Long] = df.repartition(parts)
+      .agg(graft.functions.QuantileSketchAgg.quantileSketch(col("v"), col("lvl"), 64).as("sk"))
+      .collect()(0).getSeq[Long](0)
+    // the compaction rule is a pure function of the row set: any
+    // partitioning (hence any merge order) must produce the identical
+    // sketch — the property that makes an adaptive sketch gateable
+    val one = sk(1)
+    assert(sk(13) == one && sk(3) == one,
+      "sketch differs across partitionings — merge order leaked in")
+    val vals = one.tail
+    assert(vals.nonEmpty && vals.size <= 64)
+    assert(vals == vals.sorted, "sample values must be emitted sorted")
+    // rank error: the sampled median sits near the true median
+    // (n_samp≈48, binomial sd ≈ sqrt(0.25/48) ≈ 7.2%; band is >2 sd)
+    val p50 = vals(math.max(1, (vals.size * 50 + 99) / 100) - 1)
+    val rank = (0L until n.toLong).count(i => value(i) <= p50).toDouble / n
+    assert(rank > 0.3 && rank < 0.7, s"p50 rank $rank out of band")
+    // est_n self-audit: n_samp·2^L tracks the exact row count
+    val est = vals.size.toLong << one.head.toInt
+    assert(math.abs(est - n).toDouble < 0.5 * n, s"est_n $est vs $n")
+  }
 }
