@@ -120,10 +120,16 @@ object Multimodal {
   }
 
   /** (doc_id, fv array<bigint>[16]) — the featurized corpus. */
-  private[graft] def featVecsPlan(docs: DataFrame): DataFrame = {
+  private[graft] def featVecsPlan(docs: DataFrame, fan: Boolean = false): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long]
+    // fan: encode+decode+project per payload is CPU-dense; the top-k
+    // consumer (featTopkPlan) asks for the fanOut so the local
+    // single-split scan doesn't serialize its heavy join side, while
+    // the plain per-cell face (featuresPlan) is cheaper without the
+    // exchange at local row counts (identity at scale either way)
+    val src = if (fan) graft.Tables.fanOut(docs) else docs
+    src.select(col("doc_id").cast("long")).as[Long]
       .mapPartitions(_.map(id => (id, featVec(id))))
       .toDF("doc_id", "fv")
   }
@@ -142,7 +148,7 @@ object Multimodal {
     * narrow map pass — one scan, no shuffle before the per-query top-k.
     */
   def featTopkPlan(docs: DataFrame, k: Int = 10): DataFrame = {
-    val fv = featVecsPlan(docs)
+    val fv = featVecsPlan(docs, fan = true)
     val q = fv.filter(col("doc_id") % 97 === 0)
       .select(col("doc_id").as("q_id"), col("fv").as("qv"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("fdot").desc, col("doc_id"))
@@ -720,7 +726,9 @@ object Multimodal {
   def decodeGifPlan(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    // fanOut: LZW encode+decode per payload is the heaviest codec pass —
+    // don't serialize it on the local single-split scan (identity at scale)
+    graft.Tables.fanOut(docs).select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
       it.map { id =>
         val w = (2 + id % 14).toInt
         val h = (2 + id % 11).toInt
@@ -753,7 +761,9 @@ object Multimodal {
   def decodeJpegPlan(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
+    // fanOut: Huffman + dequant + full float IDCT per payload — the
+    // other CPU-heavy codec; parallelize the local single-split scan
+    graft.Tables.fanOut(docs).select(col("doc_id").cast("long")).as[Long].mapPartitions { it =>
       it.map { id =>
         val wb = (1 + id % 4).toInt
         val hb = (1 + id % 3).toInt

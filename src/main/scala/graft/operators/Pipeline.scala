@@ -1146,13 +1146,20 @@ object Pipeline {
   def cleanCorpus(s: SparkSession, d: String): DataFrame = {
     import graft.search.Analyzer
     val toks = TextFunctions.rawTokens(col("text"))
-    Tables.documents(s, d)
+    Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"),
         TextFunctions.fingerprint(TextFunctions.normalized(col("text"))).as("fp_norm"),
         size(toks).cast("long").as("n_tok"),
         size(filter(toks, t => array_contains(typedlit(Analyzer.stopwords), t)))
           .cast("long").as("n_stop"),
         size(array_distinct(toks)).cast("long").as("n_uniq"))
+      // lazy-checkpoint barrier: the quality filter below references the
+      // aliased aggregates, and Catalyst would otherwise push it through
+      // the fanOut exchange by alias substitution, re-evaluating the
+      // whole tokenize+fingerprint pass on the unparallelized scan side
+      // (the §4.4 duplicate-evaluation trap). The barrier table is
+      // doc_id + 4 small columns — metadata-narrow at any scale.
+      .localCheckpoint(eager = false)
       .filter(col("n_tok") >= 10 &&
         expr("(10000 * n_stop) div n_tok") < 4000 &&
         expr("(10000 * n_uniq) div n_tok") > 2500)

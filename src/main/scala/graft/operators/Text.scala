@@ -826,8 +826,17 @@ object Text {
     */
   def charEntropy(s: SparkSession, d: String): DataFrame = {
     val domain = ('a' to 'z').map(_.toString) ++ ('0' to '9').map(_.toString) :+ " "
-    Tables.documents(s, d)
+    // fanOut: 37 replace() passes per doc are CPU-dense — the local
+    // single-split scan must not serialize them (identity at scale)
+    Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), lower(col("text")).as("t"))
+      // n > 0 ⟺ some domain char survives the lowercase — filter on the
+      // CHEAP equivalent predicate, not on the aggregate-derived n:
+      // Catalyst pushes a filter on a derived column below the exchange
+      // by substituting the alias, which re-evaluates the whole
+      // 37-replace histogram a second time on the unparallelized scan
+      // side (the §4.4 duplicate-evaluation trap, seen in the r15 plan)
+      .filter(col("t").rlike("[a-z0-9 ]"))
       .withColumn("cnts", expr(
         s"""transform(array(${domain.map(c => s"'${if (c == " ") " " else c}'").mkString(",")}),
            |  ch -> length(t) - length(replace(t, ch, '')))""".stripMargin))
@@ -835,7 +844,6 @@ object Text {
         expr("CAST(aggregate(cnts, 0L, (a, x) -> a + x) AS BIGINT)").as("n"),
         expr("CAST(size(filter(cnts, x -> x > 0)) AS BIGINT)").as("n_symbols"),
         col("cnts"))
-      .filter(col("n") > 0)
       .withColumn("h_x100", expr(
         """CAST(aggregate(cnts, 0L,
           |  (a, x) -> a + CASE WHEN x > 0
