@@ -92,7 +92,14 @@ object PlanDump {
       // matters is the ROUND BODY delta (witness semi-join → triple
       // dedup → fringe delta → broadcast decrement)
       "q_ktruss" -> ((s, d) =>
-        graft.operators.Graph.ktrussDeltaPlan(s, d)))
+        graft.operators.Graph.ktrussDeltaPlan(s, d)),
+      // r15: the PQ / IVF-PQ serve faces read memoized pinned code
+      // tables (the memoRqCodes discipline extended); the 100 TB shape
+      // is the ingest-time ENCODE, same as ann_rq_topk above
+      "ann_pq_topk" -> ((s, d) =>
+        graft.similarity.Similarity.pqCodesPlan(Tables.embeddings(s, d))),
+      "ann_ivf_pq_topk" -> ((s, d) =>
+        graft.similarity.Similarity.ivfPqCodesPlan(Tables.embeddings(s, d))))
     if (adhoc.nonEmpty) {
       adhoc.foreach { name =>
         println(s"\n===== $name")

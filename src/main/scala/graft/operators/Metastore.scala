@@ -43,6 +43,22 @@ object Metastore {
           .withColumn("toks", Analyzer.tokens(col("readme")))
           .localCheckpoint(eager = false)))
 
+  /** The §2.1 shared POSTINGS table (inverted index) — the aggregated
+    * cousin of [[tokCorpus]]: (doc_id, field, term, boost, tf) over
+    * the full dataset index, memoized+pinned per (session, corpus).
+    * Every TF-IDF-ranked query reads this instead of re-running the
+    * corpus-wide melt→tokenize→explode→count pass per invocation —
+    * the same ingest-time discipline (a search tier builds its
+    * inverted index once; queries filter it by term). Byte-light:
+    * (docs × distinct terms per field) short rows.
+    */
+  private val postingsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private[graft] def memoPostings(s: SparkSession, d: String): DataFrame =
+    postingsCache.getOrElseUpdate((s, d),
+      graft.GraftSession.pin(
+        ds.postingsPlan(idx(s, d)).localCheckpoint(eager = false)))
+
   // --- dataset kind ------------------------------------------------------
 
   def filterTerm(s: SparkSession, d: String): DataFrame =
@@ -110,7 +126,7 @@ object Metastore {
 
   def qRankTfidf(s: SparkSession, d: String): DataFrame =
     ds.rankedSearch(idx(s, d), SearchRequest(q = Some("the merge join table"), size = 20),
-      Seq("name"))
+      Seq("name"), Some(memoPostings(s, d)))
 
   /** Per-hit score explanation — the ES `explain: true` analog
     * (reference: metastore/models.py:114): for every doc on the ranked
@@ -127,7 +143,7 @@ object Metastore {
     // = sum(component) group by id) and the explanation join — the
     // corpus-wide tokenize+score stage and its checkpoint run once
     // (ADVICE r5), and the explanation still cannot drift from the score
-    val comps = ds.scoreComponents(i, terms)
+    val comps = ds.scoreComponents(i, terms, Some(memoPostings(s, d)))
     val page = ds.rankedSearchScored(i, ds.scoresFrom(comps),
         SearchRequest(q = Some("the merge join table"), size = 20), Seq("name"))
       .select(col("doc_id"), col("rank"))
@@ -153,7 +169,8 @@ object Metastore {
   def crossFieldsQ(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val i = idx(s, d)
-    val comps = ds.scoreComponents(i, Analyzer.analyzeQuery("merge join table"))
+    val comps = ds.scoreComponents(i, Analyzer.analyzeQuery("merge join table"),
+      Some(memoPostings(s, d)))
     val bdf = comps.select(col("term"), col("field"), col("df")).distinct()
       .groupBy(col("term")).agg(max(col("df")).as("bdf"))
     val perDocTerm = comps.groupBy(col("doc_id"), col("term"))
@@ -181,7 +198,8 @@ object Metastore {
     */
   def hybridRrf(s: SparkSession, d: String): DataFrame = {
     val text = ds.rankedSearch(idx(s, d),
-        SearchRequest(q = Some("the merge join table"), size = 20), Seq("name"))
+        SearchRequest(q = Some("the merge join table"), size = 20), Seq("name"),
+        Some(memoPostings(s, d)))
       .select(col("doc_id"), col("rank").as("t_rank"))
     val vec = graft.similarity.Similarity
       .bruteTopK(Tables.embeddings(s, d), col("vec_id") === 0, k = 20)
@@ -209,7 +227,7 @@ object Metastore {
   def collapseQ(s: SparkSession, d: String): DataFrame = {
     val terms = Analyzer.analyzeQuery("the merge join table")
     val i = idx(s, d)
-    val hits = ds.boostedHits(i, ds.scores(i, terms),
+    val hits = ds.boostedHits(i, ds.scores(i, terms, Some(memoPostings(s, d))),
       SearchRequest(q = Some("the merge join table")))
     val wG = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
@@ -241,7 +259,7 @@ object Metastore {
   def searchAfterQ(s: SparkSession, d: String): DataFrame = {
     val terms = Analyzer.analyzeQuery("the merge join table")
     val i = idx(s, d)
-    val hits = ds.boostedHits(i, ds.scores(i, terms),
+    val hits = ds.boostedHits(i, ds.scores(i, terms, Some(memoPostings(s, d))),
         SearchRequest(q = Some("the merge join table")))
       .select(col("doc_id"), col("name"), col("score"))
     val cur = hits.orderBy(col("score").desc, col("doc_id")).offset(39).limit(1)
@@ -270,7 +288,7 @@ object Metastore {
     import graft.similarity.Similarity
     val terms = Analyzer.analyzeQuery("the merge join table")
     val i = idx(s, d)
-    val w50 = ds.boostedHits(i, ds.scores(i, terms),
+    val w50 = ds.boostedHits(i, ds.scores(i, terms, Some(memoPostings(s, d))),
         SearchRequest(q = Some("the merge join table")))
       .select(col("doc_id"), col("name"), col("score"))
       .orderBy(col("score").desc, col("doc_id")).limit(50)
@@ -453,7 +471,7 @@ object Metastore {
     val i = idx(s, d)
     val wAll = org.apache.spark.sql.expressions.Window
       .orderBy(col("fscore").desc, col("doc_id"))
-    ds.boostedHits(i, ds.scores(i, terms),
+    ds.boostedHits(i, ds.scores(i, terms, Some(memoPostings(s, d))),
         SearchRequest(q = Some("the merge join table")))
       .withColumn("fscore", expr("score + stats.rowcount div 4"))
       .orderBy(col("fscore").desc, col("doc_id")).limit(20)
@@ -556,7 +574,7 @@ object Metastore {
   def disMaxQ(s: SparkSession, d: String): DataFrame = {
     val terms = Analyzer.analyzeQuery("the merge join table")
     val i = idx(s, d)
-    val fieldScores = ds.scoreComponents(i, terms)
+    val fieldScores = ds.scoreComponents(i, terms, Some(memoPostings(s, d)))
       .groupBy(col("doc_id"), col("field"))
       .agg(sum(col("component")).cast("long").as("f_score"))
     val wDoc = org.apache.spark.sql.expressions.Window
@@ -938,7 +956,7 @@ object Metastore {
     val i = idx(s, d)
     val wAll = org.apache.spark.sql.expressions.Window
       .orderBy(col("fscore").desc, col("doc_id"))
-    ds.boostedHits(i, ds.scores(i, terms),
+    ds.boostedHits(i, ds.scores(i, terms, Some(memoPostings(s, d))),
         SearchRequest(q = Some("the merge join table")))
       .withColumn("has_neg",
         array_contains(Analyzer.tokens(col("readme")), "sort"))
@@ -965,7 +983,7 @@ object Metastore {
     val pinned = Seq(7L, 21L, 9L)
     val terms = Analyzer.analyzeQuery("the merge join table")
     val i = idx(s, d)
-    val organic = ds.boostedHits(i, ds.scores(i, terms),
+    val organic = ds.boostedHits(i, ds.scores(i, terms, Some(memoPostings(s, d))),
         SearchRequest(q = Some("the merge join table")))
       .filter(!col("doc_id").isin(pinned: _*))
       .select(col("doc_id"), col("name"), col("score"),
@@ -1306,7 +1324,7 @@ object Metastore {
     val i = idx(s, d)
     val wAll = org.apache.spark.sql.expressions.Window
       .orderBy(col("fscore").desc, col("doc_id"))
-    ds.boostedHits(i, ds.scores(i, terms),
+    ds.boostedHits(i, ds.scores(i, terms, Some(memoPostings(s, d))),
         SearchRequest(q = Some("the merge join table")))
       .withColumn("jitter", expr("(doc_id * 1103515245 + 12345) % 1024"))
       .withColumn("fscore", col("score") + col("jitter"))
@@ -1348,7 +1366,7 @@ object Metastore {
     val i = idx(s, d)
     val wAll = org.apache.spark.sql.expressions.Window
       .orderBy(col("score").desc, col("doc_id"))
-    val ranked = ds.boostedHits(i, ds.scores(i, terms),
+    val ranked = ds.boostedHits(i, ds.scores(i, terms, Some(memoPostings(s, d))),
         SearchRequest(q = Some("the merge join table")))
       .orderBy(col("score").desc, col("doc_id")).limit(20)
       .select(row_number().over(wAll).cast("long").as("rank"), col("doc_id"))

@@ -107,14 +107,16 @@ object Pipeline {
       // audit row costs one (queries × k)-scale join (VERDICT r11 #2)
       "hnsw" -> pairs(Similarity.hnswTopK(s, d, queryPred)),
       "ivf" -> pairs(Similarity.ivfTopK(emb, queryPred,
-        model = Some(graft.similarity.IvfModel.cells))),
+        model = Some(graft.similarity.IvfModel.cells),
+        assignIn = Some(Similarity.memoIvfAssign(s, d)))),
       "lsh" -> pairs(Similarity.lshTopK(emb, queryPred)),
       // nnd: the SAME beam walk as hnsw over the NN-descent-BUILT
       // graph — the production build path audited as a serving
       // structure (VERDICT r12 #3); rides the memoized shared walk
       // ann_descent_topk ships
       "nnd" -> pairs(Similarity.descentTopK(s, d, queryPred)),
-      "pq"  -> pairs(Similarity.pqTopK(emb, queryPred)),
+      "pq"  -> pairs(Similarity.pqTopK(emb, queryPred,
+        codesIn = Some(Similarity.memoPqCodes(s, d)))),
       "rq"  -> pairs(Similarity.rqTopK(emb, queryPred,
         codesIn = Some(Similarity.memoRqCodes(s, d)))),
       "sq"  -> pairs(Similarity.sqTopK(emb, queryPred)))
@@ -154,7 +156,8 @@ object Pipeline {
     val stats = truth.agg(count(lit(1)).cast("long").as("n_truth"))
     Seq(1, 2, 4).map { np =>
       val p = Similarity.ivfTopK(emb, queryPred, nProbe = np,
-          model = Some(graft.similarity.IvfModel.cells))
+          model = Some(graft.similarity.IvfModel.cells),
+          assignIn = Some(Similarity.memoIvfAssign(s, d)))
         .select(col("q_id"), col("vec_id"))
       val hits = truth.join(p, Seq("q_id", "vec_id"))
         .agg(count(lit(1)).cast("long").as("hits"))
@@ -178,7 +181,8 @@ object Pipeline {
 
   def annIvfTopk(s: SparkSession, d: String): DataFrame =
     Similarity.ivfTopK(Tables.embeddings(s, d), queryPred,
-      model = Some(graft.similarity.IvfModel.cells))
+      model = Some(graft.similarity.IvfModel.cells),
+      assignIn = Some(Similarity.memoIvfAssign(s, d)))
 
   def annPairSim(s: SparkSession, d: String): DataFrame =
     Similarity.pairSim(Tables.embeddings(s, d), 300000L)
@@ -190,10 +194,12 @@ object Pipeline {
     Similarity.sqTopK(Tables.embeddings(s, d), queryPred)
 
   def annPqTopk(s: SparkSession, d: String): DataFrame =
-    Similarity.pqTopK(Tables.embeddings(s, d), queryPred)
+    Similarity.pqTopK(Tables.embeddings(s, d), queryPred,
+      codesIn = Some(Similarity.memoPqCodes(s, d)))
 
   def annIvfPqTopk(s: SparkSession, d: String): DataFrame =
-    Similarity.ivfPqTopK(Tables.embeddings(s, d), queryPred)
+    Similarity.ivfPqTopK(Tables.embeddings(s, d), queryPred,
+      codesIn = Some(Similarity.memoIvfPqCodes(s, d)))
 
   def annHnswTopk(s: SparkSession, d: String): DataFrame =
     Similarity.hnswTopK(s, d, queryPred)

@@ -413,9 +413,19 @@ object Relational {
         .select("o_orderkey", "o_orderdate"), col("l_orderkey") === col("o_orderkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS")).as("late"))
-    f.groupBy(col("l_orderkey"))
-      .agg(countDistinct(col("l_suppkey")).as("ns"),
-        countDistinct(when(col("late"), col("l_suppkey"))).as("nl"),
+    // two-level aggregation instead of two countDistincts: the double
+    // distinct planned as Expand (3 projections of every fact row into
+    // one shuffle — 3× the exchange bytes); aggregating to the distinct
+    // (orderkey, suppkey) grain first shuffles each pair once with
+    // map-side partial aggregation, then the per-order counts are plain
+    // (guide §2.3 "aggregate before you shuffle"). max(late) per pair ⟺
+    // "this supplier shipped ≥1 late line", so the three aggregates are
+    // value-identical to the countDistinct forms.
+    f.groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(col("late")).as("late"))
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("ns"),
+        count(when(col("late"), lit(1))).as("nl"),
         max(when(col("late"), col("l_suppkey"))).as("late_supp"))
       .filter(col("ns") >= 2 && col("nl") === 1)
       .groupBy(col("late_supp"))

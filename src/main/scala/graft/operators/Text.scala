@@ -590,7 +590,14 @@ object Text {
     * integer fertility ×10⁶ = 10⁶·n_bpe div n_words (non-negative
     * numerator → DuckDB // parity).
     */
-  def bpeApply(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+  /** The frozen (w, n_bpe) merged-vocabulary table [[bpeApply]] joins —
+    * run the trainer's merge loop over the vocab and keep each word's
+    * final BPE token count. Heaps-law-sized; memoized+pinned per
+    * (session, corpus, rounds) via [[memoBpeVocab]] — the frozen merge
+    * table a tokenizer service maintains, applied per query instead of
+    * re-trained per query.
+    */
+  private[graft] def bpeVocabPlan(s: SparkSession, d: String, rounds: Int): DataFrame = {
     val symSplit = "split(substring(s, 2, length(s) - 2), '\\\\]\\\\[')"
     val wf = Tables.documents(s, d)
       .select(explode(rawTokens(col("text"))).as("w"))
@@ -618,7 +625,17 @@ object Text {
         .select(col("w"), col("f"), expr("replace(s, bp, bm)").as("s"))
         .localCheckpoint(eager = false)
     }
-    val vocab = cur.select(col("w"), expr(s"size($symSplit)").cast("long").as("n_bpe"))
+    cur.select(col("w"), expr(s"size($symSplit)").cast("long").as("n_bpe"))
+  }
+
+  private val bpeVocabCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), DataFrame]
+  private[graft] def memoBpeVocab(s: SparkSession, d: String, rounds: Int): DataFrame =
+    bpeVocabCache.getOrElseUpdate((s, d, rounds), graft.GraftSession.pin(
+      bpeVocabPlan(s, d, rounds).localCheckpoint(eager = false)))
+
+  def bpeApply(s: SparkSession, d: String, rounds: Int = 3): DataFrame = {
+    val vocab = memoBpeVocab(s, d, rounds)
     Tables.fanOut(Tables.documents(s, d))
       .select(col("doc_id"), explode(rawTokens(col("text"))).as("w"))
       .join(vocab, Seq("w"))

@@ -102,8 +102,9 @@ class SearchEngine(
     * of ES `dfs_query_then_fetch` global term stats
     * (reference: metastore/models.py:141) — then broadcast.
     */
-  def scores(docs: DataFrame, terms: Seq[String]): DataFrame =
-    scoresFrom(scoreComponents(docs, terms))
+  def scores(docs: DataFrame, terms: Seq[String],
+             postingsIn: Option[DataFrame] = None): DataFrame =
+    scoresFrom(scoreComponents(docs, terms, postingsIn))
 
   /** [[scores]] from ALREADY-COMPUTED components — lets a caller that
     * also needs the per-term breakdown (scoreExplain) reuse one
@@ -121,29 +122,20 @@ class SearchEngine(
     * [[scores]] is exactly `sum(component) GROUP BY id`, so the explain
     * projection can never drift from the ranking it explains.
     */
-  def scoreComponents(docs: DataFrame, terms: Seq[String]): DataFrame = {
-    // inverted-index shape: melt fields, explode analyzed tokens, keep
-    // query terms (codegen'd isin), count (doc, field, term) occurrences.
-    // One analyzer pass per field; everything downstream of the explode
-    // is whole-stage codegen + partial aggregation — the same plan that
-    // builds the corpus index at scale. No corpus shuffle: input splits
-    // parallelize the scan (Tables.fanOut is an identity at scale).
-    val tokenRows = graft.Tables.fanOut(docs).select(
-      col(idCol),
-      explode(array(fields.map(f =>
-        struct(lit(f.name).as("field"), lit(f.boost.toLong).as("boost"),
-               Analyzer.tokens(col(f.name)).as("toks"))): _*)).as("f"))
-      .select(col(idCol), col("f.field").as("field"), col("f.boost").as("boost"),
-              explode(col("f.toks")).as("term"))
-      .filter(col("term").isin(terms: _*))
+  def scoreComponents(docs: DataFrame, terms: Seq[String],
+                      postingsIn: Option[DataFrame] = None): DataFrame = {
     // tf feeds BOTH the df aggregate and the scoring join; it is tiny
-    // (matching docs × query terms only), so materialize it once — the
-    // corpus-wide tokenize+explode must not run twice (AQE gives no
-    // cross-consumer exchange reuse)
-    val tf = tokenRows
-      .groupBy(col(idCol), col("field"), col("term"), col("boost"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+    // (matching docs × query terms only). With a prebuilt postings
+    // table (the memoized inverted index — [[postingsPlan]]) tf is a
+    // term-filtered read of pinned blocks, so no barrier is needed; the
+    // inline path materializes once so the corpus-wide tokenize+explode
+    // cannot run twice (AQE gives no cross-consumer exchange reuse)
+    val tf = postingsIn match {
+      case Some(p) => p.filter(col("term").isin(terms: _*))
+      case None => postingsPlan(docs)
+        .filter(col("term").isin(terms: _*))
+        .localCheckpoint()
+    }
     val df = tf.groupBy(col("field"), col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n"))
     tf.join(broadcast(df), Seq("field", "term"))
@@ -152,13 +144,36 @@ class SearchEngine(
       .withColumn("component", (col("tf") * col("boost") * col("idf")).cast("long"))
   }
 
+  /** The full (id, field, term, boost, tf) postings table — the
+    * inverted index a search deployment builds ONCE at ingest and
+    * every query reads (ES's own index shape). Melt fields, explode
+    * analyzed tokens, count (doc, field, term) occurrences: one
+    * analyzer pass per field, whole-stage codegen + partial
+    * aggregation, no corpus shuffle (input splits parallelize the
+    * scan; Tables.fanOut is an identity at scale). Registry queries
+    * read the memoized+pinned copy ([[graft.operators.Metastore.memoPostings]])
+    * so steady-state reps never re-tokenize the corpus; the filtered
+    * inline build in [[scoreComponents]] stays for arbitrary callers.
+    */
+  def postingsPlan(docs: DataFrame): DataFrame =
+    graft.Tables.fanOut(docs).select(
+      col(idCol),
+      explode(array(fields.map(f =>
+        struct(lit(f.name).as("field"), lit(f.boost.toLong).as("boost"),
+               Analyzer.tokens(col(f.name)).as("toks"))): _*)).as("f"))
+      .select(col(idCol), col("f.field").as("field"), col("f.boost").as("boost"),
+              explode(col("f.toks")).as("term"))
+      .groupBy(col(idCol), col("field"), col("term"), col("boost"))
+      .agg(count(lit(1)).as("tf"))
+
   /** Ranked search: visibility + filters + q-match + TF-IDF order + page.
     * Output: rank, id, score + the given projection columns.
     */
-  def rankedSearch(docs: DataFrame, req: SearchRequest, projection: Seq[String]): DataFrame = {
+  def rankedSearch(docs: DataFrame, req: SearchRequest, projection: Seq[String],
+                   postingsIn: Option[DataFrame] = None): DataFrame = {
     val terms = Analyzer.analyzeQuery(req.q.getOrElse(""))
     require(terms.nonEmpty, "rankedSearch needs a non-empty analyzed query")
-    rankedSearchScored(docs, scores(docs, terms), req, projection)
+    rankedSearchScored(docs, scores(docs, terms, postingsIn), req, projection)
   }
 
   /** [[rankedSearch]] with the per-doc scores supplied by the caller

@@ -302,8 +302,14 @@ object Similarity {
     * plan (encode, lookup, re-rank) gates HASH-EXACT against
     * [[pqOracleSql]]; recall vs brute is measured in spec.
     */
-  def pqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
-             model: Seq[Seq[Seq[Float]]] = PqModel.books): DataFrame = {
+  /** The (vec_id, c_0..c_{M-1}) PQ encoding of a corpus — the
+    * ingest-time artifact the ADC scan reads (M bytes per vector at
+    * 100 TB, the entire point of PQ). Memoized+pinned per (session,
+    * corpus) via [[memoPqCodes]]; the inline build is kept for
+    * arbitrary-DataFrame callers (specs).
+    */
+  private[graft] def pqCodesPlan(embeddings: DataFrame,
+      model: Seq[Seq[Seq[Float]]] = PqModel.books): DataFrame = {
     val mM = model.length
     val kK = model.head.length
     val dim = mM * PqModel.SubDim
@@ -324,20 +330,46 @@ object Similarity {
               .floatVecDotConst(col("embedding"), padded(m, model(m)(kk)))
               .as(s"dot_${m}_$kk"))): _*)
       .localCheckpoint()
-    def dRef(side: String, m: Int, kk: Int): String =
-      pqDSql(s"vv_$m", s"${side}_${m}_$kk", model(m)(kk))
+    def dRef(m: Int, kk: Int): String =
+      pqDSql(s"vv_$m", s"dot_${m}_$kk", model(m)(kk))
     // name the d columns behind one more cheap barrier so the argmin
     // CASEs compare plain column refs (keeps generated code tiny)
     val withDCols = pre.select(col("vec_id") +:
       (for (m <- 0 until mM; kk <- 0 until kK) yield
-        expr(dRef("dot", m, kk)).as(s"d_${m}_$kk")): _*)
+        expr(dRef(m, kk)).as(s"d_${m}_$kk")): _*)
       .localCheckpoint()
-    val codes = withDCols.select(col("vec_id") +: (0 until mM).map { m =>
+    withDCols.select(col("vec_id") +: (0 until mM).map { m =>
       val ds = (0 until kK).map(kk => s"d_${m}_$kk")
       val g = ds.mkString("least(", ", ", ")")
       expr(ds.zipWithIndex.map { case (d, kk) => s"WHEN $d = $g THEN $kk" }
         .mkString("CASE ", " ", " END")).as(s"c_$m")
     }: _*)
+  }
+
+  /** Memoized + pinned PQ code table per (session, corpus). */
+  private val pqCodesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  def memoPqCodes(s: SparkSession, d: String): DataFrame =
+    pqCodesCache.getOrElseUpdate((s, d), graft.GraftSession.pin(
+      pqCodesPlan(graft.Tables.embeddings(s, d)).localCheckpoint(eager = false)))
+
+  def pqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+             model: Seq[Seq[Seq[Float]]] = PqModel.books,
+             codesIn: Option[DataFrame] = None): DataFrame = {
+    val mM = model.length
+    val kK = model.head.length
+    val dim = mM * PqModel.SubDim
+    def padded(m: Int, cent: Seq[Float]): Seq[Double] = {
+      val a = Array.fill(dim)(0.0)
+      cent.zipWithIndex.foreach { case (c, j) => a(m * PqModel.SubDim + j) = c.toDouble }
+      a.toSeq
+    }
+    def dRef(side: String, m: Int, kk: Int): String =
+      pqDSql(s"vv_$m", s"${side}_${m}_$kk", model(m)(kk))
+    // the (vec_id, c_0..c_{M-1}) table is the ingest-time artifact the
+    // ADC scan reads; registry callers pass the memoized+pinned copy
+    // ([[memoPqCodes]]) so steady-state reps never re-encode the corpus
+    val codes = codesIn.getOrElse(pqCodesPlan(embeddings, model))
     val qq = embeddings.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .select(col("q_id") +:
@@ -346,7 +378,10 @@ object Similarity {
             graft.functions.VectorFunctions
               .floatVecDotConst(col("q_emb"), padded(m, model(m)(kk)))
               .as(s"qdot_${m}_$kk"))): _*)
-      .localCheckpoint()
+      // lazy: still a CollapseProject barrier, but the few-row query
+      // table materializes inside the consuming job instead of as its
+      // own driver-sequential job per invocation
+      .localCheckpoint(eager = false)
       .select(col("q_id") +: (for (m <- 0 until mM; kk <- 0 until kK) yield
         expr(dRef("qdot", m, kk)).as(s"dq_${m}_$kk")): _*)
     val adc = (0 until mM).map { m =>
@@ -616,12 +651,14 @@ object Similarity {
            l2.indices.map(j => graft.functions.VectorFunctions
             .floatVecDotConst(col("q_emb"), l2(j).map(_.toDouble))
             .as(s"qdot2_$j")))): _*)
-      .localCheckpoint()
+      // lazy barriers (see pqTopK's qq note): few-row query tables
+      // materialize inside the consuming job, not as their own jobs
+      .localCheckpoint(eager = false)
     val qtab = qpre.select(col("q_id") +:
       (for (kk <- l1.indices; j <- l2.indices) yield
         expr(s"((qq - 2.0 * qdot1_$kk) + (${rqCc(l1(kk))}) - 2.0 * qdot2_$j)" +
           s" + (${rqCcp(l1(kk), l2(j))})").as(s"dq_${kk}_$j")): _*)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val adc = expr(l1.indices.map { kk =>
       val inner = l2.indices.map(j => s"WHEN $j THEN dq_${kk}_$j")
         .mkString("(CASE a2 ", " ", " END)")
@@ -793,9 +830,15 @@ object Similarity {
     * the composite gates HASH-EXACT against [[ivfPqOracleSql]] despite
     * being doubly approximate; recall vs brute is pinned in spec.
     */
-  def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
-                nProbe: Int = 3, cents: Seq[Seq[Float]] = IvfModel.cells,
-                model: Seq[Seq[Seq[Float]]] = PqModel.books): DataFrame = {
+  /** The (vec_id, cell, c_0..c_{M-1}) IVF-PQ encoding of a corpus —
+    * the canonical billion-vector serving layout's ingest artifact
+    * (coarse cell + compressed code per vector). Memoized+pinned per
+    * (session, corpus) via [[memoIvfPqCodes]]; inline build kept for
+    * arbitrary-DataFrame callers (specs).
+    */
+  private[graft] def ivfPqCodesPlan(embeddings: DataFrame,
+      cents: Seq[Seq[Float]] = IvfModel.cells,
+      model: Seq[Seq[Seq[Float]]] = PqModel.books): DataFrame = {
     val mM = model.length
     val kK = model.head.length
     val dim = mM * PqModel.SubDim
@@ -805,7 +848,7 @@ object Similarity {
       a.toSeq
     }
     // ingest pass: cell id + the vv/dot PQ terms in ONE corpus scan
-    // (checkpoint discipline as pqTopK — see the CollapseProject note)
+    // (checkpoint discipline as pqCodesPlan — see the CollapseProject note)
     val pre = graft.Tables.fanOut(embeddings).select(
       Seq(col("vec_id"), nearestCell(col("embedding"), cents).as("cell")) ++
         (0 until mM).map(m => expr(pqVvSql("embedding", m, 0)).as(s"vv_$m")) ++
@@ -814,18 +857,42 @@ object Similarity {
             .floatVecDotConst(col("embedding"), padded(m, model(m)(kk)))
             .as(s"dot_${m}_$kk")): _*)
       .localCheckpoint()
-    def dRef(side: String, m: Int, kk: Int): String =
-      pqDSql(s"vv_$m", s"${side}_${m}_$kk", model(m)(kk))
+    def dRef(m: Int, kk: Int): String =
+      pqDSql(s"vv_$m", s"dot_${m}_$kk", model(m)(kk))
     val withDCols = pre.select(Seq(col("vec_id"), col("cell")) ++
       (for (m <- 0 until mM; kk <- 0 until kK) yield
-        expr(dRef("dot", m, kk)).as(s"d_${m}_$kk")): _*)
+        expr(dRef(m, kk)).as(s"d_${m}_$kk")): _*)
       .localCheckpoint()
-    val codes = withDCols.select(Seq(col("vec_id"), col("cell")) ++ (0 until mM).map { m =>
+    withDCols.select(Seq(col("vec_id"), col("cell")) ++ (0 until mM).map { m =>
       val ds = (0 until kK).map(kk => s"d_${m}_$kk")
       val g = ds.mkString("least(", ", ", ")")
       expr(ds.zipWithIndex.map { case (d, kk) => s"WHEN $d = $g THEN $kk" }
         .mkString("CASE ", " ", " END")).as(s"c_$m")
     }: _*)
+  }
+
+  /** Memoized + pinned IVF-PQ code table per (session, corpus). */
+  private val ivfPqCodesCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  def memoIvfPqCodes(s: SparkSession, d: String): DataFrame =
+    ivfPqCodesCache.getOrElseUpdate((s, d), graft.GraftSession.pin(
+      ivfPqCodesPlan(graft.Tables.embeddings(s, d)).localCheckpoint(eager = false)))
+
+  def ivfPqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
+                nProbe: Int = 3, cents: Seq[Seq[Float]] = IvfModel.cells,
+                model: Seq[Seq[Seq[Float]]] = PqModel.books,
+                codesIn: Option[DataFrame] = None): DataFrame = {
+    val mM = model.length
+    val kK = model.head.length
+    val dim = mM * PqModel.SubDim
+    def padded(m: Int, cent: Seq[Float]): Seq[Double] = {
+      val a = Array.fill(dim)(0.0)
+      cent.zipWithIndex.foreach { case (c, j) => a(m * PqModel.SubDim + j) = c.toDouble }
+      a.toSeq
+    }
+    def dRef(side: String, m: Int, kk: Int): String =
+      pqDSql(s"vv_$m", s"${side}_${m}_$kk", model(m)(kk))
+    val codes = codesIn.getOrElse(ivfPqCodesPlan(embeddings, cents, model))
     // query side: nProbe cells (IVF probe) × the PQ distance table
     val q0 = embeddings.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -846,7 +913,8 @@ object Similarity {
             graft.functions.VectorFunctions
               .floatVecDotConst(col("q_emb"), padded(m, model(m)(kk)))
               .as(s"qdot_${m}_$kk"))): _*)
-      .localCheckpoint()
+      // lazy barrier (see pqTopK's qq note)
+      .localCheckpoint(eager = false)
       .select(col("q_id") +: (for (m <- 0 until mM; kk <- 0 until kK) yield
         expr(dRef("qdot", m, kk)).as(s"dq_${m}_$kk")): _*)
     val adc = (0 until mM).map { m =>
@@ -1055,15 +1123,32 @@ object Similarity {
     * touches only its probed cells. Approximate by construction
     * (rows-only; recall pinned in spec).
     */
+  /** The (vec_id, embedding, nrm, cell) IVF assignment of a corpus —
+    * what an IVF index physically stores (vectors grouped by coarse
+    * cell). Memoized+pinned per (session, corpus) for the pinned
+    * [[IvfModel]] codebook via [[memoIvfAssign]].
+    */
+  private[graft] def ivfAssignPlan(embeddings: DataFrame,
+      cents: Seq[Seq[Float]] = IvfModel.cells): DataFrame =
+    graft.Tables.fanOut(embeddings).select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("nrm"), nearestCell(col("embedding"), cents).as("cell"))
+
+  /** Memoized + pinned IVF assignment table per (session, corpus). */
+  private val ivfAssignCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  def memoIvfAssign(s: SparkSession, d: String): DataFrame =
+    ivfAssignCache.getOrElseUpdate((s, d), graft.GraftSession.pin(
+      ivfAssignPlan(graft.Tables.embeddings(s, d)).localCheckpoint(eager = false)))
+
   def ivfTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
               nProbe: Int = 3, cells: Int = 10, iters: Int = 4,
-              model: Option[Seq[Seq[Float]]] = None): DataFrame = {
+              model: Option[Seq[Seq[Float]]] = None,
+              assignIn: Option[DataFrame] = None): DataFrame = {
     // train/serve split: a pinned codebook ([[IvfModel]]) makes the whole
     // query deterministic literal arithmetic (training runs offline via
     // graft.tools.TrainIvf); with no model supplied, train in place
     val cents = model.getOrElse(kmeansCentroids(embeddings, cells, iters))
-    val e = graft.Tables.fanOut(embeddings).select(col("vec_id"), col("embedding"),
-      norm(col("embedding")).as("nrm"), nearestCell(col("embedding"), cents).as("cell"))
+    val e = assignIn.getOrElse(ivfAssignPlan(embeddings, cents))
     val queries = e.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"), col("nrm").as("q_nrm"))
     // nProbe closest cells per query (queries are few; the cell-sim
