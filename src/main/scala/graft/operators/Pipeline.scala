@@ -99,7 +99,7 @@ object Pipeline {
   def annRecallEval(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     def pairs(df: DataFrame) = df.select(col("q_id"), col("vec_id"))
-    val truth = pairs(Similarity.bruteTopK(emb, queryPred)).localCheckpoint()
+    val truth = Similarity.memoBruteTruth(s, d)
     val stats = truth.agg(count(lit(1)).cast("long").as("n_truth"),
       countDistinct(col("q_id")).cast("long").as("n_queries"))
     val methods = Seq(
@@ -151,8 +151,7 @@ object Pipeline {
 
   def annProbeSweep(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val truth = Similarity.bruteTopK(emb, queryPred)
-      .select(col("q_id"), col("vec_id")).localCheckpoint()
+    val truth = Similarity.memoBruteTruth(s, d)
     val stats = truth.agg(count(lit(1)).cast("long").as("n_truth"))
     Seq(1, 2, 4).map { np =>
       val p = Similarity.ivfTopK(emb, queryPred, nProbe = np,

@@ -1272,9 +1272,13 @@ object Relational {
         expr("CAST(l_quantity AS BIGINT)").as("w"))
     val byPrice = li.groupBy(col("l_returnflag"), col("price_cents"))
       .agg(sum(col("w")).as("pw"))
+      // one fact scan feeds both the per-price weights and (re-aggregated
+      // below, sum of sums — BIGINT-exact identical) the per-flag totals;
+      // the old second groupBy re-scanned lineitem for 3 rows
+      .localCheckpoint(eager = false)
     val run = Window.partitionBy(col("l_returnflag")).orderBy(col("price_cents"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = li.groupBy(col("l_returnflag")).agg(sum(col("w")).as("total_weight"))
+    val tot = byPrice.groupBy(col("l_returnflag")).agg(sum(col("pw")).as("total_weight"))
     byPrice.withColumn("cw", sum(col("pw")).over(run))
       .join(broadcast(tot), "l_returnflag")
       .filter(col("cw") * 2 >= col("total_weight"))
