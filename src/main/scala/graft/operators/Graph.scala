@@ -569,34 +569,50 @@ object Graph {
     // the rank window partitions by source nation — bounded domain, no
     // single-partition funnel; everything past here is N²-bounded
     val rk = Window.partitionBy(col("a")).orderBy(col("w").desc, col("b"))
-    val edges = flows.withColumn("rk", row_number().over(rk))
+    val edgeDf = flows.withColumn("rk", row_number().over(rk))
       .filter(col("rk") <= 3).select(col("a"), col("b"))
-      .localCheckpoint()
     val nations = Tables.nation(s, d)
       .select(col("n_nationkey").cast("long").as("nk"))
-    var reach = nations.select(col("nk").as("src"), col("nk").as("v"))
-      .union(edges.select(col("a").as("src"), col("b").as("v")))
-      .distinct().localCheckpoint()
-    for (_ <- 1 to doublings) {
-      // reflexive relation ⇒ R∘R ⊇ R: the composition alone is the
-      // next closure step, no union needed; checkpoint keeps the plan
-      // linear in rounds (see [[components]])
-      reach = reach.select(col("src"), col("v").as("mid"))
-        .join(reach.select(col("src").as("mid"), col("v")), Seq("mid"))
-        .select(col("src"), col("v"))
-        .distinct().localCheckpoint(eager = false)
+    // Like [[bridges]]: the sparsified graph is ≤ 3N directed edges
+    // over ≤ N nations at ANY corpus scale — the `doublings` squaring
+    // rounds over the ≤N² reachability grid ran as ~33 driver-
+    // sequential jobs per invocation (r16 bench: 1.0 s / 33 jobs) for
+    // a model-sized relation. Collect the edge list once and close it
+    // on the driver: same reflexive-reachability ∩ transpose → min
+    // mutual-reachable id semantics, exact (no 2^doublings horizon —
+    // the domain guard the unrolled oracle still needs lives in
+    // [[bridges]]; this output is gated hash-exact against it).
+    val edges = edgeDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val nks = nations.collect().map(_.getLong(0)).sorted
+    val out: Map[Long, Array[Long]] =
+      edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    def reachFrom(src: Long): Set[Long] = {
+      val seen = scala.collection.mutable.Set(src)
+      val stack = scala.collection.mutable.Stack(src)
+      while (stack.nonEmpty)
+        out.getOrElse(stack.pop(), Array.empty[Long])
+          .foreach(v => if (seen.add(v)) stack.push(v))
+      seen.toSet
     }
-    val mutual = reach.intersect(reach.select(col("v").as("src"), col("src").as("v")))
-    val sccId = mutual.groupBy(col("src").as("nation"))
-      .agg(min(col("v")).as("scc_id"))
-    val sizes = sccId.groupBy(col("scc_id"))
-      .agg(count(lit(1)).as("scc_size"))
-    val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("n_out"))
-    sccId.join(sizes, Seq("scc_id"))
-      .join(deg, col("nation") === col("a"), "left")
-      .select(col("nation"), col("scc_id"), col("scc_size"),
-        coalesce(col("n_out"), lit(0L)).as("n_out"))
-      .orderBy(col("nation"))
+    val reach = nks.map(nk => nk -> reachFrom(nk)).toMap
+    val sccId = nks.map(nk =>
+      nk -> reach(nk).filter(v => reach.getOrElse(v, Set.empty).contains(nk)).min).toMap
+    val sizes = sccId.values.groupBy(identity).map { case (id, m) => id -> m.size.toLong }
+    val nOut = edges.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("nation",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("scc_id",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("scc_size",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("n_out",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = nks.map { nk =>
+      org.apache.spark.sql.Row(nk, sccId(nk), sizes(sccId(nk)), nOut.getOrElse(nk, 0L))
+    }
+    s.createDataFrame(rows.toSeq.asJava, schema).orderBy(col("nation"))
   }
 
   /** Fixed-round k-truss peel (k = 4) on the co-purchase graph — the
@@ -673,7 +689,10 @@ object Graph {
       for (_ <- 1 to rounds if !converged) {
         val removed = live.filter(col("support") < minSup)
           .select(col("a"), col("b"))
-          .localCheckpoint() // consumed by count + semi-join
+          // lazy (r16): the count below materializes it inside its own
+          // job and the semi-join reads the stored blocks — the eager
+          // variant added one driver-sequential job per round
+          .localCheckpoint(eager = false)
         val r = removed.count()
         if (r == 0L) converged = true
         else {
@@ -698,7 +717,11 @@ object Graph {
             else destroyed
           val newly = (if (dst == null) hit
             else hit.join(dst, Seq("x3", "y3", "z3"), "left_anti"))
-            .localCheckpoint() // consumed by delta + the destroyed union
+            // lazy (r16): materialized by the next blocking action
+            // (next round's removed.count() or the final top-100) —
+            // both consumers (delta + destroyed union) read the same
+            // stored blocks either way
+            .localCheckpoint(eager = false)
           destroyed = (if (destroyed == null) newly
             else destroyed.unionByName(newly).localCheckpoint(eager = false))
           val delta0 = newly.select(explode(array(
@@ -714,7 +737,7 @@ object Graph {
             .join(delta, Seq("a", "b"), "left")
             .select(col("a"), col("b"),
               (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
-            .localCheckpoint()
+            .localCheckpoint(eager = false)
         }
       }
       return live.orderBy(col("support").desc, col("a"), col("b")).limit(100)
@@ -770,44 +793,59 @@ object Graph {
       .filter(col("rk") <= 3)
       .select(least(col("a"), col("b")).as("ea"), greatest(col("a"), col("b")).as("eb"))
       .distinct()
-      .localCheckpoint()
-    val sym = und.select(col("ea").as("u"), col("eb").as("v"))
-      .union(und.select(col("eb").as("u"), col("ea").as("v")))
-    // the fixed unrolling closes paths up to 2^doublings hops — correct
-    // ONLY while the vertex domain stays below that (ADVICE r13: on a
-    // wider graph this operator and its identically-unrolled oracle
-    // would AGREE while both under-close, so the gate could never
-    // catch it — fail loudly here instead). Longest simple path needs
-    // nv-1 hops; the count is one job over an N-bounded relation.
-    val nv = sym.select(col("u")).distinct().count()
+    // The sparsified nation graph is ≤ N²/2 edges over ≤ N vertices —
+    // a k-sized model table at ANY corpus scale (the fact-scale work
+    // is the pinned [[memoFlows]] extraction above). Closing it with
+    // `doublings` distributed squaring rounds cost ~30 driver-
+    // sequential jobs per invocation for ≤75 rows of data (r16 bench:
+    // 3.1 s / 30 jobs); per-edge connectivity on the COLLECTED edge
+    // list is exact, instant, and the same driver-side bounded-state
+    // class as the MMR greedy loop and the convergence counts.
+    val edges = und.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(identity)
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val nv = verts.length
+    // the retired fixed unrolling closed paths up to 2^doublings hops —
+    // correct ONLY while the vertex domain stays below that. The driver
+    // DFS has no horizon, but the ORACLE still unrolls the recurrence
+    // (ADVICE r13: on a wider graph the oracle would under-close while
+    // agreeing with an under-closed engine) — keep failing loudly at
+    // the same domain bound so engine and oracle can never drift.
     require((1L << doublings) >= nv - 1,
       s"bridges: $doublings doubling rounds close paths up to ${1L << doublings} " +
         s"hops but the vertex domain has $nv vertices — raise doublings " +
         "(and unroll the oracle to match)")
-    // residual adjacency per candidate edge: every symmetric edge that
-    // is not the removed one (non-equi pairing of two N-bounded tables)
-    var p = und.as("e").join(sym.as("g"),
-        !(col("e.ea") === least(col("g.u"), col("g.v")) &&
-          col("e.eb") === greatest(col("g.u"), col("g.v"))))
-      .select(col("e.ea").as("ea"), col("e.eb").as("eb"), col("g.u").as("u"), col("g.v").as("v"))
-      .distinct()
-      .localCheckpoint()
-    for (_ <- 1 to doublings) {
-      p = p.unionByName(
-          p.select(col("ea"), col("eb"), col("u"), col("v").as("mid"))
-            .join(p.select(col("ea"), col("eb"), col("u").as("mid"), col("v")),
-              Seq("ea", "eb", "mid"))
-            .select(col("ea"), col("eb"), col("u"), col("v")))
-        .distinct()
-        .localCheckpoint(eager = false)
+    // bridge = edge whose removal disconnects its endpoints: per
+    // candidate edge, one BFS over the residual edge set (≤ E·(V+E)
+    // driver steps on a ≤75-edge graph — exactly the residual-closure
+    // semantics the retired squaring rounds computed)
+    val adj = verts.map(v => v -> edges.collect {
+      case (a, b) if a == v => b
+      case (a, b) if b == v => a
+    }.toList).toMap
+    def connectedWithout(ea: Long, eb: Long): Boolean = {
+      val seen = scala.collection.mutable.Set(ea)
+      val stack = scala.collection.mutable.Stack(ea)
+      while (stack.nonEmpty && !seen.contains(eb)) {
+        val u = stack.pop()
+        adj(u).foreach { v =>
+          val isRemoved = (math.min(u, v), math.max(u, v)) == ((ea, eb))
+          if (!isRemoved && seen.add(v)) stack.push(v)
+        }
+      }
+      seen.contains(eb)
     }
-    val connected = p.filter(col("u") === col("ea") && col("v") === col("eb"))
-      .select(col("ea"), col("eb")).distinct()
-      .withColumn("linked", lit(1L))
-    und.join(connected, Seq("ea", "eb"), "left")
-      .select(col("ea").as("a"), col("eb").as("b"),
-        when(col("linked").isNull, 1L).otherwise(0L).as("is_bridge"))
-      .orderBy(col("a"), col("b"))
+    import scala.jdk.CollectionConverters._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("a",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("b",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("is_bridge",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val rows = edges.map { case (a, b) =>
+      org.apache.spark.sql.Row(a, b, if (connectedWithout(a, b)) 0L else 1L)
+    }
+    s.createDataFrame(rows.toSeq.asJava, schema).orderBy(col("a"), col("b"))
   }
 
   /** Per-part triangle counts in the co-purchase graph (parts appearing

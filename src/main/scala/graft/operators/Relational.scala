@@ -1276,11 +1276,36 @@ object Relational {
       // below, sum of sums — BIGINT-exact identical) the per-flag totals;
       // the old second groupBy re-scanned lineitem for 3 rows
       .localCheckpoint(eager = false)
-    val run = Window.partitionBy(col("l_returnflag")).orderBy(col("price_cents"))
+    // Bucketed median refinement (r16; guide §2.5 input skew): the old
+    // cumulative window partitioned by l_returnflag pushed EVERY
+    // distinct price of a flag through one task — ~200k rows/task on 3
+    // tasks locally, unbounded at corpus scale. Two-level scan instead:
+    // (1) per-(flag, $1000-bucket) weight sums, cumulated over the
+    // ~100-row bucket domain, locate the bucket holding the weighted
+    // median and the cumulative weight BEFORE it; (2) re-scan only that
+    // bucket's prices (~1% of the domain) for the smallest price whose
+    // prefix+in-bucket cumulative weight w satisfies 2·w ≥ W. Same
+    // smallest-qualifying-price semantics, BIGINT-exact end to end.
+    val bkts = byPrice.withColumn("bkt", expr("price_cents div 100000"))
+    val bktAgg = bkts.groupBy(col("l_returnflag"), col("bkt"))
+      .agg(sum(col("pw")).as("bw"))
+    val bktRun = Window.partitionBy(col("l_returnflag")).orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val tot = byPrice.groupBy(col("l_returnflag")).agg(sum(col("pw")).as("total_weight"))
-    byPrice.withColumn("cw", sum(col("pw")).over(run))
+    val tot = bktAgg.groupBy(col("l_returnflag")).agg(sum(col("bw")).as("total_weight"))
+    val medBkt = bktAgg.withColumn("cb", sum(col("bw")).over(bktRun))
       .join(broadcast(tot), "l_returnflag")
+      .filter(col("cb") * 2 >= col("total_weight"))
+      .groupBy(col("l_returnflag"), col("total_weight"))
+      .agg(min(struct(col("bkt"), (col("cb") - col("bw")).as("prefix"))).as("m"))
+      .select(col("l_returnflag").as("mfl"), col("total_weight"),
+        col("m.bkt").as("mbkt"), col("m.prefix").as("prefix"))
+    val inBkt = Window.partitionBy(col("l_returnflag")).orderBy(col("price_cents"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bkts.join(broadcast(medBkt),
+        col("l_returnflag") === col("mfl") && col("bkt") === col("mbkt"))
+      .select(col("l_returnflag"), col("price_cents"), col("pw"),
+        col("total_weight"), col("prefix"))
+      .withColumn("cw", col("prefix") + sum(col("pw")).over(inBkt))
       .filter(col("cw") * 2 >= col("total_weight"))
       .groupBy(col("l_returnflag"), col("total_weight"))
       .agg(min(col("price_cents")).as("wmedian_cents"))

@@ -1750,12 +1750,16 @@ object Similarity {
     val beamW = Window.partitionBy(col("q_id"))
       .orderBy(col("cos_x1e6").desc, col("vec_id"))
     for (_ <- 1 to rounds) {
+      // attach q_emb/q_nrm to the request-batch-sized beam BEFORE the
+      // graph expansion (r16): the old shape expanded the frontier to
+      // beam×M neighbor rows and then broadcast-joined qs a second
+      // time per round — one more broadcast exchange (a driver-
+      // sequential job under AQE) per round, scoring-identical
       val bm = visited.withColumn("rn", row_number().over(beamW))
         .filter(col("rn") <= beam).select(col("q_id"), col("vec_id"))
+        .join(qs, Seq("q_id"))
       // frontier: beam × graph — request-batch-sized, broadcast side
-      val f = broadcast(bm).join(g, bm("vec_id") === g("src"))
-        .select(col("q_id"), col("nbr"), col("n_emb"), col("n_nrm"))
-        .join(broadcast(qs), Seq("q_id"))
+      val f = broadcast(bm).join(g, col("vec_id") === col("src"))
         .select(col("q_id"), col("nbr").as("vec_id"),
           floor(cosine(col("q_emb"), col("n_emb"), col("q_nrm"), col("n_nrm")) * 1e6)
             .cast("long").as("cos_x1e6"))
