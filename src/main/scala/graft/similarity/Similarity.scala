@@ -129,15 +129,22 @@ object Similarity {
     // Identical tie semantics: max mmr, then min vec_id.
     val candRows = cand.select(col("vec_id"), col("sim_q")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sortBy { case (id, sq) => (-sq, id) }
-    val pairSim = pairRows.map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val first = candRows.head
-    var selected = Vector((first._1, first._2, 0L, first._2, 1))
-    for (i <- 2 to kSel) {
+    // degenerate-input guards (ADVICE r15): a null pairwise cosine
+    // (zero-norm embedding) is skipped like the old Spark-side max
+    // ignored nulls; fewer than kSel candidates caps the greedy loop;
+    // zero candidates yields an empty page instead of a crash
+    val pairSim = pairRows.filter(r => !r.isNullAt(2))
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    var selected = candRows.headOption
+      .map(first => Vector((first._1, first._2, 0L, first._2, 1)))
+      .getOrElse(Vector.empty)
+    for (i <- 2 to math.min(kSel, candRows.length)) {
       val selIds = selected.map(_._1)
       val best = candRows.iterator
         .filterNot(c => selIds.contains(c._1))
         .map { case (id, sq) =>
-          val pen = selIds.map(sid => pairSim((id, sid))).max
+          val pens = selIds.flatMap(sid => pairSim.get((id, sid)))
+          val pen = if (pens.isEmpty) 0L else pens.max
           (id, sq, pen, sq - pen, i)
         }
         .reduceLeft((a, b) => if (b._4 > a._4 || (b._4 == a._4 && b._1 < a._1)) b else a)
@@ -382,9 +389,16 @@ object Similarity {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   def memoBruteTruth(s: SparkSession, d: String): DataFrame =
     bruteTruthCache.getOrElseUpdate((s, d), graft.GraftSession.pin(
-      bruteTopK(graft.Tables.embeddings(s, d), col("vec_id") % 97 === 0)
+      bruteTopK(graft.Tables.embeddings(s, d), auditQueryPred)
         .select(col("q_id"), col("vec_id"))
         .localCheckpoint(eager = false)))
+
+  /** THE audit/query grid predicate (ADVICE r15): one definition shared
+    * by Pipeline's registry wrappers and [[memoBruteTruth]], so the
+    * recall referees can never silently join method results for one
+    * query grid against ground truth for another.
+    */
+  private[graft] def auditQueryPred: Column = col("vec_id") % 97 === 0
 
   def pqTopK(embeddings: DataFrame, queryPred: Column, k: Int = 10,
              model: Seq[Seq[Seq[Float]]] = PqModel.books,
@@ -401,7 +415,12 @@ object Similarity {
       pqDSql(s"vv_$m", s"${side}_${m}_$kk", model(m)(kk))
     // the (vec_id, c_0..c_{M-1}) table is the ingest-time artifact the
     // ADC scan reads; registry callers pass the memoized+pinned copy
-    // ([[memoPqCodes]]) so steady-state reps never re-encode the corpus
+    // ([[memoPqCodes]]) so steady-state reps never re-encode the corpus.
+    // Coupling guard (ADVICE r15): the memoized codes are encoded with
+    // the default books — a different codebook must re-encode
+    require(codesIn.isEmpty || (model eq PqModel.books) || model == PqModel.books,
+      "pqTopK: codesIn is encoded with the default PqModel.books; " +
+        "pass the default model with it (or neither)")
     val codes = codesIn.getOrElse(pqCodesPlan(embeddings, model))
     val qq = embeddings.filter(queryPred)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -613,6 +632,9 @@ object Similarity {
              l1: Seq[Seq[Float]] = RqModel.level1,
              l2: Seq[Seq[Float]] = RqModel.level2,
              codesIn: Option[DataFrame] = None): DataFrame = {
+    require(codesIn.isEmpty || (l1 == RqModel.level1 && l2 == RqModel.level2),
+      "rqTopK: codesIn is encoded with the default RqModel codebooks; " +
+        "pass the defaults with it (or neither)")
     val codes = codesIn.getOrElse(rqCodesPlan(embeddings, l1, l2))
     rqTopKFromCodes(codes, embeddings, queryPred, k, l1, l2)
   }
@@ -925,6 +947,10 @@ object Similarity {
     }
     def dRef(side: String, m: Int, kk: Int): String =
       pqDSql(s"vv_$m", s"${side}_${m}_$kk", model(m)(kk))
+    require(codesIn.isEmpty ||
+        ((cents == IvfModel.cells) && (model == PqModel.books)),
+      "ivfPqTopK: codesIn is encoded with the default IvfModel.cells/" +
+        "PqModel.books; pass the defaults with it (or neither)")
     val codes = codesIn.getOrElse(ivfPqCodesPlan(embeddings, cents, model))
     // query side: nProbe cells (IVF probe) × the PQ distance table
     val q0 = embeddings.filter(queryPred)
@@ -1179,7 +1205,13 @@ object Similarity {
               assignIn: Option[DataFrame] = None): DataFrame = {
     // train/serve split: a pinned codebook ([[IvfModel]]) makes the whole
     // query deterministic literal arithmetic (training runs offline via
-    // graft.tools.TrainIvf); with no model supplied, train in place
+    // graft.tools.TrainIvf); with no model supplied, train in place.
+    // assignIn coupling guard (ADVICE r15): the memoized assignment is
+    // encoded with the DEFAULT codebook — silently joining it against a
+    // different model's query-side distances would be wrong, not slow
+    require(assignIn.isEmpty || model.contains(IvfModel.cells),
+      "ivfTopK: assignIn is precomputed with the default IvfModel.cells " +
+        "codebook; pass model=Some(IvfModel.cells) with it (or neither)")
     val cents = model.getOrElse(kmeansCentroids(embeddings, cells, iters))
     val e = assignIn.getOrElse(ivfAssignPlan(embeddings, cents))
     val queries = e.filter(queryPred)
