@@ -48,6 +48,12 @@ object Bench {
     // Per-query dropDeadBlocks is skipped inside the pool (a concurrent
     // unpersist could yank another thread's in-flight lazy checkpoint);
     // one sweep after the pool drains reclaims the sf0.001 blocks.
+    // phase timestamps to STDERR (the stdout contract stays one JSON
+    // line): the r15 driver 32-cpu run died on a wall-clock timeout
+    // with no way to tell which phase ate the budget
+    def phase(msg: String): Unit =
+      Console.err.println(s"[bench-phase] ${java.time.Instant.now()} $msg")
+    phase("warmup start")
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
@@ -62,6 +68,7 @@ object Bench {
       pool.shutdown()
       dropDeadBlocks()
     }
+    phase("warmup done, timed sweep start")
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // calibration control (VERDICT r13 #4): the shared fixed-work CPU
@@ -116,6 +123,7 @@ object Bench {
       val median = times.sorted.apply(times.size / 2)
       name -> ((times, median, jobs.get / reps, stages.get / reps, tasks.get / reps))
     }
+    phase("timed sweep done")
     val calibEnd = calibSec()
     if (calibMid < 0) calibMid = calibEnd
     val total = results.map(_._2._2).sum
