@@ -364,4 +364,34 @@ class PlanSpec extends AnyFunSuite {
         .exists(_.toString.contains("LeftSemi")),
       "q4 EXISTS did not plan as a semi join")
   }
+
+  test("inline postings path: term filter lands below the postings aggregate (ADVICE r15)") {
+    // The no-postingsIn scoreComponents path builds the full corpus
+    // postings aggregate and filters terms AFTER the groupBy, relying on
+    // Catalyst pushing the isin through the Aggregate (term is a
+    // grouping column). If a future postingsPlan change adds a
+    // non-pushable expression, the inline path silently degrades to a
+    // corpus-wide all-terms aggregation inside every timed query — pin
+    // the pushdown on the optimized plan.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter}
+    // scoreComponents eagerly checkpoints tf, so inspect the exact
+    // pre-checkpoint plan the inline path constructs
+    val eng = graft.search.SearchEngine.datasets
+    val comps = eng.postingsPlan(graft.Tables.datasetIndex(spark, sf))
+      .filter(org.apache.spark.sql.functions.col("term")
+        .isin(Seq("data", "quality"): _*))
+    val aggs = comps.queryExecution.optimizedPlan.collect {
+      case a: Aggregate if a.aggregateExpressions.exists(_.name == "tf") => a
+    }
+    assert(aggs.nonEmpty, "no postings aggregate (tf) found in the inline path\n" +
+      comps.queryExecution.optimizedPlan.treeString)
+    // Catalyst may rewrite a 2-literal isin to OR-of-equals or InSet —
+    // any term-referencing filter below the aggregate is the pushdown
+    val pushed = aggs.exists(_.child.collect {
+      case f: Filter if f.condition.references.exists(_.name == "term") => f
+    }.nonEmpty)
+    assert(pushed,
+      "the term isin filter did not land below the postings aggregate — " +
+        "the inline path would aggregate the whole corpus vocabulary")
+  }
 }
