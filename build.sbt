@@ -30,5 +30,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 12g default (was 8g, still env-overridable): the r16 shared pinned
+  // index tables (token/bigram cells, postings, doc stats) raised the
+  // session-lifetime storage footprint, and at 8g the full 444-query
+  // sweep evicted pinned localCheckpoint blocks to disk mid-sweep —
+  // per-query reads of the "persisted index" stand-ins went
+  // deserialization/disk-bound (txt_bigram_coverage 0.4 s subset vs
+  // 1.1 s in-sweep). The box has 128 GiB; on a real cluster these
+  // tables are parquet-backed and the executor pool is sized to them.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "12g")}",
 )
