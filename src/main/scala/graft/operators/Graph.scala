@@ -677,7 +677,7 @@ object Graph {
     // the per-round delta replaces a 5-6 s recount with sub-second
     // broadcast scans at sf0.1.
     if (incremental && minSup >= 1L) {
-      var live = memoSupport(s, d) // pinned; round 1 reads, never rebuilds
+      val live0 = memoSupport(s, d) // pinned; read-only — never rewritten
       var destroyed: DataFrame = null
       // driver-tracked cardinality bound for the destroyed set: each
       // removed edge carried < minSup triangles when it fell, so
@@ -685,13 +685,39 @@ object Graph {
       // hint is placed (the cluster-merge count-guard discipline)
       var destroyedBound = 0L
       val bcastCap = 2000000L
+      // r16: the live support table stays VIRTUAL. The old loop
+      // rewrote the E-row live table per round (filter + delta join +
+      // checkpoint — two corpus-scale shuffle/materialization passes
+      // per invocation); but the peel's state CHANGES are fringe-sized
+      // by the invariant, so live_i ≡ live0 ⟕ cumDec with
+      // s = support − Σdec, and the removed set of a round is the
+      // below-threshold filter minus everything already removed. The
+      // pinned base is scanned map-side per round (broadcast-joined
+      // decrements under the same driver-known bounds); at 100 TB the
+      // peel maintains fringe-sized state, never a rewrite of the
+      // corpus-scale support table.
+      var cumDec: DataFrame = null
+      var cumDecBound = 0L
+      var removedSoFar: DataFrame = null
+      var removedBound = 0L
+      def liveNow: DataFrame =
+        if (cumDec == null) live0
+        else {
+          val cd = if (cumDecBound <= bcastCap) broadcast(cumDec) else cumDec
+          live0.join(cd, Seq("a", "b"), "left")
+            .select(col("a"), col("b"),
+              (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
+        }
+      def removedHinted: DataFrame =
+        if (removedBound <= bcastCap) broadcast(removedSoFar) else removedSoFar
       var converged = false
       for (_ <- 1 to rounds if !converged) {
-        val removed = live.filter(col("support") < minSup)
+        val below = liveNow.filter(col("support") < minSup)
           .select(col("a"), col("b"))
-          // lazy (r16): the count below materializes it inside its own
-          // job and the semi-join reads the stored blocks — the eager
-          // variant added one driver-sequential job per round
+        val removed = (if (removedSoFar == null) below
+          else below.join(removedHinted, Seq("a", "b"), "left_anti"))
+          // lazy: the count below materializes it inside its own job
+          // and the semi-join reads the stored blocks
           .localCheckpoint(eager = false)
         val r = removed.count()
         if (r == 0L) converged = true
@@ -717,10 +743,6 @@ object Graph {
             else destroyed
           val newly = (if (dst == null) hit
             else hit.join(dst, Seq("x3", "y3", "z3"), "left_anti"))
-            // lazy (r16): materialized by the next blocking action
-            // (next round's removed.count() or the final top-100) —
-            // both consumers (delta + destroyed union) read the same
-            // stored blocks either way
             .localCheckpoint(eager = false)
           destroyed = (if (destroyed == null) newly
             else destroyed.unionByName(newly).localCheckpoint(eager = false))
@@ -730,17 +752,21 @@ object Graph {
               struct(col("y3").as("a"), col("z3").as("b")))).as("e"))
             .select(col("e.a").as("a"), col("e.b").as("b"))
             .groupBy(col("a"), col("b")).agg(count(lit(1)).as("dec"))
-          // |delta| ≤ 3·|newly| ≤ 3·r·(minSup−1) — same guard
-          val delta = if (3L * r * math.max(1L, minSup - 1) <= bcastCap)
-            broadcast(delta0) else delta0
-          live = live.filter(col("support") >= minSup)
-            .join(delta, Seq("a", "b"), "left")
-            .select(col("a"), col("b"),
-              (col("support") - coalesce(col("dec"), lit(0L))).as("support"))
+          // |delta| ≤ 3·|newly| ≤ 3·r·(minSup−1) — same guard, now
+          // carried by the cumulative-decrement bound
+          cumDecBound += 3L * r * math.max(1L, minSup - 1)
+          cumDec = (if (cumDec == null) delta0
+            else cumDec.unionByName(delta0).groupBy(col("a"), col("b"))
+              .agg(sum(col("dec")).as("dec")))
             .localCheckpoint(eager = false)
+          removedBound += r
+          removedSoFar = (if (removedSoFar == null) removed
+            else removedSoFar.unionByName(removed).localCheckpoint(eager = false))
         }
       }
-      return live.orderBy(col("support").desc, col("a"), col("b")).limit(100)
+      val fin = if (removedSoFar == null) liveNow
+        else liveNow.join(removedHinted, Seq("a", "b"), "left_anti")
+      return fin.orderBy(col("support").desc, col("a"), col("b")).limit(100)
     }
     // full-recount path: round 1's support is the shared pinned witness
     // table — free. The peel is ABSORBING: a round that removes nothing

@@ -172,9 +172,14 @@ class PlanSpec extends AnyFunSuite {
     // PLAN-DUMP-ONLY heads inside ktrussDeltaPlan (never executed —
     // PLANS.md renders it); the executed guarded heads keep their own
     // names so the per-guard grep below stays 1:1 with hints that run
+    // round 16 (virtual k-truss live table): cumDec/removedSoFar are
+    // the fringe-sized cumulative decrement / removed sets, hinted
+    // only under their driver-tracked bounds (cumDecBound accumulates
+    // the 3·r·(minSup−1) per-round delta bound; removedBound the
+    // removed counts) — delta0 itself is no longer hinted
     val allowed = Set("nn", "pr", "dist", "score", "mx", "nOrders",
-      "n", "rmax", "scal", "mTot", "removed", "destroyed", "delta0",
-      "removedPlan", "deltaPlan")
+      "n", "rmax", "scal", "mTot", "removed", "destroyed",
+      "cumDec", "removedSoFar", "removedPlan", "deltaPlan")
     // the guarded heads must actually carry their guards: each specific
     // cap condition must still exist verbatim next to its broadcast
     // (a file-wide 'bcastCap' grep would stay green if one guard were
@@ -182,7 +187,8 @@ class PlanSpec extends AnyFunSuite {
     for ((h, guard) <- Seq(
         "removed" -> "if (r <= bcastCap) broadcast(removed)",
         "destroyed" -> "if (destroyedBound <= bcastCap) broadcast(destroyed)",
-        "delta0" -> "if (3L * r * math.max(1L, minSup - 1) <= bcastCap)"))
+        "cumDec" -> "if (cumDecBound <= bcastCap) broadcast(cumDec)",
+        "removedSoFar" -> "if (removedBound <= bcastCap) broadcast(removedSoFar)"))
       assert(src.contains(guard),
         s"the count guard for broadcast($h) disappeared from Graph.scala " +
           s"(expected: $guard)")
